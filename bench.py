@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+
+Each query's full plan is forced with the noop sink (executes everything,
+writes nothing) rather than count() — count() would let Catalyst prune
+the projections we want measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from breweries_etl_spark.session import get_spark
+
+# Queries that represent the engine's cost profile: scans+aggs, multi-way
+# joins, windows, the silver transform chain, and the scale extensions.
+HEADLINE = [
+    "gold_by_type_location",
+    "silver_transform",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "topk_orders_per_customer",
+    "rollup_orders",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "similarity_topk",
+    "text_stats",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM/codegen once with the cheapest query so timings measure
+    # the plans, not first-call classloading.
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.monotonic()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

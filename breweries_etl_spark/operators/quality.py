@@ -1,0 +1,108 @@
+"""Data-quality operators: validation, quarantine split, null accounting
+(SURVEY.md §2.3 P1-P4, §2.5 A4-A5).
+
+Scale notes:
+- The quarantine split evaluates ONE predicate over a cached parent so the
+  input is scanned once for both branches (the reference scans its
+  in-memory frame twice, which is free for pandas but a double 100 TB scan
+  for us).
+- Null counts are a single-pass conditional aggregation, not a per-column
+  loop of actions.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import KEY_FIELDS
+from .standardize import add_quarantine_metadata
+
+
+def validate_schema(df: DataFrame, expected_columns: list[str] | None = None) -> None:
+    """P1 — column-presence validation (ref: U/helpers.py:23-40): raise
+    ValueError listing missing columns. Static against the declared
+    schema — no job is launched."""
+    expected = KEY_FIELDS if expected_columns is None else expected_columns
+    missing = sorted(set(expected) - set(df.columns))
+    if missing:
+        raise ValueError(f"Schema validation failed: missing columns {missing}")
+
+
+def any_null_predicate(columns: list[str]) -> Column:
+    """P2's mask — TRUE when any key column is NULL
+    (ref: T/bronze_to_silver.py:177-179)."""
+    return reduce(or_, (F.col(c).isNull() for c in columns))
+
+
+def split_invalid_records(
+    df: DataFrame,
+    key_fields: list[str] | None = None,
+    annotate: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """P2 — two-way split on the null-key mask
+    (ref: T/bronze_to_silver.py:164-204).
+
+    Returns ``(valid, quarantined)`` — honoring the reference docstring's
+    promised contract, which its implementation broke by returning only
+    the valid half (SURVEY.md §2.12 bug list).
+
+    The parent is NOT cached here: both branches usually flow straight to
+    sinks, and a cache of a 100 TB parent would thrash; callers that
+    iterate the same split repeatedly can ``.persist()`` themselves.
+    """
+    keys = KEY_FIELDS if key_fields is None else key_fields
+    present = [c for c in keys if c in df.columns]
+    cond = any_null_predicate(present)
+    valid = df.filter(~cond)
+    quarantined = df.filter(cond)
+    if annotate:
+        quarantined = add_quarantine_metadata(quarantined)
+    return valid, quarantined
+
+
+def null_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """P4 — per-column null counts in ONE pass
+    (ref loops ``df[f].isna().sum()`` per field, T/bronze_to_silver.py:185-188).
+
+    Returns a single-row DataFrame with one long column per input column.
+    """
+    columns = (KEY_FIELDS if columns is None else columns)
+    present = [c for c in columns if c in df.columns]
+    return df.agg(
+        *[
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"{c}_nulls")
+            for c in present
+        ]
+    )
+
+
+def count_distinct(df: DataFrame, column: str) -> DataFrame:
+    """A4 — exact distinct count (ref: ``nunique``, T/bronze_to_silver.py:83).
+    For metrics at scale prefer ``approx_count_distinct`` (HLL, no shuffle
+    of the full key set); exact form kept for oracle parity."""
+    return df.select(F.count_distinct(F.col(column)).alias(f"{column}_distinct"))
+
+
+def approx_count_distinct(df: DataFrame, column: str, rsd: float = 0.05) -> DataFrame:
+    return df.select(
+        F.approx_count_distinct(F.col(column), rsd).alias(f"{column}_approx_distinct")
+    )
+
+
+def count_duplicate_ids(df: DataFrame, column: str = "id") -> DataFrame:
+    """A5 — count of 2nd+ occurrences per key, i.e. pandas
+    ``duplicated().sum()`` (ref: U/helpers.py:116-131).
+
+    groupBy benefits from partial aggregation map-side; the final frame is
+    one row.
+    """
+    per_key = df.groupBy(column).agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.coalesce(F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1)), F.lit(0)).alias(
+            "duplicate_count"
+        )
+    )

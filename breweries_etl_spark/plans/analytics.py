@@ -1,0 +1,168 @@
+"""Relational analytics over the driver testdata: joins, multi-agg
+group-bys, windows, rollups, semi/anti joins.
+
+The reference contains no joins at all (SURVEY.md §2.6) — its pipeline is
+single-entity — so this module is where the engine demonstrates the
+join/window/sort capabilities a user scaling past the reference needs,
+expressed as declarative DataFrame plans Catalyst can optimize:
+
+- Dimension joins (region/nation/supplier) stay under the broadcast
+  threshold at every SF → zero-shuffle hash joins on the build side.
+- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key once; AQE
+  handles skew and coalesces post-shuffle partitions.
+- Filters are written against base columns before joins so Catalyst
+  pushes them into the parquet scan (check: PushedFilters in .explain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import charge, disc_price, money, sum_money
+from ..sources.tables import load_table
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: 2-key groupBy, 8 aggregates, one scan.
+    Exact-decimal sums (see functions.exact) keep results reproducible at
+    any parallelism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            sum_money("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(charge()).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("long")) / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(money("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.sum(money("l_discount")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: 3-way join, filter pushdown on both
+    fact scans, top-10 by revenue."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("date")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: 6-table join where region,
+    nation, and supplier broadcast; customer/orders/lineitem shuffle on
+    their keys once each."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    # Customer and supplier must share the nation (Q5's "local supplier").
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(cust.c_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast revenue: pure filter+agg — every predicate
+    reaches the parquet scan as PushedFilters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(money("l_extendedprice") * money("l_discount")).cast("double").alias("revenue"))
+    )
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-K per group via ranking window — the canonical Spark top-k that
+    avoids a global sort (partial top-k per partition, then per-key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_customer", F.row_number().over(w))
+        .filter(F.col("rank_in_customer") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_customer")
+    )
+
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): subtotals + grand total in one
+    pass — the generalization of the reference's two separate gold
+    group-bys (SURVEY.md §2.5 note on A2/A3)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("total_price"),
+            F.grouping_id().alias("grouping_level"),
+        )
+    )
+
+
+def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (SQL EXISTS): customers having any order above a
+    threshold. Semi-join short-circuits on first match — cheaper than a
+    join+distinct."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (SQL NOT EXISTS): customers with no order since
+    2000-01-01."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )

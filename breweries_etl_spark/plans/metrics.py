@@ -1,0 +1,77 @@
+"""Observability (SURVEY.md §2.12 X4).
+
+The reference defines per-stage duration histograms, byte gauges, and
+record counters pushed to a Prometheus Pushgateway
+(ref: U/metrics.py:23-126). Here:
+
+- ``MetricsRegistry`` keeps the same metric-name surface in-process.
+- Row-level counters ride the job itself via ``df.observe`` (zero extra
+  pass — an ``.observe`` aggregates during the action that materializes
+  the frame, unlike the reference's extra len()/nunique() passes).
+- Pushgateway export is optional and gated behind an import-try: the
+  engine never requires prometheus_client.
+
+Deliberately NOT replicated: the reference's ``finally:`` blocks that
+increment *failure* counters on every success
+(ref: T/landing_to_bronze.py:156-157,201-202 — SURVEY.md §2.12 bug list).
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class MetricsRegistry:
+    counters: dict[str, float] = field(default_factory=dict)
+    gauges: dict[str, float] = field(default_factory=dict)
+    durations: dict[str, float] = field(default_factory=dict)
+
+    def inc(self, name: str, value: float = 1.0) -> None:
+        self.counters[name] = self.counters.get(name, 0.0) + value
+
+    def set_gauge(self, name: str, value: float) -> None:
+        self.gauges[name] = value
+
+    @contextmanager
+    def time_operation(self, operation: str, layer: str):
+        """Duration histogram analog (ref: U/metrics.py:95-126): failure
+        counters increment only on actual failure."""
+        start = time.monotonic()
+        try:
+            yield self
+        except Exception:
+            self.inc(f"{layer}_{operation}_failures")
+            raise
+        finally:
+            self.durations[f"{layer}_{operation}_seconds"] = time.monotonic() - start
+
+    def push(self, gateway_url: str | None = None, job: str = "breweries_etl_spark") -> bool:
+        """Optional Pushgateway export (ref: U/metrics.py:66-73)."""
+        if gateway_url is None:
+            return False
+        try:
+            from prometheus_client import CollectorRegistry, Gauge, push_to_gateway
+        except ImportError:
+            return False
+        registry = CollectorRegistry()
+        for store in (self.counters, self.gauges, self.durations):
+            for name, value in store.items():
+                Gauge(name, name, registry=registry).set(value)
+        push_to_gateway(gateway_url, job=job, registry=registry)
+        return True
+
+
+def observe_counts(df: DataFrame, name: str) -> DataFrame:
+    """Attach row/metric observation to a frame; metrics materialize with
+    whatever action runs the frame (pull via QueryExecutionListener or
+    ``Observation`` object in callers that need the values)."""
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("rows"),
+    )

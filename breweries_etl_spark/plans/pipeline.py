@@ -1,0 +1,106 @@
+"""The medallion pipeline runner (SURVEY.md §3, §2.12 X1-X3).
+
+The reference's control plane is an Airflow DAG of four PythonOperator
+tasks wired ``extract >> bronze >> silver >> gold``
+(ref: airflow/dags/brewery_pipeline.py:32-56) with per-task retries and
+XCom hand-off of the landing file list. That machinery is orchestration,
+not engine; here each stage is a plain function over one SparkSession,
+hand-off is the durable layer path (same restart/replay property: any
+stage reruns from its input layer), and retries are a decorator.
+
+Every stage builds a LAZY plan and materializes exactly once at its sink —
+Catalyst fuses the whole silver transform chain into a single scan.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import SILVER_PARTITION_COLUMN, MedallionPaths
+from ..operators.aggregate import gold_aggregations
+from ..operators.quality import split_invalid_records, validate_schema
+from ..operators.standardize import add_ingestion_metadata, silver_transform
+from ..plans.metrics import MetricsRegistry
+from ..sinks.writers import write_gold, write_partitioned, write_table
+from ..sources.json_source import read_landing_json
+from ..sources.tables import read_layer
+
+
+def with_retries(fn: Callable, retries: int = 3, delay_s: float = 0.0) -> Callable:
+    """X2 — stage-level retry (ref: brewery_pipeline.py:18-19 uses 3×5 min;
+    delay configurable because tests shouldn't sleep)."""
+
+    def wrapped(*args, **kwargs):
+        last: Exception | None = None
+        for _ in range(retries):
+            try:
+                return fn(*args, **kwargs)
+            except Exception as exc:  # noqa: BLE001 - stage-level catch-all, parity
+                last = exc
+                if delay_s:
+                    time.sleep(delay_s)
+        raise last  # type: ignore[misc]
+
+    return wrapped
+
+
+def landing_to_bronze(
+    spark: SparkSession, paths: MedallionPaths, metrics: MetricsRegistry | None = None
+) -> None:
+    """Stage 2 (ref: T/landing_to_bronze.py:26-92): distributed JSON scan
+    with declared schema → ingestion metadata → bronze overwrite."""
+    metrics = metrics or MetricsRegistry()
+    with metrics.time_operation("landing_to_bronze", "bronze"):
+        df = read_landing_json(spark, paths.landing)
+        df = add_ingestion_metadata(df)
+        write_table(df, paths.bronze, mode="overwrite")
+
+
+def bronze_to_silver(
+    spark: SparkSession, paths: MedallionPaths, metrics: MetricsRegistry | None = None
+) -> None:
+    """Stage 3, the transform core (ref: T/bronze_to_silver.py:26-92):
+    validate → quarantine split → standardize chain → partitioned silver
+    overwrite + quarantine append.
+
+    One scan feeds both branches' sinks; the split predicate and the
+    silver transform chain each fuse into the scan via codegen.
+    """
+    metrics = metrics or MetricsRegistry()
+    with metrics.time_operation("bronze_to_silver", "silver"):
+        bronze = read_layer(spark, paths.bronze)
+        validate_schema(bronze)
+        valid, quarantined = split_invalid_records(bronze)
+        silver = silver_transform(valid)
+        write_partitioned(silver, paths.silver, [SILVER_PARTITION_COLUMN])
+        write_table(quarantined, paths.quarantine, mode="append")
+
+
+def silver_to_gold(
+    spark: SparkSession, paths: MedallionPaths, metrics: MetricsRegistry | None = None
+) -> None:
+    """Stage 4 (ref: T/silver_to_gold.py:22-76): read silver (partition
+    discovery built-in — the reference's manual glob fallback S6 is
+    obsolete) → two group-count gold tables."""
+    metrics = metrics or MetricsRegistry()
+    with metrics.time_operation("silver_to_gold", "gold"):
+        silver = read_layer(spark, paths.silver)
+        write_gold(gold_aggregations(silver), paths.gold)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    paths: MedallionPaths,
+    metrics: MetricsRegistry | None = None,
+    retries: int = 3,
+    retry_delay_s: float = 0.0,
+) -> MetricsRegistry:
+    """X1 — the linear DAG, landing already populated by a source
+    (sources.brewery_api or test fixtures)."""
+    metrics = metrics or MetricsRegistry()
+    for stage in (landing_to_bronze, bronze_to_silver, silver_to_gold):
+        with_retries(stage, retries=retries, delay_s=retry_delay_s)(spark, paths, metrics)
+    return metrics

@@ -1,0 +1,107 @@
+"""Parquet sinks for the medallion layers (SURVEY.md §2.2 K1-K7).
+
+Format note: the reference writes Delta via delta-rs
+(ref: U/helpers.py:363-417); per the driver-mandated spark_approach the
+engine writes plain Parquet (Delta is a one-line ``format`` change once
+its jars are on the classpath — see ``fmt`` parameter).
+
+Scale notes:
+- K3 partitions silver by ``location`` (= country), a LOW-CARDINALITY,
+  SKEWED key (one country dominates real brewery data). A naive
+  ``partitionBy`` funnels each country into as many files as there are
+  tasks holding its rows; ``write_partitioned`` optionally repartitions by
+  (partition_key, salt) first so each partition directory gets a bounded
+  number of right-sized files instead of 1000s of slivers or one giant
+  file.
+- Overwrite mode matches the reference's full-refresh semantics
+  (idempotent rerun = Airflow retry contract, SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """K5 — generic parameterized sink (ref: U/helpers.py:363-417);
+    K2 (bronze overwrite) and K4 (quarantine append) are direct calls."""
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    files_per_partition: int = 4,
+    fmt: str = "parquet",
+) -> None:
+    """K3 — partitioned sink with skew-aware file sizing.
+
+    Repartitions by (partition columns + a salt in [0, files_per_partition))
+    so every output directory gets at most ``files_per_partition`` files,
+    each written by one task — bounded file counts for hot keys AND no
+    single-task giant file. At 100 TB tune files_per_partition up so
+    files land near the 128 MB-1 GB sweet spot.
+    """
+    salt = (F.abs(F.hash(F.monotonically_increasing_id())) % files_per_partition).alias(
+        "__salt"
+    )
+    (
+        df.withColumn("__salt", salt)
+        .repartition(*[F.col(c) for c in partition_by], F.col("__salt"))
+        .drop("__salt")
+        .write.mode(mode)
+        .format(fmt)
+        .partitionBy(*partition_by)
+        .save(path)
+    )
+
+
+def write_gold(aggregations: dict[str, DataFrame], gold_path: str, fmt: str = "parquet") -> None:
+    """K6 — one table per aggregation under GOLD/{name}
+    (ref: T/silver_to_gold.py:134-151). Gold aggregates are tiny relative
+    to silver; coalesce(1) keeps them single-file for cheap downstream
+    reads (drop the coalesce if a gold table ever grows)."""
+    for name, df in aggregations.items():
+        df.coalesce(1).write.mode("overwrite").format(fmt).save(
+            os.path.join(gold_path, name)
+        )
+
+
+def prepare_landing_directory(path: str) -> None:
+    """K7 — landing lifecycle reset (ref: U/helpers.py:200-211)."""
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+
+def save_json_page(rows: list[dict], path: str) -> int:
+    """K1 — dump one API page to a landing JSON file, return byte size
+    (ref: U/helpers.py:261-275). Driver-side by design: landing files are
+    the pre-Spark raw capture."""
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(rows, f, ensure_ascii=False, default=str)
+    return os.path.getsize(path)
+
+
+def directory_bytes(path: str) -> int:
+    """A8 — byte-size accounting (ref: U/helpers.py:150-166,299-309)."""
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for name in files:
+            total += os.path.getsize(os.path.join(dirpath, name))
+    return total

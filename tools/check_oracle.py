@@ -1,0 +1,103 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given SF, then compares row count, column names, and
+order-insensitive values (rows sorted, columns sorted by name). Floats
+compare exactly by default — if exact passes here, any reasonable
+driver-side hashing passes too.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from breweries_etl_spark.config import TESTDATA_TABLES
+from breweries_etl_spark.session import get_spark
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = repr(v)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {exc}")
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(s_rows)} rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {exc}")
+            continue
+
+        if sorted(s_cols) != sorted(d_cols):
+            failures.append(name)
+            print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            continue
+        if len(s_rows) != len(d_rows):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+            continue
+        _, sn = normalize(s_rows, s_cols)
+        _, dn = normalize(d_rows, d_cols)
+        if sn != dn:
+            failures.append(name)
+            diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {diff}")
+            continue
+        print(f"OK   {name}: {len(s_rows)} rows")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
