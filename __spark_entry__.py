@@ -26,10 +26,11 @@ from breweries_etl_spark.functions.exact import (
 )
 from breweries_etl_spark.functions.synthetic import BREWERY_RAW_SQL, brewery_raw
 from breweries_etl_spark.operators import aggregate as agg_ops
-from breweries_etl_spark.operators import quality
-from breweries_etl_spark.operators import standardize
+from breweries_etl_spark.operators import dedup, multimodal, quality, similarity
+from breweries_etl_spark.operators import standardize, temporal, text
 from breweries_etl_spark.plans import analytics
 from breweries_etl_spark.sources.tables import load_events, load_table
+from breweries_etl_spark.streaming.events import run_tumbling_once
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (oracle side)
@@ -181,8 +182,150 @@ def q_sample_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Queries — scale extensions (temporal, text, dedup, similarity, multimodal)
+# ---------------------------------------------------------------------------
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal.tumbling_counts(load_events(spark, sf_dir))
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal.sliding_counts(load_events(spark, sf_dir))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal.sessionize(load_events(spark, sf_dir))
+
+
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_tumbling — same oracle."""
+    return run_tumbling_once(spark, sf_dir)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dups (approximate candidate generation; exact
+    verification). Not SQL-expressible → rows-only driver check."""
+    return dedup.minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 pairs (Pandas-UDF signatures) → rows-only."""
+    return dedup.simhash_near_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_duplicates(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (deterministic seeded hyperplanes)
+    → rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+def q_multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.assets_from_documents(load_table(spark, sf_dir, "documents"))
+    return multimodal.asset_metadata_stats(assets)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode→feature plumbing (deterministic fake extractor) →
+    rows-only."""
+    assets = multimodal.assets_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = multimodal.fake_feature_extractor(assets)
+    return feats.select(
+        "asset_id",
+        F.round(
+            F.aggregate(F.col("features"), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feature_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
+
+# Shared text-normalization fragments (must replicate
+# operators/text.py:normalize_text_expr / shingles_expr semantics; note
+# DuckDB regexp_replace needs the 'g' flag — Spark's is global by default).
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_TOKS = "regexp_extract_all(text, '[A-Za-z0-9_]+')"
+_LTOKS = "regexp_extract_all(lower(text), '[A-Za-z0-9_]+')"
+_STOPS = "('the','a','an','and','or','of','to','in','is','it')"
+
+
+def _shingle_cte(n: int) -> str:
+    """Distinct word n-gram shingles (DuckDB list slice is 1-based,
+    inclusive-end: w[i:i+n-1] is the n-gram at i)."""
+    return f"""
+norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+words AS (SELECT doc_id, nt, string_split(nt, ' ') AS w FROM norm),
+sh AS (
+  SELECT doc_id, nt,
+    list_distinct([array_to_string(w[i:i+{n - 1}], ' ')
+                   FOR i IN range(1, len(w)-{n - 2})]) AS s
+  FROM words
+)
+"""
+
+
+_TUMBLING_SQL = """
+SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
+  event_type, count(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+_LANG_HITS = {
+    "en": "('the','and','of','to','in','is')",
+    "es": "('el','la','los','que','y','en')",
+    "de": "('der','die','und','das','ist','nicht')",
+    "fr": "('le','les','des','est','dans','pour')",
+}
+_GREATEST = "greatest(h_en, h_es, h_de, h_fr)"
 
 _ORACLES: dict[str, str] = {
     "gold_by_type_location": _SILVER_CTE
@@ -315,6 +458,154 @@ WHERE NOT EXISTS (
   WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01'
 )
 """,
+    # ----- temporal / streaming
+    "events_tumbling": _TUMBLING_SQL,
+    "streaming_tumbling": _TUMBLING_SQL,
+    "events_sliding": """
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events),
+ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
+w AS (
+  SELECT (epoch_us(t) // 900000000) * 900 - k * 900 AS window_start, value
+  FROM e CROSS JOIN ks
+)
+SELECT window_start, count(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM w GROUP BY window_start
+""",
+    "events_sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+    lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e
+), sess AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_id
+""",
+    # ----- text analysis
+    "text_stats": f"""
+SELECT doc_id,
+  length(text) AS n_chars_actual,
+  len({_TOKS}) AS n_tokens,
+  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+  length(regexp_replace(text, '[^A-Za-z0-9_]', '', 'g')) AS n_alnum_chars,
+  round(CASE WHEN len({_TOKS}) > 0
+    THEN CAST(length(regexp_replace(text, '[^A-Za-z0-9_]', '', 'g')) AS DOUBLE)
+         / CAST(len({_TOKS}) AS DOUBLE)
+    ELSE 0.0 END, 6) AS avg_token_len,
+  round(CASE WHEN len({_TOKS}) > 0
+    THEN CAST(len(list_filter({_TOKS}, x -> x IN {_STOPS})) AS DOUBLE)
+         / CAST(len({_TOKS}) AS DOUBLE)
+    ELSE 0.0 END, 6) AS stopword_ratio
+FROM documents
+""",
+    "text_quality": f"""
+SELECT doc_id, round(
+  0.5 * least(1.0, CAST(len({_TOKS}) AS DOUBLE) / 100.0)
+  + 0.3 * (CASE WHEN len({_TOKS}) > 0
+      THEN CAST(len(list_filter({_TOKS}, x -> x IN {_STOPS})) AS DOUBLE)
+           / CAST(len({_TOKS}) AS DOUBLE) ELSE 0.0 END)
+  + 0.2 * (1.0 - CASE WHEN len({_TOKS}) > 0
+      THEN least(1.0, CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                      / CAST(len({_TOKS}) AS DOUBLE)) ELSE 0.0 END)
+, 6) AS quality_score
+FROM documents
+""",
+    "text_lang_id": f"""
+WITH hits AS (
+  SELECT doc_id, text,
+    len(list_filter({_LTOKS}, x -> x IN {_LANG_HITS["en"]})) AS h_en,
+    len(list_filter({_LTOKS}, x -> x IN {_LANG_HITS["es"]})) AS h_es,
+    len(list_filter({_LTOKS}, x -> x IN {_LANG_HITS["de"]})) AS h_de,
+    len(list_filter({_LTOKS}, x -> x IN {_LANG_HITS["fr"]})) AS h_fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
+       WHEN {_GREATEST} = 0 THEN 'unknown'
+       WHEN h_en = {_GREATEST} THEN 'en'
+       WHEN h_es = {_GREATEST} THEN 'es'
+       WHEN h_de = {_GREATEST} THEN 'de'
+       ELSE 'fr' END AS lang_pred
+FROM hits
+""",
+    "text_fingerprint": f"""
+WITH {_shingle_cte(5)}
+SELECT doc_id,
+  coalesce(list_aggregate([md5(x) FOR x IN s], 'min'), md5(nt)) AS fingerprint,
+  md5(nt) AS content_md5
+FROM sh
+""",
+    # ----- dedup
+    "dedup_exact": f"""
+SELECT md5({_NORM}) AS content_key, min(doc_id) AS doc_id
+FROM documents GROUP BY 1
+""",
+    "dedup_ngram_jaccard": f"""
+WITH {_shingle_cte(3)},
+sh_ok AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh_ok),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT id_a, id_b,
+    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE), 6) AS jaccard
+  FROM cand JOIN sh_ok x ON x.doc_id = id_a JOIN sh_ok y ON y.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+""",
+    "embedding_neardup": """
+WITH p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+    unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+), d AS (
+  SELECT ia, ib, sum(x*y) AS dp, sum(x*x) AS na, sum(y*y) AS nb
+  FROM p GROUP BY ia, ib
+)
+SELECT ia AS id_a, ib AS id_b, round(dp / sqrt(na * nb), 6) AS cosine
+FROM d WHERE round(dp / sqrt(na * nb), 6) >= 0.35
+""",
+    # ----- similarity search
+    "similarity_topk": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+    unnest(q.embedding)::DOUBLE AS x, unnest(c.embedding)::DOUBLE AS y
+  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+), d AS (
+  SELECT query_id, corpus_id, sum(x*y) AS dp, sum(x*x) AS na, sum(y*y) AS nb
+  FROM p GROUP BY query_id, corpus_id
+), s AS (
+  SELECT query_id, corpus_id, round(dp / sqrt(na * nb), 6) AS cosine FROM d
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 5
+""",
+    # ----- multimodal
+    "multimodal_meta_stats": """
+SELECT 'text/plain' AS mime, count(*) AS n_assets,
+  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+  CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+""",
 }
 
 
@@ -354,6 +645,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": analytics.rollup_orders,
         "semi_join_customers": analytics.customers_with_big_orders,
         "anti_join_customers": analytics.customers_without_recent_orders,
+        # temporal / streaming
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "events_sessionize": q_events_sessionize,
+        "streaming_tumbling": q_streaming_tumbling,
+        # text analysis
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        # dedup
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,  # rows-only
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
+        # similarity search
+        "embedding_neardup": q_embedding_neardup,
+        "similarity_topk": q_similarity_topk,
+        "similarity_lsh_topk": q_similarity_lsh_topk,  # rows-only
+        # multimodal
+        "multimodal_meta_stats": q_multimodal_meta_stats,
+        "multimodal_features": q_multimodal_features,  # rows-only
     }
 
 

@@ -1,0 +1,95 @@
+"""Multimodal column plumbing (driver extension mandate).
+
+Convention: image/audio/video payloads are opaque ``binary`` columns next
+to a typed metadata struct (schemas.MULTIMODAL_ASSET_SCHEMA). Catalyst
+prunes/pushes down around the blob — metadata-only queries never read
+payload bytes from parquet (columnar pruning), which at 100 TB is the
+entire game.
+
+Decode/feature-extraction runs as Arrow-batched ``mapInPandas``: executors
+stream RecordBatches, the Python worker sees zero-copy buffers. The real
+decoders (PIL/ffmpeg/torchaudio) are NOT in this container, so decoding is
+STUBBED: ``decode_image`` raises NotImplementedError by design, and
+``fake_feature_extractor`` produces a deterministic md5-derived feature
+vector with the exact schema/batching a real extractor would use — the
+Spark-side plumbing (schema, partitioning, UDF signature, batch shape) is
+real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+
+def assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a multimodal asset table from the documents fixture: payload
+    = UTF-8 bytes of the text (a stand-in for image/audio bytes), plus a
+    populated metadata struct. Pure column expressions."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload_bytes: bytes) -> "object":
+    """Real image decode — requires PIL, not present in this container.
+    Kept as the explicit extension point for production."""
+    raise NotImplementedError(
+        "image decoding requires PIL/libvips; wire a real decoder here"
+    )
+
+
+def fake_feature_extractor(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Deterministic stand-in for decode→embed: an md5-derived unit-norm
+    feature vector per asset. Exercises the production plumbing — Arrow
+    batch iteration, binary column access, array<double> output schema —
+    with reproducible values."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                digest = hashlib.md5(bytes(payload or b"")).digest()
+                raw = np.frombuffer(digest[: dim * 2], dtype=np.uint16).astype(
+                    np.float64
+                )
+                norm = float(np.sqrt((raw * raw).sum())) or 1.0
+                feats.append([round(x, 6) for x in (raw / norm).tolist()])
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "features": feats}
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        extract, schema="asset_id long, features array<double>"
+    )
+
+
+def asset_metadata_stats(assets: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — demonstrates that the payload column is
+    pruned from the scan (check ReadSchema in .explain): per-mime count
+    and byte totals."""
+    return (
+        assets.groupBy(F.col("meta.mime").alias("mime"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+            F.max(F.col("meta.n_bytes")).alias("max_bytes"),
+        )
+    )

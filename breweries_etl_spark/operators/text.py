@@ -1,0 +1,156 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(driver extension mandate): tokenization stats, quality scoring,
+language-ID heuristic, content fingerprinting.
+
+All expressions are native ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, no Python in the hot path — so a 100 TB documents
+scan runs at parquet-read speed. Regex/token semantics are chosen to be
+dialect-portable (identical under DuckDB) for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Word tokens: ASCII alnum/underscore runs. `\\w` differs between regex
+# dialects (unicode classes); the explicit class does not.
+TOKEN_RE = "[A-Za-z0-9_]+"
+PUNCT_RE = "[.,;:!?]"
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately small: the heuristic is a cheap first-pass router, not a
+# classifier — swap in fastText/CLD3 via a Pandas UDF for production
+# accuracy (not available in this container).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "los", "que", "y", "en"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "les", "des", "est", "dans", "pour"],
+}
+CJK_RE = "[\\u4e00-\\u9fff]"
+
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens_expr(col: Column) -> Column:
+    return F.regexp_extract_all(col, F.lit(TOKEN_RE), 0)
+
+
+def token_count_expr(col: Column) -> Column:
+    return F.size(tokens_expr(col))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: token count, char counts, punctuation count,
+    alnum-char total, average token length, stopword ratio.
+
+    One projection, one scan; every derived column shares the tokenized
+    array via a common subexpression.
+    """
+    text = F.col(text_col)
+    toks = tokens_expr(text)
+    n_tokens = F.size(toks)
+    alnum_chars = F.length(F.regexp_replace(text, "[^A-Za-z0-9_]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    return df.select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars_actual"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), 0))
+        .cast("long")
+        .alias("n_punct"),
+        alnum_chars.cast("long").alias("n_alnum_chars"),
+        F.round(
+            F.when(n_tokens > 0, alnum_chars.cast("double") / n_tokens).otherwise(0.0), 6
+        ).alias("avg_token_len"),
+        F.round(
+            F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(0.0), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1] — the length/punctuation/stopword
+    heuristic family used to pre-filter LLM training corpora. Weights are
+    illustrative; the shape (cheap columnar signals → one scalar) is the
+    point."""
+    text = F.col(text_col)
+    toks = tokens_expr(text)
+    n_tokens = F.size(toks).cast("double")
+    length_component = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))).cast("double")
+    stop_component = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(0.0)
+    punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), 0)).cast("double")
+    punct_component = F.when(
+        n_tokens > 0, F.least(F.lit(1.0), punct / n_tokens)
+    ).otherwise(0.0)
+    score = (
+        F.lit(0.5) * length_component
+        + F.lit(0.3) * stop_component
+        + F.lit(0.2) * (F.lit(1.0) - punct_component)
+    )
+    return df.select("doc_id", F.round(score, 6).alias("quality_score"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: CJK codepoints ⇒ zh, else argmax of marker-
+    word hits with a fixed priority order (deterministic ties)."""
+    text = F.col(text_col)
+    toks = tokens_expr(F.lower(text))
+
+    def marker_hits(markers: list[str]) -> Column:
+        # single-arg lambda: PySpark treats a 2-arg lambda as (elem, index)
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    hits = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(F.size(F.regexp_extract_all(text, F.lit(CJK_RE), 0)) > 0, F.lit("zh"))
+        .when(best == 0, F.lit("unknown"))
+        .when(hits["en"] == best, F.lit("en"))
+        .when(hits["es"] == best, F.lit("es"))
+        .when(hits["de"] == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select("doc_id", pred.alias("lang_pred"))
+
+
+def normalize_text_expr(col: Column) -> Column:
+    """Canonical form for dedup/fingerprinting: lowercase, strip
+    non-alnum to spaces, collapse runs, trim."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "), " +", " ")
+    )
+
+
+def shingles_expr(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (the unit for
+    Jaccard/MinHash dedup). Pure array expressions — per-row, no shuffle."""
+    words = F.split(normalize_text_expr(col), " ")
+    k = F.size(words) - (n - 1)
+    # Guard: F.sequence(1, 0) yields DESCENDING [1, 0], not empty — short
+    # texts must produce an empty shingle set explicitly.
+    return F.when(k < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        )
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+    """Document fingerprint, winnowing-style: the minimum MD5 over word
+    n-gram shingles of the normalized text. Content-defined (robust to
+    reordering of surrounding docs), engine-portable (md5 is md5
+    everywhere), and cheap: per-row array ops, no shuffle."""
+    sh = shingles_expr(F.col(text_col), n)
+    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    whole = F.md5(normalize_text_expr(F.col(text_col)))
+    return df.select(
+        "doc_id",
+        F.coalesce(fp, whole).alias("fingerprint"),
+        whole.alias("content_md5"),
+    )

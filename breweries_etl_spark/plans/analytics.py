@@ -122,7 +122,7 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> Da
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        orders.withColumn("rank_in_customer", F.row_number().over(w))
+        orders.withColumn("rank_in_customer", F.row_number().over(w).cast("long"))
         .filter(F.col("rank_in_customer") <= k)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_customer")
     )

@@ -1,0 +1,88 @@
+"""Structured Streaming twins of the batch temporal operators.
+
+The reference is batch-only (@daily full refresh, SURVEY.md §2.10); these
+give the engine the streaming surface a scale deployment needs: the same
+tumbling aggregation expressed over ``readStream``, with a watermark for
+late data and state cleanup. In production the source line changes to
+Kafka/files-on-arrival; the aggregation plan is identical.
+
+For tests/oracle runs, ``run_tumbling_once`` drives the stream over the
+static events parquet with a memory sink and ``processAllAvailable`` —
+the result must equal the batch operator on the same data (and the
+driver's DuckDB oracle for it).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.exact import money
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos-as-long (see sources.tables)
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The streaming file source wants a DIRECTORY; point it at sf_dir and
+    # glob-filter to the events file.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling aggregation — identical plan shape to
+    temporal.tumbling_counts; the watermark bounds state so a year-long
+    stream holds only ~watermark/width windows per key in memory."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_tumbling_once(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_tumbling"
+) -> DataFrame:
+    """Drive the streaming aggregation to completion over the static
+    events table (memory sink, complete mode) and return the result as a
+    batch DataFrame."""
+    agg = streaming_tumbling_counts(stream_events(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

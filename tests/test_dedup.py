@@ -1,0 +1,80 @@
+"""Dedup operators: exact, MinHash/LSH recall on planted near-dups,
+SimHash determinism, Jaccard exactness."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from breweries_etl_spark.operators.dedup import (
+    dedup_exact,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+
+DOCS = [
+    Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+    Row(doc_id=2, text="The quick  brown fox jumps over the lazy dog today!"),  # near-exact
+    Row(doc_id=3, text="the quick brown fox jumps over the lazy cat today"),  # 1-word diff
+    Row(doc_id=4, text="completely unrelated content about spark query engines"),
+]
+
+
+def test_dedup_exact_normalized(spark):
+    df = spark.createDataFrame(DOCS)
+    out = dedup_exact(df).collect()
+    # docs 1 and 2 normalize identically -> one group keeps min id 1
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 3, 4]
+
+
+def test_ngram_jaccard_finds_planted_pair(spark):
+    df = spark.createDataFrame(DOCS)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical after normalization
+    assert (1, 3) in pairs  # high overlap
+    assert all(4 not in p for p in pairs)
+
+
+def test_minhash_catches_what_exact_catches(spark):
+    df = spark.createDataFrame(DOCS)
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    mh = {(r["id_a"], r["id_b"]) for r in minhash_near_duplicates(df, threshold=0.5).collect()}
+    # identical pair must always collide in every band
+    assert (1, 2) in mh
+    # minhash output is a subset of the exact threshold-join
+    assert mh <= exact
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    df = spark.createDataFrame(DOCS)
+    s1 = minhash_signatures(df).select("doc_id", "signature").collect()
+    s2 = minhash_signatures(df).select("doc_id", "signature").collect()
+    assert {r["doc_id"]: r["signature"] for r in s1} == {
+        r["doc_id"]: r["signature"] for r in s2}
+    assert all(len(r["signature"]) == 32 for r in s1)
+
+
+def test_simhash_identical_docs_zero_distance(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="spark engine test"), Row(doc_id=2, text="spark engine test")]
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = simhash_near_duplicates(df).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def test_planted_neardups_in_testdata(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = ngram_jaccard_pairs(docs, threshold=0.5)
+    mh = minhash_near_duplicates(docs, threshold=0.5)
+    n_exact, n_mh = exact.count(), mh.count()
+    assert n_exact > 0  # the generator plants near-duplicates
+    # LSH with 8x4 bands at j>=0.5: collision prob per planted pair ~1;
+    # allow a little slack but demand high recall
+    assert n_mh >= 0.8 * n_exact

@@ -1,0 +1,51 @@
+"""Multimodal plumbing: binary payloads, metadata struct, Arrow-batched
+feature extraction (deterministic stub), payload pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from breweries_etl_spark.operators.multimodal import (
+    FEATURE_DIM,
+    asset_metadata_stats,
+    assets_from_documents,
+    decode_image,
+    fake_feature_extractor,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=1, text="hello"), Row(doc_id=2, text="wörld")]  # multibyte
+    )
+
+
+def test_assets_schema_and_bytes(spark):
+    assets = assets_from_documents(_docs(spark))
+    rows = {r["asset_id"]: r for r in assets.collect()}
+    assert bytes(rows[1]["payload"]) == b"hello"
+    assert rows[1]["meta"]["n_bytes"] == 5
+    assert rows[2]["meta"]["n_bytes"] == 6  # ö is 2 bytes in UTF-8
+    assert rows[1]["meta"]["mime"] == "text/plain"
+
+
+def test_feature_extractor_deterministic_unit_norm(spark):
+    assets = assets_from_documents(_docs(spark))
+    f1 = {r["asset_id"]: r["features"] for r in fake_feature_extractor(assets).collect()}
+    f2 = {r["asset_id"]: r["features"] for r in fake_feature_extractor(assets).collect()}
+    assert f1 == f2
+    assert all(len(v) == FEATURE_DIM for v in f1.values())
+    assert sum(x * x for x in f1[1]) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_metadata_stats_prunes_payload(spark):
+    assets = assets_from_documents(_docs(spark))
+    stats = asset_metadata_stats(assets)
+    row = stats.first()
+    assert row["n_assets"] == 2 and row["total_bytes"] == 11
+
+
+def test_real_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

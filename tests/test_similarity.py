@@ -1,0 +1,79 @@
+"""Similarity search: exact cosine, top-k correctness vs numpy, LSH
+bucketing sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from breweries_etl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_expr,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [Row(a=[1.0, 0.0], b=[1.0, 0.0]), Row(a=[1.0, 0.0], b=[0.0, 1.0]),
+         Row(a=[1.0, 1.0], b=[1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    got = [r["c"] for r in df.select(cosine_expr(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == pytest.approx(0.0)
+    assert got[2] == pytest.approx(round(1 / np.sqrt(2), 6))
+
+
+def test_topk_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = brute_force_topk(emb.filter(F.col("vec_id") < 3), emb, k=5)
+    got = {(r["query_id"], r["rank"]): r["corpus_id"] for r in out.collect()}
+
+    rows = emb.collect()
+    mat = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for qid in range(3):
+        q = mat[qid]
+        sims = sorted(
+            (
+                (round(float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), 6), cid)
+                for cid, v in mat.items()
+                if cid != qid
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank in range(1, 6):
+            assert got[(qid, rank)] == sims[rank - 1][1]
+
+
+def test_lsh_results_are_true_cosines(spark, sf_dir):
+    """LSH is approximate in RECALL, never in the scores it returns."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = lsh_topk(emb.filter(F.col("vec_id") < 5), emb, k=3).collect()
+    mat = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    for r in out:
+        q, c = mat[r["query_id"]], mat[r["corpus_id"]]
+        expect = round(float(q @ c / (np.linalg.norm(q) * np.linalg.norm(c))), 6)
+        assert r["cosine"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_embedding_neardup_blocked_vs_exact(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0], label=0),
+            Row(vec_id=2, embedding=[0.99, 0.01, 0.0], label=0),
+            Row(vec_id=3, embedding=[0.0, 1.0, 0.0], label=0),
+            Row(vec_id=4, embedding=[1.0, 0.0, 0.0], label=1),  # same as 1, other block
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    blocked = {(r["id_a"], r["id_b"]) for r in
+               embedding_near_duplicates(df, threshold=0.95).collect()}
+    assert blocked == {(1, 2)}  # (1,4) identical but cross-block
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_duplicates(df, threshold=0.95, block_col=None).collect()}
+    assert exact == {(1, 2), (1, 4), (2, 4)}

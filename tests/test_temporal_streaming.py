@@ -1,0 +1,58 @@
+"""Temporal operators + streaming twin equivalence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from breweries_etl_spark.operators.temporal import sessionize, sliding_counts, tumbling_counts
+from breweries_etl_spark.sources.tables import load_events
+from breweries_etl_spark.streaming.events import run_tumbling_once
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_tumbling_counts_buckets(spark):
+    df = spark.createDataFrame(
+        [Row(event_id=1, ts=dt.datetime(2024, 1, 1, 0, 10), event_type="a", value=1.0),
+         Row(event_id=2, ts=dt.datetime(2024, 1, 1, 0, 50), event_type="a", value=2.0),
+         Row(event_id=3, ts=dt.datetime(2024, 1, 1, 1, 5), event_type="a", value=4.0)]
+    )
+    got = {r["window_start"]: (r["n_events"], r["total_value"])
+           for r in tumbling_counts(df).collect()}
+    h0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    assert got[h0] == (2, 3.0)
+    assert got[h0 + 3600] == (1, 4.0)
+
+
+def test_sliding_each_event_in_four_windows(spark):
+    df = spark.createDataFrame(
+        [Row(event_id=1, ts=dt.datetime(2024, 1, 1, 0, 31), event_type="a", value=1.0)]
+    )
+    rows = sliding_counts(df).collect()
+    assert len(rows) == 4
+    starts = sorted(r["window_start"] for r in rows)
+    assert starts[3] - starts[0] == 3 * 900
+
+
+def test_sessionize_gap_split(spark):
+    df = spark.createDataFrame(
+        [Row(event_id=1, ts=_ts(0), user_id=7, value=1.0),
+         Row(event_id=2, ts=_ts(10), user_id=7, value=1.0),   # same session
+         Row(event_id=3, ts=_ts(50), user_id=7, value=1.0),   # 40min gap -> new
+         Row(event_id=4, ts=_ts(5), user_id=8, value=1.0)]    # other user
+    )
+    got = {(r["user_id"], r["session_id"]): r["n_events"] for r in sessionize(df).collect()}
+    assert got == {(7, 1): 2, (7, 2): 1, (8, 1): 1}
+
+
+def test_streaming_equals_batch(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    batch = tumbling_counts(load_events(spark, sf_dir))
+    stream = run_tumbling_once(spark, sf_dir, query_name="t_stream_eq")
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert b == s and len(b) > 0

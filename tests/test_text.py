@@ -1,0 +1,83 @@
+"""Text-analysis operator outputs (normalization, shingles, stats, lang)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from breweries_etl_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    normalize_text_expr,
+    quality_score,
+    shingles_expr,
+    text_stats,
+)
+
+
+def _one(spark, expr, text):
+    df = spark.createDataFrame([Row(text=text)], "text string")
+    return df.select(expr.alias("y")).first()["y"]
+
+
+def test_normalize(spark):
+    assert _one(spark, normalize_text_expr(F.col("text")), "  Hello,   WORLD!! 42 ") == "hello world 42"
+
+
+def test_shingles_basic(spark):
+    got = _one(spark, shingles_expr(F.col("text"), 3), "a b c d")
+    assert got == ["a b c", "b c d"]
+
+
+def test_shingles_short_text_empty(spark):
+    # fewer words than n must yield [], not descending-sequence garbage
+    assert _one(spark, shingles_expr(F.col("text"), 3), "a b") == []
+
+
+def test_shingles_dedup(spark):
+    got = _one(spark, shingles_expr(F.col("text"), 2), "x y x y x")
+    assert sorted(got) == ["x y", "y x"]
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="The cat, the hat!")])
+    row = text_stats(df).first()
+    assert row["n_tokens"] == 4
+    assert row["n_punct"] == 2
+    assert row["n_alnum_chars"] == 12  # Thecatthehat
+    assert row["stopword_ratio"] == 0.25  # case-sensitive: only lowercase 'the' hits
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mm = quality_score(docs).agg(
+        F.min("quality_score").alias("lo"), F.max("quality_score").alias("hi")
+    ).first()
+    assert 0.0 <= mm["lo"] <= mm["hi"] <= 1.0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog of to in"),
+            Row(doc_id=2, text="el que la los y en"),
+            Row(doc_id=3, text="zzz qqq www"),
+            Row(doc_id=4, text="中文文本"),
+        ]
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "unknown", 4: "zh"}
+
+
+def test_fingerprint_stable_and_content_defined(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="  Alpha BETA gamma, delta epsilon zeta!"),  # same normalized
+            Row(doc_id=3, text="totally different words here now ok"),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in fingerprint(df).collect()}
+    assert rows[1]["fingerprint"] == rows[2]["fingerprint"]
+    assert rows[1]["content_md5"] == rows[2]["content_md5"]
+    assert rows[1]["fingerprint"] != rows[3]["fingerprint"]

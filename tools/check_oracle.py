@@ -70,9 +70,10 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(s_rows)} rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            d_typestrs = [str(t) for t in rel.types]
+            d_rows = rel.fetchall()
         except Exception as exc:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {exc}")
@@ -81,6 +82,32 @@ def main() -> int:
         if sorted(s_cols) != sorted(d_cols):
             failures.append(name)
             print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            continue
+        # dtype comparison (canonicalized): driver checks schema too
+        def canon_spark(t: str) -> str:
+            t = t.lower()
+            for k, v in {"bigint": "i64", "int": "i32", "smallint": "i32",
+                         "double": "f64", "float": "f32", "string": "str",
+                         "boolean": "bool", "date": "date", "timestamp": "ts",
+                         "timestamp_ntz": "ts"}.items():
+                if t == k:
+                    return v
+            return t
+
+        def canon_duck(t: str) -> str:
+            t = t.upper()
+            return {"BIGINT": "i64", "HUGEINT": "i128", "INTEGER": "i32",
+                    "SMALLINT": "i32", "DOUBLE": "f64", "FLOAT": "f32",
+                    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+                    "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts"}.get(t, t.lower())
+
+        s_types = {c: canon_spark(t) for c, t in sdf.dtypes}
+        d_types = {c: canon_duck(t) for c, t in zip(d_cols, d_typestrs)}
+        mismatched = {c: (s_types[c], d_types.get(c)) for c in s_types
+                      if s_types[c] != d_types.get(c)}
+        if mismatched:
+            failures.append(name)
+            print(f"FAIL {name}: dtype mismatch {mismatched}")
             continue
         if len(s_rows) != len(d_rows):
             failures.append(name)
