@@ -181,6 +181,34 @@ def q_sample_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the user's most recent view
+    event at or before it (operators/asof.py union-window composition)."""
+    from breweries_etl_spark.operators.asof import asof_join_backward
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_us", "value"
+    )
+    return asof_join_backward(
+        purchases, views, by="user_id", on="ts_us",
+        left_cols=["event_id"], right_cols=["value"],
+    )
+
+
+def q_similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy physical strategy for the same exact top-k (same
+    oracle as similarity_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk_pandas(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Queries — scale extensions (temporal, text, dedup, similarity, multimodal)
 # ---------------------------------------------------------------------------
@@ -458,6 +486,99 @@ WHERE NOT EXISTS (
   WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01'
 )
 """,
+    # ----- batch-3 relational analytics
+    "tpch_q10": f"""
+SELECT c_custkey, c_name, n_name, CAST(SUM({sql_disc_price()}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+    "tpch_q14_promo": f"""
+SELECT round(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {sql_disc_price()} ELSE 0 END) AS DOUBLE)
+  / CAST(SUM({sql_disc_price()}) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+""",
+    "tpch_q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+)
+SELECT c_custkey, c_name, l_orderkey, o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+    "tpch_q19_brand_quantity": f"""
+SELECT CAST(SUM({sql_disc_price()}) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35)
+""",
+    "cube_orders": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+  grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS grouping_level
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    "pivot_events": """
+SELECT user_id,
+  count(*) FILTER (event_type = 'click') AS n_click,
+  count(*) FILTER (event_type = 'error') AS n_error,
+  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+  count(*) FILTER (event_type = 'signup') AS n_signup,
+  count(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY user_id
+""",
+    "price_quantiles": """
+SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS q50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS q75
+FROM lineitem
+""",
+    "running_aggregates": """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+    CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+)
+SELECT event_id, user_id, ts_us,
+  CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+  CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / count(*) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg_last3
+FROM e
+""",
+    "customers_above_nation_avg": """
+WITH na AS (
+  SELECT c_nationkey,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS nation_avg
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_custkey, c_acctbal, round(nation_avg, 6) AS nation_avg
+FROM customer JOIN na USING (c_nationkey)
+WHERE c_acctbal > nation_avg
+""",
+    "asof_purchase_view": """
+WITH p AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.user_id, p.ts_us, p.event_id,
+  v.value AS asof_value, v.ts_us AS asof_ts_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts_us <= p.ts_us
+""",
     # ----- temporal / streaming
     "events_tumbling": _TUMBLING_SQL,
     "streaming_tumbling": _TUMBLING_SQL,
@@ -609,6 +730,10 @@ FROM documents
 }
 
 
+# Same exact result, different physical strategy — shared oracle.
+_ORACLES["similarity_topk_pandas"] = _ORACLES["similarity_topk"]
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -645,6 +770,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": analytics.rollup_orders,
         "semi_join_customers": analytics.customers_with_big_orders,
         "anti_join_customers": analytics.customers_without_recent_orders,
+        # batch-3 relational analytics
+        "tpch_q10": analytics.tpch_q10,
+        "tpch_q14_promo": analytics.tpch_q14_promo,
+        "tpch_q18_large_orders": analytics.tpch_q18_large_orders,
+        "tpch_q19_brand_quantity": analytics.tpch_q19_brand_quantity,
+        "cube_orders": analytics.cube_orders,
+        "pivot_events": analytics.pivot_events,
+        "price_quantiles": analytics.price_quantiles,
+        "running_aggregates": analytics.running_aggregates,
+        "customers_above_nation_avg": analytics.customers_above_nation_avg,
+        "asof_purchase_view": q_asof_purchase_view,
+        "similarity_topk_pandas": q_similarity_topk_pandas,
         # temporal / streaming
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,

@@ -79,6 +79,63 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same exact top-k as ``brute_force_topk``, alternate physical
+    strategy: the query matrix is collected (it is small by contract),
+    shipped in the task closure, and each corpus partition scores against
+    it with ONE numpy matmul per Arrow batch — the vectorized path that
+    wins when the JVM-expression dot product becomes the bottleneck
+    (interpreted higher-order exprs, very wide vectors). Scores, ranking,
+    and tie-breaks are identical to the expression version.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_unit = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_unit @ q_unit.T  # (batch, n_queries)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n),
+                    "corpus_id": np.tile(pdf[id_col].to_numpy(), len(q_ids)),
+                    "cosine_raw": sims.T.reshape(-1),
+                }
+            )
+
+    scored = (
+        ensure_parallelism(corpus.select(id_col, vec_col))
+        .mapInPandas(score, schema="query_id long, corpus_id long, cosine_raw double")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", F.round("cosine_raw", 6).alias("cosine"))
+    )
+    local = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    survivors = scored.withColumn("r", F.row_number().over(local)).filter(F.col("r") <= k)
+    final = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        survivors.drop("r")
+        .withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()

@@ -155,6 +155,168 @@ def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item revenue: 4-way join, group by customer,
+    top-20. Customer/nation broadcast-able at any realistic dim size."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promo revenue share: conditional aggregation over a
+    fact⋈dim join, single output row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type").startswith("PROMO"), disc_price()).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    ).cast("double")
+    total = F.sum(disc_price()).cast("double")
+    return joined.agg(
+        F.round(F.lit(100.0) * promo / total, 6).alias("promo_revenue_pct")
+    )
+
+
+def tpch_q18_large_orders(
+    spark: SparkSession, sf_dir: str, min_qty: int = 150
+) -> DataFrame:
+    """TPC-H Q18 large-volume orders: aggregate-then-join (the HAVING
+    subquery decorrelated into a pre-aggregation that shrinks the join
+    input)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_qty)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "l_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+def tpch_q19_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive join predicate: OR-of-ANDs across both
+    sides. Catalyst extracts the common join key; the residual disjunction
+    evaluates post-join inside codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 35))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping levels in one
+    pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(money("o_totalprice")).cast("double").alias("total_price"),
+        F.grouping_id().alias("grouping_level"),
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user. The pivot values are DECLARED, not
+    discovered — at scale an undeclared pivot triggers an extra distinct
+    scan and nondeterministic column order."""
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (percentile, not approx sketch) —
+    matches quantile_cont semantics. At 100 TB switch callers to
+    percentile_approx and drop the oracle claim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        *[
+            F.round(F.percentile(F.col("l_extendedprice"), F.lit(p)), 6).alias(name)
+            for p, name in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75")]
+        ]
+    )
+
+
+def running_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames over event streams: running total (unbounded
+    preceding) and 3-row moving average per user. Exact-decimal sums keep
+    the running values reproducible."""
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    order = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = order.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.sum(money("value")).over(running).cast("double").alias("running_total"),
+        (
+            F.sum(money("value")).over(last3).cast("double")
+            / F.count(F.lit(1)).over(last3)
+        ).alias("avg_last3"),
+    )
+
+
+def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated scalar subquery: customers with balance above their
+    nation's average. The correlated form would re-aggregate per row; the
+    decorrelated aggregate-join computes each nation average once."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        (F.sum(money("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "nation_avg"
+        )
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_acctbal", F.round("nation_avg", 6).alias("nation_avg"))
+    )
+
+
 def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (SQL NOT EXISTS): customers with no order since
     2000-01-01."""
