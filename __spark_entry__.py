@@ -181,6 +181,78 @@ def q_sample_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _customer_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic update set: every 10th customer gets a
+    raised balance and a renamed record."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2))
+        .withColumn("c_name", F.concat(F.col("c_name"), F.lit("_u")))
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from breweries_etl_spark.operators.merge import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    merged = merge_upsert(cust, _customer_updates(spark, sf_dir), "c_custkey")
+    return merged.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+def q_salted_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation — must equal the plain group count
+    (same oracle as value_counts_events)."""
+    from breweries_etl_spark.operators.merge import salted_group_count
+
+    ev = load_events(spark, sf_dir)
+    return salted_group_count(ev, "event_type", "count")
+
+
+def q_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource: page-partitioned REST source read in
+    offline fixture mode (pages derived deterministically from nation)."""
+    import json
+    import os
+    import tempfile
+
+    from breweries_etl_spark.sources.brewery_datasource import BreweryDataSource
+
+    nations = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    records = [
+        {
+            "id": str(r["n_nationkey"]),
+            "name": r["n_name"],
+            "brewery_type": "micro" if r["n_nationkey"] % 2 == 0 else "taproom",
+            "country": r["n_name"],
+        }
+        for r in nations
+    ]
+    pages = [records[:20], records[20:]]
+    fixture = os.path.join(tempfile.gettempdir(), "brewery_fixture_pages.json")
+    with open(fixture, "w", encoding="utf-8") as f:
+        json.dump(pages, f)
+
+    try:
+        spark.dataSource.register(BreweryDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("openbrewerydb")
+        .option("fixture_json", fixture)
+        .load()
+    )
+    return df.groupBy("brewery_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) →
+    rows-only check."""
+    from breweries_etl_spark.streaming.stateful import run_user_profiles_once
+
+    return run_user_profiles_once(spark, sf_dir)
+
+
 def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase event, the user's most recent view
     event at or before it (operators/asof.py union-window composition)."""
@@ -579,6 +651,25 @@ SELECT p.user_id, p.ts_us, p.event_id,
   v.value AS asof_value, v.ts_us AS asof_ts_us
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts_us <= p.ts_us
 """,
+    "merge_upsert": """
+WITH updates AS (
+  SELECT c_custkey, c_name || '_u' AS c_name,
+    round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM updates
+""",
+    "salted_value_counts": """
+SELECT event_type, count(*) AS count FROM events GROUP BY event_type
+""",
+    "custom_datasource": """
+SELECT CASE WHEN n_nationkey % 2 = 0 THEN 'micro' ELSE 'taproom' END AS brewery_type,
+  count(*) AS n
+FROM nation GROUP BY 1
+""",
     # ----- temporal / streaming
     "events_tumbling": _TUMBLING_SQL,
     "streaming_tumbling": _TUMBLING_SQL,
@@ -782,6 +873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_above_nation_avg": analytics.customers_above_nation_avg,
         "asof_purchase_view": q_asof_purchase_view,
         "similarity_topk_pandas": q_similarity_topk_pandas,
+        "merge_upsert": q_merge_upsert,
+        "salted_value_counts": q_salted_value_counts,
+        "custom_datasource": q_custom_datasource,
+        "stateful_user_profiles": q_stateful_user_profiles,  # rows-only
         # temporal / streaming
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
