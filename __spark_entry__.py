@@ -181,6 +181,84 @@ def q_sample_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the JSON props string with
+    a DECLARED schema (from_json) and aggregate the extracted field —
+    stays fully JVM-side."""
+    ev = load_events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): BUILDING-segment customers who also placed a
+    300k+ order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b)
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): BUILDING-segment customers with no 300k+ order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.subtract(b)
+
+
+def q_explode_shingle_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode (lateral view) over per-document shingle arrays → corpus
+    vocabulary stats."""
+    from breweries_etl_spark.operators.dedup import shingle_sets
+
+    sh = shingle_sets(load_table(spark, sf_dir, "documents"), cache=False)
+    inv = sh.select(F.explode("shingles").alias("shingle"))
+    return inv.agg(
+        F.count_distinct("shingle").alias("n_distinct_shingles"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface (substring/lpad/replace/reverse/
+    split_part/lower) — one pass, all codegen."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.substring("c_name", 1, 8).alias("name8"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("swapped"),
+        F.reverse(F.substring("c_name", 1, 8)).alias("rev8"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("num_part"),
+        F.lower(F.col("c_mktsegment")).alias("segment_lc"),
+    )
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (deterministic sketch; no SQL oracle —
+    DuckDB's approx sketch differs) → rows-only."""
+    ev = load_events(spark, sf_dir)
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+    )
+
+
 def _customer_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic update set: every 10th customer gets a
     raised balance and a renamed record."""
@@ -651,6 +729,38 @@ SELECT p.user_id, p.ts_us, p.event_id,
   v.value AS asof_value, v.ts_us AS asof_ts_us
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts_us <= p.ts_us
 """,
+    "json_extract_stats": """
+SELECT event_type, count(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""",
+    "set_intersect": """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+""",
+    "set_except": """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+""",
+    "explode_shingle_vocab": f"""
+WITH {_shingle_cte(3)},
+inv AS (SELECT unnest(s) AS shingle FROM sh WHERE len(s) > 0)
+SELECT count(DISTINCT shingle) AS n_distinct_shingles, count(*) AS n_shingles
+FROM inv
+""",
+    "string_functions": """
+SELECT c_custkey,
+  substring(c_name, 1, 8) AS name8,
+  lpad(CAST(c_custkey AS STRING), 8, '0') AS padded,
+  replace(c_name, 'Customer', 'Cust') AS swapped,
+  reverse(substring(c_name, 1, 8)) AS rev8,
+  split_part(c_name, '#', 2) AS num_part,
+  lower(c_mktsegment) AS segment_lc
+FROM customer
+""",
     "merge_upsert": """
 WITH updates AS (
   SELECT c_custkey, c_name || '_u' AS c_name,
@@ -873,6 +983,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_above_nation_avg": analytics.customers_above_nation_avg,
         "asof_purchase_view": q_asof_purchase_view,
         "similarity_topk_pandas": q_similarity_topk_pandas,
+        "json_extract_stats": q_json_extract_stats,
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
+        "explode_shingle_vocab": q_explode_shingle_vocab,
+        "string_functions": q_string_functions,
+        "approx_distinct_users": q_approx_distinct_users,  # rows-only
         "merge_upsert": q_merge_upsert,
         "salted_value_counts": q_salted_value_counts,
         "custom_datasource": q_custom_datasource,

@@ -64,6 +64,14 @@ def split_invalid_records(
     return valid, quarantined
 
 
+def is_empty(df: DataFrame) -> bool:
+    """P5 — empty-input guard (ref: ``if not all_data`` /
+    ``df.empty`` checks, T/landing_to_bronze.py:66-68,
+    T/silver_to_gold.py:51-53). ``isEmpty`` evaluates at most one
+    partition — never a full count."""
+    return df.isEmpty()
+
+
 def null_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """P4 — per-column null counts in ONE pass
     (ref loops ``df[f].isna().sum()`` per field, T/bronze_to_silver.py:185-188).

@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for the standardization operators —
+the reference's suite asserts no transform outputs at all (SURVEY.md §5);
+here the invariants hold for arbitrary inputs, not just fixtures.
+
+One Spark job per example would be minutes-slow, so each property draws a
+BATCH of examples and runs them through a single DataFrame pass, comparing
+against a plain-Python model of the reference semantics
+(ref: U/helpers.py:75-81 and :103-109).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from breweries_etl_spark.config import (
+    BREWERY_TYPE_MISS,
+    BREWERY_TYPE_NULL,
+    STANDARD_BREWERY_TYPES,
+)
+from breweries_etl_spark.operators.standardize import (
+    brewery_type_expr,
+    website_url_expr,
+)
+
+# Printable ASCII without tab/newline: Spark's trim strips only the ASCII
+# space, while Python's strip() eats all whitespace — the model below uses
+# strip(' ') to match, and the alphabet avoids the exotic-unicode casing
+# divergences that are out of scope for the operator.
+TEXTY = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        max_size=30,
+    ),
+    st.sampled_from(
+        [" Micro ", "NANO", "brewpub", "", "  ", "taproom", "http://x.io",
+         "https://a.b", "www.c.d", " padded.com "]
+    ),
+)
+
+
+def model_type(v: str | None) -> str:
+    if v is None:
+        return BREWERY_TYPE_NULL
+    return STANDARD_BREWERY_TYPES.get(v.strip(" ").lower(), BREWERY_TYPE_MISS)
+
+
+def model_url(v: str | None) -> str | None:
+    if v is None:
+        return None
+    t = v.strip(" ")
+    if t == "":
+        return None
+    if t.startswith(("http://", "https://")):
+        return t
+    return "http://" + t
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(TEXTY, min_size=1, max_size=50))
+def test_brewery_type_recode_matches_model(spark, values):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, x string")
+    got = {
+        r["i"]: r["y"]
+        for r in df.select("i", brewery_type_expr(F.col("x")).alias("y")).collect()
+    }
+    for i, v in enumerate(values):
+        assert got[i] == model_type(v), repr(v)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(TEXTY, min_size=1, max_size=50))
+def test_url_normalization_matches_model(spark, values):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, x string")
+    got = {
+        r["i"]: r["y"]
+        for r in df.select("i", website_url_expr(F.col("x")).alias("y")).collect()
+    }
+    for i, v in enumerate(values):
+        assert got[i] == model_url(v), repr(v)
