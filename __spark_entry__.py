@@ -376,6 +376,13 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.sessionize(load_events(spark, sf_dir))
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation — oracle derives the same
+    sessions via the lag+cumsum formulation (independent algorithms must
+    agree on the boundaries)."""
+    return temporal.session_window_agg(load_events(spark, sf_dir))
+
+
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of events_tumbling — same oracle."""
     return run_tumbling_once(spark, sf_dir)
@@ -814,6 +821,25 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM sess GROUP BY user_id, session_id
 """,
+    "events_session_window": """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+    lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e
+), sess AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_id
+""",
     # ----- text analysis
     "text_stats": f"""
 SELECT doc_id,
@@ -997,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessionize": q_events_sessionize,
+        "events_session_window": q_events_session_window,
         "streaming_tumbling": q_streaming_tumbling,
         # text analysis
         "text_stats": q_text_stats,

@@ -28,13 +28,22 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q10",
+    "tpch_q18_large_orders",
     "topk_orders_per_customer",
     "rollup_orders",
+    "pivot_events",
     "dedup_exact",
     "dedup_minhash_pairs",
     "similarity_topk",
+    "similarity_topk_pandas",
     "text_stats",
+    "text_fingerprint",
     "events_sessionize",
+    "events_session_window",
+    "asof_purchase_view",
+    "merge_upsert",
+    "json_extract_stats",
 ]
 
 

@@ -54,6 +54,24 @@ def sliding_counts(
     )
 
 
+def session_window_agg(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native ``F.session_window`` sessionization — same session
+    boundaries as the window-based ``sessionize`` below (gap-merged), as
+    a single hash aggregation instead of lag+cumsum windows. In
+    Structured Streaming the identical expression maintains session state
+    incrementally."""
+    return (
+        df.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros(F.col("ts"))).alias("start_us"),
+            F.max(F.unix_micros(F.col("ts"))).alias("end_us"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select("user_id", "n_events", "start_us", "end_us", "total_value")
+    )
+
+
 def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization: lag + cumulative-sum of gap breaks.
 

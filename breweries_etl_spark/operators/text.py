@@ -144,13 +144,32 @@ def shingles_expr(col: Column, n: int = 3) -> Column:
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     """Document fingerprint, winnowing-style: the minimum MD5 over word
     n-gram shingles of the normalized text. Content-defined (robust to
-    reordering of surrounding docs), engine-portable (md5 is md5
-    everywhere), and cheap: per-row array ops, no shuffle."""
-    sh = shingles_expr(F.col(text_col), n)
-    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    whole = F.md5(normalize_text_expr(F.col(text_col)))
-    return df.select(
+    reordering of surrounding docs) and engine-portable (md5 is md5
+    everywhere).
+
+    Shaped as explode → min() hash-aggregate rather than
+    ``array_min(transform(...))``: per-element lambdas are interpreted
+    (CodegenFallback) while the aggregate is whole-stage codegen — the
+    same 30× lesson as MinHash (operators/dedup.py). Short docs with no
+    n-gram fall back to the whole-text md5 via the left join.
+    """
+    from ..functions.partitioning import ensure_parallelism
+
+    base = ensure_parallelism(df.select("doc_id", text_col)).select(
         "doc_id",
-        F.coalesce(fp, whole).alias("fingerprint"),
-        whole.alias("content_md5"),
+        F.md5(normalize_text_expr(F.col(text_col))).alias("content_md5"),
+        shingles_expr(F.col(text_col), n).alias("__sh"),
+    ).persist()  # barrier: keep the interpreted shingle transform one-pass
+    min_fp = (
+        base.select("doc_id", F.explode("__sh").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("s"))).alias("__minfp"))
+    )
+    return (
+        base.join(min_fp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__minfp"), F.col("content_md5")).alias("fingerprint"),
+            "content_md5",
+        )
     )
