@@ -181,6 +181,43 @@ def q_sample_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE medallion pipeline as one contract query: deterministic
+    landing JSON built from nation rows (incl. quarantine and recode edge
+    cases) → bronze → silver(+quarantine) → gold; returns the gold
+    by_type_location table. The oracle replicates the full chain in SQL.
+    """
+    import json
+    import os
+    import tempfile
+
+    from breweries_etl_spark.config import MedallionPaths
+    from breweries_etl_spark.plans.pipeline import run_pipeline
+    from breweries_etl_spark.sinks.writers import prepare_landing_directory
+
+    nations = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    records = [
+        {
+            "id": None if r["n_nationkey"] % 7 == 0 else str(r["n_nationkey"]),
+            "name": r["n_name"],
+            "brewery_type": [" Micro ", "NANO", "taproom", None][r["n_nationkey"] % 4],
+            "state": r["n_name"].lower(),
+            "city": f"city_{r['n_nationkey'] % 5}",
+            "country": f"country_{r['n_regionkey']}",
+            "website_url": ["", "www.x.io", "https://y.io", None][r["n_nationkey"] % 4],
+        }
+        for r in nations
+    ]
+    root = os.path.join(tempfile.gettempdir(), "medallion_e2e")
+    paths = MedallionPaths(root)
+    prepare_landing_directory(paths.landing)
+    with open(os.path.join(paths.landing, "page1.json"), "w", encoding="utf-8") as f:
+        json.dump(records, f)
+    run_pipeline(spark, paths, retries=1)
+    gold = spark.read.parquet(paths.gold_table("by_type_location"))
+    return gold.select("brewery_type", "location", "state", "city", "brewery_count")
+
+
 def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: parse the JSON props string with
     a DECLARED schema (from_json) and aggregate the extracted field —
@@ -736,6 +773,30 @@ SELECT p.user_id, p.ts_us, p.event_id,
   v.value AS asof_value, v.ts_us AS asof_ts_us
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts_us <= p.ts_us
 """,
+    "pipeline_e2e": f"""
+WITH raw AS (
+  SELECT
+    CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE CAST(n_nationkey AS STRING) END AS id,
+    CASE n_nationkey % 4 WHEN 0 THEN ' Micro ' WHEN 1 THEN 'NANO'
+      WHEN 2 THEN 'taproom' ELSE NULL END AS brewery_type,
+    lower(n_name) AS state,
+    'city_' || CAST(n_nationkey % 5 AS STRING) AS city,
+    'country_' || CAST(n_regionkey AS STRING) AS country
+  FROM nation
+), valid AS (
+  SELECT * FROM raw
+  WHERE id IS NOT NULL AND brewery_type IS NOT NULL AND state IS NOT NULL
+    AND city IS NOT NULL AND country IS NOT NULL
+), silver AS (
+  SELECT
+    CASE WHEN lower(trim(brewery_type)) IN {_CANON}
+         THEN lower(trim(brewery_type)) ELSE 'other' END AS brewery_type,
+    upper(country) AS location, upper(state) AS state, upper(city) AS city
+  FROM valid
+)
+SELECT brewery_type, location, state, city, count(*) AS brewery_count
+FROM silver GROUP BY brewery_type, location, state, city
+""",
     "json_extract_stats": """
 SELECT event_type, count(*) AS n,
   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -1009,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_above_nation_avg": analytics.customers_above_nation_avg,
         "asof_purchase_view": q_asof_purchase_view,
         "similarity_topk_pandas": q_similarity_topk_pandas,
+        "pipeline_e2e": q_pipeline_e2e,
         "json_extract_stats": q_json_extract_stats,
         "set_intersect": q_set_intersect,
         "set_except": q_set_except,
