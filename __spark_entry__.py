@@ -1027,13 +1027,35 @@ _ORACLES["similarity_topk_pandas"] = _ORACLES["similarity_topk"]
 # ---------------------------------------------------------------------------
 
 
+def _pin_session(spark: SparkSession) -> None:
+    """The driver supplies its own SparkSession; pin the two runtime
+    confs correctness depends on (UTC so timestamp rendering matches the
+    tz-naive oracle; nanos-as-long so the events parquet reads)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _pin_session(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's gold by_type_location aggregation over
     the standardized silver frame, at sf0.001."""
+    _pin_session(spark)
     return q_gold_by_type_location(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _wrap(fn) for name, fn in _query_table().items()}
+
+
+def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference parity (SURVEY.md §2)
         "gold_by_type_location": q_gold_by_type_location,

@@ -68,6 +68,48 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window twin of temporal.sliding_counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def write_stream_foreach_batch(
+    df: DataFrame, out_dir: str, query_name: str = "foreach_batch_sink"
+):
+    """Exactly-once-style sink: each micro-batch lands as an idempotent
+    per-epoch parquet directory (rerunning an epoch overwrites the same
+    path instead of duplicating — the standard foreachBatch pattern when
+    a transactional sink isn't available)."""
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(write_epoch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_tumbling_once(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_tumbling"
 ) -> DataFrame:

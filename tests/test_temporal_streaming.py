@@ -56,3 +56,42 @@ def test_streaming_equals_batch(spark):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in stream.collect()}
     assert b == s and len(b) > 0
+
+
+def test_streaming_sliding_equals_batch(spark):
+    from breweries_etl_spark.streaming.events import (
+        stream_events,
+        streaming_sliding_counts,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    agg = streaming_sliding_counts(stream_events(spark, sf_dir))
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("t_slide_eq").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    s = {tuple(r) for r in spark.table("t_slide_eq").collect()}
+    b = {tuple(r) for r in sliding_counts(load_events(spark, sf_dir)).collect()}
+    assert s == b and len(b) > 0
+
+
+def test_foreach_batch_sink_idempotent_layout(spark, tmp_path):
+    from breweries_etl_spark.streaming.events import (
+        stream_events,
+        write_stream_foreach_batch,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = str(tmp_path / "sink")
+    q = write_stream_foreach_batch(stream_events(spark, sf_dir), out, "t_feb")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(out)
+    assert written.count() == load_events(spark, sf_dir).count()
+    # per-epoch directory layout (idempotent overwrite target)
+    import os
+    assert any(d.startswith("epoch=") for d in os.listdir(out))
