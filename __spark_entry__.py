@@ -441,6 +441,17 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans-partitioned) approximate top-k → rows-only (KMeans
+    init is seed-deterministic but not SQL-expressible)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
 
@@ -955,6 +966,14 @@ SELECT doc_id,
   md5(nt) AS content_md5
 FROM sh
 """,
+    "text_token_counts": """
+SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_word_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe_tokens
+FROM documents
+""",
     # ----- dedup
     "dedup_exact": f"""
 SELECT md5({_NORM}) AS content_key, min(doc_id) AS doc_id
@@ -1114,6 +1133,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_token_counts": q_text_token_counts,
+        "similarity_ivf_topk": q_similarity_ivf_topk,  # rows-only
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

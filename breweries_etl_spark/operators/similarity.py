@@ -209,6 +209,88 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus with
+    KMeans, then search each query only in its ``n_probe`` nearest
+    cells — the classic coarse-quantizer ANN layout.
+
+    Cluster assignment is a one-time indexing cost (in production the
+    assignments persist as a partition/bucket column of the corpus
+    table); the query path scores |corpus|·n_probe/n_clusters vectors
+    instead of |corpus|. Approximate in recall, exact in the scores it
+    returns. Centroids are small → shipped as literals in the probe plan.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    prepared = ensure_parallelism(corpus.select(id_col, vec_col)).withColumn(
+        "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__v").fit(prepared)
+    assigned = model.transform(prepared).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("prediction").alias("cell"),
+    ).persist()
+    assigned.count()
+
+    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+
+    def nearest_cells(vec: Column) -> Column:
+        # distance^2 to each centroid as literal-array expressions; take
+        # the n_probe smallest cell ids
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda p, q: (p.cast("double") - q)
+                            * (p.cast("double") - q),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n_probe)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(nearest_cells(F.col(vec_col))).alias("probe"),
+    ).select("query_id", "q_vec", F.col("probe.cell").alias("cell"))
+
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

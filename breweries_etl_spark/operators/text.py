@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 # dialects (unicode classes); the explicit class does not.
 TOKEN_RE = "[A-Za-z0-9_]+"
 PUNCT_RE = "[.,;:!?]"
+# BPE-ish pre-tokenizer: letter runs / digit runs / symbol runs — the
+# GPT-2-style split shape (minus contraction special cases), dialect-
+# portable between Java regex and RE2.
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Deliberately small: the heuristic is a cheap first-pass router, not a
@@ -67,6 +71,25 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(
             F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(0.0), 6
         ).alias("stopword_ratio"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token accounting three ways: whitespace split, word-regex, and the
+    BPE-ish pre-tokenizer — the trio a training-data pipeline reports."""
+    text = F.col(text_col)
+    ws = F.size(F.split(F.trim(text), "\\s+"))
+    return df.select(
+        "doc_id",
+        F.when(F.trim(text) == "", F.lit(0)).otherwise(ws).cast("long").alias(
+            "n_ws_tokens"
+        ),
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
     )
 
 

@@ -61,6 +61,28 @@ def test_lsh_results_are_true_cosines(spark, sf_dir):
         assert r["cosine"] == pytest.approx(expect, abs=1e-6)
 
 
+def test_ivf_scores_are_true_cosines_and_recall(spark, sf_dir):
+    from breweries_etl_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = ivf_topk(queries, emb, k=5, n_clusters=8, n_probe=2)
+    exact = brute_force_topk(queries, emb, k=5)
+    got = ivf.collect()
+    assert len(got) == 25  # 5 queries x k
+    mat = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    for r in got:
+        q, c = mat[r["query_id"]], mat[r["corpus_id"]]
+        expect = round(float(q @ c / (np.linalg.norm(q) * np.linalg.norm(c))), 6)
+        assert r["cosine"] == pytest.approx(expect, abs=1e-6)
+    # approximate recall vs exact top-5: probing 2/8 cells should still
+    # recover a good fraction
+    e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+    i = {(r["query_id"], r["corpus_id"]) for r in got}
+    assert len(e & i) / len(e) >= 0.3
+
+
 def test_embedding_neardup_blocked_vs_exact(spark):
     df = spark.createDataFrame(
         [

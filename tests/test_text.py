@@ -69,6 +69,16 @@ def test_lang_id_markers(spark):
     assert got == {1: "en", 2: "es", 3: "unknown", 4: "zh"}
 
 
+def test_token_counts_three_ways(spark):
+    from breweries_etl_spark.operators.text import token_counts
+
+    df = spark.createDataFrame([Row(doc_id=1, text="hello world42 x! y")])
+    r = token_counts(df).first()
+    assert r["n_ws_tokens"] == 4     # hello / world42 / x! / y
+    assert r["n_word_tokens"] == 4   # hello, world42, x, y
+    assert r["n_bpe_tokens"] == 6    # hello, world, 42, x, !, y
+
+
 def test_fingerprint_stable_and_content_defined(spark):
     df = spark.createDataFrame(
         [
