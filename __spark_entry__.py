@@ -181,6 +181,46 @@ def q_sample_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (nulls/distinct/min/max per column)."""
+    from breweries_etl_spark.operators.profiling import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: synthetic incoming batch (every 5th
+    doc re-sent under a new id) checked against the base corpus index."""
+    from breweries_etl_spark.operators.dedup import dedup_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return dedup_incremental(docs, incoming).select("incoming_id", "base_id")
+
+
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over text with deterministic injected email/phone."""
+    from breweries_etl_spark.operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 000-"),
+            F.col("doc_id").cast("string"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return redact_pii(docs).select("doc_id", F.col("text").alias("redacted"))
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ENTIRE medallion pipeline as one contract query: deterministic
     landing JSON built from nation rows (incl. quarantine and recode edge
@@ -784,6 +824,34 @@ SELECT p.user_id, p.ts_us, p.event_id,
   v.value AS asof_value, v.ts_us AS asof_ts_us
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts_us <= p.ts_us
 """,
+    "profile_orders": "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, count({c}) AS n_nonnull,
+  count(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct,
+  CAST(min({c}) AS STRING) AS min_value, CAST(max({c}) AS STRING) AS max_value
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+    "dedup_incremental": f"""
+WITH keyed AS (SELECT doc_id, md5({_NORM}) AS content_key FROM documents),
+base AS (SELECT content_key, min(doc_id) AS base_id FROM keyed GROUP BY content_key),
+incoming AS (SELECT doc_id + 1000000 AS incoming_id, content_key
+             FROM keyed WHERE doc_id % 5 = 0)
+SELECT incoming_id, base_id FROM incoming JOIN base USING (content_key)
+""",
+    "text_redact_pii": """
+WITH injected AS (
+  SELECT doc_id,
+    substring(text, 1, 40) || ' contact user' || CAST(doc_id AS STRING)
+      || '@example.com or +1 (555) 000-' || CAST(doc_id AS STRING) || ' now' AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+FROM injected
+""",
     "pipeline_e2e": f"""
 WITH raw AS (
   SELECT
@@ -1112,6 +1180,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_view": q_asof_purchase_view,
         "similarity_topk_pandas": q_similarity_topk_pandas,
         "pipeline_e2e": q_pipeline_e2e,
+        "profile_orders": q_profile_orders,
+        "dedup_incremental": q_dedup_incremental,
+        "text_redact_pii": q_text_redact_pii,
         "json_extract_stats": q_json_extract_stats,
         "set_intersect": q_set_intersect,
         "set_except": q_set_except,

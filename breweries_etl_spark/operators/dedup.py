@@ -244,6 +244,28 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_incremental(
+    base: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: which INCOMING docs already exist (by
+    normalized content) in the BASE corpus — the shape of daily ingestion
+    against a persisted fingerprint index. Only content keys join; at
+    100 TB the base side is a pre-computed (key, id) index table, not a
+    re-scan."""
+    key = F.md5(normalize_text_expr(F.col(text_col)))
+    base_keys = base.select(key.alias("content_key"), F.col(id_col).alias("base_id"))
+    base_index = base_keys.groupBy("content_key").agg(F.min("base_id").alias("base_id"))
+    incoming_keys = incoming.select(
+        F.col(id_col).alias("incoming_id"), key.alias("content_key")
+    )
+    return incoming_keys.join(base_index, "content_key").select(
+        "incoming_id", "base_id", "content_key"
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1,0 +1,71 @@
+"""Data profiling: the one-pass table profile every ingest pipeline runs
+before trusting a new drop (extends the reference's per-column null
+accounting, SURVEY.md §2.3 P4, to a full profile).
+
+One aggregation pass computes nulls/min/max/distinct per column — never a
+per-column loop of actions (which would scan the table N times).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.IntegerType, T.LongType, T.ShortType, T.DoubleType, T.FloatType, T.DecimalType)
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Long-format profile: one row per column with count/nulls/distinct
+    plus min/max (rendered as strings so heterogeneous column types fit
+    one result schema)."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs.extend(
+            [
+                F.count(F.col(c)).alias(f"{c}__nonnull"),
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+                F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    # unpivot the single wide row into (column, metric...) rows
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nonnull").alias("n_nonnull"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def numeric_outliers(
+    df: DataFrame, value_col: str, group_col: str | None = None, z: float = 3.0
+) -> DataFrame:
+    """Rows whose value deviates more than ``z`` sample standard
+    deviations from the (per-group) mean — join-against-aggregate shape,
+    no window over the full table."""
+    group = [group_col] if group_col else []
+    stats = df.groupBy(*group).agg(
+        F.avg(value_col).alias("__mean"), F.stddev_samp(value_col).alias("__sd")
+    )
+    joined = df.join(F.broadcast(stats), on=group) if group else df.crossJoin(
+        F.broadcast(stats)
+    )
+    return (
+        joined.filter(
+            (F.col("__sd") > 0)
+            & (F.abs(F.col(value_col) - F.col("__mean")) > z * F.col("__sd"))
+        )
+        .drop("__mean", "__sd")
+    )

@@ -139,6 +139,22 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", pred.alias("lang_pred"))
 
 
+# PII-ish scrub patterns — dialect-portable (no \d/\w class shorthand).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email-like and phone-like substrings — the cheap regex
+    scrub pass a training corpus gets before anything else. Two global
+    regexp_replace passes, codegen, one scan."""
+    text = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.withColumn(text_col, scrubbed)
+
+
 def normalize_text_expr(col: Column) -> Column:
     """Canonical form for dedup/fingerprinting: lowercase, strip
     non-alnum to spaces, collapse runs, trim."""

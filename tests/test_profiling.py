@@ -1,0 +1,57 @@
+"""Profiling, outlier detection, PII redaction, incremental dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from breweries_etl_spark.operators.dedup import dedup_incremental
+from breweries_etl_spark.operators.profiling import numeric_outliers, profile_table
+from breweries_etl_spark.operators.text import redact_pii
+
+
+def test_profile_table_metrics(spark):
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=2, b="x"), Row(a=None, b="y")],
+        "a int, b string",
+    )
+    prof = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert prof["a"]["n_nonnull"] == 2
+    assert prof["a"]["n_nulls"] == 1
+    assert prof["a"]["n_distinct"] == 2
+    assert prof["a"]["min_value"] == "1" and prof["a"]["max_value"] == "2"
+    assert prof["b"]["n_distinct"] == 2
+
+
+def test_numeric_outliers_grouped(spark):
+    rows = [Row(g="a", v=float(x)) for x in [10, 11, 9, 10, 11, 9, 10, 100]] + [
+        Row(g="b", v=float(x)) for x in [5, 5, 5, 5]
+    ]
+    df = spark.createDataFrame(rows)
+    out = numeric_outliers(df, "v", "g", z=2.0).collect()
+    assert [(r["g"], r["v"]) for r in out] == [("a", 100.0)]
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="mail me at jo.doe+x@corp.io or call +1 (555) 010-9999 ok")]
+    )
+    got = redact_pii(df).first()["text"]
+    assert got == "mail me at <EMAIL> or call <PHONE> ok"
+
+
+def test_redact_keeps_clean_text(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="no pii here 42")])
+    assert redact_pii(df).first()["text"] == "no pii here 42"
+
+
+def test_dedup_incremental_matches(spark):
+    base = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta"), Row(doc_id=2, text="gamma delta")]
+    )
+    incoming = spark.createDataFrame(
+        [Row(doc_id=10, text="  Alpha   BETA!"),   # dup of 1 after normalize
+         Row(doc_id=11, text="brand new content")]
+    )
+    got = dedup_incremental(base, incoming).collect()
+    assert len(got) == 1
+    assert got[0]["incoming_id"] == 10 and got[0]["base_id"] == 1
