@@ -303,7 +303,9 @@ def q_explode_shingle_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary stats."""
     from breweries_etl_spark.operators.dedup import shingle_sets
 
-    sh = shingle_sets(load_table(spark, sf_dir, "documents"), cache=False)
+    # cache barrier matters: without it the Generate (explode) inlines the
+    # interpreted shingle transform and re-evaluates it per OUTPUT row
+    sh = shingle_sets(load_table(spark, sf_dir, "documents"))
     inv = sh.select(F.explode("shingles").alias("shingle"))
     return inv.agg(
         F.count_distinct("shingle").alias("n_distinct_shingles"),
