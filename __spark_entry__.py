@@ -910,6 +910,19 @@ SELECT c_custkey,
   lower(c_mktsegment) AS segment_lc
 FROM customer
 """,
+    "full_outer_nation_counts": """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_customers
+  FROM customer GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+  coalesce(n_customers, 0) AS n_customers,
+  coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+""",
     "merge_upsert": """
 WITH updates AS (
   SELECT c_custkey, c_name || '_u' AS c_name,
@@ -1169,6 +1182,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": analytics.rollup_orders,
         "semi_join_customers": analytics.customers_with_big_orders,
         "anti_join_customers": analytics.customers_without_recent_orders,
+        "full_outer_nation_counts": analytics.nation_customer_supplier_counts,
         # batch-3 relational analytics
         "tpch_q10": analytics.tpch_q10,
         "tpch_q14_promo": analytics.tpch_q14_promo,

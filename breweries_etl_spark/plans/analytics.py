@@ -317,6 +317,29 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_customer_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates: per-nation customer counts vs
+    supplier counts — nations appearing on either side survive with
+    zero-filled gaps. Completes the join-type family (inner/left/semi/
+    anti/asof elsewhere)."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
 def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (SQL NOT EXISTS): customers with no order since
     2000-01-01."""
