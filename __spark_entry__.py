@@ -910,6 +910,35 @@ SELECT c_custkey,
   lower(c_mktsegment) AS segment_lc
 FROM customer
 """,
+    "tpch_q7_nation_volume": f"""
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(dp) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    year(l_shipdate) AS l_year, {sql_disc_price()} AS dp
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    "hourly_heavy_hitters": """
+WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
+    event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, event_type ASC) AS rank
+  FROM hourly
+)
+SELECT window_start, event_type, n, rank FROM ranked WHERE rank <= 2
+""",
     "full_outer_nation_counts": """
 WITH c AS (
   SELECT c_nationkey AS nationkey, count(*) AS n_customers
@@ -1183,6 +1212,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_customers": analytics.customers_with_big_orders,
         "anti_join_customers": analytics.customers_without_recent_orders,
         "full_outer_nation_counts": analytics.nation_customer_supplier_counts,
+        "tpch_q7_nation_volume": analytics.tpch_q7_nation_volume,
+        "hourly_heavy_hitters": analytics.hourly_heavy_hitters,
         # batch-3 relational analytics
         "tpch_q10": analytics.tpch_q10,
         "tpch_q14_promo": analytics.tpch_q14_promo,

@@ -317,6 +317,65 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped two-nation shipping volume: supplier-nation ×
+    customer-nation pairs per year. Exercises the double-dimension join
+    with a cross-pair predicate and year extraction."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rev_pair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(pair | rev_pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+def hourly_heavy_hitters(spark: SparkSession, sf_dir: str, k: int = 2) -> DataFrame:
+    """Top-k event types per hour: windowed aggregation feeding a ranking
+    window — the streaming-dashboard 'heavy hitters' shape in batch."""
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ranked = hourly.select(
+        F.col("w.start").cast("long").alias("window_start"), "event_type", "n"
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("window_start").orderBy(
+                F.desc("n"), F.asc("event_type")
+            )
+        )
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rank") <= k)
+
+
 def nation_customer_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join of two aggregates: per-nation customer counts vs
     supplier counts — nations appearing on either side survive with
