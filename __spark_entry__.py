@@ -568,8 +568,14 @@ _NORM = (
     " ' +', ' ', 'g'))"
 )
 _TOKS = "regexp_extract_all(text, '[A-Za-z0-9_]+')"
-_LTOKS = "regexp_extract_all(lower(text), '[A-Za-z0-9_]+')"
-_STOPS = "('the','a','an','and','or','of','to','in','is','it')"
+# whole-word regex counts (must mirror operators/text.py word_list_re)
+_STOP_HITS = f"len(regexp_extract_all(text, '{text.STOPWORDS_RE}'))"
+
+
+def _marker_hits(lang: str) -> str:
+    return (
+        f"len(regexp_extract_all(lower(text), '{text.word_list_re(text.LANG_MARKERS[lang])}'))"
+    )
 
 
 def _shingle_cte(n: int) -> str:
@@ -594,12 +600,6 @@ SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS windo
 FROM events GROUP BY 1, 2
 """
 
-_LANG_HITS = {
-    "en": "('the','and','of','to','in','is')",
-    "es": "('el','la','los','que','y','en')",
-    "de": "('der','die','und','das','ist','nicht')",
-    "fr": "('le','les','des','est','dans','pour')",
-}
 _GREATEST = "greatest(h_en, h_es, h_de, h_fr)"
 
 _ORACLES: dict[str, str] = {
@@ -1036,7 +1036,7 @@ SELECT doc_id,
          / CAST(len({_TOKS}) AS DOUBLE)
     ELSE 0.0 END, 6) AS avg_token_len,
   round(CASE WHEN len({_TOKS}) > 0
-    THEN CAST(len(list_filter({_TOKS}, x -> x IN {_STOPS})) AS DOUBLE)
+    THEN CAST({_STOP_HITS} AS DOUBLE)
          / CAST(len({_TOKS}) AS DOUBLE)
     ELSE 0.0 END, 6) AS stopword_ratio
 FROM documents
@@ -1045,7 +1045,7 @@ FROM documents
 SELECT doc_id, round(
   0.5 * least(1.0, CAST(len({_TOKS}) AS DOUBLE) / 100.0)
   + 0.3 * (CASE WHEN len({_TOKS}) > 0
-      THEN CAST(len(list_filter({_TOKS}, x -> x IN {_STOPS})) AS DOUBLE)
+      THEN CAST({_STOP_HITS} AS DOUBLE)
            / CAST(len({_TOKS}) AS DOUBLE) ELSE 0.0 END)
   + 0.2 * (1.0 - CASE WHEN len({_TOKS}) > 0
       THEN least(1.0, CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
@@ -1056,10 +1056,10 @@ FROM documents
     "text_lang_id": f"""
 WITH hits AS (
   SELECT doc_id, text,
-    len(list_filter({_LTOKS}, x -> x IN {_LANG_HITS["en"]})) AS h_en,
-    len(list_filter({_LTOKS}, x -> x IN {_LANG_HITS["es"]})) AS h_es,
-    len(list_filter({_LTOKS}, x -> x IN {_LANG_HITS["de"]})) AS h_de,
-    len(list_filter({_LTOKS}, x -> x IN {_LANG_HITS["fr"]})) AS h_fr
+    {_marker_hits("en")} AS h_en,
+    {_marker_hits("es")} AS h_es,
+    {_marker_hits("de")} AS h_de,
+    {_marker_hits("fr")} AS h_fr
   FROM documents
 )
 SELECT doc_id,

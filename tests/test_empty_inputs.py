@@ -1,0 +1,62 @@
+"""Empty-input robustness: every operator must degrade to empty output,
+not crash — the failure mode that bites when an upstream filter matches
+nothing in one partition of a 100 TB run."""
+
+from __future__ import annotations
+
+from breweries_etl_spark.operators.aggregate import gold_aggregations
+from breweries_etl_spark.operators.asof import asof_join_backward
+from breweries_etl_spark.operators.dedup import (
+    dedup_exact,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+)
+from breweries_etl_spark.operators.quality import split_invalid_records
+from breweries_etl_spark.operators.standardize import silver_transform
+from breweries_etl_spark.operators.temporal import sessionize, tumbling_counts
+
+DOCS_SCHEMA = "doc_id long, text string"
+BREWERY_SCHEMA_DDL = (
+    "id string, name string, brewery_type string, state string, city string, "
+    "country string, website_url string"
+)
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def test_silver_chain_on_empty(spark):
+    df = spark.createDataFrame([], BREWERY_SCHEMA_DDL)
+    valid, quarantined = split_invalid_records(df)
+    out = silver_transform(valid)
+    assert out.count() == 0 and quarantined.count() == 0
+    assert "location" in out.columns  # schema still fully derived
+
+
+def test_gold_on_empty_silver(spark):
+    df = spark.createDataFrame([], "brewery_type string, location string, state string, city string")
+    gold = gold_aggregations(df)
+    assert gold["by_type_location"].count() == 0
+    assert gold["by_location"].count() == 0
+
+
+def test_dedup_on_empty_docs(spark):
+    df = spark.createDataFrame([], DOCS_SCHEMA)
+    assert dedup_exact(df).count() == 0
+    assert ngram_jaccard_pairs(df).count() == 0
+    assert minhash_near_duplicates(df).count() == 0
+
+
+def test_temporal_on_empty_events(spark):
+    df = spark.createDataFrame([], EVENTS_SCHEMA + ", event_type string")
+    assert tumbling_counts(df).count() == 0
+    assert sessionize(df).count() == 0
+
+
+def test_asof_with_empty_right(spark):
+    from pyspark.sql import Row
+
+    left = spark.createDataFrame([Row(user_id=1, ts_us=100, event_id=5)])
+    right = spark.createDataFrame([], "user_id long, ts_us long, value double")
+    out = asof_join_backward(
+        left, right, by="user_id", on="ts_us",
+        left_cols=["event_id"], right_cols=["value"]).collect()
+    assert len(out) == 1 and out[0]["asof_value"] is None

@@ -1,0 +1,125 @@
+"""Scaling probe: synthesize a ~10× sf0.1 dataset (≈ sf1: 6M-row
+lineitem, 50k docs with planted exact duplicates, 20k embeddings), run
+the headline queries at sf0.01 / sf0.1 / sf1ish, and write SCALING.md.
+
+The point is evidence, not a benchmark record: does each operator's time
+grow ~linearly with input (scan-bound) or worse (join/pair blowup)?
+
+Usage: python tools/scale_probe.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from breweries_etl_spark.session import get_spark
+from pyspark.sql import functions as F
+
+SCALED_DIR = "/tmp/scaled_sf1"
+COPIES = 10
+QUERIES = [
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "gold_by_type_location",
+    "topk_orders_per_customer", "dedup_exact", "dedup_minhash_pairs",
+    "text_stats", "text_fingerprint", "events_sessionize", "similarity_topk",
+    "asof_purchase_view",
+]
+
+
+def build_scaled(spark, src="/root/testdata/sf0.1") -> None:
+    os.makedirs(SCALED_DIR, exist_ok=True)
+    # events.parquet is TIMESTAMP(NANOS): read nanos as long; the scaled
+    # copy then carries a plain LONG ts, which load_events handles the
+    # same way (ts div 1000 -> timestamp).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def scale(name, offsets):
+        df = spark.read.parquet(f"{src}/{name}.parquet")
+        parts = []
+        for i in range(COPIES):
+            part = df
+            for col in offsets:
+                part = part.withColumn(col, F.col(col) + i * 1_000_000_000)
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{SCALED_DIR}/{name}.parquet"
+        )
+
+    scale("lineitem", ["l_orderkey"])
+    scale("orders", ["o_orderkey", "o_custkey"])
+    scale("customer", ["c_custkey"])
+    scale("documents", ["doc_id"])   # texts repeat -> planted exact dups
+    scale("embeddings", ["vec_id"])  # vectors repeat too
+    scale("events", ["event_id"])
+    for name in ("region", "nation", "supplier", "part"):
+        spark.read.parquet(f"{src}/{name}.parquet").write.mode("overwrite").parquet(
+            f"{SCALED_DIR}/{name}.parquet"
+        )
+
+
+def time_queries(spark, sf_dir) -> dict[str, float]:
+    """Two passes per SF; report the second (steady-state: codegen
+    compiled, classes loaded, page cache warm) — pass 1 absorbs the
+    one-time costs that would otherwise skew small-SF numbers."""
+    qs = entrymod.queries()
+    out = {}
+    for _pass in range(2):
+        for name in QUERIES:
+            start = time.monotonic()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.monotonic() - start, 2)
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scale_probe")
+    expected = [
+        "lineitem", "orders", "customer", "documents", "embeddings",
+        "events", "region", "nation", "supplier", "part",
+    ]
+    complete = all(
+        os.path.exists(f"{SCALED_DIR}/{t}.parquet") for t in expected
+    )
+    if "--rebuild" in sys.argv or not complete:
+        build_scaled(spark)
+    # warm
+    entrymod.queries()["tpch_q6"](spark, "/root/testdata/sf0.01").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    results = {
+        "sf0.01": time_queries(spark, "/root/testdata/sf0.01"),
+        "sf0.1": time_queries(spark, "/root/testdata/sf0.1"),
+        "sf1ish": time_queries(spark, SCALED_DIR),
+    }
+    lines = [
+        "# SCALING — headline operators at 3 scale factors",
+        "",
+        "sf1ish = 10 × sf0.1 (6M-row lineitem, 50k docs with planted exact",
+        "duplicates ×10, 20k embeddings), synthesized by",
+        "`tools/scale_probe.py`; local[32], times in seconds (noop sink,",
+        "warm JVM). Watch the sf0.1→sf1ish column: scan-bound operators",
+        "should grow ≲10×; pair-generating operators depend on dup density",
+        "(sf1ish is deliberately dup-heavy for the dedup family).",
+        "",
+        "| query | sf0.01 | sf0.1 | sf1ish | sf0.1→sf1ish ×|",
+        "|---|---|---|---|---|",
+    ]
+    for q in QUERIES:
+        a, b, c = results["sf0.01"][q], results["sf0.1"][q], results["sf1ish"][q]
+        ratio = round(c / b, 1) if b else float("nan")
+        lines.append(f"| {q} | {a} | {b} | {c} | {ratio} |")
+    with open("/root/repo/SCALING.md", "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
