@@ -767,6 +767,39 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15)
    OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25)
    OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35)
 """,
+    "tpch_q13_order_distribution": """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    "tpch_q15_top_supplier": f"""
+WITH revenue AS (
+  SELECT l_suppkey, CAST(SUM({sql_disc_price()}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    "tpch_q17_small_quantity": """
+WITH avg_qty AS (
+  SELECT l_partkey AS pk,
+    (CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*)) * 0.2 AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_qty ON l_partkey = pk
+WHERE p_brand = 'Brand#3' AND l_quantity < qty_threshold
+""",
     "cube_orders": """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
@@ -1219,6 +1252,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo": analytics.tpch_q14_promo,
         "tpch_q18_large_orders": analytics.tpch_q18_large_orders,
         "tpch_q19_brand_quantity": analytics.tpch_q19_brand_quantity,
+        "tpch_q13_order_distribution": analytics.tpch_q13_order_distribution,
+        "tpch_q15_top_supplier": analytics.tpch_q15_top_supplier,
+        "tpch_q17_small_quantity": analytics.tpch_q17_small_quantity,
         "cube_orders": analytics.cube_orders,
         "pivot_events": analytics.pivot_events,
         "price_quantiles": analytics.price_quantiles,
