@@ -487,6 +487,24 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_counts(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.rolling_hash(load_table(spark, sf_dir, "documents"))
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame feature rows from the (stub-decoded) video sampler →
+    rows-only."""
+    assets = multimodal.assets_from_documents(load_table(spark, sf_dir, "documents"))
+    frames = multimodal.frame_sample(assets)
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        F.round(
+            F.aggregate(F.col("features"), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feature_sum"),
+    )
+
+
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans-partitioned) approximate top-k → rows-only (KMeans
     init is seed-deterministic but not SQL-expressible)."""
@@ -1111,6 +1129,14 @@ SELECT doc_id,
   md5(nt) AS content_md5
 FROM sh
 """,
+    "text_rolling_hash": f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) FOR c IN string_split({_NORM}, '')]),
+    (acc, c) -> (acc * 31 + c) % 1000000007
+  ) AS rolling_hash
+FROM documents
+""",
     "text_token_counts": """
 SELECT doc_id,
   CASE WHEN trim(text) = '' THEN 0
@@ -1197,6 +1223,10 @@ def _pin_session(spark: SparkSession) -> None:
     tz-naive oracle; nanos-as-long so the events parquet reads)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Right-size shuffles for the local test SFs (Spark's default 200
+    # over-parallelizes 60k-row inputs ~6×); AQE still coalesces further.
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
@@ -1288,6 +1318,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_token_counts": q_text_token_counts,
+        "text_rolling_hash": q_text_rolling_hash,
+        "multimodal_frame_sample": q_multimodal_frame_sample,  # rows-only
         "similarity_ivf_topk": q_similarity_ivf_topk,  # rows-only
         # dedup
         "dedup_exact": q_dedup_exact,

@@ -81,6 +81,50 @@ def fake_feature_extractor(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFra
     )
 
 
+def resize_image(payload_bytes: bytes, width: int, height: int) -> bytes:
+    """Real image resize — requires PIL/libvips, not in this container.
+    Explicit production extension point."""
+    raise NotImplementedError("image resize requires PIL/libvips")
+
+
+def frame_sample(
+    assets: DataFrame, n_frames: int = 4, feature_dim: int = FEATURE_DIM
+) -> DataFrame:
+    """Video frame-sampling plumbing: each asset yields ``n_frames``
+    (frame_idx, features) rows — the schema/batch shape a real
+    ffmpeg-backed sampler produces. Decoding is faked deterministically
+    (md5 over payload+frame index); the Spark side — Arrow batches in,
+    exploded per-frame rows out, stable ordering — is real and what a
+    production decoder drops into."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def sample(batches):
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for i in range(n_frames):
+                    digest = hashlib.md5(
+                        bytes(payload or b"") + i.to_bytes(4, "big")
+                    ).digest()
+                    raw = np.frombuffer(
+                        digest[: feature_dim * 2], dtype=np.uint16
+                    ).astype(np.float64)
+                    norm = float(np.sqrt((raw * raw).sum())) or 1.0
+                    ids.append(asset_id)
+                    idxs.append(i)
+                    feats.append([round(x, 6) for x in (raw / norm).tolist()])
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "features": feats}
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        sample, schema="asset_id long, frame_idx int, features array<double>"
+    )
+
+
 def asset_metadata_stats(assets: DataFrame) -> DataFrame:
     """Metadata-only aggregate — demonstrates that the payload column is
     pruned from the scan (check ReadSchema in .explain): per-mime count

@@ -192,6 +192,31 @@ def shingles_expr(col: Column, n: int = 3) -> Column:
     )
 
 
+ROLLING_HASH_MOD = 1_000_000_007
+ROLLING_HASH_BASE = 31
+
+
+def rolling_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Classic polynomial rolling hash of the normalized text:
+    ``h = (h*31 + ascii(c)) mod 1e9+7`` folded left over characters —
+    the content-checksum building block (Rabin-Karp family).
+
+    An ordered fold is inherently sequential per row; expressed with
+    ``F.aggregate`` (interpreted — fine here: one short string per row,
+    and the md5-based ``fingerprint`` below is the bulk-scale path).
+    """
+    from ..functions.partitioning import ensure_parallelism
+
+    base = ensure_parallelism(df.select("doc_id", text_col))
+    chars = F.split(normalize_text_expr(F.col(text_col)), "")
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_HASH_BASE + F.ascii(c)) % ROLLING_HASH_MOD,
+    )
+    return base.select("doc_id", h.alias("rolling_hash"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     """Document fingerprint, winnowing-style: the minimum MD5 over word
     n-gram shingles of the normalized text. Content-defined (robust to

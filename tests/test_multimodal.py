@@ -49,3 +49,21 @@ def test_metadata_stats_prunes_payload(spark):
 def test_real_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_frame_sample_shape_and_determinism(spark):
+    from breweries_etl_spark.operators.multimodal import frame_sample
+
+    assets = assets_from_documents(_docs(spark))
+    f1 = frame_sample(assets, n_frames=3).collect()
+    f2 = frame_sample(assets, n_frames=3).collect()
+    assert len(f1) == 2 * 3  # assets x frames
+    key = lambda r: (r["asset_id"], r["frame_idx"])
+    assert sorted([(key(r), r["features"]) for r in f1]) == sorted(
+        [(key(r), r["features"]) for r in f2]
+    )
+    # frames of one asset differ (per-frame fake decode, not copies)
+    by_asset = {}
+    for r in f1:
+        by_asset.setdefault(r["asset_id"], []).append(tuple(r["features"]))
+    assert all(len(set(v)) == 3 for v in by_asset.values())

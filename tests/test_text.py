@@ -79,6 +79,17 @@ def test_token_counts_three_ways(spark):
     assert r["n_bpe_tokens"] == 6    # hello, world, 42, x, !, y
 
 
+def test_rolling_hash_known_value(spark):
+    from breweries_etl_spark.operators.text import rolling_hash
+
+    df = spark.createDataFrame([Row(doc_id=1, text="Ab c")])  # normalizes to "ab c"
+    got = rolling_hash(df).first()["rolling_hash"]
+    expect = 0
+    for ch in "ab c":
+        expect = (expect * 31 + ord(ch)) % 1_000_000_007
+    assert got == expect
+
+
 def test_fingerprint_stable_and_content_defined(spark):
     df = spark.createDataFrame(
         [
