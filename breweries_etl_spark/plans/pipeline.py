@@ -104,3 +104,60 @@ def run_pipeline(
     for stage in (landing_to_bronze, bronze_to_silver, silver_to_gold):
         with_retries(stage, retries=retries, delay_s=retry_delay_s)(spark, paths, metrics)
     return metrics
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI equivalent of triggering the reference's Airflow DAG:
+
+        python -m breweries_etl_spark.plans.pipeline --root /data/medallion \\
+            [--extract | --landing-json '<glob-or-dir>']
+
+    ``--extract`` pulls the live API (reference S1/S2 semantics);
+    ``--landing-json`` copies existing JSON page files into landing.
+    """
+    import argparse
+    import glob as globmod
+    import shutil
+
+    from ..session import get_spark
+    from ..sinks.writers import prepare_landing_directory
+    from ..sources.brewery_api import fetch_all_pages, http_fetcher
+    from ..sinks.writers import save_json_page
+    import os
+
+    parser = argparse.ArgumentParser(description="Run the medallion pipeline")
+    parser.add_argument("--root", required=True, help="medallion root directory")
+    parser.add_argument("--extract", action="store_true", help="fetch from the live API")
+    parser.add_argument("--landing-json", help="glob/dir of landing JSON page files")
+    parser.add_argument("--retries", type=int, default=3)
+    args = parser.parse_args(argv)
+
+    spark = get_spark("brewery_pipeline")
+    paths = MedallionPaths(args.root)
+
+    if args.extract:
+        prepare_landing_directory(paths.landing)
+        pages = fetch_all_pages(http_fetcher())
+        for i, page in enumerate(pages, start=1):
+            save_json_page(page, os.path.join(paths.landing, f"breweries_page{i}.json"))
+    elif args.landing_json:
+        prepare_landing_directory(paths.landing)
+        pattern = args.landing_json
+        files = (
+            globmod.glob(os.path.join(pattern, "*.json"))
+            if os.path.isdir(pattern)
+            else globmod.glob(pattern)
+        )
+        if not files:
+            parser.error(f"no JSON files matched {pattern!r}")
+        for f in files:
+            shutil.copy(f, paths.landing)
+
+    metrics = run_pipeline(spark, paths, retries=args.retries)
+    for name, seconds in sorted(metrics.durations.items()):
+        print(f"{name}: {seconds:.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
