@@ -491,6 +491,39 @@ def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rolling_hash(load_table(spark, sf_dir, "documents"))
 
 
+def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-frequency: top-5 word tokens per source (explode →
+    count → ranking window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9_]+"), 0)).alias(
+            "term"
+        ),
+    )
+    counts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "term", "n", "rank")
+    )
+
+
+def q_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per tumbling hour (windowed count-distinct)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count_distinct("user_id").alias("unique_users"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"), "unique_users"
+        )
+    )
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-frame feature rows from the (stub-decoded) video sampler →
     rows-only."""
@@ -1129,6 +1162,23 @@ SELECT doc_id,
   md5(nt) AS content_md5
 FROM sh
 """,
+    "top_terms_per_source": """
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+), counts AS (
+  SELECT source, term, count(*) AS n FROM toks GROUP BY source, term
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, term ASC) AS rank
+  FROM counts
+)
+SELECT source, term, n, rank FROM ranked WHERE rank <= 5
+""",
+    "hourly_unique_users": """
+SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
+  count(DISTINCT user_id) AS unique_users
+FROM events GROUP BY 1
+""",
     "text_rolling_hash": f"""
 SELECT doc_id,
   list_reduce(
@@ -1319,6 +1369,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_token_counts": q_text_token_counts,
         "text_rolling_hash": q_text_rolling_hash,
+        "top_terms_per_source": q_top_terms_per_source,
+        "hourly_unique_users": q_hourly_unique_users,
         "multimodal_frame_sample": q_multimodal_frame_sample,  # rows-only
         "similarity_ivf_topk": q_similarity_ivf_topk,  # rows-only
         # dedup
