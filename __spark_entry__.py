@@ -491,6 +491,65 @@ def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rolling_hash(load_table(spark, sf_dir, "documents"))
 
 
+def q_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-order metrics to long (metric, value)
+    rows — the inverse of pivot, via the native unpivot API."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey_num"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey_num"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) decile assignment over a total order (value, key) —
+    per-decile counts and exact-decimal sums."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation computed from EXACT decimal component sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) with the final arithmetic in double —
+    reproducible at any parallelism, unlike streaming corr aggregates
+    whose update order varies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    agg = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(F.round(corr, 6).alias("qty_price_corr"))
+
+
 def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term-frequency: top-5 word tokens per source (explode →
     count → ranking window)."""
@@ -1162,6 +1221,35 @@ SELECT doc_id,
   md5(nt) AS content_md5
 FROM sh
 """,
+    "unpivot_order_metrics": """
+SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders
+UNION ALL
+SELECT o_orderkey, 'custkey_num' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
+""",
+    "order_value_deciles": """
+WITH d AS (
+  SELECT o_totalprice,
+    ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+  FROM orders
+)
+SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM d GROUP BY decile
+""",
+    "price_quantity_corr": """
+WITH s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+  FROM lineitem
+)
+SELECT round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+  AS qty_price_corr
+FROM s
+""",
     "top_terms_per_source": """
 WITH toks AS (
   SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
@@ -1370,6 +1458,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_rolling_hash": q_text_rolling_hash,
         "top_terms_per_source": q_top_terms_per_source,
+        "unpivot_order_metrics": q_unpivot_order_metrics,
+        "order_value_deciles": q_order_value_deciles,
+        "price_quantity_corr": q_price_quantity_corr,
         "hourly_unique_users": q_hourly_unique_users,
         "multimodal_frame_sample": q_multimodal_frame_sample,  # rows-only
         "similarity_ivf_topk": q_similarity_ivf_topk,  # rows-only
