@@ -110,6 +110,16 @@ def write_stream_foreach_batch(
     )
 
 
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id: state holds ids only within the
+    watermark horizon (``dropDuplicatesWithinWatermark``), so a replayed
+    or at-least-once source can't double-count while state stays bounded
+    — the streaming twin of operators/dedup.dedup_exact."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_tumbling_once(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_tumbling"
 ) -> DataFrame:

@@ -77,6 +77,50 @@ def test_streaming_sliding_equals_batch(spark):
     assert s == b and len(b) > 0
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids replayed in a later micro-batch are dropped
+    while state stays watermark-bounded."""
+    import datetime as ddt
+    import glob as g
+    import os
+    import shutil
+    import time as t
+
+    from pyspark.sql import types as T
+
+    from breweries_etl_spark.streaming.events import streaming_dedup
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src)
+    t0 = ddt.datetime(2024, 1, 1, 0, 0)
+
+    def write_file(name, rows):
+        tmp = str(tmp_path / f"dtmp_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(g.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}.parquet")
+
+    write_file("b1", [(1, t0, 1.0), (2, t0 + ddt.timedelta(minutes=5), 2.0)])
+    t.sleep(1.1)
+    # replay of event 1 (at-least-once delivery) + a fresh event
+    write_file("b2", [(1, t0, 1.0), (3, t0 + ddt.timedelta(minutes=10), 3.0)])
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (streaming_dedup(stream).writeStream.outputMode("append")
+         .format("memory").queryName("t_sdedup").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("t_sdedup").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]  # replay dropped
+
+
 def test_foreach_batch_sink_idempotent_layout(spark, tmp_path):
     from breweries_etl_spark.streaming.events import (
         stream_events,
