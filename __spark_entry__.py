@@ -491,6 +491,34 @@ def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rolling_hash(load_table(spark, sf_dir, "documents"))
 
 
+def q_hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 20% corpus subsample keyed by content hash (identical
+    membership on any partitioning/engine)."""
+    from breweries_etl_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.2).select("doc_id", "lang")
+
+
+def q_train_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed train/test split: per-language row counts of both
+    sides (rows can never migrate between splits across reruns)."""
+    from breweries_etl_spark.operators.sampling import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    train, test = train_test_split(docs, "doc_id", test_fraction=0.1)
+    return (
+        train.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).withColumn(
+            "split", F.lit("train")
+        )
+        .unionByName(
+            test.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).withColumn(
+                "split", F.lit("test")
+            )
+        )
+    )
+
+
 def q_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): wide per-order metrics to long (metric, value)
     rows — the inverse of pivot, via the native unpivot API."""
@@ -1221,6 +1249,20 @@ SELECT doc_id,
   md5(nt) AS content_md5
 FROM sh
 """,
+    "hash_sample_documents": """
+SELECT doc_id, lang FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS STRING)), 1, 4) AS BIGINT) < 13107
+""",
+    "train_test_counts": """
+WITH b AS (
+  SELECT lang,
+    CAST('0x' || substring(md5(CAST(doc_id AS STRING)), 1, 4) AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT lang, count(*) AS n, 'train' AS split FROM b WHERE bucket >= 6553 GROUP BY lang
+UNION ALL
+SELECT lang, count(*) AS n, 'test' AS split FROM b WHERE bucket < 6553 GROUP BY lang
+""",
     "unpivot_order_metrics": """
 SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders
 UNION ALL
@@ -1458,6 +1500,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_rolling_hash": q_text_rolling_hash,
         "top_terms_per_source": q_top_terms_per_source,
+        "hash_sample_documents": q_hash_sample_documents,
+        "train_test_counts": q_train_test_counts,
         "unpivot_order_metrics": q_unpivot_order_metrics,
         "order_value_deciles": q_order_value_deciles,
         "price_quantity_corr": q_price_quantity_corr,

@@ -1,0 +1,41 @@
+"""Deterministic sampling and splits for training-data pipelines.
+
+``df.sample()`` is partition-order dependent — rerun the job with
+different parallelism and you get a different sample. These operators key
+every decision off a content hash (md5 of the row key), so the same row
+lands in the same bucket on any cluster, any partitioning, any engine —
+which is what reproducible corpus subsampling and train/test splits
+require (and what makes them oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 4 hex chars = 65536 buckets → fraction granularity ~0.0015%
+_BUCKETS = 65536
+
+
+def hash_bucket_expr(key: Column) -> Column:
+    """Stable bucket in [0, 65536) from the md5 of the key's string form
+    (conv(hex, 16, 10) — portable arithmetic, no engine hash functions)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by content hash: reproducible
+    across runs/partitionings, and the complement of a sample at f is
+    exactly the sample over the remaining buckets."""
+    threshold = int(fraction * _BUCKETS)
+    return df.filter(hash_bucket_expr(F.col(key)) < threshold)
+
+
+def train_test_split(
+    df: DataFrame, key: str, test_fraction: float = 0.1
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) keyed by content hash — a row can never migrate
+    between splits when the pipeline reruns or the corpus grows."""
+    threshold = int(test_fraction * _BUCKETS)
+    bucket = hash_bucket_expr(F.col(key))
+    return df.filter(bucket >= threshold), df.filter(bucket < threshold)

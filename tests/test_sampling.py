@@ -1,0 +1,39 @@
+"""Hash-keyed sampling/splits: reproducibility across partitionings, split
+disjointness, membership stability under corpus growth."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from breweries_etl_spark.operators.sampling import hash_sample, train_test_split
+
+
+def _docs(spark, n=500):
+    return spark.createDataFrame([Row(doc_id=i) for i in range(n)])
+
+
+def test_sample_is_partitioning_invariant(spark):
+    df = _docs(spark)
+    s1 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(df.repartition(17), "doc_id", 0.2).collect()}
+    assert s1 == s2 and 0.1 < len(s1) / 500 < 0.3
+
+
+def test_split_disjoint_and_exhaustive(spark):
+    df = _docs(spark)
+    train, test = train_test_split(df, "doc_id", 0.1)
+    tr = {r["doc_id"] for r in train.collect()}
+    te = {r["doc_id"] for r in test.collect()}
+    assert tr.isdisjoint(te)
+    assert tr | te == set(range(500))
+
+
+def test_membership_stable_under_growth(spark):
+    small = _docs(spark, 200)
+    big = _docs(spark, 500)
+    _, test_small = train_test_split(small, "doc_id", 0.1)
+    _, test_big = train_test_split(big, "doc_id", 0.1)
+    small_ids = {r["doc_id"] for r in test_small.collect()}
+    big_ids = {r["doc_id"] for r in test_big.collect()}
+    # every row of the smaller corpus keeps its split when the corpus grows
+    assert small_ids == {i for i in big_ids if i < 200}
