@@ -491,6 +491,12 @@ def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rolling_hash(load_table(spark, sf_dir, "documents"))
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf, deterministic
+    tie-breaks)."""
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
 def q_hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 20% corpus subsample keyed by content hash (identical
     membership on any partitioning/engine)."""
@@ -1249,6 +1255,25 @@ SELECT doc_id,
   md5(nt) AS content_md5
 FROM sh
 """,
+    "tfidf_top_terms": """
+WITH tokens AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term
+), docfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+    round(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1.0), 6) AS tfidf
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+""",
     "hash_sample_documents": """
 SELECT doc_id, lang FROM documents
 WHERE CAST('0x' || substring(md5(CAST(doc_id AS STRING)), 1, 4) AS BIGINT) < 13107
@@ -1500,6 +1525,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_rolling_hash": q_text_rolling_hash,
         "top_terms_per_source": q_top_terms_per_source,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "hash_sample_documents": q_hash_sample_documents,
         "train_test_counts": q_train_test_counts,
         "unpivot_order_metrics": q_unpivot_order_metrics,

@@ -192,6 +192,49 @@ def shingles_expr(col: Column, n: int = 3) -> Column:
     )
 
 
+def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 1) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = in-document term count; idf = ln((N+1)/(df+1)) + 1 (smoothed).
+    Three aggregates over one exploded token relation — the document
+    frequency join broadcasts (vocab ≪ corpus). Scores rounded to 6dp;
+    ties break lexicographically, so results are reproducible.
+    """
+    from pyspark.sql import Window as W
+
+    tokens = df.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9_]+"), 0)
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
 ROLLING_HASH_MOD = 1_000_000_007
 ROLLING_HASH_BASE = 31
 
