@@ -491,6 +491,25 @@ def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rolling_hash(load_table(spark, sf_dir, "documents"))
 
 
+def q_window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth in one pass per customer order history:
+    lag/lead, first_value, percent_rank, cume_dist — all over a single
+    window partitioning (one shuffle)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf, deterministic
     tie-breaks)."""
@@ -1255,6 +1274,16 @@ SELECT doc_id,
   md5(nt) AS content_md5
 FROM sh
 """,
+    "window_function_suite": """
+SELECT o_custkey, o_orderkey,
+  lag(o_totalprice) OVER w AS prev_price,
+  lead(o_totalprice) OVER w AS next_price,
+  first_value(o_orderkey) OVER w AS first_order,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""",
     "tfidf_top_terms": """
 WITH tokens AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
@@ -1525,6 +1554,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_rolling_hash": q_text_rolling_hash,
         "top_terms_per_source": q_top_terms_per_source,
+        "window_function_suite": q_window_function_suite,
         "tfidf_top_terms": q_tfidf_top_terms,
         "hash_sample_documents": q_hash_sample_documents,
         "train_test_counts": q_train_test_counts,
