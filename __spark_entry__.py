@@ -13,6 +13,15 @@ bit-identical; per-row derived floats are rounded to 6 dp on both sides.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# The driver may load this module by file path; make the sibling package
+# importable regardless of the caller's working directory.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
