@@ -83,6 +83,24 @@ def write_gold(aggregations: dict[str, DataFrame], gold_path: str, fmt: str = "p
         )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed (pre-shuffled) table for co-located joins: a later join
+    on ``bucket_col`` between two tables bucketed the same way needs NO
+    exchange (asserted in tests/test_bucketing.py). The 100 TB strategy
+    for repeated fact-fact joins."""
+    writer = df.write.mode("overwrite").format(fmt).bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table_name)
+
+
 def prepare_landing_directory(path: str) -> None:
     """K7 — landing lifecycle reset (ref: U/helpers.py:200-211)."""
     shutil.rmtree(path, ignore_errors=True)

@@ -17,12 +17,12 @@ def warehouse(spark, tmp_path_factory):
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, warehouse):
+    from breweries_etl_spark.sinks.writers import write_bucketed_table
+
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
-     .sortBy("o_orderkey").saveAsTable("b_orders"))
-    (lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
-     .sortBy("l_orderkey").saveAsTable("b_lineitem"))
+    write_bucketed_table(orders, "b_orders", "o_orderkey")
+    write_bucketed_table(lineitem, "b_lineitem", "l_orderkey")
 
     joined = (
         spark.table("b_lineitem")
