@@ -17,6 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame
@@ -70,7 +71,32 @@ def shingle_sets(
     )
     if cache:
         projected = projected.persist()
-    return projected.filter(F.size("shingles") > 0)
+    filtered = projected.filter(F.size("shingles") > 0)
+    # Handle for callers to release THE CACHED PLAN (the pre-filter
+    # projection), not the filtered view — unpersist() only drops the
+    # exact plan it was cached under.
+    filtered._shingle_cache = projected  # type: ignore[attr-defined]
+    return filtered
+
+
+def _release_caches(result: DataFrame, caches: list[DataFrame]) -> DataFrame:
+    """Eagerly materialize ``result`` via a reliable (lineage-truncating)
+    checkpoint, then unpersist the intermediate caches it depended on.
+
+    Near-dup pipelines persist corpus-scale intermediates (shingle sets
+    are comparable in size to the raw text); returning a lazy plan that
+    still references them would pin that storage for the caller's
+    lifetime and evict everything else on a shared cluster. The pair
+    list being checkpointed is tiny next to the corpus, and the
+    recompute during the checkpoint write hits the still-warm caches.
+    """
+    sc = result.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_dedup_ckpt_"))
+    out = result.checkpoint(eager=True)
+    for c in caches:
+        getattr(c, "_shingle_cache", c).unpersist()
+    return out
 
 
 def minhash_mins(
@@ -176,6 +202,7 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     n: int = 3,
+    release: bool = True,
 ) -> DataFrame:
     """MinHash→LSH candidates → exact-Jaccard verification.
 
@@ -186,14 +213,18 @@ def minhash_near_duplicates(
     Shingle sets and minima are persisted AND materialized eagerly: the
     downstream plan references each from multiple branches that run
     concurrently within one job — lazily, every branch would recompute
-    them before the cache fills. Both relations are tiny next to the
-    corpus (~0.3% at 100 TB).
+    them before the cache fills. The minima are tiny (~256 bytes/doc),
+    but the SHINGLE ARRAYS are comparable to — often larger than — the
+    raw text, so with ``release=True`` (the default) the verified pair
+    list is checkpointed eagerly and both caches are dropped before
+    returning: nothing corpus-scale stays pinned in executor storage.
+    Pass ``release=False`` to keep the lazy plan (tests/inspection).
     """
     sh = shingle_sets(df, text_col, id_col, n)
     mins = minhash_mins(sh, id_col).persist()
     mins.count()
     pairs = lsh_candidate_pairs(mins, id_col)
-    return (
+    result = (
         pairs.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
         .select(
@@ -203,6 +234,9 @@ def minhash_near_duplicates(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if release:
+        return _release_caches(result, [sh, mins])
+    return result
 
 
 def ngram_jaccard_pairs(
@@ -211,16 +245,35 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     n: int = 3,
+    max_df: int | None = 1000,
+    release: bool = True,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard pairs: candidates = pairs sharing ≥1 shingle
-    (a superset of Jaccard > 0 — no false negatives), verified per-row.
+    """EXACT n-gram Jaccard pairs: candidates = pairs sharing ≥1
+    *sufficiently rare* shingle, verified per-row with exact Jaccard.
 
-    The shingle-inverted-index join is exact but can approach n² on
-    boilerplate-heavy corpora; MinHash above is the scale path, this is
-    the ground-truth/oracle path.
+    ``max_df`` caps candidate generation by shingle document frequency —
+    the analog of ``lsh_candidate_pairs``' ``max_bucket``. A shingle
+    shared by k documents emits O(k²) candidate pairs, so one
+    boilerplate header shared corpus-wide turns the inverted-index join
+    into an accidental cross join; dropping shingles with df > max_df
+    bounds every bucket at max_df² pairs.
+
+    Exactness bound: a true pair (Jaccard ≥ threshold) is missed only
+    if EVERY shingle it shares is boilerplate (df > max_df). At
+    threshold 0.5 a pair shares at least half of either document's
+    shingles — for any document with even one rare shingle in the
+    shared half, candidacy is preserved. ``max_df=None`` disables the
+    cap (full ground truth).
     """
     sh = shingle_sets(df, text_col, id_col, n)
     inverted = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        shingle_df = inverted.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("shingle_df")
+        )
+        inverted = inverted.join(
+            shingle_df.filter(F.col("shingle_df") <= max_df), "shingle"
+        ).select(id_col, "shingle")
     a = inverted.alias("a")
     b = inverted.alias("b")
     cands = (
@@ -232,7 +285,7 @@ def ngram_jaccard_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    return (
+    result = (
         cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
         .select(
@@ -242,6 +295,9 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if release:
+        return _release_caches(result, [sh])
+    return result
 
 
 def dedup_incremental(
@@ -312,6 +368,7 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    release: bool = True,
 ) -> DataFrame:
     """SimHash near-dups within Hamming radius ≤ 3 via pigeonhole banding:
     split the 64-bit signature into 4×16-bit chunks — any pair within the
@@ -339,7 +396,7 @@ def simhash_near_duplicates(
     a = chunks.alias("a")
     b = chunks.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    result = (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -354,3 +411,6 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    if release:
+        return _release_caches(result, [sigs])
+    return result

@@ -75,3 +75,21 @@ def observe_counts(df: DataFrame, name: str) -> DataFrame:
         name,
         F.count(F.lit(1)).alias("rows"),
     )
+
+
+def observed(df: DataFrame, observation) -> DataFrame:
+    """Attach a live ``pyspark.sql.Observation`` carrying the reference's
+    record counter (ref: U/metrics.py:44-49 records_processed_total).
+    The aggregate rides whatever single action materializes the frame —
+    zero extra passes, unlike the reference's separate len() calls."""
+    return df.observe(observation, F.count(F.lit(1)).alias("rows"))
+
+
+def drain_observation(
+    registry: MetricsRegistry, observation, operation: str
+) -> None:
+    """Pull the observed row count (blocks until the frame's action has
+    run) into the registry under the reference's counter name."""
+    registry.inc(
+        f"{operation}_records_processed_total", float(observation.get["rows"])
+    )

@@ -19,11 +19,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import Observation
+
 from ..config import SILVER_PARTITION_COLUMN, MedallionPaths
 from ..operators.aggregate import gold_aggregations
 from ..operators.quality import split_invalid_records, validate_schema
 from ..operators.standardize import add_ingestion_metadata, silver_transform
-from ..plans.metrics import MetricsRegistry
+from ..plans.metrics import MetricsRegistry, drain_observation, observed
 from ..sinks.writers import write_gold, write_partitioned, write_table
 from ..sources.json_source import read_landing_json
 from ..sources.tables import read_layer
@@ -56,7 +58,9 @@ def landing_to_bronze(
     with metrics.time_operation("landing_to_bronze", "bronze"):
         df = read_landing_json(spark, paths.landing)
         df = add_ingestion_metadata(df)
-        write_table(df, paths.bronze, mode="overwrite")
+        obs = Observation()
+        write_table(observed(df, obs), paths.bronze, mode="overwrite")
+        drain_observation(metrics, obs, "bronze")
 
 
 def bronze_to_silver(
@@ -75,8 +79,13 @@ def bronze_to_silver(
         validate_schema(bronze)
         valid, quarantined = split_invalid_records(bronze)
         silver = silver_transform(valid)
-        write_partitioned(silver, paths.silver, [SILVER_PARTITION_COLUMN])
-        write_table(quarantined, paths.quarantine, mode="append")
+        silver_obs, quarantine_obs = Observation(), Observation()
+        write_partitioned(
+            observed(silver, silver_obs), paths.silver, [SILVER_PARTITION_COLUMN]
+        )
+        write_table(observed(quarantined, quarantine_obs), paths.quarantine, mode="append")
+        drain_observation(metrics, silver_obs, "silver")
+        drain_observation(metrics, quarantine_obs, "quarantine")
 
 
 def silver_to_gold(
@@ -88,7 +97,16 @@ def silver_to_gold(
     metrics = metrics or MetricsRegistry()
     with metrics.time_operation("silver_to_gold", "gold"):
         silver = read_layer(spark, paths.silver)
-        write_gold(gold_aggregations(silver), paths.gold)
+        aggs = gold_aggregations(silver)
+        # one Observation per gold table: each write is its own action,
+        # and an Observation may ride exactly one dataset
+        observations = {name: Observation() for name in aggs}
+        write_gold(
+            {name: observed(df, observations[name]) for name, df in aggs.items()},
+            paths.gold,
+        )
+        for name, obs in observations.items():
+            drain_observation(metrics, obs, f"gold_{name}")
 
 
 def run_pipeline(

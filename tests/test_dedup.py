@@ -78,3 +78,50 @@ def test_planted_neardups_in_testdata(spark, sf_dir):
     # LSH with 8x4 bands at j>=0.5: collision prob per planted pair ~1;
     # allow a little slack but demand high recall
     assert n_mh >= 0.8 * n_exact
+
+
+def test_neardup_release_leaves_no_persisted_rdds(spark):
+    """The near-dup pipelines persist corpus-scale intermediates; with
+    release=True (the default) nothing may stay pinned after return."""
+    spark.catalog.clearCache()  # drop caches left by lazy inspection helpers
+    df = spark.createDataFrame(DOCS)
+    minhash_near_duplicates(df).collect()
+    ngram_jaccard_pairs(df).collect()
+    simhash_near_duplicates(df).collect()
+    persistent = spark.sparkContext._jsc.getPersistentRDDs()
+    assert persistent.size() == 0, f"leaked {persistent.size()} persisted RDDs"
+
+
+def test_ngram_df_cap_bounds_boilerplate_blowup(spark):
+    """One boilerplate line shared by every doc must not square the
+    candidate join: with max_df below the corpus size, pairs whose only
+    shared content is the boilerplate are not even generated."""
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    docs = [
+        Row(doc_id=i, text=f"unique document body number {i} alpha beta {boiler}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(docs)
+    capped = ngram_jaccard_pairs(df, threshold=0.1, max_df=10).collect()
+    uncapped = ngram_jaccard_pairs(df, threshold=0.1, max_df=None).collect()
+    # every shared shingle has df=20 > cap -> no candidates at all
+    assert len(capped) == 0
+    # ground truth without the cap: all 190 pairs share the boilerplate
+    assert len(uncapped) == 190
+
+
+def test_ngram_df_cap_preserves_rare_shingle_pairs(spark):
+    """A true near-dup pair sharing at least one rare shingle survives
+    the cap even when it also shares boilerplate."""
+    boiler = "standard legal disclaimer text appended to every page"
+    docs = [Row(doc_id=i, text=f"filler body {i} {boiler}") for i in range(10)]
+    docs += [
+        Row(doc_id=100, text=f"rare payload sentence about spark engines {boiler}"),
+        Row(doc_id=101, text=f"rare payload sentence about spark engines {boiler}"),
+    ]
+    df = spark.createDataFrame(docs)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.5, max_df=5).collect()
+    }
+    assert (100, 101) in pairs

@@ -45,3 +45,38 @@ def test_registry_push_degrades_without_prometheus():
     reg = MetricsRegistry()
     reg.inc("x")
     assert reg.push(None) is False  # no gateway configured -> no-op
+
+
+def test_run_pipeline_drains_per_stage_record_counts(spark, tmp_path):
+    """Reference parity for records_processed_total (ref: U/metrics.py:44-49):
+    every stage's row count lands in the registry, measured by an
+    Observation riding the stage's own write action — no extra passes."""
+    import json
+    import os
+
+    from breweries_etl_spark.config import MedallionPaths
+    from breweries_etl_spark.plans.pipeline import run_pipeline
+    from breweries_etl_spark.sinks.writers import (
+        prepare_landing_directory,
+        save_json_page,
+    )
+
+    page = [
+        {"id": "b1", "name": "Alpha", "brewery_type": "micro", "state": "wy",
+         "city": "laramie", "country": "united states", "website_url": "a.com"},
+        {"id": "b2", "name": "Beta", "brewery_type": "nano", "state": "on",
+         "city": "toronto", "country": "canada", "website_url": "b.io"},
+        {"id": None, "name": "NoId", "brewery_type": "nano", "state": "wy",
+         "city": "cody", "country": "united states", "website_url": ""},
+    ]
+    paths = MedallionPaths(str(tmp_path))
+    prepare_landing_directory(paths.landing)
+    save_json_page(page, os.path.join(paths.landing, "p1.json"))
+
+    metrics = run_pipeline(spark, paths, retries=1)
+
+    assert metrics.counters["bronze_records_processed_total"] == 3
+    assert metrics.counters["silver_records_processed_total"] == 2
+    assert metrics.counters["quarantine_records_processed_total"] == 1
+    assert metrics.counters["gold_by_type_location_records_processed_total"] == 2
+    assert metrics.counters["gold_by_location_records_processed_total"] == 2
