@@ -257,7 +257,8 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         for r in nations
     ]
-    root = os.path.join(tempfile.gettempdir(), "medallion_e2e")
+    # mkdtemp: concurrent drivers must not collide on a shared path
+    root = tempfile.mkdtemp(prefix="medallion_e2e_")
     paths = MedallionPaths(root)
     prepare_landing_directory(paths.landing)
     with open(os.path.join(paths.landing, "page1.json"), "w", encoding="utf-8") as f:
@@ -395,7 +396,9 @@ def q_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in nations
     ]
     pages = [records[:20], records[20:]]
-    fixture = os.path.join(tempfile.gettempdir(), "brewery_fixture_pages.json")
+    fixture = os.path.join(
+        tempfile.mkdtemp(prefix="brewery_fixture_"), "pages.json"
+    )
     with open(fixture, "w", encoding="utf-8") as f:
         json.dump(pages, f)
 

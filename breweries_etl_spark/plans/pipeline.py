@@ -50,7 +50,10 @@ def with_retries(fn: Callable, retries: int = 3, delay_s: float = 0.0) -> Callab
 
 
 def landing_to_bronze(
-    spark: SparkSession, paths: MedallionPaths, metrics: MetricsRegistry | None = None
+    spark: SparkSession,
+    paths: MedallionPaths,
+    metrics: MetricsRegistry | None = None,
+    fmt: str = "parquet",
 ) -> None:
     """Stage 2 (ref: T/landing_to_bronze.py:26-92): distributed JSON scan
     with declared schema → ingestion metadata → bronze overwrite."""
@@ -59,12 +62,15 @@ def landing_to_bronze(
         df = read_landing_json(spark, paths.landing)
         df = add_ingestion_metadata(df)
         obs = Observation()
-        write_table(observed(df, obs), paths.bronze, mode="overwrite")
+        write_table(observed(df, obs), paths.bronze, mode="overwrite", fmt=fmt)
         drain_observation(metrics, obs, "bronze")
 
 
 def bronze_to_silver(
-    spark: SparkSession, paths: MedallionPaths, metrics: MetricsRegistry | None = None
+    spark: SparkSession,
+    paths: MedallionPaths,
+    metrics: MetricsRegistry | None = None,
+    fmt: str = "parquet",
 ) -> None:
     """Stage 3, the transform core (ref: T/bronze_to_silver.py:26-92):
     validate → quarantine split → standardize chain → partitioned silver
@@ -75,28 +81,36 @@ def bronze_to_silver(
     """
     metrics = metrics or MetricsRegistry()
     with metrics.time_operation("bronze_to_silver", "silver"):
-        bronze = read_layer(spark, paths.bronze)
+        bronze = read_layer(spark, paths.bronze, fmt=fmt)
         validate_schema(bronze)
         valid, quarantined = split_invalid_records(bronze)
         silver = silver_transform(valid)
         silver_obs, quarantine_obs = Observation(), Observation()
         write_partitioned(
-            observed(silver, silver_obs), paths.silver, [SILVER_PARTITION_COLUMN]
+            observed(silver, silver_obs),
+            paths.silver,
+            [SILVER_PARTITION_COLUMN],
+            fmt=fmt,
         )
-        write_table(observed(quarantined, quarantine_obs), paths.quarantine, mode="append")
+        write_table(
+            observed(quarantined, quarantine_obs), paths.quarantine, mode="append", fmt=fmt
+        )
         drain_observation(metrics, silver_obs, "silver")
         drain_observation(metrics, quarantine_obs, "quarantine")
 
 
 def silver_to_gold(
-    spark: SparkSession, paths: MedallionPaths, metrics: MetricsRegistry | None = None
+    spark: SparkSession,
+    paths: MedallionPaths,
+    metrics: MetricsRegistry | None = None,
+    fmt: str = "parquet",
 ) -> None:
     """Stage 4 (ref: T/silver_to_gold.py:22-76): read silver (partition
     discovery built-in — the reference's manual glob fallback S6 is
     obsolete) → two group-count gold tables."""
     metrics = metrics or MetricsRegistry()
     with metrics.time_operation("silver_to_gold", "gold"):
-        silver = read_layer(spark, paths.silver)
+        silver = read_layer(spark, paths.silver, fmt=fmt)
         aggs = gold_aggregations(silver)
         # one Observation per gold table: each write is its own action,
         # and an Observation may ride exactly one dataset
@@ -104,6 +118,7 @@ def silver_to_gold(
         write_gold(
             {name: observed(df, observations[name]) for name, df in aggs.items()},
             paths.gold,
+            fmt=fmt,
         )
         for name, obs in observations.items():
             drain_observation(metrics, obs, f"gold_{name}")
@@ -115,12 +130,17 @@ def run_pipeline(
     metrics: MetricsRegistry | None = None,
     retries: int = 3,
     retry_delay_s: float = 0.0,
+    fmt: str = "parquet",
 ) -> MetricsRegistry:
     """X1 — the linear DAG, landing already populated by a source
-    (sources.brewery_api or test fixtures)."""
+    (sources.brewery_api or test fixtures). ``fmt="delta"`` runs the
+    whole medallion chain on Delta tables when the jars are present
+    (reference parity: U/helpers.py:326-417 writes Delta throughout)."""
     metrics = metrics or MetricsRegistry()
     for stage in (landing_to_bronze, bronze_to_silver, silver_to_gold):
-        with_retries(stage, retries=retries, delay_s=retry_delay_s)(spark, paths, metrics)
+        with_retries(stage, retries=retries, delay_s=retry_delay_s)(
+            spark, paths, metrics, fmt=fmt
+        )
     return metrics
 
 

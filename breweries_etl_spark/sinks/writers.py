@@ -23,8 +23,25 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True when the Delta Lake jars are on the JVM classpath.
+
+    The reference writes Delta everywhere (ref: U/helpers.py:326-417 via
+    delta-rs); every sink here takes ``fmt=`` so the swap is
+    ``fmt="delta"`` when this returns True — callers keep the parquet
+    default otherwise, and tests parameterized over formats skip Delta
+    when absent."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 - classpath probe
+            "org.apache.spark.sql.delta.sources.DeltaDataSource"
+        )
+        return True
+    except Exception:
+        return False
 
 
 def write_table(

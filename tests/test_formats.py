@@ -1,11 +1,13 @@
 """Sink/source format coverage beyond parquet: ORC, CSV, JSON round-trips
-through the same parameterized writer (K5's ``fmt``)."""
+through the same parameterized writer (K5's ``fmt``), plus the Delta
+toggle (reference parity — ref: U/helpers.py:326-417 writes Delta)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 
-from breweries_etl_spark.sinks.writers import write_table
+from breweries_etl_spark.sinks.writers import delta_available, write_table
 
 
 def _frame(spark):
@@ -39,3 +41,41 @@ def test_json_roundtrip(spark, tmp_path):
     write_table(df, out, fmt="json")
     back = spark.read.schema("id string, name string, score double").json(out)
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "delta"])
+def test_medallion_pipeline_parameterized_over_format(spark, tmp_path, fmt):
+    """The whole medallion chain runs on any format the writers accept;
+    Delta is exercised only when its jars are on the classpath."""
+    import json
+    import os
+
+    from breweries_etl_spark.config import MedallionPaths
+    from breweries_etl_spark.plans.pipeline import run_pipeline
+    from breweries_etl_spark.sinks.writers import (
+        prepare_landing_directory,
+        save_json_page,
+    )
+
+    if fmt == "delta" and not delta_available(spark):
+        pytest.skip("Delta jars not on classpath")
+
+    page = [
+        {"id": "b1", "name": "Alpha", "brewery_type": "micro", "state": "wy",
+         "city": "laramie", "country": "united states", "website_url": "a.com"},
+        {"id": "b2", "name": "Beta", "brewery_type": "nano", "state": "on",
+         "city": "toronto", "country": "canada", "website_url": "b.io"},
+    ]
+    paths = MedallionPaths(str(tmp_path))
+    prepare_landing_directory(paths.landing)
+    save_json_page(page, os.path.join(paths.landing, "p1.json"))
+
+    run_pipeline(spark, paths, retries=1, fmt=fmt)
+
+    gold = spark.read.format(fmt).load(paths.gold_table("by_type_location"))
+    assert gold.count() == 2
+
+
+def test_delta_available_probe_is_safe(spark):
+    # must return a bool without raising, whatever the classpath
+    assert delta_available(spark) in (True, False)
