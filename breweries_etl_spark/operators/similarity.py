@@ -176,22 +176,39 @@ def lsh_topk(
     dim: int = 64,
     n_planes: int = 6,
     seed: int = 42,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: bucket corpus by hyperplane signature, probe the
-    query's bucket only. With 6 planes the corpus splits into ≤64 buckets
-    → ~64× less scoring than brute force; recall is tunable via fewer
-    planes or multi-probe. Returned ranks are within-bucket."""
+    """Approximate top-k: bucket corpus by hyperplane signature; MULTI-PROBE
+    the query's bucket plus every bucket within ``probe_hamming`` sign
+    flips (Lv et al., multi-probe LSH). A near neighbor that lands one
+    plane-decision away is the dominant failure of single-probe
+    sign-LSH, so probing Hamming≤1 costs (1 + n_planes)/2^n_planes of
+    the corpus per query (~11% at 6 planes) and recovers most of it.
+    Only the QUERY side fans out — the corpus is bucketed once, so the
+    join stays a bucket-equi-join, never a scan per probe."""
     planes = hyperplanes(dim, n_planes, seed)
+    sig = lsh_signature_expr(F.col(vec_col), planes)
+    probe_sigs = [sig]
+    if probe_hamming >= 1:
+        probe_sigs += [sig.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    if probe_hamming >= 2:
+        probe_sigs += [
+            sig.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_signature_expr(F.col(vec_col), planes).alias("sig"),
+        F.explode(F.array(*probe_sigs)).alias("sig"),
     )
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("c_vec"),
         lsh_signature_expr(F.col(vec_col), planes).alias("sig"),
     )
+    # probe signatures are distinct and each corpus vector lives in one
+    # bucket, so (query, corpus) pairs cannot repeat — no dedup needed
     scored = (
         c.join(F.broadcast(q), "sig")
         .filter(F.col("corpus_id") != F.col("query_id"))

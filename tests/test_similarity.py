@@ -83,6 +83,41 @@ def test_ivf_scores_are_true_cosines_and_recall(spark, sf_dir):
     assert len(e & i) / len(e) >= 0.3
 
 
+def test_lsh_recall_floor_and_multiprobe_monotonicity(spark, sf_dir):
+    """Quantified accuracy bound, not just row counts: multi-probe
+    hyperplane-LSH must recover a floor fraction of the exact top-k set,
+    and widening the probe radius must not lose recall. (On this
+    near-random synthetic corpus the exact top-5 sit at modest cosines,
+    so single-probe recall is structurally low — that is what
+    multi-probe exists to fix.)"""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["corpus_id"])
+             for r in brute_force_topk(queries, emb, k=5).collect()}
+
+    def recall(h):
+        approx = {(r["query_id"], r["corpus_id"])
+                  for r in lsh_topk(queries, emb, k=5, probe_hamming=h).collect()}
+        return len(exact & approx) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= 0.3, f"LSH recall@5 {r2:.2f} below floor at probe_hamming=2"
+    assert r2 >= r1, f"recall must not drop with wider probing ({r1:.2f}->{r2:.2f})"
+
+
+def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
+    """approx_count_distinct's declared rsd is 5%; hold it to that
+    against the exact distinct count on real testdata."""
+    from breweries_etl_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    approx = ev.agg(
+        F.approx_count_distinct("user_id", 0.05).alias("d")
+    ).collect()[0]["d"]
+    exact = ev.agg(F.count_distinct("user_id").alias("d")).collect()[0]["d"]
+    assert abs(approx - exact) / exact <= 0.05, (approx, exact)
+
+
 def test_embedding_neardup_blocked_vs_exact(spark):
     df = spark.createDataFrame(
         [
