@@ -29,8 +29,10 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q10",
+    "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
     "topk_orders_per_customer",
+    "window_function_suite",
     "rollup_orders",
     "pivot_events",
     "dedup_exact",
