@@ -975,6 +975,152 @@ JOIN part ON l_partkey = p_partkey
 JOIN avg_qty ON l_partkey = pk
 WHERE p_brand = 'Brand#3' AND l_quantity < qty_threshold
 """,
+    # ----- TPC-H completion set (round 2)
+    "tpch_q4_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    "tpch_q8_market_share": f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  round(
+    CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+      / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT o_orderdate, n1.n_name AS supp_nation, {sql_disc_price()} AS volume,
+    n2.n_regionkey AS c_rk
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE p_type = 'PROMO'
+    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+)
+JOIN region ON c_rk = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY o_year ORDER BY o_year
+""",
+    "tpch_q9_nation_profit": f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM({sql_disc_price()}
+    - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.60 AS DECIMAL(3,2))
+      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year ORDER BY n_name, o_year DESC
+""",
+    "tpch_q12_late_priority": """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus ORDER BY l_linestatus
+""",
+    "tpch_q21_waiting_supplier": """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM lo l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.late
+  AND EXISTS (
+    SELECT 1 FROM lo l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lo l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.late
+  )
+GROUP BY s_name ORDER BY numwait DESC, s_name
+""",
+    "tpch_q22_dormant_customers": """
+SELECT c_mktsegment, count(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= DATE '1999-01-01'
+  )
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    "tpch_q2_best_supplier": """
+WITH bridge AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem),
+cand AS (
+  SELECT ps_partkey, s_acctbal, s_name, n_name, p_partkey, p_name
+  FROM bridge
+  JOIN part ON ps_partkey = p_partkey
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'LARGE' AND p_size >= 25 AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM cand c1
+WHERE s_acctbal = (SELECT max(s_acctbal) FROM cand c2 WHERE c2.ps_partkey = c1.ps_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+""",
+    "tpch_q11_important_stock": """
+WITH national AS (
+  SELECT l_partkey AS ps_partkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT ps_partkey, round(value, 6) AS value
+FROM national
+WHERE value > (SELECT SUM(value) / 1000.0 FROM national)
+ORDER BY value DESC, ps_partkey
+""",
+    "tpch_q16_supplier_count": """
+WITH bridge AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM bridge JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (10, 20, 30, 40, 49)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    "tpch_q20_part_shippers": """
+WITH heavy AS (
+  SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS shipped_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%blue%'
+    AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 100
+)
+SELECT s_suppkey, s_name, shipped_qty
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN heavy ON s_suppkey = l_suppkey
+WHERE n_name = 'NATION_5'
+ORDER BY s_name
+""",
     "cube_orders": """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
@@ -1531,6 +1677,17 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_order_distribution": analytics.tpch_q13_order_distribution,
         "tpch_q15_top_supplier": analytics.tpch_q15_top_supplier,
         "tpch_q17_small_quantity": analytics.tpch_q17_small_quantity,
+        # TPC-H completion set (round 2; partsupp-free adaptations)
+        "tpch_q2_best_supplier": analytics.tpch_q2_best_supplier,
+        "tpch_q4_priority": analytics.tpch_q4_priority,
+        "tpch_q8_market_share": analytics.tpch_q8_market_share,
+        "tpch_q9_nation_profit": analytics.tpch_q9_nation_profit,
+        "tpch_q11_important_stock": analytics.tpch_q11_important_stock,
+        "tpch_q12_late_priority": analytics.tpch_q12_late_priority,
+        "tpch_q16_supplier_count": analytics.tpch_q16_supplier_count,
+        "tpch_q20_part_shippers": analytics.tpch_q20_part_shippers,
+        "tpch_q21_waiting_supplier": analytics.tpch_q21_waiting_supplier,
+        "tpch_q22_dormant_customers": analytics.tpch_q22_dormant_customers,
         "cube_orders": analytics.cube_orders,
         "pivot_events": analytics.pivot_events,
         "price_quantiles": analytics.price_quantiles,

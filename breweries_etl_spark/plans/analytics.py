@@ -471,3 +471,299 @@ def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFra
         cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion set (round 2). The driver testdata has no partsupp
+# table and lineitem lacks commit/receipt dates and shipmode, so q2, q11,
+# q16, and q20 use the DISTINCT (l_partkey, l_suppkey) pairs observed in
+# lineitem as the part-supplier bridge, and the "late" predicates compare
+# l_shipdate against o_orderdate + INTERVAL — same query SHAPES (and the
+# same Catalyst exercises: decorrelation, semi/anti joins, scalar
+# subqueries, conditional aggregation), adapted columns.
+# ---------------------------------------------------------------------------
+
+
+def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped priority check: EXISTS decorrelated to a left-semi
+    join with a non-equi residual (shipment >30 days after order date).
+    Semi-join short-circuits per order — no fact-fact row blowup."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_1 suppliers' share of PROMO
+    volume sold into ASIA, per year. All dimensions broadcast; the fact
+    chain shuffles on its join keys once each."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = disc_price()
+    national = F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(national).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit by supplier nation and year.
+    No partsupp table, so supply cost is modeled as 60% of p_retailprice —
+    the arithmetic stays all-decimal (exact, order-independent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    nation = load_table(spark, sf_dir, "nation")
+    amount = disc_price() - (
+        money("p_retailprice")
+        * F.lit("0.60").cast("decimal(3,2)")
+        * F.col("l_quantity").cast("long")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-delay audit: lines shipped >60 days after
+    the order date in 1996, split by line status (shipmode stand-in),
+    counting urgent vs non-urgent orders — conditional aggregation over
+    one fact-fact join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting: the classic
+    EXISTS/NOT-EXISTS pair decorrelated into ONE per-order aggregate
+    (distinct suppliers, distinct LATE suppliers) joined back to the late
+    lines — two correlated subqueries become a single extra shuffle on
+    l_orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    return (
+        lo.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped dormant high-balance customers: scalar subquery
+    (average positive balance) broadcast into a filter, anti-join against
+    RECENT orders (since 1999 — every customer has some order in this
+    data), grouped by market segment. The scalar is one row — the
+    crossJoin is a broadcast nested loop over literals, not a real
+    cartesian."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("date")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(money("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _part_supplier_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (l_partkey, l_suppkey) pairs — the partsupp stand-in.
+    One shuffle of two int columns; at 100 TB this is the index table
+    you would persist as a bucketed table instead of recomputing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).distinct()
+
+
+def tpch_q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped best supplier per part: for LARGE parts of size
+    >=25, the EUROPE supplier with the highest account balance among
+    those who have supplied the part. The correlated MIN(ps_supplycost)
+    subquery becomes a per-part max-balance aggregate joined back —
+    decorrelation as an aggregate-join, no per-row subquery."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") >= 25)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    bridge = _part_supplier_bridge(spark, sf_dir)
+    eu_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = bridge.join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey).join(
+        eu_supp, F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    best = cand.groupBy(F.col("ps_partkey").alias("bk")).agg(
+        F.max("s_acctbal").alias("best_bal")
+    )
+    return (
+        cand.join(
+            best,
+            (F.col("ps_partkey") == F.col("bk"))
+            & (F.col("s_acctbal") == F.col("best_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important stock: per-part shipped value for
+    NATION_3 suppliers, kept if above 1/1000 of the national total —
+    the HAVING > (scalar subquery * fraction) shape, computed as one
+    aggregate reused for both sides (self-referential scalar broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    national = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(money("l_extendedprice")).cast("double").alias("value"))
+    )
+    threshold = national.agg((F.sum("value") / F.lit(1000.0)).alias("threshold"))
+    return (
+        national.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("ps_partkey", F.round("value", 6).alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier counts per (brand, type, size), excluding
+    Brand#1: distinct-supplier count over the part-supplier bridge.
+    Count-distinct shuffles (key, suppkey) pairs — partial dedup map-side."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(10, 20, 30, 40, 49))
+    )
+    bridge = _part_supplier_bridge(spark, sf_dir)
+    return (
+        bridge.join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def tpch_q20_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped heavy shippers of a part family: suppliers in
+    NATION_5 who shipped more than 100 units of 'blue' parts in 1996 —
+    nested IN-subqueries flattened to aggregate → semi-join chain."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("blue"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("shipped_qty"))
+        .filter(F.col("shipped_qty") > 100)
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(heavy, supp.s_suppkey == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "shipped_qty")
+        .orderBy("s_name")
+    )

@@ -59,3 +59,43 @@ def test_running_total_monotone_for_positive_values(spark, sf_dir):
     totals = [r["running_total"] for r in out]
     assert totals == sorted(totals)
     assert out[0]["running_total"] == pytest.approx(out[0]["avg_last3"])
+
+
+def test_q4_exists_becomes_semi_join(spark, sf_dir):
+    plan = _explain(analytics.tpch_q4_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelated_no_cartesian(spark, sf_dir):
+    """EXISTS + NOT EXISTS collapse into one per-order aggregate — the
+    plan must contain no cartesian product or nested-loop blowup."""
+    df = analytics.tpch_q21_waiting_supplier(spark, sf_dir)
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    # numwait sums late lines of sole-late suppliers in shared orders
+    assert all(r["numwait"] >= 1 for r in rows)
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    plan = _explain(analytics.tpch_q22_dormant_customers(spark, sf_dir))
+    assert "LeftAnti" in plan
+    # the scalar average arrives via broadcast, not a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q8_share_bounded(spark, sf_dir):
+    rows = analytics.tpch_q8_market_share(spark, sf_dir).collect()
+    assert rows and all(0.0 <= r["mkt_share"] <= 1.0 for r in rows)
+
+
+def test_q2_best_balance_is_max_per_part(spark, sf_dir):
+    rows = analytics.tpch_q2_best_supplier(spark, sf_dir).collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["p_partkey"], []).append(r["s_acctbal"])
+    # every returned supplier carries its part's maximum balance
+    assert all(len(set(v)) == 1 for v in by_part.values())
