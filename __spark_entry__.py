@@ -698,6 +698,15 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus-prep pipeline (operators/corpus.py): lang filter →
+    quality floor → exact dedup → hash split → per-split accounting, all
+    signals computed in one scan."""
+    from breweries_etl_spark.operators.corpus import training_data_prep
+
+    return training_data_prep(load_table(spark, sf_dir, "documents"))
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.brute_force_topk(
@@ -1461,6 +1470,48 @@ scored AS (
 )
 SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 """,
+    "training_data_prep": f"""
+WITH hits AS (
+  SELECT doc_id, text,
+    {_marker_hits("en")} AS h_en,
+    {_marker_hits("es")} AS h_es,
+    {_marker_hits("de")} AS h_de,
+    {_marker_hits("fr")} AS h_fr
+  FROM documents
+), base AS (
+  SELECT doc_id,
+    CASE WHEN len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
+         WHEN {_GREATEST} = 0 THEN 'unknown'
+         WHEN h_en = {_GREATEST} THEN 'en'
+         WHEN h_es = {_GREATEST} THEN 'es'
+         WHEN h_de = {_GREATEST} THEN 'de'
+         ELSE 'fr' END AS lang_pred,
+    round(
+      0.5 * least(1.0, CAST(len({_TOKS}) AS DOUBLE) / 100.0)
+      + 0.3 * (CASE WHEN len({_TOKS}) > 0
+          THEN CAST({_STOP_HITS} AS DOUBLE)
+               / CAST(len({_TOKS}) AS DOUBLE) ELSE 0.0 END)
+      + 0.2 * (1.0 - CASE WHEN len({_TOKS}) > 0
+          THEN least(1.0, CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                          / CAST(len({_TOKS}) AS DOUBLE)) ELSE 0.0 END)
+    , 6) AS q,
+    CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+    md5({_NORM}) AS content_key,
+    CAST('0x' || substring(md5(CAST(doc_id AS STRING)), 1, 4) AS BIGINT) AS bucket
+  FROM hits
+), filtered AS (
+  SELECT * FROM base WHERE lang_pred = 'en' AND q >= 0.5
+), keepers AS (
+  SELECT content_key, min(doc_id) AS doc_id FROM filtered GROUP BY content_key
+)
+SELECT CASE WHEN bucket < 6553 THEN 'test' ELSE 'train' END AS split,
+  count(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  round(CAST(SUM(CAST(q AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6) AS avg_quality
+FROM filtered f
+JOIN keepers k ON f.doc_id = k.doc_id
+GROUP BY split ORDER BY split
+""",
     "hash_sample_documents": """
 SELECT doc_id, lang FROM documents
 WHERE CAST('0x' || substring(md5(CAST(doc_id AS STRING)), 1, 4) AS BIGINT) < 13107
@@ -1735,6 +1786,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,  # rows-only
         # dedup
         "dedup_exact": q_dedup_exact,
+        "training_data_prep": q_training_data_prep,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,  # rows-only
         "dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only

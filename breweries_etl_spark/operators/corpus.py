@@ -1,0 +1,80 @@
+"""End-to-end training-data corpus preparation: the composite pipeline a
+large-scale LLM data team runs nightly — language routing, quality
+floors, exact dedup, and a reproducible train/test split — expressed as
+ONE single-scan Spark plan.
+
+Scale design:
+- Every text-derived signal (language, quality, token count, content
+  key, split bucket) is computed in the SAME projection over the scan —
+  five operator "passes" cost one parquet read and zero joins.
+- The dedup is a min-id window over content_key rather than a
+  groupBy + join-back: the join-back formulation plans a SECOND corpus
+  scan (and recomputes every regex signal); the window shuffles only the
+  already-projected narrow signal columns — text never moves, and the
+  100 TB plan reads the corpus exactly once.
+- The split is content-hash keyed (operators/sampling.py), so a document
+  can never migrate between train and test when the corpus grows or the
+  partitioning changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import _BUCKETS, hash_bucket_expr
+from .text import (
+    lang_pred_expr,
+    normalize_text_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+
+
+def training_data_prep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    test_fraction: float = 0.1,
+) -> DataFrame:
+    """lang filter → quality floor → exact dedup (keep min id per
+    normalized content) → hash split → per-split corpus accounting.
+
+    Returns one row per split with document count, total word tokens,
+    and mean quality (decimal-summed for cross-engine determinism).
+    """
+    text = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        lang_pred_expr(text).alias("lang_pred"),
+        quality_score_expr(text).alias("q"),
+        token_count_expr(text).cast("long").alias("n_tokens"),
+        F.md5(normalize_text_expr(text)).alias("content_key"),
+        hash_bucket_expr(F.col(id_col)).alias("bucket"),
+    )
+    filtered = base.filter(
+        (F.col("lang_pred") == lang) & (F.col("q") >= min_quality)
+    )
+    w = Window.partitionBy("content_key").orderBy(F.asc(id_col))
+    kept = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    threshold = int(test_fraction * _BUCKETS)
+    split = F.when(F.col("bucket") < threshold, "test").otherwise("train")
+    return (
+        kept.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(10,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+        )
+        .orderBy("split")
+    )

@@ -105,12 +105,10 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Composite quality score in [0,1] — the length/punctuation/stopword
-    heuristic family used to pre-filter LLM training corpora. Weights are
-    illustrative; the shape (cheap columnar signals → one scalar) is the
-    point."""
-    text = F.col(text_col)
+def quality_score_expr(text: Column) -> Column:
+    """Composite quality score in [0,1] as a plain column expression, so
+    composite pipelines can evaluate it in the SAME scan as other
+    signals — no join needed."""
     toks = tokens_expr(text)
     n_tokens = F.size(toks).cast("double")
     length_component = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
@@ -125,13 +123,21 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.3) * stop_component
         + F.lit(0.2) * (F.lit(1.0) - punct_component)
     )
-    return df.select("doc_id", F.round(score, 6).alias("quality_score"))
+    return F.round(score, 6)
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Language-ID heuristic: CJK codepoints ⇒ zh, else argmax of marker-
-    word hits with a fixed priority order (deterministic ties)."""
-    text = F.col(text_col)
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1] — the length/punctuation/stopword
+    heuristic family used to pre-filter LLM training corpora. Weights are
+    illustrative; the shape (cheap columnar signals → one scalar) is the
+    point."""
+    return df.select(
+        "doc_id", quality_score_expr(F.col(text_col)).alias("quality_score")
+    )
+
+
+def lang_pred_expr(text: Column) -> Column:
+    """Language prediction as a plain column expression (see lang_id)."""
 
     def marker_hits(markers: list[str]) -> Column:
         return F.size(
@@ -140,7 +146,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     hits = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
     best = F.greatest(*hits.values())
-    pred = (
+    return (
         F.when(F.size(F.regexp_extract_all(text, F.lit(CJK_RE), 0)) > 0, F.lit("zh"))
         .when(best == 0, F.lit("unknown"))
         .when(hits["en"] == best, F.lit("en"))
@@ -148,7 +154,12 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         .when(hits["de"] == best, F.lit("de"))
         .otherwise(F.lit("fr"))
     )
-    return df.select("doc_id", pred.alias("lang_pred"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: CJK codepoints ⇒ zh, else argmax of marker-
+    word hits with a fixed priority order (deterministic ties)."""
+    return df.select("doc_id", lang_pred_expr(F.col(text_col)).alias("lang_pred"))
 
 
 # PII-ish scrub patterns — dialect-portable (no \d/\w class shorthand).

@@ -1,0 +1,47 @@
+"""Composite training-data prep pipeline: single-scan signal computation,
+dedup-by-content, reproducible split."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from breweries_etl_spark.operators.corpus import training_data_prep
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_prep_single_scan_no_signal_joins(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _explain(training_data_prep(docs))
+    # exactly one scan of documents (formatted output names each node
+    # twice: once in the tree, once in the details section): all five
+    # text signals ride one projection, dedup is a window — no join-back
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_prep_dedup_and_split_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            # two exact dups (after normalization) -> one survivor
+            Row(doc_id=1, text="The quick brown fox is the best of all the animals in town"),
+            Row(doc_id=2, text="the quick brown fox is the best of all the animals in town!"),
+            # unique doc, same language/quality band
+            Row(doc_id=3, text="And the slow green turtle is of course also one of the animals"),
+            # non-English -> filtered out
+            Row(doc_id=4, text="el rapido zorro marron y la tortuga verde en la ciudad"),
+        ]
+    )
+    rows = {r["split"]: r for r in training_data_prep(docs, min_quality=0.0).collect()}
+    total_docs = sum(r["n_docs"] for r in rows.values())
+    assert total_docs == 2  # doc 2 deduped away, doc 4 language-filtered
+    assert all(r["total_tokens"] > 0 for r in rows.values())
+    # rerun is bit-identical (content-hash split, no randomness)
+    again = {r["split"]: r for r in training_data_prep(docs, min_quality=0.0).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
