@@ -707,6 +707,37 @@ def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_data_prep(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact n-gram Jaccard pair list
+    (operators/graph.py): iterative min-label propagation; oracled
+    against a DuckDB recursive-CTE reachability closure."""
+    from breweries_etl_spark.operators.graph import connected_components
+
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+    return connected_components(pairs)
+
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster canonical summary (cluster sizes, docs to drop)."""
+    from breweries_etl_spark.operators.graph import dedup_cluster_canonical
+
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+    return dedup_cluster_canonical(pairs)
+
+
+def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click → purchase attribution) driven
+    to completion over the static events table; oracled against the
+    equivalent batch range join."""
+    from breweries_etl_spark.streaming.events import run_click_attribution_once
+
+    return run_click_attribution_once(spark, sf_dir)
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.brute_force_topk(
@@ -1470,6 +1501,81 @@ scored AS (
 )
 SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 """,
+    "dedup_clusters": f"""
+WITH RECURSIVE {_shingle_cte(3)},
+sh_ok AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh_ok),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT id_a, id_b,
+    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) AS jac
+  FROM cand JOIN sh_ok x ON x.doc_id = id_a JOIN sh_ok y ON y.doc_id = id_b
+),
+pairs AS (SELECT id_a, id_b FROM j WHERE round(jac, 6) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.dst AS node, rr.r FROM reach rr JOIN edges e ON e.src = rr.node
+)
+SELECT node AS doc_id, min(r) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+""",
+    "dedup_cluster_stats": f"""
+WITH RECURSIVE {_shingle_cte(3)},
+sh_ok AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh_ok),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT id_a, id_b,
+    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) AS jac
+  FROM cand JOIN sh_ok x ON x.doc_id = id_a JOIN sh_ok y ON y.doc_id = id_b
+),
+pairs AS (SELECT id_a, id_b FROM j WHERE round(jac, 6) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.dst AS node, rr.r FROM reach rr JOIN edges e ON e.src = rr.node
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, count(*) AS cluster_size,
+  count(*) - 1 AS n_to_drop
+FROM cc GROUP BY cluster_id ORDER BY cluster_id
+""",
+    "streaming_click_attribution": """
+WITH c AS (
+  SELECT event_id AS click_id, user_id,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT click_id, purchase_id, p.user_id,
+  (p_us // 1000000) - (c_us // 1000000) AS gap_seconds
+FROM p JOIN c ON p.user_id = c.user_id
+  AND p_us >= c_us AND p_us <= c_us + 1800000000
+""",
     "training_data_prep": f"""
 WITH hits AS (
   SELECT doc_id, text,
@@ -1787,6 +1893,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "dedup_exact": q_dedup_exact,
         "training_data_prep": q_training_data_prep,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
+        "streaming_click_attribution": q_streaming_click_attribution,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,  # rows-only
         "dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only

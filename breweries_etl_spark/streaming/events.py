@@ -138,3 +138,68 @@ def run_tumbling_once(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def streaming_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time range: each purchase
+    matches the same user's clicks in the preceding ``max_gap``. Both
+    sides carry watermarks and the join condition bounds event time in
+    BOTH directions, so Spark can size and expire the join state — the
+    unbounded-state trap of stream-stream joins is structurally avoided.
+    Attribution joins (click → conversion) are exactly this shape."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("gap_seconds"),
+    )
+
+
+def run_click_attribution_once(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_attribution"
+) -> DataFrame:
+    """Drive the stream-stream join to completion over the static events
+    table (append mode — inner interval joins emit matches as they
+    arrive) and return the result as a batch DataFrame."""
+    events = stream_events(spark, sf_dir)
+    joined = streaming_click_purchase_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -139,3 +139,48 @@ def test_foreach_batch_sink_idempotent_layout(spark, tmp_path):
     # per-epoch directory layout (idempotent overwrite target)
     import os
     assert any(d.startswith("epoch=") for d in os.listdir(out))
+
+
+def test_stream_stream_join_equals_batch_range_join(spark):
+    """The streaming click→purchase attribution must equal the batch
+    range join on the same static events data (inner interval joins
+    emit every match once the stream drains)."""
+    from pyspark.sql import functions as F
+
+    from breweries_etl_spark.sources.tables import load_events
+    from breweries_etl_spark.streaming.events import run_click_attribution_once
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["click_id"], r["purchase_id"], r["gap_seconds"])
+        for r in run_click_attribution_once(
+            spark, sf_dir, query_name="attr_test"
+        ).collect()
+    }
+    ev = load_events(spark, sf_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    batch = {
+        (r["click_id"], r["purchase_id"], r["gap"])
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            (F.unix_timestamp("pts") - F.unix_timestamp("cts")).alias("gap"),
+        )
+        .collect()
+    }
+    assert got == batch and len(got) > 0
