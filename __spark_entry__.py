@@ -738,6 +738,22 @@ def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_click_attribution_once(spark, sf_dir)
 
 
+def q_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-bucketed point-in-interval join with no equi-key: non-error
+    events landing inside each error's 10-minute incident window."""
+    from breweries_etl_spark.operators.rangejoin import error_window_coverage
+
+    return error_window_coverage(load_events(spark, sf_dir))
+
+
+def q_range_join_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-bucketed interval-overlap join: concurrent sessions across
+    different users, exactly-once via the later-start-bin rule."""
+    from breweries_etl_spark.operators.rangejoin import session_overlap_pairs
+
+    return session_overlap_pairs(load_events(spark, sf_dir))
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.brute_force_topk(
@@ -1561,6 +1577,46 @@ SELECT cluster_id, count(*) AS cluster_size,
   count(*) - 1 AS n_to_drop
 FROM cc GROUP BY cluster_id ORDER BY cluster_id
 """,
+    "range_join_error_window": """
+WITH err AS (
+  SELECT event_id AS err_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+    epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e
+  FROM events WHERE event_type = 'error'
+), pts AS (
+  SELECT event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events WHERE event_type <> 'error'
+)
+SELECT err_id, count(*) AS n_covered,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM err JOIN pts ON us >= s AND us < e
+GROUP BY err_id
+""",
+    "range_join_session_overlap": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+    lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e
+), sess AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), s AS (
+  SELECT user_id, min(us) AS s_us, max(us) AS e_us
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+  count(*) AS n_session_pairs,
+  CAST(SUM(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us)) AS BIGINT)
+    AS total_overlap_us
+FROM s a JOIN s b
+  ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+GROUP BY user_a, user_b
+""",
     "streaming_click_attribution": """
 WITH c AS (
   SELECT event_id AS click_id, user_id,
@@ -1896,6 +1952,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "streaming_click_attribution": q_streaming_click_attribution,
+        # range joins (bin-bucketed, no equi-key)
+        "range_join_error_window": q_range_join_error_window,
+        "range_join_session_overlap": q_range_join_session_overlap,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,  # rows-only
         "dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
