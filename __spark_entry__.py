@@ -479,6 +479,21 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_once(spark, sf_dir)
 
 
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_sliding — same oracle."""
+    from breweries_etl_spark.streaming.events import run_sliding_once
+
+    return run_sliding_once(spark, sf_dir)
+
+
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming session_window driven to completion — same
+    session boundaries as the batch lag+cumsum oracle."""
+    from breweries_etl_spark.streaming.events import run_session_window_once
+
+    return run_session_window_once(spark, sf_dir)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats(load_table(spark, sf_dir, "documents"))
 
@@ -829,6 +844,38 @@ SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS windo
   event_type, count(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
+"""
+
+_SLIDING_SQL = """
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events),
+ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
+w AS (
+  SELECT (epoch_us(t) // 900000000) * 900 - k * 900 AS window_start, value
+  FROM e CROSS JOIN ks
+)
+SELECT window_start, count(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM w GROUP BY window_start
+"""
+
+_SESSION_WINDOW_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+    lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e
+), sess AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_id
 """
 
 _GREATEST = "greatest(h_en, h_es, h_de, h_fr)"
@@ -1384,17 +1431,8 @@ FROM nation GROUP BY 1
     # ----- temporal / streaming
     "events_tumbling": _TUMBLING_SQL,
     "streaming_tumbling": _TUMBLING_SQL,
-    "events_sliding": """
-WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events),
-ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
-w AS (
-  SELECT (epoch_us(t) // 900000000) * 900 - k * 900 AS window_start, value
-  FROM e CROSS JOIN ks
-)
-SELECT window_start, count(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-FROM w GROUP BY window_start
-""",
+    "events_sliding": _SLIDING_SQL,
+    "streaming_sliding": _SLIDING_SQL,
     "events_sessionize": """
 WITH e AS (
   SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
@@ -1415,25 +1453,8 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM sess GROUP BY user_id, session_id
 """,
-    "events_session_window": """
-WITH e AS (
-  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-    lag(epoch_us(CAST(ts AS TIMESTAMP)))
-      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-  FROM events
-), flagged AS (
-  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
-                 THEN 1 ELSE 0 END AS brk
-  FROM e
-), sess AS (
-  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM flagged
-)
-SELECT user_id, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-FROM sess GROUP BY user_id, session_id
-""",
+    "events_session_window": _SESSION_WINDOW_SQL,
+    "streaming_session_window": _SESSION_WINDOW_SQL,
     # ----- text analysis
     "text_stats": f"""
 SELECT doc_id,
@@ -1928,6 +1949,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_session_window": q_events_session_window,
         "streaming_tumbling": q_streaming_tumbling,
+        "streaming_sliding": q_streaming_sliding,
+        "streaming_session_window": q_streaming_session_window,
         # text analysis
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,

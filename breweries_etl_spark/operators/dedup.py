@@ -134,6 +134,33 @@ def minhash_signatures(
     )
 
 
+def bucket_candidate_pairs(
+    membership: DataFrame, bucket_cols: list[str], id_col: str, max_bucket: int
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs co-occurring in some bucket, with
+    oversized buckets dropped — ONE shuffle of (bucket, id) rows.
+
+    groupBy → sorted id array → pairwise expansion via
+    ``posexplode + slice`` (both codegen'd array ops, no interpreted
+    higher-order lambdas). The earlier size-filter formulation (count
+    aggregate, join back, then a self equi-join) shuffled the membership
+    relation three times on the same key and ran ~3× slower; here the
+    per-bucket array is bounded by ``max_bucket`` ids (~8 KB at the
+    default cap), pair expansion is executor-local, and the only other
+    shuffle is the final ``distinct`` over the (small) pair list.
+    """
+    buckets = (
+        membership.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pos = buckets.select(F.posexplode("ids").alias("_pos", "id_a"), "ids")
+    return pos.select(
+        "id_a",
+        F.explode(F.slice("ids", F.col("_pos") + 2, F.size("ids"))).alias("id_b"),
+    ).distinct()
+
+
 def lsh_candidate_pairs(
     mins: DataFrame,
     id_col: str = "doc_id",
@@ -141,7 +168,7 @@ def lsh_candidate_pairs(
     rows: int = LSH_ROWS,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """Band the minima columns, bucket-join, emit distinct candidate pairs.
+    """Band the minima columns, bucket, emit distinct candidate pairs.
 
     Band hashes are plain ``xxhash64(band_idx, h_i...h_j)`` column
     expressions over the wide minima — fully codegen'd, no array lambdas.
@@ -167,26 +194,7 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
-
-    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("bucket_n")
-    )
-    bounded = banded.join(
-        bucket_sizes.filter(F.col("bucket_n") <= max_bucket),
-        ["band_idx", "band_hash"],
-    )
-    a = bounded.alias("a")
-    b = bounded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return bucket_candidate_pairs(banded, ["band_idx", "band_hash"], id_col, max_bucket)
 
 
 def jaccard_expr(a: Column, b: Column) -> Column:
@@ -268,23 +276,24 @@ def ngram_jaccard_pairs(
     sh = shingle_sets(df, text_col, id_col, n)
     inverted = sh.select(id_col, F.explode("shingles").alias("shingle"))
     if max_df is not None:
-        shingle_df = inverted.groupBy("shingle").agg(
-            F.count(F.lit(1)).alias("shingle_df")
+        cands = bucket_candidate_pairs(inverted, ["shingle"], id_col, max_df)
+    else:
+        # Uncapped ground truth: keep the join formulation — a hot
+        # shingle's per-bucket id ARRAY would be unbounded in one task,
+        # while the join at least spreads the quadratic work.
+        a = inverted.alias("a")
+        b = inverted.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .distinct()
         )
-        inverted = inverted.join(
-            shingle_df.filter(F.col("shingle_df") <= max_df), "shingle"
-        ).select(id_col, "shingle")
-    a = inverted.alias("a")
-    b = inverted.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
     result = (
         cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")

@@ -120,13 +120,30 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
-def run_tumbling_once(
-    spark: SparkSession, sf_dir: str, query_name: str = "stream_tumbling"
+def streaming_session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
-    """Drive the streaming aggregation to completion over the static
-    events table (memory sink, complete mode) and return the result as a
-    batch DataFrame."""
-    agg = streaming_tumbling_counts(stream_events(spark, sf_dir))
+    """Watermarked streaming sessionization with native ``session_window``
+    — the streaming twin of temporal.session_window_agg. Spark merges
+    session state incrementally as events arrive; the watermark lets the
+    engine finalize (and drop) sessions whose gap has provably expired,
+    so state is bounded by the active-session count, not stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros(F.col("ts"))).alias("start_us"),
+            F.max(F.unix_micros(F.col("ts"))).alias("end_us"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select("user_id", "n_events", "start_us", "end_us", "total_value")
+    )
+
+
+def _run_complete_once(agg: DataFrame, spark: SparkSession, query_name: str) -> DataFrame:
+    """Drive a streaming aggregation to completion over a static source
+    (memory sink, complete mode) and return the result as a batch frame."""
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -138,6 +155,33 @@ def run_tumbling_once(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_sliding_once(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_sliding"
+) -> DataFrame:
+    return _run_complete_once(
+        streaming_sliding_counts(stream_events(spark, sf_dir)), spark, query_name
+    )
+
+
+def run_session_window_once(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_session"
+) -> DataFrame:
+    return _run_complete_once(
+        streaming_session_window_agg(stream_events(spark, sf_dir)), spark, query_name
+    )
+
+
+def run_tumbling_once(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_tumbling"
+) -> DataFrame:
+    """Drive the streaming aggregation to completion over the static
+    events table (memory sink, complete mode) and return the result as a
+    batch DataFrame."""
+    return _run_complete_once(
+        streaming_tumbling_counts(stream_events(spark, sf_dir)), spark, query_name
+    )
 
 
 def streaming_click_purchase_join(

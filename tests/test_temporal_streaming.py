@@ -77,6 +77,19 @@ def test_streaming_sliding_equals_batch(spark):
     assert s == b and len(b) > 0
 
 
+def test_streaming_session_window_equals_batch(spark):
+    from breweries_etl_spark.operators.temporal import session_window_agg
+    from breweries_etl_spark.streaming.events import run_session_window_once
+
+    sf_dir = "/root/testdata/sf0.001"
+    s = {
+        tuple(r)
+        for r in run_session_window_once(spark, sf_dir, query_name="t_sess_eq").collect()
+    }
+    b = {tuple(r) for r in session_window_agg(load_events(spark, sf_dir)).collect()}
+    assert s == b and len(b) > 0
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """Duplicate event_ids replayed in a later micro-batch are dropped
     while state stays watermark-bounded."""
