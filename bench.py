@@ -46,6 +46,7 @@ HEADLINE = [
     "asof_purchase_view",
     "merge_upsert",
     "json_extract_stats",
+    "range_join_error_window",
 ]
 
 

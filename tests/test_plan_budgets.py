@@ -17,6 +17,39 @@ def _exchanges(df) -> int:
     return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", plan))
 
 
+def test_runtime_bloom_filter_engages_on_selective_fact_join(spark, sf_dir):
+    """At 100 TB a selective dim filter should prune the fact scan via a
+    runtime bloom filter (row-group skipping before the shuffle). The
+    trigger thresholds are sized for TB-scale scans, so locally we lower
+    them and pin that the optimizer DOES inject might_contain /
+    bloom_filter_agg when the scan qualifies — i.e. the scale path is
+    live, not config-disabled."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        sel = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+        j = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy()
+            .agg(F.sum("l_quantity").alias("s"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_q1_at_most_two_exchanges(spark, sf_dir):
     # one for the aggregation, one range-exchange for the final orderBy
     assert _exchanges(analytics.tpch_q1(spark, sf_dir)) <= 2
