@@ -268,6 +268,26 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.select("brewery_type", "location", "state", "city", "brewery_count")
 
 
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless semi-structured handling via Spark 4's VARIANT type:
+    ``parse_json`` once into a binary variant, then typed path extraction
+    (``try_variant_get``) — the scale posture for ragged JSON where a
+    declared from_json schema would drop unknown fields. Shares its
+    oracle semantics with json_extract_stats but exercises the variant
+    codepath; quantile-free aggregates keep it engine-portable."""
+    ev = load_events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+        )
+    )
+
+
 def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: parse the JSON props string with
     a DECLARED schema (from_json) and aggregate the extracted field —
@@ -1341,6 +1361,12 @@ SELECT event_type, count(*) AS n,
   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """,
+    "variant_props_stats": """
+SELECT event_type, count(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
+FROM events GROUP BY event_type
+""",
     "set_intersect": """
 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 INTERSECT
@@ -1934,6 +1960,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "text_redact_pii": q_text_redact_pii,
         "json_extract_stats": q_json_extract_stats,
+        "variant_props_stats": q_variant_props_stats,
         "set_intersect": q_set_intersect,
         "set_except": q_set_except,
         "explode_shingle_vocab": q_explode_shingle_vocab,

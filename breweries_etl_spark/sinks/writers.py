@@ -118,6 +118,82 @@ def write_bucketed_table(
     writer.saveAsTable(table_name)
 
 
+def write_sorted_by_range(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int | None = None,
+    max_records_per_file: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Layout-managed write: range-partition on ``sort_col`` then sort
+    within partitions, so each output file owns a DISJOINT key range and
+    its parquet row-group min/max stats actually prune.
+
+    At 100 TB this is the poor-man's Z-order for the single-key case: a
+    later ``WHERE sort_col BETWEEN ...`` scan skips every file whose
+    range doesn't intersect (footer stats), instead of reading the whole
+    table. ``repartitionByRange`` samples the key distribution, so skew
+    (a hot day, a hot customer) still yields balanced files.
+    """
+    out = df.repartitionByRange(*( [n_files] if n_files else [] ), F.col(sort_col))
+    out = out.sortWithinPartitions(sort_col)
+    writer = out.write.mode("overwrite").format(fmt)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.save(path)
+
+
+def compact_directory(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` files (streaming sinks, per-epoch writers, and
+    over-parallel jobs all leave file slivers; a 100 TB table with
+    million-file partitions spends more time in listing/open than IO).
+
+    Sizing uses the directory's CURRENT bytes (cheap driver-side listing)
+    — no data pass before the single rewrite. Returns
+    {"files_before", "files_after", "bytes"} for observability. With
+    ``sort_col`` the rewrite also restores range layout (see
+    write_sorted_by_range). The rewrite goes through a temp directory and
+    an atomic-as-possible swap, so a crash leaves either the old or the
+    new layout, never a mix.
+    """
+
+    def _count_files(p: str) -> int:
+        return sum(
+            1
+            for dirpath, _d, files in os.walk(p)
+            for f in files
+            if f.endswith((".parquet", ".orc")) or "part-" in f
+        )
+
+    bytes_total = directory_bytes(path)
+    files_before = _count_files(path)
+    n_files = max(1, round(bytes_total / target_file_bytes))
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if sort_col is not None:
+        write_sorted_by_range(df, tmp, sort_col, n_files=n_files, fmt=fmt)
+    else:
+        df.repartition(n_files).write.mode("overwrite").format(fmt).save(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "files_before": files_before,
+        "files_after": _count_files(path),
+        "bytes": bytes_total,
+    }
+
+
 def prepare_landing_directory(path: str) -> None:
     """K7 — landing lifecycle reset (ref: U/helpers.py:200-211)."""
     shutil.rmtree(path, ignore_errors=True)

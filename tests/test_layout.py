@@ -1,0 +1,59 @@
+"""File-layout management: range-sorted writes (file-level data
+skipping) and small-file compaction."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from breweries_etl_spark.sinks.writers import compact_directory, write_sorted_by_range
+
+
+def _file_ranges(spark, path, col):
+    """Per-file (min, max) of ``col`` — what footer-stats pruning sees."""
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        r = spark.read.parquet(f).agg(F.min(col), F.max(col)).first()
+        ranges.append((r[0], r[1]))
+    return ranges
+
+
+def test_write_sorted_by_range_disjoint_files(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_sorted")
+    write_sorted_by_range(orders, out, "o_orderdate", n_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    ranges = [r for r in _file_ranges(spark, out, "o_orderdate") if r[0] is not None]
+    assert len(ranges) >= 2
+    # each file owns a disjoint key range -> footer stats prune scans
+    for (lo1, hi1), (lo2, hi2) in zip(sorted(ranges), sorted(ranges)[1:]):
+        assert hi1 <= lo2
+
+
+def test_compact_directory_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "sliver_dir")
+    orders.repartition(37).write.parquet(out)
+    before = spark.read.parquet(out)
+    n, s = before.count(), before.agg(F.sum("o_orderkey")).first()[0]
+    stats = compact_directory(spark, out, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_before"] >= 37
+    assert stats["files_after"] < stats["files_before"]
+    after = spark.read.parquet(out)
+    assert after.count() == n
+    assert after.agg(F.sum("o_orderkey")).first()[0] == s
+
+
+def test_compact_directory_with_sort_restores_range_layout(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "sliver_sorted")
+    orders.repartition(20).write.parquet(out)
+    compact_directory(
+        spark, out, target_file_bytes=64 * 1024, sort_col="o_orderkey"
+    )
+    ranges = [r for r in _file_ranges(spark, out, "o_orderkey") if r[0] is not None]
+    if len(ranges) >= 2:
+        for (lo1, hi1), (lo2, hi2) in zip(sorted(ranges), sorted(ranges)[1:]):
+            assert hi1 <= lo2
