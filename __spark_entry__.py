@@ -773,6 +773,36 @@ def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_click_attribution_once(spark, sf_dir)
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel via chained conditional-min
+    aggregations on one shuffle key."""
+    from breweries_etl_spark.operators.behavior import funnel_steps
+
+    return funnel_steps(load_events(spark, sf_dir))
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention on epoch-day integers (first-active day ×
+    day offset × distinct actives)."""
+    from breweries_etl_spark.operators.behavior import retention_cohorts
+
+    return retention_cohorts(load_events(spark, sf_dir))
+
+
+def q_approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (percentile_approx / KLL-style) — the
+    100 TB path where exact sort-based quantiles are a full shuffle.
+    Rows-only for the driver (sketch internals differ from DuckDB's);
+    tests bound the error vs the exact quantiles instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        *[
+            F.percentile_approx("o_totalprice", p, 10_000).alias(f"p{int(p * 100)}")
+            for p in (0.5, 0.9, 0.99)
+        ]
+    )
+
+
 def q_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bin-bucketed point-in-interval join with no equi-key: non-error
     events landing inside each error's 10-minute incident window."""
@@ -1624,6 +1654,36 @@ SELECT cluster_id, count(*) AS cluster_size,
   count(*) - 1 AS n_to_drop
 FROM cc GROUP BY cluster_id ORDER BY cluster_id
 """,
+    "funnel_conversion": """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+), t1 AS (
+  SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.us >= t1.t1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.us >= t2.t2 GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM t1) AS n_step1,
+       (SELECT count(*) FROM t2) AS n_step2,
+       (SELECT count(*) FROM t3) AS n_step3
+""",
+    "retention_cohorts": """
+WITH a AS (
+  SELECT DISTINCT user_id,
+    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS active_day
+  FROM events
+), c AS (
+  SELECT user_id, min(active_day) AS cohort_day FROM a GROUP BY user_id
+)
+SELECT cohort_day, active_day - cohort_day AS day_offset,
+  count(DISTINCT a.user_id) AS n_active_users
+FROM a JOIN c ON a.user_id = c.user_id
+WHERE active_day - cohort_day <= 30
+GROUP BY cohort_day, day_offset
+""",
     "range_join_error_window": """
 WITH err AS (
   SELECT event_id AS err_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
@@ -2005,6 +2065,10 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # range joins (bin-bucketed, no equi-key)
         "range_join_error_window": q_range_join_error_window,
         "range_join_session_overlap": q_range_join_session_overlap,
+        # behavioral analytics
+        "funnel_conversion": q_funnel_conversion,
+        "retention_cohorts": q_retention_cohorts,
+        "approx_order_percentiles": q_approx_order_percentiles,  # rows-only
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,  # rows-only
         "dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
