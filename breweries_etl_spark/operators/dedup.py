@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import ensure_parallelism
-from .text import normalize_text_expr, shingles_expr
+from .text import normalize_text_expr, shingle_hashes_expr, shingles_expr
 
 # 32 permutations, 8 bands × 4 rows: catches Jaccard ≳ 0.5 with high
 # probability while keeping the signature at 256 bytes/doc.
@@ -56,9 +56,13 @@ def dedup_exact(
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
     cache: bool = True,
+    hashed: bool = False,
 ) -> DataFrame:
     """(id, distinct shingle array) — spread thin inputs across cores
-    first (no-op when the scan already has splits).
+    first (no-op when the scan already has splits). With ``hashed=True``
+    the array holds 64-bit shingle hashes instead of strings — the form
+    the dedup pipelines persist (8 bytes/shingle; Jaccard identical up
+    to 2^-64 collisions).
 
     The persist sits BETWEEN the shingle projection and the non-empty
     filter: shingling is an interpreted higher-order expression, and
@@ -66,8 +70,9 @@ def shingle_sets(
     projection would re-evaluate the whole transform in the filter
     (measured ~8× slower). The cache is a materialization barrier.
     """
+    expr = shingle_hashes_expr if hashed else shingles_expr
     projected = ensure_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col), shingles_expr(F.col(text_col), n).alias("shingles")
+        F.col(id_col), expr(F.col(text_col), n).alias("shingles")
     )
     if cache:
         projected = projected.persist()
@@ -125,7 +130,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, shingles, signature array) — array form for tests/inspection;
     the pipeline itself stays on the wide columns."""
-    sh = shingle_sets(df, text_col, id_col, n)
+    sh = shingle_sets(df, text_col, id_col, n, hashed=True)
     mins = minhash_mins(sh, id_col, perms)
     return sh.join(mins, id_col).select(
         F.col(id_col),
@@ -228,7 +233,7 @@ def minhash_near_duplicates(
     returning: nothing corpus-scale stays pinned in executor storage.
     Pass ``release=False`` to keep the lazy plan (tests/inspection).
     """
-    sh = shingle_sets(df, text_col, id_col, n)
+    sh = shingle_sets(df, text_col, id_col, n, hashed=True)
     mins = minhash_mins(sh, id_col).persist()
     mins.count()
     pairs = lsh_candidate_pairs(mins, id_col)
@@ -273,7 +278,7 @@ def ngram_jaccard_pairs(
     shared half, candidacy is preserved. ``max_df=None`` disables the
     cap (full ground truth).
     """
-    sh = shingle_sets(df, text_col, id_col, n)
+    sh = shingle_sets(df, text_col, id_col, n, hashed=True)
     inverted = sh.select(id_col, F.explode("shingles").alias("shingle"))
     if max_df is not None:
         cands = bucket_candidate_pairs(inverted, ["shingle"], id_col, max_df)

@@ -28,6 +28,10 @@ QUERIES = [
     "topk_orders_per_customer", "dedup_exact", "dedup_minhash_pairs",
     "text_stats", "text_fingerprint", "events_sessionize", "similarity_topk",
     "asof_purchase_view",
+    # round-2: range joins + behavioral (events are scaled in-place in
+    # time, so density grows 10x -> range-join pair counts grow ~100x;
+    # superlinear growth here is the workload, not the plan)
+    "range_join_error_window", "funnel_conversion", "retention_cohorts",
 ]
 
 
