@@ -789,6 +789,20 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load_events(spark, sf_dir))
 
 
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value slope from exact component sums (native)."""
+    from breweries_etl_spark.operators.behavior import value_trend
+
+    return value_trend(load_events(spark, sf_dir))
+
+
+def q_user_value_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas twin — same oracle as user_value_trend."""
+    from breweries_etl_spark.operators.behavior import value_trend_pandas
+
+    return value_trend_pandas(load_events(spark, sf_dir))
+
+
 def q_approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles (percentile_approx / KLL-style) — the
     100 TB path where exact sort-based quantiles are a full shuffle.
@@ -1654,6 +1668,24 @@ SELECT cluster_id, count(*) AS cluster_size,
   count(*) - 1 AS n_to_drop
 FROM cc GROUP BY cluster_id ORDER BY cluster_id
 """,
+    "user_value_trend": """
+WITH e AS (
+  SELECT user_id,
+    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 1704067200 AS BIGINT) AS x,
+    CAST(value AS DECIMAL(12,2)) AS y
+  FROM events
+), agg AS (
+  SELECT user_id, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM e GROUP BY user_id
+)
+SELECT user_id,
+  round(CAST(CAST(n AS DECIMAL(38,2)) * sxy - CAST(sx AS DECIMAL(38,2)) * sy
+             AS DOUBLE)
+        / CAST(n * sxx - sx * sx AS DOUBLE) * 3600.0, 6) AS slope_per_hour,
+  n AS n_events
+FROM agg WHERE n * sxx - sx * sx > 0
+""",
     "funnel_conversion": """
 WITH e AS (
   SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
@@ -1922,6 +1954,7 @@ FROM documents
 
 # Same exact result, different physical strategy — shared oracle.
 _ORACLES["similarity_topk_pandas"] = _ORACLES["similarity_topk"]
+_ORACLES["user_value_trend_pandas"] = _ORACLES["user_value_trend"]
 
 
 # ---------------------------------------------------------------------------
@@ -2068,6 +2101,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # behavioral analytics
         "funnel_conversion": q_funnel_conversion,
         "retention_cohorts": q_retention_cohorts,
+        "user_value_trend": q_user_value_trend,
+        "user_value_trend_pandas": q_user_value_trend_pandas,
         "approx_order_percentiles": q_approx_order_percentiles,  # rows-only
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,  # rows-only

@@ -61,6 +61,96 @@ def funnel_steps(
     )
 
 
+VALUE_TREND_BASE_S = 1_704_067_200  # 2024-01-01 UTC; any constant works
+
+
+def value_trend(df: DataFrame, base_epoch_s: int = VALUE_TREND_BASE_S) -> DataFrame:
+    """Per-user OLS slope of event value over time (value units/hour) —
+    "is this user's spend trending up?" at population scale.
+
+    Computed from EXACT component sums (integer seconds, decimal values):
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Integer/decimal sums are
+    order-independent, so the result is bit-identical across partitioning
+    degrees and engines (the ``corr``-from-exact-sums pattern). ``x`` is
+    centered on a CONSTANT epoch base — slope is shift-invariant, and
+    centering keeps Σx² inside 64-bit/decimal range for decade-scale
+    spans.
+
+    One hash aggregation on user_id; no window, no Python.
+    """
+    from ..functions.exact import money
+
+    x = (F.unix_micros(F.col("ts")) / F.lit(1_000_000)).cast("long") - F.lit(
+        base_epoch_s
+    )
+    y = money("value")
+    agg = df.select(F.col("user_id"), x.alias("x"), y.alias("y")).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = (
+        F.col("n").cast("decimal(38,2)") * F.col("sxy")
+        - F.col("sx").cast("decimal(38,2)") * F.col("sy")
+    )
+    slope_per_hour = num.cast("double") / denom.cast("double") * F.lit(3600.0)
+    return (
+        agg.where(denom > 0)
+        .select(
+            "user_id",
+            F.round(slope_per_hour, 6).alias("slope_per_hour"),
+            F.col("n").alias("n_events"),
+        )
+    )
+
+
+def value_trend_pandas(
+    df: DataFrame, base_epoch_s: int = VALUE_TREND_BASE_S
+) -> DataFrame:
+    """Grouped-map ``applyInPandas`` twin of value_trend — the shape for
+    per-group logic the built-ins can't express (model fits, scipy calls).
+    Shares value_trend's oracle: rows are sorted inside the UDF and the
+    component sums use Python ints / cent-scaled ints, so the arithmetic
+    is exact and matches the JVM decimal path bit-for-bit after round-6.
+
+    Scale: one shuffle on user_id, Arrow-batched; per-user groups must be
+    executor-sized (same contract as any grouped-map)."""
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        x = (pdf["us"] // 1_000_000 - base_epoch_s).astype("int64")
+        cents = (pdf["value"].round(2) * 100).round().astype("int64")
+        n = len(pdf)
+        sx, sy_c = int(x.sum()), int(cents.sum())
+        sxy_c = int((x * cents).sum())
+        sxx = int((x * x).sum())
+        denom = n * sxx - sx * sx
+        if denom <= 0:
+            return pd.DataFrame(
+                {"user_id": pd.array([], dtype="int64"),
+                 "slope_per_hour": pd.array([], dtype="float64"),
+                 "n_events": pd.array([], dtype="int64")}
+            )
+        num_c = n * sxy_c - sx * sy_c  # exact, in cent-seconds
+        slope = round(num_c / 100.0 / denom * 3600.0, 6)
+        return pd.DataFrame(
+            {"user_id": [int(pdf["user_id"].iloc[0])],
+             "slope_per_hour": [slope],
+             "n_events": [n]}
+        )
+
+    prepared = df.select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us"), "value"
+    )
+    return prepared.groupBy("user_id").applyInPandas(
+        fit, schema="user_id long, slope_per_hour double, n_events long"
+    )
+
+
 def retention_cohorts(df: DataFrame, max_offset_days: int = 30) -> DataFrame:
     """Classic cohort retention: users grouped by first-active day; for
     each (cohort_day, day_offset) count distinct users active that day.

@@ -47,6 +47,33 @@ def test_retention_day_zero_covers_every_user(spark, sf_dir):
     assert ret.where(F.col("day_offset") < 0).count() == 0
 
 
+def test_value_trend_strategies_agree(spark, sf_dir):
+    from breweries_etl_spark.operators.behavior import value_trend, value_trend_pandas
+
+    ev = load_events(spark, sf_dir)
+    native = {(r.user_id): (r.slope_per_hour, r.n_events) for r in value_trend(ev).collect()}
+    arrow = {
+        (r.user_id): (r.slope_per_hour, r.n_events)
+        for r in value_trend_pandas(ev).collect()
+    }
+    assert native == arrow and len(native) > 0
+
+
+def test_value_trend_known_slope(spark):
+    # value rises exactly 2.0 per hour for one user -> slope 2.0
+    rows = [
+        (i, f"2024-01-01 0{i}:00:00", 7, "view", 10.0 + 2.0 * i, None)
+        for i in range(5)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    from breweries_etl_spark.operators.behavior import value_trend
+
+    r = value_trend(ev).first()
+    assert r.slope_per_hour == 2.0 and r.n_events == 5
+
+
 def test_approx_percentiles_within_tolerance(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     approx = orders.agg(
