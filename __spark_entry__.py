@@ -789,6 +789,67 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load_events(spark, sf_dir))
 
 
+def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance distribution over the customer–supplier bipartite
+    graph (nodes encoded 2·custkey / 2·suppkey+1) from the minimum
+    customer node — frontier BFS with per-round checkpoints, oracled by
+    a DuckDB recursive CTE (integer levels are engine-deterministic)."""
+    from breweries_etl_spark.operators.graph import bfs_levels
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    sources = edges.agg(F.min("src").alias("node"))
+    levels = bfs_levels(edges, sources, max_hops=6)
+    return (
+        levels.groupBy(F.col("level").cast("long").alias("level"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the part co-purchase graph (parts are
+    adjacent when some order contains both; orders with >50 distinct
+    parts dropped — same cap as the oracle). Degree-ordered-orientation
+    counting; DuckDB oracle uses the count-identical canonical (src<dst)
+    orientation."""
+    from breweries_etl_spark.operators.dedup import bucket_candidate_pairs
+    from breweries_etl_spark.operators.graph import triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    membership = li.select("l_orderkey", "l_partkey").distinct()
+    edges = bucket_candidate_pairs(membership, ["l_orderkey"], "l_partkey", 50)
+    return triangle_stats(edges, "id_a", "id_b")
+
+
+def q_graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank nodes of the directed customer→supplier purchase
+    graph (all suppliers dangling — exercises the mass-redistribution
+    path). Rows-only: float accumulation order is engine-specific;
+    accuracy is pinned by the 1e-9 numpy comparison in test_graph.py."""
+    from breweries_etl_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=5)
+    return ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(20)
+
+
 def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user OLS value slope from exact component sums (native)."""
     from breweries_etl_spark.operators.behavior import value_trend
@@ -1716,6 +1777,51 @@ FROM a JOIN c ON a.user_id = c.user_id
 WHERE active_day - cohort_day <= 30
 GROUP BY cohort_day, day_offset
 """,
+    "graph_bfs_levels": """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+), reach AS (
+  SELECT CAST((SELECT min(src) FROM e0) AS BIGINT) AS node, 0 AS level
+  UNION
+  SELECT e.dst AS node, r.level + 1 AS level
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.level < 6
+), dist AS (
+  SELECT node, min(level) AS lvl FROM reach GROUP BY node
+)
+SELECT CAST(lvl AS BIGINT) AS level, count(*) AS n_nodes
+FROM dist GROUP BY lvl
+""",
+    "graph_triangle_stats": """
+WITH m AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), ok AS (
+  SELECT o FROM m GROUP BY o HAVING count(*) BETWEEN 2 AND 50
+), e AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM m a JOIN m b ON a.o = b.o AND a.p < b.p
+  JOIN ok ON a.o = ok.o
+), deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT src AS n FROM e UNION ALL SELECT dst AS n FROM e
+  ) GROUP BY n
+)
+SELECT
+  (SELECT count(*) FROM deg) AS n_nodes,
+  (SELECT count(*) FROM e) AS n_edges,
+  (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+  (SELECT count(*) FROM e e1
+     JOIN e e2 ON e1.dst = e2.src
+     JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles,
+  round(3.0 * (SELECT count(*) FROM e e1
+     JOIN e e2 ON e1.dst = e2.src
+     JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+    / (SELECT SUM(deg * (deg - 1) // 2) FROM deg), 6) AS clustering
+""",
     "range_join_error_window": """
 WITH err AS (
   SELECT event_id AS err_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
@@ -2094,6 +2200,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_data_prep": q_training_data_prep,
         "dedup_clusters": q_dedup_clusters,
         "dedup_cluster_stats": q_dedup_cluster_stats,
+        "graph_bfs_levels": q_graph_bfs_levels,
+        "graph_triangle_stats": q_graph_triangle_stats,
+        "graph_pagerank_top": q_graph_pagerank_top,  # rows-only
         "streaming_click_attribution": q_streaming_click_attribution,
         # range joins (bin-bucketed, no equi-key)
         "range_join_error_window": q_range_join_error_window,

@@ -226,12 +226,13 @@ def minhash_near_duplicates(
     Shingle sets and minima are persisted AND materialized eagerly: the
     downstream plan references each from multiple branches that run
     concurrently within one job — lazily, every branch would recompute
-    them before the cache fills. The minima are tiny (~256 bytes/doc),
-    but the SHINGLE ARRAYS are comparable to — often larger than — the
-    raw text, so with ``release=True`` (the default) the verified pair
-    list is checkpointed eagerly and both caches are dropped before
-    returning: nothing corpus-scale stays pinned in executor storage.
-    Pass ``release=False`` to keep the lazy plan (tests/inspection).
+    them before the cache fills. The minima are tiny (~256 bytes/doc);
+    the shingle-HASH arrays (8 bytes/shingle ≈ 8 bytes/word) are smaller
+    than the raw text but still corpus-scale, so with ``release=True``
+    (the default) the verified pair list is checkpointed eagerly and
+    both caches are dropped before returning: nothing corpus-scale stays
+    pinned in executor storage. Pass ``release=False`` to keep the lazy
+    plan (tests/inspection).
     """
     sh = shingle_sets(df, text_col, id_col, n, hashed=True)
     mins = minhash_mins(sh, id_col).persist()

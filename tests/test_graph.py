@@ -6,8 +6,11 @@ from __future__ import annotations
 from pyspark.sql import Row
 
 from breweries_etl_spark.operators.graph import (
+    bfs_levels,
     connected_components,
     dedup_cluster_canonical,
+    pagerank,
+    triangle_stats,
 )
 
 
@@ -35,6 +38,95 @@ def test_cluster_canonical_counts(spark):
     rows = {r["cluster_id"]: r for r in dedup_cluster_canonical(pairs).collect()}
     assert rows[1]["cluster_size"] == 3 and rows[1]["n_to_drop"] == 2
     assert rows[8]["cluster_size"] == 2 and rows[8]["n_to_drop"] == 1
+
+
+def _sources(spark, nodes):
+    return spark.createDataFrame([Row(node=n) for n in nodes], "node long")
+
+
+def test_bfs_levels_on_chain(spark):
+    # 1-2-3-4 chain plus disconnected 10-11: hop distances from node 1
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    got = {
+        r["node"]: r["level"]
+        for r in bfs_levels(pairs, _sources(spark, [1]), "id_a", "id_b").collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_levels_max_hops_truncates(spark):
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {
+        r["node"]: r["level"]
+        for r in bfs_levels(
+            pairs, _sources(spark, [1]), "id_a", "id_b", max_hops=2
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_levels_multi_source_takes_nearest(spark):
+    # sources at both ends of a 5-chain: middle node is 2 hops from each
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {
+        r["node"]: r["level"]
+        for r in bfs_levels(pairs, _sources(spark, [1, 5]), "id_a", "id_b").collect()
+    }
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_triangle_stats_k4(spark):
+    # complete graph on 4 nodes: 6 edges, 12 wedges, 4 triangles, C=1
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    row = triangle_stats(_pairs(spark, k4), "id_a", "id_b").collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_wedges"], row["n_triangles"]) == (
+        4, 6, 12, 4,
+    )
+    assert row["clustering"] == 1.0
+
+
+def test_triangle_stats_chain_has_none(spark):
+    row = triangle_stats(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4)]), "id_a", "id_b"
+    ).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_wedges"] == 2
+
+
+def test_triangle_stats_square_with_diagonal(spark):
+    # square 1-2-3-4 plus diagonal 1-3: exactly triangles {1,2,3}, {1,3,4}
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)])
+    row = triangle_stats(pairs, "id_a", "id_b").collect()[0]
+    assert row["n_triangles"] == 2 and row["n_edges"] == 5
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    import numpy as np
+
+    # directed graph with a hub, a cycle, and a dangling node (4)
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 4)]
+    n, d, iters = 5, 0.85, 10
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"),
+            iterations=iters,
+            damping=d,
+        ).collect()
+    }
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        new = np.zeros(n)
+        dangling = sum(r[v] for v in range(n) if v not in out)
+        for s, ts in out.items():
+            for t in ts:
+                new[t] += r[s] / len(ts)
+        r = (1 - d) / n + d * dangling / n + d * new
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
 
 
 def test_components_release_caches(spark):
