@@ -814,6 +814,19 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination signal: for each test-split document,
+    the fraction of its distinct trigram shingles present anywhere in
+    the train split (hash-keyed 90/10 split, so membership is
+    engine-invariant and the oracle can reproduce it)."""
+    from breweries_etl_spark.operators.corpus import contamination_check
+    from breweries_etl_spark.operators.sampling import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    train, test = train_test_split(docs, "doc_id", test_fraction=0.1)
+    return contamination_check(train, test, n=3)
+
+
 def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle census of the part co-purchase graph (parts are
     adjacent when some order contains both; orders with >50 distinct
@@ -1796,6 +1809,32 @@ WITH RECURSIVE e0 AS (
 SELECT CAST(lvl AS BIGINT) AS level, count(*) AS n_nodes
 FROM dist GROUP BY lvl
 """,
+    "contamination_check": f"""
+WITH {_shingle_cte(3)},
+sh_ok AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+b AS (
+  SELECT doc_id,
+    CAST('0x' || substring(md5(CAST(doc_id AS STRING)), 1, 4) AS BIGINT) AS bucket
+  FROM documents
+),
+test_sh AS (
+  SELECT sh_ok.doc_id, unnest(s) AS sg
+  FROM sh_ok JOIN b ON sh_ok.doc_id = b.doc_id WHERE bucket < 6553
+),
+train_vocab AS (
+  SELECT DISTINCT unnest(s) AS sg
+  FROM sh_ok JOIN b ON sh_ok.doc_id = b.doc_id WHERE bucket >= 6553
+),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM test_sh GROUP BY doc_id),
+hit AS (
+  SELECT doc_id, count(*) AS n_overlap FROM test_sh
+  WHERE sg IN (SELECT sg FROM train_vocab) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+  COALESCE(h.n_overlap, 0) AS n_overlap,
+  round(COALESCE(h.n_overlap, 0) / t.n_shingles, 6) AS contamination
+FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+""",
     "graph_triangle_stats": """
 WITH m AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
@@ -2203,6 +2242,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_levels": q_graph_bfs_levels,
         "graph_triangle_stats": q_graph_triangle_stats,
         "graph_pagerank_top": q_graph_pagerank_top,  # rows-only
+        "contamination_check": q_contamination_check,
         "streaming_click_attribution": q_streaming_click_attribution,
         # range joins (bin-bucketed, no equi-key)
         "range_join_error_window": q_range_join_error_window,

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import shingle_sets
 from .sampling import _BUCKETS, hash_bucket_expr
 from .text import (
     lang_pred_expr,
@@ -29,6 +30,52 @@ from .text import (
     quality_score_expr,
     token_count_expr,
 )
+
+
+def contamination_check(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-test-document benchmark-contamination score: the fraction of
+    the document's distinct word n-grams that occur anywhere in the
+    training corpus (the standard n-gram-overlap decontamination signal,
+    cf. GPT-3 appendix C / Dodge et al. C4 analysis).
+
+    Scale shape: both sides reduce to DISTINCT 64-bit shingle hashes
+    before anything joins — the train side collapses to a global shingle
+    vocabulary (one hash-distinct, map-side partial), and the probe is a
+    LEFT SEMI join on the hash, so each test shingle matches at most
+    once regardless of how many train docs contain it: no hot-shingle
+    blowup, and no text ever shuffles. Counts on hashes equal counts on
+    strings up to 2^-64 collisions (same contract as the dedup family;
+    the DuckDB oracle shingles strings).
+    """
+    test_sh = (
+        shingle_sets(test, text_col, id_col, n, cache=False, hashed=True)
+        .select(F.col(id_col), F.explode("shingles").alias("s"))
+    )
+    train_vocab = (
+        shingle_sets(train, text_col, id_col, n, cache=False, hashed=True)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    hits = (
+        test_sh.join(train_vocab, "s", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    totals = test_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        F.round(
+            F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("contamination"),
+    )
 
 
 def training_data_prep(

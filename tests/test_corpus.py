@@ -5,7 +5,10 @@ from __future__ import annotations
 
 from pyspark.sql import Row
 
-from breweries_etl_spark.operators.corpus import training_data_prep
+from breweries_etl_spark.operators.corpus import (
+    contamination_check,
+    training_data_prep,
+)
 
 
 def _explain(df) -> str:
@@ -45,3 +48,44 @@ def test_prep_dedup_and_split_semantics(spark):
     assert {k: tuple(v) for k, v in rows.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows], "doc_id long, text string"
+    )
+
+
+def test_contamination_exact_copy_scores_one(spark):
+    train = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+    test = _docs(
+        spark,
+        [
+            (100, "alpha beta gamma delta epsilon zeta"),  # verbatim leak
+            (101, "totally unrelated words nothing shared here"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in contamination_check(train, test).collect()}
+    assert got[100]["contamination"] == 1.0
+    assert got[101]["contamination"] == 0.0
+    assert got[101]["n_overlap"] == 0
+
+
+def test_contamination_partial_overlap(spark):
+    # test doc: 6 words -> 4 trigrams; first 2 trigrams come from train
+    train = _docs(spark, [(1, "one two three four padding padding")])
+    test = _docs(spark, [(100, "one two three four five six")])
+    row = contamination_check(train, test).collect()[0]
+    # shared trigrams: "one two three", "two three four" -> 2 of 4
+    assert row["n_shingles"] == 4 and row["n_overlap"] == 2
+    assert row["contamination"] == 0.5
+
+
+def test_contamination_hot_shingle_no_blowup(spark):
+    # one boilerplate trigram shared by MANY train docs must count once
+    train = _docs(
+        spark, [(i, f"common header line unique{i} tail{i} words{i}") for i in range(50)]
+    )
+    test = _docs(spark, [(100, "common header line and something else")])
+    row = contamination_check(train, test).collect()[0]
+    assert row["n_overlap"] == 1  # semi-join: matched at most once
