@@ -814,6 +814,30 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build from the event change-log: one validity row
+    per (user, event_type run) with version numbers and current flag."""
+    from breweries_etl_spark.operators.temporal import scd2_history
+
+    out = scd2_history(load_events(spark, sf_dir))
+    return out.withColumn("version", F.col("version").cast("long"))
+
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping 10-minute event intervals per user
+    (gaps-and-islands) and report island counts + covered time."""
+    from breweries_etl_spark.operators.temporal import interval_coverage
+
+    return interval_coverage(load_events(spark, sf_dir))
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between event types."""
+    from breweries_etl_spark.operators.temporal import transition_counts
+
+    return transition_counts(load_events(spark, sf_dir))
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination signal: for each test-split document,
     the fraction of its distinct trigram shingles present anywhere in
@@ -1809,6 +1833,66 @@ WITH RECURSIVE e0 AS (
 SELECT CAST(lvl AS BIGINT) AS level, count(*) AS n_nodes
 FROM dist GROUP BY lvl
 """,
+    "scd2_user_state": """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+    lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+    ) AS prev
+  FROM events
+), ch AS (
+  SELECT user_id, event_type, us, event_id FROM e
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS state, us AS valid_from_us,
+  lead(us) OVER w AS valid_to_us,
+  row_number() OVER w AS version,
+  lead(us) OVER w IS NULL AS is_current
+FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+""",
+    "interval_coverage": """
+WITH base AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+    epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              IS NULL
+      OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS new_island
+  FROM base
+), numbered AS (
+  SELECT user_id, s, e,
+    sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), islands AS (
+  SELECT user_id, island, count(*) AS n_intervals,
+    min(s) AS island_s, max(e) AS island_e
+  FROM numbered GROUP BY user_id, island
+)
+SELECT user_id, CAST(SUM(n_intervals) AS BIGINT) AS n_intervals,
+  count(*) AS n_islands,
+  CAST(SUM(island_e - island_s) AS BIGINT) AS covered_us
+FROM islands GROUP BY user_id
+""",
+    "event_transitions": """
+WITH e AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+    ) AS from_state
+  FROM events
+)
+SELECT from_state, event_type AS to_state,
+  count(*) AS n_transitions, count(DISTINCT user_id) AS n_users
+FROM e WHERE from_state IS NOT NULL
+GROUP BY from_state, to_state
+""",
     "contamination_check": f"""
 WITH {_shingle_cte(3)},
 sh_ok AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
@@ -2243,6 +2327,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangle_stats": q_graph_triangle_stats,
         "graph_pagerank_top": q_graph_pagerank_top,  # rows-only
         "contamination_check": q_contamination_check,
+        "scd2_user_state": q_scd2_user_state,
+        "interval_coverage": q_interval_coverage,
+        "event_transitions": q_event_transitions,
         "streaming_click_attribution": q_streaming_click_attribution,
         # range joins (bin-bucketed, no equi-key)
         "range_join_error_window": q_range_join_error_window,

@@ -106,3 +106,109 @@ def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
             "total_value",
         )
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log: one row
+    per (key, state run) with [valid_from_us, valid_to_us) validity,
+    version number, and a current flag — the standard warehouse op for
+    turning an event stream into a dimension table.
+
+    Two window passes over the SAME (key, ts) partitioning: lag() marks
+    state changes, then lead()/row_number() over the change rows assign
+    validity bounds — Catalyst plans one shuffle (both windows share the
+    partition key), and only narrow columns move. The shuffle key is the
+    dimension key, so a billion keys parallelize.
+    """
+    projected = df.select(
+        F.col(key_col),
+        F.col(state_col),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(tiebreak_col),
+    )
+    corder = Window.partitionBy(key_col).orderBy("us", tiebreak_col)
+    prev_state = F.lag(F.col(state_col)).over(corder)
+    changes = projected.withColumn(
+        "is_change",
+        prev_state.isNull() | (prev_state != F.col(state_col)),
+    ).filter(F.col("is_change"))
+    return changes.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(corder).alias("valid_to_us"),
+        F.row_number().over(corder).alias("version"),
+        F.lead("us").over(corder).isNull().alias("is_current"),
+    )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    duration_us: int = 600_000_000,
+) -> DataFrame:
+    """Gaps-and-islands: give every event a [start, start+duration)
+    interval, merge overlapping/touching intervals per key, and report
+    interval count, island count, and total covered microseconds.
+
+    The merge is the running-max formulation: an interval starts a new
+    island iff its start exceeds the max end of ALL earlier intervals
+    (window max over rows unbounded-preceding..1-preceding), and a
+    cumulative sum of those flags numbers the islands — one shuffle on
+    the key, no self-join, executor-local per key. Integer microsecond
+    arithmetic end-to-end so any engine agrees bit-for-bit.
+    """
+    s = F.unix_micros(F.col(ts_col))
+    base = df.select(
+        F.col(key_col), s.alias("s"), (s + F.lit(duration_us)).alias("e")
+    )
+    order = Window.partitionBy(key_col).orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(order))
+    islands = flagged.groupBy(key_col, "island").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.min("s").alias("island_s"),
+        F.max("e").alias("island_e"),
+    )
+    return islands.groupBy(key_col).agg(
+        F.sum("n_intervals").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("island_e") - F.col("island_s")).alias("covered_us"),
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: counts
+    and distinct-key counts per (previous state → state) edge, ordered
+    within each key by (ts, tiebreak). One window shuffle on the key,
+    then a plain aggregate over narrow (from, to, key) rows."""
+    order = Window.partitionBy(key_col).orderBy(
+        F.unix_micros(F.col(ts_col)), tiebreak_col
+    )
+    pairs = df.select(
+        F.col(key_col),
+        F.lag(F.col(state_col)).over(order).alias("from_state"),
+        F.col(state_col).alias("to_state"),
+    ).filter(F.col("from_state").isNotNull())
+    return pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct(key_col).alias("n_users"),
+    )

@@ -197,3 +197,86 @@ def test_stream_stream_join_equals_batch_range_join(spark):
         .collect()
     }
     assert got == batch and len(got) > 0
+
+
+def _ev(spark, rows):
+    # (event_id, seconds-offset, user_id, event_type)
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s),
+                user_id=u,
+                event_type=t,
+            )
+            for i, s, u, t in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+def test_scd2_history_runs_and_versions(spark):
+    from breweries_etl_spark.operators.temporal import scd2_history
+
+    df = _ev(
+        spark,
+        [
+            (1, 0, 1, "view"),
+            (2, 10, 1, "view"),     # same state: no new version
+            (3, 20, 1, "click"),    # v2
+            (4, 30, 1, "view"),     # v3 (back to view = NEW run)
+            (5, 0, 2, "purchase"),  # other user, v1
+        ],
+    )
+    rows = sorted(
+        scd2_history(df).collect(), key=lambda r: (r["user_id"], r["version"])
+    )
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert [r["state"] for r in u1] == ["view", "click", "view"]
+    assert [r["version"] for r in u1] == [1, 2, 3]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    # validity chain: each valid_to = next valid_from
+    assert u1[0]["valid_to_us"] == u1[1]["valid_from_us"]
+    assert u1[1]["valid_to_us"] == u1[2]["valid_from_us"]
+    assert [r["version"] for r in rows if r["user_id"] == 2] == [1]
+
+
+def test_interval_coverage_merges_overlaps(spark):
+    from breweries_etl_spark.operators.temporal import interval_coverage
+
+    # 10s intervals: events at 0s and 5s overlap (one island, 15s),
+    # event at 100s is its own island (10s)
+    df = _ev(spark, [(1, 0, 1, "a"), (2, 5, 1, "a"), (3, 100, 1, "a")])
+    row = interval_coverage(df, duration_us=10_000_000).collect()[0]
+    assert row["n_intervals"] == 3
+    assert row["n_islands"] == 2
+    assert row["covered_us"] == 25_000_000
+
+
+def test_interval_coverage_touching_intervals_merge(spark):
+    from breweries_etl_spark.operators.temporal import interval_coverage
+
+    # [0,10) and [10,20): touching (s == prev max e) merges — s > e breaks
+    df = _ev(spark, [(1, 0, 1, "a"), (2, 10, 1, "a")])
+    row = interval_coverage(df, duration_us=10_000_000).collect()[0]
+    assert row["n_islands"] == 1 and row["covered_us"] == 20_000_000
+
+
+def test_transition_counts(spark):
+    from breweries_etl_spark.operators.temporal import transition_counts
+
+    df = _ev(
+        spark,
+        [
+            (1, 0, 1, "view"),
+            (2, 1, 1, "click"),
+            (3, 2, 1, "view"),
+            (4, 0, 2, "view"),
+            (5, 1, 2, "click"),
+        ],
+    )
+    got = {
+        (r["from_state"], r["to_state"]): (r["n_transitions"], r["n_users"])
+        for r in transition_counts(df).collect()
+    }
+    assert got == {("view", "click"): (2, 2), ("click", "view"): (1, 1)}
