@@ -838,6 +838,50 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_counts(load_events(spark, sf_dir))
 
 
+def q_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming foreachBatch MERGE sink driven over the events table in
+    4 micro-batches (maxFilesPerTrigger=1): final snapshot is the latest
+    event per user under the total order (us, event_id) — deterministic
+    for ANY batch split, so the streaming sink itself is oracle-checked
+    (argmax window in DuckDB), not just its batch twin."""
+    import os
+    import tempfile
+
+    from breweries_etl_spark.streaming.merge_sink import (
+        read_latest_snapshot,
+        streaming_latest_merge_sink,
+    )
+
+    events = load_events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="spark_merge_sink_")
+    src = os.path.join(work, "src")
+    tbl = os.path.join(work, "table")
+    projected = events.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    projected.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(projected.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_latest_merge_sink(
+        stream, tbl, "user_id", ["us", "event_id"], query_name="latest_state_q"
+    )
+    q.awaitTermination()
+    snap = read_latest_snapshot(spark, tbl)
+    return snap.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("us").alias("last_us"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination signal: for each test-split document,
     the fraction of its distinct trigram shingles present anywhere in
@@ -1833,6 +1877,20 @@ WITH RECURSIVE e0 AS (
 SELECT CAST(lvl AS BIGINT) AS level, count(*) AS n_nodes
 FROM dist GROUP BY lvl
 """,
+    "streaming_latest_state": """
+WITH e AS (
+  SELECT user_id, event_type, value,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+    row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC
+    ) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_event_type, us AS last_us,
+  value AS last_value
+FROM e WHERE rn = 1
+""",
     "scd2_user_state": """
 WITH e AS (
   SELECT user_id, event_type, event_id,
@@ -2330,6 +2388,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_state": q_scd2_user_state,
         "interval_coverage": q_interval_coverage,
         "event_transitions": q_event_transitions,
+        "streaming_latest_state": q_streaming_latest_state,
         "streaming_click_attribution": q_streaming_click_attribution,
         # range joins (bin-bucketed, no equi-key)
         "range_join_error_window": q_range_join_error_window,

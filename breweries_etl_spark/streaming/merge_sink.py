@@ -1,0 +1,95 @@
+"""foreachBatch incremental MERGE sink: maintain a keyed "latest state"
+table from a stream, with plain-Parquet snapshot-and-pointer atomicity.
+
+This is the streaming materialized-view pattern the reference's
+full-overwrite refreshes (ref: T/landing_to_bronze.py:177) can't reach:
+each micro-batch merges into the served table instead of rebuilding it.
+With Delta jars present you'd swap the snapshot write for MERGE INTO
+(see sinks/writers.py's format toggle); the snapshot-plus-pointer layout
+here gives the same reader-consistency contract with no table format:
+
+- every epoch writes a COMPLETE new snapshot under ``v{epoch}/`` —
+  idempotent on micro-batch replay (same epoch → same directory);
+- ``_LATEST`` is repointed only after the snapshot commits, so readers
+  never observe a partial table;
+- the merge is LATEST-WINS BY EXPLICIT ORDER ``(order_cols, then key)``,
+  not arrival order — so the final table is a pure function of the
+  input set, deterministic under any micro-batch split or file order
+  (what makes this sink oracle-checkable at all).
+
+Scale notes: the per-epoch merge is one window over (key-partitioned)
+snapshot ∪ batch — the same shuffle shape as the batch
+``operators/merge.merge_upsert``. Snapshot rewrite is O(table) per
+epoch; production would bucket the snapshot by key and rewrite only
+touched buckets (or use Delta MERGE) — the merge plan itself is already
+that incremental shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _latest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_LATEST")
+
+
+def read_latest_snapshot(spark: SparkSession, table_dir: str) -> DataFrame | None:
+    """The currently-committed table, or None before the first epoch."""
+    marker = _latest_path(table_dir)
+    if not os.path.exists(marker):
+        return None
+    with open(marker, encoding="utf-8") as fh:
+        version = fh.read().strip()
+    return spark.read.parquet(os.path.join(table_dir, version))
+
+
+def keep_latest_per_key(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+    """One row per key: the maximum under ``order_cols`` (descending,
+    ties broken by the key — caller must make the order total)."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def streaming_latest_merge_sink(
+    df: DataFrame,
+    table_dir: str,
+    key: str,
+    order_cols: list[str],
+    query_name: str = "latest_merge_sink",
+):
+    """Start an availableNow foreachBatch query that merges each
+    micro-batch into the snapshot table (latest-wins per key)."""
+
+    def merge_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_latest = keep_latest_per_key(batch_df, key, order_cols)
+        current = read_latest_snapshot(spark, table_dir)
+        merged = (
+            batch_latest
+            if current is None
+            else keep_latest_per_key(
+                current.unionByName(batch_latest), key, order_cols
+            )
+        )
+        version = f"v{epoch_id}"
+        merged.write.mode("overwrite").parquet(os.path.join(table_dir, version))
+        tmp = _latest_path(table_dir) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(version)
+        os.replace(tmp, _latest_path(table_dir))
+
+    return (
+        df.writeStream.outputMode("update")
+        .foreachBatch(merge_epoch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

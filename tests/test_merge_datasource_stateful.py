@@ -85,3 +85,52 @@ def test_stateful_profiles_match_batch_aggregate(spark):
         assert got[uid]["n_events"] == expect[uid]["n_events"]
         assert got[uid]["last_ts_us"] == expect[uid]["last_ts_us"]
         assert abs(got[uid]["total_value"] - expect[uid]["total_value"]) < 1e-4
+
+
+def _run_latest_sink(spark, src, tbl):
+    from breweries_etl_spark.streaming.merge_sink import (
+        read_latest_snapshot,
+        streaming_latest_merge_sink,
+    )
+
+    schema = "k long, seq long, payload string"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = streaming_latest_merge_sink(stream, tbl, "k", ["seq"], query_name="t_latest")
+    q.awaitTermination()
+    return read_latest_snapshot(spark, tbl)
+
+
+def test_streaming_merge_sink_latest_wins_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    rows = [
+        Row(k=1, seq=1, payload="old"),
+        Row(k=1, seq=5, payload="new"),
+        Row(k=2, seq=3, payload="only"),
+        Row(k=3, seq=2, payload="a"),
+        Row(k=3, seq=9, payload="b"),
+        Row(k=3, seq=4, payload="c"),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, payload string")
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1, arbitrary order
+    df.repartition(3).write.parquet(src)
+    got = {r["k"]: r for r in _run_latest_sink(spark, src, tbl).collect()}
+    assert got[1]["payload"] == "new" and got[1]["seq"] == 5
+    assert got[2]["payload"] == "only"
+    assert got[3]["payload"] == "b" and got[3]["seq"] == 9
+
+
+def test_streaming_merge_sink_replay_is_idempotent(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    rows = [Row(k=1, seq=1, payload="x"), Row(k=2, seq=2, payload="y")]
+    spark.createDataFrame(rows, "k long, seq long, payload string").repartition(
+        2
+    ).write.parquet(src)
+    first = sorted(map(tuple, _run_latest_sink(spark, src, tbl).collect()))
+    # fresh run over the same source and SAME table dir (temp checkpoint ->
+    # full reprocess): snapshot must not duplicate or drift
+    again = sorted(map(tuple, _run_latest_sink(spark, src, tbl).collect()))
+    assert first == again
