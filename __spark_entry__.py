@@ -882,6 +882,26 @@ def q_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing over the document corpus
+    (16 hash shards, 512-token bins); the DuckDB oracle replays the
+    sequential first-fit decision per shard with a recursive CTE."""
+    from breweries_etl_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget=512, n_shards=16
+    )
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embeddings table,
+    exploded to (vec_id, pos, qval, scale) so codes hash-compare
+    exactly against the DuckDB list formulation."""
+    from breweries_etl_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination signal: for each test-split document,
     the fraction of its distinct trigram shingles present anywhere in
@@ -1877,6 +1897,49 @@ WITH RECURSIVE e0 AS (
 SELECT CAST(lvl AS BIGINT) AS level, count(*) AS n_nodes
 FROM dist GROUP BY lvl
 """,
+    "pack_sequences": """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+    CAST('0x' || substring(md5(CAST(doc_id AS STRING)), 1, 4) AS BIGINT) % 16
+      AS shard,
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, shard, n_tokens,
+    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM t
+), packed AS (
+  SELECT doc_id, shard, n_tokens, rn,
+    CAST(0 AS BIGINT) AS bin_idx, n_tokens AS cum
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+    CASE WHEN p.cum + o.n_tokens > 512 THEN p.bin_idx + 1 ELSE p.bin_idx END,
+    CASE WHEN p.cum + o.n_tokens > 512 THEN o.n_tokens
+         ELSE p.cum + o.n_tokens END
+  FROM packed p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, shard, n_tokens, bin_idx FROM packed
+""",
+    "quantize_embeddings": """
+WITH s AS (
+  SELECT vec_id, embedding,
+    CAST(list_max([abs(x) FOR x IN embedding]) AS DOUBLE) / 127.0 AS scale
+  FROM embeddings
+), u AS (
+  SELECT vec_id, scale,
+    unnest(range(1, len(embedding) + 1)) AS i,
+    unnest(embedding) AS x
+  FROM s
+)
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+  CAST(CASE WHEN scale = 0 THEN 0
+       WHEN CAST(x AS DOUBLE) / scale >= 0
+         THEN floor(CAST(x AS DOUBLE) / scale + 0.5)
+       ELSE ceil(CAST(x AS DOUBLE) / scale - 0.5) END AS BIGINT) AS qval,
+  round(scale, 6) AS scale
+FROM u
+""",
     "streaming_latest_state": """
 WITH e AS (
   SELECT user_id, event_type, value,
@@ -2389,6 +2452,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage": q_interval_coverage,
         "event_transitions": q_event_transitions,
         "streaming_latest_state": q_streaming_latest_state,
+        "pack_sequences": q_pack_sequences,
+        "quantize_embeddings": q_quantize_embeddings,
         "streaming_click_attribution": q_streaming_click_attribution,
         # range joins (bin-bucketed, no equi-key)
         "range_join_error_window": q_range_join_error_window,

@@ -78,6 +78,57 @@ def contamination_check(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Greedy in-order sequence packing: assign each document to a
+    token-budget bin (first-fit in ``id`` order) so downstream
+    pretraining batches waste minimal padding — the standard packing
+    step between corpus prep and tokenized-batch writing.
+
+    Packing is inherently sequential (each bin decision depends on the
+    running total), so it cannot be a window expression; instead the
+    corpus is sharded by content hash and each shard packs independently
+    in one Arrow batch (``applyInPandas`` — a few thousand int rows per
+    shard, vectorized pandas inside). Shard count scales with the
+    cluster; determinism comes from the (shard, doc_id) total order, so
+    the assignment is a pure function of the corpus — which lets a
+    recursive-CTE oracle replay it row by row.
+
+    Bin rule: a doc starts a new bin iff the running total plus its
+    tokens would exceed ``budget`` (an oversized doc gets a bin alone).
+    """
+    import pandas as pd
+
+    tokens = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z0-9_]+"), 0))
+    base = df.select(
+        F.col(id_col),
+        (hash_bucket_expr(F.col(id_col)) % n_shards).alias("shard"),
+        tokens.cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins = []
+        bin_idx, cum = 0, 0
+        for i, t in enumerate(pdf["n_tokens"]):
+            if i > 0 and cum + t > budget:
+                bin_idx += 1
+                cum = 0
+            cum += t
+            bins.append(bin_idx)
+        pdf["bin_idx"] = bins
+        return pdf
+
+    return base.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard long, n_tokens long, bin_idx long"
+    )
+
+
 def training_data_prep(
     df: DataFrame,
     text_col: str = "text",

@@ -338,3 +338,47 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the compression step before shipping vectors to an ANN index (4×
+    smaller than float32, dot products stay proportional within one
+    scale factor per vector).
+
+    Exploded (id, pos, qval, scale) output: one Arrow batch per input
+    partition through ``mapInPandas`` with the whole batch quantized as
+    a single numpy matrix op — no per-row Python. Rounding is explicit
+    half-away-from-zero (SQL ``round`` semantics, NOT numpy's
+    banker's-rounding ``rint``) so any SQL engine reproduces the codes
+    bit-for-bit; a zero vector quantizes to zeros with scale 0.
+    """
+    import pandas as pd
+
+    def quant(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col].to_numpy()), dtype=np.float64)
+            scale = np.abs(mat).max(axis=1) / 127.0
+            safe = np.where(scale == 0.0, 1.0, scale)
+            x = mat / safe[:, None]
+            q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+            q = np.where(scale[:, None] == 0.0, 0.0, q).astype(np.int64)
+            n, dim = q.shape
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), dim),
+                    "pos": np.tile(np.arange(dim, dtype=np.int64), n),
+                    "qval": q.reshape(-1),
+                    "scale": np.round(np.repeat(scale, dim), 6),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        quant, f"{id_col} long, pos long, qval long, scale double"
+    )

@@ -89,3 +89,52 @@ def test_contamination_hot_shingle_no_blowup(spark):
     test = _docs(spark, [(100, "common header line and something else")])
     row = contamination_check(train, test).collect()[0]
     assert row["n_overlap"] == 1  # semi-join: matched at most once
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    from breweries_etl_spark.operators.corpus import pack_sequences
+
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{j}" for j in range(i * 7 % 40 + 1))) for i in range(60)],
+    )
+    out = pack_sequences(docs, budget=50, n_shards=4).collect()
+    assert len(out) == 60
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        # bin ids are contiguous, non-decreasing in doc order
+        bins = [r["bin_idx"] for r in rows]
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+        # each bin within budget (unless single oversized doc), and greedy:
+        # first doc of next bin would NOT have fit in the previous one
+        totals = {}
+        for r in rows:
+            totals[r["bin_idx"]] = totals.get(r["bin_idx"], 0) + r["n_tokens"]
+        for b, tot in totals.items():
+            n_in_bin = sum(1 for r in rows if r["bin_idx"] == b)
+            assert tot <= 50 or n_in_bin == 1
+        for prev, cur in zip(rows, rows[1:]):
+            if cur["bin_idx"] == prev["bin_idx"] + 1:
+                assert totals[prev["bin_idx"]] + cur["n_tokens"] > 50
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    from breweries_etl_spark.operators.corpus import pack_sequences
+
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(f"a{i}" for i in range(10))),   # 10 tokens
+            (2, " ".join(f"b{i}" for i in range(100))),  # oversized
+            (3, " ".join(f"c{i}" for i in range(10))),
+        ],
+    )
+    rows = sorted(
+        pack_sequences(docs, budget=50, n_shards=1).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["bin_idx"] for r in rows] == [0, 1, 2]

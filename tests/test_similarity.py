@@ -134,3 +134,35 @@ def test_embedding_neardup_blocked_vs_exact(spark):
     exact = {(r["id_a"], r["id_b"]) for r in
              embedding_near_duplicates(df, threshold=0.95, block_col=None).collect()}
     assert exact == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.similarity import quantize_int8
+
+    vecs = [
+        Row(vec_id=1, embedding=[0.5, -1.0, 0.25, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),  # zero vector
+        Row(vec_id=3, embedding=[2.0, -2.0, 1.0, -0.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = quantize_int8(df).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], {})[r["pos"]] = r
+    # codes bounded, max-abs element maps to exactly +/-127
+    for vid, d in by_vec.items():
+        assert all(abs(r["qval"]) <= 127 for r in d.values())
+    assert by_vec[1][1]["qval"] == -127
+    assert by_vec[3][0]["qval"] == 127 and by_vec[3][1]["qval"] == -127
+    # zero vector: all zeros, scale 0
+    assert all(r["qval"] == 0 and r["scale"] == 0.0 for r in by_vec[2].values())
+    # dequantized values within half-step of the original
+    orig = {1: [0.5, -1.0, 0.25, 0.0], 3: [2.0, -2.0, 1.0, -0.5]}
+    for vid, vals in orig.items():
+        scale = max(abs(v) for v in vals) / 127.0
+        for pos, v in enumerate(vals):
+            deq = by_vec[vid][pos]["qval"] * scale
+            assert abs(deq - v) <= scale / 2 + 1e-12
