@@ -902,6 +902,29 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority z-score outliers of order totalprice, with the mean
+    and variance derived from exact decimal sums so the z values
+    themselves hash-match the oracle."""
+    from breweries_etl_spark.operators.profiling import zscore_outliers_exact
+
+    return zscore_outliers_exact(
+        load_table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderkey",
+        "o_orderpriority",
+        z=1.5,
+    )
+
+
+def q_feature_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sparse featurization of the document corpus
+    (1024-dim md5 buckets, no vocabulary join)."""
+    from breweries_etl_spark.operators.text import feature_hash_counts
+
+    return feature_hash_counts(load_table(spark, sf_dir, "documents"), dim=1024)
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination signal: for each test-split document,
     the fraction of its distinct trigram shingles present anywhere in
@@ -1921,6 +1944,35 @@ WITH RECURSIVE t AS (
 )
 SELECT doc_id, shard, n_tokens, bin_idx FROM packed
 """,
+    "order_price_outliers": """
+WITH stats AS (
+  SELECT o_orderpriority, count(*) AS n,
+    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
+    SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+             * CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,4))) AS ss
+  FROM orders GROUP BY o_orderpriority
+), d AS (
+  SELECT o_orderpriority, n, CAST(s AS DOUBLE) AS sd, CAST(ss AS DOUBLE) AS ssd
+  FROM stats
+)
+SELECT o_orderkey, o.o_orderpriority,
+  round((CAST(o_totalprice AS DOUBLE) - sd / n)
+        / sqrt((ssd - sd * sd / n) / n), 6) AS zscore
+FROM orders o JOIN d ON o.o_orderpriority = d.o_orderpriority
+WHERE (ssd - sd * sd / n) / n > 0
+  AND abs(round((CAST(o_totalprice AS DOUBLE) - sd / n)
+        / sqrt((ssd - sd * sd / n) / n), 6)) > 1.5
+""",
+    "feature_hash_counts": """
+SELECT doc_id,
+  CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 1024 AS feature_idx,
+  count(*) AS n
+FROM (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS tok
+  FROM documents
+)
+GROUP BY doc_id, feature_idx
+""",
     "quantize_embeddings": """
 WITH s AS (
   SELECT vec_id, embedding,
@@ -2454,6 +2506,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_latest_state": q_streaming_latest_state,
         "pack_sequences": q_pack_sequences,
         "quantize_embeddings": q_quantize_embeddings,
+        "order_price_outliers": q_order_price_outliers,
+        "feature_hash_counts": q_feature_hash_counts,
         "streaming_click_attribution": q_streaming_click_attribution,
         # range joins (bin-bucketed, no equi-key)
         "range_join_error_window": q_range_join_error_window,

@@ -69,3 +69,47 @@ def numeric_outliers(
         )
         .drop("__mean", "__sd")
     )
+
+
+def zscore_outliers_exact(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier flags with ENGINE-EXACT statistics:
+    mean and variance are derived from decimal sums (sum, sum-of-squares
+    — both exact on 2-decimal money values), converted to double only
+    for the final arithmetic, every engine performing the identical
+    operation sequence. That makes the z-scores — not just the flag —
+    hash-comparable, unlike double-accumulated ``stddev_samp`` whose
+    last ulps depend on partitioning.
+
+    Same join-against-aggregate shape as ``numeric_outliers``: the stats
+    relation is one row per group (broadcast), the fact table is scanned
+    once, no global window.
+    """
+    v = F.col(value_col).cast("decimal(12,2)")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum((v * v).cast("decimal(38,4)")).alias("__ss"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n")
+    # population variance from exact sums: (ss - s^2/n) / n, all double
+    var = (
+        F.col("__ss").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("__n")
+    ) / F.col("__n")
+    joined = df.join(F.broadcast(stats), on=group_col)
+    zscore = (F.col(value_col).cast("double") - mean) / F.sqrt(var)
+    return (
+        joined.filter(var > 0)
+        .select(
+            F.col(key_col),
+            F.col(group_col),
+            F.round(zscore, 6).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > z)
+    )

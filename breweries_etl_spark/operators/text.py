@@ -320,3 +320,32 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
             "content_md5",
         )
     )
+
+
+def feature_hash_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+) -> DataFrame:
+    """Hashing-trick featurization: (id, feature_idx, n) sparse term
+    counts with feature_idx = md5-bucket(token) mod ``dim`` — the
+    fixed-width vectorizer that needs NO vocabulary table, so the 100 TB
+    plan is scan → explode → one aggregation on (id, bucket): no
+    vocabulary join, no driver-side dictionary, new tokens never resize
+    anything.
+
+    The bucket hash is portable md5 arithmetic (same construction as
+    sampling.hash_bucket_expr) rather than an engine hash function, so
+    any SQL engine reproduces the exact feature indices.
+    """
+    tok = F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("tok")
+    bucket = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+        "long"
+    ) % dim
+    return (
+        df.select(F.col(id_col), tok)
+        .select(F.col(id_col), bucket.alias("feature_idx"))
+        .groupBy(id_col, "feature_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

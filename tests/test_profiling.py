@@ -55,3 +55,28 @@ def test_dedup_incremental_matches(spark):
     got = dedup_incremental(base, incoming).collect()
     assert len(got) == 1
     assert got[0]["incoming_id"] == 10 and got[0]["base_id"] == 1
+
+
+def test_zscore_outliers_exact_flags_planted_outlier(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.profiling import zscore_outliers_exact
+
+    rows = [Row(k=i, g="a", v=100.0) for i in range(20)]
+    rows[0] = Row(k=0, g="a", v=100.5)   # tiny jitter so variance > 0
+    rows.append(Row(k=99, g="a", v=500.0))  # the outlier
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    got = zscore_outliers_exact(df, "v", "k", "g", z=3.0).collect()
+    assert [r["k"] for r in got] == [99]
+    assert got[0]["zscore"] > 3.0
+
+
+def test_zscore_outliers_constant_group_emits_nothing(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.profiling import zscore_outliers_exact
+
+    df = spark.createDataFrame(
+        [Row(k=i, g="a", v=7.0) for i in range(5)], "k long, g string, v double"
+    )
+    assert zscore_outliers_exact(df, "v", "k", "g").count() == 0

@@ -102,3 +102,26 @@ def test_fingerprint_stable_and_content_defined(spark):
     assert rows[1]["fingerprint"] == rows[2]["fingerprint"]
     assert rows[1]["content_md5"] == rows[2]["content_md5"]
     assert rows[1]["fingerprint"] != rows[3]["fingerprint"]
+
+
+def test_feature_hash_counts_fixed_width_and_case_folded(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.text import feature_hash_counts
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Apple apple APPLE banana"),
+            Row(doc_id=2, text="banana"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = feature_hash_counts(df, dim=64).collect()
+    assert all(0 <= r["feature_idx"] < 64 for r in rows)
+    d1 = {r["feature_idx"]: r["n"] for r in rows if r["doc_id"] == 1}
+    d2 = {r["feature_idx"]: r["n"] for r in rows if r["doc_id"] == 2}
+    # case folding: three apples collapse into one bucket with count 3
+    assert sorted(d1.values()) == [1, 3]
+    # same token -> same feature index in every doc (no vocabulary drift)
+    (banana_idx,) = d2.keys()
+    assert d1[banana_idx] == 1 and d2[banana_idx] == 1
