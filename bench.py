@@ -47,6 +47,10 @@ HEADLINE = [
     "merge_upsert",
     "json_extract_stats",
     "range_join_error_window",
+    "contamination_check",
+    "feature_hash_counts",
+    "pack_sequences",
+    "graph_bfs_levels",
 ]
 
 

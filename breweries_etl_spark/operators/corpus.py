@@ -22,10 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import shingle_sets
+from ..functions.partitioning import ensure_parallelism
 from .sampling import _BUCKETS, hash_bucket_expr
 from .text import (
     lang_pred_expr,
+    shingle_hashes_expr,
     normalize_text_expr,
     quality_score_expr,
     token_count_expr,
@@ -47,34 +48,43 @@ def contamination_check(
     Scale shape: both sides reduce to DISTINCT 64-bit shingle hashes
     before anything joins — the train side collapses to a global shingle
     vocabulary (one hash-distinct, map-side partial), and the probe is a
-    LEFT SEMI join on the hash, so each test shingle matches at most
-    once regardless of how many train docs contain it: no hot-shingle
-    blowup, and no text ever shuffles. Counts on hashes equal counts on
-    strings up to 2^-64 collisions (same contract as the dedup family;
-    the DuckDB oracle shingles strings).
+    single LEFT OUTER join against that distinct vocabulary (each test
+    shingle matches at most once, so no hot-shingle blowup and no text
+    ever shuffles) feeding ONE aggregation that counts total and matched
+    shingles together — the test side is shingled exactly once. Counts
+    on hashes equal counts on strings up to 2^-64 collisions (same
+    contract as the dedup family; the DuckDB oracle shingles strings).
+
+    The shingle expression sits DIRECTLY under the explode — no
+    size()>0 filter (explode of an empty array emits nothing, same
+    semantics), so the interpreted shingle transform is evaluated once
+    per row with no cache barrier needed.
     """
-    test_sh = (
-        shingle_sets(test, text_col, id_col, n, cache=False, hashed=True)
-        .select(F.col(id_col), F.explode("shingles").alias("s"))
+    test_sh = ensure_parallelism(test.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(shingle_hashes_expr(F.col(text_col), n)).alias("s"),
     )
     train_vocab = (
-        shingle_sets(train, text_col, id_col, n, cache=False, hashed=True)
-        .select(F.explode("shingles").alias("s"))
+        ensure_parallelism(train.select(id_col, text_col))
+        .select(F.explode(shingle_hashes_expr(F.col(text_col), n)).alias("s"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    hits = (
-        test_sh.join(train_vocab, "s", "left_semi")
+    return (
+        test_sh.join(train_vocab, "s", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    totals = test_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    return totals.join(hits, id_col, "left").select(
-        F.col(id_col),
-        F.col("n_shingles"),
-        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
-        F.round(
-            F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_shingles"), 6
-        ).alias("contamination"),
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_overlap"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias(
+                "contamination"
+            ),
+        )
     )
 
 
