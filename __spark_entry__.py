@@ -33,7 +33,11 @@ from breweries_etl_spark.functions.exact import (
     sql_charge,
     sql_sum_money,
 )
-from breweries_etl_spark.functions.synthetic import BREWERY_RAW_SQL, brewery_raw
+from breweries_etl_spark.functions.synthetic import (
+    BREWERY_RAW_SQL,
+    ENTITY_RAW_SQL,
+    brewery_raw,
+)
 from breweries_etl_spark.operators import aggregate as agg_ops
 from breweries_etl_spark.operators import dedup, multimodal, quality, similarity
 from breweries_etl_spark.operators import standardize, temporal, text
@@ -900,6 +904,18 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from breweries_etl_spark.operators.similarity import quantize_int8
 
     return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage over a shared-SQL dirty-customer-record relation:
+    block → levenshtein ≤ 1 → connected components; singletons keep
+    their own id. Block sizes here are ~100× below the 1000 cap, so
+    Spark's capped candidate generation and the uncapped oracle see
+    identical pairs."""
+    from breweries_etl_spark.functions.synthetic import entity_raw
+    from breweries_etl_spark.operators.entity import resolve_entities
+
+    return resolve_entities(entity_raw(spark, sf_dir))
 
 
 def q_order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1944,6 +1960,28 @@ WITH RECURSIVE t AS (
 )
 SELECT doc_id, shard, n_tokens, bin_idx FROM packed
 """,
+    "entity_resolution": f"""
+WITH RECURSIVE recs AS ({ENTITY_RAW_SQL}),
+cand AS (
+  SELECT a.record_id AS id_a, b.record_id AS id_b
+  FROM recs a JOIN recs b ON a.block = b.block AND a.record_id < b.record_id
+  WHERE levenshtein(a.name, b.name) <= 1
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.dst AS node, rr.r FROM reach rr JOIN edges e ON e.src = rr.node
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT recs.record_id, COALESCE(cc.cluster_id, recs.record_id) AS entity_id
+FROM recs LEFT JOIN cc ON recs.record_id = cc.node
+""",
     "order_price_outliers": """
 WITH stats AS (
   SELECT o_orderpriority, count(*) AS n,
@@ -2507,6 +2545,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "quantize_embeddings": q_quantize_embeddings,
         "order_price_outliers": q_order_price_outliers,
+        "entity_resolution": q_entity_resolution,
         "feature_hash_counts": q_feature_hash_counts,
         "streaming_click_attribution": q_streaming_click_attribution,
         # range joins (bin-bucketed, no equi-key)

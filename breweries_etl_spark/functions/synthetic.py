@@ -64,3 +64,34 @@ def brewery_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     autoBroadcastJoinThreshold — no shuffle for either join."""
     register_views(spark, sf_dir, ["customer", "nation", "region"])
     return spark.sql(BREWERY_RAW_SQL)
+
+
+# Dirty-record constructor for entity resolution: each customer yields
+# its clean record plus deterministic perturbed variants (dropped char,
+# case flip, '#'→'-') within edit distance 1 of the normalized clean
+# name, and one far negative control (' incorporated'). Same portability
+# contract as BREWERY_RAW_SQL: substr/replace/lower/trim/'||'/% agree
+# between Spark SQL and DuckDB.
+ENTITY_RAW_SQL = """
+SELECT c_custkey * 10 AS record_id, lower(trim(c_name)) AS name,
+  c_custkey % 200 AS block
+FROM customer
+UNION ALL
+SELECT c_custkey * 10 + 1, lower(substr(c_name, 1, 2) || substr(c_name, 4)),
+  c_custkey % 200
+FROM customer WHERE c_custkey % 2 = 0
+UNION ALL
+SELECT c_custkey * 10 + 2, lower(upper(c_name)), c_custkey % 200
+FROM customer WHERE c_custkey % 3 = 0
+UNION ALL
+SELECT c_custkey * 10 + 3, lower(replace(c_name, '#', '-')), c_custkey % 200
+FROM customer WHERE c_custkey % 5 = 0
+UNION ALL
+SELECT c_custkey * 10 + 4, lower(c_name || ' incorporated'), c_custkey % 200
+FROM customer WHERE c_custkey % 7 = 0
+"""
+
+
+def entity_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(ENTITY_RAW_SQL)
