@@ -20,7 +20,7 @@ from __future__ import annotations
 import tempfile
 from collections.abc import Iterator
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import ensure_parallelism
@@ -309,6 +309,88 @@ def ngram_jaccard_pairs(
             F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+    if release:
+        return _release_caches(result, [sh])
+    return result
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 3,
+    release: bool = True,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin
+    family — Bayardo et al. WWW'07, Xiao et al. WWW'08): provably no
+    false negatives, unlike ``ngram_jaccard_pairs``' df-cap heuristic,
+    while still never joining on common shingles.
+
+    Principle: order every document's shingles by global rarity
+    (ascending document frequency, then hash). For J(x,y) ≥ t the
+    overlap is ≥ ⌈t·|x|⌉, so at least one shared shingle must fall in
+    the first |x| − ⌈t·|x|⌉ + 1 shingles of x — and symmetrically for y.
+    Indexing ONLY those prefixes, candidates are pairs sharing a prefix
+    shingle; everything else is provably below threshold. Boilerplate
+    shingles (high df) sort to the END of every document, so they never
+    enter the index — the hot-shingle cross join the df cap guards
+    against cannot happen here BY CONSTRUCTION, at the cost of a df
+    aggregation + per-doc rank window (both narrow, key-partitioned).
+
+    ⌈t·size⌉ is computed in exact integer arithmetic (t as a rational)
+    — a double ceil that lands one ulp high would silently shorten a
+    prefix and break the no-false-negative guarantee.
+
+    Verification is the same exact-Jaccard join as the inverted-index
+    path, compared in integers (2·overlap vs union for t = a/b).
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+
+    sh = shingle_sets(df, text_col, id_col, n, hashed=True)
+    inverted = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    dfreq = inverted.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        inverted.join(dfreq, "shingle")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df", "shingle")
+            ),
+        )
+        .withColumn("size", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    # prefix length = size - ceil(t*size) + 1; ceil(a/b) = -((-a) div b)
+    alpha = (-F.floor(F.lit(-num) * F.col("size") / den)).cast("long")
+    prefix = ranked.filter(F.col("rank") <= F.col("size") - alpha + 1).select(
+        id_col, "shingle"
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    overlap = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - overlap
+    result = (
+        cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
+        .filter(F.lit(den) * overlap >= F.lit(num) * union)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
     )
     if release:
         return _release_caches(result, [sh])
