@@ -1067,6 +1067,73 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition signals (word / distinct-word
+    counts, duplicate-word and top-word/top-bigram fractions) — one
+    tagged explode, two hash aggregations."""
+    from breweries_etl_spark.operators.filtering import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table-A1 keep/drop flags (word count, mean word length,
+    symbol ratio, stopword floor, bigram repetition cap) with the numeric
+    signals behind them; `keep` is the conjunction."""
+    from breweries_etl_spark.operators.filtering import gopher_quality_flags
+
+    return gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of distinct 5-gram shingles shared with at
+    least one other document — window-count doc frequency, no self-join,
+    no pair blowup."""
+    from breweries_etl_spark.operators.filtering import ngram_dup_fraction
+
+    return ngram_dup_fraction(load_table(spark, sf_dir, "documents"), n=5)
+
+
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment of every embedding to the 8
+    lowest-id seed vectors (cosine, ties to smallest cluster) — the
+    deterministic coarse-quantizer step of semantic dedup."""
+    from breweries_etl_spark.operators.clustering import (
+        centroid_assign,
+        leading_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_assign(emb, leading_centroids(emb, 8))
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-ordered quota sample of at most 40 members per centroid
+    cluster — the data-mixing primitive that flattens over-represented
+    domains; reproducible on any partitioning."""
+    from breweries_etl_spark.operators.clustering import (
+        centroid_assign,
+        cluster_balanced_sample,
+        leading_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = centroid_assign(emb, leading_centroids(emb, 8))
+    return cluster_balanced_sample(assigned, 40)
+
+
+def q_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language resampling weights to hit a target mixture (observed
+    share vs target share, multiplier = target/observed)."""
+    from breweries_etl_spark.operators.clustering import mixture_weights
+
+    return mixture_weights(
+        load_table(spark, sf_dir, "documents"),
+        "lang",
+        {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -2396,6 +2463,153 @@ FROM documents
 _ORACLES["similarity_topk_pandas"] = _ORACLES["similarity_topk"]
 _ORACLES["user_value_trend_pandas"] = _ORACLES["user_value_trend"]
 
+# ----- Gopher-style quality filtering (operators/filtering.py)
+_REPETITION_CTE = f"""
+base AS (
+  SELECT doc_id,
+    list_filter(string_split({_NORM}, ' '), w -> w <> '') AS words
+  FROM documents
+), toks AS (
+  SELECT doc_id, 1 AS n, unnest(words) AS tok FROM base
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+    unnest(list_transform(range(1, len(words)),
+                          i -> words[i] || ' ' || words[i + 1])) AS tok
+  FROM base
+), tok_counts AS (
+  SELECT doc_id, n, tok, count(*) AS c FROM toks GROUP BY doc_id, n, tok
+), per_doc AS (
+  SELECT doc_id,
+    CAST(sum(c) FILTER (n = 1) AS BIGINT) AS n_words,
+    CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_distinct_words,
+    CAST(max(c) FILTER (n = 1) AS BIGINT) AS top_word_c,
+    CAST(coalesce(sum(c) FILTER (n = 2), 0) AS BIGINT) AS n_bigrams,
+    CAST(max(c) FILTER (n = 2) AS BIGINT) AS top_bigram_c
+  FROM tok_counts GROUP BY doc_id
+), reps AS (
+  SELECT doc_id, n_words, n_distinct_words,
+    round(1.0 - n_distinct_words / CAST(n_words AS DOUBLE), 6)
+      AS dup_word_fraction,
+    round(top_word_c / CAST(n_words AS DOUBLE), 6) AS top_word_fraction,
+    n_bigrams,
+    coalesce(round(top_bigram_c / CAST(n_bigrams AS DOUBLE), 6), 0.0)
+      AS top_bigram_fraction
+  FROM per_doc
+)"""
+
+_ORACLES["text_repetition_stats"] = f"""
+WITH {_REPETITION_CTE}
+SELECT doc_id, n_words, n_distinct_words, dup_word_fraction,
+  top_word_fraction, n_bigrams, top_bigram_fraction
+FROM reps
+"""
+
+_ORACLES["gopher_quality_flags"] = f"""
+WITH {_REPETITION_CTE}, scal AS (
+  SELECT doc_id,
+    round(CAST(l_norm - (n_words_sc - 1) AS DOUBLE) / n_words_sc, 6)
+      AS mean_word_len,
+    round((hash_count + ellipsis_count) / n_words_sc, 6) AS symbol_ratio,
+    stop_hits AS stopword_hits
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len(norm) = 0 THEN 0
+           ELSE len(string_split(norm, ' ')) END AS n_words_sc,
+      len(norm) AS l_norm,
+      len(text) - len(replace(text, '#', '')) AS hash_count,
+      (len(text) - len(replace(text, '...', ''))) / 3 AS ellipsis_count,
+      CAST({_STOP_HITS} AS BIGINT) AS stop_hits
+    FROM (SELECT doc_id, text, {_NORM} AS norm FROM documents)
+  )
+), flagged AS (
+  SELECT r.doc_id, r.n_words, s.mean_word_len, s.symbol_ratio,
+    s.stopword_hits, r.dup_word_fraction, r.top_bigram_fraction,
+    (r.n_words >= 50 AND r.n_words <= 100000) AS ok_word_count,
+    (s.mean_word_len >= 3.0 AND s.mean_word_len <= 10.0) AS ok_mean_word_len,
+    (s.symbol_ratio <= 0.1) AS ok_symbol_ratio,
+    (s.stopword_hits >= 2) AS ok_stopwords,
+    (r.top_bigram_fraction <= 0.2) AS ok_repetition
+  FROM reps r JOIN scal s USING (doc_id)
+)
+SELECT *, (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+           AND ok_stopwords AND ok_repetition) AS keep
+FROM flagged
+"""
+
+_ORACLES["corpus_dup_ngrams"] = f"""
+WITH base AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+             || ' ' || w[i+4])) AS grams
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+), sh AS (
+  SELECT doc_id, unnest(grams) AS s FROM base
+), wf AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY s) AS doc_freq FROM sh
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(count(*) FILTER (doc_freq >= 2) AS BIGINT) AS n_shared,
+  round(count(*) FILTER (doc_freq >= 2) / CAST(count(*) AS DOUBLE), 6)
+    AS shared_fraction
+FROM wf GROUP BY doc_id
+"""
+
+# ----- embedding clustering (operators/clustering.py)
+_CLUSTER_ASSIGN_CTE = """
+c AS (
+  SELECT vec_id AS cluster_id, embedding AS c_vec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), p AS (
+  SELECT e.vec_id, c.cluster_id,
+    unnest(e.embedding)::DOUBLE AS x, unnest(c.c_vec)::DOUBLE AS y
+  FROM embeddings e CROSS JOIN c
+), d AS (
+  SELECT vec_id, cluster_id, sum(x*y) AS dp, sum(x*x) AS na, sum(y*y) AS nb
+  FROM p GROUP BY vec_id, cluster_id
+), s AS (
+  SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+    round(dp / sqrt(na * nb), 6) AS sim FROM d
+), best AS (
+  SELECT vec_id, cluster_id, sim,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, cluster_id ASC) AS rn
+  FROM s
+)"""
+
+_ORACLES["cluster_assign"] = f"""
+WITH {_CLUSTER_ASSIGN_CTE}
+SELECT vec_id, cluster_id, sim FROM best WHERE rn = 1
+"""
+
+_ORACLES["cluster_balanced_sample"] = f"""
+WITH {_CLUSTER_ASSIGN_CTE}, ranked AS (
+  SELECT vec_id, cluster_id,
+    row_number() OVER (PARTITION BY cluster_id ORDER BY
+      CAST('0x' || substring(md5(CAST(vec_id AS STRING)), 1, 4) AS BIGINT)
+        ASC, vec_id ASC) AS sample_rank
+  FROM best WHERE rn = 1
+)
+SELECT vec_id, cluster_id, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= 40
+"""
+
+_ORACLES["corpus_mix_weights"] = """
+WITH t AS (
+  SELECT lang, CAST(target_share AS DOUBLE) AS target_share
+  FROM (VALUES ('de', 0.15), ('en', 0.4), ('es', 0.15),
+               ('fr', 0.15), ('zh', 0.15)) AS v(lang, target_share)
+), c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), s AS (
+  SELECT lang, n_docs,
+    round(n_docs / CAST((SELECT sum(n_docs) FROM c) AS DOUBLE), 6) AS share
+  FROM c
+)
+SELECT s.lang, s.n_docs, s.share, t.target_share,
+  round(t.target_share / s.share, 6) AS weight
+FROM s JOIN t USING (lang)
+"""
+
 
 # ---------------------------------------------------------------------------
 # Driver contract
@@ -2567,6 +2781,14 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "multimodal_meta_stats": q_multimodal_meta_stats,
         "multimodal_features": q_multimodal_features,  # rows-only
+        # Gopher-style quality filtering
+        "text_repetition_stats": q_text_repetition_stats,
+        "gopher_quality_flags": q_gopher_quality_flags,
+        "corpus_dup_ngrams": q_corpus_dup_ngrams,
+        # embedding clustering / data mixing
+        "cluster_assign": q_cluster_assign,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        "corpus_mix_weights": q_corpus_mix_weights,
     }
 
 

@@ -1,0 +1,137 @@
+"""Embedding-space clustering for corpus curation: nearest-centroid
+assignment and cluster-balanced sampling — the "semantic dedup /
+data mixing" step of a training-data pipeline (cluster the corpus,
+then sample per cluster to rebalance domains; cf. SemDeDup, Abbas et
+al. 2023, arXiv:2303.09540).
+
+Scale design:
+- Centroids are a driver-side list by contract (k ≪ corpus, like the
+  query matrix in similarity search). Assignment is a single projection
+  + broadcast join: every corpus vector scores against the broadcast
+  centroid set in-place over the scan; the shuffle that follows the
+  partial max carries one narrow (vec_id, best-struct) row per vector —
+  embeddings themselves never move.
+- The argmax is max-of-struct (sim, −centroid_id): algebraic, so Spark
+  computes it map-side (partial aggregation) and ties break on the
+  smallest centroid id deterministically on any partitioning — which is
+  what lets a SQL oracle hash-match the assignment.
+- Balanced sampling ranks within each cluster by content hash
+  (operators/sampling.py semantics): the per-cluster quota sample is
+  reproducible under any partitioning and stable as the corpus grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.partitioning import ensure_parallelism
+from .sampling import hash_bucket_expr
+from .similarity import cosine_expr
+
+
+def leading_centroids(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The k lowest-id vectors as (cluster_id, c_vec) — a deterministic,
+    engine-portable coarse quantizer seed (stand-in for trained KMeans
+    centroids, which `similarity.ivf_topk` provides when approximate
+    assignment is acceptable)."""
+    return (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).cast("long").alias("cluster_id"),
+            F.col(vec_col).alias("c_vec"),
+        )
+    )
+
+
+def centroid_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster_id, sim): each vector assigned to the centroid
+    with the highest cosine similarity; ties go to the smallest
+    cluster_id. ``centroids`` is (cluster_id, c_vec), small by contract
+    — it is broadcast."""
+    scored = (
+        ensure_parallelism(emb.select(id_col, vec_col))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            cosine_expr(F.col(vec_col), F.col("c_vec")).alias("sim"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("sim").alias("sim"), (-F.col("cluster_id")).alias("neg_cid")
+            )
+        ).alias("m")
+    )
+    return best.select(
+        F.col(id_col),
+        (-F.col("m.neg_cid")).cast("long").alias("cluster_id"),
+        F.col("m.sim").alias("sim"),
+    )
+
+
+def cluster_balanced_sample(
+    assigned: DataFrame,
+    n_per_cluster: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """At most ``n_per_cluster`` members per cluster, chosen by content
+    hash of the id (NOT by similarity — quota sampling wants an unbiased
+    draw within the cluster): the data-mixing primitive that flattens
+    over-represented domains. Deterministic on any partitioning."""
+    w = Window.partitionBy("cluster_id").orderBy(
+        hash_bucket_expr(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= n_per_cluster)
+        .select(id_col, "cluster_id", F.col("r").cast("long").alias("sample_rank"))
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Per-group resampling weights to hit a target mixture: observed
+    share vs target share and the multiplier weight = target/observed —
+    the number a sampler repeats (weight > 1) or thins (weight < 1) each
+    group by. One aggregate over narrow columns; the target table is a
+    literal broadcast."""
+    spark = df.sparkSession
+    target_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, float(v)) for k, v in sorted(targets.items())],
+            f"{group_col} string, target_share double",
+        )
+    )
+    counts = (
+        ensure_parallelism(df.select(group_col))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = Window.partitionBy()
+    return (
+        counts.withColumn(
+            "share", F.round(F.col("n_docs") / F.sum("n_docs").over(total), 6)
+        )
+        .join(target_df, group_col)
+        .select(
+            group_col,
+            "n_docs",
+            "share",
+            "target_share",
+            F.round(F.col("target_share") / F.col("share"), 6).alias("weight"),
+        )
+    )

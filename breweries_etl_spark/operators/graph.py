@@ -95,35 +95,54 @@ def bfs_levels(
     total work is O(edges × diameter-reached-fraction), not O(edges ×
     rounds). First visit = minimum level (unweighted), so results are
     exact integers — deterministic under any partitioning, which is what
-    lets a recursive-CTE oracle hash-match. Per-round reliable
-    checkpoints truncate lineage exactly as in connected_components.
+    lets a recursive-CTE oracle hash-match.
+
+    Only the per-hop FRONTIER is checkpointed each round — the visited
+    set is the lazy union of those already-checkpointed hop frames, so
+    its lineage is one union over checkpoint scans and never deepens.
+    Re-checkpointing the growing union every round (the naive pattern)
+    rewrites the entire visited set to disk once per hop — O(nodes ×
+    diameter) checkpoint I/O instead of O(nodes) total.
 
     ``sources``: one-column DataFrame of starting node ids (column
     ``node``).
     """
+    # Persisted (not just checkpointed) because every hop re-joins the
+    # full edge list — without the persist each round re-reads it from
+    # the checkpoint files. Released before returning: the result plan
+    # references only the per-hop checkpoint frames.
     edges = _checkpointed(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
+    ).persist()
+    frontier = _checkpointed(
+        sources.select("node").distinct().withColumn("level", F.lit(0))
     )
-    levels = _checkpointed(sources.select("node").distinct().withColumn("level", F.lit(0)))
-    frontier = levels
+    hop_frames = [frontier]
     for hop in range(1, max_hops + 1):
+        visited = hop_frames[0]
+        for f in hop_frames[1:]:
+            visited = visited.union(f)
         neighbors = (
             edges.join(frontier, edges.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
         )
         new = _checkpointed(
-            neighbors.join(levels, "node", "left_anti").withColumn(
+            neighbors.join(visited, "node", "left_anti").withColumn(
                 "level", F.lit(hop)
             )
         )
         if new.isEmpty():
             break
-        levels = _checkpointed(levels.union(new))
+        hop_frames.append(new)
         frontier = new
-    return levels
+    edges.unpersist()
+    out = hop_frames[0]
+    for f in hop_frames[1:]:
+        out = out.union(f)
+    return out
 
 
 def _undirected(pairs: DataFrame, src_col: str, dst_col: str) -> DataFrame:
