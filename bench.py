@@ -51,6 +51,9 @@ HEADLINE = [
     "feature_hash_counts",
     "pack_sequences",
     "graph_bfs_levels",
+    "gopher_quality_flags",
+    "corpus_dup_ngrams",
+    "cluster_assign",
 ]
 
 
