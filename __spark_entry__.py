@@ -1067,6 +1067,77 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status, priority), (status), ()) with
+    grouping_id — the finer/coarser/global rollup in ONE aggregation pass
+    (Spark expands sets in a single Expand+HashAggregate, no re-scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", F.col("gid").cast("long").alias("gid"))
+    )
+
+
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar datetime-function surface over o_orderdate: truncation,
+    month arithmetic, last-day, ISO weekday/week, day difference from the
+    epoch of the dataset — one pass, all codegen, dialect-portable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.add_months(F.col("o_orderdate"), 3).alias("plus3m"),
+        F.last_day(F.col("o_orderdate")).alias("eom"),
+        (F.weekday(F.col("o_orderdate")) + 1).cast("long").alias("isodow"),
+        F.weekofyear(F.col("o_orderdate")).cast("long").alias("isoweek"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_92"),
+    )
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: per-order sorted line-number array derived
+    scalars (size, sliced sum, min/max, membership, position) — the
+    collect_list is made deterministic by sort_array before anything
+    reads element order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = F.sort_array(F.collect_list("l_linenumber"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(arr.alias("arr"))
+        .select(
+            "l_orderkey",
+            F.size("arr").cast("long").alias("n_lines"),
+            F.aggregate(
+                F.slice("arr", 1, 3), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("sum_first3"),
+            F.array_max("arr").cast("long").alias("max_line"),
+            F.array_min("arr").cast("long").alias("min_line"),
+            F.array_contains("arr", F.lit(4)).alias("has_line4"),
+            F.array_position("arr", F.lit(2)).cast("long").alias("pos_line2"),
+        )
+    )
+
+
+def q_skew_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest l_suppkey join keys with row share and heat factor
+    (cnt / uniform-key average) — the pre-join skew diagnostic."""
+    from breweries_etl_spark.operators.profiling import key_skew_profile
+
+    return key_skew_profile(load_table(spark, sf_dir, "lineitem"), "l_suppkey", 20)
+
+
 def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document repetition signals (word / distinct-word
     counts, duplicate-word and top-word/top-bigram fractions) — one
@@ -2463,6 +2534,59 @@ FROM documents
 _ORACLES["similarity_topk_pandas"] = _ORACLES["similarity_topk"]
 _ORACLES["user_value_trend_pandas"] = _ORACLES["user_value_trend"]
 
+# ----- SQL-surface breadth: grouping sets / datetime / arrays / skew
+_ORACLES["grouping_sets_orders"] = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+_ORACLES["datetime_functions"] = """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS BIGINT) AS yr,
+  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+  last_day(o_orderdate) AS eom,
+  CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+  CAST(weekofyear(o_orderdate) AS BIGINT) AS isoweek,
+  CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+    AS days_since_92
+FROM orders
+"""
+
+_ORACLES["array_functions"] = """
+WITH a AS (
+  SELECT l_orderkey, list_sort(list(l_linenumber)) AS arr
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+  CAST(len(arr) AS BIGINT) AS n_lines,
+  CAST(list_sum(arr[1:3]) AS BIGINT) AS sum_first3,
+  CAST(list_max(arr) AS BIGINT) AS max_line,
+  CAST(list_min(arr) AS BIGINT) AS min_line,
+  list_contains(arr, 4) AS has_line4,
+  CAST(coalesce(list_position(arr, 2), 0) AS BIGINT) AS pos_line2
+FROM a
+"""
+
+_ORACLES["skew_profile_lineitem"] = """
+WITH c AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_suppkey
+), t AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS nkeys FROM c
+)
+SELECT l_suppkey, cnt,
+  round(cnt / CAST(total AS DOUBLE), 6) AS share,
+  round(cnt * nkeys / CAST(total AS DOUBLE), 6) AS heat
+FROM c, t
+ORDER BY cnt DESC, l_suppkey ASC LIMIT 20
+"""
+
 # ----- Gopher-style quality filtering (operators/filtering.py)
 _REPETITION_CTE = f"""
 base AS (
@@ -2781,6 +2905,11 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "multimodal_meta_stats": q_multimodal_meta_stats,
         "multimodal_features": q_multimodal_features,  # rows-only
+        # SQL-surface breadth
+        "grouping_sets_orders": q_grouping_sets_orders,
+        "datetime_functions": q_datetime_functions,
+        "array_functions": q_array_functions,
+        "skew_profile_lineitem": q_skew_profile_lineitem,
         # Gopher-style quality filtering
         "text_repetition_stats": q_text_repetition_stats,
         "gopher_quality_flags": q_gopher_quality_flags,

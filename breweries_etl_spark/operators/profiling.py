@@ -113,3 +113,39 @@ def zscore_outliers_exact(
         )
         .filter(F.abs(F.col("zscore")) > z)
     )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 20
+) -> DataFrame:
+    """Pre-join skew diagnostic: the ``top_n`` heaviest join-key values
+    with their row share and heat relative to a uniform key (cnt /
+    avg-rows-per-key). The operator a pipeline runs BEFORE a big join to
+    decide between plain shuffle, AQE skew split, and salting — at 100 TB
+    the difference between a 1.2× and a 40× heat factor is the difference
+    between a working join and a straggler task that never finishes.
+
+    One hash aggregate (map-side partial) over the key column only, one
+    single-row aggregate joined back by broadcast, and a
+    TakeOrderedAndProject for the top-n — no global sort, no second scan.
+    Ties rank by key ascending so the result is deterministic.
+    """
+    counts = df.select(key_col).groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(key_col),
+            F.col("cnt"),
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("__nkeys") / F.col("__total"), 6
+            ).alias("heat"),
+        )
+        .orderBy(F.desc("cnt"), F.asc(key_col))
+        .limit(top_n)
+    )

@@ -80,3 +80,20 @@ def test_zscore_outliers_constant_group_emits_nothing(spark):
         [Row(k=i, g="a", v=7.0) for i in range(5)], "k long, g string, v double"
     )
     assert zscore_outliers_exact(df, "v", "k", "g").count() == 0
+
+
+def test_key_skew_profile_ranks_hot_key(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.profiling import key_skew_profile
+
+    # key 7 carries 10 of 14 rows; keys 1..4 one row each
+    rows = [Row(k=7) for _ in range(10)] + [Row(k=i) for i in range(1, 5)]
+    out = key_skew_profile(spark.createDataFrame(rows, "k long"), "k", 3).collect()
+    assert out[0]["k"] == 7 and out[0]["cnt"] == 10
+    assert out[0]["share"] == round(10 / 14, 6)
+    # heat = cnt / (total/nkeys) = 10 / (14/5)
+    assert out[0]["heat"] == round(10 * 5 / 14, 6)
+    assert len(out) == 3
+    # ties (cnt=1) break on key ascending
+    assert [r["k"] for r in out[1:]] == [1, 2]
