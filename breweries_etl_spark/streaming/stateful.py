@@ -73,3 +73,99 @@ def run_user_profiles_once(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+from pyspark.sql.streaming import StatefulProcessor
+
+
+class _ProfileProcessor(StatefulProcessor):
+    """Spark 4 ``StatefulProcessor`` twin of ``_update_profile``: the
+    same per-user running profile on the transformWithState API, which
+    adds typed state handles (value/list/map), TTL, and timers over what
+    ``applyInPandasWithState`` offers. State here is one ValueState row
+    per user."""
+
+    def init(self, handle) -> None:
+        self._profile = handle.getValueState("profile", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, total, last_us = (
+            self._profile.get() if self._profile.exists() else (0, 0.0, 0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["ts_us"].max()))
+        self._profile.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "last_ts_us": [last_us],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas speaks protobuf between the JVM state
+    server and the Python worker; the container may not ship
+    google.protobuf. Import-gated per environment policy."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_profiles_stream_tws(events: DataFrame) -> DataFrame:
+    """``user_profiles_stream`` on ``transformWithStateInPandas`` — the
+    current-generation arbitrary-state operator API (RocksDB-backed state
+    with TTL/timers on a cluster). Identical output contract, so the two
+    APIs share their comparison tests.
+
+    Requires the protobuf runtime (see ``tws_available``); raises
+    ImportError eagerly instead of crashing the streaming worker
+    mid-query."""
+    from pyspark.sql import functions as F
+
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf, which is "
+            "not installed; use user_profiles_stream (applyInPandasWithState)"
+        )
+
+    prepared = events.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_ProfileProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def run_user_profiles_tws_once(
+    spark: SparkSession, sf_dir: str, query_name: str = "user_profiles_tws"
+) -> DataFrame:
+    from .events import stream_events
+
+    out = user_profiles_stream_tws(stream_events(spark, sf_dir))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -280,3 +280,31 @@ def test_transition_counts(spark):
         for r in transition_counts(df).collect()
     }
     assert got == {("view", "click"): (2, 2), ("click", "view"): (1, 1)}
+
+
+def test_transform_with_state_profiles_match_batch(spark, sf_dir):
+    """transformWithStateInPandas twin agrees with the batch rollup
+    (skipped where the protobuf runtime is absent — the API's state
+    protocol needs it)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from breweries_etl_spark.streaming.stateful import (
+        run_user_profiles_tws_once,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf not installed in this container")
+    out = run_user_profiles_tws_once(spark, sf_dir).collect()
+    ev = load_events(spark, sf_dir)
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.max(F.unix_micros(F.col("ts"))).alias("last_ts_us"),
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"], r["last_ts_us"])
+           for r in out}
+    want = {r["user_id"]: (r["n_events"], r["total_value"], r["last_ts_us"])
+            for r in batch.collect()}
+    assert got == want
