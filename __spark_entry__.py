@@ -1067,6 +1067,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language hash-stratified sample (deterministic sampleBy):
+    en 50%, de 100%, fr/es 25%, zh 10% — membership is content-hash
+    keyed, so the sample is identical on any partitioning/engine."""
+    from breweries_etl_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.25, "zh": 0.1},
+    ).select("doc_id", "lang")
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunking (64-token windows, stride 48):
+    sequence+posexplode in-row, chunk content as md5 so the output stays
+    narrow."""
+    from breweries_etl_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
 def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS ((status, priority), (status), ()) with
     grouping_id — the finer/coarser/global rollup in ONE aggregation pass
@@ -2534,6 +2560,29 @@ FROM documents
 _ORACLES["similarity_topk_pandas"] = _ORACLES["similarity_topk"]
 _ORACLES["user_value_trend_pandas"] = _ORACLES["user_value_trend"]
 
+# ----- corpus prep: stratified sampling / chunking
+_ORACLES["stratified_sample_docs"] = """
+SELECT doc_id, lang FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS STRING)), 1, 4) AS BIGINT) <
+  CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 65536 WHEN 'fr' THEN 16384
+            WHEN 'es' THEN 16384 WHEN 'zh' THEN 6553 ELSE 0 END
+"""
+
+_ORACLES["chunk_documents"] = f"""
+WITH base AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks), 48)) AS start
+  FROM base WHERE len(toks) > 0 AND toks[1] <> ''
+)
+SELECT doc_id,
+  CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
+  CAST(start AS BIGINT) AS start_token,
+  CAST(len(toks[start:start + 63]) AS BIGINT) AS n_chunk_tokens,
+  md5(array_to_string(toks[start:start + 63], ' ')) AS chunk_md5
+FROM s
+"""
+
 # ----- SQL-surface breadth: grouping sets / datetime / arrays / skew
 _ORACLES["grouping_sets_orders"] = """
 SELECT o_orderstatus, o_orderpriority,
@@ -2905,6 +2954,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "multimodal_meta_stats": q_multimodal_meta_stats,
         "multimodal_features": q_multimodal_features,  # rows-only
+        # corpus prep: stratified sampling / chunking
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "chunk_documents": q_chunk_documents,
         # SQL-surface breadth
         "grouping_sets_orders": q_grouping_sets_orders,
         "datetime_functions": q_datetime_functions,

@@ -186,3 +186,45 @@ def training_data_prep(
         )
         .orderBy("split")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split every document into overlapping fixed-token windows — the
+    context-window chunking step that turns variable-length documents
+    into training sequences (stride = chunk_tokens − overlap, trailing
+    partial chunk kept).
+
+    Pure array expressions over one scan: ``sequence`` generates the
+    chunk starts in-row, ``posexplode`` emits one row per chunk, and the
+    chunk content travels as an md5 over the joined slice — so the
+    output stays narrow no matter how wide the source documents are
+    (the driver-facing form; a writer would keep the slice itself).
+    Documents with no tokens produce no chunks.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(normalize_text_expr(F.col(text_col)), " ")
+    with_toks = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(F.col(id_col), toks.alias("toks"))
+        .filter((F.size("toks") > 0) & (F.element_at("toks", 1) != ""))
+    )
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
+    exploded = with_toks.select(
+        F.col(id_col), F.col("toks"), F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_token"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

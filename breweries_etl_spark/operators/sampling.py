@@ -39,3 +39,25 @@ def train_test_split(
     threshold = int(test_fraction * _BUCKETS)
     bucket = hash_bucket_expr(F.col(key))
     return df.filter(bucket >= threshold), df.filter(bucket < threshold)
+
+
+def stratified_hash_sample(
+    df: DataFrame, key: str, strata_col: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum hash sampling (the deterministic `df.sampleBy`):
+    stratum s keeps ~fractions[s] of its rows, chosen by the SAME
+    content-hash bucket as `hash_sample` — so the stratified sample of a
+    stratum at fraction f is exactly its plain hash_sample at f, nested
+    samples are subsets, and membership never changes with partitioning.
+    Strata absent from ``fractions`` are dropped (sampleBy semantics).
+
+    The fraction table enters the plan as a literal CASE chain — no join,
+    pure scan-parallel filter at any corpus size.
+    """
+    bucket = hash_bucket_expr(F.col(key))
+    threshold = F.lit(0)  # strata not listed keep nothing
+    for stratum, frac in sorted(fractions.items(), reverse=True):
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(int(frac * _BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

@@ -138,3 +138,37 @@ def test_pack_sequences_oversized_doc_gets_own_bin(spark):
         key=lambda r: r["doc_id"],
     )
     assert [r["bin_idx"] for r in rows] == [0, 1, 2]
+
+
+def test_chunk_documents_windows_and_trailing(spark):
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.corpus import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    docs = [Row(doc_id=1, text=" ".join(words)), Row(doc_id=2, text="!!!")]
+    out = chunk_documents(
+        spark.createDataFrame(docs), chunk_tokens=4, overlap=1
+    ).collect()
+    by_idx = {r["chunk_idx"]: r for r in out}
+    # stride 3 over 10 tokens -> starts 1,4,7,10
+    assert sorted(by_idx) == [0, 1, 2, 3]
+    assert [by_idx[i]["start_token"] for i in range(4)] == [1, 4, 7, 10]
+    assert [by_idx[i]["n_chunk_tokens"] for i in range(4)] == [4, 4, 4, 1]
+    want0 = hashlib.md5(" ".join(words[0:4]).encode()).hexdigest()
+    assert by_idx[0]["chunk_md5"] == want0
+    # doc 2 normalizes to empty -> no chunks
+    assert all(r["doc_id"] == 1 for r in out)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)

@@ -37,3 +37,39 @@ def test_membership_stable_under_growth(spark):
     big_ids = {r["doc_id"] for r in test_big.collect()}
     # every row of the smaller corpus keeps its split when the corpus grows
     assert small_ids == {i for i in big_ids if i < 200}
+
+
+def test_stratified_sample_nesting_and_fractions(spark, sf_dir):
+    from breweries_etl_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 1.0, "zh": 0.1}
+    )
+    got = out.groupBy("lang").count().collect()
+    langs = {r["lang"] for r in got}
+    assert langs <= {"en", "de", "zh"}  # unlisted strata dropped
+    # de at 1.0 keeps every de row
+    n_de = docs.filter("lang = 'de'").count()
+    assert next(r["count"] for r in got if r["lang"] == "de") == n_de
+    # the en stratum equals plain hash_sample of the en slice (nesting)
+    en_plain = {r["doc_id"] for r in
+                hash_sample(docs.filter("lang='en'"), "doc_id", 0.5)
+                .select("doc_id").collect()}
+    en_strat = {r["doc_id"] for r in
+                out.filter("lang='en'").select("doc_id").collect()}
+    assert en_plain == en_strat
+
+
+def test_stratified_sample_partition_invariant(spark, sf_dir):
+    from breweries_etl_spark.operators.sampling import stratified_hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r["doc_id"] for r in stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.3, "fr": 0.7}).collect()}
+    b = {r["doc_id"] for r in stratified_hash_sample(
+        docs.repartition(17), "doc_id", "lang", {"en": 0.3, "fr": 0.7}).collect()}
+    assert a == b
