@@ -1067,6 +1067,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of o_totalprice — single-row
+    min/max broadcast back, fixed-order IEEE bucket arithmetic so edges
+    and assignment hash-match any engine."""
+    from breweries_etl_spark.operators.profiling import equi_width_histogram
+
+    return equi_width_histogram(load_table(spark, sf_dir, "orders"), "o_totalprice", 20)
+
+
 def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language hash-stratified sample (deterministic sampleBy):
     en 50%, de 100%, fr/es 25%, zh 10% — membership is content-hash
@@ -2560,6 +2569,23 @@ FROM documents
 _ORACLES["similarity_topk_pandas"] = _ORACLES["similarity_topk"]
 _ORACLES["user_value_trend_pandas"] = _ORACLES["user_value_trend"]
 
+_ORACLES["price_histogram"] = """
+WITH st AS (
+  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+), b AS (
+  SELECT CASE WHEN mx = mn THEN 1
+              ELSE least(20, CAST(floor(((o_totalprice - mn) / (mx - mn)) * 20)
+                                 AS BIGINT) + 1) END AS bucket,
+         mn, mx
+  FROM orders, st
+)
+SELECT bucket,
+  round(mn + (bucket - 1) * (mx - mn) / 20, 6) AS lo,
+  round(mn + bucket * (mx - mn) / 20, 6) AS hi,
+  CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY bucket, mn, mx
+"""
+
 # ----- corpus prep: stratified sampling / chunking
 _ORACLES["stratified_sample_docs"] = """
 SELECT doc_id, lang FROM documents
@@ -2954,6 +2980,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "multimodal_meta_stats": q_multimodal_meta_stats,
         "multimodal_features": q_multimodal_features,  # rows-only
+        "price_histogram": q_price_histogram,
         # corpus prep: stratified sampling / chunking
         "stratified_sample_docs": q_stratified_sample_docs,
         "chunk_documents": q_chunk_documents,

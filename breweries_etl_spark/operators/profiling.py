@@ -149,3 +149,42 @@ def key_skew_profile(
         .orderBy(F.desc("cnt"), F.asc(key_col))
         .limit(top_n)
     )
+
+
+def equi_width_histogram(
+    df: DataFrame, value_col: str, n_buckets: int = 20
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bucket, lo, hi, cnt),
+    empty buckets absent. The profiling primitive behind skew-aware
+    bucket sizing and range-partition boundary picks.
+
+    Two aggregation passes over ONE scan each: a single-row min/max
+    aggregate broadcast back over the column, then the bucket group-count
+    (map-side partial). The bucket arithmetic is plain IEEE double ops in
+    a fixed order, so any engine reproduces the assignment bit-for-bit
+    (no reliance on engine-specific width_bucket).
+    """
+    v = F.col(value_col).cast("double")
+    stats = df.agg(
+        F.min(v).alias("__mn"), F.max(v).alias("__mx")
+    )
+    mn, mx = F.col("__mn"), F.col("__mx")
+    width_ratio = (v - mn) / (mx - mn)
+    bucket = F.when(mx == mn, F.lit(1)).otherwise(
+        F.least(F.lit(n_buckets), F.floor(width_ratio * n_buckets) + 1)
+    )
+    lo = mn + (F.col("bucket") - 1) * (mx - mn) / n_buckets
+    hi = mn + F.col("bucket") * (mx - mn) / n_buckets
+    return (
+        df.select(v.alias(value_col))
+        .crossJoin(F.broadcast(stats))
+        .select(bucket.cast("long").alias("bucket"), "__mn", "__mx")
+        .groupBy("bucket", "__mn", "__mx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            F.round(lo, 6).alias("lo"),
+            F.round(hi, 6).alias("hi"),
+            "cnt",
+        )
+    )

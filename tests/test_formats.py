@@ -79,3 +79,32 @@ def test_medallion_pipeline_parameterized_over_format(spark, tmp_path, fmt):
 def test_delta_available_probe_is_safe(spark):
     # must return a bool without raising, whatever the classpath
     assert delta_available(spark) in (True, False)
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 ships the XML source natively (SPARK-44265); same
+    parameterized-writer path as ORC/CSV/JSON."""
+    df = _frame(spark)
+    out = str(tmp_path / "xml_out")
+    df.write.format("xml").option("rowTag", "row").mode("overwrite").save(out)
+    back = (
+        spark.read.format("xml")
+        .schema("id string, name string, score double")
+        .option("rowTag", "row")
+        .load(out)
+    )
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_parquet_zstd_codec_roundtrip(spark, tmp_path):
+    """Column-store compression posture at 100 TB: zstd parquet writes
+    (the cluster default worth pinning) read back identically."""
+    df = _frame(spark)
+    out = str(tmp_path / "zstd_out")
+    df.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    import glob
+
+    files = glob.glob(f"{out}/*.zstd.parquet")
+    assert files, "expected zstd-suffixed parquet part files"
+    back = spark.read.parquet(out)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}

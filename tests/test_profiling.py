@@ -97,3 +97,25 @@ def test_key_skew_profile_ranks_hot_key(spark):
     assert len(out) == 3
     # ties (cnt=1) break on key ascending
     assert [r["k"] for r in out[1:]] == [1, 2]
+
+
+def test_equi_width_histogram_counts_and_edges(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.profiling import equi_width_histogram
+
+    df = spark.createDataFrame([Row(v=float(x)) for x in range(0, 101)])
+    out = {r["bucket"]: r for r in equi_width_histogram(df, "v", 4).collect()}
+    # 0..100 over 4 buckets of width 25; v=100 folds into bucket 4
+    assert [out[b]["cnt"] for b in (1, 2, 3, 4)] == [25, 25, 25, 26]
+    assert out[1]["lo"] == 0.0 and out[4]["hi"] == 100.0
+
+
+def test_equi_width_histogram_constant_column(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.profiling import equi_width_histogram
+
+    df = spark.createDataFrame([Row(v=5.0)] * 7)
+    out = equi_width_histogram(df, "v", 10).collect()
+    assert len(out) == 1 and out[0]["bucket"] == 1 and out[0]["cnt"] == 7
