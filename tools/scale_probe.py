@@ -32,6 +32,9 @@ QUERIES = [
     # time, so density grows 10x -> range-join pair counts grow ~100x;
     # superlinear growth here is the workload, not the plan)
     "range_join_error_window", "funnel_conversion", "retention_cohorts",
+    # round-3: quality filters, corpus dup signal, clustering, chunking
+    "gopher_quality_flags", "corpus_dup_ngrams", "cluster_assign",
+    "chunk_documents", "skew_profile_lineitem", "price_histogram",
 ]
 
 
