@@ -23,16 +23,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to session-zoned TIMESTAMP regardless of
+    how the parquet writer encoded it. Generations of the testdata have
+    shipped it as TIMESTAMP(NANOS) (read as long under the legacy conf —
+    rebuilt via exact integer ``div 1000``), as TIMESTAMP_NTZ (cast is a
+    no-op re-tag under the UTC session timezone), and as plain TIMESTAMP.
+    All three converge on the same microsecond instants DuckDB sees, so
+    oracle parity holds across testdata regenerations."""
+    dt = dict(df.dtypes).get("ts")
+    if dt in ("bigint", "long"):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table is written with TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects by default. Read nanos as long (legacy conf,
-    runtime-settable) and rebuild a proper timestamp at microsecond
-    precision — ``ts div 1000`` is exact integer arithmetic, so the value
-    is identical on every executor and matches DuckDB's TIMESTAMP_NS
-    truncated to micros."""
+    """Events table with ``ts`` normalized to TIMESTAMP (see
+    :func:`normalize_event_ts`). The legacy nanos conf is set pre-read so
+    nanos-encoded generations load as long instead of erroring."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = load_table(spark, sf_dir, "events")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(load_table(spark, sf_dir, "events"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

@@ -18,32 +18,28 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions.exact import money
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos-as-long (see sources.tables)
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The streaming file source needs an explicit schema; take it from a
+    # static read of the same file so the stream tracks whatever encoding
+    # the current testdata generation uses (nanos-as-long / NTZ / plain
+    # timestamp), then normalize exactly like the batch loader.
+    from ..sources.tables import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    )
     # The streaming file source wants a DIRECTORY; point it at sf_dir and
     # glob-filter to the events file.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(static.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def streaming_tumbling_counts(
