@@ -688,8 +688,9 @@ def q_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-frame feature rows from the (stub-decoded) video sampler →
-    rows-only."""
+    """Per-frame feature rows from the (stub-decoded) video sampler —
+    the md5-derived fake features are deterministic, so DuckDB replays
+    them exactly via hex arithmetic (oracle below)."""
     assets = multimodal.assets_from_documents(load_table(spark, sf_dir, "documents"))
     frames = multimodal.frame_sample(assets)
     return frames.select(
@@ -980,8 +981,12 @@ def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PageRank nodes of the directed customer→supplier purchase
     graph (all suppliers dangling — exercises the mass-redistribution
-    path). Rows-only: float accumulation order is engine-specific;
-    accuracy is pinned by the 1e-9 numpy comparison in test_graph.py."""
+    path). Oracled by a fixed-5-iteration UNROLLED power iteration in
+    DuckDB; ranks round to 9 decimals on both sides (absolute float
+    divergence from summation order is ~1e-15, far below the rounding),
+    and the top-20 cut orders by the ROUNDED rank + node so both engines
+    select the same rows. Accuracy is additionally pinned by the 1e-9
+    numpy comparison in test_graph.py."""
     from breweries_etl_spark.operators.graph import pagerank
 
     orders = load_table(spark, sf_dir, "orders")
@@ -994,7 +999,9 @@ def q_graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ranks = pagerank(edges, iterations=5)
+    ranks = pagerank(edges, iterations=5).select(
+        "node", F.round("rank", 9).alias("rank")
+    )
     return ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(20)
 
 
@@ -1023,6 +1030,33 @@ def q_approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("o_totalprice", p, 10_000).alias(f"p{int(p * 100)}")
             for p in (0.5, 0.9, 0.99)
         ]
+    )
+
+
+def q_order_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of ``approx_order_percentiles``: percentile_disc picks
+    an ACTUAL element (no interpolation arithmetic), so Spark and DuckDB
+    agree bit-for-bit and the sketch-based operator gets a hash-matched
+    sibling in the driver gate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias(f"p{int(p * 100)}")
+            for p in (0.5, 0.9, 0.99)
+        ]
+    )
+
+
+def q_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of ``approx_distinct_users`` (count distinct vs HLL
+    sketch) — gives the distinct-count operator a hash-matched row while
+    the sketch variant stays rows-only."""
+    ev = load_events(spark, sf_dir)
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_id").alias("n_events"),
     )
 
 
@@ -1063,8 +1097,8 @@ def q_multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary decode→feature plumbing (deterministic fake extractor) →
-    rows-only."""
+    """Binary decode→feature plumbing (deterministic fake extractor) —
+    md5-derived features replayed exactly by the DuckDB oracle."""
     assets = multimodal.assets_from_documents(load_table(spark, sf_dir, "documents"))
     feats = multimodal.fake_feature_extractor(assets)
     return feats.select(
@@ -2817,6 +2851,111 @@ SELECT s.lang, s.n_docs, s.share, t.target_share,
 FROM s JOIN t USING (lang)
 """
 
+# ----- exact twins + fixed-iteration oracles for formerly rows-only ops
+
+_ORACLES["order_percentiles_disc"] = """
+SELECT quantile_disc(o_totalprice, 0.5) AS p50,
+       quantile_disc(o_totalprice, 0.9) AS p90,
+       quantile_disc(o_totalprice, 0.99) AS p99
+FROM orders
+"""
+
+_ORACLES["distinct_users_exact"] = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
+FROM events
+"""
+
+
+def _mm_vals(hex_col: str, dim: int = 8) -> str:
+    """The fake feature extractor's md5→uint16-LE vector, as DuckDB hex
+    arithmetic: element j = byte(2j) + 256·byte(2j+1) of the digest
+    (numpy little-endian uint16 view, multimodal.py)."""
+    return ", ".join(
+        f"(('0x' || substr({hex_col}, {4 * j + 1}, 2))::BIGINT"
+        f" + 256 * ('0x' || substr({hex_col}, {4 * j + 3}, 2))::BIGINT)::DOUBLE"
+        for j in range(dim)
+    )
+
+
+_ORACLES["multimodal_features"] = f"""
+WITH h AS (
+  SELECT doc_id AS asset_id, md5(coalesce(text, '')) AS hx FROM documents
+), v AS (
+  SELECT asset_id, [{_mm_vals("hx")}] AS vs FROM h
+)
+SELECT asset_id,
+  round(list_sum(list_transform(vs,
+    x -> round(x / sqrt(list_sum(list_transform(vs, y -> y * y))), 6))), 6)
+    AS feature_sum
+FROM v
+"""
+
+# frame_sample salts the payload with the 4-byte big-endian frame index;
+# frame_idx < 4 makes that salt chr(0)*3 || chr(i) byte-for-byte.
+_ORACLES["multimodal_frame_sample"] = f"""
+WITH f AS (
+  SELECT doc_id AS asset_id, CAST(i AS INTEGER) AS frame_idx,
+    md5(coalesce(text, '') || chr(0) || chr(0) || chr(0) || chr(CAST(i AS INTEGER)))
+      AS hx
+  FROM documents, (SELECT unnest(range(4)) AS i)
+), v AS (
+  SELECT asset_id, frame_idx, [{_mm_vals("hx")}] AS vs FROM f
+)
+SELECT asset_id, frame_idx,
+  round(list_sum(list_transform(vs,
+    x -> round(x / sqrt(list_sum(list_transform(vs, y -> y * y))), 6))), 6)
+    AS feature_sum
+FROM v
+"""
+
+
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank as UNROLLED SQL (one CTE chain per power
+    iteration — recursive CTEs can't reference the prior frame the three
+    times each round needs). Expression shapes/parenthesization mirror
+    operators/graph.py:pagerank exactly so the IEEE ops agree; both
+    sides round to 9 decimals (summation-order divergence ~1e-15)."""
+    parts = [
+        """
+WITH edges AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / cnt.n AS rank FROM nodes, cnt)"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f""",
+d{p} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS mass
+  FROM r{p} r LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL
+), c{p} AS (
+  SELECT e.dst AS node, sum(r.rank / o.od) AS in_mass
+  FROM r{p} r JOIN outdeg o ON r.node = o.src JOIN edges e ON e.src = r.node
+  GROUP BY e.dst
+), r{k} AS (
+  SELECT nd.node,
+    ((1.0 - {damping}) / cnt.n + {damping} * d{p}.mass / cnt.n)
+      + {damping} * coalesce(c{p}.in_mass, 0.0) AS rank
+  FROM nodes nd CROSS JOIN cnt CROSS JOIN d{p}
+  LEFT JOIN c{p} ON nd.node = c{p}.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, round(rank, 9) AS rank FROM r{iterations}
+ORDER BY rank DESC, node LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+_ORACLES["graph_pagerank_top"] = _pagerank_oracle()
+
 
 # ---------------------------------------------------------------------------
 # Driver contract
@@ -2919,7 +3058,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": q_set_except,
         "explode_shingle_vocab": q_explode_shingle_vocab,
         "string_functions": q_string_functions,
-        "approx_distinct_users": q_approx_distinct_users,  # rows-only
+        "approx_distinct_users": q_approx_distinct_users,  # rows-only (exact twin below)
+        "distinct_users_exact": q_distinct_users_exact,
         "merge_upsert": q_merge_upsert,
         "salted_value_counts": q_salted_value_counts,
         "custom_datasource": q_custom_datasource,
@@ -2948,7 +3088,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_deciles": q_order_value_deciles,
         "price_quantity_corr": q_price_quantity_corr,
         "hourly_unique_users": q_hourly_unique_users,
-        "multimodal_frame_sample": q_multimodal_frame_sample,  # rows-only
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "similarity_ivf_topk": q_similarity_ivf_topk,  # rows-only
         # dedup
         "dedup_exact": q_dedup_exact,
@@ -2957,7 +3097,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "graph_bfs_levels": q_graph_bfs_levels,
         "graph_triangle_stats": q_graph_triangle_stats,
-        "graph_pagerank_top": q_graph_pagerank_top,  # rows-only
+        "graph_pagerank_top": q_graph_pagerank_top,
         "contamination_check": q_contamination_check,
         "scd2_user_state": q_scd2_user_state,
         "interval_coverage": q_interval_coverage,
@@ -2977,7 +3117,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "user_value_trend": q_user_value_trend,
         "user_value_trend_pandas": q_user_value_trend_pandas,
-        "approx_order_percentiles": q_approx_order_percentiles,  # rows-only
+        "approx_order_percentiles": q_approx_order_percentiles,  # rows-only (exact twin below)
+        "order_percentiles_disc": q_order_percentiles_disc,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,  # rows-only
         "dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
@@ -2987,7 +3128,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": q_similarity_lsh_topk,  # rows-only
         # multimodal
         "multimodal_meta_stats": q_multimodal_meta_stats,
-        "multimodal_features": q_multimodal_features,  # rows-only
+        "multimodal_features": q_multimodal_features,
         "price_histogram": q_price_histogram,
         # corpus prep: stratified sampling / chunking
         "stratified_sample_docs": q_stratified_sample_docs,

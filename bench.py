@@ -2,83 +2,151 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
 
-Each query's full plan is forced with the noop sink (executes everything,
-writes nothing) rather than count() — count() would let Catalyst prune
-the projections we want measured.
+Methodology (r3 — after r2's 2.2× session-bleed regression):
+
+- **Per-family JVM isolation.** r2 timed all 32 queries in one shared
+  session, two interleaved passes; accumulated state (pinned caches,
+  checkpoint dirs, Python-worker memory, GC pressure) from heavyweight
+  queries inflated unrelated timings up to 10× (similarity_topk_pandas
+  0.95 s → 9.58 s on unchanged code). Each family now runs in its own
+  subprocess — a heavyweight family cannot pollute another family's
+  JVM — ordered cheap→heavy inside each.
+- **Per-query protocol: warm ×1, timed ×2 (best), then hygiene.** The
+  warm run pays codegen compilation, Python-worker spin-up, and any
+  caches the query builds internally; the timed runs measure
+  steady-state plan cost. After each query, clearCache() + System.gc()
+  drops anything it pinned so cross-QUERY cache reuse never flatters
+  the next number (intra-query reuse is the steady state being
+  measured).
+- **Worker pre-warm.** Every family session warms one trivial
+  mapInPandas so the first Python-worker query doesn't pay
+  pyspark.daemon startup inside its timing (r2 conflated the two).
+
+Each query's full plan is forced with the noop sink (executes
+everything, writes nothing) rather than count() — count() would let
+Catalyst prune the projections we want measured.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import __spark_entry__ as entrymod
-from breweries_etl_spark.session import get_spark
+# Families group queries whose cost profiles belong together; each runs
+# in a fresh JVM. Order within a family: cheap scans/aggs before
+# cache-heavy pipelines.
+FAMILIES: dict[str, list[str]] = {
+    "core": [
+        "gold_by_type_location",
+        "silver_transform",
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q5",
+        "tpch_q6",
+        "tpch_q10",
+        "tpch_q17_small_quantity",
+        "tpch_q18_large_orders",
+        "topk_orders_per_customer",
+        "window_function_suite",
+        "rollup_orders",
+        "pivot_events",
+    ],
+    "text": [
+        "text_stats",
+        "json_extract_stats",
+        "text_fingerprint",
+        "gopher_quality_flags",
+        "feature_hash_counts",
+        "corpus_dup_ngrams",
+        "contamination_check",
+    ],
+    "temporal": [
+        "events_sessionize",
+        "events_session_window",
+        "asof_purchase_view",
+        "merge_upsert",
+        "range_join_error_window",
+    ],
+    "dedup": [
+        "dedup_exact",
+        "dedup_minhash_pairs",
+    ],
+    "vector": [
+        "similarity_topk",
+        "similarity_topk_pandas",
+        "cluster_assign",
+        "pack_sequences",
+    ],
+    "graph": [
+        "graph_bfs_levels",
+    ],
+}
 
-# Queries that represent the engine's cost profile: scans+aggs, multi-way
-# joins, windows, the silver transform chain, and the scale extensions.
-HEADLINE = [
-    "gold_by_type_location",
-    "silver_transform",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q10",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "topk_orders_per_customer",
-    "window_function_suite",
-    "rollup_orders",
-    "pivot_events",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "similarity_topk",
-    "similarity_topk_pandas",
-    "text_stats",
-    "text_fingerprint",
-    "events_sessionize",
-    "events_session_window",
-    "asof_purchase_view",
-    "merge_upsert",
-    "json_extract_stats",
-    "range_join_error_window",
-    "contamination_check",
-    "feature_hash_counts",
-    "pack_sequences",
-    "graph_bfs_levels",
-    "gopher_quality_flags",
-    "corpus_dup_ngrams",
-    "cluster_assign",
-]
+HEADLINE = [q for qs in FAMILIES.values() for q in qs]
+
+
+def run_family(family: str) -> None:
+    """Child process: time one family in a fresh JVM, print JSON."""
+    import __spark_entry__ as entrymod
+    from breweries_etl_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(f"bench_{family}")
+    qs = entrymod.queries()
+    names = [n for n in FAMILIES[family] if n in qs]
+
+    # Pre-warm the JVM and the Python worker pool outside any timing.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.range(1000).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            start = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - start)
+        timings[name] = round(best, 3)
+        # Hygiene barrier: whatever this query pinned must not flatter
+        # (cache reuse) or tax (GC pressure) the next one.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    print("BENCH_FAMILY " + json.dumps(timings), flush=True)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark("bench")
 
-    qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs]
-
-    # Warm the JVM/codegen once with the cheapest query so timings measure
-    # the plans, not first-call classloading.
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
-    # Two passes per query, keep the faster: one stray GC pause or python
-    # worker spin-up shouldn't define the recorded number.
     timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name in names:
-            start = time.monotonic()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.monotonic() - start, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+    for family in FAMILIES:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--family", family],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("BENCH_FAMILY "):
+                timings.update(json.loads(line[len("BENCH_FAMILY "):]))
+                break
+        else:
+            print(
+                f"family {family} produced no timings (rc={proc.returncode}):\n"
+                + proc.stderr[-2000:],
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -95,4 +163,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--family":
+        run_family(sys.argv[2])
+    else:
+        main()
