@@ -57,3 +57,32 @@ def test_partition_pruning_on_silver_layout(spark, tmp_path):
     usa_files = [f for f in os.listdir(os.path.join(out, "location=USA"))
                  if f.endswith(".parquet")]
     assert 1 <= len(usa_files) <= 2
+
+
+def test_normalize_event_ts_rejects_non_utc_session(spark):
+    """A non-UTC session would silently shift NTZ/epoch instants; the
+    loader must fail loudly instead (ADVICE r2)."""
+    import pytest
+
+    from breweries_etl_spark.sources.tables import load_events
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timeZone"):
+            load_events(spark, "/root/testdata/sf0.001")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_normalize_event_ts_rejects_non_nanos_int64(spark, tmp_path):
+    """An int64 ts whose parquet logical type is NOT timestamp[ns] must
+    raise, not get silently divided by 1000 (ADVICE r2)."""
+    import pytest
+
+    from breweries_etl_spark.sources.tables import normalize_event_ts
+
+    p = str(tmp_path / "plain_long_ts.parquet")
+    spark.range(5).selectExpr("id AS event_id", "id * 1000000 AS ts").write.parquet(p)
+    df = spark.read.parquet(p)
+    with pytest.raises(ValueError, match="not timestamp"):
+        normalize_event_ts(df, parquet_path=p)
