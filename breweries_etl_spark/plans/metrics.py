@@ -26,6 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sanitize_metric_name(name: str) -> str:
+    """Prometheus metric names are [a-zA-Z_:][a-zA-Z0-9_:]*."""
+    out = "".join(c if c.isalnum() or c in "_:" else "_" for c in name)
+    return out if not out[:1].isdigit() else "_" + out
+
+
 @dataclass
 class MetricsRegistry:
     counters: dict[str, float] = field(default_factory=dict)
@@ -50,6 +56,27 @@ class MetricsRegistry:
             raise
         finally:
             self.durations[f"{layer}_{operation}_seconds"] = time.monotonic() - start
+
+    def exposition(self, prefix: str = "brewery_etl_") -> str:
+        """Prometheus text exposition format (the surface the reference's
+        Pushgateway + Grafana dashboards scrape, ref: U/metrics.py:23-126,
+        monitoring/grafana/provisioning/dashboards/airflow_dashboard.json).
+        Counters emit TYPE counter; gauges and durations emit TYPE gauge —
+        name-compatible with the checked-in dashboard JSON
+        (monitoring/grafana/dashboards/), so pointing a Pushgateway at
+        ``push()`` or serving this text lights the same panels."""
+        lines: list[str] = []
+        for store, mtype in (
+            (self.counters, "counter"),
+            (self.gauges, "gauge"),
+            (self.durations, "gauge"),
+        ):
+            for name in sorted(store):
+                metric = prefix + _sanitize_metric_name(name)
+                lines.append(f"# HELP {metric} {name}")
+                lines.append(f"# TYPE {metric} {mtype}")
+                lines.append(f"{metric} {store[name]}")
+        return "\n".join(lines) + ("\n" if lines else "")
 
     def push(self, gateway_url: str | None = None, job: str = "breweries_etl_spark") -> bool:
         """Optional Pushgateway export (ref: U/metrics.py:66-73)."""

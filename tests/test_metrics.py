@@ -80,3 +80,54 @@ def test_run_pipeline_drains_per_stage_record_counts(spark, tmp_path):
     assert metrics.counters["quarantine_records_processed_total"] == 1
     assert metrics.counters["gold_by_type_location_records_processed_total"] == 2
     assert metrics.counters["gold_by_location_records_processed_total"] == 2
+
+
+def test_exposition_prometheus_text_format():
+    """The exposition surface the Grafana dashboard JSON
+    (monitoring/grafana/dashboards/) scrapes: HELP/TYPE headers, prefixed
+    sanitized names, counter vs gauge typing."""
+    from breweries_etl_spark.plans.metrics import MetricsRegistry
+
+    reg = MetricsRegistry()
+    reg.inc("silver_records_processed_total", 1314)
+    reg.set_gauge("bronze bytes written", 2048.5)
+    reg.durations["silver_bronze_to_silver_seconds"] = 1.25
+    text = reg.exposition()
+    assert "# HELP brewery_etl_silver_records_processed_total" in text
+    assert "# TYPE brewery_etl_silver_records_processed_total counter" in text
+    assert "brewery_etl_silver_records_processed_total 1314.0" in text
+    # names sanitized to the prometheus charset
+    assert "# TYPE brewery_etl_bronze_bytes_written gauge" in text
+    assert "brewery_etl_bronze_bytes_written 2048.5" in text
+    assert "# TYPE brewery_etl_silver_bronze_to_silver_seconds gauge" in text
+    assert text.endswith("\n")
+
+
+def test_exposition_names_cover_dashboard_targets():
+    """Every concrete metric the checked-in dashboard queries must be a
+    name the pipeline actually emits (regression guard for renames)."""
+    import json
+    import re
+
+    with open("monitoring/grafana/dashboards/spark_pipeline_dashboard.json") as f:
+        dash = json.load(f)
+    targets = [
+        t["expr"]
+        for p in dash["panels"]
+        for t in p.get("targets", [])
+    ]
+    concrete = set()
+    for expr in targets:
+        concrete.update(re.findall(r"brewery_etl_[a-z0-9_]+", expr))
+    emitted = {
+        "brewery_etl_bronze_records_processed_total",
+        "brewery_etl_bronze_landing_to_bronze_seconds",
+        "brewery_etl_bronze_landing_to_bronze_failures",
+        "brewery_etl_silver_records_processed_total",
+        "brewery_etl_silver_bronze_to_silver_seconds",
+        "brewery_etl_quarantine_records_processed_total",
+        "brewery_etl_gold_by_type_location_records_processed_total",
+        "brewery_etl_gold_by_location_records_processed_total",
+        "brewery_etl_gold_silver_to_gold_seconds",
+    }
+    assert concrete <= emitted, concrete - emitted
