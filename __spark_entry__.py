@@ -1085,10 +1085,12 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (deterministic seeded hyperplanes)
-    → rows-only."""
+    """LSH-bucketed approximate top-k — seeded hyperplanes are
+    deterministic, so the DuckDB oracle replays signatures, multi-probe
+    fan-out, and the cosine rank exactly (literal plane arrays)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    out = similarity.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def q_multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2957,6 +2959,64 @@ ORDER BY rank DESC, node LIMIT 20"""
 _ORACLES["graph_pagerank_top"] = _pagerank_oracle()
 
 
+def _lsh_topk_oracle(dim: int = 64, n_planes: int = 6, seed: int = 42, k: int = 5) -> str:
+    """Sign-LSH multi-probe top-k replayed in SQL: the seeded hyperplanes
+    are baked in as literal arrays (same numpy values the Spark plan
+    embeds — similarity.hyperplanes), signatures recomputed per vector,
+    query probes = own bucket plus each 1-bit flip (probe_hamming=1),
+    then the same cosine + rank-k as similarity_topk. Sign decisions are
+    float-robust: a flip needs |dot| below summation-order noise
+    (~1e-13)."""
+    from breweries_etl_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    plane_rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    # Spark folds sig = (((b0·2)+b1)·2+b2)... → plane i carries bit 2^(n-1-i)
+    return f"""
+WITH planes(pi, pv) AS (VALUES {plane_rows}),
+dots AS (
+  SELECT e.vec_id, p.pi,
+    (SELECT sum(e.embedding[j]::DOUBLE * p.pv[j]) FROM range(1, {dim + 1}) r(j)) AS dp
+  FROM embeddings e, planes p
+), sigs AS (
+  SELECT vec_id,
+    CAST(sum(CASE WHEN dp > 0 THEN CAST(power(2, {n_planes - 1} - pi) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS sig
+  FROM dots GROUP BY vec_id
+), probes AS (
+  SELECT s.vec_id AS query_id, xor(s.sig, CAST(b AS BIGINT)) AS sig
+  FROM sigs s, (SELECT 0 AS b UNION ALL
+                SELECT CAST(power(2, i) AS INTEGER) FROM range({n_planes}) t(i)) bits
+  WHERE s.vec_id < 10
+), cand AS (
+  SELECT p.query_id, c.vec_id AS corpus_id
+  FROM probes p JOIN sigs c USING (sig)
+  WHERE c.vec_id <> p.query_id
+), pairs AS (
+  SELECT cand.query_id, cand.corpus_id,
+    unnest(q.embedding)::DOUBLE AS x, unnest(c.embedding)::DOUBLE AS y
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.corpus_id
+), d AS (
+  SELECT query_id, corpus_id, sum(x*y) AS dp, sum(x*x) AS na, sum(y*y) AS nb
+  FROM pairs GROUP BY query_id, corpus_id
+), s AS (
+  SELECT query_id, corpus_id, round(dp / sqrt(na * nb), 6) AS cosine FROM d
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= {k}"""
+
+
+_ORACLES["similarity_lsh_topk"] = _lsh_topk_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3125,7 +3185,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "embedding_neardup": q_embedding_neardup,
         "similarity_topk": q_similarity_topk,
-        "similarity_lsh_topk": q_similarity_lsh_topk,  # rows-only
+        "similarity_lsh_topk": q_similarity_lsh_topk,
         # multimodal
         "multimodal_meta_stats": q_multimodal_meta_stats,
         "multimodal_features": q_multimodal_features,

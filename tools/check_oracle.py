@@ -6,7 +6,12 @@ order-insensitive values (rows sorted, columns sorted by name). Floats
 compare exactly by default — if exact passes here, any reasonable
 driver-side hashing passes too.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [query ...] [--json OUT]
+
+``--json OUT`` additionally writes a per-query JSON artifact
+({name: {"status": "ok"|"rows_only"|"fail", "rows": N, "err": ...}}) —
+the committed evidence file (ORACLE_SELFCHECK_r{N}.json) that covers the
+queries the driver's 50-per-round sample doesn't reach.
 """
 
 from __future__ import annotations
@@ -42,8 +47,17 @@ def normalize(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     spark = get_spark("oracle_check")
     con = duckdb.connect()
@@ -64,9 +78,11 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             failures.append(name)
+            results[name] = {"status": "fail", "rows": None, "err": f"spark: {exc}"[:300]}
             print(f"FAIL {name}: spark error {exc}")
             continue
         if name not in oracles:
+            results[name] = {"status": "rows_only", "rows": len(s_rows), "err": None}
             print(f"ROWS-ONLY {name}: {len(s_rows)} rows")
             continue
         try:
@@ -76,11 +92,13 @@ def main() -> int:
             d_rows = rel.fetchall()
         except Exception as exc:
             failures.append(name)
+            results[name] = {"status": "fail", "rows": len(s_rows), "err": f"duckdb: {exc}"[:300]}
             print(f"FAIL {name}: duckdb error {exc}")
             continue
 
         if sorted(s_cols) != sorted(d_cols):
             failures.append(name)
+            results[name] = {"status": "fail", "rows": len(s_rows), "err": "columns"}
             print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
             continue
         # dtype comparison (canonicalized): driver checks schema too
@@ -107,10 +125,12 @@ def main() -> int:
                       if s_types[c] != d_types.get(c)}
         if mismatched:
             failures.append(name)
+            results[name] = {"status": "fail", "rows": len(s_rows), "err": "dtypes"}
             print(f"FAIL {name}: dtype mismatch {mismatched}")
             continue
         if len(s_rows) != len(d_rows):
             failures.append(name)
+            results[name] = {"status": "fail", "rows": len(s_rows), "err": "rowcount"}
             print(f"FAIL {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
             continue
         _, sn = normalize(s_rows, s_cols)
@@ -120,8 +140,20 @@ def main() -> int:
             diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {diff}")
             continue
+        results[name] = {"status": "ok", "rows": len(s_rows), "err": None}
         print(f"OK   {name}: {len(s_rows)} rows")
 
+    if json_out:
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_ok": sum(1 for r in results.values() if r["status"] == "ok"),
+            "n_rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),
+            "n_fail": len(failures),
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
