@@ -734,7 +734,10 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-≤3 pairs (Pandas-UDF signatures) → rows-only."""
+    """SimHash Hamming-≤3 pairs (Pandas-UDF signatures); the md5
+    bit-vote is deterministic, so the DuckDB oracle replays it exactly
+    and brute-forces the radius-3 pairs (identical to the pigeonhole
+    banding by its exactness guarantee)."""
     return dedup.simhash_near_duplicates(
         load_table(spark, sf_dir, "documents"), release=False
     )
@@ -3017,6 +3020,43 @@ SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= {k}"""
 _ORACLES["similarity_lsh_topk"] = _lsh_topk_oracle()
 
 
+# dedup_simhash_pairs: the Arrow-batched bit-vote is just md5 arithmetic,
+# so DuckDB replays it — per-token digest bits (numpy unpackbits is
+# MSB-first within each byte), +1/-1 votes, sign-bit wrap to signed
+# BIGINT at j=63, then brute-force Hamming<=3 pairs (the Spark side's
+# 4x16-bit pigeonhole banding is exact for radius 3, so the pair sets
+# are identical by construction).
+_ORACLES["dedup_simhash_pairs"] = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                       t -> t <> '')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+), votes AS (
+  SELECT doc_id, j,
+    sum(CASE WHEN ((('0x' || substr(h, (j // 8) * 2 + 1, 2))::BIGINT
+                    >> (7 - (j % 8))) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, range(64) r(j) GROUP BY doc_id, j
+), sig0 AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN v > 0 THEN
+               CASE WHEN j = 63 THEN -9223372036854775808
+                    ELSE (1::BIGINT << j) END
+             ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY doc_id
+), sigs AS (
+  SELECT d.doc_id, coalesce(s.sig, 0) AS sig
+  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3181,7 +3221,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_percentiles_disc": q_order_percentiles_disc,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,  # rows-only
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         # similarity search
         "embedding_neardup": q_embedding_neardup,
         "similarity_topk": q_similarity_topk,
