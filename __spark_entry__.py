@@ -272,6 +272,16 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.select("brewery_type", "location", "state", "city", "brewery_count")
 
 
+def q_classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality-classifier score (fasttext-filter shape) —
+    pure per-row expressions, weight vector as plan literals, no
+    shuffle; oracled by replaying the md5 bucket arithmetic and the
+    same literal weights in SQL."""
+    from breweries_etl_spark.operators.filtering import classifier_quality_score
+
+    return classifier_quality_score(load_table(spark, sf_dir, "documents"))
+
+
 def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schemaless semi-structured handling via Spark 4's VARIANT type:
     ``parse_json`` once into a binary variant, then typed path extraction
@@ -3026,6 +3036,27 @@ _ORACLES["similarity_lsh_topk"] = _lsh_topk_oracle()
 # BIGINT at j=63, then brute-force Hamming<=3 pairs (the Spark side's
 # 4x16-bit pigeonhole banding is exact for radius 3, so the pair sets
 # are identical by construction).
+from breweries_etl_spark.operators.filtering import classifier_weights as _clf_w
+
+_CLF_WEIGHTS = "[" + ", ".join(repr(x) for x in _clf_w(256, 13)) + "]::DOUBLE[]"
+
+_ORACLES["classifier_quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(lower(coalesce(text, '')), '[A-Za-z0-9_]+'),
+      tok -> ({_CLF_WEIGHTS})[
+        (CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 256 + 1)::INTEGER
+      ]) AS ws
+  FROM documents
+), z AS (
+  SELECT doc_id, CASE WHEN len(ws) > 0
+    THEN round(1.0 / (1.0 + exp(-(list_sum(ws) / len(ws)))), 6)
+    ELSE 0.5 END AS quality_score
+  FROM t
+)
+SELECT doc_id, quality_score, quality_score >= 0.5 AS keep FROM z
+"""
+
 _ORACLES["dedup_simhash_pairs"] = """
 WITH toks AS (
   SELECT doc_id,
@@ -3241,6 +3272,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher-style quality filtering
         "text_repetition_stats": q_text_repetition_stats,
         "gopher_quality_flags": q_gopher_quality_flags,
+        "classifier_quality_score": q_classifier_quality_score,
         "corpus_dup_ngrams": q_corpus_dup_ngrams,
         # embedding clustering / data mixing
         "cluster_assign": q_cluster_assign,

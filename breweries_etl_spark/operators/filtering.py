@@ -198,3 +198,61 @@ def ngram_dup_fraction(
             ),
         )
     )
+
+
+def classifier_weights(dim: int = 256, seed: int = 13) -> list[float]:
+    """Deterministic stand-in for trained fasttext/logreg quality-filter
+    weights (the CCNet / LLaMA-pipeline component): seeded normals, one
+    weight per hash bucket. In production these come from a trained
+    model; the SHAPE — a dim-sized dense vector shipped to executors as
+    plan literals — is identical either way."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [float(x) for x in rng.randn(dim)]
+
+
+def classifier_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    seed: int = 13,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Hashed-linear text classifier score — the fasttext-style quality
+    filter LLM corpus pipelines run over every document, as a PURE SCAN:
+
+    - tokens hash to buckets with the same portable md5 arithmetic as
+      ``text.feature_hash_counts`` (no vocabulary table to join);
+    - the weight vector rides the plan as a literal array (broadcast
+      with the task binary — no driver state, no shuffle);
+    - score = sigmoid(mean over tokens of w[bucket(token)]), computed
+      per row by an in-row fold. NOTHING shuffles — at 100 TB this is
+      scan-speed, embarrassingly parallel, and the exact shape a real
+      trained linear model drops into (swap the literals).
+
+    Token order does not affect the result beyond float associativity
+    (~1e-16, far below the round-6 output), so values hash-match the
+    SQL replay."""
+    from .text import tokens_expr
+
+    weights = classifier_weights(dim, seed)
+    w_arr = F.array(*[F.lit(w) for w in weights])
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    z = F.aggregate(
+        F.transform(toks, lambda t: F.element_at(
+            w_arr,
+            (F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % dim + 1).cast("int"),
+        )),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.size(toks)
+    score = F.when(
+        F.size(toks) > 0, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    ).otherwise(F.lit(0.5))
+    return df.select(
+        F.col(id_col),
+        score.alias("quality_score"),
+        (score >= threshold).alias("keep"),
+    )

@@ -114,3 +114,40 @@ def test_mixture_weights_sum_and_values(spark):
         spark.createDataFrame(docs), "lang", {"en": 0.5, "de": 0.5}).collect()}
     assert out["en"]["share"] == 0.8 and out["de"]["share"] == 0.2
     assert out["en"]["weight"] == 0.625 and out["de"]["weight"] == 2.5
+
+
+def test_classifier_quality_score_matches_numpy(spark):
+    """Hashed-linear classifier: Spark expression fold equals the numpy
+    reference; empty/null text scores the sigmoid(0) neutral 0.5."""
+    import hashlib
+    import math
+    import re
+
+    import numpy as np
+
+    from breweries_etl_spark.operators.filtering import (
+        classifier_quality_score,
+        classifier_weights,
+    )
+
+    docs = [
+        Row(doc_id=0, text="The quick brown Fox jumps over 42 lazy dogs"),
+        Row(doc_id=1, text="spam spam spam buy now http cheap"),
+        Row(doc_id=2, text=""),
+        Row(doc_id=3, text=None),
+    ]
+    out = {r["doc_id"]: r for r in classifier_quality_score(
+        spark.createDataFrame(docs, "doc_id long, text string")).collect()}
+
+    w = np.array(classifier_weights(256, 13))
+    for d in docs[:2]:
+        toks = re.findall(r"[A-Za-z0-9_]+", d.text.lower())
+        buckets = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 256 for t in toks
+        ]
+        z = float(np.sum(w[buckets]) / len(buckets))
+        expected = round(1.0 / (1.0 + math.exp(-z)), 6)
+        assert abs(out[d.doc_id]["quality_score"] - expected) < 1e-9
+        assert out[d.doc_id]["keep"] == (expected >= 0.5)
+    assert out[2]["quality_score"] == 0.5 and out[2]["keep"]
+    assert out[3]["quality_score"] == 0.5 and out[3]["keep"]
