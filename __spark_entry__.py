@@ -743,6 +743,29 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered EXACT Jaccard pairs — provably
+    the same pair set as ground truth, so it shares the exact-Jaccard
+    oracle shape (candidate strategy differs, result set cannot)."""
+    return dedup.prefix_filtered_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, release=False
+    )
+
+
+def q_dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact near-dup vs a persisted base index: every 7th
+    doc re-arrives with an offset id and is matched against the base
+    corpus (docs not ≡0 mod 5) by prefix-filtered Jaccard ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return dedup.prefix_jaccard_incremental(
+        base, incoming, threshold=0.5, release=False
+    )
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 pairs (Pandas-UDF signatures); the md5
     bit-vote is deterministic, so the DuckDB oracle replays it exactly
@@ -3036,6 +3059,39 @@ _ORACLES["similarity_lsh_topk"] = _lsh_topk_oracle()
 # BIGINT at j=63, then brute-force Hamming<=3 pairs (the Spark side's
 # 4x16-bit pigeonhole banding is exact for radius 3, so the pair sets
 # are identical by construction).
+_ORACLES["dedup_prefix_jaccard"] = _ORACLES["dedup_ngram_jaccard"]
+
+# Incremental prefix-filtered Jaccard: exact ground truth over the
+# incoming (every 7th doc, id-offset) x base (id not multiple of 5)
+# cross-set -- candidate generation differs (persisted prefix index),
+# the verified pair set provably cannot.
+_ORACLES["dedup_incremental_jaccard"] = """
+WITH
+norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS nt FROM documents),
+words AS (SELECT doc_id, string_split(nt, ' ') AS w FROM norm),
+sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(w[i:i+2], ' ')
+                   FOR i IN range(1, len(w)-1)]) AS s
+  FROM words
+),
+base AS (SELECT doc_id AS base_id, s FROM sh WHERE doc_id % 5 <> 0 AND len(s) > 0),
+inc AS (SELECT doc_id + 1000000 AS incoming_id, s FROM sh WHERE doc_id % 7 = 0 AND len(s) > 0),
+inv_b AS (SELECT base_id, unnest(s) AS shingle FROM base),
+inv_i AS (SELECT incoming_id, unnest(s) AS shingle FROM inc),
+cand AS (
+  SELECT DISTINCT i.incoming_id, b.base_id
+  FROM inv_i i JOIN inv_b b ON i.shingle = b.shingle
+),
+j AS (
+  SELECT incoming_id, base_id,
+    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE), 6) AS jaccard
+  FROM cand JOIN inc x USING (incoming_id) JOIN base y USING (base_id)
+)
+SELECT incoming_id, base_id, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
 from breweries_etl_spark.operators.filtering import classifier_weights as _clf_w
 
 _CLF_WEIGHTS = "[" + ", ".join(repr(x) for x in _clf_w(256, 13)) + "]::DOUBLE[]"
@@ -3251,6 +3307,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_order_percentiles": q_approx_order_percentiles,  # rows-only (exact twin below)
         "order_percentiles_disc": q_order_percentiles_disc,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
+        "dedup_incremental_jaccard": q_dedup_incremental_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,  # rows-only
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         # similarity search

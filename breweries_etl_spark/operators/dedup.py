@@ -397,6 +397,88 @@ def prefix_filtered_jaccard_pairs(
     return result
 
 
+def prefix_jaccard_incremental(
+    base: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 3,
+    release: bool = True,
+) -> DataFrame:
+    """Incremental EXACT near-dup: which INCOMING docs have Jaccard ≥ t
+    against some BASE doc — the daily-ingestion shape. In production the
+    base side's two artifacts are PERSISTED tables built once (the
+    rarity-ordered prefix index and the shingle-hash store); each new
+    slice only shingles ITSELF, ranks against the stored df table, and
+    joins its prefixes into the index — the corpus is never re-shingled.
+
+    Exactness (no false negatives): the prefix-filter lemma holds for
+    ANY consistent global shingle order, so ordering by the BASE
+    document frequency (unseen incoming shingles get df 0 — still a
+    fixed function of the shingle) preserves the guarantee while
+    keeping the persisted index keyed by base-side rarity. Same
+    integer-exact ⌈t·size⌉ arithmetic as
+    ``prefix_filtered_jaccard_pairs``.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+
+    sh_b = shingle_sets(base, text_col, id_col, n, hashed=True)
+    sh_i = shingle_sets(incoming, text_col, id_col, n, hashed=True)
+    dfreq = (
+        sh_b.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    def prefixes(sh: DataFrame, out_id: str) -> DataFrame:
+        inv = sh.select(F.col(id_col).alias(out_id), F.explode("shingles").alias("shingle"))
+        ranked = (
+            inv.join(dfreq, "shingle", "left")
+            .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+            .withColumn(
+                "rank",
+                F.row_number().over(Window.partitionBy(out_id).orderBy("df", "shingle")),
+            )
+            .withColumn("size", F.count(F.lit(1)).over(Window.partitionBy(out_id)))
+        )
+        alpha = (-F.floor(F.lit(-num) * F.col("size") / den)).cast("long")
+        return ranked.filter(F.col("rank") <= F.col("size") - alpha + 1).select(
+            out_id, "shingle"
+        )
+
+    cands = (
+        prefixes(sh_i, "incoming_id")
+        .join(prefixes(sh_b, "base_id"), "shingle")
+        .select("incoming_id", "base_id")
+        .distinct()
+    )
+    overlap = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - overlap
+    result = (
+        cands.join(
+            sh_i.withColumnsRenamed({id_col: "incoming_id", "shingles": "sh_a"}),
+            "incoming_id",
+        )
+        .join(
+            sh_b.withColumnsRenamed({id_col: "base_id", "shingles": "sh_b"}),
+            "base_id",
+        )
+        .filter(F.lit(den) * overlap >= F.lit(num) * union)
+        .select(
+            "incoming_id",
+            "base_id",
+            F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+    )
+    if release:
+        return _release_caches(result, [sh_b, sh_i])
+    return result
+
+
 def dedup_incremental(
     base: DataFrame,
     incoming: DataFrame,

@@ -125,3 +125,42 @@ def test_ngram_df_cap_preserves_rare_shingle_pairs(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.5, max_df=5).collect()
     }
     assert (100, 101) in pairs
+
+
+def test_prefix_incremental_equals_ground_truth(spark, sf_dir):
+    """Cross-set prefix filtering must find EXACTLY the incoming×base
+    pairs with Jaccard >= t (no false negatives by the prefix lemma
+    under the base-df order; verification removes false positives)."""
+    import itertools
+    import re
+
+    from breweries_etl_spark.operators.dedup import prefix_jaccard_incremental
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    got = {
+        (r["incoming_id"], r["base_id"]): r["jaccard"]
+        for r in prefix_jaccard_incremental(base, incoming, threshold=0.5).collect()
+    }
+
+    def shingles(text):
+        norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9]+", " ", (text or "").lower())).strip()
+        w = norm.split(" ") if norm else []
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    base_rows = {r["doc_id"]: shingles(r["text"]) for r in base.select("doc_id", "text").collect()}
+    inc_rows = {r["doc_id"]: shingles(r["text"]) for r in incoming.select("doc_id", "text").collect()}
+    expected = {}
+    for (iid, si), (bid, sb) in itertools.product(inc_rows.items(), base_rows.items()):
+        if not si or not sb:
+            continue
+        j = len(si & sb) / len(si | sb)
+        if j >= 0.5:
+            expected[(iid, bid)] = round(j, 6)
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-6
+    assert expected, "fixture should contain at least one incremental match"
