@@ -35,6 +35,8 @@ QUERIES = [
     # round-3: quality filters, corpus dup signal, clustering, chunking
     "gopher_quality_flags", "corpus_dup_ngrams", "cluster_assign",
     "chunk_documents", "skew_profile_lineitem", "price_histogram",
+    # round-3: pure-scan classifier and the reworked iterative BFS
+    "classifier_quality_score", "graph_bfs_levels",
 ]
 
 
