@@ -144,6 +144,67 @@ def write_sorted_by_range(
     writer.save(path)
 
 
+def zorder_key_expr(
+    df: DataFrame, cols: list[str], bits: int = 6
+) -> "Column":
+    """Morton (Z-order) key over ``cols``: each column is bucketed into
+    2^bits quantile buckets and the bucket bits are interleaved, so
+    sorting by the key clusters rows that are close in EVERY dimension.
+
+    Quantile (not min/max) bucketing: Delta's OPTIMIZE ZORDER uses
+    range-partition ids for the same reason — a skewed column under
+    linear min/max scaling collapses most rows into a few buckets and
+    the interleave degenerates to the other column's order. Boundaries
+    come from one ``approxQuantile`` pass per column (driver-side list
+    of 2^bits − 1 doubles — an index-build cost, paid at write time,
+    like any clustering layout).
+
+    The bucket lookup is ``size(filter(boundaries, b -> b <= x))`` over
+    a literal array — O(2^bits) per row, interpreted; at the default 6
+    bits that is 64 comparisons against task-local literals, far below
+    the shuffle+sort the write itself pays. Bit interleave is plain
+    codegen'd integer arithmetic.
+    """
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bucket_cols = []
+    for c in cols:
+        bounds = df.stat.approxQuantile(c, probs, 0.001)
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        x = F.col(c).cast("double")
+        bucket = F.size(F.filter(arr, lambda b: b <= x))
+        bucket_cols.append(bucket)
+    z = F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):
+        for d, bucket in enumerate(bucket_cols):
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1)).cast("long")
+            z = F.shiftleft(z, 1).bitwiseOR(bit)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int | None = None,
+    bits: int = 6,
+    fmt: str = "parquet",
+) -> None:
+    """Multi-dimensional layout-managed write: range-partition + sort on
+    the Morton key of ``cols``, so every output file covers a small
+    hyper-rectangle of the key space and parquet footer min/max stats
+    prune scans filtered on ANY of the dimensions — the multi-column
+    generalization of ``write_sorted_by_range``, same idea as Delta's
+    OPTIMIZE ZORDER BY. At 100 TB this is the difference between a
+    two-predicate scan reading every file and reading ~1/files of them
+    per dimension."""
+    z = zorder_key_expr(df, cols, bits)
+    out = df.withColumn("__z", z)
+    out = out.repartitionByRange(*([n_files] if n_files else []), F.col("__z"))
+    out = out.sortWithinPartitions("__z").drop("__z")
+    out.write.mode("overwrite").format(fmt).save(path)
+
+
 def compact_directory(
     spark: SparkSession,
     path: str,

@@ -57,3 +57,32 @@ def test_compact_directory_with_sort_restores_range_layout(spark, sf_dir, tmp_pa
     if len(ranges) >= 2:
         for (lo1, hi1), (lo2, hi2) in zip(sorted(ranges), sorted(ranges)[1:]):
             assert hi1 <= lo2
+
+
+def test_write_zordered_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout: per-file min/max spans must be narrow in BOTH
+    dimensions (footer-stats pruning works for either predicate),
+    unlike a single-column sort which only clusters its own column."""
+    from breweries_etl_spark.sinks.writers import write_zordered
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_z")
+    write_zordered(orders, out, ["o_custkey", "o_totalprice"], n_files=16)
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert back.columns == ["o_orderkey", "o_custkey", "o_totalprice"]
+
+    stats = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+    spans = {"o_custkey": stats[1] - stats[0], "o_totalprice": stats[3] - stats[2]}
+    for col, full_span in spans.items():
+        ranges = [r for r in _file_ranges(spark, out, col) if r[0] is not None]
+        assert len(ranges) >= 8
+        avg_span = sum(hi - lo for lo, hi in ranges) / len(ranges)
+        # each file should cover a small slice of every z-ordered dim;
+        # 16 files ~ 4x4 grid -> expect well under half the full span
+        assert avg_span < 0.5 * full_span, (col, avg_span, full_span)
