@@ -58,6 +58,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "text": [
         "text_stats",
+        "classifier_quality_score",
         "json_extract_stats",
         "text_fingerprint",
         "gopher_quality_flags",
@@ -75,6 +76,7 @@ FAMILIES: dict[str, list[str]] = {
     "dedup": [
         "dedup_exact",
         "dedup_minhash_pairs",
+        "dedup_incremental_jaccard",
     ],
     "vector": [
         "similarity_topk",
