@@ -1253,6 +1253,12 @@ def q_skew_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(load_table(spark, sf_dir, "lineitem"), "l_suppkey", 20)
 
 
+def q_token_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency profile + Zipf exponent (log-log OLS over
+    the top-100 tokens) — TakeOrderedAndProject top-k, exact-sums fit."""
+    return text.token_zipf_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document repetition signals (word / distinct-word
     counts, duplicate-word and top-word/top-bigram fractions) — one
@@ -2891,6 +2897,34 @@ FROM s JOIN t USING (lang)
 
 # ----- exact twins + fixed-iteration oracles for formerly rows-only ops
 
+_ORACLES["token_zipf_stats"] = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+), totals AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM counts
+), top AS (
+  SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rank
+  FROM counts ORDER BY c DESC, tok ASC LIMIT 100
+), pts AS (
+  SELECT tok, c, rank, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+  FROM top
+), fit AS (
+  SELECT
+    max(CASE WHEN rank = 1 THEN tok END) AS top_token,
+    max(CASE WHEN rank = 1 THEN c END) AS top_count,
+    round((count(*) * sum(x*y) - sum(x) * sum(y))
+          / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS zipf_slope
+  FROM pts
+)
+SELECT n_tokens, n_distinct, top_token, top_count, zipf_slope
+FROM totals, fit
+"""
+
 _ORACLES["order_percentiles_disc"] = """
 SELECT quantile_disc(o_totalprice, 0.5) AS p50,
        quantile_disc(o_totalprice, 0.9) AS p90,
@@ -3329,6 +3363,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile_lineitem": q_skew_profile_lineitem,
         # Gopher-style quality filtering
         "text_repetition_stats": q_text_repetition_stats,
+        "token_zipf_stats": q_token_zipf_stats,
         "gopher_quality_flags": q_gopher_quality_flags,
         "classifier_quality_score": q_classifier_quality_score,
         "corpus_dup_ngrams": q_corpus_dup_ngrams,

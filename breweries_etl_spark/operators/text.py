@@ -349,3 +349,65 @@ def feature_hash_counts(
         .groupBy(id_col, "feature_idx")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def token_zipf_stats(
+    df: DataFrame, text_col: str = "text", k: int = 100
+) -> DataFrame:
+    """Corpus-level token-frequency profile: total/distinct token counts,
+    the modal token, and the Zipf exponent — the log-log OLS slope of
+    count vs rank over the top ``k`` tokens (natural-corpus text sits
+    near −1; a slope far off is a quick anomaly signal for synthetic or
+    boilerplate-heavy crawls).
+
+    Scale shape: one hash aggregation over exploded tokens (map-side
+    partial), then ``orderBy(...).limit(k)`` — Spark plans that as
+    TakeOrderedAndProject (per-partition top-k, k·P merge), so the full
+    vocabulary never sorts globally. The OLS slope comes from exact
+    component sums over the k-row frame (same formulation as
+    behavior.user_value_trend): order-independent up to ~1e-14, far
+    below the round-6 output.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.partitioning import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(df.select(text_col))
+        .select(F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("tok"))
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    top = counts.orderBy(F.desc("c"), F.asc("tok")).limit(k)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("c"), F.asc("tok")))
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+        "c",
+        "tok",
+        "rank",
+    )
+    fit = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max(F.when(F.col("rank") == 1, F.col("tok"))).alias("top_token"),
+        F.max(F.when(F.col("rank") == 1, F.col("c"))).alias("top_count"),
+    ).select(
+        "top_token",
+        "top_count",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+    return totals.crossJoin(fit).select(
+        "n_tokens", "n_distinct", "top_token", "top_count", "zipf_slope"
+    )

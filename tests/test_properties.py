@@ -80,3 +80,49 @@ def test_url_normalization_matches_model(spark, values):
     }
     for i, v in enumerate(values):
         assert got[i] == model_url(v), repr(v)
+
+
+# ---- prefix-filtered Jaccard: the no-false-negative lemma, fuzzed ----
+
+WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(WORDS, min_size=2, max_size=8), st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_filter_equals_brute_force(spark, docs_words, threshold):
+    """For ANY corpus and threshold, prefix filtering must return exactly
+    the Jaccard >= t pairs (lemma: a qualifying pair shares a shingle in
+    both rarity-ordered prefixes; verification kills false positives).
+    Small alphabet + short docs maximize collisions, duplicate shingles,
+    empty docs, and ceil-boundary prefix lengths."""
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.dedup import prefix_filtered_jaccard_pairs
+
+    rows = [Row(doc_id=i, text=" ".join(w)) for i, w in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filtered_jaccard_pairs(
+            df, threshold=threshold, release=False
+        ).collect()
+    }
+
+    def shingles(words):
+        return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+
+    expected = {}
+    sets = {i: shingles(w) for i, w in enumerate(docs_words)}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= threshold:
+                    expected[(a, b)] = round(j, 6)
+    assert set(got) == set(expected), (got, expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-6

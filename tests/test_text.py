@@ -125,3 +125,23 @@ def test_feature_hash_counts_fixed_width_and_case_folded(spark):
     # same token -> same feature index in every doc (no vocabulary drift)
     (banana_idx,) = d2.keys()
     assert d1[banana_idx] == 1 and d2[banana_idx] == 1
+
+
+def test_token_zipf_stats_matches_numpy(spark):
+    """Zipf slope equals the numpy log-log OLS on a hand-built corpus
+    with a known frequency ladder."""
+    import numpy as np
+
+    from breweries_etl_spark.operators.text import token_zipf_stats
+
+    # counts: aa=8, bb=4, cc=2, dd=1
+    text = " ".join(["aa"] * 8 + ["bb"] * 4 + ["cc"] * 2 + ["dd"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = token_zipf_stats(df, k=4).first()
+    assert row["n_tokens"] == 15 and row["n_distinct"] == 4
+    assert row["top_token"] == "aa" and row["top_count"] == 8
+    x = np.log(np.arange(1, 5))
+    y = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    slope = ((len(x) * (x * y).sum() - x.sum() * y.sum())
+             / (len(x) * (x * x).sum() - x.sum() ** 2))
+    assert abs(row["zipf_slope"] - round(slope, 6)) < 1e-6
