@@ -144,6 +144,34 @@ def write_sorted_by_range(
     writer.save(path)
 
 
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Selective partition backfill: overwrite ONLY the partitions
+    present in ``df``, leaving every other partition untouched — the
+    scale-sane repair/backfill pattern the reference's full-table
+    overwrite (ref: T/bronze_to_silver.py:142) can't express at 100 TB
+    (rewriting a petabyte silver table to fix one day/country is not a
+    plan).
+
+    Uses Spark's dynamic partitionOverwriteMode, scoped to this write
+    via the DataFrameWriter option (no session-level config leak):
+    static mode would drop ALL partitions first; dynamic replaces only
+    the partitions the incoming frame touches, atomically per
+    partition directory.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .format(fmt)
+        .save(path)
+    )
+
+
 def zorder_key_expr(
     df: DataFrame, cols: list[str], bits: int = 6
 ) -> "Column":

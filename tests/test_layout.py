@@ -86,3 +86,29 @@ def test_write_zordered_clusters_both_dimensions(spark, sf_dir, tmp_path):
         # each file should cover a small slice of every z-ordered dim;
         # 16 files ~ 4x4 grid -> expect well under half the full span
         assert avg_span < 0.5 * full_span, (col, avg_span, full_span)
+
+
+def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: rewriting one partition's data must
+    not drop or change sibling partitions (the backfill contract)."""
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.sinks.writers import backfill_partitions
+
+    out = str(tmp_path / "bf")
+    full = spark.createDataFrame(
+        [Row(k=i, loc=loc, v=1.0) for loc in ("US", "DE", "FR") for i in range(5)]
+    )
+    backfill_partitions(full, out, ["loc"])
+    assert spark.read.parquet(out).count() == 15
+
+    # backfill DE only, with different values and fewer rows
+    patch = spark.createDataFrame([Row(k=i, loc="DE", v=9.0) for i in range(2)])
+    backfill_partitions(patch, out, ["loc"])
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("loc") == "DE").count() == 2
+    assert back.filter((F.col("loc") == "DE") & (F.col("v") == 9.0)).count() == 2
+    # siblings untouched
+    assert back.filter(F.col("loc") == "US").count() == 5
+    assert back.filter(F.col("loc") == "FR").count() == 5
+    assert back.filter(F.col("v") == 1.0).count() == 10
