@@ -87,3 +87,31 @@ def test_paginated_source_stop_condition(spark):
     df = pages_to_dataframe(spark, pages)
     assert df.count() == 6
     assert df.schema["id"].dataType.typeName() == "string"
+
+
+def test_landing_read_quarantines_corrupt_json(spark, tmp_path):
+    """A malformed landing page must quarantine with its raw payload,
+    not fail the scan or silently null out (S3 robustness)."""
+    import json as _json
+
+    from breweries_etl_spark.sources.json_source import (
+        read_landing_json_with_quarantine,
+    )
+
+    good = [
+        {"id": "1", "brewery_type": "micro", "state": "s", "city": "c",
+         "country": "x", "name": "a"},
+        {"id": "2", "brewery_type": "nano", "state": "s", "city": "c",
+         "country": "x", "name": "b"},
+    ]
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "page1.json").write_text(_json.dumps(good), encoding="utf-8")
+    (src / "page2.json").write_text('[{"id": "3", "brewery_type": ', encoding="utf-8")
+
+    valid, corrupt = read_landing_json_with_quarantine(spark, str(src))
+    ids = sorted(r["id"] for r in valid.select("id").collect())
+    assert ids == ["1", "2"]
+    bad = corrupt.collect()
+    assert len(bad) == 1
+    assert "brewery_type" in bad[0]["raw_payload"]
