@@ -86,6 +86,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "graph": [
         "graph_bfs_levels",
+        "graph_pagerank_top",
     ],
 }
 

@@ -322,8 +322,10 @@ def pagerank(
     the edges — materialized per round with persist + count and reliably
     checkpointed every ``CHECKPOINT_EVERY`` rounds to cap lineage (same
     rationale as ``connected_components``). The dangling-mass term is a
-    scalar aggregate collected per round; a driver scalar per iteration
-    is inherent to power iteration, not a data collect.
+    one-row aggregate CROSS-JOINED into the rank update (broadcast
+    nested loop of a single row) instead of collected — zero driver
+    round-trips inside the loop; the only per-round action is the
+    materializing count.
 
     Rows-only for the driver gate (float accumulation order makes exact
     cross-engine hashing meaningless); pytest verifies against a dense
@@ -349,10 +351,8 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(1, iterations + 1):
         with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left")
-        dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
         )
         per_edge = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
         contribs = (
@@ -365,12 +365,21 @@ def pagerank(
             .groupBy("t_node")
             .agg(F.sum("contrib").alias("in_mass"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
-        new_ranks = nodes.join(contribs, nodes.node == contribs.t_node, "left").select(
-            "node",
-            (
-                F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
-            ).alias("rank"),
+        # base = (1-d)/n + d·dangling/n, with dangling as a broadcast
+        # one-row frame — expression shapes mirror the SQL oracle.
+        base = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * F.col("__dangling") / F.lit(float(n))
+        )
+        new_ranks = (
+            nodes.join(contribs, nodes.node == contribs.t_node, "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    base + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
         )
         if it % CHECKPOINT_EVERY == 0:
             ranks = _checkpointed(new_ranks)
