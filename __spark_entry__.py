@@ -865,6 +865,26 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TRAIN-doc overlap vs the TEST shingle vocabulary with the
+    removal flag (GPT-3-style decontamination, actionable form). Same
+    hash split as contamination_check, roles reversed."""
+    from breweries_etl_spark.operators.corpus import decontaminate_train
+    from breweries_etl_spark.operators.sampling import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    train, test_split = train_test_split(docs, "doc_id", 0.1)
+    return decontaminate_train(train, test_split)
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware train/test split: same-cluster docs land
+    on the same side (hash of the cluster id, not the doc id)."""
+    from breweries_etl_spark.operators.corpus import leakage_safe_split
+
+    return leakage_safe_split(load_table(spark, sf_dir, "documents"))
+
+
 def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build from the event change-log: one validity row
     per (user, event_type run) with version numbers and current flag."""
@@ -2927,6 +2947,81 @@ SELECT n_tokens, n_distinct, top_token, top_count, zipf_slope
 FROM totals, fit
 """
 
+_ORACLES["decontaminate_train"] = f"""
+WITH {_shingle_cte(3)},
+sh_ok AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+b AS (
+  SELECT doc_id,
+    CAST('0x' || substring(md5(CAST(doc_id AS STRING)), 1, 4) AS BIGINT) AS bucket
+  FROM documents
+),
+train_sh AS (
+  SELECT sh_ok.doc_id, unnest(s) AS sg
+  FROM sh_ok JOIN b ON sh_ok.doc_id = b.doc_id WHERE bucket >= 6553
+),
+test_vocab AS (
+  SELECT DISTINCT unnest(s) AS sg
+  FROM sh_ok JOIN b ON sh_ok.doc_id = b.doc_id WHERE bucket < 6553
+),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM train_sh GROUP BY doc_id),
+hit AS (
+  SELECT doc_id, count(*) AS n_overlap FROM train_sh
+  WHERE sg IN (SELECT sg FROM test_vocab) GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+    CAST(COALESCE(t.n_shingles, 0) AS BIGINT) AS n_shingles,
+    CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+    round(COALESCE(h.n_overlap, 0)
+          / greatest(COALESCE(t.n_shingles, 0), 1), 6) AS contamination
+  FROM documents d
+  JOIN b ON d.doc_id = b.doc_id
+  LEFT JOIN tot t ON d.doc_id = t.doc_id
+  LEFT JOIN hit h ON d.doc_id = h.doc_id
+  WHERE b.bucket >= 6553
+)
+SELECT doc_id, n_shingles, n_overlap, contamination,
+  contamination <= 0.2 AS keep
+FROM scored
+"""
+
+_ORACLES["leakage_safe_split"] = f"""
+WITH RECURSIVE {_shingle_cte(3)},
+sh_ok AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh_ok),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT id_a, id_b,
+    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) AS jac
+  FROM cand JOIN sh_ok x ON x.doc_id = id_a JOIN sh_ok y ON y.doc_id = id_b
+),
+pairs AS (SELECT id_a, id_b FROM j WHERE round(jac, 6) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.dst AS node, rr.r FROM reach rr JOIN edges e ON e.src = rr.node
+),
+clusters AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id,
+  CASE WHEN CAST('0x' || substring(md5(CAST(cluster_id AS STRING)), 1, 4) AS BIGINT) < 6553
+       THEN 'test' ELSE 'train' END AS split
+FROM lab
+"""
+
 _ORACLES["order_percentiles_disc"] = """
 SELECT quantile_disc(o_totalprice, 0.5) AS p50,
        quantile_disc(o_totalprice, 0.9) AS p90,
@@ -3322,6 +3417,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangle_stats": q_graph_triangle_stats,
         "graph_pagerank_top": q_graph_pagerank_top,
         "contamination_check": q_contamination_check,
+        "decontaminate_train": q_decontaminate_train,
+        "leakage_safe_split": q_leakage_safe_split,
         "scd2_user_state": q_scd2_user_state,
         "interval_coverage": q_interval_coverage,
         "event_transitions": q_event_transitions,

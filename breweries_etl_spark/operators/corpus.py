@@ -228,3 +228,93 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+def decontaminate_train(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_contamination: float = 0.2,
+) -> DataFrame:
+    """Actionable decontamination: per-TRAIN-document overlap against the
+    TEST shingle vocabulary, with the removal flag — the step after
+    ``contamination_check``'s report (GPT-3 appendix C: drop training
+    documents that leak benchmark text, not the other way around).
+
+    Same scale shape as the check, roles reversed: the test side
+    collapses to one distinct shingle-hash vocabulary, train shingles
+    LEFT-join it (each matches at most once — no hot-shingle blowup),
+    one aggregation counts total and matched together. keep =
+    contamination <= ``max_contamination``; empty/short docs have no
+    shingles, zero contamination, keep = true.
+    """
+    train_sh = ensure_parallelism(train.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(shingle_hashes_expr(F.col(text_col), n)).alias("s"),
+    )
+    test_vocab = (
+        ensure_parallelism(test.select(text_col))
+        .select(F.explode(shingle_hashes_expr(F.col(text_col), n)).alias("s"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = train_sh.join(test_vocab, "s", "left")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_overlap"),
+    )
+    scored = train.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        F.round(
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            / F.greatest(F.coalesce(F.col("n_shingles"), F.lit(0)), F.lit(1)),
+            6,
+        ).alias("contamination"),
+    )
+    return scored.withColumn(
+        "keep", F.col("contamination") <= max_contamination
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    test_fraction: float = 0.1,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup-aware train/test split: documents in the same near-dup
+    cluster ALWAYS land on the same side, so a test document can never
+    have a near-copy in train (the leakage plain hash splits cannot
+    prevent). Pairs come from the provably-exact prefix-filtered
+    Jaccard; clusters from min-label components; the split hashes the
+    CLUSTER id with the same portable md5 bucketing as
+    ``sampling.train_test_split`` (singleton docs hash their own id —
+    identical membership to the plain split for unclustered docs).
+    """
+    from .dedup import prefix_filtered_jaccard_pairs
+    from .graph import connected_components
+
+    pairs = prefix_filtered_jaccard_pairs(
+        df, text_col, id_col, threshold=threshold, n=n, release=False
+    )
+    cc = connected_components(pairs)
+    labeled = (
+        df.select(F.col(id_col))
+        .join(cc.withColumnsRenamed({"doc_id": id_col}), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    threshold_bucket = int(test_fraction * _BUCKETS)
+    bucket = hash_bucket_expr(F.col("cluster_id"))
+    return labeled.withColumn(
+        "split",
+        F.when(bucket < threshold_bucket, F.lit("test")).otherwise(F.lit("train")),
+    )

@@ -172,3 +172,41 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_decontaminate_flags_leaked_train_doc(spark):
+    """A train doc sharing most shingles with a test doc must be flagged
+    for removal; unrelated train docs keep."""
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.corpus import decontaminate_train
+
+    train = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=2, text="completely unrelated training material about engines"),
+    ])
+    test = spark.createDataFrame([
+        Row(doc_id=100, text="the quick brown fox jumps over the lazy dog today"),
+    ])
+    out = {r["doc_id"]: r for r in decontaminate_train(train, test).collect()}
+    assert out[1]["contamination"] == 1.0 and not out[1]["keep"]
+    assert out[2]["contamination"] == 0.0 and out[2]["keep"]
+
+
+def test_leakage_safe_split_keeps_neardups_together(spark, sf_dir):
+    """Every near-dup cluster must land entirely on one side of the
+    split (the leakage a plain per-doc hash split cannot prevent)."""
+    from breweries_etl_spark.operators.corpus import leakage_safe_split
+    from breweries_etl_spark.operators.dedup import prefix_filtered_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = leakage_safe_split(docs)
+    sides = {r["doc_id"]: r["split"] for r in split.collect()}
+    clusters = {r["doc_id"]: r["cluster_id"] for r in split.collect()}
+    pairs = prefix_filtered_jaccard_pairs(docs, threshold=0.5, release=False).collect()
+    assert pairs, "testdata should contain near-dup pairs"
+    for r in pairs:
+        assert sides[r["id_a"]] == sides[r["id_b"]], (r["id_a"], r["id_b"])
+        assert clusters[r["id_a"]] == clusters[r["id_b"]]
+    # both sides populated
+    assert set(sides.values()) == {"train", "test"}
