@@ -76,3 +76,25 @@ def test_gold_pipeline_budget(spark, sf_dir):
     # silver transform is shuffle-free (projections/filters only);
     # the gold groupBy adds the single hash exchange, dims broadcast
     assert _exchanges(q_gold_by_type_location(spark, sf_dir)) <= 1
+
+
+def test_classifier_quality_score_is_pure_scan(spark, sf_dir):
+    """The hashed-linear classifier's whole point is zero shuffles —
+    a refactor that introduces an Exchange breaks the 100 TB story."""
+    from breweries_etl_spark.operators.filtering import classifier_quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert _exchanges(classifier_quality_score(docs)) == 0
+
+
+def test_zipf_stats_avoids_global_vocabulary_sort(spark, sf_dir):
+    """token_zipf_stats must plan its top-k as TakeOrderedAndProject
+    (per-partition top-k), never a full vocabulary Sort+Exchange."""
+    from breweries_etl_spark.operators.text import token_zipf_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = token_zipf_stats(docs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
