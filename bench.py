@@ -65,6 +65,7 @@ FAMILIES: dict[str, list[str]] = {
         "feature_hash_counts",
         "corpus_dup_ngrams",
         "contamination_check",
+        "decontaminate_train",
     ],
     "temporal": [
         "events_sessionize",
