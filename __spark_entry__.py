@@ -3276,6 +3276,231 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 
 
 # ---------------------------------------------------------------------------
+# Round-4 additions: LM quality signal, incremental view maintenance,
+# semantic dedup, mergeable sketches, salted skew join, UDTF surface
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM perplexity per document (CCNet-style
+    quality signal): corpus bigram/unigram counts + vocabulary, add-0.5
+    smoothing, mean per-bigram log-prob rounded before averaging."""
+    return text.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLES["bigram_lm_scores"] = """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+), d2 AS (
+  SELECT doc_id, toks FROM docs WHERE len(toks) >= 2
+), idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM d2
+), big AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx
+), bc AS (
+  SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2
+), uc AS (
+  SELECT w1, sum(c2) AS c1 FROM bc GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM docs) u
+), scored AS (
+  SELECT b.doc_id,
+    CAST(round(ln((bc.c2 + 0.5) / (uc.c1 + 0.5 * vocab.v)) * 1e6, 0)
+         AS BIGINT) AS lp_micro
+  FROM big b JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+  JOIN uc ON b.w1 = uc.w1 CROSS JOIN vocab
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    round(sum(lp_micro) / (CAST(count(*) AS DOUBLE) * 1e6), 6)
+      AS avg_logprob
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_logprob,
+  round(exp(-avg_logprob), 3) AS ppl
+FROM agg
+"""
+
+
+_GOLD_CUTOFF = "1995-07-01"
+
+
+def q_gold_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: gold counts/revenue by (status,
+    priority) built from orders before the cutoff, then incrementally
+    merged with the post-cutoff delta — NEVER recomputed from scratch.
+    The oracle is the full recompute, so the hash match IS the
+    incremental-equals-batch equivalence proof."""
+    from breweries_etl_spark.operators import incremental
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    measures = {"n_orders": "count"}
+    base_rows = orders.filter(F.col("o_orderdate") < F.lit(_GOLD_CUTOFF))
+    delta_rows = orders.filter(F.col("o_orderdate") >= F.lit(_GOLD_CUTOFF))
+
+    def state(rows: DataFrame) -> DataFrame:
+        return rows.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("__rev"),
+        )
+
+    base = state(base_rows)
+    delta = state(delta_rows)
+    merged = incremental.merge_aggregate_state(
+        base.withColumn("__rev", F.col("__rev").cast("decimal(14,2)")),
+        delta.withColumn("__rev", F.col("__rev").cast("decimal(14,2)")),
+        keys,
+        {"n_orders": "sum", "__rev": "sum"},
+    )
+    return merged.select(
+        *keys,
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("__rev").cast("double").alias("revenue"),
+    )
+
+
+_ORACLES["gold_incremental_merge"] = f"""
+SELECT o_orderstatus, o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: nearest-centroid clustering (8 leading centroids) +
+    within-cluster cosine ≥ 0.35 drops all but the smallest-id member
+    of each similarity neighborhood. Threshold calibrated to the
+    synthetic embeddings (production uses ≈0.95+ — see operator doc)."""
+    from breweries_etl_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.leading_centroids(emb, 8)
+    return clustering.semantic_dedup(emb, cents, 0.35)
+
+
+_ORACLES["semantic_dedup"] = f"""
+WITH {{cluster_cte}},
+assign AS (SELECT vec_id, cluster_id FROM best WHERE rn = 1),
+pv AS (
+  SELECT a.vec_id, a.cluster_id, e.embedding
+  FROM assign a JOIN embeddings e USING (vec_id)
+), pp AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+    unnest(x.embedding)::DOUBLE AS px, unnest(y.embedding)::DOUBLE AS py
+  FROM pv x JOIN pv y
+    ON x.cluster_id = y.cluster_id AND x.vec_id > y.vec_id
+), ps AS (
+  SELECT id_a, id_b,
+    round(sum(px * py) / sqrt(sum(px * px) * sum(py * py)), 6) AS sim
+  FROM pp GROUP BY id_a, id_b
+), dropped AS (
+  SELECT DISTINCT id_a AS vec_id FROM ps WHERE sim >= 0.35
+)
+SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
+  (d.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+""".replace("{cluster_cte}", _CLUSTER_ASSIGN_CTE)
+
+
+def q_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct count: one HLL sketch per event_type,
+    union-merged to a global users estimate, asserted within 5% of the
+    exact count. The estimate itself is Datasketches-implementation-
+    defined; the contract (merge ≍ exact) is the oracle-stable output."""
+    from breweries_etl_spark.operators.profiling import (
+        mergeable_distinct_sketches,
+    )
+
+    return mergeable_distinct_sketches(
+        load_events(spark, sf_dir), "user_id", "event_type"
+    )
+
+
+_ORACLES["distinct_sketch_merge"] = """
+SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_groups,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+  TRUE AS est_ok
+FROM events
+"""
+
+
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salted join of lineitem (l_suppkey is the engineered
+    skew key: 100 keys, heaviest ≈11× uniform) against supplier, then
+    revenue per supplier nation. Salting is result-invariant — the
+    oracle runs the PLAIN join — while the salted plan bounds any
+    task's share of a hot key to 1/8. force_shuffle pins the
+    shuffle-hash path so the salted exchange is what executes here
+    (a broadcastable dim needs no salting; the 100 TB dim isn't)."""
+    from breweries_etl_spark.operators.skewjoin import salted_join
+    from breweries_etl_spark.functions.exact import disc_price
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    joined = salted_join(
+        li,
+        sup,
+        "l_suppkey",
+        "s_suppkey",
+        n_salts=8,
+        heat_factor=4.0,
+        salt_on="l_orderkey",
+        force_shuffle=True,
+    )
+    return joined.groupBy(F.col("s_nationkey").cast("long").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(disc_price()).cast("double").alias("revenue"),
+    )
+
+
+_ORACLES["salted_skew_join"] = f"""
+SELECT CAST(s.s_nationkey AS BIGINT) AS nationkey,
+  CAST(count(*) AS BIGINT) AS n_lineitems,
+  CAST(sum({sql_disc_price()}) AS DOUBLE) AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+"""
+
+
+def q_split_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table-function API) applied via LATERAL:
+    one row per non-empty sentence with index and length. Regex-simple
+    semantics so DuckDB list algebra replays them exactly."""
+    from breweries_etl_spark.operators.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence,
+               CAST(s.n_chars AS BIGINT) AS sent_chars
+        FROM __udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+_ORACLES["split_sentences_udtf"] = """
+WITH split AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(string_split_regex(text, '[.!?]+'),
+                     x -> regexp_replace(x, '^[ \\t\\n\\r]+|[ \\t\\n\\r]+$', '', 'g')),
+      x -> x <> '') AS sents
+  FROM documents WHERE text IS NOT NULL
+), idx AS (
+  SELECT doc_id, sents, unnest(generate_series(1, len(sents))) AS i FROM split
+)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS sent_idx, sents[i] AS sentence,
+  CAST(length(sents[i]) AS BIGINT) AS sent_chars
+FROM idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -3470,6 +3695,14 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_assign": q_cluster_assign,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "corpus_mix_weights": q_corpus_mix_weights,
+        # round 4: LM signal / incremental MV / semantic dedup / sketches
+        # / skew join / UDTF
+        "bigram_lm_scores": q_bigram_lm_scores,
+        "gold_incremental_merge": q_gold_incremental_merge,
+        "semantic_dedup": q_semantic_dedup,
+        "distinct_sketch_merge": q_distinct_sketch_merge,
+        "salted_skew_join": q_salted_skew_join,
+        "split_sentences_udtf": q_split_sentences_udtf,
     }
 
 

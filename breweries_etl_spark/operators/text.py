@@ -425,3 +425,93 @@ def token_zipf_stats(
     return totals.crossJoin(fit).select(
         "n_tokens", "n_distinct", "top_token", "top_count", "zipf_slope"
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", alpha: float = 0.5
+) -> DataFrame:
+    """CCNet-style LM quality signal: fit an add-alpha-smoothed bigram
+    language model on the corpus itself, then score every document by
+    its mean bigram log-probability (Wenzek et al. 2020 use a Wikipedia
+    KenLM; the self-trained bigram variant needs no external model and
+    flags the same tails — low scorers are garbled/boilerplate text,
+    suspiciously high scorers are template spam).
+
+    Shape (three hash aggregates + one shuffle join, no Python):
+
+    1. tokenize once per document (codegen'd ``regexp_extract_all``),
+       build the in-row bigram list with ``transform`` over a
+       ``sequence`` — no posexplode self-join;
+    2. corpus model: ``count(w1,w2)`` and ``count(w1)`` (the latter
+       folded from the bigram counts — one less pass over the token
+       relation) plus a scalar vocabulary size;
+    3. score: bigram relation ⋈ counts on (w1,w2) — at 100 TB both
+       sides shuffle on the bigram key and the join stays an equi-join
+       whose build side is the *distinct*-bigram table (≪ token count);
+       the vocabulary scalar broadcasts.
+
+    Per-bigram log-probs are canonicalized to exact integer micro-nats
+    (round(lp·1e6) as BIGINT) before summing, so the per-document mean
+    is a single deterministic double division over exact integers — no
+    double-summation order sensitivity between engines or partitionings
+    (same posture as functions/exact.py's decimal money sums); the
+    perplexity derives from the already-rounded mean.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9_]+"), 0)
+    docs = df.select("doc_id", toks.alias("toks"))
+    pairs = (
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    bigram_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    unigram_counts = bigram_counts.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = docs.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        pairs.join(bigram_counts, ["w1", "w2"])
+        .join(unigram_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("c2") + F.lit(alpha))
+                    / (F.col("c1") + F.lit(alpha) * F.col("v"))
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("__sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("__sum_micro")
+                / (F.col("n_bigrams").cast("double") * F.lit(1e6)),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .withColumn("ppl", F.round(F.exp(-F.col("avg_logprob")), 3))
+    )
