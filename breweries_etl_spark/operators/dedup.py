@@ -352,17 +352,21 @@ def prefix_filtered_jaccard_pairs(
     num, den = frac.numerator, frac.denominator
 
     sh = shingle_sets(df, text_col, id_col, n, hashed=True)
-    inverted = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    # The per-doc set size rides along from the array — one window
+    # (the rank) instead of two (a count(*) over the same partition
+    # would re-sort the exploded relation for a number the array
+    # already knows).
+    inverted = sh.select(
+        id_col,
+        F.size("shingles").alias("size"),
+        F.explode("shingles").alias("shingle"),
+    )
     dfreq = inverted.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        inverted.join(dfreq, "shingle")
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy("df", "shingle")
-            ),
-        )
-        .withColumn("size", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    ranked = inverted.join(dfreq, "shingle").withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("df", "shingle")
+        ),
     )
     # prefix length = size - ceil(t*size) + 1; ceil(a/b) = -((-a) div b)
     alpha = (-F.floor(F.lit(-num) * F.col("size") / den)).cast("long")
@@ -435,7 +439,11 @@ def prefix_jaccard_incremental(
     )
 
     def prefixes(sh: DataFrame, out_id: str) -> DataFrame:
-        inv = sh.select(F.col(id_col).alias(out_id), F.explode("shingles").alias("shingle"))
+        inv = sh.select(
+            F.col(id_col).alias(out_id),
+            F.size("shingles").alias("size"),
+            F.explode("shingles").alias("shingle"),
+        )
         ranked = (
             inv.join(dfreq, "shingle", "left")
             .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
@@ -443,7 +451,6 @@ def prefix_jaccard_incremental(
                 "rank",
                 F.row_number().over(Window.partitionBy(out_id).orderBy("df", "shingle")),
             )
-            .withColumn("size", F.count(F.lit(1)).over(Window.partitionBy(out_id)))
         )
         alpha = (-F.floor(F.lit(-num) * F.col("size") / den)).cast("long")
         return ranked.filter(F.col("rank") <= F.col("size") - alpha + 1).select(

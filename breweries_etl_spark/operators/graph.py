@@ -317,20 +317,30 @@ def pagerank(
     DIRECTED graph of ``pairs``, with dangling-node mass redistributed
     uniformly each round (ranks always sum to 1).
 
-    Each round is one broadcast-or-shuffle join of (node, rank) against
-    the edge list plus one aggregate — the rank frame is O(nodes), never
-    the edges — materialized per round with persist + count and reliably
-    checkpointed every ``CHECKPOINT_EVERY`` rounds to cap lineage (same
-    rationale as ``connected_components``). The dangling-mass term is a
-    one-row aggregate CROSS-JOINED into the rank update (broadcast
-    nested loop of a single row) instead of collected — zero driver
-    round-trips inside the loop; the only per-round action is the
-    materializing count.
+    Each round is one join of (node, rank) against the pre-weighted
+    edge list plus one aggregate — the rank frame is O(nodes), never
+    the edges. Loop-invariant state is hoisted out of the rounds:
+    ``wedges`` (edges ⋈ out-degree, built ONCE — r3 re-joined out_deg
+    every round) and ``dangling_nodes`` (zero-out-degree set, an
+    anti-join computed ONCE). The dangling-mass term is a one-row
+    aggregate CROSS-JOINED into the rank update (broadcast nested loop
+    of a single row) instead of collected — zero driver round-trips
+    inside the loop.
+
+    Each round references ``ranks`` TWICE (dangling mass + edge
+    contributions), so persist+count would leave a 2^rounds logical
+    plan that Catalyst re-analyzes on every action (measured: round 5
+    at sf0.1 spent >10 s in pure plan analysis with execution fully
+    cached). The per-round barrier is therefore ``_truncated``
+    (localCheckpoint — plan cut to a leaf), same as BFS; blocks are
+    released via ``_release_new_rdds`` before returning.
 
     Rows-only for the driver gate (float accumulation order makes exact
     cross-engine hashing meaningless); pytest verifies against a dense
     numpy power iteration at 1e-9 and the Σrank=1 invariant.
     """
+    sc = pairs.sparkSession.sparkContext
+    rdds_before = _persistent_rdd_ids(sc)
     edges, _ = _materialized(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
     )
@@ -344,22 +354,24 @@ def pagerank(
         edges.unpersist()
         nodes.unpersist()
         return result
-    out_deg, _ = _materialized(
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # Loop-invariant: edge list with its source's out-degree attached
+    # (division stays rank/out_deg inside the loop so the arithmetic is
+    # operation-identical to the unrolled SQL oracle).
+    wedges, _ = _materialized(edges.join(out_deg, "src").select("src", "dst", "out_deg"))
+    dangling_nodes, _ = _materialized(
+        nodes.join(out_deg.select(F.col("src").alias("node")), "node", "left_anti")
     )
-    live = [edges, nodes, out_deg]
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for it in range(1, iterations + 1):
-        with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left")
-        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+    live = [edges, nodes, wedges, dangling_nodes]
+    ranks, _ = _truncated(nodes.withColumn("rank", F.lit(1.0 / n)))
+    for _it in range(1, iterations + 1):
+        dangling = ranks.join(dangling_nodes, "node", "left_semi").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
         )
-        per_edge = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
         contribs = (
-            with_deg.filter(F.col("out_deg").isNotNull())
-            .join(per_edge, F.col("node") == F.col("e_src"))
+            ranks.join(wedges, ranks.node == wedges.src)
             .select(
-                F.col("e_dst").alias("t_node"),
+                F.col("dst").alias("t_node"),
                 (F.col("rank") / F.col("out_deg")).alias("contrib"),
             )
             .groupBy("t_node")
@@ -381,14 +393,11 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if it % CHECKPOINT_EVERY == 0:
-            ranks = _checkpointed(new_ranks)
-        else:
-            ranks, _ = _materialized(new_ranks)
-            live.append(ranks)
+        ranks, _ = _truncated(new_ranks)
     result = _checkpointed(ranks)
     for c in live:
         c.unpersist()
+    _release_new_rdds(sc, rdds_before)
     return result
 
 
