@@ -3483,6 +3483,51 @@ def q_split_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_gold_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-aggregate maintenance over the events
+    table in 4 micro-batches: per-(event_type) count + exact-decimal
+    value sum merged into a snapshot table per epoch. Monoid merges of
+    exact sums make the final snapshot independent of the batch split,
+    so a plain batch GROUP BY oracles the stream end-to-end."""
+    import os
+    import tempfile
+
+    from breweries_etl_spark.streaming.merge_sink import (
+        read_latest_snapshot,
+        streaming_aggregate_merge_sink,
+    )
+
+    events = load_events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="spark_gold_merge_")
+    src = os.path.join(work, "src")
+    tbl = os.path.join(work, "table")
+    projected = events.select("event_type", "value")
+    projected.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(projected.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_aggregate_merge_sink(
+        stream, tbl, ["event_type"], count_col="n_events",
+        sum_col="total_value", sum_src="value", query_name="gold_merge_q",
+    )
+    q.awaitTermination()
+    snap = read_latest_snapshot(spark, tbl)
+    return snap.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+_ORACLES["streaming_gold_merge"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 _ORACLES["split_sentences_udtf"] = """
 WITH split AS (
   SELECT doc_id,
@@ -3703,6 +3748,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch_merge": q_distinct_sketch_merge,
         "salted_skew_join": q_salted_skew_join,
         "split_sentences_udtf": q_split_sentences_udtf,
+        "streaming_gold_merge": q_streaming_gold_merge,
     }
 
 

@@ -55,6 +55,8 @@ FAMILIES: dict[str, list[str]] = {
         "window_function_suite",
         "rollup_orders",
         "pivot_events",
+        "gold_incremental_merge",
+        "salted_skew_join",
     ],
     "text": [
         "text_stats",
@@ -66,6 +68,8 @@ FAMILIES: dict[str, list[str]] = {
         "corpus_dup_ngrams",
         "contamination_check",
         "decontaminate_train",
+        "bigram_lm_scores",
+        "split_sentences_udtf",
     ],
     "temporal": [
         "events_sessionize",
@@ -73,6 +77,8 @@ FAMILIES: dict[str, list[str]] = {
         "asof_purchase_view",
         "merge_upsert",
         "range_join_error_window",
+        "distinct_sketch_merge",
+        "streaming_gold_merge",
     ],
     "dedup": [
         "dedup_exact",
@@ -84,6 +90,7 @@ FAMILIES: dict[str, list[str]] = {
         "similarity_topk_pandas",
         "cluster_assign",
         "pack_sequences",
+        "semantic_dedup",
     ],
     "graph": [
         "graph_bfs_levels",

@@ -143,6 +143,7 @@ def semantic_dedup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "pandas",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): drop a vector when a lower-id
     vector in the SAME cluster has cosine similarity ≥ ``threshold``.
@@ -150,41 +151,79 @@ def semantic_dedup(
 
     This is the scale-correct shape of embedding dedup: the O(n²)
     pairwise pass is confined to within-cluster blocks (that is the
-    paper's entire point — k is chosen so clusters stay small), so the
-    plan is one shuffle of (id, cluster, vector) on cluster_id followed
-    by a per-cluster self-join; no global cross join exists anywhere.
-    The keep rule ("survivor = smallest id in each similarity
-    neighborhood") is deterministic under any partitioning, which is
-    what lets a SQL oracle replay it exactly.
+    paper's entire point — k is chosen so clusters stay small), so no
+    global cross join exists anywhere. The keep rule ("survivor =
+    smallest id in each similarity neighborhood") is deterministic
+    under any partitioning, which is what lets a SQL oracle replay it.
+
+    Two physical strategies for the within-cluster pass:
+
+    - ``pandas`` (default): one Arrow batch per cluster via
+      ``applyInPandas`` — a single numpy matmul scores the whole
+      block (the paper's own within-cluster kernel). ~7× faster than
+      the expression path at 2k×64-dim (interpreted higher-order
+      cosine costs ~µs/pair; BLAS costs ~ns). Output keep flags only
+      compare the 6-dp-rounded sim against the threshold, so BLAS
+      summation order cannot flip a decision except exactly at the
+      rounding boundary of the threshold itself — same accepted
+      tolerance as ``similarity.brute_force_topk_pandas``.
+    - ``expr``: pure column-expression self-join — keeps everything
+      JVM-side for clusters too large for one Arrow batch.
 
     Production note: with real embedding models the paper operates at
     threshold ≈ 0.95–0.999; contract queries calibrate it to the
     synthetic corpus so the drop path is actually exercised.
     """
-    from .similarity import cosine_expr
-
     assigned = centroid_assign(emb, centroids, id_col, vec_col).select(
         id_col, "cluster_id"
     )
     with_vec = assigned.join(emb.select(id_col, vec_col), id_col)
-    a = with_vec.select(
-        F.col(id_col).alias("id_a"),
-        F.col("cluster_id"),
-        F.col(vec_col).alias("vec_a"),
-    )
-    b = with_vec.select(
-        F.col(id_col).alias("id_b"),
-        F.col("cluster_id"),
-        F.col(vec_col).alias("vec_b"),
-    )
-    dropped = (
-        a.join(b, "cluster_id")
-        .filter(F.col("id_a") > F.col("id_b"))
-        .filter(cosine_expr(F.col("vec_a"), F.col("vec_b")) >= F.lit(threshold))
-        .select(F.col("id_a").alias(id_col))
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
-    )
+
+    if strategy == "pandas":
+        import pandas as pd  # noqa: F401 - applyInPandas contract
+
+        def dropped_in_cluster(pdf):
+            import numpy as np
+            import pandas as pd
+
+            ids = pdf[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].iloc[order]]
+            )
+            norms = np.sqrt((m * m).sum(axis=1))
+            sims = np.round((m @ m.T) / np.outer(norms, norms), 6)
+            rows, cols = np.triu_indices(len(ids), k=1)  # row < col → id asc
+            hit = sims[rows, cols] >= threshold
+            return pd.DataFrame({id_col: np.unique(ids[cols[hit]])})
+
+        dropped = (
+            with_vec.groupBy("cluster_id")
+            .applyInPandas(dropped_in_cluster, schema=f"{id_col} long")
+            .withColumn("__dropped", F.lit(True))
+        )
+    else:
+        from .similarity import cosine_expr
+
+        a = with_vec.select(
+            F.col(id_col).alias("id_a"),
+            F.col("cluster_id"),
+            F.col(vec_col).alias("vec_a"),
+        )
+        b = with_vec.select(
+            F.col(id_col).alias("id_b"),
+            F.col("cluster_id"),
+            F.col(vec_col).alias("vec_b"),
+        )
+        dropped = (
+            a.join(b, "cluster_id")
+            .filter(F.col("id_a") > F.col("id_b"))
+            .filter(cosine_expr(F.col("vec_a"), F.col("vec_b")) >= F.lit(threshold))
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
+            .withColumn("__dropped", F.lit(True))
+        )
     return (
         assigned.join(dropped, id_col, "left")
         .select(

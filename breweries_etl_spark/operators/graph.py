@@ -96,6 +96,8 @@ def connected_components(
     """(doc_id, cluster_id) for every node in ``pairs``, where cluster_id
     is the minimum node id in the component — deterministic on any
     partitioning."""
+    sc = pairs.sparkSession.sparkContext
+    rdds_before = _persistent_rdd_ids(sc)
     edges, _ = _materialized(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
@@ -124,13 +126,17 @@ def connected_components(
             ).alias("label"),
             (F.col("nbr_label") < F.col("label")).alias("changed"),
         )
+        # ``current`` is referenced twice per round (neighbor probe +
+        # label update), so persist alone would double the logical plan
+        # every round (see pagerank) — localCheckpoint cuts it to a
+        # leaf; the reliable checkpoint every CHECKPOINT_EVERY rounds
+        # additionally caps recompute depth on block loss.
         if rnd % CHECKPOINT_EVERY == 0:
             updated = _checkpointed(updated)
-            n_changed = updated.filter(F.col("changed")).count()
         else:
-            updated = updated.persist()
-            n_changed = updated.filter(F.col("changed")).count()
+            updated, _ = _truncated(updated)
             live.append(updated)
+        n_changed = updated.filter(F.col("changed")).count()
         current = updated
         if n_changed == 0:
             break
@@ -139,6 +145,7 @@ def connected_components(
     )
     for c in live:
         c.unpersist()
+    _release_new_rdds(sc, rdds_before)
     return result.orderBy("doc_id")
 
 

@@ -93,3 +93,71 @@ def streaming_latest_merge_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_aggregate_merge_sink(
+    df: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    count_col: str = "n",
+    sum_col: str | None = None,
+    sum_src: str | None = None,
+    query_name: str = "aggregate_merge_sink",
+):
+    """Streaming MATERIALIZED-AGGREGATE maintenance: each micro-batch is
+    aggregated down to per-key (count, decimal sum) partial state and
+    monoid-merged into the snapshot table via
+    ``operators.incremental.merge_aggregate_state`` — the streaming twin
+    of the batch incremental-gold operator, with this sink's
+    snapshot-and-pointer atomicity and idempotent epoch replay.
+
+    Because count/sum are commutative monoids and the sums are exact
+    decimals, the final snapshot is a pure function of the input SET —
+    independent of micro-batch boundaries, arrival order, or replays —
+    which is what lets a plain batch GROUP BY oracle the stream.
+
+    At 100 TB the per-epoch merge shuffles only |keys| aggregated rows
+    (never the raw events), exactly the property that makes streaming
+    MV maintenance viable at all.
+    """
+    from ..operators.incremental import merge_aggregate_state
+
+    def merge_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        aggs = [F.count(F.lit(1)).alias(count_col)]
+        if sum_col is not None:
+            aggs.append(
+                F.sum(F.col(sum_src).cast("decimal(18,2)")).alias(sum_col)
+            )
+        delta = batch_df.groupBy(*keys).agg(*aggs)
+        current = read_latest_snapshot(spark, table_dir)
+        if current is None:
+            merged = delta
+        else:
+            ops = {count_col: "sum"}
+            if sum_col is not None:
+                ops[sum_col] = "sum"
+                # keep the merged sum in the same decimal type the delta
+                # produces, so epoch N's snapshot schema is stable
+                current = current.withColumn(
+                    sum_col, F.col(sum_col).cast("decimal(18,2)")
+                )
+            merged = merge_aggregate_state(current, delta, keys, ops)
+            if sum_col is not None:
+                merged = merged.withColumn(
+                    sum_col, F.col(sum_col).cast("decimal(18,2)")
+                )
+        version = f"v{epoch_id}"
+        merged.write.mode("overwrite").parquet(os.path.join(table_dir, version))
+        tmp = _latest_path(table_dir) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(version)
+        os.replace(tmp, _latest_path(table_dir))
+
+    return (
+        df.writeStream.outputMode("update")
+        .foreachBatch(merge_epoch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -225,3 +225,58 @@ def test_split_sentences_udtf(spark):
         (1, 1): ("How are you", 11),
         (1, 2): ("Fine", 4),
     }
+
+
+# ------------------------------------------- streaming aggregate merge
+def test_streaming_aggregate_merge_equals_batch(spark, sf_dir, tmp_path):
+    from breweries_etl_spark.streaming.merge_sink import (
+        read_latest_snapshot,
+        streaming_aggregate_merge_sink,
+    )
+
+    events = load_events(spark, sf_dir).select("event_type", "value")
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_aggregate_merge_sink(
+        stream, tbl, ["event_type"], count_col="n",
+        sum_col="sv", sum_src="value", query_name="t_gold_merge",
+    )
+    q.awaitTermination()
+    got = {
+        r["event_type"]: (r["n"], float(r["sv"]))
+        for r in read_latest_snapshot(spark, tbl).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], float(r["sv"]))
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_semantic_dedup_strategies_agree(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.leading_centroids(emb, 4)
+    a = {
+        (r["vec_id"], r["cluster_id"], r["keep"])
+        for r in clustering.semantic_dedup(
+            emb, cents, 0.35, strategy="pandas"
+        ).collect()
+    }
+    b = {
+        (r["vec_id"], r["cluster_id"], r["keep"])
+        for r in clustering.semantic_dedup(
+            emb, cents, 0.35, strategy="expr"
+        ).collect()
+    }
+    assert a == b
