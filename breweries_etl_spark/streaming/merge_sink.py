@@ -161,3 +161,34 @@ def streaming_aggregate_merge_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
+    """Remove superseded ``v{epoch}`` snapshot directories, never
+    touching the committed one. Returns the removed directory names.
+
+    Retention logic mirrors what a table format's VACUUM does, scoped
+    to this sink's layout: the `_LATEST` pointer defines the committed
+    snapshot; everything newer than it (a crashed epoch that wrote but
+    never committed) and the ``keep_last`` most recent committed
+    versions are kept; older versions are deleted. Readers holding the
+    pointer already resolved their snapshot path, so deleting a
+    superseded directory cannot break an in-flight read of the
+    committed version — the same reasoning table formats use for
+    retention windows.
+    """
+    import re
+    import shutil
+
+    marker = _latest_path(table_dir)
+    if not os.path.exists(marker):
+        return []
+    with open(marker, encoding="utf-8") as fh:
+        committed = int(fh.read().strip().lstrip("v"))
+    removed = []
+    for name in sorted(os.listdir(table_dir)):
+        m = re.fullmatch(r"v(\d+)", name)
+        if m and int(m.group(1)) <= committed - keep_last:
+            shutil.rmtree(os.path.join(table_dir, name))
+            removed.append(name)
+    return removed

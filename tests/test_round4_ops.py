@@ -280,3 +280,26 @@ def test_semantic_dedup_strategies_agree(spark, sf_dir):
         ).collect()
     }
     assert a == b
+
+
+def test_vacuum_snapshots_keeps_committed(spark, tmp_path):
+    import os
+
+    from breweries_etl_spark.streaming.merge_sink import (
+        read_latest_snapshot,
+        vacuum_snapshots,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(tbl)
+    for epoch in range(4):
+        spark.createDataFrame([Row(k="a", n=epoch)]).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tbl, f"v{epoch}"))
+    with open(os.path.join(tbl, "_LATEST"), "w") as fh:
+        fh.write("v3")
+    removed = vacuum_snapshots(tbl, keep_last=1)
+    assert removed == ["v0", "v1", "v2"]
+    assert read_latest_snapshot(spark, tbl).collect()[0]["n"] == 3
+    # idempotent; keep_last honored when pointer lags behind newest dir
+    assert vacuum_snapshots(tbl, keep_last=1) == []
