@@ -3483,6 +3483,56 @@ def q_split_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: per-language perplexity terciles over the
+    bigram-LM scores; ntile over the total order (ppl, doc_id) is
+    deterministic, so DuckDB replays the assignment exactly."""
+    return text.perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLES["ccnet_perplexity_buckets"] = """
+WITH docs AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+), d2 AS (
+  SELECT doc_id, toks FROM docs WHERE len(toks) >= 2
+), idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM d2
+), big AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx
+), bc AS (
+  SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2
+), uc AS (
+  SELECT w1, sum(c2) AS c1 FROM bc GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM docs) u
+), scored AS (
+  SELECT b.doc_id,
+    CAST(round(ln((bc.c2 + 0.5) / (uc.c1 + 0.5 * vocab.v)) * 1e6, 0)
+         AS BIGINT) AS lp_micro
+  FROM big b JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+  JOIN uc ON b.w1 = uc.w1 CROSS JOIN vocab
+), agg AS (
+  SELECT doc_id,
+    round(sum(lp_micro) / (CAST(count(*) AS DOUBLE) * 1e6), 6)
+      AS avg_logprob
+  FROM scored GROUP BY doc_id
+), ppls AS (
+  SELECT d.doc_id, d.lang, round(exp(-a.avg_logprob), 3) AS ppl
+  FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+), cut AS (
+  SELECT doc_id, lang, ppl,
+    CAST(ntile(3) OVER (PARTITION BY lang ORDER BY ppl ASC, doc_id ASC)
+         AS BIGINT) AS bucket
+  FROM ppls
+)
+SELECT doc_id, lang, ppl, bucket,
+  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS slice
+FROM cut
+"""
+
+
 def q_streaming_gold_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming materialized-aggregate maintenance over the events
     table in 4 micro-batches: per-(event_type) count + exact-decimal
@@ -3749,6 +3799,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_join": q_salted_skew_join,
         "split_sentences_udtf": q_split_sentences_udtf,
         "streaming_gold_merge": q_streaming_gold_merge,
+        "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
     }
 
 

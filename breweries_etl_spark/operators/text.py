@@ -515,3 +515,50 @@ def bigram_lm_scores(
         )
         .withColumn("ppl", F.round(F.exp(-F.col("avg_logprob")), 3))
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): rank
+    documents by LM perplexity WITHIN each language and cut into
+    terciles — head (lowest perplexity) is the Wikipedia-like slice,
+    tail the noisiest; pretraining corpora typically keep head+middle
+    or reweight by bucket.
+
+    Built on ``bigram_lm_scores``; the tercile is an ``ntile(3)`` over
+    the total order (ppl, doc_id) per language — deterministic under
+    any partitioning, so the SQL oracle replays the exact assignment.
+    Documents with fewer than two tokens have no LM score and are
+    excluded (they are length-filtered far earlier in any real
+    pipeline).
+
+    One extra shuffle over the scores (per-language sort for ntile) on
+    a doc_id-scale relation — the corpus text itself is not re-read.
+    """
+    from pyspark.sql import Window as W
+
+    scores = bigram_lm_scores(df, text_col=text_col, alpha=alpha)
+    w = W.partitionBy(lang_col).orderBy(
+        F.col("ppl").asc(), F.col("doc_id").asc()
+    )
+    bucket = F.ntile(3).over(w)
+    return (
+        df.select("doc_id", lang_col)
+        .join(scores, "doc_id")
+        .select(
+            "doc_id",
+            lang_col,
+            "ppl",
+            bucket.cast("long").alias("bucket"),
+        )
+        .withColumn(
+            "slice",
+            F.when(F.col("bucket") == 1, F.lit("head"))
+            .when(F.col("bucket") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+    )

@@ -303,3 +303,22 @@ def test_vacuum_snapshots_keeps_committed(spark, tmp_path):
     assert read_latest_snapshot(spark, tbl).collect()[0]["n"] == 3
     # idempotent; keep_last honored when pointer lags behind newest dir
     assert vacuum_snapshots(tbl, keep_last=1) == []
+
+
+def test_perplexity_buckets_tercile_sizes_and_order(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.perplexity_buckets(docs).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        sizes = [0, 0, 0]
+        for r in rows:
+            sizes[r["bucket"] - 1] += 1
+        # ntile: sizes differ by at most 1, head never smaller than tail
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        # every head ppl <= every tail ppl within the language
+        head = [r["ppl"] for r in rows if r["slice"] == "head"]
+        tail = [r["ppl"] for r in rows if r["slice"] == "tail"]
+        if head and tail:
+            assert max(head) <= min(tail), lang

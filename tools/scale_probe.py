@@ -37,6 +37,11 @@ QUERIES = [
     "chunk_documents", "skew_profile_lineitem", "price_histogram",
     # round-3: pure-scan classifier and the reworked iterative BFS
     "classifier_quality_score", "graph_bfs_levels",
+    # round-4: LM scoring (token-relation joins), incremental MV merge
+    # (keyspace-sized), SemDeDup (within-cluster n2 — docs repeat at
+    # sf1ish so planted dup density rises), salted join, sketch merge
+    "bigram_lm_scores", "gold_incremental_merge", "semantic_dedup",
+    "salted_skew_join", "distinct_sketch_merge",
 ]
 
 
