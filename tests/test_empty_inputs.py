@@ -60,3 +60,42 @@ def test_asof_with_empty_right(spark):
         left, right, by="user_id", on="ts_us",
         left_cols=["event_id"], right_cols=["value"]).collect()
     assert len(out) == 1 and out[0]["asof_value"] is None
+
+
+def test_round4_operators_on_empty(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators import incremental
+    from breweries_etl_spark.operators.clustering import (
+        leading_centroids,
+        semantic_dedup,
+    )
+    from breweries_etl_spark.operators.profiling import (
+        mergeable_distinct_sketches,
+    )
+    from breweries_etl_spark.operators.skewjoin import salted_join
+    from breweries_etl_spark.operators.text import bigram_lm_scores
+
+    docs = spark.createDataFrame([], DOCS_SCHEMA)
+    assert bigram_lm_scores(docs).count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_dedup(emb, leading_centroids(emb, 4), 0.9).count() == 0
+
+    ev = spark.createDataFrame([], "user_id long, event_type string")
+    row = mergeable_distinct_sketches(ev, "user_id", "event_type").collect()[0]
+    assert row["n_groups"] == 0 and row["n_exact"] == 0
+
+    fact = spark.createDataFrame([], "k long, rid long")
+    dim = spark.createDataFrame([Row(dk=1, name="d")])
+    assert salted_join(fact, dim, "k", "dk", salt_on="rid").count() == 0
+
+    base = spark.createDataFrame([], "k string, n long")
+    delta = spark.createDataFrame([Row(k="a", n=1)])
+    merged = {
+        r["k"]: r["n"]
+        for r in incremental.merge_aggregate_state(
+            base, delta, ["k"], {"n": "sum"}
+        ).collect()
+    }
+    assert merged == {"a": 1}
