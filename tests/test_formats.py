@@ -108,3 +108,22 @@ def test_parquet_zstd_codec_roundtrip(spark, tmp_path):
     assert files, "expected zstd-suffixed parquet part files"
     back = spark.read.parquet(out)
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema drift across ingestion days: later files add a column.
+    mergeSchema reconciles the union schema and back-fills NULL for
+    files that predate the column — the read posture a 100 TB corpus
+    with years of ingestion needs (and why writers only ever ADD
+    nullable columns)."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, a string").write.parquet(
+        base + "/day=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, a string, score double"
+    ).write.parquet(base + "/day=2")
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"id", "a", "score", "day"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
