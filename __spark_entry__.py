@@ -3483,6 +3483,55 @@ def q_split_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing over the asset table: payload bytes as 16-bit LE
+    PCM → 256-sample frames → exact-integer RMS + mean-centered
+    zero-crossing count per frame. The corpus is ASCII (verified), so
+    the DuckDB oracle's character arithmetic equals Spark's byte view."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    return multimodal.audio_frame_features(assets)
+
+
+_ORACLES["audio_frame_features"] = """
+WITH a AS (
+  SELECT doc_id AS asset_id, text FROM documents
+  WHERE text IS NOT NULL AND len(text) >= 2
+), off AS (
+  SELECT asset_id, text,
+    unnest(generate_series(0, len(text) // 2 * 2 - 2, 2)) AS o
+  FROM a
+), samp AS (
+  SELECT asset_id, o // 2 AS i,
+    ascii(substring(text, o + 1, 1))
+      + 256 * ascii(substring(text, o + 2, 1)) AS v
+  FROM off
+), fr AS (
+  SELECT asset_id, i // 256 AS frame_idx, i, v FROM samp
+), st AS (
+  SELECT asset_id, frame_idx, count(*) AS n,
+    sum(v * v) AS ss, sum(v) AS sv
+  FROM fr GROUP BY 1, 2
+), zc AS (
+  SELECT f1.asset_id, f1.frame_idx,
+    count(*) FILTER (
+      (f1.v * st.n - st.sv) * (f2.v * st.n - st.sv) < 0
+    ) AS zcr
+  FROM fr f1
+  JOIN fr f2 ON f2.asset_id = f1.asset_id AND f2.i = f1.i + 1
+    AND f2.i // 256 = f1.frame_idx
+  JOIN st ON st.asset_id = f1.asset_id AND st.frame_idx = f1.frame_idx
+  GROUP BY 1, 2
+)
+SELECT st.asset_id, CAST(st.frame_idx AS BIGINT) AS frame_idx,
+  CAST(st.n AS BIGINT) AS n_samples,
+  round(sqrt(st.ss / CAST(st.n AS DOUBLE)), 6) AS rms,
+  CAST(coalesce(zc.zcr, 0) AS BIGINT) AS zcr
+FROM st LEFT JOIN zc
+  ON zc.asset_id = st.asset_id AND zc.frame_idx = st.frame_idx
+"""
+
+
 def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail: per-language perplexity terciles over the
     bigram-LM scores; ntile over the total order (ppl, doc_id) is
@@ -3800,6 +3849,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_sentences_udtf": q_split_sentences_udtf,
         "streaming_gold_merge": q_streaming_gold_merge,
         "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
+        "audio_frame_features": q_audio_frame_features,
     }
 
 

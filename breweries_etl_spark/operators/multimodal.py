@@ -137,3 +137,64 @@ def asset_metadata_stats(assets: DataFrame) -> DataFrame:
             F.max(F.col("meta.n_bytes")).alias("max_bytes"),
         )
     )
+
+
+def audio_frame_features(
+    assets: DataFrame, frame_len: int = 256
+) -> DataFrame:
+    """Audio analysis plumbing: interpret each asset's payload as 16-bit
+    little-endian PCM, window it into ``frame_len``-sample frames, and
+    emit per-frame RMS energy and mean-centered zero-crossing count —
+    the framing/feature shape a real torchaudio/librosa front-end
+    produces, with the advantage that THIS one needs no external codec
+    and is exactly integer-arithmetic replayable by the SQL oracle
+    (unlike the image/video decoders, which must stay stubbed).
+
+    Per frame (n = samples in frame, possibly < frame_len for the last):
+    - ``rms``  = round(sqrt(Σv² / n), 6) — Σv² summed exactly in int64;
+    - ``zcr``  = #{i : (v_i·n − Σv)·(v_{i+1}·n − Σv) < 0} — crossings of
+      the frame mean, compared in exact integers (no float mean).
+
+    Runs as one Arrow-batched mapInPandas (a flatMap: no shuffle); at
+    100 TB each task streams its assets' byte payloads through numpy
+    without materializing anything wider than a batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def frames(batches):
+        for pdf in batches:
+            ids, idxs, ns, rmss, zcrs = [], [], [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                buf = bytes(payload or b"")
+                usable = len(buf) // 2 * 2
+                if usable < 2:
+                    continue
+                v = np.frombuffer(buf[:usable], dtype="<u2").astype(np.int64)
+                for f_idx in range(0, (len(v) + frame_len - 1) // frame_len):
+                    fr = v[f_idx * frame_len : (f_idx + 1) * frame_len]
+                    n = len(fr)
+                    ss = int((fr * fr).sum())
+                    sv = int(fr.sum())
+                    centered = fr * n - sv  # exact integer mean-centering
+                    zc = int(((centered[:-1] * centered[1:]) < 0).sum())
+                    ids.append(asset_id)
+                    idxs.append(f_idx)
+                    ns.append(n)
+                    rmss.append(round(float(np.sqrt(ss / n)), 6))
+                    zcrs.append(zc)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": idxs,
+                    "n_samples": ns,
+                    "rms": rmss,
+                    "zcr": zcrs,
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        frames,
+        schema="asset_id long, frame_idx long, n_samples long, "
+        "rms double, zcr long",
+    )

@@ -67,3 +67,47 @@ def test_frame_sample_shape_and_determinism(spark):
     for r in f1:
         by_asset.setdefault(r["asset_id"], []).append(tuple(r["features"]))
     assert all(len(set(v)) == 3 for v in by_asset.values())
+
+
+def test_audio_frame_features_hand_check(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.multimodal import (
+        assets_from_documents,
+        audio_frame_features,
+    )
+
+    # "AB CD" -> bytes 65,66,32,67,68 -> samples (65+256*66, 32+256*67)
+    # trailing odd byte 68 dropped; frame_len=2 -> one frame
+    docs = spark.createDataFrame([Row(doc_id=1, text="AB CD")])
+    out = audio_frame_features(
+        assets_from_documents(docs), frame_len=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    v = [65 + 256 * 66, 32 + 256 * 67]
+    assert r["n_samples"] == 2
+    assert r["rms"] == round(math.sqrt((v[0] ** 2 + v[1] ** 2) / 2), 6)
+    # centered: v0*2 - (v0+v1) = v0-v1 ; v1*2 - sum = v1-v0 -> product < 0
+    assert r["zcr"] == 1
+
+
+def test_audio_frame_features_partial_last_frame(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.multimodal import (
+        assets_from_documents,
+        audio_frame_features,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=7, text="abcdef")])  # 3 samples
+    rows = sorted(
+        audio_frame_features(
+            assets_from_documents(docs), frame_len=2
+        ).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["n_samples"] for r in rows] == [2, 1]
+    assert rows[1]["zcr"] == 0  # single-sample frame has no crossings

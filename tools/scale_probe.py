@@ -82,7 +82,12 @@ def build_scaled(spark, src="/root/testdata/sf0.1") -> None:
 def time_queries(spark, sf_dir) -> dict[str, float]:
     """Two passes per SF; report the second (steady-state: codegen
     compiled, classes loaded, page cache warm) — pass 1 absorbs the
-    one-time costs that would otherwise skew small-SF numbers."""
+    one-time costs that would otherwise skew small-SF numbers. The same
+    clearCache + GC hygiene barrier bench.py uses runs between queries:
+    the probe shares one session across ~30 queries × 3 SFs, and
+    without the barrier a preceding heavyweight (iterative graph,
+    checkpoint dirs) inflated an unrelated query 7× (bigram at sf0.1
+    measured 14.7 s in-probe vs 1.9 s isolated)."""
     qs = entrymod.queries()
     out = {}
     for _pass in range(2):
@@ -90,6 +95,8 @@ def time_queries(spark, sf_dir) -> dict[str, float]:
             start = time.monotonic()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             out[name] = round(time.monotonic() - start, 2)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
     return out
 
 
