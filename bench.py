@@ -70,6 +70,8 @@ FAMILIES: dict[str, list[str]] = {
         "decontaminate_train",
         "bigram_lm_scores",
         "split_sentences_udtf",
+        "ccnet_perplexity_buckets",
+        "audio_frame_features",
     ],
     "temporal": [
         "events_sessionize",
