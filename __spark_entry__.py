@@ -3483,6 +3483,26 @@ def q_split_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_mean_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas GROUPED_AGG UDAF surface: per-priority geometric mean of
+    order totals (log-mean rounded before exponentiation on both
+    engines)."""
+    return agg_ops.geometric_mean_by(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+_ORACLES["geo_mean_order_price"] = """
+WITH lm AS (
+  SELECT o_orderpriority, round(avg(ln(o_totalprice)), 6) AS log_mean
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, log_mean, round(exp(log_mean), 3) AS geo_mean
+FROM lm
+"""
+
+
 def q_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio plumbing over the asset table: payload bytes as 16-bit LE
     PCM → 256-sample frames → exact-integer RMS + mean-centered
@@ -3850,6 +3870,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_gold_merge": q_streaming_gold_merge,
         "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
         "audio_frame_features": q_audio_frame_features,
+        "geo_mean_order_price": q_geo_mean_order_price,
     }
 
 

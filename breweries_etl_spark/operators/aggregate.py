@@ -53,3 +53,51 @@ def value_counts(df: DataFrame, column: str, count_name: str = "count") -> DataF
 def row_count(df: DataFrame) -> DataFrame:
     """A7 — ``len(df)`` as a one-row frame (metrics/guards surface)."""
     return df.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def geometric_mean_by(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group geometric mean via a Pandas GROUPED_AGG UDAF — the
+    engine's custom-aggregate surface (the reference has no UDAFs at
+    all; this is the API a user reaches for when the aggregate isn't
+    expressible as built-ins).
+
+    The UDAF returns the mean of logs per group (Arrow-batched, one
+    value per group crosses the Python boundary); the geometric mean
+    derives from the ROUNDED log-mean so both engines exponentiate
+    identical inputs (same convention as the bigram-LM perplexity).
+
+    Honest cost note: unlike algebraic built-ins, a grouped-agg pandas
+    UDF has NO partial aggregation — Spark shuffles the group's ROWS to
+    the aggregating task (`AggregateInPandas`). That is the real price
+    of custom aggregates at 100 TB, and why this particular statistic
+    would ship as `exp(avg(ln(x)))` in production; the operator exists
+    to exercise the UDAF surface, stated cost included.
+
+    Only strictly-positive values are defined for a geometric mean;
+    rows with value ≤ 0 are filtered (documented, matching the oracle).
+    """
+    import pandas as pd
+
+    def _log_mean(v):
+        import numpy as np
+
+        return float(np.log(v.to_numpy(dtype="float64")).mean())
+
+    # `from __future__ import annotations` stringifies hints module-wide,
+    # which breaks pandas_udf's scalar-vs-grouped-agg inference — attach
+    # real type objects instead of source annotations.
+    _log_mean.__annotations__ = {"v": pd.Series, "return": float}
+    log_mean = F.pandas_udf(_log_mean, "double")
+
+    out = (
+        df.filter(F.col(value_col) > 0)
+        .groupBy(group_col)
+        .agg(F.round(log_mean(F.col(value_col)), 6).alias("log_mean"))
+    )
+    return out.select(
+        group_col,
+        "log_mean",
+        F.round(F.exp(F.col("log_mean")), 3).alias("geo_mean"),
+    )

@@ -44,3 +44,21 @@ def test_value_counts_desc(spark):
 def test_row_count(spark):
     df = spark.createDataFrame([Row(a=i) for i in range(7)])
     assert row_count(df).first()["n_rows"] == 7
+
+
+def test_geometric_mean_udaf_matches_closed_form(spark):
+    import math
+
+    from breweries_etl_spark.operators.aggregate import geometric_mean_by
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 8.0), ("b", 5.0), ("b", 0.0), ("b", -3.0)],
+        "k string, v double",
+    )
+    out = {r["k"]: r for r in geometric_mean_by(df, "k", "v").collect()}
+    # group a: sqrt(2*8) = 4 exactly; group b: non-positives filtered -> 5
+    assert out["a"]["geo_mean"] == 4.0
+    assert out["b"]["geo_mean"] == 5.0
+    assert out["a"]["log_mean"] == round(
+        (math.log(2.0) + math.log(8.0)) / 2, 6
+    )

@@ -126,3 +126,61 @@ def test_prefix_filter_equals_brute_force(spark, docs_words, threshold):
     assert set(got) == set(expected), (got, expected)
     for k, v in expected.items():
         assert abs(got[k] - v) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: for ANY split of the input into
+# base/delta slices, merging the per-slice states equals aggregating the
+# whole input — the monoid law the materialized-view operator rests on.
+# ---------------------------------------------------------------------------
+
+ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d"]),        # key
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(rows=ROWS, split=st.integers(min_value=0, max_value=30))
+@settings(max_examples=15, deadline=None)
+def test_incremental_merge_monoid_law(spark, rows, split):
+    from pyspark.sql import functions as F
+
+    from breweries_etl_spark.operators import incremental
+
+    cut = min(split, len(rows))
+    schema = "k string, v long"
+
+    def state(data):
+        df = spark.createDataFrame(data, schema) if data else (
+            spark.createDataFrame([], schema)
+        )
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+
+    merged = incremental.merge_aggregate_state(
+        state(rows[:cut]),
+        state(rows[cut:]),
+        ["k"],
+        {"n": "sum", "s": "sum", "mn": "min", "mx": "max"},
+    )
+    got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in merged.collect()}
+    want = {}
+    for k, v in rows:
+        n, s, mn, mx = want.get(k, (0, 0, None, None))
+        want[k] = (
+            n + 1,
+            s + v,
+            v if mn is None else min(mn, v),
+            v if mx is None else max(mx, v),
+        )
+    # sum over an empty side contributes 0 via coalesce; a key absent from
+    # the input must be absent from the output
+    assert got == want
