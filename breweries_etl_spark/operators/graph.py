@@ -351,25 +351,31 @@ def pagerank(
     edges, _ = _materialized(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
     )
-    nodes, n = _materialized(
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
+    # One aggregation pass yields the node table, each node's out-degree,
+    # AND the dangling set (out_deg = 0) — r4's first cut ran three
+    # separate jobs (nodes distinct, out_deg groupBy, dangling anti-join)
+    # for facts one union+groupBy already knows.
+    nodes_deg, n = _materialized(
+        edges.select(F.col("src").alias("node"), F.lit(1).alias("has_out"))
+        .union(edges.select(F.col("dst").alias("node"), F.lit(0).alias("has_out")))
+        .groupBy("node")
+        .agg(F.sum("has_out").alias("out_deg"))
     )
+    nodes = nodes_deg.select("node")
     if n == 0:
         result = _checkpointed(nodes.withColumn("rank", F.lit(0.0)))
         edges.unpersist()
-        nodes.unpersist()
+        nodes_deg.unpersist()
         return result
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    out_deg = nodes_deg.filter(F.col("out_deg") > 0).select(
+        F.col("node").alias("src"), "out_deg"
+    )
     # Loop-invariant: edge list with its source's out-degree attached
     # (division stays rank/out_deg inside the loop so the arithmetic is
     # operation-identical to the unrolled SQL oracle).
     wedges, _ = _materialized(edges.join(out_deg, "src").select("src", "dst", "out_deg"))
-    dangling_nodes, _ = _materialized(
-        nodes.join(out_deg.select(F.col("src").alias("node")), "node", "left_anti")
-    )
-    live = [edges, nodes, wedges, dangling_nodes]
+    dangling_nodes = nodes_deg.filter(F.col("out_deg") == 0).select("node")
+    live = [edges, nodes_deg, wedges]
     ranks, _ = _truncated(nodes.withColumn("rank", F.lit(1.0 / n)))
     for _it in range(1, iterations + 1):
         dangling = ranks.join(dangling_nodes, "node", "left_semi").agg(
