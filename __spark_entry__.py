@@ -3690,6 +3690,64 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
     return run
 
 
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES
+    keys over a content-hash uniform): k=50 docs, inclusion ∝ n_chars.
+    Deterministic membership ⇒ exact oracle twin."""
+    from breweries_etl_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=50).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 3-gram type/token diversity — the cross-document
+    repetitiveness signal for boilerplate-heavy sources."""
+    return text.ngram_diversity(load_table(spark, sf_dir, "documents"))
+
+
+def q_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-EWMA recency feature per event (alpha 0.5, depth 4):
+    fixed lag-chain with binary-exact weights ⇒ bit-identical on any
+    engine/partitioning, one window shuffle."""
+    return temporal.decayed_user_value(load_events(spark, sf_dir))
+
+
+_ORACLES["weighted_sample_docs"] = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+    ln((CAST('0x' || substring(md5(CAST(doc_id AS STRING)), 1, 15) AS BIGINT) + 1)
+       / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS aes_key
+  FROM documents WHERE n_chars > 0
+) ORDER BY aes_key DESC, doc_id ASC LIMIT 50
+"""
+
+_ORACLES["ngram_diversity"] = f"""
+WITH norm AS (SELECT source, string_split({_NORM}, ' ') AS w FROM documents),
+g AS (
+  SELECT source,
+    unnest(list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM norm
+)
+SELECT source, CAST(count(*) AS BIGINT) AS total_ngrams,
+  CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+  round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS diversity
+FROM g GROUP BY source
+"""
+
+_ORACLES["decayed_user_value"] = """
+SELECT user_id, event_id,
+  value + 0.5 * COALESCE(lag(value, 1) OVER w, 0)
+        + 0.25 * COALESCE(lag(value, 2) OVER w, 0)
+        + 0.125 * COALESCE(lag(value, 3) OVER w, 0) AS decayed_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's gold by_type_location aggregation over
     the standardized silver frame, at sf0.001."""
@@ -3871,6 +3929,10 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
         "audio_frame_features": q_audio_frame_features,
         "geo_mean_order_price": q_geo_mean_order_price,
+        # round 3 (cont.): weighted sampling / corpus diversity / decay
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "ngram_diversity": q_ngram_diversity,
+        "decayed_user_value": q_decayed_user_value,
     }
 
 

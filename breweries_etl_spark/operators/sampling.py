@@ -61,3 +61,48 @@ def stratified_hash_sample(
             F.col(strata_col) == stratum, F.lit(int(frac * _BUCKETS))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+# 15 hex chars = 60 uniform bits; +1 keeps u in (0, 1] so ln(u) is finite.
+_U_BITS = 60
+
+
+def uniform_expr(key: Column) -> Column:
+    """Deterministic uniform in (0, 1] derived from md5 of the key's
+    string form — the content-hash analogue of ``rand()``, reproducible
+    on any partitioning/engine (same idiom as ``hash_bucket_expr``, 60
+    bits instead of 16)."""
+    v = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    return (v + F.lit(1)).cast("double") / F.lit(float(2**_U_BITS))
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Vassilvitskii
+    A-ES keys (Efraimidis & Spirakis 2006): each row gets key
+    ln(u)/w (monotone in u^(1/w)); the k largest keys are the sample.
+    Inclusion probability is proportional to weight, membership is
+    a pure function of row content — deterministic across reruns,
+    partitionings, and engines, which is what a reproducible
+    quality-weighted corpus subsample needs.
+
+    Scale shape: the A-ES key is a scan-local expression; top-k is
+    sort+limit, which Spark executes as TakeOrderedAndProject — each
+    partition keeps only its k best rows and the driver merges k-sized
+    heaps, so nothing resembling a global sort ever materializes. At
+    100 TB this is the ONLY distributed weighted-sampling shape that
+    needs no second pass (threshold-estimation variants need two).
+
+    Rows with non-positive weight are excluded (their A-ES key is
+    undefined), matching the algorithm's w > 0 precondition.
+    """
+    u = uniform_expr(F.col(key))
+    aes_key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("aes_key", aes_key)
+        .orderBy(F.desc("aes_key"), F.col(key))
+        .limit(k)
+        .drop("aes_key")
+    )

@@ -212,3 +212,42 @@ def transition_counts(
         F.count(F.lit(1)).alias("n_transitions"),
         F.countDistinct(key_col).alias("n_users"),
     )
+
+
+def decayed_user_value(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    alpha: float = 0.5,
+    depth: int = 4,
+) -> DataFrame:
+    """Exponentially-decayed recent-activity feature per event: for each
+    event, sum of the last ``depth`` values weighted alpha^age (age in
+    events, current = 0) — the truncated-EWMA recency feature that
+    session-quality and engagement models consume.
+
+    Truncation to a fixed depth is what makes the feature exact and
+    engine-portable: the weights are a FIXED chain of lag() terms
+    (value + a*lag1 + a^2*lag2 + ...), evaluated left-to-right, so with a
+    binary-exact alpha (0.5 ⇒ weights 2^-k) the result is bit-identical
+    on any engine and any partitioning. An unbounded EWMA would need a
+    running product whose float error depends on history length.
+
+    Scale shape: ONE shuffle (window partition by user), lag frames read
+    from the sorted run — no self-join, no per-row Python.
+    """
+    order = Window.partitionBy(key_col).orderBy(
+        F.unix_micros(F.col(ts_col)), tiebreak_col
+    )
+    expr = F.col(value_col).cast("double")
+    for i in range(1, depth):
+        expr = expr + F.lit(alpha**i) * F.coalesce(
+            F.lag(F.col(value_col).cast("double"), i).over(order), F.lit(0.0)
+        )
+    return df.select(
+        key_col,
+        tiebreak_col,
+        expr.alias("decayed_value"),
+    )

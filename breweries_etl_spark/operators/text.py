@@ -208,6 +208,53 @@ def shingles_expr(col: Column, n: int = 3) -> Column:
     )
 
 
+def all_shingles_expr(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles WITH multiplicity (no array_distinct) — the
+    unit for occurrence-weighted corpus statistics like n-gram type/token
+    diversity, where repeated grams must count every time they appear."""
+    z = shingled_zip(F.split(normalize_text_expr(col), " "), n)
+    return F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Per-source n-gram type/token diversity: distinct n-grams ÷ total
+    n-gram occurrences across ALL documents of the source. The corpus-level
+    repetitiveness signal used to flag boilerplate-heavy or template-spun
+    sources before training (low diversity ⇒ high internal duplication) —
+    the cross-document complement of the per-document repetition stats.
+
+    Scale shape: one explode + one aggregate, shuffled by (source, gram)
+    for the partial-distinct then by source — both map-side combinable.
+    The exact count_distinct here is oracle-checkable; at 100 TB swap in
+    ``approx_count_distinct`` (HLL, one pass, no gram shuffle) via
+    ``exact=False``.
+    """
+    grams = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(all_shingles_expr(F.col(text_col), n)).alias("g"),
+    )
+    return (
+        grams.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count_distinct("g").alias("distinct_ngrams"),
+        )
+        .select(
+            "source",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(
+                F.col("distinct_ngrams") / F.col("total_ngrams").cast("double"), 6
+            ).alias("diversity"),
+        )
+    )
+
+
 def shingle_hashes_expr(col: Column, n: int = 3) -> Column:
     """Distinct 64-bit shingle hashes — the dedup-pipeline form. Hashing
     the n words directly (``xxhash64(w_i..w_{i+n-1})``) skips building

@@ -73,3 +73,35 @@ def test_stratified_sample_partition_invariant(spark, sf_dir):
     b = {r["doc_id"] for r in stratified_hash_sample(
         docs.repartition(17), "doc_id", "lang", {"en": 0.3, "fr": 0.7}).collect()}
     assert a == b
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    from pyspark.sql import functions as F
+
+    from breweries_etl_spark.operators.sampling import weighted_sample
+
+    # two weight classes: ids < 100 weigh 50x more than ids >= 100
+    df = spark.createDataFrame(
+        [Row(doc_id=i, w=500 if i < 100 else 10) for i in range(1000)]
+    )
+    s1 = [r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 100).collect()]
+    s2 = [
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), "doc_id", "w", 100).collect()
+    ]
+    assert sorted(s1) == sorted(s2)  # partitioning-invariant membership
+    assert len(set(s1)) == 100  # without replacement, exactly k
+    heavy = sum(1 for i in s1 if i < 100)
+    # heavy class is 10% of rows but ~50x weight -> should dominate the
+    # sample (expectation ~85; loose bound to stay non-flaky)
+    assert heavy > 50
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from breweries_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, w=0), Row(doc_id=2, w=-3), Row(doc_id=3, w=5)]
+    )
+    out = [r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 10).collect()]
+    assert out == [3]

@@ -308,3 +308,25 @@ def test_transform_with_state_profiles_match_batch(spark, sf_dir):
     want = {r["user_id"]: (r["n_events"], r["total_value"], r["last_ts_us"])
             for r in batch.collect()}
     assert got == want
+
+
+def test_decayed_user_value_fixed_chain(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.temporal import decayed_user_value
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, user_id=7, ts=t0 + dt.timedelta(minutes=i), value=float(v))
+        for i, v in enumerate([8.0, 4.0, 2.0, 1.0, 16.0])
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["event_id"]: r["decayed_value"] for r in decayed_user_value(df).collect()}
+    assert out[0] == 8.0
+    assert out[1] == 4.0 + 0.5 * 8.0
+    assert out[2] == 2.0 + 0.5 * 4.0 + 0.25 * 8.0
+    assert out[3] == 1.0 + 0.5 * 2.0 + 0.25 * 4.0 + 0.125 * 8.0
+    # depth 4: event 0's value has fallen out of the window by event 4
+    assert out[4] == 16.0 + 0.5 * 1.0 + 0.25 * 2.0 + 0.125 * 4.0

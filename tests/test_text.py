@@ -161,3 +161,27 @@ def test_fingerprint_release_leaves_no_persisted_rdds(spark):
     fingerprint(df).collect()
     persistent = spark.sparkContext._jsc.getPersistentRDDs()
     assert persistent.size() == 0, f"leaked {persistent.size()} persisted RDDs"
+
+
+def test_ngram_diversity_counts_multiplicity(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.text import ngram_diversity
+
+    df = spark.createDataFrame(
+        [
+            # "a b a b a" -> trigrams: "a b a", "b a b", "a b a" (3 total, 2 distinct)
+            Row(doc_id=1, text="a b a b a", source="s1"),
+            # too short for a trigram -> contributes nothing
+            Row(doc_id=2, text="a b", source="s1"),
+            # distinct trigrams only
+            Row(doc_id=3, text="x y z w", source="s2"),
+        ]
+    )
+    rows = {r["source"]: r for r in ngram_diversity(df).collect()}
+    assert rows["s1"]["total_ngrams"] == 3
+    assert rows["s1"]["distinct_ngrams"] == 2
+    assert abs(rows["s1"]["diversity"] - round(2 / 3, 6)) < 1e-9
+    assert rows["s2"]["total_ngrams"] == 2
+    assert rows["s2"]["distinct_ngrams"] == 2
+    assert rows["s2"]["diversity"] == 1.0
