@@ -57,6 +57,7 @@ FAMILIES: dict[str, list[str]] = {
         "pivot_events",
         "gold_incremental_merge",
         "salted_skew_join",
+        "weighted_sample_docs",
     ],
     "text": [
         "text_stats",
@@ -72,6 +73,7 @@ FAMILIES: dict[str, list[str]] = {
         "split_sentences_udtf",
         "ccnet_perplexity_buckets",
         "audio_frame_features",
+        "ngram_diversity",
     ],
     "temporal": [
         "events_sessionize",
@@ -81,6 +83,7 @@ FAMILIES: dict[str, list[str]] = {
         "range_join_error_window",
         "distinct_sketch_merge",
         "streaming_gold_merge",
+        "decayed_user_value",
     ],
     "dedup": [
         "dedup_exact",
