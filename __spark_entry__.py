@@ -3708,6 +3708,14 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_diversity(load_table(spark, sf_dir, "documents"))
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (RefinedWeb/Dolma-style): fixed 20-word
+    paragraphs, global first occurrence kept, text reconstructed."""
+    from breweries_etl_spark.operators.corpus import paragraph_dedup
+
+    return paragraph_dedup(load_table(spark, sf_dir, "documents"))
+
+
 def q_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated-EWMA recency feature per event (alpha 0.5, depth 4):
     fixed lag-chain with binary-exact weights ⇒ bit-identical on any
@@ -3736,6 +3744,33 @@ SELECT source, CAST(count(*) AS BIGINT) AS total_ngrams,
   CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
   round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS diversity
 FROM g GROUP BY source
+"""
+
+_ORACLES["paragraph_dedup"] = f"""
+WITH base AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks), 20)) AS start
+  FROM base WHERE len(toks) > 0 AND toks[1] <> ''
+), p AS (
+  SELECT doc_id, CAST((start - 1) // 20 AS BIGINT) AS pidx,
+    array_to_string(toks[start:start + 19], ' ') AS para
+  FROM s
+), r AS (
+  SELECT doc_id, pidx, para,
+    row_number() OVER (PARTITION BY para ORDER BY doc_id, pidx) AS rn
+  FROM p
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM p GROUP BY doc_id
+), k AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+    string_agg(para, ' ' ORDER BY pidx ASC) AS new_text
+  FROM r WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_paras,
+  COALESCE(k.n_kept, 0) AS n_kept,
+  COALESCE(k.new_text, '') AS new_text
+FROM tot t LEFT JOIN k ON t.doc_id = k.doc_id
 """
 
 _ORACLES["decayed_user_value"] = """
@@ -3933,6 +3968,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "ngram_diversity": q_ngram_diversity,
         "decayed_user_value": q_decayed_user_value,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 

@@ -89,6 +89,7 @@ FAMILIES: dict[str, list[str]] = {
         "dedup_exact",
         "dedup_minhash_pairs",
         "dedup_incremental_jaccard",
+        "paragraph_dedup",
     ],
     "vector": [
         "similarity_topk",

@@ -318,3 +318,69 @@ def leakage_safe_split(
         "split",
         F.when(bucket < threshold_bucket, F.lit("test")).otherwise(F.lit("train")),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_words: int = 20,
+) -> DataFrame:
+    """Sub-document exact dedup: split each document into fixed-width
+    word windows ("paragraphs"), keep only the globally FIRST occurrence
+    of each paragraph (by doc id, then position), and reconstruct the
+    cleaned text — the RefinedWeb/Dolma-style exact-substring dedup pass
+    that removes boilerplate repeated ACROSS documents while leaving the
+    first copy intact. Returns (doc_id, n_paras, n_kept, new_text);
+    n_kept = 0 with empty new_text means the document was entirely
+    boilerplate.
+
+    Scale shape: two shuffles, both narrow. (1) first-occurrence rank
+    shuffles (paragraph, doc_id, pidx) keyed by paragraph content —
+    balanced, since identical paragraphs are exactly what dedup removes;
+    (2) reconstruction shuffles kept paragraphs back by doc id. At
+    100 TB, key shuffle (1) on ``xxhash64(para)`` instead of the string
+    (8 B/key, collision odds 2^-64); the string form here is the
+    oracle-exact mode.
+    """
+    toks = F.split(normalize_text_expr(F.col(text_col)), " ")
+    with_toks = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(F.col(id_col), toks.alias("toks"))
+        .filter((F.size("toks") > 0) & (F.element_at("toks", 1) != ""))
+    )
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(para_words))
+    paras = with_toks.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("pidx", "start"),
+        F.col("toks"),
+    ).select(
+        F.col(id_col),
+        F.col("pidx").cast("long").alias("pidx"),
+        F.array_join(F.slice(F.col("toks"), F.col("start"), para_words), " ").alias(
+            "para"
+        ),
+    )
+    first = Window.partitionBy("para").orderBy(id_col, "pidx")
+    kept = (
+        paras.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pidx", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+    )

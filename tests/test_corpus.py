@@ -210,3 +210,42 @@ def test_leakage_safe_split_keeps_neardups_together(spark, sf_dir):
         assert clusters[r["id_a"]] == clusters[r["id_b"]]
     # both sides populated
     assert set(sides.values()) == {"train", "test"}
+
+
+def test_paragraph_dedup_removes_cross_doc_boilerplate(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.corpus import paragraph_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(20))  # exactly one paragraph
+    unique1 = " ".join(f"u{i}" for i in range(20))
+    unique2 = " ".join(f"v{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=boiler + " " + unique1),
+            Row(doc_id=2, text=boiler + " " + unique2),  # boiler is 2nd copy
+            Row(doc_id=3, text=boiler),  # entirely boilerplate
+        ]
+    )
+    rows = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert rows[1]["n_paras"] == 2 and rows[1]["n_kept"] == 2
+    assert rows[1]["new_text"] == boiler + " " + unique1
+    # doc 2 loses the boilerplate paragraph but keeps its unique one
+    assert rows[2]["n_paras"] == 2 and rows[2]["n_kept"] == 1
+    assert rows[2]["new_text"] == unique2
+    # doc 3 was only boilerplate -> fully removed, still reported
+    assert rows[3]["n_paras"] == 1 and rows[3]["n_kept"] == 0
+    assert rows[3]["new_text"] == ""
+
+
+def test_paragraph_dedup_partitioning_invariant(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.corpus import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{i % 3}_{j}" for j in range(45))) for i in range(30)]
+    )
+    a = sorted(map(tuple, paragraph_dedup(df).collect()))
+    b = sorted(map(tuple, paragraph_dedup(df.repartition(11)).collect()))
+    assert a == b
