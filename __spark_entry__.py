@@ -3708,6 +3708,32 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_diversity(load_table(spark, sf_dir, "documents"))
 
 
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step behavior paths (per-user event-type trigrams,
+    global top-20, path-text tiebreak)."""
+    from breweries_etl_spark.operators.behavior import top_event_paths
+
+    return top_event_paths(load_events(spark, sf_dir))
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation of purchasers (deterministic ntile
+    tiebreaks; exact decimal spend)."""
+    from breweries_etl_spark.operators.behavior import rfm_segments
+
+    return rfm_segments(load_events(spark, sf_dir))
+
+
+def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-2 sampling weights per language (share^(1/T) rule,
+    max-normalized so no cross-group float sums)."""
+    from breweries_etl_spark.operators.clustering import temperature_mix_weights
+
+    return temperature_mix_weights(
+        load_table(spark, sf_dir, "documents"), "lang"
+    )
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document exact dedup (RefinedWeb/Dolma-style): fixed 20-word
     paragraphs, global first occurrence kept, text reconstructed."""
@@ -3744,6 +3770,55 @@ SELECT source, CAST(count(*) AS BIGINT) AS total_ngrams,
   CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
   round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS diversity
 FROM g GROUP BY source
+"""
+
+_ORACLES["top_event_paths"] = """
+WITH tri AS (
+  SELECT event_type AS s1,
+    lead(event_type, 1) OVER w AS s2,
+    lead(event_type, 2) OVER w AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT s1 || ' > ' || s2 || ' > ' || s3 AS path,
+  CAST(count(*) AS BIGINT) AS n_paths
+FROM tri WHERE s3 IS NOT NULL
+GROUP BY s1, s2, s3
+ORDER BY n_paths DESC, path ASC LIMIT 20
+"""
+
+_ORACLES["rfm_segments"] = """
+WITH per_user AS (
+  SELECT user_id,
+    max(epoch_us(ts)) AS last_purchase_us,
+    CAST(count(*) AS BIGINT) AS frequency,
+    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, frequency, monetary,
+  CAST(ntile(4) OVER (ORDER BY last_purchase_us DESC, user_id ASC) AS BIGINT) AS r_bucket,
+  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT) AS f_bucket,
+  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS BIGINT) AS m_bucket,
+  CAST(ntile(4) OVER (ORDER BY last_purchase_us DESC, user_id ASC) AS VARCHAR)
+    || '-' || CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS VARCHAR)
+    || '-' || CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS VARCHAR)
+    AS segment
+FROM per_user
+"""
+
+_ORACLES["temperature_mix_weights"] = """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), s AS (
+  SELECT lang, n_docs,
+    n_docs / CAST((SELECT sum(n_docs) FROM c) AS DOUBLE) AS share_raw
+  FROM c
+), r AS (
+  SELECT lang, n_docs, share_raw, 1.0 / sqrt(share_raw) AS raw FROM s
+)
+SELECT lang, n_docs, round(share_raw, 6) AS share,
+  round(raw / (SELECT max(raw) FROM r), 6) AS temp_weight
+FROM r
 """
 
 _ORACLES["paragraph_dedup"] = f"""
@@ -3969,6 +4044,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": q_ngram_diversity,
         "decayed_user_value": q_decayed_user_value,
         "paragraph_dedup": q_paragraph_dedup,
+        "top_event_paths": q_top_event_paths,
+        "rfm_segments": q_rfm_segments,
+        "temperature_mix_weights": q_temperature_mix_weights,
     }
 
 

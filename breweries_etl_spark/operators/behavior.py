@@ -173,3 +173,83 @@ def retention_cohorts(df: DataFrame, max_offset_days: int = 30) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct("user_id").alias("n_active_users"))
     )
+
+
+def top_event_paths(
+    df: DataFrame,
+    k: int = 20,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Most common 3-step behavior paths: per-user event sequences →
+    sliding event-type trigrams → global counts, top-k (ties broken by
+    path text so the result is reproducible). The path-mining primitive
+    behind "what do users do before purchasing" questions.
+
+    Scale shape: ONE window shuffle on user (two lead() reads off the
+    same sorted run), then a map-side-combinable count; top-k is
+    TakeOrderedAndProject, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    order = Window.partitionBy(key_col).orderBy(
+        F.unix_micros(F.col(ts_col)), tiebreak_col
+    )
+    tri = df.select(
+        F.col(state_col).alias("s1"),
+        F.lead(state_col, 1).over(order).alias("s2"),
+        F.lead(state_col, 2).over(order).alias("s3"),
+    ).filter(F.col("s3").isNotNull())
+    return (
+        tri.groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .select(
+            F.concat_ws(" > ", "s1", "s2", "s3").alias("path"), "n_paths"
+        )
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(k)
+    )
+
+
+def rfm_segments(df: DataFrame, buckets: int = 4) -> DataFrame:
+    """RFM segmentation of purchasers: recency (last purchase instant),
+    frequency (purchase count), monetary (exact decimal spend) per user,
+    each quartiled by ntile with a user-id tiebreak so bucket assignment
+    is total-order deterministic — reproducible across engines and
+    partitionings.
+
+    Scale note: ntile needs a global order; at this output granularity
+    (one row per USER, not per event) the ordered set is already small
+    relative to the corpus. For billions of users swap ntile for
+    percentile-threshold bucketing (two-pass: approx thresholds, then a
+    scan-local CASE) — same output contract.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import money
+
+    per_user = (
+        df.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_purchase_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(money("value")).cast("double").alias("monetary"),
+        )
+    )
+    r_w = Window.orderBy(F.desc("last_purchase_us"), F.col("user_id"))
+    f_w = Window.orderBy(F.desc("frequency"), F.col("user_id"))
+    m_w = Window.orderBy(F.desc("monetary"), F.col("user_id"))
+    return per_user.select(
+        "user_id",
+        "frequency",
+        "monetary",
+        F.ntile(buckets).over(r_w).cast("long").alias("r_bucket"),
+        F.ntile(buckets).over(f_w).cast("long").alias("f_bucket"),
+        F.ntile(buckets).over(m_w).cast("long").alias("m_bucket"),
+    ).withColumn(
+        "segment",
+        F.concat_ws("-", "r_bucket", "f_bucket", "m_bucket"),
+    )

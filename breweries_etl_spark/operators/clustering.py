@@ -137,6 +137,47 @@ def mixture_weights(
     )
 
 
+def temperature_mix_weights(
+    df: DataFrame,
+    group_col: str,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled sampling weights (the multilingual-LM mixing
+    rule, cf. mBERT/XLM-R exponent-smoothed sampling): sampling
+    probability ∝ share^(1/T), so T>1 upsamples rare groups without a
+    hand-written target table. Emits the RELATIVE resample multiplier
+    w ∝ p/share = share^((1-T)/T), normalized so max(w) = 1 — max of
+    doubles is order-independent, which keeps the output deterministic
+    without summing floats across groups (a cross-group float sum is
+    partition-order dependent in the last ulp).
+
+    T=2 is computed via sqrt (IEEE-exact, correctly rounded on every
+    engine); other temperatures go through pow.
+    """
+    counts = (
+        ensure_parallelism(df.select(group_col))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = Window.partitionBy()
+    share_raw = F.col("n_docs") / F.sum("n_docs").over(total)
+    if temperature == 2.0:
+        raw = F.lit(1.0) / F.sqrt(share_raw)
+    else:
+        raw = F.pow(share_raw, F.lit((1.0 - temperature) / temperature))
+    return (
+        counts.withColumn("raw", raw)
+        .select(
+            group_col,
+            "n_docs",
+            F.round(share_raw, 6).alias("share"),
+            F.round(F.col("raw") / F.max("raw").over(total), 6).alias(
+                "temp_weight"
+            ),
+        )
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     centroids: DataFrame,

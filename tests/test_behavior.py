@@ -90,3 +90,58 @@ def test_approx_percentiles_within_tolerance(spark, sf_dir):
     ).first()
     for k in ("p50", "p90", "p99"):
         assert abs(approx[k] - exact[k]) / exact[k] < 0.01
+
+
+def test_top_event_paths_orders_and_ties(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.behavior import top_event_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1 and 2: view > click > purchase ; user 3: view > view > view
+    for uid, seq in [(1, "vcp"), (2, "vcp"), (3, "vvv")]:
+        for i, c in enumerate(seq):
+            name = {"v": "view", "c": "click", "p": "purchase"}[c]
+            rows.append(
+                Row(event_id=eid, user_id=uid, ts=t0 + dt.timedelta(minutes=i),
+                    event_type=name)
+            )
+            eid += 1
+    out = top_event_paths(spark.createDataFrame(rows), k=5).collect()
+    assert out[0]["path"] == "view > click > purchase" and out[0]["n_paths"] == 2
+    assert out[1]["path"] == "view > view > view" and out[1]["n_paths"] == 1
+    # trigrams never cross users
+    assert len(out) == 2
+
+
+def test_rfm_segments_buckets_deterministic(spark, sf_dir):
+    from breweries_etl_spark.operators.behavior import rfm_segments
+
+    from breweries_etl_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    a = sorted(map(tuple, rfm_segments(ev).collect()))
+    b = sorted(map(tuple, rfm_segments(ev.repartition(7)).collect()))
+    assert a == b
+    buckets = {r[3] for r in a} | {r[4] for r in a} | {r[5] for r in a}
+    assert buckets <= {1, 2, 3, 4}
+
+
+def test_temperature_weights_upsample_rare(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.clustering import temperature_mix_weights
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i < 90 else "zh") for i in range(100)]
+    )
+    rows = {r["lang"]: r for r in temperature_mix_weights(df, "lang").collect()}
+    # rare group gets the max (=1.0) weight; common group < 1
+    assert rows["zh"]["temp_weight"] == 1.0
+    assert 0 < rows["en"]["temp_weight"] < 1
+    # T=2 ratio: w_en/w_zh = sqrt(share_zh/share_en) = sqrt(1/9) = 1/3
+    assert abs(rows["en"]["temp_weight"] - round(1 / 3, 6)) < 1e-6
