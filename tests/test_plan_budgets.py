@@ -98,3 +98,47 @@ def test_zipf_stats_avoids_global_vocabulary_sort(spark, sf_dir):
         df._jdf.queryExecution(), "formatted"
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_zero_exchanges(spark, sf_dir):
+    """A-ES weighted sampling must stay TakeOrderedAndProject: per-
+    partition heaps merged at the driver, no shuffle at any corpus
+    size."""
+    import __spark_entry__ as e
+
+    df = e.queries()["weighted_sample_docs"](spark, sf_dir)
+    assert _exchanges(df) == 0
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decayed_value_single_shuffle(spark, sf_dir):
+    """The lag chain reads one sorted run: exactly the user-id window
+    exchange, nothing else."""
+    import __spark_entry__ as e
+
+    assert _exchanges(e.queries()["decayed_user_value"](spark, sf_dir)) <= 1
+
+
+def test_top_event_paths_budget(spark, sf_dir):
+    """User window + map-side-combinable count; top-k must not add a
+    global sort exchange (TakeOrdered handles it)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["top_event_paths"](spark, sf_dir)
+    assert _exchanges(df) <= 2
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_paragraph_dedup_two_data_shuffles(spark, sf_dir):
+    """Content-keyed first-occurrence rank + doc-keyed rebuild: two hash
+    exchanges over narrow paragraph rows (plus at most the small
+    ensure_parallelism repartition on the scan side)."""
+    import __spark_entry__ as e
+
+    assert _exchanges(e.queries()["paragraph_dedup"](spark, sf_dir)) <= 4
