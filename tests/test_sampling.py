@@ -105,3 +105,24 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     out = [r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 10).collect()]
     assert out == [3]
+
+
+def test_weighted_sample_invariant_under_weight_scaling(spark):
+    from pyspark.sql import functions as F
+
+    from breweries_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, w=(i % 7) + 1) for i in range(400)]
+    )
+    base = sorted(
+        r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 40).collect()
+    )
+    # A-ES keys ln(u)/w scale by 1/c when weights scale by c: the ORDER
+    # (hence the selected sample) is invariant under any positive
+    # rescaling — the defining property of proportional sampling.
+    scaled = df.withColumn("w", F.col("w") * 1000)
+    got = sorted(
+        r["doc_id"] for r in weighted_sample(scaled, "doc_id", "w", 40).collect()
+    )
+    assert got == base

@@ -42,6 +42,13 @@ QUERIES = [
     # sf1ish so planted dup density rises), salted join, sketch merge
     "bigram_lm_scores", "gold_incremental_merge", "semantic_dedup",
     "salted_skew_join", "distinct_sketch_merge",
+    # round-3 (cont.): weighted sampling (scan + driver-merged top-k),
+    # corpus diversity (distinct over exploded grams), decay feature
+    # (one window shuffle), sub-document dedup (two narrow shuffles;
+    # planted sf1ish duplicates raise removal density on purpose),
+    # path mining and RFM (user-keyed windows)
+    "weighted_sample_docs", "ngram_diversity", "decayed_user_value",
+    "paragraph_dedup", "top_event_paths", "rfm_segments",
 ]
 
 
