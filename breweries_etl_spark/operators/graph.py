@@ -86,6 +86,45 @@ def _release_new_rdds(sc, before: set[int]) -> None:
 # for nothing. Every 4th round caps recompute depth on block loss.
 CHECKPOINT_EVERY = 4
 
+# Edge rows per shuffle partition inside iterative loops (see
+# _loop_shuffle_partitions).
+_LOOP_ROWS_PER_PARTITION = 500_000
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _loop_shuffle_partitions(spark, n_rows: int):
+    """Size shuffle partitions to the LOOP's frames, not the session
+    default, for the duration of an iterative-graph loop.
+
+    An iterative loop runs O(rounds × stages) shuffles over frames whose
+    size is KNOWN after the first materialization (the edge count). The
+    session default is sized for corpus-scale scans; using it inside the
+    loop schedules rounds × stages × default tiny tasks whose fixed
+    launch/fetch overhead dominates wall time (measured at sf0.1: BFS
+    7.2 s → 5.5 s, PageRank variance 6–13 s → ~6 s stable at 8
+    partitions). The count-derived target keeps the 100 TB posture: a
+    10¹⁰-edge graph still gets thousands of partitions, clamped to the
+    session default so the loop never EXCEEDS the cluster's configured
+    parallelism. AQE coalescing alone doesn't recover this — map tasks
+    still write default-partition shuffle files and the scheduler still
+    plans them.
+
+    The conf is restored in ``finally``; plans compiled inside the
+    context keep their partitioning once materialized (localCheckpoint),
+    so results are unaffected — partition counts never change WHICH
+    rows meet, only where."""
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    target = max(4, min(int(prev), -(-n_rows // _LOOP_ROWS_PER_PARTITION)))
+    conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
+
 
 def connected_components(
     pairs: DataFrame,
@@ -96,13 +135,19 @@ def connected_components(
     """(doc_id, cluster_id) for every node in ``pairs``, where cluster_id
     is the minimum node id in the component — deterministic on any
     partitioning."""
-    sc = pairs.sparkSession.sparkContext
+    spark = pairs.sparkSession
+    sc = spark.sparkContext
     rdds_before = _persistent_rdd_ids(sc)
-    edges, _ = _materialized(
+    edges, n_edges = _materialized(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
     )
+    with _loop_shuffle_partitions(spark, n_edges):
+        return _cc_loop(sc, rdds_before, edges, max_iterations)
+
+
+def _cc_loop(sc, rdds_before, edges, max_iterations: int) -> DataFrame:
     current, _ = _materialized(
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -193,12 +238,18 @@ def bfs_levels(
     ``sources``: one-column DataFrame of starting node ids (column
     ``node``).
     """
-    sc = pairs.sparkSession.sparkContext
+    spark = pairs.sparkSession
+    sc = spark.sparkContext
     rdds_before = _persistent_rdd_ids(sc)
     # Persisted because every hop re-joins the full edge list.
-    edges, _ = _materialized(
+    edges, n_edges = _materialized(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
     )
+    with _loop_shuffle_partitions(spark, n_edges):
+        return _bfs_loop(sc, rdds_before, edges, sources, max_hops)
+
+
+def _bfs_loop(sc, rdds_before, edges, sources, max_hops: int) -> DataFrame:
     frontier, _ = _truncated(
         sources.select("node").distinct().withColumn("level", F.lit(0))
     )
@@ -346,11 +397,19 @@ def pagerank(
     cross-engine hashing meaningless); pytest verifies against a dense
     numpy power iteration at 1e-9 and the Σrank=1 invariant.
     """
-    sc = pairs.sparkSession.sparkContext
+    spark = pairs.sparkSession
+    sc = spark.sparkContext
     rdds_before = _persistent_rdd_ids(sc)
-    edges, _ = _materialized(
+    edges, n_edges = _materialized(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
     )
+    with _loop_shuffle_partitions(spark, n_edges):
+        return _pagerank_loop(sc, rdds_before, edges, iterations, damping)
+
+
+def _pagerank_loop(
+    sc, rdds_before, edges, iterations: int, damping: float
+) -> DataFrame:
     # One aggregation pass yields the node table, each node's out-degree,
     # AND the dangling set (out_deg = 0) — r4's first cut ran three
     # separate jobs (nodes distinct, out_deg groupBy, dangling anti-join)
