@@ -3734,6 +3734,19 @@ def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint index (k=4 word-grams, window 5): the
+    MOSS-style local-similarity detector; md5-derived hashes replay
+    exactly in SQL."""
+    return text.winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token collocations by PMI (min bigram count 5,
+    broadcast unigram joins, single-expression double arithmetic)."""
+    return text.collocation_pmi(load_table(spark, sf_dir, "documents"))
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document exact dedup (RefinedWeb/Dolma-style): fixed 20-word
     paragraphs, global first occurrence kept, text reconstructed."""
@@ -3770,6 +3783,51 @@ SELECT source, CAST(count(*) AS BIGINT) AS total_ngrams,
   CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
   round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS diversity
 FROM g GROUP BY source
+"""
+
+_ORACLES["winnowing_fingerprints"] = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+    list_transform(range(1, len(w) - 2),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS grams
+  FROM norm
+), h AS (
+  SELECT doc_id,
+    list_transform(grams,
+      s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)) AS hs
+  FROM g
+), f AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(hs) - 4, 0) + 1),
+      j -> list_min(hs[j:j+4]))) AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM f WHERE len(fps) > 0
+"""
+
+_ORACLES["collocation_pmi"] = """
+WITH base AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS tok FROM base) GROUP BY tok
+), n_tok AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM base)
+  GROUP BY 1, 2
+), n_bg AS (SELECT CAST(sum(c_ab) AS BIGINT) AS b FROM bg)
+SELECT w1, w2, c_ab,
+  round(ln((CAST(c_ab AS DOUBLE) * n * n)
+           / (CAST(b AS DOUBLE) * ca.c * cb.c)), 6) AS pmi
+FROM bg
+JOIN uni ca ON bg.w1 = ca.tok
+JOIN uni cb ON bg.w2 = cb.tok
+CROSS JOIN n_tok CROSS JOIN n_bg
+WHERE c_ab >= 5
+ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
 
 _ORACLES["top_event_paths"] = """
@@ -4047,6 +4105,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_paths": q_top_event_paths,
         "rfm_segments": q_rfm_segments,
         "temperature_mix_weights": q_temperature_mix_weights,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "collocation_pmi": q_collocation_pmi,
     }
 
 

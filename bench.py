@@ -74,6 +74,8 @@ FAMILIES: dict[str, list[str]] = {
         "ccnet_perplexity_buckets",
         "audio_frame_features",
         "ngram_diversity",
+        "winnowing_fingerprints",
+        "collocation_pmi",
     ],
     "temporal": [
         "events_sessionize",

@@ -609,3 +609,109 @@ def perplexity_buckets(
             .otherwise(F.lit("tail")),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD'03): hash every
+    k-gram IN POSITION ORDER, slide a w-hash window, keep each window's
+    minimum — the fingerprint set that guarantees any shared run of
+    w+k-1 words between two documents shares ≥1 fingerprint (the local
+    -similarity detector behind MOSS-style plagiarism/quotation
+    finding, stronger than the single global-min ``fingerprint``).
+
+    Pure array expressions per row (no shuffle until the final
+    distinct-explode), so fingerprinting is scan-speed; the hash is
+    md5-derived (portable integer arithmetic), which is what lets an
+    oracle replay it exactly. Output: one row per distinct
+    (doc_id, fingerprint).
+    """
+    from pyspark.sql import Window
+
+    grams = all_shingles_expr(F.col(text_col), k)
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    # RELATIONAL sliding-min, not array-nested: posexplode evaluates the
+    # interpreted hash chain exactly ONCE per document, then the window
+    # min runs in the JVM over (doc_id, pos, hash) rows. The array
+    # formulation (min over slice(hashes, j, w) per window) re-evaluates
+    # the whole higher-order chain per REFERENCE — interpreted exprs get
+    # no CSE — measured 20 s → 0.9 s at sf0.1 for this rewrite. Cost:
+    # one shuffle of 24-byte hash rows (linear in corpus grams); a full
+    # forward window (count = w) marks positions with a complete window.
+    exploded = df.select("doc_id", F.posexplode(hashes).alias("pos", "h"))
+    fwd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        exploded.select(
+            "doc_id",
+            F.min("h").over(fwd).alias("fingerprint"),
+            F.count("h").over(fwd).alias("cw"),
+        )
+        .filter(F.col("cw") == w)
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
+
+
+def collocation_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    token pairs: PMI = ln(p(ab) / (p(a)·p(b))) with bigram probability
+    c_ab/B and unigram probabilities c/N — the classic corpus-analysis
+    measure for "these words belong together" (multi-word expressions,
+    named entities), with a min-count floor to suppress rare-pair noise.
+
+    Three aggregates over one exploded token relation; the unigram
+    count table joins in twice BROADCAST (vocab ≪ corpus). The PMI
+    expression is a single parenthesized double product/division —
+    identical evaluation order on any engine — so the rounded score is
+    reproducible.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9_]+"), 0
+    )
+    base = df.select(toks.alias("toks"))
+    z = shingled_zip(F.col("toks"), 2)
+    bigrams = base.select(
+        F.explode(
+            F.transform(z, lambda s: F.struct(s["0"].alias("w1"), s["1"].alias("w2")))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    unigrams = base.select(F.explode("toks").alias("tok"))
+    uni = unigrams.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_tokens = unigrams.select(F.count(F.lit(1)).alias("n"))
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    n_bigrams = bg.select(F.sum("c_ab").alias("b"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        bg.filter(F.col("c_ab") >= min_count)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tokens))
+        .crossJoin(F.broadcast(n_bigrams))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("n") * F.col("n"))
+                    / (F.col("b").cast("double") * F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )

@@ -185,3 +185,54 @@ def test_ngram_diversity_counts_multiplicity(spark):
     assert rows["s2"]["total_ngrams"] == 2
     assert rows["s2"]["distinct_ngrams"] == 2
     assert rows["s2"]["diversity"] == 1.0
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.text import winnowing_fingerprints
+
+    # winnowing guarantee (k=4, w=5): any shared run of w+k-1 = 8 words
+    # yields at least one common fingerprint
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two three " + shared + " four five"),
+            Row(doc_id=2, text=shared + " completely different tail words here"),
+            Row(doc_id=3, text="nothing in common with the others at all okay"),
+        ]
+    )
+    out = winnowing_fingerprints(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "shared 8-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnowing_short_docs_no_rows(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="only three words"), Row(doc_id=2, text="a b c d e f g")]
+    )
+    # doc 1: no 4-grams at all; doc 2: 4 grams < w=5 -> no full window
+    assert winnowing_fingerprints(df).count() == 0
+
+
+def test_collocation_pmi_ranks_planted_pair(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.text import collocation_pmi
+
+    # "san francisco" always adjacent; filler tokens vary
+    rows = [
+        Row(doc_id=i, text=f"f{i} san francisco g{i} h{i} i{i} j{i}")
+        for i in range(10)
+    ]
+    out = collocation_pmi(spark.createDataFrame(rows), min_count=5, k=5).collect()
+    assert out, "planted collocation must pass the min-count floor"
+    assert (out[0]["w1"], out[0]["w2"]) == ("san", "francisco")
+    assert out[0]["c_ab"] == 10 and out[0]["pmi"] > 0
