@@ -49,6 +49,7 @@ QUERIES = [
     # path mining and RFM (user-keyed windows)
     "weighted_sample_docs", "ngram_diversity", "decayed_user_value",
     "paragraph_dedup", "top_event_paths", "rfm_segments",
+    "winnowing_fingerprints", "collocation_pmi",
 ]
 
 
