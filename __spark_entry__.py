@@ -3734,6 +3734,22 @@ def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the highest-quality copy per content group
+    (score = n_chars, ties → min id) — argmax as one map-side-combinable
+    struct-max aggregate."""
+    return dedup.dedup_exact_keep_best(load_table(spark, sf_dir, "documents"))
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shared-shingle counts + Jaccard between sources — the
+    corpus-health matrix (per-shingle pair blow-up bounded by the source
+    count, never document frequency)."""
+    from breweries_etl_spark.operators.corpus import source_overlap_matrix
+
+    return source_overlap_matrix(load_table(spark, sf_dir, "documents"))
+
+
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint index (k=4 word-grams, window 5): the
     MOSS-style local-similarity detector; md5-derived hashes replay
@@ -3783,6 +3799,41 @@ SELECT source, CAST(count(*) AS BIGINT) AS total_ngrams,
   CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
   round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS diversity
 FROM g GROUP BY source
+"""
+
+_ORACLES["dedup_exact_keep_best"] = f"""
+SELECT content_key, -(b.neg_id) AS doc_id, b.s AS n_chars, n_copies
+FROM (
+  SELECT md5({_NORM}) AS content_key,
+    max(struct_pack(s := n_chars, neg_id := -doc_id)) AS b,
+    CAST(count(*) AS BIGINT) AS n_copies
+  FROM documents GROUP BY 1
+)
+"""
+
+_ORACLES["source_overlap_matrix"] = f"""
+WITH norm AS (
+  SELECT source, {_NORM} AS nt FROM documents
+), words AS (
+  SELECT source, string_split(nt, ' ') AS w FROM norm
+), sh AS (
+  SELECT DISTINCT source,
+    unnest(list_distinct(list_transform(range(1, len(w) - 1),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+  FROM words
+), tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+  round(n_shared / CAST(ta.n_sh + tb.n_sh - n_shared AS DOUBLE), 6) AS jaccard
+FROM shared
+JOIN tot ta ON shared.source_a = ta.source
+JOIN tot tb ON shared.source_b = tb.source
 """
 
 _ORACLES["winnowing_fingerprints"] = f"""
@@ -4107,6 +4158,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_weights": q_temperature_mix_weights,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "collocation_pmi": q_collocation_pmi,
+        "dedup_exact_keep_best": q_dedup_exact_keep_best,
+        "source_overlap_matrix": q_source_overlap_matrix,
     }
 
 

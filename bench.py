@@ -92,6 +92,8 @@ FAMILIES: dict[str, list[str]] = {
         "dedup_minhash_pairs",
         "dedup_incremental_jaccard",
         "paragraph_dedup",
+        "dedup_exact_keep_best",
+        "source_overlap_matrix",
     ],
     "vector": [
         "similarity_topk",

@@ -27,6 +27,7 @@ from .sampling import _BUCKETS, hash_bucket_expr
 from .text import (
     lang_pred_expr,
     shingle_hashes_expr,
+    shingles_expr,
     normalize_text_expr,
     quality_score_expr,
     token_count_expr,
@@ -383,4 +384,56 @@ def paragraph_dedup(
         "n_paras",
         F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
         F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise content overlap between corpus sources: for every source
+    pair (a < b), the number of shared distinct word n-grams and their
+    Jaccard — the corpus-health matrix that reveals mirror sites,
+    cross-posted content, and scraped-from-each-other feeds BEFORE
+    mixing weights are chosen.
+
+    Scale shape: the self-join key is the shingle, and each shingle
+    contributes at most |sources|² pairs regardless of corpus size —
+    the blow-up bound is the (small, known) source count, not document
+    frequency. Distinct (source, shingle) happens map-side-combinably
+    before the join; per-source totals broadcast.
+    """
+    sh = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(shingles_expr(F.col(text_col), n)).alias("s"),
+        )
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "s")
+    b = sh.select(F.col("source").alias("source_b"), "s")
+    shared = (
+        a.join(b, "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = F.broadcast(tot.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a")))
+    tb = F.broadcast(tot.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b")))
+    return (
+        shared.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
     )

@@ -53,6 +53,43 @@ def dedup_exact(
     )
 
 
+def dedup_exact_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Exact dedup with a QUALITY keep-policy: per content group keep
+    the highest-scoring copy (longest/cleanest, ties → min id) instead
+    of the first-seen one — what production corpora actually do when
+    near-identical pages differ in truncation or boilerplate.
+
+    Same scale shape as ``dedup_exact``: one groupBy on the md5 content
+    key, so only (md5, score, id) triples shuffle; the argmax travels
+    as a max over a (score, -id)-ordered struct — a single map-side-
+    combinable aggregate, no window over the raw rows.
+    """
+    key = normalize_text_expr(F.col(text_col))
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+        )
+    )
+    return (
+        df.select(
+            F.md5(key).alias("content_key"), F.col(id_col), F.col(score_col)
+        )
+        .groupBy("content_key")
+        .agg(best.alias("b"), F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            "content_key",
+            (-F.col("b.neg_id")).alias(id_col),
+            F.col("b.s").alias(score_col),
+            "n_copies",
+        )
+    )
+
+
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
     cache: bool = True,

@@ -249,3 +249,25 @@ def test_paragraph_dedup_partitioning_invariant(spark):
     a = sorted(map(tuple, paragraph_dedup(df).collect()))
     b = sorted(map(tuple, paragraph_dedup(df.repartition(11)).collect()))
     assert a == b
+
+
+def test_source_overlap_matrix_counts_shared_shingles(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.corpus import source_overlap_matrix
+
+    shared = "alpha beta gamma"  # one shared trigram
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=shared + " one two", source="a"),
+            Row(doc_id=2, text=shared + " three four", source="b"),
+            Row(doc_id=3, text="totally different words here", source="c"),
+        ]
+    )
+    rows = {(r["source_a"], r["source_b"]): r for r in source_overlap_matrix(df).collect()}
+    assert ("a", "b") in rows
+    ab = rows[("a", "b")]
+    assert ab["n_shared"] == 1
+    # each side has 3 trigrams (5 words), shared 1 -> jaccard 1/5
+    assert abs(ab["jaccard"] - 0.2) < 1e-9
+    assert ("a", "c") not in rows and ("b", "c") not in rows

@@ -164,3 +164,34 @@ def test_prefix_incremental_equals_ground_truth(spark, sf_dir):
     for k in expected:
         assert abs(got[k] - expected[k]) < 1e-6
     assert expected, "fixture should contain at least one incremental match"
+
+
+def test_dedup_exact_keep_best_prefers_high_score(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.dedup import dedup_exact_keep_best
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Same Content!", n_chars=13),
+            Row(doc_id=2, text="same content", n_chars=99),  # best copy
+            Row(doc_id=3, text="same  CONTENT ", n_chars=14),
+            Row(doc_id=4, text="unique", n_chars=6),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in dedup_exact_keep_best(df).collect()}
+    assert set(rows) == {2, 4}
+    assert rows[2]["n_copies"] == 3 and rows[2]["n_chars"] == 99
+    assert rows[4]["n_copies"] == 1
+
+
+def test_dedup_exact_keep_best_tie_breaks_min_id(spark):
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.dedup import dedup_exact_keep_best
+
+    df = spark.createDataFrame(
+        [Row(doc_id=9, text="x y z", n_chars=5), Row(doc_id=3, text="x y z", n_chars=5)]
+    )
+    (row,) = dedup_exact_keep_best(df).collect()
+    assert row["doc_id"] == 3
