@@ -99,3 +99,43 @@ def test_round4_operators_on_empty(spark):
         ).collect()
     }
     assert merged == {"a": 1}
+
+
+def test_round3_continuation_ops_on_empty(spark):
+    from breweries_etl_spark.operators.behavior import rfm_segments, top_event_paths
+    from breweries_etl_spark.operators.corpus import (
+        paragraph_dedup,
+        source_overlap_matrix,
+    )
+    from breweries_etl_spark.operators.dedup import dedup_exact_keep_best
+    from breweries_etl_spark.operators.sampling import weighted_sample
+    from breweries_etl_spark.operators.temporal import decayed_user_value
+    from breweries_etl_spark.operators.text import (
+        collocation_pmi,
+        ngram_diversity,
+        winnowing_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string, n_chars long"
+    )
+    events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    assert weighted_sample(docs, "doc_id", "n_chars", 10).count() == 0
+    assert ngram_diversity(docs).count() == 0
+    assert winnowing_fingerprints(docs).count() == 0
+    assert collocation_pmi(docs).count() == 0
+    assert paragraph_dedup(docs).count() == 0
+    assert source_overlap_matrix(docs).count() == 0
+    assert dedup_exact_keep_best(docs).count() == 0
+    assert decayed_user_value(events).count() == 0
+    assert top_event_paths(events).count() == 0
+    assert rfm_segments(events).count() == 0
+
+
+def test_temperature_weights_on_empty(spark):
+    from breweries_etl_spark.operators.clustering import temperature_mix_weights
+
+    docs = spark.createDataFrame([], "doc_id long, lang string")
+    assert temperature_mix_weights(docs, "lang").count() == 0
