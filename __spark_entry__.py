@@ -3734,6 +3734,13 @@ def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GA-style dual-rule sessions: 30-min idle gap plus a 4-hour
+    duration cap (sub-split anchored at the gap-session start); both
+    window passes share one user_id shuffle."""
+    return temporal.sessionize_capped(load_events(spark, sf_dir))
+
+
 def q_dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keeping the highest-quality copy per content group
     (score = n_chars, ties → min id) — argmax as one map-side-combinable
@@ -3799,6 +3806,30 @@ SELECT source, CAST(count(*) AS BIGINT) AS total_ngrams,
   CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
   round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS diversity
 FROM g GROUP BY source
+"""
+
+_ORACLES["events_sessionize_capped"] = """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value,
+    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      AS prev_t
+  FROM events
+), g AS (
+  SELECT *, CAST(sum(CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+                          THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY t ASC, event_id ASC) AS BIGINT)
+    AS gap_session
+  FROM o
+), s AS (
+  SELECT *, CAST((t - min(t) OVER (PARTITION BY user_id, gap_session))
+                 // 14400000000 AS BIGINT) AS sub_session
+  FROM g
+)
+SELECT user_id, gap_session, sub_session,
+  CAST(count(*) AS BIGINT) AS n_events,
+  min(t) AS start_us, max(t) AS end_us,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY 1, 2, 3
 """
 
 _ORACLES["dedup_exact_keep_best"] = f"""
@@ -4160,6 +4191,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocation_pmi": q_collocation_pmi,
         "dedup_exact_keep_best": q_dedup_exact_keep_best,
         "source_overlap_matrix": q_source_overlap_matrix,
+        "events_sessionize_capped": q_events_sessionize_capped,
     }
 
 

@@ -79,6 +79,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "temporal": [
         "events_sessionize",
+        "events_sessionize_capped",
         "events_session_window",
         "asof_purchase_view",
         "merge_upsert",

@@ -108,6 +108,55 @@ def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def sessionize_capped(
+    df: DataFrame, gap_minutes: int = 30, max_hours: int = 4
+) -> DataFrame:
+    """Sessionization with BOTH break rules real products use (GA-style):
+    a new session starts after ``gap_minutes`` idle OR when the gap-based
+    session would exceed ``max_hours`` — long-running sessions are
+    sub-split into fixed duration buckets anchored at the gap-session
+    start (the deterministic two-pass formulation: clock anchors at the
+    gap-session's first event, not at each split, which keeps the rule
+    expressible as two window passes instead of a sequential scan).
+
+    Same scale shape as ``sessionize``: both passes share the ONE
+    user_id shuffle (the second window re-uses the first's partitioning;
+    Catalyst plans a single Exchange).
+    """
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    cap_us = max_hours * 3600 * 1_000_000
+    ts_us = F.unix_micros(F.col("ts"))
+    prev_ts = F.lag(ts_us).over(order)
+    is_break = (
+        F.when(prev_ts.isNull(), F.lit(1))
+        .when(ts_us - prev_ts > gap_us, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    with_gap = df.withColumn("gap_session", F.sum(is_break).over(order))
+    anchor = Window.partitionBy("user_id", "gap_session")
+    sub = ((ts_us - F.min(ts_us).over(anchor)) / F.lit(cap_us)).cast("long")
+    with_session = with_gap.withColumn("sub_session", sub)
+    return (
+        with_session.groupBy("user_id", "gap_session", "sub_session")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_us).alias("start_us"),
+            F.max(ts_us).alias("end_us"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            "gap_session",
+            "sub_session",
+            "n_events",
+            "start_us",
+            "end_us",
+            "total_value",
+        )
+    )
+
+
 def scd2_history(
     df: DataFrame,
     key_col: str = "user_id",

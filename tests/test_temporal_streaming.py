@@ -330,3 +330,34 @@ def test_decayed_user_value_fixed_chain(spark):
     assert out[3] == 1.0 + 0.5 * 2.0 + 0.25 * 4.0 + 0.125 * 8.0
     # depth 4: event 0's value has fallen out of the window by event 4
     assert out[4] == 16.0 + 0.5 * 1.0 + 0.25 * 2.0 + 0.125 * 4.0
+
+
+def test_sessionize_capped_splits_long_sessions(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.temporal import sessionize_capped
+
+    t0 = dt.datetime(2024, 1, 1)
+    # continuous activity every 20 min for 9 hours -> one gap-session,
+    # split into ceil(9h/4h) = 3 duration buckets
+    rows = [
+        Row(event_id=i, user_id=1, ts=t0 + dt.timedelta(minutes=20 * i), value=1.0)
+        for i in range(28)
+    ]
+    # plus a separate burst after a 2-hour gap (new gap-session)
+    rows += [
+        Row(event_id=100 + i, user_id=1,
+            ts=t0 + dt.timedelta(hours=11, minutes=i), value=1.0)
+        for i in range(3)
+    ]
+    out = sessionize_capped(spark.createDataFrame(rows)).collect()
+    by_key = {(r["gap_session"], r["sub_session"]): r["n_events"] for r in out}
+    assert set(by_key) == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    # 4h bucket = 12 slots of 20min; anchored at the first event
+    assert by_key[(1, 0)] == 12 and by_key[(1, 1)] == 12 and by_key[(1, 2)] == 4
+    assert by_key[(2, 0)] == 3
+    # every sub-session spans <= 4h
+    for r in out:
+        assert r["end_us"] - r["start_us"] <= 4 * 3600 * 1_000_000
