@@ -126,3 +126,11 @@ def test_weighted_sample_invariant_under_weight_scaling(spark):
         r["doc_id"] for r in weighted_sample(scaled, "doc_id", "w", 40).collect()
     )
     assert got == base
+
+
+def test_weighted_sample_k_exceeding_population(spark):
+    from breweries_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([Row(doc_id=i, w=i + 1) for i in range(5)])
+    out = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 100).collect())
+    assert out == [0, 1, 2, 3, 4]
