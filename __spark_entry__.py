@@ -3734,6 +3734,60 @@ def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_logreg_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING (5 full-batch GD
+    iterations, hashed bag-of-words, en-vs-rest label). Gradients
+    accumulate in integer micro-units so the whole training run is
+    order-independent and replays bit-for-bit in SQL."""
+    from breweries_etl_spark.operators.mltrain import train_logreg_hashed
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_logreg_hashed(docs, F.col("lang") == "en")
+
+
+def _logreg_oracle_sql(dims: int = 32, lr: float = 0.5, iterations: int = 5) -> str:
+    """Unrolled k-iteration replay of train_logreg_hashed: weights ride
+    between CTEs as a list (ws[1] = bias, ws[j+2] = bucket j)."""
+    parts = [
+        f"""WITH feats AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+    list_sort(list_distinct(list_transform(
+      regexp_extract_all(lower(text), '[a-z0-9_]+'),
+      t -> CAST('0x' || substring(md5(t), 1, 4) AS BIGINT) % {dims}))) AS bs
+  FROM documents
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
+w0 AS (SELECT list_transform(range(0, {dims + 1}), i -> 0.0) AS ws)"""
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"w{k - 1}"
+        parts.append(f""", e{k} AS (
+  SELECT y, bs,
+    CAST(floor((1.0 / (1.0 + exp(-( pw.ws[1] +
+      list_reduce(list_prepend(0.0, list_transform(bs,
+        b -> pw.ws[CAST(b + 2 AS INT)])), (a, x) -> a + x)
+    ))) - y) * 1000000) AS BIGINT) AS e
+  FROM feats CROSS JOIN {prev} pw
+), g{k} AS (
+  SELECT b, sum(e) AS g FROM (
+    SELECT e, unnest(list_prepend(CAST(-1 AS BIGINT), bs)) AS b FROM e{k}
+  ) GROUP BY b
+), w{k} AS (
+  SELECT list(wj ORDER BY j) AS ws FROM (
+    SELECT t.j AS j,
+      pw.ws[CAST(t.j + 1 AS INT)]
+        - {lr} * (COALESCE(g.g, 0) / 1000000.0) / nn.n AS wj
+    FROM range(0, {dims + 1}) t(j)
+    CROSS JOIN {prev} pw CROSS JOIN nn
+    LEFT JOIN g{k} g ON g.b = t.j - 1
+  )
+)""")
+    parts.append(f"""
+SELECT CAST(t.j - 1 AS BIGINT) AS dim,
+  round(pw.ws[CAST(t.j + 1 AS INT)], 6) AS weight
+FROM range(0, {dims + 1}) t(j) CROSS JOIN w{iterations} pw""")
+    return "".join(parts)
+
+
 def q_events_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GA-style dual-rule sessions: 30-min idle gap plus a 4-hour
     duration cap (sub-split anchored at the gap-session start); both
@@ -3807,6 +3861,8 @@ SELECT source, CAST(count(*) AS BIGINT) AS total_ngrams,
   round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS diversity
 FROM g GROUP BY source
 """
+
+_ORACLES["logreg_train_weights"] = _logreg_oracle_sql()
 
 _ORACLES["events_sessionize_capped"] = """
 WITH o AS (
@@ -4192,6 +4248,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep_best": q_dedup_exact_keep_best,
         "source_overlap_matrix": q_source_overlap_matrix,
         "events_sessionize_capped": q_events_sessionize_capped,
+        "logreg_train_weights": q_logreg_train_weights,
     }
 
 

@@ -76,6 +76,7 @@ FAMILIES: dict[str, list[str]] = {
         "ngram_diversity",
         "winnowing_fingerprints",
         "collocation_pmi",
+        "logreg_train_weights",
     ],
     "temporal": [
         "events_sessionize",

@@ -1,0 +1,58 @@
+"""Distributed logistic-regression training: learning signal,
+determinism under repartitioning, and degenerate inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from breweries_etl_spark.operators.mltrain import (
+    hashed_bucket_expr,
+    train_logreg_hashed,
+)
+
+
+def _toy(spark, n=60):
+    # class 1 docs always contain "alpha beta"; class 0 "gamma delta"
+    rows = [
+        Row(doc_id=i, text=f"alpha beta filler{i % 7}", lang="en")
+        for i in range(n // 2)
+    ] + [
+        Row(doc_id=1000 + i, text=f"gamma delta filler{i % 7}", lang="de")
+        for i in range(n // 2)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_logreg_learns_separable_classes(spark):
+    df = _toy(spark)
+    model = train_logreg_hashed(df, F.col("lang") == "en", iterations=8)
+    w = {r["dim"]: r["weight"] for r in model.collect()}
+    assert len(w) == 33 and -1 in w
+    # positive-class tokens must get positive weight, negative negative
+    def bucket(tok):
+        return spark.range(1).select(
+            hashed_bucket_expr(F.lit(tok), 32).alias("b")
+        ).collect()[0]["b"]
+
+    assert w[bucket("alpha")] > 0.1
+    assert w[bucket("gamma")] < -0.1
+
+
+def test_logreg_deterministic_under_repartition(spark):
+    df = _toy(spark)
+    a = sorted(map(tuple, train_logreg_hashed(df, F.col("lang") == "en").collect()))
+    b = sorted(
+        map(
+            tuple,
+            train_logreg_hashed(df.repartition(13), F.col("lang") == "en").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_logreg_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, text string, lang string")
+    model = train_logreg_hashed(df, F.col("lang") == "en")
+    rows = model.collect()
+    assert len(rows) == 33 and all(r["weight"] == 0.0 for r in rows)
