@@ -3788,6 +3788,63 @@ FROM range(0, {dims + 1}) t(j) CROSS JOIN w{iterations} pw""")
     return "".join(parts)
 
 
+def q_kmeans_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-arithmetic KMeans training (3 Lloyd iterations on the
+    integer micro-lattice): zero floats inside the loop, so the full
+    clustering run replays bit-for-bit in SQL."""
+    from breweries_etl_spark.operators.mltrain import kmeans_train_exact
+
+    return kmeans_train_exact(load_table(spark, sf_dir, "embeddings"))
+
+
+def _kmeans_oracle_sql(k: int = 8, dims: int = 64, iterations: int = 3) -> str:
+    """Unrolled Lloyd replay; centroids ride between CTEs as BIGINT
+    lists (1-based list index i ↔ dim i-1)."""
+    rng = f"range(1, {dims + 1})"
+    parts = [
+        f"""WITH pts AS (
+  SELECT vec_id AS pid,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY pid ASC) - 1 AS cid, q AS c
+  FROM (SELECT pid, q FROM pts ORDER BY pid ASC LIMIT {k})
+)"""
+    ]
+    for it in range(1, iterations + 1):
+        prev = f"c{it - 1}"
+        parts.append(f""", a{it} AS (
+  SELECT pid, q, cid FROM (
+    SELECT pts.pid, pts.q, c.cid,
+      row_number() OVER (PARTITION BY pts.pid ORDER BY
+        list_sum(list_transform({rng}, i ->
+          (q[CAST(i AS INT)] - c.c[CAST(i AS INT)])
+          * (q[CAST(i AS INT)] - c.c[CAST(i AS INT)]))) ASC,
+        c.cid ASC) AS rn
+    FROM pts CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), s{it} AS (
+  SELECT cid, t.j AS j, sum(q[CAST(t.j AS INT)]) AS s,
+    CAST(count(*) AS BIGINT) AS m
+  FROM a{it} CROSS JOIN {rng} t(j)
+  GROUP BY cid, t.j
+), c{it} AS (
+  SELECT p.cid AS cid,
+    list(CAST(COALESCE(s.s // s.m, p.c[CAST(t.j AS INT)]) AS BIGINT)
+         ORDER BY t.j) AS c
+  FROM {prev} p CROSS JOIN {rng} t(j)
+  LEFT JOIN s{it} s ON s.cid = p.cid AND s.j = t.j
+  GROUP BY p.cid
+)""")
+    parts.append(f"""
+SELECT CAST(p.cid AS BIGINT) AS cluster_id,
+  CAST(t.j - 1 AS BIGINT) AS dim,
+  CAST(p.c[CAST(t.j AS INT)] AS BIGINT) AS centroid_micro
+FROM c{iterations} p CROSS JOIN {rng} t(j)""")
+    return "".join(parts)
+
+
 def q_events_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GA-style dual-rule sessions: 30-min idle gap plus a 4-hour
     duration cap (sub-split anchored at the gap-session start); both
@@ -3863,6 +3920,8 @@ FROM g GROUP BY source
 """
 
 _ORACLES["logreg_train_weights"] = _logreg_oracle_sql()
+
+_ORACLES["kmeans_train_centroids"] = _kmeans_oracle_sql()
 
 _ORACLES["events_sessionize_capped"] = """
 WITH o AS (
@@ -4249,6 +4308,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": q_source_overlap_matrix,
         "events_sessionize_capped": q_events_sessionize_capped,
         "logreg_train_weights": q_logreg_train_weights,
+        "kmeans_train_centroids": q_kmeans_train_centroids,
     }
 
 

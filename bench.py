@@ -103,6 +103,7 @@ FAMILIES: dict[str, list[str]] = {
         "cluster_assign",
         "pack_sequences",
         "semantic_dedup",
+        "kmeans_train_centroids",
     ],
     "graph": [
         "graph_bfs_levels",

@@ -56,3 +56,22 @@ def test_logreg_empty_input(spark):
     model = train_logreg_hashed(df, F.col("lang") == "en")
     rows = model.collect()
     assert len(rows) == 33 and all(r["weight"] == 0.0 for r in rows)
+
+
+def test_kmeans_exact_deterministic_and_moves_centroids(spark, sf_dir):
+    from breweries_etl_spark.operators.mltrain import kmeans_train_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(map(tuple, kmeans_train_exact(emb).collect()))
+    b = sorted(map(tuple, kmeans_train_exact(emb.repartition(9)).collect()))
+    assert a == b and len(a) == 8 * 64
+    # training moved at least some centroids off their seed vectors
+    seeds = sorted(map(tuple, kmeans_train_exact(emb, iterations=0).collect()))
+    assert a != seeds
+
+
+def test_kmeans_exact_empty_input(spark):
+    from breweries_etl_spark.operators.mltrain import kmeans_train_exact
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kmeans_train_exact(emb).count() == 0
