@@ -3845,6 +3845,14 @@ FROM c{iterations} p CROSS JOIN {rng} t(j)""")
     return "".join(parts)
 
 
+def q_naive_bayes_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes training over (lang, token) counts:
+    add-1 smoothed log-likelihoods in integer micro-nats."""
+    from breweries_etl_spark.operators.mltrain import train_naive_bayes
+
+    return train_naive_bayes(load_table(spark, sf_dir, "documents"))
+
+
 def q_events_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GA-style dual-rule sessions: 30-min idle gap plus a 4-hour
     duration cap (sub-split anchored at the gap-session start); both
@@ -3922,6 +3930,23 @@ FROM g GROUP BY source
 _ORACLES["logreg_train_weights"] = _logreg_oracle_sql()
 
 _ORACLES["kmeans_train_centroids"] = _kmeans_oracle_sql()
+
+_ORACLES["naive_bayes_model"] = """
+WITH toks AS (
+  SELECT lang AS label,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), c AS (
+  SELECT label, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY label, tok
+), tot AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS total FROM toks GROUP BY label
+), vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM toks)
+SELECT label, tok, c,
+  CAST(floor(ln(CAST(c + 1 AS DOUBLE) / CAST(total + v AS DOUBLE)) * 1000000)
+       AS BIGINT) AS logprob_micro
+FROM c JOIN tot USING (label) CROSS JOIN vocab
+"""
 
 _ORACLES["events_sessionize_capped"] = """
 WITH o AS (
@@ -4309,6 +4334,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_capped": q_events_sessionize_capped,
         "logreg_train_weights": q_logreg_train_weights,
         "kmeans_train_centroids": q_kmeans_train_centroids,
+        "naive_bayes_model": q_naive_bayes_model,
     }
 
 

@@ -190,3 +190,43 @@ def kmeans_train_exact(
         (ci, j, int(cents[ci][j])) for ci in range(k) for j in range(dims)
     ]
     return spark.createDataFrame(rows, "cluster_id long, dim long, centroid_micro long")
+
+
+def train_naive_bayes(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    alpha: int = 1,
+) -> DataFrame:
+    """Multinomial Naive Bayes training (the third trainer shape: pure
+    counting, no iterations): per-(label, token) add-alpha smoothed
+    log-likelihoods, canonicalized to integer micro-nats (floor(ln·1e6))
+    so the emitted model is partition-order independent and replays in
+    SQL — same canonicalization as the bigram LM.
+
+    One exploded token relation, two hash aggregates, broadcast joins
+    for the per-label totals and the vocab scalar. At 100 TB this is a
+    scan plus token-keyed combines — the classic counting trainer that
+    needs no parameter server at all.
+    """
+    toks = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9_]+"), 0)
+        ).alias("tok"),
+    )
+    c = toks.groupBy("label", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.groupBy("label").agg(F.count(F.lit(1)).alias("total"))
+    vocab = toks.select(F.countDistinct("tok").alias("v"))
+    lp = F.floor(
+        F.log(
+            (F.col("c") + F.lit(alpha)).cast("double")
+            / (F.col("total") + F.lit(alpha) * F.col("v")).cast("double")
+        )
+        * F.lit(1_000_000)
+    ).cast("long")
+    return (
+        c.join(F.broadcast(tot), "label")
+        .crossJoin(F.broadcast(vocab))
+        .select("label", "tok", "c", lp.alias("logprob_micro"))
+    )

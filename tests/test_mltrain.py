@@ -75,3 +75,22 @@ def test_kmeans_exact_empty_input(spark):
 
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert kmeans_train_exact(emb).count() == 0
+
+
+def test_naive_bayes_counts_and_smoothing(spark):
+    import math
+
+    from breweries_etl_spark.operators.mltrain import train_naive_bayes
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="cat cat dog", lang="en"),
+            Row(doc_id=2, text="chat chien", lang="fr"),
+        ]
+    )
+    rows = {(r["label"], r["tok"]): r for r in train_naive_bayes(df).collect()}
+    assert rows[("en", "cat")]["c"] == 2
+    # V = 4 (cat dog chat chien); en total = 3
+    expected = math.floor(math.log(3 / 7) * 1_000_000)
+    assert rows[("en", "cat")]["logprob_micro"] == expected
+    assert ("en", "chat") not in rows
