@@ -4128,6 +4128,46 @@ SELECT t.doc_id, t.n_paras,
 FROM tot t LEFT JOIN k ON t.doc_id = k.doc_id
 """
 
+_ORACLES["bloom_prefilter_join"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+_ORACLES["cms_heavy_hitters"] = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY user_id HAVING count(*) >= 75
+"""
+
+_ORACLES["dedup_edit_distance"] = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM documents a
+JOIN documents b
+  ON a.source = b.source
+ AND a.doc_id < b.doc_id
+ AND abs(length(a.text) - length(b.text)) <= 16
+WHERE levenshtein(a.text, b.text) <= 16
+"""
+
+_ORACLES["winsorized_price_stats"] = """
+WITH bounds AS (
+  SELECT l_returnflag,
+         quantile_disc(l_extendedprice, 0.05) AS p_lo,
+         quantile_disc(l_extendedprice, 0.95) AS p_hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+  CAST(CAST(min(b.p_lo) AS DECIMAL(14,2)) AS DOUBLE) AS p_lo,
+  CAST(CAST(min(b.p_hi) AS DECIMAL(14,2)) AS DOUBLE) AS p_hi,
+  CAST(SUM(CAST(greatest(b.p_lo, least(b.p_hi, l.l_extendedprice)) AS DECIMAL(14,2))) AS DOUBLE) AS sum_clipped,
+  CAST(SUM(CASE WHEN l.l_extendedprice < b.p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+  CAST(SUM(CASE WHEN l.l_extendedprice > b.p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+FROM lineitem l JOIN bounds b USING (l_returnflag)
+GROUP BY l.l_returnflag
+"""
+
 _ORACLES["decayed_user_value"] = """
 SELECT user_id, event_id,
   value + 0.5 * COALESCE(lag(value, 1) OVER w, 0)
@@ -4136,6 +4176,70 @@ SELECT user_id, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 """
+
+
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pre-filtered semi-join: lineitem rows whose
+    order is a high-value order (o_totalprice > 400k). The bloom filter
+    prunes the fact-side shuffle; the trailing exact semi-join removes
+    false positives, so the result — asserted by the oracle — is
+    EXACTLY the plain semi-join aggregate."""
+    from breweries_etl_spark.operators.bloomjoin import bloom_semi_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    kept = bloom_semi_join(lineitem, orders, "l_orderkey", "o_orderkey")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch candidate phase + exact verify: users with ≥75
+    events. Bounded-state sketch build (depth×width cells regardless of
+    key cardinality) — the CMS over-counts, never under-counts, so the
+    verified output equals the direct GROUP BY/HAVING the oracle runs."""
+    from breweries_etl_spark.operators.profiling import cms_heavy_hitters
+
+    events = load_events(spark, sf_dir)
+    return cms_heavy_hitters(events, "user_id", threshold=75)
+
+
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein near-dup pairs (dist ≤ 16) under provably
+    lossless length-bucket blocking (pairs within edit distance d differ
+    ≤ d in length ⇒ same/adjacent bucket of width ≥ d)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.edit_distance_pairs(
+        docs, text_col="text", id_col="doc_id", block_col="source",
+        max_dist=16, bucket_width=32,
+    )
+    return pairs.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
+def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag winsorized price statistics: percentile_disc clip
+    bounds (actual data elements — engine-identical), decimal clipped
+    sum (order-independent), and clip tallies."""
+    from breweries_etl_spark.operators.profiling import winsorized_stats
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    out = winsorized_stats(
+        lineitem, "l_extendedprice", "l_returnflag", lo_p=0.05, hi_p=0.95
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("p_lo").cast("double").alias("p_lo"),
+        F.col("p_hi").cast("double").alias("p_hi"),
+        F.col("sum_clipped").cast("double").alias("sum_clipped"),
+        "n_clipped_low",
+        "n_clipped_high",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4335,6 +4439,11 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_train_weights": q_logreg_train_weights,
         "kmeans_train_centroids": q_kmeans_train_centroids,
         "naive_bayes_model": q_naive_bayes_model,
+        # round 3 (cont. 2): runtime filters / sketch-verified exact ops
+        "bloom_prefilter_join": q_bloom_prefilter_join,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "dedup_edit_distance": q_dedup_edit_distance,
+        "winsorized_price_stats": q_winsorized_price_stats,
     }
 
 

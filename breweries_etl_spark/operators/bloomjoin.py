@@ -1,0 +1,126 @@
+"""Bloom-filter runtime pre-filter for selective joins.
+
+The 100 TB problem this solves: a fact→dim semi/inner join where the
+build side is *selective* (say 0.1% of dim keys survive a predicate)
+still shuffles the ENTIRE fact table before the join discards 99.9% of
+it. Engines inject runtime bloom filters for exactly this case (Spark's
+`spark.sql.optimizer.runtime.bloomFilter.enabled` does it inside
+Catalyst when statistics allow); this operator is the explicit,
+plan-visible version a pipeline can apply deliberately — e.g. when the
+build side is computed by an earlier stage and the planner has no
+stats.
+
+Shape:
+
+1. **Distributed build.** Each build-side key sets ``n_hashes`` bit
+   positions ``pmod(xxhash64(key, seed_i), n_bits)`` — computed
+   JVM-side, exploded, and reduced by ``distinct()`` (map-side combine
+   means at most ``n_bits`` longs ever cross the wire, ~8 MB for a
+   2^20-bit filter regardless of build cardinality). The driver packs
+   them into a numpy bitmap.
+2. **Vectorized probe.** The probe side computes the same positions
+   JVM-side (same ``xxhash64`` seeds — the hash never runs in Python);
+   an Arrow-batched pandas UDF only indexes the broadcast bitmap
+   (pure numpy fancy-indexing, no per-row Python).
+3. **Exact finish.** Bloom filters have false positives, so the
+   surviving ~0.1%+ε of the fact still goes through the real
+   (semi-)join. The END RESULT is therefore exactly the plain join —
+   which is what the oracle asserts — while the shuffle that feeds it
+   carries two-to-three orders of magnitude fewer rows.
+
+Sizing: ``n_bits ≈ -n·ln(p)/ln(2)²`` for target fp rate p; the default
+2^20 bits / 7 hashes holds ~100k keys at p≈1%. At 100 TB you size from
+the build side's (known, post-filter) cardinality, not the fact's.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _positions(col, n_bits: int, n_hashes: int) -> list:
+    """The k bit positions of a key: pmod(xxhash64(value, seed_i),
+    n_bits). Seeds are modeled as an extra literal hash input because
+    xxhash64's seed parameter is fixed in the DataFrame API; the
+    (value, i) tuple hash is just as independent across i."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits)).cast("long")
+        for i in range(n_hashes)
+    ]
+
+
+def build_bloom_bitmap(
+    build: DataFrame, key: str, n_bits: int = 1 << 20, n_hashes: int = 7
+) -> np.ndarray:
+    """Build the filter distributedly and return it as a packed numpy
+    bitmap (uint8[n_bits/8]). Only DISTINCT set positions are collected
+    — bounded by n_bits, independent of build row count."""
+    pos = (
+        build.select(
+            F.explode(F.array(*_positions(F.col(key), n_bits, n_hashes))).alias(
+                "p"
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(n_bits, dtype=np.uint8)
+    bits[[r["p"] for r in pos]] = 1
+    return np.packbits(bits)
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    key: str,
+    bitmap: np.ndarray,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Rows of ``probe`` whose key MIGHT be in the filter (no false
+    negatives). The bitmap rides to executors via Arrow UDF closure
+    serialization (one copy per worker, not per row); the Python work
+    per batch is one fancy-index + logical-AND over numpy arrays."""
+    schema = probe.schema
+    pos_cols = [f"__bp{i}" for i in range(n_hashes)]
+    with_pos = probe.select(
+        "*", *[
+            p.alias(c)
+            for p, c in zip(_positions(F.col(key), n_bits, n_hashes), pos_cols)
+        ]
+    )
+
+    def probe_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keep = np.ones(len(pdf), dtype=bool)
+            for c in pos_cols:
+                p = pdf[c].to_numpy()
+                keep &= (bitmap[p >> 3] >> (7 - (p & 7).astype(np.uint8))) & 1 == 1
+            yield pdf.loc[keep, [f.name for f in schema.fields]]
+
+    return with_pos.mapInPandas(probe_batches, schema=schema)
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    build: DataFrame,
+    fact_key: str,
+    build_key: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Semi-join ``fact`` against ``build`` with a bloom pre-filter on
+    the fact scan. Result is EXACTLY ``fact SEMI JOIN build`` (the real
+    join runs after the filter); the filter exists to shrink the
+    fact-side shuffle, not to approximate the answer."""
+    bitmap = build_bloom_bitmap(build, build_key, n_bits, n_hashes)
+    pre = bloom_prefilter(fact, fact_key, bitmap, n_bits, n_hashes)
+    return pre.join(
+        build.select(F.col(build_key).alias(fact_key)).distinct(),
+        on=fact_key,
+        how="left_semi",
+    )

@@ -637,3 +637,71 @@ def simhash_near_duplicates(
     if release:
         return _release_caches(result, [sigs])
     return result
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    max_dist: int = 16,
+    bucket_width: int = 32,
+) -> DataFrame:
+    """Near-duplicate pairs verified by EXACT Levenshtein distance ≤
+    ``max_dist`` — the precision stage a dedup pipeline runs on
+    candidate pairs when Jaccard/SimHash recall is not evidence enough
+    (e.g. legal dedup of contracts, or measuring template drift).
+
+    Candidate generation is length-bucket blocking, and it is PROVABLY
+    lossless: any pair within edit distance d differs in length by at
+    most d, so with ``bucket_width ≥ max_dist`` the partner lives in
+    the same or an adjacent bucket. The left side explodes into its
+    {b-1, b, b+1} buckets and equi-joins the right side's single bucket
+    — each unordered pair meets on exactly one offset (no distinct
+    needed). ``block_col`` bounds block membership the way a real
+    corpus does (per-source, per-shard); the O(len²) Levenshtein DP
+    runs only on pairs that survived both the block AND the
+    length-window predicate.
+
+    Cost at scale: blocks are (block_col × bucket) cells, so the join
+    never goes quadratic in the corpus — only in a cell. A corpus with
+    pathological length concentration should lower ``bucket_width``
+    (more cells, same exactness bound as long as it stays ≥ max_dist).
+
+    Output: (id_a, id_b, dist), id_a < id_b, dist ≤ max_dist.
+    """
+    if bucket_width < max_dist:
+        raise ValueError(
+            f"bucket_width ({bucket_width}) must be >= max_dist "
+            f"({max_dist}) or adjacent-bucket blocking loses pairs"
+        )
+    base = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("__blk"),
+        F.col(text_col).alias("__txt"),
+        F.floor(F.length(text_col) / bucket_width).alias("__b"),
+        F.length(text_col).alias("__len"),
+    )
+    left = base.select(
+        "*", F.explode(F.array(F.col("__b") - 1, F.col("__b"), F.col("__b") + 1)).alias("__jb")
+    )
+    a, b = left.alias("a"), base.alias("b")
+    dist = F.levenshtein(F.col("a.__txt"), F.col("b.__txt"))
+    return (
+        a.join(
+            b,
+            (F.col("a.__jb") == F.col("b.__b"))
+            & (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.abs(F.col("a.__len") - F.col("b.__len"))
+                <= F.lit(max_dist)
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -229,3 +229,130 @@ def mergeable_distinct_sketches(
             <= F.lit(rel_tol) * F.col("n_exact")
         ).alias("est_ok"),
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """EXACT heavy hitters (keys with ≥ ``threshold`` rows) found via a
+    Count-Min-Sketch candidate phase plus an exact verify phase.
+
+    Why not just ``groupBy(key).count().filter(...)``? That keeps one
+    partial-aggregate state PER DISTINCT KEY on every task — at 100 TB
+    with billions of wide keys (URLs, doc hashes) the partial map
+    spills and the shuffle carries every distinct key. The sketch path
+    bounds state at ``depth × width`` cells TOTAL regardless of key
+    cardinality:
+
+    1. **Sketch build** — every row increments ``depth`` cells
+       (``pmod(xxhash64(key, seed_d), width)``); the groupBy has at
+       most depth×width groups (128 KB of longs here), so the shuffle
+       after map-side combine is a few KB per task.
+    2. **Candidate probe** — the sketch is tiny, so each row of the
+       fact re-derives its cells and broadcast-joins the cell counts;
+       a row survives iff ``least(count_1..count_depth) ≥ threshold``.
+       CMS never under-counts, so the candidate set PROVABLY contains
+       every true heavy key (no false negatives); collisions only add
+       candidates.
+    3. **Exact verify** — the surviving rows (heavy keys + a few
+       collision victims) are exactly counted; ``HAVING count ≥
+       threshold`` trims the false positives. Per-key state now exists
+       only for candidates — a set whose size is bounded by
+       total_rows/threshold + collisions, not by key cardinality.
+
+    Output: (key, cnt) with cnt the EXACT row count — identical to the
+    direct groupBy/HAVING, which is what the oracle runs.
+    """
+    cells = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(d)), F.lit(width)).alias(
+            f"__c{d}"
+        )
+        for d in range(depth)
+    ]
+    keyed = df.select(F.col(key_col), *cells)
+    sketch = (
+        keyed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"), F.col(f"__c{d}").alias("b")
+                        )
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy("cell.d", "cell.b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probed = keyed
+    for d in range(depth):
+        row = sketch.filter(F.col("d") == d).select(
+            F.col("b").alias(f"__c{d}"), F.col("cnt").alias(f"__n{d}")
+        )
+        probed = probed.join(F.broadcast(row), f"__c{d}")
+    candidates = (
+        probed.filter(
+            F.least(*[F.col(f"__n{d}") for d in range(depth)])
+            >= F.lit(threshold)
+        )
+        .select(key_col)
+        .distinct()
+    )
+    return (
+        df.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized (clipped-at-percentile) statistics — the
+    outlier-robust normalization step a feature pipeline runs before
+    feeding scale-sensitive models.
+
+    Percentiles are ``percentile_disc`` (an ACTUAL data element, no
+    interpolation arithmetic), so every engine picks the identical clip
+    bound; the clipped sum accumulates in decimal, so it is
+    order-independent and hash-comparable across engines and
+    partitionings. Two scans total: one per-group percentile aggregate
+    (broadcast back), one clip-and-sum pass — never a per-row window.
+
+    Output per group: the clip bounds, the exact decimal sum of clipped
+    values, and how many rows were clipped at each end.
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.expr(
+            f"percentile_disc({lo_p}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("p_lo"),
+        F.expr(
+            f"percentile_disc({hi_p}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("p_hi"),
+    )
+    v = F.col(value_col)
+    clipped = F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), v)).cast(
+        "decimal(14,2)"
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.min("p_lo").cast("decimal(14,2)").alias("p_lo"),
+            F.min("p_hi").cast("decimal(14,2)").alias("p_hi"),
+            F.sum(clipped).alias("sum_clipped"),
+            F.sum((v < F.col("p_lo")).cast("long")).alias("n_clipped_low"),
+            F.sum((v > F.col("p_hi")).cast("long")).alias("n_clipped_high"),
+        )
+    )

@@ -1,0 +1,158 @@
+"""Round-3 continuation operators: bloom pre-filter join, CMS-verified
+exact heavy hitters, Levenshtein near-dup pairs, winsorized stats."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from breweries_etl_spark.operators.bloomjoin import (
+    bloom_prefilter,
+    bloom_semi_join,
+    build_bloom_bitmap,
+)
+from breweries_etl_spark.operators.dedup import edit_distance_pairs
+from breweries_etl_spark.operators.profiling import (
+    cms_heavy_hitters,
+    winsorized_stats,
+)
+from breweries_etl_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every key of the build side MUST pass the probe filter."""
+    build = spark.range(0, 500).select((F.col("id") * 7).alias("k"))
+    bitmap = build_bloom_bitmap(build, "k", n_bits=1 << 16, n_hashes=5)
+    probe = spark.range(0, 3500).select(F.col("id").alias("k"))
+    kept = bloom_prefilter(probe, "k", bitmap, n_bits=1 << 16, n_hashes=5)
+    kept_ids = {r["k"] for r in kept.collect()}
+    assert {i * 7 for i in range(500)} <= kept_ids
+
+
+def test_bloom_prefilter_prunes_most_nonmembers(spark):
+    """With sane sizing the filter actually filters (fp rate ≪ 50%)."""
+    build = spark.range(0, 200).select(F.col("id").alias("k"))
+    bitmap = build_bloom_bitmap(build, "k", n_bits=1 << 16, n_hashes=5)
+    probe = spark.range(10_000, 30_000).select(F.col("id").alias("k"))
+    n_pass = bloom_prefilter(
+        probe, "k", bitmap, n_bits=1 << 16, n_hashes=5
+    ).count()
+    assert n_pass < 2000  # 20k true negatives, expect ~0 at this sizing
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark, sf_dir):
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
+    got = bloom_semi_join(
+        lineitem, orders, "l_orderkey", "o_orderkey", n_bits=1 << 16
+    )
+    want = lineitem.join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_semi"
+    )
+    assert got.count() == want.count()
+    assert (
+        got.select("l_orderkey", "l_linenumber")
+        .exceptAll(want.select("l_orderkey", "l_linenumber"))
+        .isEmpty()
+    )
+
+
+# ------------------------------------------------------------------ cms
+
+
+def test_cms_heavy_hitters_exact(spark):
+    rows = [("hot", None)] * 120 + [("warm", None)] * 60 + [
+        (f"cold{i}", None) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k string, pad string")
+    got = {
+        r["k"]: r["cnt"]
+        for r in cms_heavy_hitters(df, "k", threshold=50, width=64).collect()
+    }
+    assert got == {"hot": 120, "warm": 60}
+
+
+def test_cms_heavy_hitters_matches_direct_groupby(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    got = cms_heavy_hitters(events, "user_id", threshold=5)
+    want = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+# ---------------------------------------------------------- levenshtein
+
+
+def test_edit_distance_pairs_finds_planted_neardups(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "a"),
+            (2, "the quick brown fox jumps over the lazy cat", "a"),  # d=3
+            (3, "a completely different document body here!!", "a"),
+            (4, "the quick brown fox jumps over the lazy dog", "b"),  # other block
+        ],
+        "doc_id long, text string, source string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(docs, max_dist=4, bucket_width=8).collect()
+    }
+    assert pairs == {(1, 2): 3}  # (1,4) blocked apart by source; 3 too far
+
+
+def test_edit_distance_pairs_blocking_is_lossless(spark):
+    """Bucket blocking must find the same pairs as the brute-force
+    quadratic join (within the same block column)."""
+    docs = spark.createDataFrame(
+        [(i, "x" * (20 + i % 7) + "abc"[: i % 3], "s") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(docs, max_dist=6, bucket_width=8).collect()
+    }
+    a, b = docs.alias("a"), docs.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("d"),
+        )
+        .filter(F.col("d") <= 6)
+    )
+    want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assert got == want
+
+
+def test_edit_distance_rejects_narrow_buckets(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc", "s")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="bucket_width"):
+        edit_distance_pairs(docs, max_dist=16, bucket_width=8)
+
+
+# ------------------------------------------------------------ winsorize
+
+
+def test_winsorized_stats_clips_at_disc_percentiles(spark):
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], "g string, v double"
+    )
+    row = winsorized_stats(df, "v", "g", lo_p=0.05, hi_p=0.95).collect()[0]
+    assert float(row["p_lo"]) == 5.0 and float(row["p_hi"]) == 95.0
+    assert row["n_clipped_low"] == 4 and row["n_clipped_high"] == 5
+    # sum: 4 rows clipped up to 5, 5 rows clipped down to 95
+    expected = sum(min(95, max(5, v)) for v in range(1, 101))
+    assert float(row["sum_clipped"]) == float(expected)
