@@ -58,6 +58,9 @@ FAMILIES: dict[str, list[str]] = {
         "gold_incremental_merge",
         "salted_skew_join",
         "weighted_sample_docs",
+        "bloom_prefilter_join",
+        "cms_heavy_hitters",
+        "winsorized_price_stats",
     ],
     "text": [
         "text_stats",
@@ -91,12 +94,21 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "dedup": [
         "dedup_exact",
-        "dedup_minhash_pairs",
-        "dedup_incremental_jaccard",
         "paragraph_dedup",
         "dedup_exact_keep_best",
+        "dedup_edit_distance",
         "source_overlap_matrix",
     ],
+    # Near-dup pipelines and iterative graph loops each get a JVM to
+    # themselves: measured in-session interference (pinned shingle
+    # caches, localCheckpoint block churn, context-cleaner backlog)
+    # inflates WHICHEVER of them runs second by 1.5-2x — e.g. pagerank
+    # 5.0 s fresh vs 9.8 s after BFS in the same JVM, incremental
+    # jaccard 2.8 s fresh vs 6.4 s after minhash. On a cluster these
+    # run as separate applications; benching them that way attributes
+    # plan cost, not neighbor hygiene.
+    "dedup_minhash": ["dedup_minhash_pairs"],
+    "dedup_incremental": ["dedup_incremental_jaccard"],
     "vector": [
         "similarity_topk",
         "similarity_topk_pandas",
@@ -105,10 +117,8 @@ FAMILIES: dict[str, list[str]] = {
         "semantic_dedup",
         "kmeans_train_centroids",
     ],
-    "graph": [
-        "graph_bfs_levels",
-        "graph_pagerank_top",
-    ],
+    "graph_bfs": ["graph_bfs_levels"],
+    "graph_pagerank": ["graph_pagerank_top"],
 }
 
 HEADLINE = [q for qs in FAMILIES.values() for q in qs]
@@ -138,10 +148,12 @@ def run_family(family: str) -> None:
         warm_start = time.monotonic()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         warm_elapsed = time.monotonic() - warm_start
-        # Heavy queries (>5s warm) get one timed run: a second best-of
-        # pass buys noise reduction worth ~100ms while costing another
-        # full execution — wrong trade above a few seconds.
-        passes = 1 if warm_elapsed > 5.0 else 2
+        # Only truly heavy queries (>10s warm) drop to one timed run.
+        # The iterative loops (BFS/PageRank, ~5s) have multi-second
+        # run-to-run variance from their many small jobs — for them the
+        # second best-of pass is exactly what separates plan cost from
+        # scheduler noise, worth the extra execution.
+        passes = 1 if warm_elapsed > 10.0 else 2
         best = float("inf")
         for _ in range(passes):
             start = time.monotonic()

@@ -53,16 +53,20 @@ def _materialized(df: DataFrame) -> tuple[DataFrame, int]:
     return out, out.count()
 
 
-def _truncated(df: DataFrame) -> tuple[DataFrame, int]:
+def _truncated(df: DataFrame, with_count: bool = True) -> tuple[DataFrame, int]:
     """localCheckpoint(eager): materialize AND cut the logical plan to a
     single leaf — the barrier for loops with multiplicative plan growth
     (BFS references the frontier in both join directions plus every
     prior frame via the visited union). In-memory, no reliable-storage
     write; the count after is a cached scan. localCheckpoint pins RDD
     blocks that DataFrame.unpersist cannot reach, so callers MUST
-    release them via ``_release_new_rdds`` before returning."""
+    release them via ``_release_new_rdds`` before returning.
+
+    ``with_count=False`` skips the count action for loops that don't
+    consume it (PageRank runs a FIXED iteration count) — one fewer job
+    per round; the eager checkpoint already materialized everything."""
     out = df.localCheckpoint(eager=True)
-    return out, out.count()
+    return out, (out.count() if with_count else -1)
 
 
 def _persistent_rdd_ids(sc) -> set[int]:
@@ -433,13 +437,17 @@ def _pagerank_loop(
     # (division stays rank/out_deg inside the loop so the arithmetic is
     # operation-identical to the unrolled SQL oracle).
     wedges, _ = _materialized(edges.join(out_deg, "src").select("src", "dst", "out_deg"))
-    dangling_nodes = nodes_deg.filter(F.col("out_deg") == 0).select("node")
     live = [edges, nodes_deg, wedges]
-    ranks, _ = _truncated(nodes.withColumn("rank", F.lit(1.0 / n)))
+    ranks, _ = _truncated(nodes.withColumn("rank", F.lit(1.0 / n)), with_count=False)
     for _it in range(1, iterations + 1):
-        dangling = ranks.join(dangling_nodes, "node", "left_semi").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
-        )
+        # One pass over ranks per round: the edge join yields both the
+        # per-node in-mass AND (by mass conservation) the dangling
+        # scalar — Σ in_mass = Σ_{non-dangling} rank, since each
+        # non-dangling source spreads exactly its rank over its
+        # out-edges, and ranks always sum to 1. dangling = 1 − Σ
+        # in_mass therefore equals the old explicit semi-join sum to
+        # float epsilon (~1e-16, far below the round-9 oracle cut),
+        # with one join and one scan of ranks FEWER per round.
         contribs = (
             ranks.join(wedges, ranks.node == wedges.src)
             .select(
@@ -448,6 +456,11 @@ def _pagerank_loop(
             )
             .groupBy("t_node")
             .agg(F.sum("contrib").alias("in_mass"))
+        )
+        dangling = contribs.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("in_mass"), F.lit(0.0))).alias(
+                "__dangling"
+            )
         )
         # base = (1-d)/n + d·dangling/n, with dangling as a broadcast
         # one-row frame — expression shapes mirror the SQL oracle.
@@ -465,7 +478,7 @@ def _pagerank_loop(
                 ).alias("rank"),
             )
         )
-        ranks, _ = _truncated(new_ranks)
+        ranks, _ = _truncated(new_ranks, with_count=False)
     result = _checkpointed(ranks)
     for c in live:
         c.unpersist()
