@@ -4168,6 +4168,46 @@ FROM lineitem l JOIN bounds b USING (l_returnflag)
 GROUP BY l.l_returnflag
 """
 
+_ORACLES["dedup_containment"] = f"""
+WITH {_shingle_cte(3)},
+sh_ok AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh_ok),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+c AS (
+  SELECT id_a, id_b,
+    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s), 6) AS containment_ab,
+    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(y.s), 6) AS containment_ba
+  FROM cand JOIN sh_ok x ON x.doc_id = id_a JOIN sh_ok y ON y.doc_id = id_b
+)
+SELECT id_a, id_b, containment_ab, containment_ba
+FROM c WHERE containment_ab >= 0.8 OR containment_ba >= 0.8
+"""
+
+_ORACLES["robust_scale_orders"] = """
+WITH med AS (
+  SELECT o_orderpriority,
+         CAST(quantile_disc(o_totalprice, 0.5) AS DECIMAL(14,2)) AS med
+  FROM orders GROUP BY o_orderpriority
+),
+mad AS (
+  SELECT o.o_orderpriority,
+         quantile_disc(abs(CAST(o.o_totalprice AS DECIMAL(14,2)) - m.med), 0.5) AS mad
+  FROM orders o JOIN med m USING (o_orderpriority)
+  GROUP BY o.o_orderpriority
+)
+SELECT o.o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(min(m.med) AS DOUBLE) AS med,
+  CAST(min(d.mad) AS DOUBLE) AS mad,
+  CAST(SUM(CASE WHEN abs(CAST(o.o_totalprice AS DECIMAL(14,2)) - m.med) * 10 > d.mad * 30
+                 AND d.mad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM orders o JOIN med m USING (o_orderpriority) JOIN mad d USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+"""
+
 _ORACLES["decayed_user_value"] = """
 SELECT user_id, event_id,
   value + 0.5 * COALESCE(lag(value, 1) OVER w, 0)
@@ -4220,6 +4260,24 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=16, bucket_width=32,
     )
     return pairs.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment (quote/excerpt) pairs at 0.8 — catches
+    subset documents Jaccard misses; candidate machinery shared with
+    the exact n-gram path (df-capped inverted index)."""
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8, release=False
+    )
+
+
+def q_robust_scale_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority median/MAD robust scaling stats with exact-decimal
+    outlier tally (percentile_disc picks, no interpolation)."""
+    from breweries_etl_spark.operators.profiling import robust_scale_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    return robust_scale_stats(orders, "o_totalprice", "o_orderpriority", z_cut=3.0)
 
 
 def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4444,6 +4502,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "dedup_edit_distance": q_dedup_edit_distance,
         "winsorized_price_stats": q_winsorized_price_stats,
+        "dedup_containment": q_dedup_containment,
+        "robust_scale_orders": q_robust_scale_orders,
     }
 
 

@@ -715,3 +715,70 @@ def edit_distance_pairs(
         )
         .filter(F.col("dist") >= 0)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 3,
+    max_df: int | None = 1000,
+    release: bool = True,
+) -> DataFrame:
+    """Directional CONTAINMENT near-dup pairs: C(A→B) = |A∩B| / |A| —
+    the asymmetric overlap measure that catches quotes, excerpts, and
+    wrapper pages that Jaccard misses (a 100-shingle doc embedded inside
+    a 10,000-shingle page has Jaccard ≈ 0.01 but containment 1.0).
+    The dedup policy it feeds: drop the CONTAINED side, keep the
+    superset document.
+
+    Same inverted-index candidate machinery as ``ngram_jaccard_pairs``
+    (shared-rare-shingle join, ``max_df`` boilerplate cap with the same
+    exactness bound — a true pair at threshold t shares ≥ t·|smaller
+    side| shingles, so it is missed only if EVERY shared shingle is
+    corpus-boilerplate). Verification is per-row array intersection on
+    the candidate pair list only.
+
+    Output: (id_a, id_b, containment_ab, containment_ba) with id_a <
+    id_b, kept when EITHER direction reaches ``threshold``;
+    containment_ab = |A∩B|/|A| (how much of A lives inside B).
+    """
+    sh = shingle_sets(df, text_col, id_col, n, hashed=True)
+    inverted = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        cands = bucket_candidate_pairs(inverted, ["shingle"], id_col, max_df)
+    else:
+        a = inverted.alias("a")
+        b = inverted.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .distinct()
+        )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    c_ab = F.round(inter / F.size("sh_a"), 6)
+    c_ba = F.round(inter / F.size("sh_b"), 6)
+    result = (
+        cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            c_ab.alias("containment_ab"),
+            c_ba.alias("containment_ba"),
+        )
+        .filter(
+            (F.col("containment_ab") >= threshold)
+            | (F.col("containment_ba") >= threshold)
+        )
+    )
+    if release:
+        return _release_caches(result, [sh])
+    return result

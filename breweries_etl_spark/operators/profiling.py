@@ -356,3 +356,57 @@ def winsorized_stats(
             F.sum((v > F.col("p_hi")).cast("long")).alias("n_clipped_high"),
         )
     )
+
+
+def robust_scale_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Per-group MEDIAN/MAD robust-scaling statistics — the
+    outlier-immune alternative to mean/stddev normalization (one wild
+    value moves a mean arbitrarily; it moves a median not at all).
+
+    Both statistics are ``percentile_disc`` picks of ACTUAL data
+    elements (median of the values, then median of the absolute
+    deviations), so every engine selects identical numbers with zero
+    interpolation arithmetic; the deviation comparison for the outlier
+    tally runs in exact decimal. Three scans total (median pass,
+    MAD pass over deviations, tally pass) — each a broadcast-joined
+    aggregate, never a per-row window.
+
+    Output per group: n, med, mad, n_outliers (|x − med| > z_cut·mad;
+    0 when mad = 0 — a degenerate group where scaling is undefined).
+    """
+    v = F.col(value_col).cast("decimal(14,2)")
+    med = df.groupBy(group_col).agg(
+        F.expr(
+            f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {value_col})"
+        ).cast("decimal(14,2)").alias("med")
+    )
+    devs = df.join(F.broadcast(med), group_col).select(
+        group_col, F.abs(v - F.col("med")).alias("__dev")
+    )
+    mad = devs.groupBy(group_col).agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __dev)").alias("mad")
+    )
+    z10 = int(round(z_cut * 10))
+    return (
+        df.join(F.broadcast(med), group_col)
+        .join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").cast("double").alias("med"),
+            F.min("mad").cast("double").alias("mad"),
+            # exact-decimal comparison: 10·|x−med| > z10·mad (z given
+            # to 0.1) — no doubles until the output projection
+            F.sum(
+                (
+                    (F.abs(v - F.col("med")) * 10 > F.col("mad") * z10)
+                    & (F.col("mad") > 0)
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+    )

@@ -156,3 +156,70 @@ def test_winsorized_stats_clips_at_disc_percentiles(spark):
     # sum: 4 rows clipped up to 5, 5 rows clipped down to 95
     expected = sum(min(95, max(5, v)) for v in range(1, 101))
     assert float(row["sum_clipped"]) == float(expected)
+
+
+# ----------------------------------------------------------- containment
+
+
+def test_containment_catches_subset_doc(spark):
+    from breweries_etl_spark.operators.dedup import containment_pairs
+
+    filler = " ".join(f"x{i}" for i in range(100))
+    sub = "alpha beta gamma delta epsilon zeta eta theta"
+    big = filler + " " + sub  # sub embedded verbatim at the end
+    docs = spark.createDataFrame(
+        [(1, big), (2, sub), (3, "totally different words here entirely")],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, threshold=0.9, release=False).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    r = rows[0]
+    # every shingle of the subset doc appears in the big doc
+    assert float(r["containment_ba"]) == 1.0
+    assert float(r["containment_ab"]) < 0.5  # big doc is NOT inside sub
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    """The pair found by containment must be invisible to Jaccard at the
+    same bar — that asymmetry is the operator's reason to exist."""
+    from breweries_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    big = " ".join(f"w{i}" for i in range(120))
+    sub = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, big), (2, sub)], "doc_id long, text string"
+    )
+    cont = containment_pairs(docs, threshold=0.9, release=False).collect()
+    jac = ngram_jaccard_pairs(docs, threshold=0.5, release=False).collect()
+    assert len(cont) == 1 and len(jac) == 0
+
+
+# ---------------------------------------------------------- robust scale
+
+
+def test_robust_scale_stats_median_mad(spark):
+    from breweries_etl_spark.operators.profiling import robust_scale_stats
+
+    vals = [10.0] * 5 + [12.0] * 5 + [1000.0]  # one wild outlier
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    row = robust_scale_stats(df, "v", "g", z_cut=3.0).collect()[0]
+    # percentile_disc(0.5) picks the 6th of 11 sorted values
+    assert float(row["med"]) == 12.0
+    # deviations sorted: 0 x5, 2 x5, 988 -> disc median = 6th = 2
+    assert float(row["mad"]) == 2.0
+    assert row["n_outliers"] == 1  # only the wild 1000 exceeds 3*mad
+    assert row["n"] == 11
+
+
+def test_robust_scale_flags_outlier_when_mad_positive(spark):
+    from breweries_etl_spark.operators.profiling import robust_scale_stats
+
+    vals = [float(v) for v in range(1, 12)] + [500.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    row = robust_scale_stats(df, "v", "g", z_cut=3.0).collect()[0]
+    med, mad = float(row["med"]), float(row["mad"])
+    expected = sum(1 for v in vals if abs(v - med) > 3.0 * mad)
+    assert row["n_outliers"] == expected and row["n_outliers"] >= 1
