@@ -4208,6 +4208,96 @@ FROM orders o JOIN med m USING (o_orderpriority) JOIN mad d USING (o_orderpriori
 GROUP BY o.o_orderpriority
 """
 
+_ORACLES["rolling_hour_user_value"] = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+  CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+_ORACLES["downsample_events"] = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // 60000000 AS bucket,
+         epoch_us(ts) AS ts_us, event_id
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                               ORDER BY ts_us ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY user_id, bucket) AS n
+  FROM b
+)
+SELECT user_id, bucket, event_id, ts_us,
+       CAST(n - 1 AS BIGINT) AS n_dropped
+FROM r WHERE rn = 1
+"""
+
+_ORACLES["curriculum_stages"] = """
+WITH s AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS sc,
+         ntile(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS stage
+  FROM documents
+)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+  min(sc) AS min_score, max(sc) AS max_score,
+  CAST(SUM(sc) AS DOUBLE) / count(*) AS mean_score
+FROM s GROUP BY stage
+"""
+
+_ORACLES["cdc_apply_customers"] = """
+WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+chg AS (
+  SELECT c_custkey, 2 AS version, 'U' AS op, c_name,
+         CAST(c_acctbal + 100 AS DOUBLE) AS c_acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, 1, 'U', c_name, CAST(c_acctbal + 999 AS DOUBLE)
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, 3, 'D', c_name, c_acctbal
+  FROM customer WHERE c_custkey % 13 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 1, 'I', c_name, CAST(0.0 AS DOUBLE)
+  FROM customer WHERE c_custkey % 11 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT c_custkey, op, c_name, c_acctbal,
+           row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC) AS rn
+    FROM chg
+  ) WHERE rn = 1
+)
+SELECT b.c_custkey, b.c_name, b.c_acctbal FROM base b
+WHERE b.c_custkey NOT IN (SELECT c_custkey FROM latest)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
+"""
+
+_ORACLES["snapshot_diff_orders"] = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 19 = 0
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_keys FROM (
+  SELECT CASE
+    WHEN o.o_orderkey IS NULL THEN 'added'
+    WHEN n.o_orderkey IS NULL THEN 'removed'
+    WHEN o.o_orderstatus <> n.o_orderstatus
+      OR o.o_totalprice <> n.o_totalprice THEN 'changed'
+    ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+) GROUP BY status
+"""
+
 _ORACLES["decayed_user_value"] = """
 SELECT user_id, event_id,
   value + 0.5 * COALESCE(lag(value, 1) OVER w, 0)
@@ -4278,6 +4368,100 @@ def q_robust_scale_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return robust_scale_stats(orders, "o_totalprice", "o_orderpriority", z_cut=3.0)
+
+
+def q_rolling_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1h RANGE-frame velocity features per user (microsecond-
+    exact frame boundaries; tie-safe by RANGE-peer semantics)."""
+    from breweries_etl_spark.operators.temporal import rolling_time_window
+
+    return rolling_time_window(load_events(spark, sf_dir), window_seconds=3600)
+
+
+def q_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each user's earliest event per minute (argmin struct, no
+    window over raw rows)."""
+    from breweries_etl_spark.operators.temporal import (
+        downsample_first_per_bucket,
+    )
+
+    return downsample_first_per_bucket(load_events(spark, sf_dir))
+
+
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning stage cuts (deterministic ntile over a
+    (score, id) total order) with per-stage summary."""
+    from breweries_etl_spark.operators.corpus import curriculum_buckets
+
+    return curriculum_buckets(load_table(spark, sf_dir, "documents"))
+
+
+def q_cdc_apply_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent CDC changelog apply (I/U/D + out-of-order
+    versions): the synthetic feed carries a stale version-1 update that
+    must LOSE to version 2, and deletes at version 3 that must beat
+    both. Unique (key, version) pairs by construction, so the argmax
+    tiebreak never fires and the SQL row_number replay is exact."""
+    from breweries_etl_spark.operators.merge import cdc_apply
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    upd2 = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+        "c_name",
+        (F.col("c_acctbal") + 100).cast("double").alias("c_acctbal"),
+    )
+    upd1 = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+        "c_name",
+        (F.col("c_acctbal") + 999).cast("double").alias("c_acctbal"),
+    )
+    dels = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        F.lit(3).alias("version"),
+        F.lit("D").alias("op"),
+        "c_name",
+        F.col("c_acctbal").cast("double"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit(1).alias("version"),
+        F.lit("I").alias("op"),
+        "c_name",
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    changelog = upd2.unionByName(upd1).unionByName(dels).unionByName(ins)
+    return cdc_apply(cust, changelog, "c_custkey")
+
+
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash snapshot diff between orders and a perturbed copy
+    (removed %17, price-changed %5, added %19 with offset keys) —
+    digests shuffle, payloads don't."""
+    from breweries_etl_spark.operators.merge import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    changed = orders.filter(F.col("o_orderkey") % 17 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    added = orders.filter(F.col("o_orderkey") % 19 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    new = changed.unionByName(added)
+    return snapshot_diff(orders, new, "o_orderkey")
 
 
 def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4504,6 +4688,11 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_price_stats": q_winsorized_price_stats,
         "dedup_containment": q_dedup_containment,
         "robust_scale_orders": q_robust_scale_orders,
+        "rolling_hour_user_value": q_rolling_hour_user_value,
+        "downsample_events": q_downsample_events,
+        "curriculum_stages": q_curriculum_stages,
+        "cdc_apply_customers": q_cdc_apply_customers,
+        "snapshot_diff_orders": q_snapshot_diff_orders,
     }
 
 

@@ -62,6 +62,8 @@ FAMILIES: dict[str, list[str]] = {
         "cms_heavy_hitters",
         "winsorized_price_stats",
         "robust_scale_orders",
+        "cdc_apply_customers",
+        "snapshot_diff_orders",
     ],
     "text": [
         "text_stats",
@@ -92,6 +94,8 @@ FAMILIES: dict[str, list[str]] = {
         "distinct_sketch_merge",
         "streaming_gold_merge",
         "decayed_user_value",
+        "rolling_hour_user_value",
+        "downsample_events",
     ],
     "dedup": [
         "dedup_exact",

@@ -437,3 +437,43 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def curriculum_buckets(
+    docs: DataFrame,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_stages: int = 4,
+) -> DataFrame:
+    """Curriculum-learning stage assignment: rank the corpus by a
+    difficulty proxy and cut it into ``n_stages`` equal-count stages
+    (1 = easiest fed first), then summarize each stage — the ordering
+    a staged pre-training run consumes.
+
+    ``ntile`` over a (score, id) TOTAL order: the id tiebreak makes the
+    cut deterministic on any partitioning/engine. The global sort is
+    ntile's price — at corpus scale swap the exact ntile for
+    percentile_disc stage BOUNDARIES broadcast back as a range filter
+    (same stages up to tie handling at the cuts, no total sort); this
+    exact form is the contract/oracle surface.
+
+    Output per stage: stage, n_docs, min/max score, exact-decimal mean
+    score (sum/count — both engines do the identical division).
+    """
+    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    staged = docs.select(
+        F.col(id_col),
+        F.col(score_col).cast("long").alias("__score"),
+        F.ntile(n_stages).over(w).cast("long").alias("stage"),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("__score").alias("min_score"),
+            F.max("__score").alias("max_score"),
+            (
+                F.sum("__score").cast("double") / F.count(F.lit(1))
+            ).alias("mean_score"),
+        )
+    )

@@ -77,3 +77,91 @@ def salted_group_count(
     )
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__partial"))
     return partial.groupBy(key).agg(F.sum("__partial").alias(count_name))
+
+
+def cdc_apply(
+    base: DataFrame,
+    changelog: DataFrame,
+    key: str,
+    version_col: str = "version",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog (op ∈ {'I','U','D'}, monotone per-key
+    ``version``) to a base snapshot — the Debezium/DMS-shaped feed every
+    lakehouse ingests. Out-of-order delivery is the normal case, so the
+    operator is ORDER-INDEPENDENT by construction: only each key's
+    HIGHEST-version change matters, selected with a map-side-combinable
+    max over a (version, op, payload) struct — no window over the raw
+    changelog, no assumption that the feed arrived sorted.
+
+    Semantics: latest op D → key absent from the result; latest op I/U →
+    that payload wins over the base row; keys without changes pass
+    through. Version ties break by op then payload order inside the
+    struct comparison — deterministic on any partitioning (feeds with
+    exactly-once versions never hit the tiebreak).
+
+    Shuffles: one groupBy on the changelog (aggregated rows only — at
+    100 TB the changelog day-slice, never the base, is the small side)
+    plus the anti-join/union partitioning on ``key``.
+    """
+    payload_cols = [c for c in base.columns if c != key]
+    latest = (
+        changelog.groupBy(key)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(version_col).alias("v"),
+                    F.col(op_col).alias("op"),
+                    *[F.col(c).alias(c) for c in payload_cols],
+                )
+            ).alias("b")
+        )
+        .select(key, "b.op", *[F.col(f"b.{c}").alias(c) for c in payload_cols])
+    )
+    untouched = base.join(latest.select(key), on=key, how="left_anti")
+    upserts = latest.filter(F.col("op") != "D").select(key, *payload_cols)
+    return untouched.unionByName(upserts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Content-hash diff of two table snapshots: per key, classify as
+    added / removed / changed / unchanged — the regression gate a
+    pipeline runs between yesterday's and today's gold before
+    publishing (did this code change move rows it shouldn't have?).
+
+    Each side collapses to (key, md5-of-row) BEFORE the full-outer
+    join, so the comparison shuffles 16-byte digests, never payloads —
+    at 100 TB the diff costs two scans plus a key-partitioned join of
+    hashes. The row hash concatenates all non-key columns cast to
+    string with NULL sentinels (column order fixed by the schema), so
+    both engines derive identical digests.
+
+    Output: one row per status with its key count (and total on both
+    sides), deterministic and tiny.
+    """
+    payload_cols = [c for c in old.columns if c != key]
+
+    def hashed(df: DataFrame) -> DataFrame:
+        tagged = [
+            F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+                F.concat(F.lit("v"), F.col(c).cast("string"))
+            )
+            for c in payload_cols
+        ]
+        sig = F.md5(F.concat_ws("\x1f", *tagged))
+        return df.select(F.col(key), sig.alias("h"))
+
+    o = hashed(old).alias("o")
+    n = hashed(new).alias("n")
+    joined = o.join(n, on=key, how="full_outer").select(
+        F.when(F.col("o.h").isNull(), F.lit("added"))
+        .when(F.col("n.h").isNull(), F.lit("removed"))
+        .when(F.col("o.h") != F.col("n.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status")
+    )
+    return joined.groupBy("status").agg(F.count(F.lit(1)).alias("n_keys"))

@@ -300,3 +300,88 @@ def decayed_user_value(
         tiebreak_col,
         expr.alias("decayed_value"),
     )
+
+
+def rolling_time_window(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key TRAILING TIME-RANGE aggregates: for every event, the
+    count and exact sum of the key's events in the preceding
+    ``window_seconds`` (inclusive of the current instant) — the
+    rate-limit / velocity-feature shape ("spend in the last hour") that
+    row-count frames CANNOT express when events arrive irregularly.
+
+    The frame is a RANGE frame over ``unix_micros(ts)`` — microsecond
+    integers, so the boundary arithmetic is exact and engine-identical
+    (a seconds-granularity cast would truncate and disagree with an
+    interval-arithmetic oracle at sub-second offsets). RANGE frames
+    include ALL peer rows at the same instant, making the result
+    deterministic under timestamp ties without any tiebreak column.
+
+    One shuffle: the window partitions by key and sorts by time — the
+    same single Exchange any per-key window op pays. The frame scan is
+    Spark's sliding-range accumulator, O(rows), not O(rows × frame).
+    The value sum runs in decimal (order-independent, hash-stable).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return df.select(
+        F.col("event_id"),
+        F.col(key_col),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(F.col(value_col).cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing"),
+    )
+
+
+def downsample_first_per_bucket(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_seconds: int = 60,
+) -> DataFrame:
+    """Telemetry downsampling: keep each key's EARLIEST event per time
+    bucket (ties → min event_id) — the lossy-but-bounded reduction that
+    turns a 1 kHz sensor/click stream into at most one row per key per
+    bucket before it ever hits corpus storage.
+
+    One map-side-combinable groupBy on (key, bucket): the argmin
+    travels as a min over a (ts, event_id) struct, so raw rows never
+    pass through a window sort and the shuffle carries one struct per
+    (key, bucket) per map task — the 100 TB posture for a reduction
+    whose output is ~rows/bucket_width.
+    """
+    # integer `div`, not floor(double /): at epoch-microsecond magnitude
+    # a double quotient can land a boundary row in the wrong bucket,
+    # and the oracle's BIGINT // never would.
+    base = df.select(
+        F.col(key_col),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.col("event_id"),
+    ).withColumn(
+        "bucket", F.expr(f"__us div {bucket_seconds * 1_000_000}")
+    )
+    first = F.min(
+        F.struct(F.col("__us").alias("ts_us"), F.col("event_id").alias("event_id"))
+    )
+    return (
+        base.groupBy(key_col, "bucket")
+        .agg(first.alias("f"), F.count(F.lit(1)).alias("n_dropped_plus_1"))
+        .select(
+            key_col,
+            "bucket",
+            F.col("f.event_id").alias("event_id"),
+            F.col("f.ts_us").alias("ts_us"),
+            (F.col("n_dropped_plus_1") - 1).alias("n_dropped"),
+        )
+    )

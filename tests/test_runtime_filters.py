@@ -223,3 +223,140 @@ def test_robust_scale_flags_outlier_when_mad_positive(spark):
     med, mad = float(row["med"]), float(row["mad"])
     expected = sum(1 for v in vals if abs(v - med) > 3.0 * mad)
     assert row["n_outliers"] == expected and row["n_outliers"] >= 1
+
+
+# ------------------------------------------------- rolling / downsample
+
+
+def test_rolling_time_window_trailing_hour(spark):
+    from breweries_etl_spark.operators.temporal import rolling_time_window
+
+    rows = [
+        (1, 100, "2024-01-01 10:00:00", 1.0),
+        (2, 100, "2024-01-01 10:30:00", 2.0),
+        (3, 100, "2024-01-01 11:00:00", 4.0),   # 10:00 still inside (inclusive)
+        (4, 100, "2024-01-01 12:30:00", 8.0),   # everything else aged out
+        (5, 200, "2024-01-01 10:30:00", 16.0),  # other key untouched
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["event_id"]: (r["n_trailing"], float(r["sum_trailing"]))
+        for r in rolling_time_window(df).collect()
+    }
+    assert got == {
+        1: (1, 1.0),
+        2: (2, 3.0),
+        3: (3, 7.0),
+        4: (1, 8.0),
+        5: (1, 16.0),
+    }
+
+
+def test_rolling_time_window_ties_are_peers(spark):
+    from breweries_etl_spark.operators.temporal import rolling_time_window
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", 1.0),
+        (2, 1, "2024-01-01 10:00:00", 2.0),  # same instant: RANGE peers
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["event_id"]: r["n_trailing"] for r in rolling_time_window(df).collect()}
+    assert got == {1: 2, 2: 2}  # both see both — deterministic under ties
+
+
+def test_downsample_keeps_earliest_per_bucket(spark):
+    from breweries_etl_spark.operators.temporal import (
+        downsample_first_per_bucket,
+    )
+
+    rows = [
+        (10, 1, "2024-01-01 10:00:05"),
+        (11, 1, "2024-01-01 10:00:40"),  # same minute -> dropped
+        (12, 1, "2024-01-01 10:01:10"),  # next minute kept
+        (13, 2, "2024-01-01 10:00:59"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["user_id"], r["bucket"]): (r["event_id"], r["n_dropped"])
+        for r in downsample_first_per_bucket(df).collect()
+    }
+    assert len(got) == 3
+    kept = {v[0] for v in got.values()}
+    assert kept == {10, 12, 13}
+    assert sum(v[1] for v in got.values()) == 1  # exactly one row dropped
+
+
+def test_curriculum_buckets_equal_stages(spark):
+    from breweries_etl_spark.operators.corpus import curriculum_buckets
+
+    docs = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 9)], "doc_id long, n_chars long"
+    )
+    rows = {r["stage"]: r for r in curriculum_buckets(docs, n_stages=4).collect()}
+    assert [rows[s]["n_docs"] for s in (1, 2, 3, 4)] == [2, 2, 2, 2]
+    assert rows[1]["min_score"] == 10 and rows[4]["max_score"] == 80
+    assert float(rows[1]["mean_score"]) == 15.0
+
+
+# -------------------------------------------------- cdc / snapshot diff
+
+
+def test_cdc_apply_out_of_order_and_delete(spark):
+    from breweries_etl_spark.operators.merge import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, payload string"
+    )
+    # arrives out of order: stale v1 for key 1 AFTER v2; delete for key 2;
+    # insert for key 9
+    chg = spark.createDataFrame(
+        [
+            (1, 2, "U", "a2"),
+            (1, 1, "U", "a1-stale"),
+            (2, 1, "D", "b"),
+            (9, 1, "I", "new"),
+        ],
+        "k long, version long, op string, payload string",
+    )
+    got = {r["k"]: r["payload"] for r in cdc_apply(base, chg, "k").collect()}
+    assert got == {1: "a2", 3: "c", 9: "new"}
+
+
+def test_cdc_apply_is_order_independent(spark):
+    from breweries_etl_spark.operators.merge import cdc_apply
+
+    base = spark.createDataFrame([(1, "x")], "k long, payload string")
+    rows = [(1, v, "U", f"p{v}") for v in (3, 1, 2)]
+    fwd = spark.createDataFrame(rows, "k long, version long, op string, payload string")
+    rev = spark.createDataFrame(rows[::-1], "k long, version long, op string, payload string")
+    a = cdc_apply(base, fwd, "k").collect()
+    b = cdc_apply(base, rev, "k").collect()
+    assert a == b and a[0]["payload"] == "p3"
+
+
+def test_snapshot_diff_classifies(spark):
+    from breweries_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, payload string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, payload string"
+    )
+    got = {r["status"]: r["n_keys"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_snapshot_diff_null_payloads_differ_from_sentinel(spark):
+    from breweries_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, payload string")
+    new = spark.createDataFrame([(1, "\x00")], "k long, payload string")
+    got = {r["status"]: r["n_keys"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {"changed": 1}
