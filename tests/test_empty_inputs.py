@@ -139,3 +139,49 @@ def test_temperature_weights_on_empty(spark):
 
     docs = spark.createDataFrame([], "doc_id long, lang string")
     assert temperature_mix_weights(docs, "lang").count() == 0
+
+
+def test_round3_cont2_operators_on_empty(spark):
+    """Bloom/CMS/levenshtein/containment/winsorize/robust/rolling/
+    downsample/curriculum/cdc/diff all degrade to empty, not crash."""
+    import pyspark.sql.functions as F
+
+    from breweries_etl_spark.operators.bloomjoin import bloom_semi_join
+    from breweries_etl_spark.operators.corpus import curriculum_buckets
+    from breweries_etl_spark.operators.dedup import (
+        containment_pairs,
+        edit_distance_pairs,
+    )
+    from breweries_etl_spark.operators.merge import cdc_apply, snapshot_diff
+    from breweries_etl_spark.operators.profiling import (
+        cms_heavy_hitters,
+        robust_scale_stats,
+        winsorized_stats,
+    )
+    from breweries_etl_spark.operators.temporal import (
+        downsample_first_per_bucket,
+        rolling_time_window,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, source string, n_chars long")
+    empty_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    empty_kv = spark.createDataFrame([], "k long, v double, g string")
+
+    fact = spark.range(5).select(F.col("id").alias("k"))
+    assert bloom_semi_join(fact, empty_kv.select("k"), "k", "k").count() == 0
+    assert cms_heavy_hitters(empty_kv, "k", threshold=1).count() == 0
+    assert edit_distance_pairs(empty_docs).count() == 0
+    assert containment_pairs(empty_docs, release=False).count() == 0
+    assert winsorized_stats(empty_kv, "v", "g").count() == 0
+    assert robust_scale_stats(empty_kv, "v", "g").count() == 0
+    assert rolling_time_window(empty_events).count() == 0
+    assert downsample_first_per_bucket(empty_events).count() == 0
+    assert curriculum_buckets(empty_docs).count() == 0
+    base = spark.createDataFrame([(1, "a")], "k long, payload string")
+    empty_chg = spark.createDataFrame(
+        [], "k long, version long, op string, payload string"
+    )
+    assert cdc_apply(base, empty_chg, "k").count() == 1  # base passes through
+    assert snapshot_diff(base, base, "k").count() == 1  # all unchanged

@@ -142,3 +142,41 @@ def test_paragraph_dedup_two_data_shuffles(spark, sf_dir):
     import __spark_entry__ as e
 
     assert _exchanges(e.queries()["paragraph_dedup"](spark, sf_dir)) <= 4
+
+
+def test_rolling_time_window_single_exchange(spark, sf_dir):
+    from __spark_entry__ import q_rolling_hour_user_value
+
+    # one hash exchange: the per-user window partitioning
+    assert _exchanges(q_rolling_hour_user_value(spark, sf_dir)) <= 1
+
+
+def test_downsample_single_exchange(spark, sf_dir):
+    from __spark_entry__ import q_downsample_events
+
+    # one hash exchange on (user, bucket); argmin struct combines map-side
+    assert _exchanges(q_downsample_events(spark, sf_dir)) <= 1
+
+
+def test_winsorize_budget(spark, sf_dir):
+    from __spark_entry__ import q_winsorized_price_stats
+
+    plan_df = q_winsorized_price_stats(spark, sf_dir)
+    # bounds agg + final agg; the bounds join itself must broadcast
+    assert _exchanges(plan_df) <= 3
+
+
+def test_cms_heavy_hitters_budget(spark, sf_dir):
+    from __spark_entry__ import q_cms_heavy_hitters
+
+    # sketch groupBy + candidate distinct + exact verify groupBy; the
+    # d sketch-cell joins and the candidate semi-join must all broadcast
+    assert _exchanges(q_cms_heavy_hitters(spark, sf_dir)) <= 4
+
+
+def test_snapshot_diff_budget(spark, sf_dir):
+    from __spark_entry__ import q_snapshot_diff_orders
+
+    # two join sides + status agg (digests only — no payload shuffle
+    # appears as extra exchanges)
+    assert _exchanges(q_snapshot_diff_orders(spark, sf_dir)) <= 4
