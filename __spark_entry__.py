@@ -4298,6 +4298,72 @@ SELECT status, CAST(count(*) AS BIGINT) AS n_keys FROM (
 ) GROUP BY status
 """
 
+_ORACLES["ab_test_value"] = """
+WITH t AS (
+  SELECT CAST('0x' || substring(md5(CAST(user_id AS STRING)), 1, 4) AS BIGINT) % 2
+           AS arm_raw,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+),
+per AS (
+  SELECT arm_raw AS arm, CAST(count(*) AS BIGINT) AS n,
+         SUM(v) AS s, SUM(CAST(v * v AS DECIMAL(38,4))) AS ss
+  FROM t GROUP BY arm_raw
+),
+stats AS (
+  SELECT arm, n,
+    round(CAST(s AS DOUBLE) / n, 6) AS mean,
+    round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+          / (n - 1), 6) AS var
+  FROM per
+),
+z AS (
+  SELECT round((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 6) AS z,
+         abs((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n)) >= 1.96
+           AS significant
+  FROM stats a, stats b WHERE a.arm = 0 AND b.arm = 1
+)
+SELECT s.arm, s.n, s.mean, s.var, z.z, z.significant FROM stats s, z
+"""
+
+_ORACLES["conversion_latency"] = """
+WITH f AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts) - f.t0) AS latency_us
+  FROM events e JOIN f USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= f.t0
+  GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+  quantile_disc(latency_us, 0.5) AS p50_us,
+  quantile_disc(latency_us, 0.9) AS p90_us,
+  quantile_disc(latency_us, 0.99) AS p99_us
+FROM c
+"""
+
+_ORACLES["event_cooccurrence"] = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_type FROM ut GROUP BY event_type),
+pc AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT pc.type_a, pc.type_b, pc.n_both,
+  round(CAST(pc.n_both AS DOUBLE) * CAST(nu.n_users AS DOUBLE)
+        / (CAST(ta.n_type AS DOUBLE) * CAST(tb.n_type AS DOUBLE)), 6) AS lift
+FROM pc
+JOIN tc ta ON ta.event_type = pc.type_a
+JOIN tc tb ON tb.event_type = pc.type_b
+CROSS JOIN nu
+"""
+
 _ORACLES["decayed_user_value"] = """
 SELECT user_id, event_id,
   value + 0.5 * COALESCE(lag(value, 1) OVER w, 0)
@@ -4462,6 +4528,32 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = changed.unionByName(added)
     return snapshot_diff(orders, new, "o_orderkey")
+
+
+def q_ab_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm experiment readout over a portable md5 hash split:
+    exact-decimal component sums → fixed-sequence double z-statistic."""
+    from breweries_etl_spark.operators.behavior import ab_test_stats
+
+    return ab_test_stats(load_events(spark, sf_dir))
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-click→first-purchase latency percentiles (disc picks over
+    integer microsecond deltas)."""
+    from breweries_etl_spark.operators.behavior import (
+        conversion_latency_percentiles,
+    )
+
+    return conversion_latency_percentiles(load_events(spark, sf_dir))
+
+
+def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types at user granularity over
+    the collapsed (user, type) relation."""
+    from breweries_etl_spark.operators.behavior import event_cooccurrence_lift
+
+    return event_cooccurrence_lift(load_events(spark, sf_dir))
 
 
 def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4693,6 +4785,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_stages": q_curriculum_stages,
         "cdc_apply_customers": q_cdc_apply_customers,
         "snapshot_diff_orders": q_snapshot_diff_orders,
+        "ab_test_value": q_ab_test_value,
+        "conversion_latency": q_conversion_latency,
+        "event_cooccurrence": q_event_cooccurrence,
     }
 
 

@@ -96,6 +96,9 @@ FAMILIES: dict[str, list[str]] = {
         "decayed_user_value",
         "rolling_hour_user_value",
         "downsample_events",
+        "ab_test_value",
+        "conversion_latency",
+        "event_cooccurrence",
     ],
     "dedup": [
         "dedup_exact",

@@ -253,3 +253,164 @@ def rfm_segments(df: DataFrame, buckets: int = 4) -> DataFrame:
         "segment",
         F.concat_ws("-", "r_bucket", "f_bucket", "m_bucket"),
     )
+
+
+def ab_test_stats(
+    df: DataFrame,
+    assign_col: str = "user_id",
+    value_col: str = "value",
+    buckets: int = 2,
+) -> DataFrame:
+    """Two-sample experiment readout over a HASH-ASSIGNED split: each
+    unit lands in arm A/B by a deterministic content hash (the same
+    partition-invariant assignment the sampling operators use — no
+    stored assignment table needed), then the z-statistic for the mean
+    difference comes out of EXACT component sums.
+
+    Engine-exact arithmetic: n, Σx, Σx² accumulate in decimal (order
+    independent); mean, Welford-free variance (Σx² − (Σx)²/n)/(n−1) and
+    z = (x̄_A − x̄_B)/√(s²_A/n_A + s²_B/n_B) are then a FIXED sequence of
+    double ops every engine reproduces bit-for-bit. One aggregation
+    pass over the fact table — the shuffle carries 2 rows.
+
+    Output: one row per arm (n, mean, var) plus the pooled z and its
+    |z| ≥ 1.96 significance flag repeated on both rows (keeps the
+    result a single flat frame).
+    """
+    from .sampling import hash_bucket_expr
+
+    # portable md5 bucketing (same primitive as the sampling/split
+    # operators) — any engine reproduces the assignment
+    arm = F.pmod(hash_bucket_expr(F.col(assign_col)), F.lit(buckets)).alias("arm")
+    v = F.col(value_col).cast("decimal(12,2)")
+    per_arm = (
+        df.select(arm, v.alias("__v"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__v").alias("__s"),
+            F.sum((F.col("__v") * F.col("__v")).cast("decimal(38,4)")).alias("__ss"),
+        )
+    )
+    mean = F.col("__s").cast("double") / F.col("n")
+    var = (
+        F.col("__ss").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    stats = per_arm.select(
+        "arm",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("var"),
+    )
+    a = stats.filter(F.col("arm") == 0).select(
+        F.col("n").alias("na"), F.col("mean").alias("ma"), F.col("var").alias("va")
+    )
+    b = stats.filter(F.col("arm") == 1).select(
+        F.col("n").alias("nb"), F.col("mean").alias("mb"), F.col("var").alias("vb")
+    )
+    z = (F.col("ma") - F.col("mb")) / F.sqrt(
+        F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    )
+    zrow = a.crossJoin(b).select(
+        F.round(z, 6).alias("z"), (F.abs(z) >= 1.96).alias("significant")
+    )
+    return stats.crossJoin(F.broadcast(zrow))
+
+
+def conversion_latency_percentiles(
+    df: DataFrame,
+    from_event: str = "click",
+    to_event: str = "purchase",
+) -> DataFrame:
+    """Latency distribution from each user's FIRST ``from_event`` to
+    their first ``to_event`` AFTER it — the time-to-convert readout
+    behind funnel dashboards. Percentiles are ``percentile_disc`` picks
+    over integer microsecond deltas: exact, engine-identical, no
+    interpolation.
+
+    Two tiny aggregates (first click per user, first qualifying
+    purchase per user) joined on user — never a window over raw events;
+    the percentile runs over one row per converting user.
+    """
+    us = F.unix_micros(F.col("ts"))
+    first_from = (
+        df.filter(F.col("event_type") == from_event)
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t0"))
+    )
+    joined = (
+        df.filter(F.col("event_type") == to_event)
+        .join(first_from, "user_id")
+        .filter(us >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min(us - F.col("t0")).alias("latency_us"))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY latency_us)"
+            ).cast("long").alias(f"p{int(p * 100)}_us")
+            for p in (0.5, 0.9, 0.99)
+        ],
+    )
+
+
+def event_cooccurrence_lift(
+    df: DataFrame,
+    min_users: int = 5,
+) -> DataFrame:
+    """Market-basket lift between event types at user granularity:
+    lift(a,b) = P(a,b) / (P(a)·P(b)) over the user population — which
+    behaviors travel together (>1) or repel (<1).
+
+    The per-user event-type set collapses FIRST (distinct on (user,
+    type) — bounded by users × |type vocabulary|, tiny next to raw
+    events); the pair expansion is a self-join on user over that
+    collapsed relation, so its size is users × C(types-per-user, 2)
+    with a small fixed vocabulary — never a join over raw events. The
+    lift arithmetic is one fixed double expression from exact counts.
+    """
+    ut = df.select("user_id", "event_type").distinct()
+    # population size as a one-row broadcast frame, not a driver action:
+    # the whole operator stays one lazy plan
+    n_users = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("__n_users")
+    )
+    type_counts = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_users)
+    )
+    ta = type_counts.select(
+        F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a")
+    )
+    tb = type_counts.select(
+        F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b")
+    )
+    lift = (
+        F.col("n_both").cast("double")
+        * F.col("__n_users").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        pair_counts.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a", "type_b", "n_both", F.round(lift, 6).alias("lift")
+        )
+    )
