@@ -22,7 +22,12 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..config import (
     API_BASE_URL,
@@ -44,6 +49,9 @@ class BreweryDataSource(DataSource):
 
     def reader(self, schema) -> "BreweryReader":
         return BreweryReader(schema, self.options)
+
+    def simpleStreamReader(self, schema) -> "BreweryStreamReader":
+        return BreweryStreamReader(schema, self.options)
 
 
 class _PagePartition(InputPartition):
@@ -99,3 +107,88 @@ class BreweryReader(DataSourceReader):
                 last_exc = exc
                 time.sleep(API_RETRY_BACKOFF_S)
         raise RuntimeError(f"page {page} failed after retries") from last_exc
+
+
+class BreweryStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the paginated REST scan:
+    ``spark.readStream.format("openbrewerydb")`` tails the endpoint one
+    page per micro-batch — the continuous-ingestion upgrade of the
+    reference's one-shot fetch loop.
+
+    Offset protocol (what makes it exactly-once): the offset is simply
+    ``{"page": N}`` — the number of pages fully committed. ``read``
+    advances it by up to ``pages_per_batch``; a replay of a failed batch
+    goes through ``readBetweenOffsets(start, end)``, which re-fetches
+    EXACTLY pages (start, end] — deterministic in fixture mode and
+    idempotent against an append-only API. When the fixture is
+    exhausted the reader reports no new data (same offset back), which
+    is what lets ``processAllAvailable``/availableNow terminate.
+
+    At scale the page fetch happens on the DRIVER for a simple stream
+    reader (per the API contract — prefetched rows ride to executors
+    with the plan); one page per batch keeps that driver hop at
+    per_page rows. A firehose would use the partitioned batch reader
+    per window instead.
+    """
+
+    def __init__(self, schema, options):
+        self.schema_fields = schema.fieldNames()
+        self.fixture_json = options.get("fixture_json")
+        self.per_page = int(options.get("per_page", str(API_PER_PAGE_LIMIT)))
+        self.base_url = options.get("base_url", API_BASE_URL)
+        self.pages_per_batch = int(options.get("pages_per_batch", "1"))
+        self._fixture_cache: list[list[dict]] | None = None
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def _fixture_pages(self) -> list[list[dict]]:
+        if self._fixture_cache is None:
+            with open(self.fixture_json, encoding="utf-8") as f:
+                self._fixture_cache = json.load(f)
+        return self._fixture_cache
+
+    def _page_rows(self, page: int) -> list[dict] | None:
+        """Rows of 1-indexed ``page``; None when past the end (fixture
+        exhausted — live mode treats an empty page the same way)."""
+        if self.fixture_json:
+            pages = self._fixture_pages()
+            if page > len(pages):
+                return None
+            return pages[page - 1]
+        rows = BreweryReader(
+            _SchemaShim(self.schema_fields), 
+            {"base_url": self.base_url, "per_page": str(self.per_page)},
+        )._fetch_live(page)
+        return rows or None
+
+    def read(self, start: dict):
+        page = int(start.get("page", 0))
+        out: list[tuple] = []
+        advanced = page
+        for _ in range(self.pages_per_batch):
+            rows = self._page_rows(advanced + 1)
+            if rows is None:
+                break
+            advanced += 1
+            out.extend(
+                tuple(r.get(k) for k in self.schema_fields) for r in rows
+            )
+        return iter(out), {"page": advanced}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for page in range(int(start["page"]) + 1, int(end["page"]) + 1):
+            rows = self._page_rows(page) or []
+            for r in rows:
+                yield tuple(r.get(k) for k in self.schema_fields)
+
+
+class _SchemaShim:
+    """Minimal stand-in so the stream reader can reuse BreweryReader's
+    retry/backoff fetch without building a full StructType."""
+
+    def __init__(self, names: list[str]):
+        self._names = names
+
+    def fieldNames(self) -> list[str]:
+        return self._names

@@ -134,3 +134,68 @@ def test_streaming_merge_sink_replay_is_idempotent(spark, tmp_path):
     # full reprocess): snapshot must not duplicate or drift
     again = sorted(map(tuple, _run_latest_sink(spark, src, tbl).collect()))
     assert first == again
+
+
+def test_streaming_datasource_pages_as_microbatches(spark, tmp_path):
+    """The streaming face of the REST source: one page per micro-batch,
+    offset = committed page count, exhaustion reported as no-new-data so
+    processAllAvailable terminates."""
+    pages = [
+        [{"id": "1", "name": "A", "brewery_type": "micro", "country": "X"}],
+        [{"id": "2", "name": "B", "brewery_type": "nano", "country": "Y"}],
+        [{"id": "3", "name": "C", "brewery_type": "micro", "country": "X"}],
+    ]
+    fixture = tmp_path / "stream_pages.json"
+    fixture.write_text(json.dumps(pages))
+    try:
+        spark.dataSource.register(BreweryDataSource)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("openbrewerydb")
+        .option("fixture_json", str(fixture))
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_brewery_stream")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT id FROM t_brewery_stream").collect()
+        assert {r["id"] for r in got} == {"1", "2", "3"}
+        # one page per micro-batch: at least 3 batches committed
+        assert q.lastProgress["batchId"] >= 2
+    finally:
+        q.stop()
+
+
+def test_streaming_datasource_replay_between_offsets(tmp_path):
+    """Failure replay must re-produce EXACTLY the pages in (start, end]."""
+    from breweries_etl_spark.sources.brewery_datasource import (
+        BreweryStreamReader,
+        _SchemaShim,
+    )
+
+    pages = [
+        [{"id": "1"}], [{"id": "2"}], [{"id": "3"}],
+    ]
+    fixture = tmp_path / "pages.json"
+    fixture.write_text(json.dumps(pages))
+    reader = BreweryStreamReader(
+        _SchemaShim(["id"]), {"fixture_json": str(fixture)}
+    )
+    assert reader.initialOffset() == {"page": 0}
+    rows, off = reader.read({"page": 0})
+    assert list(rows) == [("1",)] and off == {"page": 1}
+    replay = list(reader.readBetweenOffsets({"page": 1}, {"page": 3}))
+    assert replay == [("2",), ("3",)]
+    # exhausted: same offset back, no rows
+    rows, off = reader.read({"page": 3})
+    assert list(rows) == [] and off == {"page": 3}

@@ -50,6 +50,15 @@ QUERIES = [
     "weighted_sample_docs", "ngram_diversity", "decayed_user_value",
     "paragraph_dedup", "top_event_paths", "rfm_segments",
     "winnowing_fingerprints", "collocation_pmi",
+    # round-3 (cont. 2): runtime filters + maintenance + experimentation.
+    # bloom probe is scan-proportional; CMS is bounded-state; containment
+    # and edit-distance pair counts rise with the planted sf1ish dup
+    # density (workload, not plan); rolling/downsample are one-shuffle
+    # event ops; cdc/diff shuffle aggregated keys/digests only.
+    "bloom_prefilter_join", "cms_heavy_hitters", "dedup_edit_distance",
+    "dedup_containment", "winsorized_price_stats", "robust_scale_orders",
+    "rolling_hour_user_value", "downsample_events", "cdc_apply_customers",
+    "snapshot_diff_orders", "ab_test_value", "event_cooccurrence",
 ]
 
 
