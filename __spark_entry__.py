@@ -4364,6 +4364,31 @@ JOIN tc tb ON tb.event_type = pc.type_b
 CROSS JOIN nu
 """
 
+_ORACLES["contract_check_orders"] = """
+SELECT 'not_null' AS "constraint", 'o_orderkey' AS "column",
+       CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'not_null', 'o_custkey',
+       CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique', 'o_orderkey',
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS n FROM orders WHERE o_orderkey IS NOT NULL
+      GROUP BY o_orderkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'accepted_values', 'o_orderstatus',
+       CAST(count(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'references', 'o_custkey', CAST(count(*) AS BIGINT)
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
 _ORACLES["decayed_user_value"] = """
 SELECT user_id, event_id,
   value + 0.5 * COALESCE(lag(value, 1) OVER w, 0)
@@ -4554,6 +4579,23 @@ def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from breweries_etl_spark.operators.behavior import event_cooccurrence_lift
 
     return event_cooccurrence_lift(load_events(spark, sf_dir))
+
+
+def q_contract_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract gate on orders: not-null keys, unique
+    primary key, accepted status values, customer FK — one union plan,
+    violation counts per constraint (zeros kept for completeness)."""
+    from breweries_etl_spark.operators.quality import contract_violations
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return contract_violations(
+        orders,
+        not_null=["o_orderkey", "o_custkey"],
+        unique=["o_orderkey"],
+        accepted_values={"o_orderstatus": ["O", "F", "P"]},
+        references=[("o_custkey", customer, "c_custkey")],
+    )
 
 
 def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4788,6 +4830,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_value": q_ab_test_value,
         "conversion_latency": q_conversion_latency,
         "event_cooccurrence": q_event_cooccurrence,
+        "contract_check_orders": q_contract_check_orders,
     }
 
 

@@ -64,6 +64,7 @@ FAMILIES: dict[str, list[str]] = {
         "robust_scale_orders",
         "cdc_apply_customers",
         "snapshot_diff_orders",
+        "contract_check_orders",
     ],
     "text": [
         "text_stats",

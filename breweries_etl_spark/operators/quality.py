@@ -114,3 +114,115 @@ def count_duplicate_ids(df: DataFrame, column: str = "id") -> DataFrame:
             "duplicate_count"
         )
     )
+
+
+def contract_violations(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[str] | None = None,
+    accepted_values: dict[str, list] | None = None,
+    references: list[tuple] | None = None,
+) -> DataFrame:
+    """Declarative data-contract check (the dbt-tests surface): one row
+    per declared constraint with its violation count — the publish gate
+    a pipeline runs between writing a table and announcing it.
+
+    Constraint kinds:
+    - ``not_null``: columns that must never be NULL;
+    - ``unique``: columns whose values must not repeat;
+    - ``accepted_values``: column → allowed literal set;
+    - ``references``: (column, other_df, other_col) foreign keys — every
+      non-null value must exist in the referenced column.
+
+    Scale shape: each check is a count aggregate (map-side combined) or
+    an anti-join on the key — never a window or a collect. All checks
+    run as ONE union plan, so a single action materializes the whole
+    contract; the fact table is scanned once per check kind, not once
+    per column (the per-column null counts share a scan exactly like
+    ``null_counts``).
+
+    Output: (constraint, column, n_violations) — empty-constraint rows
+    (0 violations) are KEPT so the gate can assert completeness, not
+    just absence of failures.
+    """
+    spark = df.sparkSession
+    checks: list[DataFrame] = []
+    if not_null:
+        aggs = [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in not_null
+        ]
+        wide = df.agg(*aggs)
+        checks.append(
+            wide.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit("not_null").alias("constraint"),
+                                F.lit(c).alias("column"),
+                                F.col(c).cast("long").alias("n_violations"),
+                            )
+                            for c in not_null
+                        ]
+                    )
+                ).alias("v")
+            ).select("v.*")
+        )
+    for c in unique or []:
+        dups = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .agg(
+                F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias(
+                    "n_violations"
+                )
+            )
+            .select(
+                F.lit("unique").alias("constraint"),
+                F.lit(c).alias("column"),
+                F.col("n_violations").cast("long"),
+            )
+        )
+        checks.append(dups)
+    for c, allowed in (accepted_values or {}).items():
+        bad = df.agg(
+            F.count(
+                F.when(
+                    F.col(c).isNotNull() & ~F.col(c).isin(list(allowed)), 1
+                )
+            )
+            .cast("long")
+            .alias("n_violations")
+        ).select(
+            F.lit("accepted_values").alias("constraint"),
+            F.lit(c).alias("column"),
+            "n_violations",
+        )
+        checks.append(bad)
+    for c, other, other_col in references or []:
+        orphans = (
+            df.select(F.col(c))
+            .filter(F.col(c).isNotNull())
+            .join(
+                other.select(F.col(other_col).alias(c)).distinct(),
+                on=c,
+                how="left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            .select(
+                F.lit("references").alias("constraint"),
+                F.lit(c).alias("column"),
+                "n_violations",
+            )
+        )
+        checks.append(orphans)
+    if not checks:
+        return spark.createDataFrame(
+            [], "constraint string, column string, n_violations long"
+        )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -199,3 +199,36 @@ def main(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def plan_backfill(
+    existing: list[str],
+    start_date: str,
+    end_date: str,
+    max_partitions: int | None = None,
+) -> list[str]:
+    """Backfill planner: which daily partitions in [start_date,
+    end_date] are missing from ``existing``? Returns them oldest-first
+    (optionally capped per run) — the decision step an orchestrated
+    backfill runs BEFORE launching per-partition jobs, so a resumed
+    campaign never recomputes a day it already landed.
+
+    Pure driver-side date arithmetic on partition NAMES (ISO dates) —
+    at 100 TB the partition listing is a metastore/filesystem call,
+    never a data scan.
+    """
+    from datetime import date, timedelta
+
+    d0 = date.fromisoformat(start_date)
+    d1 = date.fromisoformat(end_date)
+    if d1 < d0:
+        raise ValueError(f"end_date {end_date} precedes start_date {start_date}")
+    have = set(existing)
+    missing = []
+    cur = d0
+    while cur <= d1:
+        iso = cur.isoformat()
+        if iso not in have:
+            missing.append(iso)
+        cur += timedelta(days=1)
+    return missing[:max_partitions] if max_partitions else missing

@@ -59,3 +59,63 @@ def test_duplicate_count_second_plus_occurrences(spark):
     assert count_duplicate_ids(df, "id").first()["duplicate_count"] == 3
     df2 = spark.createDataFrame([Row(id="a"), Row(id="b")])
     assert count_duplicate_ids(df2, "id").first()["duplicate_count"] == 0
+
+
+def test_contract_violations_counts(spark):
+    from breweries_etl_spark.operators.quality import contract_violations
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "O"),
+            (1, 20, "F"),        # duplicate pk
+            (None, 30, "O"),     # null pk
+            (4, None, "X"),      # null fk + bad status
+            (5, 99, "O"),        # orphan fk
+        ],
+        "pk long, fk long, status string",
+    )
+    dim = spark.createDataFrame([(10,), (20,), (30,)], "k long")
+    out = {
+        (r["constraint"], r["column"]): r["n_violations"]
+        for r in contract_violations(
+            df,
+            not_null=["pk", "fk"],
+            unique=["pk"],
+            accepted_values={"status": ["O", "F"]},
+            references=[("fk", dim, "k")],
+        ).collect()
+    }
+    assert out == {
+        ("not_null", "pk"): 1,
+        ("not_null", "fk"): 1,
+        ("unique", "pk"): 1,       # one extra copy of pk=1
+        ("accepted_values", "status"): 1,
+        ("references", "fk"): 1,   # fk=99 orphan (nulls skipped)
+    }
+
+
+def test_contract_violations_clean_table_keeps_zero_rows(spark):
+    from breweries_etl_spark.operators.quality import contract_violations
+
+    df = spark.createDataFrame([(1, "O"), (2, "F")], "pk long, status string")
+    rows = contract_violations(
+        df, not_null=["pk"], unique=["pk"], accepted_values={"status": ["O", "F"]}
+    ).collect()
+    assert len(rows) == 3 and all(r["n_violations"] == 0 for r in rows)
+
+
+def test_plan_backfill_missing_days():
+    from breweries_etl_spark.plans.pipeline import plan_backfill
+
+    have = ["2024-01-01", "2024-01-03"]
+    assert plan_backfill(have, "2024-01-01", "2024-01-05") == [
+        "2024-01-02", "2024-01-04", "2024-01-05",
+    ]
+    assert plan_backfill(have, "2024-01-01", "2024-01-05", max_partitions=2) == [
+        "2024-01-02", "2024-01-04",
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):
+        plan_backfill([], "2024-02-01", "2024-01-01")
