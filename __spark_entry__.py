@@ -4389,6 +4389,46 @@ WHERE o.o_custkey IS NOT NULL
   AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)
 """
 
+_ORACLES["lang_distribution_shift"] = """
+WITH a AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_a FROM documents
+  WHERE CAST('0x' || substring(md5(CAST(doc_id AS STRING)), 1, 4) AS BIGINT) < 32768
+  GROUP BY lang
+),
+b AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_b FROM documents
+  WHERE CAST('0x' || substring(md5(CAST(doc_id AS STRING)), 1, 4) AS BIGINT) >= 32768
+  GROUP BY lang
+),
+cats AS (
+  SELECT COALESCE(a.lang, b.lang) AS lang,
+         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+  FROM a FULL OUTER JOIN b ON a.lang = b.lang
+),
+tot AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cats
+),
+terms AS (
+  SELECT c.lang, c.n_a, c.n_b,
+    round(CAST(c.n_a + 1 AS DOUBLE) / (t.ta + t.k), 6) AS p_a,
+    round(CAST(c.n_b + 1 AS DOUBLE) / (t.tb + t.k), 6) AS p_b,
+    round((CAST(c.n_a + 1 AS DOUBLE) / (t.ta + t.k))
+          * ln((CAST(c.n_a + 1 AS DOUBLE) / (t.ta + t.k))
+               / (CAST(c.n_b + 1 AS DOUBLE) / (t.tb + t.k))), 6) AS kl_term,
+    round(abs(CAST(c.n_a + 1 AS DOUBLE) / (t.ta + t.k)
+              - CAST(c.n_b + 1 AS DOUBLE) / (t.tb + t.k)) / 2, 6) AS tv_term
+  FROM cats c CROSS JOIN tot t
+),
+sums AS (
+  SELECT CAST(SUM(CAST(kl_term AS DECIMAL(18,6))) AS DOUBLE) AS total_kl,
+         CAST(SUM(CAST(tv_term AS DECIMAL(18,6))) AS DOUBLE) AS total_tv
+  FROM terms
+)
+SELECT terms.*, sums.total_kl, sums.total_tv FROM terms CROSS JOIN sums
+"""
+
 _ORACLES["decayed_user_value"] = """
 SELECT user_id, event_id,
   value + 0.5 * COALESCE(lag(value, 1) OVER w, 0)
@@ -4579,6 +4619,20 @@ def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from breweries_etl_spark.operators.behavior import event_cooccurrence_lift
 
     return event_cooccurrence_lift(load_events(spark, sf_dir))
+
+
+def q_lang_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix drift between the two md5-hash halves of the corpus:
+    smoothed per-lang probabilities, KL contributions, decimal-summed
+    totals — all fixed-order double arithmetic, round-6 stable."""
+    from breweries_etl_spark.operators.profiling import distribution_shift
+    from breweries_etl_spark.operators.sampling import hash_bucket_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket_expr(F.col("doc_id"))
+    return distribution_shift(
+        docs.filter(bucket < 32768), docs.filter(bucket >= 32768), "lang"
+    )
 
 
 def q_contract_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4831,6 +4885,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency": q_conversion_latency,
         "event_cooccurrence": q_event_cooccurrence,
         "contract_check_orders": q_contract_check_orders,
+        "lang_distribution_shift": q_lang_distribution_shift,
     }
 
 

@@ -65,6 +65,7 @@ FAMILIES: dict[str, list[str]] = {
         "cdc_apply_customers",
         "snapshot_diff_orders",
         "contract_check_orders",
+        "lang_distribution_shift",
     ],
     "text": [
         "text_stats",

@@ -281,41 +281,70 @@ def ab_test_stats(
 
     # portable md5 bucketing (same primitive as the sampling/split
     # operators) — any engine reproduces the assignment
-    arm = F.pmod(hash_bucket_expr(F.col(assign_col)), F.lit(buckets)).alias("arm")
+    # ONE conditional-aggregation pass: the naive per-arm groupBy then
+    # self-filtered join referenced the aggregate three times (stats +
+    # each arm's branch), and Catalyst re-scanned the fact table for
+    # each — measured 3x the single-scan cost at the 6M-row SF. All six
+    # components come out of one scan; arms explode from the wide row.
+    arm = F.pmod(hash_bucket_expr(F.col(assign_col)), F.lit(buckets))
     v = F.col(value_col).cast("decimal(12,2)")
-    per_arm = (
-        df.select(arm, v.alias("__v"))
-        .groupBy("arm")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("__v").alias("__s"),
-            F.sum((F.col("__v") * F.col("__v")).cast("decimal(38,4)")).alias("__ss"),
-        )
+    keyed = df.select(arm.alias("arm"), v.alias("__v"))
+    wide = keyed.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("__v"))).alias("s0"),
+        F.sum(
+            F.when(F.col("arm") == 0, (F.col("__v") * F.col("__v")).cast("decimal(38,4)"))
+        ).alias("ss0"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("__v"))).alias("s1"),
+        F.sum(
+            F.when(F.col("arm") == 1, (F.col("__v") * F.col("__v")).cast("decimal(38,4)"))
+        ).alias("ss1"),
     )
-    mean = F.col("__s").cast("double") / F.col("n")
-    var = (
-        F.col("__ss").cast("double")
-        - F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("n")
-    ) / (F.col("n") - 1)
-    stats = per_arm.select(
-        "arm",
-        "n",
-        F.round(mean, 6).alias("mean"),
-        F.round(var, 6).alias("var"),
+
+    def _mean(sc, n):
+        return F.col(sc).cast("double") / F.col(n)
+
+    def _var(ssc, sc, n):
+        return (
+            F.col(ssc).cast("double")
+            - F.col(sc).cast("double") * F.col(sc).cast("double") / F.col(n)
+        ) / (F.col(n) - 1)
+
+    derived = wide.select(
+        F.col("n0"),
+        F.col("n1"),
+        F.round(_mean("s0", "n0"), 6).alias("m0"),
+        F.round(_var("ss0", "s0", "n0"), 6).alias("v0"),
+        F.round(_mean("s1", "n1"), 6).alias("m1"),
+        F.round(_var("ss1", "s1", "n1"), 6).alias("v1"),
     )
-    a = stats.filter(F.col("arm") == 0).select(
-        F.col("n").alias("na"), F.col("mean").alias("ma"), F.col("var").alias("va")
+    z = (F.col("m0") - F.col("m1")) / F.sqrt(
+        F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
     )
-    b = stats.filter(F.col("arm") == 1).select(
-        F.col("n").alias("nb"), F.col("mean").alias("mb"), F.col("var").alias("vb")
+    with_z = derived.select(
+        "*", F.round(z, 6).alias("z"), (F.abs(z) >= 1.96).alias("significant")
     )
-    z = (F.col("ma") - F.col("mb")) / F.sqrt(
-        F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
-    )
-    zrow = a.crossJoin(b).select(
-        F.round(z, 6).alias("z"), (F.abs(z) >= 1.96).alias("significant")
-    )
-    return stats.crossJoin(F.broadcast(zrow))
+    return with_z.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("arm"),
+                    F.col("n0").alias("n"),
+                    F.col("m0").alias("mean"),
+                    F.col("v0").alias("var"),
+                ),
+                F.struct(
+                    F.lit(1).cast("long").alias("arm"),
+                    F.col("n1").alias("n"),
+                    F.col("m1").alias("mean"),
+                    F.col("v1").alias("var"),
+                ),
+            )
+        ).alias("s"),
+        "z",
+        "significant",
+    ).select("s.arm", "s.n", "s.mean", "s.var", "z", "significant")
 
 
 def conversion_latency_percentiles(

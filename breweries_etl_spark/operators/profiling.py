@@ -410,3 +410,57 @@ def robust_scale_stats(
             ).alias("n_outliers"),
         )
     )
+
+
+def distribution_shift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    category_col: str,
+) -> DataFrame:
+    """Categorical drift readout between two table slices (yesterday vs
+    today, train vs incoming): per-category Laplace-smoothed
+    probabilities, each category's KL contribution, and the summed
+    KL(a‖b) / total-variation distance — the monitoring numbers a
+    corpus pipeline alerts on when the source/language mix moves.
+
+    Determinism across engines: probabilities and log terms are fixed
+    double expressions (identical operation order), each per-category
+    term is rounded to 6 dp, and the TOTALS are sums of the ROUNDED
+    terms carried in decimal — order-independent, so the aggregate
+    hashes identically on any partitioning. Two count aggregates
+    (category-level, tiny) full-outer-joined, never a raw-row join.
+    """
+    counts_a = df_a.groupBy(category_col).agg(F.count(F.lit(1)).alias("n_a"))
+    counts_b = df_b.groupBy(category_col).agg(F.count(F.lit(1)).alias("n_b"))
+    cats = counts_a.join(counts_b, category_col, "full_outer").select(
+        category_col,
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+    )
+    totals = cats.agg(
+        F.sum("n_a").alias("__ta"),
+        F.sum("n_b").alias("__tb"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    p_a = (F.col("n_a") + 1).cast("double") / (F.col("__ta") + F.col("__k"))
+    p_b = (F.col("n_b") + 1).cast("double") / (F.col("__tb") + F.col("__k"))
+    kl_term = F.round(p_a * F.log(p_a / p_b), 6)
+    tv_term = F.round(F.abs(p_a - p_b) / 2, 6)
+    terms = cats.crossJoin(F.broadcast(totals)).select(
+        category_col,
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        kl_term.alias("kl_term"),
+        tv_term.alias("tv_term"),
+    )
+    sums = terms.agg(
+        F.sum(F.col("kl_term").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_kl"),
+        F.sum(F.col("tv_term").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_tv"),
+    )
+    return terms.crossJoin(F.broadcast(sums))

@@ -119,3 +119,31 @@ def test_equi_width_histogram_constant_column(spark):
     df = spark.createDataFrame([Row(v=5.0)] * 7)
     out = equi_width_histogram(df, "v", 10).collect()
     assert len(out) == 1 and out[0]["bucket"] == 1 and out[0]["cnt"] == 7
+
+
+def test_distribution_shift_identical_slices_zero(spark):
+    from breweries_etl_spark.operators.profiling import distribution_shift
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(40)], "id long, lang string"
+    )
+    out = distribution_shift(df, df, "lang").collect()
+    assert len(out) == 2
+    for r in out:
+        assert float(r["kl_term"]) == 0.0 and float(r["tv_term"]) == 0.0
+        assert float(r["total_kl"]) == 0.0 and float(r["total_tv"]) == 0.0
+
+
+def test_distribution_shift_detects_missing_category(spark):
+    from breweries_etl_spark.operators.profiling import distribution_shift
+
+    a = spark.createDataFrame([(i, "en") for i in range(50)], "id long, lang string")
+    b = spark.createDataFrame(
+        [(i, "en" if i < 25 else "de") for i in range(50)], "id long, lang string"
+    )
+    rows = {r["lang"]: r for r in distribution_shift(a, b, "lang").collect()}
+    assert set(rows) == {"en", "de"}
+    assert rows["de"]["n_a"] == 0 and rows["de"]["n_b"] == 25
+    assert float(rows["en"]["total_kl"]) > 0.3  # en mass halved -> big KL
+    # TV distance ~ (|0.98-0.5| + |0.02-0.5|)/2 ~ 0.48 with smoothing
+    assert 0.4 < float(rows["en"]["total_tv"]) < 0.5

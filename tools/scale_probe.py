@@ -163,6 +163,15 @@ def main() -> None:
         "quadratic density, not a plan regression (the bin equi-join plan is",
         "unchanged; see PLANS.md). At a real 100 TB the time span grows with",
         "the data and per-window density stays ~constant.",
+        "",
+        "`dedup_containment` / `dedup_edit_distance` grow superlinearly here",
+        "for the same reason: sf1ish duplicates every document ×10, so every",
+        "copy-pair is a legitimate candidate — candidate count grows ~100×",
+        "(quadratic in copy multiplicity), which is the OUTPUT the operators",
+        "are defined to produce, not a plan defect. A production corpus runs",
+        "exact dedup FIRST (as `training_data_prep` chains it), collapsing",
+        "copy groups to canonicals before any pairwise stage; on the",
+        "deduped corpus both operators return to scan-proportional cost.",
     ]
     with open("/root/repo/SCALING.md", "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
