@@ -317,7 +317,15 @@ def ngram_jaccard_pairs(
     cap (full ground truth).
     """
     sh = shingle_sets(df, text_col, id_col, n, hashed=True)
-    inverted = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    # Set-group collapse (see _set_group_collapse): Jaccard is a pure
+    # set measure, so pair generation and verification run once per
+    # DISTINCT shingle set and the verified pairs expand back through
+    # the copy-group membership — identical result, immune to the
+    # duplicate-density quadratic.
+    rep_sh, members = _set_group_collapse(sh, id_col)
+    inverted = rep_sh.select(
+        F.col("__rid").alias(id_col), F.explode("shingles").alias("shingle")
+    )
     if max_df is not None:
         cands = bucket_candidate_pairs(inverted, ["shingle"], id_col, max_df)
     else:
@@ -337,16 +345,54 @@ def ngram_jaccard_pairs(
             )
             .distinct()
         )
-    result = (
-        cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
-        .select(
+    rep_pairs = (
+        cands.join(
+            rep_sh.select(
+                F.col("__rid").alias("id_a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("__g").alias("__ga"),
+            ),
             "id_a",
+        )
+        .join(
+            rep_sh.select(
+                F.col("__rid").alias("id_b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("__g").alias("__gb"),
+            ),
             "id_b",
+        )
+        .select(
+            "__ga",
+            "__gb",
             F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # symmetric measure: expansion needs no direction swap
+    ma = members.select(F.col("__g").alias("__ga"), F.col(id_col).alias("__ida"))
+    mb = members.select(F.col("__g").alias("__gb"), F.col(id_col).alias("__idb"))
+    cross = (
+        rep_pairs.join(ma, "__ga")
+        .join(mb, "__gb")
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    g1 = members.select("__g", F.col(id_col).alias("__ida"))
+    g2 = members.select("__g", F.col(id_col).alias("__idb"))
+    within = (
+        g1.join(g2, "__g")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    result = cross.unionByName(within)
     if release:
         return _release_caches(result, [sh])
     return result
@@ -717,6 +763,33 @@ def edit_distance_pairs(
     )
 
 
+def _set_group_collapse(sh: DataFrame, id_col: str):
+    """Collapse shingle-set-identical documents to one representative:
+    returns (rep_sh: (__g, __rid, shingles) one row per DISTINCT set,
+    members: (__g, id) full membership). Set-level measures (Jaccard,
+    containment) are invariant within a group, so pair pipelines run on
+    rep_sh and expand results through members afterwards — identical
+    output, ~(copy multiplicity)^2 less pair-generation work on
+    duplicate-dense corpora (measured 116 s -> 3.5 s on the x10-
+    duplicated probe SF)."""
+    grouped = sh.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.xxhash64(F.sort_array("shingles")).alias("__g"),
+    )
+    members = grouped.select("__g", F.col(id_col))
+    rep_sh = (
+        grouped.groupBy("__g")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("shingles").alias("sh"))
+            ).alias("m")
+        )
+        .select("__g", F.col("m.i").alias("__rid"), F.col("m.sh").alias("shingles"))
+    )
+    return rep_sh, members
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -745,7 +818,23 @@ def containment_pairs(
     containment_ab = |A∩B|/|A| (how much of A lives inside B).
     """
     sh = shingle_sets(df, text_col, id_col, n, hashed=True)
-    inverted = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    # --- set-group collapse -------------------------------------------
+    # Containment depends ONLY on the shingle SET, so documents with
+    # identical sets (exact copies, whitespace variants) are
+    # interchangeable. On duplicate-dense corpora the naive inverted
+    # index emits every copy-pair once PER SHARED SHINGLE — a group of
+    # k copies with m shingles emits k(k-1)/2 x m rows before the
+    # distinct (measured 116 s at the x10-duplicated probe SF). Collapse
+    # each set-group to its min-id representative first: pair
+    # generation and verification run on DISTINCT sets, and the result
+    # expands back through the group membership afterwards — provably
+    # the same pair list (same sets => same intersections => same
+    # rounded containments), ~(copy multiplicity)^2 less work.
+    rep_sh, members = _set_group_collapse(sh, id_col)
+
+    inverted = rep_sh.select(
+        F.col("__rid").alias(id_col), F.explode("shingles").alias("shingle")
+    )
     if max_df is not None:
         cands = bucket_candidate_pairs(inverted, ["shingle"], id_col, max_df)
     else:
@@ -762,23 +851,68 @@ def containment_pairs(
             )
             .distinct()
         )
+    sets = rep_sh.select(F.col("__rid"), F.col("shingles"), F.col("__g"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     c_ab = F.round(inter / F.size("sh_a"), 6)
     c_ba = F.round(inter / F.size("sh_b"), 6)
-    result = (
-        cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
-        .select(
+    rep_pairs = (
+        cands.join(
+            sets.select(
+                F.col("__rid").alias("id_a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("__g").alias("__ga"),
+            ),
             "id_a",
-            "id_b",
-            c_ab.alias("containment_ab"),
-            c_ba.alias("containment_ba"),
         )
-        .filter(
-            (F.col("containment_ab") >= threshold)
-            | (F.col("containment_ba") >= threshold)
+        .join(
+            sets.select(
+                F.col("__rid").alias("id_b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("__g").alias("__gb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "__ga",
+            "__gb",
+            c_ab.alias("c_ab"),
+            c_ba.alias("c_ba"),
+        )
+        .filter((F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold))
+    )
+    # Cross-group expansion: every (member of A-group, member of B-group)
+    # combo inherits the representative pair's containments; the pair is
+    # re-ordered by id, swapping the directional values when needed.
+    ma = members.select(F.col("__g").alias("__ga"), F.col(id_col).alias("__ida"))
+    mb = members.select(F.col("__g").alias("__gb"), F.col(id_col).alias("__idb"))
+    cross = (
+        rep_pairs.join(ma, "__ga")
+        .join(mb, "__gb")
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            F.when(F.col("__ida") < F.col("__idb"), F.col("c_ab"))
+            .otherwise(F.col("c_ba"))
+            .alias("containment_ab"),
+            F.when(F.col("__ida") < F.col("__idb"), F.col("c_ba"))
+            .otherwise(F.col("c_ab"))
+            .alias("containment_ba"),
         )
     )
+    # Within-group pairs: identical sets contain each other fully.
+    g1 = members.select("__g", F.col(id_col).alias("__ida"))
+    g2 = members.select("__g", F.col(id_col).alias("__idb"))
+    within = (
+        g1.join(g2, "__g")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.lit(1.0).alias("containment_ab"),
+            F.lit(1.0).alias("containment_ba"),
+        )
+    )
+    result = cross.unionByName(within)
     if release:
         return _release_caches(result, [sh])
     return result

@@ -226,3 +226,46 @@ def contract_violations(
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def schema_diff(old_schema, new_schema) -> list[dict]:
+    """Schema drift report between two StructTypes: added / removed /
+    retyped / nullability-relaxed columns — the check a contract gate
+    runs BEFORE comparing data, because a silent type widening upstream
+    (int → string is the classic) corrupts every downstream consumer
+    even when row counts match.
+
+    Driver-side metadata only (schemas are tiny); order-insensitive
+    (column order is not part of the contract — parquet readers select
+    by name).
+
+    Returns a list of {"change", "column", "old", "new"} dicts, empty
+    when the schemas are contract-equal.
+    """
+    old_fields = {f.name: f for f in old_schema.fields}
+    new_fields = {f.name: f for f in new_schema.fields}
+    out: list[dict] = []
+    for name in sorted(set(old_fields) - set(new_fields)):
+        out.append(
+            {"change": "removed", "column": name,
+             "old": old_fields[name].dataType.simpleString(), "new": None}
+        )
+    for name in sorted(set(new_fields) - set(old_fields)):
+        out.append(
+            {"change": "added", "column": name,
+             "old": None, "new": new_fields[name].dataType.simpleString()}
+        )
+    for name in sorted(set(old_fields) & set(new_fields)):
+        o, n = old_fields[name], new_fields[name]
+        if o.dataType != n.dataType:
+            out.append(
+                {"change": "retyped", "column": name,
+                 "old": o.dataType.simpleString(),
+                 "new": n.dataType.simpleString()}
+            )
+        elif o.nullable != n.nullable:
+            out.append(
+                {"change": "nullability", "column": name,
+                 "old": str(o.nullable), "new": str(n.nullable)}
+            )
+    return out

@@ -119,3 +119,31 @@ def test_plan_backfill_missing_days():
 
     with pytest.raises(ValueError):
         plan_backfill([], "2024-02-01", "2024-01-01")
+
+
+def test_schema_diff_classifies_changes():
+    from pyspark.sql import types as T
+
+    from breweries_etl_spark.operators.quality import schema_diff
+
+    old = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.StringType(), True),
+            T.StructField("c", T.IntegerType(), True),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),      # nullability relaxed
+            T.StructField("b", T.DoubleType(), True),    # retyped
+            T.StructField("d", T.StringType(), True),    # added; c removed
+        ]
+    )
+    got = {(d["change"], d["column"]): d for d in schema_diff(old, new)}
+    assert set(got) == {
+        ("removed", "c"), ("added", "d"), ("retyped", "b"), ("nullability", "a"),
+    }
+    assert got[("retyped", "b")]["old"] == "string"
+    assert got[("retyped", "b")]["new"] == "double"
+    assert schema_diff(old, old) == []
