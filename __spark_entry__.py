@@ -4429,6 +4429,45 @@ sums AS (
 SELECT terms.*, sums.total_kl, sums.total_tv FROM terms CROSS JOIN sums
 """
 
+_ORACLES["k_anonymity_customers"] = """
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(5 AS BIGINT) AS k,
+  CAST(count(*) AS BIGINT) AS n_classes,
+  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_unsafe_classes,
+  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+  CAST(min(n) AS BIGINT) AS min_class_size
+FROM c
+"""
+
+_ORACLES["column_entropy_orders"] = """
+WITH pairs AS (
+  SELECT 'o_orderstatus' AS col_name,
+         COALESCE(CAST(o_orderstatus AS STRING), chr(0) || 'null') AS val
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COALESCE(CAST(o_orderpriority AS STRING), chr(0) || 'null')
+  FROM orders
+),
+counts AS (
+  SELECT col_name, val, CAST(count(*) AS BIGINT) AS n
+  FROM pairs GROUP BY col_name, val
+),
+totals AS (
+  SELECT col_name, CAST(SUM(n) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM counts GROUP BY col_name
+)
+SELECT c.col_name, t.n_distinct,
+  CAST(SUM(CAST(round(-(CAST(c.n AS DOUBLE) / t.total)
+                      * log2(CAST(c.n AS DOUBLE) / t.total), 6)
+                AS DECIMAL(18,6))) AS DOUBLE) AS entropy_bits
+FROM counts c JOIN totals t USING (col_name)
+GROUP BY c.col_name, t.n_distinct
+"""
+
 _ORACLES["decayed_user_value"] = """
 SELECT user_id, event_id,
   value + 0.5 * COALESCE(lag(value, 1) OVER w, 0)
@@ -4632,6 +4671,28 @@ def q_lang_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = hash_bucket_expr(F.col("doc_id"))
     return distribution_shift(
         docs.filter(bucket < 32768), docs.filter(bucket >= 32768), "lang"
+    )
+
+
+def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification audit on (nation, market segment) quasi-
+    identifiers at k=5: class counts and rows-at-risk, one hash agg."""
+    from breweries_etl_spark.operators.quality import k_anonymity_check
+
+    return k_anonymity_check(
+        load_table(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        k=5,
+    )
+
+
+def q_column_entropy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Shannon entropy (status + priority) from one shared
+    groupBy pass; round-6 terms decimal-summed for order independence."""
+    from breweries_etl_spark.operators.profiling import categorical_entropy
+
+    return categorical_entropy(
+        load_table(spark, sf_dir, "orders"), ["o_orderstatus", "o_orderpriority"]
     )
 
 
@@ -4886,6 +4947,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_cooccurrence": q_event_cooccurrence,
         "contract_check_orders": q_contract_check_orders,
         "lang_distribution_shift": q_lang_distribution_shift,
+        "k_anonymity_customers": q_k_anonymity_customers,
+        "column_entropy_orders": q_column_entropy_orders,
     }
 
 

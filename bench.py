@@ -66,6 +66,8 @@ FAMILIES: dict[str, list[str]] = {
         "snapshot_diff_orders",
         "contract_check_orders",
         "lang_distribution_shift",
+        "k_anonymity_customers",
+        "column_entropy_orders",
     ],
     "text": [
         "text_stats",

@@ -464,3 +464,48 @@ def distribution_shift(
         .alias("total_tv"),
     )
     return terms.crossJoin(F.broadcast(sums))
+
+
+def categorical_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (bits) and distinct count per categorical column
+    — the screening statistic for feature selection and drift baselines
+    (a column whose entropy collapses overnight stopped carrying
+    information).
+
+    One scan per column-value aggregate (unpivoted into (column, value)
+    first, so ALL columns share a single groupBy pass); the entropy sum
+    runs over round-6 per-value terms carried in decimal — order-
+    independent, engine-identical. NULL is counted as its own category
+    (missingness is information).
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")).alias(
+                            "val"
+                        ),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    counts = pairs.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("col_name").agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("n").cast("double") / F.col("__total")
+    term = F.round(-p * F.log2(p), 6)
+    return (
+        counts.join(F.broadcast(totals), "col_name")
+        .select("col_name", "n_distinct", term.alias("__t"))
+        .groupBy("col_name", "n_distinct")
+        .agg(
+            F.sum(F.col("__t").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("entropy_bits")
+        )
+    )

@@ -269,3 +269,31 @@ def schema_diff(old_schema, new_schema) -> list[dict]:
                  "old": str(o.nullable), "new": str(n.nullable)}
             )
     return out
+
+
+def k_anonymity_check(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: how many
+    equivalence classes (distinct quasi-identifier tuples) exist, how
+    many fall below ``k`` members, and how many ROWS sit in those
+    under-k classes — the re-identification exposure a dataset release
+    (or a training-corpus compliance pass) reports before publishing.
+
+    One hash aggregate over the quasi columns (map-side combined), one
+    single-row rollup — the class table is the only shuffled relation,
+    bounded by the quasi-tuple cardinality, never the raw rows.
+
+    Output: one row (k, n_classes, n_unsafe_classes, n_rows_at_risk,
+    min_class_size).
+    """
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return classes.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum((F.col("__n") < k).cast("long")).alias("n_unsafe_classes"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(F.lit(0))).alias(
+            "n_rows_at_risk"
+        ),
+        F.min("__n").alias("min_class_size"),
+    )

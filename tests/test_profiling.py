@@ -147,3 +147,25 @@ def test_distribution_shift_detects_missing_category(spark):
     assert float(rows["en"]["total_kl"]) > 0.3  # en mass halved -> big KL
     # TV distance ~ (|0.98-0.5| + |0.02-0.5|)/2 ~ 0.48 with smoothing
     assert 0.4 < float(rows["en"]["total_tv"]) < 0.5
+
+
+def test_categorical_entropy_uniform_and_constant(spark):
+    import math
+
+    from breweries_etl_spark.operators.profiling import categorical_entropy
+
+    df = spark.createDataFrame(
+        [(("a" if i % 2 else "b"), "const", None) for i in range(64)],
+        "fair string, constant string, always_null string",
+    )
+    rows = {
+        r["col_name"]: r
+        for r in categorical_entropy(
+            df, ["fair", "constant", "always_null"]
+        ).collect()
+    }
+    assert abs(float(rows["fair"]["entropy_bits"]) - 1.0) < 1e-6
+    assert float(rows["constant"]["entropy_bits"]) == 0.0
+    assert float(rows["always_null"]["entropy_bits"]) == 0.0  # NULL = one class
+    assert rows["fair"]["n_distinct"] == 2
+    assert rows["always_null"]["n_distinct"] == 1

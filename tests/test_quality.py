@@ -147,3 +147,15 @@ def test_schema_diff_classifies_changes():
     assert got[("retyped", "b")]["old"] == "string"
     assert got[("retyped", "b")]["new"] == "double"
     assert schema_diff(old, old) == []
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from breweries_etl_spark.operators.quality import k_anonymity_check
+
+    rows = [("us", "a")] * 6 + [("us", "b")] * 2 + [("de", "a")]
+    df = spark.createDataFrame(rows, "nation string, seg string")
+    r = k_anonymity_check(df, ["nation", "seg"], k=5).collect()[0]
+    assert r["n_classes"] == 3
+    assert r["n_unsafe_classes"] == 2   # (us,b)=2 and (de,a)=1
+    assert r["n_rows_at_risk"] == 3
+    assert r["min_class_size"] == 1
