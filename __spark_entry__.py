@@ -4468,6 +4468,52 @@ FROM counts c JOIN totals t USING (col_name)
 GROUP BY c.col_name, t.n_distinct
 """
 
+_ORACLES["join_size_orders_lineitem"] = """
+WITH lc AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS nl
+            FROM orders GROUP BY o_orderkey),
+rc AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nr
+       FROM lineitem GROUP BY l_orderkey),
+pk AS (SELECT lc.k, nl * nr AS o FROM lc JOIN rc USING (k))
+SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS n_join_rows,
+  CAST(count(*) AS BIGINT) AS n_matching_keys,
+  CAST(COALESCE(MAX(o), 0) AS BIGINT) AS max_key_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_left,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_right
+FROM pk
+"""
+
+_ORACLES["embedding_norm_profile"] = """
+WITH norms AS (
+  SELECT vec_id, len(embedding) AS dim,
+    round(sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                FROM unnest(embedding) AS t(x))), 6) AS nrm
+  FROM embeddings
+),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+    CAST(max(dim) AS INTEGER) AS dim,
+    round(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+      AS mean_norm,
+    min(nrm) AS min_norm, max(nrm) AS max_norm
+  FROM norms
+),
+dims AS (
+  SELECT i,
+    CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+      AS s,
+    CAST(count(*) AS BIGINT) AS n
+  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+  GROUP BY i
+),
+mv AS (
+  SELECT round(sqrt(CAST(SUM(CAST(round((s / n) * (s / n), 8)
+                                  AS DECIMAL(28,8))) AS DOUBLE)), 6)
+           AS mean_vector_norm
+  FROM dims
+)
+SELECT base.*, mv.mean_vector_norm FROM base CROSS JOIN mv
+"""
+
 _ORACLES["decayed_user_value"] = """
 SELECT user_id, event_id,
   value + 0.5 * COALESCE(lag(value, 1) OVER w, 0)
@@ -4672,6 +4718,27 @@ def q_lang_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_shift(
         docs.filter(bucket < 32768), docs.filter(bucket >= 32768), "lang"
     )
+
+
+def q_join_size_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact orders⋈lineitem output cardinality WITHOUT running the
+    join — key-count relations only."""
+    from breweries_etl_spark.operators.profiling import join_size_estimate
+
+    return join_size_estimate(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+    )
+
+
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-quality profile: norm spread + mean-vector norm
+    (anisotropy smell test); decimal-carried sums, round-6 stable."""
+    from breweries_etl_spark.operators.profiling import embedding_norm_stats
+
+    return embedding_norm_stats(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4949,6 +5016,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution_shift": q_lang_distribution_shift,
         "k_anonymity_customers": q_k_anonymity_customers,
         "column_entropy_orders": q_column_entropy_orders,
+        "join_size_orders_lineitem": q_join_size_orders_lineitem,
+        "embedding_norm_profile": q_embedding_norm_profile,
     }
 
 

@@ -68,6 +68,7 @@ FAMILIES: dict[str, list[str]] = {
         "lang_distribution_shift",
         "k_anonymity_customers",
         "column_entropy_orders",
+        "join_size_orders_lineitem",
     ],
     "text": [
         "text_stats",
@@ -129,6 +130,7 @@ FAMILIES: dict[str, list[str]] = {
         "pack_sequences",
         "semantic_dedup",
         "kmeans_train_centroids",
+        "embedding_norm_profile",
     ],
     "graph_bfs": ["graph_bfs_levels"],
     "graph_pagerank": ["graph_pagerank_top"],

@@ -509,3 +509,99 @@ def categorical_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
             .alias("entropy_bits")
         )
     )
+
+
+def join_size_estimate(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """EXACT output cardinality of ``left ⋈ right`` WITHOUT running the
+    join: Σ_k count_left(k) · count_right(k) over the key-count tables —
+    the pre-flight check before a 100 TB join that tells you whether
+    you are about to produce 10⁹ or 10¹⁵ rows (a key-multiplicity
+    mistake is the most common way a pipeline ODs a cluster).
+
+    Cost: one map-side-combined count per side (key-cardinality-sized
+    relations), one equi-join of the COUNTS — never the payloads. Also
+    reports the heaviest key's contribution, the number of matching
+    keys, and each side's row count for fan-out ratios.
+    """
+    lc = left.groupBy(F.col(left_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__nl")
+    )
+    rc = right.groupBy(F.col(right_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__nr")
+    )
+    per_key = lc.join(rc, "__k").select(
+        "__k", (F.col("__nl") * F.col("__nr")).alias("__out")
+    )
+    totals_l = left.agg(F.count(F.lit(1)).alias("n_left"))
+    totals_r = right.agg(F.count(F.lit(1)).alias("n_right"))
+    return (
+        per_key.agg(
+            F.coalesce(F.sum("__out"), F.lit(0)).alias("n_join_rows"),
+            F.count(F.lit(1)).alias("n_matching_keys"),
+            F.coalesce(F.max("__out"), F.lit(0)).alias("max_key_rows"),
+        )
+        .crossJoin(F.broadcast(totals_l))
+        .crossJoin(F.broadcast(totals_r))
+    )
+
+
+def embedding_norm_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Embedding-quality profile: vector count, dimension, mean/min/max
+    L2 norm, and the norm of the MEAN vector — the anisotropy smell
+    test (a mean-vector norm close to the mean norm means all vectors
+    point the same way and cosine similarity has collapsed).
+
+    Norms are per-row array folds (no shuffle); the mean vector comes
+    from per-dimension sums via posexplode + groupBy (one shuffle of
+    dim-sized rows). Per-row norms round to 6 dp before the decimal-
+    carried aggregate so results are order-independent.
+    """
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        6,
+    )
+    per_row = df.select(
+        norm.alias("__norm"), F.size(vec_col).alias("__dim")
+    )
+    base = per_row.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.max("__dim").alias("dim"),
+        F.round(
+            F.sum(F.col("__norm").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_norm"),
+        F.min("__norm").alias("min_norm"),
+        F.max("__norm").alias("max_norm"),
+    )
+    dims = df.select(
+        F.posexplode(F.col(vec_col)).alias("__i", "__x")
+    ).groupBy("__i").agg(
+        F.round(F.sum(F.col("__x").cast("decimal(28,8)")).cast("double"), 6).alias(
+            "__s"
+        ),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    mean_vec_norm = dims.agg(
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.round(
+                        (F.col("__s") / F.col("__n"))
+                        * (F.col("__s") / F.col("__n")),
+                        8,
+                    ).cast("decimal(28,8)")
+                ).cast("double")
+            ),
+            6,
+        ).alias("mean_vector_norm")
+    )
+    return base.crossJoin(F.broadcast(mean_vec_norm))

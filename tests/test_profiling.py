@@ -169,3 +169,34 @@ def test_categorical_entropy_uniform_and_constant(spark):
     assert float(rows["always_null"]["entropy_bits"]) == 0.0  # NULL = one class
     assert rows["fair"]["n_distinct"] == 2
     assert rows["always_null"]["n_distinct"] == 1
+
+
+def test_join_size_estimate_matches_actual_join(spark):
+    from breweries_etl_spark.operators.profiling import join_size_estimate
+
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    b = spark.createDataFrame([(1,), (1,), (1,), (3,), (9,)], "j long")
+    r = join_size_estimate(a, b, "k", "j").collect()[0]
+    actual = a.join(b, a["k"] == b["j"]).count()
+    assert r["n_join_rows"] == actual == 7  # 2*3 + 1*1
+    assert r["n_matching_keys"] == 2 and r["max_key_rows"] == 6
+    assert r["n_left"] == 4 and r["n_right"] == 5
+
+
+def test_embedding_norm_stats_unit_vectors(spark):
+    from breweries_etl_spark.operators.profiling import embedding_norm_stats
+
+    # two opposite unit vectors: mean vector = 0 -> anisotropy-free
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [-1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    r = embedding_norm_stats(df).collect()[0]
+    assert r["n_vectors"] == 2 and r["dim"] == 2
+    assert float(r["mean_norm"]) == 1.0
+    assert float(r["mean_vector_norm"]) == 0.0
+    # identical vectors: mean-vector norm == mean norm (full collapse)
+    df2 = spark.createDataFrame(
+        [(1, [0.6, 0.8]), (2, [0.6, 0.8])], "vec_id long, embedding array<float>"
+    )
+    r2 = embedding_norm_stats(df2).collect()[0]
+    assert abs(float(r2["mean_vector_norm"]) - float(r2["mean_norm"])) < 1e-5
