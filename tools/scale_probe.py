@@ -59,6 +59,11 @@ QUERIES = [
     "dedup_containment", "winsorized_price_stats", "robust_scale_orders",
     "rolling_hour_user_value", "downsample_events", "cdc_apply_customers",
     "snapshot_diff_orders", "ab_test_value", "event_cooccurrence",
+    # set-group-collapsed exact Jaccard + the audit/profiling wave
+    "dedup_ngram_jaccard", "lang_distribution_shift",
+    "k_anonymity_customers", "column_entropy_orders",
+    "join_size_orders_lineitem", "embedding_norm_profile",
+    "contract_check_orders", "conversion_latency",
 ]
 
 
