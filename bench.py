@@ -70,6 +70,10 @@ FAMILIES: dict[str, list[str]] = {
         "column_entropy_orders",
         "join_size_orders_lineitem",
     ],
+    # the text family is split: 17 queries in one JVM bled ~2x into the
+    # gram-relation heavyweights at the tail (winnowing 1.6 s fresh vs
+    # 4.0 s in-family) — same isolation rationale as the dedup/graph
+    # splits below
     "text": [
         "text_stats",
         "classifier_quality_score",
@@ -78,15 +82,17 @@ FAMILIES: dict[str, list[str]] = {
         "gopher_quality_flags",
         "feature_hash_counts",
         "corpus_dup_ngrams",
-        "contamination_check",
-        "decontaminate_train",
-        "bigram_lm_scores",
         "split_sentences_udtf",
-        "ccnet_perplexity_buckets",
         "audio_frame_features",
+    ],
+    "textgrams": [
         "ngram_diversity",
         "winnowing_fingerprints",
         "collocation_pmi",
+        "bigram_lm_scores",
+        "ccnet_perplexity_buckets",
+        "contamination_check",
+        "decontaminate_train",
         "logreg_train_weights",
     ],
     "temporal": [
