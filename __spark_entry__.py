@@ -4514,6 +4514,36 @@ mv AS (
 SELECT base.*, mv.mean_vector_norm FROM base CROSS JOIN mv
 """
 
+_ORACLES["event_gap_stats"] = """
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS us,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER
+      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  max(gap_us) AS max_gap_us,
+  CAST(SUM(CASE WHEN gap_us > 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_large_gaps,
+  max(us) - min(us) AS span_us
+FROM g GROUP BY user_id
+"""
+
+_ORACLES["user_event_novelty"] = """
+WITH f AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+    CASE WHEN row_number() OVER
+      (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) = 1
+      THEN 1 ELSE 0 END AS is_new
+  FROM events
+)
+SELECT event_id, user_id,
+  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS n_types_seen
+FROM f
+"""
+
 _ORACLES["decayed_user_value"] = """
 SELECT user_id, event_id,
   value + 0.5 * COALESCE(lag(value, 1) OVER w, 0)
@@ -4718,6 +4748,21 @@ def q_lang_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_shift(
         docs.filter(bucket < 32768), docs.filter(bucket >= 32768), "lang"
     )
+
+
+def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user max silence / large-gap count / activity span — dead
+    sensor detection from the data itself (integer µs deltas)."""
+    from breweries_etl_spark.operators.temporal import event_gap_stats
+
+    return event_gap_stats(load_events(spark, sf_dir), gap_threshold_s=86_400)
+
+
+def q_user_event_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-event-type count per user (exploration curve)."""
+    from breweries_etl_spark.operators.behavior import user_event_novelty
+
+    return user_event_novelty(load_events(spark, sf_dir))
 
 
 def q_join_size_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5018,6 +5063,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy_orders": q_column_entropy_orders,
         "join_size_orders_lineitem": q_join_size_orders_lineitem,
         "embedding_norm_profile": q_embedding_norm_profile,
+        "event_gap_stats": q_event_gap_stats,
+        "user_event_novelty": q_user_event_novelty,
     }
 
 

@@ -110,6 +110,8 @@ FAMILIES: dict[str, list[str]] = {
         "ab_test_value",
         "conversion_latency",
         "event_cooccurrence",
+        "event_gap_stats",
+        "user_event_novelty",
     ],
     "dedup": [
         "dedup_exact",

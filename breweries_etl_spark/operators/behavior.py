@@ -10,7 +10,7 @@ negligible. No windows over the full stream, no driver-side state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -442,4 +442,36 @@ def event_cooccurrence_lift(
         .select(
             "type_a", "type_b", "n_both", F.round(lift, 6).alias("lift")
         )
+    )
+
+
+def user_event_novelty(df: DataFrame) -> DataFrame:
+    """Per-event exploration curve: for each event, how many DISTINCT
+    event types the user has encountered up to and including it — the
+    novelty/exploration feature behind engagement models ("is this user
+    still discovering the product?").
+
+    Two window passes, two exchanges: a first-occurrence flag per
+    (user, type) — row_number inside the composite key — then a running
+    sum of the flags re-partitioned by user. Both shuffles carry only
+    (ids, flag, ts) — the narrow projection, never payload columns —
+    and both keys have full user-level parallelism.
+    """
+    us = F.unix_micros(F.col("ts"))
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(us, "event_id")
+    w_user = (
+        Window.partitionBy("user_id")
+        .orderBy("__us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = df.select(
+        "event_id",
+        "user_id",
+        (F.row_number().over(w_type) == 1).cast("long").alias("__is_new"),
+        us.alias("__us"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("__is_new").over(w_user).alias("n_types_seen"),
     )

@@ -385,3 +385,38 @@ def downsample_first_per_bucket(
             (F.col("n_dropped_plus_1") - 1).alias("n_dropped"),
         )
     )
+
+
+def event_gap_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_threshold_s: int = 86_400,
+) -> DataFrame:
+    """Per-key data-gap report: the longest silence between consecutive
+    events, the number of gaps above ``gap_threshold_s``, and the span —
+    how a pipeline detects dead sensors, paused exports, and dropped
+    Kafka partitions from the data itself.
+
+    One key-partitioned window pass (lag), integer microsecond deltas —
+    exact, engine-identical — then a map-side-combinable aggregate.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(us, "event_id")
+    gaps = df.select(
+        F.col(key_col),
+        (us - F.lag(us).over(w)).alias("__gap_us"),
+        us.alias("__us"),
+    )
+    thr = gap_threshold_s * 1_000_000
+    return gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("__gap_us").alias("max_gap_us"),
+        # when(...).otherwise(0), not a bool cast: a single-event key has
+        # only a NULL gap, and sum(cast(NULL)) is NULL while the oracle's
+        # CASE yields 0
+        F.sum(
+            F.when(F.col("__gap_us") > thr, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_large_gaps"),
+        (F.max("__us") - F.min("__us")).alias("span_us"),
+    )

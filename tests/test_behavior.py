@@ -206,3 +206,22 @@ def test_event_cooccurrence_lift_values(spark):
     assert set(out) == {("A", "B")}
     r = out[("A", "B")]
     assert r["n_both"] == 5 and abs(float(r["lift"]) - 1.0) < 1e-9
+
+
+def test_user_event_novelty_counts_first_occurrences(spark):
+    import pyspark.sql.functions as F
+
+    from breweries_etl_spark.operators.behavior import user_event_novelty
+
+    rows = [
+        (1, 1, "view", "2024-01-01 10:00:00"),
+        (2, 1, "view", "2024-01-01 10:01:00"),   # repeat: still 1 type
+        (3, 1, "click", "2024-01-01 10:02:00"),  # 2 types
+        (4, 1, "view", "2024-01-01 10:03:00"),   # still 2
+        (5, 2, "purchase", "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["event_id"]: r["n_types_seen"] for r in user_event_novelty(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}

@@ -361,3 +361,24 @@ def test_sessionize_capped_splits_long_sessions(spark):
     # every sub-session spans <= 4h
     for r in out:
         assert r["end_us"] - r["start_us"] <= 4 * 3600 * 1_000_000
+
+
+def test_event_gap_stats_detects_large_gap(spark):
+    import pyspark.sql.functions as F
+
+    from breweries_etl_spark.operators.temporal import event_gap_stats
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00"),
+        (2, 1, "2024-01-01 10:30:00"),  # 30 min gap
+        (3, 1, "2024-01-03 10:30:00"),  # 2 day gap -> large
+        (4, 2, "2024-01-01 00:00:00"),  # single event: no gaps
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["user_id"]: r for r in event_gap_stats(df, gap_threshold_s=86_400).collect()}
+    assert got[1]["n_large_gaps"] == 1
+    assert got[1]["max_gap_us"] == 48 * 3600 * 1_000_000
+    assert got[2]["n_large_gaps"] == 0 and got[2]["max_gap_us"] is None
+    assert got[2]["span_us"] == 0
