@@ -180,3 +180,17 @@ def test_snapshot_diff_budget(spark, sf_dir):
     # two join sides + status agg (digests only — no payload shuffle
     # appears as extra exchanges)
     assert _exchanges(q_snapshot_diff_orders(spark, sf_dir)) <= 4
+
+
+def test_event_gap_stats_single_exchange(spark, sf_dir):
+    from __spark_entry__ import q_event_gap_stats
+
+    # lag window + groupBy share the user_id partitioning
+    assert _exchanges(q_event_gap_stats(spark, sf_dir)) <= 1
+
+
+def test_user_event_novelty_two_exchanges(spark, sf_dir):
+    from __spark_entry__ import q_user_event_novelty
+
+    # (user, type) first-occurrence window, then the user running sum
+    assert _exchanges(q_user_event_novelty(spark, sf_dir)) <= 2
