@@ -1385,6 +1385,32 @@ sh AS (
 """
 
 
+def _capped_collapse_cte(n: int, max_df: int) -> str:
+    """Mirror of the engine's scale-path candidate machinery
+    (operators/dedup.py: _set_group_collapse + bucket_candidate_pairs):
+    collapse shingle-set-identical docs to a min-id representative,
+    count document frequency over DISTINCT sets, drop shingles with
+    df > max_df, and emit candidate representative pairs. Both the
+    engine and this oracle now run the SAME capped algorithm, so parity
+    no longer depends on no shingle exceeding the cap in the test data
+    (ADVICE r3). Ends with CTEs: g (doc_id, s, gk), rep (gk, rid, rs),
+    cand (ra, rb)."""
+    return f"""
+WITH {_shingle_cte(n)},
+sh_ok AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+g AS (SELECT doc_id, s, md5(CAST(list_sort(s) AS VARCHAR)) AS gk FROM sh_ok),
+rep AS (SELECT gk, min(doc_id) AS rid, arg_min(s, doc_id) AS rs FROM g GROUP BY gk),
+inv AS (SELECT rid, unnest(rs) AS shingle FROM rep),
+kept AS (SELECT shingle FROM inv GROUP BY shingle
+         HAVING count(*) BETWEEN 2 AND {max_df}),
+invk AS (SELECT i.rid, i.shingle FROM inv i JOIN kept k USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.rid AS ra, b.rid AS rb
+  FROM invk a JOIN invk b ON a.shingle = b.shingle AND a.rid < b.rid
+)
+"""
+
+
 _TUMBLING_SQL = """
 SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
   event_type, count(*) AS n_events,
@@ -2615,7 +2641,9 @@ FROM documents
 SELECT md5({_NORM}) AS content_key, min(doc_id) AS doc_id
 FROM documents GROUP BY 1
 """,
-    "dedup_ngram_jaccard": f"""
+    # Uncapped inverted-index ground truth — the oracle for the
+    # prefix-filter (AllPairs) query, which is provably exact.
+    "dedup_prefix_jaccard": f"""
 WITH {_shingle_cte(3)},
 sh_ok AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
 inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh_ok),
@@ -3190,7 +3218,30 @@ _ORACLES["similarity_lsh_topk"] = _lsh_topk_oracle()
 # BIGINT at j=63, then brute-force Hamming<=3 pairs (the Spark side's
 # 4x16-bit pigeonhole banding is exact for radius 3, so the pair sets
 # are identical by construction).
-_ORACLES["dedup_prefix_jaccard"] = _ORACLES["dedup_ngram_jaccard"]
+# Capped mirror of the engine's default scale path (max_df=1000 over
+# DISTINCT shingle sets, set-group collapse, within-group jaccard=1):
+# same algorithm on both sides, not a coincidence on current data.
+_ORACLES["dedup_ngram_jaccard"] = f"""
+{_capped_collapse_cte(3, 1000)},
+vp AS (
+  SELECT xa.gk AS ka, xb.gk AS kb,
+    round(CAST(len(list_intersect(xa.rs, xb.rs)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(xa.rs, xb.rs))) AS DOUBLE), 6) AS jaccard
+  FROM cand JOIN rep xa ON xa.rid = cand.ra JOIN rep xb ON xb.rid = cand.rb
+),
+ver AS (SELECT * FROM vp WHERE jaccard >= 0.5),
+cross_p AS (
+  SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+         greatest(ma.doc_id, mb.doc_id) AS id_b, ver.jaccard
+  FROM ver JOIN g ma ON ma.gk = ver.ka JOIN g mb ON mb.gk = ver.kb
+),
+within AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS jaccard
+  FROM g a JOIN g b ON a.gk = b.gk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM cross_p
+UNION ALL SELECT id_a, id_b, jaccard FROM within
+"""
 
 # Incremental prefix-filtered Jaccard: exact ground truth over the
 # incoming (every 7th doc, id-offset) x base (id not multiple of 5)
@@ -4168,22 +4219,32 @@ FROM lineitem l JOIN bounds b USING (l_returnflag)
 GROUP BY l.l_returnflag
 """
 
+# Capped mirror of the engine scale path (see dedup_ngram_jaccard note):
+# identical max_df algorithm, direction swap on id reorder, within-group
+# full containment.
 _ORACLES["dedup_containment"] = f"""
-WITH {_shingle_cte(3)},
-sh_ok AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
-inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh_ok),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+{_capped_collapse_cte(3, 1000)},
+vp AS (
+  SELECT xa.gk AS ka, xb.gk AS kb,
+    round(CAST(len(list_intersect(xa.rs, xb.rs)) AS DOUBLE) / len(xa.rs), 6) AS c_ab,
+    round(CAST(len(list_intersect(xa.rs, xb.rs)) AS DOUBLE) / len(xb.rs), 6) AS c_ba
+  FROM cand JOIN rep xa ON xa.rid = cand.ra JOIN rep xb ON xb.rid = cand.rb
 ),
-c AS (
-  SELECT id_a, id_b,
-    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s), 6) AS containment_ab,
-    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(y.s), 6) AS containment_ba
-  FROM cand JOIN sh_ok x ON x.doc_id = id_a JOIN sh_ok y ON y.doc_id = id_b
+ver AS (SELECT * FROM vp WHERE c_ab >= 0.8 OR c_ba >= 0.8),
+cross_p AS (
+  SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+         greatest(ma.doc_id, mb.doc_id) AS id_b,
+         CASE WHEN ma.doc_id < mb.doc_id THEN c_ab ELSE c_ba END AS containment_ab,
+         CASE WHEN ma.doc_id < mb.doc_id THEN c_ba ELSE c_ab END AS containment_ba
+  FROM ver JOIN g ma ON ma.gk = ver.ka JOIN g mb ON mb.gk = ver.kb
+),
+within AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         1.0 AS containment_ab, 1.0 AS containment_ba
+  FROM g a JOIN g b ON a.gk = b.gk AND a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, containment_ab, containment_ba
-FROM c WHERE containment_ab >= 0.8 OR containment_ba >= 0.8
+SELECT id_a, id_b, containment_ab, containment_ba FROM cross_p
+UNION ALL SELECT id_a, id_b, containment_ab, containment_ba FROM within
 """
 
 _ORACLES["robust_scale_orders"] = """
@@ -4499,7 +4560,8 @@ base AS (
 ),
 dims AS (
   SELECT i,
-    CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+    round(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,8)))
+               AS DOUBLE), 6)
       AS s,
     CAST(count(*) AS BIGINT) AS n
   FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)

@@ -225,17 +225,62 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    print(final_line(timings, total, sf), flush=True)
+
+
+# The harness that runs this script captures only the last ~2000 chars of
+# stdout and parses the final line as JSON (r3's 75-query line overflowed
+# that window and the round recorded "parsed": null). Contract:
+#   * FULL per-query detail goes to BENCH_SELF.json in the repo root
+#     (committed per round as BENCH_SELF_r{N}.json);
+#   * the final stdout line is ONE compact JSON object, byte-capped at
+#     MAX_LINE_BYTES, whose "queries" dict carries the most expensive
+#     queries first until the cap is reached ("n_queries" records how
+#     many were timed in total, "detail" points at the full artifact).
+MAX_LINE_BYTES = 1600
+
+
+def final_line(timings: dict[str, float], total: float, sf: float) -> str:
+    self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+    with open(self_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "families": {fam: [q for q in qs if q in timings] for fam, qs in FAMILIES.items()},
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+
+    line_q: dict[str, float] = {}
+
+    def render() -> str:
+        return json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": line_q,
+                "sf": sf,
+                "n_queries": len(timings),
+                "detail": "BENCH_SELF.json",
+            },
+            separators=(",", ":"),
+        )
+
+    # Most expensive first — the informative subset for a fixed budget.
+    for name in sorted(timings, key=lambda n: (-timings[n], n)):
+        line_q[name] = timings[name]
+        if len(render()) > MAX_LINE_BYTES:
+            del line_q[name]
+            break
+    return render()
 
 
 if __name__ == "__main__":

@@ -279,6 +279,16 @@ def ab_test_stats(
     """
     from .sampling import hash_bucket_expr
 
+    # Two-arm readout only: the conditional-aggregation pass below
+    # enumerates arms 0 and 1 explicitly, so any other bucket count
+    # would silently drop the remaining arms' rows (ADVICE r3) — fail
+    # loudly instead.
+    if buckets != 2:
+        raise ValueError(
+            f"ab_test_stats is a two-arm readout (buckets=2); got {buckets}. "
+            "For k-arm experiments aggregate per arm with groupBy(arm)."
+        )
+
     # portable md5 bucketing (same primitive as the sampling/split
     # operators) — any engine reproduces the assignment
     # ONE conditional-aggregation pass: the naive per-arm groupBy then
@@ -306,10 +316,16 @@ def ab_test_stats(
         return F.col(sc).cast("double") / F.col(n)
 
     def _var(ssc, sc, n):
-        return (
-            F.col(ssc).cast("double")
-            - F.col(sc).cast("double") * F.col(sc).cast("double") / F.col(n)
-        ) / (F.col(n) - 1)
+        # explicit NULL for degenerate arms (n <= 1): the sample
+        # variance is undefined there, and relying on divide-by-zero
+        # null propagation hides the condition (ADVICE r3)
+        return F.when(
+            F.col(n) > 1,
+            (
+                F.col(ssc).cast("double")
+                - F.col(sc).cast("double") * F.col(sc).cast("double") / F.col(n)
+            ) / (F.col(n) - 1),
+        )
 
     derived = wide.select(
         F.col("n0"),

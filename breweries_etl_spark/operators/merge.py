@@ -136,9 +136,11 @@ def snapshot_diff(
     Each side collapses to (key, md5-of-row) BEFORE the full-outer
     join, so the comparison shuffles 16-byte digests, never payloads —
     at 100 TB the diff costs two scans plus a key-partitioned join of
-    hashes. The row hash concatenates all non-key columns cast to
-    string with NULL sentinels (column order fixed by the schema), so
-    both engines derive identical digests.
+    hashes. The row encoding is INJECTIVE: each non-key column is
+    tagged null/value and length-prefixed ("v<len>:<value>"), so a
+    value containing the field separator cannot shift content across
+    column boundaries (a bare concat_ws would classify e.g.
+    ('x\\x1fvy','z') vs ('x','y\\x1fvz') as unchanged — ADVICE r3).
 
     Output: one row per status with its key count (and total on both
     sides), deterministic and tiny.
@@ -148,7 +150,12 @@ def snapshot_diff(
     def hashed(df: DataFrame) -> DataFrame:
         tagged = [
             F.when(F.col(c).isNull(), F.lit("n")).otherwise(
-                F.concat(F.lit("v"), F.col(c).cast("string"))
+                F.concat(
+                    F.lit("v"),
+                    F.length(F.col(c).cast("string")).cast("string"),
+                    F.lit(":"),
+                    F.col(c).cast("string"),
+                )
             )
             for c in payload_cols
         ]

@@ -308,6 +308,7 @@ def rolling_time_window(
     ts_col: str = "ts",
     value_col: str = "value",
     window_seconds: int = 3600,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Per-key TRAILING TIME-RANGE aggregates: for every event, the
     count and exact sum of the key's events in the preceding
@@ -333,7 +334,7 @@ def rolling_time_window(
         .rangeBetween(-window_seconds * 1_000_000, 0)
     )
     return df.select(
-        F.col("event_id"),
+        F.col(id_col).alias("event_id"),
         F.col(key_col),
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
         F.count(F.lit(1)).over(w).alias("n_trailing"),
@@ -349,6 +350,7 @@ def downsample_first_per_bucket(
     key_col: str = "user_id",
     ts_col: str = "ts",
     bucket_seconds: int = 60,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Telemetry downsampling: keep each key's EARLIEST event per time
     bucket (ties → min event_id) — the lossy-but-bounded reduction that
@@ -367,7 +369,7 @@ def downsample_first_per_bucket(
     base = df.select(
         F.col(key_col),
         F.unix_micros(F.col(ts_col)).alias("__us"),
-        F.col("event_id"),
+        F.col(id_col).alias("event_id"),
     ).withColumn(
         "bucket", F.expr(f"__us div {bucket_seconds * 1_000_000}")
     )
@@ -392,6 +394,7 @@ def event_gap_stats(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_threshold_s: int = 86_400,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Per-key data-gap report: the longest silence between consecutive
     events, the number of gaps above ``gap_threshold_s``, and the span —
@@ -402,7 +405,7 @@ def event_gap_stats(
     exact, engine-identical — then a map-side-combinable aggregate.
     """
     us = F.unix_micros(F.col(ts_col))
-    w = Window.partitionBy(key_col).orderBy(us, "event_id")
+    w = Window.partitionBy(key_col).orderBy(us, id_col)
     gaps = df.select(
         F.col(key_col),
         (us - F.lag(us).over(w)).alias("__gap_us"),

@@ -36,6 +36,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # Progress bars write \r-frames to stdout; any harness that
+        # captures/parses stdout (bench driver) must see clean lines.
+        .config("spark.ui.showConsoleProgress", "false")
         # Files: keep split sizes sane for both 60k-row test parquet and
         # multi-GB production parquet.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
