@@ -1156,6 +1156,26 @@ def q_multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.asset_metadata_stats(assets)
 
 
+def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pipeline end-to-end: per-document deterministic
+    grayscale PNG (pixel = (doc_id·31 + 7x + 13y) mod 256) encoded by
+    the pure-stdlib codec, then decoded back and reduced to exact
+    integer pixel stats — the closed-form pixel function makes the
+    decode output SQL-replayable (functions/pngcodec.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_image_assets(docs, width=16, height=16)
+    return multimodal.image_stats(assets)
+
+
+def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode → nearest-neighbor resample to 8×8 → stats. Source pixel
+    selection is floor(dst·src/dst) = even coordinates, so the oracle
+    sums the pixel function over x,y ∈ {0,2,…,14} exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_image_assets(docs, width=16, height=16)
+    return multimodal.image_stats(assets, resize_to=(8, 8))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode→feature plumbing (deterministic fake extractor) —
     md5-derived features replayed exactly by the DuckDB oracle."""
@@ -3104,6 +3124,40 @@ SELECT asset_id, frame_idx,
     x -> round(x / sqrt(list_sum(list_transform(vs, y -> y * y))), 6))), 6)
     AS feature_sum
 FROM v
+"""
+
+# The synthetic-image pipeline's pixel function is closed-form
+# ((doc_id*31 + 7x + 13y) mod 256), so the REAL encode->PNG->decode
+# round trip reduces to an exactly replayable integer sum.
+_ORACLES["multimodal_decode_stats"] = """
+WITH px AS (
+  SELECT d.doc_id, (d.doc_id * 31 + xs.x * 7 + ys.y * 13) % 256 AS v
+  FROM documents d,
+       (SELECT unnest(range(0, 16)) AS x) xs,
+       (SELECT unnest(range(0, 16)) AS y) ys
+)
+SELECT doc_id AS asset_id,
+  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS channels,
+  CAST(SUM(v) AS BIGINT) AS sum_pixels,
+  round(CAST(SUM(v) AS DOUBLE) / 256, 6) AS mean_pixel
+FROM px GROUP BY doc_id
+"""
+
+# Nearest-neighbor 16->8: source index floor(dst*16/8) = even coords.
+_ORACLES["multimodal_resize_stats"] = """
+WITH px AS (
+  SELECT d.doc_id, (d.doc_id * 31 + xs.x * 7 + ys.y * 13) % 256 AS v
+  FROM documents d,
+       (SELECT unnest(range(0, 16, 2)) AS x) xs,
+       (SELECT unnest(range(0, 16, 2)) AS y) ys
+)
+SELECT doc_id AS asset_id,
+  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS channels,
+  CAST(SUM(v) AS BIGINT) AS sum_pixels,
+  round(CAST(SUM(v) AS DOUBLE) / 64, 6) AS mean_pixel
+FROM px GROUP BY doc_id
 """
 
 
@@ -5057,6 +5111,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "multimodal_meta_stats": q_multimodal_meta_stats,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode_stats": q_multimodal_decode_stats,
+        "multimodal_resize_stats": q_multimodal_resize_stats,
         "price_histogram": q_price_histogram,
         # corpus prep: stratified sampling / chunking
         "stratified_sample_docs": q_stratified_sample_docs,

@@ -7,13 +7,16 @@ payload bytes from parquet (columnar pruning), which at 100 TB is the
 entire game.
 
 Decode/feature-extraction runs as Arrow-batched ``mapInPandas``: executors
-stream RecordBatches, the Python worker sees zero-copy buffers. The real
-decoders (PIL/ffmpeg/torchaudio) are NOT in this container, so decoding is
-STUBBED: ``decode_image`` raises NotImplementedError by design, and
-``fake_feature_extractor`` produces a deterministic md5-derived feature
-vector with the exact schema/batching a real extractor would use — the
-Spark-side plumbing (schema, partitioning, UDF signature, batch shape) is
-real and tested.
+stream RecordBatches, the Python worker sees zero-copy buffers.
+
+Decoder status (round 4): PNG decode/encode/resize are REAL — a pure
+stdlib zlib/struct codec (functions/pngcodec.py, 8-bit gray/RGB/RGBA, all
+five scanline filters), so ``decode_image``/``resize_image``/``image_stats``
+work end-to-end with no PIL. JPEG/WebP/video genuinely need external
+codecs absent from this container: those paths fall through to PIL when
+importable, else raise NotImplementedError, and ``fake_feature_extractor``
+/ ``frame_sample`` keep exercising the production plumbing (schema,
+partitioning, UDF signature, batch shape) with deterministic stand-ins.
 """
 
 from __future__ import annotations
@@ -45,11 +48,30 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload_bytes: bytes) -> "object":
-    """Real image decode — requires PIL, not present in this container.
-    Kept as the explicit extension point for production."""
-    raise NotImplementedError(
-        "image decoding requires PIL/libvips; wire a real decoder here"
-    )
+    """Image decode → uint8 numpy array (h, w, channels).
+
+    PNG decodes natively via the pure-stdlib codec in
+    functions/pngcodec.py (8-bit gray/RGB/RGBA, all five scanline
+    filters — no PIL needed). Other formats (JPEG/WebP) genuinely
+    require external codecs absent from this container and fall
+    through to PIL if available, else raise."""
+    from ..functions import pngcodec
+
+    data = bytes(payload_bytes or b"")
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return pngcodec.decode_png(data)
+    try:  # pragma: no cover - PIL absent in this container
+        import io
+
+        from PIL import Image
+        import numpy as np
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    except ImportError:
+        raise NotImplementedError(
+            "non-PNG image decoding requires PIL/libvips; PNG payloads "
+            "decode natively (functions/pngcodec.py)"
+        )
 
 
 def fake_feature_extractor(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
@@ -82,9 +104,105 @@ def fake_feature_extractor(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFra
 
 
 def resize_image(payload_bytes: bytes, width: int, height: int) -> bytes:
-    """Real image resize — requires PIL/libvips, not in this container.
-    Explicit production extension point."""
-    raise NotImplementedError("image resize requires PIL/libvips")
+    """Decode → deterministic nearest-neighbor resample → re-encode PNG.
+    Fully functional for PNG payloads (no PIL); non-PNG inputs follow
+    decode_image's PIL fallback and re-encode as PNG."""
+    from ..functions import pngcodec
+
+    pixels = decode_image(payload_bytes)
+    return pngcodec.encode_png(pngcodec.resize_nearest(pixels, width, height))
+
+
+def synthetic_image_assets(
+    docs: DataFrame, width: int = 16, height: int = 16
+) -> DataFrame:
+    """Deterministic grayscale PNG per document: pixel(y, x) =
+    (doc_id·31 + x·7 + y·13) mod 256, encoded through the real PNG
+    encoder. Because the pixel function is closed-form, every
+    decode-side statistic is replayable by a SQL oracle — the image
+    pipeline gets hash-matched end-to-end (encode → bytes → decode →
+    stats) instead of settling for a rows-only check.
+
+    Arrow-batched mapInPandas, no shuffle; payload bytes exist only
+    inside the stage that consumes them."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import pngcodec
+
+    ys = 13 * np.arange(height, dtype=np.int64)[:, None]
+    xs = 7 * np.arange(width, dtype=np.int64)[None, :]
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = [
+                pngcodec.encode_png(((int(d) * 31 + ys + xs) % 256).astype("uint8"))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    assets = docs.select("doc_id").mapInPandas(
+        gen, schema="asset_id long, payload binary"
+    )
+    return assets.select(
+        "asset_id",
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def image_stats(
+    assets: DataFrame, resize_to: tuple[int, int] | None = None
+) -> DataFrame:
+    """Decode every PNG payload (optionally resample first) and emit
+    exact integer pixel statistics: (asset_id, width, height, channels,
+    sum_pixels, mean_pixel). Sums accumulate in int64 so the mean is a
+    fixed round(sum/n, 6) any engine reproduces.
+
+    One Arrow-batched mapInPandas — decode is embarrassingly parallel,
+    nothing wider than a RecordBatch materializes per worker."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import pngcodec
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, ws, hs, chs, sums, means = [], [], [], [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                pixels = pngcodec.decode_png(bytes(payload))
+                if resize_to is not None:
+                    pixels = pngcodec.resize_nearest(pixels, *resize_to)
+                h, w, ch = pixels.shape
+                total = int(pixels.astype(np.int64).sum())
+                ids.append(asset_id)
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                sums.append(total)
+                means.append(round(total / (h * w * ch), 6))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "channels": chs,
+                    "sum_pixels": sums,
+                    "mean_pixel": means,
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        stats,
+        schema="asset_id long, width int, height int, channels int, "
+        "sum_pixels long, mean_pixel double",
+    )
 
 
 def frame_sample(
