@@ -4,6 +4,7 @@ topologies, convergence, cache hygiene."""
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from breweries_etl_spark.operators.graph import (
     bfs_levels,
@@ -133,5 +134,50 @@ def test_components_release_caches(spark):
     spark.catalog.clearCache()
     pairs = _pairs(spark, [(1, 2), (2, 3)])
     connected_components(pairs).collect()
+    persistent = spark.sparkContext._jsc.getPersistentRDDs()
+    assert persistent.size() == 0, f"leaked {persistent.size()} persisted RDDs"
+
+
+def test_bfs_converges_in_diameter_rounds_on_large_tree(spark):
+    """Round-4 lock-in for the iterative-loop wins: a complete 10-ary
+    tree with 1,111,110 edges (depth 6). BFS from the root must (a)
+    terminate on frontier exhaustion BEFORE the max_hops budget — round
+    count == diameter, (b) assign every node its exact tree depth
+    (per-level counts are 10^k, closed form), and (c) pin nothing after
+    return."""
+    spark.catalog.clearCache()
+    n = (10**7 - 1) // 9  # 1,111,111 nodes: levels 0..6, level k has 10^k
+    edges = (
+        spark.range(1, n)
+        .selectExpr("CAST((id - 1) DIV 10 AS LONG) AS src", "id AS dst")
+    )
+    sources = spark.range(1).select(F.col("id").alias("node"))
+    # max_hops far above the diameter: if the frontier-empty exit were
+    # broken the loop would burn 20 rounds and the level histogram
+    # would still catch it; terminating fast IS the property.
+    levels = bfs_levels(edges, sources, max_hops=20)
+    hist = {
+        r["level"]: r["n"]
+        for r in levels.groupBy("level").agg(F.count("*").alias("n")).collect()
+    }
+    assert hist == {k: 10**k for k in range(7)}
+    persistent = spark.sparkContext._jsc.getPersistentRDDs()
+    assert persistent.size() == 0, f"leaked {persistent.size()} persisted RDDs"
+
+
+def test_pagerank_mass_conserved_on_large_tree(spark):
+    """PageRank over the same 1.1M-edge tree: rank mass must stay 1
+    within 1e-6 after 3 rounds (dangling leaves redistribute 10/11 of
+    the mass each round — the stress case for the dangling term), with
+    zero pinned RDDs after return."""
+    spark.catalog.clearCache()
+    n = (10**6 - 1) // 9  # 111,111 nodes / 111,110 edges keeps this <30 s
+    edges = (
+        spark.range(1, n)
+        .selectExpr("CAST((id - 1) DIV 10 AS LONG) AS src", "id AS dst")
+    )
+    ranks = pagerank(edges, iterations=3)
+    total = ranks.agg(F.sum("rank").alias("s")).collect()[0]["s"]
+    assert abs(total - 1.0) < 1e-6
     persistent = spark.sparkContext._jsc.getPersistentRDDs()
     assert persistent.size() == 0, f"leaked {persistent.size()} persisted RDDs"
