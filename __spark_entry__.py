@@ -4968,6 +4968,145 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_gold_by_type_location(spark, "/root/testdata/sf0.001")
 
 
+# --------------------------------------------------------------------------
+# Round 4 — corpus/ops profiling wave
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length histogram; bucket index via integer base-2
+    digit count (never floor(log2(double)) — boundary-exact)."""
+    from breweries_etl_spark.operators.text import length_histogram
+
+    return length_histogram(load_table(spark, sf_dir, "documents"))
+
+
+def q_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source char-class composition (alpha/digit/space/other) from
+    exact integer counts — corpus-drift tripwire."""
+    from breweries_etl_spark.operators.text import char_class_profile
+
+    return char_class_profile(load_table(spark, sf_dir, "documents"))
+
+
+def q_seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event type with per-type traffic
+    share."""
+    from breweries_etl_spark.operators.temporal import seasonal_hour_profile
+
+    return seasonal_hour_profile(load_events(spark, sf_dir))
+
+
+def q_rolling_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily-volume z-score vs the trailing 7 observed days
+    (exact integer window sums; NULL z until the history supports a
+    scale)."""
+    from breweries_etl_spark.operators.temporal import rolling_count_anomaly
+
+    return rolling_count_anomaly(load_events(spark, sf_dir))
+
+
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-event-session rate over the gap-sessionized stream."""
+    from breweries_etl_spark.operators.behavior import session_bounce_rate
+
+    return session_bounce_rate(load_events(spark, sf_dir))
+
+
+_ORACLES["doc_length_histogram"] = """
+SELECT CAST(length(printf('%b', length(text))) - 1 AS BIGINT) AS len_bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+  round(CAST(SUM(length(text)) AS DOUBLE) / count(*), 6) AS mean_chars,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words
+FROM documents WHERE length(text) > 0
+GROUP BY 1
+"""
+
+_ORACLES["char_class_profile"] = """
+WITH per AS (
+  SELECT source, length(text) AS n,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS a,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS d,
+    length(regexp_replace(text, '[^ ]', '', 'g')) AS s
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n) AS BIGINT) AS total_chars,
+  round(CAST(SUM(a) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS alpha_ratio,
+  round(CAST(SUM(d) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS digit_ratio,
+  round(CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS space_ratio,
+  round(CAST(SUM(n) - SUM(a) - SUM(d) - SUM(s) AS DOUBLE)
+        / CAST(SUM(n) AS DOUBLE), 6) AS other_ratio
+FROM per GROUP BY source
+"""
+
+_ORACLES["seasonal_hour_profile"] = """
+WITH per AS (
+  SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour,
+    CAST(count(*) AS BIGINT) AS n_events,
+    SUM(CAST(value AS DECIMAL(12,2))) AS sm
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n_events,
+  CAST(sm AS DOUBLE) AS total_value,
+  round(CAST(n_events AS DOUBLE)
+        / CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+    AS hour_share
+FROM per
+"""
+
+_ORACLES["rolling_count_anomaly"] = """
+WITH daily AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT user_id, day, n,
+    count(n) OVER w AS n7, SUM(n) OVER w AS s7, SUM(n * n) OVER w AS ss7
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, day, n,
+  CAST(n7 AS BIGINT) AS n_trailing_days,
+  CASE WHEN n7 >= 1 THEN round(CAST(s7 AS DOUBLE) / n7, 6) END AS trailing_mean,
+  CASE WHEN n7 >= 2
+        AND (CAST(ss7 AS DOUBLE)
+             - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE) / n7) / (n7 - 1) > 0
+       THEN round((n - CAST(s7 AS DOUBLE) / n7)
+                  / sqrt((CAST(ss7 AS DOUBLE)
+                          - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE) / n7)
+                         / (n7 - 1)), 6)
+  END AS z
+FROM win
+"""
+
+_ORACLES["session_bounce_rate"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+    lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e
+), sess AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per AS (
+  SELECT user_id, session_id, count(*) AS n_events FROM sess GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+  round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS bounce_rate,
+  round(CAST(SUM(n_events) AS DOUBLE) / count(*), 6) AS mean_events_per_session
+FROM per
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -5113,6 +5252,12 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "multimodal_resize_stats": q_multimodal_resize_stats,
+        # round-4 corpus/ops profiling wave
+        "doc_length_histogram": q_doc_length_histogram,
+        "char_class_profile": q_char_class_profile,
+        "seasonal_hour_profile": q_seasonal_hour_profile,
+        "rolling_count_anomaly": q_rolling_count_anomaly,
+        "session_bounce_rate": q_session_bounce_rate,
         "price_histogram": q_price_histogram,
         # corpus prep: stratified sampling / chunking
         "stratified_sample_docs": q_stratified_sample_docs,

@@ -491,3 +491,30 @@ def user_event_novelty(df: DataFrame) -> DataFrame:
         "user_id",
         F.sum("__is_new").over(w_user).alias("n_types_seen"),
     )
+
+
+def session_bounce_rate(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """One-row engagement readout over gap-sessionized events: session
+    count, bounce count (single-event sessions), bounce rate, and mean
+    events per session. Builds on temporal.sessionize (same 30-min gap
+    rule the session suite oracles), then reduces the per-session frame
+    to four scalars — the whole post-session aggregate shuffles two
+    numbers per partition.
+    """
+    from .temporal import sessionize
+
+    sessions = sessionize(df, gap_minutes=gap_minutes)
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+        F.round(F.sum("n_events") / F.count(F.lit(1)), 6).alias(
+            "mean_events_per_session"
+        ),
+    )

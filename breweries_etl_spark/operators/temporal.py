@@ -423,3 +423,90 @@ def event_gap_stats(
         ).cast("long").alias("n_large_gaps"),
         (F.max("__us") - F.min("__us")).alias("span_us"),
     )
+
+
+def seasonal_hour_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour-of-day seasonality per event type: count, exact value sum,
+    and each hour's share of the type's traffic — the profile behind
+    "is this pipeline's hourly volume curve normal today?" checks and
+    load-aware scheduling.
+
+    One groupBy on (type, hour) — map-side combinable, 24×|types| rows
+    out of the shuffle — plus a type-partitioned window for the share
+    (runs over the tiny aggregate, not the facts). Value sums ride
+    decimal for order independence.
+    """
+    hour = F.hour(F.col(ts_col)).cast("int")
+    per = (
+        df.select(F.col(type_col).alias("event_type"), hour.alias("hour"),
+                  F.col(value_col).cast("decimal(12,2)").alias("__v"))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__v").alias("__sum"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    return per.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.col("__sum").cast("double").alias("total_value"),
+        F.round(F.col("n_events") / F.sum("n_events").over(w), 6).alias("hour_share"),
+    )
+
+
+def rolling_count_anomaly(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    trailing_days: int = 7,
+) -> DataFrame:
+    """Per-key daily-volume anomaly score: each (key, day)'s event count
+    z-scored against the key's TRAILING ``trailing_days`` observed days
+    (frame excludes the current day) — the data-driven alert for "this
+    source suddenly doubled/died" that absolute thresholds can't express
+    per key.
+
+    Two shuffles total: a map-side-combinable (key, day) count, then a
+    key-partitioned window over the (small) daily aggregate. Day index
+    and all window sums are exact integers (micros div 86400e6, Σx,
+    Σx²); mean/var/z are then a FIXED double sequence — engine-exact.
+    z is NULL until the trailing window holds >= 2 days and the variance
+    is positive (constant history gives no scale to score against).
+    """
+    day = F.expr(f"unix_micros({ts_col}) div {86_400 * 1_000_000}")
+    daily = (
+        df.select(F.col(key_col).alias("key"), day.alias("day"))
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(-trailing_days, -1)
+    )
+    n7 = F.count(F.col("n")).over(w)
+    s7 = F.sum(F.col("n")).over(w)
+    ss7 = F.sum(F.col("n") * F.col("n")).over(w)
+    mean = s7.cast("double") / n7
+    var = (ss7.cast("double") - s7.cast("double") * s7.cast("double") / n7) / (
+        n7 - F.lit(1)
+    )
+    z = F.when(
+        (n7 >= 2) & (var > 0), F.round((F.col("n") - mean) / F.sqrt(var), 6)
+    )
+    return daily.select(
+        F.col("key").alias(key_col),
+        "day",
+        "n",
+        n7.cast("long").alias("n_trailing_days"),
+        F.when(n7 >= 1, F.round(mean, 6)).alias("trailing_mean"),
+        z.alias("z"),
+    )
+

@@ -715,3 +715,76 @@ def collocation_pmi(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(k)
     )
+
+
+def length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus length profile in power-of-two buckets: bucket k holds
+    documents with 2^k <= chars < 2^(k+1). The bucket index is computed
+    in INTEGER arithmetic (digits of the base-2 representation), never
+    floor(log2(double)) — at exact powers of two the float log can land
+    on k-epsilon and shift the boundary document one bucket down, which
+    a value-hash oracle catches instantly.
+
+    One map-side-combinable aggregate over a scan; the shuffle carries
+    ~60 bucket rows regardless of corpus size.
+    """
+    n = F.length(F.col(text_col))
+    words = F.size(F.split(F.col(text_col), " "))
+    bucket = (F.length(F.conv(n.cast("string"), 10, 2)) - F.lit(1)).cast("long")
+    return (
+        df.filter(n > 0)
+        .select(bucket.alias("len_bucket"), n.alias("__n"), words.alias("__w"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__n").cast("long")).alias("sum_chars"),
+            F.round(F.sum(F.col("__n").cast("long")) / F.count(F.lit(1)), 6).alias(
+                "mean_chars"
+            ),
+            F.sum(F.col("__w").cast("long")).alias("sum_words"),
+        )
+    )
+
+
+def char_class_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source character-class composition: alpha / digit / space /
+    other counts and ratios — the cheapest corpus-drift tripwire (a batch
+    of base64 blobs or CJK text shifts these ratios before any
+    model-based quality score notices).
+
+    Per-document counts are exact integers from regexp_replace lengths
+    (JVM-side, codegen'd); sums aggregate as BIGINT and the ratios are a
+    fixed round(sum/total, 6) — bit-identical in any engine. One scan,
+    one tiny aggregate.
+    """
+    t = F.col(text_col)
+    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(t, "[^ ]", ""))
+    n_total = F.length(t)
+    per_doc = df.select(
+        F.col("source"),
+        n_total.cast("long").alias("__n"),
+        n_alpha.cast("long").alias("__a"),
+        n_digit.cast("long").alias("__d"),
+        n_space.cast("long").alias("__s"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n").alias("total_chars"),
+        F.sum("__a").alias("alpha_chars"),
+        F.sum("__d").alias("digit_chars"),
+        F.sum("__s").alias("space_chars"),
+    )
+    other = F.col("total_chars") - F.col("alpha_chars") - F.col("digit_chars") - F.col(
+        "space_chars"
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("alpha_chars") / F.col("total_chars"), 6).alias("alpha_ratio"),
+        F.round(F.col("digit_chars") / F.col("total_chars"), 6).alias("digit_ratio"),
+        F.round(F.col("space_chars") / F.col("total_chars"), 6).alias("space_ratio"),
+        F.round(other / F.col("total_chars"), 6).alias("other_ratio"),
+    )

@@ -1,0 +1,99 @@
+"""Round-4 profiling wave: length histogram, char-class profile,
+seasonality, rolling anomaly, bounce rate — hand-computed micro
+fixtures (the SF oracles cover the corpus-scale behavior)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from breweries_etl_spark.operators.behavior import session_bounce_rate
+from breweries_etl_spark.operators.temporal import (
+    rolling_count_anomaly,
+    seasonal_hour_profile,
+)
+from breweries_etl_spark.operators.text import char_class_profile, length_histogram
+
+
+def test_length_histogram_power_boundaries(spark):
+    # lengths 1,2,4,8 sit on exact power-of-two boundaries: bucket = k
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="x" * n) for i, n in enumerate([1, 2, 3, 4, 7, 8])]
+    )
+    hist = {r["len_bucket"]: r["n_docs"] for r in length_histogram(docs).collect()}
+    assert hist == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+def test_char_class_profile_exact_ratios(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, source="s", text="ab 12!?")]  # 2 alpha, 2 digit, 1 space, 2 other
+    )
+    r = char_class_profile(docs).collect()[0]
+    assert r["total_chars"] == 7
+    assert r["alpha_ratio"] == round(2 / 7, 6)
+    assert r["digit_ratio"] == round(2 / 7, 6)
+    assert r["space_ratio"] == round(1 / 7, 6)
+    assert r["other_ratio"] == round(2 / 7, 6)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(event_id=i, user_id=u, event_type=t, ts=ts, value=v)
+            for i, (u, t, ts, v) in enumerate(rows)
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_seasonal_hour_profile_shares(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, "click", "2024-01-01 09:10:00", 1.0),
+            (1, "click", "2024-01-02 09:50:00", 2.0),
+            (1, "click", "2024-01-01 17:00:00", 3.0),
+            (2, "view", "2024-01-01 09:00:00", 4.0),
+        ],
+    )
+    rows = {(r["event_type"], r["hour"]): r for r in seasonal_hour_profile(ev).collect()}
+    assert rows[("click", 9)]["n_events"] == 2
+    assert rows[("click", 9)]["hour_share"] == round(2 / 3, 6)
+    assert rows[("click", 17)]["total_value"] == 3.0
+    assert rows[("view", 9)]["hour_share"] == 1.0
+
+
+def test_rolling_count_anomaly_z(spark):
+    # user 1: counts 2,2,2,8 over four days -> day 4 scored against
+    # trailing mean 2, var 0 -> z NULL (constant history); then make
+    # history varied: counts 1,3,2 -> day 4 z = (8-2)/1
+    rows = []
+    for day, cnt in [(1, 1), (2, 3), (3, 2), (4, 8)]:
+        for i in range(cnt):
+            rows.append((1, "e", f"2024-01-0{day} 00:0{i}:00", 1.0))
+    out = {
+        r["day"]: r for r in rolling_count_anomaly(_ev(spark, rows)).collect()
+    }
+    days = sorted(out)
+    first, last = out[days[0]], out[days[-1]]
+    assert first["n_trailing_days"] == 0 and first["z"] is None
+    # trailing {1,3,2}: mean 2, var ((1+9+4) - 36/3)/2 = 1 -> z = 6
+    assert last["n_trailing_days"] == 3
+    assert last["trailing_mean"] == 2.0
+    assert last["z"] == 6.0
+
+
+def test_session_bounce_rate_counts(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, "a", "2024-01-01 00:00:00", 1.0),
+            (1, "a", "2024-01-01 00:10:00", 1.0),  # same session
+            (1, "a", "2024-01-01 03:00:00", 1.0),  # bounce
+            (2, "a", "2024-01-01 00:00:00", 1.0),  # bounce
+        ],
+    )
+    r = session_bounce_rate(ev).collect()[0]
+    assert r["n_sessions"] == 3
+    assert r["n_bounces"] == 2
+    assert r["bounce_rate"] == round(2 / 3, 6)
+    assert r["mean_events_per_session"] == round(4 / 3, 6)
