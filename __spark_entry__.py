@@ -5107,6 +5107,181 @@ FROM per
 """
 
 
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exact modal event type (tie → smallest value), two
+    map-side-combinable aggregates, no window over the pair relation."""
+    from breweries_etl_spark.operators.aggregate import exact_mode
+
+    return exact_mode(load_events(spark, sf_dir), "user_id", "event_type")
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted lower-median extended price per return flag —
+    exact decimal cumulative weights, boundary compared as 2·cum ≥ tot."""
+    from breweries_etl_spark.operators.aggregate import weighted_median
+
+    return weighted_median(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+    )
+
+
+def q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals vs Benford expectation."""
+    from breweries_etl_spark.operators.quality import benford_first_digit
+
+    return benford_first_digit(load_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def q_fd_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit o_custkey → o_orderpriority (expected
+    violated — measures how far)."""
+    from breweries_etl_spark.operators.quality import fd_violation_stats
+
+    return fd_violation_stats(
+        load_table(spark, sf_dir, "orders"), ["o_custkey"], "o_orderpriority"
+    )
+
+
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids (45 pairs
+    over 10 labels) — order-independent decimal term sums."""
+    from breweries_etl_spark.operators.similarity import label_centroid_similarity
+
+    return label_centroid_similarity(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-flag OLS of extended price on quantity (normal
+    equations from exact decimal component sums)."""
+    from breweries_etl_spark.operators.mltrain import ols_fit
+
+    return ols_fit(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+_ORACLES["mode_event_type"] = """
+WITH c AS (
+  SELECT user_id, event_type AS value, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, value, cnt,
+    row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, value ASC) AS rn
+  FROM c
+)
+SELECT user_id, value AS mode_value, CAST(cnt AS BIGINT) AS mode_count
+FROM r WHERE rn = 1
+"""
+
+_ORACLES["weighted_median_price"] = """
+WITH pv AS (
+  SELECT l_returnflag, l_extendedprice AS value,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS vw
+  FROM lineitem GROUP BY 1, 2
+), win AS (
+  SELECT l_returnflag, value,
+    SUM(vw) OVER (PARTITION BY l_returnflag ORDER BY value
+                  ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(vw) OVER (PARTITION BY l_returnflag) AS total
+  FROM pv
+)
+SELECT l_returnflag, min(value) AS weighted_median,
+  CAST(max(total) AS DOUBLE) AS total_weight
+FROM win WHERE cum * 2 >= total
+GROUP BY l_returnflag
+"""
+
+_ORACLES["benford_orders"] = """
+WITH b AS (
+  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+                        1, 1) AS INTEGER) AS digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+), t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM b)
+SELECT digit, CAST(n AS BIGINT) AS n,
+  round(CAST(n AS DOUBLE) / tot, 6) AS observed_freq,
+  round(log10(1 + 1.0 / digit), 6) AS benford_freq,
+  round(CAST(n AS DOUBLE) / tot - log10(1 + 1.0 / digit), 6) AS deviation
+FROM b CROSS JOIN t
+"""
+
+_ORACLES["fd_audit_orders"] = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey,
+    CASE WHEN o_orderpriority IS NULL THEN chr(0) || 'null'
+         ELSE 'v' || o_orderpriority END AS y
+  FROM orders
+), per AS (
+  SELECT o_custkey, count(*) AS n_values FROM pairs GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(SUM(CASE WHEN n_values > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violating_keys,
+  round(CAST(SUM(CASE WHEN n_values > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS violation_rate
+FROM per
+"""
+
+_ORACLES["label_centroid_similarity"] = """
+WITH d AS (
+  SELECT label, i,
+    round(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,8)))
+               AS DOUBLE) / count(*), 6) AS m
+  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+  GROUP BY label, i
+), norms AS (
+  SELECT label,
+    CAST(SUM(CAST(round(m * m, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sq
+  FROM d GROUP BY label
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+    CAST(SUM(CAST(round(a.m * b.m, 8) AS DECIMAL(28,8))) AS DOUBLE) AS dot
+  FROM d a JOIN d b ON a.i = b.i AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+  round(dot / (sqrt(na.sq) * sqrt(nb.sq)), 6) AS cosine
+FROM dots
+JOIN norms na ON na.label = label_a
+JOIN norms nb ON nb.label = label_b
+"""
+
+_OLS_VARX = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+_OLS_VARY = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+_OLS_COV = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+_OLS_SLOPE = f"({_OLS_COV} / {_OLS_VARX})"
+
+_ORACLES["ols_price_on_quantity"] = f"""
+WITH s AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+  CASE WHEN {_OLS_VARX} > 0 THEN round({_OLS_SLOPE}, 6) END AS slope,
+  CASE WHEN {_OLS_VARX} > 0 THEN
+    round((CAST(sy AS DOUBLE) - {_OLS_SLOPE} * CAST(sx AS DOUBLE))
+          / CAST(n AS DOUBLE), 6) END AS intercept,
+  CASE WHEN {_OLS_VARX} > 0 AND {_OLS_VARY} > 0 THEN
+    round(({_OLS_COV} * {_OLS_COV}) / ({_OLS_VARX} * {_OLS_VARY}), 6)
+  END AS r2
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -5258,6 +5433,12 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_hour_profile": q_seasonal_hour_profile,
         "rolling_count_anomaly": q_rolling_count_anomaly,
         "session_bounce_rate": q_session_bounce_rate,
+        "mode_event_type": q_mode_event_type,
+        "weighted_median_price": q_weighted_median_price,
+        "benford_orders": q_benford_orders,
+        "fd_audit_orders": q_fd_audit_orders,
+        "label_centroid_similarity": q_label_centroid_similarity,
+        "ols_price_on_quantity": q_ols_price_on_quantity,
         "price_histogram": q_price_histogram,
         # corpus prep: stratified sampling / chunking
         "stratified_sample_docs": q_stratified_sample_docs,

@@ -8,7 +8,7 @@ carries one long per group per map task — the minimum possible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -100,4 +100,69 @@ def geometric_mean_by(
         group_col,
         "log_mean",
         F.round(F.exp(F.col("log_mean")), 3).alias("geo_mean"),
+    )
+
+
+def exact_mode(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group exact mode with a deterministic tie rule (highest count,
+    then smallest value) — the categorical summary statistic approximate
+    heavy-hitter sketches estimate; this is the exact two-aggregation
+    form.
+
+    Shape: groupBy (group, value) counts — map-side combinable, shuffle
+    carries one row per distinct pair — then an argmax per group via a
+    min over (-count, value) structs: a second tiny aggregate, NO window
+    sort over the pair relation. Struct comparison is lexicographic, so
+    the tie rule is explicit in the key itself.
+    """
+    counts = (
+        df.select(F.col(group_col), F.col(value_col).alias("value"))
+        .groupBy(group_col, "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pick = F.min(
+        F.struct((-F.col("cnt")).alias("neg"), F.col("value").alias("v"))
+    ).alias("m")
+    return counts.groupBy(group_col).agg(pick).select(
+        group_col,
+        F.col("m.v").alias("mode_value"),
+        (-F.col("m.neg")).cast("long").alias("mode_count"),
+    )
+
+
+def weighted_median(
+    df: DataFrame, group_col: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """Per-group weighted lower median: the smallest value v whose
+    cumulative weight reaches half the group total (2·cum ≥ total in
+    EXACT decimal arithmetic — no 0.5·total double rounding at the
+    boundary).
+
+    One shuffle to a (group, value) weight aggregate (collapses
+    duplicate values before any sort), one window cumsum over that
+    collapsed relation, one argmin. The window sorts distinct values
+    per group, not raw rows — at 100 TB the sort input is the value
+    domain, not the fact table.
+    """
+    w = F.col(weight_col).cast("decimal(18,2)")
+    per_value = (
+        df.select(F.col(group_col), F.col(value_col).alias("value"), w.alias("__w"))
+        .groupBy(group_col, "value")
+        .agg(F.sum("__w").alias("vw"))
+    )
+    win = (
+        Window.partitionBy(group_col)
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(group_col)
+    flagged = per_value.select(
+        group_col,
+        "value",
+        F.sum("vw").over(win).alias("cum"),
+        F.sum("vw").over(tot).alias("total"),
+    ).filter(F.col("cum") * 2 >= F.col("total"))
+    return flagged.groupBy(group_col).agg(
+        F.min("value").alias("weighted_median"),
+        F.max(F.col("total").cast("double")).alias("total_weight"),
     )

@@ -230,3 +230,48 @@ def train_naive_bayes(
         .crossJoin(F.broadcast(vocab))
         .select("label", "tok", "c", lp.alias("logprob_micro"))
     )
+
+
+def ols_fit(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group closed-form simple linear regression (normal
+    equations): slope, intercept, r² from the five exact component sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) — the "fit a trend per segment" workhorse
+    that needs no iterative training.
+
+    ONE map-side-combinable aggregation pass; all sums ride decimal so
+    the reduction is order/partitioning-independent, and the final
+    slope/intercept/r² are a fixed sequence of double ops — bit-exact
+    in any engine (the property the SQL oracle replays). Degenerate
+    groups (constant x) surface NULL slope explicitly."""
+    x = F.col(x_col).cast("decimal(18,2)")
+    y = F.col(y_col).cast("decimal(18,2)")
+    sums = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,4)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return sums.select(
+        group_col,
+        F.col("n"),
+        F.when(var_x > 0, F.round(slope, 6)).alias("slope"),
+        F.when(var_x > 0, F.round((sy - slope * sx) / n, 6)).alias("intercept"),
+        F.when(
+            (var_x > 0) & (var_y > 0),
+            F.round((cov_n * cov_n) / (var_x * var_y), 6),
+        ).alias("r2"),
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import or_
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import KEY_FIELDS
@@ -296,4 +296,72 @@ def k_anonymity_check(
             "n_rows_at_risk"
         ),
         F.min("__n").alias("min_class_size"),
+    )
+
+
+def fd_violation_stats(
+    df: DataFrame, determinant_cols: list[str], dependent_col: str
+) -> DataFrame:
+    """Functional-dependency audit: does ``determinant_cols →
+    dependent_col`` actually hold in the data? Returns one row with the
+    key count, the number of keys mapping to >1 distinct dependent
+    value, and the violation rate — the check that catches a
+    should-be-dimension exploding after a bad join or late-arriving
+    mutation.
+
+    One exact two-level aggregate: distinct (X, y) pairs collapse
+    map-side, then per-X distinct-y counts reduce to three scalars.
+    NULL dependents count as a value (a key mapping to {NULL, 'x'} IS
+    a violation)."""
+    tagged = F.when(F.col(dependent_col).isNull(), F.lit("\x00null")).otherwise(
+        F.concat(F.lit("v"), F.col(dependent_col).cast("string"))
+    )
+    pairs = (
+        df.select(*determinant_cols, tagged.alias("__y"))
+        .groupBy(*determinant_cols, "__y")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_key = pairs.groupBy(*determinant_cols).agg(
+        F.count(F.lit(1)).alias("n_values")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("n_values") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_keys"),
+        F.round(
+            F.sum(F.when(F.col("n_values") > 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("violation_rate"),
+    )
+
+
+def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic synthetic-data / fraud tripwire for positive magnitudes
+    spanning orders of magnitude. Digit extraction is string-based over
+    the DECIMAL(12,2) rendering (exact; no floor(log10(double))
+    boundary hazard), observed frequency and expected log10(1 + 1/d)
+    are fixed round-6 doubles.
+
+    One map-side-combinable aggregate; nine rows out of the shuffle."""
+    digit = F.substring(
+        F.col(value_col).cast("decimal(12,2)").cast("string"), 1, 1
+    ).cast("int")
+    base = (
+        df.filter(F.col(value_col) >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy()
+    return base.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("observed_freq"),
+        F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("benford_freq"),
+        F.round(
+            F.col("n") / F.sum("n").over(tot) - F.log10(1 + 1 / F.col("digit")), 6
+        ).alias("deviation"),
     )

@@ -496,3 +496,59 @@ def quantize_int8(
     return df.select(id_col, vec_col).mapInPandas(
         quant, f"{id_col} long, pos long, qval long, scale double"
     )
+
+
+def label_centroid_similarity(
+    emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label mean vectors — the
+    class-separation readout behind embedding-space health checks (two
+    labels whose centroids cosine-converge are merging in the
+    representation).
+
+    Centroids come from one posexplode + (label, dim) decimal-sum
+    aggregate — the only pass over the big table; the per-dim mean is a
+    fixed round(sum/n, 6). The pairwise stage runs over |labels|²/2
+    centroid pairs (tiny by contract), with every product term rounded
+    to 8 dp and summed in decimal so the reduction is
+    order-independent — hash-stable in any engine.
+    """
+    dims = (
+        emb.select(F.col(label_col).alias("label"), F.posexplode(vec_col))
+        .select("label", F.col("pos"), F.col("col").cast("double").alias("x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(28,8)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("m"),
+        )
+    )
+    term = lambda a, b: F.round(a * b, 8).cast("decimal(28,8)")  # noqa: E731
+    norms = dims.groupBy("label").agg(
+        F.sum(term(F.col("m"), F.col("m"))).cast("double").alias("sq")
+    )
+    a = dims.select(F.col("label").alias("label_a"), "pos", F.col("m").alias("ma"))
+    b = dims.select(F.col("label").alias("label_b"), "pos", F.col("m").alias("mb"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(term(F.col("ma"), F.col("mb"))).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("sq").alias("sqa"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("sq").alias("sqb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("sqa")) * F.sqrt(F.col("sqb"))), 6
+            ).alias("cosine"),
+        )
+    )

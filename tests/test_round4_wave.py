@@ -97,3 +97,77 @@ def test_session_bounce_rate_counts(spark):
     assert r["n_bounces"] == 2
     assert r["bounce_rate"] == round(2 / 3, 6)
     assert r["mean_events_per_session"] == round(4 / 3, 6)
+
+
+def test_exact_mode_tie_rule(spark):
+    from breweries_etl_spark.operators.aggregate import exact_mode
+
+    df = spark.createDataFrame(
+        [Row(g=1, v="b"), Row(g=1, v="a"), Row(g=1, v="b"), Row(g=1, v="a"),
+         Row(g=2, v="z")]
+    )
+    out = {r["g"]: r for r in exact_mode(df, "g", "v").collect()}
+    assert out[1]["mode_value"] == "a" and out[1]["mode_count"] == 2  # tie -> smallest
+    assert out[2]["mode_value"] == "z" and out[2]["mode_count"] == 1
+
+
+def test_weighted_median_boundary(spark):
+    from breweries_etl_spark.operators.aggregate import weighted_median
+
+    # weights 1,1,2 on values 10,20,30: total 4, cum at 20 is 2 -> 2*2>=4
+    df = spark.createDataFrame(
+        [Row(g="a", v=10.0, w=1.0), Row(g="a", v=20.0, w=1.0), Row(g="a", v=30.0, w=2.0)]
+    )
+    r = weighted_median(df, "g", "v", "w").collect()[0]
+    assert r["weighted_median"] == 20.0
+    assert r["total_weight"] == 4.0
+
+
+def test_fd_violation_stats_null_is_a_value(spark):
+    from breweries_etl_spark.operators.quality import fd_violation_stats
+
+    df = spark.createDataFrame(
+        [Row(k=1, y="x"), Row(k=1, y=None), Row(k=2, y="x"), Row(k=2, y="x")]
+    )
+    r = fd_violation_stats(df, ["k"], "y").collect()[0]
+    assert r["n_keys"] == 2 and r["n_violating_keys"] == 1
+    assert r["violation_rate"] == 0.5
+
+
+def test_benford_first_digit_counts(spark):
+    from breweries_etl_spark.operators.quality import benford_first_digit
+
+    df = spark.createDataFrame(
+        [Row(v=float(x)) for x in [1.2, 19, 150, 2.5, 900, 0.4]]  # <1 dropped
+    )
+    out = {r["digit"]: r for r in benford_first_digit(df, "v").collect()}
+    assert out[1]["n"] == 3 and out[2]["n"] == 1 and out[9]["n"] == 1
+    assert out[1]["observed_freq"] == 0.6
+    assert out[1]["benford_freq"] == round(__import__("math").log10(2), 6)
+
+
+def test_ols_fit_known_line(spark):
+    from breweries_etl_spark.operators.mltrain import ols_fit
+
+    # y = 3x + 2 exactly -> slope 3, intercept 2, r2 = 1
+    df = spark.createDataFrame([Row(g="a", x=float(x), y=3.0 * x + 2) for x in range(5)])
+    r = ols_fit(df, "g", "x", "y").collect()[0]
+    assert r["slope"] == 3.0 and r["intercept"] == 2.0 and r["r2"] == 1.0
+    # constant x -> NULLs, not division artifacts
+    df2 = spark.createDataFrame([Row(g="b", x=1.0, y=float(y)) for y in range(3)])
+    r2 = ols_fit(df2, "g", "x", "y").collect()[0]
+    assert r2["slope"] is None and r2["intercept"] is None and r2["r2"] is None
+
+
+def test_label_centroid_similarity_identical_labels(spark):
+    from breweries_etl_spark.operators.similarity import label_centroid_similarity
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+         Row(vec_id=2, embedding=[1.0, 0.0], label=1),
+         Row(vec_id=3, embedding=[0.0, 2.0], label=2)]
+    )
+    out = {(r["label_a"], r["label_b"]): r["cosine"]
+           for r in label_centroid_similarity(df).collect()}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 2)] == 0.0 and out[(1, 2)] == 0.0
