@@ -5282,6 +5282,91 @@ FROM s
 """
 
 
+def q_skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier: min extended price, max quantity — bucketed
+    prefilter, exact strict-dominance window over survivors only."""
+    from breweries_etl_spark.operators.aggregate import skyline_2d
+
+    return skyline_2d(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity"
+    )
+
+
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TWAP with exact integer-microsecond durations and
+    decimal v·Δt sums."""
+    from breweries_etl_spark.operators.temporal import time_weighted_value
+
+    return time_weighted_value(load_events(spark, sf_dir))
+
+
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands consecutive-day streaks per user (count, longest,
+    earliest start of the longest)."""
+    from breweries_etl_spark.operators.temporal import user_activity_streaks
+
+    return user_activity_streaks(load_events(spark, sf_dir))
+
+
+_ORACLES["skyline_price_quantity"] = """
+WITH pairs AS (
+  SELECT l_extendedprice AS x, l_quantity AS y, CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1, 2
+), win AS (
+  SELECT x, y, n_rows,
+    max(y) OVER (ORDER BY x ASC, y DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+  FROM pairs
+)
+SELECT x, y, n_rows FROM win WHERE cm IS NULL OR y > cm
+"""
+
+_ORACLES["time_weighted_value"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+    CAST(value AS DECIMAL(12,2)) AS v,
+    lead(epoch_us(CAST(ts AS TIMESTAMP)))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+    max(us) - min(us) AS span_us,
+    SUM(v * (nxt - us)) AS svdt, SUM(nxt - us) AS sdt
+  FROM e GROUP BY 1
+)
+SELECT user_id, n_events, span_us,
+  CASE WHEN span_us > 0 THEN round(CAST(svdt AS DOUBLE) / sdt, 6) END AS twap
+FROM s
+"""
+
+_ORACLES["user_activity_streaks"] = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+  FROM events
+), isl AS (
+  SELECT user_id, day,
+    day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+), per AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len,
+    min(day) AS start_day
+  FROM isl GROUP BY 1, 2
+), r AS (
+  SELECT user_id, len, start_day,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY len DESC, start_day ASC) AS rn,
+    count(*) OVER (PARTITION BY user_id) AS n_streaks,
+    SUM(len) OVER (PARTITION BY user_id) AS n_active
+  FROM per
+)
+SELECT user_id, CAST(n_streaks AS BIGINT) AS n_streaks,
+  CAST(n_active AS BIGINT) AS n_active_days,
+  len AS max_streak_days, start_day AS max_streak_start_day
+FROM r WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -5439,6 +5524,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_audit_orders": q_fd_audit_orders,
         "label_centroid_similarity": q_label_centroid_similarity,
         "ols_price_on_quantity": q_ols_price_on_quantity,
+        "skyline_price_quantity": q_skyline_price_quantity,
+        "time_weighted_value": q_time_weighted_value,
+        "user_activity_streaks": q_user_activity_streaks,
         "price_histogram": q_price_histogram,
         # corpus prep: stratified sampling / chunking
         "stratified_sample_docs": q_stratified_sample_docs,

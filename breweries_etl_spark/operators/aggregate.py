@@ -166,3 +166,49 @@ def weighted_median(
         F.min("value").alias("weighted_median"),
         F.max(F.col("total").cast("double")).alias("total_weight"),
     )
+
+
+def skyline_2d(
+    df: DataFrame, x_col: str, y_col: str, x_bucket_width: float = 1000.0
+) -> DataFrame:
+    """Pareto frontier minimizing ``x`` while maximizing ``y``: the
+    distinct (x, y) points no other point beats on both axes (one axis
+    strictly). Returns (x, y, n_rows) per frontier point.
+
+    Scale shape — a naive skyline is a global sort. Here: (1) collapse
+    to distinct (x, y) pairs (map-side combinable), (2) per x-BUCKET
+    max-y prefilter: any pair whose y ≤ the running max-y of strictly
+    earlier buckets is provably dominated (every earlier-bucket point
+    has strictly smaller x), so the surviving candidate set is ~the
+    frontier's neighborhood, (3) one window pass over the tiny survivor
+    set for the exact strict-dominance rule. The only global sort runs
+    over survivors, not the fact table; exactness is bucket-width
+    independent (the prefilter only ever drops dominated pairs).
+    """
+    pairs = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    bucket = F.expr(f"CAST(floor(x / {x_bucket_width}) AS LONG)")
+    with_b = pairs.withColumn("__b", bucket)
+    bucket_best = with_b.groupBy("__b").agg(F.max("y").alias("__by"))
+    wb = (
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = bucket_best.select(
+        "__b", F.max("__by").over(wb).alias("__prev_max")
+    )
+    survivors = with_b.join(F.broadcast(run), "__b").filter(
+        F.col("__prev_max").isNull() | (F.col("y") > F.col("__prev_max"))
+    )
+    w = Window.orderBy(F.asc("x"), F.desc("y")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        survivors.select(
+            "x", "y", "n_rows", F.max("y").over(w).alias("__cummax")
+        )
+        .filter(F.col("__cummax").isNull() | (F.col("y") > F.col("__cummax")))
+        .select("x", "y", "n_rows")
+    )

@@ -510,3 +510,84 @@ def rolling_count_anomaly(
         z.alias("z"),
     )
 
+
+
+def time_weighted_value(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each event's value is held
+    until the next event, weighted by that duration in exact integer
+    microseconds — the correct mean for irregularly sampled series,
+    where the arithmetic mean over-weights bursts. The final event
+    holds nothing (zero weight); single-event keys yield NULL.
+
+    One key-partitioned window (lead) + one map-side-combinable
+    aggregate; weights are v·Δt products in decimal, so the reduction
+    is order-independent and engine-exact.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(us, id_col)
+    dt = F.lead(us).over(w) - us
+    stepped = df.select(
+        F.col(key_col),
+        us.alias("__us"),
+        (F.col(value_col).cast("decimal(12,2)") * dt).alias("__vdt"),
+        dt.alias("__dt"),
+    )
+    agg = stepped.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("__us") - F.min("__us")).alias("span_us"),
+        F.sum("__vdt").alias("__sum_vdt"),
+        F.sum("__dt").alias("__sum_dt"),
+    )
+    return agg.select(
+        key_col,
+        "n_events",
+        "span_us",
+        F.when(
+            F.col("span_us") > 0,
+            F.round(
+                F.col("__sum_vdt").cast("double") / F.col("__sum_dt"), 6
+            ),
+        ).alias("twap"),
+    )
+
+
+def user_activity_streaks(
+    df: DataFrame, key_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Gaps-and-islands over active DAYS per key: consecutive-day runs
+    collapse to islands via the classic day − dense_rank() constant,
+    yielding streak count, longest streak, and its earliest start —
+    retention/engagement mechanics in three exact integer aggregates
+    (distinct days → islands → per-key argmax via min-struct, no raw
+    rows past the first aggregate)."""
+    day = F.expr(f"unix_micros({ts_col}) div {86_400 * 1_000_000}")
+    days = df.select(F.col(key_col).alias("key"), day.alias("day")).distinct()
+    w = Window.partitionBy("key").orderBy("day")
+    islands = days.select(
+        "key", "day", (F.col("day") - F.dense_rank().over(w)).alias("island")
+    )
+    per_island = islands.groupBy("key", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    pick = F.min(
+        F.struct(
+            (-F.col("len")).alias("neg"), F.col("start_day").alias("sd")
+        )
+    ).alias("m")
+    return per_island.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+        pick,
+    ).select(
+        F.col("key").alias(key_col),
+        "n_streaks",
+        "n_active_days",
+        (-F.col("m.neg")).cast("long").alias("max_streak_days"),
+        F.col("m.sd").alias("max_streak_start_day"),
+    )

@@ -171,3 +171,48 @@ def test_label_centroid_similarity_identical_labels(spark):
            for r in label_centroid_similarity(df).collect()}
     assert out[(0, 1)] == 1.0
     assert out[(0, 2)] == 0.0 and out[(1, 2)] == 0.0
+
+
+def test_skyline_2d_dominance(spark):
+    from breweries_etl_spark.operators.aggregate import skyline_2d
+
+    # min x, max y. (1,5) and (3,9) on frontier; (2,4) dominated by (1,5);
+    # (3,5) dominated by (1,5); (4,9) dominated by (3,9); duplicate (1,5)
+    # collapses with n_rows=2.
+    rows = [(1.0, 5.0), (1.0, 5.0), (2.0, 4.0), (3.0, 9.0), (3.0, 5.0), (4.0, 9.0)]
+    df = spark.createDataFrame([Row(x=x, y=y) for x, y in rows])
+    for width in (0.5, 1000.0):  # prefilter exactness is width-independent
+        got = {(r["x"], r["y"]): r["n_rows"]
+               for r in skyline_2d(df, "x", "y", x_bucket_width=width).collect()}
+        assert got == {(1.0, 5.0): 2, (3.0, 9.0): 1}
+
+
+def test_time_weighted_value_step_function(spark):
+    from breweries_etl_spark.operators.temporal import time_weighted_value
+
+    # value 10 held 30s, value 2 held 10s, last event zero-weight
+    ev = _ev(
+        spark,
+        [
+            (1, "a", "2024-01-01 00:00:00", 10.0),
+            (1, "a", "2024-01-01 00:00:30", 2.0),
+            (1, "a", "2024-01-01 00:00:40", 99.0),
+            (2, "a", "2024-01-01 00:00:00", 5.0),  # single event -> NULL
+        ],
+    )
+    out = {r["user_id"]: r for r in time_weighted_value(ev).collect()}
+    assert out[1]["twap"] == round((10 * 30 + 2 * 10) / 40, 6)
+    assert out[2]["twap"] is None and out[2]["span_us"] == 0
+
+
+def test_user_activity_streaks_islands(spark):
+    from breweries_etl_spark.operators.temporal import user_activity_streaks
+
+    # user 1 active days: 1,2,3, 5,6, 9 -> streaks [3,2,1]
+    rows = [(1, "a", f"2024-01-0{d} 12:00:00", 1.0) for d in (1, 2, 3, 5, 6, 9)]
+    # two events same day must not double-count
+    rows.append((1, "a", "2024-01-02 18:00:00", 1.0))
+    out = user_activity_streaks(_ev(spark, rows)).collect()[0]
+    assert out["n_streaks"] == 3
+    assert out["n_active_days"] == 6
+    assert out["max_streak_days"] == 3
