@@ -5367,6 +5367,83 @@ FROM r WHERE rn = 1
 """
 
 
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (top component, 3 power iterations) with the
+    bit-exact-replay discipline: rounded decimal term sums throughout,
+    iterations run as Spark joins over the d×d scatter frame."""
+    from breweries_etl_spark.operators.mltrain import pca_top_component
+
+    return pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pca_oracle(dim: int = 64, iterations: int = 3) -> str:
+    """Unrolled power-iteration replay (same shape as the unrolled
+    pagerank oracle): matvec terms round to 8 dp and sum as decimal, the
+    normalized vector rounds to 6 dp per iteration — mirroring
+    operators/mltrain.py:pca_top_component step for step."""
+    it_ctes = ""
+    prev = "v0"
+    for k in range(1, iterations + 1):
+        it_ctes += f""",
+u{k} AS (
+  SELECT A.i, CAST(SUM(CAST(round(A.a * {prev}.v, 8) AS DECIMAL(28,8)))
+               AS DOUBLE) AS u
+  FROM A JOIN {prev} ON {prev}.j = A.j GROUP BY A.i
+),
+n{k} AS (
+  SELECT sqrt(CAST(SUM(CAST(round(u * u, 8) AS DECIMAL(28,8))) AS DOUBLE)) AS nrm
+  FROM u{k}
+),
+v{k} AS (SELECT i AS j, round(u / nrm, 6) AS v FROM u{k} CROSS JOIN n{k})"""
+        prev = f"v{k}"
+    return f"""
+WITH means AS (
+  SELECT i, round(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE)
+                              AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS m
+  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+  GROUP BY i
+),
+cr AS (
+  SELECT e.vec_id AS rid, t.i, CAST(e.embedding[t.i] AS DOUBLE) - m.m AS c
+  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+  JOIN means m ON m.i = t.i
+),
+scat AS (
+  SELECT a.i AS i, b.i AS j,
+    SUM(CAST(round(a.c * b.c, 8) AS DECIMAL(28,8))) AS s
+  FROM cr a JOIN cr b ON a.rid = b.rid AND a.i <= b.i
+  GROUP BY 1, 2
+),
+A AS (
+  SELECT i, j, CAST(s AS DOUBLE) AS a FROM scat
+  UNION ALL
+  SELECT j AS i, i AS j, CAST(s AS DOUBLE) AS a FROM scat WHERE i < j
+),
+v0 AS (SELECT i AS j, 1.0 / sqrt(CAST({dim} AS DOUBLE)) AS v FROM means){it_ctes},
+uf AS (
+  SELECT A.i, CAST(SUM(CAST(round(A.a * {prev}.v, 8) AS DECIMAL(28,8)))
+               AS DOUBLE) AS u
+  FROM A JOIN {prev} ON {prev}.j = A.j GROUP BY A.i
+),
+ray AS (
+  SELECT
+    CAST(SUM(CAST(round(vv.v * uf.u, 8) AS DECIMAL(28,8))) AS DOUBLE) AS num,
+    CAST(SUM(CAST(round(vv.v * vv.v, 8) AS DECIMAL(28,8))) AS DOUBLE) AS den
+  FROM {prev} vv JOIN uf ON uf.i = vv.j
+),
+tr AS (SELECT CAST(SUM(s) AS DOUBLE) AS tr FROM scat WHERE i = j),
+nn AS (SELECT count(*) AS n FROM embeddings)
+SELECT CAST(n AS BIGINT) AS n, CAST({dim} AS INTEGER) AS dim,
+  round(tr / (n - 1), 6) AS trace_cov,
+  round((num / den) / (n - 1), 6) AS top_eigenvalue,
+  round((num / den) / tr, 6) AS explained_ratio
+FROM ray CROSS JOIN tr CROSS JOIN nn
+"""
+
+
+_ORACLES["pca_top_component"] = _pca_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -5527,6 +5604,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_price_quantity": q_skyline_price_quantity,
         "time_weighted_value": q_time_weighted_value,
         "user_activity_streaks": q_user_activity_streaks,
+        "pca_top_component": q_pca_top_component,
         "price_histogram": q_price_histogram,
         # corpus prep: stratified sampling / chunking
         "stratified_sample_docs": q_stratified_sample_docs,

@@ -275,3 +275,140 @@ def ols_fit(
             F.round((cov_n * cov_n) / (var_x * var_y), 6),
         ).alias("r2"),
     )
+
+
+def pca_top_component(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    iterations: int = 3,
+) -> DataFrame:
+    """Distributed PCA, top principal component by power iteration —
+    with the same bit-exact-replay discipline as the other trainers
+    (logreg/kmeans/NB): every floating reduction rounds its terms to
+    8 dp and sums in decimal, so a SQL oracle replays the whole
+    computation including the iterations.
+
+    Phases:
+    1. Per-dimension means (one posexplode + decimal-sum pass — the
+       only full scan besides the scatter pass).
+    2. Scatter matrix S = Σ (x−m)(x−m)ᵀ over the upper triangle: the
+       exploded centered values self-join on the row id (i ≤ j), each
+       product term rounds to 8 dp, and the (i, j) decimal sums are
+       order/partition-independent. d²/2 shuffle rows per input row is
+       the honest cost of EXACT replay; a production fit at large d
+       would swap phase 2 for mapInPandas per-partition numpy Gram
+       partials (same API, float-order-dependent).
+    3. Power iteration runs ON the (mirrored) d×d scatter DataFrame as
+       plain Spark joins/aggregates — tiny frames, no driver math, so
+       engine-vs-oracle arithmetic parity is Spark-round vs DuckDB-round
+       (the combination every other replayed trainer already proves).
+
+    Output (one row): n, dim, trace (of the covariance), top_eigenvalue,
+    explained_ratio = λ₁/trace. Eigenvector components are deliberately
+    not emitted — their global sign is init-dependent; the invariants
+    are not.
+    """
+    x = F.col("col").cast("double")
+    exploded = emb.select(F.col(id_col).alias("rid"), F.posexplode(vec_col)).select(
+        "rid", F.col("pos").alias("i"), x.alias("x")
+    )
+    means = (
+        exploded.groupBy("i")
+        .agg(
+            F.sum(F.col("x").cast("decimal(28,8)")).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "i", F.round(F.col("s").cast("double") / F.col("cnt"), 6).alias("m")
+        )
+    )
+    n_rows = emb.count()
+    centered = exploded.join(F.broadcast(means), "i").select(
+        "rid", "i", (F.col("x") - F.col("m")).alias("c")
+    )
+    a = centered.select("rid", F.col("i").alias("ia"), F.col("c").alias("ca"))
+    b = centered.select("rid", F.col("i").alias("jb"), F.col("c").alias("cb"))
+    scatter = (
+        a.join(b, "rid")
+        .filter(F.col("ia") <= F.col("jb"))
+        .select(
+            F.col("ia").alias("i"),
+            F.col("jb").alias("j"),
+            F.round(F.col("ca") * F.col("cb"), 8).cast("decimal(28,8)").alias("t"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("t").alias("s"))
+        .persist()
+    )
+    # Mirror the strict upper triangle to get the full symmetric matrix.
+    full = scatter.unionByName(
+        scatter.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s"
+        )
+    ).select("i", "j", F.col("s").cast("double").alias("a"))
+    full = full.persist()
+    full.count()
+
+    spark = emb.sparkSession
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("j"),
+        (F.lit(1.0) / F.sqrt(F.lit(float(dim)))).alias("v"),
+    )
+    for _ in range(iterations):
+        u = (
+            full.join(F.broadcast(v), "j")
+            .select("i", F.round(F.col("a") * F.col("v"), 8).cast("decimal(28,8)").alias("t"))
+            .groupBy("i")
+            .agg(F.sum("t").cast("double").alias("u"))
+        )
+        nrm = u.select(
+            F.sqrt(
+                F.sum(F.round(F.col("u") * F.col("u"), 8).cast("decimal(28,8)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        v = u.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"), F.round(F.col("u") / F.col("nrm"), 6).alias("v")
+        )
+    u_final = (
+        full.join(F.broadcast(v), "j")
+        .select("i", F.round(F.col("a") * F.col("v"), 8).cast("decimal(28,8)").alias("t"))
+        .groupBy("i")
+        .agg(F.sum("t").cast("double").alias("u"))
+    )
+    ray = (
+        u_final.join(v.select(F.col("j").alias("i"), "v"), "i")
+        .agg(
+            F.sum(F.round(F.col("v") * F.col("u"), 8).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("num"),
+            F.sum(F.round(F.col("v") * F.col("v"), 8).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("den"),
+        )
+    )
+    trace = scatter.filter(F.col("i") == F.col("j")).agg(
+        F.sum("s").cast("double").alias("tr")
+    )
+    lam = F.col("num") / F.col("den")
+    result = (
+        ray.crossJoin(F.broadcast(trace))
+        .select(
+            F.lit(n_rows).cast("long").alias("n"),
+            F.lit(dim).cast("int").alias("dim"),
+            F.round(F.col("tr") / (F.lit(n_rows) - 1), 6).alias("trace_cov"),
+            F.round(lam / (F.lit(n_rows) - 1), 6).alias("top_eigenvalue"),
+            F.round(lam / F.col("tr"), 6).alias("explained_ratio"),
+        )
+    )
+    rows = result.collect()
+    scatter.unpersist()
+    full.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "n long, dim int, trace_cov double, top_eigenvalue double, "
+        "explained_ratio double",
+    )

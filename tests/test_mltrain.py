@@ -94,3 +94,29 @@ def test_naive_bayes_counts_and_smoothing(spark):
     expected = math.floor(math.log(3 / 7) * 1_000_000)
     assert rows[("en", "cat")]["logprob_micro"] == expected
     assert ("en", "chat") not in rows
+
+
+def test_pca_top_component_matches_numpy(spark):
+    """Planted anisotropic cloud: eigenvalue/trace from the replayed
+    power iteration must land within rounding noise of numpy's exact
+    eigendecomposition, and nothing may stay pinned."""
+    import numpy as np
+
+    from breweries_etl_spark.operators.mltrain import pca_top_component
+
+    rng = np.random.default_rng(3)
+    d, n = 8, 400
+    base = rng.normal(size=(n, d))
+    base[:, 0] *= 5.0  # dominant direction
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pca_top_component(df, dim=d).collect()[0]
+    cov = np.cov(base, rowvar=False)
+    evals = np.linalg.eigvalsh(cov)
+    assert out["n"] == n and out["dim"] == d
+    assert abs(out["trace_cov"] - float(np.trace(cov))) < 1e-3
+    # 3 power iterations on a strongly dominant eigenvalue: ~1% accuracy
+    assert abs(out["top_eigenvalue"] - float(evals[-1])) / evals[-1] < 0.02
+    assert 0 < out["explained_ratio"] <= 1
+    persistent = spark.sparkContext._jsc.getPersistentRDDs()
+    assert persistent.size() == 0, f"leaked {persistent.size()} persisted RDDs"
