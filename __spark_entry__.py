@@ -5410,14 +5410,16 @@ cr AS (
 ),
 scat AS (
   SELECT a.i AS i, b.i AS j,
-    SUM(CAST(round(a.c * b.c, 8) AS DECIMAL(28,8))) AS s
+    SUM(CAST(CAST(round(a.c * b.c * 100000000.0) AS BIGINT)
+             AS DECIMAL(28,0))) AS sm
   FROM cr a JOIN cr b ON a.rid = b.rid AND a.i <= b.i
   GROUP BY 1, 2
 ),
 A AS (
-  SELECT i, j, CAST(s AS DOUBLE) AS a FROM scat
+  SELECT i, j, CAST(sm AS DOUBLE) / 100000000.0 AS a FROM scat
   UNION ALL
-  SELECT j AS i, i AS j, CAST(s AS DOUBLE) AS a FROM scat WHERE i < j
+  SELECT j AS i, i AS j, CAST(sm AS DOUBLE) / 100000000.0 AS a
+  FROM scat WHERE i < j
 ),
 v0 AS (SELECT i AS j, 1.0 / sqrt(CAST({dim} AS DOUBLE)) AS v FROM means){it_ctes},
 uf AS (
@@ -5431,7 +5433,8 @@ ray AS (
     CAST(SUM(CAST(round(vv.v * vv.v, 8) AS DECIMAL(28,8))) AS DOUBLE) AS den
   FROM {prev} vv JOIN uf ON uf.i = vv.j
 ),
-tr AS (SELECT CAST(SUM(s) AS DOUBLE) AS tr FROM scat WHERE i = j),
+tr AS (SELECT CAST(SUM(sm) AS DOUBLE) / 100000000.0 AS tr
+       FROM scat WHERE i = j),
 nn AS (SELECT count(*) AS n FROM embeddings)
 SELECT CAST(n AS BIGINT) AS n, CAST({dim} AS INTEGER) AS dim,
   round(tr / (n - 1), 6) AS trace_cov,

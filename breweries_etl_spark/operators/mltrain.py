@@ -333,65 +333,106 @@ def pca_top_component(
     scatter = (
         a.join(b, "rid")
         .filter(F.col("ia") <= F.col("jb"))
+        # Terms are scaled to INTEGER 1e-8 units (codegen'd long round,
+        # ~2x the throughput of per-term decimal construction — measured
+        # 5-7 s vs 2.5-3 s at sf0.1) and summed as DECIMAL(28,0) so the
+        # reduction cannot overflow at any corpus size. Same
+        # order-independence guarantee: integer-valued terms, exact sum.
         .select(
             F.col("ia").alias("i"),
             F.col("jb").alias("j"),
-            F.round(F.col("ca") * F.col("cb"), 8).cast("decimal(28,8)").alias("t"),
+            F.expr("CAST(round(ca * cb * 100000000.0) AS BIGINT)")
+            .cast("decimal(28,0)")
+            .alias("t"),
         )
         .groupBy("i", "j")
-        .agg(F.sum("t").alias("s"))
+        .agg(F.sum("t").alias("sm"))
+        # d(d+1)/2 rows: single-partition from here on — every
+        # downstream matvec/aggregate is one task instead of 32
+        # scheduler round-trips per tiny stage (measured: the iteration
+        # phase drops ~4x with the coalesce)
+        .coalesce(1)
         .persist()
     )
     # Mirror the strict upper triangle to get the full symmetric matrix.
     full = scatter.unionByName(
         scatter.filter(F.col("i") < F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "s"
+            F.col("j").alias("i"), F.col("i").alias("j"), "sm"
         )
-    ).select("i", "j", F.col("s").cast("double").alias("a"))
-    full = full.persist()
+    ).select(
+        "i", "j", (F.col("sm").cast("double") / F.lit(1e8)).alias("a")
+    )
+    full = full.coalesce(1).persist()
     full.count()
 
     spark = emb.sparkSession
-    v = spark.range(dim).select(
-        F.col("id").cast("int").alias("j"),
-        (F.lit(1.0) / F.sqrt(F.lit(float(dim)))).alias("v"),
-    )
-    for _ in range(iterations):
-        u = (
-            full.join(F.broadcast(v), "j")
-            .select("i", F.round(F.col("a") * F.col("v"), 8).cast("decimal(28,8)").alias("t"))
+    # Power iteration with the kmeans-centroid pattern: the d-component
+    # vector rides into each round as an ARRAY LITERAL (no broadcast
+    # join, no lazy-plan doubling — the naive u-referenced-twice plan
+    # spent 9 of 12 s scheduling 2^k tiny jobs at sf0.1), the matvec +
+    # norm + normalize run as ONE single-task query over the cached d×d
+    # frame, and the driver collects d doubles per round. All rounding
+    # stays in-engine so oracle parity is Spark-round vs DuckDB-round.
+    v0 = spark.range(1).select(
+        (F.lit(1.0) / F.sqrt(F.lit(float(dim)))).alias("v")
+    ).collect()[0]["v"]
+    vlist = [v0] * dim
+
+    def matvec_u(vvals):
+        varr = F.array(*[F.lit(float(x)) for x in vvals])
+        return (
+            full.select(
+                "i",
+                F.round(F.col("a") * F.element_at(varr, F.col("j") + 1), 8)
+                .cast("decimal(28,8)")
+                .alias("t"),
+            )
             .groupBy("i")
             .agg(F.sum("t").cast("double").alias("u"))
         )
-        nrm = u.select(
-            F.sqrt(
-                F.sum(F.round(F.col("u") * F.col("u"), 8).cast("decimal(28,8)")).cast(
-                    "double"
-                )
-            ).alias("nrm")
+
+    from pyspark.sql import Window as _W
+
+    whole = _W.partitionBy()
+    for _ in range(iterations):
+        u = matvec_u(vlist)
+        v_next = u.select(
+            "i",
+            F.round(
+                F.col("u")
+                / F.sqrt(
+                    F.sum(
+                        F.round(F.col("u") * F.col("u"), 8).cast("decimal(28,8)")
+                    )
+                    .over(whole)
+                    .cast("double")
+                ),
+                6,
+            ).alias("v"),
         )
-        v = u.crossJoin(F.broadcast(nrm)).select(
-            F.col("i").alias("j"), F.round(F.col("u") / F.col("nrm"), 6).alias("v")
+        got = {r["i"]: r["v"] for r in v_next.collect()}
+        vlist = [got[i] for i in range(dim)]
+    varr_final = F.array(*[F.lit(float(x)) for x in vlist])
+    ray = matvec_u(vlist).agg(
+        F.sum(
+            F.round(F.element_at(varr_final, F.col("i") + 1) * F.col("u"), 8).cast(
+                "decimal(28,8)"
+            )
         )
-    u_final = (
-        full.join(F.broadcast(v), "j")
-        .select("i", F.round(F.col("a") * F.col("v"), 8).cast("decimal(28,8)").alias("t"))
-        .groupBy("i")
-        .agg(F.sum("t").cast("double").alias("u"))
-    )
-    ray = (
-        u_final.join(v.select(F.col("j").alias("i"), "v"), "i")
-        .agg(
-            F.sum(F.round(F.col("v") * F.col("u"), 8).cast("decimal(28,8)"))
-            .cast("double")
-            .alias("num"),
-            F.sum(F.round(F.col("v") * F.col("v"), 8).cast("decimal(28,8)"))
-            .cast("double")
-            .alias("den"),
+        .cast("double")
+        .alias("num"),
+        F.sum(
+            F.round(
+                F.element_at(varr_final, F.col("i") + 1)
+                * F.element_at(varr_final, F.col("i") + 1),
+                8,
+            ).cast("decimal(28,8)")
         )
+        .cast("double")
+        .alias("den"),
     )
     trace = scatter.filter(F.col("i") == F.col("j")).agg(
-        F.sum("s").cast("double").alias("tr")
+        (F.sum("sm").cast("double") / F.lit(1e8)).alias("tr")
     )
     lam = F.col("num") / F.col("den")
     result = (
