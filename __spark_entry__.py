@@ -5447,6 +5447,95 @@ FROM ray CROSS JOIN tr CROSS JOIN nn
 _ORACLES["pca_top_component"] = _pca_oracle()
 
 
+def q_reservoir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-source deterministic sample via md5 ranking."""
+    from breweries_etl_spark.operators.sampling import reservoir_sample_per_group
+
+    return reservoir_sample_per_group(
+        load_table(spark, sf_dir, "documents"), "source", "doc_id", k=5
+    )
+
+
+def q_cusum_changepoint_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM change-point day over daily counts — integer
+    scaled deviations, no float mean inside the cumulative sum."""
+    from breweries_etl_spark.operators.temporal import cusum_changepoint
+
+    return cusum_changepoint(load_events(spark, sf_dir))
+
+
+def q_abc_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification of parts by revenue (80/95 cumulative
+    share cuts), per-class counts and totals."""
+    from breweries_etl_spark.operators.aggregate import abc_classification
+
+    return abc_classification(
+        load_table(spark, sf_dir, "lineitem"), "l_partkey", "l_extendedprice"
+    )
+
+
+_ORACLES["reservoir_sample_docs"] = """
+WITH h AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+), r AS (
+  SELECT source, doc_id,
+    row_number() OVER (PARTITION BY source ORDER BY hx, doc_id) AS rk
+  FROM h
+)
+SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5
+"""
+
+_ORACLES["cusum_changepoint_users"] = """
+WITH daily AS (
+  SELECT user_id AS key,
+    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), sc AS (
+  SELECT key, day, n,
+    count(*) OVER (PARTITION BY key) AS n_days,
+    SUM(n) OVER (PARTITION BY key) AS total
+  FROM daily
+), cs AS (
+  SELECT key, day, n_days,
+    SUM(n * n_days - total) OVER (PARTITION BY key ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS cusum_scaled
+  FROM sc
+), r AS (
+  SELECT key, day, n_days, cusum_scaled,
+    row_number() OVER (PARTITION BY key
+                       ORDER BY abs(cusum_scaled) DESC, day ASC) AS rn
+  FROM cs
+)
+SELECT key AS user_id, day AS changepoint_day,
+  CAST(n_days AS BIGINT) AS n_days,
+  CAST(abs(cusum_scaled) AS BIGINT) AS peak_abs_cusum_scaled,
+  round(CAST(cusum_scaled AS DOUBLE) / n_days, 6) AS peak_cusum
+FROM r WHERE rn = 1
+"""
+
+_ORACLES["abc_parts_revenue"] = """
+WITH pk AS (
+  SELECT l_partkey AS key, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS kv
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT key, kv,
+    SUM(kv) OVER (ORDER BY kv DESC, key ASC ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(kv) OVER () AS total
+  FROM pk
+), cl AS (
+  SELECT key, kv,
+    CASE WHEN CAST(cum AS DOUBLE) <= 0.8 * CAST(total AS DOUBLE) THEN 'A'
+         WHEN CAST(cum AS DOUBLE) <= 0.95 * CAST(total AS DOUBLE) THEN 'B'
+         ELSE 'C' END AS abc_class
+  FROM cum
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(SUM(kv) AS DOUBLE) AS class_value
+FROM cl GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -5608,6 +5697,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_value": q_time_weighted_value,
         "user_activity_streaks": q_user_activity_streaks,
         "pca_top_component": q_pca_top_component,
+        "reservoir_sample_docs": q_reservoir_sample_docs,
+        "cusum_changepoint_users": q_cusum_changepoint_users,
+        "abc_parts_revenue": q_abc_parts_revenue,
         "price_histogram": q_price_histogram,
         # corpus prep: stratified sampling / chunking
         "stratified_sample_docs": q_stratified_sample_docs,

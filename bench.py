@@ -142,6 +142,32 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "graph_bfs": ["graph_bfs_levels"],
     "graph_pagerank": ["graph_pagerank_top"],
+    # round-4 additions: light scan/agg profiling queries...
+    "profile": [
+        "doc_length_histogram",
+        "char_class_profile",
+        "seasonal_hour_profile",
+        "rolling_count_anomaly",
+        "session_bounce_rate",
+        "mode_event_type",
+        "weighted_median_price",
+        "benford_orders",
+        "fd_audit_orders",
+        "skyline_price_quantity",
+        "time_weighted_value",
+        "user_activity_streaks",
+        "reservoir_sample_docs",
+        "cusum_changepoint_users",
+        "abc_parts_revenue",
+    ],
+    # ...and the heavier image/ML queries (PCA's scatter join dominates)
+    "mlx": [
+        "multimodal_decode_stats",
+        "multimodal_resize_stats",
+        "label_centroid_similarity",
+        "ols_price_on_quantity",
+        "pca_top_component",
+    ],
 }
 
 HEADLINE = [q for qs in FAMILIES.values() for q in qs]

@@ -212,3 +212,56 @@ def skyline_2d(
         .filter(F.col("__cummax").isNull() | (F.col("y") > F.col("__cummax")))
         .select("x", "y", "n_rows")
     )
+
+
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> DataFrame:
+    """Pareto/ABC analysis: rank keys by exact decimal revenue, classify
+    into A (first ``a_cut`` of cumulative share), B (to ``b_cut``), C
+    (tail), and report per-class key counts and value totals — the
+    80/15/5 inventory-classification readout.
+
+    Per-key totals collapse map-side first (the only pass over facts);
+    the global cumulative share runs over KEYS. Class boundaries
+    compare in exact decimal (cum·1 ≥ cut·total avoided — instead
+    cum ≥ cut×total computed as decimal×literal), so boundary keys land
+    identically in any engine. Ties in value order break by key.
+    """
+    v = F.col(value_col).cast("decimal(18,2)")
+    per_key = (
+        df.select(F.col(key_col).alias("key"), v.alias("__v"))
+        .groupBy("key")
+        .agg(F.sum("__v").alias("kv"))
+    )
+    w = Window.orderBy(F.desc("kv"), F.asc("key")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    classed = per_key.select(
+        "key",
+        "kv",
+        F.sum("kv").over(w).alias("cum"),
+        F.sum("kv").over(tot).alias("total"),
+    ).select(
+        "key",
+        "kv",
+        F.when(
+            F.col("cum").cast("double") <= F.lit(a_cut) * F.col("total").cast("double"),
+            F.lit("A"),
+        )
+        .when(
+            F.col("cum").cast("double") <= F.lit(b_cut) * F.col("total").cast("double"),
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("kv").cast("double").alias("class_value"),
+    )

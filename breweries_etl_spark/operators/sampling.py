@@ -10,7 +10,7 @@ require (and what makes them oracle-checkable).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 4 hex chars = 65536 buckets → fraction granularity ~0.0015%
@@ -105,4 +105,29 @@ def weighted_sample(
         .orderBy(F.desc("aes_key"), F.col(key))
         .limit(k)
         .drop("aes_key")
+    )
+
+
+def reservoir_sample_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Fixed-size-k per-group sample via hash ranking: the k rows with
+    the smallest md5(key) per group. Deterministic (content-addressed,
+    partition/run-invariant — unlike a true streaming reservoir, whose
+    output depends on arrival order) while preserving the reservoir
+    property that each group yields EXACTLY min(k, n) rows, which a
+    threshold hash_sample cannot guarantee for small groups.
+
+    One window shuffle on (group, hash-rank); at scale the ORDER BY
+    runs per group after map-side pre-filtering is impossible (rank
+    needs global group order), so groups are the parallelism unit —
+    the standard top-k-per-key shape AQE handles well.
+    """
+    hx = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(hx, key_col)
+    return (
+        df.select(F.col(group_col), F.col(key_col), hx.alias("__hx"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(group_col, key_col, "rk")
     )

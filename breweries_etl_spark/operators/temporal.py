@@ -591,3 +591,61 @@ def user_activity_streaks(
         (-F.col("m.neg")).cast("long").alias("max_streak_days"),
         F.col("m.sd").alias("max_streak_start_day"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame, key_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-key CUSUM change-point locator over daily event counts: the
+    day where the cumulative deviation from the key's own mean daily
+    count peaks in absolute value — the standard "when did this
+    source's behavior shift?" detector, exact and replayable because
+    every deviation is the rational n_d − total/n_days kept as
+    n_d·n_days − total in INTEGER arithmetic (no float mean inside the
+    cumulative sum).
+
+    Shape: (key, day) count aggregate → per-key total via a window over
+    the daily frame → integer cumsum → argmax by (|cusum| desc, day
+    asc). Two shuffles, both over the daily aggregate, never raw rows.
+    """
+    day = F.expr(f"unix_micros({ts_col}) div {86_400 * 1_000_000}")
+    daily = (
+        df.select(F.col(key_col).alias("key"), day.alias("day"))
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_key = Window.partitionBy("key")
+    ordered = Window.partitionBy("key").orderBy("day")
+    scaled = daily.select(
+        "key",
+        "day",
+        "n",
+        F.count(F.lit(1)).over(per_key).alias("n_days"),
+        F.sum("n").over(per_key).alias("total"),
+    ).select(
+        "key",
+        "day",
+        "n",
+        "n_days",
+        # scaled deviation: n*n_days - total (integer) — cusum of these
+        # equals n_days * (classic float cusum), so the argmax day is
+        # identical and the arithmetic exact
+        F.sum(F.col("n") * F.col("n_days") - F.col("total"))
+        .over(ordered)
+        .alias("cusum_scaled"),
+    )
+    pick = F.min(
+        F.struct(
+            (-F.abs(F.col("cusum_scaled"))).alias("neg"),
+            F.col("day").alias("day"),
+            F.col("cusum_scaled").alias("cs"),
+            F.col("n_days").alias("nd"),
+        )
+    ).alias("m")
+    return scaled.groupBy("key").agg(pick).select(
+        F.col("key").alias(key_col),
+        F.col("m.day").alias("changepoint_day"),
+        F.col("m.nd").alias("n_days"),
+        (-F.col("m.neg")).alias("peak_abs_cusum_scaled"),
+        F.round(F.col("m.cs") / F.col("m.nd"), 6).alias("peak_cusum"),
+    )

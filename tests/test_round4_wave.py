@@ -216,3 +216,55 @@ def test_user_activity_streaks_islands(spark):
     assert out["n_streaks"] == 3
     assert out["n_active_days"] == 6
     assert out["max_streak_days"] == 3
+
+
+def test_reservoir_sample_exact_k(spark):
+    from breweries_etl_spark.operators.sampling import reservoir_sample_per_group
+
+    df = spark.createDataFrame(
+        [Row(g="a", k=i) for i in range(20)] + [Row(g="b", k=i) for i in range(3)]
+    )
+    out = reservoir_sample_per_group(df, "g", "k", k=5).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["k"])
+    assert len(by_g["a"]) == 5          # exactly k
+    assert sorted(by_g["b"]) == [0, 1, 2]  # min(k, n) for small groups
+    # determinism: same input -> same picks
+    again = reservoir_sample_per_group(df, "g", "k", k=5).collect()
+    assert sorted((r["g"], r["k"]) for r in again) == sorted(
+        (r["g"], r["k"]) for r in out
+    )
+
+
+def test_cusum_changepoint_planted_shift(spark):
+    from breweries_etl_spark.operators.temporal import cusum_changepoint
+
+    # 1 event/day for 5 days then 5/day for 5 days: the cusum of
+    # deviations peaks (most negative) on the last low day (day index 4)
+    rows = []
+    for d in range(1, 6):
+        rows.append((1, "e", f"2024-01-{d:02d} 01:00:00", 1.0))
+    for d in range(6, 11):
+        for i in range(5):
+            rows.append((1, "e", f"2024-01-{d:02d} 0{i+1}:00:00", 1.0))
+    out = cusum_changepoint(_ev(spark, rows)).collect()[0]
+    day0 = out["changepoint_day"] - 4  # absolute epoch day of 2024-01-01
+    assert out["n_days"] == 10
+    # deviations scaled by n_days=10: low days contribute 1*10-30=-20 each
+    assert out["peak_abs_cusum_scaled"] == 100
+    assert out["peak_cusum"] == -10.0
+    assert (out["changepoint_day"] - day0) == 4
+
+
+def test_abc_classification_shares(spark):
+    from breweries_etl_spark.operators.aggregate import abc_classification
+
+    # values 80, 15, 4, 1 -> A={80}, B={15}, C={4, 1}
+    df = spark.createDataFrame(
+        [Row(k="p1", v=80.0), Row(k="p2", v=15.0), Row(k="p3", v=4.0), Row(k="p4", v=1.0)]
+    )
+    out = {r["abc_class"]: r for r in abc_classification(df, "k", "v").collect()}
+    assert out["A"]["n_keys"] == 1 and out["A"]["class_value"] == 80.0
+    assert out["B"]["n_keys"] == 1 and out["B"]["class_value"] == 15.0
+    assert out["C"]["n_keys"] == 2 and out["C"]["class_value"] == 5.0
