@@ -5536,6 +5536,97 @@ FROM cl GROUP BY 1
 """
 
 
+def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-then-aggregate materialized view maintained from a fact
+    delta (orders ≡ 0 mod 7) without rescanning the base; the oracle is
+    the full recompute the maintained state must equal."""
+    from breweries_etl_spark.operators.incremental import maintain_join_aggregate
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return maintain_join_aggregate(
+        orders.filter(F.col("o_orderkey") % 7 != 0),
+        orders.filter(F.col("o_orderkey") % 7 == 0),
+        customer,
+        "o_custkey",
+        "c_custkey",
+        "c_nationkey",
+        "o_totalprice",
+    )
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 within-word character-pair frequencies — the first BPE
+    merge candidate table."""
+    from breweries_etl_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
+def q_hourly_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid zero-event hour audit per event type."""
+    from breweries_etl_spark.operators.temporal import hourly_coverage_gaps
+
+    return hourly_coverage_gaps(load_events(spark, sf_dir))
+
+
+_ORACLES["incremental_join_maintenance"] = """
+SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1
+"""
+
+_ORACLES["bpe_pair_counts"] = """
+WITH norm AS (
+  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+              ' +', ' ', 'g')) AS nt
+  FROM documents
+), wrds AS (
+  SELECT unnest(string_split(nt, ' ')) AS w FROM norm
+), prs AS (
+  SELECT unnest([substring(w, i, 2) FOR i IN range(1, greatest(len(w), 1))]) AS pair
+  FROM wrds
+), c AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n
+  FROM prs WHERE length(pair) = 2 GROUP BY 1
+), r AS (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rank FROM c
+)
+SELECT pair, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 20
+"""
+
+_ORACLES["hourly_coverage_gaps"] = """
+WITH b AS (
+  SELECT min(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS lo,
+         max(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS hi
+  FROM events
+), grid AS (
+  SELECT unnest(range(lo, hi + 1)) AS h FROM b
+), obs AS (
+  SELECT DISTINCT event_type,
+    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+  FROM events
+), types AS (SELECT DISTINCT event_type FROM events),
+dense AS (SELECT t.event_type, g.h FROM types t CROSS JOIN grid g),
+miss AS (
+  SELECT d.event_type, d.h
+  FROM dense d LEFT JOIN obs o ON o.event_type = d.event_type AND o.h = d.h
+  WHERE o.h IS NULL
+), pm AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS missing_hours,
+    min(h) AS first_missing_hour
+  FROM miss GROUP BY 1
+), tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS total_hours
+  FROM dense GROUP BY 1
+)
+SELECT tot.event_type, tot.total_hours,
+  COALESCE(pm.missing_hours, 0) AS missing_hours, pm.first_missing_hour
+FROM tot LEFT JOIN pm ON pm.event_type = tot.event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -5700,6 +5791,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample_docs": q_reservoir_sample_docs,
         "cusum_changepoint_users": q_cusum_changepoint_users,
         "abc_parts_revenue": q_abc_parts_revenue,
+        "incremental_join_maintenance": q_incremental_join_maintenance,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "hourly_coverage_gaps": q_hourly_coverage_gaps,
         "price_histogram": q_price_histogram,
         # corpus prep: stratified sampling / chunking
         "stratified_sample_docs": q_stratified_sample_docs,

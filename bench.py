@@ -159,9 +159,12 @@ FAMILIES: dict[str, list[str]] = {
         "reservoir_sample_docs",
         "cusum_changepoint_users",
         "abc_parts_revenue",
+        "incremental_join_maintenance",
+        "hourly_coverage_gaps",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [
+        "bpe_pair_counts",
         "multimodal_decode_stats",
         "multimodal_resize_stats",
         "label_centroid_similarity",

@@ -649,3 +649,51 @@ def cusum_changepoint(
         (-F.col("m.neg")).alias("peak_abs_cusum_scaled"),
         F.round(F.col("m.cs") / F.col("m.nd"), 6).alias("peak_cusum"),
     )
+
+
+def hourly_coverage_gaps(
+    df: DataFrame, ts_col: str = "ts", type_col: str = "event_type"
+) -> DataFrame:
+    """Dense-grid coverage audit: for each event type, how many hours of
+    the table's observed [min, max] hour range have ZERO events — the
+    detector for silently dead producers and dropped partitions that
+    per-row checks can't see (absent data has no rows to check).
+
+    The dense hour axis comes from one global min/max (two scalars) and
+    a generated sequence — never a data shuffle; observed (type, hour)
+    pairs collapse map-side; the anti-join runs grid×types vs the tiny
+    observed aggregate. Output is one row per type.
+    """
+    hour = F.expr(f"unix_micros({ts_col}) div {3600 * 1_000_000}")
+    observed = (
+        df.select(F.col(type_col).alias("event_type"), hour.alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = df.agg(
+        F.min(hour).alias("h_lo"), F.max(hour).alias("h_hi")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("h_lo"), F.col("h_hi"))).alias("h")
+    )
+    types = observed.select("event_type").distinct()
+    dense = types.crossJoin(grid)
+    missing = dense.join(observed, ["event_type", "h"], "left_anti")
+    per_type_missing = missing.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("missing_hours"),
+        F.min("h").alias("first_missing_hour"),
+    )
+    totals = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total_hours")
+    )
+    return (
+        totals.join(per_type_missing, "event_type", "left")
+        .select(
+            "event_type",
+            "total_hours",
+            F.coalesce(F.col("missing_hours"), F.lit(0)).cast("long").alias(
+                "missing_hours"
+            ),
+            "first_missing_hour",
+        )
+    )

@@ -10,7 +10,7 @@ dialect-portable (identical under DuckDB) for the oracle gate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Word tokens: ASCII alnum/underscore runs. `\\w` differs between regex
@@ -787,4 +787,40 @@ def char_class_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(F.col("digit_chars") / F.col("total_chars"), 6).alias("digit_ratio"),
         F.round(F.col("space_chars") / F.col("total_chars"), 6).alias("space_ratio"),
         F.round(other / F.col("total_chars"), 6).alias("other_ratio"),
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Top-k adjacent character-pair frequencies within words — the
+    candidate table for the FIRST merge of byte-pair-encoding training
+    (Sennrich et al.), and a corpus fingerprint cheap enough to run per
+    ingest batch. Pairs never cross word boundaries (standard BPE
+    practice).
+
+    Per row: normalized text → words → per-word adjacent 2-grams
+    (linear array expressions, no shuffle) → corpus-wide count. The
+    global shuffle carries one row per DISTINCT pair (≲ alphabet², map
+    side combined); the final top-k orders that tiny relation with a
+    deterministic (count desc, pair asc) tie rule.
+    """
+    # substring(w, i, 2) with a column-valued i — SQL expr form
+    pairs = F.expr(
+        f"flatten(transform(split({'{}'}, ' '), w -> "
+        "transform(sequence(1, greatest(length(w) - 1, 0)), "
+        "i -> substring(w, i, 2))))".format(
+            f"trim(regexp_replace(regexp_replace(lower({text_col}), "
+            "'[^a-z0-9]+', ' '), ' +', ' '))"
+        )
+    )
+    counted = (
+        df.select(F.explode(pairs).alias("pair"))
+        .filter(F.length("pair") == 2)
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("pair", "n", "rank")
     )

@@ -268,3 +268,59 @@ def test_abc_classification_shares(spark):
     assert out["A"]["n_keys"] == 1 and out["A"]["class_value"] == 80.0
     assert out["B"]["n_keys"] == 1 and out["B"]["class_value"] == 15.0
     assert out["C"]["n_keys"] == 2 and out["C"]["class_value"] == 5.0
+
+
+def test_maintain_join_aggregate_equals_full_recompute(spark):
+    from breweries_etl_spark.operators.incremental import maintain_join_aggregate
+
+    facts = spark.createDataFrame(
+        [Row(fk=i % 4 + 1, v=float(i)) for i in range(20)]
+    )
+    dim = spark.createDataFrame(
+        [Row(dk=i, grp="g" + str(i % 2)) for i in range(1, 5)]
+    )
+    base = facts.filter(F.col("v") < 15)
+    delta = facts.filter(F.col("v") >= 15)
+    maintained = {
+        r["grp"]: (r["n_rows"], r["total_value"])
+        for r in maintain_join_aggregate(
+            base, delta, dim, "fk", "dk", "grp", "v"
+        ).collect()
+    }
+    full = {
+        r["grp"]: (r["n"], r["t"])
+        for r in facts.join(dim, facts.fk == dim.dk)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("t"),
+        )
+        .collect()
+    }
+    assert maintained == full
+
+
+def test_bpe_pair_counts_hand_corpus(spark):
+    from breweries_etl_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="abab ab"), Row(doc_id=2, text="Ba!")])
+    out = {r["pair"]: r["n"] for r in bpe_pair_counts(docs, k=10).collect()}
+    # "abab": ab,ba,ab ; "ab": ab ; "ba": ba  -> ab:3, ba:2
+    assert out == {"ab": 3, "ba": 2}
+
+
+def test_hourly_coverage_gaps_planted_hole(spark):
+    from breweries_etl_spark.operators.temporal import hourly_coverage_gaps
+
+    ev = _ev(
+        spark,
+        [
+            (1, "click", "2024-01-01 00:10:00", 1.0),
+            (1, "click", "2024-01-01 02:10:00", 1.0),  # hour 1 missing
+            (1, "view", "2024-01-01 01:10:00", 1.0),
+        ],
+    )
+    out = {r["event_type"]: r for r in hourly_coverage_gaps(ev).collect()}
+    assert out["click"]["total_hours"] == 3
+    assert out["click"]["missing_hours"] == 1
+    assert out["view"]["missing_hours"] == 2  # hours 0 and 2
