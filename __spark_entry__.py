@@ -5627,6 +5627,96 @@ FROM tot LEFT JOIN pm ON pm.event_type = tot.event_type
 """
 
 
+def q_loo_encoding_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority by total price —
+    leakage-free categorical feature, NULL for singleton groups."""
+    from breweries_etl_spark.operators.profiling import loo_target_encoding
+
+    return loo_target_encoding(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+
+
+def q_mutual_information_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI(o_orderpriority; o_orderstatus) in nats via rounded decimal
+    term sums."""
+    from breweries_etl_spark.operators.profiling import mutual_information
+
+    return mutual_information(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+def q_chi2_day_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity between even/odd-day event-type mixes."""
+    from breweries_etl_spark.operators.profiling import chi2_drift
+
+    return chi2_drift(load_events(spark, sf_dir))
+
+
+_ORACLES["loo_encoding_orders"] = """
+WITH w AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      OVER (PARTITION BY o_orderpriority) AS s,
+    count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority,
+  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+  CASE WHEN n > 1 THEN
+    round(CAST(s - CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) / (n - 1), 6)
+  END AS loo_mean
+FROM w
+"""
+
+_ORACLES["mutual_information_orders"] = """
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y,
+    CAST(count(*) AS BIGINT) AS nxy
+  FROM orders GROUP BY 1, 2
+), xm AS (SELECT x, SUM(nxy) AS nx FROM cells GROUP BY 1),
+ym AS (SELECT y, SUM(nxy) AS ny FROM cells GROUP BY 1),
+tot AS (SELECT SUM(nxy) AS n FROM cells),
+j AS (
+  SELECT c.nxy, xm.nx, ym.ny, tot.n
+  FROM cells c JOIN xm USING (x) JOIN ym USING (y) CROSS JOIN tot
+)
+SELECT CAST(max(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_cells,
+  CAST(SUM(CAST(round(
+    (nxy / CAST(n AS DOUBLE))
+    * ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))
+         / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 6)
+    AS DECIMAL(18,6))) AS DOUBLE) AS mi_nats
+FROM j
+"""
+
+_ORACLES["chi2_day_drift"] = """
+WITH cells AS (
+  SELECT event_type AS t,
+    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 2 AS INTEGER) AS p,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tm AS (SELECT t, SUM(c) AS ct FROM cells GROUP BY 1),
+pm AS (SELECT p, SUM(c) AS cp FROM cells GROUP BY 1),
+tot AS (SELECT SUM(c) AS n FROM cells),
+j AS (
+  SELECT c.c, tm.ct, pm.cp, tot.n
+  FROM cells c JOIN tm USING (t) JOIN pm USING (p) CROSS JOIN tot
+)
+SELECT CAST(max(n) AS BIGINT) AS n_events, CAST(count(*) AS BIGINT) AS n_cells,
+  CAST(SUM(CAST(round(
+    (c - CAST(ct AS DOUBLE) * CAST(cp AS DOUBLE) / CAST(n AS DOUBLE))
+    * (c - CAST(ct AS DOUBLE) * CAST(cp AS DOUBLE) / CAST(n AS DOUBLE))
+    / (CAST(ct AS DOUBLE) * CAST(cp AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+    AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+FROM j
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -5794,6 +5884,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join_maintenance": q_incremental_join_maintenance,
         "bpe_pair_counts": q_bpe_pair_counts,
         "hourly_coverage_gaps": q_hourly_coverage_gaps,
+        "loo_encoding_orders": q_loo_encoding_orders,
+        "mutual_information_orders": q_mutual_information_orders,
+        "chi2_day_drift": q_chi2_day_drift,
         "price_histogram": q_price_histogram,
         # corpus prep: stratified sampling / chunking
         "stratified_sample_docs": q_stratified_sample_docs,

@@ -161,6 +161,9 @@ FAMILIES: dict[str, list[str]] = {
         "abc_parts_revenue",
         "incremental_join_maintenance",
         "hourly_coverage_gaps",
+        "loo_encoding_orders",
+        "mutual_information_orders",
+        "chi2_day_drift",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

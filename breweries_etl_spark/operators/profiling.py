@@ -9,6 +9,7 @@ per-column loop of actions (which would scan the table N times).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -605,3 +606,113 @@ def embedding_norm_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame
         ).alias("mean_vector_norm")
     )
     return base.crossJoin(F.broadcast(mean_vec_norm))
+
+
+def loo_target_encoding(
+    df: DataFrame, key_col: str, group_col: str, value_col: str
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's category mean computed
+    EXCLUDING the row itself — (Σ_group − x)/(n_group − 1) — the
+    standard leakage-free categorical encoder for tree/linear models
+    (a plain group mean leaks each row's own target into its feature).
+
+    One window over the group (no self-join): the group sum rides
+    decimal, the LOO mean is a fixed double sequence, singleton groups
+    surface NULL explicitly. Shuffle = one exchange on the group key.
+    """
+    v = F.col(value_col).cast("decimal(18,2)")
+    w = Window.partitionBy(group_col)
+    s = F.sum(v).over(w)
+    n = F.count(F.lit(1)).over(w)
+    loo = (s - v).cast("double") / (n - F.lit(1))
+    return df.select(
+        F.col(key_col),
+        F.col(group_col),
+        F.col(value_col).cast("double").alias(value_col),
+        F.when(n > 1, F.round(loo, 6)).alias("loo_mean"),
+    )
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Mutual information between two categorical columns in nats —
+    the dependence profile a schema-audit runs to find redundant or
+    leaking columns (MI ≈ H means one column determines the other;
+    ≈ 0 means independent).
+
+    Exact recipe (the repo's log-term rule): each cell's
+    p·ln(p/(px·py)) term computes as a fixed double sequence from
+    integer counts, rounds to 6 dp, and sums as decimal — order
+    independent, engine-identical. Three tiny aggregates over one scan
+    (cells, x-marginals, y-marginals joined back on the cell relation).
+    """
+    cells = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+    )
+    xm = cells.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    ym = cells.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = cells.agg(F.sum("nxy").alias("n"))
+    n = F.col("n").cast("double")
+    term = (
+        (F.col("nxy") / n)
+        * F.log(
+            (F.col("nxy").cast("double") * n)
+            / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+        )
+    )
+    joined = (
+        cells.join(F.broadcast(xm), "x")
+        .join(F.broadcast(ym), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    return joined.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.round(term, 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("mi_nats"),
+    )
+
+
+def chi2_drift(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Chi-square homogeneity statistic between even- and odd-day event
+    type distributions — the drift alarm for "did the event mix change?"
+    that a mean/volume check misses. (Day parity is the deterministic
+    stand-in for week-over-week; the statistic's shape is identical.)
+
+    Counts are exact integers; each cell's (obs−exp)²/exp term is a
+    fixed double sequence rounded to 6 dp and decimal-summed. One
+    map-side-combinable aggregate over the scan; everything after runs
+    on |types|×2 rows.
+    """
+    parity = F.expr(f"unix_micros({ts_col}) div {86_400 * 1_000_000}") % 2
+    cells = (
+        df.select(F.col(type_col).alias("t"), parity.cast("int").alias("p"))
+        .groupBy("t", "p")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tm = cells.groupBy("t").agg(F.sum("c").alias("ct"))
+    pm = cells.groupBy("p").agg(F.sum("c").alias("cp"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    n = F.col("n").cast("double")
+    joined = (
+        cells.join(F.broadcast(tm), "t")
+        .join(F.broadcast(pm), "p")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("ct").cast("double") * F.col("cp").cast("double") / n
+    term = (F.col("c") - exp) * (F.col("c") - exp) / exp
+    return joined.agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.round(term, 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("chi2"),
+    )

@@ -324,3 +324,48 @@ def test_hourly_coverage_gaps_planted_hole(spark):
     assert out["click"]["total_hours"] == 3
     assert out["click"]["missing_hours"] == 1
     assert out["view"]["missing_hours"] == 2  # hours 0 and 2
+
+
+def test_loo_target_encoding_excludes_self(spark):
+    from breweries_etl_spark.operators.profiling import loo_target_encoding
+
+    df = spark.createDataFrame(
+        [Row(k=1, g="a", v=10.0), Row(k=2, g="a", v=20.0), Row(k=3, g="a", v=30.0),
+         Row(k=4, g="b", v=7.0)]
+    )
+    out = {r["k"]: r["loo_mean"] for r in loo_target_encoding(df, "k", "g", "v").collect()}
+    assert out[1] == 25.0 and out[2] == 20.0 and out[3] == 15.0
+    assert out[4] is None  # singleton group
+
+
+def test_mutual_information_extremes(spark):
+    import math
+
+    from breweries_etl_spark.operators.profiling import mutual_information
+
+    # independent 2x2 uniform -> MI = 0
+    indep = spark.createDataFrame(
+        [Row(x=x, y=y) for x in "ab" for y in "cd" for _ in range(5)]
+    )
+    assert mutual_information(indep, "x", "y").collect()[0]["mi_nats"] == 0.0
+    # perfectly dependent binary -> MI = ln(2)
+    dep = spark.createDataFrame(
+        [Row(x="a", y="c")] * 5 + [Row(x="b", y="d")] * 5
+    )
+    got = mutual_information(dep, "x", "y").collect()[0]["mi_nats"]
+    assert abs(got - math.log(2)) < 1e-5
+
+
+def test_chi2_drift_identical_mix_is_zero(spark):
+    from breweries_etl_spark.operators.profiling import chi2_drift
+
+    # same type mix on an even day (01-02) and an odd day (01-01 epoch
+    # day 19723 odd? parity differs between the two days is all that
+    # matters) -> expected == observed -> chi2 = 0
+    rows = []
+    for day in ("2024-01-01", "2024-01-02"):
+        rows += [(1, "click", f"{day} 01:00:00", 1.0)] * 3
+        rows += [(1, "view", f"{day} 02:00:00", 1.0)] * 2
+    out = chi2_drift(_ev(spark, rows)).collect()[0]
+    assert out["chi2"] == 0.0
+    assert out["n_events"] == 10
