@@ -5627,6 +5627,21 @@ FROM tot LEFT JOIN pm ON pm.event_type = tot.event_type
 """
 
 
+def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under doubled (at-least-once) delivery —
+    per-type totals must equal the clean batch aggregate."""
+    from breweries_etl_spark.streaming.events import run_streaming_dedup_once
+
+    return run_streaming_dedup_once(spark, sf_dir)
+
+
+_ORACLES["streaming_dedup_counts"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+"""
+
+
 def q_loo_encoding_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out target encoding of order priority by total price —
     leakage-free categorical feature, NULL for singleton groups."""
@@ -5885,6 +5900,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "hourly_coverage_gaps": q_hourly_coverage_gaps,
         "loo_encoding_orders": q_loo_encoding_orders,
+        "streaming_dedup_counts": q_streaming_dedup_counts,
         "mutual_information_orders": q_mutual_information_orders,
         "chi2_day_drift": q_chi2_day_drift,
         "price_histogram": q_price_histogram,

@@ -243,3 +243,34 @@ def run_click_attribution_once(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_streaming_dedup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery drill: the events stream unioned with a
+    second read of itself (every record delivered twice), pushed through
+    ``streaming_dedup`` — the per-type counts must equal the clean batch
+    aggregate, proving the dedup state absorbs the replay. Append-mode
+    memory sink: dropDuplicatesWithinWatermark emits first occurrences
+    immediately (the watermark only bounds state), so a finite source
+    drains completely.
+    """
+    dup = stream_events(spark, sf_dir).unionByName(stream_events(spark, sf_dir))
+    q = (
+        streaming_dedup(dup)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_drill")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table("dedup_drill")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+    )
