@@ -5642,6 +5642,59 @@ FROM events GROUP BY 1
 """
 
 
+def q_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival profile per event type (arrival order =
+    event_id) — the watermark-picking measurement."""
+    from breweries_etl_spark.operators.temporal import lateness_profile
+
+    return lateness_profile(load_events(spark, sf_dir))
+
+
+def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly per-type volumes with percent change vs previous observed
+    week."""
+    from breweries_etl_spark.operators.temporal import week_over_week_change
+
+    return week_over_week_change(load_events(spark, sf_dir))
+
+
+_ORACLES["lateness_profile"] = """
+WITH t AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+    max(epoch_us(CAST(ts AS TIMESTAMP)))
+      OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+  FROM events
+), lt AS (
+  SELECT event_type,
+    CASE WHEN runmax > us THEN runmax - us ELSE 0 END AS late
+  FROM t
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+  round(CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS late_share,
+  CAST(max(late) AS BIGINT) AS max_lateness_us,
+  round(CAST(SUM(late) AS DOUBLE) / count(*), 6) AS mean_lateness_us
+FROM lt GROUP BY 1
+"""
+
+_ORACLES["wow_change"] = """
+WITH weekly AS (
+  SELECT event_type,
+    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS week,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, n_events,
+  CASE WHEN lag(n_events) OVER w IS NOT NULL THEN
+    round(CAST(n_events - lag(n_events) OVER w AS DOUBLE)
+          / lag(n_events) OVER w, 6)
+  END AS pct_change
+FROM weekly WINDOW w AS (PARTITION BY event_type ORDER BY week)
+"""
+
+
 def q_loo_encoding_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out target encoding of order priority by total price —
     leakage-free categorical feature, NULL for singleton groups."""
@@ -5901,6 +5954,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_coverage_gaps": q_hourly_coverage_gaps,
         "loo_encoding_orders": q_loo_encoding_orders,
         "streaming_dedup_counts": q_streaming_dedup_counts,
+        "lateness_profile": q_lateness_profile,
+        "wow_change": q_wow_change,
         "mutual_information_orders": q_mutual_information_orders,
         "chi2_day_drift": q_chi2_day_drift,
         "price_histogram": q_price_histogram,

@@ -164,6 +164,8 @@ FAMILIES: dict[str, list[str]] = {
         "loo_encoding_orders",
         "mutual_information_orders",
         "chi2_day_drift",
+        "lateness_profile",
+        "wow_change",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

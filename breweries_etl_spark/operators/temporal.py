@@ -697,3 +697,74 @@ def hourly_coverage_gaps(
             "first_missing_hour",
         )
     )
+
+
+def lateness_profile(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Out-of-order-arrival profile — the measurement that picks a
+    streaming watermark. Arrival order is the monotone ingest id
+    (``id_col``); an event is LATE if its event time precedes the
+    per-key running max event time among earlier arrivals, and its
+    lateness is that gap in exact microseconds. Per event type:
+    late count/share, max and mean lateness — read directly as "a
+    watermark of X would have admitted Y% of events".
+
+    One key-partitioned window over arrival order + one
+    map-side-combinable aggregate; all integer arithmetic.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runmax = F.max(us).over(w)
+    late_us = F.when(runmax > us, runmax - us).otherwise(F.lit(0))
+    tagged = df.select(
+        F.col(type_col).alias("event_type"), late_us.alias("__late")
+    )
+    return tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("__late") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.round(
+            F.sum(F.when(F.col("__late") > 0, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("late_share"),
+        F.max("__late").alias("max_lateness_us"),
+        F.round(F.sum("__late") / F.count(F.lit(1)), 6).alias(
+            "mean_lateness_us"
+        ),
+    )
+
+
+def week_over_week_change(
+    df: DataFrame, ts_col: str = "ts", type_col: str = "event_type"
+) -> DataFrame:
+    """Per-type weekly volumes with percent change vs the previous
+    OBSERVED week — the trend table behind every ops dashboard. Week
+    index is exact integer epoch-day div 7; pct change is a fixed
+    round((n − prev)/prev, 6); the first observed week surfaces NULL.
+    One count aggregate + one lag over the tiny weekly frame."""
+    week = F.expr(f"unix_micros({ts_col}) div {86_400 * 1_000_000} div 7")
+    weekly = (
+        df.select(F.col(type_col).alias("event_type"), week.alias("week"))
+        .groupBy("event_type", "week")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "n_events",
+        F.when(prev.isNotNull(), F.round((F.col("n_events") - prev) / prev, 6))
+        .alias("pct_change"),
+    )

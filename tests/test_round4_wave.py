@@ -369,3 +369,39 @@ def test_chi2_drift_identical_mix_is_zero(spark):
     out = chi2_drift(_ev(spark, rows)).collect()[0]
     assert out["chi2"] == 0.0
     assert out["n_events"] == 10
+
+
+def test_lateness_profile_detects_out_of_order(spark):
+    from breweries_etl_spark.operators.temporal import lateness_profile
+
+    # arrival order (event_id): ts goes 10:00, 09:00 (1h late), 11:00
+    ev = _ev(
+        spark,
+        [
+            (1, "click", "2024-01-01 10:00:00", 1.0),
+            (1, "click", "2024-01-01 09:00:00", 1.0),
+            (1, "click", "2024-01-01 11:00:00", 1.0),
+        ],
+    )
+    r = lateness_profile(ev).collect()[0]
+    assert r["n_late"] == 1
+    assert r["max_lateness_us"] == 3600 * 1_000_000
+    assert r["late_share"] == round(1 / 3, 6)
+
+
+def test_week_over_week_change(spark):
+    from breweries_etl_spark.operators.temporal import week_over_week_change
+
+    rows = []
+    for d in range(1, 8):
+        rows.append((1, "click", f"2024-01-{d:02d} 12:00:00", 1.0))  # wk A: 7
+    for d in range(8, 15):
+        rows += [(1, "click", f"2024-01-{d:02d} 12:00:00", 1.0)] * 2  # wk B: 14
+    out = sorted(
+        week_over_week_change(_ev(spark, rows)).collect(), key=lambda r: r["week"]
+    )
+    # epoch-week boundaries need not align with Jan 1; assert on the
+    # totals and that exactly the first observed week has NULL change
+    assert sum(r["n_events"] for r in out) == 21
+    assert out[0]["pct_change"] is None
+    assert all(r["pct_change"] is not None for r in out[1:])
