@@ -5785,6 +5785,112 @@ FROM j
 """
 
 
+def q_shipping_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship day deltas per priority: count, disc percentiles,
+    max, late share."""
+    from breweries_etl_spark.operators.profiling import shipping_sla_report
+
+    return shipping_sla_report(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairwise Pearson correlations over four lineitem measures in
+    one scan (exact decimal component sums)."""
+    from breweries_etl_spark.operators.profiling import numeric_corr_matrix
+
+    return numeric_corr_matrix(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort LTV accumulation: active users, revenue, and
+    running revenue per cohort member."""
+    from breweries_etl_spark.operators.behavior import cohort_ltv
+
+    return cohort_ltv(load_events(spark, sf_dir))
+
+
+_ORACLES["shipping_sla_report"] = """
+WITH sla AS (
+  SELECT o.o_orderpriority,
+    epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000
+      - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000 AS days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(quantile_disc(days, 0.5) AS BIGINT) AS p50_days,
+  CAST(quantile_disc(days, 0.9) AS BIGINT) AS p90_days,
+  CAST(max(days) AS BIGINT) AS max_days,
+  round(CAST(SUM(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS late_share
+FROM sla GROUP BY 1
+"""
+
+
+def _corr_matrix_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    # DECIMAL(24,6): forces int128 storage in DuckDB — its int64
+    # multiply overflows at DECIMAL(18) for price*price rows. Values
+    # are exact either way, so Spark keeping (18,6) stays value-equal.
+    d6 = lambda c: f"CAST({c} AS DECIMAL(24,6))"  # noqa: E731
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in cols:
+        sums.append(f"SUM({d6(c)}) AS s_{c}")
+        sums.append(f"SUM(CAST({d6(c)} * {d6(c)} AS DECIMAL(38,8))) AS ss_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        sums.append(f"SUM(CAST({d6(a)} * {d6(b)} AS DECIMAL(38,8))) AS sp_{a}_{b}")
+    rows = []
+    for a, b in pairs:
+        va = f"(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        vb = f"(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        num = f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        rows.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"CASE WHEN {va} > 0 AND {vb} > 0 THEN "
+            f"round({num} / (sqrt({va}) * sqrt({vb})), 6) END AS corr FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+_ORACLES["numeric_corr_matrix"] = _corr_matrix_oracle()
+
+_ORACLES["cohort_ltv"] = """
+WITH ev AS (
+  SELECT user_id,
+    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS wk,
+    CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+), fw AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM fw GROUP BY 1
+), cells AS (
+  SELECT f.cohort_week, e.wk - f.cohort_week AS age_weeks,
+    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active_users,
+    SUM(e.v) AS revenue
+  FROM ev e JOIN fw f USING (user_id) GROUP BY 1, 2
+), cum AS (
+  SELECT cohort_week, age_weeks, n_active_users, revenue,
+    SUM(revenue) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                       ROWS UNBOUNDED PRECEDING) AS cumrev
+  FROM cells
+)
+SELECT c.cohort_week, c.age_weeks, c.n_active_users,
+  CAST(c.revenue AS DOUBLE) AS revenue,
+  round(CAST(c.cumrev AS DOUBLE) / s.cohort_size, 6)
+    AS cum_revenue_per_member
+FROM cum c JOIN sizes s USING (cohort_week)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -5956,6 +6062,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_counts": q_streaming_dedup_counts,
         "lateness_profile": q_lateness_profile,
         "wow_change": q_wow_change,
+        "shipping_sla_report": q_shipping_sla_report,
+        "numeric_corr_matrix": q_numeric_corr_matrix,
+        "cohort_ltv": q_cohort_ltv,
         "mutual_information_orders": q_mutual_information_orders,
         "chi2_day_drift": q_chi2_day_drift,
         "price_histogram": q_price_histogram,

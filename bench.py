@@ -166,6 +166,9 @@ FAMILIES: dict[str, list[str]] = {
         "chi2_day_drift",
         "lateness_profile",
         "wow_change",
+        "shipping_sla_report",
+        "cohort_ltv",
+        "numeric_corr_matrix",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

@@ -518,3 +518,58 @@ def session_bounce_rate(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
             "mean_events_per_session"
         ),
     )
+
+
+def cohort_ltv(df: DataFrame) -> DataFrame:
+    """Cohort lifetime-value accumulation: users cohort by their FIRST
+    event's epoch week; each (cohort, age-in-weeks) cell reports active
+    users, revenue, and the running revenue-per-cohort-member — the
+    canonical "when does a cohort pay back" curve.
+
+    Shape: per-user first week (one user-keyed aggregate), broadcast
+    back onto the weekly fact aggregate, cumulative window over the
+    tiny (cohort × age) frame. Revenue rides decimal end-to-end; the
+    per-member division is one fixed round at the end.
+    """
+    week = F.expr("unix_micros(ts) div 86400000000 div 7")
+    ev = df.select(
+        "user_id",
+        week.alias("wk"),
+        F.col("value").cast("decimal(12,2)").alias("__v"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("age_weeks"),
+            "user_id",
+            "__v",
+        )
+        .groupBy("cohort_week", "age_weeks")
+        .agg(
+            F.countDistinct("user_id").alias("n_active_users"),
+            F.sum("__v").alias("revenue"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "n_active_users",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round(
+                F.sum("revenue").over(w).cast("double") / F.col("cohort_size"),
+                6,
+            ).alias("cum_revenue_per_member"),
+        )
+    )

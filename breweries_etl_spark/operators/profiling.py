@@ -716,3 +716,89 @@ def chi2_drift(
         .cast("double")
         .alias("chi2"),
     )
+
+
+def numeric_corr_matrix(
+    df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns in ONE scan:
+    all component sums (n, Σx, Σx², Σxy for every pair) accumulate in a
+    single map-side-combinable aggregate — the profiling step that
+    flags redundant measures before feature selection. With k columns
+    the aggregate carries k(k+3)/2 + 1 cells; the correlation itself is
+    a fixed double sequence from exact decimal sums, rounded to 6 dp.
+    Constant columns yield NULL (undefined), not a division artifact.
+    """
+    d6 = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d6(c)).alias(f"s_{c}"))
+        aggs.append(F.sum((d6(c) * d6(c)).cast("decimal(38,8)")).alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(
+            F.sum((d6(a) * d6(b)).cast("decimal(38,8)")).alias(f"sp_{a}_{b}")
+        )
+    wide = df.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sab = F.col(f"sp_{a}_{b}").cast("double")
+        va = n * ssa - sa * sa
+        vb = n * ssb - sb * sb
+        return F.when(
+            (va > 0) & (vb > 0),
+            F.round((n * sab - sa * sb) / (F.sqrt(va) * F.sqrt(vb)), 6),
+        )
+
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                corr_expr(a, b).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return wide.select(F.explode(structs).alias("p")).select(
+        "p.col_a", "p.col_b", "p.corr"
+    )
+
+
+def shipping_sla_report(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Order-to-ship SLA distribution per priority: exact integer day
+    deltas between each line's ship date and its order's date, reduced
+    to count / p50 / p90 (percentile_disc — actual elements, engine-
+    identical) / max / late share (> 90 days). The join is the standard
+    orderkey equi-join; deltas shuffle as one BIGINT per line.
+    """
+    o = orders.select(
+        F.col("o_orderkey").alias("ok"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").alias("od"),
+        "o_orderpriority",
+    )
+    l = lineitem.select(
+        F.col("l_orderkey").alias("ok"),
+        F.expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").alias("sd"),
+    )
+    sla = l.join(o, "ok").select(
+        "o_orderpriority", (F.col("sd") - F.col("od")).alias("days")
+    )
+    return sla.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY days)")
+        .cast("long")
+        .alias("p50_days"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY days)")
+        .cast("long")
+        .alias("p90_days"),
+        F.max("days").alias("max_days"),
+        F.round(
+            F.sum(F.when(F.col("days") > 90, 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("late_share"),
+    )

@@ -365,28 +365,3 @@ def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
             F.col("n") / F.sum("n").over(tot) - F.log10(1 + 1 / F.col("digit")), 6
         ).alias("deviation"),
     )
-
-
-def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
-    """Schema-drift report between two frames (e.g. yesterday's and
-    today's bronze): one row per added / removed / retyped column —
-    the gate a pipeline runs BEFORE a write so drift is a decision,
-    not a surprise. Pure metadata (no jobs, no scan): the comparison
-    reads StructType only, so it is free at any data scale.
-
-    Output: (column, change 'added'|'removed'|'type_changed',
-    old_type, new_type)."""
-    spark = old.sparkSession
-    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
-    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
-    rows = []
-    for c in sorted(o.keys() | n.keys()):
-        if c not in n:
-            rows.append((c, "removed", o[c], None))
-        elif c not in o:
-            rows.append((c, "added", None, n[c]))
-        elif o[c] != n[c]:
-            rows.append((c, "type_changed", o[c], n[c]))
-    return spark.createDataFrame(
-        rows, "column string, change string, old_type string, new_type string"
-    )

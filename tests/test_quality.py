@@ -159,16 +159,3 @@ def test_k_anonymity_flags_small_classes(spark):
     assert r["n_unsafe_classes"] == 2   # (us,b)=2 and (de,a)=1
     assert r["n_rows_at_risk"] == 3
     assert r["min_class_size"] == 1
-
-
-def test_schema_diff_reports_all_drift_kinds(spark):
-    from breweries_etl_spark.operators.quality import schema_diff
-
-    old = spark.createDataFrame([], "a int, b string, c double")
-    new = spark.createDataFrame([], "a long, b string, d string")
-    out = {r["column"]: r for r in schema_diff(old, new).collect()}
-    assert out["a"]["change"] == "type_changed"
-    assert (out["a"]["old_type"], out["a"]["new_type"]) == ("int", "bigint")
-    assert out["c"]["change"] == "removed"
-    assert out["d"]["change"] == "added"
-    assert "b" not in out

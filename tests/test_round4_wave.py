@@ -405,3 +405,49 @@ def test_week_over_week_change(spark):
     assert sum(r["n_events"] for r in out) == 21
     assert out[0]["pct_change"] is None
     assert all(r["pct_change"] is not None for r in out[1:])
+
+
+def test_numeric_corr_matrix_known_values(spark):
+    from breweries_etl_spark.operators.profiling import numeric_corr_matrix
+
+    df = spark.createDataFrame(
+        [Row(a=float(x), b=2.0 * x + 1, c=-1.0 * x, d=5.0) for x in range(10)]
+    )
+    out = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in numeric_corr_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert out[("a", "b")] == 1.0       # perfect positive
+    assert out[("a", "c")] == -1.0      # perfect negative
+    assert out[("a", "d")] is None      # constant column -> NULL
+    assert len(out) == 6
+
+
+def test_cohort_ltv_accumulates(spark):
+    from breweries_etl_spark.operators.behavior import cohort_ltv
+
+    # two users in one cohort week; revenue 10 at age 0, 20 at age 1
+    rows = [
+        (1, "buy", "2024-01-01 00:00:00", 4.0),
+        (2, "buy", "2024-01-02 00:00:00", 6.0),
+        (1, "buy", "2024-01-09 00:00:00", 20.0),
+    ]
+    out = sorted(cohort_ltv(_ev(spark, rows)).collect(), key=lambda r: r["age_weeks"])
+    assert [r["age_weeks"] for r in out] == [0, 1]
+    assert out[0]["revenue"] == 10.0 and out[0]["n_active_users"] == 2
+    assert out[1]["cum_revenue_per_member"] == 15.0  # (10+20)/2
+
+
+def test_shipping_sla_report_exact_days(spark):
+    from breweries_etl_spark.operators.profiling import shipping_sla_report
+
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=1, o_orderdate="2024-01-01 00:00:00", o_orderpriority="1-URGENT")]
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    lineitem = spark.createDataFrame(
+        [Row(l_orderkey=1, l_shipdate=d) for d in
+         ("2024-01-03 00:00:00", "2024-01-11 00:00:00", "2024-05-01 00:00:00")]
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    r = shipping_sla_report(orders, lineitem).collect()[0]
+    assert r["n_lines"] == 3
+    assert r["p50_days"] == 10
+    assert r["max_days"] == 121
+    assert r["late_share"] == round(1 / 3, 6)

@@ -64,6 +64,21 @@ QUERIES = [
     "k_anonymity_customers", "column_entropy_orders",
     "join_size_orders_lineitem", "embedding_norm_profile",
     "contract_check_orders", "conversion_latency",
+    # round-4 wave: scan-shaped profiling (expect ~linear), window ops
+    # over per-key daily/weekly aggregates (linear in keys×days), the
+    # PCA scatter (linear in rows — d²/2 terms per row is a constant
+    # factor), skyline (frontier-neighborhood window), maintenance
+    # (keyspace-sized), image decode (Arrow-batched scan)
+    "doc_length_histogram", "char_class_profile", "seasonal_hour_profile",
+    "rolling_count_anomaly", "mode_event_type", "weighted_median_price",
+    "skyline_price_quantity", "time_weighted_value", "user_activity_streaks",
+    "cusum_changepoint_users", "abc_parts_revenue", "benford_orders",
+    "fd_audit_orders", "incremental_join_maintenance", "bpe_pair_counts",
+    "hourly_coverage_gaps", "loo_encoding_orders", "mutual_information_orders",
+    "chi2_day_drift", "lateness_profile", "wow_change",
+    "multimodal_decode_stats", "label_centroid_similarity",
+    "ols_price_on_quantity", "pca_top_component", "session_bounce_rate",
+    "reservoir_sample_docs",
 ]
 
 
