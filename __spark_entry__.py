@@ -5891,6 +5891,66 @@ FROM cum c JOIN sizes s USING (cohort_week)
 """
 
 
+def q_frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: brand pairs co-bought within an order, with
+    support and lift (pair blowup bounded by basket size)."""
+    from breweries_etl_spark.operators.aggregate import frequent_item_pairs
+
+    baskets = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(
+            load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return frequent_item_pairs(baskets, "l_orderkey", "p_brand", min_count=2)
+
+
+def q_price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECDF feature: percent_rank of each order's total within its
+    priority class."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+_ORACLES["frequent_brand_pairs"] = """
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM items),
+sup AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.i AS item_a, b2.i AS item_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.item_a, p.item_b, p.n_both,
+  round(p.n_both / CAST(nb.nb AS DOUBLE), 6) AS support,
+  round((p.n_both / CAST(nb.nb AS DOUBLE))
+        / ((sa.ni / CAST(nb.nb AS DOUBLE)) * (sb.ni / CAST(nb.nb AS DOUBLE))),
+        6) AS lift
+FROM pairs p
+JOIN sup sa ON sa.i = p.item_a
+JOIN sup sb ON sb.i = p.item_b
+CROSS JOIN nb
+"""
+
+_ORACLES["price_percent_rank"] = """
+SELECT o_orderkey, o_orderpriority,
+  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+  round(percent_rank() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice), 6) AS pr
+FROM orders
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -6065,6 +6125,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_sla_report": q_shipping_sla_report,
         "numeric_corr_matrix": q_numeric_corr_matrix,
         "cohort_ltv": q_cohort_ltv,
+        "frequent_brand_pairs": q_frequent_brand_pairs,
+        "price_percent_rank": q_price_percent_rank,
         "mutual_information_orders": q_mutual_information_orders,
         "chi2_day_drift": q_chi2_day_drift,
         "price_histogram": q_price_histogram,

@@ -169,6 +169,8 @@ FAMILIES: dict[str, list[str]] = {
         "shipping_sla_report",
         "cohort_ltv",
         "numeric_corr_matrix",
+        "frequent_brand_pairs",
+        "price_percent_rank",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

@@ -265,3 +265,61 @@ def abc_classification(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("kv").cast("double").alias("class_value"),
     )
+
+
+def frequent_item_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """Market-basket pair mining: distinct item pairs co-occurring in at
+    least ``min_count`` baskets, with support and lift — the first level
+    of association-rule mining, which IS tractable at scale because the
+    pair blowup is bounded by basket size, not corpus size (a k-item
+    basket emits k(k−1)/2 pairs executor-locally).
+
+    Shape: distinct (basket, item) collapses map-side → per-basket
+    sorted item array → local posexplode+slice pair expansion (same
+    codegen'd pattern as dedup.bucket_candidate_pairs) → one (a, b)
+    count aggregate. Supports/lift derive from the tiny per-item and
+    pair aggregates; every ratio is a fixed round-6 double.
+    """
+    items = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n_baskets_df = items.select(F.countDistinct("b").alias("nb"))
+    item_support = items.groupBy("i").agg(F.count(F.lit(1)).alias("ni"))
+    baskets = items.groupBy("b").agg(
+        F.sort_array(F.collect_list("i")).alias("is_")
+    )
+    pos = baskets.select(F.posexplode("is_").alias("_p", "item_a"), "is_")
+    pairs = (
+        pos.select(
+            "item_a",
+            F.explode(F.slice("is_", F.col("_p") + 2, F.size("is_"))).alias(
+                "item_b"
+            ),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_count)
+    )
+    sa = item_support.select(F.col("i").alias("item_a"), F.col("ni").alias("na"))
+    sb = item_support.select(F.col("i").alias("item_b"), F.col("ni").alias("nb_i"))
+    joined = (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_baskets_df))
+    )
+    support = F.col("n_both") / F.col("nb")
+    lift = support / (
+        (F.col("na") / F.col("nb")) * (F.col("nb_i") / F.col("nb"))
+    )
+    return joined.select(
+        "item_a",
+        "item_b",
+        "n_both",
+        F.round(support, 6).alias("support"),
+        F.round(lift, 6).alias("lift"),
+    )

@@ -451,3 +451,18 @@ def test_shipping_sla_report_exact_days(spark):
     assert r["p50_days"] == 10
     assert r["max_days"] == 121
     assert r["late_share"] == round(1 / 3, 6)
+
+
+def test_frequent_item_pairs_support_and_lift(spark):
+    from breweries_etl_spark.operators.aggregate import frequent_item_pairs
+
+    # 4 baskets: {x,y} {x,y} {x} {y,z} -> (x,y): n_both=2, support=.5,
+    # lift = .5/(.75*.75); (y,z) below min_count=2
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (4, "y"), (4, "z")]
+    df = spark.createDataFrame([Row(b=b, i=i) for b, i in rows])
+    out = frequent_item_pairs(df, "b", "i", min_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["n_both"]) == ("x", "y", 2)
+    assert r["support"] == 0.5
+    assert r["lift"] == round(0.5 / (0.75 * 0.75), 6)
