@@ -5951,6 +5951,85 @@ FROM orders
 """
 
 
+def q_user_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite per-user feature frame (volume, sessions, streaks,
+    TWAP, modal type, activity span) — the wide table an ML job
+    consumes; all components share the user-hash partitioning."""
+    from breweries_etl_spark.operators.features import user_feature_store
+
+    return user_feature_store(load_events(spark, sf_dir))
+
+
+_ORACLES["user_feature_store"] = """
+WITH base AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+    min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS first_day,
+    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS last_day
+  FROM events GROUP BY 1
+), e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+    lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e
+), sess AS (
+  SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions
+  FROM sess GROUP BY 1
+), days AS (
+  SELECT DISTINCT user_id,
+    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+  FROM events
+), isl AS (
+  SELECT user_id, day,
+    day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+), per_isl AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len FROM isl GROUP BY 1, 2
+), streaks AS (
+  SELECT user_id, SUM(len) AS n_active_days, max(len) AS max_streak_days
+  FROM per_isl GROUP BY 1
+), tw AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+    CAST(value AS DECIMAL(12,2)) AS v,
+    lead(epoch_us(CAST(ts AS TIMESTAMP)))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), twagg AS (
+  SELECT user_id, max(us) - min(us) AS span_us,
+    SUM(v * (nxt - us)) AS svdt, SUM(nxt - us) AS sdt
+  FROM tw GROUP BY 1
+), twap AS (
+  SELECT user_id,
+    CASE WHEN span_us > 0 THEN round(CAST(svdt AS DOUBLE) / sdt, 6) END AS twap
+  FROM twagg
+), mc AS (
+  SELECT user_id, event_type AS value, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), mr AS (
+  SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, value ASC) AS rn
+  FROM mc
+), md AS (SELECT user_id, value AS top_event_type FROM mr WHERE rn = 1)
+SELECT b.user_id, b.n_events, b.total_value, b.first_day, b.last_day,
+  s.n_sessions, CAST(st.n_active_days AS BIGINT) AS n_active_days,
+  CAST(st.max_streak_days AS BIGINT) AS max_streak_days, t.twap,
+  m.top_event_type
+FROM base b
+JOIN sessions s USING (user_id)
+JOIN streaks st USING (user_id)
+JOIN twap t USING (user_id)
+JOIN md m USING (user_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -6127,6 +6206,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": q_cohort_ltv,
         "frequent_brand_pairs": q_frequent_brand_pairs,
         "price_percent_rank": q_price_percent_rank,
+        "user_feature_store": q_user_feature_store,
         "mutual_information_orders": q_mutual_information_orders,
         "chi2_day_drift": q_chi2_day_drift,
         "price_histogram": q_price_histogram,

@@ -171,6 +171,7 @@ FAMILIES: dict[str, list[str]] = {
         "numeric_corr_matrix",
         "frequent_brand_pairs",
         "price_percent_rank",
+        "user_feature_store",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

@@ -466,3 +466,23 @@ def test_frequent_item_pairs_support_and_lift(spark):
     assert (r["item_a"], r["item_b"], r["n_both"]) == ("x", "y", 2)
     assert r["support"] == 0.5
     assert r["lift"] == round(0.5 / (0.75 * 0.75), 6)
+
+
+def test_user_feature_store_composition(spark):
+    from breweries_etl_spark.operators.features import user_feature_store
+
+    ev = _ev(
+        spark,
+        [
+            (1, "click", "2024-01-01 00:00:00", 10.0),
+            (1, "click", "2024-01-01 00:10:00", 2.0),
+            (1, "view", "2024-01-02 03:00:00", 5.0),
+        ],
+    )
+    r = user_feature_store(ev).collect()[0]
+    assert r["n_events"] == 3 and r["total_value"] == 17.0
+    assert r["n_sessions"] == 2
+    assert r["n_active_days"] == 2 and r["max_streak_days"] == 2
+    assert r["top_event_type"] == "click"
+    assert r["last_day"] - r["first_day"] == 1
+    assert r["twap"] is not None
