@@ -6030,6 +6030,70 @@ JOIN md m USING (user_id)
 """
 
 
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between even/odd-day value
+    distributions over global exact-decile bins."""
+    from breweries_etl_spark.operators.profiling import psi_value_drift
+
+    return psi_value_drift(load_events(spark, sf_dir))
+
+
+def q_decayed_type_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed popularity per event type (engine-exact dyadic
+    weight decomposition)."""
+    from breweries_etl_spark.operators.temporal import decayed_type_popularity
+
+    return decayed_type_popularity(load_events(spark, sf_dir))
+
+
+_PSI_CUTS_SQL = ", ".join(
+    f"quantile_disc(value, {i / 10})" for i in range(1, 10)
+)
+
+_ORACLES["psi_value_drift"] = f"""
+WITH cuts AS (SELECT [{_PSI_CUTS_SQL}] AS cuts FROM events),
+t AS (
+  SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 2 AS INTEGER)
+           AS p,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+), binned AS (
+  SELECT p, len(list_filter(c.cuts, x -> t.v > x)) AS bin FROM t, cuts c
+), cells AS (
+  SELECT p, bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY 1, 2
+), tot AS (SELECT p, SUM(c) AS tp FROM cells GROUP BY 1),
+a AS (SELECT bin, c AS c0 FROM cells WHERE p = 0),
+b AS (SELECT bin, c AS c1 FROM cells WHERE p = 1),
+ta AS (SELECT tp AS ta FROM tot WHERE p = 0),
+tb AS (SELECT tp AS tb FROM tot WHERE p = 1),
+j AS (SELECT a.bin, a.c0, b.c1 FROM a JOIN b USING (bin))
+SELECT CAST(count(*) AS BIGINT) AS n_bins_used,
+  CAST(SUM(CAST(round(
+    (CAST(c0 AS DOUBLE) / ta - CAST(c1 AS DOUBLE) / tb)
+    * ln((CAST(c0 AS DOUBLE) / ta) / (CAST(c1 AS DOUBLE) / tb)), 6)
+    AS DECIMAL(18,6))) AS DOUBLE) AS psi
+FROM j CROSS JOIN ta CROSS JOIN tb
+"""
+
+_DECAY_FRAC = [round(2.0 ** (-r / 7), 10) for r in range(7)]
+
+_ORACLES["decayed_type_popularity"] = f"""
+WITH mx AS (
+  SELECT max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS mxd FROM events
+), t AS (
+  SELECT event_type,
+    mx.mxd - epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS age
+  FROM events CROSS JOIN mx
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(
+    pow(0.5, CAST((age - age % 7) / 7 AS DOUBLE))
+    * ([{", ".join(str(x) for x in _DECAY_FRAC)}])[CAST(age % 7 AS INTEGER) + 1],
+    8) AS DECIMAL(20,8))) AS DOUBLE) AS decayed_count
+FROM t GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -6207,6 +6271,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_brand_pairs": q_frequent_brand_pairs,
         "price_percent_rank": q_price_percent_rank,
         "user_feature_store": q_user_feature_store,
+        "psi_value_drift": q_psi_value_drift,
+        "decayed_type_popularity": q_decayed_type_popularity,
         "mutual_information_orders": q_mutual_information_orders,
         "chi2_day_drift": q_chi2_day_drift,
         "price_histogram": q_price_histogram,

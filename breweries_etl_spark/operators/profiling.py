@@ -802,3 +802,75 @@ def shipping_sla_report(
             F.sum(F.when(F.col("days") > 90, 1).otherwise(0)) / F.count(F.lit(1)), 6
         ).alias("late_share"),
     )
+
+
+def psi_value_drift(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between even- and odd-day value
+    distributions — the standard ML-ops drift score for NUMERIC
+    features (chi2_drift's categorical sibling). Bins are the GLOBAL
+    distribution's exact deciles (percentile_disc picks — actual
+    elements), so both populations are binned identically; each bin's
+    (p_a − p_b)·ln(p_a/p_b) term follows the repo's rounded
+    decimal-sum recipe. Empty bins on either side are excluded
+    explicitly (their PSI term is undefined) and reported in n_bins_used.
+
+    Two passes: one tiny percentile aggregate (broadcast as an array
+    literal is avoided — the cut array rides a one-row cross join), one
+    binned count aggregate.
+    """
+    us_day = F.expr(f"unix_micros({ts_col}) div {86_400 * 1_000_000}")
+    v = F.col(value_col).cast("double")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.agg(
+        F.expr(
+            f"array({', '.join(f'percentile_disc({q}) WITHIN GROUP (ORDER BY {value_col})' for q in qs)})"
+        ).alias("cuts")
+    )
+    tagged = df.select(
+        (us_day % 2).cast("int").alias("p"), v.alias("__v")
+    ).crossJoin(F.broadcast(cuts))
+    # bin index = number of cut points <= v (0..n_bins-1)
+    bin_idx = F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("__v") > c, 1).otherwise(0),
+    )
+    cells = (
+        tagged.select("p", bin_idx.alias("bin"))
+        .groupBy("p", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = cells.groupBy("p").agg(F.sum("c").alias("tp"))
+    wide = (
+        cells.join(F.broadcast(totals), "p")
+        .select(
+            "bin",
+            F.when(F.col("p") == 0, F.col("c")).alias("c0"),
+            F.when(F.col("p") == 1, F.col("c")).alias("c1"),
+            F.when(F.col("p") == 0, F.col("tp")).alias("t0"),
+            F.when(F.col("p") == 1, F.col("tp")).alias("t1"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("c0").alias("c0"),
+            F.sum("c1").alias("c1"),
+            F.max("t0").alias("t0"),
+            F.max("t1").alias("t1"),
+        )
+    )
+    tot = wide.agg(F.max("t0").alias("ta"), F.max("t1").alias("tb"))
+    both = wide.crossJoin(F.broadcast(tot)).filter(
+        F.col("c0").isNotNull() & F.col("c1").isNotNull()
+    )
+    pa = F.col("c0").cast("double") / F.col("ta")
+    pb = F.col("c1").cast("double") / F.col("tb")
+    term = (pa - pb) * F.log(pa / pb)
+    return both.agg(
+        F.count(F.lit(1)).alias("n_bins_used"),
+        F.sum(F.round(term, 6).cast("decimal(18,6)")).cast("double").alias("psi"),
+    )

@@ -768,3 +768,40 @@ def week_over_week_change(
         F.when(prev.isNotNull(), F.round((F.col("n_events") - prev) / prev, 6))
         .alias("pct_change"),
     )
+
+
+def decayed_type_popularity(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    half_life_days: int = 7,
+) -> DataFrame:
+    """Exponential-decay popularity per event type: each event weighs
+    2^(−age_days/half_life) relative to the corpus's newest day — the
+    recency-aware ranking signal batch-computable without state. Age is
+    an exact integer day difference; each weight rounds to 8 dp and
+    sums in decimal, so the score is order-independent and
+    engine-identical. Two aggregates (global max day, weighted sum)."""
+    day = F.expr(f"unix_micros({ts_col}) div {86_400 * 1_000_000}")
+    mx = df.agg(F.max(day).alias("mxd"))
+    weighted = df.select(
+        F.col(type_col).alias("event_type"), day.alias("__d")
+    ).crossJoin(F.broadcast(mx))
+    # 2^(−age/h) decomposed as pow(0.5, age div h) · C[age mod h]:
+    # integer-exponent pow is IEEE-exact in every engine, and the h
+    # fractional-step constants are shared LITERALS — no cross-engine
+    # libm pow(x, fractional) in the replayed path.
+    frac = [round(2.0 ** (-r / half_life_days), 10) for r in range(half_life_days)]
+    age = F.col("mxd") - F.col("__d")
+    c = F.element_at(
+        F.array(*[F.lit(x) for x in frac]),
+        (age % half_life_days).cast("int") + 1,
+    )
+    q = (age - age % half_life_days) / half_life_days  # exact integer quotient
+    w = F.pow(F.lit(0.5), q.cast("long").cast("double")) * c
+    return weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(w, 8).cast("decimal(20,8)")).cast("double").alias(
+            "decayed_count"
+        ),
+    )

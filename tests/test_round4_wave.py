@@ -486,3 +486,30 @@ def test_user_feature_store_composition(spark):
     assert r["top_event_type"] == "click"
     assert r["last_day"] - r["first_day"] == 1
     assert r["twap"] is not None
+
+
+def test_psi_identical_distributions_zero(spark):
+    from breweries_etl_spark.operators.profiling import psi_value_drift
+
+    # same values on an even and an odd day -> every used bin has
+    # p_a == p_b -> PSI 0
+    rows = []
+    for day in ("2024-01-01", "2024-01-02"):
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]):
+            rows.append((1, "e", f"{day} 00:{i:02d}:00", v))
+    r = psi_value_drift(_ev(spark, rows)).collect()[0]
+    assert r["psi"] == 0.0
+    assert r["n_bins_used"] >= 5
+
+
+def test_decayed_type_popularity_halves_per_week(spark):
+    from breweries_etl_spark.operators.temporal import decayed_type_popularity
+
+    rows = [
+        (1, "new", "2024-01-15 00:00:00", 1.0),   # age 0 -> weight 1
+        (1, "old", "2024-01-08 00:00:00", 1.0),   # age 7 -> weight 0.5
+        (1, "older", "2024-01-01 00:00:00", 1.0), # age 14 -> weight 0.25
+    ]
+    out = {r["event_type"]: r["decayed_count"]
+           for r in decayed_type_popularity(_ev(spark, rows)).collect()}
+    assert out == {"new": 1.0, "old": 0.5, "older": 0.25}
