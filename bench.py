@@ -172,6 +172,8 @@ FAMILIES: dict[str, list[str]] = {
         "frequent_brand_pairs",
         "price_percent_rank",
         "user_feature_store",
+        "psi_value_drift",
+        "decayed_type_popularity",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [
