@@ -194,3 +194,84 @@ def test_user_event_novelty_two_exchanges(spark, sf_dir):
 
     # (user, type) first-occurrence window, then the user running sum
     assert _exchanges(q_user_event_novelty(spark, sf_dir)) <= 2
+
+
+# ---------------------------------------------------------------- round-4 wave
+def test_doc_length_histogram_one_exchange(spark, sf_dir):
+    from breweries_etl_spark.operators.text import length_histogram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert _exchanges(length_histogram(docs)) <= 1
+
+
+def test_char_class_profile_one_exchange(spark, sf_dir):
+    from breweries_etl_spark.operators.text import char_class_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert _exchanges(char_class_profile(docs)) <= 1
+
+
+def test_exact_mode_two_exchanges_no_window(spark, sf_dir):
+    """Struct-argmax formulation: two hash aggregates, NO window sort
+    over the (group, value) pair relation."""
+    from breweries_etl_spark.operators.aggregate import exact_mode
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = exact_mode(orders, "o_custkey", "o_orderpriority")
+    assert _exchanges(df) <= 2
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan
+
+
+def test_loo_encoding_single_window_exchange(spark, sf_dir):
+    from breweries_etl_spark.operators.profiling import loo_target_encoding
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert _exchanges(
+        loo_target_encoding(orders, "o_orderkey", "o_orderpriority", "o_totalprice")
+    ) <= 1
+
+
+def test_numeric_corr_matrix_single_scan_single_exchange(spark, sf_dir):
+    """All 15 component sums in one aggregate: exactly one exchange and
+    exactly one parquet scan (the whole point of the one-pass design)."""
+    from breweries_etl_spark.operators.profiling import numeric_corr_matrix
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = numeric_corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    assert _exchanges(df) <= 1
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re as _re
+
+    # detail headers only — the tree section repeats the node name
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_user_activity_streaks_budget(spark, sf_dir):
+    """distinct + window + two aggregates over the daily frame: the raw
+    event relation passes through exactly one hash exchange."""
+    from breweries_etl_spark.operators.temporal import user_activity_streaks
+    from breweries_etl_spark.sources.tables import load_events
+
+    assert _exchanges(user_activity_streaks(load_events(spark, sf_dir))) <= 3
+
+
+def test_frequent_item_pairs_no_pair_shuffle(spark, sf_dir):
+    """Pair expansion must stay executor-local (posexplode over the
+    per-basket array): exchanges are the distinct, the basket collect,
+    and the pair-count aggregate — never a shuffle of expanded pairs
+    before partial aggregation."""
+    from breweries_etl_spark.operators.aggregate import frequent_item_pairs
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    baskets = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    assert _exchanges(frequent_item_pairs(baskets, "l_orderkey", "p_brand")) <= 4
