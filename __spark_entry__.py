@@ -5169,7 +5169,7 @@ def q_ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["mode_event_type"] = """
 WITH c AS (
   SELECT user_id, event_type AS value, count(*) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
 ), r AS (
   SELECT user_id, value, cnt,
     row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, value ASC) AS rn

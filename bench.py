@@ -208,6 +208,7 @@ def run_family(family: str) -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    raw_samples: dict[str, list[float]] = {}
     for name in names:
         fn = qs[name]
         # Adaptive warm-up: iterative loops (BFS/PageRank) run ~15
@@ -230,17 +231,31 @@ def run_family(family: str) -> None:
             warm_elapsed = again_elapsed
             if not improving:
                 break
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(2):
             start = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - start)
-        timings[name] = round(best, 3)
+            samples.append(time.monotonic() - start)
+        # Sub-second queries swing 1.4-1.6x run-to-run on JVM noise
+        # alone (r4: conversion_latency 0.38<->0.59 s across committed
+        # runs), so min-of-2 is a coin flip at that magnitude: take a
+        # third sample and report the MEDIAN. Heavier queries are
+        # plan-cost dominated and keep the established min-of-2.
+        if min(samples) < 1.5:
+            start = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.monotonic() - start)
+            samples.sort()
+            timings[name] = round(samples[1], 3)
+        else:
+            timings[name] = round(min(samples), 3)
+        raw_samples[name] = [round(x, 3) for x in samples]
         # Hygiene barrier: whatever this query pinned must not flatter
         # (cache reuse) or tax (GC pressure) the next one.
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
     print("BENCH_FAMILY " + json.dumps(timings), flush=True)
+    print("BENCH_SAMPLES " + json.dumps(raw_samples), flush=True)
 
 
 def main() -> None:
@@ -248,6 +263,7 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for family in FAMILIES:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--family", family],
@@ -255,11 +271,14 @@ def main() -> None:
             text=True,
             timeout=1200,
         )
+        got = False
         for line in proc.stdout.splitlines():
             if line.startswith("BENCH_FAMILY "):
                 timings.update(json.loads(line[len("BENCH_FAMILY "):]))
-                break
-        else:
+                got = True
+            elif line.startswith("BENCH_SAMPLES "):
+                samples.update(json.loads(line[len("BENCH_SAMPLES "):]))
+        if not got:
             print(
                 f"family {family} produced no timings (rc={proc.returncode}):\n"
                 + proc.stderr[-2000:],
@@ -267,7 +286,7 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 3)
-    print(final_line(timings, total, sf), flush=True)
+    print(final_line(timings, total, sf, samples), flush=True)
 
 
 # The harness that runs this script captures only the last ~2000 chars of
@@ -282,8 +301,18 @@ def main() -> None:
 MAX_LINE_BYTES = 1600
 
 
-def final_line(timings: dict[str, float], total: float, sf: float) -> str:
+def final_line(
+    timings: dict[str, float],
+    total: float,
+    sf: float,
+    samples: dict[str, list[float]] | None = None,
+) -> str:
+    samples = samples or {}
     self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+    # cpus: fall back to the REAL core count, not a literal 32 — the
+    # committed artifact must not misstate hardware when the env var is
+    # unset on a different machine (ADVICE r4).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 1)
     with open(self_path, "w") as f:
         json.dump(
             {
@@ -291,8 +320,16 @@ def final_line(timings: dict[str, float], total: float, sf: float) -> str:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # Raw timed runs per query (n=3 median for sub-1.5 s
+                # queries, n=2 min otherwise — see run_family): drift
+                # classification needs the spread, not one number.
+                "samples": samples,
+                "protocol": {
+                    q: {"n": len(v), "stat": "median" if len(v) >= 3 else "min"}
+                    for q, v in samples.items()
+                },
                 "sf": sf,
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "cpus": cpus,
                 "families": {fam: [q for q in qs if q in timings] for fam, qs in FAMILIES.items()},
             },
             f,

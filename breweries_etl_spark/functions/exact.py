@@ -79,3 +79,24 @@ def sql_charge(
     ext: str = "l_extendedprice", disc: str = "l_discount", tax: str = "l_tax"
 ) -> str:
     return f"{sql_disc_price(ext, disc)} * (1 + CAST({tax} AS {SQL_RATE}))"
+
+
+def round_half_up(x: float, digits: int = 6) -> float:
+    """Python-side round matching engine ``round()`` semantics.
+
+    Spark's ``round(double, n)`` converts the double to BigDecimal (the
+    EXACT binary value) and applies ``setScale(n, HALF_UP)``; DuckDB's
+    ``round`` does the same half-away-from-zero. Python's builtin
+    ``round`` is banker's (half-to-even), so a tie at the nth decimal
+    silently diverges from any SQL replay (ADVICE r4, image_stats).
+    ``decimal.Decimal(float)`` is likewise exact, so quantize with
+    ROUND_HALF_UP reproduces the engines bit-for-bit. Use this in every
+    Arrow-batched UDF that emits a value an oracle replays with
+    ``round(expr, n)``.
+    """
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-digits)
+    return float(
+        decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )

@@ -114,9 +114,18 @@ def exact_mode(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     min over (-count, value) structs: a second tiny aggregate, NO window
     sort over the pair relation. Struct comparison is lexicographic, so
     the tie rule is explicit in the key itself.
+
+    NULL values are excluded up front: engines disagree on where NULL
+    sorts in a tie (Spark struct ordering puts a NULL field FIRST, so a
+    NULL would win a count tie as the "smallest" value, while a SQL
+    ORDER BY value ASC is NULLS LAST in DuckDB/Postgres and would pick
+    the non-NULL contender). A missing observation is not a mode
+    candidate, and dropping it makes the tie rule engine-independent
+    for any input (ADVICE r4).
     """
     counts = (
         df.select(F.col(group_col), F.col(value_col).alias("value"))
+        .filter(F.col("value").isNotNull())
         .groupBy(group_col, "value")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import round_half_up as _r6
+
 
 def funnel_steps(
     df: DataFrame, steps: tuple[str, str, str] = ("view", "click", "purchase")
@@ -136,7 +138,7 @@ def value_trend_pandas(
                  "n_events": pd.array([], dtype="int64")}
             )
         num_c = n * sxy_c - sx * sy_c  # exact, in cent-seconds
-        slope = round(num_c / 100.0 / denom * 3600.0, 6)
+        slope = _r6(num_c / 100.0 / denom * 3600.0)
         return pd.DataFrame(
             {"user_id": [int(pdf["user_id"].iloc[0])],
              "slope_per_hour": [slope],

@@ -363,6 +363,25 @@ def pca_top_component(
         "i", "j", (F.col("sm").cast("double") / F.lit(1e8)).alias("a")
     )
     full = full.coalesce(1).persist()
+    try:
+        return _pca_power_phase(emb, scatter, full, dim, n_rows, iterations)
+    finally:
+        # Unpersist on EVERY exit path: the contract/bench session runs
+        # many queries in one JVM, so an exception mid-iteration must
+        # not pin the cached d×d frames for the session's lifetime
+        # (ADVICE r4).
+        scatter.unpersist()
+        full.unpersist()
+
+
+def _pca_power_phase(
+    emb: DataFrame,
+    scatter: DataFrame,
+    full: DataFrame,
+    dim: int,
+    n_rows: int,
+    iterations: int,
+) -> DataFrame:
     full.count()
 
     spark = emb.sparkSession
@@ -446,8 +465,6 @@ def pca_top_component(
         )
     )
     rows = result.collect()
-    scatter.unpersist()
-    full.unpersist()
     return spark.createDataFrame(
         rows,
         "n long, dim int, trace_cov double, top_eigenvalue double, "

@@ -26,6 +26,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exact import round_half_up as _r6
+
 FEATURE_DIM = 8
 
 
@@ -93,7 +95,7 @@ def fake_feature_extractor(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFra
                     np.float64
                 )
                 norm = float(np.sqrt((raw * raw).sum())) or 1.0
-                feats.append([round(x, 6) for x in (raw / norm).tolist()])
+                feats.append([_r6(x) for x in (raw / norm).tolist()])
             yield pd.DataFrame(
                 {"asset_id": pdf["asset_id"], "features": feats}
             )
@@ -186,7 +188,7 @@ def image_stats(
                 hs.append(h)
                 chs.append(ch)
                 sums.append(total)
-                means.append(round(total / (h * w * ch), 6))
+                means.append(_r6(total / (h * w * ch)))
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
@@ -233,7 +235,7 @@ def frame_sample(
                     norm = float(np.sqrt((raw * raw).sum())) or 1.0
                     ids.append(asset_id)
                     idxs.append(i)
-                    feats.append([round(x, 6) for x in (raw / norm).tolist()])
+                    feats.append([_r6(x) for x in (raw / norm).tolist()])
             yield pd.DataFrame(
                 {"asset_id": ids, "frame_idx": idxs, "features": feats}
             )
@@ -299,7 +301,7 @@ def audio_frame_features(
                     ids.append(asset_id)
                     idxs.append(f_idx)
                     ns.append(n)
-                    rmss.append(round(float(np.sqrt(ss / n)), 6))
+                    rmss.append(_r6(float(np.sqrt(ss / n))))
                     zcrs.append(zc)
             yield pd.DataFrame(
                 {

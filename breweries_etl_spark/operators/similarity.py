@@ -22,6 +22,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import round_half_up as _r6
+
 from ..functions.partitioning import ensure_parallelism
 
 
@@ -489,7 +491,7 @@ def quantize_int8(
                     id_col: np.repeat(pdf[id_col].to_numpy(), dim),
                     "pos": np.tile(np.arange(dim, dtype=np.int64), n),
                     "qval": q.reshape(-1),
-                    "scale": np.round(np.repeat(scale, dim), 6),
+                    "scale": np.repeat([_r6(s) for s in scale], dim),
                 }
             )
 

@@ -14,6 +14,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.exact import round_half_up as _r6
+
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts_us long"
 STATE_SCHEMA = "n long, total double, last_us long"
 
@@ -33,7 +35,7 @@ def _update_profile(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [round(total, 6)],
+            "total_value": [_r6(total)],
             "last_ts_us": [last_us],
         }
     )
@@ -103,7 +105,7 @@ class _ProfileProcessor(StatefulProcessor):
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 6)],
+                "total_value": [_r6(total)],
                 "last_ts_us": [last_us],
             }
         )
