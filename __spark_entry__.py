@@ -4361,6 +4361,49 @@ SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
 FROM s GROUP BY stage
 """
 
+# Scale-safe twin: percentile_disc boundaries + scan-local range
+# assignment — mirrors operators/corpus.py:curriculum_stages_scalable
+# (ties at a boundary land in the LOWER stage on both sides).
+_ORACLES["curriculum_stages_scalable"] = """
+WITH s AS (SELECT CAST(n_chars AS BIGINT) AS sc FROM documents),
+b AS (SELECT quantile_disc(sc, [0.25, 0.5, 0.75]) AS bs FROM s)
+SELECT CAST(1 + len(list_filter(b.bs, x -> s.sc > x)) AS BIGINT) AS stage,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  min(sc) AS min_score, max(sc) AS max_score,
+  CAST(SUM(sc) AS DOUBLE) / count(*) AS mean_score
+FROM s, b GROUP BY 1
+"""
+
+# Scale-safe RFM twin: per-metric quantile_disc thresholds, bucket 1 =
+# top quantile, ties land in the better bucket — mirrors
+# operators/behavior.py:rfm_segments_scalable.
+_ORACLES["rfm_segments_scalable"] = """
+WITH per_user AS (
+  SELECT user_id,
+    max(epoch_us(ts)) AS last_purchase_us,
+    CAST(count(*) AS BIGINT) AS frequency,
+    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+th AS (
+  SELECT quantile_disc(last_purchase_us, [0.25, 0.5, 0.75]) AS tr,
+         quantile_disc(frequency, [0.25, 0.5, 0.75]) AS tf,
+         quantile_disc(monetary, [0.25, 0.5, 0.75]) AS tm
+  FROM per_user
+),
+b AS (
+  SELECT user_id, frequency, monetary,
+    CAST(4 - len(list_filter(th.tr, t -> per_user.last_purchase_us >= t)) AS BIGINT) AS r_bucket,
+    CAST(4 - len(list_filter(th.tf, t -> per_user.frequency >= t)) AS BIGINT) AS f_bucket,
+    CAST(4 - len(list_filter(th.tm, t -> per_user.monetary >= t)) AS BIGINT) AS m_bucket
+  FROM per_user, th
+)
+SELECT user_id, frequency, monetary, r_bucket, f_bucket, m_bucket,
+  CAST(r_bucket AS VARCHAR) || '-' || CAST(f_bucket AS VARCHAR)
+    || '-' || CAST(m_bucket AS VARCHAR) AS segment
+FROM b
+"""
+
 _ORACLES["cdc_apply_customers"] = """
 WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
 chg AS (
@@ -4756,6 +4799,25 @@ def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from breweries_etl_spark.operators.corpus import curriculum_buckets
 
     return curriculum_buckets(load_table(spark, sf_dir, "documents"))
+
+
+def q_curriculum_stages_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of curriculum_stages: percentile_disc stage
+    boundaries broadcast as a range filter — no global sort, no window
+    (VERDICT r4 #6). Tie mass at a boundary lands in the lower stage,
+    so stage populations differ from the ntile twin only at ties."""
+    from breweries_etl_spark.operators.corpus import curriculum_stages_scalable
+
+    return curriculum_stages_scalable(load_table(spark, sf_dir, "documents"))
+
+
+def q_rfm_segments_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of rfm_segments: per-metric percentile_disc
+    thresholds broadcast back for scan-local bucketing — no triple
+    global-sort ntile window (VERDICT r4 #6)."""
+    from breweries_etl_spark.operators.behavior import rfm_segments_scalable
+
+    return rfm_segments_scalable(load_events(spark, sf_dir))
 
 
 def q_cdc_apply_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6345,6 +6407,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_profile": q_embedding_norm_profile,
         "event_gap_stats": q_event_gap_stats,
         "user_event_novelty": q_user_event_novelty,
+        # round 5: scale-safe twins of the global-sort window forms
+        "curriculum_stages_scalable": q_curriculum_stages_scalable,
+        "rfm_segments_scalable": q_rfm_segments_scalable,
     }
 
 

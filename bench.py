@@ -174,6 +174,9 @@ FAMILIES: dict[str, list[str]] = {
         "user_feature_store",
         "psi_value_drift",
         "decayed_type_popularity",
+        # round 5: scale-safe twins of the global-sort window forms
+        "curriculum_stages_scalable",
+        "rfm_segments_scalable",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

@@ -257,6 +257,76 @@ def rfm_segments(df: DataFrame, buckets: int = 4) -> DataFrame:
     )
 
 
+def rfm_segments_scalable(df: DataFrame, buckets: int = 4) -> DataFrame:
+    """Two-pass percentile-threshold RFM — the billions-of-users form of
+    ``rfm_segments`` (which runs THREE global-sort ``ntile`` windows
+    over the per-user frame).
+
+    Pass 1: per-user R/F/M aggregates (one shuffle on user_id — same as
+    the exact twin). Pass 2: ONE tiny aggregate computes the
+    ``buckets − 1`` thresholds for all three metrics as
+    ``percentile_disc`` picks; the single-row threshold frame broadcasts
+    back and bucket assignment is a scan-local array comparison — no
+    window, no sort, no single-partition exchange over user rows
+    (pinned by tests/test_plan_budgets.py).
+
+    Bucket semantics: bucket 1 is the TOP of each metric
+    (``m >= p_{(buckets-1)/buckets}``); ties AT a threshold land in the
+    better bucket, so populations are equal only up to tie mass. The
+    exact equal-count form stays available as ``rfm_segments``.
+    """
+    from ..functions.exact import money
+
+    per_user = (
+        df.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_purchase_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(money("value")).cast("double").alias("monetary"),
+        )
+    )
+    qs = [round(k / buckets, 6) for k in range(1, buckets)]
+
+    def _disc_array(col: str, cast: str) -> F.Column:
+        return F.expr(
+            "array("
+            + ", ".join(
+                f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY {col}) AS {cast})"
+                for q in qs
+            )
+            + ")"
+        )
+
+    th = per_user.agg(
+        _disc_array("last_purchase_us", "LONG").alias("__tr"),
+        _disc_array("frequency", "LONG").alias("__tf"),
+        _disc_array("monetary", "DOUBLE").alias("__tm"),
+    )
+
+    def _bucket(mcol: str, tarr: str) -> F.Column:
+        return (
+            F.lit(buckets)
+            - F.size(F.filter(tarr, lambda t: F.col(mcol) >= t))
+        ).cast("long")
+
+    return (
+        per_user.crossJoin(F.broadcast(th))
+        .select(
+            "user_id",
+            "frequency",
+            "monetary",
+            _bucket("last_purchase_us", "__tr").alias("r_bucket"),
+            _bucket("frequency", "__tf").alias("f_bucket"),
+            _bucket("monetary", "__tm").alias("m_bucket"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws("-", "r_bucket", "f_bucket", "m_bucket"),
+        )
+    )
+
+
 def ab_test_stats(
     df: DataFrame,
     assign_col: str = "user_id",

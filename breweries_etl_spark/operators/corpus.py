@@ -477,3 +477,55 @@ def curriculum_buckets(
             ).alias("mean_score"),
         )
     )
+
+
+def curriculum_stages_scalable(
+    docs: DataFrame,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_stages: int = 4,
+) -> DataFrame:
+    """Two-pass percentile-boundary curriculum staging — the 100 TB form
+    of ``curriculum_buckets`` (whose ``ntile`` needs a TOTAL order, i.e.
+    a single-partition sort of the whole corpus).
+
+    Pass 1 computes the ``n_stages − 1`` stage boundaries as
+    ``percentile_disc`` picks over the score (ONE map-side-combinable
+    aggregate; the result is one row). Pass 2 broadcasts that row and
+    assigns ``stage = 1 + |{b ∈ bounds : score > b}|`` scan-locally —
+    no sort, no window, no single-partition exchange anywhere in the
+    plan (pinned by tests/test_plan_budgets.py).
+
+    Contract difference vs the exact twin (kept as
+    ``curriculum_stages``): every doc TIED at a boundary value lands in
+    the lower stage, so stage populations are equal only up to tie
+    mass — the documented trade for dropping the global sort. Summary
+    columns are identical (n_docs, min/max score, sum/count mean).
+    """
+    qs = [round(k / n_stages, 6) for k in range(1, n_stages)]
+    s = docs.select(F.col(score_col).cast("long").alias("__score"))
+    bounds = s.agg(
+        F.expr(
+            "array("
+            + ", ".join(
+                f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY __score) AS LONG)"
+                for q in qs
+            )
+            + ")"
+        ).alias("__bs")
+    )
+    staged = s.crossJoin(F.broadcast(bounds)).select(
+        "__score",
+        (
+            F.lit(1)
+            + F.size(F.filter("__bs", lambda b: F.col("__score") > b))
+        )
+        .cast("long")
+        .alias("stage"),
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("__score").alias("min_score"),
+        F.max("__score").alias("max_score"),
+        (F.sum("__score").cast("double") / F.count(F.lit(1))).alias("mean_score"),
+    )

@@ -275,3 +275,63 @@ def test_frequent_item_pairs_no_pair_shuffle(spark, sf_dir):
         F.col("l_partkey") == F.col("p_partkey"),
     )
     assert _exchanges(frequent_item_pairs(baskets, "l_orderkey", "p_brand")) <= 4
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _single_partition_exchanges_carry_only_agg_buffers(plan: str) -> bool:
+    """True iff every SinglePartition exchange in the formatted plan has
+    an Input of aggregation BUFFERS (buf#N — one row per upstream
+    partition), never data rows. That's the unavoidable final merge of a
+    global aggregate (here: percentile_disc), not a global sort."""
+    import re as _re
+
+    for m in _re.finditer(
+        r"Input \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition", plan
+    ):
+        cols = m.group(1)
+        if not all(c.strip().startswith("buf#") for c in cols.split(",")):
+            return False
+    return True
+
+
+def test_curriculum_scalable_no_global_sort(spark, sf_dir):
+    """The scale-safe curriculum form must contain NO window and no
+    single-partition exchange of DATA rows — the whole point vs the
+    ntile twin, whose plan moves every document through one sorted
+    partition. (The percentile_disc final merge is a SinglePartition
+    exchange of per-partition sketch buffers — allowed.)"""
+    from breweries_etl_spark.operators.corpus import (
+        curriculum_buckets,
+        curriculum_stages_scalable,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(curriculum_stages_scalable(docs))
+    assert "Window" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert _single_partition_exchanges_carry_only_agg_buffers(plan)
+    # the exact twin really does pay the global sort (contrast guard —
+    # if ntile ever stops appearing here the twin pairing is stale)
+    twin = _plan(curriculum_buckets(docs))
+    assert "Window" in twin and "Arguments: SinglePartition" in twin
+
+
+def test_rfm_scalable_no_global_sort(spark, sf_dir):
+    from breweries_etl_spark.operators.behavior import (
+        rfm_segments,
+        rfm_segments_scalable,
+    )
+    from breweries_etl_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    plan = _plan(rfm_segments_scalable(ev))
+    assert "Window" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert _single_partition_exchanges_carry_only_agg_buffers(plan)
+    twin = _plan(rfm_segments(ev))
+    assert "Window" in twin and "Arguments: SinglePartition" in twin
