@@ -5982,15 +5982,21 @@ def q_price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mirrors the engine's max_basket_size=10000 cap (aggregate.py:
+# frequent_item_pairs): oversized baskets are excluded from PAIR
+# GENERATION only — supports and the nb denominator still see every
+# basket. Same algorithm on both sides even when the cap binds
+# (tests/test_round5_wave.py proves it on a cap-binding fixture).
 _ORACLES["frequent_brand_pairs"] = """
 WITH items AS (
   SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 ), nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM items),
 sup AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM items GROUP BY 1),
+ok_b AS (SELECT b FROM items GROUP BY b HAVING count(*) <= 10000),
 pairs AS (
   SELECT a.i AS item_a, b2.i AS item_b, CAST(count(*) AS BIGINT) AS n_both
-  FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+  FROM items a JOIN ok_b USING (b) JOIN items b2 ON a.b = b2.b AND a.i < b2.i
   GROUP BY 1, 2 HAVING count(*) >= 2
 )
 SELECT p.item_a, p.item_b, p.n_both,

@@ -281,6 +281,7 @@ def frequent_item_pairs(
     basket_col: str,
     item_col: str,
     min_count: int = 2,
+    max_basket_size: int | None = 10000,
 ) -> DataFrame:
     """Market-basket pair mining: distinct item pairs co-occurring in at
     least ``min_count`` baskets, with support and lift — the first level
@@ -293,6 +294,15 @@ def frequent_item_pairs(
     codegen'd pattern as dedup.bucket_candidate_pairs) → one (a, b)
     count aggregate. Supports/lift derive from the tiny per-item and
     pair aggregates; every ratio is a fixed round-6 double.
+
+    ``max_basket_size`` bounds the per-basket k² expansion — one
+    million-item basket would emit 5·10¹¹ pairs from a SINGLE executor
+    row (VERDICT r4 #4). Baskets above the cap are excluded from PAIR
+    GENERATION only (same policy as the dedup hot-bucket cap): item
+    supports and the basket-count denominator still see every basket,
+    so support/lift for surviving pairs keep their global meaning.
+    ``None`` disables the cap. Any registered oracle must mirror the
+    cap in its pair CTE (see _ORACLES["frequent_brand_pairs"]).
     """
     items = df.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
@@ -302,6 +312,8 @@ def frequent_item_pairs(
     baskets = items.groupBy("b").agg(
         F.sort_array(F.collect_list("i")).alias("is_")
     )
+    if max_basket_size is not None:
+        baskets = baskets.filter(F.size("is_") <= max_basket_size)
     pos = baskets.select(F.posexplode("is_").alias("_p", "item_a"), "is_")
     pairs = (
         pos.select(

@@ -68,3 +68,74 @@ def test_rfm_scalable_contract(spark, sf_dir):
     # never lands in a numerically larger (worse) m_bucket
     by_m = sorted(scal.values(), key=lambda r: -r["monetary"])
     assert all(a["m_bucket"] <= b["m_bucket"] for a, b in zip(by_m, by_m[1:]))
+
+
+def test_frequent_item_pairs_basket_cap(spark):
+    """max_basket_size (VERDICT r4 #4): oversized baskets are excluded
+    from pair generation ONLY — supports and the basket-count
+    denominator still see them — and the DuckDB mirror of the capped
+    algorithm agrees pair-for-pair when the cap binds."""
+    import duckdb
+    import pandas as pd
+
+    from breweries_etl_spark.operators.aggregate import frequent_item_pairs
+
+    rows = []
+    # basket 1: 6 items (over cap 4); baskets 2+3: {x,y,z} twice
+    for it in ["a", "b", "c", "x", "y", "z"]:
+        rows.append((1, it))
+    for b in (2, 3):
+        for it in ["x", "y", "z"]:
+            rows.append((b, it))
+    df = spark.createDataFrame(rows, schema="b long, i string")
+
+    capped = {
+        (r["item_a"], r["item_b"], r["n_both"], r["support"], r["lift"])
+        for r in frequent_item_pairs(df, "b", "i", max_basket_size=4).collect()
+    }
+    uncapped = {
+        (r["item_a"], r["item_b"], r["n_both"], r["support"], r["lift"])
+        for r in frequent_item_pairs(df, "b", "i", max_basket_size=None).collect()
+    }
+    assert capped != uncapped  # the cap binds on this fixture
+    # capped: only pairs from baskets 2,3 — n_both=2 (basket 1 dropped
+    # from pair generation), but supports still count basket 1: x/y/z
+    # have ni=3, nb=3 -> support=2/3, lift=(2/3)/((3/3)*(3/3))=2/3
+    assert {p[:2] for p in capped} == {("x", "y"), ("x", "z"), ("y", "z")}
+    for _, _, n_both, support, lift in capped:
+        assert n_both == 2
+        assert support == round(2 / 3, 6)
+        assert lift == round(2 / 3, 6)
+    # uncapped sees basket 1 too: x-y count 3, and a-b etc. at 1 (below
+    # min_count) stay absent
+    assert ("x", "y", 3) in {p[:3] for p in uncapped}
+
+    # DuckDB mirror of the capped algorithm — identical result set
+    con = duckdb.connect()
+    con.register("items_pd", pd.DataFrame(rows, columns=["b", "i"]))
+    oracle = {
+        tuple(t)
+        for t in con.execute(
+            """
+WITH items AS (SELECT DISTINCT b, i FROM items_pd),
+nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM items),
+sup AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM items GROUP BY 1),
+ok_b AS (SELECT b FROM items GROUP BY b HAVING count(*) <= 4),
+pairs AS (
+  SELECT a.i AS item_a, b2.i AS item_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM items a JOIN ok_b USING (b) JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.item_a, p.item_b, p.n_both,
+  round(p.n_both / CAST(nb.nb AS DOUBLE), 6) AS support,
+  round((p.n_both / CAST(nb.nb AS DOUBLE))
+        / ((sa.ni / CAST(nb.nb AS DOUBLE)) * (sb.ni / CAST(nb.nb AS DOUBLE))),
+        6) AS lift
+FROM pairs p
+JOIN sup sa ON sa.i = p.item_a
+JOIN sup sb ON sb.i = p.item_b
+CROSS JOIN nb
+"""
+        ).fetchall()
+    }
+    assert capped == oracle
