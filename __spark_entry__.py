@@ -449,11 +449,25 @@ def q_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (applyInPandasWithState) →
-    rows-only check."""
+    """Custom stateful streaming operator (applyInPandasWithState),
+    projected to the FINAL state per user — promoted from rows-only to
+    hash-matched (VERDICT r4 #6): the state now accumulates exact
+    integer cents (streaming/stateful.py:_batch_cents), so the final
+    per-user profile is independent of micro-batch boundaries and
+    replayable as a plain SQL aggregate. Update-mode intermediate
+    emissions remain covered by tests/test_merge_datasource_stateful.py.
+
+    The memory sink holds one row per (user, emitting micro-batch);
+    n_events strictly increases across a user's emissions, so max_by on
+    n_events is a deterministic final-state pick."""
     from breweries_etl_spark.streaming.stateful import run_user_profiles_once
 
-    return run_user_profiles_once(spark, sf_dir)
+    emissions = run_user_profiles_once(spark, sf_dir)
+    return emissions.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.expr("max_by(total_value, n_events)").alias("total_value"),
+        F.max("last_ts_us").alias("last_ts_us"),
+    )
 
 
 def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4377,6 +4391,16 @@ FROM s, b GROUP BY 1
 # Scale-safe RFM twin: per-metric quantile_disc thresholds, bucket 1 =
 # top quantile, ties land in the better bucket — mirrors
 # operators/behavior.py:rfm_segments_scalable.
+# Final streaming state == the batch aggregate (exact-cents state makes
+# this batching-independent; see q_stateful_user_profiles).
+_ORACLES["stateful_user_profiles"] = """
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+  max(epoch_us(ts)) AS last_ts_us
+FROM events GROUP BY user_id
+"""
+
 _ORACLES["rfm_segments_scalable"] = """
 WITH per_user AS (
   SELECT user_id,
@@ -6235,7 +6259,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "salted_value_counts": q_salted_value_counts,
         "custom_datasource": q_custom_datasource,
-        "stateful_user_profiles": q_stateful_user_profiles,  # rows-only
+        "stateful_user_profiles": q_stateful_user_profiles,
         # temporal / streaming
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,

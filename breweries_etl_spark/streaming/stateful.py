@@ -14,10 +14,17 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.exact import round_half_up as _r6
-
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts_us long"
-STATE_SCHEMA = "n long, total double, last_us long"
+STATE_SCHEMA = "n long, total_cents long, last_us long"
+
+
+def _batch_cents(values) -> int:
+    """Exact integer-cent sum of a money-scale pandas column: float
+    accumulation made the state ORDER-DEPENDENT (micro-batch boundaries
+    changed last-ulp totals, keeping the query rows-only); integer cents
+    are associative, so the final state is independent of batching and
+    SQL-replayable (decimal-sum discipline, functions/exact.py)."""
+    return int((values.round(2) * 100).round().astype("int64").sum())
 
 
 def _update_profile(
@@ -25,17 +32,17 @@ def _update_profile(
 ) -> Iterator["pd.DataFrame"]:
     import pandas as pd
 
-    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    n, cents, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        cents += _batch_cents(pdf["value"])
         last_us = max(last_us, int(pdf["ts_us"].max()))
-    state.update((n, total, last_us))
+    state.update((n, cents, last_us))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [_r6(total)],
+            "total_value": [cents / 100.0],
             "last_ts_us": [last_us],
         }
     )
@@ -93,19 +100,19 @@ class _ProfileProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues):
         import pandas as pd
 
-        n, total, last_us = (
-            self._profile.get() if self._profile.exists() else (0, 0.0, 0)
+        n, cents, last_us = (
+            self._profile.get() if self._profile.exists() else (0, 0, 0)
         )
         for pdf in rows:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            cents += _batch_cents(pdf["value"])
             last_us = max(last_us, int(pdf["ts_us"].max()))
-        self._profile.update((n, total, last_us))
+        self._profile.update((n, cents, last_us))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [_r6(total)],
+                "total_value": [cents / 100.0],
                 "last_ts_us": [last_us],
             }
         )
