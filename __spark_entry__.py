@@ -1181,6 +1181,35 @@ def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_stats(assets)
 
 
+def q_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup image pairs over the REAL PNG decode path:
+    aHash (8x8 nearest resample, exact-integer mean threshold) grouped
+    through the shared bounded-bucket pair machinery. The synthetic
+    closed-form pixel function (multimodal.synthetic_image_assets) makes
+    the hash — and hence the pair set — SQL-replayable."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_image_assets(docs, width=16, height=16)
+    return multimodal.image_ahash_dup_pairs(assets)
+
+
+def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional exact-substring duplication spans (Lee et al. 2022
+    arXiv:2107.06499) — per-doc duplicated-window, merged-span, and
+    removable-token stats at k=8 tokens."""
+    from breweries_etl_spark.operators.corpus import duplicate_span_stats
+
+    return duplicate_span_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023
+    arXiv:2302.03169): hashed-unigram log-likelihood ratio of the
+    target-language slice vs the raw corpus, per document."""
+    from breweries_etl_spark.operators.corpus import dsir_importance_weights
+
+    return dsir_importance_weights(load_table(spark, sf_dir, "documents"))
+
+
 def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode → nearest-neighbor resample to 8×8 → stats. Source pixel
     selection is floor(dst·src/dst) = even coordinates, so the oracle
@@ -4375,6 +4404,81 @@ SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
 FROM s GROUP BY stage
 """
 
+# Lee et al. 2022 positional substring dedup: k=8 token windows hashed
+# to a 16-hex md5 prefix; a window is duplicated iff its hash occurs
+# >= 2 times corpus-wide; spans merge via lead() over per-doc starts
+# (sorted starts s_1..s_m cover sum(min(k, s_{i+1}-s_i)) + k tokens).
+_ORACLES["duplicate_span_stats"] = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+tt AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) >= 8 AND w[1] <> ''),
+idx AS (SELECT doc_id, w, unnest(generate_series(0, n - 8)) AS start FROM tt),
+win AS (SELECT doc_id, start,
+        substring(md5(array_to_string(w[start+1:start+8], ' ')), 1, 16) AS h
+        FROM idx),
+duph AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+d AS (SELECT doc_id, start FROM win JOIN duph USING (h)),
+sp AS (SELECT doc_id, start,
+       lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt FROM d),
+agg AS (SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_dup_windows,
+        CAST(sum(CASE WHEN nxt IS NULL OR nxt - start >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        CAST(sum(CASE WHEN nxt IS NULL THEN 8 ELSE least(8, nxt - start) END) AS BIGINT) AS removed_tokens
+        FROM sp GROUP BY doc_id)
+SELECT tt.doc_id, CAST(tt.n AS BIGINT) AS n_tokens,
+  coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+  coalesce(a.n_spans, 0) AS n_spans,
+  coalesce(a.removed_tokens, 0) AS removed_tokens,
+  round(coalesce(a.removed_tokens, 0) / CAST(tt.n AS DOUBLE), 6) AS removed_fraction
+FROM tt LEFT JOIN agg a USING (doc_id)
+"""
+
+# DSIR (Xie et al. 2023): hashed-unigram log-likelihood ratio, portable
+# md5 bucket, per-bucket log-ratio rounded to 6dp, per-doc sum as
+# integer-count x 6dp-decimal (order-independent).
+_ORACLES["dsir_importance_weights"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+),
+tk AS (SELECT doc_id, lang,
+       CAST('0x' || substring(md5(tok), 1, 4) AS BIGINT) % 256 AS b
+       FROM toks WHERE tok <> ''),
+dc AS (SELECT doc_id, b, count(*) AS c FROM tk GROUP BY 1, 2),
+raw AS (SELECT b, count(*) AS cr FROM tk GROUP BY 1),
+tgt AS (SELECT b, count(*) AS ct FROM tk WHERE lang = 'en' GROUP BY 1),
+nr AS (SELECT sum(cr) AS nr FROM raw),
+nt AS (SELECT sum(ct) AS nt FROM tgt),
+lr AS (SELECT raw.b,
+       round(ln((coalesce(tgt.ct, 0) + 1) / CAST(nt.nt + 256 AS DOUBLE))
+             - ln((raw.cr + 1) / CAST(nr.nr + 256 AS DOUBLE)), 6) AS lr
+       FROM raw LEFT JOIN tgt USING (b), nr, nt)
+SELECT dc.doc_id,
+  CAST(sum(dc.c) AS BIGINT) AS n_tokens,
+  CAST(sum(CAST(dc.c * lr.lr AS DECIMAL(24,6))) AS DOUBLE) AS log_weight
+FROM dc JOIN lr USING (b)
+GROUP BY dc.doc_id
+"""
+
+# aHash near-dup image pairs: 8x8 nearest resample of the closed-form
+# 16x16 pixel field picks source (2y, 2x) -> v = (d*31 + 14x + 26y) % 256;
+# bit = 1 iff v*64 >= sum (exact integer mean threshold), row-major.
+_ORACLES["image_ahash_pairs"] = """
+WITH px AS (
+  SELECT d.doc_id, ys.y, xs.x,
+         (d.doc_id * 31 + xs.x * 14 + ys.y * 26) % 256 AS v
+  FROM documents d,
+       (SELECT unnest(range(0, 8)) AS x) xs,
+       (SELECT unnest(range(0, 8)) AS y) ys
+),
+tot AS (SELECT doc_id, sum(v) AS t FROM px GROUP BY doc_id),
+bits AS (
+  SELECT px.doc_id,
+    string_agg(CASE WHEN v * 64 >= t THEN '1' ELSE '0' END, '' ORDER BY y, x) AS ahash
+  FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ahash
+FROM bits a JOIN bits b ON a.ahash = b.ahash AND a.doc_id < b.doc_id
+"""
+
 # Scale-safe twin: percentile_disc boundaries + scan-local range
 # assignment — mirrors operators/corpus.py:curriculum_stages_scalable
 # (ties at a boundary land in the LOWER stage on both sides).
@@ -5988,7 +6092,9 @@ def q_frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("l_partkey") == F.col("p_partkey"),
     )
-    return frequent_item_pairs(baskets, "l_orderkey", "p_brand", min_count=2)
+    return frequent_item_pairs(
+        baskets, "l_orderkey", "p_brand", min_count=2, release=False
+    )
 
 
 def q_price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6440,6 +6546,10 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: scale-safe twins of the global-sort window forms
         "curriculum_stages_scalable": q_curriculum_stages_scalable,
         "rfm_segments_scalable": q_rfm_segments_scalable,
+        # round 5: positional substring dedup, DSIR weights, image aHash
+        "duplicate_span_stats": q_duplicate_span_stats,
+        "dsir_importance_weights": q_dsir_importance_weights,
+        "image_ahash_pairs": q_image_ahash_pairs,
     }
 
 

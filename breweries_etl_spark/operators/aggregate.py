@@ -282,6 +282,7 @@ def frequent_item_pairs(
     item_col: str,
     min_count: int = 2,
     max_basket_size: int | None = 10000,
+    release: bool = True,
 ) -> DataFrame:
     """Market-basket pair mining: distinct item pairs co-occurring in at
     least ``min_count`` baskets, with support and lift — the first level
@@ -307,11 +308,29 @@ def frequent_item_pairs(
     items = df.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
     ).distinct()
-    n_baskets_df = items.select(F.countDistinct("b").alias("nb"))
-    item_support = items.groupBy("i").agg(F.count(F.lit(1)).alias("ni"))
-    baskets = items.groupBy("b").agg(
+    # Everything downstream derives from the per-basket arrays. The
+    # original shape referenced the distinct items relation from three
+    # independent branches (basket count, item supports, baskets) and
+    # the r5 plan audit showed physical planning expanding EACH branch
+    # into its own scan+distinct subtree of the fact relation (the
+    # exchange-reuse rule does not unify them). Persisting the collapsed
+    # basket relation — one row per basket, already the smallest form of
+    # the data — pins the fact scan + distinct to exactly one
+    # computation; supports re-derive from the cached arrays. Same
+    # persist/release contract as the dedup pipelines: library callers
+    # get the cache dropped via an eager checkpoint of the (tiny) pair
+    # result; one-shot contract/bench sessions pass release=False.
+    all_baskets = items.groupBy("b").agg(
         F.sort_array(F.collect_list("i")).alias("is_")
+    ).persist()
+    all_baskets.count()
+    n_baskets_df = all_baskets.agg(F.count(F.lit(1)).alias("nb"))
+    item_support = (
+        all_baskets.select(F.explode("is_").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("ni"))
     )
+    baskets = all_baskets
     if max_basket_size is not None:
         baskets = baskets.filter(F.size("is_") <= max_basket_size)
     pos = baskets.select(F.posexplode("is_").alias("_p", "item_a"), "is_")
@@ -337,10 +356,15 @@ def frequent_item_pairs(
     lift = support / (
         (F.col("na") / F.col("nb")) * (F.col("nb_i") / F.col("nb"))
     )
-    return joined.select(
+    result = joined.select(
         "item_a",
         "item_b",
         "n_both",
         F.round(support, 6).alias("support"),
         F.round(lift, 6).alias("lift"),
     )
+    if release:
+        from .dedup import _release_caches
+
+        return _release_caches(result, [all_baskets])
+    return result

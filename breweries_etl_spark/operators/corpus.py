@@ -363,27 +363,30 @@ def paragraph_dedup(
         ),
     )
     first = Window.partitionBy("para").orderBy(id_col, "pidx")
-    kept = (
-        paras.withColumn("rn", F.row_number().over(first))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    # Carry a kept FLAG through the aggregate instead of filtering into
+    # a separate branch: the earlier totals/rebuilt two-branch shape
+    # made physical planning expand the paragraph relation twice (two
+    # document scans + repartitions — r5 plan audit). One flagged
+    # aggregate counts all paragraphs, counts the kept ones, and
+    # reconstructs from the kept structs (collect_list drops the NULL
+    # non-kept entries) — one scan, three narrow shuffles total.
+    flagged = paras.withColumn("rn", F.row_number().over(first))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pidx", "para"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") == 1, F.struct("pidx", "para"))
+                    )
+                ),
                 lambda s: s["para"],
             ),
             " ",
         ).alias("new_text"),
-    )
-    return totals.join(rebuilt, id_col, "left").select(
-        id_col,
-        "n_paras",
-        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
-        F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
     )
 
 
@@ -529,3 +532,172 @@ def curriculum_stages_scalable(
         F.max("__score").alias("max_score"),
         (F.sum("__score").cast("double") / F.count(F.lit(1))).alias("mean_score"),
     )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Positional exact-substring duplication, the span-level dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): mark every k-token window whose content
+    occurs ≥ 2 times ANYWHERE in the corpus (another doc or the same
+    one), merge overlapping duplicated windows into maximal spans, and
+    report per-document removal stats — the signal a span-removal pass
+    acts on. Differs from ``filtering.ngram_dup_fraction`` (set-level:
+    WHICH shingles are shared) by being positional: WHERE the duplicated
+    runs sit and how many tokens deleting them removes.
+
+    Scale shape: windows are hashed immediately (16-hex md5 prefix), so
+    the two corpus-scale shuffles (window-hash count, join-back) carry
+    (hash, id, start) — never window text. Span merging is a per-doc
+    ``lead`` window over duplicated window starts only (ordered within
+    the doc partition, no global sort): sorted starts s_1..s_m cover
+    Σ min(k, s_{i+1} − s_i) + k tokens, and a window ENDS a span iff
+    the next start is > s + k − 1 — both closed-form in one pass.
+
+    Output per doc with ≥ k tokens: (id, n_tokens, n_dup_windows,
+    n_spans, removed_tokens, removed_fraction).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(normalize_text_expr(F.col(text_col)), " ").alias("__w"),
+    ).filter((F.size("__w") >= k) & (F.element_at("__w", 1) != ""))
+    base = toks.select(F.col(id_col), F.size("__w").alias("n_tokens"))
+    windows = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__w") - k),
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice("__w", i + 1, k))), 1, 16
+                ),
+            )
+        ).alias("start", "__h"),
+    )
+    dup_hashes = (
+        windows.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__h")
+    )
+    dup = windows.join(dup_hashes, "__h").select(id_col, "start")
+    w = Window.partitionBy(id_col).orderBy("start")
+    sp = dup.select(
+        F.col(id_col),
+        "start",
+        F.lead("start").over(w).alias("__nxt"),
+    )
+    agg = sp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.sum(
+            F.when(
+                F.col("__nxt").isNull() | (F.col("__nxt") - F.col("start") >= k),
+                1,
+            ).otherwise(0)
+        ).alias("n_spans"),
+        F.sum(
+            F.when(F.col("__nxt").isNull(), F.lit(k)).otherwise(
+                F.least(F.lit(k), F.col("__nxt") - F.col("start"))
+            )
+        ).alias("removed_tokens"),
+    )
+    return (
+        base.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("removed_tokens", F.lit(0))
+            .cast("long")
+            .alias("removed_tokens"),
+            F.round(
+                F.coalesce("removed_tokens", F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("removed_fraction"),
+        )
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    score every raw document by how much its hashed-unigram profile
+    looks like a TARGET distribution (here: the ``target_lang`` slice of
+    the same corpus), for importance resampling of pre-training data.
+
+    log w(doc) = Σ_buckets count_doc(b) · log(p_target(b) / p_raw(b)),
+    with add-one smoothing over ``n_buckets`` hashed unigram buckets.
+
+    Parity/scale discipline: the per-bucket log-ratio rounds to 6 dp
+    (kills last-ulp libm differences between engines — the bigram-LM
+    convention) and the per-doc sum is integer-count × 6-dp decimal:
+    exact, order-independent. Bucket distributions are two tiny
+    aggregates (≤ n_buckets rows) broadcast back; the corpus shuffles
+    once to (doc, bucket) counts — no second scan.
+
+    Output: (id, n_tokens, log_weight).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.col("lang"),
+        F.explode(F.split(normalize_text_expr(F.col(text_col)), " ")).alias("__t"),
+    ).filter(F.col("__t") != "")
+    bucketed = toks.select(
+        F.col(id_col),
+        F.col("lang"),
+        (hash_bucket_expr(F.col("__t")) % n_buckets).alias("__b"),
+    )
+    doc_counts = bucketed.groupBy(id_col, "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    raw = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tgt = (
+        bucketed.filter(F.col("lang") == target_lang)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    nr = raw.agg(F.sum("__cr").alias("__nr"))
+    nt = tgt.agg(F.sum("__ct").alias("__nt"))
+    ratios = (
+        raw.join(tgt, "__b", "left")
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "__b",
+            F.round(
+                F.log(
+                    (F.coalesce("__ct", F.lit(0)) + 1).cast("double")
+                    / (F.col("__nt") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("__cr") + 1).cast("double")
+                    / (F.col("__nr") + n_buckets).cast("double")
+                ),
+                6,
+            ).alias("__lr"),
+        )
+    )
+    per_doc = (
+        doc_counts.join(F.broadcast(ratios), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.sum(
+                (F.col("__c") * F.col("__lr")).cast("decimal(24,6)")
+            )
+            .cast("double")
+            .alias("log_weight"),
+        )
+    )
+    return per_doc.select(id_col, "n_tokens", "log_weight")

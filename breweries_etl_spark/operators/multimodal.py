@@ -318,3 +318,64 @@ def audio_frame_features(
         schema="asset_id long, frame_idx long, n_samples long, "
         "rms double, zcr long",
     )
+
+
+def image_ahash(assets: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual average-hash per image over the REAL decode path:
+    decode PNG → nearest-neighbor resample to hash_size² → bit j = 1 iff
+    pixel_j ≥ mean — the classic aHash near-duplicate signature (the
+    cheapest member of the aHash/dHash/pHash family). The threshold is
+    the EXACT integer rule ``p·n ≥ Σp`` (no float mean), and the hash is
+    emitted as a row-major '0'/'1' string, so a SQL oracle replays it
+    bit-for-bit from the synthetic closed-form pixel function.
+
+    One Arrow-batched mapInPandas; the payload never leaves the stage.
+    Output: (asset_id, ahash).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import pngcodec
+
+    n = hash_size * hash_size
+
+    def hashes(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, hs = [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = pngcodec.decode_png(bytes(payload))
+                small = pngcodec.resize_nearest(px, hash_size, hash_size)
+                if small.ndim == 3:  # collapse channels by exact int mean
+                    small = small.astype(np.int64).sum(axis=2) // small.shape[2]
+                flat = small.astype(np.int64).reshape(-1)
+                total = int(flat.sum())
+                bits = "".join("1" if int(p) * n >= total else "0" for p in flat)
+                ids.append(asset_id)
+                hs.append(bits)
+            yield pd.DataFrame({"asset_id": ids, "ahash": hs})
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        hashes, schema="asset_id long, ahash string"
+    )
+
+
+def image_ahash_dup_pairs(
+    assets: DataFrame, hash_size: int = 8, max_bucket: int = 10000
+) -> DataFrame:
+    """Image near-duplicate pairs by identical average-hash: hash every
+    image (one decode pass), then equal-hash pairs via the shared
+    bounded-bucket machinery (dedup.bucket_candidate_pairs — the same
+    hot-bucket cap as every other bucket join). Shuffle carries
+    (64-char hash, id); pair expansion is executor-local.
+
+    Output: (id_a, id_b, ahash) with id_a < id_b.
+    """
+    from .dedup import bucket_candidate_pairs
+
+    hashes = image_ahash(assets, hash_size)
+    pairs = bucket_candidate_pairs(hashes, ["ahash"], "asset_id", max_bucket)
+    return (
+        pairs.join(
+            hashes.withColumnsRenamed({"asset_id": "id_a"}), "id_a"
+        ).select("id_a", "id_b", "ahash")
+    )

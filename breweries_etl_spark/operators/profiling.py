@@ -291,17 +291,34 @@ def cms_heavy_hitters(
         .groupBy("cell.d", "cell.b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    probed = keyed
-    for d in range(depth):
-        row = sketch.filter(F.col("d") == d).select(
-            F.col("b").alias(f"__c{d}"), F.col("cnt").alias(f"__n{d}")
+    # Fold the (d, b, cnt) cells into ONE row of per-depth lookup maps
+    # and broadcast it ONCE. The earlier shape joined a filtered view of
+    # `sketch` per depth — four references to the same lazy plan, which
+    # physical planning expanded into four independent scan+aggregate
+    # subtrees of the FACT table (exchange reuse can't unify them once
+    # the per-depth filter pushes below the aggregate). One bounded
+    # pivot (≤ depth×width rows → depth rows → 1 row) keeps the fact
+    # scan count at one for the whole sketch phase.
+    per_depth = sketch.groupBy("d").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), F.col("cnt")))
+        ).alias("m")
+    )
+    one_row = per_depth.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("d"), F.col("m")))
+        ).alias("mm")
+    )
+    probe_counts = [
+        F.coalesce(
+            F.element_at(F.element_at(F.col("mm"), F.lit(d)), F.col(f"__c{d}")),
+            F.lit(0),
         )
-        probed = probed.join(F.broadcast(row), f"__c{d}")
+        for d in range(depth)
+    ]
     candidates = (
-        probed.filter(
-            F.least(*[F.col(f"__n{d}") for d in range(depth)])
-            >= F.lit(threshold)
-        )
+        keyed.crossJoin(F.broadcast(one_row))
+        .filter(F.least(*probe_counts) >= F.lit(threshold))
         .select(key_col)
         .distinct()
     )

@@ -11,10 +11,18 @@ from breweries_etl_spark.plans import analytics
 
 
 def _exchanges(df) -> int:
+    """Count shuffle Exchange nodes (Broadcast/Reused excluded) in the
+    FORMATTED physical plan. Formatted mode prints the node name and its
+    arguments on separate lines ("Exchange (6)" in the tree,
+    "Arguments: hashpartitioning(...)" in the detail), so the old
+    "Exchange hashpartitioning" substring never matched and every
+    <= N assertion in this file was vacuously true — count the tree
+    nodes instead (round-5 fix; detail headers print "(6) Exchange",
+    so the tree-order regex matches each node exactly once)."""
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", plan))
+    return len(re.findall(r"(?<![A-Za-z])Exchange \(\d+\)", plan))
 
 
 def test_runtime_bloom_filter_engages_on_selective_fact_join(spark, sf_dir):
@@ -137,11 +145,17 @@ def test_top_event_paths_budget(spark, sf_dir):
 
 def test_paragraph_dedup_two_data_shuffles(spark, sf_dir):
     """Content-keyed first-occurrence rank + doc-keyed rebuild: two hash
-    exchanges over narrow paragraph rows (plus at most the small
-    ensure_parallelism repartition on the scan side)."""
+    exchanges over narrow paragraph rows plus the ensure_parallelism
+    repartition — and ONE document scan (the r5 flagged-aggregate form;
+    the old totals/rebuilt branches each re-expanded the scan)."""
     import __spark_entry__ as e
 
-    assert _exchanges(e.queries()["paragraph_dedup"](spark, sf_dir)) <= 4
+    df = e.queries()["paragraph_dedup"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("documents.parquet") == 1
+    assert _exchanges(df) <= 3
 
 
 def test_rolling_time_window_single_exchange(spark, sf_dir):
@@ -169,9 +183,18 @@ def test_winsorize_budget(spark, sf_dir):
 def test_cms_heavy_hitters_budget(spark, sf_dir):
     from __spark_entry__ import q_cms_heavy_hitters
 
-    # sketch groupBy + candidate distinct + exact verify groupBy; the
-    # d sketch-cell joins and the candidate semi-join must all broadcast
-    assert _exchanges(q_cms_heavy_hitters(spark, sf_dir)) <= 4
+    # sketch groupBy + two bounded pivot merges (<= depth x width rows)
+    # + candidate distinct + exact verify groupBy; the one-row sketch
+    # broadcast and the candidate semi-join must both broadcast, and the
+    # fact table is scanned exactly 3x (sketch, probe, verify — the
+    # algorithm's minimum; the old per-depth probe joins re-expanded the
+    # sketch subtree into 4 extra fact scans)
+    df = q_cms_heavy_hitters(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("events.parquet") == 3
+    assert _exchanges(df) <= 5
 
 
 def test_snapshot_diff_budget(spark, sf_dir):
@@ -260,11 +283,12 @@ def test_user_activity_streaks_budget(spark, sf_dir):
     assert _exchanges(user_activity_streaks(load_events(spark, sf_dir))) <= 3
 
 
-def test_frequent_item_pairs_no_pair_shuffle(spark, sf_dir):
+def test_frequent_item_pairs_single_fact_scan(spark, sf_dir):
     """Pair expansion must stay executor-local (posexplode over the
-    per-basket array): exchanges are the distinct, the basket collect,
-    and the pair-count aggregate — never a shuffle of expanded pairs
-    before partial aggregation."""
+    per-basket array), and — after the r5 plan audit showed three
+    branch-expanded scan+distinct subtrees — the persisted basket
+    relation must pin the FACT table to one scan: every downstream
+    branch (supports, basket count, pairs) reads the cache."""
     from breweries_etl_spark.operators.aggregate import frequent_item_pairs
     from pyspark.sql import functions as F
 
@@ -274,7 +298,28 @@ def test_frequent_item_pairs_no_pair_shuffle(spark, sf_dir):
         F.broadcast(part.select("p_partkey", "p_brand")),
         F.col("l_partkey") == F.col("p_partkey"),
     )
-    assert _exchanges(frequent_item_pairs(baskets, "l_orderkey", "p_brand")) <= 4
+    df = frequent_item_pairs(baskets, "l_orderkey", "p_brand", release=False)
+    try:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # cached basket relation -> InMemoryTableScan everywhere; the
+        # raw fact file appears only inside the (single) cached plan
+        assert plan.count("lineitem.parquet") <= 1
+        assert "InMemoryTableScan" in plan
+        # formatted output re-renders the cached subtree per reference,
+        # so count UNIQUE shuffle plan_ids, not node occurrences; all 8
+        # post-cache shuffles carry the collapsed basket-sized relation
+        ids = set(
+            re.findall(
+                r"Arguments: (?:hashpartitioning|rangepartitioning|"
+                r"SinglePartition)[^\n]*plan_id=(\d+)",
+                plan,
+            )
+        )
+        assert len(ids) <= 8
+    finally:
+        spark.catalog.clearCache()
 
 
 def _plan(df) -> str:

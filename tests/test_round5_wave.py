@@ -139,3 +139,80 @@ CROSS JOIN nb
         ).fetchall()
     }
     assert capped == oracle
+
+
+def test_duplicate_span_stats_merges_overlapping_windows(spark):
+    from breweries_etl_spark.operators.corpus import duplicate_span_stats
+
+    # ten shared tokens -> 3 duplicated 8-windows (starts 0,1,2) in each
+    # doc, overlapping into ONE span covering 10 tokens; doc c is clean.
+    shared = "a b c d e f g h i j"
+    rows = [
+        (1, shared + " unique1 one two three"),
+        (2, shared + " unique2 four five six"),
+        (3, "nothing here repeats at all friends okay right"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_span_stats(df, k=8).collect()}
+    for d in (1, 2):
+        assert out[d]["n_tokens"] == 14
+        assert out[d]["n_dup_windows"] == 3
+        assert out[d]["n_spans"] == 1
+        assert out[d]["removed_tokens"] == 10
+        assert out[d]["removed_fraction"] == round(10 / 14, 6)
+    assert out[3]["n_dup_windows"] == 0 and out[3]["removed_tokens"] == 0
+
+
+def test_duplicate_span_stats_within_doc_repetition(spark):
+    from breweries_etl_spark.operators.corpus import duplicate_span_stats
+
+    # the SAME doc repeats an 8-token phrase twice with a gap >= k:
+    # two disjoint spans of 8 tokens each (within-doc counts, like
+    # Lee et al.'s any-second-occurrence rule)
+    phrase = "p q r s t u v w"
+    text = phrase + " x1 x2 x3 x4 x5 x6 x7 x8 " + phrase
+    df = spark.createDataFrame([(1, text)], schema="doc_id long, text string")
+    r = duplicate_span_stats(df, k=8).collect()[0]
+    assert r["n_dup_windows"] == 2
+    assert r["n_spans"] == 2
+    assert r["removed_tokens"] == 16
+
+
+def test_dsir_weights_favor_target_language(spark, sf_dir):
+    from breweries_etl_spark.operators.corpus import dsir_importance_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dsir_importance_weights(docs, target_lang="en").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    rows = out.collect()
+    per_tok = {}
+    for r in rows:
+        per_tok.setdefault(r["lang"] == "en", []).append(
+            r["log_weight"] / r["n_tokens"]
+        )
+    mean_en = sum(per_tok[True]) / len(per_tok[True])
+    mean_other = sum(per_tok[False]) / len(per_tok[False])
+    # English docs must score higher per token under the en target
+    assert mean_en > mean_other
+
+
+def test_image_ahash_identical_images_pair(spark):
+    from breweries_etl_spark.operators.multimodal import (
+        image_ahash,
+        image_ahash_dup_pairs,
+        synthetic_image_assets,
+    )
+
+    # doc ids congruent mod 256 produce IDENTICAL pixel fields
+    docs = spark.createDataFrame(
+        [(1,), (257,), (2,)], schema="doc_id long"
+    )
+    assets = synthetic_image_assets(docs, width=16, height=16)
+    hashes = {r["asset_id"]: r["ahash"] for r in image_ahash(assets).collect()}
+    assert len(hashes[1]) == 64 and set(hashes[1]) <= {"0", "1"}
+    assert hashes[1] == hashes[257]
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in image_ahash_dup_pairs(assets).collect()
+    }
+    assert (1, 257) in pairs
