@@ -20,46 +20,49 @@ def funnel_steps(
     df: DataFrame, steps: tuple[str, str, str] = ("view", "click", "purchase")
 ) -> DataFrame:
     """Ordered three-step funnel: users who did step1, then step2 AFTER
-    their first step1, then step3 after that first qualifying step2.
-
-    Formulated as chained conditional-min aggregations (not a per-user
-    sort): t1 = first step1; t2 = first step2 ≥ t1; t3 = first step3 ≥ t2.
-    Each stage is a groupBy(user) over a filtered projection joined to
-    the previous stage's (user, t) pairs — all on the same shuffle key.
+    their first step1, then step3 after that first qualifying step2
+    (t1 = first step1; t2 = first step2 ≥ t1; t3 = first step3 ≥ t2).
 
     Output: one row (n_step1, n_step2, n_step3) — funnel counts.
     """
     s1, s2, s3 = steps
     us = F.unix_micros(F.col("ts"))
-    t1 = (
-        df.where(F.col("event_type") == s1)
-        .groupBy("user_id")
-        .agg(F.min(us).alias("t1"))
+    # ONE scan, one user-keyed shuffle. The chained per-stage
+    # groupBy+join formulation referenced each prior stage from two
+    # branches and the r5 plan audit showed Catalyst expanding every
+    # reference into its own fact scan (6 total). Instead: shuffle the
+    # step-filtered (us, type) pairs once, sort per user executor-side,
+    # and fold the "first step_{i+1} at-or-after t_i" chain as array
+    # expressions — state per user is its own (3-type-filtered) event
+    # list, the same bound the sessionizers carry.
+    ev = df.where(F.col("event_type").isin(list(steps))).select(
+        "user_id",
+        F.struct(us.alias("us"), F.col("event_type").alias("et")).alias("e"),
     )
-    t2 = (
-        df.where(F.col("event_type") == s2)
-        .select("user_id", us.alias("us"))
-        .join(t1, "user_id")
-        .where(F.col("us") >= F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t2"))
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("e")).alias("a")
     )
-    t3 = (
-        df.where(F.col("event_type") == s3)
-        .select("user_id", us.alias("us"))
-        .join(t2, "user_id")
-        .where(F.col("us") >= F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t3"))
-    )
-    return (
-        t1.join(t2, "user_id", "left")
-        .join(t3, "user_id", "left")
-        .agg(
-            F.count(F.lit(1)).alias("n_step1"),
-            F.count("t2").alias("n_step2"),
-            F.count("t3").alias("n_step3"),
+
+    def first_at_or_after(arr, step, lo):
+        hits = F.filter(
+            arr, lambda e: (e["et"] == step) & (e["us"] >= lo)
         )
+        return F.try_element_at(F.transform(hits, lambda e: e["us"]), F.lit(1))
+
+    staged = (
+        per_user.select(
+            "a",
+            first_at_or_after(
+                F.col("a"), s1, F.lit(-(2**62)).cast("long")
+            ).alias("t1"),
+        )
+        .select("a", "t1", first_at_or_after(F.col("a"), s2, F.col("t1")).alias("t2"))
+        .select("t1", "t2", first_at_or_after(F.col("a"), s3, F.col("t2")).alias("t3"))
+    )
+    return staged.agg(
+        F.count("t1").alias("n_step1"),
+        F.count("t2").alias("n_step2"),
+        F.count("t3").alias("n_step3"),
     )
 
 

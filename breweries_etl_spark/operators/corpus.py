@@ -565,7 +565,6 @@ def duplicate_span_stats(
         F.col(id_col),
         F.split(normalize_text_expr(F.col(text_col)), " ").alias("__w"),
     ).filter((F.size("__w") >= k) & (F.element_at("__w", 1) != ""))
-    base = toks.select(F.col(id_col), F.size("__w").alias("n_tokens"))
     windows = toks.select(
         F.col(id_col),
         F.posexplode(
@@ -577,49 +576,48 @@ def duplicate_span_stats(
             )
         ).alias("start", "__h"),
     )
-    dup_hashes = (
-        windows.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= 2)
-        .select("__h")
-    )
-    dup = windows.join(dup_hashes, "__h").select(id_col, "start")
-    w = Window.partitionBy(id_col).orderBy("start")
-    sp = dup.select(
+    # ONE corpus scan, two narrow shuffles. A hash-count WINDOW marks
+    # duplicated windows in place (the agg+join-back form referenced the
+    # window relation twice and Catalyst expanded both into full scans —
+    # r5 plan audit; same no-self-join trick as ngram_dup_fraction).
+    # Span merging then happens INSIDE the per-doc aggregate on the
+    # sorted array of duplicated starts: sorted s_1..s_m covers
+    # Σ min(k, s_{i+1} − s_i) + k tokens and starts a new span wherever
+    # the gap is ≥ k — executor-local array math bounded by doc length.
+    flagged = windows.select(
         F.col(id_col),
         "start",
-        F.lead("start").over(w).alias("__nxt"),
+        (F.count(F.lit(1)).over(Window.partitionBy("__h")) >= 2).alias("__dup"),
     )
-    agg = sp.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_dup_windows"),
-        F.sum(
-            F.when(
-                F.col("__nxt").isNull() | (F.col("__nxt") - F.col("start") >= k),
-                1,
-            ).otherwise(0)
-        ).alias("n_spans"),
-        F.sum(
-            F.when(F.col("__nxt").isNull(), F.lit(k)).otherwise(
-                F.least(F.lit(k), F.col("__nxt") - F.col("start"))
-            )
-        ).alias("removed_tokens"),
+    starts = F.array_sort(
+        F.collect_list(F.when(F.col("__dup"), F.col("start")))
     )
-    return (
-        base.join(agg, id_col, "left")
-        .select(
-            id_col,
-            F.col("n_tokens").cast("long"),
-            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-            F.coalesce("removed_tokens", F.lit(0))
-            .cast("long")
-            .alias("removed_tokens"),
-            F.round(
-                F.coalesce("removed_tokens", F.lit(0))
-                / F.col("n_tokens").cast("double"),
-                6,
-            ).alias("removed_fraction"),
+    gaps = F.zip_with(
+        F.slice(starts, 1, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        lambda a, b: b - a,
+    )
+    removed = F.when(F.size(starts) == 0, F.lit(0)).otherwise(
+        F.aggregate(
+            gaps, F.lit(0), lambda acc, g: acc + F.least(F.lit(k), g)
         )
+        + k
+    )
+    n_spans = F.when(F.size(starts) == 0, F.lit(0)).otherwise(
+        F.size(F.filter(gaps, lambda g: g >= k)) + 1
+    )
+    return flagged.groupBy(id_col).agg(
+        (F.max("start") + k).cast("long").alias("n_tokens"),
+        F.size(
+            F.collect_list(F.when(F.col("__dup"), F.col("start")))
+        )
+        .cast("long")
+        .alias("n_dup_windows"),
+        n_spans.cast("long").alias("n_spans"),
+        removed.cast("long").alias("removed_tokens"),
+        F.round(
+            removed / (F.max("start") + k).cast("double"), 6
+        ).alias("removed_fraction"),
     )
 
 
@@ -658,35 +656,39 @@ def dsir_importance_weights(
         F.col("lang"),
         (hash_bucket_expr(F.col("__t")) % n_buckets).alias("__b"),
     )
+    # TWO corpus passes — the honest minimum without caching (the first
+    # formulation referenced the token relation from raw/target/per-doc
+    # branches, and the r5 plan audit showed Catalyst expanding each
+    # into its own corpus scan; per-branch column pruning makes the
+    # subtrees non-identical, so exchange reuse never unifies them).
+    # Pass 1 builds BOTH bucket distributions in one conditional
+    # aggregate, and the smoothing totals come from a single-partition
+    # window over that bounded (n_buckets-row) aggregate instead of a
+    # self-referencing crossJoin — one chain, one scan. Pass 2 scores
+    # docs against the broadcast ratio table.
+    whole = Window.partitionBy()
+    bucket_stats = bucketed.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0)).alias(
+            "__ct"
+        ),
+    )
+    ratios = bucket_stats.select(
+        "__b",
+        F.round(
+            F.log(
+                (F.col("__ct") + 1).cast("double")
+                / (F.sum("__ct").over(whole) + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("__cr") + 1).cast("double")
+                / (F.sum("__cr").over(whole) + n_buckets).cast("double")
+            ),
+            6,
+        ).alias("__lr"),
+    )
     doc_counts = bucketed.groupBy(id_col, "__b").agg(
         F.count(F.lit(1)).alias("__c")
-    )
-    raw = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
-    tgt = (
-        bucketed.filter(F.col("lang") == target_lang)
-        .groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__ct"))
-    )
-    nr = raw.agg(F.sum("__cr").alias("__nr"))
-    nt = tgt.agg(F.sum("__ct").alias("__nt"))
-    ratios = (
-        raw.join(tgt, "__b", "left")
-        .crossJoin(F.broadcast(nr))
-        .crossJoin(F.broadcast(nt))
-        .select(
-            "__b",
-            F.round(
-                F.log(
-                    (F.coalesce("__ct", F.lit(0)) + 1).cast("double")
-                    / (F.col("__nt") + n_buckets).cast("double")
-                )
-                - F.log(
-                    (F.col("__cr") + 1).cast("double")
-                    / (F.col("__nr") + n_buckets).cast("double")
-                ),
-                6,
-            ).alias("__lr"),
-        )
     )
     per_doc = (
         doc_counts.join(F.broadcast(ratios), "__b")

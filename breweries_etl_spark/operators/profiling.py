@@ -455,16 +455,29 @@ def distribution_shift(
         F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
         F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
     )
-    totals = cats.agg(
-        F.sum("n_a").alias("__ta"),
-        F.sum("n_b").alias("__tb"),
-        F.count(F.lit(1)).alias("__k"),
+    # Totals and the final KL/TV sums come from single-partition WINDOWS
+    # over the bounded category relation (one row per category) so the
+    # whole computation is ONE plan chain. The earlier totals/sums
+    # crossJoin shape referenced `cats` and `terms` twice each, and the
+    # r5 plan audit showed Catalyst re-expanding every reference into
+    # its own pair of input scans (8 total; per-branch pruning defeats
+    # exchange reuse). Two input scans — one per slice — remain.
+    from pyspark.sql import Window as _W
+
+    whole = _W.partitionBy()
+    enriched = cats.select(
+        category_col,
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(whole).alias("__ta"),
+        F.sum("n_b").over(whole).alias("__tb"),
+        F.count(F.lit(1)).over(whole).alias("__k"),
     )
     p_a = (F.col("n_a") + 1).cast("double") / (F.col("__ta") + F.col("__k"))
     p_b = (F.col("n_b") + 1).cast("double") / (F.col("__tb") + F.col("__k"))
     kl_term = F.round(p_a * F.log(p_a / p_b), 6)
     tv_term = F.round(F.abs(p_a - p_b) / 2, 6)
-    terms = cats.crossJoin(F.broadcast(totals)).select(
+    terms = enriched.select(
         category_col,
         "n_a",
         "n_b",
@@ -473,15 +486,17 @@ def distribution_shift(
         kl_term.alias("kl_term"),
         tv_term.alias("tv_term"),
     )
-    sums = terms.agg(
+    return terms.select(
+        "*",
         F.sum(F.col("kl_term").cast("decimal(18,6)"))
+        .over(whole)
         .cast("double")
         .alias("total_kl"),
         F.sum(F.col("tv_term").cast("decimal(18,6)"))
+        .over(whole)
         .cast("double")
         .alias("total_tv"),
     )
-    return terms.crossJoin(F.broadcast(sums))
 
 
 def categorical_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -862,10 +877,20 @@ def psi_value_drift(
         .groupBy("p", "bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    totals = cells.groupBy("p").agg(F.sum("c").alias("tp"))
+    # Per-side totals and the global denominators come from WINDOWS over
+    # the bounded cell/bin aggregates (≤ 2·n_bins rows), not from
+    # re-referencing the aggregate in a join — the r5 plan audit showed
+    # each such reference re-expanding into a full fact scan (8 scans
+    # total; per-branch pruning defeats exchange reuse). Two fact scans
+    # remain: the percentile pass and the binned count pass — the
+    # algorithm's floor.
+    from pyspark.sql import Window as _W
+
+    cells2 = cells.select(
+        "p", "bin", "c", F.sum("c").over(_W.partitionBy("p")).alias("tp")
+    )
     wide = (
-        cells.join(F.broadcast(totals), "p")
-        .select(
+        cells2.select(
             "bin",
             F.when(F.col("p") == 0, F.col("c")).alias("c0"),
             F.when(F.col("p") == 1, F.col("c")).alias("c1"),
@@ -880,10 +905,12 @@ def psi_value_drift(
             F.max("t1").alias("t1"),
         )
     )
-    tot = wide.agg(F.max("t0").alias("ta"), F.max("t1").alias("tb"))
-    both = wide.crossJoin(F.broadcast(tot)).filter(
-        F.col("c0").isNotNull() & F.col("c1").isNotNull()
-    )
+    whole = _W.partitionBy()
+    both = wide.select(
+        "*",
+        F.max("t0").over(whole).alias("ta"),
+        F.max("t1").over(whole).alias("tb"),
+    ).filter(F.col("c0").isNotNull() & F.col("c1").isNotNull())
     pa = F.col("c0").cast("double") / F.col("ta")
     pb = F.col("c1").cast("double") / F.col("tb")
     term = (pa - pb) * F.log(pa / pb)
