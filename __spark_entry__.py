@@ -3433,7 +3433,9 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained bigram-LM perplexity per document (CCNet-style
     quality signal): corpus bigram/unigram counts + vocabulary, add-0.5
     smoothing, mean per-bigram log-prob rounded before averaging."""
-    return text.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+    return text.bigram_lm_scores(
+        load_table(spark, sf_dir, "documents"), release=False
+    )
 
 
 _ORACLES["bigram_lm_scores"] = """
@@ -3704,7 +3706,9 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail: per-language perplexity terciles over the
     bigram-LM scores; ntile over the total order (ppl, doc_id) is
     deterministic, so DuckDB replays the assignment exactly."""
-    return text.perplexity_buckets(load_table(spark, sf_dir, "documents"))
+    return text.perplexity_buckets(
+        load_table(spark, sf_dir, "documents"), release=False
+    )
 
 
 _ORACLES["ccnet_perplexity_buckets"] = """
@@ -5039,7 +5043,7 @@ def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the collapsed (user, type) relation."""
     from breweries_etl_spark.operators.behavior import event_cooccurrence_lift
 
-    return event_cooccurrence_lift(load_events(spark, sf_dir))
+    return event_cooccurrence_lift(load_events(spark, sf_dir), release=False)
 
 
 def q_lang_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -480,38 +480,44 @@ def conversion_latency_percentiles(
 def event_cooccurrence_lift(
     df: DataFrame,
     min_users: int = 5,
+    release: bool = True,
 ) -> DataFrame:
     """Market-basket lift between event types at user granularity:
     lift(a,b) = P(a,b) / (P(a)·P(b)) over the user population — which
     behaviors travel together (>1) or repel (<1).
 
-    The per-user event-type set collapses FIRST (distinct on (user,
-    type) — bounded by users × |type vocabulary|, tiny next to raw
-    events); the pair expansion is a self-join on user over that
-    collapsed relation, so its size is users × C(types-per-user, 2)
-    with a small fixed vocabulary — never a join over raw events. The
-    lift arithmetic is one fixed double expression from exact counts.
+    The per-user event-type SET collapses first into one sorted array
+    per user (distinct + collect — bounded by users × |type
+    vocabulary|); pair expansion, per-type counts, and the population
+    size all derive from that PERSISTED relation, so the raw events
+    table is scanned exactly once (the earlier four-branch shape
+    re-expanded the distinct subtree into five fact scans — r5 plan
+    audit). Pair expansion is the executor-local posexplode+slice
+    pattern (bounded by types-per-user²), never a join over raw events.
     """
-    ut = df.select("user_id", "event_type").distinct()
-    # population size as a one-row broadcast frame, not a driver action:
-    # the whole operator stays one lazy plan
-    n_users = ut.select("user_id").distinct().agg(
-        F.count(F.lit(1)).alias("__n_users")
+    per_user = (
+        df.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("event_type")).alias("ts_"))
+        .persist()
     )
-    type_counts = ut.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_type")
+    per_user.count()
+    n_users = per_user.agg(F.count(F.lit(1)).alias("__n_users"))
+    type_counts = (
+        per_user.select(F.explode("ts_").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_type"))
     )
-    a, b = ut.alias("a"), ut.alias("b")
+    pos = per_user.select(F.posexplode("ts_").alias("_p", "type_a"), "ts_")
     pair_counts = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
+        pos.select(
+            "type_a",
+            F.explode(
+                F.slice("ts_", F.col("_p") + 2, F.size("ts_"))
+            ).alias("type_b"),
         )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
+        .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= min_users)
     )
@@ -526,7 +532,7 @@ def event_cooccurrence_lift(
         * F.col("__n_users").cast("double")
         / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
     )
-    return (
+    result = (
         pair_counts.join(F.broadcast(ta), "type_a")
         .join(F.broadcast(tb), "type_b")
         .crossJoin(F.broadcast(n_users))
@@ -534,6 +540,11 @@ def event_cooccurrence_lift(
             "type_a", "type_b", "n_both", F.round(lift, 6).alias("lift")
         )
     )
+    if release:
+        from .dedup import _release_caches
+
+        return _release_caches(result, [per_user])
+    return result
 
 
 def user_event_novelty(df: DataFrame) -> DataFrame:

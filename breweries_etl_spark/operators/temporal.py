@@ -659,43 +659,52 @@ def hourly_coverage_gaps(
     detector for silently dead producers and dropped partitions that
     per-row checks can't see (absent data has no rows to check).
 
-    The dense hour axis comes from one global min/max (two scalars) and
-    a generated sequence — never a data shuffle; observed (type, hour)
-    pairs collapse map-side; the anti-join runs grid×types vs the tiny
-    observed aggregate. Output is one row per type.
+    Two scans (global min/max bounds; per-type observed-hour arrays) —
+    the dense grid never materializes as a relation at all: missing
+    counts and the first gap come from executor-local array arithmetic
+    over each type's SORTED observed hours against the broadcast
+    bounds (the earlier grid/anti-join shape referenced the observed
+    aggregate and the dense grid from two branches each, which the r5
+    plan audit showed re-expanding into five fact scans). Per-type
+    array size is bounded by the observed hour range.
     """
     hour = F.expr(f"unix_micros({ts_col}) div {3600 * 1_000_000}")
-    observed = (
+    per_type = (
         df.select(F.col(type_col).alias("event_type"), hour.alias("h"))
-        .groupBy("event_type", "h")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_set("h")).alias("hs"))
     )
     bounds = df.agg(
         F.min(hour).alias("h_lo"), F.max(hour).alias("h_hi")
     )
-    grid = bounds.select(
-        F.explode(F.sequence(F.col("h_lo"), F.col("h_hi"))).alias("h")
-    )
-    types = observed.select("event_type").distinct()
-    dense = types.crossJoin(grid)
-    missing = dense.join(observed, ["event_type", "h"], "left_anti")
-    per_type_missing = missing.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("missing_hours"),
-        F.min("h").alias("first_missing_hour"),
-    )
-    totals = dense.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("total_hours")
-    )
-    return (
-        totals.join(per_type_missing, "event_type", "left")
-        .select(
-            "event_type",
-            "total_hours",
-            F.coalesce(F.col("missing_hours"), F.lit(0)).cast("long").alias(
-                "missing_hours"
+    m = F.size("hs")
+    total_hours = (F.col("h_hi") - F.col("h_lo") + 1).cast("long")
+    # first gap strictly inside the observed hours: the first
+    # consecutive pair with a hole between them
+    inner_gap = F.try_element_at(
+        F.filter(
+            F.zip_with(
+                F.slice("hs", 1, F.greatest(m - 1, F.lit(0))),
+                F.slice("hs", 2, F.greatest(m - 1, F.lit(0))),
+                lambda a, b: F.when(b - a > 1, a + 1),
             ),
-            "first_missing_hour",
-        )
+            lambda x: x.isNotNull(),
+        ),
+        F.lit(1),
+    )
+    first_missing = F.coalesce(
+        F.when(F.element_at("hs", 1) > F.col("h_lo"), F.col("h_lo")),
+        inner_gap,
+        F.when(
+            F.element_at("hs", -1) < F.col("h_hi"),
+            F.element_at("hs", -1) + 1,
+        ),
+    )
+    return per_type.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        total_hours.alias("total_hours"),
+        (total_hours - m).cast("long").alias("missing_hours"),
+        first_missing.alias("first_missing_hour"),
     )
 
 

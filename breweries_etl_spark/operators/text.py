@@ -475,7 +475,10 @@ def token_zipf_stats(
 
 
 def bigram_lm_scores(
-    df: DataFrame, text_col: str = "text", alpha: float = 0.5
+    df: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    release: bool = True,
 ) -> DataFrame:
     """CCNet-style LM quality signal: fit an add-alpha-smoothed bigram
     language model on the corpus itself, then score every document by
@@ -522,7 +525,15 @@ def bigram_lm_scores(
         )
         .select("doc_id", "bg.w1", "bg.w2")
     )
-    bigram_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # The distinct-bigram count table is referenced twice (unigram fold,
+    # score join) — persist it so those references read a vocabulary-
+    # sized cache instead of re-expanding the corpus aggregation (r5
+    # plan audit: 4 corpus scans → 3, the floor while the score pass
+    # must re-read the bigram relation and vocab needs ALL tokens).
+    bigram_counts = (
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).persist()
+    )
+    bigram_counts.count()
     unigram_counts = bigram_counts.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = docs.select(F.explode("toks").alias("w")).agg(
         F.countDistinct("w").alias("v")
@@ -545,7 +556,7 @@ def bigram_lm_scores(
             .alias("lp_micro"),
         )
     )
-    return (
+    result = (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -562,6 +573,12 @@ def bigram_lm_scores(
         )
         .withColumn("ppl", F.round(F.exp(-F.col("avg_logprob")), 3))
     )
+    if release:
+        from .dedup import _release_caches
+
+        return _release_caches(result, [bigram_counts])
+    result._bigram_cache = bigram_counts  # caller-managed release
+    return result
 
 
 def perplexity_buckets(
@@ -569,6 +586,7 @@ def perplexity_buckets(
     text_col: str = "text",
     lang_col: str = "lang",
     alpha: float = 0.5,
+    release: bool = True,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): rank
     documents by LM perplexity WITHIN each language and cut into
@@ -588,7 +606,7 @@ def perplexity_buckets(
     """
     from pyspark.sql import Window as W
 
-    scores = bigram_lm_scores(df, text_col=text_col, alpha=alpha)
+    scores = bigram_lm_scores(df, text_col=text_col, alpha=alpha, release=release)
     w = W.partitionBy(lang_col).orderBy(
         F.col("ppl").asc(), F.col("doc_id").asc()
     )
@@ -671,11 +689,14 @@ def collocation_pmi(
     measure for "these words belong together" (multi-word expressions,
     named entities), with a min-count floor to suppress rare-pair noise.
 
-    Three aggregates over one exploded token relation; the unigram
-    count table joins in twice BROADCAST (vocab ≪ corpus). The PMI
-    expression is a single parenthesized double product/division —
-    identical evaluation order on any engine — so the rounded score is
-    reproducible.
+    Two corpus passes (bigram counts; unigram counts — the honest floor
+    for independent marginals), with BOTH bounded count relations
+    persisted: the unigram table is referenced three times (w1 side, w2
+    side, token total) and the bigram table twice (pair rows, bigram
+    total), and the r5 plan audit showed each reference re-expanding
+    into its own corpus scan (5 total). The caches are vocabulary-sized
+    — orders of magnitude below the corpus; totals derive from the
+    cached aggregates. PMI stays one fixed double expression.
     """
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9_]+"), 0
@@ -688,13 +709,15 @@ def collocation_pmi(
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
     unigrams = base.select(F.explode("toks").alias("tok"))
-    uni = unigrams.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n_tokens = unigrams.select(F.count(F.lit(1)).alias("n"))
-    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    n_bigrams = bg.select(F.sum("c_ab").alias("b"))
+    uni = unigrams.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    uni.count()
+    n_tokens = uni.agg(F.sum("c").cast("long").alias("n"))
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")).persist()
+    bg.count()
+    n_bigrams = bg.agg(F.sum("c_ab").alias("b"))
     u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
     u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
-    return (
+    result = (
         bg.filter(F.col("c_ab") >= min_count)
         .join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")
@@ -715,6 +738,13 @@ def collocation_pmi(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(k)
     )
+    rows = result.collect()
+    uni.unpersist()
+    bg.unpersist()
+    out = df.sparkSession.createDataFrame(
+        rows, "w1 string, w2 string, c_ab bigint, pmi double"
+    )
+    return out
 
 
 def length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
