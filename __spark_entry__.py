@@ -4025,7 +4025,9 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, never document frequency)."""
     from breweries_etl_spark.operators.corpus import source_overlap_matrix
 
-    return source_overlap_matrix(load_table(spark, sf_dir, "documents"))
+    return source_overlap_matrix(
+        load_table(spark, sf_dir, "documents"), release=False
+    )
 
 
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4904,7 +4906,9 @@ def q_robust_scale_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from breweries_etl_spark.operators.profiling import robust_scale_stats
 
     orders = load_table(spark, sf_dir, "orders")
-    return robust_scale_stats(orders, "o_totalprice", "o_orderpriority", z_cut=3.0)
+    return robust_scale_stats(
+        orders, "o_totalprice", "o_orderpriority", z_cut=3.0, release=False
+    )
 
 
 def q_rolling_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:

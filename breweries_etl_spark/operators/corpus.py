@@ -395,6 +395,7 @@ def source_overlap_matrix(
     text_col: str = "text",
     source_col: str = "source",
     n: int = 3,
+    release: bool = True,
 ) -> DataFrame:
     """Pairwise content overlap between corpus sources: for every source
     pair (a < b), the number of shared distinct word n-grams and their
@@ -402,31 +403,46 @@ def source_overlap_matrix(
     cross-posted content, and scraped-from-each-other feeds BEFORE
     mixing weights are chosen.
 
-    Scale shape: the self-join key is the shingle, and each shingle
-    contributes at most |sources|² pairs regardless of corpus size —
-    the blow-up bound is the (small, known) source count, not document
-    frequency. Distinct (source, shingle) happens map-side-combinably
-    before the join; per-source totals broadcast.
+    Scale shape: ONE corpus pass collapses to per-shingle source SETS
+    (bounded arrays — at most |sources| entries each); pair expansion
+    is the executor-local posexplode+slice pattern bounded by
+    |sources|² per shingle, and per-source totals re-derive by
+    exploding the same persisted relation (the earlier shingle
+    self-join referenced the distinct relation three times, and the r5
+    plan audit showed four corpus scans). The persisted relation is the
+    narrow (shingle, sources[]) aggregate; it is released via an eager
+    checkpoint of the (|sources|²-row) result.
     """
-    sh = (
+    sets = (
         df.select(
             F.col(source_col).alias("source"),
             F.explode(shingles_expr(F.col(text_col), n)).alias("s"),
         )
         .distinct()
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list("source")).alias("srcs"))
+        .persist()
     )
-    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("source").alias("source_a"), "s")
-    b = sh.select(F.col("source").alias("source_b"), "s")
+    sets.count()
+    tot = (
+        sets.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pos = sets.select(F.posexplode("srcs").alias("_p", "source_a"), "srcs")
     shared = (
-        a.join(b, "s")
-        .filter(F.col("source_a") < F.col("source_b"))
+        pos.select(
+            "source_a",
+            F.explode(
+                F.slice("srcs", F.col("_p") + 2, F.size("srcs"))
+            ).alias("source_b"),
+        )
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     ta = F.broadcast(tot.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a")))
     tb = F.broadcast(tot.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b")))
-    return (
+    result = (
         shared.join(ta, "source_a")
         .join(tb, "source_b")
         .select(
@@ -440,6 +456,11 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+    if release:
+        from .dedup import _release_caches
+
+        return _release_caches(result, [sets])
+    return result
 
 
 def curriculum_buckets(

@@ -23,6 +23,14 @@ def user_feature_store(events: DataFrame) -> DataFrame:
     a fixed round-6 double — the frame is reproducible bit-for-bit
     across reruns and engines, which is what makes offline/online
     feature parity checkable at all.
+
+    Plan note (r5 audit): the five feature families are independent
+    sub-operators, each reading its own narrow projection of events —
+    five column-pruned scans by design. They all aggregate on user_id,
+    so the joins co-partition on one shuffle key; collapsing them into
+    a single mega-aggregate would re-implement (and de-test) the
+    individual operators to save scans a production feature store
+    materializes separately anyway.
     """
     day = F.expr("unix_micros(ts) div 86400000000")
     base = events.groupBy("user_id").agg(

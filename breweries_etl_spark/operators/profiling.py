@@ -381,6 +381,7 @@ def robust_scale_stats(
     value_col: str,
     group_col: str,
     z_cut: float = 3.0,
+    release: bool = True,
 ) -> DataFrame:
     """Per-group MEDIAN/MAD robust-scaling statistics — the
     outlier-immune alternative to mean/stddev normalization (one wild
@@ -398,21 +399,32 @@ def robust_scale_stats(
     0 when mad = 0 — a degenerate group where scaling is undefined).
     """
     v = F.col(value_col).cast("decimal(14,2)")
-    med = df.groupBy(group_col).agg(
-        F.expr(
-            f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {value_col})"
-        ).cast("decimal(14,2)").alias("med")
+    # The per-group median table is referenced by both the deviation
+    # pass and the tally pass — persist it (group-cardinality rows) so
+    # each reference reads the cache instead of re-running the median
+    # aggregate over the fact table (r5 plan audit: 4 scans → the
+    # documented 3-scan floor). The tally derives from the deviation
+    # relation, which already carries med and |x − med|.
+    med = (
+        df.groupBy(group_col)
+        .agg(
+            F.expr(
+                f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {value_col})"
+            )
+            .cast("decimal(14,2)")
+            .alias("med")
+        )
+        .persist()
     )
     devs = df.join(F.broadcast(med), group_col).select(
-        group_col, F.abs(v - F.col("med")).alias("__dev")
+        group_col, "med", F.abs(v - F.col("med")).alias("__dev")
     )
     mad = devs.groupBy(group_col).agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __dev)").alias("mad")
     )
     z10 = int(round(z_cut * 10))
-    return (
-        df.join(F.broadcast(med), group_col)
-        .join(F.broadcast(mad), group_col)
+    result = (
+        devs.join(F.broadcast(mad), group_col)
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -422,12 +434,17 @@ def robust_scale_stats(
             # to 0.1) — no doubles until the output projection
             F.sum(
                 (
-                    (F.abs(v - F.col("med")) * 10 > F.col("mad") * z10)
+                    (F.col("__dev") * 10 > F.col("mad") * z10)
                     & (F.col("mad") > 0)
                 ).cast("long")
             ).alias("n_outliers"),
         )
     )
+    if release:
+        from .dedup import _release_caches
+
+        return _release_caches(result, [med])
+    return result
 
 
 def distribution_shift(
@@ -679,14 +696,17 @@ def mutual_information(
     independent, engine-identical. Three tiny aggregates over one scan
     (cells, x-marginals, y-marginals joined back on the cell relation).
     """
+    from pyspark.sql import Window as _W
+
+    # Marginals and the total are WINDOWS over the bounded cell relation
+    # (|x|·|y| rows) — one plan chain, ONE fact scan (the join-back
+    # shape referenced `cells` four times; each reference re-expanded
+    # into its own scan — r5 plan audit).
     cells = (
         df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("nxy"))
     )
-    xm = cells.groupBy("x").agg(F.sum("nxy").alias("nx"))
-    ym = cells.groupBy("y").agg(F.sum("nxy").alias("ny"))
-    tot = cells.agg(F.sum("nxy").alias("n"))
     n = F.col("n").cast("double")
     term = (
         (F.col("nxy") / n)
@@ -695,10 +715,11 @@ def mutual_information(
             / (F.col("nx").cast("double") * F.col("ny").cast("double"))
         )
     )
-    joined = (
-        cells.join(F.broadcast(xm), "x")
-        .join(F.broadcast(ym), "y")
-        .crossJoin(F.broadcast(tot))
+    joined = cells.select(
+        "nxy",
+        F.sum("nxy").over(_W.partitionBy("x")).alias("nx"),
+        F.sum("nxy").over(_W.partitionBy("y")).alias("ny"),
+        F.sum("nxy").over(_W.partitionBy()).alias("n"),
     )
     return joined.agg(
         F.max("n").cast("long").alias("n_rows"),
@@ -725,19 +746,21 @@ def chi2_drift(
     on |types|×2 rows.
     """
     parity = F.expr(f"unix_micros({ts_col}) div {86_400 * 1_000_000}") % 2
+    from pyspark.sql import Window as _W
+
+    # Same windows-over-cells shape as mutual_information: marginals
+    # come from the |types|×2 cell relation in one chain — one scan.
     cells = (
         df.select(F.col(type_col).alias("t"), parity.cast("int").alias("p"))
         .groupBy("t", "p")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    tm = cells.groupBy("t").agg(F.sum("c").alias("ct"))
-    pm = cells.groupBy("p").agg(F.sum("c").alias("cp"))
-    tot = cells.agg(F.sum("c").alias("n"))
     n = F.col("n").cast("double")
-    joined = (
-        cells.join(F.broadcast(tm), "t")
-        .join(F.broadcast(pm), "p")
-        .crossJoin(F.broadcast(tot))
+    joined = cells.select(
+        "c",
+        F.sum("c").over(_W.partitionBy("t")).alias("ct"),
+        F.sum("c").over(_W.partitionBy("p")).alias("cp"),
+        F.sum("c").over(_W.partitionBy()).alias("n"),
     )
     exp = F.col("ct").cast("double") * F.col("cp").cast("double") / n
     term = (F.col("c") - exp) * (F.col("c") - exp) / exp

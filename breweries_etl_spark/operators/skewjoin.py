@@ -31,7 +31,18 @@ def heavy_keys(
     """Join keys whose fact-side row count exceeds ``heat_factor`` × the
     uniform-key average. Exact integer arithmetic → the heavy set is
     identical on any partitioning. Output: one column, ``key``."""
-    counts = fact.groupBy(key).agg(F.count(F.lit(1)).alias("__cnt"))
+    # The per-key count relation is referenced by both the totals
+    # aggregate and the heavy filter, and the heavy-key frame itself is
+    # consumed by BOTH join sides — without a cache, Catalyst re-expands
+    # every reference into its own fact scan+aggregate (r5 plan audit:
+    # 5 fact scans for one salted join). Persisting the narrow
+    # (key, count) relation pins detection to ONE fact pass; it spills
+    # to disk via the default MEMORY_AND_DISK level if the key domain
+    # outgrows executor storage. The cache lives for the caller's
+    # session (the joined result is corpus-scale, so an eager
+    # checkpoint-release is not an option); callers doing repeated
+    # one-shot joins should clearCache between them.
+    counts = fact.groupBy(key).agg(F.count(F.lit(1)).alias("__cnt")).persist()
     totals = counts.agg(
         F.sum("__cnt").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
     )
