@@ -6300,6 +6300,262 @@ FROM t GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-5 wave: model-diagnostics / closed-form-training additions
+
+
+def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (Guo et al. 2017 ECE terms) for the
+    hashed-linear quality classifier vs the independent heuristic
+    label — one scan, one 10-row aggregate."""
+    from breweries_etl_spark.operators.filtering import calibration_bins
+
+    return calibration_bins(load_table(spark, sf_dir, "documents"))
+
+
+def q_decision_stump_price_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag best SSE-reducing binary split of extended price
+    on quantity — the CART/GBDT building block as two aggregations."""
+    from breweries_etl_spark.operators.mltrain import decision_stump
+
+    return decision_stump(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+def q_ols2_price_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature closed-form regression (price ~ quantity + discount)
+    per returnflag via explicit 2×2 normal equations."""
+    from breweries_etl_spark.operators.mltrain import ols2_fit
+
+    return ols2_fit(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+    )
+
+
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-history EWMA (α=0.5 — dyadic weights are bit-portable) of
+    each user's value sequence, closed form in one window pass."""
+    return temporal.ewma_user_value(load_events(spark, sf_dir))
+
+
+def q_cohens_kappa_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between the corpus `lang` labels and the heuristic
+    language-ID prediction — chance-corrected labeler agreement."""
+    from breweries_etl_spark.operators import profiling
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        F.col("lang"), text.lang_pred_expr(F.col("text")).alias("lang_pred")
+    )
+    return profiling.cohens_kappa(labeled, "lang", "lang_pred")
+
+
+_CLF_SCORE_SQL = f"""CASE WHEN len(regexp_extract_all(lower(coalesce(text, '')), '[A-Za-z0-9_]+')) > 0
+      THEN round(1.0 / (1.0 + exp(-(
+        list_sum(list_transform(
+          regexp_extract_all(lower(coalesce(text, '')), '[A-Za-z0-9_]+'),
+          tok -> ({_CLF_WEIGHTS})[
+            (CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 256 + 1)::INTEGER
+          ]))
+        / len(regexp_extract_all(lower(coalesce(text, '')), '[A-Za-z0-9_]+'))))), 6)
+      ELSE 0.5 END"""
+
+_HEUR_QUALITY_SQL = f"""round(
+  0.5 * least(1.0, CAST(len({_TOKS}) AS DOUBLE) / 100.0)
+  + 0.3 * (CASE WHEN len({_TOKS}) > 0
+      THEN CAST({_STOP_HITS} AS DOUBLE)
+           / CAST(len({_TOKS}) AS DOUBLE) ELSE 0.0 END)
+  + 0.2 * (1.0 - CASE WHEN len({_TOKS}) > 0
+      THEN least(1.0, CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                      / CAST(len({_TOKS}) AS DOUBLE)) ELSE 0.0 END)
+, 6)"""
+
+_ORACLES["score_calibration_bins"] = f"""
+WITH scored AS (
+  SELECT {_CLF_SCORE_SQL} AS pred,
+    CASE WHEN {_HEUR_QUALITY_SQL} >= 0.5 THEN 1 ELSE 0 END AS pos
+  FROM documents
+), binned AS (
+  SELECT least(CAST(9 AS BIGINT),
+               CAST(round(pred * 1000000.0) AS BIGINT) // 100000) AS bin,
+         pred, pos
+  FROM scored
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+  round(CAST(SUM(CAST(pred AS DECIMAL(18,6))) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS mean_pred,
+  CAST(SUM(pos) AS BIGINT) AS n_positive,
+  round(CAST(SUM(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS frac_positive,
+  round(abs(
+    round(CAST(SUM(CAST(pred AS DECIMAL(18,6))) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6)
+    - round(CAST(SUM(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)), 6) AS abs_gap
+FROM binned GROUP BY bin
+"""
+
+_ORACLES["decision_stump_price_split"] = """
+WITH per_x AS (
+  SELECT l_returnflag, l_quantity AS threshold, count(*) AS nx,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy_x,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy_x
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, threshold,
+    SUM(nx) OVER wcum AS cn, SUM(sy_x) OVER wcum AS csy,
+    SUM(syy_x) OVER wcum AS csyy,
+    SUM(nx) OVER wtot AS tn, SUM(sy_x) OVER wtot AS tsy,
+    SUM(syy_x) OVER wtot AS tsyy
+  FROM per_x
+  WINDOW wcum AS (PARTITION BY l_returnflag ORDER BY threshold ASC
+                  ROWS UNBOUNDED PRECEDING),
+         wtot AS (PARTITION BY l_returnflag)
+), sc AS (
+  SELECT l_returnflag, threshold,
+    CAST(cn AS BIGINT) AS n_left, CAST(tn - cn AS BIGINT) AS n_right,
+    round(CAST(csy AS DOUBLE) / CAST(cn AS DOUBLE), 6) AS mean_left,
+    round((CAST(tsy AS DOUBLE) - CAST(csy AS DOUBLE))
+          / (CAST(tn AS DOUBLE) - CAST(cn AS DOUBLE)), 6) AS mean_right,
+    round(
+      (CAST(tsyy AS DOUBLE) - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE)
+                              / CAST(tn AS DOUBLE))
+      - (CAST(csyy AS DOUBLE) - CAST(csy AS DOUBLE) * CAST(csy AS DOUBLE)
+                                / CAST(cn AS DOUBLE))
+      - ((CAST(tsyy AS DOUBLE) - CAST(csyy AS DOUBLE))
+         - (CAST(tsy AS DOUBLE) - CAST(csy AS DOUBLE))
+           * (CAST(tsy AS DOUBLE) - CAST(csy AS DOUBLE))
+           / (CAST(tn AS DOUBLE) - CAST(cn AS DOUBLE))), 6) AS sse_reduction
+  FROM cum WHERE cn < tn
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+    ORDER BY sse_reduction DESC, threshold ASC) AS rn
+  FROM sc
+)
+SELECT l_returnflag, threshold, n_left, n_right, mean_left, mean_right,
+       sse_reduction
+FROM ranked WHERE rn = 1
+"""
+
+_OLS2_MOM = """
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+    SUM(CAST(l_discount AS DECIMAL(18,2))) AS s2,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s11,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s12,
+    SUM(CAST(CAST(l_discount AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s22,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s1y,
+    SUM(CAST(CAST(l_discount AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2y,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+  FROM lineitem GROUP BY 1
+"""
+
+_O2N = "CAST(n AS DOUBLE)"
+_O2 = {k: f"CAST({k} AS DOUBLE)"
+       for k in ["s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy"]}
+_O2C11 = f"({_O2N} * {_O2['s11']} - {_O2['s1']} * {_O2['s1']})"
+_O2C12 = f"({_O2N} * {_O2['s12']} - {_O2['s1']} * {_O2['s2']})"
+_O2C22 = f"({_O2N} * {_O2['s22']} - {_O2['s2']} * {_O2['s2']})"
+_O2C1Y = f"({_O2N} * {_O2['s1y']} - {_O2['s1']} * {_O2['sy']})"
+_O2C2Y = f"({_O2N} * {_O2['s2y']} - {_O2['s2']} * {_O2['sy']})"
+_O2DET = f"({_O2C11} * {_O2C22} - {_O2C12} * {_O2C12})"
+_O2SST = f"({_O2N} * {_O2['syy']} - {_O2['sy']} * {_O2['sy']})"
+_O2B1 = f"(({_O2C1Y} * {_O2C22} - {_O2C2Y} * {_O2C12}) / {_O2DET})"
+_O2B2 = f"(({_O2C2Y} * {_O2C11} - {_O2C1Y} * {_O2C12}) / {_O2DET})"
+
+_ORACLES["ols2_price_qty_discount"] = f"""
+WITH s AS ({_OLS2_MOM})
+SELECT l_returnflag, n,
+  CASE WHEN {_O2DET} > 0 THEN round({_O2B1}, 6) END AS b1,
+  CASE WHEN {_O2DET} > 0 THEN round({_O2B2}, 6) END AS b2,
+  CASE WHEN {_O2DET} > 0 THEN
+    round(({_O2['sy']} - {_O2B1} * {_O2['s1']} - {_O2B2} * {_O2['s2']})
+          / {_O2N}, 6) END AS intercept,
+  CASE WHEN {_O2DET} > 0 AND {_O2SST} > 0 THEN
+    round(({_O2B1} * {_O2C1Y} + {_O2B2} * {_O2C2Y}) / {_O2SST}, 6)
+  END AS r2
+FROM s
+"""
+
+_ORACLES["ewma_user_value"] = """
+WITH e AS (
+  SELECT user_id, value, event_id,
+    row_number() OVER (PARTITION BY user_id
+      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rd,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), t AS (
+  SELECT user_id, n, rd, value,
+    CASE WHEN rd = n THEN power(0.5, CAST(n - 1 AS DOUBLE))
+         ELSE 0.5 * power(0.5, CAST(rd - 1 AS DOUBLE)) END AS coef
+  FROM e
+)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+  max(CASE WHEN rd = 1 THEN CAST(value AS DOUBLE) END) AS last_value,
+  CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * coef * 1000000.0) AS BIGINT))
+       AS DOUBLE) / 1000000.0 AS ewma
+FROM t GROUP BY user_id
+"""
+
+_ORACLES["cohens_kappa_lang"] = f"""
+WITH hits AS (
+  SELECT lang, text,
+    {_marker_hits("en")} AS h_en,
+    {_marker_hits("es")} AS h_es,
+    {_marker_hits("de")} AS h_de,
+    {_marker_hits("fr")} AS h_fr
+  FROM documents
+), p AS (
+  SELECT lang AS a,
+    CASE WHEN len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
+         WHEN {_GREATEST} = 0 THEN 'unknown'
+         WHEN h_en = {_GREATEST} THEN 'en'
+         WHEN h_es = {_GREATEST} THEN 'es'
+         WHEN h_de = {_GREATEST} THEN 'de'
+         ELSE 'fr' END AS b
+  FROM hits
+), cells AS (
+  SELECT a, b, count(*) AS nab FROM p
+  WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2
+), ma AS (SELECT a AS cls, SUM(nab) AS na FROM cells GROUP BY 1),
+mb AS (SELECT b AS cls, SUM(nab) AS nb FROM cells GROUP BY 1),
+marg AS (
+  SELECT coalesce(ma.na, 0) AS na, coalesce(mb.nb, 0) AS nb
+  FROM ma FULL OUTER JOIN mb USING (cls)
+), pe_t AS (
+  SELECT SUM(CAST(na * nb AS DECIMAL(28,0))) AS pe_num FROM marg
+), tot AS (
+  SELECT SUM(nab) AS n,
+    SUM(CASE WHEN a = b THEN nab ELSE 0 END) AS n_agree
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n_rows, CAST(n_agree AS BIGINT) AS n_agree,
+  round(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+  round(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+  CASE WHEN CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+    THEN round(
+      (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+       - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+  END AS kappa
+FROM tot CROSS JOIN pe_t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -6558,6 +6814,12 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_stats": q_duplicate_span_stats,
         "dsir_importance_weights": q_dsir_importance_weights,
         "image_ahash_pairs": q_image_ahash_pairs,
+        # round 5: model diagnostics / closed-form training
+        "score_calibration_bins": q_score_calibration_bins,
+        "decision_stump_price_split": q_decision_stump_price_split,
+        "ols2_price_qty_discount": q_ols2_price_qty_discount,
+        "ewma_user_value": q_ewma_user_value,
+        "cohens_kappa_lang": q_cohens_kappa_lang,
     }
 
 

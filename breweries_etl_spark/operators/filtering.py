@@ -27,7 +27,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import ensure_parallelism
@@ -235,11 +235,23 @@ def classifier_quality_score(
     Token order does not affect the result beyond float associativity
     (~1e-16, far below the round-6 output), so values hash-match the
     SQL replay."""
+    score = classifier_score_expr(F.col(text_col), dim, seed)
+    return df.select(
+        F.col(id_col),
+        score.alias("quality_score"),
+        (score >= threshold).alias("keep"),
+    )
+
+
+def classifier_score_expr(text: Column, dim: int = 256, seed: int = 13) -> Column:
+    """The hashed-linear classifier score as a plain column expression
+    (round-6 sigmoid of the mean bucket weight), so composite pipelines
+    can evaluate it in the SAME scan as other signals."""
     from .text import tokens_expr
 
     weights = classifier_weights(dim, seed)
     w_arr = F.array(*[F.lit(w) for w in weights])
-    toks = tokens_expr(F.lower(F.col(text_col)))
+    toks = tokens_expr(F.lower(text))
     z = F.aggregate(
         F.transform(toks, lambda t: F.element_at(
             w_arr,
@@ -248,11 +260,67 @@ def classifier_quality_score(
         F.lit(0.0),
         lambda acc, v: acc + v,
     ) / F.size(toks)
-    score = F.when(
+    return F.when(
         F.size(toks) > 0, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     ).otherwise(F.lit(0.5))
-    return df.select(
-        F.col(id_col),
-        score.alias("quality_score"),
-        (score >= threshold).alias("keep"),
+
+
+def calibration_bins(
+    df: DataFrame,
+    text_col: str = "text",
+    n_bins: int = 10,
+    label_threshold: float = 0.5,
+    dim: int = 256,
+    seed: int = 13,
+) -> DataFrame:
+    """Reliability-diagram bins for the hashed-linear quality classifier
+    against an independent heuristic label — the calibration check a
+    corpus pipeline runs before trusting a filter's scores as sampling
+    weights (Guo et al. 2017's ECE, computed per bin).
+
+    Predicted score = ``classifier_score_expr`` (round-6 sigmoid);
+    "truth" = the length/stopword/punctuation heuristic
+    (``quality_score_expr`` ≥ ``label_threshold``) — two INDEPENDENT
+    signals evaluated in the SAME single scan (no join). Binning rides
+    the scaled-integer path (`round(score·1e6)` then integer div) so
+    bin edges are engine-independent — a raw ``floor(score*10)`` on
+    doubles can land boundary scores differently per engine.
+
+    Plan: one scan → one 10-row hash aggregate. Per-bin mean score is
+    a round-6 decimal sum over round-6 terms (order-independent);
+    |gap| = |mean_pred − frac_positive| is the per-bin ECE term.
+    Scale: map-side combine reduces every partition to ≤ n_bins rows —
+    scan-bound at 100 TB."""
+    from .text import quality_score_expr
+
+    text = F.col(text_col)
+    pred = classifier_score_expr(text, dim, seed)
+    label = (quality_score_expr(text) >= F.lit(label_threshold)).cast("long")
+    step = int(1000000 // n_bins)
+    binned = df.select(
+        F.round(pred * F.lit(1000000.0)).cast("long").alias("_scaled"),
+        pred.alias("pred"),
+        label.alias("pos"),
+    ).select(
+        F.least(F.lit(n_bins - 1).cast("long"), F.expr(f"_scaled div {step}"))
+        .alias("bin"),
+        "pred",
+        "pos",
+    )
+    n = F.count(F.lit(1))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            n.alias("n"),
+            F.round(
+                F.sum(F.col("pred").cast("decimal(18,6)")).cast("double") / n.cast("double"), 6
+            ).alias("mean_pred"),
+            F.sum("pos").alias("n_positive"),
+            F.round(
+                F.sum("pos").cast("double") / n.cast("double"), 6
+            ).alias("frac_positive"),
+        )
+        .withColumn(
+            "abs_gap", F.round(F.abs(F.col("mean_pred") - F.col("frac_positive")), 6)
+        )
     )

@@ -24,7 +24,7 @@ array in SORTED bucket order on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MICRO = 1_000_000
@@ -274,6 +274,140 @@ def ols_fit(
             (var_x > 0) & (var_y > 0),
             F.round((cov_n * cov_n) / (var_x * var_y), 6),
         ).alias("r2"),
+    )
+
+
+def ols2_fit(
+    df: DataFrame, group_col: str, x1_col: str, x2_col: str, y_col: str
+) -> DataFrame:
+    """Per-group closed-form TWO-feature linear regression (2×2 normal
+    equations solved explicitly): y ~ b0 + b1·x1 + b2·x2 from the nine
+    exact component sums — multivariate trend fitting without an
+    iterative trainer.
+
+    Same discipline as ``ols_fit``: ONE map-side-combinable aggregation
+    pass, all moments ride decimal (order/partition-independent), and
+    the coefficient solve is a fixed sequence of double ops the SQL
+    oracle replays bit-exactly. Collinear groups (singular centered
+    Gram determinant) surface NULL coefficients explicitly."""
+    x1 = F.col(x1_col).cast("decimal(18,2)")
+    x2 = F.col(x2_col).cast("decimal(18,2)")
+    y = F.col(y_col).cast("decimal(18,2)")
+
+    def prod(a, b):
+        return F.sum((a * b).cast("decimal(38,4)"))
+
+    sums = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        prod(x1, x1).alias("s11"),
+        prod(x1, x2).alias("s12"),
+        prod(x2, x2).alias("s22"),
+        prod(x1, y).alias("s1y"),
+        prod(x2, y).alias("s2y"),
+        prod(y, y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    d = {c: F.col(c).cast("double") for c in
+         ["s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy"]}
+    c11 = n * d["s11"] - d["s1"] * d["s1"]
+    c12 = n * d["s12"] - d["s1"] * d["s2"]
+    c22 = n * d["s22"] - d["s2"] * d["s2"]
+    c1y = n * d["s1y"] - d["s1"] * d["sy"]
+    c2y = n * d["s2y"] - d["s2"] * d["sy"]
+    det = c11 * c22 - c12 * c12
+    sst = n * d["syy"] - d["sy"] * d["sy"]
+    b1 = (c1y * c22 - c2y * c12) / det
+    b2 = (c2y * c11 - c1y * c12) / det
+    ok = det > 0
+    return sums.select(
+        group_col,
+        F.col("n"),
+        F.when(ok, F.round(b1, 6)).alias("b1"),
+        F.when(ok, F.round(b2, 6)).alias("b2"),
+        F.when(
+            ok, F.round((d["sy"] - b1 * d["s1"] - b2 * d["s2"]) / n, 6)
+        ).alias("intercept"),
+        F.when(
+            ok & (sst > 0), F.round((b1 * c1y + b2 * c2y) / sst, 6)
+        ).alias("r2"),
+    )
+
+
+def decision_stump(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group best binary split of a numeric target on a
+    bounded-cardinality feature — the CART/GBDT building block (split
+    maximizing SSE reduction), as two aggregations instead of a
+    trainer loop.
+
+    Pass 1 (full scan, map-side combinable): per (group, x) → count and
+    exact decimal Σy, Σy². Pass 2 (window over the TINY per-group
+    distinct-x relation — bounded by feature cardinality, NOT data
+    size): prefix sums ordered by x give, for every candidate threshold
+    t, left/right SSE in closed form; the best split is
+    row_number()=1 by round-6 reduction desc then threshold asc (the
+    rounding makes the ranking engine-independent — raw-double
+    ordering can flip on last-ulp ties).
+
+    Contract: ``x_col`` is bounded-cardinality (here quantity's ≤ 50
+    distinct values; for continuous features, pre-bucket to deciles
+    first — the window is per-group over distinct x only, so the
+    shuffle after pass 1 carries |groups|·|distinct x| rows, scan-bound
+    at 100 TB)."""
+    y = F.col(y_col).cast("decimal(18,2)")
+    per_x = df.groupBy(group_col, x_col).agg(
+        F.count(F.lit(1)).alias("nx"),
+        F.sum(y).alias("sy_x"),
+        F.sum((y * y).cast("decimal(38,4)")).alias("syy_x"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(x_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(group_col)
+    cum = per_x.select(
+        group_col,
+        F.col(x_col).alias("threshold"),
+        F.sum("nx").over(w).alias("cn"),
+        F.sum("sy_x").over(w).alias("csy"),
+        F.sum("syy_x").over(w).alias("csyy"),
+        F.sum("nx").over(wt).alias("tn"),
+        F.sum("sy_x").over(wt).alias("tsy"),
+        F.sum("syy_x").over(wt).alias("tsyy"),
+    ).filter(F.col("cn") < F.col("tn"))
+    cn = F.col("cn").cast("double")
+    csy = F.col("csy").cast("double")
+    csyy = F.col("csyy").cast("double")
+    tn = F.col("tn").cast("double")
+    tsy = F.col("tsy").cast("double")
+    tsyy = F.col("tsyy").cast("double")
+    rn_ = tn - cn
+    rsy = tsy - csy
+    rsyy = tsyy - csyy
+    sse_total = tsyy - tsy * tsy / tn
+    sse_left = csyy - csy * csy / cn
+    sse_right = rsyy - rsy * rsy / rn_
+    scored = cum.select(
+        group_col,
+        "threshold",
+        F.col("cn").alias("n_left"),
+        (F.col("tn") - F.col("cn")).alias("n_right"),
+        F.round(csy / cn, 6).alias("mean_left"),
+        F.round(rsy / rn_, 6).alias("mean_right"),
+        F.round(sse_total - sse_left - sse_right, 6).alias("sse_reduction"),
+    )
+    rank = Window.partitionBy(group_col).orderBy(
+        F.col("sse_reduction").desc(), F.col("threshold").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
 
 

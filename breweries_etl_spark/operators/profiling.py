@@ -730,6 +730,65 @@ def mutual_information(
     )
 
 
+def cohens_kappa(
+    df: DataFrame, col_a: str, col_b: str, release: bool = True
+) -> DataFrame:
+    """Cohen's κ agreement between two categorical labelings of the same
+    rows (Cohen 1960) — the inter-annotator / model-vs-heuristic
+    agreement statistic a labeling pipeline reports before trusting
+    either source: κ = (p_o − p_e)/(1 − p_e), chance-corrected via the
+    marginal product p_e = Σ_c p_a(c)·p_b(c).
+
+    Rows with NULL in either column are excluded up front (explicit
+    contract — NULL-join semantics would otherwise drop marginal mass
+    differently from the diagonal mass).
+
+    Scale shape: ONE corpus scan collapses to the |A|·|B| cell-count
+    relation (persisted — p_o needs its diagonal, p_e needs both
+    marginals, and without the persist each reference re-expands into
+    its own full scan). Marginals are tiny groupBys of the cells joined
+    full-outer on class; everything after the first aggregate is
+    bounded by label-set size, not data size. The persisted cells are
+    released via an eager checkpoint of the single-row result."""
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .persist()
+    )
+    cells.count()
+    ma = cells.groupBy(F.col("a").alias("cls")).agg(F.sum("nab").alias("na"))
+    mb = cells.groupBy(F.col("b").alias("cls")).agg(F.sum("nab").alias("nb"))
+    marg = ma.join(mb, "cls", "full_outer").select(
+        F.coalesce(F.col("na"), F.lit(0)).alias("na"),
+        F.coalesce(F.col("nb"), F.lit(0)).alias("nb"),
+    )
+    totals = cells.agg(
+        F.sum("nab").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("nab")).otherwise(F.lit(0)))
+        .alias("n_agree"),
+    )
+    pe_num = marg.agg(
+        F.sum((F.col("na") * F.col("nb")).cast("decimal(28,0)")).alias("pe_num")
+    )
+    n = F.col("n").cast("double")
+    po = F.col("n_agree").cast("double") / n
+    pe = F.col("pe_num").cast("double") / (n * n)
+    result = totals.crossJoin(F.broadcast(pe_num)).select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6)).alias("kappa"),
+    )
+    if release:
+        from .dedup import _release_caches
+
+        return _release_caches(result, [cells])
+    return result
+
+
 def chi2_drift(
     df: DataFrame,
     ts_col: str = "ts",

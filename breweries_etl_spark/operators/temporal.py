@@ -302,6 +302,64 @@ def decayed_user_value(
     )
 
 
+def ewma_user_value(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """FULL (unbounded-history) exponentially weighted moving average of
+    each key's value sequence — the classic s_n = α·v_n + (1−α)·s_{n−1}
+    smoother, evaluated in closed form so it is one window pass instead
+    of a recursive loop: the i-th newest observation contributes
+    α(1−α)^(i−1)·v, and the oldest contributes (1−α)^(n−1)·v.
+
+    Engine-portable only because the default α = 0.5 makes every
+    weight an exact power of two (2^-k is exact in IEEE double, and
+    pow() returns it exactly in both Spark and DuckDB), and because
+    terms accumulate in FIXED POINT: ``floor(v·coef·1e6)`` micro-units
+    summed as integers. A per-term ``round(x, 6)`` is NOT portable
+    here — 2-decimal values times 2^-k land on exact 7-decimal ``…5``
+    ties, where Spark (BigDecimal HALF_UP on the binary expansion) and
+    DuckDB disagree in the last digit; floor of the identical IEEE
+    product has no tie to disagree on. The integer sum is exact, hence
+    order/partition-independent. For a non-dyadic α use
+    ``decayed_user_value`` (truncated chain) instead — an unbounded
+    general-α power is not bit-portable across libm implementations.
+
+    Scale shape: ONE shuffle — the window partitions by key, and the
+    same-key groupBy that follows reuses that partitioning (Catalyst
+    adds no second exchange). Weights are computed per row from
+    row_number, so nothing is collected and history length is
+    unbounded."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.unix_micros(F.col(ts_col)).desc(), F.col(id_col).desc()
+    )
+    wt = Window.partitionBy(key_col)
+    a = F.lit(float(alpha))
+    base = (
+        df.select(key_col, ts_col, value_col, id_col)
+        .withColumn("_rd", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wt))
+    )
+    coef = F.when(
+        F.col("_rd") == F.col("_n"),
+        F.pow(F.lit(1.0) - a, (F.col("_n") - 1).cast("double")),
+    ).otherwise(a * F.pow(F.lit(1.0) - a, (F.col("_rd") - 1).cast("double")))
+    term = F.floor(
+        F.col(value_col).cast("double") * coef * F.lit(1000000.0)
+    ).cast("long")
+    return base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("_rd") == 1, F.col(value_col).cast("double"))
+        ).alias("last_value"),
+        (F.sum(term).cast("double") / F.lit(1000000.0)).alias("ewma"),
+    )
+
+
 def rolling_time_window(
     df: DataFrame,
     key_col: str = "user_id",

@@ -380,3 +380,78 @@ def test_rfm_scalable_no_global_sort(spark, sf_dir):
     assert _single_partition_exchanges_carry_only_agg_buffers(plan)
     twin = _plan(rfm_segments(ev))
     assert "Window" in twin and "Arguments: SinglePartition" in twin
+
+
+def test_calibration_bins_single_scan_single_exchange(spark, sf_dir):
+    """Both scores evaluate in ONE scan (no self-join of documents);
+    the 10-row bin aggregate is the only shuffle."""
+    from breweries_etl_spark.operators.filtering import calibration_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = calibration_bins(docs)
+    assert _exchanges(df) <= 1
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_decision_stump_budget(spark, sf_dir):
+    """One fact scan; per-x aggregate + per-group window = two
+    exchanges (the rank window reuses the group partitioning)."""
+    from breweries_etl_spark.operators.mltrain import decision_stump
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = decision_stump(li, "l_returnflag", "l_quantity", "l_extendedprice")
+    assert _exchanges(df) <= 2
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_ols2_single_scan_single_exchange(spark, sf_dir):
+    """All ten moments in one map-combinable aggregate."""
+    from breweries_etl_spark.operators.mltrain import ols2_fit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = ols2_fit(li, "l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+    assert _exchanges(df) <= 1
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_ewma_single_exchange(spark, sf_dir):
+    """The same-key groupBy after the per-user window must REUSE the
+    window's hash partitioning: one exchange total."""
+    from breweries_etl_spark.operators.temporal import ewma_user_value
+    from breweries_etl_spark.sources.tables import load_events
+
+    assert _exchanges(ewma_user_value(load_events(spark, sf_dir))) <= 1
+
+
+def test_cohens_kappa_single_fact_scan(spark, sf_dir):
+    """The persisted cell relation pins the corpus to ONE scan — the
+    diagonal, both marginals, and pe all derive from the cache."""
+    from pyspark.sql import functions as F
+
+    from breweries_etl_spark.operators import text
+    from breweries_etl_spark.operators.profiling import cohens_kappa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = docs.select(
+        F.col("lang"), text.lang_pred_expr(F.col("text")).alias("lang_pred")
+    )
+    df = cohens_kappa(labeled, "lang", "lang_pred", release=False)
+    try:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # the corpus file appears only inside the (single) cached plan;
+        # every live branch reads the InMemoryRelation
+        assert plan.count("documents.parquet") <= 1
+        assert "InMemoryTableScan" in plan
+    finally:
+        spark.catalog.clearCache()

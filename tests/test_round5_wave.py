@@ -216,3 +216,161 @@ def test_image_ahash_identical_images_pair(spark):
         (r["id_a"], r["id_b"]) for r in image_ahash_dup_pairs(assets).collect()
     }
     assert (1, 257) in pairs
+
+
+# --- round-5 model-diagnostics wave -----------------------------------------
+
+
+def test_decision_stump_finds_obvious_split(spark):
+    from breweries_etl_spark.operators.mltrain import decision_stump
+
+    # y is 10 below x<=5 and 100 above: the stump must split at 5 with
+    # pure sides (full SSE reduction, exact means)
+    rows = [("g", float(x), 10.0) for x in range(1, 6)] + [
+        ("g", float(x), 100.0) for x in range(6, 11)
+    ]
+    df = spark.createDataFrame(rows, schema="grp string, x double, y double")
+    out = decision_stump(df, "grp", "x", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["threshold"] == 5.0
+    assert r["n_left"] == 5 and r["n_right"] == 5
+    assert r["mean_left"] == 10.0 and r["mean_right"] == 100.0
+    # total SSE of the split data is the between-group SSE: 5*45^2*2
+    assert abs(r["sse_reduction"] - 2 * 5 * 45.0**2) < 1e-6
+
+
+def test_decision_stump_constant_target_zero_reduction(spark):
+    from breweries_etl_spark.operators.mltrain import decision_stump
+
+    rows = [("g", float(x), 7.0) for x in range(1, 5)]
+    df = spark.createDataFrame(rows, schema="grp string, x double, y double")
+    out = decision_stump(df, "grp", "x", "y").collect()
+    assert len(out) == 1
+    assert abs(out[0]["sse_reduction"]) < 1e-9
+    # deterministic tie-break: smallest threshold wins
+    assert out[0]["threshold"] == 1.0
+
+
+def test_ols2_recovers_exact_plane(spark):
+    from breweries_etl_spark.operators.mltrain import ols2_fit
+
+    # y = 2 + 3*x1 + 5*x2 exactly on a 2-decimal grid: b1/b2/intercept
+    # recover exactly and r2 == 1
+    rows = [
+        ("g", float(x1), float(x2), 2.0 + 3.0 * x1 + 5.0 * x2)
+        for x1 in range(1, 6)
+        for x2 in range(1, 4)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="grp string, x1 double, x2 double, y double"
+    )
+    r = ols2_fit(df, "grp", "x1", "x2", "y").collect()[0]
+    assert abs(r["b1"] - 3.0) < 1e-6
+    assert abs(r["b2"] - 5.0) < 1e-6
+    assert abs(r["intercept"] - 2.0) < 1e-6
+    assert abs(r["r2"] - 1.0) < 1e-6
+
+
+def test_ols2_collinear_features_null_coeffs(spark):
+    from breweries_etl_spark.operators.mltrain import ols2_fit
+
+    # x2 = 2*x1 exactly: singular Gram -> NULL coefficients, not garbage
+    rows = [("g", float(x), 2.0 * x, 1.0 + x) for x in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, schema="grp string, x1 double, x2 double, y double"
+    )
+    r = ols2_fit(df, "grp", "x1", "x2", "y").collect()[0]
+    assert r["b1"] is None and r["b2"] is None and r["intercept"] is None
+
+
+def test_ewma_matches_recursive_definition(spark):
+    import datetime
+
+    from breweries_etl_spark.operators.temporal import ewma_user_value
+
+    vals = [10.0, 20.0, 40.0, 80.0]
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(hours=i), v, i)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="user_id long, ts timestamp, value double, event_id long"
+    )
+    r = ewma_user_value(df).collect()[0]
+    s = vals[0]
+    for v in vals[1:]:
+        s = 0.5 * v + 0.5 * s
+    assert abs(r["ewma"] - s) < 2e-6  # fixed-point floor at 1e-6 units
+    assert r["n_events"] == 4
+    assert r["last_value"] == 80.0
+
+
+def test_ewma_single_event_is_identity(spark):
+    import datetime
+
+    from breweries_etl_spark.operators.temporal import ewma_user_value
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 42.5, 1)],
+        schema="user_id long, ts timestamp, value double, event_id long",
+    )
+    r = ewma_user_value(df).collect()[0]
+    assert abs(r["ewma"] - 42.5) < 1e-6
+    assert r["last_value"] == 42.5
+
+
+def test_cohens_kappa_perfect_and_independent(spark):
+    from breweries_etl_spark.operators.profiling import cohens_kappa
+
+    try:
+        perfect = spark.createDataFrame(
+            [("a", "a"), ("b", "b"), ("c", "c"), ("a", "a")],
+            schema="x string, y string",
+        )
+        r = cohens_kappa(perfect, "x", "y", release=False).collect()[0]
+        assert r["po"] == 1.0 and abs(r["kappa"] - 1.0) < 1e-9
+
+        # balanced independent 2x2: po == pe == 0.5 -> kappa 0
+        indep = spark.createDataFrame(
+            [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")],
+            schema="x string, y string",
+        )
+        r = cohens_kappa(indep, "x", "y", release=False).collect()[0]
+        assert r["po"] == 0.5 and r["pe"] == 0.5
+        assert abs(r["kappa"]) < 1e-9
+    finally:
+        # release=False intentionally leaves the cells cache alive
+        spark.catalog.clearCache()
+
+
+def test_cohens_kappa_excludes_nulls(spark):
+    from breweries_etl_spark.operators.profiling import cohens_kappa
+
+    try:
+        df = spark.createDataFrame(
+            [("a", "a"), (None, "b"), ("b", None), ("b", "b")],
+            schema="x string, y string",
+        )
+        r = cohens_kappa(df, "x", "y", release=False).collect()[0]
+        assert r["n_rows"] == 2 and r["n_agree"] == 2
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_calibration_bins_invariants(spark, sf_dir):
+    from breweries_etl_spark.operators.filtering import calibration_bins
+    from breweries_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = calibration_bins(docs).collect()
+    n_docs = docs.count()
+    assert sum(r["n"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["frac_positive"] <= 1.0
+        assert 0.0 <= r["mean_pred"] <= 1.0
+        assert abs(
+            r["abs_gap"] - round(abs(r["mean_pred"] - r["frac_positive"]), 6)
+        ) < 1e-9
