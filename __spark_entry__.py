@@ -6556,6 +6556,126 @@ FROM tot CROSS JOIN pe_t
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-5 wave 2: sortless hypothesis tests / concentration measures
+
+
+def q_ks_test_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between returned ('R') and other
+    lineitems' extended price — distributed prefix counts, no global
+    sort (operators/hypotests.py)."""
+    from breweries_etl_spark.operators.hypotests import ks_test_2samp
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return ks_test_2samp(li, "l_extendedprice", F.col("l_returnflag") == "R")
+
+
+def q_mann_whitney_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney U between returned and other
+    lineitems' extended price."""
+    from breweries_etl_spark.operators.hypotests import mann_whitney_u
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return mann_whitney_u(li, "l_extendedprice", F.col("l_returnflag") == "R")
+
+
+def q_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini + HHI of order revenue across customers — closed-form rank
+    sum from bucketed prefix counts, no rank column materialized."""
+    from breweries_etl_spark.operators.hypotests import gini_concentration
+
+    return gini_concentration(
+        load_table(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
+_KS_VC = """
+vc AS (
+  SELECT l_extendedprice AS v,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS cb
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM vc
+)"""
+
+_ORACLES["ks_test_price_returnflag"] = f"""
+WITH {_KS_VC},
+tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM vc)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  round(CAST(max(abs(CAST(cum_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
+                     - CAST(cum_b AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0))))
+             AS DOUBLE)
+        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_stat
+FROM cum CROSS JOIN tot GROUP BY n_a, n_b
+"""
+
+_MWU_N = "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+_MWU_U = "(CAST(u2 AS DOUBLE) / 2.0)"
+_MWU_MEAN = "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)"
+_MWU_VAR = (
+    f"(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * (({_MWU_N} + 1.0)"
+    f" - CAST(ties3 AS DOUBLE) / ({_MWU_N} * ({_MWU_N} - 1.0))))"
+)
+
+_ORACLES["mann_whitney_price_returnflag"] = f"""
+WITH {_KS_VC},
+s AS (
+  SELECT SUM(ca) AS n_a, SUM(cb) AS n_b,
+    SUM(CAST(2 * CAST(ca AS DECIMAL(19,0)) * CAST(cum_b - cb AS DECIMAL(19,0))
+             + CAST(ca AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS u2,
+    SUM(CAST(CAST(ca + cb AS DECIMAL(19,0)) * CAST(ca + cb AS DECIMAL(19,0))
+               * CAST(ca + cb AS DECIMAL(19,0))
+             - CAST(ca + cb AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS ties3
+  FROM cum
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  {_MWU_U} AS u_stat,
+  CASE WHEN {_MWU_VAR} > 0 THEN
+    round(({_MWU_U} - {_MWU_MEAN}) / sqrt({_MWU_VAR}), 6)
+  END AS z_score
+FROM s
+"""
+
+_ORACLES["gini_customer_revenue"] = """
+WITH per_key AS (
+  SELECT o_custkey,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders GROUP BY 1
+), vc AS (
+  SELECT CAST(r AS DECIMAL(18,2)) AS v, count(*) AS ca
+  FROM per_key WHERE r IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca,
+    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a
+  FROM vc
+), s AS (
+  SELECT SUM(ca) AS n_keys,
+    SUM(CAST(v * CAST(ca AS DECIMAL(19,0)) AS DECIMAL(38,2))) AS total,
+    SUM(CAST(v * CAST(ca AS DECIMAL(19,0))
+             * (2 * CAST(cum_a AS DECIMAL(19,0)) - CAST(ca AS DECIMAL(19,0)) + 1)
+             AS DECIMAL(38,2))) AS num2,
+    SUM(CAST(v * v * CAST(ca AS DECIMAL(19,0)) AS DECIMAL(38,4))) AS sumsq
+  FROM cum
+)
+SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(total AS DOUBLE) AS total_value,
+  CASE WHEN CAST(total AS DOUBLE) > 0 THEN
+    round(CAST(num2 AS DOUBLE)
+          / (CAST(n_keys AS DOUBLE) * CAST(total AS DOUBLE))
+          - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 6)
+  END AS gini,
+  CASE WHEN CAST(total AS DOUBLE) > 0 THEN
+    round(CAST(sumsq AS DOUBLE)
+          / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+  END AS hhi
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -6820,6 +6940,10 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols2_price_qty_discount": q_ols2_price_qty_discount,
         "ewma_user_value": q_ewma_user_value,
         "cohens_kappa_lang": q_cohens_kappa_lang,
+        # round 5: sortless hypothesis tests / concentration
+        "ks_test_price_returnflag": q_ks_test_price_returnflag,
+        "mann_whitney_price_returnflag": q_mann_whitney_price_returnflag,
+        "gini_customer_revenue": q_gini_customer_revenue,
     }
 
 

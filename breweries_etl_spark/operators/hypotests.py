@@ -1,0 +1,271 @@
+"""Two-sample hypothesis tests and concentration measures — exact
+statistics WITHOUT a global sort.
+
+The textbook formulations of the two-sample Kolmogorov–Smirnov test,
+the Mann–Whitney U test, and the Gini coefficient all start from "sort
+everything and walk the ranks" — on Spark that is a single-partition
+global window, the scale-killer shape this repo's plan audits reject
+(see curriculum_stages_scalable for the same argument). Every statistic
+here is instead computed from GROUPED VALUE COUNTS plus a two-level
+distributed prefix sum:
+
+1. collapse the data to (distinct value → per-group counts) — one
+   map-side-combinable shuffle, output bounded by |distinct values|;
+2. split the value domain into ``n_buckets`` ranges by exact
+   ``percentile_disc`` boundaries (a one-row broadcast — no driver
+   collect);
+3. per-bucket subtotals → prefix offsets via a window over the
+   ``n_buckets``-row relation (bounded — this is the only unpartitioned
+   window, and it never sees data-sized input);
+4. within-bucket prefix sums via a window PARTITIONED by bucket, plus
+   the broadcast offset = exact global cumulative counts at every
+   distinct value.
+
+Ranks, ECDFs, and Lorenz ordinates all derive from those cumulative
+counts in closed form, so the statistics are exact while every
+data-sized relation stays hash-partitioned. All heavy arithmetic rides
+integers/decimals (order- and partition-independent); the final
+double sequence is fixed so a SQL oracle replays it bit-exactly.
+
+No counterpart in the reference (pandas ETL, /root/reference) — this is
+part of the mandated large-scale analytics extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_value_prefix_counts(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(value, ca, cb, cum_a, cum_b): per distinct value, the count in
+    group A (``group_expr`` true) / group B, and the EXACT global
+    cumulative counts up to and including that value — the shared
+    primitive for KS / Mann-Whitney / Gini.
+
+    The returned frame carries a ``_vc_cache`` handle to the persisted
+    distinct-value relation; callers release it via
+    ``dedup._release_caches`` once their (tiny) statistic is
+    materialized. NULL values are excluded (no total order contains
+    them)."""
+    vals = df.select(
+        F.col(value_col).alias("v"), group_expr.cast("int").alias("ga")
+    ).filter(F.col("v").isNotNull())
+    vc = (
+        vals.groupBy("v")
+        .agg(
+            F.sum("ga").alias("ca"),
+            (F.count(F.lit(1)) - F.sum("ga")).alias("cb"),
+        )
+        .persist()
+    )
+    vc.count()
+    qs = [round(k / n_buckets, 6) for k in range(1, n_buckets)]
+    bounds = vc.agg(
+        F.expr(
+            "array("
+            + ", ".join(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY v)" for q in qs
+            )
+            + ")"
+        ).alias("__bs")
+    )
+    vb = vc.crossJoin(F.broadcast(bounds)).select(
+        "v",
+        "ca",
+        "cb",
+        F.size(F.filter("__bs", lambda b: F.col("v") > b)).alias("b"),
+    )
+    per_b = vb.groupBy("b").agg(
+        F.sum("ca").alias("sa"), F.sum("cb").alias("sb")
+    )
+    # offsets = everything in STRICTLY earlier buckets; the window is
+    # over <= n_buckets rows (bounded aggregate, not data)
+    woff = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_b.select(
+        "b",
+        F.coalesce(F.sum("sa").over(woff), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("sb").over(woff), F.lit(0)).alias("ob"),
+    )
+    wv = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = vb.join(F.broadcast(offs), "b").select(
+        "v",
+        "ca",
+        "cb",
+        (F.col("oa") + F.sum("ca").over(wv)).alias("cum_a"),
+        (F.col("ob") + F.sum("cb").over(wv)).alias("cum_b"),
+    )
+    out._vc_cache = vc  # type: ignore[attr-defined]
+    return out
+
+
+def _released(result: DataFrame, pc: DataFrame, release: bool) -> DataFrame:
+    if not release:
+        return result
+    from .dedup import _release_caches
+
+    return _release_caches(result, [pc._vc_cache])  # type: ignore[attr-defined]
+
+
+def ks_test_2samp(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic
+    D = sup_x |F_A(x) − F_B(x)| — the distribution-drift test a corpus
+    pipeline runs between shards/snapshots when a mean comparison is
+    not enough.
+
+    The supremum over ECDF gaps is attained at a sample point, so it is
+    the max over distinct values of |cum_a·n_b − cum_b·n_a| — INTEGER
+    arithmetic (decimal-widened so n² cannot overflow at 100 TB scale),
+    divided once by n_a·n_b at the end. No floating comparison decides
+    the max, so the result is partition- and engine-independent."""
+    pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
+    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    d19 = "decimal(19,0)"
+    gap = F.abs(
+        F.col("cum_a").cast(d19) * F.col("n_b").cast(d19)
+        - F.col("cum_b").cast(d19) * F.col("n_a").cast(d19)
+    )
+    stat = pc.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(gap).alias("ks_int"),
+    )
+    result = stat.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.col("ks_int").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            6,
+        ).alias("ks_stat"),
+    )
+    return _released(result, pc, release)
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Exact Mann–Whitney U (rank-sum) test with the standard tie
+    correction — the nonparametric A/B location test for skewed metrics
+    where a t-test's normality assumption fails.
+
+    U counts pairs (a, b) with a > b plus half the ties; from grouped
+    value counts that is Σ_v ca(v)·[cum_b(v) − cb(v)] + ca(v)·cb(v)/2.
+    The sum accumulates 2U in decimal integers (exact); mean, the
+    tie-corrected variance
+    var = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))) and
+    z = (U − mean)/σ are a fixed double sequence at the end."""
+    pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
+    d38 = "decimal(38,0)"
+    d19 = "decimal(19,0)"
+    ca = F.col("ca").cast(d19)
+    cb = F.col("cb").cast(d19)
+    before_b = (F.col("cum_b") - F.col("cb")).cast(d19)
+    u2_term = (F.lit(2) * ca * before_b + ca * cb).cast(d38)
+    t = (F.col("ca") + F.col("cb")).cast(d19)
+    tie_term = (t * t * t - t).cast(d38)
+    sums = pc.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(u2_term).alias("u2"),
+        F.sum(tie_term).alias("ties3"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u = F.col("u2").cast("double") / F.lit(2.0)
+    mean = na * nb / F.lit(2.0)
+    var = (
+        na
+        * nb
+        / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("ties3").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    result = sums.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        u.alias("u_stat"),
+        F.when(var > 0, F.round((u - mean) / F.sqrt(var), 6)).alias("z_score"),
+    )
+    return _released(result, pc, release)
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Gini coefficient and Herfindahl–Hirschman index of how a value
+    concentrates across keys (revenue across customers, tokens across
+    sources) — the inequality profile that flags head-heavy corpora
+    and whale-dominated revenue.
+
+    Per-key totals are exact decimal sums; the Gini rank sum needs
+    global ranks of those totals, which come from the same bucketed
+    prefix counts (a run of c tied keys ending at cumulative count C
+    holds ranks C−c+1…C, so Σ rank·x over the run is
+    v·c·(2C−c+1)/2 — closed form, no rank column materialized).
+    G = 2Σᵢ i·xᵢ/(n·Σx) − (n+1)/n; HHI = Σx²/(Σx)². Everything until
+    the final division is decimal-exact."""
+    per_key = df.groupBy(key_col).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("r")
+    )
+    pc = grouped_value_prefix_counts(per_key, "r", F.lit(True), n_buckets)
+    d19 = "decimal(19,0)"
+    # Spark's sum() widens r to decimal(28,2); narrow back before the
+    # products or (28,2)² blows past precision 38 and loses exactness.
+    v = F.col("v").cast("decimal(18,2)")
+    rank_w = (
+        F.lit(2) * F.col("cum_a").cast(d19) - F.col("ca").cast(d19) + F.lit(1)
+    )
+    num2_term = (v * F.col("ca").cast(d19) * rank_w).cast("decimal(38,2)")
+    total_term = (v * F.col("ca").cast(d19)).cast("decimal(38,2)")
+    sq_term = (v * v * F.col("ca").cast(d19)).cast("decimal(38,4)")
+    sums = pc.agg(
+        F.sum("ca").alias("n_keys"),
+        F.sum(total_term).alias("total"),
+        F.sum(num2_term).alias("num2"),
+        F.sum(sq_term).alias("sumsq"),
+    )
+    n = F.col("n_keys").cast("double")
+    total = F.col("total").cast("double")
+    result = sums.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        total.alias("total_value"),
+        F.when(
+            total > 0,
+            F.round(
+                F.col("num2").cast("double") / (n * total)
+                - (n + F.lit(1.0)) / n,
+                6,
+            ),
+        ).alias("gini"),
+        F.when(
+            total > 0,
+            F.round(F.col("sumsq").cast("double") / (total * total), 6),
+        ).alias("hhi"),
+    )
+    return _released(result, pc, release)

@@ -1,0 +1,115 @@
+"""Sortless hypothesis tests / concentration measures
+(operators/hypotests.py): exact statistics from bucketed distributed
+prefix counts — no global data-sized sort anywhere."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _two_group_df(spark, a_vals, b_vals, n_parts=7):
+    rows = [(float(v), "A") for v in a_vals] + [(float(v), "B") for v in b_vals]
+    return spark.createDataFrame(rows, schema="v double, g string").repartition(
+        n_parts
+    )
+
+
+def test_prefix_counts_match_sorted_cumulative(spark):
+    import random
+
+    from breweries_etl_spark.operators.hypotests import (
+        grouped_value_prefix_counts,
+    )
+
+    rng = random.Random(7)
+    a = [rng.randint(0, 30) for _ in range(200)]
+    b = [rng.randint(10, 40) for _ in range(150)]
+    df = _two_group_df(spark, a, b)
+    try:
+        pc = grouped_value_prefix_counts(df, "v", F.col("g") == "A", n_buckets=8)
+        got = {r["v"]: (r["cum_a"], r["cum_b"]) for r in pc.collect()}
+        for v, (ca, cb) in got.items():
+            assert ca == sum(1 for x in a if x <= v)
+            assert cb == sum(1 for x in b if x <= v)
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_ks_disjoint_and_identical(spark):
+    from breweries_etl_spark.operators.hypotests import ks_test_2samp
+
+    disjoint = _two_group_df(spark, [1, 2, 3], [4, 5, 6])
+    r = ks_test_2samp(disjoint, "v", F.col("g") == "A", n_buckets=4).collect()[0]
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert r["ks_stat"] == 1.0
+
+    same = _two_group_df(spark, [1, 2, 3, 4], [1, 2, 3, 4])
+    r = ks_test_2samp(same, "v", F.col("g") == "A", n_buckets=4).collect()[0]
+    assert r["ks_stat"] == 0.0
+
+
+def test_mann_whitney_known_value(spark):
+    from breweries_etl_spark.operators.hypotests import mann_whitney_u
+
+    # A entirely above B: U = n_a*n_b = 4; no ties, n = 4:
+    # mean = 2, var = (2*2/12)*(4+1) = 5/3, z = 2/sqrt(5/3) = 1.549193
+    df = _two_group_df(spark, [3, 4], [1, 2])
+    r = mann_whitney_u(df, "v", F.col("g") == "A", n_buckets=2).collect()[0]
+    assert r["u_stat"] == 4.0
+    assert abs(r["z_score"] - 1.549193) < 1e-6
+
+    # symmetric: A entirely below B -> U = 0, z negated
+    df = _two_group_df(spark, [1, 2], [3, 4])
+    r = mann_whitney_u(df, "v", F.col("g") == "A", n_buckets=2).collect()[0]
+    assert r["u_stat"] == 0.0
+    assert abs(r["z_score"] + 1.549193) < 1e-6
+
+
+def test_mann_whitney_all_tied_null_z(spark):
+    from breweries_etl_spark.operators.hypotests import mann_whitney_u
+
+    # every observation identical: U = n_a*n_b/2 exactly, variance 0
+    df = _two_group_df(spark, [5, 5, 5], [5, 5])
+    r = mann_whitney_u(df, "v", F.col("g") == "A", n_buckets=2).collect()[0]
+    assert r["u_stat"] == 3.0
+    assert r["z_score"] is None
+
+
+def test_gini_uniform_and_total_concentration(spark):
+    from breweries_etl_spark.operators.hypotests import gini_concentration
+
+    uniform = spark.createDataFrame(
+        [(k, 25.0) for k in range(1, 5)], schema="k long, x double"
+    )
+    r = gini_concentration(uniform, "k", "x").collect()[0]
+    assert r["n_keys"] == 4
+    assert r["gini"] == 0.0
+    assert r["hhi"] == 0.25
+
+    concentrated = spark.createDataFrame(
+        [(1, 100.0), (2, 0.0), (3, 0.0), (4, 0.0)], schema="k long, x double"
+    )
+    r = gini_concentration(concentrated, "k", "x").collect()[0]
+    # max inequality with n=4: (n-1)/n = 0.75; HHI = 1
+    assert r["gini"] == 0.75
+    assert r["hhi"] == 1.0
+
+
+def test_gini_aggregates_multiple_rows_per_key(spark):
+    from breweries_etl_spark.operators.hypotests import gini_concentration
+
+    # two rows per key summing to the uniform case above
+    df = spark.createDataFrame(
+        [(k, 10.0) for k in range(1, 5)] + [(k, 15.0) for k in range(1, 5)],
+        schema="k long, x double",
+    )
+    r = gini_concentration(df, "k", "x").collect()[0]
+    assert r["gini"] == 0.0 and r["total_value"] == 100.0
+
+
+def test_no_leaked_caches_after_release(spark):
+    from breweries_etl_spark.operators.hypotests import ks_test_2samp
+
+    df = _two_group_df(spark, [1, 2, 3], [4, 5, 6])
+    ks_test_2samp(df, "v", F.col("g") == "A", n_buckets=4).collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

@@ -455,3 +455,31 @@ def test_cohens_kappa_single_fact_scan(spark, sf_dir):
         assert "InMemoryTableScan" in plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_hypotests_no_datasized_global_sort(spark, sf_dir):
+    """KS/MWU/Gini compute exact rank statistics WITHOUT a global sort:
+    the only SinglePartition exchanges are aggregate-buffer merges and
+    the n_buckets-row bucket-subtotal relation. The distinct-value
+    relation (column v) must never pass through one, and the fact file
+    is scanned once (cached distinct-value relation)."""
+    from pyspark.sql import functions as F
+
+    from breweries_etl_spark.operators.hypotests import ks_test_2samp
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = ks_test_2samp(
+        li, "l_extendedprice", F.col("l_returnflag") == "R", release=False
+    )
+    try:
+        plan = _plan(df)
+        assert plan.count("lineitem.parquet") <= 1
+        assert "InMemoryTableScan" in plan
+        for m in re.finditer(
+            r"Input \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition", plan
+        ):
+            cols = [c.strip() for c in m.group(1).split(",")]
+            # value column rides hash exchanges only
+            assert not any(c.startswith("v#") for c in cols), cols
+    finally:
+        spark.catalog.clearCache()
