@@ -178,6 +178,17 @@ FAMILIES: dict[str, list[str]] = {
         "curriculum_stages_scalable",
         "rfm_segments_scalable",
     ],
+    # round 5: model diagnostics + sortless rank statistics
+    "stats": [
+        "score_calibration_bins",
+        "decision_stump_price_split",
+        "ols2_price_qty_discount",
+        "ewma_user_value",
+        "cohens_kappa_lang",
+        "ks_test_price_returnflag",
+        "mann_whitney_price_returnflag",
+        "gini_customer_revenue",
+    ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [
         "bpe_pair_counts",

@@ -65,15 +65,14 @@ def grouped_value_prefix_counts(
         .persist()
     )
     vc.count()
+    # Bucket boundaries only PARTITION the value domain — the final
+    # cumulative counts are exact wherever the cuts land — so one
+    # percentile_approx aggregate suffices. (An earlier percentile_disc
+    # form planned n_buckets separate sort-based aggregates and was
+    # ~40x slower on a near-all-distinct value column.)
     qs = [round(k / n_buckets, 6) for k in range(1, n_buckets)]
     bounds = vc.agg(
-        F.expr(
-            "array("
-            + ", ".join(
-                f"percentile_disc({q}) WITHIN GROUP (ORDER BY v)" for q in qs
-            )
-            + ")"
-        ).alias("__bs")
+        F.percentile_approx("v", qs, 10000).alias("__bs")
     )
     vb = vc.crossJoin(F.broadcast(bounds)).select(
         "v",
