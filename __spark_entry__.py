@@ -6676,6 +6676,119 @@ FROM s
 """
 
 
+def q_lineitem_price_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global ECDF / percent-rank per distinct price — prefix
+    counts, no single-partition global window."""
+    from breweries_etl_spark.operators.hypotests import global_ecdf
+
+    return global_ecdf(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+def q_conversion_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a hash-assigned user split: purchase
+    conversion rate arm B vs arm A."""
+    from breweries_etl_spark.operators.behavior import conversion_ab_ztest
+
+    return conversion_ab_ztest(load_events(spark, sf_dir))
+
+
+def q_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-lifetime survival curve with right-censoring of
+    still-active users."""
+    from breweries_etl_spark.operators.behavior import kaplan_meier_retention
+
+    return kaplan_meier_retention(load_events(spark, sf_dir))
+
+
+_ORACLES["lineitem_price_ecdf"] = """
+WITH vc AS (
+  SELECT l_extendedprice AS v, count(*) AS ca
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca,
+    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a
+  FROM vc
+), tot AS (SELECT SUM(ca) AS n FROM vc)
+SELECT v, CAST(ca AS BIGINT) AS n_rows, CAST(cum_a AS BIGINT) AS cum_n,
+  round(CAST(cum_a AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ecdf,
+  CASE WHEN n > 1 THEN
+    round(CAST(cum_a - ca AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0), 6)
+  ELSE 0.0 END AS percent_rank
+FROM cum CROSS JOIN tot
+"""
+
+_ZT_NA = "CAST(n_a AS DOUBLE)"
+_ZT_NB = "CAST(n_b AS DOUBLE)"
+_ZT_PA = f"(CAST(conv_a AS DOUBLE) / {_ZT_NA})"
+_ZT_PB = f"(CAST(conv_b AS DOUBLE) / {_ZT_NB})"
+_ZT_POOL = f"(CAST(conv_a + conv_b AS DOUBLE) / ({_ZT_NA} + {_ZT_NB}))"
+_ZT_SE2 = f"({_ZT_POOL} * (1.0 - {_ZT_POOL}) * (1.0 / {_ZT_NA} + 1.0 / {_ZT_NB}))"
+_ZT_Z = f"(({_ZT_PB} - {_ZT_PA}) / sqrt({_ZT_SE2}))"
+_ZT_OK = f"(n_a > 0 AND n_b > 0 AND {_ZT_SE2} > 0)"
+
+_ORACLES["conversion_ab_ztest"] = f"""
+WITH pu AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), armed AS (
+  SELECT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
+           % 2 AS arm,
+         conv
+  FROM pu
+), c AS (
+  SELECT
+    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+    SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS conv_a,
+    SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS conv_b
+  FROM armed
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+  CASE WHEN n_a > 0 THEN round({_ZT_PA}, 6) END AS rate_a,
+  CASE WHEN n_b > 0 THEN round({_ZT_PB}, 6) END AS rate_b,
+  CASE WHEN {_ZT_OK} THEN round({_ZT_Z}, 6) END AS z_score,
+  CASE WHEN {_ZT_OK} THEN abs({_ZT_Z}) >= 1.96 END AS significant
+FROM c
+"""
+
+_ORACLES["kaplan_meier_retention"] = """
+WITH us AS (
+  SELECT user_id,
+    min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+    max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+  FROM events GROUP BY 1
+), mx AS (SELECT max(last_us) AS max_us FROM us),
+per AS (
+  SELECT (last_us - first_us) // 86400000000 AS day,
+    CASE WHEN last_us < max_us - 604800000000 THEN 1 ELSE 0 END AS churn
+  FROM us CROSS JOIN mx
+), pd AS (
+  SELECT day, SUM(churn) AS n_churned, count(*) AS ends FROM per GROUP BY 1
+), ar AS (
+  SELECT day, n_churned, ends,
+    SUM(ends) OVER (ORDER BY day DESC ROWS UNBOUNDED PRECEDING) AS n_at_risk
+  FROM pd
+), t AS (
+  SELECT day, n_at_risk, n_churned,
+    SUM(CAST(CASE WHEN n_churned > 0 AND n_churned < n_at_risk
+      THEN round(ln(1.0 - CAST(n_churned AS DOUBLE)
+                         / CAST(n_at_risk AS DOUBLE)), 6)
+      ELSE 0.0 END AS DECIMAL(18,6)))
+      OVER (ORDER BY day ASC ROWS UNBOUNDED PRECEDING) AS cum_term,
+    SUM(CASE WHEN n_churned > 0 AND n_churned >= n_at_risk THEN 1 ELSE 0 END)
+      OVER (ORDER BY day ASC ROWS UNBOUNDED PRECEDING) AS cum_dead
+  FROM ar
+)
+SELECT day, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+  CAST(n_churned AS BIGINT) AS n_churned,
+  CASE WHEN cum_dead > 0 THEN 0.0
+       ELSE round(exp(CAST(cum_term AS DOUBLE)), 6) END AS survival
+FROM t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -6944,6 +7057,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test_price_returnflag": q_ks_test_price_returnflag,
         "mann_whitney_price_returnflag": q_mann_whitney_price_returnflag,
         "gini_customer_revenue": q_gini_customer_revenue,
+        "lineitem_price_ecdf": q_lineitem_price_ecdf,
+        "conversion_ab_ztest": q_conversion_ab_ztest,
+        "kaplan_meier_retention": q_kaplan_meier_retention,
     }
 
 

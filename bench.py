@@ -188,6 +188,9 @@ FAMILIES: dict[str, list[str]] = {
         "ks_test_price_returnflag",
         "mann_whitney_price_returnflag",
         "gini_customer_revenue",
+        "lineitem_price_ecdf",
+        "conversion_ab_ztest",
+        "kaplan_meier_retention",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

@@ -659,3 +659,145 @@ def cohort_ltv(df: DataFrame) -> DataFrame:
             ).alias("cum_revenue_per_member"),
         )
     )
+
+
+def conversion_ab_ztest(
+    df: DataFrame,
+    user_col: str = "user_id",
+    convert_type: str = "purchase",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Two-proportion z-test on a hash-assigned A/B split of USERS:
+    did arm B convert (≥1 ``convert_type`` event) at a different rate
+    than arm A? The binary-outcome counterpart of ``ab_test_stats``
+    (which tests a continuous mean).
+
+    Per-user conversion collapses first (one shuffle, map-combinable
+    max), the arm comes from the same portable md5 bucket as the
+    sampling operators (partition-invariant, no assignment table), and
+    the final aggregate carries FOUR integers — n and conversions per
+    arm — from which rates, the pooled proportion and
+    z = (p_b − p_a)/√(p̂(1−p̂)(1/n_a + 1/n_b)) are a fixed double
+    sequence any engine replays. Scan-bound at 100 TB."""
+    from .sampling import hash_bucket_expr
+
+    per_user = df.groupBy(user_col).agg(
+        F.max(
+            F.when(F.col(type_col) == convert_type, F.lit(1)).otherwise(F.lit(0))
+        ).alias("conv")
+    )
+    arm = (hash_bucket_expr(F.col(user_col)) % 2).alias("arm")
+    counts = per_user.select(arm, "conv").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("conv_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("conv_a").cast("double") / na
+    pb = F.col("conv_b").cast("double") / nb
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
+    se2 = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    z = (pb - pa) / F.sqrt(se2)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se2 > 0)
+    return counts.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.when(F.col("n_a") > 0, F.round(pa, 6)).alias("rate_a"),
+        F.when(F.col("n_b") > 0, F.round(pb, 6)).alias("rate_b"),
+        F.when(ok, F.round(z, 6)).alias("z_score"),
+        F.when(ok, F.abs(z) >= F.lit(1.96)).alias("significant"),
+    )
+
+
+def kaplan_meier_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+) -> DataFrame:
+    """Kaplan–Meier survival curve over user LIFETIMES (days from first
+    to last event), with right-censoring: users still active in the
+    final ``censor_days`` of the observation window are censored at
+    their last day, not counted as churned — the retention estimator
+    product analytics runs instead of a naive "days until last event"
+    histogram (which treats censored users as churned and biases
+    retention down).
+
+    Shape: one fact shuffle to per-user (first, last) micros; the
+    persisted user relation yields both the observation-window end
+    (broadcast one-row max) and the per-day (churned, ended) counts.
+    The day grid is BOUNDED (≤ observation days), so the at-risk
+    suffix counts and the cumulative product run as windows over a
+    tiny relation — never over users. S(t) multiplies (1 − d_s/n_s)
+    via the repo's portable log recipe: each factor's ln rounds to
+    6 dp and sums in decimal, exp at the end (absorbs last-ulp libm
+    differences); a step with d_s = n_s pins survival to exactly 0
+    from that day on (no ln(0))."""
+    day_us = 86_400_000_000
+    us = (
+        df.groupBy(user_col)
+        .agg(
+            F.min(F.unix_micros(F.col(ts_col))).alias("first_us"),
+            F.max(F.unix_micros(F.col(ts_col))).alias("last_us"),
+        )
+        .persist()
+    )
+    us.count()
+    mx = us.agg(F.max("last_us").alias("max_us"))
+    per = us.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"(last_us - first_us) div {day_us}").alias("day"),
+        F.when(
+            F.col("last_us") < F.col("max_us") - F.lit(censor_days * day_us),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("churn"),
+    )
+    per_day = per.groupBy("day").agg(
+        F.sum("churn").alias("n_churned"), F.count(F.lit(1)).alias("ends")
+    )
+    wdesc = (
+        Window.orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wasc = (
+        Window.orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    at_risk = per_day.withColumn("n_at_risk", F.sum("ends").over(wdesc))
+    dt = F.col("n_churned").cast("double")
+    nt = F.col("n_at_risk").cast("double")
+    term = (
+        F.when(
+            (F.col("n_churned") > 0) & (F.col("n_churned") < F.col("n_at_risk")),
+            F.round(F.log(F.lit(1.0) - dt / nt), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,6)")
+    )
+    dead = F.when(
+        (F.col("n_churned") > 0) & (F.col("n_churned") >= F.col("n_at_risk")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    curve = at_risk.select(
+        "day",
+        "n_at_risk",
+        "n_churned",
+        F.sum(term).over(wasc).alias("cum_term"),
+        F.sum(dead).over(wasc).alias("cum_dead"),
+    )
+    result = curve.select(
+        "day",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_churned").cast("long").alias("n_churned"),
+        F.when(F.col("cum_dead") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_term").cast("double")), 6))
+        .alias("survival"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [us])

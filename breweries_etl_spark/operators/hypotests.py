@@ -210,6 +210,47 @@ def mann_whitney_u(
     return _released(result, pc, release)
 
 
+def global_ecdf(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Exact global ECDF / percent-rank per distinct value — the
+    whole-corpus rank feature (quantile normalization input, outlier
+    percentile, calibration grid) computed WITHOUT the
+    single-partition global window `percent_rank() OVER (ORDER BY v)`
+    plans.
+
+    Same bucketed prefix counts as the tests above; ecdf = cum/n and
+    percent_rank = (rank−1)/(n−1) = (cum−c)/(n−1) derive per row from
+    integers. Output is one row per distinct value (counts carried, so
+    the full per-row feature is a broadcast-free join away)."""
+    pc = grouped_value_prefix_counts(df, value_col, F.lit(True), n_buckets)
+    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
+        F.sum("ca").alias("n")
+    )
+    n = F.col("n").cast("double")
+    result = pc.crossJoin(F.broadcast(tot)).select(
+        F.col("v"),
+        F.col("ca").cast("long").alias("n_rows"),
+        F.col("cum_a").cast("long").alias("cum_n"),
+        F.round(F.col("cum_a").cast("double") / n, 6).alias("ecdf"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                (F.col("cum_a") - F.col("ca")).cast("double") / (n - F.lit(1.0)),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("percent_rank"),
+    )
+    # result is distinct-value-sized (not a scalar), but the eager
+    # checkpoint in _released is still the right trade: one narrow
+    # materialization against a warm cache, versus pinning the cache
+    # for the caller's lifetime.
+    return _released(result, pc, release)
+
+
 def gini_concentration(
     df: DataFrame,
     key_col: str,

@@ -225,3 +225,54 @@ def test_user_event_novelty_counts_first_occurrences(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     got = {r["event_id"]: r["n_types_seen"] for r in user_event_novelty(df).collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_conversion_ab_ztest_counts_and_sign(spark):
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.behavior import conversion_ab_ztest
+
+    def arm(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16) % 2
+
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # users 1..40: every arm-1 user converts, no arm-0 user does
+    for uid in range(1, 41):
+        t = "purchase" if arm(uid) == 1 else "view"
+        rows.append(Row(user_id=uid, ts=base, event_type=t))
+    df = spark.createDataFrame(rows)
+    r = conversion_ab_ztest(df).collect()[0]
+    n_b = sum(1 for u in range(1, 41) if arm(u) == 1)
+    assert r["n_a"] == 40 - n_b and r["n_b"] == n_b
+    assert r["conv_a"] == 0 and r["conv_b"] == n_b
+    assert r["rate_a"] == 0.0 and r["rate_b"] == 1.0
+    assert r["z_score"] > 0 and r["significant"] is True
+
+
+def test_kaplan_meier_hand_computed_curve(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from breweries_etl_spark.operators.behavior import kaplan_meier_retention
+
+    d = lambda k: datetime.datetime(2024, 1, 1) + datetime.timedelta(days=k)
+    rows = (
+        [Row(user_id=1, ts=d(0)), Row(user_id=1, ts=d(1))]   # lifetime 1, churn
+        + [Row(user_id=2, ts=d(0))]                          # lifetime 0, churn
+        + [Row(user_id=3, ts=d(0)), Row(user_id=3, ts=d(2))] # lifetime 2, churn
+        + [Row(user_id=4, ts=d(0)), Row(user_id=4, ts=d(30))]# lifetime 30, censored
+    )
+    out = {r["day"]: r for r in kaplan_meier_retention(spark.createDataFrame(rows)).collect()}
+    assert out[0]["n_at_risk"] == 4 and out[0]["n_churned"] == 1
+    assert abs(out[0]["survival"] - 0.75) < 1e-4
+    assert out[1]["n_at_risk"] == 3 and abs(out[1]["survival"] - 0.5) < 1e-4
+    assert out[2]["n_at_risk"] == 2 and abs(out[2]["survival"] - 0.25) < 1e-4
+    # censored user: at risk on day 30, not churned, survival unchanged
+    assert out[30]["n_churned"] == 0 and abs(out[30]["survival"] - 0.25) < 1e-4
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

@@ -113,3 +113,21 @@ def test_no_leaked_caches_after_release(spark):
     df = _two_group_df(spark, [1, 2, 3], [4, 5, 6])
     ks_test_2samp(df, "v", F.col("g") == "A", n_buckets=4).collect()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_global_ecdf_matches_python(spark):
+    from breweries_etl_spark.operators.hypotests import global_ecdf
+
+    data = [1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 10.0]
+    df = spark.createDataFrame([(v,) for v in data], schema="x double").repartition(5)
+    rows = {r["v"]: r for r in global_ecdf(df, "x", n_buckets=4).collect()}
+    n = len(data)
+    for v in set(data):
+        below = sum(1 for x in data if x <= v)
+        strictly_below = sum(1 for x in data if x < v)
+        r = rows[v]
+        assert r["n_rows"] == data.count(v)
+        assert r["cum_n"] == below
+        assert abs(r["ecdf"] - round(below / n, 6)) < 1e-9
+        assert abs(r["percent_rank"] - round(strictly_below / (n - 1), 6)) < 1e-9
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
