@@ -79,6 +79,17 @@ QUERIES = [
     "multimodal_decode_stats", "label_centroid_similarity",
     "ols_price_on_quantity", "pca_top_component", "session_bounce_rate",
     "reservoir_sample_docs",
+    # round-5 wave: calibration/kappa/stump/ols2/ewma are scan-shaped
+    # (expect ~linear); the prefix-count statistics shuffle the
+    # distinct-value relation twice (linear in distinct values); KM and
+    # gini collapse to per-user/per-key relations first
+    "score_calibration_bins", "decision_stump_price_split",
+    "ols2_price_qty_discount", "ewma_user_value", "cohens_kappa_lang",
+    "ks_test_price_returnflag", "mann_whitney_price_returnflag",
+    "gini_customer_revenue", "lineitem_price_ecdf", "conversion_ab_ztest",
+    "kaplan_meier_retention", "curriculum_stages_scalable",
+    "rfm_segments_scalable", "duplicate_span_stats",
+    "dsir_importance_weights", "image_ahash_pairs",
 ]
 
 
