@@ -357,7 +357,9 @@ def decision_stump(
     distinct values; for continuous features, pre-bucket to deciles
     first — the window is per-group over distinct x only, so the
     shuffle after pass 1 carries |groups|·|distinct x| rows, scan-bound
-    at 100 TB)."""
+    at 100 TB). A group with a single distinct x has no valid split and
+    is absent from the output (mirrored by the oracle's cn < tn
+    filter), not emitted with NULLs."""
     y = F.col(y_col).cast("decimal(18,2)")
     per_x = df.groupBy(group_col, x_col).agg(
         F.count(F.lit(1)).alias("nx"),

@@ -689,31 +689,46 @@ def collocation_pmi(
     measure for "these words belong together" (multi-word expressions,
     named entities), with a min-count floor to suppress rare-pair noise.
 
-    Two corpus passes (bigram counts; unigram counts — the honest floor
-    for independent marginals), with BOTH bounded count relations
-    persisted: the unigram table is referenced three times (w1 side, w2
-    side, token total) and the bigram table twice (pair rows, bigram
-    total), and the r5 plan audit showed each reference re-expanding
-    into its own corpus scan (5 total). The caches are vocabulary-sized
-    — orders of magnitude below the corpus; totals derive from the
-    cached aggregates. PMI stays one fixed double expression.
+    ONE corpus pass materializes BOTH bounded count relations: unigrams
+    and bigrams ride the same exploded union (bigram rows tagged by a
+    non-NULL w2), so a single shuffle of N+B narrow rows yields one
+    persisted vocabulary-sized cache that every downstream reference
+    (w1 side, w2 side, both totals, pair rows) reads. The r5 plan audit
+    showed the lazy form re-expanding each reference into its own
+    corpus scan (5 total); the first cached rewrite materialized
+    unigram and bigram counts as two SEQUENTIAL jobs and doubled the
+    wall time — the tagged union restores one job. PMI stays one fixed
+    double expression.
     """
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9_]+"), 0
     )
     base = df.select(toks.alias("toks"))
     z = shingled_zip(F.col("toks"), 2)
-    bigrams = base.select(
+    pairs = base.select(
         F.explode(
-            F.transform(z, lambda s: F.struct(s["0"].alias("w1"), s["1"].alias("w2")))
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
-    unigrams = base.select(F.explode("toks").alias("tok"))
-    uni = unigrams.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
-    uni.count()
+            F.concat(
+                F.transform(
+                    F.col("toks"),
+                    lambda t: F.struct(
+                        t.alias("w1"), F.lit(None).cast("string").alias("w2")
+                    ),
+                ),
+                F.transform(
+                    z, lambda s: F.struct(s["0"].alias("w1"), s["1"].alias("w2"))
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
+    counts.count()
+    uni = counts.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("tok"), F.col("c")
+    )
+    bg = counts.filter(F.col("w2").isNotNull()).select(
+        "w1", "w2", F.col("c").alias("c_ab")
+    )
     n_tokens = uni.agg(F.sum("c").cast("long").alias("n"))
-    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")).persist()
-    bg.count()
     n_bigrams = bg.agg(F.sum("c_ab").alias("b"))
     u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
     u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
@@ -739,8 +754,7 @@ def collocation_pmi(
         .limit(k)
     )
     rows = result.collect()
-    uni.unpersist()
-    bg.unpersist()
+    counts.unpersist()
     out = df.sparkSession.createDataFrame(
         rows, "w1 string, w2 string, c_ab bigint, pmi double"
     )
