@@ -6789,6 +6789,80 @@ FROM t
 """
 
 
+def q_theil_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of order revenue across customers — the
+    decomposable complement of the Gini query."""
+    from breweries_etl_spark.operators.hypotests import theil_index
+
+    return theil_index(
+        load_table(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
+def q_lorenz_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile resolution: cumulative population vs
+    revenue share, from bucketed prefix counts (no rank column)."""
+    from breweries_etl_spark.operators.hypotests import lorenz_deciles
+
+    return lorenz_deciles(
+        load_table(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
+_TH_MU = "(CAST(total AS DOUBLE) / CAST(n AS DOUBLE))"
+_TH_RATIO = f"(CAST(r AS DOUBLE) / {_TH_MU})"
+
+_ORACLES["theil_customer_revenue"] = f"""
+WITH per_key AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders GROUP BY 1
+), tot AS (SELECT count(*) AS n, SUM(r) AS total FROM per_key)
+SELECT CAST(n AS BIGINT) AS n_keys, CAST(total AS DOUBLE) AS total_value,
+  CASE WHEN CAST(total AS DOUBLE) > 0 THEN
+    round(CAST(SUM(CAST(
+      CASE WHEN CAST(r AS DOUBLE) > 0
+        THEN round({_TH_RATIO} * ln({_TH_RATIO}), 6)
+        ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+      / CAST(n AS DOUBLE), 6)
+  END AS theil_t
+FROM per_key CROSS JOIN tot GROUP BY n, total
+"""
+
+_ORACLES["lorenz_customer_revenue"] = """
+WITH per_key AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders GROUP BY 1
+), vc AS (
+  SELECT CAST(r AS DECIMAL(18,2)) AS v, count(*) AS ca
+  FROM per_key WHERE r IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca,
+    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a
+  FROM vc
+), tot AS (
+  SELECT SUM(ca) AS n,
+    SUM(CAST(v * CAST(ca AS DECIMAL(19,0)) AS DECIMAL(38,2))) AS total
+  FROM vc
+), binned AS (
+  SELECT ((cum_a - 1) * 10) // n AS decile, ca,
+    CAST(v * CAST(ca AS DECIMAL(19,0)) AS DECIMAL(38,2)) AS mass, n, total
+  FROM cum CROSS JOIN tot
+), pb AS (
+  SELECT decile, SUM(ca) AS n_keys, SUM(mass) AS mass,
+    max(n) AS n, max(total) AS total
+  FROM binned GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(n_keys AS BIGINT) AS n_keys,
+  round(CAST(SUM(n_keys) OVER wo AS DOUBLE) / CAST(n AS DOUBLE), 6)
+    AS cum_pop_share,
+  CASE WHEN CAST(total AS DOUBLE) > 0 THEN
+    round(CAST(SUM(mass) OVER wo AS DOUBLE) / CAST(total AS DOUBLE), 6)
+  END AS cum_value_share
+FROM pb
+WINDOW wo AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -7060,6 +7134,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_price_ecdf": q_lineitem_price_ecdf,
         "conversion_ab_ztest": q_conversion_ab_ztest,
         "kaplan_meier_retention": q_kaplan_meier_retention,
+        "theil_customer_revenue": q_theil_customer_revenue,
+        "lorenz_customer_revenue": q_lorenz_customer_revenue,
     }
 
 

@@ -191,6 +191,8 @@ FAMILIES: dict[str, list[str]] = {
         "lineitem_price_ecdf",
         "conversion_ab_ztest",
         "kaplan_meier_retention",
+        "theil_customer_revenue",
+        "lorenz_customer_revenue",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

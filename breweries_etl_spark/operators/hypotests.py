@@ -251,6 +251,137 @@ def global_ecdf(
     return _released(result, pc, release)
 
 
+def theil_index(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    release: bool = True,
+) -> DataFrame:
+    """Theil T inequality index of how a value concentrates across keys:
+    T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ) — 0 at perfect equality, ln(n) at total
+    concentration. Complements ``gini_concentration``: Theil is
+    DECOMPOSABLE (between-group + within-group), so per-source Theil
+    terms add up, which Gini's rank-based form cannot do.
+
+    No ranks needed at all: per-key exact decimal totals, one broadcast
+    (n, Σx) row, then each key's (xᵢ/μ)·ln(xᵢ/μ) term rounds to 6 dp
+    and sums in decimal (the repo's portable log recipe). Keys with
+    xᵢ = 0 contribute 0 (the x·ln x → 0 limit), negatives are the
+    caller's contract violation and surface as NULL. Two passes over
+    the persisted per-key relation; everything else is scalar."""
+    per_key = (
+        df.groupBy(key_col)
+        .agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("r"))
+        .persist()
+    )
+    per_key.count()
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("total"),
+    )
+    n = F.col("n").cast("double")
+    total = F.col("total").cast("double")
+    mu = total / n
+    ratio = F.col("r").cast("double") / mu
+    term = (
+        F.when(F.col("r").cast("double") > 0, F.round(ratio * F.log(ratio), 6))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,6)")
+    )
+    result = (
+        per_key.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("long").alias("n_keys"),
+            F.max(total).alias("total_value"),
+            F.sum(term).alias("t_sum"),
+        )
+        .select(
+            "n_keys",
+            "total_value",
+            F.when(
+                F.col("total_value") > 0,
+                F.round(
+                    F.col("t_sum").cast("double")
+                    / F.col("n_keys").cast("double"),
+                    6,
+                ),
+            ).alias("theil_t"),
+        )
+    )
+    return _released(result, _Handle(per_key), release)
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_bins: int = 10,
+    release: bool = True,
+) -> DataFrame:
+    """Lorenz curve at decile resolution: for each population decile of
+    keys (ordered by their value), the share of keys and of total value
+    at or below it — the "bottom 50% hold X% of revenue" table behind
+    the Gini number, as a 10-row frame.
+
+    Built on the same bucketed prefix counts: each distinct value knows
+    its exact cumulative key count, so its population decile is integer
+    arithmetic on (cum·n_bins − 1) div n; per-decile value mass and the
+    running shares then aggregate over ≤ n_bins rows. No rank column,
+    no global sort."""
+    per_key = df.groupBy(key_col).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("r")
+    )
+    pc = grouped_value_prefix_counts(per_key, "r", F.lit(True))
+    v = F.col("v").cast("decimal(18,2)")
+    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
+        F.sum("ca").alias("n"),
+        F.sum((F.col("v").cast("decimal(18,2)") * F.col("ca").cast("decimal(19,0)"))
+              .cast("decimal(38,2)")).alias("total"),
+    )
+    # a key at cumulative position cum (1-based) lands in decile
+    # ((cum-1)*n_bins) div n; a VALUE whose run ends at cum_a spans
+    # positions (cum_a-ca+1 .. cum_a) — assign the whole run to the
+    # decile of its LAST position ((cum_a-1)*n_bins div n), exact and
+    # engine-independent (ties stay together by construction).
+    binned = pc.crossJoin(F.broadcast(tot)).select(
+        F.expr(f"((cum_a - 1) * {n_bins}) div n").cast("long").alias("decile"),
+        F.col("ca"),
+        (v * F.col("ca").cast("decimal(19,0)")).cast("decimal(38,2)").alias("mass"),
+        F.col("n"),
+        F.col("total"),
+    )
+    per_bin = binned.groupBy("decile").agg(
+        F.sum("ca").alias("n_keys"),
+        F.sum("mass").alias("mass"),
+        F.max("n").alias("n"),
+        F.max("total").alias("total"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    result = per_bin.select(
+        "decile",
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.round(
+            F.sum("n_keys").over(w).cast("double") / F.col("n").cast("double"), 6
+        ).alias("cum_pop_share"),
+        F.when(
+            F.col("total").cast("double") > 0,
+            F.round(
+                F.sum("mass").over(w).cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ),
+        ).alias("cum_value_share"),
+    )
+    return _released(result, pc, release)
+
+
+class _Handle:
+    """Minimal adapter so _released can unpersist a bare DataFrame."""
+
+    def __init__(self, cache: DataFrame):
+        self._vc_cache = cache
+
+
 def gini_concentration(
     df: DataFrame,
     key_col: str,

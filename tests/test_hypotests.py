@@ -131,3 +131,40 @@ def test_global_ecdf_matches_python(spark):
         assert abs(r["ecdf"] - round(below / n, 6)) < 1e-9
         assert abs(r["percent_rank"] - round(strictly_below / (n - 1), 6)) < 1e-9
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_theil_equality_and_concentration(spark):
+    import math
+
+    from breweries_etl_spark.operators.hypotests import theil_index
+
+    uniform = spark.createDataFrame(
+        [(k, 25.0) for k in range(1, 5)], schema="k long, x double"
+    )
+    r = theil_index(uniform, "k", "x").collect()[0]
+    assert r["n_keys"] == 4 and r["theil_t"] == 0.0
+
+    concentrated = spark.createDataFrame(
+        [(1, 100.0), (2, 0.0), (3, 0.0), (4, 0.0)], schema="k long, x double"
+    )
+    r = theil_index(concentrated, "k", "x").collect()[0]
+    # one key holds everything: T = ln(n) = ln 4
+    assert abs(r["theil_t"] - math.log(4)) < 1e-5
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_lorenz_deciles_known_shares(spark):
+    from breweries_etl_spark.operators.hypotests import lorenz_deciles
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], schema="k long, x double"
+    )
+    rows = sorted(lorenz_deciles(df, "k", "x").collect(), key=lambda r: r["decile"])
+    # 4 keys -> positions 1..4 land in deciles 0,2,5,7
+    assert [r["decile"] for r in rows] == [0, 2, 5, 7]
+    assert [r["cum_pop_share"] for r in rows] == [0.25, 0.5, 0.75, 1.0]
+    assert [r["cum_value_share"] for r in rows] == [0.1, 0.3, 0.6, 1.0]
+    # curve must be convex-ish: value share <= pop share everywhere
+    for r in rows:
+        assert r["cum_value_share"] <= r["cum_pop_share"] + 1e-9
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
