@@ -6863,6 +6863,46 @@ WINDOW wo AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
 """
 
 
+def q_quantile_normalize_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag quantile normalization of extended price onto the
+    pooled decile grid — integer-exact, no percentile function, no
+    single-partition windows."""
+    from breweries_etl_spark.operators.hypotests import quantile_normalize
+
+    return quantile_normalize(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+_ORACLES["quantile_normalize_price"] = """
+WITH gv AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v, count(*) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+), within AS (
+  SELECT g, v, c,
+    SUM(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_g,
+    SUM(c) OVER (PARTITION BY g) AS n_g
+  FROM gv
+), pooled AS (
+  SELECT v, SUM(c) AS cp FROM gv GROUP BY 1
+), pcum AS (
+  SELECT v, cp,
+    SUM(cp) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pooled
+), tot AS (SELECT SUM(cp) AS n FROM pooled),
+grid AS (
+  SELECT k, min(v) AS qv
+  FROM pcum CROSS JOIN tot
+       CROSS JOIN (SELECT unnest(range(1, 11)) AS k) ks
+  WHERE cum >= (k * n + 9) // 10 AND cum - cp < (k * n + 9) // 10
+  GROUP BY k
+)
+SELECT g, v, CAST(c AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS k,
+  qv AS normalized
+FROM within JOIN grid ON (10 * cum_g + n_g - 1) // n_g = k
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -7136,6 +7176,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier_retention": q_kaplan_meier_retention,
         "theil_customer_revenue": q_theil_customer_revenue,
         "lorenz_customer_revenue": q_lorenz_customer_revenue,
+        "quantile_normalize_price": q_quantile_normalize_price,
     }
 
 

@@ -193,6 +193,7 @@ FAMILIES: dict[str, list[str]] = {
         "kaplan_meier_retention",
         "theil_customer_revenue",
         "lorenz_customer_revenue",
+        "quantile_normalize_price",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

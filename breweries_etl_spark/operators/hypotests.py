@@ -382,6 +382,121 @@ class _Handle:
         self._vc_cache = cache
 
 
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_grid: int = 10,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Per-group quantile normalization onto the POOLED distribution —
+    the batch-effect remover (classic in bioinformatics, equally the
+    cross-source score equalizer in corpus pipelines): each group's
+    value at within-group quantile q maps to the pooled distribution's
+    q-th quantile, so after mapping every group shares one marginal.
+
+    ENTIRELY integer-exact, no percentile function anywhere:
+
+    - the pooled ``n_grid``-point quantile grid derives from pooled
+      cumulative counts — grid point k = min v with
+      cum ≥ ⌈k·n/n_grid⌉, which IS percentile_disc, computed as a
+      filter over the per-value relation instead of n_grid sort-based
+      aggregates (each of which plans its own sort);
+    - a value run ending at within-group cumulative count c_g maps to
+      k = ⌈n_grid·c_g/n_g⌉ via the exact (a + b − 1) div b.
+
+    Scale shape: one shuffle to the persisted (group, value) counts;
+    BOTH cumulative sides (within-group and pooled) run the two-level
+    bucketed prefix sum — boundaries broadcast, per-(group,)bucket
+    offsets from windows over ≤ n_buckets-row relations, within-bucket
+    windows partitioned by (group, bucket) — so no group ever collapses
+    into a single partition. Output: one row per (group, distinct
+    value) with its grid index and normalized value."""
+    gv = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    gv.count()
+    qs = [round(k / n_buckets, 6) for k in range(1, n_buckets)]
+    bounds = gv.agg(F.percentile_approx("v", qs, 10000).alias("__bs"))
+    gb = gv.crossJoin(F.broadcast(bounds)).select(
+        "g",
+        "v",
+        "c",
+        F.size(F.filter("__bs", lambda b: F.col("v") > b)).alias("b"),
+    )
+    # within-group cumulative counts, bucket-parallel
+    per_gb = gb.groupBy("g", "b").agg(F.sum("c").alias("s"))
+    woff_g = (
+        Window.partitionBy("g").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs_g = per_gb.select(
+        "g", "b", F.coalesce(F.sum("s").over(woff_g), F.lit(0)).alias("off")
+    )
+    n_gs = per_gb.groupBy("g").agg(F.sum("s").alias("n_g"))
+    wv_g = (
+        Window.partitionBy("g", "b").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = (
+        gb.join(F.broadcast(offs_g), ["g", "b"])
+        .join(F.broadcast(n_gs), "g")
+        .select(
+            "g",
+            "v",
+            "c",
+            (F.col("off") + F.sum("c").over(wv_g)).alias("cum_g"),
+            "n_g",
+        )
+    )
+    # pooled cumulative counts over the same buckets
+    pb = gb.groupBy("v", "b").agg(F.sum("c").alias("cp"))
+    per_b = pb.groupBy("b").agg(F.sum("cp").alias("s"))
+    woff = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_b.select(
+        "b", F.coalesce(F.sum("s").over(woff), F.lit(0)).alias("off")
+    )
+    wv = (
+        Window.partitionBy("b").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pooled = pb.join(F.broadcast(offs), "b").select(
+        "v", "cp", (F.col("off") + F.sum("cp").over(wv)).alias("cum")
+    )
+    n_tot = gv.agg(F.sum("c").alias("n"))
+    ks = F.array(*[F.lit(k) for k in range(1, n_grid + 1)])
+    grid = (
+        pooled.crossJoin(F.broadcast(n_tot))
+        .select(
+            "v", "cp", "cum", "n", F.explode(ks).alias("k")
+        )
+        .filter(
+            (F.col("cum") >= F.expr(f"(k * n + {n_grid - 1}) div {n_grid}"))
+            & (
+                F.col("cum") - F.col("cp")
+                < F.expr(f"(k * n + {n_grid - 1}) div {n_grid}")
+            )
+        )
+        .groupBy("k")
+        .agg(F.min("v").alias("qv"))
+    )
+    result = within.join(
+        F.broadcast(grid),
+        F.expr(f"({n_grid} * cum_g + n_g - 1) div n_g") == F.col("k"),
+    ).select(
+        "g",
+        "v",
+        F.col("c").cast("long").alias("n_rows"),
+        F.col("k").cast("long").alias("k"),
+        F.col("qv").alias("normalized"),
+    )
+    return _released(result, _Handle(gv), release)
+
+
 def gini_concentration(
     df: DataFrame,
     key_col: str,

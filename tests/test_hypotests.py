@@ -168,3 +168,27 @@ def test_lorenz_deciles_known_shares(spark):
     for r in rows:
         assert r["cum_value_share"] <= r["cum_pop_share"] + 1e-9
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_quantile_normalize_equalizes_marginals(spark):
+    from breweries_etl_spark.operators.hypotests import quantile_normalize
+
+    # group A uniform 1..10, group B uniform 101..110: after mapping to
+    # the pooled decile grid, both groups' normalized multisets must be
+    # IDENTICAL (that is the definition of quantile normalization)
+    rows = [("A", float(v)) for v in range(1, 11)] + [
+        ("B", float(v)) for v in range(101, 111)
+    ]
+    df = spark.createDataFrame(rows, schema="g string, x double").repartition(5)
+    out = quantile_normalize(df, "g", "x", n_grid=10, n_buckets=4).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["g"], []).append((r["k"], r["normalized"]))
+    assert sorted(by_group["A"]) == sorted(by_group["B"])
+    # each group spans all 10 grid points exactly once
+    assert sorted(k for k, _ in by_group["A"]) == list(range(1, 11))
+    # pooled deciles: k-th point is the ceil(k*20/10)-th smallest pooled
+    # value -> k=1 -> 2nd smallest = 2.0; k=10 -> 20th = 110.0
+    grid = dict(by_group["A"])
+    assert grid[1] == 2.0 and grid[10] == 110.0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
