@@ -4467,6 +4467,13 @@ GROUP BY dc.doc_id
 # aHash near-dup image pairs: 8x8 nearest resample of the closed-form
 # 16x16 pixel field picks source (2y, 2x) -> v = (d*31 + 14x + 26y) % 256;
 # bit = 1 iff v*64 >= sum (exact integer mean threshold), row-major.
+# The engine routes pairs through the shared bounded-bucket machinery
+# (max_bucket=10000), so the oracle mirrors the cap: hash groups above
+# it emit NO pairs. The synthetic aHash depends only on doc_id % 256,
+# so bucket sizes grow linearly with corpus size and the cap WILL bind
+# at a large enough SF — without the mirrored HAVING the replay would
+# silently diverge there (ADVICE r5). Cap-binding parity is proven on a
+# fixture in tests/test_ahash_cap_parity.py.
 _ORACLES["image_ahash_pairs"] = """
 WITH px AS (
   SELECT d.doc_id, ys.y, xs.x,
@@ -4480,9 +4487,11 @@ bits AS (
   SELECT px.doc_id,
     string_agg(CASE WHEN v * 64 >= t THEN '1' ELSE '0' END, '' ORDER BY y, x) AS ahash
   FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id
-)
+),
+kept AS (SELECT ahash FROM bits GROUP BY ahash HAVING count(*) <= 10000)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ahash
 FROM bits a JOIN bits b ON a.ahash = b.ahash AND a.doc_id < b.doc_id
+JOIN kept ON a.ahash = kept.ahash
 """
 
 # Scale-safe twin: percentile_disc boundaries + scan-local range

@@ -251,24 +251,21 @@ def run_family(family: str) -> None:
             warm_elapsed = again_elapsed
             if not improving:
                 break
+        # Median-of-3 for EVERY query (r5 verdict #5): the min-of-2
+        # tier that heavier queries used to sit in put exactly the
+        # regression-vs-noise calls that matter on two samples
+        # (sub-second queries swing 1.4-1.6x run-to-run on JVM noise
+        # alone — r4: conversion_latency 0.38<->0.59 s across committed
+        # runs — and every r5 regressed query was in the n=2 tier).
+        # Three samples + median costs one extra pass on the ~14 heavy
+        # families (~1 min per bench run) and makes cross-round deltas
+        # attributable.
         samples: list[float] = []
-        for _ in range(2):
+        for _ in range(3):
             start = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.monotonic() - start)
-        # Sub-second queries swing 1.4-1.6x run-to-run on JVM noise
-        # alone (r4: conversion_latency 0.38<->0.59 s across committed
-        # runs), so min-of-2 is a coin flip at that magnitude: take a
-        # third sample and report the MEDIAN. Heavier queries are
-        # plan-cost dominated and keep the established min-of-2.
-        if min(samples) < 1.5:
-            start = time.monotonic()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.monotonic() - start)
-            samples.sort()
-            timings[name] = round(samples[1], 3)
-        else:
-            timings[name] = round(min(samples), 3)
+        timings[name] = round(sorted(samples)[1], 3)
         raw_samples[name] = [round(x, 3) for x in samples]
         # Hygiene barrier: whatever this query pinned must not flatter
         # (cache reuse) or tax (GC pressure) the next one.

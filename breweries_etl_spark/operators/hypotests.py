@@ -266,9 +266,13 @@ def theil_index(
     No ranks needed at all: per-key exact decimal totals, one broadcast
     (n, Σx) row, then each key's (xᵢ/μ)·ln(xᵢ/μ) term rounds to 6 dp
     and sums in decimal (the repo's portable log recipe). Keys with
-    xᵢ = 0 contribute 0 (the x·ln x → 0 limit), negatives are the
-    caller's contract violation and surface as NULL. Two passes over
-    the persisted per-key relation; everything else is scalar."""
+    xᵢ ≤ 0 contribute 0 — for xᵢ = 0 that is the x·ln x → 0 limit; a
+    NEGATIVE per-key total is outside Theil's domain and is clamped to
+    a 0 contribution as well (the when/otherwise below maps every
+    non-positive r to 0, so a negative never reaches the log — callers
+    needing to DETECT negatives should pre-assert, the index will not
+    flag them). Two passes over the persisted per-key relation;
+    everything else is scalar."""
     per_key = (
         df.groupBy(key_col)
         .agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("r"))

@@ -363,19 +363,31 @@ def image_ahash_dup_pairs(
     assets: DataFrame, hash_size: int = 8, max_bucket: int = 10000
 ) -> DataFrame:
     """Image near-duplicate pairs by identical average-hash: hash every
-    image (one decode pass), then equal-hash pairs via the shared
-    bounded-bucket machinery (dedup.bucket_candidate_pairs — the same
-    hot-bucket cap as every other bucket join). Shuffle carries
-    (64-char hash, id); pair expansion is executor-local.
+    image in ONE decode pass, then equal-hash pairs by the same
+    sorted-array expansion as dedup.bucket_candidate_pairs (identical
+    hot-bucket cap semantics: buckets larger than ``max_bucket`` emit no
+    pairs). The bucket key IS the hash, so the expansion carries it
+    through instead of joining back to the hash relation — the r5 form's
+    join-back re-evaluated the mapInPandas subtree and decoded every
+    image twice (ADVICE r5). Each image has exactly one hash, so every
+    pair surfaces in exactly one bucket and no final distinct is needed.
+    Shuffle carries (64-char hash, id); pair expansion is executor-local.
 
     Output: (id_a, id_b, ahash) with id_a < id_b.
     """
-    from .dedup import bucket_candidate_pairs
-
     hashes = image_ahash(assets, hash_size)
-    pairs = bucket_candidate_pairs(hashes, ["ahash"], "asset_id", max_bucket)
-    return (
-        pairs.join(
-            hashes.withColumnsRenamed({"asset_id": "id_a"}), "id_a"
-        ).select("id_a", "id_b", "ahash")
+    buckets = (
+        hashes.groupBy("ahash")
+        .agg(F.sort_array(F.collect_list("asset_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pos = buckets.select(
+        "ahash", F.posexplode("ids").alias("_pos", "id_a"), "ids"
+    )
+    return pos.select(
+        "id_a",
+        F.explode(F.slice("ids", F.col("_pos") + 2, F.size("ids"))).alias(
+            "id_b"
+        ),
+        "ahash",
     )

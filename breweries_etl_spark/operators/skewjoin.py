@@ -38,15 +38,18 @@ def heavy_keys(
     # 5 fact scans for one salted join). Persisting the narrow
     # (key, count) relation pins detection to ONE fact pass; it spills
     # to disk via the default MEMORY_AND_DISK level if the key domain
-    # outgrows executor storage. The cache lives for the caller's
-    # session (the joined result is corpus-scale, so an eager
-    # checkpoint-release is not an option); callers doing repeated
-    # one-shot joins should clearCache between them.
+    # outgrows executor storage. The cache cannot be eagerly released
+    # here (the joined result is corpus-scale, so a checkpoint-release
+    # is not an option) — instead the handle rides on the returned
+    # frame as ``_heavy_cache`` (and on through ``salted_join``), so a
+    # long-lived caller can ``df._heavy_cache.unpersist()``
+    # deterministically once the join has materialized, instead of
+    # reaching for session-wide clearCache (ADVICE r5).
     counts = fact.groupBy(key).agg(F.count(F.lit(1)).alias("__cnt")).persist()
     totals = counts.agg(
         F.sum("__cnt").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
     )
-    return (
+    heavy = (
         counts.crossJoin(F.broadcast(totals))
         # cnt > factor * total / nkeys, kept in exact integer form:
         # cnt * nkeys * 10 > factor*10 * total  (factor given to 0.1)
@@ -56,6 +59,8 @@ def heavy_keys(
         )
         .select(key)
     )
+    heavy._heavy_cache = counts  # type: ignore[attr-defined]
+    return heavy
 
 
 def salted_join(
@@ -89,9 +94,8 @@ def salted_join(
     else:
         salt_src = F.xxhash64(salt_on)
 
-    heavy = heavy_keys(fact, fact_key, heat_factor).withColumn(
-        "__heavy", F.lit(True)
-    )
+    heavy_raw = heavy_keys(fact, fact_key, heat_factor)
+    heavy = heavy_raw.withColumn("__heavy", F.lit(True))
 
     f = (
         fact.join(F.broadcast(heavy), fact_key, "left")
@@ -127,4 +131,8 @@ def salted_join(
         d,
         (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"]),
     )
-    return joined.drop(d["__salt"]).drop(f["__salt"])
+    out = joined.drop(d["__salt"]).drop(f["__salt"])
+    # Propagate the heavy-key cache handle so callers can unpersist
+    # deterministically after materializing the join (ADVICE r5).
+    out._heavy_cache = heavy_raw._heavy_cache  # type: ignore[attr-defined]
+    return out

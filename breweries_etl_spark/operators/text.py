@@ -611,7 +611,7 @@ def perplexity_buckets(
         F.col("ppl").asc(), F.col("doc_id").asc()
     )
     bucket = F.ntile(3).over(w)
-    return (
+    result = (
         df.select("doc_id", lang_col)
         .join(scores, "doc_id")
         .select(
@@ -627,6 +627,13 @@ def perplexity_buckets(
             .otherwise(F.lit("tail")),
         )
     )
+    if not release:
+        # Propagate the caller-managed cache handle: the r5 form left
+        # it stranded on the intermediate `scores` frame, which these
+        # transformations drop — making the bigram-count persist
+        # reclaimable only via session-wide clearCache (ADVICE r5).
+        result._bigram_cache = scores._bigram_cache  # type: ignore[attr-defined]
+    return result
 
 
 def winnowing_fingerprints(

@@ -23,8 +23,19 @@ def _batch_cents(values) -> int:
     accumulation made the state ORDER-DEPENDENT (micro-batch boundaries
     changed last-ulp totals, keeping the query rows-only); integer cents
     are associative, so the final state is independent of batching and
-    SQL-replayable (decimal-sum discipline, functions/exact.py)."""
-    return int((values.round(2) * 100).round().astype("int64").sum())
+    SQL-replayable (decimal-sum discipline, functions/exact.py).
+
+    Per-value rounding is HALF-UP (away from zero), matching the
+    oracle's CAST(value AS DECIMAL(12,2)) in DuckDB — pandas round()
+    is half-to-EVEN, so an input with >2 decimals landing on an exact
+    half-cent (e.g. 0.125, whose double is exact) would diverge from
+    the SQL replay by one cent (ADVICE r5). sign·floor(|v|·100 + 0.5)
+    is pure IEEE arithmetic on the same double the oracle casts."""
+    import numpy as np
+
+    scaled = values.astype("float64").to_numpy() * 100.0
+    cents = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+    return int(cents.astype("int64").sum())
 
 
 def _update_profile(
