@@ -6912,6 +6912,403 @@ FROM within JOIN grid ON (10 * cum_g + n_g - 1) // n_g = k
 """
 
 
+
+
+# ---------------------------------------------------------------- round 6
+# Rank/parametric statistics wave: Spearman, Kruskal-Wallis, one-way
+# ANOVA, Welch's t — all on the sortless prefix-count / exact-decimal
+# discipline (operators/hypotests.py).
+
+
+def q_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation (average ranks for ties) between
+    lineitem price and quantity — doubled integer ranks from the
+    bucketed prefix-count primitive, no global sort."""
+    from breweries_etl_spark.operators.hypotests import spearman_rho
+
+    return spearman_rho(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity"
+    )
+
+
+def q_kruskal_wallis_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the three return flags on price, with the
+    standard tie correction; fixed-point per-group terms."""
+    from breweries_etl_spark.operators.hypotests import kruskal_wallis
+
+    return kruskal_wallis(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+def q_anova_f_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F and eta-squared of price across return flags —
+    one conditional-moment pass, 6dp-rounded SSW terms."""
+    from breweries_etl_spark.operators.hypotests import anova_oneway
+
+    return anova_oneway(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+def q_welch_t_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch unequal-variance t test of price, returned vs not, with
+    Welch-Satterthwaite degrees of freedom."""
+    from breweries_etl_spark.operators.hypotests import welch_t_test
+
+    return welch_t_test(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        F.col("l_returnflag") == "R",
+    )
+
+
+_SPEAR_RANKS = """
+t AS (
+  SELECT l_extendedprice AS x, l_quantity AS y FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+), xv AS (SELECT x AS v, count(*) AS c FROM t GROUP BY 1),
+xc AS (
+  SELECT v, 2 * SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS u
+  FROM xv
+), yv AS (SELECT y AS v, count(*) AS c FROM t GROUP BY 1),
+yc AS (
+  SELECT v, 2 * SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS w
+  FROM yv
+)"""
+
+_ORACLES["spearman_price_qty"] = f"""
+WITH {_SPEAR_RANKS},
+r AS (
+  SELECT xc.u, yc.w FROM t
+  JOIN xc ON t.x = xc.v JOIN yc ON t.y = yc.v
+), s AS (
+  SELECT count(*) AS n,
+    SUM(CAST(u AS DECIMAL(38,0))) AS su,
+    SUM(CAST(w AS DECIMAL(38,0))) AS sw,
+    SUM(CAST(CAST(u AS DECIMAL(19,0)) * CAST(u AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS suu,
+    SUM(CAST(CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sww,
+    SUM(CAST(CAST(u AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS suw
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+                 - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) > 0
+        AND sqrt(CAST(n AS DOUBLE) * CAST(sww AS DOUBLE)
+                 - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) > 0 THEN
+    round((CAST(n AS DOUBLE) * CAST(suw AS DOUBLE)
+           - CAST(su AS DOUBLE) * CAST(sw AS DOUBLE))
+          / (sqrt(CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+                  - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+             * sqrt(CAST(n AS DOUBLE) * CAST(sww AS DOUBLE)
+                    - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))), 6)
+  END AS rho
+FROM s
+"""
+
+_ORACLES["kruskal_wallis_price_flag"] = """
+WITH vals AS (
+  SELECT l_returnflag AS g, l_extendedprice AS val FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+), vv AS (SELECT val AS v, count(*) AS c FROM vals GROUP BY 1),
+uu AS (
+  SELECT v, c,
+    2 * SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS u
+  FROM vv
+), gv AS (SELECT g, val AS v, count(*) AS c_gv FROM vals GROUP BY 1, 2),
+pg AS (
+  SELECT g, SUM(c_gv) AS n_g,
+    SUM(CAST(CAST(c_gv AS DECIMAL(19,0)) * CAST(u AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS r2
+  FROM gv JOIN uu USING (v) GROUP BY g
+), ag AS (
+  SELECT SUM(n_g) AS n, count(*) AS k,
+    SUM(CAST(floor((CAST(r2 AS DOUBLE) / 2.0) * (CAST(r2 AS DOUBLE) / 2.0)
+                   / CAST(n_g AS DOUBLE) * 100.0) AS DECIMAL(38,0))) AS t_sum
+  FROM pg
+), tie AS (
+  SELECT SUM(CAST(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+                  * CAST(c AS DECIMAL(19,0)) - c AS DECIMAL(38,0))) AS tie_sum
+  FROM vv
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+  round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        * (CAST(t_sum AS DOUBLE) / 100.0)
+        - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+  CASE WHEN 1.0 - CAST(tie_sum AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               - CAST(n AS DOUBLE)) > 0 THEN
+    round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+           * (CAST(t_sum AS DOUBLE) / 100.0)
+           - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+          / (1.0 - CAST(tie_sum AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(n AS DOUBLE))), 6)
+  END AS h_tie_corrected
+FROM ag CROSS JOIN tie
+"""
+
+_ORACLES["anova_f_price_flag"] = """
+WITH per_g AS (
+  SELECT l_returnflag AS g, count(*) AS n_g,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_g,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS q_g
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1
+), s AS (
+  SELECT SUM(n_g) AS n, count(*) AS k,
+    SUM(CAST(s_g AS DECIMAL(38,2))) AS sx,
+    SUM(CAST(q_g AS DECIMAL(38,4))) AS q,
+    SUM(CAST(floor((CAST(q_g AS DOUBLE)
+                    - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                      / CAST(n_g AS DOUBLE)) * 100.0)
+             AS DECIMAL(38,0))) AS ssw
+  FROM per_g
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+  round((CAST(q AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+         / CAST(n AS DOUBLE)) - (CAST(ssw AS DOUBLE) / 100.0), 4) AS ss_between,
+  round((CAST(ssw AS DOUBLE) / 100.0), 4) AS ss_within,
+  CASE WHEN k > 1 AND (CAST(ssw AS DOUBLE) / 100.0) > 0 THEN
+    round((((CAST(q AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             / CAST(n AS DOUBLE)) - (CAST(ssw AS DOUBLE) / 100.0))
+           / (CAST(k AS DOUBLE) - 1.0))
+          / ((CAST(ssw AS DOUBLE) / 100.0) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+  END AS f_stat,
+  CASE WHEN (CAST(q AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             / CAST(n AS DOUBLE)) > 0 THEN
+    round(((CAST(q AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+            / CAST(n AS DOUBLE)) - (CAST(ssw AS DOUBLE) / 100.0))
+          / (CAST(q AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             / CAST(n AS DOUBLE)), 6)
+  END AS eta_sq
+FROM s
+"""
+
+_ORACLES["welch_t_price_returnflag"] = """
+WITH s AS (
+  SELECT
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS na,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS nb,
+    SUM(CASE WHEN l_returnflag = 'R'
+         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+         ELSE CAST(0 AS DECIMAL(18,2)) END) AS sa,
+    SUM(CASE WHEN l_returnflag = 'R'
+         THEN CAST(0 AS DECIMAL(18,2))
+         ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END) AS sb,
+    SUM(CASE WHEN l_returnflag = 'R'
+         THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))
+         ELSE CAST(0 AS DECIMAL(38,4)) END) AS qa,
+    SUM(CASE WHEN l_returnflag = 'R'
+         THEN CAST(0 AS DECIMAL(38,4))
+         ELSE CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))
+         END) AS qb
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), m AS (
+  -- the EXACT double sequence the engine uses: ma reused inside va
+  SELECT na, nb,
+    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)
+       * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)))
+      / (CAST(na AS DOUBLE) - 1.0) AS va,
+    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)
+       * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+      / (CAST(nb AS DOUBLE) - 1.0) AS vb
+  FROM s
+), e AS (
+  SELECT na, nb, ma, mb,
+    va / CAST(na AS DOUBLE) AS sea,
+    vb / CAST(nb AS DOUBLE) AS seb
+  FROM m
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  round(ma, 6) AS mean_a,
+  round(mb, 6) AS mean_b,
+  CASE WHEN na > 1 AND nb > 1 AND sea + seb > 0 THEN
+    round((ma - mb) / sqrt(sea + seb), 6)
+  END AS t_stat,
+  CASE WHEN na > 1 AND nb > 1 AND sea + seb > 0 THEN
+    round((sea + seb) * (sea + seb)
+          / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
+             + seb * seb / (CAST(nb AS DOUBLE) - 1.0)), 6)
+  END AS df
+FROM e
+"""
+
+
+
+
+def q_graph_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part co-purchase edges by embeddedness (common-neighbor
+    count = triangles through the edge) with neighbor-Jaccard and
+    Adamic-Adar — triangles enumerated once under degree-ordered
+    orientation, never per-pair adjacency joins."""
+    from breweries_etl_spark.operators.dedup import bucket_candidate_pairs
+    from breweries_etl_spark.operators.graph import edge_embeddedness_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    membership = li.select("l_orderkey", "l_partkey").distinct()
+    edges = bucket_candidate_pairs(membership, ["l_orderkey"], "l_partkey", 50)
+    return edge_embeddedness_topk(edges, "id_a", "id_b", k=20)
+
+
+def q_graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the part co-purchase graph by iterative peeling
+    (<= 8 rounds, early-stopped at the fixed point); oracled by an
+    8-iteration unrolled SQL replay where post-convergence iterations
+    are no-ops."""
+    from breweries_etl_spark.operators.dedup import bucket_candidate_pairs
+    from breweries_etl_spark.operators.graph import kcore_summary
+
+    li = load_table(spark, sf_dir, "lineitem")
+    membership = li.select("l_orderkey", "l_partkey").distinct()
+    edges = bucket_candidate_pairs(membership, ["l_orderkey"], "l_partkey", 50)
+    return kcore_summary(edges, "id_a", "id_b", k=4, max_rounds=8)
+
+
+_ORACLES["graph_edge_embeddedness"] = """
+WITH m AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), ok AS (
+  SELECT o FROM m GROUP BY o HAVING count(*) BETWEEN 2 AND 50
+), e AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM m a JOIN m b ON a.o = b.o AND a.p < b.p
+  JOIN ok ON a.o = ok.o
+), adj AS (
+  SELECT src AS a, dst AS c FROM e UNION ALL SELECT dst AS a, src AS c FROM e
+), deg AS (SELECT a AS n, count(*) AS deg FROM adj GROUP BY 1),
+cn AS (
+  SELECT e.src AS x, e.dst AS y, a1.c AS o
+  FROM e
+  JOIN adj a1 ON a1.a = e.src
+  JOIN adj a2 ON a2.a = e.dst AND a2.c = a1.c
+), pe AS (
+  SELECT x, y, count(*) AS cn,
+    SUM(CAST(round(1.0 / ln(dc.deg), 6) AS DECIMAL(18,6))) AS aa
+  FROM cn JOIN deg dc ON cn.o = dc.n GROUP BY 1, 2
+)
+SELECT e.src AS id_a, e.dst AS id_b,
+  CAST(COALESCE(pe.cn, 0) AS BIGINT) AS common_neighbors,
+  CASE WHEN dx.deg + dy.deg - 2 - COALESCE(pe.cn, 0) > 0 THEN
+    round(CAST(COALESCE(pe.cn, 0) AS DOUBLE)
+          / (CAST(dx.deg AS DOUBLE) + CAST(dy.deg AS DOUBLE) - 2.0
+             - CAST(COALESCE(pe.cn, 0) AS DOUBLE)), 6)
+  END AS jaccard,
+  COALESCE(CAST(pe.aa AS DOUBLE), 0.0) AS adamic_adar
+FROM e
+LEFT JOIN pe ON e.src = pe.x AND e.dst = pe.y
+JOIN deg dx ON e.src = dx.n
+JOIN deg dy ON e.dst = dy.n
+ORDER BY common_neighbors DESC, id_a ASC, id_b ASC LIMIT 20
+"""
+
+_ORACLES["graph_kcore_summary"] = """WITH m AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), ok AS MATERIALIZED (
+  SELECT o FROM m GROUP BY o HAVING count(*) BETWEEN 2 AND 50
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM m a JOIN m b ON a.o = b.o AND a.p < b.p
+  JOIN ok ON a.o = ok.o
+), n0 AS MATERIALIZED (
+  SELECT count(DISTINCT n) AS nn FROM
+    (SELECT src AS n FROM e0 UNION ALL SELECT dst FROM e0)
+),
+k1 AS MATERIALIZED (
+  SELECT n FROM (SELECT src AS n FROM e0 UNION ALL SELECT dst FROM e0)
+  GROUP BY n HAVING count(*) >= 4
+), e1 AS MATERIALIZED (
+  SELECT src, dst FROM e0
+  WHERE src IN (SELECT n FROM k1) AND dst IN (SELECT n FROM k1)
+), n1 AS MATERIALIZED (
+  SELECT count(DISTINCT n) AS nn FROM
+    (SELECT src AS n FROM e1 UNION ALL SELECT dst FROM e1)
+),
+k2 AS MATERIALIZED (
+  SELECT n FROM (SELECT src AS n FROM e1 UNION ALL SELECT dst FROM e1)
+  GROUP BY n HAVING count(*) >= 4
+), e2 AS MATERIALIZED (
+  SELECT src, dst FROM e1
+  WHERE src IN (SELECT n FROM k2) AND dst IN (SELECT n FROM k2)
+), n2 AS MATERIALIZED (
+  SELECT count(DISTINCT n) AS nn FROM
+    (SELECT src AS n FROM e2 UNION ALL SELECT dst FROM e2)
+),
+k3 AS MATERIALIZED (
+  SELECT n FROM (SELECT src AS n FROM e2 UNION ALL SELECT dst FROM e2)
+  GROUP BY n HAVING count(*) >= 4
+), e3 AS MATERIALIZED (
+  SELECT src, dst FROM e2
+  WHERE src IN (SELECT n FROM k3) AND dst IN (SELECT n FROM k3)
+), n3 AS MATERIALIZED (
+  SELECT count(DISTINCT n) AS nn FROM
+    (SELECT src AS n FROM e3 UNION ALL SELECT dst FROM e3)
+),
+k4 AS MATERIALIZED (
+  SELECT n FROM (SELECT src AS n FROM e3 UNION ALL SELECT dst FROM e3)
+  GROUP BY n HAVING count(*) >= 4
+), e4 AS MATERIALIZED (
+  SELECT src, dst FROM e3
+  WHERE src IN (SELECT n FROM k4) AND dst IN (SELECT n FROM k4)
+), n4 AS MATERIALIZED (
+  SELECT count(DISTINCT n) AS nn FROM
+    (SELECT src AS n FROM e4 UNION ALL SELECT dst FROM e4)
+),
+k5 AS MATERIALIZED (
+  SELECT n FROM (SELECT src AS n FROM e4 UNION ALL SELECT dst FROM e4)
+  GROUP BY n HAVING count(*) >= 4
+), e5 AS MATERIALIZED (
+  SELECT src, dst FROM e4
+  WHERE src IN (SELECT n FROM k5) AND dst IN (SELECT n FROM k5)
+), n5 AS MATERIALIZED (
+  SELECT count(DISTINCT n) AS nn FROM
+    (SELECT src AS n FROM e5 UNION ALL SELECT dst FROM e5)
+),
+k6 AS MATERIALIZED (
+  SELECT n FROM (SELECT src AS n FROM e5 UNION ALL SELECT dst FROM e5)
+  GROUP BY n HAVING count(*) >= 4
+), e6 AS MATERIALIZED (
+  SELECT src, dst FROM e5
+  WHERE src IN (SELECT n FROM k6) AND dst IN (SELECT n FROM k6)
+), n6 AS MATERIALIZED (
+  SELECT count(DISTINCT n) AS nn FROM
+    (SELECT src AS n FROM e6 UNION ALL SELECT dst FROM e6)
+),
+k7 AS MATERIALIZED (
+  SELECT n FROM (SELECT src AS n FROM e6 UNION ALL SELECT dst FROM e6)
+  GROUP BY n HAVING count(*) >= 4
+), e7 AS MATERIALIZED (
+  SELECT src, dst FROM e6
+  WHERE src IN (SELECT n FROM k7) AND dst IN (SELECT n FROM k7)
+), n7 AS MATERIALIZED (
+  SELECT count(DISTINCT n) AS nn FROM
+    (SELECT src AS n FROM e7 UNION ALL SELECT dst FROM e7)
+),
+k8 AS MATERIALIZED (
+  SELECT n FROM (SELECT src AS n FROM e7 UNION ALL SELECT dst FROM e7)
+  GROUP BY n HAVING count(*) >= 4
+), e8 AS MATERIALIZED (
+  SELECT src, dst FROM e7
+  WHERE src IN (SELECT n FROM k8) AND dst IN (SELECT n FROM k8)
+), n8 AS MATERIALIZED (
+  SELECT count(DISTINCT n) AS nn FROM
+    (SELECT src AS n FROM e8 UNION ALL SELECT dst FROM e8)
+)
+SELECT CAST(4 AS BIGINT) AS k,
+  CAST((SELECT nn FROM n0) AS BIGINT) AS n_nodes_initial,
+  CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges_initial,
+  CAST(CASE WHEN (SELECT nn FROM n1) < (SELECT nn FROM n0) THEN 1 ELSE 0 END + CASE WHEN (SELECT nn FROM n2) < (SELECT nn FROM n1) THEN 1 ELSE 0 END + CASE WHEN (SELECT nn FROM n3) < (SELECT nn FROM n2) THEN 1 ELSE 0 END + CASE WHEN (SELECT nn FROM n4) < (SELECT nn FROM n3) THEN 1 ELSE 0 END + CASE WHEN (SELECT nn FROM n5) < (SELECT nn FROM n4) THEN 1 ELSE 0 END + CASE WHEN (SELECT nn FROM n6) < (SELECT nn FROM n5) THEN 1 ELSE 0 END + CASE WHEN (SELECT nn FROM n7) < (SELECT nn FROM n6) THEN 1 ELSE 0 END + CASE WHEN (SELECT nn FROM n8) < (SELECT nn FROM n7) THEN 1 ELSE 0 END AS BIGINT) AS n_peel_rounds,
+  CAST((SELECT nn FROM n8) AS BIGINT) AS n_nodes_core,
+  CAST((SELECT count(*) FROM e8) AS BIGINT) AS n_edges_core
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -7186,6 +7583,12 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_customer_revenue": q_theil_customer_revenue,
         "lorenz_customer_revenue": q_lorenz_customer_revenue,
         "quantile_normalize_price": q_quantile_normalize_price,
+        "spearman_price_qty": q_spearman_price_qty,
+        "kruskal_wallis_price_flag": q_kruskal_wallis_price_flag,
+        "anova_f_price_flag": q_anova_f_price_flag,
+        "welch_t_price_returnflag": q_welch_t_price_returnflag,
+        "graph_edge_embeddedness": q_graph_edge_embeddedness,
+        "graph_kcore_summary": q_graph_kcore_summary,
     }
 
 

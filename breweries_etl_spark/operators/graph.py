@@ -503,3 +503,184 @@ def dedup_cluster_canonical(
         )
         .orderBy("cluster_id")
     )
+
+
+def edge_embeddedness_topk(
+    pairs: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 20,
+) -> DataFrame:
+    """Link-strength / link-prediction scores for every EXISTING edge:
+    the number of common neighbors (edge embeddedness = triangles
+    through the edge), the neighbor Jaccard cn/(deg_a + deg_b − 2 − cn),
+    and the Adamic–Adar score Σ_c 1/ln(deg(c)) over the common
+    neighbors c. Top-k edges by (common_neighbors desc, id_a, id_b).
+
+    Scale shape: common neighbors are NOT counted by joining the two
+    adjacency lists per pair (quadratic on hub nodes). Instead the
+    triangles are enumerated once under the degree-ordered orientation
+    (same O(√m) out-degree bound as ``triangle_stats`` — Suri &
+    Vassilvitskii WWW'11), and each triangle {x,y,z} is exploded into
+    its three (edge, opposite-node) incidences; counting per edge gives
+    the embeddedness, and joining deg(opposite) gives the Adamic–Adar
+    terms, per-term rounded to 6 dp and summed in decimal (the portable
+    log recipe). Edges in no triangle surface with zero counts via a
+    left join against the canonical edge list.
+    """
+    und = _undirected(pairs, src_col, dst_col).persist()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        und.join(du, und.src == du.u)
+        .join(dv, und.dst == dv.v)
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .persist()
+    )
+    e2 = oriented.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = oriented.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    paths = oriented.join(e2, oriented.b == e2.b2).select("a", "b", "c")
+    tris = paths.join(e3, (paths.a == e3.a3) & (paths.c == e3.c3)).select(
+        "a", "b", "c"
+    )
+    # explode each triangle into (edge endpoints canonical, opposite)
+    inc = tris.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("x"),
+                    F.greatest("a", "b").alias("y"),
+                    F.col("c").alias("o"),
+                ),
+                F.struct(
+                    F.least("a", "c").alias("x"),
+                    F.greatest("a", "c").alias("y"),
+                    F.col("b").alias("o"),
+                ),
+                F.struct(
+                    F.least("b", "c").alias("x"),
+                    F.greatest("b", "c").alias("y"),
+                    F.col("a").alias("o"),
+                ),
+            )
+        ).alias("i")
+    ).select("i.x", "i.y", "i.o")
+    do = deg.select(F.col("src").alias("o"), F.col("deg").alias("deg_o"))
+    per_edge = (
+        inc.join(do, "o")
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(
+                F.round(F.lit(1.0) / F.log(F.col("deg_o")), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("aa"),
+        )
+    )
+    canon = und.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    dx = deg.select(F.col("src").alias("x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("src").alias("y"), F.col("deg").alias("deg_y"))
+    joined = (
+        canon.join(per_edge, ["x", "y"], "left")
+        .join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.col("x").alias("id_a"),
+            F.col("y").alias("id_b"),
+            F.coalesce(F.col("cn"), F.lit(0)).cast("long").alias(
+                "common_neighbors"
+            ),
+            F.when(
+                (F.col("deg_x") + F.col("deg_y") - 2 - F.coalesce(F.col("cn"), F.lit(0)))
+                > 0,
+                F.round(
+                    F.coalesce(F.col("cn"), F.lit(0)).cast("double")
+                    / (
+                        F.col("deg_x").cast("double")
+                        + F.col("deg_y").cast("double")
+                        - F.lit(2.0)
+                        - F.coalesce(F.col("cn"), F.lit(0)).cast("double")
+                    ),
+                    6,
+                ),
+            ).otherwise(F.lit(None).cast("double")).alias("jaccard"),
+            F.coalesce(F.col("aa").cast("double"), F.lit(0.0)).alias(
+                "adamic_adar"
+            ),
+        )
+        .orderBy(F.desc("common_neighbors"), "id_a", "id_b")
+        .limit(k)
+    )
+    result = _checkpointed(joined)
+    for c in (oriented, deg, und):
+        c.unpersist()
+    return result
+
+
+def kcore_summary(
+    pairs: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 4,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """k-core decomposition summary: iteratively peel nodes of degree
+    < k (each removal can expose new sub-k nodes) and report the
+    surviving core — the standard "dense nucleus" statistic for
+    community/spam analysis at graph scale.
+
+    O(rounds) driver loop like ``bfs_levels``: each round is one degree
+    aggregate + one semi-join filter, all hash-partitioned, lineage
+    truncated by per-round checkpoint-free persists (the edge relation
+    shrinks monotonically). The loop runs AT MOST ``max_rounds`` and
+    stops early at the fixed point (no node dropped) — a converged
+    state is a fixed point, so a fixed-``max_rounds`` SQL replay (each
+    extra iteration a no-op) produces the identical core, and
+    ``n_peel_rounds`` (rounds that actually removed a node) is the
+    count of strict node-count decreases on both sides. Output one
+    row: (k, n_nodes_initial, n_edges_initial, n_peel_rounds,
+    n_nodes_core, n_edges_core)."""
+    und = _undirected(pairs, src_col, dst_col).persist()
+    n_nodes0 = und.select("src").distinct().count()
+    n_edges0 = und.count() // 2
+    cur = und
+    live = [und]
+    n_peel = 0
+    prev_nodes = n_nodes0
+    for _ in range(max_rounds):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        nxt = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .persist()
+        )
+        n_nodes = nxt.select("src").distinct().count()
+        live.append(nxt)
+        cur = nxt
+        if n_nodes == prev_nodes:
+            break
+        n_peel += 1
+        prev_nodes = n_nodes
+    n_edges_core = cur.count() // 2
+    spark = pairs.sparkSession
+    out = spark.createDataFrame(
+        [(k, n_nodes0, n_edges0, n_peel, prev_nodes, n_edges_core)],
+        "k long, n_nodes_initial long, n_edges_initial long, "
+        "n_peel_rounds long, n_nodes_core long, n_edges_core long",
+    )
+    for c in live:
+        c.unpersist()
+    return out

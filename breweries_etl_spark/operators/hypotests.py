@@ -559,3 +559,299 @@ def gini_concentration(
         ).alias("hhi"),
     )
     return _released(result, pc, release)
+
+
+def value_prefix_counts(df: DataFrame, value_col: str) -> DataFrame:
+    """(v, c, cum): per distinct value its multiplicity and the EXACT
+    global cumulative count — the single-population view of
+    ``grouped_value_prefix_counts`` (group A empty), from which average
+    ranks derive in closed integer form: the tied block for value v
+    occupies positions cum−c+1 … cum, so twice its average rank is
+    2·cum − c + 1 (an INTEGER — no .5 floats anywhere near the
+    arithmetic). Carries the same ``_vc_cache`` handle contract."""
+    pc = grouped_value_prefix_counts(df, value_col, F.lit(False))
+    out = pc.select(
+        "v", F.col("cb").alias("c"), F.col("cum_b").alias("cum")
+    )
+    out._vc_cache = pc._vc_cache  # type: ignore[attr-defined]
+    return out
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    release: bool = True,
+) -> DataFrame:
+    """Exact Spearman rank correlation (average ranks for ties) between
+    two numeric columns — the robust monotone-association measure that
+    Pearson misreads under outliers/nonlinearity; standard drift check
+    between a feature and a target at corpus scale.
+
+    No global sort: each column's average ranks come from the bucketed
+    prefix-count primitive (value-domain-sized relations, hash
+    partitioned), the fact rows pick their ranks up via two plain
+    shuffle equi-joins on the value, and Spearman is then Pearson over
+    the INTEGER doubled-ranks u = 2·cum − c + 1 — five exact
+    decimal(38,0) sums and one fixed double expression:
+    ρ = (N·Σuw − Σu·Σw) / (√(N·Σu² − (Σu)²)·√(N·Σw² − (Σw)²)).
+    u ≤ 2N keeps Σu² ≤ 4N³ inside decimal(38,0) to N ≈ 10¹¹ rows.
+
+    Output one row: (n, rho). NULLs in either column are excluded
+    (pairwise-complete).
+    """
+    pairs = df.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    px = value_prefix_counts(pairs, "x")
+    py = value_prefix_counts(pairs, "y")
+    ux = px.select(
+        F.col("v").alias("x"),
+        (F.lit(2) * F.col("cum") - F.col("c") + F.lit(1)).alias("u"),
+    )
+    wy = py.select(
+        F.col("v").alias("y"),
+        (F.lit(2) * F.col("cum") - F.col("c") + F.lit(1)).alias("w"),
+    )
+    d38 = "decimal(38,0)"
+    ranked = pairs.join(ux, "x").join(wy, "y")
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("u").cast(d38)).alias("su"),
+        F.sum(F.col("w").cast(d38)).alias("sw"),
+        F.sum((F.col("u").cast(d38) * F.col("u")).cast(d38)).alias("suu"),
+        F.sum((F.col("w").cast(d38) * F.col("w")).cast(d38)).alias("sww"),
+        F.sum((F.col("u").cast(d38) * F.col("w")).cast(d38)).alias("suw"),
+    )
+    n = F.col("n").cast("double")
+    su = F.col("su").cast("double")
+    sw = F.col("sw").cast("double")
+    num = n * F.col("suw").cast("double") - su * sw
+    dx = F.sqrt(n * F.col("suu").cast("double") - su * su)
+    dy = F.sqrt(n * F.col("sww").cast("double") - sw * sw)
+    result = sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.when((dx > 0) & (dy > 0), F.round(num / (dx * dy), 6)).alias(
+            "rho"
+        ),
+    )
+    if release:
+        from .dedup import _release_caches
+
+        return _release_caches(
+            result, [px._vc_cache, py._vc_cache]  # type: ignore[attr-defined]
+        )
+    return result
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    release: bool = True,
+) -> DataFrame:
+    """Exact Kruskal–Wallis H test (the k-group generalization of
+    Mann–Whitney): are the value distributions of k groups shifted
+    relative to each other? Rank-based, so it needs no normality
+    assumption — the standard "did any shard drift" omnibus test.
+
+    Global average ranks come from the prefix-count primitive (no
+    global sort; value-domain relations only). Per (group, value)
+    counts join the doubled-rank u = 2·cum − c + 1, giving EXACT
+    integer doubled rank-sums 2R_g = Σ c_gv·u_v per group. Then
+
+        H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),
+
+    with the per-group double term R_g²/n_g accumulated as
+    floor(term·100) in decimal(38,0) — fixed-point floor, not decimal
+    rounding, because R_g²/4/n_g lands on exact dyadic ties where
+    HALF_UP implementations can disagree in the last digit (the EWMA
+    recipe); 2 fractional digits keep magnitude ≈ N³ inside 38 digits
+    where 6 would not. The tie correction
+    C = 1 − Σ_v(c_v³−c_v)/(N³−N) comes from an exact decimal(38,0)
+    sum over distinct values. Output one row:
+    (n, k_groups, h, h_tie_corrected).
+    """
+    vals = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("val")
+    ).filter(F.col("val").isNotNull() & F.col("g").isNotNull())
+    pc = value_prefix_counts(vals.select(F.col("val").alias("v")), "v")
+    u = pc.select(
+        "v",
+        (F.lit(2) * F.col("cum") - F.col("c") + F.lit(1)).alias("u"),
+        "c",
+    )
+    d38 = "decimal(38,0)"
+    gv = vals.groupBy("g", F.col("val").alias("v")).agg(
+        F.count(F.lit(1)).alias("c_gv")
+    )
+    per_g = (
+        gv.join(u.select("v", "u"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c_gv").alias("n_g"),
+            F.sum((F.col("c_gv").cast(d38) * F.col("u")).cast(d38)).alias(
+                "r2"
+            ),
+        )
+    )
+    # R_g = r2/2; term = R_g² / n_g as floor(term·100) — pure IEEE ops
+    # on identically-derived doubles, so no rounding-tie divergence
+    term = F.floor(
+        (F.col("r2").cast("double") / 2.0)
+        * (F.col("r2").cast("double") / 2.0)
+        / F.col("n_g").cast("double")
+        * 100.0
+    ).cast(d38)
+    agg_g = per_g.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(term).alias("t_sum"),
+    )
+    ties = pc.agg(
+        F.sum(
+            (
+                F.col("c").cast(d38) * F.col("c") * F.col("c")
+                - F.col("c")
+            ).cast(d38)
+        ).alias("tie_sum")
+    )
+    n = F.col("n").cast("double")
+    h = (
+        F.lit(12.0)
+        / (n * (n + F.lit(1.0)))
+        * (F.col("t_sum").cast("double") / F.lit(100.0))
+        - F.lit(3.0) * (n + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("tie_sum").cast("double") / (n * n * n - n)
+    result = agg_g.crossJoin(F.broadcast(ties)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.round(h, 6).alias("h"),
+        F.when(corr > 0, F.round(h / corr, 6)).alias("h_tie_corrected"),
+    )
+    return _released(result, pc, release)
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Classic one-way ANOVA F test across k groups plus the eta²
+    effect size — the parametric companion to ``kruskal_wallis``.
+
+    ONE map-side-combinable aggregation pass builds per-group exact
+    moments (n_g, Σx as decimal(38,2), Σx² as decimal(38,4)); the
+    k-row relation then folds SSW = Σ_g floor((Q_g − S_g²/n_g)·100)
+    / 100 as a decimal(38,0) fixed-point sum — floor, NOT a decimal
+    round, because the term's magnitude (≈ variance·n) can exceed the
+    double's 6-dp resolution, where HALF_UP implementations disagree
+    while floor of the same IEEE double is engine-independent. SST
+    comes from the exact global sums in one fixed double sequence,
+    SSB = SST − SSW. F = (SSB/(k−1)) / (SSW/(N−k)); eta² = SSB/SST.
+    Output one row: (n, k_groups, ss_between, ss_within, f_stat,
+    eta_sq)."""
+    x = F.col(value_col).cast("decimal(18,2)")
+    per_g = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(x).alias("s_g"),
+            F.sum((x * x).cast("decimal(38,4)")).alias("q_g"),
+        )
+    )
+    ssw_term = F.floor(
+        (
+            F.col("q_g").cast("double")
+            - F.col("s_g").cast("double")
+            * F.col("s_g").cast("double")
+            / F.col("n_g").cast("double")
+        )
+        * 100.0
+    ).cast("decimal(38,0)")
+    sums = per_g.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("s_g").cast("decimal(38,2)")).alias("s"),
+        F.sum(F.col("q_g").cast("decimal(38,4)")).alias("q"),
+        F.sum(ssw_term).alias("ssw"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    sst = F.col("q").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ).cast("double") / n
+    ssw = F.col("ssw").cast("double") / F.lit(100.0)
+    ssb = sst - ssw
+    f = (ssb / (k - F.lit(1.0))) / (ssw / (n - k))
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.when((F.col("k") > 1) & (ssw > 0), F.round(f, 6)).alias("f_stat"),
+        F.when(sst > 0, F.round(ssb / sst, 6)).alias("eta_sq"),
+    )
+
+
+def welch_t_test(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t test between the rows where
+    ``group_expr`` is true (A) and the rest (B) — the mean-shift test
+    that stays valid when the two samples' variances differ (Student's
+    pooled form does not), with the Welch–Satterthwaite effective
+    degrees of freedom.
+
+    ONE conditional aggregation pass (no second scan, no shuffle
+    beyond the scalar agg): per side n, Σx (decimal(38,2)), Σx²
+    (decimal(38,4)), then a fixed double sequence for means, unbiased
+    variances, t = (m_a−m_b)/√(v_a/n_a + v_b/n_b), and
+    df = (v_a/n_a + v_b/n_b)² / ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1)).
+    Output one row: (n_a, n_b, mean_a, mean_b, t_stat, df)."""
+    x = F.col(value_col).cast("decimal(18,2)")
+    a = group_expr.cast("boolean")
+    sums = df.filter(F.col(value_col).isNotNull()).agg(
+        F.sum(F.when(a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(a, 0).otherwise(1)).alias("nb"),
+        F.sum(F.when(a, x).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("sa"),
+        F.sum(F.when(~a, x).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("sb"),
+        F.sum(
+            F.when(a, (x * x).cast("decimal(38,4)")).otherwise(
+                F.lit(0).cast("decimal(38,4)")
+            )
+        ).alias("qa"),
+        F.sum(
+            F.when(~a, (x * x).cast("decimal(38,4)")).otherwise(
+                F.lit(0).cast("decimal(38,4)")
+            )
+        ).alias("qb"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / na
+    mb = F.col("sb").cast("double") / nb
+    va = (F.col("qa").cast("double") - F.col("sa").cast("double") * ma) / (
+        na - F.lit(1.0)
+    )
+    vb = (F.col("qb").cast("double") - F.col("sb").cast("double") * mb) / (
+        nb - F.lit(1.0)
+    )
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))
+    )
+    ok = (F.col("na") > 1) & (F.col("nb") > 1)
+    return sums.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.when(ok & (se2 > 0), F.round(t, 6)).alias("t_stat"),
+        F.when(ok & (se2 > 0), F.round(dof, 6)).alias("df"),
+    )
