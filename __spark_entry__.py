@@ -7309,6 +7309,216 @@ SELECT CAST(4 AS BIGINT) AS k,
 """
 
 
+
+
+def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan audit over the four TPC-H-ish relationships — one
+    left-anti join each, AQE free to broadcast genuinely small
+    parents."""
+    from breweries_etl_spark.operators.quality import (
+        referential_integrity_audit,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    return referential_integrity_audit(
+        [
+            ("lineitem.orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem.partkey->part", li, "l_partkey", part, "p_partkey"),
+            ("lineitem.suppkey->supplier", li, "l_suppkey", supplier, "s_suppkey"),
+            ("orders.custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+        ]
+    )
+
+
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag 1..7 autocorrelation of the daily event-value series —
+    calendar-bounded daily relation, exact decimal moment expansion,
+    no per-term rounding."""
+    from breweries_etl_spark.operators.temporal import acf_daily
+
+    return acf_daily(load_events(spark, sf_dir))
+
+
+def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of daily event value: median of the
+    calendar-bounded pairwise-slope set via percentile_disc picks."""
+    from breweries_etl_spark.operators.temporal import theil_sen_daily_trend
+
+    return theil_sen_daily_trend(load_events(spark, sf_dir))
+
+
+def q_ridge2_price_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form 2-feature ridge regression (lambda=1e6) per
+    returnflag — penalized twin of ols2_price_qty_discount."""
+    from breweries_etl_spark.operators.mltrain import ridge2_fit
+
+    return ridge2_fit(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+    )
+
+
+def q_hapax_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus vocabulary fingerprint: token/vocab totals, hapax
+    and dis legomena, type-token ratio."""
+    return text.vocab_stats(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLES["referential_orphans"] = """
+WITH rels AS (
+  SELECT 'lineitem.orderkey->orders' AS relationship,
+    (SELECT count(*) FROM lineitem) AS n_child_rows,
+    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_null_keys,
+    (SELECT count(*) FROM lineitem c WHERE c.l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey))
+      AS n_orphan_rows,
+    (SELECT count(DISTINCT c.l_orderkey) FROM lineitem c
+      WHERE c.l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey))
+      AS n_orphan_keys
+  UNION ALL
+  SELECT 'lineitem.partkey->part',
+    (SELECT count(*) FROM lineitem),
+    (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+    (SELECT count(*) FROM lineitem c WHERE c.l_partkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey)),
+    (SELECT count(DISTINCT c.l_partkey) FROM lineitem c
+      WHERE c.l_partkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey))
+  UNION ALL
+  SELECT 'lineitem.suppkey->supplier',
+    (SELECT count(*) FROM lineitem),
+    (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL),
+    (SELECT count(*) FROM lineitem c WHERE c.l_suppkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.l_suppkey)),
+    (SELECT count(DISTINCT c.l_suppkey) FROM lineitem c
+      WHERE c.l_suppkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.l_suppkey))
+  UNION ALL
+  SELECT 'orders.custkey->customer',
+    (SELECT count(*) FROM orders),
+    (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+    (SELECT count(*) FROM orders c WHERE c.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey)),
+    (SELECT count(DISTINCT c.o_custkey) FROM orders c
+      WHERE c.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey))
+)
+SELECT relationship, CAST(n_child_rows AS BIGINT) AS n_child_rows,
+  CAST(n_null_keys AS BIGINT) AS n_null_keys,
+  CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows,
+  CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys
+FROM rels
+"""
+
+_ORACLES["acf_daily_revenue"] = """
+WITH daily AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n,
+    SUM(CAST(y AS DECIMAL(38,2))) AS s,
+    SUM(CAST(y * y AS DECIMAL(38,4))) AS q
+  FROM daily
+), lags AS (SELECT unnest(range(1, 8)) AS lag),
+pairs AS (
+  SELECT lags.lag, a.y AS y, b.y AS y2
+  FROM daily a CROSS JOIN lags JOIN daily b ON b.day = a.day + lags.lag
+), per_lag AS (
+  SELECT lag, count(*) AS n_pairs,
+    SUM(CAST(y * y2 AS DECIMAL(38,4))) AS p,
+    SUM(CAST(y AS DECIMAL(38,2))) AS a,
+    SUM(CAST(y2 AS DECIMAL(38,2))) AS b
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+  CASE WHEN CAST(q AS DOUBLE)
+            - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+  THEN
+    round((CAST(p AS DOUBLE)
+           - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+           + CAST(n_pairs AS DOUBLE)
+             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+          / (CAST(q AS DOUBLE)
+             - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+  END AS acf
+FROM per_lag CROSS JOIN tot
+ORDER BY lag
+"""
+
+_ORACLES["theil_sen_daily_trend"] = """
+WITH daily AS MATERIALIZED (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events GROUP BY 1
+), slopes AS (
+  SELECT (CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE))
+         / CAST(b.day - a.day AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON a.day < b.day
+), med AS (
+  SELECT count(*) AS n_pairs, quantile_disc(slope, 0.5) AS slope_med
+  FROM slopes
+), resid AS (
+  SELECT CAST(d.y AS DOUBLE) - med.slope_med * CAST(d.day AS DOUBLE) AS r
+  FROM daily d CROSS JOIN med
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+  CAST(med.n_pairs AS BIGINT) AS n_pairs,
+  round(med.slope_med, 6) AS slope_per_day,
+  round((SELECT quantile_disc(r, 0.5) FROM resid), 4) AS intercept
+FROM med
+"""
+
+_R2A11 = f"({_O2C11} + 1000000.0 * {_O2N})"
+_R2A22 = f"({_O2C22} + 1000000.0 * {_O2N})"
+_R2DET = f"({_R2A11} * {_R2A22} - {_O2C12} * {_O2C12})"
+_R2B1 = f"(({_O2C1Y} * {_R2A22} - {_O2C2Y} * {_O2C12}) / {_R2DET})"
+_R2B2 = f"(({_O2C2Y} * {_R2A11} - {_O2C1Y} * {_O2C12}) / {_R2DET})"
+
+_ORACLES["ridge2_price_qty_discount"] = f"""
+WITH s AS ({_OLS2_MOM})
+SELECT l_returnflag, n,
+  round({_R2B1}, 6) AS b1,
+  round({_R2B2}, 6) AS b2,
+  round(({_O2['sy']} - {_R2B1} * {_O2['s1']} - {_R2B2} * {_O2['s2']})
+        / {_O2N}, 6) AS intercept,
+  CASE WHEN {_O2SST} > 0 THEN
+    round(({_R2B1} * {_O2C1Y} + {_R2B2} * {_O2C2Y}) / {_O2SST}, 6)
+  END AS explained
+FROM s
+"""
+
+_ORACLES["hapax_vocab_stats"] = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+s AS (
+  SELECT SUM(c) AS n_tokens, count(*) AS vocab,
+    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+    SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS dis
+  FROM uni
+)
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(vocab AS BIGINT) AS vocab_size,
+  CAST(hapax AS BIGINT) AS hapax_count,
+  CAST(dis AS BIGINT) AS dis_count,
+  round(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6) AS hapax_fraction,
+  round(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -7589,6 +7799,11 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_t_price_returnflag": q_welch_t_price_returnflag,
         "graph_edge_embeddedness": q_graph_edge_embeddedness,
         "graph_kcore_summary": q_graph_kcore_summary,
+        "referential_orphans": q_referential_orphans,
+        "acf_daily_revenue": q_acf_daily_revenue,
+        "theil_sen_daily_trend": q_theil_sen_daily_trend,
+        "ridge2_price_qty_discount": q_ridge2_price_qty_discount,
+        "hapax_vocab_stats": q_hapax_vocab_stats,
     }
 
 

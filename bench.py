@@ -195,6 +195,22 @@ FAMILIES: dict[str, list[str]] = {
         "lorenz_customer_revenue",
         "quantile_normalize_price",
     ],
+    # round-6 wave: rank/parametric tests, daily-series trend ops,
+    # link prediction + k-core (the two graph queries are join-heavy
+    # but non-iterative — no BFS/PageRank-style JIT warm-up cliff)
+    "r6wave": [
+        "spearman_price_qty",
+        "kruskal_wallis_price_flag",
+        "anova_f_price_flag",
+        "welch_t_price_returnflag",
+        "acf_daily_revenue",
+        "theil_sen_daily_trend",
+        "ridge2_price_qty_discount",
+        "hapax_vocab_stats",
+        "referential_orphans",
+        "graph_edge_embeddedness",
+        "graph_kcore_summary",
+    ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [
         "bpe_pair_counts",

@@ -606,3 +606,72 @@ def _pca_power_phase(
         "n long, dim int, trace_cov double, top_eigenvalue double, "
         "explained_ratio double",
     )
+
+
+def ridge2_fit(
+    df: DataFrame,
+    group_col: str,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    lam: float = 1_000_000.0,
+) -> DataFrame:
+    """Per-group closed-form TWO-feature RIDGE regression: minimizes
+    Σ(y − b0 − b1·x1 − b2·x2)² + λ·(b1² + b2²) over centered features,
+    solved explicitly — in the n-scaled component form the penalty adds
+    λ·n to the centered Gram diagonal: a11 = c11 + λn, a22 = c22 + λn
+    (c·· as in ``ols2_fit``), b = [a]⁻¹·c·y. The intercept is exact on
+    centered data (unpenalized), and ``explained`` reports
+    (b1·c1y + b2·c2y)/SST — the in-sample explained fraction, which for
+    λ>0 is a shrunk, not least-squares-optimal, quantity (labelled so).
+
+    Same scale shape as ``ols2_fit``: ONE map-side-combinable moment
+    pass, decimal-exact sums, fixed double solve; λ>0 makes the system
+    positive definite, so no singular-determinant NULL path is needed.
+    λ defaults to an illustrative 10⁶ (visible shrinkage at testdata
+    scale); the parity contract holds for any fixed λ."""
+    x1 = F.col(x1_col).cast("decimal(18,2)")
+    x2 = F.col(x2_col).cast("decimal(18,2)")
+    y = F.col(y_col).cast("decimal(18,2)")
+
+    def prod(a, b):
+        return F.sum((a * b).cast("decimal(38,4)"))
+
+    sums = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        prod(x1, x1).alias("s11"),
+        prod(x1, x2).alias("s12"),
+        prod(x2, x2).alias("s22"),
+        prod(x1, y).alias("s1y"),
+        prod(x2, y).alias("s2y"),
+        prod(y, y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    d = {c: F.col(c).cast("double") for c in
+         ["s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy"]}
+    c11 = n * d["s11"] - d["s1"] * d["s1"]
+    c12 = n * d["s12"] - d["s1"] * d["s2"]
+    c22 = n * d["s22"] - d["s2"] * d["s2"]
+    c1y = n * d["s1y"] - d["s1"] * d["sy"]
+    c2y = n * d["s2y"] - d["s2"] * d["sy"]
+    a11 = c11 + F.lit(lam) * n
+    a22 = c22 + F.lit(lam) * n
+    det = a11 * a22 - c12 * c12
+    sst = n * d["syy"] - d["sy"] * d["sy"]
+    b1 = (c1y * a22 - c2y * c12) / det
+    b2 = (c2y * a11 - c1y * c12) / det
+    return sums.select(
+        group_col,
+        F.col("n"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round((d["sy"] - b1 * d["s1"] - b2 * d["s2"]) / n, 6).alias(
+            "intercept"
+        ),
+        F.when(sst > 0, F.round((b1 * c1y + b2 * c2y) / sst, 6)).alias(
+            "explained"
+        ),
+    )

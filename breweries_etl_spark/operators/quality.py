@@ -365,3 +365,55 @@ def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
             F.col("n") / F.sum("n").over(tot) - F.log10(1 + 1 / F.col("digit")), 6
         ).alias("deviation"),
     )
+
+
+def referential_integrity_audit(
+    children: list[tuple[str, "DataFrame", str, "DataFrame", str]],
+) -> DataFrame:
+    """Foreign-key orphan audit across a list of relationships
+    ``(name, child_df, child_key, parent_df, parent_key)``: per
+    relationship the child row count, the number of child rows whose
+    key has no parent (orphans, NULL keys counted separately), and the
+    distinct orphan key count — the first data-quality scan any
+    warehouse onboarding runs.
+
+    Each relationship is one left-anti join on the key — hash
+    partitioned both sides, no broadcast assumption (parents are
+    fact-scale too at 100 TB; AQE may still choose a runtime broadcast
+    when a parent is actually small). The per-relationship summaries
+    are one-row aggregates unioned together.
+    """
+    outs = []
+    for name, child, child_key, parent, parent_key in children:
+        ck = F.col(child_key)
+        total = child.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.sum(ck.isNull().cast("long")).alias("n_null_keys"),
+        )
+        orphans = (
+            child.filter(ck.isNotNull())
+            .join(
+                parent.select(F.col(parent_key).alias(child_key)),
+                child_key,
+                "left_anti",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orphan_rows"),
+                F.countDistinct(ck).alias("n_orphan_keys"),
+            )
+        )
+        outs.append(
+            total.crossJoin(orphans).select(
+                F.lit(name).alias("relationship"),
+                F.col("n_child_rows").cast("long"),
+                F.coalesce(F.col("n_null_keys"), F.lit(0))
+                .cast("long")
+                .alias("n_null_keys"),
+                F.col("n_orphan_rows").cast("long"),
+                F.col("n_orphan_keys").cast("long"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

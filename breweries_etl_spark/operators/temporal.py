@@ -872,3 +872,148 @@ def decayed_type_popularity(
             "decayed_count"
         ),
     )
+
+
+def acf_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation of the DAILY total-value series at lags
+    1..max_lag — the "is there a weekly rhythm" diagnostic behind
+    seasonality-aware forecasting and anomaly baselines.
+
+    The raw data collapses to a calendar-bounded daily relation first
+    (integer day = unix_micros div 86400000000, exact decimal totals) —
+    at 100 TB the series is still only ~#days rows, so everything after
+    the one fact shuffle is bounded work. Lag pairing joins the series
+    to itself on day+lag (calendar lag: gap days simply produce no
+    pair). No per-term rounding anywhere: the numerator expands
+    algebraically to Σy_t·y_{t+k} − m·(ΣA + ΣB) + n_k·m², all inner
+    sums EXACT decimals, combined in one fixed double sequence; the
+    denominator is the full-series Q − S²/n. Output per lag:
+    (lag, n_pairs, acf)."""
+    # integer `div`, never floor(double division): an exact midnight
+    # boundary can land at k-epsilon in the float quotient (memory:
+    # integer-div bucketing rule)
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+    )
+    y = F.col(value_col).cast("decimal(18,2)")
+    daily = (
+        df.select(day.alias("day"), y.alias("y"))
+        .groupBy("day")
+        .agg(F.sum("y").alias("y"))
+        .persist()
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,2)")).alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("q"),
+    )
+    lagged = daily.select(
+        "day", "y", F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
+    )
+    d2 = daily.select(F.col("day").alias("day2"), F.col("y").alias("y2"))
+    pairs = lagged.join(
+        d2, lagged.day + lagged.lag == d2.day2
+    )
+    per_lag = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("y") * F.col("y2")).cast("decimal(38,4)")).alias("p"),
+        F.sum(F.col("y").cast("decimal(38,2)")).alias("a"),
+        F.sum(F.col("y2").cast("decimal(38,2)")).alias("b"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s").cast("double") / n
+    den = F.col("q").cast("double") - F.col("s").cast("double") * m
+    num = (
+        F.col("p").cast("double")
+        - m * (F.col("a").cast("double") + F.col("b").cast("double"))
+        + F.col("n_pairs").cast("double") * m * m
+    )
+    result = (
+        per_lag.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.when(den > 0, F.round(num / den, 6)).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])
+
+
+def theil_sen_daily_trend(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Theil–Sen robust trend of the daily total-value series: the
+    MEDIAN of all pairwise slopes (y_j−y_i)/(day_j−day_i), i<j — up to
+    ~29% contamination tolerance where OLS breaks on one bad day, the
+    standard robust drift estimator for operational metrics.
+
+    The pair set is quadratic in the DAY COUNT, which is
+    calendar-bounded (~2.5k days → ~3M pairs at ANY corpus scale), so
+    the self-join is distributed but bounded — the corpus-sized
+    relation is touched once by the daily aggregate. Each slope is one
+    double division of exact inputs (identical bits on any engine);
+    the median and the companion intercept median are
+    ``percentile_disc`` picks of actual elements, so no interpolation
+    arithmetic. Output one row: (n_days, n_pairs, slope_per_day,
+    intercept)."""
+    # integer `div`, never floor(double division): an exact midnight
+    # boundary can land at k-epsilon in the float quotient (memory:
+    # integer-div bucketing rule)
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+    )
+    y = F.col(value_col).cast("decimal(18,2)")
+    daily = (
+        df.select(day.alias("day"), y.alias("y"))
+        .groupBy("day")
+        .agg(F.sum("y").alias("y"))
+        .persist()
+    )
+    d2 = daily.select(F.col("day").alias("day2"), F.col("y").alias("y2"))
+    slopes = daily.join(d2, F.col("day") < F.col("day2")).select(
+        (
+            (F.col("y2").cast("double") - F.col("y").cast("double"))
+            / (F.col("day2") - F.col("day")).cast("double")
+        ).alias("slope")
+    )
+    med = slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)").alias(
+            "slope_med"
+        ),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        (
+            F.col("y").cast("double")
+            - F.col("slope_med") * F.col("day").cast("double")
+        ).alias("r")
+    )
+    inter = resid.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)").alias(
+            "intercept"
+        )
+    )
+    result = (
+        n_days.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(inter))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.col("slope_med"), 6).alias("slope_per_day"),
+            F.round(F.col("intercept"), 4).alias("intercept"),
+        )
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])

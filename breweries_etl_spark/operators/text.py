@@ -897,3 +897,42 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", k: int = 20) -> DataF
         .filter(F.col("rank") <= k)
         .select("pair", "n", "rank")
     )
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary profile in one row: token total, vocabulary
+    size, hapax/dis legomena counts (frequency-1/-2 types), their
+    type fractions, and the type-token ratio — the quick "is this
+    corpus natural language or templated spam" fingerprint (hapax
+    fraction ≈ 0.4–0.6 for natural text, near 0 for boilerplate).
+
+    One tokenize+explode pass into a map-side-combinable unigram count,
+    then a vocabulary-sized second aggregate — scan-speed, shuffle
+    bounded by |vocab|."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9_]+"), 0
+    )
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = uni.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).alias("hapax"),
+        F.sum((F.col("c") == 2).cast("long")).alias("dis"),
+    )
+    return agg.select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab_size"),
+        F.col("hapax").cast("long").alias("hapax_count"),
+        F.col("dis").cast("long").alias("dis_count"),
+        F.round(
+            F.col("hapax").cast("double") / F.col("vocab").cast("double"), 6
+        ).alias("hapax_fraction"),
+        F.round(
+            F.col("vocab").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("type_token_ratio"),
+    )

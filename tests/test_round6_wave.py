@@ -1,0 +1,238 @@
+"""Known-value unit tests for the round-6 wave: rank/parametric
+statistics (hand-computed textbook examples), graph link-prediction,
+k-core peeling, referential-integrity audit, daily-series trend ops,
+ridge shrinkage, vocabulary stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_spearman_no_ties_known(spark):
+    from breweries_etl_spark.operators.hypotests import spearman_rho
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 4.0)], "x double, y double"
+    )
+    r = spearman_rho(df, "x", "y").collect()[0]
+    assert r["n"] == 4
+    assert r["rho"] == pytest.approx(0.8)
+
+
+def test_spearman_with_ties_known(spark):
+    from breweries_etl_spark.operators.hypotests import spearman_rho
+
+    # x ranks (avg): 1.5, 1.5, 3 ; y ranks: 1, 2, 3 -> rho = 6/sqrt(48)
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 2.0), (2.0, 3.0)], "x double, y double"
+    )
+    r = spearman_rho(df, "x", "y").collect()[0]
+    assert r["rho"] == pytest.approx(0.866025, abs=1e-6)
+
+
+def test_spearman_perfect_and_reversed(spark):
+    from breweries_etl_spark.operators.hypotests import spearman_rho
+
+    df = spark.createDataFrame(
+        [(float(i), float(i * 2)) for i in range(1, 8)], "x double, y double"
+    )
+    assert spearman_rho(df, "x", "y").collect()[0]["rho"] == 1.0
+    rev = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(1, 8)], "x double, y double"
+    )
+    assert spearman_rho(rev, "x", "y").collect()[0]["rho"] == -1.0
+
+
+def test_kruskal_wallis_known(spark):
+    from breweries_etl_spark.operators.hypotests import kruskal_wallis
+
+    # scipy.stats.kruskal([1,2],[3,4]) -> H = 2.4, no ties
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)], "g string, v double"
+    )
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    assert r["n"] == 4 and r["k_groups"] == 2
+    assert r["h"] == pytest.approx(2.4, abs=1e-6)
+    assert r["h_tie_corrected"] == pytest.approx(2.4, abs=1e-6)
+
+
+def test_anova_known(spark):
+    from breweries_etl_spark.operators.hypotests import anova_oneway
+
+    # A=[1,2,3], B=[4,5,6]: SSB=13.5, SSW=4, F=13.5, eta2=13.5/17.5
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)],
+        "g string, v double",
+    )
+    r = anova_oneway(df, "g", "v").collect()[0]
+    assert r["ss_between"] == pytest.approx(13.5, abs=1e-2)
+    assert r["ss_within"] == pytest.approx(4.0, abs=1e-2)
+    assert r["f_stat"] == pytest.approx(13.5, abs=1e-4)
+    assert r["eta_sq"] == pytest.approx(13.5 / 17.5, abs=1e-6)
+
+
+def test_welch_t_known(spark):
+    from breweries_etl_spark.operators.hypotests import welch_t_test
+
+    # A=[1,2,3] (m=2,v=1), B=[2,4,6] (m=4,v=4):
+    # t = -2/sqrt(5/3), df = (5/3)^2 / ((1/9)/2 + (16/9)/2) = 50/17
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0), ("b", 6.0)],
+        "g string, v double",
+    )
+    r = welch_t_test(df, "v", F.col("g") == "a").collect()[0]
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert r["t_stat"] == pytest.approx(-1.549193, abs=1e-6)
+    assert r["df"] == pytest.approx(50 / 17, abs=1e-4)
+
+
+def test_edge_embeddedness_triangle_plus_tail(spark):
+    from breweries_etl_spark.operators.graph import edge_embeddedness_topk
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r
+    for r in edge_embeddedness_topk(edges).collect()}
+    assert rows[(1, 2)]["common_neighbors"] == 1
+    assert rows[(1, 3)]["common_neighbors"] == 1
+    assert rows[(2, 3)]["common_neighbors"] == 1
+    assert rows[(3, 4)]["common_neighbors"] == 0
+    # deg(1)=deg(2)=2, cn=1 -> jaccard = 1/(2+2-2-1) = 1
+    assert rows[(1, 2)]["jaccard"] == pytest.approx(1.0)
+    # opposite node of (1,2) is 3 with deg 3 -> AA = 1/ln(3)
+    assert rows[(1, 2)]["adamic_adar"] == pytest.approx(0.910239, abs=1e-6)
+    assert rows[(3, 4)]["adamic_adar"] == 0.0
+
+
+def test_kcore_path_peels_to_triangle(spark):
+    from breweries_etl_spark.operators.graph import kcore_summary
+
+    # path 1-2-3-4-5 dissolves under k=2; triangle 10-11-12 survives
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    r = kcore_summary(edges, k=2).collect()[0]
+    assert r["n_nodes_initial"] == 8 and r["n_edges_initial"] == 7
+    assert r["n_nodes_core"] == 3 and r["n_edges_core"] == 3
+    assert r["n_peel_rounds"] == 2
+
+
+def test_kcore_no_peel_fixed_point(spark):
+    from breweries_etl_spark.operators.graph import kcore_summary
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    r = kcore_summary(edges, k=2).collect()[0]
+    assert r["n_peel_rounds"] == 0
+    assert r["n_nodes_core"] == 3
+
+
+def test_referential_audit_finds_orphans(spark):
+    from breweries_etl_spark.operators.quality import (
+        referential_integrity_audit,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, 99), (6, None)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = referential_integrity_audit(
+        [("child.fk->parent", child, "fk", parent, "pk")]
+    ).collect()[0]
+    assert r["n_child_rows"] == 6
+    assert r["n_null_keys"] == 1
+    assert r["n_orphan_rows"] == 2
+    assert r["n_orphan_keys"] == 1
+
+
+def test_theil_sen_exact_linear(spark):
+    from breweries_etl_spark.operators.temporal import theil_sen_daily_trend
+
+    # y = 2.5 * day + 100 exactly (per-day single events)
+    rows = [
+        (i, f"1995-01-{d:02d} 00:00:00", 100.0 + 2.5 * d)
+        for i, d in enumerate(range(1, 11))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = theil_sen_daily_trend(df).collect()[0]
+    assert r["n_days"] == 10 and r["n_pairs"] == 45
+    assert r["slope_per_day"] == pytest.approx(2.5)
+    # intercept = median(y - 2.5*day) = 100 + 2.5*epoch-day-offset shift
+    assert r["intercept"] is not None
+
+
+def test_acf_lag_on_alternating_series(spark):
+    from breweries_etl_spark.operators.temporal import acf_daily
+
+    # alternating high/low daily values: acf(1) < 0 < acf(2)
+    rows = [
+        (i, f"1995-01-{d:02d} 00:00:00", 100.0 if d % 2 == 0 else 10.0)
+        for i, d in enumerate(range(1, 21))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["lag"]: r for r in acf_daily(df, max_lag=2).collect()}
+    assert out[1]["n_pairs"] == 19 and out[2]["n_pairs"] == 18
+    assert out[1]["acf"] < -0.8
+    assert out[2]["acf"] > 0.8
+
+
+def test_ridge_zero_lambda_matches_ols(spark, sf_dir):
+    from breweries_etl_spark.operators.mltrain import ols2_fit, ridge2_fit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ols = {
+        r["l_returnflag"]: r
+        for r in ols2_fit(
+            li, "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+        ).collect()
+    }
+    ridge = {
+        r["l_returnflag"]: r
+        for r in ridge2_fit(
+            li,
+            "l_returnflag",
+            "l_quantity",
+            "l_discount",
+            "l_extendedprice",
+            lam=0.0,
+        ).collect()
+    }
+    for flag, o in ols.items():
+        assert ridge[flag]["b1"] == pytest.approx(o["b1"], abs=1e-5)
+        assert ridge[flag]["b2"] == pytest.approx(o["b2"], abs=1e-5)
+
+
+def test_ridge_shrinks_toward_zero(spark):
+    from breweries_etl_spark.operators.mltrain import ridge2_fit
+
+    rows = [("g", float(i), float(i % 7), 3.0 * i + 2.0 * (i % 7) + 5.0)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+    b_small = ridge2_fit(df, "g", "x1", "x2", "y", lam=0.001).collect()[0]
+    b_big = ridge2_fit(df, "g", "x1", "x2", "y", lam=1e7).collect()[0]
+    assert abs(b_big["b1"]) < abs(b_small["b1"])
+    assert abs(b_big["b2"]) < abs(b_small["b2"])
+
+
+def test_vocab_stats_known(spark):
+    from breweries_etl_spark.operators.text import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")], "doc_id long, text string"
+    )
+    r = vocab_stats(df).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["vocab_size"] == 3
+    assert r["hapax_count"] == 2  # b, c
+    assert r["dis_count"] == 1  # a
+    assert r["type_token_ratio"] == pytest.approx(0.75)

@@ -90,6 +90,17 @@ QUERIES = [
     "kaplan_meier_retention", "curriculum_stages_scalable",
     "rfm_segments_scalable", "duplicate_span_stats",
     "dsir_importance_weights", "image_ahash_pairs",
+    # round-6 wave: rank stats ride the distinct-value relation (linear
+    # in distinct values); ANOVA/Welch/ridge are single-pass moments
+    # (~linear scan); ACF/Theil-Sen collapse to the calendar-bounded
+    # daily series first (pair set CONSTANT in corpus size); the two
+    # graph queries are join-shaped over the capped co-purchase graph
+    "spearman_price_qty", "kruskal_wallis_price_flag",
+    "anova_f_price_flag", "welch_t_price_returnflag",
+    "acf_daily_revenue", "theil_sen_daily_trend",
+    "ridge2_price_qty_discount", "hapax_vocab_stats",
+    "referential_orphans", "graph_edge_embeddedness",
+    "graph_kcore_summary",
 ]
 
 
