@@ -5459,9 +5459,9 @@ JOIN norms na ON na.label = label_a
 JOIN norms nb ON nb.label = label_b
 """
 
-_OLS_VARX = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+_OLS_VARX = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)))"
 _OLS_VARY = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
-_OLS_COV = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+_OLS_COV = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * CAST(sy AS DOUBLE))"
 _OLS_SLOPE = f"({_OLS_COV} / {_OLS_VARX})"
 
 _ORACLES["ols_price_on_quantity"] = f"""
@@ -5480,7 +5480,7 @@ WITH s AS (
 SELECT l_returnflag, n,
   CASE WHEN {_OLS_VARX} > 0 THEN round({_OLS_SLOPE}, 6) END AS slope,
   CASE WHEN {_OLS_VARX} > 0 THEN
-    round((CAST(sy AS DOUBLE) - {_OLS_SLOPE} * CAST(sx AS DOUBLE))
+    round((CAST(sy AS DOUBLE) - {_OLS_SLOPE} * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)))
           / CAST(n AS DOUBLE), 6) END AS intercept,
   CASE WHEN {_OLS_VARX} > 0 AND {_OLS_VARY} > 0 THEN
     round(({_OLS_COV} * {_OLS_COV}) / ({_OLS_VARX} * {_OLS_VARY}), 6)
@@ -6992,16 +6992,16 @@ r AS (
   FROM r
 )
 SELECT CAST(n AS BIGINT) AS n,
-  CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
-                 - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) > 0
-        AND sqrt(CAST(n AS DOUBLE) * CAST(sww AS DOUBLE)
-                 - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) > 0 THEN
-    round((CAST(n AS DOUBLE) * CAST(suw AS DOUBLE)
-           - CAST(su AS DOUBLE) * CAST(sw AS DOUBLE))
-          / (sqrt(CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
-                  - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
-             * sqrt(CAST(n AS DOUBLE) * CAST(sww AS DOUBLE)
-                    - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))), 6)
+  CASE WHEN sqrt(CAST(n AS DOUBLE) * (CAST(CAST(floor(suu) AS BIGINT) AS DOUBLE) + CAST(suu - floor(suu) AS DOUBLE))
+                 - (CAST(CAST(floor(su) AS BIGINT) AS DOUBLE) + CAST(su - floor(su) AS DOUBLE)) * (CAST(CAST(floor(su) AS BIGINT) AS DOUBLE) + CAST(su - floor(su) AS DOUBLE))) > 0
+        AND sqrt(CAST(n AS DOUBLE) * (CAST(CAST(floor(sww) AS BIGINT) AS DOUBLE) + CAST(sww - floor(sww) AS DOUBLE))
+                 - (CAST(CAST(floor(sw) AS BIGINT) AS DOUBLE) + CAST(sw - floor(sw) AS DOUBLE)) * (CAST(CAST(floor(sw) AS BIGINT) AS DOUBLE) + CAST(sw - floor(sw) AS DOUBLE))) > 0 THEN
+    round((CAST(n AS DOUBLE) * (CAST(CAST(floor(suw) AS BIGINT) AS DOUBLE) + CAST(suw - floor(suw) AS DOUBLE))
+           - (CAST(CAST(floor(su) AS BIGINT) AS DOUBLE) + CAST(su - floor(su) AS DOUBLE)) * (CAST(CAST(floor(sw) AS BIGINT) AS DOUBLE) + CAST(sw - floor(sw) AS DOUBLE)))
+          / (sqrt(CAST(n AS DOUBLE) * (CAST(CAST(floor(suu) AS BIGINT) AS DOUBLE) + CAST(suu - floor(suu) AS DOUBLE))
+                  - (CAST(CAST(floor(su) AS BIGINT) AS DOUBLE) + CAST(su - floor(su) AS DOUBLE)) * (CAST(CAST(floor(su) AS BIGINT) AS DOUBLE) + CAST(su - floor(su) AS DOUBLE)))
+             * sqrt(CAST(n AS DOUBLE) * (CAST(CAST(floor(sww) AS BIGINT) AS DOUBLE) + CAST(sww - floor(sww) AS DOUBLE))
+                    - (CAST(CAST(floor(sw) AS BIGINT) AS DOUBLE) + CAST(sw - floor(sw) AS DOUBLE)) * (CAST(CAST(floor(sw) AS BIGINT) AS DOUBLE) + CAST(sw - floor(sw) AS DOUBLE)))), 6)
   END AS rho
 FROM s
 """
@@ -7023,7 +7023,7 @@ pg AS (
   FROM gv JOIN uu USING (v) GROUP BY g
 ), ag AS (
   SELECT SUM(n_g) AS n, count(*) AS k,
-    SUM(CAST(floor((CAST(r2 AS DOUBLE) / 2.0) * (CAST(r2 AS DOUBLE) / 2.0)
+    SUM(CAST(floor(((CAST(CAST(floor(r2) AS BIGINT) AS DOUBLE) + CAST(r2 - floor(r2) AS DOUBLE)) / 2.0) * ((CAST(CAST(floor(r2) AS BIGINT) AS DOUBLE) + CAST(r2 - floor(r2) AS DOUBLE)) / 2.0)
                    / CAST(n_g AS DOUBLE) * 100.0) AS DECIMAL(38,0))) AS t_sum
   FROM pg
 ), tie AS (
@@ -7033,15 +7033,15 @@ pg AS (
 )
 SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
   round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-        * (CAST(t_sum AS DOUBLE) / 100.0)
+        * ((CAST(CAST(floor(t_sum) AS BIGINT) AS DOUBLE) + CAST(t_sum - floor(t_sum) AS DOUBLE)) / 100.0)
         - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
-  CASE WHEN 1.0 - CAST(tie_sum AS DOUBLE)
+  CASE WHEN 1.0 - (CAST(CAST(floor(tie_sum) AS BIGINT) AS DOUBLE) + CAST(tie_sum - floor(tie_sum) AS DOUBLE))
             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                - CAST(n AS DOUBLE)) > 0 THEN
     round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-           * (CAST(t_sum AS DOUBLE) / 100.0)
+           * ((CAST(CAST(floor(t_sum) AS BIGINT) AS DOUBLE) + CAST(t_sum - floor(t_sum) AS DOUBLE)) / 100.0)
            - 3.0 * (CAST(n AS DOUBLE) + 1.0))
-          / (1.0 - CAST(tie_sum AS DOUBLE)
+          / (1.0 - (CAST(CAST(floor(tie_sum) AS BIGINT) AS DOUBLE) + CAST(tie_sum - floor(tie_sum) AS DOUBLE))
              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                 - CAST(n AS DOUBLE))), 6)
   END AS h_tie_corrected
@@ -7061,27 +7061,28 @@ WITH per_g AS (
   SELECT SUM(n_g) AS n, count(*) AS k,
     SUM(CAST(s_g AS DECIMAL(38,2))) AS sx,
     SUM(CAST(q_g AS DECIMAL(38,4))) AS q,
-    SUM(CAST(floor((CAST(q_g AS DOUBLE)
-                    - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+    SUM(CAST(floor(((CAST(CAST(floor(q_g) AS BIGINT) AS DOUBLE) + CAST(q_g - floor(q_g) AS DOUBLE))
+                    - (CAST(CAST(floor(s_g) AS BIGINT) AS DOUBLE) + CAST(s_g - floor(s_g) AS DOUBLE)) * (CAST(CAST(floor(s_g) AS BIGINT) AS DOUBLE) + CAST(s_g - floor(s_g) AS DOUBLE))
                       / CAST(n_g AS DOUBLE)) * 100.0)
              AS DECIMAL(38,0))) AS ssw
   FROM per_g
 )
 SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
-  round((CAST(q AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-         / CAST(n AS DOUBLE)) - (CAST(ssw AS DOUBLE) / 100.0), 4) AS ss_between,
-  round((CAST(ssw AS DOUBLE) / 100.0), 4) AS ss_within,
-  CASE WHEN k > 1 AND (CAST(ssw AS DOUBLE) / 100.0) > 0 THEN
-    round((((CAST(q AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-             / CAST(n AS DOUBLE)) - (CAST(ssw AS DOUBLE) / 100.0))
+  floor((((CAST(CAST(floor(q) AS BIGINT) AS DOUBLE) + CAST(q - floor(q) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))
+          / CAST(n AS DOUBLE)) - ((CAST(CAST(floor(ssw) AS BIGINT) AS DOUBLE) + CAST(ssw - floor(ssw) AS DOUBLE)) / 100.0)) * 100.0)
+    / 100.0 AS ss_between,
+  ((CAST(CAST(floor(ssw) AS BIGINT) AS DOUBLE) + CAST(ssw - floor(ssw) AS DOUBLE)) / 100.0) AS ss_within,
+  CASE WHEN k > 1 AND ((CAST(CAST(floor(ssw) AS BIGINT) AS DOUBLE) + CAST(ssw - floor(ssw) AS DOUBLE)) / 100.0) > 0 THEN
+    round(((((CAST(CAST(floor(q) AS BIGINT) AS DOUBLE) + CAST(q - floor(q) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))
+             / CAST(n AS DOUBLE)) - ((CAST(CAST(floor(ssw) AS BIGINT) AS DOUBLE) + CAST(ssw - floor(ssw) AS DOUBLE)) / 100.0))
            / (CAST(k AS DOUBLE) - 1.0))
-          / ((CAST(ssw AS DOUBLE) / 100.0) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+          / (((CAST(CAST(floor(ssw) AS BIGINT) AS DOUBLE) + CAST(ssw - floor(ssw) AS DOUBLE)) / 100.0) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
   END AS f_stat,
-  CASE WHEN (CAST(q AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+  CASE WHEN ((CAST(CAST(floor(q) AS BIGINT) AS DOUBLE) + CAST(q - floor(q) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))
              / CAST(n AS DOUBLE)) > 0 THEN
-    round(((CAST(q AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-            / CAST(n AS DOUBLE)) - (CAST(ssw AS DOUBLE) / 100.0))
-          / (CAST(q AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+    round((((CAST(CAST(floor(q) AS BIGINT) AS DOUBLE) + CAST(q - floor(q) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))
+            / CAST(n AS DOUBLE)) - ((CAST(CAST(floor(ssw) AS BIGINT) AS DOUBLE) + CAST(ssw - floor(ssw) AS DOUBLE)) / 100.0))
+          / ((CAST(CAST(floor(q) AS BIGINT) AS DOUBLE) + CAST(q - floor(q) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))
              / CAST(n AS DOUBLE)), 6)
   END AS eta_sq
 FROM s
@@ -7440,17 +7441,17 @@ pairs AS (
   FROM pairs GROUP BY lag
 )
 SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
-  CASE WHEN CAST(q AS DOUBLE)
-            - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+  CASE WHEN (CAST(CAST(floor(q) AS BIGINT) AS DOUBLE) + CAST(q - floor(q) AS DOUBLE))
+            - (CAST(CAST(floor(s) AS BIGINT) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(CAST(floor(s) AS BIGINT) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) / CAST(n AS DOUBLE)) > 0
   THEN
-    round((CAST(p AS DOUBLE)
-           - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-             * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+    round(((CAST(CAST(floor(p) AS BIGINT) AS DOUBLE) + CAST(p - floor(p) AS DOUBLE))
+           - ((CAST(CAST(floor(s) AS BIGINT) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) / CAST(n AS DOUBLE))
+             * ((CAST(CAST(floor(a) AS BIGINT) AS DOUBLE) + CAST(a - floor(a) AS DOUBLE)) + (CAST(CAST(floor(b) AS BIGINT) AS DOUBLE) + CAST(b - floor(b) AS DOUBLE)))
            + CAST(n_pairs AS DOUBLE)
-             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
-          / (CAST(q AS DOUBLE)
-             - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+             * ((CAST(CAST(floor(s) AS BIGINT) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) / CAST(n AS DOUBLE))
+             * ((CAST(CAST(floor(s) AS BIGINT) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) / CAST(n AS DOUBLE)))
+          / ((CAST(CAST(floor(q) AS BIGINT) AS DOUBLE) + CAST(q - floor(q) AS DOUBLE))
+             - (CAST(CAST(floor(s) AS BIGINT) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(CAST(floor(s) AS BIGINT) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) / CAST(n AS DOUBLE))), 6)
   END AS acf
 FROM per_lag CROSS JOIN tot
 ORDER BY lag
@@ -7515,6 +7516,204 @@ SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
   CAST(dis AS BIGINT) AS dis_count,
   round(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6) AS hapax_fraction,
   round(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio
+FROM s
+"""
+
+
+
+
+def q_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the daily event-value series
+    (tie-corrected variance, continuity-corrected z)."""
+    from breweries_etl_spark.operators.temporal import mann_kendall_daily
+
+    return mann_kendall_daily(load_events(spark, sf_dir))
+
+
+def q_brown_forsythe_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-equality W across return flags: ANOVA on
+    absolute deviations from per-group medians."""
+    from breweries_etl_spark.operators.hypotests import brown_forsythe
+
+    return brown_forsythe(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+def q_cramers_v_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V association between linestatus and returnflag from one
+    contingency aggregate."""
+    from breweries_etl_spark.operators.hypotests import cramers_v
+
+    return cramers_v(
+        load_table(spark, sf_dir, "lineitem"), "l_linestatus", "l_returnflag"
+    )
+
+
+def q_partial_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of price and quantity controlling for
+    discount - one moment pass, fixed double combination."""
+    from breweries_etl_spark.operators.hypotests import partial_corr
+
+    return partial_corr(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        "l_discount",
+    )
+
+
+_ORACLES["mann_kendall_daily"] = """
+WITH daily AS MATERIALIZED (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events GROUP BY 1
+), s AS (
+  SELECT SUM(CAST(sign(b.y - a.y) AS BIGINT)) AS s
+  FROM daily a JOIN daily b ON a.day < b.day
+), nt AS (SELECT count(*) AS n FROM daily),
+ties AS (
+  SELECT SUM(CAST(CAST(c AS DECIMAL(19,0)) * (CAST(c AS DECIMAL(19,0)) - 1)
+                  * (2 * CAST(c AS DECIMAL(19,0)) + 5) AS DECIMAL(38,0)))
+    AS tie_sum
+  FROM (SELECT y, count(*) AS c FROM daily GROUP BY y)
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS s_stat,
+  round(CAST(CAST(CAST(n AS DECIMAL(19,0)) * (CAST(n AS DECIMAL(19,0)) - 1)
+                  * (2 * CAST(n AS DECIMAL(19,0)) + 5) AS DECIMAL(38,0))
+             - tie_sum AS DOUBLE) / 18.0, 4) AS var_s,
+  CASE WHEN CAST(CAST(CAST(n AS DECIMAL(19,0)) * (CAST(n AS DECIMAL(19,0)) - 1)
+                  * (2 * CAST(n AS DECIMAL(19,0)) + 5) AS DECIMAL(38,0))
+             - tie_sum AS DOUBLE) / 18.0 > 0 THEN
+    round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                / sqrt(CAST(CAST(CAST(n AS DECIMAL(19,0))
+                       * (CAST(n AS DECIMAL(19,0)) - 1)
+                       * (2 * CAST(n AS DECIMAL(19,0)) + 5) AS DECIMAL(38,0))
+                       - tie_sum AS DOUBLE) / 18.0)
+               WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                / sqrt(CAST(CAST(CAST(n AS DECIMAL(19,0))
+                       * (CAST(n AS DECIMAL(19,0)) - 1)
+                       * (2 * CAST(n AS DECIMAL(19,0)) + 5) AS DECIMAL(38,0))
+                       - tie_sum AS DOUBLE) / 18.0)
+               ELSE 0.0 END, 6)
+  END AS z
+FROM nt CROSS JOIN s CROSS JOIN ties
+"""
+
+_ORACLES["brown_forsythe_price_flag"] = """
+WITH base AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+), meds AS (
+  SELECT g, CAST(quantile_disc(v, 0.5) AS DECIMAL(18,2)) AS med
+  FROM base GROUP BY g
+), z AS (
+  SELECT base.g, CAST(abs(base.v - meds.med) AS DECIMAL(18,2)) AS zv
+  FROM base JOIN meds USING (g)
+), per_g AS (
+  SELECT g, count(*) AS n_g,
+    SUM(CAST(zv AS DECIMAL(18,2))) AS s_g,
+    SUM(CAST(CAST(zv AS DECIMAL(18,2))
+             * CAST(zv AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS q_g
+  FROM z GROUP BY 1
+), s AS (
+  SELECT SUM(n_g) AS n, count(*) AS k,
+    SUM(CAST(s_g AS DECIMAL(38,2))) AS sx,
+    SUM(CAST(q_g AS DECIMAL(38,4))) AS q,
+    SUM(CAST(floor(((CAST(CAST(floor(q_g) AS BIGINT) AS DOUBLE) + CAST(q_g - floor(q_g) AS DOUBLE))
+                    - (CAST(CAST(floor(s_g) AS BIGINT) AS DOUBLE) + CAST(s_g - floor(s_g) AS DOUBLE)) * (CAST(CAST(floor(s_g) AS BIGINT) AS DOUBLE) + CAST(s_g - floor(s_g) AS DOUBLE))
+                      / CAST(n_g AS DOUBLE)) * 100.0)
+             AS DECIMAL(38,0))) AS ssw
+  FROM per_g
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+  floor((((CAST(CAST(floor(q) AS BIGINT) AS DOUBLE) + CAST(q - floor(q) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))
+          / CAST(n AS DOUBLE)) - ((CAST(CAST(floor(ssw) AS BIGINT) AS DOUBLE) + CAST(ssw - floor(ssw) AS DOUBLE)) / 100.0)) * 100.0)
+    / 100.0 AS ss_between,
+  ((CAST(CAST(floor(ssw) AS BIGINT) AS DOUBLE) + CAST(ssw - floor(ssw) AS DOUBLE)) / 100.0) AS ss_within,
+  CASE WHEN k > 1 AND ((CAST(CAST(floor(ssw) AS BIGINT) AS DOUBLE) + CAST(ssw - floor(ssw) AS DOUBLE)) / 100.0) > 0 THEN
+    round(((((CAST(CAST(floor(q) AS BIGINT) AS DOUBLE) + CAST(q - floor(q) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))
+             / CAST(n AS DOUBLE)) - ((CAST(CAST(floor(ssw) AS BIGINT) AS DOUBLE) + CAST(ssw - floor(ssw) AS DOUBLE)) / 100.0))
+           / (CAST(k AS DOUBLE) - 1.0))
+          / (((CAST(CAST(floor(ssw) AS BIGINT) AS DOUBLE) + CAST(ssw - floor(ssw) AS DOUBLE)) / 100.0)
+             / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+  END AS bf_w,
+  CASE WHEN ((CAST(CAST(floor(q) AS BIGINT) AS DOUBLE) + CAST(q - floor(q) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))
+             / CAST(n AS DOUBLE)) > 0 THEN
+    round((((CAST(CAST(floor(q) AS BIGINT) AS DOUBLE) + CAST(q - floor(q) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))
+            / CAST(n AS DOUBLE)) - ((CAST(CAST(floor(ssw) AS BIGINT) AS DOUBLE) + CAST(ssw - floor(ssw) AS DOUBLE)) / 100.0))
+          / ((CAST(CAST(floor(q) AS BIGINT) AS DOUBLE) + CAST(q - floor(q) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))
+             / CAST(n AS DOUBLE)), 6)
+  END AS eta_sq
+FROM s
+"""
+
+_ORACLES["cramers_v_status_flag"] = """
+WITH cells AS (
+  SELECT l_linestatus AS a, l_returnflag AS b, count(*) AS o
+  FROM lineitem
+  WHERE l_linestatus IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1, 2
+), ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
+cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
+tot AS (
+  SELECT SUM(o) AS n, count(DISTINCT a) AS ka, count(DISTINCT b) AS kb
+  FROM cells
+), grid AS (
+  SELECT ra.a, cb.b, ra.ra, cb.cb, COALESCE(cells.o, 0) AS o
+  FROM ra CROSS JOIN cb LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+), chi AS (
+  SELECT SUM(CAST(floor(
+    (CAST(o AS DOUBLE)
+     - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(tot.n AS DOUBLE))
+    * (CAST(o AS DOUBLE)
+       - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(tot.n AS DOUBLE))
+    / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(tot.n AS DOUBLE))
+    * 1000000.0) AS DECIMAL(38,0))) AS chi_fp
+  FROM grid CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(ka AS BIGINT) AS n_cat_a, CAST(kb AS BIGINT) AS n_cat_b,
+  round(CAST(chi_fp AS DOUBLE) / 1e6, 4) AS chi2,
+  CASE WHEN least(ka - 1, kb - 1) > 0 THEN
+    round(sqrt((CAST(chi_fp AS DOUBLE) / 1e6)
+               / (CAST(n AS DOUBLE)
+                  * CAST(least(ka - 1, kb - 1) AS DOUBLE))), 6)
+  END AS cramers_v
+FROM tot CROSS JOIN chi
+"""
+
+_ORACLES["partial_corr_price_qty"] = """
+WITH s AS (
+  SELECT count(*) AS n,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sy,
+    SUM(CAST(l_discount AS DECIMAL(18,2))) AS sz,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+    SUM(CAST(CAST(l_discount AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS szz,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxz,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syz
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_discount IS NOT NULL
+)
+SELECT CAST(n AS BIGINT) AS n,
+  round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))), 6) AS r_xy,
+  round(((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * CAST(sz AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))) * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))), 6) AS r_xz,
+  round(((CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))), 6) AS r_yz,
+  CASE WHEN sqrt((1.0 - ((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * CAST(sz AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))) * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))) * ((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * CAST(sz AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))) * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))))) * (1.0 - ((CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))) * ((CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))))) > 0 THEN
+    round((((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) - ((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * CAST(sz AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))) * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))) * ((CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))))
+          / sqrt((1.0 - ((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * CAST(sz AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))) * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))) * ((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * CAST(sz AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))) * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))))) * (1.0 - ((CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))) * ((CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))))), 6)
+  END AS partial_r
 FROM s
 """
 
@@ -7804,6 +8003,10 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_daily_trend": q_theil_sen_daily_trend,
         "ridge2_price_qty_discount": q_ridge2_price_qty_discount,
         "hapax_vocab_stats": q_hapax_vocab_stats,
+        "mann_kendall_daily": q_mann_kendall_daily,
+        "brown_forsythe_price_flag": q_brown_forsythe_price_flag,
+        "cramers_v_status_flag": q_cramers_v_status_flag,
+        "partial_corr_price_qty": q_partial_corr_price_qty,
     }
 
 

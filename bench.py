@@ -210,6 +210,10 @@ FAMILIES: dict[str, list[str]] = {
         "referential_orphans",
         "graph_edge_embeddedness",
         "graph_kcore_summary",
+        "mann_kendall_daily",
+        "brown_forsythe_price_flag",
+        "cramers_v_status_flag",
+        "partial_corr_price_qty",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

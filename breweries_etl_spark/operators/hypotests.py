@@ -37,6 +37,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def dec_double(col: Column) -> Column:
+    """Engine-portable DECIMAL→DOUBLE cast for values with more than
+    ~15 significant digits: DuckDB's direct cast is not correctly
+    rounded there (observed 1-ulp divergence vs Spark's BigDecimal on a
+    DECIMAL(38,4) at sf0.01, enough to flip a floor/round boundary).
+    Split into the exact integer part — int64→double is a correctly-
+    rounded hardware conversion on every engine — plus the exact
+    fractional part, then one IEEE add, which is deterministic. Valid
+    for 0 ≤ x < 2^63; the statistics using this document that envelope.
+    SQL twin: CAST(CAST(floor(x) AS BIGINT) AS DOUBLE)
+    + CAST(x - floor(x) AS DOUBLE)."""
+    ip = F.floor(col)
+    return ip.cast("long").cast("double") + (col - ip).cast("double")
+
+
 def grouped_value_prefix_counts(
     df: DataFrame,
     value_col: str,
@@ -624,11 +639,11 @@ def spearman_rho(
         F.sum((F.col("u").cast(d38) * F.col("w")).cast(d38)).alias("suw"),
     )
     n = F.col("n").cast("double")
-    su = F.col("su").cast("double")
-    sw = F.col("sw").cast("double")
-    num = n * F.col("suw").cast("double") - su * sw
-    dx = F.sqrt(n * F.col("suu").cast("double") - su * su)
-    dy = F.sqrt(n * F.col("sww").cast("double") - sw * sw)
+    su = dec_double(F.col("su"))
+    sw = dec_double(F.col("sw"))
+    num = n * dec_double(F.col("suw")) - su * sw
+    dx = F.sqrt(n * dec_double(F.col("suu")) - su * su)
+    dy = F.sqrt(n * dec_double(F.col("sww")) - sw * sw)
     result = sums.select(
         F.col("n").cast("long").alias("n"),
         F.when((dx > 0) & (dy > 0), F.round(num / (dx * dy), 6)).alias(
@@ -698,8 +713,8 @@ def kruskal_wallis(
     # R_g = r2/2; term = R_g² / n_g as floor(term·100) — pure IEEE ops
     # on identically-derived doubles, so no rounding-tie divergence
     term = F.floor(
-        (F.col("r2").cast("double") / 2.0)
-        * (F.col("r2").cast("double") / 2.0)
+        (dec_double(F.col("r2")) / 2.0)
+        * (dec_double(F.col("r2")) / 2.0)
         / F.col("n_g").cast("double")
         * 100.0
     ).cast(d38)
@@ -720,10 +735,10 @@ def kruskal_wallis(
     h = (
         F.lit(12.0)
         / (n * (n + F.lit(1.0)))
-        * (F.col("t_sum").cast("double") / F.lit(100.0))
+        * (dec_double(F.col("t_sum")) / F.lit(100.0))
         - F.lit(3.0) * (n + F.lit(1.0))
     )
-    corr = F.lit(1.0) - F.col("tie_sum").cast("double") / (n * n * n - n)
+    corr = F.lit(1.0) - dec_double(F.col("tie_sum")) / (n * n * n - n)
     result = agg_g.crossJoin(F.broadcast(ties)).select(
         F.col("n").cast("long").alias("n"),
         F.col("k").cast("long").alias("k_groups"),
@@ -762,9 +777,9 @@ def anova_oneway(
     )
     ssw_term = F.floor(
         (
-            F.col("q_g").cast("double")
-            - F.col("s_g").cast("double")
-            * F.col("s_g").cast("double")
+            dec_double(F.col("q_g"))
+            - dec_double(F.col("s_g"))
+            * dec_double(F.col("s_g"))
             / F.col("n_g").cast("double")
         )
         * 100.0
@@ -778,17 +793,24 @@ def anova_oneway(
     )
     n = F.col("n").cast("double")
     k = F.col("k").cast("double")
-    sst = F.col("q").cast("double") - F.col("s").cast("double") * F.col(
-        "s"
-    ).cast("double") / n
-    ssw = F.col("ssw").cast("double") / F.lit(100.0)
+    sst = dec_double(F.col("q")) - dec_double(F.col("s")) * dec_double(
+        F.col("s")
+    ) / n
+    ssw = dec_double(F.col("ssw")) / F.lit(100.0)
     ssb = sst - ssw
     f = (ssb / (k - F.lit(1.0))) / (ssw / (n - k))
+    # The reported SS values can carry ~15 significant digits — at that
+    # magnitude round(x, 4) sits at the double's resolution limit where
+    # HALF_UP implementations disagree in the last digit (observed on
+    # brown_forsythe at sf0.001). Emit them as floor fixed-point /100
+    # instead: pure IEEE ops, identical on any engine. The RATIOS
+    # (F, eta²) are O(1) and keep the 6-dp round.
+    ssb_out = F.floor(ssb * 100.0) / F.lit(100.0)
     return sums.select(
         F.col("n").cast("long").alias("n"),
         F.col("k").cast("long").alias("k_groups"),
-        F.round(ssb, 4).alias("ss_between"),
-        F.round(ssw, 4).alias("ss_within"),
+        ssb_out.alias("ss_between"),
+        ssw.alias("ss_within"),
         F.when((F.col("k") > 1) & (ssw > 0), F.round(f, 6)).alias("f_stat"),
         F.when(sst > 0, F.round(ssb / sst, 6)).alias("eta_sq"),
     )
@@ -854,4 +876,158 @@ def welch_t_test(
         F.round(mb, 6).alias("mean_b"),
         F.when(ok & (se2 > 0), F.round(t, 6)).alias("t_stat"),
         F.when(ok & (se2 > 0), F.round(dof, 6)).alias("df"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Brown–Forsythe equality-of-variances test: one-way ANOVA F on the
+    absolute deviations from each group's MEDIAN — the robust Levene
+    variant (median centers survive heavy tails where mean-centered
+    Levene does not). The standard pre-check before trusting a pooled-
+    variance t/F result.
+
+    Pass 1 computes per-group medians as ``percentile_disc`` picks of
+    actual elements (the k-row median relation broadcasts — group
+    domains are bounded); pass 2 scores |x − med| in exact decimal and
+    folds it through the same fixed-point ANOVA machinery as
+    ``anova_oneway``. Output matches ``anova_oneway`` (F is the
+    Brown–Forsythe W)."""
+    val_dec = F.col(value_col).cast("decimal(18,2)")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), val_dec.alias("__v"))
+    meds = base.groupBy("__g").agg(
+        F.expr(
+            "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY __v)"
+            " as decimal(18,2))"
+        ).alias("__med")
+    )
+    absdev = base.join(F.broadcast(meds), "__g").select(
+        "__g", F.abs(F.col("__v") - F.col("__med")).alias("__z")
+    )
+    return anova_oneway(absdev, "__g", "__z").withColumnsRenamed(
+        {"f_stat": "bf_w"}
+    )
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V association between two categorical columns: the
+    χ²-based effect size in [0,1] that, unlike raw χ², is comparable
+    across table shapes — the drift/independence check for categorical
+    feature pairs.
+
+    One (a,b) contingency aggregate (map-side combinable; output
+    bounded by the category-domain product), margins folded from the
+    cell relation itself (no second scan). χ² runs over the FULL
+    margin grid — the cross join of the two (bounded) margin
+    relations, observed counts left-joined in — because structural
+    zero cells still contribute (0−e)²/e; summing only observed cells
+    understates χ² whenever some (a,b) combination never occurs.
+    Per-cell terms accumulate as fixed-point floor(x·10⁶) decimals
+    (cell magnitudes outgrow double 6-dp resolution at fact scale;
+    floor of identical IEEE doubles is engine-independent). Output one
+    row: (n, n_cat_a, n_cat_b, chi2, cramers_v)."""
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+        .persist()
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("a").alias("ka"),
+        F.countDistinct("b").alias("kb"),
+    )
+    e = (
+        F.col("ra").cast("double")
+        * F.col("cb").cast("double")
+        / F.col("n").cast("double")
+    )
+    o = F.coalesce(F.col("o"), F.lit(0)).cast("double")
+    term = F.floor((o - e) * (o - e) / e * 1000000.0).cast("decimal(38,0)")
+    chi = (
+        ra.crossJoin(cb)
+        .join(cells, ["a", "b"], "left")
+        .crossJoin(F.broadcast(tot.select("n")))
+        .agg(F.sum(term).alias("chi_fp"))
+    )
+    chi2 = F.col("chi_fp").cast("double") / F.lit(1e6)
+    mindim = F.least(F.col("ka") - 1, F.col("kb") - 1).cast("double")
+    result = tot.crossJoin(F.broadcast(chi)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("ka").cast("long").alias("n_cat_a"),
+        F.col("kb").cast("long").alias("n_cat_b"),
+        F.round(chi2, 4).alias("chi2"),
+        F.when(
+            mindim > 0,
+            F.round(
+                F.sqrt(chi2 / (F.col("n").cast("double") * mindim)), 6
+            ),
+        ).alias("cramers_v"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [cells])
+
+
+def partial_corr(
+    df: DataFrame, x_col: str, y_col: str, z_col: str
+) -> DataFrame:
+    """First-order partial correlation r_xy·z — the linear association
+    between x and y with the confounder z held fixed:
+    (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)). The standard "is the
+    correlation real or is z driving both" check.
+
+    ONE map-side-combinable moment pass (n + 9 exact decimal sums); the
+    three Pearson correlations and the partial combination are a fixed
+    double sequence. Output one row: (n, r_xy, r_xz, r_yz, partial_r).
+    """
+    x = F.col(x_col).cast("decimal(18,2)")
+    y = F.col(y_col).cast("decimal(18,2)")
+    z = F.col(z_col).cast("decimal(18,2)")
+
+    def prod(a, b):
+        return F.sum((a * b).cast("decimal(38,4)"))
+
+    sums = df.filter(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(z_col).isNotNull()
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(z).alias("sz"),
+        prod(x, x).alias("sxx"),
+        prod(y, y).alias("syy"),
+        prod(z, z).alias("szz"),
+        prod(x, y).alias("sxy"),
+        prod(x, z).alias("sxz"),
+        prod(y, z).alias("syz"),
+    )
+    n = F.col("n").cast("double")
+    d = {c: F.col(c).cast("double") for c in
+         ["sx", "sy", "sz", "sxx", "syy", "szz", "sxy", "sxz", "syz"]}
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (n * sab - sa * sb) / (
+            F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        )
+
+    rxy = corr(d["sxy"], d["sx"], d["sy"], d["sxx"], d["syy"])
+    rxz = corr(d["sxz"], d["sx"], d["sz"], d["sxx"], d["szz"])
+    ryz = corr(d["syz"], d["sy"], d["sz"], d["syy"], d["szz"])
+    denom = F.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.when(denom > 0, F.round((rxy - rxz * ryz) / denom, 6)).alias(
+            "partial_r"
+        ),
     )

@@ -925,12 +925,14 @@ def acf_daily(
         F.sum(F.col("y").cast("decimal(38,2)")).alias("a"),
         F.sum(F.col("y2").cast("decimal(38,2)")).alias("b"),
     )
+    from .hypotests import dec_double
+
     n = F.col("n").cast("double")
-    m = F.col("s").cast("double") / n
-    den = F.col("q").cast("double") - F.col("s").cast("double") * m
+    m = dec_double(F.col("s")) / n
+    den = dec_double(F.col("q")) - dec_double(F.col("s")) * m
     num = (
-        F.col("p").cast("double")
-        - m * (F.col("a").cast("double") + F.col("b").cast("double"))
+        dec_double(F.col("p"))
+        - m * (dec_double(F.col("a")) + dec_double(F.col("b")))
         + F.col("n_pairs").cast("double") * m * m
     )
     result = (
@@ -1012,6 +1014,73 @@ def theil_sen_daily_trend(
             F.col("n_pairs").cast("long").alias("n_pairs"),
             F.round(F.col("slope_med"), 6).alias("slope_per_day"),
             F.round(F.col("intercept"), 4).alias("intercept"),
+        )
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])
+
+
+def mann_kendall_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test on the daily total-value series:
+    S = Σ_{i<j} sign(y_j − y_i) over time-ordered days, the
+    nonparametric companion to ``theil_sen_daily_trend`` (same pair
+    set; S answers "is there a trend", Theil–Sen answers "how steep").
+
+    The pair set is calendar-bounded (≈3M pairs at ~2.5k days for ANY
+    corpus size); S is an exact integer sum of signs of exact decimal
+    differences. Var(S) uses the tie-corrected closed form
+    (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18 with the tie sum exact in
+    decimal, and the continuity-corrected z = (S∓1)/√Var is one fixed
+    double sequence. Output one row: (n_days, s_stat, var_s, z)."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+    )
+    y = F.col(value_col).cast("decimal(18,2)")
+    daily = (
+        df.select(day.alias("day"), y.alias("y"))
+        .groupBy("day")
+        .agg(F.sum("y").alias("y"))
+        .persist()
+    )
+    d2 = daily.select(F.col("day").alias("day2"), F.col("y").alias("y2"))
+    s = daily.join(d2, F.col("day") < F.col("day2")).agg(
+        F.sum(F.signum(F.col("y2") - F.col("y")).cast("long")).alias("s")
+    )
+    n_t = daily.agg(F.count(F.lit(1)).alias("n"))
+    t = F.col("c").cast("decimal(19,0)")
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum((t * (t - 1) * (2 * t + 5)).cast("decimal(38,0)")).alias(
+                "tie_sum"
+            )
+        )
+    )
+    n = F.col("n").cast("decimal(19,0)")
+    var_num = (n * (n - 1) * (2 * n + 5)).cast("decimal(38,0)") - F.col(
+        "tie_sum"
+    )
+    var_s = var_num.cast("double") / F.lit(18.0)
+    s_d = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (s_d - 1.0) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (s_d + 1.0) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    result = (
+        n_t.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.col("s").cast("long").alias("s_stat"),
+            F.round(var_s, 4).alias("var_s"),
+            F.when(var_s > 0, F.round(z, 6)).alias("z"),
         )
     )
     from .dedup import _release_caches

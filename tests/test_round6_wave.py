@@ -236,3 +236,85 @@ def test_vocab_stats_known(spark):
     assert r["hapax_count"] == 2  # b, c
     assert r["dis_count"] == 1  # a
     assert r["type_token_ratio"] == pytest.approx(0.75)
+
+
+def test_mann_kendall_monotone_series(spark):
+    from breweries_etl_spark.operators.temporal import mann_kendall_daily
+
+    rows = [
+        (i, f"1995-01-{d:02d} 00:00:00", 10.0 * d)
+        for i, d in enumerate(range(1, 11))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = mann_kendall_daily(df).collect()[0]
+    # strictly increasing: S = C(10,2) = 45, Var = 10*9*25/18 = 125
+    assert r["s_stat"] == 45
+    assert r["var_s"] == pytest.approx(125.0)
+    assert r["z"] == pytest.approx(44 / 125**0.5, abs=1e-6)
+
+
+def test_brown_forsythe_unequal_spread(spark):
+    from breweries_etl_spark.operators.hypotests import brown_forsythe
+
+    tight = [("a", 100.0 + d) for d in (-1.0, 0.0, 1.0, -1.0, 1.0, 0.0)]
+    wide = [("b", 100.0 + d) for d in (-50.0, 0.0, 50.0, -50.0, 50.0, 0.0)]
+    df = spark.createDataFrame(tight + wide, "g string, v double")
+    r = brown_forsythe(df, "g", "v").collect()[0]
+    assert r["k_groups"] == 2
+    assert r["bf_w"] is not None and r["bf_w"] > 5
+
+
+def test_cramers_v_bounds(spark):
+    from breweries_etl_spark.operators.hypotests import cramers_v
+
+    # perfect association -> V = 1
+    perfect = spark.createDataFrame(
+        [("x", "1")] * 5 + [("y", "2")] * 5, "a string, b string"
+    )
+    assert cramers_v(perfect, "a", "b").collect()[0]["cramers_v"] == (
+        pytest.approx(1.0, abs=1e-4)
+    )
+    # independence -> V ~ 0
+    indep = spark.createDataFrame(
+        [(a, b) for a in ("x", "y") for b in ("1", "2") for _ in range(5)],
+        "a string, b string",
+    )
+    assert cramers_v(indep, "a", "b").collect()[0]["cramers_v"] == (
+        pytest.approx(0.0, abs=1e-4)
+    )
+
+
+def test_partial_corr_removes_confounder(spark):
+    from breweries_etl_spark.operators.hypotests import partial_corr
+
+    # x and y both driven by z only: r_xy high, partial ~ 0
+    rows = [
+        (float(z) + 0.01 * ((i * 7) % 11), float(z) + 0.01 * ((i * 3) % 13),
+         float(z))
+        for i, z in enumerate(list(range(100)) * 2)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    r = partial_corr(df, "x", "y", "z").collect()[0]
+    assert r["r_xy"] > 0.99
+    assert abs(r["partial_r"]) < 0.3
+
+
+def test_dec_double_matches_plain_cast_small_magnitudes(spark):
+    from breweries_etl_spark.operators.hypotests import dec_double
+
+    df = spark.sql(
+        "SELECT CAST(1234.5678 AS DECIMAL(18,4)) AS a,"
+        " CAST(18297971891836.5201 AS DECIMAL(38,4)) AS b"
+    )
+    r = df.select(
+        dec_double(F.col("a")).alias("a2"),
+        F.col("a").cast("double").alias("a1"),
+        dec_double(F.col("b")).alias("b2"),
+        F.col("b").cast("double").alias("b1"),
+    ).collect()[0]
+    assert r["a1"] == r["a2"]
+    # Spark's own decimal->double is correctly rounded, so the split
+    # must agree with it at ANY magnitude (the divergence is DuckDB's)
+    assert r["b1"] == r["b2"]

@@ -100,7 +100,9 @@ QUERIES = [
     "acf_daily_revenue", "theil_sen_daily_trend",
     "ridge2_price_qty_discount", "hapax_vocab_stats",
     "referential_orphans", "graph_edge_embeddedness",
-    "graph_kcore_summary",
+    "graph_kcore_summary", "mann_kendall_daily",
+    "brown_forsythe_price_flag", "cramers_v_status_flag",
+    "partial_corr_price_qty",
 ]
 
 
