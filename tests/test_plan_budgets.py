@@ -517,3 +517,25 @@ def test_collocation_pmi_no_vocab_broadcast(spark, sf_dir):
         assert n_shuffle_joins >= 2, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_spearman_no_datasized_global_sort(spark, sf_dir):
+    """Spearman's ranks come from the bucketed prefix-count primitive:
+    no raw value column (v/x/y) may ride a SinglePartition exchange —
+    the only unpartitioned shapes allowed are aggregate-buffer merges
+    and the bounded bucket-subtotal relation."""
+    from breweries_etl_spark.operators.hypotests import spearman_rho
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = spearman_rho(li, "l_extendedprice", "l_quantity", release=False)
+    try:
+        plan = _plan(df)
+        for m in re.finditer(
+            r"Input \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition", plan
+        ):
+            cols = [c.strip() for c in m.group(1).split(",")]
+            assert not any(
+                c.startswith(("v#", "x#", "y#")) for c in cols
+            ), cols
+    finally:
+        spark.catalog.clearCache()
