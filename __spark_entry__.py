@@ -7718,6 +7718,286 @@ FROM s
 """
 
 
+
+
+def q_event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table over user event streams with
+    per-source-state conditional entropy."""
+    from breweries_etl_spark.operators.behavior import event_transition_stats
+
+    return event_transition_stats(load_events(spark, sf_dir))
+
+
+def q_js_divergence_docs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of the language mix between two
+    md5-hash halves of the corpus (portable split, bounded label
+    domain)."""
+    from breweries_etl_spark.operators.hypotests import js_divergence_split
+
+    return js_divergence_split(
+        load_table(spark, sf_dir, "documents"), "doc_id", "lang"
+    )
+
+
+def q_gini_by_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini of customer revenue: group-partitioned rank-sum
+    windows over the collapsed value relation."""
+    from breweries_etl_spark.operators.hypotests import gini_by_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).join(nation, customer.c_nationkey == nation.n_nationkey)
+    return gini_by_group(joined, "n_name", "o_custkey", "o_totalprice")
+
+
+def q_chow_test_price_qty_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow-style slope-heterogeneity F across return flags for
+    price ~ quantity (pooled vs per-group SSE from one moment pass)."""
+    from breweries_etl_spark.operators.hypotests import chow_test
+
+    return chow_test(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (Pearson over
+    edge-endpoint degree pairs, both orientations)."""
+    from breweries_etl_spark.operators.dedup import bucket_candidate_pairs
+    from breweries_etl_spark.operators.graph import degree_assortativity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    membership = li.select("l_orderkey", "l_partkey").distinct()
+    edges = bucket_candidate_pairs(membership, ["l_orderkey"], "l_partkey", 50)
+    return degree_assortativity(edges, "id_a", "id_b")
+
+
+def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Watts-Strogatz local clustering of the co-purchase graph
+    from one oriented triangle enumeration."""
+    from breweries_etl_spark.operators.dedup import bucket_candidate_pairs
+    from breweries_etl_spark.operators.graph import local_clustering_summary
+
+    li = load_table(spark, sf_dir, "lineitem")
+    membership = li.select("l_orderkey", "l_partkey").distinct()
+    edges = bucket_candidate_pairs(membership, ["l_orderkey"], "l_partkey", 50)
+    return local_clustering_summary(edges, "id_a", "id_b")
+
+
+_ORACLES["event_transition_entropy"] = """
+WITH e AS (
+  SELECT event_type AS cur,
+    lead(event_type, 1) OVER (PARTITION BY user_id
+      ORDER BY ts ASC, event_id ASC) AS nxt
+  FROM events
+), p AS (
+  SELECT cur, nxt, count(*) AS c FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2
+), t AS (SELECT cur, SUM(c) AS ct FROM p GROUP BY cur),
+s AS (
+  SELECT p.cur, p.nxt, p.c,
+    CAST(p.c AS DOUBLE) / CAST(t.ct AS DOUBLE) AS pr
+  FROM p JOIN t USING (cur)
+), h AS (
+  SELECT cur, SUM(CAST(round(-pr * ln(pr), 6) AS DECIMAL(18,6))) AS h
+  FROM s GROUP BY cur
+)
+SELECT s.cur AS cur_type, s.nxt AS next_type,
+  CAST(s.c AS BIGINT) AS n_transitions,
+  round(pr, 6) AS p_next,
+  CAST(h.h AS DOUBLE) AS cur_entropy
+FROM s JOIN h USING (cur)
+"""
+
+_ORACLES["js_divergence_docs_lang"] = """
+WITH d AS (
+  SELECT lang,
+    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS b
+  FROM documents WHERE lang IS NOT NULL
+), pl AS (
+  SELECT lang,
+    SUM(CASE WHEN b < 32768 THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN b >= 32768 THEN 1 ELSE 0 END) AS cb
+  FROM d GROUP BY lang
+), tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM pl),
+terms AS (
+  SELECT
+    CASE WHEN ca > 0 THEN
+      round((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+            * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                 / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                     + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0)), 6)
+    ELSE 0.0 END AS ta,
+    CASE WHEN cb > 0 THEN
+      round((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+            * ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                     + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0)), 6)
+    ELSE 0.0 END AS tb,
+    na, nb
+  FROM pl CROSS JOIN tot
+)
+SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+  CAST(count(*) AS BIGINT) AS n_labels,
+  round(CAST(SUM(CAST(ta AS DECIMAL(18,6)) + CAST(tb AS DECIMAL(18,6)))
+             AS DOUBLE) / 2.0, 6) AS js_divergence
+FROM terms
+"""
+
+_ORACLES["gini_by_nation_revenue"] = """
+WITH per_key AS (
+  SELECT n.n_name AS g, o.o_custkey AS k,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), vc AS (
+  SELECT g, r AS v, count(*) AS c FROM per_key WHERE r IS NOT NULL
+  GROUP BY 1, 2
+), cum AS (
+  SELECT g, v, c,
+    SUM(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm
+  FROM vc
+), s AS (
+  SELECT g, SUM(c) AS n_keys,
+    SUM(CAST(v * CAST(c AS DECIMAL(19,0)) AS DECIMAL(38,2))) AS total,
+    SUM(CAST(v * CAST(c AS DECIMAL(19,0))
+             * (2 * CAST(cm AS DECIMAL(19,0)) - CAST(c AS DECIMAL(19,0)) + 1)
+             AS DECIMAL(38,2))) AS num2
+  FROM cum GROUP BY g
+)
+SELECT g AS n_name, CAST(n_keys AS BIGINT) AS n_keys,
+  (CAST(CAST(floor(total) AS BIGINT) AS DOUBLE) + CAST(total - floor(total) AS DOUBLE)) AS total_value,
+  CASE WHEN (CAST(CAST(floor(total) AS BIGINT) AS DOUBLE) + CAST(total - floor(total) AS DOUBLE)) > 0 THEN
+    round((CAST(CAST(floor(num2) AS BIGINT) AS DOUBLE) + CAST(num2 - floor(num2) AS DOUBLE)) / (CAST(n_keys AS DOUBLE) * (CAST(CAST(floor(total) AS BIGINT) AS DOUBLE) + CAST(total - floor(total) AS DOUBLE)))
+          - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 6)
+  END AS gini
+FROM s
+"""
+
+_ORACLES["chow_test_price_qty_flag"] = """
+WITH per_g AS (
+  SELECT l_returnflag AS g, count(*) AS n_g,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_returnflag IS NOT NULL
+  GROUP BY 1
+), s AS (
+  SELECT SUM(n_g) AS n, count(*) AS k,
+    SUM(CAST(sx AS DECIMAL(38,2))) AS tsx,
+    SUM(CAST(sy AS DECIMAL(38,2))) AS tsy,
+    SUM(CAST(sxx AS DECIMAL(38,4))) AS tsxx,
+    SUM(CAST(sxy AS DECIMAL(38,4))) AS tsxy,
+    SUM(CAST(syy AS DECIMAL(38,4))) AS tsyy,
+    SUM(CAST(floor((((CAST(CAST(floor(syy) AS BIGINT) AS DOUBLE) + CAST(syy - floor(syy) AS DOUBLE)) - (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)) * (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)) / CAST(n_g AS DOUBLE)) - ((CAST(CAST(floor(sxy) AS BIGINT) AS DOUBLE) + CAST(sxy - floor(sxy) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)) / CAST(n_g AS DOUBLE)) * ((CAST(CAST(floor(sxy) AS BIGINT) AS DOUBLE) + CAST(sxy - floor(sxy) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)) / CAST(n_g AS DOUBLE)) / ((CAST(CAST(floor(sxx) AS BIGINT) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) / CAST(n_g AS DOUBLE))) * 100.0) AS DECIMAL(38,0))) AS ssw_fp
+  FROM per_g
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+  floor((((CAST(CAST(floor(tsyy) AS BIGINT) AS DOUBLE) + CAST(tsyy - floor(tsyy) AS DOUBLE)) - (CAST(CAST(floor(tsy) AS BIGINT) AS DOUBLE) + CAST(tsy - floor(tsy) AS DOUBLE)) * (CAST(CAST(floor(tsy) AS BIGINT) AS DOUBLE) + CAST(tsy - floor(tsy) AS DOUBLE)) / CAST(n AS DOUBLE)) - ((CAST(CAST(floor(tsxy) AS BIGINT) AS DOUBLE) + CAST(tsxy - floor(tsxy) AS DOUBLE)) - (CAST(CAST(floor(tsx) AS BIGINT) AS DOUBLE) + CAST(tsx - floor(tsx) AS DOUBLE)) * (CAST(CAST(floor(tsy) AS BIGINT) AS DOUBLE) + CAST(tsy - floor(tsy) AS DOUBLE)) / CAST(n AS DOUBLE)) * ((CAST(CAST(floor(tsxy) AS BIGINT) AS DOUBLE) + CAST(tsxy - floor(tsxy) AS DOUBLE)) - (CAST(CAST(floor(tsx) AS BIGINT) AS DOUBLE) + CAST(tsx - floor(tsx) AS DOUBLE)) * (CAST(CAST(floor(tsy) AS BIGINT) AS DOUBLE) + CAST(tsy - floor(tsy) AS DOUBLE)) / CAST(n AS DOUBLE)) / ((CAST(CAST(floor(tsxx) AS BIGINT) AS DOUBLE) + CAST(tsxx - floor(tsxx) AS DOUBLE)) - (CAST(CAST(floor(tsx) AS BIGINT) AS DOUBLE) + CAST(tsx - floor(tsx) AS DOUBLE)) * (CAST(CAST(floor(tsx) AS BIGINT) AS DOUBLE) + CAST(tsx - floor(tsx) AS DOUBLE)) / CAST(n AS DOUBLE))) * 100.0) / 100.0 AS sse_pooled,
+  ((CAST(CAST(floor(ssw_fp) AS BIGINT) AS DOUBLE) + CAST(ssw_fp - floor(ssw_fp) AS DOUBLE)) / 100.0) AS sse_within,
+  CASE WHEN k > 1 AND ((CAST(CAST(floor(ssw_fp) AS BIGINT) AS DOUBLE) + CAST(ssw_fp - floor(ssw_fp) AS DOUBLE)) / 100.0) > 0 THEN
+    round((((((CAST(CAST(floor(tsyy) AS BIGINT) AS DOUBLE) + CAST(tsyy - floor(tsyy) AS DOUBLE)) - (CAST(CAST(floor(tsy) AS BIGINT) AS DOUBLE) + CAST(tsy - floor(tsy) AS DOUBLE)) * (CAST(CAST(floor(tsy) AS BIGINT) AS DOUBLE) + CAST(tsy - floor(tsy) AS DOUBLE)) / CAST(n AS DOUBLE)) - ((CAST(CAST(floor(tsxy) AS BIGINT) AS DOUBLE) + CAST(tsxy - floor(tsxy) AS DOUBLE)) - (CAST(CAST(floor(tsx) AS BIGINT) AS DOUBLE) + CAST(tsx - floor(tsx) AS DOUBLE)) * (CAST(CAST(floor(tsy) AS BIGINT) AS DOUBLE) + CAST(tsy - floor(tsy) AS DOUBLE)) / CAST(n AS DOUBLE)) * ((CAST(CAST(floor(tsxy) AS BIGINT) AS DOUBLE) + CAST(tsxy - floor(tsxy) AS DOUBLE)) - (CAST(CAST(floor(tsx) AS BIGINT) AS DOUBLE) + CAST(tsx - floor(tsx) AS DOUBLE)) * (CAST(CAST(floor(tsy) AS BIGINT) AS DOUBLE) + CAST(tsy - floor(tsy) AS DOUBLE)) / CAST(n AS DOUBLE)) / ((CAST(CAST(floor(tsxx) AS BIGINT) AS DOUBLE) + CAST(tsxx - floor(tsxx) AS DOUBLE)) - (CAST(CAST(floor(tsx) AS BIGINT) AS DOUBLE) + CAST(tsx - floor(tsx) AS DOUBLE)) * (CAST(CAST(floor(tsx) AS BIGINT) AS DOUBLE) + CAST(tsx - floor(tsx) AS DOUBLE)) / CAST(n AS DOUBLE))) - ((CAST(CAST(floor(ssw_fp) AS BIGINT) AS DOUBLE) + CAST(ssw_fp - floor(ssw_fp) AS DOUBLE)) / 100.0)) / (2.0 * (CAST(k AS DOUBLE) - 1.0)))
+          / (((CAST(CAST(floor(ssw_fp) AS BIGINT) AS DOUBLE) + CAST(ssw_fp - floor(ssw_fp) AS DOUBLE)) / 100.0) / (CAST(n AS DOUBLE) - 2.0 * CAST(k AS DOUBLE))), 6)
+  END AS chow_f
+FROM s
+"""
+
+_ORACLES["graph_degree_assortativity"] = """
+WITH m AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), ok AS (
+  SELECT o FROM m GROUP BY o HAVING count(*) BETWEEN 2 AND 50
+), e AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM m a JOIN m b ON a.o = b.o AND a.p < b.p
+  JOIN ok ON a.o = ok.o
+), adj AS (
+  SELECT src AS a, dst AS c FROM e UNION ALL SELECT dst AS a, src AS c FROM e
+), deg AS (SELECT a AS n, count(*) AS deg FROM adj GROUP BY 1),
+rows_ AS (
+  SELECT da.deg AS dx, db.deg AS dy
+  FROM adj JOIN deg da ON adj.a = da.n JOIN deg db ON adj.c = db.n
+), s AS (
+  SELECT count(*) AS m2,
+    SUM(CAST(dx AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(dy AS DECIMAL(38,0))) AS sy,
+    SUM(CAST(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(CAST(dy AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS syy,
+    SUM(CAST(CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS sxy
+  FROM rows_
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+  CAST(m2 // 2 AS BIGINT) AS n_edges,
+  CASE WHEN sqrt(CAST(m2 AS DOUBLE) * (CAST(CAST(floor(sxx) AS BIGINT) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE))) > 0
+        AND sqrt(CAST(m2 AS DOUBLE) * (CAST(CAST(floor(syy) AS BIGINT) AS DOUBLE) + CAST(syy - floor(syy) AS DOUBLE)) - (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)) * (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE))) > 0 THEN
+    round((CAST(m2 AS DOUBLE) * (CAST(CAST(floor(sxy) AS BIGINT) AS DOUBLE) + CAST(sxy - floor(sxy) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)))
+          / (sqrt(CAST(m2 AS DOUBLE) * (CAST(CAST(floor(sxx) AS BIGINT) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)))
+             * sqrt(CAST(m2 AS DOUBLE) * (CAST(CAST(floor(syy) AS BIGINT) AS DOUBLE) + CAST(syy - floor(syy) AS DOUBLE)) - (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)) * (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)))), 6)
+  END AS assortativity
+FROM s
+"""
+
+_ORACLES["graph_local_clustering"] = """
+WITH m AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), ok AS (
+  SELECT o FROM m GROUP BY o HAVING count(*) BETWEEN 2 AND 50
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM m a JOIN m b ON a.o = b.o AND a.p < b.p
+  JOIN ok ON a.o = ok.o
+), deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT src AS n FROM e UNION ALL SELECT dst AS n FROM e
+  ) GROUP BY n
+), tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+), nt AS (
+  SELECT node, count(*) AS t FROM (
+    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+), pn AS (
+  SELECT deg.n, deg.deg, COALESCE(nt.t, 0) AS t
+  FROM deg LEFT JOIN nt ON deg.n = nt.node
+  WHERE deg.deg >= 2
+), f AS (
+  SELECT count(*) AS n2,
+    SUM(CAST(round(2.0 * CAST(t AS DOUBLE)
+                   / (CAST(deg AS DOUBLE) * (CAST(deg AS DOUBLE) - 1.0)), 6)
+             AS DECIMAL(18,6))) AS csum,
+    SUM(t) AS t3
+  FROM pn
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+  CAST(n2 AS BIGINT) AS n_deg2plus,
+  CAST(t3 // 3 AS BIGINT) AS n_triangles,
+  CASE WHEN n2 > 0 THEN
+    round((CAST(CAST(floor(csum) AS BIGINT) AS DOUBLE) + CAST(csum - floor(csum) AS DOUBLE)) / CAST(n2 AS DOUBLE), 6)
+  END AS avg_clustering
+FROM f
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -8007,6 +8287,12 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brown_forsythe_price_flag": q_brown_forsythe_price_flag,
         "cramers_v_status_flag": q_cramers_v_status_flag,
         "partial_corr_price_qty": q_partial_corr_price_qty,
+        "event_transition_entropy": q_event_transition_entropy,
+        "js_divergence_docs_lang": q_js_divergence_docs_lang,
+        "gini_by_nation_revenue": q_gini_by_nation_revenue,
+        "chow_test_price_qty_flag": q_chow_test_price_qty_flag,
+        "graph_degree_assortativity": q_graph_degree_assortativity,
+        "graph_local_clustering": q_graph_local_clustering,
     }
 
 

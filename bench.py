@@ -214,6 +214,12 @@ FAMILIES: dict[str, list[str]] = {
         "brown_forsythe_price_flag",
         "cramers_v_status_flag",
         "partial_corr_price_qty",
+        "event_transition_entropy",
+        "js_divergence_docs_lang",
+        "gini_by_nation_revenue",
+        "chow_test_price_qty_flag",
+        "graph_degree_assortativity",
+        "graph_local_clustering",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

@@ -801,3 +801,60 @@ def kaplan_meier_retention(
     from .dedup import _release_caches
 
     return _release_caches(result, [us])
+
+
+def event_transition_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov view of user journeys: for every observed
+    event-type transition cur→next, its count, conditional probability
+    p(next|cur), and per-source-state entropy H(next|cur) — the
+    navigation fingerprint behind "where do users go from here" and
+    sequence-anomaly baselines.
+
+    One per-user window (lead over (ts, id) — the repo's deterministic
+    event order), one (cur, next) count aggregate (map-side
+    combinable, output bounded by the event-type domain squared), then
+    probabilities and the round-6 decimal-summed entropy over that
+    bounded relation. Output per (cur, next):
+    (cur_type, next_type, n_transitions, p_next, cur_entropy)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("cur"),
+            F.lead(type_col, 1).over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = pairs.groupBy("cur").agg(F.sum("c").alias("ct"))
+    p = F.col("c").cast("double") / F.col("ct").cast("double")
+    scored = pairs.join(totals, "cur").select(
+        "cur",
+        "nxt",
+        "c",
+        F.round(p, 6).alias("p_next"),
+        F.round(-p * F.log(p), 6).cast("decimal(18,6)").alias("__h_term"),
+    )
+    ent = scored.groupBy(F.col("cur").alias("cur2")).agg(
+        F.sum("__h_term").alias("h")
+    )
+    return (
+        scored.join(ent, scored.cur == ent.cur2)
+        .select(
+            F.col("cur").alias("cur_type"),
+            F.col("nxt").alias("next_type"),
+            F.col("c").cast("long").alias("n_transitions"),
+            "p_next",
+            F.col("h").cast("double").alias("cur_entropy"),
+        )
+    )

@@ -684,3 +684,129 @@ def kcore_summary(
     for c in live:
         c.unpersist()
     return out
+
+
+def degree_assortativity(
+    pairs: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient: the Pearson correlation of the
+    degrees at the two ends of every edge (both orientations, the
+    standard undirected convention) — positive for social-style graphs
+    (hubs link hubs), negative for web/biology-style hub-and-spoke.
+
+    One degree aggregate, two joins to decorate the 2m endpoint rows,
+    then exact decimal(38,0) integer moment sums (degrees are ints)
+    through the portable split cast into one fixed Pearson expression.
+    Output one row: (n_nodes, n_edges, assortativity)."""
+    from .hypotests import dec_double
+
+    und = _undirected(pairs, src_col, dst_col).persist()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dy"))
+    d38 = "decimal(38,0)"
+    rows = und.join(du, und.src == du.u).join(dv, und.dst == dv.v)
+    sums = rows.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(F.col("dx").cast(d38)).alias("sx"),
+        F.sum(F.col("dy").cast(d38)).alias("sy"),
+        F.sum((F.col("dx").cast(d38) * F.col("dx")).cast(d38)).alias("sxx"),
+        F.sum((F.col("dy").cast(d38) * F.col("dy")).cast(d38)).alias("syy"),
+        F.sum((F.col("dx").cast(d38) * F.col("dy")).cast(d38)).alias("sxy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    m = F.col("m2").cast("double")
+    sx = dec_double(F.col("sx"))
+    sy = dec_double(F.col("sy"))
+    num = m * dec_double(F.col("sxy")) - sx * sy
+    dx_ = F.sqrt(m * dec_double(F.col("sxx")) - sx * sx)
+    dy_ = F.sqrt(m * dec_double(F.col("syy")) - sy * sy)
+    out = sums.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.expr("m2 div 2").cast("long").alias("n_edges"),
+        F.when((dx_ > 0) & (dy_ > 0), F.round(num / (dx_ * dy_), 6)).alias(
+            "assortativity"
+        ),
+    )
+    result = _checkpointed(out)
+    und.unpersist()
+    return result
+
+
+def local_clustering_summary(
+    pairs: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Average LOCAL clustering coefficient (Watts–Strogatz): mean over
+    nodes of 2·T(v)/(deg(v)·(deg(v)−1)), where T(v) counts triangles
+    through v — the per-node "how clique-like is my neighborhood"
+    average that global transitivity (``triangle_stats``) hides when
+    degree is skewed. Nodes with deg < 2 are excluded (undefined
+    denominator), reported separately.
+
+    Per-node triangle counts come from ONE degree-ordered-orientation
+    triangle enumeration exploded into its three node incidences (the
+    ``edge_embeddedness_topk`` machinery pointed at nodes instead of
+    edges); per-node coefficients round to 6 dp and sum in decimal.
+    Output one row: (n_nodes, n_deg2plus, n_triangles, avg_clustering).
+    """
+    from .hypotests import dec_double
+
+    und = _undirected(pairs, src_col, dst_col).persist()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        und.join(du, und.src == du.u)
+        .join(dv, und.dst == dv.v)
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .persist()
+    )
+    e2 = oriented.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = oriented.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    paths = oriented.join(e2, oriented.b == e2.b2).select("a", "b", "c")
+    tris = paths.join(e3, (paths.a == e3.a3) & (paths.c == e3.c3)).select(
+        "a", "b", "c"
+    )
+    node_tri = (
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    per_node = deg.filter(F.col("deg") >= 2).join(
+        node_tri, deg.src == node_tri.node, "left"
+    )
+    coef = F.round(
+        F.lit(2.0)
+        * F.coalesce(F.col("t"), F.lit(0)).cast("double")
+        / (F.col("deg").cast("double") * (F.col("deg").cast("double") - 1.0)),
+        6,
+    ).cast("decimal(18,6)")
+    folded = per_node.agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.sum(coef).alias("csum"),
+        F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("t3"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    out = folded.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n2").cast("long").alias("n_deg2plus"),
+        F.expr("t3 div 3").cast("long").alias("n_triangles"),
+        F.when(
+            F.col("n2") > 0,
+            F.round(
+                dec_double(F.col("csum")) / F.col("n2").cast("double"), 6
+            ),
+        ).alias("avg_clustering"),
+    )
+    result = _checkpointed(out)
+    for c in (oriented, deg, und):
+        c.unpersist()
+    return result

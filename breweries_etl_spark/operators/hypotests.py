@@ -1031,3 +1031,222 @@ def partial_corr(
             "partial_r"
         ),
     )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Gini concentration: within each group, how unequally
+    the value distributes across keys (per-nation customer-revenue
+    concentration, per-source domain concentration, …) — the grouped
+    sibling of ``gini_concentration``.
+
+    Per-(group, key) exact decimal totals collapse to per-(group,
+    value) counts, then the rank-sum Σ v·c·(2·cum−c+1) runs under a
+    window PARTITIONED BY GROUP over that collapsed relation — the
+    sort input per partition is one group's value domain, hash-
+    distributed across groups (the weighted_median shape), never a
+    single global partition. Output per group:
+    (group, n_keys, total_value, gini)."""
+    per_key = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(key_col).alias("k"),
+            F.col(value_col).cast("decimal(18,2)").alias("x"),
+        )
+        .groupBy("g", "k")
+        .agg(F.sum("x").alias("r"))
+    )
+    vc = (
+        per_key.filter(F.col("r").isNotNull())
+        .groupBy("g", F.col("r").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wv = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d19 = "decimal(19,0)"
+    cum = F.sum("c").over(wv)
+    ranked = vc.select(
+        "g",
+        "v",
+        "c",
+        (F.lit(2) * cum - F.col("c") + F.lit(1)).alias("rw"),
+    )
+    num2_term = (
+        F.col("v") * F.col("c").cast(d19) * F.col("rw").cast(d19)
+    ).cast("decimal(38,2)")
+    total_term = (F.col("v") * F.col("c").cast(d19)).cast("decimal(38,2)")
+    sums = ranked.groupBy("g").agg(
+        F.sum("c").alias("n_keys"),
+        F.sum(total_term).alias("total"),
+        F.sum(num2_term).alias("num2"),
+    )
+    n = F.col("n_keys").cast("double")
+    total = dec_double(F.col("total"))
+    return sums.select(
+        F.col("g").alias(group_col),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        total.alias("total_value"),
+        F.when(
+            total > 0,
+            F.round(
+                dec_double(F.col("num2")) / (n * total)
+                - (n + F.lit(1.0)) / n,
+                6,
+            ),
+        ).alias("gini"),
+    )
+
+
+def chow_test(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Chow-style slope-heterogeneity F test: does one pooled simple
+    regression y ~ x fit as well as separate per-group fits, or do the
+    groups genuinely differ in slope/intercept? (The structural-break
+    test, applied across categorical segments.)
+
+    ONE conditional-moment pass yields per-group (n, Σx, Σy, Σx²,
+    Σxy, Σy²) in exact decimals; SSE_g = Syy − Sxy²/Sxx from centered
+    moments per group, pooled SSE from the summed moments, and
+    F = ((SSE_p − ΣSSE_g)/(2(k−1))) / (ΣSSE_g/(n−2k)). Per-group SSE
+    terms accumulate as fixed-point floor(x·100) (SS magnitudes exceed
+    double 6-dp resolution); every decimal→double crossing uses the
+    portable split cast. Output one row:
+    (n, k_groups, sse_pooled, sse_within, chow_f)."""
+    x = F.col(x_col).cast("decimal(18,2)")
+    y = F.col(y_col).cast("decimal(18,2)")
+
+    def prod(a, b):
+        return F.sum((a * b).cast("decimal(38,4)"))
+
+    per_g = (
+        df.filter(
+            F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+            & F.col(group_col).isNotNull()
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            prod(x, x).alias("sxx"),
+            prod(x, y).alias("sxy"),
+            prod(y, y).alias("syy"),
+        )
+    )
+
+    def sse(n, sx, sy, sxx, sxy, syy):
+        sxx_c = sxx - sx * sx / n
+        sxy_c = sxy - sx * sy / n
+        syy_c = syy - sy * sy / n
+        return syy_c - sxy_c * sxy_c / sxx_c
+
+    ng = F.col("n_g").cast("double")
+    sse_g = sse(
+        ng,
+        dec_double(F.col("sx")),
+        dec_double(F.col("sy")),
+        dec_double(F.col("sxx")),
+        dec_double(F.col("sxy")),
+        dec_double(F.col("syy")),
+    )
+    folded = per_g.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("sx").cast("decimal(38,2)")).alias("tsx"),
+        F.sum(F.col("sy").cast("decimal(38,2)")).alias("tsy"),
+        F.sum(F.col("sxx").cast("decimal(38,4)")).alias("tsxx"),
+        F.sum(F.col("sxy").cast("decimal(38,4)")).alias("tsxy"),
+        F.sum(F.col("syy").cast("decimal(38,4)")).alias("tsyy"),
+        F.sum(F.floor(sse_g * 100.0).cast("decimal(38,0)")).alias("ssw_fp"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    sse_p = sse(
+        n,
+        dec_double(F.col("tsx")),
+        dec_double(F.col("tsy")),
+        dec_double(F.col("tsxx")),
+        dec_double(F.col("tsxy")),
+        dec_double(F.col("tsyy")),
+    )
+    ssw = dec_double(F.col("ssw_fp")) / F.lit(100.0)
+    f = ((sse_p - ssw) / (F.lit(2.0) * (k - F.lit(1.0)))) / (
+        ssw / (n - F.lit(2.0) * k)
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        (F.floor(sse_p * 100.0) / F.lit(100.0)).alias("sse_pooled"),
+        ssw.alias("sse_within"),
+        F.when((F.col("k") > 1) & (ssw > 0), F.round(f, 6)).alias("chow_f"),
+    )
+
+
+def js_divergence_split(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    threshold_bucket: int = 32768,
+) -> DataFrame:
+    """Jensen–Shannon divergence between the label distributions of two
+    deterministic content-hash halves of a corpus — the symmetric,
+    bounded ([0, ln 2]) alternative to KL for "did the mix drift
+    between shards", with no infinities on disjoint support.
+
+    The split reuses the portable md5 bucket (sampling.hash_bucket_expr)
+    so both engines carve identical halves. One label aggregate with
+    conditional counts, then JS = ½ΣP·ln(P/M) + ½ΣQ·ln(Q/M) over the
+    BOUNDED label domain with the round-6 decimal-summed log-term
+    recipe; labels absent from one side contribute only through the
+    other (x·ln x → 0). Output one row:
+    (n_a, n_b, n_labels, js_divergence)."""
+    from .sampling import hash_bucket_expr
+
+    in_a = hash_bucket_expr(F.col(key_col)) < threshold_bucket
+    per_label = (
+        df.filter(F.col(label_col).isNotNull())
+        .groupBy(F.col(label_col).alias("lbl"))
+        .agg(
+            F.sum(in_a.cast("long")).alias("ca"),
+            F.sum((~in_a).cast("long")).alias("cb"),
+        )
+        .persist()
+    )
+    tot = per_label.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    # each side's rounded term becomes a decimal BEFORE the add — the
+    # sum of two 6-dp doubles can carry float error that a later
+    # decimal cast would round differently per engine
+    term = F.when(F.col("ca") > 0, F.round(p * F.log(p / m), 6)).otherwise(
+        F.lit(0.0)
+    ).cast("decimal(18,6)") + F.when(
+        F.col("cb") > 0, F.round(q * F.log(q / m), 6)
+    ).otherwise(F.lit(0.0)).cast("decimal(18,6)")
+    js = per_label.crossJoin(F.broadcast(tot)).agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.count(F.lit(1)).alias("n_labels"),
+        F.sum(term).alias("t"),
+    )
+    result = js.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("n_labels").cast("long").alias("n_labels"),
+        F.round(F.col("t").cast("double") / 2.0, 6).alias("js_divergence"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [per_label])

@@ -318,3 +318,115 @@ def test_dec_double_matches_plain_cast_small_magnitudes(spark):
     # Spark's own decimal->double is correctly rounded, so the split
     # must agree with it at ANY magnitude (the divergence is DuckDB's)
     assert r["b1"] == r["b2"]
+
+
+def test_transition_entropy_deterministic_chain(spark):
+    from breweries_etl_spark.operators.behavior import event_transition_stats
+
+    # user path a->b->a->b: transitions a->b (x2), b->a (x1)
+    rows = [
+        (1, 100, "a", "2020-01-01 00:00:00"),
+        (2, 100, "b", "2020-01-01 00:01:00"),
+        (3, 100, "a", "2020-01-01 00:02:00"),
+        (4, 100, "b", "2020-01-01 00:03:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["cur_type"], r["next_type"]): r
+        for r in event_transition_stats(df).collect()
+    }
+    assert out[("a", "b")]["n_transitions"] == 2
+    assert out[("a", "b")]["p_next"] == 1.0
+    assert out[("a", "b")]["cur_entropy"] == 0.0  # deterministic state
+    assert out[("b", "a")]["p_next"] == 1.0
+
+
+def test_js_divergence_bounds(spark):
+    from breweries_etl_spark.operators.hypotests import js_divergence_split
+
+    import math
+
+    # identical label in both halves -> JS = 0
+    same = spark.createDataFrame(
+        [(i, "en") for i in range(200)], "doc_id long, lang string"
+    )
+    assert js_divergence_split(same, "doc_id", "lang").collect()[0][
+        "js_divergence"
+    ] == pytest.approx(0.0, abs=1e-6)
+    # labels perfectly aligned with the hash split -> JS = ln 2
+    from breweries_etl_spark.operators.sampling import hash_bucket_expr
+
+    base = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    labeled = base.withColumn(
+        "lang",
+        F.when(hash_bucket_expr(F.col("doc_id")) < 32768, "en").otherwise("fr"),
+    )
+    assert js_divergence_split(labeled, "doc_id", "lang").collect()[0][
+        "js_divergence"
+    ] == pytest.approx(math.log(2), abs=1e-4)
+
+
+def test_gini_by_group_known(spark):
+    from breweries_etl_spark.operators.hypotests import gini_by_group
+
+    # group a: perfectly equal -> gini 0; group b: concentrated
+    rows = [("a", k, 10.0) for k in range(1, 5)] + [
+        ("b", 1, 0.00),
+        ("b", 2, 0.00),
+        ("b", 3, 0.00),
+        ("b", 4, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    out = {r["g"]: r for r in gini_by_group(df, "g", "k", "v").collect()}
+    assert out["a"]["gini"] == pytest.approx(0.0)
+    # max concentration with n=4: (n-1)/n = 0.75
+    assert out["b"]["gini"] == pytest.approx(0.75)
+
+
+def test_chow_detects_slope_break(spark):
+    from breweries_etl_spark.operators.hypotests import chow_test
+
+    # group a: y = 2x ; group b: y = 10x -> pooled fit poor, big F
+    rows = [("a", float(x), 2.0 * x) for x in range(1, 40)] + [
+        ("b", float(x), 10.0 * x) for x in range(1, 40)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = chow_test(df, "g", "x", "y").collect()[0]
+    assert r["sse_within"] == pytest.approx(0.0, abs=0.1)
+    assert r["chow_f"] is None or r["chow_f"] > 1000  # ssw==0 -> NULL guard
+    # with noise-free identical slopes the test must NOT fire
+    same = spark.createDataFrame(
+        [("a", float(x), 2.0 * x + (x % 3)) for x in range(1, 40)]
+        + [("b", float(x), 2.0 * x + ((x + 1) % 3)) for x in range(1, 40)],
+        "g string, x double, y double",
+    )
+    r2 = chow_test(same, "g", "x", "y").collect()[0]
+    assert r2["chow_f"] is not None and r2["chow_f"] < 10
+
+
+def test_assortativity_star_is_negative(spark):
+    from breweries_etl_spark.operators.graph import degree_assortativity
+
+    # star graph: hub degree 5, leaves degree 1 -> assortativity -1
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert r["n_nodes"] == 6 and r["n_edges"] == 5
+    assert r["assortativity"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_local_clustering_triangle_with_tail(spark):
+    from breweries_etl_spark.operators.graph import local_clustering_summary
+
+    # triangle 1-2-3 plus pendant 3-4: coefs 1, 1, 1/3 (node 4 deg 1
+    # excluded) -> avg = (1 + 1 + 1/3)/3
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    r = local_clustering_summary(edges).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_deg2plus"] == 3
+    assert r["n_triangles"] == 1
+    assert r["avg_clustering"] == pytest.approx((1 + 1 + 1 / 3) / 3, abs=1e-5)

@@ -82,6 +82,17 @@ INTERESTING = [
     # pinned by tests/test_plan_budgets.py instead.
     "score_calibration_bins", "decision_stump_price_split",
     "ols2_price_qty_discount", "ewma_user_value",
+    # r06 wave: anova/welch/partial/ridge are one-moment-pass
+    # aggregates; brown_forsythe a bounded median broadcast + one
+    # moment pass; referential audit a union of anti-join count
+    # aggregates; vocab stats one unigram aggregate. Spearman/kruskal/
+    # ACF/Theil-Sen/Mann-Kendall/cramers_v and the two graph queries
+    # checkpoint eagerly (cache release) — shapes pinned by
+    # plan-budget tests instead.
+    "anova_f_price_flag", "welch_t_price_returnflag",
+    "partial_corr_price_qty", "ridge2_price_qty_discount",
+    "brown_forsythe_price_flag", "referential_orphans",
+    "hapax_vocab_stats",
 ]
 
 

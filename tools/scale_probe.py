@@ -102,7 +102,10 @@ QUERIES = [
     "referential_orphans", "graph_edge_embeddedness",
     "graph_kcore_summary", "mann_kendall_daily",
     "brown_forsythe_price_flag", "cramers_v_status_flag",
-    "partial_corr_price_qty",
+    "partial_corr_price_qty", "event_transition_entropy",
+    "js_divergence_docs_lang", "gini_by_nation_revenue",
+    "chow_test_price_qty_flag", "graph_degree_assortativity",
+    "graph_local_clustering",
 ]
 
 
