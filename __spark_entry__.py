@@ -7903,7 +7903,9 @@ WITH per_g AS (
     SUM(CAST(sxx AS DECIMAL(38,4))) AS tsxx,
     SUM(CAST(sxy AS DECIMAL(38,4))) AS tsxy,
     SUM(CAST(syy AS DECIMAL(38,4))) AS tsyy,
-    SUM(CAST(floor((((CAST(CAST(floor(syy) AS BIGINT) AS DOUBLE) + CAST(syy - floor(syy) AS DOUBLE)) - (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)) * (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)) / CAST(n_g AS DOUBLE)) - ((CAST(CAST(floor(sxy) AS BIGINT) AS DOUBLE) + CAST(sxy - floor(sxy) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)) / CAST(n_g AS DOUBLE)) * ((CAST(CAST(floor(sxy) AS BIGINT) AS DOUBLE) + CAST(sxy - floor(sxy) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)) / CAST(n_g AS DOUBLE)) / ((CAST(CAST(floor(sxx) AS BIGINT) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) / CAST(n_g AS DOUBLE))) * 100.0) AS DECIMAL(38,0))) AS ssw_fp
+    SUM(CAST(floor(CASE WHEN n_g > 2 AND ((CAST(CAST(floor(sxx) AS BIGINT) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) / CAST(n_g AS DOUBLE)) > 0
+                   THEN (((CAST(CAST(floor(syy) AS BIGINT) AS DOUBLE) + CAST(syy - floor(syy) AS DOUBLE)) - (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)) * (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)) / CAST(n_g AS DOUBLE)) - ((CAST(CAST(floor(sxy) AS BIGINT) AS DOUBLE) + CAST(sxy - floor(sxy) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)) / CAST(n_g AS DOUBLE)) * ((CAST(CAST(floor(sxy) AS BIGINT) AS DOUBLE) + CAST(sxy - floor(sxy) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sy) AS BIGINT) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)) / CAST(n_g AS DOUBLE)) / ((CAST(CAST(floor(sxx) AS BIGINT) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(CAST(floor(sx) AS BIGINT) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) / CAST(n_g AS DOUBLE))) ELSE 0.0 END * 100.0)
+             AS DECIMAL(38,0))) AS ssw_fp
   FROM per_g
 )
 SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,

@@ -1158,6 +1158,16 @@ def chow_test(
         dec_double(F.col("sxy")),
         dec_double(F.col("syy")),
     )
+    # Degenerate groups (n_g <= 2, or constant x => centered Sxx = 0)
+    # have no residual: their SSE term is defined as 0, NOT NaN —
+    # float NaN would silently drop from Spark's decimal sum but makes
+    # DuckDB's CAST(NaN AS DECIMAL) error, an engine-dependent path.
+    sxx_c_g = dec_double(F.col("sxx")) - dec_double(F.col("sx")) * dec_double(
+        F.col("sx")
+    ) / ng
+    sse_g_safe = F.when((F.col("n_g") > 2) & (sxx_c_g > 0), sse_g).otherwise(
+        F.lit(0.0)
+    )
     folded = per_g.agg(
         F.sum("n_g").alias("n"),
         F.count(F.lit(1)).alias("k"),
@@ -1166,7 +1176,9 @@ def chow_test(
         F.sum(F.col("sxx").cast("decimal(38,4)")).alias("tsxx"),
         F.sum(F.col("sxy").cast("decimal(38,4)")).alias("tsxy"),
         F.sum(F.col("syy").cast("decimal(38,4)")).alias("tsyy"),
-        F.sum(F.floor(sse_g * 100.0).cast("decimal(38,0)")).alias("ssw_fp"),
+        F.sum(F.floor(sse_g_safe * 100.0).cast("decimal(38,0)")).alias(
+            "ssw_fp"
+        ),
     )
     n = F.col("n").cast("double")
     k = F.col("k").cast("double")

@@ -430,3 +430,22 @@ def test_local_clustering_triangle_with_tail(spark):
     assert r["n_nodes"] == 4 and r["n_deg2plus"] == 3
     assert r["n_triangles"] == 1
     assert r["avg_clustering"] == pytest.approx((1 + 1 + 1 / 3) / 3, abs=1e-5)
+
+
+def test_chow_degenerate_group_is_zero_not_nan(spark):
+    from breweries_etl_spark.operators.hypotests import chow_test
+
+    # group c is a singleton and group d has constant x: both would
+    # make SSE_g NaN (0/0); the guard defines their residual as 0 so
+    # engine and SQL replay agree instead of NaN-vs-cast-error
+    rows = (
+        [("a", float(x), 2.0 * x + (x % 3)) for x in range(1, 30)]
+        + [("b", float(x), 5.0 * x) for x in range(1, 30)]
+        + [("c", 7.0, 70.0)]
+        + [("d", 3.0, float(y)) for y in range(5)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = chow_test(df, "g", "x", "y").collect()[0]
+    assert r["k_groups"] == 4
+    assert r["sse_within"] is not None
+    assert r["chow_f"] is not None
