@@ -8000,6 +8000,193 @@ FROM f
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-6 wave 5: classifier-evaluation rank statistics
+
+
+def _dd(c: str) -> str:
+    """Portable DECIMAL->DOUBLE split cast (SQL twin of
+    operators/hypotests.dec_double) for sums past double's 15-digit
+    correctly-rounded envelope."""
+    return (
+        f"(CAST(CAST(floor({c}) AS BIGINT) AS DOUBLE)"
+        f" + CAST({c} - floor({c}) AS DOUBLE))"
+    )
+
+
+def q_roc_auc_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC AUC of order price as a predictor of
+    finished status — Mann-Whitney normalization over bucketed prefix
+    counts, no global sort (operators/hypotests.py:roc_auc)."""
+    from breweries_etl_spark.operators.hypotests import roc_auc
+
+    o = load_table(spark, sf_dir, "orders")
+    return roc_auc(o, "o_totalprice", F.col("o_orderstatus") == "F")
+
+
+def q_score_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gain table of order price vs finished status —
+    closed-form integer tiling from exact cumulative counts, no ntile
+    global sort (operators/hypotests.py:score_decile_lift)."""
+    from breweries_etl_spark.operators.hypotests import score_decile_lift
+
+    o = load_table(spark, sf_dir, "orders")
+    return score_decile_lift(o, "o_totalprice", F.col("o_orderstatus") == "F")
+
+
+def q_mcnemar_doc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test between two document quality filters (char
+    floor vs word floor) scored on the same corpus
+    (operators/hypotests.py:mcnemar_test)."""
+    from breweries_etl_spark.operators.hypotests import mcnemar_test
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    words = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+    )
+    return mcnemar_test(d, F.col("n_chars") >= 300, words >= 50)
+
+
+def q_cohens_d_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size of returned vs other lineitems' extended
+    price — the magnitude companion to welch_t_price_returnflag
+    (operators/hypotests.py:cohens_d)."""
+    from breweries_etl_spark.operators.hypotests import cohens_d
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return cohens_d(li, "l_extendedprice", F.col("l_returnflag") == "R")
+
+
+_AUC_VC = """
+vc AS (
+  SELECT o_totalprice AS v,
+    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS cb
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM vc
+)"""
+
+_ORACLES["roc_auc_order_status"] = f"""
+WITH {_AUC_VC},
+s AS (
+  SELECT SUM(ca) AS n_pos, SUM(cb) AS n_neg,
+    SUM(CAST(2 * CAST(ca AS DECIMAL(19,0)) * CAST(cum_b - cb AS DECIMAL(19,0))
+             + CAST(ca AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS u2
+  FROM cum
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+    round({_dd('u2')}
+          / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+  END AS auc,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+    round({_dd('u2')}
+          / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+          * 2.0 - 1.0, 6)
+  END AS gini_coef
+FROM s
+"""
+
+_ORACLES["score_lift_deciles"] = f"""
+WITH {_AUC_VC},
+tot AS (SELECT SUM(ca) AS tp, SUM(ca) + SUM(cb) AS tn FROM vc),
+tiles AS (
+  SELECT (((cum_a + cum_b - 1) * 10) // tn) + 1 AS tile,
+    SUM(ca + cb) AS n, SUM(ca) AS n_pos, max(tp) AS tp, max(tn) AS tn
+  FROM cum CROSS JOIN tot GROUP BY 1
+)
+SELECT CAST(tile AS BIGINT) AS tile, CAST(n AS BIGINT) AS n,
+  CAST(n_pos AS BIGINT) AS n_pos,
+  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+  CASE WHEN tp > 0 THEN
+    round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+          / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
+  END AS lift,
+  CASE WHEN tp > 0 THEN
+    round(CAST(SUM(n_pos) OVER (ORDER BY tile DESC ROWS UNBOUNDED PRECEDING)
+               AS DOUBLE) / CAST(tp AS DOUBLE), 6)
+  END AS cum_gain
+FROM tiles
+"""
+
+_ORACLES["mcnemar_doc_filters"] = """
+WITH f AS (
+  SELECT (n_chars >= 300) AS fa,
+    ((length(text) - length(replace(text, ' ', '')) + 1) >= 50) AS fb
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+), s AS (
+  SELECT count(*) AS n,
+    SUM(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS n_both,
+    SUM(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS n_a_only,
+    SUM(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END) AS n_b_only,
+    SUM(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END) AS n_neither
+  FROM f
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_both AS BIGINT) AS n_both,
+  CAST(n_a_only AS BIGINT) AS n_a_only,
+  CAST(n_b_only AS BIGINT) AS n_b_only,
+  CAST(n_neither AS BIGINT) AS n_neither,
+  CASE WHEN n_a_only + n_b_only > 0 THEN
+    round((CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+          * (CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+          / (CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE)), 6)
+  END AS mcnemar_chi2
+FROM s
+"""
+
+_ORACLES["cohens_d_price_returnflag"] = f"""
+WITH s AS (
+  SELECT
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS na,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS nb,
+    SUM(CASE WHEN l_returnflag = 'R'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS sa,
+    SUM(CASE WHEN l_returnflag <> 'R'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS sb,
+    SUM(CASE WHEN l_returnflag = 'R'
+        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))
+        ELSE CAST(0 AS DECIMAL(38,4)) END) AS qa,
+    SUM(CASE WHEN l_returnflag <> 'R'
+        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))
+        ELSE CAST(0 AS DECIMAL(38,4)) END) AS qb
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 6) AS mean_a,
+  round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS mean_b,
+  CASE WHEN na + nb > 2 AND na > 0 AND nb > 0
+        AND (({_dd('qa')} - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)))
+             + ({_dd('qb')} - CAST(sb AS DOUBLE) * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))))
+            / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0) > 0 THEN
+    round(sqrt((({_dd('qa')} - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)))
+                + ({_dd('qb')} - CAST(sb AS DOUBLE) * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))))
+               / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0)), 6)
+  END AS pooled_sd,
+  CASE WHEN na + nb > 2 AND na > 0 AND nb > 0
+        AND (({_dd('qa')} - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)))
+             + ({_dd('qb')} - CAST(sb AS DOUBLE) * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))))
+            / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0) > 0 THEN
+    round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+           - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+          / sqrt((({_dd('qa')} - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)))
+                  + ({_dd('qb')} - CAST(sb AS DOUBLE) * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))))
+                 / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0)), 6)
+  END AS cohens_d
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -8295,6 +8482,10 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chow_test_price_qty_flag": q_chow_test_price_qty_flag,
         "graph_degree_assortativity": q_graph_degree_assortativity,
         "graph_local_clustering": q_graph_local_clustering,
+        "roc_auc_order_status": q_roc_auc_order_status,
+        "score_lift_deciles": q_score_lift_deciles,
+        "mcnemar_doc_filters": q_mcnemar_doc_filters,
+        "cohens_d_price_returnflag": q_cohens_d_price_returnflag,
     }
 
 

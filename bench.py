@@ -220,6 +220,10 @@ FAMILIES: dict[str, list[str]] = {
         "chow_test_price_qty_flag",
         "graph_degree_assortativity",
         "graph_local_clustering",
+        "roc_auc_order_status",
+        "score_lift_deciles",
+        "mcnemar_doc_filters",
+        "cohens_d_price_returnflag",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

@@ -1262,3 +1262,193 @@ def js_divergence_split(
     from .dedup import _release_caches
 
     return _release_caches(result, [per_label])
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Exact ROC AUC (with the standard tie treatment: ties count half)
+    of a numeric score against a binary label — the rank statistic that
+    grades a quality/classifier score independent of any threshold.
+
+    AUC is the probability a random positive outscores a random
+    negative, i.e. the Mann–Whitney U normalized by n_pos·n_neg — so it
+    rides the same bucketed prefix-count primitive (no global sort,
+    no per-row rank materialized): 2·AUC·n_pos·n_neg =
+    Σ_v 2·ca(v)·(cum_b(v) − cb(v)) + ca(v)·cb(v), accumulated as exact
+    decimal integers. Also emits the Gini coefficient 2·AUC − 1 (the
+    accuracy-ratio form used in credit scoring). Output one row:
+    (n_pos, n_neg, auc, gini_coef).
+
+    No counterpart in the reference (pandas ETL) — extension surface.
+    """
+    pc = grouped_value_prefix_counts(df, score_col, label_expr, n_buckets)
+    d38 = "decimal(38,0)"
+    d19 = "decimal(19,0)"
+    ca = F.col("ca").cast(d19)
+    cb = F.col("cb").cast(d19)
+    before_b = (F.col("cum_b") - F.col("cb")).cast(d19)
+    u2_term = (F.lit(2) * ca * before_b + ca * cb).cast(d38)
+    sums = pc.agg(
+        F.sum("ca").alias("n_pos"),
+        F.sum("cb").alias("n_neg"),
+        F.sum(u2_term).alias("u2"),
+    )
+    np_ = F.col("n_pos").cast("double")
+    nn = F.col("n_neg").cast("double")
+    auc = dec_double(F.col("u2")) / (F.lit(2.0) * np_ * nn)
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    result = sums.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.when(ok, F.round(auc, 6)).alias("auc"),
+        F.when(ok, F.round(auc * 2.0 - 1.0, 6)).alias("gini_coef"),
+    )
+    return _released(result, pc, release)
+
+
+def score_decile_lift(
+    df: DataFrame,
+    score_col: str,
+    label_expr: Column,
+    n_tiles: int = 10,
+    release: bool = True,
+) -> DataFrame:
+    """Decile lift/gain table for a score against a binary outcome —
+    the campaign-targeting diagnostic: sort by score, cut into ten
+    tiles, and ask how concentrated the positives are at the top.
+
+    NO ntile over a global sort: each distinct score already knows its
+    exact global cumulative count from the prefix-count primitive, so
+    its tile is the closed-form integer ((cum−1)·n_tiles) div n + 1 —
+    every row of a tied score lands in ONE tile (deterministic where
+    ntile's row split is not, and engine-independent by integer
+    arithmetic). Tile n_tiles = highest scores. Cumulative gain walks
+    a window over the ≤ n_tiles-row tile relation (bounded).
+
+    Output per tile: (tile, n, n_pos, pos_rate, lift, cum_gain) where
+    lift = tile rate / overall rate and cum_gain = share of all
+    positives captured at or above the tile."""
+    pc = grouped_value_prefix_counts(df, score_col, label_expr)
+    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
+        F.sum("ca").alias("tp"), (F.sum("ca") + F.sum("cb")).alias("tn")
+    )
+    cum = (F.col("cum_a") + F.col("cum_b")).cast("long")
+    tiles = (
+        pc.withColumn("cum_all", cum)
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.expr(f"(((cum_all - 1) * {n_tiles}) div tn) + 1").alias("tile"))
+        .agg(
+            F.sum(F.col("ca") + F.col("cb")).alias("n"),
+            F.sum("ca").alias("n_pos"),
+            F.max("tp").alias("tp"),
+            F.max("tn").alias("tn"),
+        )
+    )
+    w = Window.orderBy(F.col("tile").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    overall = F.col("tp").cast("double") / F.col("tn").cast("double")
+    result = tiles.select(
+        F.col("tile").cast("long").alias("tile"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(rate, 6).alias("pos_rate"),
+        F.when(F.col("tp") > 0, F.round(rate / overall, 6)).alias("lift"),
+        F.when(
+            F.col("tp") > 0,
+            F.round(
+                F.sum("n_pos").over(w).cast("double")
+                / F.col("tp").cast("double"),
+                6,
+            ),
+        ).alias("cum_gain"),
+    )
+    return _released(result, pc, release)
+
+
+def mcnemar_test(
+    df: DataFrame, flag_a: Column, flag_b: Column
+) -> DataFrame:
+    """McNemar's paired test for two binary classifiers scored on the
+    SAME items — the correct comparison when per-item pairing exists
+    (two quality filters over one corpus); an unpaired two-proportion
+    z-test wastes the pairing and misreads correlated errors.
+
+    Only the discordant cells matter: b = a-only flags, c = b-only
+    flags, statistic = (b−c)²/(b+c) (χ², 1 df; NULL when b+c = 0).
+    ONE conditional aggregation pass; all counts exact integers.
+    Output: (n, n_both, n_a_only, n_b_only, n_neither, mcnemar_chi2).
+    """
+    a = flag_a.cast("boolean")
+    b = flag_b.cast("boolean")
+    sums = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((a & b).cast("int")).alias("n_both"),
+        F.sum((a & ~b).cast("int")).alias("n_a_only"),
+        F.sum((~a & b).cast("int")).alias("n_b_only"),
+        F.sum((~a & ~b).cast("int")).alias("n_neither"),
+    )
+    bd = F.col("n_a_only").cast("double")
+    cd = F.col("n_b_only").cast("double")
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.col("n_a_only").cast("long").alias("n_a_only"),
+        F.col("n_b_only").cast("long").alias("n_b_only"),
+        F.col("n_neither").cast("long").alias("n_neither"),
+        F.when(
+            (F.col("n_a_only") + F.col("n_b_only")) > 0,
+            F.round((bd - cd) * (bd - cd) / (bd + cd), 6),
+        ).alias("mcnemar_chi2"),
+    )
+
+
+def cohens_d(
+    df: DataFrame, value_col: str, group_expr: Column
+) -> DataFrame:
+    """Cohen's d standardized effect size between the rows where
+    ``group_expr`` is true (A) and the rest (B): (mean_a − mean_b) over
+    the pooled standard deviation — the magnitude companion to a t
+    statistic (at corpus scale everything is "significant"; d says
+    whether the shift is worth acting on).
+
+    Same ONE-pass exact decimal moments as ``welch_t_test``; pooled
+    variance ((n_a−1)·v_a + (n_b−1)·v_b)/(n_a+n_b−2) and d are a fixed
+    double sequence. Output: (n_a, n_b, mean_a, mean_b, pooled_sd,
+    cohens_d)."""
+    x = F.col(value_col).cast("decimal(18,2)")
+    a = group_expr.cast("boolean")
+    z2 = F.lit(0).cast("decimal(18,2)")
+    z4 = F.lit(0).cast("decimal(38,4)")
+    sums = df.filter(F.col(value_col).isNotNull()).agg(
+        F.sum(F.when(a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(a, 0).otherwise(1)).alias("nb"),
+        F.sum(F.when(a, x).otherwise(z2)).alias("sa"),
+        F.sum(F.when(~a, x).otherwise(z2)).alias("sb"),
+        F.sum(F.when(a, (x * x).cast("decimal(38,4)")).otherwise(z4)).alias("qa"),
+        F.sum(F.when(~a, (x * x).cast("decimal(38,4)")).otherwise(z4)).alias("qb"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / na
+    mb = F.col("sb").cast("double") / nb
+    ssa = dec_double(F.col("qa")) - F.col("sa").cast("double") * ma
+    ssb = dec_double(F.col("qb")) - F.col("sb").cast("double") * mb
+    vp = (ssa + ssb) / (na + nb - F.lit(2.0))
+    ok = ((F.col("na") + F.col("nb")) > 2) & (F.col("na") > 0) & (F.col("nb") > 0)
+    return sums.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.when(ok & (vp > 0), F.round(F.sqrt(vp), 6)).alias("pooled_sd"),
+        F.when(ok & (vp > 0), F.round((ma - mb) / F.sqrt(vp), 6)).alias(
+            "cohens_d"
+        ),
+    )

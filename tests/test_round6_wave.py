@@ -449,3 +449,70 @@ def test_chow_degenerate_group_is_zero_not_nan(spark):
     assert r["k_groups"] == 4
     assert r["sse_within"] is not None
     assert r["chow_f"] is not None
+
+
+def test_roc_auc_separable_and_tied(spark):
+    from breweries_etl_spark.operators.hypotests import roc_auc
+
+    df = spark.createDataFrame(
+        [(3.0, 1), (4.0, 1), (1.0, 0), (2.0, 0)], "s double, y int"
+    )
+    r = roc_auc(df, "s", F.col("y") == 1).collect()[0]
+    assert r["auc"] == 1.0 and r["gini_coef"] == 1.0
+    df2 = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (2.0, 0), (3.0, 0)], "s double, y int"
+    )
+    r2 = roc_auc(df2, "s", F.col("y") == 1).collect()[0]
+    # pairs: (1,2)=0 (1,3)=0 (2,2)=0.5 (2,3)=0 -> U=0.5 of 4
+    assert r2["auc"] == pytest.approx(0.125)
+    assert r2["gini_coef"] == pytest.approx(-0.75)
+
+
+def test_score_lift_deciles_top_concentration(spark):
+    from breweries_etl_spark.operators.hypotests import score_decile_lift
+
+    rows = [(float(i), 1 if i > 16 else 0) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {
+        r["tile"]: r
+        for r in score_decile_lift(df, "s", F.col("y") == 1).collect()
+    }
+    assert set(out) == set(range(1, 11))
+    assert all(out[t]["n"] == 2 for t in out)
+    # positives are scores 17..20 -> tiles 9 and 10 only
+    assert out[10]["n_pos"] == 2 and out[9]["n_pos"] == 2
+    assert out[10]["pos_rate"] == 1.0
+    assert out[10]["lift"] == pytest.approx(5.0)
+    assert out[10]["cum_gain"] == pytest.approx(0.5)
+    assert out[9]["cum_gain"] == pytest.approx(1.0)
+    assert out[1]["cum_gain"] == pytest.approx(1.0)
+
+
+def test_mcnemar_counts_and_stat(spark):
+    from breweries_etl_spark.operators.hypotests import mcnemar_test
+
+    rows = (
+        [(1, 1)] * 5 + [(1, 0)] * 6 + [(0, 1)] * 2 + [(0, 0)] * 3
+    )
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = mcnemar_test(df, F.col("a") == 1, F.col("b") == 1).collect()[0]
+    assert (r["n"], r["n_both"], r["n_a_only"], r["n_b_only"], r["n_neither"]) == (
+        16, 5, 6, 2, 3
+    )
+    assert r["mcnemar_chi2"] == pytest.approx((6 - 2) ** 2 / 8, abs=1e-6)
+
+
+def test_cohens_d_matches_numpy(spark):
+    import numpy as np
+    from breweries_etl_spark.operators.hypotests import cohens_d
+
+    a = [10.0, 12.0, 11.5, 9.0, 13.0]
+    b = [8.0, 7.5, 9.5, 8.25]
+    rows = [(v, 1) for v in a] + [(v, 0) for v in b]
+    df = spark.createDataFrame(rows, "v double, g int")
+    r = cohens_d(df, "v", F.col("g") == 1).collect()[0]
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    sp = np.sqrt(((len(a) - 1) * va + (len(b) - 1) * vb) / (len(a) + len(b) - 2))
+    want = (np.mean(a) - np.mean(b)) / sp
+    assert r["cohens_d"] == pytest.approx(want, abs=1e-5)
+    assert r["pooled_sd"] == pytest.approx(sp, abs=1e-5)
