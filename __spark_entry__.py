@@ -8187,6 +8187,251 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-6 wave 5B: outlier/variance screens + daily-series diagnostics
+
+
+def q_grubbs_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs max-outlier screen on order totals: exact moments + one
+    struct-argmax, no sort (operators/hypotests.py:grubbs_max_outlier)."""
+    from breweries_etl_spark.operators.hypotests import grubbs_max_outlier
+
+    return grubbs_max_outlier(
+        load_table(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice"
+    )
+
+
+def q_levene_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-centered Levene equality-of-variances across return flags —
+    the classical companion to brown_forsythe_price_flag
+    (operators/hypotests.py:levene_test)."""
+    from breweries_etl_spark.operators.hypotests import levene_test
+
+    return levene_test(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+def q_durbin_watson_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of the daily event-value series around
+    its OLS trend (operators/temporal.py:durbin_watson_daily)."""
+    from breweries_etl_spark.operators.temporal import durbin_watson_daily
+
+    return durbin_watson_daily(load_events(spark, sf_dir))
+
+
+def q_runs_test_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on day-over-day sign changes of the
+    daily event-value series (operators/temporal.py:runs_test_daily)."""
+    from breweries_etl_spark.operators.temporal import runs_test_daily
+
+    return runs_test_daily(load_events(spark, sf_dir))
+
+
+def q_rolling_slope_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling OLS slope per day of the daily
+    event-value series (operators/temporal.py:rolling_ols_slope_daily)."""
+    from breweries_etl_spark.operators.temporal import rolling_ols_slope_daily
+
+    return rolling_ols_slope_daily(load_events(spark, sf_dir))
+
+
+_GRB_MEAN = f"({_dd('s')} / CAST(n AS DOUBLE))"
+_GRB_VAR = f"(({_dd('q')} - {_dd('s')} * {_GRB_MEAN}) / (CAST(n AS DOUBLE) - 1.0))"
+
+_ORACLES["grubbs_order_price"] = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS x
+  FROM orders WHERE o_totalprice IS NOT NULL
+), m AS (
+  SELECT count(*) AS n,
+    SUM(CAST(x AS DECIMAL(38,2))) AS s,
+    SUM(CAST(CAST(x AS DECIMAL(24,2)) * CAST(x AS DECIMAL(24,2))
+             AS DECIMAL(38,4))) AS q
+  FROM base
+), top AS (
+  SELECT k, x,
+    CAST(floor(abs(CAST(x AS DOUBLE) - {_GRB_MEAN}) * 1000000.0) AS BIGINT) AS d
+  FROM base CROSS JOIN m
+  ORDER BY d DESC, k ASC LIMIT 1
+)
+SELECT CAST(n AS BIGINT) AS n,
+  round({_GRB_MEAN}, 6) AS mean_value,
+  CASE WHEN n > 2 AND {_GRB_VAR} > 0 THEN round(sqrt({_GRB_VAR}), 6) END
+    AS sd_value,
+  CAST(k AS BIGINT) AS outlier_key,
+  CAST(x AS DOUBLE) AS outlier_value,
+  CASE WHEN n > 2 AND {_GRB_VAR} > 0 THEN
+    round(CAST(d AS DOUBLE) / 1000000.0 / sqrt({_GRB_VAR}), 6)
+  END AS grubbs_g
+FROM top CROSS JOIN m
+"""
+
+_LEV_MU = f"({_dd('gs')} / CAST(gn AS DOUBLE))"
+
+_ORACLES["levene_price_flag"] = f"""
+WITH base AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+), means AS (
+  SELECT g, count(*) AS gn, SUM(CAST(v AS DECIMAL(38,2))) AS gs
+  FROM base GROUP BY g
+), z AS (
+  SELECT base.g,
+    CAST(CAST(floor(abs(CAST(v AS DOUBLE) - {_LEV_MU}) * 100.0)
+              AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2)) AS zv
+  FROM base JOIN means USING (g)
+), per_g AS (
+  SELECT g, count(*) AS n_g,
+    SUM(CAST(zv AS DECIMAL(18,2))) AS s_g,
+    SUM(CAST(CAST(zv AS DECIMAL(18,2))
+             * CAST(zv AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS q_g
+  FROM z GROUP BY 1
+), s AS (
+  SELECT SUM(n_g) AS n, count(*) AS k,
+    SUM(CAST(s_g AS DECIMAL(38,2))) AS sx,
+    SUM(CAST(q_g AS DECIMAL(38,4))) AS q,
+    SUM(CAST(floor(({_dd('q_g')}
+                    - {_dd('s_g')} * {_dd('s_g')} / CAST(n_g AS DOUBLE)) * 100.0)
+             AS DECIMAL(38,0))) AS ssw
+  FROM per_g
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+  floor((({_dd('q')} - {_dd('sx')} * {_dd('sx')} / CAST(n AS DOUBLE))
+         - ({_dd('ssw')} / 100.0)) * 100.0) / 100.0 AS ss_between,
+  ({_dd('ssw')} / 100.0) AS ss_within,
+  CASE WHEN k > 1 AND ({_dd('ssw')} / 100.0) > 0 THEN
+    round(((({_dd('q')} - {_dd('sx')} * {_dd('sx')} / CAST(n AS DOUBLE))
+            - ({_dd('ssw')} / 100.0)) / (CAST(k AS DOUBLE) - 1.0))
+          / (({_dd('ssw')} / 100.0) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+  END AS levene_w,
+  CASE WHEN ({_dd('q')} - {_dd('sx')} * {_dd('sx')} / CAST(n AS DOUBLE)) > 0 THEN
+    round((({_dd('q')} - {_dd('sx')} * {_dd('sx')} / CAST(n AS DOUBLE))
+           - ({_dd('ssw')} / 100.0))
+          / ({_dd('q')} - {_dd('sx')} * {_dd('sx')} / CAST(n AS DOUBLE)), 6)
+  END AS eta_sq
+FROM s
+"""
+
+_DAILY_EVENTS = """
+daily AS MATERIALIZED (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+)"""
+
+_DW_DEN = (
+    f"(CAST(n AS DOUBLE) * {_dd('sxx')} - {_dd('sx')} * {_dd('sx')})"
+)
+_DW_SLOPE = (
+    f"((CAST(n AS DOUBLE) * {_dd('sxy')} - {_dd('sx')} * {_dd('sy')})"
+    f" / {_DW_DEN})"
+)
+_DW_ICEPT = f"(({_dd('sy')} - {_DW_SLOPE} * {_dd('sx')}) / CAST(n AS DOUBLE))"
+
+_ORACLES["durbin_watson_daily_value"] = f"""
+WITH {_DAILY_EVENTS},
+mn AS (SELECT min(day) AS d0 FROM daily),
+based AS (
+  SELECT day, y, CAST(day - d0 AS BIGINT) AS x FROM daily CROSS JOIN mn
+), mom AS (
+  SELECT count(*) AS n,
+    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(y AS DECIMAL(38,2))) AS sy,
+    SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(CAST(y AS DECIMAL(24,2)) * x AS DECIMAL(38,4))) AS sxy
+  FROM based
+), resid AS (
+  SELECT day,
+    CAST(y AS DOUBLE) - ({_DW_ICEPT} + {_DW_SLOPE} * CAST(x AS DOUBLE)) AS e
+  FROM based CROSS JOIN mom
+), lagged AS (
+  SELECT e, lag(e, 1) OVER (ORDER BY day) AS ep FROM resid
+), sums AS (
+  SELECT count(*) AS n_days,
+    SUM(CAST(floor(e * e) AS DECIMAL(38,0))) AS den_fp,
+    SUM(CASE WHEN ep IS NOT NULL THEN
+      CAST(floor((e - ep) * (e - ep)) AS DECIMAL(38,0)) END) AS num_fp
+  FROM lagged
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+  CASE WHEN {_DW_DEN} > 0 THEN round({_DW_SLOPE}, 6) END AS slope,
+  CASE WHEN {_DW_DEN} > 0 THEN floor({_DW_ICEPT} * 10000.0) / 10000.0 END
+    AS intercept,
+  CASE WHEN den_fp > 0 AND n_days > 2 THEN
+    round({_dd('num_fp')} / {_dd('den_fp')}, 6)
+  END AS dw_stat
+FROM sums CROSS JOIN mom
+"""
+
+_ORACLES["runs_test_daily_value"] = f"""
+WITH {_DAILY_EVENTS},
+diffed AS (
+  SELECT day, y - lag(y, 1) OVER (ORDER BY day) AS d FROM daily
+), signs AS (
+  SELECT day, CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END AS sgn
+  FROM diffed WHERE d IS NOT NULL AND d <> 0
+), flips AS (
+  SELECT sgn,
+    CASE WHEN lag(sgn, 1) OVER (ORDER BY day) IS NULL
+           OR sgn <> lag(sgn, 1) OVER (ORDER BY day) THEN 1 ELSE 0 END
+      AS is_start
+  FROM signs
+), s AS (
+  SELECT count(*) AS n,
+    SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS n_plus,
+    SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS n_minus,
+    SUM(is_start) AS n_runs
+  FROM flips
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_plus AS BIGINT) AS n_plus,
+  CAST(n_minus AS BIGINT) AS n_minus, CAST(n_runs AS BIGINT) AS n_runs,
+  CASE WHEN n_plus > 0 AND n_minus > 0 AND n > 1 THEN
+    round(2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)
+          / CAST(n AS DOUBLE) + 1.0, 6)
+  END AS expected_runs,
+  CASE WHEN n_plus > 0 AND n_minus > 0 AND n > 1
+        AND (2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE))
+            * ((2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)) - CAST(n AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0 THEN
+    round((CAST(n_runs AS DOUBLE)
+           - (2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)
+              / CAST(n AS DOUBLE) + 1.0))
+          / sqrt((2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE))
+                 * ((2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)) - CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+  END AS z_score
+FROM s
+"""
+
+_RS_DEN = (
+    f"(CAST(nw AS DOUBLE) * {_dd('sxx')} - {_dd('sx')} * {_dd('sx')})"
+)
+_RS_SLOPE = (
+    f"((CAST(nw AS DOUBLE) * {_dd('sxy')} - {_dd('sx')} * {_dd('sy')})"
+    f" / {_RS_DEN})"
+)
+
+_ORACLES["rolling_slope_daily_value"] = f"""
+WITH {_DAILY_EVENTS},
+agg AS (
+  SELECT day,
+    count(*) OVER w AS nw,
+    SUM(CAST(day AS DECIMAL(38,0))) OVER w AS sx,
+    SUM(CAST(y AS DECIMAL(38,2))) OVER w AS sy,
+    SUM(CAST(day * day AS DECIMAL(38,0))) OVER w AS sxx,
+    SUM(CAST(CAST(y AS DECIMAL(24,2)) * day AS DECIMAL(38,4))) OVER w AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(day AS BIGINT) AS day,
+  CASE WHEN {_RS_DEN} > 0 THEN floor({_RS_SLOPE} * 100.0) / 100.0 END
+    AS slope_w
+FROM agg WHERE nw = 7
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -8486,6 +8731,11 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_lift_deciles": q_score_lift_deciles,
         "mcnemar_doc_filters": q_mcnemar_doc_filters,
         "cohens_d_price_returnflag": q_cohens_d_price_returnflag,
+        "grubbs_order_price": q_grubbs_order_price,
+        "levene_price_flag": q_levene_price_flag,
+        "durbin_watson_daily_value": q_durbin_watson_daily_value,
+        "runs_test_daily_value": q_runs_test_daily_value,
+        "rolling_slope_daily_value": q_rolling_slope_daily_value,
     }
 
 

@@ -224,6 +224,11 @@ FAMILIES: dict[str, list[str]] = {
         "score_lift_deciles",
         "mcnemar_doc_filters",
         "cohens_d_price_returnflag",
+        "grubbs_order_price",
+        "levene_price_flag",
+        "durbin_watson_daily_value",
+        "runs_test_daily_value",
+        "rolling_slope_daily_value",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

@@ -1452,3 +1452,108 @@ def cohens_d(
             "cohens_d"
         ),
     )
+
+
+def grubbs_max_outlier(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Grubbs' statistic G = max|x − x̄| / s with the offending row —
+    the classic single-outlier screen run before trusting a mean-based
+    metric; at pipeline scale it names the one record most worth a
+    human look.
+
+    Pass 1: exact decimal moments (n, Σx, Σx²) → mean and unbiased s
+    as a fixed double sequence. Pass 2: per-row deviation quantized to
+    floor(|x − x̄|·10⁶) — floor of identical IEEE doubles is engine-
+    independent where a decimal round is not — and the argmax row via
+    ONE max over lexicographic structs (dev, −key): ties break to the
+    smallest key with no window or sort. G is the quantized deviation
+    over s (documented 1e-6 quantization). Output one row:
+    (n, mean_value, sd_value, outlier_key, outlier_value, grubbs_g).
+
+    Requires a NUMERIC key (negation drives the tie-break)."""
+    xd = F.col("__x").cast("double")
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(value_col).cast("decimal(18,2)").alias("__x"),
+    ).filter(F.col("__x").isNotNull())
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__x").cast("decimal(38,2)")).alias("s"),
+        F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,4)")).alias("q"),
+    )
+    n = F.col("n").cast("double")
+    mean = dec_double(F.col("s")) / n
+    var = (dec_double(F.col("q")) - dec_double(F.col("s")) * mean) / (
+        n - F.lit(1.0)
+    )
+    dev_fp = F.floor(F.abs(xd - mean) * 1000000.0).cast("long")
+    arg = (
+        base.crossJoin(F.broadcast(m))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("s").alias("s"),
+            F.max("q").alias("q"),
+            F.max(
+                F.struct(
+                    dev_fp.alias("d"),
+                    (-F.col("__k")).alias("nk"),
+                    F.col("__x").alias("x"),
+                )
+            ).alias("top"),
+        )
+    )
+    sd = F.sqrt(var)
+    ok = (F.col("n") > 2) & (var > 0)
+    return arg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean_value"),
+        F.when(ok, F.round(sd, 6)).alias("sd_value"),
+        (-F.col("top.nk")).cast("long").alias("outlier_key"),
+        F.col("top.x").cast("double").alias("outlier_value"),
+        F.when(
+            ok,
+            F.round(F.col("top.d").cast("double") / F.lit(1e6) / sd, 6),
+        ).alias("grubbs_g"),
+    )
+
+
+def levene_test(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Levene's equality-of-variances test (MEAN-centered) — the
+    classical companion to ``brown_forsythe`` (median-centered): more
+    powerful under near-normal data, less robust under heavy tails;
+    shipping both lets the caller pick the assumption they can defend.
+
+    Group means come from exact decimal sums (dec_double for the
+    >15-digit envelope); each |x − x̄_g| is quantized to cents by
+    floor(·100)/100 — a group mean is a non-terminating quotient, so
+    unlike brown_forsythe's decimal median the deviation needs an
+    explicit engine-independent cut before it re-enters exact decimal
+    ANOVA machinery (floor of identical IEEE doubles; a decimal round
+    HALF_UP at the 3rd decimal could land on ties where engines
+    disagree). Output matches ``anova_oneway`` with F as levene_w."""
+    val_dec = F.col(value_col).cast("decimal(18,2)")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), val_dec.alias("__v"))
+    means = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__v").cast("decimal(38,2)")).alias("__s"),
+    )
+    mu = dec_double(F.col("__s")) / F.col("__n").cast("double")
+    absdev = base.join(F.broadcast(means), "__g").select(
+        "__g",
+        (
+            F.floor(F.abs(F.col("__v").cast("double") - mu) * 100.0).cast(
+                "decimal(18,2)"
+            )
+            / F.lit(100)
+        )
+        .cast("decimal(18,2)")
+        .alias("__z"),
+    )
+    return anova_oneway(absdev, "__g", "__z").withColumnsRenamed(
+        {"f_stat": "levene_w"}
+    )

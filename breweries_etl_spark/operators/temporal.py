@@ -1086,3 +1086,205 @@ def mann_kendall_daily(
     from .dedup import _release_caches
 
     return _release_caches(result, [daily])
+
+
+def _daily_series(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
+    """(day, y): calendar-day integer (unix_micros div 86.4e9 — integer
+    div, never a float floor) with the exact decimal(18,2) daily total.
+    The fact table collapses in ONE map-side-combinable shuffle; every
+    series operator downstream works on the ~#days-row relation."""
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    y = F.col(value_col).cast("decimal(18,2)")
+    return (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(day.alias("day"), y.alias("y"))
+        .groupBy("day")
+        .agg(F.sum("y").alias("y"))
+    )
+
+
+def durbin_watson_daily(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Durbin–Watson autocorrelation-of-residuals statistic for the
+    daily-total series around its OLS time trend — DW ≈ 2 means the
+    trend residuals are serially independent; DW → 0 flags positive
+    autocorrelation (momentum the trend line missed), → 4 negative.
+
+    The fact table collapses to the bounded daily relation first; the
+    OLS fit uses exact decimal moments on x = day − min_day (slope and
+    intercept via the portable dec_double sequence). Residuals are a
+    fixed double expression; Σe² and Σ(eₜ−eₜ₋₁)² accumulate as
+    floor(·) fixed-point decimals (sub-unit residual detail dropped
+    identically on every engine; the lag walks a window over the
+    ≤ #days-row relation only). Output one row:
+    (n_days, slope, intercept, dw_stat)."""
+    from .hypotests import dec_double
+
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+    mn = daily.agg(F.min("day").alias("d0"))
+    based = daily.crossJoin(F.broadcast(mn)).select(
+        "day",
+        "y",
+        (F.col("day") - F.col("d0")).cast("long").alias("x"),
+    )
+    mom = based.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,2)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("x")).cast("decimal(38,4)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = dec_double(F.col("sx"))
+    sy = dec_double(F.col("sy"))
+    den = n * dec_double(F.col("sxx")) - sx * sx
+    slope = (n * dec_double(F.col("sxy")) - sx * sy) / den
+    intercept = (sy - slope * sx) / n
+    w = Window.orderBy("day")
+    resid = based.crossJoin(F.broadcast(mom)).select(
+        "day",
+        (
+            F.col("y").cast("double")
+            - (intercept + slope * F.col("x").cast("double"))
+        ).alias("e"),
+    )
+    lagged = resid.select(
+        "e", F.lag("e", 1).over(w).alias("ep")
+    )
+    sums = lagged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.floor(F.col("e") * F.col("e")).cast("decimal(38,0)")).alias(
+            "den_fp"
+        ),
+        F.sum(
+            F.when(
+                F.col("ep").isNotNull(),
+                F.floor(
+                    (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+                ).cast("decimal(38,0)"),
+            )
+        ).alias("num_fp"),
+    )
+    dw = dec_double(F.col("num_fp")) / dec_double(F.col("den_fp"))
+    result = sums.crossJoin(F.broadcast(mom)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.when(den > 0, F.round(slope, 6)).alias("slope"),
+        F.when(den > 0, F.floor(intercept * 10000.0) / F.lit(10000.0)).alias(
+            "intercept"
+        ),
+        F.when(
+            (F.col("den_fp") > 0) & (F.col("n_days") > 2), F.round(dw, 6)
+        ).alias("dw_stat"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])
+
+
+def runs_test_daily(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Wald–Wolfowitz runs test on the SIGNS of day-over-day changes in
+    the daily total — the distribution-free randomness check: too few
+    runs means trending/sticky days, too many means oscillation.
+
+    Day-over-day differences are EXACT decimal subtractions on the
+    bounded daily relation (zero changes drop, the standard
+    convention); a second bounded window counts sign flips. n₊, n₋,
+    runs R, E[R] = 2n₊n₋/n + 1 and Var[R] close the z-score in fixed
+    doubles. Output one row:
+    (n, n_plus, n_minus, n_runs, expected_runs, z_score)."""
+    daily = _daily_series(df, ts_col, value_col)
+    w = Window.orderBy("day")
+    diffed = daily.select(
+        "day", (F.col("y") - F.lag("y", 1).over(w)).alias("d")
+    )
+    signs = diffed.select(
+        "day",
+        F.when(F.col("d") > 0, F.lit(1))
+        .when(F.col("d") < 0, F.lit(-1))
+        .alias("sgn"),
+    ).filter(F.col("sgn").isNotNull())
+    flips = signs.select(
+        "sgn",
+        F.when(
+            F.lag("sgn", 1).over(w).isNull()
+            | (F.col("sgn") != F.lag("sgn", 1).over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sums = flips.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).alias("n_plus"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).alias("n_minus"),
+        F.sum("is_start").alias("n_runs"),
+    )
+    n = F.col("n").cast("double")
+    npl = F.col("n_plus").cast("double")
+    nmi = F.col("n_minus").cast("double")
+    two_pm = F.lit(2.0) * npl * nmi
+    exp_r = two_pm / n + F.lit(1.0)
+    var_r = (
+        two_pm * (two_pm - n) / (n * n * (n - F.lit(1.0)))
+    )
+    ok = (F.col("n_plus") > 0) & (F.col("n_minus") > 0) & (F.col("n") > 1)
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_plus").cast("long").alias("n_plus"),
+        F.col("n_minus").cast("long").alias("n_minus"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.when(ok, F.round(exp_r, 6)).alias("expected_runs"),
+        F.when(ok & (var_r > 0), F.round(
+            (F.col("n_runs").cast("double") - exp_r) / F.sqrt(var_r), 6
+        )).alias("z_score"),
+    )
+
+
+def rolling_ols_slope_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_days: int = 7,
+) -> DataFrame:
+    """Per-day rolling OLS slope of the daily-total series over the
+    trailing ``window_days`` OBSERVED days — the local-trend feature a
+    monitoring pipeline charts next to the raw series (a windowed
+    regression, where theil_sen_daily_trend is the global robust fit).
+
+    All four regression moments are decimal window sums over the
+    bounded daily relation (ROWS BETWEEN window_days−1 PRECEDING);
+    slope closes per row via the dec_double sequence and emits
+    floor(·100)/100 (slope magnitudes track daily totals — beyond
+    round-6's safe envelope). Partial leading windows are dropped so
+    every row is a full-window estimate. Output per day:
+    (day, slope_w)."""
+    from .hypotests import dec_double
+
+    daily = _daily_series(df, ts_col, value_col)
+    w = (
+        Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    )
+    xd = F.col("day").cast("long")
+    agg = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("nw"),
+        F.sum(xd.cast("decimal(38,0)")).over(w).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,2)")).over(w).alias("sy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).over(w).alias("sxx"),
+        F.sum((F.col("y") * xd).cast("decimal(38,4)")).over(w).alias("sxy"),
+    ).filter(F.col("nw") == window_days)
+    n = F.col("nw").cast("double")
+    sx = dec_double(F.col("sx"))
+    sy = dec_double(F.col("sy"))
+    den = n * dec_double(F.col("sxx")) - sx * sx
+    slope = (n * dec_double(F.col("sxy")) - sx * sy) / den
+    return agg.select(
+        F.col("day").cast("long").alias("day"),
+        F.when(den > 0, F.floor(slope * 100.0) / F.lit(100.0)).alias(
+            "slope_w"
+        ),
+    )

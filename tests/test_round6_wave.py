@@ -516,3 +516,102 @@ def test_cohens_d_matches_numpy(spark):
     want = (np.mean(a) - np.mean(b)) / sp
     assert r["cohens_d"] == pytest.approx(want, abs=1e-5)
     assert r["pooled_sd"] == pytest.approx(sp, abs=1e-5)
+
+
+def _ts_rows(vals, start_day=1):
+    return [
+        (i, f"1995-01-{start_day + i:02d} 00:00:00", float(v))
+        for i, v in enumerate(vals)
+    ]
+
+
+def _ts_df(spark, vals):
+    return spark.createDataFrame(
+        _ts_rows(vals), "event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_grubbs_finds_planted_outlier(spark):
+    import numpy as np
+    from breweries_etl_spark.operators.hypotests import grubbs_max_outlier
+
+    vals = [10.0, 11.0, 9.5, 10.5, 10.0, 50.0, 9.0, 10.25]
+    df = spark.createDataFrame(
+        [(k + 1, v) for k, v in enumerate(vals)], "k long, v double"
+    )
+    r = grubbs_max_outlier(df, "k", "v").collect()[0]
+    assert r["outlier_key"] == 6 and r["outlier_value"] == 50.0
+    arr = np.array(vals)
+    g = abs(arr - arr.mean()).max() / arr.std(ddof=1)
+    assert r["grubbs_g"] == pytest.approx(g, abs=1e-5)
+    assert r["mean_value"] == pytest.approx(arr.mean(), abs=1e-6)
+
+
+def test_grubbs_tie_breaks_to_smallest_key(spark):
+    from breweries_etl_spark.operators.hypotests import grubbs_max_outlier
+
+    # keys 7 and 3 both sit exactly 5 away from the mean of 10
+    df = spark.createDataFrame(
+        [(7, 15.0), (3, 5.0), (1, 10.0), (2, 10.0)], "k long, v double"
+    )
+    r = grubbs_max_outlier(df, "k", "v").collect()[0]
+    assert r["outlier_key"] == 3
+
+
+def test_levene_mean_centered_matches_manual(spark):
+    import numpy as np
+    from breweries_etl_spark.operators.hypotests import levene_test
+
+    # group means are exact 2dp so the cents quantization is lossless
+    a = [10.0, 12.0, 14.0, 16.0]
+    b = [20.0, 20.5, 21.0, 21.5]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = levene_test(df, "g", "v").collect()[0]
+    za = abs(np.array(a) - np.mean(a))
+    zb = abs(np.array(b) - np.mean(b))
+    z = np.concatenate([za, zb])
+    ssw = ((za - za.mean()) ** 2).sum() + ((zb - zb.mean()) ** 2).sum()
+    ssb = 4 * (za.mean() - z.mean()) ** 2 + 4 * (zb.mean() - z.mean()) ** 2
+    w = (ssb / 1) / (ssw / 6)
+    assert r["k_groups"] == 2 and r["n"] == 8
+    assert r["levene_w"] == pytest.approx(w, abs=1e-4)
+
+
+def test_durbin_watson_linear_plus_alternation(spark):
+    import numpy as np
+    from breweries_etl_spark.operators.temporal import durbin_watson_daily
+
+    # big alternating residuals around a linear trend -> DW near 4
+    vals = [1000.0 * (i + 1) + (300.0 if i % 2 == 0 else -300.0) for i in range(14)]
+    df = _ts_df(spark, vals)
+    r = durbin_watson_daily(df).collect()[0]
+    y = np.array(vals)
+    x = np.arange(14.0)
+    b, a = np.polyfit(x, y, 1)
+    e = y - (a + b * x)
+    num = np.floor(np.diff(e) ** 2).sum()
+    den = np.floor(e**2).sum()
+    assert r["n_days"] == 14
+    assert r["slope"] == pytest.approx(b, abs=1e-4)
+    assert r["dw_stat"] == pytest.approx(num / den, abs=1e-4)
+    assert r["dw_stat"] > 3.0
+
+
+def test_runs_test_counts(spark):
+    from breweries_etl_spark.operators.temporal import runs_test_daily
+
+    # diffs: + + - + - -  -> signs (n=6), runs = 4
+    vals = [10.0, 20.0, 30.0, 25.0, 35.0, 30.0, 20.0]
+    r = runs_test_daily(_ts_df(spark, vals)).collect()[0]
+    assert (r["n"], r["n_plus"], r["n_minus"], r["n_runs"]) == (6, 3, 3, 4)
+    assert r["expected_runs"] == pytest.approx(2 * 3 * 3 / 6 + 1, abs=1e-6)
+
+
+def test_rolling_slope_exact_linear(spark):
+    from breweries_etl_spark.operators.temporal import rolling_ols_slope_daily
+
+    vals = [7.25 * i + 100.0 for i in range(12)]
+    out = rolling_ols_slope_daily(_ts_df(spark, vals)).collect()
+    assert len(out) == 12 - 6
+    assert all(r["slope_w"] == pytest.approx(7.25, abs=0.01) for r in out)
