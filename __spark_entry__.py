@@ -8432,6 +8432,105 @@ FROM agg WHERE nw = 7
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-6 wave 5C: degree power-law MLE + corpus keyness
+
+
+def q_graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clauset-Shalizi-Newman continuous power-law exponent MLE over
+    the co-purchase graph's degree distribution
+    (operators/graph.py:degree_powerlaw_alpha)."""
+    from breweries_etl_spark.operators.dedup import bucket_candidate_pairs
+    from breweries_etl_spark.operators.graph import degree_powerlaw_alpha
+
+    li = load_table(spark, sf_dir, "lineitem")
+    membership = li.select("l_orderkey", "l_partkey").distinct()
+    edges = bucket_candidate_pairs(membership, ["l_orderkey"], "l_partkey", 50)
+    return degree_powerlaw_alpha(edges, "id_a", "id_b")
+
+
+def q_keyness_llr_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 keyness terms per document source by Dunning's
+    log-likelihood G² vs the rest of the corpus
+    (operators/text.py:keyness_llr_top_terms)."""
+    from breweries_etl_spark.operators.text import keyness_llr_top_terms
+
+    return keyness_llr_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLES["graph_degree_powerlaw"] = """
+WITH m AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), ok AS (
+  SELECT o FROM m GROUP BY o HAVING count(*) BETWEEN 2 AND 50
+), e AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM m a JOIN m b ON a.o = b.o AND a.p < b.p
+  JOIN ok ON a.o = ok.o
+), deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT src AS n FROM e UNION ALL SELECT dst AS n FROM e
+  ) GROUP BY n
+), s AS (
+  SELECT count(*) AS n_nodes,
+    SUM(CASE WHEN deg >= 2 THEN 1 ELSE 0 END) AS n_tail,
+    SUM(CAST(CASE WHEN deg >= 2
+        THEN round(ln(CAST(deg AS DOUBLE) / 2.0), 6) ELSE 0.0 END
+        AS DECIMAL(18,6))) AS lsum
+  FROM deg
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_tail AS BIGINT) AS n_tail,
+  CAST(2 AS BIGINT) AS d_min,
+  CASE WHEN CAST(lsum AS DOUBLE) > 0 THEN
+    round(1.0 + CAST(n_tail AS DOUBLE) / CAST(lsum AS DOUBLE), 6)
+  END AS alpha
+FROM s
+"""
+
+_ORACLES["keyness_llr_sources"] = """
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+), st AS (
+  SELECT source, term, count(*) AS a FROM toks GROUP BY 1, 2
+), term_tot AS (SELECT term, SUM(a) AS t FROM st GROUP BY term),
+src_tot AS (SELECT source, SUM(a) AS s FROM st GROUP BY source),
+tot AS (SELECT SUM(a) AS nn FROM st),
+base AS (
+  SELECT st.source, st.term,
+    CAST(st.a AS DOUBLE) AS a,
+    CAST(term_tot.t - st.a AS DOUBLE) AS b,
+    CAST(src_tot.s - st.a AS DOUBLE) AS c,
+    CAST(tot.nn AS DOUBLE) - CAST(st.a AS DOUBLE)
+      - CAST(term_tot.t - st.a AS DOUBLE)
+      - CAST(src_tot.s - st.a AS DOUBLE) AS d,
+    CAST(tot.nn AS DOUBLE) AS nn,
+    st.a AS a_raw, term_tot.t - st.a AS rest_raw
+  FROM st JOIN term_tot USING (term) JOIN src_tot USING (source)
+  CROSS JOIN tot
+  WHERE st.a >= 5
+), scored AS (
+  SELECT source, term, a_raw AS n_source, rest_raw AS n_rest,
+    round(2.0 * (
+      (CASE WHEN a > 0 THEN a * ln(a / ((a + b) * (a + c) / nn)) ELSE 0.0 END)
+      + (CASE WHEN b > 0 THEN b * ln(b / ((a + b) * (nn - (a + c)) / nn)) ELSE 0.0 END)
+      + (CASE WHEN c > 0 THEN c * ln(c / ((nn - (a + b)) * (a + c) / nn)) ELSE 0.0 END)
+      + (CASE WHEN d > 0 THEN d * ln(d / ((nn - (a + b)) * (nn - (a + c)) / nn)) ELSE 0.0 END)
+    ), 6) AS g2,
+    CASE WHEN a * (nn - (a + c)) > b * (a + c) THEN 1 ELSE 0 END AS enriched
+  FROM base
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY g2 DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT source, term, CAST(n_source AS BIGINT) AS n_source,
+  CAST(n_rest AS BIGINT) AS n_rest, g2, CAST(enriched AS INTEGER) AS enriched,
+  CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -8736,6 +8835,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "durbin_watson_daily_value": q_durbin_watson_daily_value,
         "runs_test_daily_value": q_runs_test_daily_value,
         "rolling_slope_daily_value": q_rolling_slope_daily_value,
+        "graph_degree_powerlaw": q_graph_degree_powerlaw,
+        "keyness_llr_sources": q_keyness_llr_sources,
     }
 
 

@@ -229,6 +229,8 @@ FAMILIES: dict[str, list[str]] = {
         "durbin_watson_daily_value",
         "runs_test_daily_value",
         "rolling_slope_daily_value",
+        "graph_degree_powerlaw",
+        "keyness_llr_sources",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

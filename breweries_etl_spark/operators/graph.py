@@ -810,3 +810,45 @@ def local_clustering_summary(
     for c in (oriented, deg, und):
         c.unpersist()
     return result
+
+
+def degree_powerlaw_alpha(
+    edges: DataFrame, src_col: str, dst_col: str, d_min: int = 2
+) -> DataFrame:
+    """Continuous power-law exponent MLE over the degree distribution
+    (Clauset–Shalizi–Newman 2009): α = 1 + n / Σ ln(dᵢ/d_min) for the
+    tail dᵢ ≥ d_min — the one-number scale-free-ness summary that says
+    whether a similarity/co-occurrence graph has the heavy-tailed hubs
+    that break naive per-node algorithms.
+
+    Degrees come from one union+groupBy over the (deduplicated) edge
+    relation; the log terms round to 6 dp and sum as DECIMAL(18,6)
+    (the repo's portable log recipe — order-independent). Everything
+    after the degree shuffle is a scalar fold. Output one row:
+    (n_nodes, n_tail, d_min, alpha)."""
+    adj = edges.select(F.col(src_col).alias("n")).unionAll(
+        edges.select(F.col(dst_col).alias("n"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    in_tail = F.col("deg") >= d_min
+    lterm = F.when(
+        in_tail,
+        F.round(
+            F.log(F.col("deg").cast("double") / F.lit(float(d_min))), 6
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(18,6)")
+    sums = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(in_tail.cast("int")).alias("n_tail"),
+        F.sum(lterm).alias("lsum"),
+    )
+    ls = F.col("lsum").cast("double")
+    return sums.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_tail").cast("long").alias("n_tail"),
+        F.lit(d_min).cast("long").alias("d_min"),
+        F.when(
+            ls > 0,
+            F.round(F.lit(1.0) + F.col("n_tail").cast("double") / ls, 6),
+        ).alias("alpha"),
+    )

@@ -615,3 +615,36 @@ def test_rolling_slope_exact_linear(spark):
     out = rolling_ols_slope_daily(_ts_df(spark, vals)).collect()
     assert len(out) == 12 - 6
     assert all(r["slope_w"] == pytest.approx(7.25, abs=0.01) for r in out)
+
+
+def test_powerlaw_alpha_known_degrees(spark):
+    import math
+    from breweries_etl_spark.operators.graph import degree_powerlaw_alpha
+
+    # star on 1..5 around 0 plus chain 10-11: degrees 0:5, 1..5:1(+)
+    edges = [(0, i) for i in range(1, 6)] + [(10, 11), (10, 12), (11, 12)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    r = degree_powerlaw_alpha(df, "id_a", "id_b", d_min=2).collect()[0]
+    # tail: node 0 (deg 5), nodes 10,11,12 (deg 2)
+    assert r["n_tail"] == 4
+    lsum = round(math.log(5 / 2), 6) + 3 * round(math.log(1.0), 6)
+    assert r["alpha"] == pytest.approx(1 + 4 / lsum, abs=1e-5)
+
+
+def test_keyness_llr_planted_term(spark):
+    from breweries_etl_spark.operators.text import keyness_llr_top_terms
+
+    rows = [(i, "zebra zebra zebra common common", "a") for i in range(5)] + [
+        (100 + i, "common common common filler filler", "b") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = keyness_llr_top_terms(df, k=3, min_count=2).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    top_a = sorted(by_src["a"], key=lambda r: r["rank"])[0]
+    assert top_a["term"] == "zebra" and top_a["enriched"] == 1
+    assert top_a["n_source"] == 15 and top_a["n_rest"] == 0
+    top_b = sorted(by_src["b"], key=lambda r: r["rank"])[0]
+    assert top_b["term"] == "filler" and top_b["enriched"] == 1
+    assert all(r["g2"] >= 0 for r in out)
