@@ -944,6 +944,7 @@ def keyness_llr_top_terms(
     text_col: str = "text",
     k: int = 10,
     min_count: int = 5,
+    release: bool = True,
 ) -> DataFrame:
     """Per-source keyword extraction by Dunning's log-likelihood ratio
     (the corpus-linguistics "keyness" G²): for each source, which terms
@@ -971,7 +972,15 @@ def keyness_llr_top_terms(
             )
         ).alias("term"),
     )
-    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("a"))
+    # the tokenize+count shuffle is the expensive pass; term totals,
+    # source totals, the grand total, AND the scored relation all
+    # derive from it, so persist once or the corpus scan quadruples
+    st = (
+        toks.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("a"))
+        .persist()
+    )
+    st.count()
     term_tot = st.groupBy("term").agg(F.sum("a").alias("t"))
     src_tot = st.groupBy("source").agg(F.sum("a").alias("s"))
     tot = st.agg(F.sum("a").alias("nn"))
@@ -1015,7 +1024,11 @@ def keyness_llr_top_terms(
         g2.alias("g2"),
         F.when(a * col2 > b * col1, 1).otherwise(0).alias("enriched"),
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    result = scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+    if not release:
+        return result
+    from .dedup import _release_caches
+
+    return _release_caches(result, [st])

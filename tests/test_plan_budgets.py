@@ -539,3 +539,56 @@ def test_spearman_no_datasized_global_sort(spark, sf_dir):
             ), cols
     finally:
         spark.catalog.clearCache()
+
+
+def test_keyness_single_corpus_scan_no_vocab_broadcast(spark, sf_dir):
+    """keyness_llr_top_terms derives term totals, source totals, the
+    grand total AND the scored relation from ONE persisted (source,
+    term) count — the corpus must be tokenized once, not four times.
+    And the vocab-sized term-total join must be a plain shuffle join:
+    under autoBroadcastJoinThreshold=-1 only the two hinted bounded
+    broadcasts (source totals, one-row grand total) may appear."""
+    import re as _re
+
+    from breweries_etl_spark.operators.text import keyness_llr_top_terms
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        df = keyness_llr_top_terms(docs, release=False)
+        plan = _plan(df)
+        assert plan.count("documents.parquet") <= 1, "corpus re-scan"
+        assert "InMemoryTableScan" in plan
+        n_bcast = len(
+            _re.findall(r"(?<![A-Za-z])BroadcastExchange \(\d+\)", plan)
+        )
+        assert n_bcast <= 2, f"vocab-sized broadcast crept in:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.catalog.clearCache()
+
+
+def test_roc_auc_no_datasized_global_sort(spark, sf_dir):
+    """ROC AUC rides the bucketed prefix-count primitive: the score
+    column must never pass through a SinglePartition exchange (only
+    aggregate buffers and the bounded bucket-subtotal relation may)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from breweries_etl_spark.operators.hypotests import roc_auc
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = roc_auc(
+        o, "o_totalprice", F.col("o_orderstatus") == "F", release=False
+    )
+    try:
+        plan = _plan(df)
+        for m in _re.finditer(
+            r"Input \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition", plan
+        ):
+            cols = [c.strip() for c in m.group(1).split(",")]
+            assert not any(c.startswith("v#") for c in cols), cols
+    finally:
+        spark.catalog.clearCache()
