@@ -8531,6 +8531,165 @@ FROM ranked WHERE rank <= 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-6 wave 5D: bounded-domain Kendall, Cochran's Q, Mood's median
+
+
+def q_kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-adjusted Kendall tau-b between quantity and discount —
+    bounded value domains make the cell-pair enumeration cheap
+    (operators/hypotests.py:kendall_tau_b)."""
+    from breweries_etl_spark.operators.hypotests import kendall_tau_b
+
+    return kendall_tau_b(
+        load_table(spark, sf_dir, "lineitem"), "l_quantity", "l_discount"
+    )
+
+
+def q_cochran_q_doc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across three paired document filters (char floor,
+    word floor, marker token) — the k=3 McNemar generalization
+    (operators/hypotests.py:cochran_q)."""
+    from breweries_etl_spark.operators.hypotests import cochran_q
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    words = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+    )
+    return cochran_q(
+        d,
+        F.col("n_chars") >= 300,
+        words >= 50,
+        F.instr(F.lower(F.col("text")), "the") > 0,
+    )
+
+
+def q_moods_median_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of extended price across return flags — the
+    grand median read off the prefix-count primitive, no global
+    percentile buffer (operators/hypotests.py:moods_median_test)."""
+    from breweries_etl_spark.operators.hypotests import moods_median_test
+
+    return moods_median_test(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+_KTB_DEN = (
+    "(sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
+    f" - {_dd('tie2x')})"
+    " * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
+    f" - {_dd('tie2y')})) / 2.0)"
+)
+
+_ORACLES["kendall_tau_qty_discount"] = f"""
+WITH cells AS MATERIALIZED (
+  SELECT l_quantity AS x, l_discount AS y, count(*) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT
+    SUM(CASE WHEN a.y < b.y THEN
+      CAST(CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0))
+           AS DECIMAL(38,0)) END) AS nc0,
+    SUM(CASE WHEN a.y > b.y THEN
+      CAST(CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0))
+           AS DECIMAL(38,0)) END) AS nd0
+  FROM cells a JOIN cells b ON a.x < b.x
+), tx AS (SELECT x, SUM(c) AS t FROM cells GROUP BY x),
+ty AS (SELECT y, SUM(c) AS t FROM cells GROUP BY y),
+tiex AS (
+  SELECT SUM(CAST(CAST(t AS DECIMAL(19,0)) * (CAST(t AS DECIMAL(19,0)) - 1)
+                  AS DECIMAL(38,0))) AS tie2x FROM tx
+), tiey AS (
+  SELECT SUM(CAST(CAST(t AS DECIMAL(19,0)) * (CAST(t AS DECIMAL(19,0)) - 1)
+                  AS DECIMAL(38,0))) AS tie2y FROM ty
+), tot AS (SELECT SUM(c) AS n, count(*) AS n_cells FROM cells),
+f AS (
+  SELECT n, n_cells,
+    COALESCE(nc0, CAST(0 AS DECIMAL(38,0))) AS nc,
+    COALESCE(nd0, CAST(0 AS DECIMAL(38,0))) AS nd,
+    tie2x, tie2y
+  FROM tot CROSS JOIN pairs CROSS JOIN tiex CROSS JOIN tiey
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+  CAST(nc AS BIGINT) AS n_concordant, CAST(nd AS BIGINT) AS n_discordant,
+  CASE WHEN {_KTB_DEN} > 0 THEN
+    round(({_dd('nc')} - {_dd('nd')}) / {_KTB_DEN}, 6)
+  END AS tau_b
+FROM f
+"""
+
+_ORACLES["cochran_q_doc_filters"] = """
+WITH f AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS fa,
+    CASE WHEN (length(text) - length(replace(text, ' ', '')) + 1) >= 50
+         THEN 1 ELSE 0 END AS fb,
+    CASE WHEN instr(lower(text), 'the') > 0 THEN 1 ELSE 0 END AS fc
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+), s AS (
+  SELECT count(*) AS n, SUM(fa) AS ca, SUM(fb) AS cb, SUM(fc) AS cc,
+    SUM(fa + fb + fc) AS t,
+    SUM((fa + fb + fc) * (fa + fb + fc)) AS r2
+  FROM f
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(ca AS BIGINT) AS c_a,
+  CAST(cb AS BIGINT) AS c_b, CAST(cc AS BIGINT) AS c_c,
+  CASE WHEN 3.0 * CAST(t AS DOUBLE) - CAST(r2 AS DOUBLE) > 0 THEN
+    round(3.0 * 2.0 * (
+      (CAST(ca AS DOUBLE) - CAST(t AS DOUBLE) / 3.0) * (CAST(ca AS DOUBLE) - CAST(t AS DOUBLE) / 3.0)
+      + (CAST(cb AS DOUBLE) - CAST(t AS DOUBLE) / 3.0) * (CAST(cb AS DOUBLE) - CAST(t AS DOUBLE) / 3.0)
+      + (CAST(cc AS DOUBLE) - CAST(t AS DOUBLE) / 3.0) * (CAST(cc AS DOUBLE) - CAST(t AS DOUBLE) / 3.0)
+    ) / (3.0 * CAST(t AS DOUBLE) - CAST(r2 AS DOUBLE)), 6)
+  END AS cochran_q
+FROM s
+"""
+
+_ORACLES["moods_median_price_flag"] = """
+WITH base AS MATERIALIZED (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+), vc AS (
+  SELECT v, count(*) AS c FROM base GROUP BY v
+), cum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vc
+), nn AS (SELECT max(cum) AS nn FROM cum),
+med AS (
+  SELECT min(v) AS med FROM cum CROSS JOIN nn WHERE 2 * cum >= nn
+), per_g AS (
+  SELECT g, max(med) AS med,
+    SUM(CASE WHEN v > med THEN 1 ELSE 0 END) AS above,
+    SUM(CASE WHEN v <= med THEN 1 ELSE 0 END) AS below
+  FROM base CROSS JOIN med GROUP BY g
+), tot AS (
+  SELECT SUM(above + below) AS n, count(*) AS k,
+    SUM(above) AS ta, SUM(below) AS tb, max(med) AS med
+  FROM per_g
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+  CAST(tot.med AS DOUBLE) AS grand_median,
+  CASE WHEN least(ta, tb) > 0 THEN
+    round(CAST(SUM(
+      CAST(floor(((CAST(above AS DOUBLE) - CAST(above + below AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(above AS DOUBLE) - CAST(above + below AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(above + below AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0)
+           AS DECIMAL(38,0))
+      + CAST(floor(((CAST(below AS DOUBLE) - CAST(above + below AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(below AS DOUBLE) - CAST(above + below AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(above + below AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0)
+             AS DECIMAL(38,0))
+    ) AS DOUBLE) / 1000000.0, 4)
+  END AS chi2
+FROM per_g CROSS JOIN tot
+GROUP BY n, k, tot.med, ta, tb
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -8837,6 +8996,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_slope_daily_value": q_rolling_slope_daily_value,
         "graph_degree_powerlaw": q_graph_degree_powerlaw,
         "keyness_llr_sources": q_keyness_llr_sources,
+        "kendall_tau_qty_discount": q_kendall_tau_qty_discount,
+        "cochran_q_doc_filters": q_cochran_q_doc_filters,
+        "moods_median_price_flag": q_moods_median_price_flag,
     }
 
 

@@ -220,6 +220,11 @@ FAMILIES: dict[str, list[str]] = {
         "chow_test_price_qty_flag",
         "graph_degree_assortativity",
         "graph_local_clustering",
+    ],
+    # round-6 wave 5: classifier-eval rank stats + outlier/variance
+    # screens + daily-series diagnostics (own JVM: the r6wave family
+    # was 21 queries and still growing)
+    "r6eval": [
         "roc_auc_order_status",
         "score_lift_deciles",
         "mcnemar_doc_filters",
@@ -231,6 +236,9 @@ FAMILIES: dict[str, list[str]] = {
         "rolling_slope_daily_value",
         "graph_degree_powerlaw",
         "keyness_llr_sources",
+        "kendall_tau_qty_discount",
+        "cochran_q_doc_filters",
+        "moods_median_price_flag",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

@@ -1557,3 +1557,204 @@ def levene_test(
     return anova_oneway(absdev, "__g", "__z").withColumnsRenamed(
         {"f_stat": "levene_w"}
     )
+
+
+def kendall_tau_b(
+    df: DataFrame, x_col: str, y_col: str, release: bool = True
+) -> DataFrame:
+    """Exact Kendall τ-b (tie-adjusted) between two BOUNDED-DOMAIN
+    numeric columns — the pair-concordance rank correlation; for
+    near-all-distinct continuous columns use ``spearman_rho`` instead
+    (τ's pair enumeration is quadratic in the value-domain product,
+    which is exactly what bounded domains make cheap).
+
+    The data collapses to the (x, y) contingency relation in one
+    map-side-combinable shuffle (|dom(x)|·|dom(y)| cells); concordant /
+    discordant pair counts come from a self-join of that BOUNDED cell
+    relation on x₁ < x₂ (each unordered cell pair counted once),
+    weighting by c₁·c₂ in exact decimal. Tie corrections fold from the
+    margins: τ_b = (n_c − n_d) / √((n₀−n₁)(n₀−n₂)) with
+    n₀ = n(n−1)/2, n₁ = Σ_x t_x(t_x−1)/2, n₂ = Σ_y t_y(t_y−1)/2.
+    Output one row: (n, n_cells, n_concordant, n_discordant, tau_b)."""
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    cells = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    cells.count()
+    a = cells.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("c").alias("c1")
+    )
+    b = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("c").alias("c2")
+    )
+    prod = (F.col("c1").cast(d19) * F.col("c2").cast(d19)).cast(d38)
+    pairs = a.join(b, F.col("x1") < F.col("x2")).agg(
+        F.sum(F.when(F.col("y1") < F.col("y2"), prod)).alias("nc"),
+        F.sum(F.when(F.col("y1") > F.col("y2"), prod)).alias("nd"),
+    )
+    tx = cells.groupBy("x").agg(F.sum("c").alias("t"))
+    ty = cells.groupBy("y").agg(F.sum("c").alias("t"))
+    pair2 = lambda t: (t.cast(d19) * (t.cast(d19) - 1)).cast(d38)  # noqa: E731
+    tie_x = tx.agg(F.sum(pair2(F.col("t"))).alias("tie2x"))
+    tie_y = ty.agg(F.sum(pair2(F.col("t"))).alias("tie2y"))
+    tot = cells.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    folded = (
+        tot.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(tie_x))
+        .crossJoin(F.broadcast(tie_y))
+    )
+    nn = F.col("n").cast("double")
+    n0_2 = nn * (nn - F.lit(1.0))  # 2·n0
+    den = F.sqrt(
+        (n0_2 - dec_double(F.col("tie2x")))
+        * (n0_2 - dec_double(F.col("tie2y")))
+    ) / F.lit(2.0)
+    nc = F.coalesce(F.col("nc"), F.lit(0).cast(d38))
+    nd = F.coalesce(F.col("nd"), F.lit(0).cast(d38))
+    result = folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        nc.cast("long").alias("n_concordant"),
+        nd.cast("long").alias("n_discordant"),
+        F.when(
+            den > 0,
+            F.round((dec_double(nc) - dec_double(nd)) / den, 6),
+        ).alias("tau_b"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [cells]) if release else result
+
+
+def cochran_q(
+    df: DataFrame, flag_a: Column, flag_b: Column, flag_c: Column
+) -> DataFrame:
+    """Cochran's Q test for k = 3 paired binary raters/filters scored
+    on the same items — the k-classifier generalization of
+    ``mcnemar_test`` (do the three filters have the same marginal pass
+    rate, accounting for per-item pairing?).
+
+    Q = k(k−1)·Σⱼ(Cⱼ − T/k)² / (k·T − ΣᵢRᵢ²) where Cⱼ are per-flag
+    totals, Rᵢ the per-item flag count, T = ΣRᵢ. ONE aggregation pass:
+    each column total plus ΣRᵢ² (Rᵢ ∈ {0..3} so Rᵢ² is a tiny exact
+    integer). Output: (n, c_a, c_b, c_c, cochran_q)."""
+    fa = flag_a.cast("int")
+    fb = flag_b.cast("int")
+    fc = flag_c.cast("int")
+    r = fa + fb + fc
+    sums = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fa).alias("ca"),
+        F.sum(fb).alias("cb"),
+        F.sum(fc).alias("cc"),
+        F.sum(r).alias("t"),
+        F.sum(r * r).alias("r2"),
+    )
+    k = F.lit(3.0)
+    t = F.col("t").cast("double")
+    mean_c = t / k
+    ssc = (
+        (F.col("ca").cast("double") - mean_c) * (F.col("ca").cast("double") - mean_c)
+        + (F.col("cb").cast("double") - mean_c) * (F.col("cb").cast("double") - mean_c)
+        + (F.col("cc").cast("double") - mean_c) * (F.col("cc").cast("double") - mean_c)
+    )
+    den = k * t - F.col("r2").cast("double")
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("ca").cast("long").alias("c_a"),
+        F.col("cb").cast("long").alias("c_b"),
+        F.col("cc").cast("long").alias("c_c"),
+        F.when(den > 0, F.round(k * (k - F.lit(1.0)) * ssc / den, 6)).alias(
+            "cochran_q"
+        ),
+    )
+
+
+def moods_median_test(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Mood's median test across k groups: split every value at the
+    GRAND median and χ²-test the above/at-or-below counts per group —
+    the blunt-but-assumption-free location test that survives outliers
+    and wildly different group shapes (where ANOVA and even
+    Kruskal-Wallis lean on more).
+
+    The grand median is the LOWER median min{v : 2·cum(v) ≥ n} read
+    off the bucketed prefix-count primitive — exact, broadcast as a
+    scalar, and NO global percentile aggregate (a global
+    ``percentile_disc`` buffers every value in one aggregation state,
+    the collect-shaped hazard this repo's plan audits reject at fact
+    scale). Group counts fold in a second conditional pass. Ties AT
+    the median count low-side (documented convention). χ² accumulates
+    per-group fixed-point floor(term·10⁶) decimals over the bounded
+    group relation, mirroring ``cramers_v``. Output one row:
+    (n, k_groups, grand_median, chi2)."""
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("decimal(18,2)").alias("v"),
+    )
+    pc = value_prefix_counts(base, "v")
+    ntot = pc.agg(F.max("cum").alias("nn"))
+    med = (
+        pc.crossJoin(F.broadcast(ntot))
+        .filter(F.lit(2) * F.col("cum") >= F.col("nn"))
+        .agg(F.min("v").alias("med"))
+    )
+    per_g = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.max("med").alias("med"),
+            F.sum(F.when(F.col("v") > F.col("med"), 1).otherwise(0)).alias(
+                "above"
+            ),
+            F.sum(F.when(F.col("v") <= F.col("med"), 1).otherwise(0)).alias(
+                "below"
+            ),
+        )
+    )
+    tot = per_g.agg(
+        F.sum(F.col("above") + F.col("below")).alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("above").alias("ta"),
+        F.sum("below").alias("tb"),
+        F.max("med").alias("gmed"),
+    )
+    ng = (F.col("above") + F.col("below")).cast("double")
+    n = F.col("n").cast("double")
+    ea = ng * F.col("ta").cast("double") / n
+    eb = ng * F.col("tb").cast("double") / n
+    oa = F.col("above").cast("double")
+    ob = F.col("below").cast("double")
+    term = (
+        F.floor(((oa - ea) * (oa - ea) / ea) * 1000000.0).cast("decimal(38,0)")
+        + F.floor(((ob - eb) * (ob - eb) / eb) * 1000000.0).cast(
+            "decimal(38,0)"
+        )
+    )
+    chi = per_g.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.max(F.col("gmed").cast("double")).alias("grand_median"),
+        F.sum(term).alias("chi_fp"),
+        F.min(F.least(F.col("ta"), F.col("tb"))).alias("min_margin"),
+    )
+    result = chi.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("grand_median").alias("grand_median"),
+        F.when(
+            F.col("min_margin") > 0,
+            F.round(F.col("chi_fp").cast("double") / F.lit(1e6), 4),
+        ).alias("chi2"),
+    )
+    return _released(result, pc, True)

@@ -648,3 +648,62 @@ def test_keyness_llr_planted_term(spark):
     top_b = sorted(by_src["b"], key=lambda r: r["rank"])[0]
     assert top_b["term"] == "filler" and top_b["enriched"] == 1
     assert all(r["g2"] >= 0 for r in out)
+
+
+def test_kendall_tau_b_known_value(spark):
+    from breweries_etl_spark.operators.hypotests import kendall_tau_b
+
+    # x strictly increasing with y: tau_b = 1
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "x int, y int"
+    )
+    r = kendall_tau_b(df, "x", "y").collect()[0]
+    assert r["tau_b"] == 1.0 and r["n_concordant"] == 6 and r["n_discordant"] == 0
+    # with ties: pairs (1,1),(1,2),(2,1),(2,2),(2,2)
+    df2 = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (2, 2)], "x int, y int"
+    )
+    r2 = kendall_tau_b(df2, "x", "y").collect()[0]
+    # scipy.stats.kendalltau(..., variant='b') == 0.16666...
+    assert r2["n"] == 5 and r2["n_cells"] == 4
+    assert r2["n_concordant"] == 2 and r2["n_discordant"] == 1
+    assert r2["tau_b"] == pytest.approx(0.166667, abs=1e-6)
+
+
+def test_cochran_q_known_table(spark):
+    from breweries_etl_spark.operators.hypotests import cochran_q
+
+    # classic 2x identical raters + one dissenter
+    rows = [
+        (1, 1, 0),
+        (1, 1, 0),
+        (1, 1, 1),
+        (0, 0, 0),
+        (1, 0, 0),
+        (0, 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    r = cochran_q(
+        df, F.col("a") == 1, F.col("b") == 1, F.col("c") == 1
+    ).collect()[0]
+    assert (r["c_a"], r["c_b"], r["c_c"]) == (4, 4, 2)
+    t = 10
+    r2 = sum((a + b + c) ** 2 for a, b, c in rows)
+    ssc = sum((cj - t / 3) ** 2 for cj in (4, 4, 2))
+    want = 3 * 2 * ssc / (3 * t - r2)
+    assert r["cochran_q"] == pytest.approx(want, abs=1e-6)
+
+
+def test_moods_median_balanced_vs_shifted(spark):
+    from breweries_etl_spark.operators.hypotests import moods_median_test
+
+    # group a entirely below the grand median, b entirely above
+    rows = [("a", float(v)) for v in range(1, 11)] + [
+        ("b", float(v)) for v in range(11, 21)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = moods_median_test(df, "g", "v").collect()[0]
+    assert r["n"] == 20 and r["k_groups"] == 2
+    assert r["grand_median"] == 10.0  # lower median
+    # perfect separation: chi2 == n
+    assert r["chi2"] == pytest.approx(20.0, abs=1e-3)
