@@ -8690,6 +8690,279 @@ GROUP BY n, k, tot.med, ta, tb
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-6 wave 6: ECDF drift family completion (CvM, Anderson-Darling,
+# Cliff's delta), paired Wilcoxon, CUSUM change point, odds ratio
+
+
+def q_cvm_test_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic of extended price,
+    returned vs other lineitems — integrates EVERY ECDF gap where KS
+    reads only the largest (operators/hypotests.py:cvm_test_2samp)."""
+    from breweries_etl_spark.operators.hypotests import cvm_test_2samp
+
+    return cvm_test_2samp(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        F.col("l_returnflag") == "R",
+    )
+
+
+def q_anderson_darling_price_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Anderson-Darling statistic (Pettitt form) of extended
+    price, returned vs other lineitems — the tail-weighted member of
+    the drift family (operators/hypotests.py:anderson_darling_2samp)."""
+    from breweries_etl_spark.operators.hypotests import anderson_darling_2samp
+
+    return anderson_darling_2samp(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        F.col("l_returnflag") == "R",
+    )
+
+
+def q_cliffs_delta_price_returnflag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cliff's delta ordinal effect size of extended price, returned vs
+    other lineitems (operators/hypotests.py:cliffs_delta)."""
+    from breweries_etl_spark.operators.hypotests import cliffs_delta
+
+    return cliffs_delta(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        F.col("l_returnflag") == "R",
+    )
+
+
+def q_wilcoxon_signed_user_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test on each user's last-minus-first event
+    value (deterministic (ts, event_id) endpoint ordering) — did user
+    values shift within the observation window?
+    (operators/hypotests.py:wilcoxon_signed_rank)."""
+    from breweries_etl_spark.operators.hypotests import wilcoxon_signed_rank
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    v = F.col("value").cast("decimal(18,2)")
+    per_user = e.groupBy("user_id").agg(
+        F.min_by(v, key).alias("vf"), F.max_by(v, key).alias("vl")
+    )
+    diffs = per_user.select((F.col("vl") - F.col("vf")).alias("d"))
+    return wilcoxon_signed_rank(diffs, "d")
+
+
+def q_cusum_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift change-point scan over the daily event-value
+    series (operators/temporal.py:cusum_change_point)."""
+    from breweries_etl_spark.operators.temporal import cusum_change_point
+
+    return cusum_change_point(load_events(spark, sf_dir))
+
+
+def q_odds_ratio_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio with Woolf 95% CI between the long-document flag and
+    the marker-token flag (operators/hypotests.py:odds_ratio_2x2)."""
+    from breweries_etl_spark.operators.hypotests import odds_ratio_2x2
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    return odds_ratio_2x2(
+        d,
+        F.col("n_chars") >= 300,
+        F.instr(F.lower(F.col("text")), "the") > 0,
+    )
+
+
+_PRICE_FLAG_PC = """
+vc AS MATERIALIZED (
+  SELECT l_extendedprice AS v,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS cb
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM vc
+), tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM vc)"""
+
+_ORACLES["cvm_test_price_returnflag"] = f"""
+WITH {_PRICE_FLAG_PC},
+terms AS (
+  SELECT
+    CAST(floor(
+      CAST(ca + cb AS DOUBLE)
+      * ({_dd("abs(CAST(cum_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)) - CAST(cum_b AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0)))")}
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+      * ({_dd("abs(CAST(cum_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)) - CAST(cum_b AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0)))")}
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+      * 1e12) AS DECIMAL(38,0)) AS t_fp,
+    n_a, n_b
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+  round(
+    (CAST(max(n_a) AS DOUBLE) * CAST(max(n_b) AS DOUBLE)
+     / ((CAST(max(n_a) AS DOUBLE) + CAST(max(n_b) AS DOUBLE))
+        * (CAST(max(n_a) AS DOUBLE) + CAST(max(n_b) AS DOUBLE))))
+    * (CAST(SUM(t_fp) AS DOUBLE) / 1e12), 6) AS cvm_t
+FROM terms
+"""
+
+_ORACLES["anderson_darling_price_flag"] = f"""
+WITH {_PRICE_FLAG_PC},
+terms AS (
+  SELECT
+    CASE WHEN CAST(cum_a + cum_b AS DECIMAL(19,0))
+              * (CAST(n_a + n_b AS DECIMAL(19,0)) - CAST(cum_a + cum_b AS DECIMAL(19,0))) > 0 THEN
+      CAST(floor(
+        CAST(ca + cb AS DOUBLE)
+        * {_dd("abs(CAST(n_a + n_b AS DECIMAL(19,0)) * CAST(cum_a AS DECIMAL(19,0)) - CAST(n_a AS DECIMAL(19,0)) * CAST(cum_a + cum_b AS DECIMAL(19,0)))")}
+        * {_dd("abs(CAST(n_a + n_b AS DECIMAL(19,0)) * CAST(cum_a AS DECIMAL(19,0)) - CAST(n_a AS DECIMAL(19,0)) * CAST(cum_a + cum_b AS DECIMAL(19,0)))")}
+        / {_dd("(CAST(cum_a + cum_b AS DECIMAL(19,0)) * (CAST(n_a + n_b AS DECIMAL(19,0)) - CAST(cum_a + cum_b AS DECIMAL(19,0))))")}
+        * 1e6) AS DECIMAL(38,0))
+    END AS a_fp,
+    n_a, n_b
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+  round(CAST(SUM(a_fp) AS DOUBLE) / 1e6
+        / (CAST(max(n_a) AS DOUBLE) * CAST(max(n_b) AS DOUBLE)), 6)
+    AS ad_stat
+FROM terms
+"""
+
+_ORACLES["cliffs_delta_price_returnflag"] = f"""
+WITH {_PRICE_FLAG_PC},
+sums AS (
+  SELECT SUM(ca) AS n_a, SUM(cb) AS n_b,
+    SUM(CAST(CAST(ca AS DECIMAL(19,0)) * CAST(cum_b - cb AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS n_gt,
+    SUM(CAST(CAST(cb AS DECIMAL(19,0)) * CAST(cum_a - ca AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS n_lt
+  FROM cum
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(n_gt AS BIGINT) AS n_gt, CAST(n_lt AS BIGINT) AS n_lt,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round(({_dd('n_gt')} - {_dd('n_lt')})
+          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+  END AS cliffs_delta
+FROM sums
+"""
+
+_WSR_N = "CAST(n AS DOUBLE)"
+_WSR_MEAN = f"({_WSR_N} * ({_WSR_N} + 1.0) / 4.0)"
+_WSR_VAR = (
+    f"({_WSR_N} * ({_WSR_N} + 1.0) * (2.0 * {_WSR_N} + 1.0) / 24.0"
+    " - CAST(ties3 AS DOUBLE) / 48.0)"
+)
+
+_ORACLES["wilcoxon_signed_user_value"] = f"""
+WITH ranked AS (
+  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), pairs AS (
+  SELECT user_id,
+    max(CASE WHEN rn = 1 THEN v END) AS vf,
+    max(CASE WHEN rn = cnt THEN v END) AS vl
+  FROM ranked GROUP BY user_id
+), d0 AS (
+  SELECT vl - vf AS d FROM pairs WHERE vl - vf <> 0
+), vc AS (
+  SELECT abs(d) AS a, count(*) AS c,
+    SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cpos
+  FROM d0 GROUP BY 1
+), cum AS (
+  SELECT a, c, cpos,
+    SUM(c) OVER (ORDER BY a ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vc
+), sums AS (
+  SELECT SUM(c) AS n,
+    SUM(CAST(CAST(cpos AS DECIMAL(19,0))
+             * (2 * CAST(cum AS DECIMAL(19,0)) - CAST(c AS DECIMAL(19,0)) + 1)
+             AS DECIMAL(38,0))) AS w2,
+    SUM(CAST(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+             * CAST(c AS DECIMAL(19,0)) - c AS DECIMAL(38,0))) AS ties3
+  FROM cum
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+  CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+  CASE WHEN {_WSR_VAR} > 0 THEN
+    round((CAST(w2 AS DOUBLE) / 2.0 - {_WSR_MEAN}) / sqrt({_WSR_VAR}), 6)
+  END AS z_score
+FROM sums
+"""
+
+_ORACLES["cusum_daily_value"] = f"""
+WITH {_DAILY_EVENTS},
+tot AS (SELECT count(*) AS t_days, SUM(y) AS total FROM daily),
+cum AS (
+  SELECT day, t_days,
+    CAST(t_days AS DECIMAL(10,0))
+      * CAST(SUM(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+             AS DECIMAL(27,2))
+    - CAST(row_number() OVER (ORDER BY day) AS DECIMAL(10,0))
+      * CAST(total AS DECIMAL(27,2)) AS s
+  FROM daily CROSS JOIN tot
+), pick AS (
+  SELECT t_days AS n_days, abs(s) AS a, day,
+    row_number() OVER (ORDER BY abs(s) DESC, day ASC) AS rk
+  FROM cum
+)
+SELECT CAST(n_days AS BIGINT) AS n_days, CAST(day AS BIGINT) AS change_day,
+  round({_dd('a')} / CAST(n_days AS DOUBLE), 4) AS cusum_max
+FROM pick WHERE rk = 1
+"""
+
+_ORACLES["odds_ratio_doc_flags"] = """
+WITH f AS (
+  SELECT (n_chars >= 300) AS fa, (instr(lower(text), 'the') > 0) AS fb
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+), cells AS (
+  SELECT
+    SUM(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS n_11,
+    SUM(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS n_10,
+    SUM(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END) AS n_01,
+    SUM(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END) AS n_00
+  FROM f
+)
+SELECT CAST(n_11 AS BIGINT) AS n_11, CAST(n_10 AS BIGINT) AS n_10,
+  CAST(n_01 AS BIGINT) AS n_01, CAST(n_00 AS BIGINT) AS n_00,
+  CASE WHEN n_11 > 0 AND n_10 > 0 AND n_01 > 0 AND n_00 > 0 THEN
+    round(CAST(n_11 AS DOUBLE) * CAST(n_00 AS DOUBLE)
+          / (CAST(n_10 AS DOUBLE) * CAST(n_01 AS DOUBLE)), 6)
+  END AS odds_ratio,
+  CASE WHEN n_11 > 0 AND n_10 > 0 AND n_01 > 0 AND n_00 > 0 THEN
+    round(exp(ln(CAST(n_11 AS DOUBLE) * CAST(n_00 AS DOUBLE)
+                 / (CAST(n_10 AS DOUBLE) * CAST(n_01 AS DOUBLE)))
+              - 1.959964 * sqrt(1.0 / CAST(n_11 AS DOUBLE)
+                                + 1.0 / CAST(n_10 AS DOUBLE)
+                                + 1.0 / CAST(n_01 AS DOUBLE)
+                                + 1.0 / CAST(n_00 AS DOUBLE))), 6)
+  END AS ci_low,
+  CASE WHEN n_11 > 0 AND n_10 > 0 AND n_01 > 0 AND n_00 > 0 THEN
+    round(exp(ln(CAST(n_11 AS DOUBLE) * CAST(n_00 AS DOUBLE)
+                 / (CAST(n_10 AS DOUBLE) * CAST(n_01 AS DOUBLE)))
+              + 1.959964 * sqrt(1.0 / CAST(n_11 AS DOUBLE)
+                                + 1.0 / CAST(n_10 AS DOUBLE)
+                                + 1.0 / CAST(n_01 AS DOUBLE)
+                                + 1.0 / CAST(n_00 AS DOUBLE))), 6)
+  END AS ci_high
+FROM cells
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -8999,6 +9272,12 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau_qty_discount": q_kendall_tau_qty_discount,
         "cochran_q_doc_filters": q_cochran_q_doc_filters,
         "moods_median_price_flag": q_moods_median_price_flag,
+        "cvm_test_price_returnflag": q_cvm_test_price_returnflag,
+        "anderson_darling_price_flag": q_anderson_darling_price_flag,
+        "cliffs_delta_price_returnflag": q_cliffs_delta_price_returnflag,
+        "wilcoxon_signed_user_value": q_wilcoxon_signed_user_value,
+        "cusum_daily_value": q_cusum_daily_value,
+        "odds_ratio_doc_flags": q_odds_ratio_doc_flags,
     }
 
 

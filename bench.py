@@ -240,6 +240,15 @@ FAMILIES: dict[str, list[str]] = {
         "cochran_q_doc_filters",
         "moods_median_price_flag",
     ],
+    # round-6 wave 6: ECDF drift family completion + paired/2x2 tests
+    "r6drift": [
+        "cvm_test_price_returnflag",
+        "anderson_darling_price_flag",
+        "cliffs_delta_price_returnflag",
+        "wilcoxon_signed_user_value",
+        "cusum_daily_value",
+        "odds_ratio_doc_flags",
+    ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [
         "bpe_pair_counts",

@@ -1758,3 +1758,253 @@ def moods_median_test(
         ).alias("chi2"),
     )
     return _released(result, pc, True)
+
+
+def cvm_test_2samp(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Exact two-sample Cramér–von Mises statistic
+    T = (n_a·n_b/N²)·Σ_z c_z·(F_A(z) − F_B(z))² — the whole-curve
+    companion to ``ks_test_2samp``: KS reads only the single largest
+    ECDF gap, CvM integrates EVERY gap, so it flags broad low-grade
+    drift KS misses (the usual corpus-shard comparison pair).
+
+    Same plan shape as KS: one grouped-value shuffle, cumulative counts
+    from the bucketed prefix-count primitive, no global sort. The per-
+    value gap F_A − F_B is the integer (cum_a·n_b − cum_b·n_a) over
+    n_a·n_b (exact ints through dec_double ≤ 2⁶³, the documented
+    envelope); c_z·gap² accumulates as floor(·10¹²) fixed point — the
+    sub-picounit detail dropped identically on every engine. Output one
+    row: (n_a, n_b, cvm_t)."""
+    pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
+    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    d19 = "decimal(19,0)"
+    g_int = (
+        F.col("cum_a").cast(d19) * F.col("n_b").cast(d19)
+        - F.col("cum_b").cast(d19) * F.col("n_a").cast(d19)
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    gap = dec_double(F.abs(g_int)) / (na * nb)
+    c = (F.col("ca") + F.col("cb")).cast("double")
+    term = F.floor(c * gap * gap * F.lit(1e12)).cast("decimal(38,0)")
+    sums = pc.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(term).alias("t_fp"),
+    )
+    nn = na + nb
+    result = sums.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            (na * nb / (nn * nn))
+            * (F.col("t_fp").cast("double") / F.lit(1e12)),
+            6,
+        ).alias("cvm_t"),
+    )
+    return _released(result, pc, release)
+
+
+def anderson_darling_2samp(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Two-sample Anderson–Darling statistic (Pettitt 1976 form)
+    A² = (1/(n_a·n_b))·Σ_{z: B_z<N} c_z·(N·cum_a − n_a·B_z)²/(B_z·(N−B_z))
+    with B_z the pooled cumulative count — the tail-weighted member of
+    the KS/CvM drift family (the 1/(H(1−H)) weight magnifies ECDF gaps
+    in the distribution tails, where contamination and truncation hide).
+
+    Identical plan to CvM: grouped values + bucketed prefix counts, no
+    global sort. The top value (B = N) contributes zero and is excluded
+    before the division. Numerator/denominator are exact decimal
+    integers through dec_double; the ratio accumulates as floor(·10⁶)
+    fixed point. Output one row: (n_a, n_b, ad_stat)."""
+    pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
+    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    d19 = "decimal(19,0)"
+    nn_i = (F.col("n_a") + F.col("n_b")).cast(d19)
+    b_pool = (F.col("cum_a") + F.col("cum_b")).cast(d19)
+    g = (
+        nn_i * F.col("cum_a").cast(d19)
+        - F.col("n_a").cast(d19) * b_pool
+    )
+    den = b_pool * (nn_i - b_pool)
+    c = (F.col("ca") + F.col("cb")).cast("double")
+    gd = dec_double(F.abs(g))
+    term = F.when(
+        den > 0,
+        F.floor(c * gd * gd / dec_double(den) * F.lit(1e6)).cast(
+            "decimal(38,0)"
+        ),
+    )
+    sums = pc.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(term).alias("a_fp"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    result = sums.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.col("a_fp").cast("double") / F.lit(1e6) / (na * nb), 6
+        ).alias("ad_stat"),
+    )
+    return _released(result, pc, release)
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size δ = (#{a>b} − #{a<b})/(n_a·n_b)
+    — the assumption-free companion to the Mann–Whitney z: MW says
+    WHETHER the groups differ, δ says by HOW MUCH on a [−1, 1] scale
+    that ignores variance and outliers entirely (|δ| ≥ 0.474 is the
+    conventional "large" threshold).
+
+    Both pair counts fold from the same grouped prefix counts MW uses:
+    #{a>b} = Σ_v ca(v)·(cum_b(v)−cb(v)), #{a<b} symmetrically — EXACT
+    decimal integers end-to-end, one shuffle, no global sort. Output
+    one row: (n_a, n_b, n_gt, n_lt, cliffs_delta)."""
+    pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    gt_term = (
+        F.col("ca").cast(d19) * (F.col("cum_b") - F.col("cb")).cast(d19)
+    ).cast(d38)
+    lt_term = (
+        F.col("cb").cast(d19) * (F.col("cum_a") - F.col("ca")).cast(d19)
+    ).cast(d38)
+    sums = pc.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(gt_term).alias("n_gt"),
+        F.sum(lt_term).alias("n_lt"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    result = sums.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_gt").cast("long").alias("n_gt"),
+        F.col("n_lt").cast("long").alias("n_lt"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                (dec_double(F.col("n_gt")) - dec_double(F.col("n_lt")))
+                / (na * nb),
+                6,
+            ),
+        ).alias("cliffs_delta"),
+    )
+    return _released(result, pc, release)
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame, diff_col: str, n_buckets: int = 64, release: bool = True
+) -> DataFrame:
+    """Exact Wilcoxon signed-rank test over a column of PAIRED
+    differences (zeros dropped, the standard Wilcoxon convention) —
+    the nonparametric paired-t replacement for before/after metric
+    comparisons where the differences are skewed.
+
+    Ranks of |d| with average-rank ties come from the single-population
+    prefix-count primitive in closed integer form (2·avg-rank of the
+    tied block at value v is 2·cum − c + 1); the positive/negative
+    split rides the SAME relation as the group split, so one shuffle
+    computes everything: 2·W⁺ = Σ_v n_pos(v)·(2·cum(v) − c(v) + 1)
+    exactly in decimal. The normal approximation folds the standard
+    tie correction: var = n(n+1)(2n+1)/24 − Σ(t³−t)/48. Output one
+    row: (n_pairs, w_plus, z_score)."""
+    base = df.select(F.col(diff_col).alias("d")).filter(
+        F.col("d").isNotNull() & (F.col("d") != 0)
+    )
+    signed = base.select(
+        F.abs(F.col("d")).alias("a"), (F.col("d") > 0).alias("pos")
+    )
+    pc = grouped_value_prefix_counts(signed, "a", F.col("pos"), n_buckets)
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    c = (F.col("ca") + F.col("cb")).cast(d19)
+    cum = (F.col("cum_a") + F.col("cum_b")).cast(d19)
+    midrank2 = F.lit(2).cast(d19) * cum - c + F.lit(1).cast(d19)
+    w2_term = (F.col("ca").cast(d19) * midrank2).cast(d38)
+    tie3 = (c * c * c - c).cast(d38)
+    sums = pc.agg(
+        F.sum(F.col("ca") + F.col("cb")).alias("n"),
+        F.sum(w2_term).alias("w2"),
+        F.sum(tie3).alias("ties3"),
+    )
+    n = F.col("n").cast("double")
+    w_plus = F.col("w2").cast("double") / F.lit(2.0)
+    mean = n * (n + F.lit(1.0)) / F.lit(4.0)
+    var = n * (n + F.lit(1.0)) * (F.lit(2.0) * n + F.lit(1.0)) / F.lit(
+        24.0
+    ) - F.col("ties3").cast("double") / F.lit(48.0)
+    result = sums.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        w_plus.alias("w_plus"),
+        F.when(var > 0, F.round((w_plus - mean) / F.sqrt(var), 6)).alias(
+            "z_score"
+        ),
+    )
+    return _released(result, pc, release)
+
+
+def odds_ratio_2x2(df: DataFrame, flag_a: Column, flag_b: Column) -> DataFrame:
+    """Odds ratio with Woolf 95% CI for the 2×2 table of two binary
+    document/row properties — the epidemiology-style association
+    readout (is property A enriched among rows with property B?)
+    that complements chi²'s yes/no with a magnitude and interval.
+
+    One conditional-aggregation pass over the four cells; OR = ad/bc,
+    CI = exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)). Any empty cell yields
+    NULL statistics (Haldane corrections change the estimand; callers
+    who want one can add 0.5 upstream). Output one row:
+    (n_11, n_10, n_01, n_00, odds_ratio, ci_low, ci_high)."""
+    fa = flag_a.cast("boolean")
+    fb = flag_b.cast("boolean")
+    cells = df.agg(
+        F.sum((fa & fb).cast("long")).alias("n_11"),
+        F.sum((fa & ~fb).cast("long")).alias("n_10"),
+        F.sum((~fa & fb).cast("long")).alias("n_01"),
+        F.sum((~fa & ~fb).cast("long")).alias("n_00"),
+    )
+    a = F.col("n_11").cast("double")
+    b = F.col("n_10").cast("double")
+    cc = F.col("n_01").cast("double")
+    d = F.col("n_00").cast("double")
+    ok = (a > 0) & (b > 0) & (cc > 0) & (d > 0)
+    orr = a * d / (b * cc)
+    se = F.sqrt(1 / a + 1 / b + 1 / cc + 1 / d)
+    return cells.select(
+        "n_11",
+        "n_10",
+        "n_01",
+        "n_00",
+        F.when(ok, F.round(orr, 6)).alias("odds_ratio"),
+        F.when(ok, F.round(F.exp(F.log(orr) - F.lit(1.959964) * se), 6)).alias(
+            "ci_low"
+        ),
+        F.when(ok, F.round(F.exp(F.log(orr) + F.lit(1.959964) * se), 6)).alias(
+            "ci_high"
+        ),
+    )

@@ -1288,3 +1288,60 @@ def rolling_ols_slope_daily(
             "slope_w"
         ),
     )
+
+
+def cusum_change_point(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """CUSUM mean-shift change-point scan over the daily-total series:
+    S_t = Σ_{i≤t}(y_i − ȳ), the change point is the day maximizing
+    |S_t| — the classic level-shift detector a pipeline runs over a
+    metric before trusting a week-over-week comparison.
+
+    The fact table collapses to the bounded daily relation in one
+    map-side-combinable shuffle; every window after that walks the
+    ≤ #days-row grid. To stay EXACT, the scan maximizes
+    |S'_t| = |T·cum_t − t·total| (integer-scaled cents, all decimal —
+    T·S_t with no division), and the argmax is a struct-min with the
+    smallest-day tie-break, so the reported day is partition- and
+    engine-independent. cusum_max = max|S'|/T returns to value units.
+    Output one row: (n_days, change_day, cusum_max)."""
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+    from .hypotests import dec_double
+
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("t_days"),
+        F.sum("y").alias("total"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "t_days",
+        # (10,0)x(27,2) products stay inside DECIMAL(38,2) EXACTLY on
+        # both engines (38+ precision would round on Spark and error on
+        # DuckDB); 10^25 cents of headroom bounds the envelope.
+        (
+            F.col("t_days").cast("decimal(10,0)")
+            * F.sum("y").over(w).cast("decimal(27,2)")
+            - F.row_number().over(Window.orderBy("day")).cast("decimal(10,0)")
+            * F.col("total").cast("decimal(27,2)")
+        ).alias("s"),
+    )
+    picked = cum.select(
+        "t_days",
+        F.struct(
+            (-F.abs(F.col("s"))).alias("neg_abs"), F.col("day").alias("day")
+        ).alias("k"),
+    ).agg(F.max("t_days").alias("n_days"), F.min("k").alias("m"))
+    result = picked.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("m.day").cast("long").alias("change_day"),
+        F.round(
+            dec_double(-F.col("m.neg_abs")) / F.col("n_days").cast("double"),
+            4,
+        ).alias("cusum_max"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])

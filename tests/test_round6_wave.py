@@ -707,3 +707,87 @@ def test_moods_median_balanced_vs_shifted(spark):
     assert r["grand_median"] == 10.0  # lower median
     # perfect separation: chi2 == n
     assert r["chi2"] == pytest.approx(20.0, abs=1e-3)
+
+
+def test_cvm_and_ad_two_sample_known(spark):
+    from breweries_etl_spark.operators.hypotests import (
+        anderson_darling_2samp,
+        cvm_test_2samp,
+    )
+
+    # a = {1,2}, b = {3,4}: gaps .5, 1, .5, 0 -> T = (4/16)*1.5 = 0.375
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b")], "v double, g string"
+    )
+    r = cvm_test_2samp(df, "v", F.col("g") == "a").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["cvm_t"] == pytest.approx(0.375, abs=1e-5)
+    # Pettitt AD on the same data: terms 4/3 + 4 + 4/3 over n_a*n_b = 4
+    r2 = anderson_darling_2samp(df, "v", F.col("g") == "a").collect()[0]
+    assert r2["ad_stat"] == pytest.approx(5.0 / 3.0, abs=1e-5)
+
+
+def test_cliffs_delta_separated_and_mixed(spark):
+    from breweries_etl_spark.operators.hypotests import cliffs_delta
+
+    df = spark.createDataFrame(
+        [(10.0, "a"), (11.0, "a"), (1.0, "b"), (2.0, "b")], "v double, g string"
+    )
+    r = cliffs_delta(df, "v", F.col("g") == "a").collect()[0]
+    assert (r["n_gt"], r["n_lt"]) == (4, 0) and r["cliffs_delta"] == 1.0
+    # overlap: a={1,3}, b={2,4}: gt pairs (3,2)=1, lt pairs (1,2),(1,4),(3,4)=3
+    df2 = spark.createDataFrame(
+        [(1.0, "a"), (3.0, "a"), (2.0, "b"), (4.0, "b")], "v double, g string"
+    )
+    r2 = cliffs_delta(df2, "v", F.col("g") == "a").collect()[0]
+    assert (r2["n_gt"], r2["n_lt"]) == (1, 3)
+    assert r2["cliffs_delta"] == pytest.approx(-0.5, abs=1e-6)
+
+
+def test_wilcoxon_signed_rank_known(spark):
+    from breweries_etl_spark.operators.hypotests import wilcoxon_signed_rank
+
+    # diffs 1, -2, 3, 4 (zero dropped): ranks 1..4, W+ = 1+3+4 = 8
+    df = spark.createDataFrame(
+        [(1.0,), (-2.0,), (3.0,), (4.0,), (0.0,)], "d double"
+    )
+    r = wilcoxon_signed_rank(df, "d").collect()[0]
+    assert r["n_pairs"] == 4 and r["w_plus"] == 8.0
+    # z = (8 - 5) / sqrt(4*5*9/24) = 3/sqrt(7.5)
+    assert r["z_score"] == pytest.approx(3.0 / 7.5**0.5, abs=1e-6)
+
+
+def test_cusum_change_point_level_shift(spark):
+    import datetime
+
+    from breweries_etl_spark.operators.temporal import cusum_change_point
+
+    # daily totals 1,1,1,5,5,5 -> max |T*cum - t*total| = 36 at day 3
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i), float(v))
+        for i, v in enumerate([1, 1, 1, 5, 5, 5])
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    r = cusum_change_point(df).collect()[0]
+    assert r["n_days"] == 6
+    day3 = int(datetime.datetime(2024, 1, 3).timestamp() // 86400)
+    assert r["change_day"] == day3
+    assert r["cusum_max"] == pytest.approx(6.0, abs=1e-9)
+
+
+def test_odds_ratio_known_table(spark):
+    from breweries_etl_spark.operators.hypotests import odds_ratio_2x2
+
+    rows = (
+        [(True, True)] * 10 + [(True, False)] * 5
+        + [(False, True)] * 2 + [(False, False)] * 8
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = odds_ratio_2x2(df, F.col("a"), F.col("b")).collect()[0]
+    assert (r["n_11"], r["n_10"], r["n_01"], r["n_00"]) == (10, 5, 2, 8)
+    assert r["odds_ratio"] == pytest.approx(8.0, abs=1e-6)
+    assert r["ci_low"] < 8.0 < r["ci_high"]
+    # an empty cell voids the estimate
+    df2 = spark.createDataFrame([(True, True), (False, False)], "a boolean, b boolean")
+    r2 = odds_ratio_2x2(df2, F.col("a"), F.col("b")).collect()[0]
+    assert r2["odds_ratio"] is None
