@@ -8963,6 +8963,245 @@ FROM cells
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-6 wave 7: regression/normality diagnostics + portmanteau test
+
+
+def _ddw(c: str) -> str:
+    """Portable wide DECIMAL->DOUBLE split (SQL twin of
+    operators/hypotests.dec_double_wide) for non-negative integer sums
+    past 2^63: exact hugeint split at 10^9, two int64->double paths."""
+    return (
+        f"(CAST(CAST(({c}) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9"
+        f" + CAST(CAST(({c}) AS HUGEINT) % 1000000000 AS DOUBLE))"
+    )
+
+
+def q_jarque_bera_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen of extended price from exact raw
+    moments (operators/hypotests.py:jarque_bera)."""
+    from breweries_etl_spark.operators.hypotests import jarque_bera
+
+    return jarque_bera(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+def q_breusch_pagan_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test for price ~ quantity
+    (operators/hypotests.py:breusch_pagan)."""
+    from breweries_etl_spark.operators.hypotests import breusch_pagan
+
+    return breusch_pagan(
+        load_table(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
+def q_cooks_distance_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most influential lineitems of the price ~ quantity OLS by
+    Cook's distance (operators/hypotests.py:cooks_distance_top)."""
+    from breweries_etl_spark.operators.hypotests import cooks_distance_top
+
+    return cooks_distance_top(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        k=10,
+    )
+
+
+def q_ljung_box_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau autocorrelation test of the daily
+    event-value series, lags 1..7
+    (operators/temporal.py:ljung_box_daily)."""
+    from breweries_etl_spark.operators.temporal import ljung_box_daily
+
+    return ljung_box_daily(load_events(spark, sf_dir))
+
+
+_JB_BASE = """
+base AS MATERIALIZED (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) / 1048576.0
+    AS w
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), m AS (
+  SELECT count(*) AS n,
+    SUM(CAST(floor(w * 1e12) AS DECIMAL(38,0))) AS s1,
+    SUM(CAST(floor(w * w * 1e14) AS DECIMAL(38,0))) AS s2,
+    SUM(CAST(floor(w * w * w * 1e15) AS DECIMAL(38,0))) AS s3,
+    SUM(CAST(floor(w * w * w * w * 1e16) AS DECIMAL(38,0))) AS s4
+  FROM base
+)"""
+
+_ORACLES["jarque_bera_price"] = f"""
+WITH {_JB_BASE},
+d AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+    {_ddw('s1')} / 1e12 AS s1d, {_ddw('s2')} / 1e14 AS s2d,
+    {_ddw('s3')} / 1e15 AS s3d, {_ddw('s4')} / 1e16 AS s4d
+  FROM m
+), c AS (SELECT *, s1d / nd AS mu FROM d),
+cm AS (
+  SELECT n, nd,
+    s2d / nd - mu * mu AS m2,
+    s3d / nd - 3.0 * mu * (s2d / nd) + 2.0 * mu * mu * mu AS m3,
+    s4d / nd - 4.0 * mu * (s3d / nd) + 6.0 * mu * mu * (s2d / nd)
+      - 3.0 * mu * mu * mu * mu AS m4
+  FROM c
+), sk AS (
+  SELECT n, nd, m2,
+    m3 / pow(m2, 1.5) AS skew,
+    m4 / (m2 * m2) - 3.0 AS kurt
+  FROM cm
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CASE WHEN m2 > 0 THEN round(skew, 6) END AS skewness,
+  CASE WHEN m2 > 0 THEN round(kurt, 6) END AS kurtosis_excess,
+  CASE WHEN m2 > 0 THEN
+    round(nd / 6.0 * (skew * skew + kurt * kurt / 4.0), 4)
+  END AS jb_stat
+FROM sk
+"""
+
+_ORACLES["breusch_pagan_price_qty"] = f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+    CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), m AS (
+  SELECT count(*) AS n,
+    SUM(CAST(x AS DECIMAL(38,2))) AS sx,
+    SUM(CAST(y AS DECIMAL(38,2))) AS sy,
+    SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+    SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy
+  FROM base
+), d AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd, {_dd('sx')} AS sxd, {_dd('sy')} AS syd,
+    {_dd('sxx')} AS sxxd, {_dd('sxy')} AS sxyd
+  FROM m
+), fit AS (
+  SELECT *, (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS b FROM d
+), fit2 AS (SELECT *, (syd - b * sxd) / nd AS a FROM fit),
+g0 AS (
+  SELECT x, n, nd, sxd, sxxd, b,
+    (floor((CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) * 100.0)
+     / 131072.0)
+    * (floor((CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) * 100.0)
+       / 131072.0) AS g
+  FROM base CROSS JOIN fit2
+), aux AS (
+  SELECT max(n) AS n, max(nd) AS nd, max(sxd) AS sxd, max(sxxd) AS sxxd,
+    max(b) AS b,
+    SUM(CAST(floor(g * 1e8) AS DECIMAL(38,0))) AS sg,
+    SUM(CAST(floor(g * g * 1e4) AS DECIMAL(38,0))) AS sgg,
+    SUM(CAST(floor(CAST(x AS DOUBLE) * g * 1e6) AS DECIMAL(38,0))) AS sxg
+  FROM g0
+), cd AS (
+  SELECT n, nd, b,
+    nd * sxxd - sxd * sxd AS sxx_c,
+    nd * ({_ddw('sgg')} / 1e4) - ({_ddw('sg')} / 1e8) * ({_ddw('sg')} / 1e8)
+      AS sgg_c,
+    nd * ({_ddw('sxg')} / 1e6) - sxd * ({_ddw('sg')} / 1e8) AS sxg_c
+  FROM aux
+)
+SELECT CAST(n AS BIGINT) AS n, round(b, 6) AS slope,
+  CASE WHEN sxx_c > 0 AND sgg_c > 0 THEN
+    round(sxg_c * sxg_c / (sxx_c * sgg_c), 6)
+  END AS r2_aux,
+  CASE WHEN sxx_c > 0 AND sgg_c > 0 THEN
+    round(nd * (sxg_c * sxg_c / (sxx_c * sgg_c)), 4)
+  END AS lm_stat
+FROM cd
+"""
+
+_ORACLES["cooks_distance_price_qty"] = f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+    CAST(l_extendedprice AS DECIMAL(12,2)) AS y,
+    l_orderkey, l_linenumber
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), m AS (
+  SELECT count(*) AS n,
+    SUM(CAST(x AS DECIMAL(38,2))) AS sx,
+    SUM(CAST(y AS DECIMAL(38,2))) AS sy,
+    SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+    SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy
+  FROM base
+), d AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd, {_dd('sx')} AS sxd, {_dd('sy')} AS syd,
+    {_dd('sxx')} AS sxxd, {_dd('sxy')} AS sxyd
+  FROM m
+), fit AS (
+  SELECT *, (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS b FROM d
+), fit2 AS (SELECT *, (syd - b * sxd) / nd AS a FROM fit),
+sse AS (
+  SELECT SUM(CAST(floor(
+    (CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE)))
+    * (CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) * 1e4)
+    AS DECIMAL(38,0))) AS sse_fp
+  FROM base CROSS JOIN fit2
+), scored AS (
+  SELECT l_orderkey, l_linenumber,
+    round(
+      (CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE)))
+      * (CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE)))
+      * (1.0 / nd + (CAST(x AS DOUBLE) - sxd / nd) * (CAST(x AS DOUBLE) - sxd / nd)
+         / ((nd * sxxd - sxd * sxd) / nd))
+      / (2.0 * (CAST(sse_fp AS DOUBLE) / 1e4 / (nd - 2.0))
+         * (1.0 - (1.0 / nd + (CAST(x AS DOUBLE) - sxd / nd) * (CAST(x AS DOUBLE) - sxd / nd)
+                   / ((nd * sxxd - sxd * sxd) / nd)))
+         * (1.0 - (1.0 / nd + (CAST(x AS DOUBLE) - sxd / nd) * (CAST(x AS DOUBLE) - sxd / nd)
+                   / ((nd * sxxd - sxd * sxd) / nd)))), 6) AS cooks_d
+  FROM base CROSS JOIN fit2 CROSS JOIN sse
+)
+SELECT l_orderkey, l_linenumber, cooks_d
+FROM scored
+ORDER BY cooks_d DESC, l_orderkey, l_linenumber
+LIMIT 10
+"""
+
+_ORACLES["ljung_box_daily_value"] = f"""
+WITH {_DAILY_EVENTS},
+tot AS (
+  SELECT count(*) AS n,
+    SUM(CAST(y AS DECIMAL(38,2))) AS s,
+    SUM(CAST(y * y AS DECIMAL(38,4))) AS q
+  FROM daily
+), lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+per_lag AS (
+  SELECT l.lag AS lag, count(*) AS n_pairs,
+    SUM(CAST(a.y * b.y AS DECIMAL(38,4))) AS p,
+    SUM(CAST(a.y AS DECIMAL(38,2))) AS a,
+    SUM(CAST(b.y AS DECIMAL(38,2))) AS b
+  FROM daily a CROSS JOIN lags l JOIN daily b ON b.day = a.day + l.lag
+  GROUP BY 1
+), dd AS (
+  SELECT lag, CAST(n_pairs AS DOUBLE) AS npd, CAST(n AS DOUBLE) AS nd, n,
+    {_dd('p')} AS pd, {_dd('a')} AS ad, {_dd('b')} AS bd,
+    {_dd('s')} AS sd, {_dd('q')} AS qd
+  FROM per_lag CROSS JOIN tot
+), rhos AS (
+  SELECT lag, n, nd,
+    qd - sd * (sd / nd) AS den,
+    (pd - (sd / nd) * (ad + bd) + npd * (sd / nd) * (sd / nd)) AS num
+  FROM dd
+), folded AS (
+  SELECT max(n) AS n, max(nd) AS nd,
+    max(CASE WHEN den > 0 THEN 1 ELSE 0 END) AS ok,
+    SUM(CASE WHEN den > 0 THEN
+      CAST(floor((num / den) * (num / den) / (nd - CAST(lag AS DOUBLE)) * 1e12)
+           AS DECIMAL(38,0)) END) AS lb_fp
+  FROM rhos
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(7 AS BIGINT) AS max_lag,
+  CASE WHEN ok = 1 THEN
+    round(nd * (nd + 2.0) * (CAST(lb_fp AS DOUBLE) / 1e12), 4)
+  END AS lb_stat
+FROM folded
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -9278,6 +9517,10 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilcoxon_signed_user_value": q_wilcoxon_signed_user_value,
         "cusum_daily_value": q_cusum_daily_value,
         "odds_ratio_doc_flags": q_odds_ratio_doc_flags,
+        "jarque_bera_price": q_jarque_bera_price,
+        "breusch_pagan_price_qty": q_breusch_pagan_price_qty,
+        "cooks_distance_price_qty": q_cooks_distance_price_qty,
+        "ljung_box_daily_value": q_ljung_box_daily_value,
     }
 
 

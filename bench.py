@@ -248,6 +248,10 @@ FAMILIES: dict[str, list[str]] = {
         "wilcoxon_signed_user_value",
         "cusum_daily_value",
         "odds_ratio_doc_flags",
+        "jarque_bera_price",
+        "breusch_pagan_price_qty",
+        "cooks_distance_price_qty",
+        "ljung_box_daily_value",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

@@ -52,6 +52,22 @@ def dec_double(col: Column) -> Column:
     return ip.cast("long").cast("double") + (col - ip).cast("double")
 
 
+def dec_double_wide(col: Column) -> Column:
+    """Engine-portable DECIMAL→DOUBLE for NON-NEGATIVE INTEGER decimal
+    sums past dec_double's 2⁶³ ceiling (fourth-moment accumulators
+    reach ~10²⁴ long before row counts do): split s = hi·10⁹ + lo with
+    exact decimal modulo and an exactly-divisible quotient — both
+    engines compute these without rounding — then each half rides
+    dec_double's exact int64 path and the halves recombine in two
+    correctly-rounded IEEE ops. Valid for 0 ≤ s < 10²⁷ (hi < 2⁶³).
+    SQL twin (DuckDB): CAST(CAST(s AS HUGEINT) // 1000000000 AS DOUBLE)
+    * 1e9 + CAST(CAST(s AS HUGEINT) % 1000000000 AS DOUBLE)."""
+    b = F.lit(1000000000).cast("decimal(10,0)")
+    lo = col % b
+    hi = (col - lo) / b
+    return dec_double(hi) * F.lit(1e9) + dec_double(lo)
+
+
 def grouped_value_prefix_counts(
     df: DataFrame,
     value_col: str,
@@ -2008,3 +2024,199 @@ def odds_ratio_2x2(df: DataFrame, flag_a: Column, flag_b: Column) -> DataFrame:
             "ci_high"
         ),
     )
+
+
+def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
+    """Jarque–Bera normality test from exact raw moments: skewness
+    S = m₃/m₂^1.5, excess kurtosis K = m₄/m₂² − 3,
+    JB = n/6·(S² + K²/4) — the single-pass screen for "is this metric
+    even approximately normal" that gates every t-test/z-interval the
+    pipeline hands downstream.
+
+    S and K are SCALE-INVARIANT, so the moments are taken over
+    w = v / 2²⁰ — an EXACT binary rescale of the ≤ 7-significant-digit
+    double both engines convert identically — which keeps every
+    accumulator small: per-row terms floor(wᵏ·SCALEₖ) are fixed-point
+    decimals (identical truncation on every engine; the higher moments
+    of a sub-unit w get proportionally finer scales, 10¹²..10¹⁶) whose
+    sums ride dec_double_wide's < 10²⁷ envelope — good past 10¹² rows
+    at w ≤ 0.1. Requires value_col ≥ 0 (the wide cast's modulo split;
+    exact Σv⁴ would need 10³⁰ and no engine-portable cast exists that
+    wide). Central moments, S, K, JB close in one fixed double
+    sequence. Output one row: (n, skewness, kurtosis_excess,
+    jb_stat)."""
+    w = F.col(value_col).cast("decimal(12,2)").cast("double") / F.lit(
+        1048576.0
+    )
+    d38 = "decimal(38,0)"
+    sums = df.filter(F.col(value_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(w * F.lit(1e12)).cast(d38)).alias("s1"),
+        F.sum(F.floor(w * w * F.lit(1e14)).cast(d38)).alias("s2"),
+        F.sum(F.floor(w * w * w * F.lit(1e15)).cast(d38)).alias("s3"),
+        F.sum(F.floor(w * w * w * w * F.lit(1e16)).cast(d38)).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1 = dec_double_wide(F.col("s1")) / F.lit(1e12)
+    s2 = dec_double_wide(F.col("s2")) / F.lit(1e14)
+    s3 = dec_double_wide(F.col("s3")) / F.lit(1e15)
+    s4 = dec_double_wide(F.col("s4")) / F.lit(1e16)
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3.0) * mu * (s2 / n) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mu * (s3 / n)
+        + F.lit(6.0) * mu * mu * (s2 / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    skew = m3 / F.pow(m2, F.lit(1.5))
+    kurt = m4 / (m2 * m2) - F.lit(3.0)
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(m2 > 0, F.round(skew, 6)).alias("skewness"),
+        F.when(m2 > 0, F.round(kurt, 6)).alias("kurtosis_excess"),
+        F.when(
+            m2 > 0,
+            F.round(
+                n / F.lit(6.0) * (skew * skew + kurt * kurt / F.lit(4.0)), 4
+            ),
+        ).alias("jb_stat"),
+    )
+
+
+def breusch_pagan(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Breusch–Pagan heteroscedasticity test for the simple OLS
+    y ~ x: regress the squared residuals on x and report LM = n·R²_aux
+    — does the error variance drift with the regressor (the assumption
+    every OLS standard error silently makes)?
+
+    Two fact scans, both pruned to (x, y): pass 1 folds exact decimal
+    OLS moments; pass 2 quantizes each residual to cents
+    (floor(e·100), a deterministic double→int step identical on every
+    engine), rescales by the exact binary factor 2¹⁷ (R² is invariant
+    to scaling g), and folds the auxiliary moments Σg, Σg², Σx·g as
+    fixed-point floor decimals through dec_double_wide's < 10²⁷
+    envelope (exact Σg² would need ~10³⁰; requires x ≥ 0 for the wide
+    cast's modulo split). R²_aux and LM close in one fixed double
+    sequence. Output one row: (n, slope, r2_aux, lm_stat)."""
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("decimal(12,2)").alias("x"),
+        F.col(y_col).cast("decimal(12,2)").alias("y"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,2)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,2)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = dec_double(F.col("sx"))
+    sy = dec_double(F.col("sy"))
+    den = n * dec_double(F.col("sxx")) - sx * sx
+    slope = (n * dec_double(F.col("sxy")) - sx * sy) / den
+    icept = (sy - slope * sx) / n
+    e = F.col("y").cast("double") - (icept + slope * F.col("x").cast("double"))
+    r = F.floor(e * F.lit(100.0)) / F.lit(131072.0)
+    g = r * r
+    d38 = "decimal(38,0)"
+    aux = base.crossJoin(F.broadcast(mom)).agg(
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+        F.max("sxx").alias("sxx"),
+        F.max(slope).alias("b"),
+        F.sum(F.floor(g * F.lit(1e8)).cast(d38)).alias("sg"),
+        F.sum(F.floor(g * g * F.lit(1e4)).cast(d38)).alias("sgg"),
+        F.sum(
+            F.floor(F.col("x").cast("double") * g * F.lit(1e6)).cast(d38)
+        ).alias("sxg"),
+    )
+    sg = dec_double_wide(F.col("sg")) / F.lit(1e8)
+    sgg = dec_double_wide(F.col("sgg")) / F.lit(1e4)
+    sxg = dec_double_wide(F.col("sxg")) / F.lit(1e6)
+    sx2 = dec_double(F.col("sx"))
+    sxx_c = n * dec_double(F.col("sxx")) - sx2 * sx2
+    sgg_c = n * sgg - sg * sg
+    sxg_c = n * sxg - sx2 * sg
+    r2 = sxg_c * sxg_c / (sxx_c * sgg_c)
+    return aux.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("b"), 6).alias("slope"),
+        F.when((sxx_c > 0) & (sgg_c > 0), F.round(r2, 6)).alias("r2_aux"),
+        F.when((sxx_c > 0) & (sgg_c > 0), F.round(n * r2, 4)).alias(
+            "lm_stat"
+        ),
+    )
+
+
+def cooks_distance_top(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k most influential observations of the simple OLS y ~ x by
+    Cook's distance D_i = e_i²·h_i / (p·s²·(1−h_i)²) with p = 2 and
+    leverage h_i = 1/n + (x_i−x̄)²/Sxx — the rows whose deletion moves
+    the fit most, i.e. the first place to look when a 100 TB regression
+    smells wrong.
+
+    Three column-pruned fact scans: exact decimal OLS moments, then SSE
+    as floor(e²·10⁴) fixed point, then per-row D and a per-partition
+    top-k merge (TakeOrdered — no global sort materializes). The final
+    order is (D desc, id…) so ties are engine-independent. Output k
+    rows: (*id_cols, cooks_d)."""
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *[F.col(c) for c in id_cols],
+        F.col(x_col).cast("decimal(12,2)").alias("x"),
+        F.col(y_col).cast("decimal(12,2)").alias("y"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,2)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,2)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = dec_double(F.col("sx"))
+    sy = dec_double(F.col("sy"))
+    den = n * dec_double(F.col("sxx")) - sx * sx
+    slope = (n * dec_double(F.col("sxy")) - sx * sy) / den
+    icept = (sy - slope * sx) / n
+    e = F.col("y").cast("double") - (icept + slope * F.col("x").cast("double"))
+    sse = base.crossJoin(F.broadcast(mom)).agg(
+        F.sum(F.floor(e * e * F.lit(1e4)).cast("decimal(38,0)")).alias(
+            "sse_fp"
+        )
+    )
+    xbar = sx / n
+    sxx_c = den / n
+    h = F.lit(1.0) / n + (F.col("x").cast("double") - xbar) * (
+        F.col("x").cast("double") - xbar
+    ) / sxx_c
+    s2 = (
+        F.col("sse_fp").cast("double")
+        / F.lit(1e4)
+        / (n - F.lit(2.0))
+    )
+    d_stat = (
+        e * e * h / (F.lit(2.0) * s2 * (F.lit(1.0) - h) * (F.lit(1.0) - h))
+    )
+    scored = (
+        base.crossJoin(F.broadcast(mom))
+        .crossJoin(F.broadcast(sse))
+        .select(
+            *[F.col(c) for c in id_cols],
+            F.round(d_stat, 6).alias("cooks_d"),
+        )
+    )
+    return scored.orderBy(
+        F.col("cooks_d").desc(), *[F.col(c) for c in id_cols]
+    ).limit(k)

@@ -1345,3 +1345,76 @@ def cusum_change_point(
     from .dedup import _release_caches
 
     return _release_caches(result, [daily])
+
+
+def ljung_box_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Ljung–Box portmanteau test of the daily total-value series:
+    LB = n(n+2)·Σ_{k=1..K} ρ_k²/(n−k) — the "is there ANY
+    autocorrelation up to lag K" gate run before treating daily metrics
+    as independent samples (χ²_K under the null).
+
+    Same shape as ``acf_daily``: one fact shuffle to the calendar-
+    bounded daily relation, lag pairing by a self-join on day+k, exact
+    decimal inner sums closed as a fixed double sequence per lag. The
+    ≤ max_lag per-lag terms fold as floor(·10¹²) fixed-point decimals
+    so the final Σ is associative (a plain double SUM over even 7 rows
+    is order-dependent in the last ulp). Output one row:
+    (n_days, max_lag, lb_stat)."""
+    from .dedup import _release_caches
+    from .hypotests import dec_double
+
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,2)")).alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("q"),
+    )
+    lagged = daily.select(
+        "day", "y", F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
+    )
+    d2 = daily.select(F.col("day").alias("day2"), F.col("y").alias("y2"))
+    per_lag = lagged.join(d2, lagged.day + lagged.lag == d2.day2).groupBy(
+        "lag"
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("y") * F.col("y2")).cast("decimal(38,4)")).alias("p"),
+        F.sum(F.col("y").cast("decimal(38,2)")).alias("a"),
+        F.sum(F.col("y2").cast("decimal(38,2)")).alias("b"),
+    )
+    n = F.col("n").cast("double")
+    m = dec_double(F.col("s")) / n
+    den = dec_double(F.col("q")) - dec_double(F.col("s")) * m
+    num = (
+        dec_double(F.col("p"))
+        - m * (dec_double(F.col("a")) + dec_double(F.col("b")))
+        + F.col("n_pairs").cast("double") * m * m
+    )
+    rho = num / den
+    term = F.floor(
+        rho * rho / (n - F.col("lag").cast("double")) * F.lit(1e12)
+    ).cast("decimal(38,0)")
+    folded = per_lag.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.max(F.when(den > 0, 1).otherwise(0)).alias("ok"),
+        F.sum(F.when(den > 0, term)).alias("lb_fp"),
+    )
+    result = folded.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.lit(max_lag).cast("long").alias("max_lag"),
+        F.when(
+            F.col("ok") == 1,
+            F.round(
+                F.col("n").cast("double")
+                * (F.col("n").cast("double") + F.lit(2.0))
+                * (F.col("lb_fp").cast("double") / F.lit(1e12)),
+                4,
+            ),
+        ).alias("lb_stat"),
+    )
+    return _release_caches(result, [daily])

@@ -791,3 +791,93 @@ def test_odds_ratio_known_table(spark):
     df2 = spark.createDataFrame([(True, True), (False, False)], "a boolean, b boolean")
     r2 = odds_ratio_2x2(df2, F.col("a"), F.col("b")).collect()[0]
     assert r2["odds_ratio"] is None
+
+
+def test_jarque_bera_uniform_known(spark):
+    from breweries_etl_spark.operators.hypotests import jarque_bera
+
+    # uniform 1000..5000: skew = 0, m2 = 2e6, m4 = 6.8e12 -> kurt = -1.3
+    df = spark.createDataFrame(
+        [(1000.0,), (2000.0,), (3000.0,), (4000.0,), (5000.0,)], "v double"
+    )
+    r = jarque_bera(df, "v").collect()[0]
+    assert r["n"] == 5
+    # floor-quantized fixed-point moments: per-moment scales keep the
+    # relative error ~1e-4 even for sub-unit w
+    assert r["skewness"] == pytest.approx(0.0, abs=1e-4)
+    assert r["kurtosis_excess"] == pytest.approx(-1.3, abs=1e-3)
+    assert r["jb_stat"] == pytest.approx(5 / 6 * (1.3**2 / 4), abs=1e-3)
+
+
+def test_breusch_pagan_perfect_fit_is_null(spark):
+    from breweries_etl_spark.operators.hypotests import breusch_pagan
+
+    # exact linear fit: residuals 0 -> zero aux variance -> NULL stats
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, 30.0), (4.0, 40.0)],
+        "x double, y double",
+    )
+    r = breusch_pagan(df, "x", "y").collect()[0]
+    assert r["n"] == 4 and r["slope"] == pytest.approx(10.0, abs=1e-6)
+    assert r["lm_stat"] is None
+    # variance growing with x -> positive LM, r2 in (0, 1]
+    rows = [(float(x), 10.0 * x + (x * 50.0 if x % 2 else -x * 50.0))
+            for x in range(1, 21)]
+    r2 = breusch_pagan(
+        spark.createDataFrame(rows, "x double, y double"), "x", "y"
+    ).collect()[0]
+    assert r2["lm_stat"] is not None and r2["lm_stat"] > 0
+    assert 0.0 < r2["r2_aux"] <= 1.0
+
+
+def test_cooks_distance_flags_outlier(spark):
+    from breweries_etl_spark.operators.hypotests import cooks_distance_top
+
+    # 20 on-line points + one gross outlier at the x extreme
+    rows = [(i, 1, float(i), 10.0 * i) for i in range(1, 21)]
+    rows.append((99, 1, 25.0, 1000.0))
+    df = spark.createDataFrame(rows, "k long, ln int, x double, y double")
+    out = cooks_distance_top(df, "x", "y", ["k", "ln"], k=3).collect()
+    assert len(out) == 3
+    assert out[0]["k"] == 99  # the planted outlier dominates
+    assert out[0]["cooks_d"] > 10 * out[1]["cooks_d"]
+
+
+def test_ljung_box_daily_autocorrelated(spark):
+    import datetime
+
+    from breweries_etl_spark.operators.temporal import ljung_box_daily
+
+    # 30-day linear ramp: strong positive autocorrelation at small lags
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i),
+         float(100 + 10 * i))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    r = ljung_box_daily(df).collect()[0]
+    assert r["n_days"] == 30 and r["max_lag"] == 7
+    assert r["lb_stat"] is not None and r["lb_stat"] > 20.0
+    # constant series: zero variance -> NULL
+    rows2 = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i), 5.0)
+        for i in range(10)
+    ]
+    df2 = spark.createDataFrame(rows2, "event_id long, ts timestamp, value double")
+    assert ljung_box_daily(df2).collect()[0]["lb_stat"] is None
+
+
+def test_dec_double_wide_matches_exact(spark):
+    from breweries_etl_spark.operators.hypotests import dec_double_wide
+
+    # values straddling 2^63: the wide split must equal Python's
+    # correctly-rounded float(s)
+    vals = [0, 1, 999999999, 1000000000, 2**63 - 1, 2**63, 10**21 + 7,
+            10**26 + 123456789]
+    df = spark.createDataFrame(
+        [(str(v),) for v in vals], "s string"
+    ).select(F.col("s").cast("decimal(38,0)").alias("d"), "s")
+    out = df.select("s", dec_double_wide(F.col("d")).alias("x")).collect()
+    for row in out:
+        exact = float(int(row["s"]))
+        assert row["x"] == pytest.approx(exact, rel=1e-15), row["s"]

@@ -106,6 +106,22 @@ QUERIES = [
     "js_divergence_docs_lang", "gini_by_nation_revenue",
     "chow_test_price_qty_flag", "graph_degree_assortativity",
     "graph_local_clustering",
+    # round-6 waves 5-6: classifier-eval + drift statistics ride the
+    # same distinct-value prefix relation (linear in distinct values);
+    # kendall self-joins the BOUNDED qty x discount cell grid (constant
+    # in corpus size); daily-series diagnostics collapse to the
+    # calendar-bounded grid; keyness shuffles the token-count relation
+    "roc_auc_order_status", "score_lift_deciles", "mcnemar_doc_filters",
+    "cohens_d_price_returnflag", "grubbs_order_price", "levene_price_flag",
+    "durbin_watson_daily_value", "runs_test_daily_value",
+    "rolling_slope_daily_value", "graph_degree_powerlaw",
+    "keyness_llr_sources", "kendall_tau_qty_discount",
+    "cochran_q_doc_filters", "moods_median_price_flag",
+    "cvm_test_price_returnflag", "anderson_darling_price_flag",
+    "cliffs_delta_price_returnflag", "wilcoxon_signed_user_value",
+    "cusum_daily_value", "odds_ratio_doc_flags",
+    "jarque_bera_price", "breusch_pagan_price_qty",
+    "cooks_distance_price_qty", "ljung_box_daily_value",
 ]
 
 
