@@ -6598,6 +6598,16 @@ def q_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ddw(c: str) -> str:
+    """Portable wide DECIMAL->DOUBLE split (SQL twin of
+    operators/hypotests.dec_double_wide) for non-negative integer sums
+    past 2^63: exact hugeint split at 10^9, two int64->double paths."""
+    return (
+        f"(CAST(CAST(({c}) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9"
+        f" + CAST(CAST(({c}) AS HUGEINT) % 1000000000 AS DOUBLE))"
+    )
+
+
 _KS_VC = """
 vc AS (
   SELECT l_extendedprice AS v,
@@ -6611,23 +6621,26 @@ vc AS (
   FROM vc
 )"""
 
+_KS_GAP = (
+    "max(abs(CAST(cum_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))"
+    " - CAST(cum_b AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0))))"
+)
+
 _ORACLES["ks_test_price_returnflag"] = f"""
 WITH {_KS_VC},
 tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM vc)
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-  round(CAST(max(abs(CAST(cum_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
-                     - CAST(cum_b AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0))))
-             AS DOUBLE)
+  round({_ddw(_KS_GAP)}
         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_stat
 FROM cum CROSS JOIN tot GROUP BY n_a, n_b
 """
 
 _MWU_N = "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
-_MWU_U = "(CAST(u2 AS DOUBLE) / 2.0)"
+_MWU_U = f"({_ddw('u2')} / 2.0)"
 _MWU_MEAN = "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)"
 _MWU_VAR = (
     f"(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * (({_MWU_N} + 1.0)"
-    f" - CAST(ties3 AS DOUBLE) / ({_MWU_N} * ({_MWU_N} - 1.0))))"
+    f" - {_ddw('ties3')} / ({_MWU_N} * ({_MWU_N} - 1.0))))"
 )
 
 _ORACLES["mann_whitney_price_returnflag"] = f"""
@@ -8083,11 +8096,11 @@ s AS (
 )
 SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
   CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-    round({_dd('u2')}
+    round({_ddw('u2')}
           / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
   END AS auc,
   CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-    round({_dd('u2')}
+    round({_ddw('u2')}
           / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
           * 2.0 - 1.0, 6)
   END AS gini_coef
@@ -8579,9 +8592,9 @@ def q_moods_median_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KTB_DEN = (
     "(sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
-    f" - {_dd('tie2x')})"
+    f" - {_ddw('tie2x')})"
     " * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
-    f" - {_dd('tie2y')})) / 2.0)"
+    f" - {_ddw('tie2y')})) / 2.0)"
 )
 
 _ORACLES["kendall_tau_qty_discount"] = f"""
@@ -8618,7 +8631,7 @@ f AS (
 SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
   CAST(nc AS BIGINT) AS n_concordant, CAST(nd AS BIGINT) AS n_discordant,
   CASE WHEN {_KTB_DEN} > 0 THEN
-    round(({_dd('nc')} - {_dd('nd')}) / {_KTB_DEN}, 6)
+    round(({_ddw('nc')} - {_ddw('nd')}) / {_KTB_DEN}, 6)
   END AS tau_b
 FROM f
 """
@@ -8800,9 +8813,9 @@ terms AS (
   SELECT
     CAST(floor(
       CAST(ca + cb AS DOUBLE)
-      * ({_dd("abs(CAST(cum_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)) - CAST(cum_b AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0)))")}
+      * ({_ddw("abs(CAST(cum_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)) - CAST(cum_b AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0)))")}
          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
-      * ({_dd("abs(CAST(cum_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)) - CAST(cum_b AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0)))")}
+      * ({_ddw("abs(CAST(cum_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)) - CAST(cum_b AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0)))")}
          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
       * 1e12) AS DECIMAL(38,0)) AS t_fp,
     n_a, n_b
@@ -8825,9 +8838,9 @@ terms AS (
               * (CAST(n_a + n_b AS DECIMAL(19,0)) - CAST(cum_a + cum_b AS DECIMAL(19,0))) > 0 THEN
       CAST(floor(
         CAST(ca + cb AS DOUBLE)
-        * {_dd("abs(CAST(n_a + n_b AS DECIMAL(19,0)) * CAST(cum_a AS DECIMAL(19,0)) - CAST(n_a AS DECIMAL(19,0)) * CAST(cum_a + cum_b AS DECIMAL(19,0)))")}
-        * {_dd("abs(CAST(n_a + n_b AS DECIMAL(19,0)) * CAST(cum_a AS DECIMAL(19,0)) - CAST(n_a AS DECIMAL(19,0)) * CAST(cum_a + cum_b AS DECIMAL(19,0)))")}
-        / {_dd("(CAST(cum_a + cum_b AS DECIMAL(19,0)) * (CAST(n_a + n_b AS DECIMAL(19,0)) - CAST(cum_a + cum_b AS DECIMAL(19,0))))")}
+        * {_ddw("abs(CAST(n_a + n_b AS DECIMAL(19,0)) * CAST(cum_a AS DECIMAL(19,0)) - CAST(n_a AS DECIMAL(19,0)) * CAST(cum_a + cum_b AS DECIMAL(19,0)))")}
+        * {_ddw("abs(CAST(n_a + n_b AS DECIMAL(19,0)) * CAST(cum_a AS DECIMAL(19,0)) - CAST(n_a AS DECIMAL(19,0)) * CAST(cum_a + cum_b AS DECIMAL(19,0)))")}
+        / {_ddw("(CAST(cum_a + cum_b AS DECIMAL(19,0)) * (CAST(n_a + n_b AS DECIMAL(19,0)) - CAST(cum_a + cum_b AS DECIMAL(19,0))))")}
         * 1e6) AS DECIMAL(38,0))
     END AS a_fp,
     n_a, n_b
@@ -8853,7 +8866,7 @@ sums AS (
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
   CAST(n_gt AS BIGINT) AS n_gt, CAST(n_lt AS BIGINT) AS n_lt,
   CASE WHEN n_a > 0 AND n_b > 0 THEN
-    round(({_dd('n_gt')} - {_dd('n_lt')})
+    round(({_ddw('n_gt')} - {_ddw('n_lt')})
           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
   END AS cliffs_delta
 FROM sums
@@ -8863,7 +8876,7 @@ _WSR_N = "CAST(n AS DOUBLE)"
 _WSR_MEAN = f"({_WSR_N} * ({_WSR_N} + 1.0) / 4.0)"
 _WSR_VAR = (
     f"({_WSR_N} * ({_WSR_N} + 1.0) * (2.0 * {_WSR_N} + 1.0) / 24.0"
-    " - CAST(ties3 AS DOUBLE) / 48.0)"
+    f" - {_ddw('ties3')} / 48.0)"
 )
 
 _ORACLES["wilcoxon_signed_user_value"] = f"""
@@ -8897,9 +8910,9 @@ WITH ranked AS (
   FROM cum
 )
 SELECT CAST(n AS BIGINT) AS n_pairs,
-  CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+  {_ddw('w2')} / 2.0 AS w_plus,
   CASE WHEN {_WSR_VAR} > 0 THEN
-    round((CAST(w2 AS DOUBLE) / 2.0 - {_WSR_MEAN}) / sqrt({_WSR_VAR}), 6)
+    round(({_ddw('w2')} / 2.0 - {_WSR_MEAN}) / sqrt({_WSR_VAR}), 6)
   END AS z_score
 FROM sums
 """
@@ -8965,16 +8978,6 @@ FROM cells
 
 # ---------------------------------------------------------------------------
 # Round-6 wave 7: regression/normality diagnostics + portmanteau test
-
-
-def _ddw(c: str) -> str:
-    """Portable wide DECIMAL->DOUBLE split (SQL twin of
-    operators/hypotests.dec_double_wide) for non-negative integer sums
-    past 2^63: exact hugeint split at 10^9, two int64->double paths."""
-    return (
-        f"(CAST(CAST(({c}) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9"
-        f" + CAST(CAST(({c}) AS HUGEINT) % 1000000000 AS DOUBLE))"
-    )
 
 
 def q_jarque_bera_price(spark: SparkSession, sf_dir: str) -> DataFrame:

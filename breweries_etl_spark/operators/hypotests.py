@@ -181,7 +181,7 @@ def ks_test_2samp(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         F.round(
-            F.col("ks_int").cast("double")
+            dec_double_wide(F.col("ks_int"))
             / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
             6,
         ).alias("ks_stat"),
@@ -224,13 +224,16 @@ def mann_whitney_u(
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     n = na + nb
-    u = F.col("u2").cast("double") / F.lit(2.0)
+    u = dec_double_wide(F.col("u2")) / F.lit(2.0)
     mean = na * nb / F.lit(2.0)
     var = (
         na
         * nb
         / F.lit(12.0)
-        * ((n + F.lit(1.0)) - F.col("ties3").cast("double") / (n * (n - F.lit(1.0))))
+        * (
+            (n + F.lit(1.0))
+            - dec_double_wide(F.col("ties3")) / (n * (n - F.lit(1.0)))
+        )
     )
     result = sums.select(
         F.col("n_a").cast("long").alias("n_a"),
@@ -1316,7 +1319,7 @@ def roc_auc(
     )
     np_ = F.col("n_pos").cast("double")
     nn = F.col("n_neg").cast("double")
-    auc = dec_double(F.col("u2")) / (F.lit(2.0) * np_ * nn)
+    auc = dec_double_wide(F.col("u2")) / (F.lit(2.0) * np_ * nn)
     ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
     result = sums.select(
         F.col("n_pos").cast("long").alias("n_pos"),
@@ -1629,8 +1632,8 @@ def kendall_tau_b(
     nn = F.col("n").cast("double")
     n0_2 = nn * (nn - F.lit(1.0))  # 2·n0
     den = F.sqrt(
-        (n0_2 - dec_double(F.col("tie2x")))
-        * (n0_2 - dec_double(F.col("tie2y")))
+        (n0_2 - dec_double_wide(F.col("tie2x")))
+        * (n0_2 - dec_double_wide(F.col("tie2y")))
     ) / F.lit(2.0)
     nc = F.coalesce(F.col("nc"), F.lit(0).cast(d38))
     nd = F.coalesce(F.col("nd"), F.lit(0).cast(d38))
@@ -1641,7 +1644,7 @@ def kendall_tau_b(
         nd.cast("long").alias("n_discordant"),
         F.when(
             den > 0,
-            F.round((dec_double(nc) - dec_double(nd)) / den, 6),
+            F.round((dec_double_wide(nc) - dec_double_wide(nd)) / den, 6),
         ).alias("tau_b"),
     )
     from .dedup import _release_caches
@@ -1792,8 +1795,9 @@ def cvm_test_2samp(
     Same plan shape as KS: one grouped-value shuffle, cumulative counts
     from the bucketed prefix-count primitive, no global sort. The per-
     value gap F_A − F_B is the integer (cum_a·n_b − cum_b·n_a) over
-    n_a·n_b (exact ints through dec_double ≤ 2⁶³, the documented
-    envelope); c_z·gap² accumulates as floor(·10¹²) fixed point — the
+    n_a·n_b (exact ints through dec_double_wide's < 10²⁷ envelope —
+    good past 10¹² rows); c_z·gap² accumulates as floor(·10¹²) fixed
+    point — the
     sub-picounit detail dropped identically on every engine. Output one
     row: (n_a, n_b, cvm_t)."""
     pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
@@ -1807,7 +1811,7 @@ def cvm_test_2samp(
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
-    gap = dec_double(F.abs(g_int)) / (na * nb)
+    gap = dec_double_wide(F.abs(g_int)) / (na * nb)
     c = (F.col("ca") + F.col("cb")).cast("double")
     term = F.floor(c * gap * gap * F.lit(1e12)).cast("decimal(38,0)")
     sums = pc.crossJoin(F.broadcast(tot)).agg(
@@ -1859,10 +1863,10 @@ def anderson_darling_2samp(
     )
     den = b_pool * (nn_i - b_pool)
     c = (F.col("ca") + F.col("cb")).cast("double")
-    gd = dec_double(F.abs(g))
+    gd = dec_double_wide(F.abs(g))
     term = F.when(
         den > 0,
-        F.floor(c * gd * gd / dec_double(den) * F.lit(1e6)).cast(
+        F.floor(c * gd * gd / dec_double_wide(den) * F.lit(1e6)).cast(
             "decimal(38,0)"
         ),
     )
@@ -1925,7 +1929,7 @@ def cliffs_delta(
         F.when(
             (F.col("n_a") > 0) & (F.col("n_b") > 0),
             F.round(
-                (dec_double(F.col("n_gt")) - dec_double(F.col("n_lt")))
+                (dec_double_wide(F.col("n_gt")) - dec_double_wide(F.col("n_lt")))
                 / (na * nb),
                 6,
             ),
@@ -1970,11 +1974,11 @@ def wilcoxon_signed_rank(
         F.sum(tie3).alias("ties3"),
     )
     n = F.col("n").cast("double")
-    w_plus = F.col("w2").cast("double") / F.lit(2.0)
+    w_plus = dec_double_wide(F.col("w2")) / F.lit(2.0)
     mean = n * (n + F.lit(1.0)) / F.lit(4.0)
     var = n * (n + F.lit(1.0)) * (F.lit(2.0) * n + F.lit(1.0)) / F.lit(
         24.0
-    ) - F.col("ties3").cast("double") / F.lit(48.0)
+    ) - dec_double_wide(F.col("ties3")) / F.lit(48.0)
     result = sums.select(
         F.col("n").cast("long").alias("n_pairs"),
         w_plus.alias("w_plus"),
