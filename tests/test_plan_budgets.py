@@ -592,3 +592,58 @@ def test_roc_auc_no_datasized_global_sort(spark, sf_dir):
             assert not any(c.startswith("v#") for c in cols), cols
     finally:
         spark.catalog.clearCache()
+
+
+def test_cooks_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    """cooks_distance_top's final k rows must come from a per-partition
+    top-k merge (TakeOrderedAndProject), never a materialized global
+    Sort of the scored fact relation."""
+    from breweries_etl_spark.operators.hypotests import cooks_distance_top
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = cooks_distance_top(
+        li, "l_quantity", "l_extendedprice", ["l_orderkey", "l_linenumber"]
+    )
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort (" not in plan, f"global sort materialized:\n{plan}"
+
+
+def test_cvm_and_wilcoxon_no_datasized_single_partition(spark, sf_dir):
+    """The CvM statistic and the Wilcoxon rank fold both ride the
+    bucketed prefix-count primitive: the raw value column must never
+    enter a SinglePartition exchange (only bounded bucket subtotals
+    and final aggregate buffers may)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from breweries_etl_spark.operators.hypotests import (
+        cvm_test_2samp,
+        wilcoxon_signed_rank,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    frames = [
+        cvm_test_2samp(
+            li, "l_extendedprice", F.col("l_returnflag") == "R", release=False
+        ),
+        wilcoxon_signed_rank(
+            li.select(
+                (F.col("l_extendedprice") - F.col("l_quantity")).alias("d")
+            ),
+            "d",
+            release=False,
+        ),
+    ]
+    try:
+        for df in frames:
+            plan = _plan(df)
+            for m in _re.finditer(
+                r"Input \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition",
+                plan,
+            ):
+                cols = [c.strip() for c in m.group(1).split(",")]
+                assert not any(c.startswith("v#") for c in cols), cols
+    finally:
+        spark.catalog.clearCache()

@@ -93,6 +93,17 @@ INTERESTING = [
     "partial_corr_price_qty", "ridge2_price_qty_discount",
     "brown_forsythe_price_flag", "referential_orphans",
     "hapax_vocab_stats",
+    # r06 waves 5-7: single-pass conditional aggregates (mcnemar,
+    # cochran, cohens_d, odds_ratio, jarque_bera) and the two-scan
+    # regression diagnostics (breusch_pagan, cooks top-k — expect NO
+    # global sort, a TakeOrderedAndProject at the top). The
+    # prefix-count statistics (roc_auc, cvm, AD, cliffs, wilcoxon,
+    # kendall, moods) checkpoint eagerly — shapes pinned by
+    # plan-budget tests instead.
+    "mcnemar_doc_filters", "cohens_d_price_returnflag",
+    "cochran_q_doc_filters", "odds_ratio_doc_flags",
+    "jarque_bera_price", "breusch_pagan_price_qty",
+    "cooks_distance_price_qty",
 ]
 
 
