@@ -8832,25 +8832,27 @@ FROM terms
 
 _ORACLES["anderson_darling_price_flag"] = f"""
 WITH {_PRICE_FLAG_PC},
-terms AS (
-  SELECT
-    CASE WHEN CAST(cum_a + cum_b AS DECIMAL(19,0))
-              * (CAST(n_a + n_b AS DECIMAL(19,0)) - CAST(cum_a + cum_b AS DECIMAL(19,0))) > 0 THEN
-      CAST(floor(
-        CAST(ca + cb AS DOUBLE)
-        * {_ddw("abs(CAST(n_a + n_b AS DECIMAL(19,0)) * CAST(cum_a AS DECIMAL(19,0)) - CAST(n_a AS DECIMAL(19,0)) * CAST(cum_a + cum_b AS DECIMAL(19,0)))")}
-        * {_ddw("abs(CAST(n_a + n_b AS DECIMAL(19,0)) * CAST(cum_a AS DECIMAL(19,0)) - CAST(n_a AS DECIMAL(19,0)) * CAST(cum_a + cum_b AS DECIMAL(19,0)))")}
-        / {_ddw("(CAST(cum_a + cum_b AS DECIMAL(19,0)) * (CAST(n_a + n_b AS DECIMAL(19,0)) - CAST(cum_a + cum_b AS DECIMAL(19,0))))")}
-        * 1e6) AS DECIMAL(38,0))
-    END AS a_fp,
+norm AS (
+  SELECT ca, cb,
+    CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS fa,
+    CAST(cum_a + cum_b AS DOUBLE)
+      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS h,
     n_a, n_b
   FROM cum CROSS JOIN tot
+), terms AS (
+  SELECT n_a, n_b,
+    CASE WHEN h * (1.0 - h) > 0 THEN
+      CAST(floor(CAST(ca + cb AS DOUBLE) * (fa - h) * (fa - h)
+                 / (h * (1.0 - h)) * 1e9) AS DECIMAL(38,0))
+    END AS a_fp
+  FROM norm
+), folded AS (
+  SELECT max(n_a) AS n_a, max(n_b) AS n_b, SUM(a_fp) AS a_fp FROM terms
 )
-SELECT CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
-  round(CAST(SUM(a_fp) AS DOUBLE) / 1e6
-        / (CAST(max(n_a) AS DOUBLE) * CAST(max(n_b) AS DOUBLE)), 6)
-    AS ad_stat
-FROM terms
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  round(CAST(n_a AS DOUBLE) / CAST(n_b AS DOUBLE)
+        * ({_ddw('a_fp')} / 1e9), 6) AS ad_stat
+FROM folded
 """
 
 _ORACLES["cliffs_delta_price_returnflag"] = f"""

@@ -1722,7 +1722,12 @@ def moods_median_test(
         F.col(value_col).cast("decimal(18,2)").alias("v"),
     )
     pc = value_prefix_counts(base, "v")
-    ntot = pc.agg(F.max("cum").alias("nn"))
+    # total count reads the persisted value-count relation, NOT max(cum)
+    # off pc — the latter re-runs the whole prefix pipeline a second
+    # time (r6 bench: 8.6 s -> the pipeline once)
+    ntot = pc._vc_cache.agg(  # type: ignore[attr-defined]
+        F.sum(F.col("ca") + F.col("cb")).alias("nn")
+    )
     med = (
         pc.crossJoin(F.broadcast(ntot))
         .filter(F.lit(2) * F.col("cum") >= F.col("nn"))
@@ -1846,42 +1851,39 @@ def anderson_darling_2samp(
     in the distribution tails, where contamination and truncation hide).
 
     Identical plan to CvM: grouped values + bucketed prefix counts, no
-    global sort. The top value (B = N) contributes zero and is excluded
-    before the division. Numerator/denominator are exact decimal
-    integers through dec_double; the ratio accumulates as floor(·10⁶)
-    fixed point. Output one row: (n_a, n_b, ad_stat)."""
+    global sort. The per-value term is computed in the NORMALIZED form
+    n_a/n_b · Σ c_z·(F_A−H)²/(H(1−H)) — algebraically identical to the
+    integer-quadratic form but all-double per row (counts ≤ 2⁵³ convert
+    exactly; the r6 bench showed per-row decimal wide-casts cost 4.5×
+    CvM on the same relation), accumulated as floor(·10⁹) fixed point.
+    The top value (H = 1) is excluded before the division. Output one
+    row: (n_a, n_b, ad_stat)."""
     pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
     tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
         F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
     )
-    d19 = "decimal(19,0)"
-    nn_i = (F.col("n_a") + F.col("n_b")).cast(d19)
-    b_pool = (F.col("cum_a") + F.col("cum_b")).cast(d19)
-    g = (
-        nn_i * F.col("cum_a").cast(d19)
-        - F.col("n_a").cast(d19) * b_pool
-    )
-    den = b_pool * (nn_i - b_pool)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    f_a = F.col("cum_a").cast("double") / na
+    h = (F.col("cum_a") + F.col("cum_b")).cast("double") / nn
+    d = f_a - h
+    hh = h * (F.lit(1.0) - h)
     c = (F.col("ca") + F.col("cb")).cast("double")
-    gd = dec_double_wide(F.abs(g))
     term = F.when(
-        den > 0,
-        F.floor(c * gd * gd / dec_double_wide(den) * F.lit(1e6)).cast(
-            "decimal(38,0)"
-        ),
+        hh > 0,
+        F.floor(c * d * d / hh * F.lit(1e9)).cast("decimal(38,0)"),
     )
     sums = pc.crossJoin(F.broadcast(tot)).agg(
         F.max("n_a").alias("n_a"),
         F.max("n_b").alias("n_b"),
         F.sum(term).alias("a_fp"),
     )
-    na = F.col("n_a").cast("double")
-    nb = F.col("n_b").cast("double")
     result = sums.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         F.round(
-            F.col("a_fp").cast("double") / F.lit(1e6) / (na * nb), 6
+            na / nb * (dec_double_wide(F.col("a_fp")) / F.lit(1e9)), 6
         ).alias("ad_stat"),
     )
     return _released(result, pc, release)
