@@ -7005,16 +7005,16 @@ r AS (
   FROM r
 )
 SELECT CAST(n AS BIGINT) AS n,
-  CASE WHEN sqrt(CAST(n AS DOUBLE) * (CAST(CAST(floor(suu) AS BIGINT) AS DOUBLE) + CAST(suu - floor(suu) AS DOUBLE))
-                 - (CAST(CAST(floor(su) AS BIGINT) AS DOUBLE) + CAST(su - floor(su) AS DOUBLE)) * (CAST(CAST(floor(su) AS BIGINT) AS DOUBLE) + CAST(su - floor(su) AS DOUBLE))) > 0
-        AND sqrt(CAST(n AS DOUBLE) * (CAST(CAST(floor(sww) AS BIGINT) AS DOUBLE) + CAST(sww - floor(sww) AS DOUBLE))
-                 - (CAST(CAST(floor(sw) AS BIGINT) AS DOUBLE) + CAST(sw - floor(sw) AS DOUBLE)) * (CAST(CAST(floor(sw) AS BIGINT) AS DOUBLE) + CAST(sw - floor(sw) AS DOUBLE))) > 0 THEN
-    round((CAST(n AS DOUBLE) * (CAST(CAST(floor(suw) AS BIGINT) AS DOUBLE) + CAST(suw - floor(suw) AS DOUBLE))
-           - (CAST(CAST(floor(su) AS BIGINT) AS DOUBLE) + CAST(su - floor(su) AS DOUBLE)) * (CAST(CAST(floor(sw) AS BIGINT) AS DOUBLE) + CAST(sw - floor(sw) AS DOUBLE)))
-          / (sqrt(CAST(n AS DOUBLE) * (CAST(CAST(floor(suu) AS BIGINT) AS DOUBLE) + CAST(suu - floor(suu) AS DOUBLE))
-                  - (CAST(CAST(floor(su) AS BIGINT) AS DOUBLE) + CAST(su - floor(su) AS DOUBLE)) * (CAST(CAST(floor(su) AS BIGINT) AS DOUBLE) + CAST(su - floor(su) AS DOUBLE)))
-             * sqrt(CAST(n AS DOUBLE) * (CAST(CAST(floor(sww) AS BIGINT) AS DOUBLE) + CAST(sww - floor(sww) AS DOUBLE))
-                    - (CAST(CAST(floor(sw) AS BIGINT) AS DOUBLE) + CAST(sw - floor(sw) AS DOUBLE)) * (CAST(CAST(floor(sw) AS BIGINT) AS DOUBLE) + CAST(sw - floor(sw) AS DOUBLE)))), 6)
+  CASE WHEN sqrt(CAST(n AS DOUBLE) * (CAST(CAST((suu) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((suu) AS HUGEINT) % 1000000000 AS DOUBLE))
+                 - (CAST(CAST((su) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((su) AS HUGEINT) % 1000000000 AS DOUBLE)) * (CAST(CAST((su) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((su) AS HUGEINT) % 1000000000 AS DOUBLE))) > 0
+        AND sqrt(CAST(n AS DOUBLE) * (CAST(CAST((sww) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((sww) AS HUGEINT) % 1000000000 AS DOUBLE))
+                 - (CAST(CAST((sw) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((sw) AS HUGEINT) % 1000000000 AS DOUBLE)) * (CAST(CAST((sw) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((sw) AS HUGEINT) % 1000000000 AS DOUBLE))) > 0 THEN
+    round((CAST(n AS DOUBLE) * (CAST(CAST((suw) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((suw) AS HUGEINT) % 1000000000 AS DOUBLE))
+           - (CAST(CAST((su) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((su) AS HUGEINT) % 1000000000 AS DOUBLE)) * (CAST(CAST((sw) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((sw) AS HUGEINT) % 1000000000 AS DOUBLE)))
+          / (sqrt(CAST(n AS DOUBLE) * (CAST(CAST((suu) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((suu) AS HUGEINT) % 1000000000 AS DOUBLE))
+                  - (CAST(CAST((su) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((su) AS HUGEINT) % 1000000000 AS DOUBLE)) * (CAST(CAST((su) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((su) AS HUGEINT) % 1000000000 AS DOUBLE)))
+             * sqrt(CAST(n AS DOUBLE) * (CAST(CAST((sww) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((sww) AS HUGEINT) % 1000000000 AS DOUBLE))
+                    - (CAST(CAST((sw) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((sw) AS HUGEINT) % 1000000000 AS DOUBLE)) * (CAST(CAST((sw) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((sw) AS HUGEINT) % 1000000000 AS DOUBLE)))), 6)
   END AS rho
 FROM s
 """
@@ -7036,7 +7036,7 @@ pg AS (
   FROM gv JOIN uu USING (v) GROUP BY g
 ), ag AS (
   SELECT SUM(n_g) AS n, count(*) AS k,
-    SUM(CAST(floor(((CAST(CAST(floor(r2) AS BIGINT) AS DOUBLE) + CAST(r2 - floor(r2) AS DOUBLE)) / 2.0) * ((CAST(CAST(floor(r2) AS BIGINT) AS DOUBLE) + CAST(r2 - floor(r2) AS DOUBLE)) / 2.0)
+    SUM(CAST(floor(((CAST(CAST((r2) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((r2) AS HUGEINT) % 1000000000 AS DOUBLE)) / 2.0) * ((CAST(CAST((r2) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((r2) AS HUGEINT) % 1000000000 AS DOUBLE)) / 2.0)
                    / CAST(n_g AS DOUBLE) * 100.0) AS DECIMAL(38,0))) AS t_sum
   FROM pg
 ), tie AS (
@@ -7046,15 +7046,15 @@ pg AS (
 )
 SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
   round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-        * ((CAST(CAST(floor(t_sum) AS BIGINT) AS DOUBLE) + CAST(t_sum - floor(t_sum) AS DOUBLE)) / 100.0)
+        * ((CAST(CAST((t_sum) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((t_sum) AS HUGEINT) % 1000000000 AS DOUBLE)) / 100.0)
         - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
-  CASE WHEN 1.0 - (CAST(CAST(floor(tie_sum) AS BIGINT) AS DOUBLE) + CAST(tie_sum - floor(tie_sum) AS DOUBLE))
+  CASE WHEN 1.0 - (CAST(CAST((tie_sum) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((tie_sum) AS HUGEINT) % 1000000000 AS DOUBLE))
             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                - CAST(n AS DOUBLE)) > 0 THEN
     round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-           * ((CAST(CAST(floor(t_sum) AS BIGINT) AS DOUBLE) + CAST(t_sum - floor(t_sum) AS DOUBLE)) / 100.0)
+           * ((CAST(CAST((t_sum) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((t_sum) AS HUGEINT) % 1000000000 AS DOUBLE)) / 100.0)
            - 3.0 * (CAST(n AS DOUBLE) + 1.0))
-          / (1.0 - (CAST(CAST(floor(tie_sum) AS BIGINT) AS DOUBLE) + CAST(tie_sum - floor(tie_sum) AS DOUBLE))
+          / (1.0 - (CAST(CAST((tie_sum) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9 + CAST(CAST((tie_sum) AS HUGEINT) % 1000000000 AS DOUBLE))
              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                 - CAST(n AS DOUBLE))), 6)
   END AS h_tie_corrected

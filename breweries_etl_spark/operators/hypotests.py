@@ -658,11 +658,11 @@ def spearman_rho(
         F.sum((F.col("u").cast(d38) * F.col("w")).cast(d38)).alias("suw"),
     )
     n = F.col("n").cast("double")
-    su = dec_double(F.col("su"))
-    sw = dec_double(F.col("sw"))
-    num = n * dec_double(F.col("suw")) - su * sw
-    dx = F.sqrt(n * dec_double(F.col("suu")) - su * su)
-    dy = F.sqrt(n * dec_double(F.col("sww")) - sw * sw)
+    su = dec_double_wide(F.col("su"))
+    sw = dec_double_wide(F.col("sw"))
+    num = n * dec_double_wide(F.col("suw")) - su * sw
+    dx = F.sqrt(n * dec_double_wide(F.col("suu")) - su * su)
+    dy = F.sqrt(n * dec_double_wide(F.col("sww")) - sw * sw)
     result = sums.select(
         F.col("n").cast("long").alias("n"),
         F.when((dx > 0) & (dy > 0), F.round(num / (dx * dy), 6)).alias(
@@ -732,8 +732,8 @@ def kruskal_wallis(
     # R_g = r2/2; term = R_g² / n_g as floor(term·100) — pure IEEE ops
     # on identically-derived doubles, so no rounding-tie divergence
     term = F.floor(
-        (dec_double(F.col("r2")) / 2.0)
-        * (dec_double(F.col("r2")) / 2.0)
+        (dec_double_wide(F.col("r2")) / 2.0)
+        * (dec_double_wide(F.col("r2")) / 2.0)
         / F.col("n_g").cast("double")
         * 100.0
     ).cast(d38)
@@ -754,10 +754,10 @@ def kruskal_wallis(
     h = (
         F.lit(12.0)
         / (n * (n + F.lit(1.0)))
-        * (dec_double(F.col("t_sum")) / F.lit(100.0))
+        * (dec_double_wide(F.col("t_sum")) / F.lit(100.0))
         - F.lit(3.0) * (n + F.lit(1.0))
     )
-    corr = F.lit(1.0) - dec_double(F.col("tie_sum")) / (n * n * n - n)
+    corr = F.lit(1.0) - dec_double_wide(F.col("tie_sum")) / (n * n * n - n)
     result = agg_g.crossJoin(F.broadcast(ties)).select(
         F.col("n").cast("long").alias("n"),
         F.col("k").cast("long").alias("k_groups"),
