@@ -881,3 +881,17 @@ def test_dec_double_wide_matches_exact(spark):
     for row in out:
         exact = float(int(row["s"]))
         assert row["x"] == pytest.approx(exact, rel=1e-15), row["s"]
+
+
+def test_dec_double_wide_scaled_decimal(spark):
+    from breweries_etl_spark.operators.hypotests import dec_double_wide
+
+    # fraction-carrying decimals: the modulo split keeps the fraction in
+    # the low half, so recombination equals the correctly-rounded float
+    vals = ["0.0001", "1234.5678", "999999999.99", "12345678901234567.89"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        "s", F.col("s").cast("decimal(38,4)").alias("d")
+    )
+    out = df.select("s", dec_double_wide(F.col("d")).alias("x")).collect()
+    for row in out:
+        assert row["x"] == pytest.approx(float(row["s"]), rel=1e-15), row["s"]
