@@ -271,9 +271,15 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 1) -> DataFr
     """Top-k TF-IDF terms per document.
 
     tf = in-document term count; idf = ln((N+1)/(df+1)) + 1 (smoothed).
-    Three aggregates over one exploded token relation — the document
-    frequency join broadcasts (vocab ≪ corpus). Scores rounded to 6dp;
-    ties break lexicographically, so results are reproducible.
+    Three aggregates over one exploded token relation. The document
+    frequency join is a plain shuffle hash join, NOT a broadcast: the
+    vocabulary grows with the corpus (hundreds of millions of distinct
+    terms at web scale), so a broadcast build side would OOM the driver.
+    Since ``doc_freq`` is an aggregation of ``tf`` grouped by ``term``,
+    both sides already share hash-partitioning on ``term`` and the join
+    adds at most one cheap exchange of the tf side. Only the 1-row
+    ``n_docs`` scalar broadcasts. Scores rounded to 6dp; ties break
+    lexicographically, so results are reproducible.
     """
     from pyspark.sql import Window as W
 
@@ -287,7 +293,8 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 1) -> DataFr
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(F.broadcast(doc_freq), "term")
+        tf.hint("shuffle_hash")
+        .join(doc_freq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
