@@ -2175,7 +2175,15 @@ def cooks_distance_top(
     as floor(e²·10⁴) fixed point, then per-row D and a per-partition
     top-k merge (TakeOrdered — no global sort materializes). The final
     order is (D desc, id…) so ties are engine-independent. Output k
-    rows: (*id_cols, cooks_d)."""
+    rows: (*id_cols, cooks_d).
+
+    Tie rule (deliberate): ranking happens on the 6-dp-ROUNDED
+    statistic, not the unrounded double — rounding first makes the key
+    engine-independent (Spark and DuckDB agree on every rank), at the
+    cost that observations whose true D differs only past the 6th
+    decimal tie and fall back to the id ordering; the k-th selected row
+    can therefore differ from an unrounded replay. At 100 TB a stable,
+    reproducible top-k beats a ulp-sensitive one."""
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(
