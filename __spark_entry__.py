@@ -8629,7 +8629,8 @@ f AS (
   FROM tot CROSS JOIN pairs CROSS JOIN tiex CROSS JOIN tiey
 )
 SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
-  CAST(nc AS BIGINT) AS n_concordant, CAST(nd AS BIGINT) AS n_discordant,
+  CAST(nc AS DECIMAL(38,0)) AS n_concordant,
+  CAST(nd AS DECIMAL(38,0)) AS n_discordant,
   CASE WHEN {_KTB_DEN} > 0 THEN
     round(({_ddw('nc')} - {_ddw('nd')}) / {_KTB_DEN}, 6)
   END AS tau_b
