@@ -308,8 +308,12 @@ def test_frequent_item_pairs_single_fact_scan(spark, sf_dir):
         assert plan.count("lineitem.parquet") <= 1
         assert "InMemoryTableScan" in plan
         # formatted output re-renders the cached subtree per reference,
-        # so count UNIQUE shuffle plan_ids, not node occurrences; all 8
+        # so count UNIQUE shuffle plan_ids, not node occurrences; all 9
         # post-cache shuffles carry the collapsed basket-sized relation
+        # (was 8 before r7: the item-support joins dropped their
+        # corpus-growing broadcast hints for shuffle hash joins — one
+        # extra bounded exchange bought driver-OOM safety at scale,
+        # see test_frequent_pairs_no_item_support_broadcast)
         ids = set(
             re.findall(
                 r"Arguments: (?:hashpartitioning|rangepartitioning|"
@@ -317,7 +321,7 @@ def test_frequent_item_pairs_single_fact_scan(spark, sf_dir):
                 plan,
             )
         )
-        assert len(ids) <= 8
+        assert len(ids) <= 9
     finally:
         spark.catalog.clearCache()
 
