@@ -8339,10 +8339,12 @@ based AS (
 ), lagged AS (
   SELECT e, lag(e, 1) OVER (ORDER BY day) AS ep FROM resid
 ), sums AS (
+  -- fixed-point at 1e6 (sub-unit daily residuals floored to 0 at unit
+  -- granularity); wide conversion below since the scaled sums pass 2^63
   SELECT count(*) AS n_days,
-    SUM(CAST(floor(e * e) AS DECIMAL(38,0))) AS den_fp,
+    SUM(CAST(floor(e * e * 1e6) AS DECIMAL(38,0))) AS den_fp,
     SUM(CASE WHEN ep IS NOT NULL THEN
-      CAST(floor((e - ep) * (e - ep)) AS DECIMAL(38,0)) END) AS num_fp
+      CAST(floor((e - ep) * (e - ep) * 1e6) AS DECIMAL(38,0)) END) AS num_fp
   FROM lagged
 )
 SELECT CAST(n_days AS BIGINT) AS n_days,
@@ -8350,7 +8352,7 @@ SELECT CAST(n_days AS BIGINT) AS n_days,
   CASE WHEN {_DW_DEN} > 0 THEN floor({_DW_ICEPT} * 10000.0) / 10000.0 END
     AS intercept,
   CASE WHEN den_fp > 0 AND n_days > 2 THEN
-    round({_dd('num_fp')} / {_dd('den_fp')}, 6)
+    round({_ddw('num_fp')} / {_ddw('den_fp')}, 6)
   END AS dw_stat
 FROM sums CROSS JOIN mom
 """

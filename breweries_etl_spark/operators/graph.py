@@ -652,7 +652,6 @@ def kcore_summary(
     n_nodes0 = und.select("src").distinct().count()
     n_edges0 = und.count() // 2
     cur = und
-    live = [und]
     n_peel = 0
     prev_nodes = n_nodes0
     for _ in range(max_rounds):
@@ -668,7 +667,13 @@ def kcore_summary(
             .persist()
         )
         n_nodes = nxt.select("src").distinct().count()
-        live.append(nxt)
+        # round i-1's relation is fully consumed once round i's count
+        # materializes nxt: release it NOW so peak executor storage is
+        # two consecutive rounds (plus und), not the sum of every
+        # round's shrinking edge relation (ADVICE r6 #3). und itself
+        # stays pinned for the n_edges0/initial stats contract.
+        if cur is not und:
+            cur.unpersist()
         cur = nxt
         if n_nodes == prev_nodes:
             break
@@ -681,8 +686,9 @@ def kcore_summary(
         "k long, n_nodes_initial long, n_edges_initial long, "
         "n_peel_rounds long, n_nodes_core long, n_edges_core long",
     )
-    for c in live:
-        c.unpersist()
+    if cur is not und:
+        cur.unpersist()
+    und.unpersist()
     return out
 
 

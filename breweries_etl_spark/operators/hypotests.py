@@ -1451,9 +1451,13 @@ def mcnemar_test(
     flags, statistic = (b−c)²/(b+c) (χ², 1 df; NULL when b+c = 0).
     ONE conditional aggregation pass; all counts exact integers.
     Output: (n, n_both, n_a_only, n_b_only, n_neither, mcnemar_chi2).
-    """
-    a = flag_a.cast("boolean")
-    b = flag_b.cast("boolean")
+
+    Convention (ADVICE r6 #2): a NULL flag counts as FALSE — flags are
+    coalesced once, so the four cells PARTITION n exactly (the bare
+    cast made all four predicates NULL and those rows silently vanished
+    from the cells while still counting in n)."""
+    a = F.coalesce(flag_a.cast("boolean"), F.lit(False))
+    b = F.coalesce(flag_b.cast("boolean"), F.lit(False))
     sums = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((a & b).cast("int")).alias("n_both"),
@@ -1716,10 +1720,14 @@ def cochran_q(
     Q = k(k−1)·Σⱼ(Cⱼ − T/k)² / (k·T − ΣᵢRᵢ²) where Cⱼ are per-flag
     totals, Rᵢ the per-item flag count, T = ΣRᵢ. ONE aggregation pass:
     each column total plus ΣRᵢ² (Rᵢ ∈ {0..3} so Rᵢ² is a tiny exact
-    integer). Output: (n, c_a, c_b, c_c, cochran_q)."""
-    fa = flag_a.cast("int")
-    fb = flag_b.cast("int")
-    fc = flag_c.cast("int")
+    integer). Output: (n, c_a, c_b, c_c, cochran_q).
+
+    Convention (ADVICE r6 #2, as in ``mcnemar_test``): a NULL flag
+    counts as FALSE, so every row contributes to the per-item count Rᵢ
+    and the cells partition n exactly."""
+    fa = F.coalesce(flag_a.cast("boolean"), F.lit(False)).cast("int")
+    fb = F.coalesce(flag_b.cast("boolean"), F.lit(False)).cast("int")
+    fc = F.coalesce(flag_c.cast("boolean"), F.lit(False)).cast("int")
     r = fa + fb + fc
     sums = df.agg(
         F.count(F.lit(1)).alias("n"),

@@ -1119,7 +1119,7 @@ def durbin_watson_daily(
     identically on every engine; the lag walks a window over the
     ≤ #days-row relation only). Output one row:
     (n_days, slope, intercept, dw_stat)."""
-    from .hypotests import dec_double
+    from .hypotests import dec_double, dec_double_wide
 
     daily = _daily_series(df, ts_col, value_col).persist()
     daily.count()
@@ -1153,21 +1153,31 @@ def durbin_watson_daily(
     lagged = resid.select(
         "e", F.lag("e", 1).over(w).alias("ep")
     )
+    # fixed-point at 1e6 (ADVICE r6 #4): unit-granularity floor(e*e)
+    # zeroed sub-unit daily residuals (den_fp=0 -> NULL dw on valid
+    # data); the finer scale matches the cvm/moods/cramers_v family.
+    # 10^27 envelope / 1e6 scale still holds e^2 sums to ~10^21.
     sums = lagged.agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.sum(F.floor(F.col("e") * F.col("e")).cast("decimal(38,0)")).alias(
-            "den_fp"
-        ),
+        F.sum(
+            F.floor(F.col("e") * F.col("e") * F.lit(1e6)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("den_fp"),
         F.sum(
             F.when(
                 F.col("ep").isNotNull(),
                 F.floor(
-                    (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+                    (F.col("e") - F.col("ep"))
+                    * (F.col("e") - F.col("ep"))
+                    * F.lit(1e6)
                 ).cast("decimal(38,0)"),
             )
         ).alias("num_fp"),
     )
-    dw = dec_double(F.col("num_fp")) / dec_double(F.col("den_fp"))
+    # wide conversion: the 1e6-scaled squared-residual sums cross 2^63
+    # long before the day count does (e^2 ~ 1e12 * 1e6 * #days)
+    dw = dec_double_wide(F.col("num_fp")) / dec_double_wide(F.col("den_fp"))
     result = sums.crossJoin(F.broadcast(mom)).select(
         F.col("n_days").cast("long").alias("n_days"),
         F.when(den > 0, F.round(slope, 6)).alias("slope"),

@@ -120,6 +120,65 @@ def test_cohens_d_null_group_rows_partition_exactly(spark):
     assert r["mean_b"] == pytest.approx(4.0)  # (2 + 6) / 2
 
 
+def test_mcnemar_null_flags_partition_n(spark):
+    """NULL flags count as FALSE so the four cells sum to n exactly
+    (ADVICE r6 #2: bare casts made the predicates NULL and the rows
+    silently vanished from the cells while still counting in n)."""
+    from breweries_etl_spark.operators.hypotests import mcnemar_test
+
+    df = spark.createDataFrame(
+        [
+            (True, True),
+            (True, None),
+            (None, True),
+            (None, None),
+            (False, True),
+        ],
+        "fa boolean, fb boolean",
+    )
+    r = mcnemar_test(df, F.col("fa"), F.col("fb")).collect()[0]
+    assert r["n"] == 5
+    assert (
+        r["n_both"] + r["n_a_only"] + r["n_b_only"] + r["n_neither"]
+        == r["n"]
+    )
+    assert r["n_both"] == 1 and r["n_a_only"] == 1
+    assert r["n_b_only"] == 2 and r["n_neither"] == 1
+
+
+def test_cochran_q_null_flags_partition_n(spark):
+    from breweries_etl_spark.operators.hypotests import cochran_q
+
+    df = spark.createDataFrame(
+        [(True, None, True), (None, None, None), (True, True, False)],
+        "fa boolean, fb boolean, fc boolean",
+    )
+    r = cochran_q(df, F.col("fa"), F.col("fb"), F.col("fc")).collect()[0]
+    assert r["n"] == 3
+    assert r["c_a"] == 2 and r["c_b"] == 1 and r["c_c"] == 1
+
+
+def test_durbin_watson_subunit_residuals_not_null(spark):
+    """Sub-unit daily residuals used to floor to 0 at unit granularity
+    (den_fp=0 -> NULL dw on valid data); the 1e6 fixed-point scale
+    keeps them (ADVICE r6 #4). Alternating small residuals around a
+    flat trend should give dw near 4, never NULL."""
+    import datetime
+
+    from breweries_etl_spark.operators.temporal import durbin_watson_daily
+
+    rows = []
+    for i in range(30):
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i)
+        # flat trend + alternating +/-0.3 residual: e*e = 0.09 < 1
+        rows.append((ts, 10.0 + (0.3 if i % 2 == 0 else -0.3)))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    r = durbin_watson_daily(df).collect()[0]
+    assert r["n_days"] == 30
+    assert r["dw_stat"] is not None
+    assert 3.0 < r["dw_stat"] <= 4.01
+
+
 def _half_up_cents_sql(col: str) -> str:
     return (
         f"CAST(CASE WHEN {col} < 0 THEN -1.0 ELSE 1.0 END"
