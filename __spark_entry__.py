@@ -9206,6 +9206,835 @@ FROM folded
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-7 wave: variance/rank/paired tests completion (Bartlett, Friedman,
+# Ansari-Bradley), classifier threshold sweep + Brier decomposition,
+# distributed Poisson bootstrap, daily-series decomposition/changepoint/
+# forecastability, partition modularity + harmonic centrality, embedding
+# isotropy histogram, cross-source fingerprints, PII triage, token budgeting.
+
+
+def q_bartlett_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett equal-variance test of price across return flags — the
+    likelihood-ratio member of the levene/brown_forsythe trio
+    (operators/hypotests.py:bartlett_test)."""
+    from breweries_etl_spark.operators.hypotests import bartlett_test
+
+    return bartlett_test(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+def q_friedman_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman paired-rank test of the three order-status counts per
+    customer block (operators/hypotests.py:friedman_3)."""
+    from breweries_etl_spark.operators.hypotests import friedman_3
+
+    o = load_table(spark, sf_dir, "orders")
+    blocks = o.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("xa"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("xb"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("xc"),
+    )
+    return friedman_3(blocks, "o_custkey", F.col("xa"), F.col("xb"), F.col("xc"))
+
+
+def q_ansari_bradley_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley dispersion test of price, returned vs other —
+    both-ends rank scores off the prefix-count primitive
+    (operators/hypotests.py:ansari_bradley)."""
+    from breweries_etl_spark.operators.hypotests import ansari_bradley
+
+    return ansari_bradley(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        F.col("l_returnflag") == "R",
+    )
+
+
+def q_pr_curve_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at price-decile thresholds for finished
+    status — the threshold-sweep companion to roc_auc_order_status
+    (operators/hypotests.py:pr_curve_points)."""
+    from breweries_etl_spark.operators.hypotests import pr_curve_points
+
+    return pr_curve_points(
+        load_table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        F.col("o_orderstatus") == "F",
+    )
+
+
+def q_brier_decomposition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the hashed-linear classifier's Brier
+    score vs the heuristic quality label — same two independent signals
+    as score_calibration_bins (operators/hypotests.py:
+    brier_decomposition)."""
+    from breweries_etl_spark.operators.filtering import classifier_score_expr
+    from breweries_etl_spark.operators.hypotests import brier_decomposition
+    from breweries_etl_spark.operators.text import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return brier_decomposition(
+        docs,
+        classifier_score_expr(F.col("text")),
+        quality_score_expr(F.col("text")) >= F.lit(0.5),
+    )
+
+
+def q_seasonal_weekday_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend + weekday-effect decomposition with seasonal strength of
+    the daily event-value series
+    (operators/temporal.py:seasonal_decompose_weekday)."""
+    from breweries_etl_spark.operators.temporal import seasonal_decompose_weekday
+
+    return seasonal_decompose_weekday(load_events(spark, sf_dir))
+
+
+def q_lagged_xcorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 cross-correlation between daily event count and next-day
+    total value (operators/temporal.py:lagged_xcorr_daily)."""
+    from breweries_etl_spark.operators.temporal import lagged_xcorr_daily
+
+    return lagged_xcorr_daily(load_events(spark, sf_dir))
+
+
+def q_changepoint_binseg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single change point (binary segmentation SSE split) of the
+    daily event-value series
+    (operators/temporal.py:changepoint_binseg_daily)."""
+    from breweries_etl_spark.operators.temporal import changepoint_binseg_daily
+
+    return changepoint_binseg_daily(load_events(spark, sf_dir))
+
+
+def q_theil_u_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U1 naive-forecastability of the daily event-value series
+    (operators/temporal.py:theil_u_daily)."""
+    from breweries_etl_spark.operators.temporal import theil_u_daily
+
+    return theil_u_daily(load_events(spark, sf_dir))
+
+
+def q_graph_modularity_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the NATION partition over the
+    customer-supplier purchase graph — is purchasing nation-assortative
+    (operators/graph.py:partition_modularity)."""
+    from breweries_etl_spark.operators.graph import partition_modularity
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    comm = c.select(
+        (F.col("c_custkey") * 2).alias("node"),
+        F.col("c_nationkey").cast("string").alias("comm"),
+    ).unionAll(
+        s.select(
+            (F.col("s_suppkey") * 2 + 1).alias("node"),
+            F.col("s_nationkey").cast("string").alias("comm"),
+        )
+    )
+    return partition_modularity(edges, comm)
+
+
+def q_graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality of the minimum customer node over the
+    purchase graph — 1/distance fold over the same frontier BFS as
+    graph_bfs_levels (operators/graph.py:harmonic_centrality_from)."""
+    from breweries_etl_spark.operators.graph import harmonic_centrality_from
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    sources = edges.agg(F.min("src").alias("node"))
+    return harmonic_centrality_from(edges, sources, max_hops=6)
+
+
+def q_embedding_pair_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine histogram over consecutive-id embedding pairs — the O(n)
+    isotropy/collapse diagnostic
+    (operators/similarity.py:pair_cosine_histogram)."""
+    from breweries_etl_spark.operators.similarity import pair_cosine_histogram
+
+    return pair_cosine_histogram(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_source_ngram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise char-trigram cosine between source profiles — the
+    near-duplicate-source screen
+    (operators/text.py:source_char_ngram_cosine)."""
+    from breweries_etl_spark.operators.text import source_char_ngram_cosine
+
+    return source_char_ngram_cosine(load_table(spark, sf_dir, "documents"))
+
+
+def q_pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone pattern density per ingest source — the redaction
+    triage table (operators/text.py:pii_density_by_source)."""
+    from breweries_etl_spark.operators.text import pii_density_by_source
+
+    return pii_density_by_source(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_budget_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sqrt-proportional token-budget allocation across sources with an
+    epoch cap (operators/corpus.py:token_budget_mix)."""
+    from breweries_etl_spark.operators.corpus import token_budget_mix
+
+    return token_budget_mix(load_table(spark, sf_dir, "documents"), 1_000_000)
+
+
+def q_bootstrap_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap percentile CI for the mean order price — the
+    Chamandy-style one-pass distributed bootstrap, hash-deterministic
+    (operators/sampling.py:bootstrap_mean_ci)."""
+    from breweries_etl_spark.operators.sampling import bootstrap_mean_ci
+
+    return bootstrap_mean_ci(
+        load_table(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice"
+    )
+
+
+_BTL_VARG = (
+    f"(({_ddwf('q_g')} - {_ddwf('s_g')} * {_ddwf('s_g')}"
+    f" / CAST(n_g AS DOUBLE)) / (CAST(n_g AS DOUBLE) - 1.0))"
+)
+
+_ORACLES["bartlett_price_flag"] = f"""
+WITH per_g AS (
+  SELECT l_returnflag AS g, count(*) AS n_g,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_g,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS q_g
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1
+), s AS (
+  SELECT SUM(n_g) AS n, count(*) AS k,
+    SUM(CASE WHEN n_g < 2 OR NOT ({_BTL_VARG} > 0) THEN 1 ELSE 0 END) AS n_bad,
+    SUM(CASE WHEN n_g >= 2 AND {_BTL_VARG} > 0 THEN
+      CAST(floor({_BTL_VARG} * (CAST(n_g AS DOUBLE) - 1.0) * 100.0)
+           AS DECIMAL(38,0)) END) AS ss,
+    SUM(CASE WHEN n_g >= 2 AND {_BTL_VARG} > 0 THEN
+      CAST(CAST(floor(ln({_BTL_VARG}) * 1e12) AS DECIMAL(38,0))
+           * CAST(n_g - 1 AS DECIMAL(19,0)) AS DECIMAL(38,0)) END) AS lnsum,
+    SUM(CASE WHEN n_g >= 2 AND {_BTL_VARG} > 0 THEN
+      CAST(floor(1e12 / (CAST(n_g AS DOUBLE) - 1.0)) AS DECIMAL(38,0))
+      END) AS invsum
+  FROM per_g
+), d AS (
+  SELECT n, k, n_bad,
+    (({_ddw('ss')} / 100.0) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS sp2,
+    {_ddw('lnsum')} / 1e12 AS lns,
+    {_ddw('invsum')} / 1e12 AS invs
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+  CASE WHEN n_bad = 0 AND k > 1 AND sp2 > 0 THEN round(sp2, 6) END
+    AS pooled_var,
+  CASE WHEN n_bad = 0 AND k > 1 AND sp2 > 0 THEN
+    round(((CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) * ln(sp2) - lns)
+          / (1.0 + (invs - 1.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                   / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6)
+  END AS bartlett_stat
+FROM d
+"""
+
+_ORACLES["friedman_order_status"] = f"""
+WITH blocks AS (
+  SELECT o_custkey,
+    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS xa,
+    SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS xb,
+    SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS xc
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT
+    2 + 2 * (CASE WHEN xb < xa THEN 1 ELSE 0 END
+             + CASE WHEN xc < xa THEN 1 ELSE 0 END)
+      + (CASE WHEN xb = xa THEN 1 ELSE 0 END
+         + CASE WHEN xc = xa THEN 1 ELSE 0 END) AS ra,
+    2 + 2 * (CASE WHEN xa < xb THEN 1 ELSE 0 END
+             + CASE WHEN xc < xb THEN 1 ELSE 0 END)
+      + (CASE WHEN xa = xb THEN 1 ELSE 0 END
+         + CASE WHEN xc = xb THEN 1 ELSE 0 END) AS rb,
+    2 + 2 * (CASE WHEN xa < xc THEN 1 ELSE 0 END
+             + CASE WHEN xb < xc THEN 1 ELSE 0 END)
+      + (CASE WHEN xa = xc THEN 1 ELSE 0 END
+         + CASE WHEN xb = xc THEN 1 ELSE 0 END) AS rc
+  FROM blocks
+), s AS (
+  SELECT count(*) AS n,
+    SUM(CAST(ra AS DECIMAL(19,0))) AS sa,
+    SUM(CAST(rb AS DECIMAL(19,0))) AS sb,
+    SUM(CAST(rc AS DECIMAL(19,0))) AS sc
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+  CAST(sa AS BIGINT) AS rank2_sum_a,
+  CAST(sb AS BIGINT) AS rank2_sum_b,
+  CAST(sc AS BIGINT) AS rank2_sum_c,
+  CASE WHEN n > 0 THEN
+    round({_ddw("CAST(CAST(sa AS DECIMAL(19,0)) * CAST(sa AS DECIMAL(19,0)) AS DECIMAL(38,0)) + CAST(CAST(sb AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0)) AS DECIMAL(38,0)) + CAST(CAST(sc AS DECIMAL(19,0)) * CAST(sc AS DECIMAL(19,0)) AS DECIMAL(38,0))")}
+          / (4.0 * CAST(n AS DOUBLE)) - 12.0 * CAST(n AS DOUBLE), 6)
+  END AS friedman_chi2
+FROM s
+"""
+
+_AB_S2V = (
+    "(CAST((lo + b1) * len1 AS DECIMAL(38,0))"
+    " + CAST(2 * np1 * len2 AS DECIMAL(38,0))"
+    " - CAST((a2 + hi) * len2 AS DECIMAL(38,0)))"
+)
+
+_ORACLES["ansari_bradley_price_flag"] = f"""
+WITH vc AS MATERIALIZED (
+  SELECT l_extendedprice AS v,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS cb
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+    SUM(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vc
+), tot AS (
+  SELECT SUM(ca) AS n_a, SUM(cb) AS n_b, SUM(ca + cb) AS nn FROM vc
+), geom AS (
+  SELECT ca, cb, n_a, n_b, nn,
+    CAST(ca + cb AS DECIMAL(19,0)) AS c,
+    CAST(cum AS DECIMAL(19,0)) - CAST(ca + cb AS DECIMAL(19,0)) + 1 AS lo,
+    CAST(cum AS DECIMAL(19,0)) AS hi,
+    CAST((nn + 1) // 2 AS DECIMAL(19,0)) AS t,
+    CAST(nn + 1 AS DECIMAL(19,0)) AS np1
+  FROM cum CROSS JOIN tot
+), series AS (
+  SELECT ca, n_a, n_b, nn, c, lo, hi, np1,
+    least(hi, t) AS b1,
+    greatest(least(hi, t) - lo + 1, CAST(0 AS DECIMAL(19,0))) AS len1,
+    greatest(lo, t + 1) AS a2,
+    greatest(hi - greatest(lo, t + 1) + 1, CAST(0 AS DECIMAL(19,0))) AS len2
+  FROM geom
+), folded AS (
+  SELECT max(n_a) AS n_a, max(n_b) AS n_b, max(nn) AS nn,
+    SUM(CAST(floor(1e6 * CAST(ca AS DOUBLE)
+                   * (({_ddw(_AB_S2V)} / 2.0) / CAST(c AS DOUBLE)))
+             AS DECIMAL(38,0))) AS w_fp
+  FROM series
+), d AS (
+  SELECT n_a, n_b, nn,
+    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+    CAST(nn AS DOUBLE) AS n,
+    {_ddw('w_fp')} / 1e6 AS w
+  FROM folded
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  round(w, 6) AS ab_stat,
+  CASE WHEN n_a > 0 AND n_b > 0 AND
+    (CASE WHEN nn % 2 = 0
+          THEN na * nb * (n + 2.0) * (n - 2.0) / (48.0 * (n - 1.0))
+          ELSE na * nb * (n + 1.0) * (3.0 + n * n) / (48.0 * n * n)
+     END) > 0 THEN
+    round((w - (CASE WHEN nn % 2 = 0 THEN na * (n + 2.0) / 4.0
+                     ELSE na * (n + 1.0) * (n + 1.0) / (4.0 * n) END))
+          / sqrt(CASE WHEN nn % 2 = 0
+                      THEN na * nb * (n + 2.0) * (n - 2.0) / (48.0 * (n - 1.0))
+                      ELSE na * nb * (n + 1.0) * (3.0 + n * n)
+                           / (48.0 * n * n) END), 6)
+  END AS z_score
+FROM d
+"""
+
+_ORACLES["pr_curve_order_status"] = """
+WITH vc AS MATERIALIZED (
+  SELECT o_totalprice AS v,
+    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS cb
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb, ca + cb AS c,
+    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+    SUM(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vc
+), tot AS (SELECT SUM(ca) AS n_pos, SUM(ca + cb) AS n FROM vc),
+grid AS (
+  SELECT k, v, ca, cum_a, c, cum, n_pos, n
+  FROM cum CROSS JOIN tot
+  CROSS JOIN (SELECT unnest(range(1, 10)) AS k)
+  WHERE 10 * cum >= k * n AND 10 * (cum - c) < k * n
+)
+SELECT CAST(k AS BIGINT) AS decile,
+  CAST(v AS DOUBLE) AS threshold,
+  CAST(n - (cum - c) AS BIGINT) AS n_pred_pos,
+  CAST(n_pos - (cum_a - ca) AS BIGINT) AS tp,
+  round(CAST(n_pos - (cum_a - ca) AS DOUBLE) / CAST(n - (cum - c) AS DOUBLE),
+        6) AS precision,
+  CASE WHEN n_pos > 0 THEN
+    round(CAST(n_pos - (cum_a - ca) AS DOUBLE) / CAST(n_pos AS DOUBLE), 6)
+  END AS recall,
+  CASE WHEN n_pos > 0 AND
+    CAST(n_pos - (cum_a - ca) AS DOUBLE) / CAST(n - (cum - c) AS DOUBLE)
+    + CAST(n_pos - (cum_a - ca) AS DOUBLE) / CAST(n_pos AS DOUBLE) > 0 THEN
+    round(2.0 * (CAST(n_pos - (cum_a - ca) AS DOUBLE)
+                 / CAST(n - (cum - c) AS DOUBLE))
+              * (CAST(n_pos - (cum_a - ca) AS DOUBLE) / CAST(n_pos AS DOUBLE))
+          / (CAST(n_pos - (cum_a - ca) AS DOUBLE)
+             / CAST(n - (cum - c) AS DOUBLE)
+             + CAST(n_pos - (cum_a - ca) AS DOUBLE) / CAST(n_pos AS DOUBLE)),
+          6)
+  END AS f1
+FROM grid
+"""
+
+_ORACLES["brier_decomposition_docs"] = f"""
+WITH scored AS (
+  SELECT {_CLF_SCORE_SQL} AS p,
+    CASE WHEN {_HEUR_QUALITY_SQL} >= 0.5 THEN 1 ELSE 0 END AS y
+  FROM documents
+), rows_ AS (
+  SELECT least(CAST(9 AS BIGINT),
+               CAST(round(p * 1000000.0) AS BIGINT) // 100000) AS bin,
+    p, y,
+    CAST(floor((p - y) * (p - y) * 1e8) AS DECIMAL(38,0)) AS bs_fp
+  FROM scored
+), per_bin AS (
+  SELECT bin, count(*) AS n_b,
+    SUM(CAST(round(p, 6) AS DECIMAL(18,6))) AS p_sum,
+    SUM(y) AS pos_b,
+    SUM(bs_fp) AS bs_fp
+  FROM rows_ GROUP BY bin
+), tot AS (SELECT SUM(n_b) AS n, SUM(pos_b) AS pos FROM per_bin),
+folded AS (
+  SELECT max(n) AS n, max(pos) AS pos, SUM(bs_fp) AS bs_fp,
+    SUM(CAST(floor(CAST(n_b AS DOUBLE)
+      * ({_dd('p_sum')} / CAST(n_b AS DOUBLE)
+         - CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      * ({_dd('p_sum')} / CAST(n_b AS DOUBLE)
+         - CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      * 1e8) AS DECIMAL(38,0))) AS rel_fp,
+    SUM(CAST(floor(CAST(n_b AS DOUBLE)
+      * (CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+      * (CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+      * 1e8) AS DECIMAL(38,0))) AS res_fp
+  FROM per_bin CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n,
+  round({_ddw('bs_fp')} / 1e8 / CAST(n AS DOUBLE), 6) AS brier,
+  round({_ddw('rel_fp')} / 1e8 / CAST(n AS DOUBLE), 6) AS reliability,
+  round({_ddw('res_fp')} / 1e8 / CAST(n AS DOUBLE), 6) AS resolution,
+  round((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+        * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS uncertainty
+FROM folded
+"""
+
+_SW_E = (
+    f"(CAST(y AS DOUBLE) - ({_DW_ICEPT} + {_DW_SLOPE} * CAST(x AS DOUBLE)))"
+)
+
+_SW_EFFECT_COLS = ", ".join(
+    "max(CASE WHEN dow = {w} THEN round({e} / 1e6"
+    " / CAST(n_w AS DOUBLE), 6) END) AS effect_{w}".format(
+        w=w, e=_ddw("se_fp")
+    )
+    for w in range(7)
+)
+
+_ORACLES["seasonal_weekday_value"] = f"""
+WITH {_DAILY_EVENTS},
+mn AS (SELECT min(day) AS d0 FROM daily),
+based AS (
+  SELECT day, y, CAST(day - d0 AS BIGINT) AS x,
+    CAST((day + 3) % 7 AS INTEGER) AS dow
+  FROM daily CROSS JOIN mn
+), mom AS (
+  SELECT count(*) AS n,
+    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(y AS DECIMAL(38,2))) AS sy,
+    SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(CAST(y AS DECIMAL(24,2)) * x AS DECIMAL(38,4))) AS sxy
+  FROM based
+), resid AS MATERIALIZED (
+  SELECT dow,
+    CAST(floor({_SW_E} * 1e6) AS DECIMAL(38,0)) AS e_fp,
+    {_DW_SLOPE} AS b
+  FROM based CROSS JOIN mom
+), per_dow AS MATERIALIZED (
+  SELECT dow, count(*) AS n_w, SUM(e_fp) AS se_fp, max(b) AS b
+  FROM resid GROUP BY dow
+), effects AS (
+  SELECT SUM(n_w) AS n_days, round(max(b), 6) AS slope,
+    {_SW_EFFECT_COLS}
+  FROM per_dow
+), de AS (
+  SELECT {_ddw('r.e_fp')} / 1e6 AS ev,
+    {_ddw('r.e_fp')} / 1e6
+      - ({_ddw('p.se_fp')} / 1e6 / CAST(p.n_w AS DOUBLE)) AS dv
+  FROM resid r JOIN per_dow p ON r.dow = p.dow
+), var_fold AS (
+  SELECT count(*) AS nn,
+    SUM(CAST(floor(ev * 1e6) AS DECIMAL(38,0))) AS s_e,
+    SUM(CAST(floor(ev * ev * 1e6) AS DECIMAL(38,0))) AS q_e,
+    SUM(CAST(floor(dv * 1e6) AS DECIMAL(38,0))) AS s_d,
+    SUM(CAST(floor(dv * dv * 1e6) AS DECIMAL(38,0))) AS q_d
+  FROM de
+), strength AS (
+  SELECT CASE WHEN
+      ({_ddw('q_e')} / 1e6 / CAST(nn AS DOUBLE)
+       - ({_ddw('s_e')} / 1e6 / CAST(nn AS DOUBLE))
+         * ({_ddw('s_e')} / 1e6 / CAST(nn AS DOUBLE))) > 0 THEN
+    round(greatest(0.0, 1.0 -
+      ({_ddw('q_d')} / 1e6 / CAST(nn AS DOUBLE)
+       - ({_ddw('s_d')} / 1e6 / CAST(nn AS DOUBLE))
+         * ({_ddw('s_d')} / 1e6 / CAST(nn AS DOUBLE)))
+      / ({_ddw('q_e')} / 1e6 / CAST(nn AS DOUBLE)
+         - ({_ddw('s_e')} / 1e6 / CAST(nn AS DOUBLE))
+           * ({_ddw('s_e')} / 1e6 / CAST(nn AS DOUBLE)))), 6)
+    END AS seasonal_strength
+  FROM var_fold
+)
+SELECT CAST(n_days AS BIGINT) AS n_days, slope,
+  effect_0, effect_1, effect_2, effect_3, effect_4, effect_5, effect_6,
+  seasonal_strength
+FROM effects CROSS JOIN strength
+"""
+
+_ORACLES["lagged_xcorr_daily_value"] = f"""
+WITH daily AS MATERIALIZED (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    SUM(CAST(value AS DECIMAL(18,2))) AS y, count(*) AS c
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+), pairs AS (
+  SELECT CAST(a.y AS DECIMAL(18,2)) AS y, b.c AS cp
+  FROM daily a JOIN daily b ON a.day = b.day + 1
+), mom AS (
+  SELECT count(*) AS n,
+    SUM(CAST(y AS DECIMAL(38,2))) AS sy,
+    SUM(CAST(cp AS DECIMAL(38,0))) AS sc,
+    SUM(CAST(y * y AS DECIMAL(38,4))) AS syy,
+    SUM(CAST(CAST(cp AS DECIMAL(19,0)) * CAST(cp AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS scc,
+    SUM(CAST(y * CAST(cp AS DECIMAL(19,0)) AS DECIMAL(38,2))) AS syc
+  FROM pairs
+), d AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+    {_ddwf('sy')} AS syd, {_ddw('sc')} AS scd,
+    {_ddwf('syy')} AS syyd, {_ddw('scc')} AS sccd,
+    {_ddwf('syc')} AS sycd
+  FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n_pairs, CAST(1 AS BIGINT) AS lag,
+  CASE WHEN (nd * syyd - syd * syd) > 0 AND (nd * sccd - scd * scd) > 0 THEN
+    round((nd * sycd - syd * scd)
+          / sqrt((nd * syyd - syd * syd) * (nd * sccd - scd * scd)), 6)
+  END AS xcorr
+FROM d
+"""
+
+_ORACLES["changepoint_binseg_value"] = f"""
+WITH {_DAILY_EVENTS},
+pre AS (
+  SELECT day,
+    count(*) OVER w AS nl,
+    SUM(CAST(CAST(y AS DECIMAL(18,2)) AS DECIMAL(38,2))) OVER w AS sl,
+    SUM(CAST(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))
+             AS DECIMAL(38,4))) OVER w AS ql
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+), tot AS (
+  SELECT count(*) AS n,
+    SUM(CAST(CAST(y AS DECIMAL(18,2)) AS DECIMAL(38,2))) AS s,
+    SUM(CAST(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))
+             AS DECIMAL(38,4))) AS q
+  FROM daily
+), scored AS (
+  SELECT day, n, s, q,
+    ({_ddwf('ql')} - {_ddwf('sl')} * {_ddwf('sl')} / CAST(nl AS DOUBLE))
+    + (({_ddwf('q')} - {_ddwf('ql')})
+       - ({_ddwf('s')} - {_ddwf('sl')}) * ({_ddwf('s')} - {_ddwf('sl')})
+         / CAST(n - nl AS DOUBLE)) AS sse
+  FROM pre CROSS JOIN tot WHERE nl < n
+), ranked AS (
+  SELECT n, s, q, day,
+    CAST(floor(sse * 100.0) AS DECIMAL(38,0)) AS sse_fp,
+    row_number() OVER (
+      ORDER BY CAST(floor(sse * 100.0) AS DECIMAL(38,0)), day
+    ) AS rn
+  FROM scored
+), best AS (
+  SELECT n, s, q, day, sse_fp FROM ranked WHERE rn = 1
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+  CAST(day AS BIGINT) AS split_day,
+  floor(({_ddwf('q')} - {_ddwf('s')} * {_ddwf('s')} / CAST(n AS DOUBLE))
+        * 100.0) / 100.0 AS sse_total,
+  {_ddw('sse_fp')} / 100.0 AS sse_split,
+  floor((({_ddwf('q')} - {_ddwf('s')} * {_ddwf('s')} / CAST(n AS DOUBLE))
+         - {_ddw('sse_fp')} / 100.0) * 100.0) / 100.0 AS gain
+FROM best
+"""
+
+_ORACLES["theil_u_daily_value"] = f"""
+WITH {_DAILY_EVENTS},
+pairs AS (
+  SELECT CAST(a.y AS DECIMAL(18,2)) AS y, CAST(b.y AS DECIMAL(18,2)) AS yp
+  FROM daily a JOIN daily b ON a.day = b.day + 1
+), mom AS (
+  SELECT count(*) AS n,
+    SUM(CAST(CAST(y - yp AS DECIMAL(18,2)) * CAST(y - yp AS DECIMAL(18,2))
+             AS DECIMAL(38,4))) AS sdd,
+    SUM(CAST(y * y AS DECIMAL(38,4))) AS syy,
+    SUM(CAST(yp * yp AS DECIMAL(38,4))) AS spp
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+  CASE WHEN sqrt({_ddwf('syy')} / CAST(n AS DOUBLE))
+            + sqrt({_ddwf('spp')} / CAST(n AS DOUBLE)) > 0 THEN
+    round(sqrt({_ddwf('sdd')} / CAST(n AS DOUBLE))
+          / (sqrt({_ddwf('syy')} / CAST(n AS DOUBLE))
+             + sqrt({_ddwf('spp')} / CAST(n AS DOUBLE))), 6)
+  END AS theil_u
+FROM mom
+"""
+
+_ORACLES["graph_modularity_nation"] = f"""
+WITH e0 AS (
+  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+), comm AS (
+  SELECT CAST(c_custkey * 2 AS BIGINT) AS node,
+         CAST(c_nationkey AS VARCHAR) AS comm FROM customer
+  UNION ALL
+  SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS node,
+         CAST(s_nationkey AS VARCHAR) AS comm FROM supplier
+), ends AS (
+  SELECT a AS node FROM canon UNION ALL SELECT b AS node FROM canon
+), deg AS (SELECT node, count(*) AS deg FROM ends GROUP BY node),
+deg_c AS (
+  SELECT coalesce(comm, CAST(deg.node AS VARCHAR)) AS c, SUM(deg) AS d_c
+  FROM deg LEFT JOIN comm ON deg.node = comm.node
+  GROUP BY 1
+), within AS (
+  SELECT SUM(CASE WHEN coalesce(ca.comm, CAST(canon.a AS VARCHAR))
+                     = coalesce(cb.comm, CAST(canon.b AS VARCHAR))
+             THEN 1 ELSE 0 END) AS e_in,
+    count(*) AS m
+  FROM canon
+  LEFT JOIN comm ca ON canon.a = ca.node
+  LEFT JOIN comm cb ON canon.b = cb.node
+), folded AS (
+  SELECT count(*) AS n_comm,
+    SUM(CAST(CAST(d_c AS DECIMAL(19,0)) * CAST(d_c AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS sum_d2
+  FROM deg_c
+), nn AS (SELECT count(*) AS n_nodes FROM deg)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+  CAST(m AS BIGINT) AS n_edges,
+  CAST(n_comm AS BIGINT) AS n_communities,
+  CASE WHEN m > 0 THEN
+    round((4.0 * CAST(m AS DOUBLE) * CAST(e_in AS DOUBLE)
+           - {_ddw('sum_d2')})
+          / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
+  END AS modularity
+FROM within CROSS JOIN folded CROSS JOIN nn
+"""
+
+_ORACLES["graph_harmonic_centrality"] = f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+), reach AS (
+  SELECT CAST((SELECT min(src) FROM e0) AS BIGINT) AS node, 0 AS level
+  UNION
+  SELECT e.dst AS node, r.level + 1 AS level
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.level < 6
+), dist AS (
+  SELECT node, min(level) AS lvl FROM reach GROUP BY node
+), folded AS (
+  SELECT count(*) AS n_reached, max(lvl) AS max_level,
+    SUM(CAST(1000000000000 // lvl AS DECIMAL(38,0))) AS h_fp
+  FROM dist WHERE lvl > 0
+)
+SELECT CAST(n_reached AS BIGINT) AS n_reached,
+  CAST(max_level AS BIGINT) AS max_level,
+  round({_ddw("coalesce(h_fp, CAST(0 AS DECIMAL(38,0)))")} / 1e12, 6)
+    AS harmonic_centrality
+FROM folded
+"""
+
+_ORACLES["embedding_pair_cosine_hist"] = """
+WITH p AS (
+  SELECT a.vec_id AS i,
+    unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+), d AS (
+  SELECT i, sum(x*y) AS dp, sum(x*x) AS na, sum(y*y) AS nb
+  FROM p GROUP BY i
+), c AS (
+  SELECT round(dp / sqrt(na * nb), 6) AS cs FROM d
+), binned AS (
+  SELECT least(CAST(19 AS BIGINT),
+               CAST(round((cs + 1.0) * 1000000.0) AS BIGINT) // 100000)
+    AS bin
+  FROM c
+)
+SELECT bin,
+  round(-1.0 + CAST(bin AS DOUBLE) * CAST(0.1 AS DOUBLE), 6) AS lo,
+  round(-1.0 + CAST(bin + 1 AS DOUBLE) * CAST(0.1 AS DOUBLE), 6) AS hi,
+  CAST(count(*) AS BIGINT) AS cnt
+FROM binned GROUP BY bin
+"""
+
+_ORACLES["source_ngram_cosine"] = f"""
+WITH norm AS (
+  SELECT source AS s,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                        ' +', ' ', 'g')) AS t
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+), grams AS (
+  SELECT s, substring(t, i, 3) AS g FROM (
+    SELECT s, t, unnest(range(1, greatest(length(t) - 1, 1))) AS i
+    FROM norm
+  )
+), gc AS MATERIALIZED (
+  SELECT s, g, count(*) AS c FROM grams GROUP BY s, g
+), norms AS (
+  SELECT s,
+    SUM(CAST(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS nrm2,
+    SUM(c) AS n_grams
+  FROM gc GROUP BY s
+), dots AS (
+  SELECT a.s AS sa, b.s AS sb,
+    SUM(CAST(CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS dp
+  FROM gc a JOIN gc b ON a.g = b.g AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT sa AS source_a, sb AS source_b,
+  CAST(na.n_grams AS BIGINT) AS n_grams_a,
+  CAST(nb.n_grams AS BIGINT) AS n_grams_b,
+  round({_ddw('dp')} / sqrt({_ddw('na.nrm2')} * {_ddw('nb.nrm2')}), 6)
+    AS cosine
+FROM dots
+JOIN norms na ON na.s = dots.sa
+JOIN norms nb ON nb.s = dots.sb
+"""
+
+_ORACLES["pii_density_by_source"] = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+    SUM(length(text)) AS n_chars,
+    SUM(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS n_emails,
+    SUM(len(regexp_extract_all(text,
+      '\\+?[0-9][0-9()\\- ]{7,}[0-9]'))) AS n_phones
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+  GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_emails AS BIGINT) AS n_emails,
+  CAST(n_phones AS BIGINT) AS n_phones,
+  CASE WHEN n_chars > 0 THEN
+    round(CAST(n_emails AS DOUBLE) * 1000.0 / CAST(n_chars AS DOUBLE), 6)
+  END AS emails_per_1k_chars,
+  CASE WHEN n_chars > 0 THEN
+    round(CAST(n_phones AS DOUBLE) * 1000.0 / CAST(n_chars AS DOUBLE), 6)
+  END AS phones_per_1k_chars
+FROM per
+"""
+
+_ORACLES["token_budget_mix_docs"] = f"""
+WITH per AS (
+  SELECT source,
+    SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS n_tokens
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+  GROUP BY source
+), tot AS (
+  SELECT SUM(CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+                  AS DECIMAL(38,0))) AS sq_sum
+  FROM per
+), d AS (
+  SELECT source, n_tokens,
+    floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) / {_ddw('sq_sum')} AS share
+  FROM per CROSS JOIN tot
+)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(share, 6) AS share,
+  CAST(floor(least(share * 1000000.0 / CAST(n_tokens AS DOUBLE), 4.0)
+             * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS alloc_tokens,
+  round(least(share * 1000000.0 / CAST(n_tokens AS DOUBLE), 4.0), 6)
+    AS epochs
+FROM d
+"""
+
+_BOOT_U = (
+    "(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '_b'"
+    " || CAST(b AS VARCHAR)), 1, 4) AS BIGINT) / 65536.0)"
+)
+_BOOT_W = f"""(CASE
+  WHEN {_BOOT_U} < 0.36787944117144233 THEN 0
+  WHEN {_BOOT_U} < 0.7357588823428847 THEN 1
+  WHEN {_BOOT_U} < 0.9196986029286058 THEN 2
+  WHEN {_BOOT_U} < 0.9810118431238462 THEN 3
+  WHEN {_BOOT_U} < 0.9963401531726563 THEN 4
+  WHEN {_BOOT_U} < 0.9994058151824183 THEN 5
+  ELSE 6 END)"""
+
+_ORACLES["bootstrap_mean_orders"] = f"""
+WITH full_ AS (
+  SELECT count(*) AS n_rows,
+    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2))) AS s
+  FROM orders WHERE o_totalprice IS NOT NULL
+), reps AS (
+  SELECT b, {_BOOT_W} AS w, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+  WHERE o_totalprice IS NOT NULL
+), per_rep AS (
+  SELECT b, SUM(w) AS nw,
+    SUM(CAST(v * CAST(w AS DECIMAL(3,0)) AS DECIMAL(38,2))) AS sw
+  FROM reps GROUP BY b
+), means AS (
+  SELECT {_ddwf('sw')} / CAST(nw AS DOUBLE) AS m
+  FROM per_rep WHERE nw > 0
+), ci AS (
+  SELECT count(*) AS n_reps,
+    quantile_disc(m, 0.025) AS lo, quantile_disc(m, 0.975) AS hi
+  FROM means
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(n_reps AS BIGINT) AS n_replicates,
+  round({_ddwf('s')} / CAST(n_rows AS DOUBLE), 6) AS mean_full,
+  round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+FROM full_ CROSS JOIN ci
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -9525,6 +10354,23 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "breusch_pagan_price_qty": q_breusch_pagan_price_qty,
         "cooks_distance_price_qty": q_cooks_distance_price_qty,
         "ljung_box_daily_value": q_ljung_box_daily_value,
+        # round-7 wave
+        "bartlett_price_flag": q_bartlett_price_flag,
+        "friedman_order_status": q_friedman_order_status,
+        "ansari_bradley_price_flag": q_ansari_bradley_price_flag,
+        "pr_curve_order_status": q_pr_curve_order_status,
+        "brier_decomposition_docs": q_brier_decomposition_docs,
+        "seasonal_weekday_value": q_seasonal_weekday_value,
+        "lagged_xcorr_daily_value": q_lagged_xcorr_daily_value,
+        "changepoint_binseg_value": q_changepoint_binseg_value,
+        "theil_u_daily_value": q_theil_u_daily_value,
+        "graph_modularity_nation": q_graph_modularity_nation,
+        "graph_harmonic_centrality": q_graph_harmonic_centrality,
+        "embedding_pair_cosine_hist": q_embedding_pair_cosine_hist,
+        "source_ngram_cosine": q_source_ngram_cosine,
+        "pii_density_by_source": q_pii_density_by_source,
+        "token_budget_mix_docs": q_token_budget_mix_docs,
+        "bootstrap_mean_orders": q_bootstrap_mean_orders,
     }
 
 

@@ -297,6 +297,26 @@ FAMILIES: dict[str, list[str]] = {
         "cooks_distance_price_qty",
         "ljung_box_daily_value",
     ],
+    # round-7 wave: variance/rank tests, threshold sweep, bootstrap,
+    # series decomposition, modularity/harmonic, source fingerprints
+    "r7wave": [
+        "bartlett_price_flag",
+        "friedman_order_status",
+        "ansari_bradley_price_flag",
+        "pr_curve_order_status",
+        "brier_decomposition_docs",
+        "seasonal_weekday_value",
+        "lagged_xcorr_daily_value",
+        "changepoint_binseg_value",
+        "theil_u_daily_value",
+        "graph_modularity_nation",
+        "graph_harmonic_centrality",
+        "embedding_pair_cosine_hist",
+        "source_ngram_cosine",
+        "pii_density_by_source",
+        "token_budget_mix_docs",
+        "bootstrap_mean_orders",
+    ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [
         "bpe_pair_counts",

@@ -724,3 +724,62 @@ def dsir_importance_weights(
         )
     )
     return per_doc.select(id_col, "n_tokens", "log_weight")
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Token-budget allocation across sources for a training run:
+    sqrt-proportional shares (the standard upsample-the-tail mixing
+    rule — raw-proportional lets one mega-crawl drown everything,
+    uniform ignores size entirely), capped at ``max_epochs`` passes
+    over any single source so small sources aren't memorized.
+
+    One tokenize scan → one #sources-row aggregate; shares and epochs
+    are a fixed double sequence off exact integer token counts (cap
+    applied AFTER the share computation — the freed budget is
+    reported, not redistributed, so the allocation stays a closed
+    form; documented). Output per source: (source, n_tokens, share,
+    alloc_tokens, epochs)."""
+    from .text import TOKEN_RE
+
+    per = (
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(source_col).isNotNull()
+        )
+        .select(
+            F.col(source_col).alias("source"),
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+            ).alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    tot = per.agg(
+        F.sum(
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1e6))
+            .cast("decimal(38,0)")
+        ).alias("sq_sum")
+    )
+    from .hypotests import dec_double_wide
+
+    sq = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1e6))
+    share = sq / (dec_double_wide(F.col("sq_sum")))
+    alloc = share * F.lit(float(budget_tokens))
+    nt = F.col("n_tokens").cast("double")
+    epochs_raw = alloc / nt
+    epochs = F.least(epochs_raw, F.lit(max_epochs))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(share, 6).alias("share"),
+        F.floor(F.least(epochs, F.lit(max_epochs)) * nt).cast("long").alias(
+            "alloc_tokens"
+        ),
+        F.round(epochs, 6).alias("epochs"),
+    )

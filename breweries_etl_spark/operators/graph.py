@@ -858,3 +858,143 @@ def degree_powerlaw_alpha(
             F.round(F.lit(1.0) + F.col("n_tail").cast("double") / ls, 6),
         ).alias("alpha"),
     )
+
+
+def partition_modularity(
+    pairs: DataFrame,
+    communities: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Newman modularity Q of a GIVEN node partition over the
+    undirected simple graph of ``pairs`` — the standard "is this
+    clustering better than chance" score for any community assignment
+    (an attribute, a clustering output, a blocking key):
+    Q = Σ_c e_c/m − Σ_c (d_c/2m)².
+
+    ``communities``: (node, comm). Everything stays integer until one
+    exact closing division: Q = (4m·Σe_c − Σd_c²) / (4m²) with
+    Σe_c = within-community edge count and d_c = community degree sum
+    — both from ONE canonical-edge relation. The community joins are
+    plain shuffle joins (the node→comm map is node-sized — broadcast
+    would OOM at graph scale); degrees come from one explode+count.
+    Nodes missing from ``communities`` form their own singleton
+    communities via coalesce to the node id (documented convention).
+    Output one row: (n_nodes, n_edges, n_communities, modularity)."""
+    canon = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    canon.count()
+    comm = communities.select(
+        F.col("node").alias("__n"), F.col("comm").alias("__c")
+    )
+    ends = canon.select(F.col("a").alias("__n")).unionAll(
+        canon.select(F.col("b").alias("__n"))
+    )
+    deg = ends.groupBy("__n").agg(F.count(F.lit(1)).alias("deg"))
+    deg_c = (
+        deg.join(comm, "__n", "left")
+        .select(
+            F.coalesce(F.col("__c"), F.col("__n").cast("string")).alias(
+                "c"
+            ),
+            "deg",
+        )
+        .groupBy("c")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    ca = comm.select(F.col("__n").alias("a"), F.col("__c").alias("ca_"))
+    cb = comm.select(F.col("__n").alias("b"), F.col("__c").alias("cb_"))
+    within = (
+        canon.join(ca, "a", "left")
+        .join(cb, "b", "left")
+        .select(
+            (
+                F.coalesce(F.col("ca_"), F.col("a").cast("string"))
+                == F.coalesce(F.col("cb_"), F.col("b").cast("string"))
+            ).cast("long").alias("w")
+        )
+        .agg(F.sum("w").alias("e_in"), F.count(F.lit(1)).alias("m"))
+    )
+    d19 = "decimal(19,0)"
+    folded = deg_c.agg(
+        F.count(F.lit(1)).alias("n_comm"),
+        F.sum((F.col("d_c").cast(d19) * F.col("d_c").cast(d19)).cast(
+            "decimal(38,0)"
+        )).alias("sum_d2"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    from ..operators.hypotests import dec_double_wide
+
+    out = (
+        within.crossJoin(F.broadcast(folded))
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("m").cast("long").alias("n_edges"),
+            F.col("n_comm").cast("long").alias("n_communities"),
+            F.when(
+                F.col("m") > 0,
+                F.round(
+                    (
+                        F.lit(4.0)
+                        * F.col("m").cast("double")
+                        * F.col("e_in").cast("double")
+                        - dec_double_wide(F.col("sum_d2"))
+                    )
+                    / (
+                        F.lit(4.0)
+                        * F.col("m").cast("double")
+                        * F.col("m").cast("double")
+                    ),
+                    6,
+                ),
+            ).alias("modularity"),
+        )
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(out, [canon])
+
+
+def harmonic_centrality_from(
+    pairs: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Harmonic centrality of a seed set: Σ_v 1/dist(seed-set, v) over
+    all nodes reached within ``max_hops`` — the closeness variant that
+    handles disconnection gracefully (unreached nodes contribute 0,
+    no infinite means). Rides ``bfs_levels``' frontier machinery
+    unchanged; the fold quantizes 1/level as the exact integer
+    floor(10¹²/level) so the cross-level sum is order-independent and
+    engine-exact. Output one row:
+    (n_reached, max_level, harmonic_centrality)."""
+    from ..operators.hypotests import dec_double_wide
+
+    levels = bfs_levels(pairs, sources, src_col, dst_col, max_hops)
+    reached = levels.filter(F.col("level") > 0)
+    folded = reached.agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.max("level").alias("max_level"),
+        F.sum(
+            F.expr("cast(1000000000000 div level as decimal(38,0))")
+        ).alias("h_fp"),
+    )
+    return folded.select(
+        F.col("n_reached").cast("long").alias("n_reached"),
+        F.col("max_level").cast("long").alias("max_level"),
+        F.round(
+            dec_double_wide(F.coalesce(F.col("h_fp"), F.lit(0).cast("decimal(38,0)")))
+            / F.lit(1e12),
+            6,
+        ).alias("harmonic_centrality"),
+    )

@@ -2319,3 +2319,367 @@ def cooks_distance_top(
     return scored.orderBy(
         F.col("cooks_d").desc(), *[F.col(c) for c in id_cols]
     ).limit(k)
+
+
+def bartlett_test(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Bartlett's test of equal variances across k groups — the
+    high-power companion to ``levene_test``/``brown_forsythe`` when
+    near-normality is defensible (it is the likelihood-ratio test under
+    normality; heavy tails inflate it, which is why all three ship).
+
+    ONE conditional-moment pass (n_g, Σx, Σx² per group, the
+    anova_oneway machinery) gives each group's unbiased variance
+    through the dec_double_wide_frac 10²⁷ envelope; the k-row relation
+    then folds three fixed-point sums — floor((n_g−1)·var_g·100)
+    (pooled SS), floor(ln(var_g)·10¹²)·(n_g−1) (an EXACT integer
+    product: the log is floored once at 10⁻¹² granularity — 10⁶ was
+    measurably coarse, 0.004 off a ~2.15 statistic at n_g≈2000 — and
+    the multiply is integral; the sum stays under the 10²⁷ wide
+    envelope to 10¹³ rows), and floor(10¹²/(n_g−1)) (the Bartlett
+    correction term) — so every cross-group accumulation is
+    order-independent decimal. Closing
+    sequence: Sp² = SS/(N−k), B = (N−k)·ln(Sp²) − Σ(n_g−1)·ln(var_g),
+    C = 1 + (Σ1/(n_g−1) − 1/(N−k))/(3(k−1)), stat = B/C. Groups with
+    zero variance or n_g < 2 make the statistic undefined → NULL.
+    Output one row: (n, k_groups, pooled_var, bartlett_stat)."""
+    x = F.col(value_col).cast("decimal(18,2)")
+    per_g = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(x).alias("s_g"),
+            F.sum((x * x).cast("decimal(38,4)")).alias("q_g"),
+        )
+    )
+    ng = F.col("n_g").cast("double")
+    var_g = (
+        dec_double_wide_frac(F.col("q_g"))
+        - dec_double_wide_frac(F.col("s_g"))
+        * dec_double_wide_frac(F.col("s_g"))
+        / ng
+    ) / (ng - F.lit(1.0))
+    d38 = "decimal(38,0)"
+    ss_fp = F.floor(var_g * (ng - F.lit(1.0)) * F.lit(100.0)).cast(d38)
+    ln_fp = (
+        F.floor(F.log(var_g) * F.lit(1e12)).cast(d38)
+        * (F.col("n_g") - F.lit(1)).cast("decimal(19,0)")
+    ).cast(d38)
+    inv_fp = F.floor(F.lit(1e12) / (ng - F.lit(1.0))).cast(d38)
+    bad = (F.col("n_g") < 2) | ~(var_g > 0)
+    sums = per_g.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_bad"),
+        F.sum(F.when(~bad, ss_fp)).alias("ss"),
+        F.sum(F.when(~bad, ln_fp)).alias("lnsum"),
+        F.sum(F.when(~bad, inv_fp)).alias("invsum"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    sp2 = (dec_double_wide(F.col("ss")) / F.lit(100.0)) / (n - k)
+    b_stat = (n - k) * F.log(sp2) - dec_double_wide(F.col("lnsum")) / F.lit(
+        1e12
+    )
+    c_corr = F.lit(1.0) + (
+        dec_double_wide(F.col("invsum")) / F.lit(1e12)
+        - F.lit(1.0) / (n - k)
+    ) / (F.lit(3.0) * (k - F.lit(1.0)))
+    ok = (F.col("n_bad") == 0) & (F.col("k") > 1) & (sp2 > 0)
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.when(ok, F.round(sp2, 6)).alias("pooled_var"),
+        F.when(ok, F.round(b_stat / c_corr, 6)).alias("bartlett_stat"),
+    )
+
+
+def friedman_3(
+    df: DataFrame,
+    block_col: str,
+    v_a: Column,
+    v_b: Column,
+    v_c: Column,
+) -> DataFrame:
+    """Friedman test for k = 3 paired treatments measured per block
+    (the rank-based repeated-measures ANOVA): within every block the
+    three treatment values are ranked 1..3 with AVERAGE ranks on ties,
+    rank sums fold per treatment, and
+    χ² = 12/(n·k(k+1))·ΣR_j² − 3n(k+1).
+
+    Ranks stay integral as DOUBLED ranks (2·rank = 2 + 2·#less +
+    #equal-to-others), so every accumulator is an exact integer:
+    ΣR_j² = Σ(S_j/2)² folds as decimal and the k=3 closing form is
+    chi2 = ΣS_j²/(4n) − 12n. No tie correction (documented; ties get
+    average ranks but the denominator is the classical one). One
+    aggregation pass over blocks. Output one row:
+    (n_blocks, rank2_sum_a, rank2_sum_b, rank2_sum_c, friedman_chi2)."""
+
+    def rank2(me: Column, o1: Column, o2: Column) -> Column:
+        less = (o1 < me).cast("int") + (o2 < me).cast("int")
+        eq = (o1 == me).cast("int") + (o2 == me).cast("int")
+        return F.lit(2) + F.lit(2) * less + eq
+
+    ranked = df.select(
+        F.col(block_col).alias("b"),
+        rank2(v_a, v_b, v_c).alias("ra"),
+        rank2(v_b, v_a, v_c).alias("rb"),
+        rank2(v_c, v_a, v_b).alias("rc"),
+    )
+    d19 = "decimal(19,0)"
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ra").cast(d19)).alias("sa"),
+        F.sum(F.col("rb").cast(d19)).alias("sb"),
+        F.sum(F.col("rc").cast(d19)).alias("sc"),
+    )
+    n = F.col("n").cast("double")
+    # narrow the widened sums back to (19,0) before squaring — the
+    # (29,0)^2 product would exceed precision 38 and silently round
+    # (rank2 <= 2k, so S_j <= 6n fits (19,0) to ~10^17 blocks)
+    sq = lambda c: (  # noqa: E731
+        F.col(c).cast(d19) * F.col(c).cast(d19)
+    ).cast("decimal(38,0)")
+    s2 = sq("sa") + sq("sb") + sq("sc")
+    chi2 = dec_double_wide(s2) / (F.lit(4.0) * n) - F.lit(12.0) * n
+    return sums.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.col("sa").cast("long").alias("rank2_sum_a"),
+        F.col("sb").cast("long").alias("rank2_sum_b"),
+        F.col("sc").cast("long").alias("rank2_sum_c"),
+        F.when(F.col("n") > 0, F.round(chi2, 6)).alias("friedman_chi2"),
+    )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Ansari–Bradley rank test of equal DISPERSION between two samples
+    with the same median — scores rank from BOTH ends
+    (score(p) = min(p, n+1−p)), so a sample squeezed toward the center
+    collects high scores. The nonparametric scale test that pairs with
+    Mann–Whitney's location test.
+
+    From the bucketed prefix-count primitive: a tied block at value v
+    occupies positions lo..hi = cum−c+1..cum, and its TOTAL score
+    Σ min(p, n+1−p) splits into two arithmetic series around the
+    midpoint t = ⌊(n+1)/2⌋ — closed integer forms, no rank column.
+    The series sums are kept DOUBLED (2·S_v = (lo+b₁)·len₁ +
+    2(n+1)·len₂ − (a₂+hi)·len₂ — pure integer decimal, no division:
+    decimal-division scale/rounding rules differ between engines).
+    Each block's ca members get the block-average score: the per-value
+    term folds as floor(10⁶·ca·((2S_v/2)/c)) fixed point (S_v/c ≤ n/2
+    keeps the double exact past 10¹² rows; identical IEEE sequence on
+    both engines). Normal approximation with the standard even/odd-n moments
+    (no tie correction — documented): even n: E = n_a(n+2)/4,
+    Var = n_a·n_b(n+2)(n−2)/(48(n−1)); odd n: E = n_a(n+1)²/(4n),
+    Var = n_a·n_b(n+1)(3+n²)/(48n²). Output one row:
+    (n_a, n_b, ab_stat, z_score)."""
+    pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
+    d19 = "decimal(19,0)"
+    tot = pc.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    ).select(
+        "n_a", "n_b", (F.col("n_a") + F.col("n_b")).alias("nn")
+    )
+    c = (F.col("ca") + F.col("cb")).cast(d19)
+    cum = (F.col("cum_a") + F.col("cum_b")).cast(d19)
+    lo = cum - c + F.lit(1).cast(d19)
+    hi = cum
+    t = F.expr("(nn + 1) div 2").cast(d19)
+    np1 = (F.col("nn") + F.lit(1)).cast(d19)
+    b1 = F.least(hi, t)
+    len1 = F.greatest(b1 - lo + F.lit(1).cast(d19), F.lit(0).cast(d19))
+    a2 = F.greatest(lo, t + F.lit(1).cast(d19))
+    len2 = F.greatest(hi - a2 + F.lit(1).cast(d19), F.lit(0).cast(d19))
+    s2v = (
+        ((lo + b1) * len1).cast("decimal(38,0)")
+        + (F.lit(2).cast(d19) * np1 * len2).cast("decimal(38,0)")
+        - ((a2 + hi) * len2).cast("decimal(38,0)")
+    )
+    s_v = dec_double_wide(s2v) / F.lit(2.0)
+    term_fp = F.floor(
+        F.lit(1e6) * F.col("ca").cast("double") * (s_v / c.cast("double"))
+    ).cast("decimal(38,0)")
+    folded = pc.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("nn").alias("nn"),
+        F.sum(term_fp).alias("w_fp"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = F.col("nn").cast("double")
+    w = dec_double_wide(F.col("w_fp")) / F.lit(1e6)
+    even = F.col("nn") % 2 == 0
+    mean = F.when(even, na * (n + 2.0) / 4.0).otherwise(
+        na * (n + 1.0) * (n + 1.0) / (4.0 * n)
+    )
+    var = F.when(
+        even, na * nb * (n + 2.0) * (n - 2.0) / (48.0 * (n - 1.0))
+    ).otherwise(na * nb * (n + 1.0) * (3.0 + n * n) / (48.0 * n * n))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0)
+    result = folded.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(w, 6).alias("ab_stat"),
+        F.when(ok, F.round((w - mean) / F.sqrt(var), 6)).alias("z_score"),
+    )
+    return _released(result, pc, release)
+
+
+def pr_curve_points(
+    df: DataFrame,
+    score_col: str,
+    label_expr: Column,
+    n_points: int = 9,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Precision/recall/F1 at the score's decile thresholds — the
+    threshold-sweep view that complements ``roc_auc``'s single number
+    (a corpus filter is DEPLOYED at a threshold; this is the table that
+    picks it).
+
+    The k-th threshold is the exact lower k/10-quantile read off the
+    prefix-count relation (min v with 10·cum ≥ k·n — same exact-pick
+    rule as quantile_normalize, no percentile aggregate); at each
+    threshold the confusion counts are pure prefix-count reads:
+    predicted-positive = "score ≥ v_k" so TP = n_pos − (cum_a − ca),
+    PP = n − (cum − c). Everything integer until the final three
+    round-6 ratios. Output n_points rows:
+    (decile, threshold, n_pred_pos, tp, precision, recall, f1)."""
+    pc = grouped_value_prefix_counts(df, score_col, label_expr, n_buckets)
+    tot = pc.agg(
+        F.sum("ca").alias("n_pos"),
+        F.sum(F.col("ca") + F.col("cb")).alias("n"),
+    )
+    ks = F.array(*[F.lit(k) for k in range(1, n_points + 1)])
+    cum = F.col("cum_a") + F.col("cum_b")
+    c = F.col("ca") + F.col("cb")
+    grid = (
+        pc.crossJoin(F.broadcast(tot))
+        .select(
+            "v", "ca", "cb", "cum_a", "n_pos", "n",
+            cum.alias("cum"), c.alias("c"),
+            F.explode(ks).alias("k"),
+        )
+        .filter(
+            (F.lit(10) * F.col("cum") >= F.col("k") * F.col("n"))
+            & (
+                F.lit(10) * (F.col("cum") - F.col("c"))
+                < F.col("k") * F.col("n")
+            )
+        )
+    )
+    tp = (F.col("n_pos") - (F.col("cum_a") - F.col("ca"))).cast("double")
+    pp = (F.col("n") - (F.col("cum") - F.col("c"))).cast("double")
+    npos = F.col("n_pos").cast("double")
+    prec = tp / pp
+    rec = tp / npos
+    result = grid.select(
+        F.col("k").cast("long").alias("decile"),
+        F.col("v").cast("double").alias("threshold"),
+        pp.cast("long").alias("n_pred_pos"),
+        tp.cast("long").alias("tp"),
+        F.round(prec, 6).alias("precision"),
+        F.when(F.col("n_pos") > 0, F.round(rec, 6)).alias("recall"),
+        F.when(
+            (F.col("n_pos") > 0) & (prec + rec > 0),
+            F.round(2.0 * prec * rec / (prec + rec), 6),
+        ).alias("f1"),
+    )
+    return _released(result, pc, release)
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: Column,
+    label_expr: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score for a probability
+    forecast vs a binary outcome: BS measured per row, plus
+    reliability (calibration gap), resolution (how much the bins
+    separate the base rate), and uncertainty ȳ(1−ȳ) over ``n_bins``
+    probability bins — the standard diagnostic that says WHY a score
+    is good or bad, not just how good.
+
+    One scan → one ≤n_bins-row aggregate (binning on the scaled-int
+    path like calibration_bins, engine-independent edges). Brier folds
+    per-row as floor((p−y)²·10⁸) fixed point; the bin-level gap terms
+    fold the same way over the bounded bin relation. Note BS ≠ REL −
+    RES + UNC exactly here (within-bin variance of p is not removed —
+    the classical decomposition assumes p constant per bin; documented).
+    Output one row: (n, brier, reliability, resolution, uncertainty)."""
+    pred = prob_col
+    y = label_expr.cast("int")
+    step = int(1000000 // n_bins)
+    d38 = "decimal(38,0)"
+    rows = (
+        df.select(pred.alias("__p"), y.alias("__y"))
+        .select(
+            F.least(
+                F.lit(n_bins - 1).cast("long"),
+                F.expr(f"cast(round(__p * 1000000.0) as long) div {step}"),
+            ).alias("bin"),
+            "__p",
+            "__y",
+        )
+        .select(
+            "bin",
+            "__p",
+            "__y",
+            F.floor(
+                (F.col("__p") - F.col("__y"))
+                * (F.col("__p") - F.col("__y"))
+                * F.lit(1e8)
+            ).cast(d38).alias("bs_fp"),
+        )
+    )
+    per_bin = rows.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum(F.round(F.col("__p"), 6).cast("decimal(18,6)")).alias("p_sum"),
+        F.sum("__y").alias("pos_b"),
+        F.sum("bs_fp").alias("bs_fp"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_b").alias("n"), F.sum("pos_b").alias("pos")
+    )
+    n = F.col("n").cast("double")
+    ybar = F.col("pos").cast("double") / n
+    nb = F.col("n_b").cast("double")
+    pbar_b = dec_double(F.col("p_sum")) / nb
+    ybar_b = F.col("pos_b").cast("double") / nb
+    rel_fp = F.floor(
+        nb * (pbar_b - ybar_b) * (pbar_b - ybar_b) * F.lit(1e8)
+    ).cast(d38)
+    res_fp = F.floor(
+        nb * (ybar_b - ybar) * (ybar_b - ybar) * F.lit(1e8)
+    ).cast(d38)
+    folded = per_bin.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.max("pos").alias("pos"),
+        F.sum("bs_fp").alias("bs_fp"),
+        F.sum(rel_fp).alias("rel_fp"),
+        F.sum(res_fp).alias("res_fp"),
+    )
+    n2 = F.col("n").cast("double")
+    ybar2 = F.col("pos").cast("double") / n2
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(dec_double_wide(F.col("bs_fp")) / F.lit(1e8) / n2, 6).alias(
+            "brier"
+        ),
+        F.round(dec_double_wide(F.col("rel_fp")) / F.lit(1e8) / n2, 6).alias(
+            "reliability"
+        ),
+        F.round(dec_double_wide(F.col("res_fp")) / F.lit(1e8) / n2, 6).alias(
+            "resolution"
+        ),
+        F.round(ybar2 * (F.lit(1.0) - ybar2), 6).alias("uncertainty"),
+    )

@@ -131,3 +131,108 @@ def reservoir_sample_per_group(
         .filter(F.col("rk") <= k)
         .select(group_col, key_col, "rk")
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative pmf, capped at k = 6):
+# the multinomial bootstrap's per-row resample count is Poisson(1) in
+# the limit, and a content-hash uniform mapped through these exact
+# double constants is deterministic and engine-portable.
+_POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+
+
+def poisson1_weight_expr(key: Column, replicate: Column) -> Column:
+    """Deterministic Poisson(1) bootstrap weight for (row, replicate):
+    u = md5-bucket(key ‖ replicate)/65536 (the portable hash-sampling
+    uniform — no engine RNG), folded through the Poisson(1) CDF.
+    Capped at 6 (P ≈ 6·10⁻⁴ of mass, standard practice)."""
+    u = hash_bucket_expr(
+        F.concat(key.cast("string"), F.lit("_b"), replicate.cast("string"))
+    ).cast("double") / F.lit(65536.0)
+    w: Column = F.lit(6)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_replicates: int = 32,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+) -> DataFrame:
+    """Distributed Poisson bootstrap percentile CI for the mean — the
+    standard single-pass bootstrap at cluster scale (Chamandy et al.,
+    Google 2012): instead of resampling n rows B times (undistributable),
+    every row draws an independent Poisson(1) count PER REPLICATE from
+    its content hash, so one scan of B·n weighted rows computes all B
+    replicate means, reproducibly on any partitioning.
+
+    Weighted sums are exact decimals (weight ≤ 6 keeps the product in
+    DECIMAL(18,2)·int range); the B-row replicate-mean relation takes
+    its percentile bounds by exact ``percentile_disc`` picks (B is
+    bounded — this is the only ordered step). Output one row:
+    (n_rows, n_replicates, mean_full, ci_lo, ci_hi)."""
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(value_col).cast("decimal(18,2)").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    full = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("__v").cast("decimal(38,2)")).alias("s"),
+    )
+    reps = base.select(
+        "__k",
+        "__v",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_replicates - 1))
+        ).alias("b"),
+    ).select(
+        "b",
+        "__v",
+        poisson1_weight_expr(F.col("__k"), F.col("b")).alias("w"),
+    )
+    per_rep = reps.groupBy("b").agg(
+        F.sum("w").alias("nw"),
+        F.sum(
+            (F.col("__v") * F.col("w").cast("decimal(3,0)")).cast(
+                "decimal(38,2)"
+            )
+        ).alias("sw"),
+    )
+    from .hypotests import dec_double_wide_frac
+
+    means = per_rep.filter(F.col("nw") > 0).select(
+        (
+            dec_double_wide_frac(F.col("sw"))
+            / F.col("nw").cast("double")
+        ).alias("m")
+    )
+    ci = means.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.expr(
+            f"percentile_disc({lo_q}) WITHIN GROUP (ORDER BY m)"
+        ).alias("lo"),
+        F.expr(
+            f"percentile_disc({hi_q}) WITHIN GROUP (ORDER BY m)"
+        ).alias("hi"),
+    )
+    return full.crossJoin(F.broadcast(ci)).select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_reps").cast("long").alias("n_replicates"),
+        F.round(
+            dec_double_wide_frac(F.col("s"))
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("mean_full"),
+        F.round(F.col("lo"), 6).alias("ci_lo"),
+        F.round(F.col("hi"), 6).alias("ci_hi"),
+    )

@@ -554,3 +554,53 @@ def label_centroid_similarity(
             ).alias("cosine"),
         )
     )
+
+
+def pair_cosine_histogram(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bins: int = 20,
+) -> DataFrame:
+    """Histogram of cosine similarities between CONSECUTIVE-id vector
+    pairs — the O(n) embedding-space diagnostic (isotropy/collapse
+    check: a healthy space piles mass near 0, a collapsed one near 1)
+    that stands in for the O(n²) all-pairs histogram. Ids are arbitrary
+    keys, so consecutive pairing is an unbiased deterministic sample of
+    pairs, reproducible on any partitioning (no RNG, no shuffle beyond
+    one self-join on id+1).
+
+    Cosine follows ``cosine_expr``'s fixed sequence (ordered fold,
+    round 6); bins are [-1, 1] in 2/n_bins steps via the scaled-int
+    path (round(c·10⁶) then integer div — no double floor at bin
+    edges). Output per non-empty bin: (bin, lo, hi, cnt)."""
+    a = embeddings.select(
+        F.col(id_col).alias("i"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        (F.col(id_col) - F.lit(1)).alias("i"), F.col(vec_col).alias("vb")
+    )
+    step = int(2_000_000 // n_bins)
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    binned = (
+        a.join(b, "i")
+        .select(cos.alias("c"))
+        .select(
+            F.least(
+                F.lit(n_bins - 1).cast("long"),
+                F.expr(
+                    f"cast(round((c + 1.0) * 1000000.0) as long)"
+                    f" div {step}"
+                ),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = 2.0 / n_bins
+    return binned.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.round(F.lit(-1.0) + F.col("bin") * F.lit(w), 6).alias("lo"),
+        F.round(F.lit(-1.0) + (F.col("bin") + 1) * F.lit(w), 6).alias("hi"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )

@@ -1428,3 +1428,291 @@ def ljung_box_daily(
         ).alias("lb_stat"),
     )
     return _release_caches(result, [daily])
+
+
+def seasonal_decompose_weekday(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Trend + weekday-seasonal decomposition of the daily-total series
+    (the classical-decomposition weekday model): OLS time trend, then
+    per-weekday mean residual as the seasonal effect, then seasonal
+    STRENGTH = 1 − Var(e)/Var(detrended) (Hyndman's FPP definition) —
+    the one-shot "is this metric weekly-periodic and how much"
+    diagnostic.
+
+    Everything runs on the ≤ #days daily relation (one fact shuffle,
+    the _daily_series contract): exact decimal trend moments through
+    the wide split, per-weekday residual sums as floor(e·10⁶) fixed
+    point (order-independent over the bounded grid), and the two
+    residual variances as floor(e²·10⁶) folds. Weekday 0 = Monday
+    (dow = (unix_day + 3) mod 7). Effects are NOT re-centered — they
+    are per-weekday mean residuals around the fitted trend, which is
+    already mean-zero overall (documented convention). Output one row:
+    (n_days, slope, effect_0 … effect_6, seasonal_strength)."""
+    from .hypotests import dec_double, dec_double_wide
+
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+    mn = daily.agg(F.min("day").alias("d0"))
+    based = daily.crossJoin(F.broadcast(mn)).select(
+        "day",
+        "y",
+        (F.col("day") - F.col("d0")).cast("long").alias("x"),
+        ((F.col("day") + F.lit(3)) % F.lit(7)).cast("int").alias("dow"),
+    )
+    mom = based.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,2)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("x")).cast("decimal(38,4)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = dec_double(F.col("sx"))
+    sy = dec_double(F.col("sy"))
+    den = n * dec_double(F.col("sxx")) - sx * sx
+    slope = (n * dec_double(F.col("sxy")) - sx * sy) / den
+    icept = (sy - slope * sx) / n
+    e = F.col("y").cast("double") - (icept + slope * F.col("x").cast("double"))
+    d38 = "decimal(38,0)"
+    resid = based.crossJoin(F.broadcast(mom)).select(
+        "dow",
+        F.floor(e * F.lit(1e6)).cast(d38).alias("e_fp"),
+        slope.alias("b"),
+    )
+    per_dow = resid.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_w"),
+        F.sum("e_fp").alias("se_fp"),
+        F.max("b").alias("b"),
+    )
+    eff = dec_double_wide(F.col("se_fp")) / F.lit(1e6) / F.col(
+        "n_w"
+    ).cast("double")
+    effects = per_dow.groupBy().agg(
+        F.sum("n_w").alias("n_days"),
+        F.round(F.max("b"), 6).alias("slope"),
+        *[
+            F.max(F.when(F.col("dow") == w, F.round(eff, 6))).alias(
+                f"effect_{w}"
+            )
+            for w in range(7)
+        ],
+    )
+    # strength: Var(resid - effect_dow) vs Var(resid), both around their
+    # own means; effects join back per weekday (7-row broadcast)
+    eff_tbl = per_dow.select(
+        "dow", eff.alias("eff")
+    )
+    de = resid.join(F.broadcast(eff_tbl), "dow").select(
+        (dec_double_wide(F.col("e_fp")) / F.lit(1e6)).alias("ev"),
+        (dec_double_wide(F.col("e_fp")) / F.lit(1e6) - F.col("eff")).alias("dv"),
+    )
+    var_fold = de.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum(F.floor(F.col("ev") * F.lit(1e6)).cast(d38)).alias("s_e"),
+        F.sum(F.floor(F.col("ev") * F.col("ev") * F.lit(1e6)).cast(d38)).alias("q_e"),
+        F.sum(F.floor(F.col("dv") * F.lit(1e6)).cast(d38)).alias("s_d"),
+        F.sum(F.floor(F.col("dv") * F.col("dv") * F.lit(1e6)).cast(d38)).alias("q_d"),
+    )
+    nn = F.col("nn").cast("double")
+    var_e = dec_double_wide(F.col("q_e")) / F.lit(1e6) / nn - (
+        dec_double_wide(F.col("s_e")) / F.lit(1e6) / nn
+    ) * (dec_double_wide(F.col("s_e")) / F.lit(1e6) / nn)
+    var_d = dec_double_wide(F.col("q_d")) / F.lit(1e6) / nn - (
+        dec_double_wide(F.col("s_d")) / F.lit(1e6) / nn
+    ) * (dec_double_wide(F.col("s_d")) / F.lit(1e6) / nn)
+    strength = var_fold.select(
+        F.when(
+            var_e > 0,
+            F.round(
+                F.greatest(
+                    F.lit(0.0), F.lit(1.0) - var_d / var_e
+                ),
+                6,
+            ),
+        ).alias("seasonal_strength")
+    )
+    result = effects.crossJoin(F.broadcast(strength))
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])
+
+
+def lagged_xcorr_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lag: int = 1,
+) -> DataFrame:
+    """Lagged cross-correlation between the daily TOTAL VALUE and the
+    daily EVENT COUNT ``lag`` days earlier — the Granger-style "does
+    yesterday's traffic predict today's revenue" screen.
+
+    Both series come out of ONE fact shuffle (count and sum in the
+    same daily aggregate); the lag pairing is a self-join on
+    day = day + lag over the bounded day grid (hash join, no window),
+    and Pearson folds from exact decimal moments through the wide
+    split. Output one row: (n_pairs, lag, xcorr)."""
+    from .hypotests import dec_double_wide, dec_double_wide_frac
+
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    daily = (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(day.alias("day"), F.col(value_col).cast("decimal(18,2)").alias("y"))
+        .groupBy("day")
+        .agg(F.sum("y").alias("y"), F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    daily.count()
+    # narrow the summed daily total back to (18,2) before any product:
+    # Spark's sum widens to (28,2) and a (28,2)^2 blows past precision
+    # 38 (silent rounding under allowPrecisionLoss) — the
+    # gini_concentration rule. Envelope: daily totals < 10^16 cents.
+    y18 = F.col("y").cast("decimal(18,2)")
+    cur = daily.select("day", y18.alias("y"))
+    prev = daily.select((F.col("day") + F.lit(lag)).alias("day"), F.col("c").alias("cp"))
+    pairs = cur.join(prev, "day")
+    mom = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,2)")).alias("sy"),
+        F.sum(F.col("cp").cast("decimal(38,0)")).alias("sc"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("syy"),
+        F.sum((F.col("cp").cast("decimal(19,0)") * F.col("cp").cast("decimal(19,0)")).cast("decimal(38,0)")).alias("scc"),
+        F.sum((F.col("y") * F.col("cp").cast("decimal(19,0)")).cast("decimal(38,2)")).alias("syc"),
+    )
+    n = F.col("n").cast("double")
+    sy = dec_double_wide_frac(F.col("sy"))
+    sc = dec_double_wide(F.col("sc"))
+    cov = n * dec_double_wide_frac(F.col("syc")) - sy * sc
+    vy = n * dec_double_wide_frac(F.col("syy")) - sy * sy
+    vc = n * dec_double_wide(F.col("scc")) - sc * sc
+    result = mom.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.lit(lag).cast("long").alias("lag"),
+        F.when(
+            (vy > 0) & (vc > 0), F.round(cov / F.sqrt(vy * vc), 6)
+        ).alias("xcorr"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])
+
+
+def changepoint_binseg_daily(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Single best change point of the daily-total series by binary
+    segmentation: the split day minimizing SSE_left + SSE_right (the
+    first step of the BinSeg/PELT family, exactly the CART split rule
+    on time) — "when did this metric change regime".
+
+    Prefix sums (S, Q cumulative decimal moments) over the bounded
+    day grid give every candidate split's two SSEs in closed form; the
+    argmin folds as one min over structs keyed by floor(sse·100) with
+    the day as the deterministic tiebreak — no sort, no collect. The
+    last day is excluded (a split needs a non-empty right side).
+    Output one row: (n_days, split_day, sse_total, sse_split, gain)."""
+    from .hypotests import dec_double_wide, dec_double_wide_frac
+
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+    # (18,2) narrowing before the square — the gini_concentration rule
+    # (daily totals < 10^16 cents; sum-widened (28,2)^2 loses exactness)
+    y18 = F.col("y").cast("decimal(18,2)")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("nl"),
+        F.sum(y18.cast("decimal(38,2)")).over(w).alias("sl"),
+        F.sum((y18 * y18).cast("decimal(38,4)")).over(w).alias("ql"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y18.cast("decimal(38,2)")).alias("s"),
+        F.sum((y18 * y18).cast("decimal(38,4)")).alias("q"),
+    )
+    both = pre.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n"))
+    nl = F.col("nl").cast("double")
+    nr = (F.col("n") - F.col("nl")).cast("double")
+    sl = dec_double_wide_frac(F.col("sl"))
+    ql = dec_double_wide_frac(F.col("ql"))
+    s = dec_double_wide_frac(F.col("s"))
+    q = dec_double_wide_frac(F.col("q"))
+    sse_l = ql - sl * sl / nl
+    sse_r = (q - ql) - (s - sl) * (s - sl) / nr
+    sse = sse_l + sse_r
+    sse_fp = F.floor(sse * F.lit(100.0)).cast("decimal(38,0)")
+    best = both.agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.max("q").alias("q"),
+        F.min(
+            F.struct(
+                sse_fp.alias("sse_fp"), F.col("day").alias("day")
+            )
+        ).alias("top"),
+    )
+    n = F.col("n").cast("double")
+    s2 = dec_double_wide_frac(F.col("s"))
+    q2 = dec_double_wide_frac(F.col("q"))
+    sst = q2 - s2 * s2 / n
+    sse_best = dec_double_wide(F.col("top.sse_fp")) / F.lit(100.0)
+    result = best.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("top.day").cast("long").alias("split_day"),
+        (F.floor(sst * F.lit(100.0)) / F.lit(100.0)).alias("sse_total"),
+        sse_best.alias("sse_split"),
+        (
+            F.floor((sst - sse_best) * F.lit(100.0)) / F.lit(100.0)
+        ).alias("gain"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])
+
+
+def theil_u_daily(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Theil's U1 forecastability of the daily-total series: RMSE of
+    the naive y_t = y_{t−1} forecast over (RMS(y_t) + RMS(y_{t−1})).
+    U → 0 means yesterday predicts today; U near 1 means the naive
+    forecast is as bad as predicting zero — the cheap "is this series
+    even forecastable" gate before fitting anything.
+
+    The lag pairing is a self-join on the bounded day grid; the three
+    quadratic sums fold as exact decimals through the wide split.
+    Output one row: (n_pairs, theil_u)."""
+    from .hypotests import dec_double_wide_frac
+
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+    # (18,2) narrowing before products (gini_concentration rule)
+    y18 = F.col("y").cast("decimal(18,2)")
+    cur = daily.select("day", y18.alias("y"))
+    prev = daily.select(
+        (F.col("day") + F.lit(1)).alias("day"), y18.alias("yp")
+    )
+    pairs = cur.join(prev, "day")
+    d = (F.col("y") - F.col("yp")).cast("decimal(18,2)")
+    mom = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((d * d).cast("decimal(38,4)")).alias("sdd"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("syy"),
+        F.sum((F.col("yp") * F.col("yp")).cast("decimal(38,4)")).alias(
+            "spp"
+        ),
+    )
+    n = F.col("n").cast("double")
+    rmse = F.sqrt(dec_double_wide_frac(F.col("sdd")) / n)
+    rms_y = F.sqrt(dec_double_wide_frac(F.col("syy")) / n)
+    rms_p = F.sqrt(dec_double_wide_frac(F.col("spp")) / n)
+    result = mom.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(
+            rms_y + rms_p > 0, F.round(rmse / (rms_y + rms_p), 6)
+        ).alias("theil_u"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])

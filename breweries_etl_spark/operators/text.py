@@ -1039,3 +1039,147 @@ def keyness_llr_top_terms(
     from .dedup import _release_caches
 
     return _release_caches(result, [st])
+
+
+def source_char_ngram_cosine(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-source character-n-gram
+    count profiles — the language/register fingerprint that flags
+    near-duplicate or mislabeled SOURCES before mixing them into a
+    training corpus (char trigrams are the classic lang-id feature;
+    two crawls of the same site cosine near 1).
+
+    One tokenize+count shuffle builds the (source, gram, count)
+    relation; dot products are a self-join ON GRAM (gram-partitioned —
+    never a cross join of raw text), then one aggregate per source
+    pair. The pair relation is #sources², bounded by contract. All
+    sums are exact decimal integers; the one closing division rounds
+    to 6dp. Emits each unordered pair once (source_a < source_b).
+    Output: (source_a, source_b, n_grams_a, n_grams_b, cosine)."""
+    chars = F.split(normalize_text_expr(F.col(text_col)), "")
+    grams = shingled_zip(chars, n)
+    gc = (
+        df.filter(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
+        .select(
+            F.col(source_col).alias("s"),
+            F.explode(
+                F.transform(
+                    grams,
+                    lambda g: F.concat(*[g[str(i)] for i in range(n)]),
+                )
+            ).alias("g"),
+        )
+        .groupBy("s", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    gc.count()
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    norms = gc.groupBy("s").agg(
+        F.sum((F.col("c").cast(d19) * F.col("c").cast(d19)).cast(d38)).alias(
+            "nrm2"
+        ),
+        F.sum("c").alias("n_grams"),
+    )
+    a = gc.select(F.col("s").alias("sa"), "g", F.col("c").alias("ca"))
+    b = gc.select(F.col("s").alias("sb"), "g", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "g")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(
+                (F.col("ca").cast(d19) * F.col("cb").cast(d19)).cast(d38)
+            ).alias("dp")
+        )
+    )
+    from .hypotests import dec_double_wide
+
+    na = norms.select(
+        F.col("s").alias("sa"),
+        F.col("nrm2").alias("na2"),
+        F.col("n_grams").alias("n_grams_a"),
+    )
+    nb = norms.select(
+        F.col("s").alias("sb"),
+        F.col("nrm2").alias("nb2"),
+        F.col("n_grams").alias("n_grams_b"),
+    )
+    result = (
+        dots.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("n_grams_a").cast("long").alias("n_grams_a"),
+            F.col("n_grams_b").cast("long").alias("n_grams_b"),
+            F.round(
+                dec_double_wide(F.col("dp"))
+                / F.sqrt(
+                    dec_double_wide(F.col("na2"))
+                    * dec_double_wide(F.col("nb2"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [gc])
+
+
+def pii_density_by_source(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source PII density: email and phone-number pattern hits per
+    1 000 characters — the triage table that says WHICH ingest source
+    needs redaction (``redact_pii``) before training, and how urgently.
+
+    Same EMAIL_RE/PHONE_RE patterns the redactor applies, so the
+    density measures exactly what redaction would rewrite. One scan,
+    one #sources-row aggregate; integer counts, two round-6 closing
+    ratios. Output per source:
+    (source, n_docs, n_chars, n_emails, n_phones,
+    emails_per_1k_chars, phones_per_1k_chars)."""
+    text = F.col(text_col)
+    per = (
+        df.filter(text.isNotNull() & F.col(source_col).isNotNull())
+        .select(
+            F.col(source_col).alias("source"),
+            F.length(text).alias("nc"),
+            F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).alias(
+                "ne"
+            ),
+            F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)).alias(
+                "np"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nc").alias("n_chars"),
+            F.sum("ne").alias("n_emails"),
+            F.sum("np").alias("n_phones"),
+        )
+    )
+    chars = F.col("n_chars").cast("double")
+    return per.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.round(F.col("n_emails").cast("double") * 1000.0 / chars, 6),
+        ).alias("emails_per_1k_chars"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.round(F.col("n_phones").cast("double") * 1000.0 / chars, 6),
+        ).alias("phones_per_1k_chars"),
+    )
