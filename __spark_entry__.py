@@ -9992,9 +9992,13 @@ SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM d
 """
 
+# one md5 digest carries EIGHT 16-bit uniforms (mirror of
+# sampling.bootstrap_mean_ci's hash economy): digest index b//8,
+# hex slice 4*(b%8)
 _BOOT_U = (
-    "(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '_b'"
-    " || CAST(b AS VARCHAR)), 1, 4) AS BIGINT) / 65536.0)"
+    "(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '_w'"
+    " || CAST(b // 8 AS VARCHAR)), CAST(1 + 4 * (b % 8) AS INTEGER), 4)"
+    " AS BIGINT) / 65536.0)"
 )
 _BOOT_W = f"""(CASE
   WHEN {_BOOT_U} < 0.36787944117144233 THEN 0
