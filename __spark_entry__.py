@@ -9456,6 +9456,18 @@ SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
 FROM d
 """
 
+_FRD_S2 = _ddw(
+    "CAST(CAST(sa AS DECIMAL(19,0)) * CAST(sa AS DECIMAL(19,0))"
+    " AS DECIMAL(38,0))"
+    " + CAST(CAST(sb AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0))"
+    " AS DECIMAL(38,0))"
+    " + CAST(CAST(sc AS DECIMAL(19,0)) * CAST(sc AS DECIMAL(19,0))"
+    " AS DECIMAL(38,0))"
+)
+_FRD_CHI2 = (
+    f"({_FRD_S2} / (4.0 * CAST(n AS DOUBLE)) - 12.0 * CAST(n AS DOUBLE))"
+)
+
 _ORACLES["friedman_order_status"] = f"""
 WITH blocks AS (
   SELECT o_custkey,
@@ -9490,9 +9502,11 @@ SELECT CAST(n AS BIGINT) AS n_blocks,
   CAST(sb AS BIGINT) AS rank2_sum_b,
   CAST(sc AS BIGINT) AS rank2_sum_c,
   CASE WHEN n > 0 THEN
-    round({_ddw("CAST(CAST(sa AS DECIMAL(19,0)) * CAST(sa AS DECIMAL(19,0)) AS DECIMAL(38,0)) + CAST(CAST(sb AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0)) AS DECIMAL(38,0)) + CAST(CAST(sc AS DECIMAL(19,0)) * CAST(sc AS DECIMAL(19,0)) AS DECIMAL(38,0))")}
-          / (4.0 * CAST(n AS DOUBLE)) - 12.0 * CAST(n AS DOUBLE), 6)
-  END AS friedman_chi2
+    round({_FRD_CHI2}, 6)
+  END AS friedman_chi2,
+  CASE WHEN n > 0 THEN
+    round({_FRD_CHI2} / (2.0 * CAST(n AS DOUBLE)), 6)
+  END AS kendalls_w
 FROM s
 """
 
@@ -10039,6 +10053,231 @@ FROM full_ CROSS JOIN ci
 
 
 
+def q_average_precision_order_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact tie-atomic average precision of price vs finished status —
+    the imbalance-honest ranking score beside roc_auc_order_status
+    (operators/hypotests.py:average_precision)."""
+    from breweries_etl_spark.operators.hypotests import average_precision
+
+    return average_precision(
+        load_table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        F.col("o_orderstatus") == "F",
+    )
+
+
+def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficients over the purchase graph at degree
+    thresholds 2/4/8/16 (operators/graph.py:rich_club_coefficients)."""
+    from breweries_etl_spark.operators.graph import rich_club_coefficients
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return rich_club_coefficients(edges)
+
+
+def q_graph_knn_degree_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-neighbor-degree curve (log2 degree buckets) over the
+    purchase graph (operators/graph.py:avg_neighbor_degree_curve)."""
+    from breweries_etl_spark.operators.graph import avg_neighbor_degree_curve
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return avg_neighbor_degree_curve(edges)
+
+
+def q_ece_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected + maximum calibration error scalar gate for the
+    hashed-linear classifier (operators/filtering.py:ece_summary)."""
+    from breweries_etl_spark.operators.filtering import ece_summary
+
+    return ece_summary(load_table(spark, sf_dir, "documents"))
+
+
+def q_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per ingest source from regex word/sentence/
+    vowel-group counts (operators/text.py:readability_by_source)."""
+    from breweries_etl_spark.operators.text import readability_by_source
+
+    return readability_by_source(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLES["average_precision_order_status"] = f"""
+WITH vc AS MATERIALIZED (
+  SELECT o_totalprice AS v,
+    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS cb
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb, ca + cb AS c,
+    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+    SUM(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vc
+), tot AS (SELECT SUM(ca) AS n_pos, SUM(ca + cb) AS n FROM vc),
+folded AS (
+  SELECT max(n_pos) AS n_pos, max(n) AS n,
+    SUM(CAST(floor(1e6 * CAST(ca AS DOUBLE)
+      * (CAST(n_pos - (cum_a - ca) AS DOUBLE)
+         / CAST(n - (cum - c) AS DOUBLE))) AS DECIMAL(38,0))) AS ap_fp
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos,
+  CAST(n - n_pos AS BIGINT) AS n_neg,
+  CASE WHEN n_pos > 0 THEN
+    round({_ddw('ap_fp')} / 1e6 / CAST(n_pos AS DOUBLE), 6)
+  END AS average_precision
+FROM folded
+"""
+
+_ORACLES["graph_rich_club"] = """
+WITH e0 AS (
+  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+), ends AS (
+  SELECT a AS n FROM canon UNION ALL SELECT b AS n FROM canon
+), deg AS (SELECT n, count(*) AS deg FROM ends GROUP BY n),
+ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+n_k0 AS (
+  SELECT k, count(*) AS n_nodes FROM deg CROSS JOIN ks
+  WHERE deg > k GROUP BY k
+), n_k AS (
+  SELECT ks.k, coalesce(n_nodes, 0) AS n_nodes
+  FROM ks LEFT JOIN n_k0 ON ks.k = n_k0.k
+), e_k AS (
+  SELECT k, count(*) AS n_edges
+  FROM canon
+  JOIN deg da ON canon.a = da.n
+  JOIN deg db ON canon.b = db.n
+  CROSS JOIN ks
+  WHERE least(da.deg, db.deg) > k
+  GROUP BY k
+)
+SELECT CAST(n_k.k AS BIGINT) AS k,
+  CAST(n_nodes AS BIGINT) AS n_nodes_above,
+  CAST(coalesce(n_edges, 0) AS BIGINT) AS n_edges_within,
+  CASE WHEN n_nodes > 1 THEN
+    round(2.0 * CAST(coalesce(n_edges, 0) AS DOUBLE)
+          / (CAST(n_nodes AS DOUBLE) * (CAST(n_nodes AS DOUBLE) - 1.0)), 6)
+  END AS rich_club_phi
+FROM n_k LEFT JOIN e_k ON n_k.k = e_k.k
+"""
+
+_ORACLES["graph_knn_degree_curve"] = f"""
+WITH e0 AS (
+  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), both_ AS MATERIALIZED (
+  SELECT DISTINCT src AS u, dst AS v FROM e0
+  UNION SELECT dst AS u, src AS v FROM e0
+), deg AS (SELECT u, count(*) AS deg FROM both_ GROUP BY u),
+per_node AS (
+  SELECT b.u, SUM(dv.deg) AS snd, max(du.deg) AS deg
+  FROM both_ b
+  JOIN deg dv ON b.v = dv.u
+  JOIN deg du ON b.u = du.u
+  GROUP BY b.u
+), per_bucket AS (
+  SELECT CAST(floor(log2(CAST(deg AS DOUBLE))) AS BIGINT) AS deg_bucket,
+    count(*) AS n_nodes,
+    SUM(CAST(floor(1e6 * CAST(snd AS DOUBLE) / CAST(deg AS DOUBLE))
+             AS DECIMAL(38,0))) AS s_fp
+  FROM per_node GROUP BY 1
+)
+SELECT deg_bucket,
+  CAST(pow(2.0, CAST(deg_bucket AS DOUBLE)) AS BIGINT) AS lo_degree,
+  CAST(n_nodes AS BIGINT) AS n_nodes,
+  round({_ddw('s_fp')} / 1e6 / CAST(n_nodes AS DOUBLE), 6)
+    AS avg_neighbor_degree
+FROM per_bucket
+"""
+
+_ORACLES["ece_docs"] = f"""
+WITH scored AS (
+  SELECT {_CLF_SCORE_SQL} AS pred,
+    CASE WHEN {_HEUR_QUALITY_SQL} >= 0.5 THEN 1 ELSE 0 END AS pos
+  FROM documents
+), binned AS (
+  SELECT least(CAST(9 AS BIGINT),
+               CAST(round(pred * 1000000.0) AS BIGINT) // 100000) AS bin,
+         pred, pos
+  FROM scored
+), per_bin AS (
+  SELECT bin, count(*) AS n_b,
+    SUM(CAST(round(pred, 6) AS DECIMAL(18,6))) AS p_sum,
+    SUM(pos) AS pos_b
+  FROM binned GROUP BY bin
+), folded AS (
+  SELECT SUM(n_b) AS n, count(*) AS n_bins_used,
+    SUM(CAST(floor(CAST(n_b AS DOUBLE)
+      * abs({_dd('p_sum')} / CAST(n_b AS DOUBLE)
+            - CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1e8)
+      AS DECIMAL(38,0))) AS ece_fp,
+    max(CAST(floor(abs({_dd('p_sum')} / CAST(n_b AS DOUBLE)
+                       - CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                   * 1e6) AS BIGINT)) AS mce_fp
+  FROM per_bin
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(n_bins_used AS BIGINT) AS n_bins_used,
+  round({_ddw('ece_fp')} / 1e8 / CAST(n AS DOUBLE), 6) AS ece,
+  CAST(mce_fp AS DOUBLE) / 1e6 AS mce
+FROM folded
+"""
+
+_ORACLES["readability_by_source"] = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+    SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS n_words,
+    SUM(greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+      AS n_sentences,
+    SUM(len(regexp_extract_all(text, '[AEIOUYaeiouy]+'))) AS n_syllables
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+  GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  CAST(n_syllables AS BIGINT) AS n_syllables,
+  CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+    round(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE), 6)
+  END AS words_per_sentence,
+  CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+    round(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+  END AS syllables_per_word,
+  CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+    round(206.835
+          - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+          6)
+  END AS flesch_reading_ease
+FROM per
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -10375,6 +10614,11 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_density_by_source": q_pii_density_by_source,
         "token_budget_mix_docs": q_token_budget_mix_docs,
         "bootstrap_mean_orders": q_bootstrap_mean_orders,
+        "average_precision_order_status": q_average_precision_order_status,
+        "graph_rich_club": q_graph_rich_club,
+        "graph_knn_degree_curve": q_graph_knn_degree_curve,
+        "ece_docs": q_ece_docs,
+        "readability_by_source": q_readability_by_source,
     }
 
 

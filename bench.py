@@ -316,6 +316,11 @@ FAMILIES: dict[str, list[str]] = {
         "pii_density_by_source",
         "token_budget_mix_docs",
         "bootstrap_mean_orders",
+        "average_precision_order_status",
+        "graph_rich_club",
+        "graph_knn_degree_curve",
+        "ece_docs",
+        "readability_by_source",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

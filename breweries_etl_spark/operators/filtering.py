@@ -324,3 +324,69 @@ def calibration_bins(
             "abs_gap", F.round(F.abs(F.col("mean_pred") - F.col("frac_positive")), 6)
         )
     )
+
+
+def ece_summary(
+    df: DataFrame,
+    text_col: str = "text",
+    n_bins: int = 10,
+    label_threshold: float = 0.5,
+) -> DataFrame:
+    """Expected and maximum calibration error (Guo et al. 2017) of the
+    hashed-linear classifier vs the heuristic label, as ONE row — the
+    scalar gate a pipeline alarms on, where ``calibration_bins`` is the
+    per-bin diagnostic it drills into.
+
+    Same scan/binning as calibration_bins (scaled-int edges); per-bin
+    gap terms fold as floor(n_b·|p̄_b−ȳ_b|·10⁸) fixed point over the
+    bounded bin relation; MCE is a max over the same bins with a 6-dp
+    floor quantization. Output one row: (n, n_bins_used, ece, mce)."""
+    from .text import quality_score_expr
+
+    text = F.col(text_col)
+    pred = classifier_score_expr(text)
+    label = (quality_score_expr(text) >= F.lit(label_threshold)).cast("long")
+    step = int(1000000 // n_bins)
+    binned = df.select(
+        F.round(pred * F.lit(1000000.0)).cast("long").alias("_scaled"),
+        pred.alias("pred"),
+        label.alias("pos"),
+    ).select(
+        F.least(F.lit(n_bins - 1).cast("long"), F.expr(f"_scaled div {step}"))
+        .alias("bin"),
+        "pred",
+        "pos",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum(F.round(F.col("pred"), 6).cast("decimal(18,6)")).alias(
+            "p_sum"
+        ),
+        F.sum("pos").alias("pos_b"),
+    )
+    from .hypotests import dec_double, dec_double_wide
+
+    nb = F.col("n_b").cast("double")
+    gap = F.abs(
+        dec_double(F.col("p_sum")) / nb
+        - F.col("pos_b").cast("double") / nb
+    )
+    folded = per_bin.agg(
+        F.sum("n_b").alias("n"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+        F.sum(
+            F.floor(nb * gap * F.lit(1e8)).cast("decimal(38,0)")
+        ).alias("ece_fp"),
+        F.max(F.floor(gap * F.lit(1e6)).cast("long")).alias("mce_fp"),
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_bins_used").cast("long").alias("n_bins_used"),
+        F.round(
+            dec_double_wide(F.col("ece_fp"))
+            / F.lit(1e8)
+            / F.col("n").cast("double"),
+            6,
+        ).alias("ece"),
+        (F.col("mce_fp").cast("double") / F.lit(1e6)).alias("mce"),
+    )

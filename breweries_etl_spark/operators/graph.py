@@ -998,3 +998,145 @@ def harmonic_centrality_from(
             6,
         ).alias("harmonic_centrality"),
     )
+
+
+def rich_club_coefficients(
+    pairs: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ks: tuple[int, ...] = (2, 4, 8, 16),
+) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) for a bounded
+    grid of degree thresholds — do the hubs preferentially connect to
+    each other (protocol/citation-style) or not? The degree-stratified
+    companion to ``degree_assortativity``'s single number.
+
+    One degree aggregate decorates the canonical edge list (shuffle
+    joins — the degree map is node-sized); the bounded k grid explodes
+    per edge/node (|grid| ≤ 4 copies — a constant factor, not a data
+    blowup), so E_k and N_k for every k fold in ONE aggregate each.
+    Exact integer ratio closes in round-6 doubles. Output per k:
+    (k, n_nodes_above, n_edges_within, rich_club_phi)."""
+    canon = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    canon.count()
+    ends = canon.select(F.col("a").alias("n")).unionAll(
+        canon.select(F.col("b").alias("n"))
+    )
+    deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    kgrid = F.array(*[F.lit(int(k)) for k in ks])
+    # the k grid is a literal relation so thresholds ABOVE the max
+    # degree still emit a (k, 0, 0, NULL) row — absent rows would make
+    # the output shape depend on the data
+    kdf = pairs.sparkSession.createDataFrame(
+        [(int(k),) for k in ks], "k int"
+    )
+    n_k0 = (
+        deg.select("deg", F.explode(kgrid).alias("k"))
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    n_k = kdf.join(n_k0, "k", "left").select(
+        "k", F.coalesce(F.col("n_nodes"), F.lit(0)).alias("n_nodes")
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("db"))
+    e_k = (
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.least(F.col("da"), F.col("db")).alias("dmin"),
+            F.explode(kgrid).alias("k"),
+        )
+        .filter(F.col("dmin") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    out = (
+        n_k.join(e_k, "k", "left")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_nodes").cast("long").alias("n_nodes_above"),
+            F.coalesce(F.col("n_edges"), F.lit(0))
+            .cast("long")
+            .alias("n_edges_within"),
+            F.when(
+                F.col("n_nodes") > 1,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce(F.col("n_edges"), F.lit(0)).cast("double")
+                    / (
+                        F.col("n_nodes").cast("double")
+                        * (F.col("n_nodes").cast("double") - F.lit(1.0))
+                    ),
+                    6,
+                ),
+            ).alias("rich_club_phi"),
+        )
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(out, [canon])
+
+
+def avg_neighbor_degree_curve(
+    pairs: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """knn(d): mean over degree-d nodes of their neighbors' average
+    degree, log2-bucketed in d — THE curve behind assortativity (rising
+    = hubs link hubs; falling = hub-and-spoke), read per degree scale
+    instead of as one correlation.
+
+    Degrees decorate the directed-both-ways edge list by shuffle join;
+    per-node neighbor-degree sums are one aggregate; the per-node mean
+    folds into its log2(d) bucket as floor(10⁶·sum/deg) fixed point
+    (exact integer inputs, deterministic IEEE division). Output per
+    bucket: (deg_bucket, lo_degree, n_nodes, avg_neighbor_degree)."""
+    both = pairs.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).unionAll(
+        pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    ).distinct()
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dv"))
+    per_node = (
+        both.join(dv, "v")
+        .groupBy("u")
+        .agg(F.sum("dv").alias("snd"))
+        .join(deg, "u")
+    )
+    bucket = F.floor(F.log2(F.col("deg").cast("double"))).cast("long")
+    mean_fp = F.floor(
+        F.lit(1e6) * F.col("snd").cast("double") / F.col("deg").cast("double")
+    ).cast("decimal(38,0)")
+    from ..operators.hypotests import dec_double_wide
+
+    per_bucket = per_node.select(
+        bucket.alias("deg_bucket"), mean_fp.alias("m_fp")
+    ).groupBy("deg_bucket").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("m_fp").alias("s_fp"),
+    )
+    return per_bucket.select(
+        "deg_bucket",
+        F.pow(F.lit(2.0), F.col("deg_bucket").cast("double"))
+        .cast("long")
+        .alias("lo_degree"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.round(
+            dec_double_wide(F.col("s_fp"))
+            / F.lit(1e6)
+            / F.col("n_nodes").cast("double"),
+            6,
+        ).alias("avg_neighbor_degree"),
+    )

@@ -2442,12 +2442,17 @@ def friedman_3(
     ).cast("decimal(38,0)")
     s2 = sq("sa") + sq("sb") + sq("sc")
     chi2 = dec_double_wide(s2) / (F.lit(4.0) * n) - F.lit(12.0) * n
+    # Kendall's W coefficient of concordance: W = chi2 / (n·(k−1)),
+    # the [0,1] effect size companion to the chi2 significance number
     return sums.select(
         F.col("n").cast("long").alias("n_blocks"),
         F.col("sa").cast("long").alias("rank2_sum_a"),
         F.col("sb").cast("long").alias("rank2_sum_b"),
         F.col("sc").cast("long").alias("rank2_sum_c"),
         F.when(F.col("n") > 0, F.round(chi2, 6)).alias("friedman_chi2"),
+        F.when(
+            F.col("n") > 0, F.round(chi2 / (F.lit(2.0) * n), 6)
+        ).alias("kendalls_w"),
     )
 
 
@@ -2688,3 +2693,55 @@ def brier_decomposition(
         ),
         F.round(ybar2 * (F.lit(1.0) - ybar2), 6).alias("uncertainty"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Average precision (the exact area under the PR curve's step
+    interpolation) — the single-number ranking score that, unlike ROC
+    AUC, stays honest under heavy class imbalance (the corpus-filter
+    regime, where negatives are ~everything).
+
+    Tie convention (documented): a tied score block enters the ranking
+    ATOMICALLY, so each positive in the block contributes the
+    precision measured at the whole block's threshold —
+    AP = Σ_v ca_v · P(v) / n_pos with P(v) = (#pos ≥ v)/(#all ≥ v),
+    both pure prefix-count reads. Per-value terms fold as
+    floor(10⁶·ca·P) fixed point (deterministic IEEE on both engines).
+    Output one row: (n_pos, n_neg, average_precision)."""
+    pc = grouped_value_prefix_counts(df, score_col, label_expr, n_buckets)
+    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
+        F.sum("ca").alias("n_pos"),
+        F.sum(F.col("ca") + F.col("cb")).alias("n"),
+    )
+    cum = F.col("cum_a") + F.col("cum_b")
+    c = F.col("ca") + F.col("cb")
+    ge_pos = (F.col("n_pos") - (F.col("cum_a") - F.col("ca"))).cast("double")
+    ge_all = (F.col("n") - (cum - c)).cast("double")
+    term_fp = F.floor(
+        F.lit(1e6) * F.col("ca").cast("double") * (ge_pos / ge_all)
+    ).cast("decimal(38,0)")
+    folded = pc.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n").alias("n"),
+        F.sum(term_fp).alias("ap_fp"),
+    )
+    result = folded.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(
+                dec_double_wide(F.col("ap_fp"))
+                / F.lit(1e6)
+                / F.col("n_pos").cast("double"),
+                6,
+            ),
+        ).alias("average_precision"),
+    )
+    return _released(result, pc, release)

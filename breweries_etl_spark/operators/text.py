@@ -1183,3 +1183,69 @@ def pii_density_by_source(
             F.round(F.col("n_phones").cast("double") * 1000.0 / chars, 6),
         ).alias("phones_per_1k_chars"),
     )
+
+
+# Vowel groups approximate syllables (the classic cheap heuristic);
+# y counts as a vowel. Dialect-portable explicit class.
+VOWEL_GROUP_RE = "[AEIOUYaeiouy]+"
+SENTENCE_RE = "[.!?]+"
+
+
+def readability_by_source(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading ease per source, from the classic regex
+    approximations (sentences = [.!?]+ runs, syllables = vowel groups):
+    FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) —
+    the corpus-mix readability profile (is src7 legalese or chat?).
+
+    All three counts are exact integers summed per source; docs with
+    no sentence mark count as one sentence (documented convention).
+    One scan, one #sources-row aggregate, two round-6 ratios and the
+    final FRE. Output per source: (source, n_docs, n_words,
+    n_sentences, n_syllables, words_per_sentence, syllables_per_word,
+    flesch_reading_ease)."""
+    text = F.col(text_col)
+    words = F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(SENTENCE_RE), 0)), F.lit(1)
+    )
+    sylls = F.size(F.regexp_extract_all(text, F.lit(VOWEL_GROUP_RE), 0))
+    per = (
+        df.filter(text.isNotNull() & F.col(source_col).isNotNull())
+        .select(
+            F.col(source_col).alias("source"),
+            words.alias("w"),
+            sents.alias("s"),
+            sylls.alias("y"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("n_words"),
+            F.sum("s").alias("n_sentences"),
+            F.sum("y").alias("n_syllables"),
+        )
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast(
+        "double"
+    )
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    ok = (F.col("n_words") > 0) & (F.col("n_sentences") > 0)
+    return per.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        F.when(ok, F.round(wps, 6)).alias("words_per_sentence"),
+        F.when(ok, F.round(spw, 6)).alias("syllables_per_word"),
+        F.when(
+            ok,
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+            ),
+        ).alias("flesch_reading_ease"),
+    )

@@ -363,3 +363,107 @@ def test_poisson1_weights_distribution(spark):
     assert rows[1] / n == pytest.approx(0.3679, abs=0.02)
     mean = sum(k * v for k, v in rows.items()) / n
     assert mean == pytest.approx(1.0, abs=0.05)
+
+
+def test_average_precision_perfect_ranking(spark):
+    """All positives outscore all negatives: AP = 1. Reversed: AP =
+    n_pos-weighted harmonic-ish sum < 0.5."""
+    from breweries_etl_spark.operators.hypotests import average_precision
+
+    rows = [(float(i), i >= 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, pos boolean")
+    r = average_precision(df, "score", F.col("pos"), release=False).collect()[0]
+    assert r["n_pos"] == 50 and r["n_neg"] == 50
+    assert r["average_precision"] == pytest.approx(1.0)
+    rev = spark.createDataFrame(
+        [(float(i), i < 50) for i in range(100)], "score double, pos boolean"
+    )
+    r2 = average_precision(rev, "score", F.col("pos"), release=False).collect()[0]
+    assert r2["average_precision"] < 0.5
+
+
+def test_average_precision_tie_atomic(spark):
+    """One tied block, half positive: AP = precision of the block."""
+    from breweries_etl_spark.operators.hypotests import average_precision
+
+    df = spark.createDataFrame(
+        [(1.0, True), (1.0, False), (1.0, True), (1.0, False)],
+        "score double, pos boolean",
+    )
+    r = average_precision(df, "score", F.col("pos"), release=False).collect()[0]
+    assert r["average_precision"] == pytest.approx(0.5)
+
+
+def test_kendalls_w_range(spark):
+    from breweries_etl_spark.operators.hypotests import friedman_3
+
+    # perfect concordance: W = 1
+    df = spark.createDataFrame(
+        [(i, 1.0, 2.0, 3.0) for i in range(5)],
+        "b long, xa double, xb double, xc double",
+    )
+    r = friedman_3(df, "b", F.col("xa"), F.col("xb"), F.col("xc")).collect()[0]
+    assert r["kendalls_w"] == pytest.approx(1.0)
+
+
+def test_rich_club_star_vs_clique(spark):
+    """A 5-clique: every node has degree 4, so phi(2) = 1 (all edges
+    among deg>2 nodes, complete)."""
+    from breweries_etl_spark.operators.graph import rich_club_coefficients
+
+    clique = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+    df = spark.createDataFrame(clique, "src long, dst long")
+    rows = {r["k"]: r for r in rich_club_coefficients(df, ks=(2, 4)).collect()}
+    assert rows[2]["n_nodes_above"] == 5
+    assert rows[2]["rich_club_phi"] == pytest.approx(1.0)
+    assert rows[4]["n_nodes_above"] == 0
+
+
+def test_avg_neighbor_degree_star(spark):
+    """Star graph: center degree 4 (bucket 2) has avg-neighbor-degree
+    1; each leaf (bucket 0) sees the center's 4."""
+    from breweries_etl_spark.operators.graph import avg_neighbor_degree_curve
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    rows = {r["deg_bucket"]: r for r in avg_neighbor_degree_curve(df).collect()}
+    assert rows[2]["n_nodes"] == 1
+    assert rows[2]["avg_neighbor_degree"] == pytest.approx(1.0)
+    assert rows[0]["n_nodes"] == 4
+    assert rows[0]["avg_neighbor_degree"] == pytest.approx(4.0)
+
+
+def test_ece_perfectly_calibrated(spark):
+    """Synthetic text fixture where the scan runs; just pin the
+    identity ECE <= MCE and the row count."""
+    from breweries_etl_spark.operators.filtering import ece_summary
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog. " * (i % 5 + 1))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    r = ece_summary(df).collect()[0]
+    assert r["n"] == 40
+    assert 0.0 <= r["ece"] <= r["mce"] <= 1.0
+
+
+def test_readability_simple_vs_complex(spark):
+    """Short simple sentences score higher FRE than polysyllabic runs."""
+    from breweries_etl_spark.operators.text import readability_by_source
+
+    simple = "The cat sat. The dog ran. It is fun. We go now."
+    complx = (
+        "Extraordinarily sophisticated representational methodologies "
+        "necessitate unambiguously comprehensive institutional "
+        "reorganization."
+    )
+    df = spark.createDataFrame(
+        [(1, simple, "simple"), (2, complx, "complex")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in readability_by_source(df).collect()}
+    assert rows["simple"]["flesch_reading_ease"] > 80
+    assert rows["complex"]["flesch_reading_ease"] < 0
+    assert rows["simple"]["n_sentences"] == 4
