@@ -10278,6 +10278,277 @@ FROM per
 
 
 
+def q_g_test_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Likelihood-ratio G test of linestatus x returnflag independence
+    — the log-linear dual of cramers_v_status_flag
+    (operators/hypotests.py:g_test_contingency)."""
+    from breweries_etl_spark.operators.hypotests import g_test_contingency
+
+    return g_test_contingency(
+        load_table(spark, sf_dir, "lineitem"), "l_linestatus", "l_returnflag"
+    )
+
+
+def q_ordinal_assoc_qty_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Goodman-Kruskal gamma + both Somers' D directions for quantity
+    vs discount — the tie-handling family around kendall_tau_b
+    (operators/hypotests.py:ordinal_association)."""
+    from breweries_etl_spark.operators.hypotests import ordinal_association
+
+    return ordinal_association(
+        load_table(spark, sf_dir, "lineitem"), "l_quantity", "l_discount"
+    )
+
+
+def q_yuen_trimmed_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen 20%-trimmed-mean robust t of price, returned vs other —
+    trimmed/winsorized moments in integer cents off the prefix-count
+    primitive (operators/hypotests.py:yuen_trimmed_t)."""
+    from breweries_etl_spark.operators.hypotests import yuen_trimmed_t
+
+    return yuen_trimmed_t(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        F.col("l_returnflag") == "R",
+    )
+
+
+def q_allen_session_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen-algebra relation profile of cross-user concurrent session
+    pairs (operators/rangejoin.py:allen_relation_counts)."""
+    from breweries_etl_spark.operators.rangejoin import allen_relation_counts
+
+    return allen_relation_counts(load_events(spark, sf_dir))
+
+
+def q_monotonicity_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type monotonicity audit of each user's value sequence
+    (operators/quality.py:monotonicity_violations)."""
+    from breweries_etl_spark.operators.quality import monotonicity_violations
+
+    return monotonicity_violations(load_events(spark, sf_dir))
+
+
+_ORACLES["g_test_status_flag"] = f"""
+WITH cells AS MATERIALIZED (
+  SELECT l_linestatus AS a, l_returnflag AS b, count(*) AS o
+  FROM lineitem
+  WHERE l_linestatus IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1, 2
+), ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
+cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
+tot AS (
+  SELECT SUM(o) AS n, count(DISTINCT a) AS ka, count(DISTINCT b) AS kb
+  FROM cells
+), g AS (
+  SELECT SUM(CAST(floor(2.0 * CAST(o AS DOUBLE)
+    * ln(CAST(o AS DOUBLE)
+         / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+    * 1e6) AS DECIMAL(38,0))) AS g_fp
+  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(ka AS BIGINT) AS n_cat_a,
+  CAST(kb AS BIGINT) AS n_cat_b,
+  CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+  CASE WHEN (ka - 1) * (kb - 1) > 0 THEN
+    round({_ddw('g_fp')} / 1e6, 4)
+  END AS g_stat
+FROM tot CROSS JOIN g
+"""
+
+_ORACLES["ordinal_assoc_qty_discount"] = f"""
+WITH cells AS MATERIALIZED (
+  SELECT l_quantity AS x, l_discount AS y, count(*) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT
+    SUM(CASE WHEN a.y < b.y THEN
+      CAST(CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0))
+           AS DECIMAL(38,0)) END) AS nc0,
+    SUM(CASE WHEN a.y > b.y THEN
+      CAST(CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0))
+           AS DECIMAL(38,0)) END) AS nd0
+  FROM cells a JOIN cells b ON a.x < b.x
+), tx AS (SELECT x, SUM(c) AS t FROM cells GROUP BY x),
+ty AS (SELECT y, SUM(c) AS t FROM cells GROUP BY y),
+tiex AS (
+  SELECT SUM(CAST(CAST(t AS DECIMAL(19,0)) * (CAST(t AS DECIMAL(19,0)) - 1)
+                  AS DECIMAL(38,0))) AS tie2x FROM tx
+), tiey AS (
+  SELECT SUM(CAST(CAST(t AS DECIMAL(19,0)) * (CAST(t AS DECIMAL(19,0)) - 1)
+                  AS DECIMAL(38,0))) AS tie2y FROM ty
+), tot AS (SELECT SUM(c) AS n, count(*) AS n_cells FROM cells),
+f AS (
+  SELECT n, n_cells,
+    {_ddw("coalesce(nc0, CAST(0 AS DECIMAL(38,0)))")} AS ncd,
+    {_ddw("coalesce(nd0, CAST(0 AS DECIMAL(38,0)))")} AS ndd,
+    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+      - {_ddw('tie2x')} AS den_yx,
+    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+      - {_ddw('tie2y')} AS den_xy
+  FROM tot CROSS JOIN pairs CROSS JOIN tiex CROSS JOIN tiey
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+  CASE WHEN ncd + ndd > 0 THEN round((ncd - ndd) / (ncd + ndd), 6) END
+    AS gamma,
+  CASE WHEN den_yx > 0 THEN round(2.0 * (ncd - ndd) / den_yx, 6) END
+    AS somers_dyx,
+  CASE WHEN den_xy > 0 THEN round(2.0 * (ncd - ndd) / den_xy, 6) END
+    AS somers_dxy
+FROM f
+"""
+
+_YUEN_TRIM = "0.2"
+
+
+def _yuen_side(side: str) -> str:
+    """Per-side trimmed/winsorized integer-cent moment folds (twin of
+    hypotests.yuen_trimmed_t's side_moments)."""
+    c = f"c{side}"
+    cum = f"cum_{side}"
+    n = f"n_{side}"
+    # floor over the DOUBLE product, exactly as Spark computes g =
+    # floor(n * trim) — a decimal 0.2 here could disagree at n%5==0
+    gq = f"CAST(floor(CAST({n} AS DOUBLE) * {_YUEN_TRIM}) AS DECIMAL(19,0))"
+    ov = (
+        f"greatest(least({cum}, CAST({n} AS DECIMAL(19,0))"
+        f" - {gq})"
+        f" - greatest({cum} - {c} + 1,"
+        f" {gq} + 1) + 1,"
+        f" CAST(0 AS DECIMAL(19,0)))"
+    )
+    lo = f"({gq} + 1)"
+    hi = (
+        f"(CAST({n} AS DECIMAL(19,0))"
+        f" - {gq})"
+    )
+    return f"""
+    SUM(CAST(vi * {ov} AS DECIMAL(38,0))) AS ts_{side},
+    SUM(CAST(CAST(vi * vi AS DECIMAL(38,0)) * {ov} AS DECIMAL(38,0)))
+      AS tq_{side},
+    min(CASE WHEN {cum} >= {lo} THEN vi END) AS vlo_{side},
+    min(CASE WHEN {cum} >= {hi} THEN vi END) AS vhi_{side}"""
+
+
+def _yuen_close(side: str) -> str:
+    n = f"CAST(n_{side} AS DOUBLE)"
+    g = f"floor({n} * {_YUEN_TRIM})"
+    h = f"({n} - 2.0 * {g})"
+    ts = f"({_ddw(f'ts_{side}')} / 100.0)"
+    tq = f"({_ddw(f'tq_{side}')} / 1e4)"
+    vlo = f"(CAST(vlo_{side} AS DOUBLE) / 100.0)"
+    vhi = f"(CAST(vhi_{side} AS DOUBLE) / 100.0)"
+    wsum = f"({ts} + {g} * {vlo} + {g} * {vhi})"
+    wsq = f"({tq} + {g} * {vlo} * {vlo} + {g} * {vhi} * {vhi})"
+    s2w = f"(({wsq} - {wsum} * {wsum} / {n}) / ({n} - 1.0))"
+    d = f"({s2w} * ({n} - 1.0) / ({h} * ({h} - 1.0)))"
+    return h, f"({ts} / {h})", d
+
+
+_YH_A, _YTM_A, _YD_A = _yuen_close("a")
+_YH_B, _YTM_B, _YD_B = _yuen_close("b")
+
+_ORACLES["yuen_trimmed_price_flag"] = f"""
+WITH vc AS MATERIALIZED (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca0,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS cb0
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), cum0 AS (
+  SELECT v,
+    CAST(v * 100 AS DECIMAL(19,0)) AS vi,
+    CAST(ca0 AS DECIMAL(19,0)) AS ca, CAST(cb0 AS DECIMAL(19,0)) AS cb,
+    CAST(SUM(ca0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         AS DECIMAL(19,0)) AS cum_a,
+    CAST(SUM(cb0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         AS DECIMAL(19,0)) AS cum_b
+  FROM vc
+), tot AS (SELECT SUM(ca0) AS n_a, SUM(cb0) AS n_b FROM vc),
+folded AS (
+  SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+{_yuen_side("a")},
+{_yuen_side("b")}
+  FROM cum0 CROSS JOIN tot
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST({_YH_A} AS BIGINT) AS h_a,
+  CAST({_YH_B} AS BIGINT) AS h_b,
+  round({_YTM_A}, 6) AS tmean_a,
+  round({_YTM_B}, 6) AS tmean_b,
+  CASE WHEN {_YH_A} > 1 AND {_YH_B} > 1 AND {_YD_A} + {_YD_B} > 0 THEN
+    round(({_YTM_A} - {_YTM_B}) / sqrt({_YD_A} + {_YD_B}), 6)
+  END AS yuen_t,
+  CASE WHEN {_YH_A} > 1 AND {_YH_B} > 1 AND {_YD_A} + {_YD_B} > 0 THEN
+    round(({_YD_A} + {_YD_B}) * ({_YD_A} + {_YD_B})
+          / ({_YD_A} * {_YD_A} / ({_YH_A} - 1.0)
+             + {_YD_B} * {_YD_B} / ({_YH_B} - 1.0)), 6)
+  END AS df
+FROM folded
+"""
+
+_ORACLES["allen_session_relations"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+    lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e
+), sess AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), s AS (
+  SELECT user_id, min(us) AS s_us, max(us) AS e_us
+  FROM sess GROUP BY user_id, session_id
+), p AS (
+  SELECT a.s_us AS ls, a.e_us AS le, b.s_us AS rs, b.e_us AS re_
+  FROM s a JOIN s b
+    ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+)
+SELECT CASE
+    WHEN ls = rs AND le = re_ THEN 'equals'
+    WHEN ls = rs THEN 'starts'
+    WHEN le = re_ THEN 'finishes'
+    WHEN ls < rs AND re_ < le THEN 'contains'
+    WHEN rs < ls AND le < re_ THEN 'contains'
+    ELSE 'overlaps' END AS relation,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1
+"""
+
+_ORACLES["monotonicity_user_value"] = """
+WITH o AS (
+  SELECT event_type AS g, value,
+    lag(value) OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS prev
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL
+), per AS (
+  SELECT g, count(*) AS n_rows,
+    SUM(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS n_pairs,
+    SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END)
+      AS n_violations
+  FROM o GROUP BY g
+)
+SELECT g AS event_type, CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(n_pairs AS BIGINT) AS n_pairs,
+  CAST(n_violations AS BIGINT) AS n_violations,
+  CASE WHEN n_pairs > 0 THEN
+    round(CAST(n_violations AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+  END AS violation_rate
+FROM per
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -10619,6 +10890,11 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_knn_degree_curve": q_graph_knn_degree_curve,
         "ece_docs": q_ece_docs,
         "readability_by_source": q_readability_by_source,
+        "g_test_status_flag": q_g_test_status_flag,
+        "ordinal_assoc_qty_discount": q_ordinal_assoc_qty_discount,
+        "yuen_trimmed_price_flag": q_yuen_trimmed_price_flag,
+        "allen_session_relations": q_allen_session_relations,
+        "monotonicity_user_value": q_monotonicity_user_value,
     }
 
 

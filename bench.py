@@ -321,6 +321,11 @@ FAMILIES: dict[str, list[str]] = {
         "graph_knn_degree_curve",
         "ece_docs",
         "readability_by_source",
+        "g_test_status_flag",
+        "ordinal_assoc_qty_discount",
+        "yuen_trimmed_price_flag",
+        "allen_session_relations",
+        "monotonicity_user_value",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [

@@ -2745,3 +2745,243 @@ def average_precision(
         ).alias("average_precision"),
     )
     return _released(result, pc, release)
+
+
+def g_test_contingency(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Likelihood-ratio (G) test of independence for two categorical
+    columns: G = 2·Σ o·ln(o/e) — the log-linear dual of ``cramers_v``'s
+    Pearson χ², preferred when cells are small-but-nonzero or the
+    analysis continues into log-linear models (G decomposes additively
+    over nested models; χ² does not).
+
+    Same one-pass contingency shape as cramers_v, but only OBSERVED
+    cells contribute (o·ln(o/e) → 0 as o → 0, so structural zeros add
+    exactly nothing — no margin grid needed). Per-cell terms fold as
+    floor(2·o·ln(o/e)·10⁶) fixed point; ln of a ratio of exact integer
+    counts is the same IEEE sequence on both engines. Output one row:
+    (n, n_cat_a, n_cat_b, dof, g_stat)."""
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+        .persist()
+    )
+    cells.count()
+    ra = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("a").alias("ka"),
+        F.countDistinct("b").alias("kb"),
+    )
+    e = (
+        F.col("ra").cast("double")
+        * F.col("cb").cast("double")
+        / F.col("n").cast("double")
+    )
+    o = F.col("o").cast("double")
+    term = F.floor(F.lit(2.0) * o * F.log(o / e) * F.lit(1e6)).cast(
+        "decimal(38,0)"
+    )
+    g = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot.select("n")))
+        .agg(F.sum(term).alias("g_fp"))
+    )
+    dof = (F.col("ka") - 1) * (F.col("kb") - 1)
+    result = tot.crossJoin(F.broadcast(g)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("ka").cast("long").alias("n_cat_a"),
+        F.col("kb").cast("long").alias("n_cat_b"),
+        dof.cast("long").alias("dof"),
+        F.when(
+            dof > 0,
+            F.round(dec_double_wide(F.col("g_fp")) / F.lit(1e6), 4),
+        ).alias("g_stat"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [cells])
+
+
+def ordinal_association(
+    df: DataFrame, x_col: str, y_col: str, release: bool = True
+) -> DataFrame:
+    """Goodman–Kruskal gamma and both Somers' D directions for two
+    ORDINAL columns — the tie-handling family around ``kendall_tau_b``
+    (gamma ignores all ties; D_yx penalizes only y-ties: the right
+    asymmetric measure when x is the predictor), from the SAME bounded
+    cell-grid machinery: concordant/discordant pair counts via one
+    self-join of the (x,y) contingency relation.
+
+    gamma = (nc−nd)/(nc+nd);
+    D_yx = 2(nc−nd)/(n(n−1) − Σt_x(t_x−1));
+    D_xy = 2(nc−nd)/(n(n−1) − Σt_y(t_y−1)).
+    All counts exact DECIMAL(38,0); three round-6 closing ratios.
+    Output one row: (n, n_cells, gamma, somers_dyx, somers_dxy)."""
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    cells = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    cells.count()
+    a = cells.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("c").alias("c1")
+    )
+    b = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("c").alias("c2")
+    )
+    prod = (F.col("c1").cast(d19) * F.col("c2").cast(d19)).cast(d38)
+    pairs = a.join(b, F.col("x1") < F.col("x2")).agg(
+        F.sum(F.when(F.col("y1") < F.col("y2"), prod)).alias("nc"),
+        F.sum(F.when(F.col("y1") > F.col("y2"), prod)).alias("nd"),
+    )
+    pair2 = lambda t: (t.cast(d19) * (t.cast(d19) - 1)).cast(d38)  # noqa: E731
+    tie_x = cells.groupBy("x").agg(F.sum("c").alias("t")).agg(
+        F.sum(pair2(F.col("t"))).alias("tie2x")
+    )
+    tie_y = cells.groupBy("y").agg(F.sum("c").alias("t")).agg(
+        F.sum(pair2(F.col("t"))).alias("tie2y")
+    )
+    tot = cells.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    folded = (
+        tot.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(tie_x))
+        .crossJoin(F.broadcast(tie_y))
+    )
+    nc = F.coalesce(F.col("nc"), F.lit(0).cast(d38))
+    nd = F.coalesce(F.col("nd"), F.lit(0).cast(d38))
+    ncd = dec_double_wide(nc)
+    ndd = dec_double_wide(nd)
+    nn = F.col("n").cast("double")
+    n0_2 = nn * (nn - F.lit(1.0))
+    den_yx = n0_2 - dec_double_wide(F.col("tie2x"))
+    den_xy = n0_2 - dec_double_wide(F.col("tie2y"))
+    result = folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.when(ncd + ndd > 0, F.round((ncd - ndd) / (ncd + ndd), 6)).alias(
+            "gamma"
+        ),
+        F.when(
+            den_yx > 0, F.round(F.lit(2.0) * (ncd - ndd) / den_yx, 6)
+        ).alias("somers_dyx"),
+        F.when(
+            den_xy > 0, F.round(F.lit(2.0) * (ncd - ndd) / den_xy, 6)
+        ).alias("somers_dxy"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [cells]) if release else result
+
+
+def yuen_trimmed_t(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    trim: float = 0.2,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Yuen's trimmed-mean two-sample t test — the robust replacement
+    for Welch when tails are heavy: compare 20%-trimmed means with
+    winsorized variances and Welch-style degrees of freedom (Yuen
+    1974; the default robust location test in modern texts).
+
+    Everything derives from the grouped prefix-count relation, no
+    sort: per side, the trim window is ranks [g+1, n−g] with
+    g = ⌊trim·n⌋; each tied block contributes its positional OVERLAP
+    with the window (clamp arithmetic, exact integers ×
+    decimal(18,2) values); the cut values v_lo/v_hi are min-v reads at
+    the boundary ranks; winsorized moments add g copies of each cut.
+    t = (m̄t_a − m̄t_b)/√(d_a+d_b), d = s²_w(n−1)/(h(h−1)) with
+    h = n−2g; df is Welch–Satterthwaite over the d's.
+
+    All block moments run in INTEGER CENTS (vi = 100·v as
+    DECIMAL(19,0)): a three-factor decimal product with a fractional
+    scale would exceed precision 38 and silently lose scale digits;
+    integer decimals only ever overflow-to-NULL, never round, and
+    Σvi²·ov ≤ 10²⁴ sits inside the wide 10²⁷ envelope. Output one row:
+    (n_a, n_b, h_a, h_b, tmean_a, tmean_b, yuen_t, df)."""
+    vq = F.col(value_col).cast("decimal(18,2)")
+    base = df.select(vq.alias("__v"), group_expr.alias("__g")).filter(
+        F.col("__v").isNotNull()
+    )
+    pc = grouped_value_prefix_counts(base, "__v", F.col("__g"), n_buckets)
+    vc = pc._vc_cache  # type: ignore[attr-defined]
+    tot = vc.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    vi = (F.col("v") * F.lit(100)).cast(d19)
+
+    def side_moments(side: str):
+        c = F.col(f"c{side}").cast(d19)
+        cum = F.col(f"cum_{side}").cast(d19)
+        n = F.col(f"n_{side}")
+        g = F.floor(n * F.lit(trim)).cast(d19)
+        lo = g + F.lit(1).cast(d19)
+        hi = n.cast(d19) - g
+        blk_lo = cum - c + F.lit(1).cast(d19)
+        ov = F.greatest(
+            F.least(cum, hi) - F.greatest(blk_lo, lo) + F.lit(1).cast(d19),
+            F.lit(0).cast(d19),
+        )
+        tsum = F.sum((vi * ov).cast(d38)).alias(f"ts_{side}")
+        tsumsq = F.sum(((vi * vi).cast(d38) * ov).cast(d38)).alias(
+            f"tq_{side}"
+        )
+        vlo = F.min(F.when(cum >= lo, vi)).alias(f"vlo_{side}")
+        vhi = F.min(F.when(cum >= hi, vi)).alias(f"vhi_{side}")
+        return [tsum, tsumsq, vlo, vhi]
+
+    folded = (
+        pc.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            *side_moments("a"),
+            *side_moments("b"),
+        )
+    )
+
+    def close(side: str):
+        n = F.col(f"n_{side}").cast("double")
+        g = F.floor(n * F.lit(trim))
+        h = n - F.lit(2.0) * g
+        vlo = F.col(f"vlo_{side}").cast("double") / F.lit(100.0)
+        vhi = F.col(f"vhi_{side}").cast("double") / F.lit(100.0)
+        ts = dec_double_wide(F.col(f"ts_{side}")) / F.lit(100.0)
+        tq = dec_double_wide(F.col(f"tq_{side}")) / F.lit(1e4)
+        tmean = ts / h
+        wsum = ts + g * vlo + g * vhi
+        wsq = tq + g * vlo * vlo + g * vhi * vhi
+        s2w = (wsq - wsum * wsum / n) / (n - F.lit(1.0))
+        d = s2w * (n - F.lit(1.0)) / (h * (h - F.lit(1.0)))
+        return h, tmean, d
+
+    h_a, tm_a, d_a = close("a")
+    h_b, tm_b, d_b = close("b")
+    se2 = d_a + d_b
+    t = (tm_a - tm_b) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        d_a * d_a / (h_a - F.lit(1.0)) + d_b * d_b / (h_b - F.lit(1.0))
+    )
+    ok = (h_a > 1) & (h_b > 1) & (se2 > 0)
+    result = folded.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        h_a.cast("long").alias("h_a"),
+        h_b.cast("long").alias("h_b"),
+        F.round(tm_a, 6).alias("tmean_a"),
+        F.round(tm_b, 6).alias("tmean_b"),
+        F.when(ok, F.round(t, 6)).alias("yuen_t"),
+        F.when(ok, F.round(dof, 6)).alias("df"),
+    )
+    return _released(result, pc, release)

@@ -417,3 +417,64 @@ def referential_integrity_audit(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def monotonicity_violations(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Per-category audit of a should-be-monotone metric: within each
+    key's deterministically ordered event sequence, count strict
+    DECREASES of the value — the standard sanity gate for counters,
+    cumulative totals, and versioned snapshots (a violation means
+    clock skew, duplicate replay, or an upstream restatement).
+
+    One window pass PARTITIONED BY (key, category) — hash-distributed,
+    never a global sort — then a category-sized aggregate. Output per
+    category: (group, n_rows, n_pairs, n_violations, violation_rate)."""
+    from pyspark.sql import Window as W
+
+    o1, o2 = order_cols
+    w = W.partitionBy(key_col, group_col).orderBy(
+        F.col(o1), F.col(o2)
+    )
+    prev = F.lag(F.col(value_col)).over(w)
+    flagged = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(key_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        prev.alias("__prev"),
+        F.col(value_col).alias("__v"),
+    )
+    per = flagged.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("__prev").isNotNull(), 1).otherwise(0)).alias(
+            "n_pairs"
+        ),
+        F.sum(
+            F.when(
+                F.col("__prev").isNotNull()
+                & (F.col("__v") < F.col("__prev")),
+                1,
+            ).otherwise(0)
+        ).alias("n_violations"),
+    )
+    return per.select(
+        F.col("g").alias(group_col),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.when(
+            F.col("n_pairs") > 0,
+            F.round(
+                F.col("n_violations").cast("double")
+                / F.col("n_pairs").cast("double"),
+                6,
+            ),
+        ).alias("violation_rate"),
+    )

@@ -187,3 +187,58 @@ def session_overlap_pairs(events: DataFrame, gap_minutes: int = 30) -> DataFrame
         F.count(F.lit(1)).alias("n_session_pairs"),
         F.sum(overlap_us).alias("total_overlap_us"),
     )
+
+
+def allen_relation_counts(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Allen-algebra classification of cross-user concurrent session
+    pairs: among sessions whose CLOSED spans intersect, how many are
+    equal / started-together / finished-together / contained / proper
+    overlaps — the interval-topology profile behind "do users co-occur
+    or merely brush past each other".
+
+    Reuses the exactly-once bin-bucketed interval join
+    (``interval_overlap_join``'s later-start-bin rule); classification
+    is one CASE over the four endpoints; symmetric pairs are counted
+    once (user_a < user_b), and the containment/overlap classes fold
+    the two directions together (X during Y ≡ Y contains X —
+    documented). The disjoint Allen relations (precedes/meets) are
+    deliberately out of scope: they would join every pair of intervals
+    regardless of distance — unbounded at corpus scale. Output per
+    relation: (relation, n_pairs)."""
+    from .temporal import sessionize
+
+    sessions = sessionize(events, gap_minutes=gap_minutes).select(
+        "user_id", "start_us", "end_us"
+    )
+    left = sessions.select(
+        F.col("user_id").alias("user_a"),
+        F.col("start_us").alias("l_start_us"),
+        F.col("end_us").alias("l_end_us"),
+    )
+    right = sessions.select(
+        F.col("user_id").alias("user_b"),
+        F.col("start_us").alias("r_start_us"),
+        F.col("end_us").alias("r_end_us"),
+    )
+    pairs = interval_overlap_join(
+        left,
+        right,
+        extra_pred=F.col("user_a") < F.col("user_b"),
+    )
+    ls, le = F.col("l_start_us"), F.col("l_end_us")
+    rs, re_ = F.col("r_start_us"), F.col("r_end_us")
+    relation = (
+        F.when((ls == rs) & (le == re_), F.lit("equals"))
+        .when(ls == rs, F.lit("starts"))
+        .when(le == re_, F.lit("finishes"))
+        .when((ls < rs) & (re_ < le), F.lit("contains"))
+        .when((rs < ls) & (le < re_), F.lit("contains"))
+        .otherwise(F.lit("overlaps"))
+    )
+    return (
+        pairs.select(relation.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -467,3 +467,139 @@ def test_readability_simple_vs_complex(spark):
     assert rows["simple"]["flesch_reading_ease"] > 80
     assert rows["complex"]["flesch_reading_ease"] < 0
     assert rows["simple"]["n_sentences"] == 4
+
+
+def test_g_test_known_table(spark):
+    """2x2 table replayed with plain math: G = 2*sum(o*ln(o/e))."""
+    from breweries_etl_spark.operators.hypotests import g_test_contingency
+
+    rows = (
+        [("x", "p")] * 30 + [("x", "q")] * 10
+        + [("y", "p")] * 15 + [("y", "q")] * 45
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = g_test_contingency(df, "a", "b").collect()[0]
+    n = 100
+    o = {("x", "p"): 30, ("x", "q"): 10, ("y", "p"): 15, ("y", "q"): 45}
+    ra = {"x": 40, "y": 60}
+    cb = {"p": 45, "q": 55}
+    g = 2 * sum(
+        v * math.log(v / (ra[a] * cb[b] / n)) for (a, b), v in o.items()
+    )
+    assert r["n"] == 100 and r["dof"] == 1
+    assert r["g_stat"] == pytest.approx(g, abs=1e-3)
+
+
+def test_ordinal_association_known_values(spark):
+    """No ties, perfect concordance: gamma = somers = 1. With y-ties
+    only, D_yx < gamma (penalized), D_xy == gamma's denominator n0."""
+    from breweries_etl_spark.operators.hypotests import ordinal_association
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4)], "x int, y int"
+    )
+    r = ordinal_association(df, "x", "y", release=False).collect()[0]
+    assert r["gamma"] == pytest.approx(1.0)
+    assert r["somers_dyx"] == pytest.approx(1.0)
+    assert r["somers_dxy"] == pytest.approx(1.0)
+    # x = 1,2,3,4 ; y = 1,1,2,2: nc = 4, nd = 0, y-ties 2 pairs
+    df2 = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 2)], "x int, y int"
+    )
+    r2 = ordinal_association(df2, "x", "y", release=False).collect()[0]
+    assert r2["gamma"] == pytest.approx(1.0)  # ignores ties entirely
+    # D_xy (x predicted from y): penalizes x-ties -> none, so n0 den:
+    # 2*(4-0)/(4*3 - 0) = 8/12
+    assert r2["somers_dxy"] == pytest.approx(2 * 4 / (12 - 4), abs=1e-6)
+    assert r2["somers_dyx"] == pytest.approx(8 / 12, abs=1e-6)
+
+
+def test_yuen_trimmed_t_outlier_robust(spark):
+    """A wild outlier in group B barely moves the trimmed statistic:
+    trimmed means compare the central 60%."""
+    from breweries_etl_spark.operators.hypotests import yuen_trimmed_t
+
+    a = [10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 17.0, 18.0, 19.0]
+    b = [30.0, 31.0, 32.0, 33.0, 34.0, 35.0, 36.0, 37.0, 38.0, 1e6]
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], "g string, v double"
+    )
+    r = yuen_trimmed_t(
+        df, "v", F.col("g") == "a", release=False
+    ).collect()[0]
+    # g = floor(10*0.2) = 2, h = 6: trimmed mean of a = mean(12..17)
+    assert r["h_a"] == 6 and r["h_b"] == 6
+    assert r["tmean_a"] == pytest.approx(14.5)
+    # the outlier 1e6 is trimmed away: tmean_b = mean(32..37)
+    assert r["tmean_b"] == pytest.approx(34.5)
+    assert r["yuen_t"] < -10  # strong, finite separation
+
+
+def test_yuen_matches_untrimmed_welch_at_zero_trim(spark):
+    from breweries_etl_spark.operators.hypotests import (
+        welch_t_test,
+        yuen_trimmed_t,
+    )
+
+    rows = [("a", float(v)) for v in [10, 12, 14, 16]] + [
+        ("b", float(v)) for v in [1, 3, 5, 7]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    y = yuen_trimmed_t(
+        df, "v", F.col("g") == "a", trim=0.0, release=False
+    ).collect()[0]
+    w = welch_t_test(df, "v", F.col("g") == "a").collect()[0]
+    assert y["tmean_a"] == pytest.approx(w["mean_a"])
+    assert y["yuen_t"] == pytest.approx(w["t_stat"], abs=1e-4)
+    assert y["df"] == pytest.approx(w["df"], abs=1e-3)
+
+
+def test_allen_relations_fixture(spark):
+    """Three users, engineered session topology: A [0,100] contains
+    B [10,50]; C [0,100] equals A's span."""
+    from breweries_etl_spark.operators.rangejoin import allen_relation_counts
+
+    def ev(uid, sec, eid):
+        return (
+            eid,
+            uid,
+            "view",
+            1.0,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=sec),
+        )
+
+    rows = [
+        ev(1, 0, 1), ev(1, 100, 2),
+        ev(2, 10, 3), ev(2, 50, 4),
+        ev(3, 0, 5), ev(3, 100, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "value double, ts timestamp"
+    )
+    out = {r["relation"]: r["n_pairs"] for r in allen_relation_counts(df).collect()}
+    assert out.get("equals") == 1        # (1,3)
+    assert out.get("contains") == 2      # (1,2) and (2,3)
+
+
+def test_monotonicity_violations_counts(spark):
+    from breweries_etl_spark.operators.quality import monotonicity_violations
+
+    def ev(uid, sec, val, eid, typ="view"):
+        return (
+            eid, uid, typ, float(val),
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=sec),
+        )
+
+    rows = [
+        ev(1, 0, 1, 1), ev(1, 10, 2, 2), ev(1, 20, 1, 3),  # one decrease
+        ev(2, 0, 5, 4), ev(2, 10, 5, 5), ev(2, 20, 6, 6),  # none (equal ok)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "value double, ts timestamp"
+    )
+    r = monotonicity_violations(df).collect()[0]
+    assert r["n_rows"] == 6 and r["n_pairs"] == 4
+    assert r["n_violations"] == 1
+    assert r["violation_rate"] == pytest.approx(0.25)

@@ -122,6 +122,25 @@ QUERIES = [
     "cusum_daily_value", "odds_ratio_doc_flags",
     "jarque_bera_price", "breusch_pagan_price_qty",
     "cooks_distance_price_qty", "ljung_box_daily_value",
+    # round-7 wave: bartlett/friedman/brier are single-pass moments
+    # (~linear); ansari/pr-curve/AP ride the distinct-value prefix
+    # relation; bootstrap scales as B x scan (constant factor 32, md5
+    # count /8); daily-series ops collapse to the calendar grid;
+    # modularity/rich-club/knn are degree-decoration joins; the source
+    # fingerprint shuffles the (source, gram) count relation
+    "bartlett_price_flag", "friedman_order_status",
+    "ansari_bradley_price_flag", "pr_curve_order_status",
+    "brier_decomposition_docs", "seasonal_weekday_value",
+    "lagged_xcorr_daily_value", "changepoint_binseg_value",
+    "theil_u_daily_value", "graph_modularity_nation",
+    "graph_harmonic_centrality", "embedding_pair_cosine_hist",
+    "source_ngram_cosine", "pii_density_by_source",
+    "token_budget_mix_docs", "bootstrap_mean_orders",
+    "average_precision_order_status", "graph_rich_club",
+    "graph_knn_degree_curve", "ece_docs", "readability_by_source",
+    "g_test_status_flag", "ordinal_assoc_qty_discount",
+    "yuen_trimmed_price_flag", "allen_session_relations",
+    "monotonicity_user_value",
 ]
 
 
