@@ -297,35 +297,42 @@ FAMILIES: dict[str, list[str]] = {
         "cooks_distance_price_qty",
         "ljung_box_daily_value",
     ],
-    # round-7 wave: variance/rank tests, threshold sweep, bootstrap,
-    # series decomposition, modularity/harmonic, source fingerprints
-    "r7wave": [
+    # round-7 waves, split by cost profile from day one (the 27-query
+    # shared-JVM bleed lesson): rank/moment statistics, graph joins,
+    # document scans, daily-series/interval ops
+    "r7stats": [
         "bartlett_price_flag",
         "friedman_order_status",
-        "ansari_bradley_price_flag",
-        "pr_curve_order_status",
-        "brier_decomposition_docs",
-        "seasonal_weekday_value",
-        "lagged_xcorr_daily_value",
-        "changepoint_binseg_value",
-        "theil_u_daily_value",
-        "graph_modularity_nation",
-        "graph_harmonic_centrality",
-        "embedding_pair_cosine_hist",
-        "source_ngram_cosine",
-        "pii_density_by_source",
-        "token_budget_mix_docs",
-        "bootstrap_mean_orders",
-        "average_precision_order_status",
-        "graph_rich_club",
-        "graph_knn_degree_curve",
-        "ece_docs",
-        "readability_by_source",
         "g_test_status_flag",
         "ordinal_assoc_qty_discount",
+        "ansari_bradley_price_flag",
         "yuen_trimmed_price_flag",
-        "allen_session_relations",
+        "pr_curve_order_status",
+        "average_precision_order_status",
+        "bootstrap_mean_orders",
+    ],
+    "r7graph": [
+        "graph_modularity_nation",
+        "graph_harmonic_centrality",
+        "graph_rich_club",
+        "graph_knn_degree_curve",
+    ],
+    "r7docs": [
+        "pii_density_by_source",
+        "readability_by_source",
+        "token_budget_mix_docs",
+        "embedding_pair_cosine_hist",
+        "ece_docs",
+        "brier_decomposition_docs",
+        "source_ngram_cosine",
+    ],
+    "r7series": [
+        "theil_u_daily_value",
+        "lagged_xcorr_daily_value",
+        "changepoint_binseg_value",
+        "seasonal_weekday_value",
         "monotonicity_user_value",
+        "allen_session_relations",
     ],
     # ...and the heavier image/ML queries (PCA's scatter join dominates)
     "mlx": [
