@@ -104,6 +104,23 @@ INTERESTING = [
     "cochran_q_doc_filters", "odds_ratio_doc_flags",
     "jarque_bera_price", "breusch_pagan_price_qty",
     "cooks_distance_price_qty",
+    # r07 wave: bartlett/friedman/g-test/brier/ece single-moment-pass
+    # aggregates; modularity/rich-club/knn degree-decoration SHUFFLE
+    # joins (no node-map broadcast); bootstrap one pre-hashed explode
+    # + two bounded aggregates; readability/pii/token-budget pure
+    # scans; seasonal/xcorr/binseg/theil-u calendar-grid relations.
+    # The prefix-count members (ansari, pr_curve, AP, yuen) and
+    # persisted-gram source_ngram_cosine checkpoint eagerly — shapes
+    # pinned by plan-budget tests instead.
+    "bartlett_price_flag", "friedman_order_status",
+    "g_test_status_flag", "brier_decomposition_docs", "ece_docs",
+    "graph_modularity_nation", "graph_rich_club",
+    "graph_knn_degree_curve", "bootstrap_mean_orders",
+    "readability_by_source", "pii_density_by_source",
+    "token_budget_mix_docs", "seasonal_weekday_value",
+    "lagged_xcorr_daily_value", "changepoint_binseg_value",
+    "theil_u_daily_value", "monotonicity_user_value",
+    "embedding_pair_cosine_hist", "ordinal_assoc_qty_discount",
 ]
 
 
