@@ -10454,13 +10454,16 @@ _YH_B, _YTM_B, _YD_B = _yuen_close("b")
 
 _ORACLES["yuen_trimmed_price_flag"] = f"""
 WITH vc AS MATERIALIZED (
-  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+  -- explicit half-up integer cents (the _batch_cents discipline)
+  SELECT CAST(CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END
+              * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)
+              AS BIGINT) AS v,
     SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca0,
     SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS cb0
   FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
 ), cum0 AS (
   SELECT v,
-    CAST(v * 100 AS DECIMAL(19,0)) AS vi,
+    CAST(v AS DECIMAL(19,0)) AS vi,
     CAST(ca0 AS DECIMAL(19,0)) AS ca, CAST(cb0 AS DECIMAL(19,0)) AS cb,
     CAST(SUM(ca0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
          AS DECIMAL(19,0)) AS cum_a,

@@ -2904,22 +2904,28 @@ def yuen_trimmed_t(
     t = (m̄t_a − m̄t_b)/√(d_a+d_b), d = s²_w(n−1)/(h(h−1)) with
     h = n−2g; df is Welch–Satterthwaite over the d's.
 
-    All block moments run in INTEGER CENTS (vi = 100·v as
-    DECIMAL(19,0)): a three-factor decimal product with a fractional
-    scale would exceed precision 38 and silently lose scale digits;
-    integer decimals only ever overflow-to-NULL, never round, and
-    Σvi²·ov ≤ 10²⁴ sits inside the wide 10²⁷ envelope. Output one row:
-    (n_a, n_b, h_a, h_b, tmean_a, tmean_b, yuen_t, df)."""
-    vq = F.col(value_col).cast("decimal(18,2)")
-    base = df.select(vq.alias("__v"), group_expr.alias("__g")).filter(
-        F.col("__v").isNotNull()
+    Values are grouped on EXPLICIT half-up integer cents
+    sign·floor(|v|·100 + 0.5) — the ``_batch_cents`` discipline (a
+    bare DECIMAL(18,2) cast diverges between engines on >2-dp negative
+    half-cent ties, the moods_median lesson) — and all block moments
+    run in those INTEGER CENTS: a three-factor decimal product with a
+    fractional scale would exceed precision 38 and silently lose scale
+    digits; integer decimals only ever overflow-to-NULL, never round,
+    and Σvi²·ov ≤ 10²⁴ sits inside the wide 10²⁷ envelope. Output one
+    row: (n_a, n_b, h_a, h_b, tmean_a, tmean_b, yuen_t, df)."""
+    xd = F.col(value_col).cast("double")
+    cents = (
+        F.signum(xd) * F.floor(F.abs(xd) * F.lit(100.0) + F.lit(0.5))
+    ).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        cents.alias("__v"), group_expr.alias("__g")
     )
     pc = grouped_value_prefix_counts(base, "__v", F.col("__g"), n_buckets)
     vc = pc._vc_cache  # type: ignore[attr-defined]
     tot = vc.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
     d19 = "decimal(19,0)"
     d38 = "decimal(38,0)"
-    vi = (F.col("v") * F.lit(100)).cast(d19)
+    vi = F.col("v").cast(d19)
 
     def side_moments(side: str):
         c = F.col(f"c{side}").cast(d19)
