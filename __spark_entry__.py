@@ -7111,9 +7111,9 @@ FROM ag CROSS JOIN tie
 _ORACLES["anova_f_price_flag"] = f"""
 WITH per_g AS (
   SELECT l_returnflag AS g, count(*) AS n_g,
-    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_g,
-    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS q_g
+    SUM(CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))) AS s_g,
+    SUM(CAST(CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
+             * CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS q_g
   FROM lineitem
   WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
   GROUP BY 1
@@ -7129,19 +7129,19 @@ WITH s AS (
     SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS na,
     SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS nb,
     SUM(CASE WHEN l_returnflag = 'R'
-         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+         THEN CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
          ELSE CAST(0 AS DECIMAL(18,2)) END) AS sa,
     SUM(CASE WHEN l_returnflag = 'R'
          THEN CAST(0 AS DECIMAL(18,2))
-         ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END) AS sb,
+         ELSE CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) END) AS sb,
     SUM(CASE WHEN l_returnflag = 'R'
-         THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))
+         THEN CAST(CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
+                   * CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS DECIMAL(38,4))
          ELSE CAST(0 AS DECIMAL(38,4)) END) AS qa,
     SUM(CASE WHEN l_returnflag = 'R'
          THEN CAST(0 AS DECIMAL(38,4))
-         ELSE CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))
+         ELSE CAST(CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
+                   * CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS DECIMAL(38,4))
          END) AS qb
   FROM lineitem WHERE l_extendedprice IS NOT NULL
 ), m AS (
@@ -7638,7 +7638,7 @@ FROM nt CROSS JOIN s CROSS JOIN ties
 
 _ORACLES["brown_forsythe_price_flag"] = f"""
 WITH base AS (
-  SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+  SELECT l_returnflag AS g, CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS v
   FROM lineitem
   WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
 ), meds AS (
@@ -8157,18 +8157,18 @@ WITH s AS (
     SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS na,
     SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS nb,
     SUM(CASE WHEN l_returnflag = 'R'
-        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        THEN CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
         ELSE CAST(0 AS DECIMAL(18,2)) END) AS sa,
     SUM(CASE WHEN l_returnflag <> 'R'
-        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        THEN CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
         ELSE CAST(0 AS DECIMAL(18,2)) END) AS sb,
     SUM(CASE WHEN l_returnflag = 'R'
-        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))
+        THEN CAST(CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
+                  * CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS DECIMAL(38,4))
         ELSE CAST(0 AS DECIMAL(38,4)) END) AS qa,
     SUM(CASE WHEN l_returnflag <> 'R'
-        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))
+        THEN CAST(CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
+                  * CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS DECIMAL(38,4))
         ELSE CAST(0 AS DECIMAL(38,4)) END) AS qb
   FROM lineitem WHERE l_extendedprice IS NOT NULL
 )
@@ -8251,7 +8251,7 @@ _GRB_VAR = f"(({_ddwf('q')} - {_ddwf('s')} * {_GRB_MEAN}) / (CAST(n AS DOUBLE) -
 
 _ORACLES["grubbs_order_price"] = f"""
 WITH base AS (
-  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS x
+  SELECT o_orderkey AS k, CAST((CASE WHEN o_totalprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(o_totalprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS x
   FROM orders WHERE o_totalprice IS NOT NULL
 ), m AS (
   SELECT count(*) AS n,
@@ -8281,7 +8281,7 @@ _LEV_MU = f"({_ddwf('gs')} / CAST(gn AS DOUBLE))"
 
 _ORACLES["levene_price_flag"] = f"""
 WITH base AS (
-  SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+  SELECT l_returnflag AS g, CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS v
   FROM lineitem
   WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
 ), means AS (
@@ -9419,9 +9419,9 @@ _BTL_VARG = (
 _ORACLES["bartlett_price_flag"] = f"""
 WITH per_g AS (
   SELECT l_returnflag AS g, count(*) AS n_g,
-    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_g,
-    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS q_g
+    SUM(CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))) AS s_g,
+    SUM(CAST(CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
+             * CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS q_g
   FROM lineitem
   WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
   GROUP BY 1

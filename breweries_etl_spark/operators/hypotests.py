@@ -105,6 +105,24 @@ def dec_double_wide_frac(col: Column) -> Column:
     return F.when(col < 0, -mag).otherwise(mag)
 
 
+
+def quantized_money(col: Column) -> Column:
+    """Engine-portable half-up 2-dp money quantization for MOMENT
+    inputs: a bare DECIMAL(18,2) cast rounds a >2-dp half-cent tie
+    HALF_UP-away-from-zero in Spark but toward +∞ in DuckDB (the
+    ``_batch_cents`` lesson — ADVICE r7 #1). Going through exact
+    integer cents (sign·floor(|v|·100 + 0.5), an exact double) and one
+    correctly-rounded /100 makes the 2-dp grid identical on both
+    engines; for 2-dp inputs the result is value-identical to the bare
+    cast, so existing hashes are unchanged.
+    SQL twin (the ``_qm`` macro): CAST((CASE WHEN c < 0 THEN -1.0 ELSE
+    1.0 END * floor(abs(CAST(c AS DOUBLE)) * 100.0 + 0.5)) / 100.0
+    AS DECIMAL(18,2))."""
+    xd = col.cast("double")
+    cents = F.signum(xd) * F.floor(F.abs(xd) * F.lit(100.0) + F.lit(0.5))
+    return (cents / F.lit(100.0)).cast("decimal(18,2)")
+
+
 def grouped_value_prefix_counts(
     df: DataFrame,
     value_col: str,
@@ -822,8 +840,8 @@ def anova_oneway(
     comes from the exact global sums in one fixed double sequence,
     SSB = SST − SSW. F = (SSB/(k−1)) / (SSW/(N−k)); eta² = SSB/SST.
     Output one row: (n, k_groups, ss_between, ss_within, f_stat,
-    eta_sq)."""
-    x = F.col(value_col).cast("decimal(18,2)")
+    eta_sq). Inputs are half-up 2-dp quantized (``quantized_money``)."""
+    x = quantized_money(F.col(value_col))
     per_g = (
         df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
         .groupBy(group_col)
@@ -899,8 +917,9 @@ def welch_t_test(
     so the n/Σx/Σx² predicates PARTITION the rows exactly — ADVICE r6
     #1: the earlier when(a)/when(~a) pair dropped NULL-group rows from
     Σ_b but not n_b). Moment sums convert through the sign-safe
-    dec_double_wide_frac 10²⁷ envelope."""
-    x = F.col(value_col).cast("decimal(18,2)")
+    dec_double_wide_frac 10²⁷ envelope; inputs are half-up 2-dp
+    quantized (``quantized_money``)."""
+    x = quantized_money(F.col(value_col))
     a = F.coalesce(group_expr.cast("boolean"), F.lit(False))
     sums = df.filter(F.col(value_col).isNotNull()).agg(
         F.sum(F.when(a, 1).otherwise(0)).alias("na"),
@@ -960,8 +979,8 @@ def brown_forsythe(
     domains are bounded); pass 2 scores |x − med| in exact decimal and
     folds it through the same fixed-point ANOVA machinery as
     ``anova_oneway``. Output matches ``anova_oneway`` (F is the
-    Brown–Forsythe W)."""
-    val_dec = F.col(value_col).cast("decimal(18,2)")
+    Brown–Forsythe W). Inputs are half-up 2-dp quantized."""
+    val_dec = quantized_money(F.col(value_col))
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
     ).select(F.col(group_col).alias("__g"), val_dec.alias("__v"))
@@ -1494,8 +1513,9 @@ def cohens_d(
     double sequence. Output: (n_a, n_b, mean_a, mean_b, pooled_sd,
     cohens_d). NULL ``group_expr`` counts as group B (coalesced once,
     same partition-exactness fix as welch_t_test — ADVICE r6 #1);
-    moment sums ride the dec_double_wide_frac 10²⁷ envelope."""
-    x = F.col(value_col).cast("decimal(18,2)")
+    moment sums ride the dec_double_wide_frac 10²⁷ envelope; inputs
+    are half-up 2-dp quantized (``quantized_money``)."""
+    x = quantized_money(F.col(value_col))
     a = F.coalesce(group_expr.cast("boolean"), F.lit(False))
     z2 = F.lit(0).cast("decimal(18,2)")
     z4 = F.lit(0).cast("decimal(38,4)")
@@ -1548,7 +1568,7 @@ def grubbs_max_outlier(
     xd = F.col("__x").cast("double")
     base = df.select(
         F.col(key_col).alias("__k"),
-        F.col(value_col).cast("decimal(18,2)").alias("__x"),
+        quantized_money(F.col(value_col)).alias("__x"),
     ).filter(F.col("__x").isNotNull())
     m = base.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1606,8 +1626,9 @@ def levene_test(
     explicit engine-independent cut before it re-enters exact decimal
     ANOVA machinery (floor of identical IEEE doubles; a decimal round
     HALF_UP at the 3rd decimal could land on ties where engines
-    disagree). Output matches ``anova_oneway`` with F as levene_w."""
-    val_dec = F.col(value_col).cast("decimal(18,2)")
+    disagree). Output matches ``anova_oneway`` with F as levene_w.
+    Inputs are half-up 2-dp quantized."""
+    val_dec = quantized_money(F.col(value_col))
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
     ).select(F.col(group_col).alias("__g"), val_dec.alias("__v"))
@@ -2341,8 +2362,9 @@ def bartlett_test(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     sequence: Sp² = SS/(N−k), B = (N−k)·ln(Sp²) − Σ(n_g−1)·ln(var_g),
     C = 1 + (Σ1/(n_g−1) − 1/(N−k))/(3(k−1)), stat = B/C. Groups with
     zero variance or n_g < 2 make the statistic undefined → NULL.
-    Output one row: (n, k_groups, pooled_var, bartlett_stat)."""
-    x = F.col(value_col).cast("decimal(18,2)")
+    Output one row: (n, k_groups, pooled_var, bartlett_stat). Inputs
+    are half-up 2-dp quantized (``quantized_money``)."""
+    x = quantized_money(F.col(value_col))
     per_g = (
         df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
         .groupBy(group_col)

@@ -305,3 +305,54 @@ def test_jarque_bera_signed_values_match_oracle(spark):
     assert got["jb_stat"] == want[3]
     # sanity: the data IS skewed/heavy so the stat is a real number
     assert got["skewness"] is not None and got["skewness"] < 0
+
+
+def test_quantized_money_tie_parity_through_welch(spark):
+    """The moment family's quantized_money input: >2-dp half-cent ties
+    (incl. negatives) produce the same 2-dp grid in Spark and DuckDB,
+    so welch's moment sums agree where bare DECIMAL(18,2) casts
+    diverged (ADVICE r7 #1 closure)."""
+    from breweries_etl_spark.operators.hypotests import welch_t_test
+
+    vals = [("A", 7.125), ("A", -7.125), ("A", 1.375), ("B", 2.625),
+            ("B", -0.125), ("B", 3.5)]
+    df = spark.createDataFrame(vals, "g string, v double")
+    got = welch_t_test(df, "v", F.col("g") == "A").collect()[0]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({g!r}, {v!r})" for g, v in vals)
+        + ") AS t(g, v)"
+    )
+    qm = ("CAST((CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END"
+          " * floor(abs(CAST(v AS DOUBLE)) * 100.0 + 0.5)) / 100.0"
+          " AS DECIMAL(18,2))")
+    sa, sb = con.execute(f"""
+        SELECT SUM(CASE WHEN g = 'A' THEN {qm} END),
+               SUM(CASE WHEN g <> 'A' THEN {qm} END) FROM t
+    """).fetchone()
+    con.close()
+    # Spark means replay DuckDB's quantized sums exactly
+    assert got["mean_a"] == pytest.approx(float(sa) / 3, abs=1e-6)
+    assert got["mean_b"] == pytest.approx(float(sb) / 3, abs=1e-6)
+    # and the ties quantized away from zero on both engines:
+    # 7.125 -> 7.13, -7.125 -> -7.13, 1.375 -> 1.38 => sum_a = 1.38
+    assert float(sa) == pytest.approx(1.38)
+
+
+def test_quantized_money_identity_on_2dp(spark):
+    """For 2-dp inputs quantized_money is value-identical to the bare
+    decimal cast — committed hashes cannot move."""
+    from breweries_etl_spark.operators.hypotests import quantized_money
+
+    df = spark.createDataFrame(
+        [(v,) for v in [1234.56, -0.01, 99999.99, 0.0, -8888.88]],
+        "v double",
+    )
+    rows = df.select(
+        quantized_money(F.col("v")).alias("q"),
+        F.col("v").cast("decimal(18,2)").alias("c"),
+    ).collect()
+    for r in rows:
+        assert r["q"] == r["c"]
