@@ -6713,7 +6713,7 @@ FROM s
 _ORACLES["gini_customer_revenue"] = f"""
 WITH per_key AS (
   SELECT o_custkey,
-    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+    SUM(CAST((CASE WHEN o_totalprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(o_totalprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))) AS r
   FROM orders GROUP BY 1
 ), vc AS (
   SELECT CAST(r AS DECIMAL(18,2)) AS v, count(*) AS ca
@@ -6883,7 +6883,7 @@ _TH_RATIO = f"(CAST(r AS DOUBLE) / {_TH_MU})"
 
 _ORACLES["theil_customer_revenue"] = f"""
 WITH per_key AS (
-  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  SELECT o_custkey, SUM(CAST((CASE WHEN o_totalprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(o_totalprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))) AS r
   FROM orders GROUP BY 1
 ), tot AS (SELECT count(*) AS n, SUM(r) AS total FROM per_key)
 SELECT CAST(n AS BIGINT) AS n_keys, CAST(total AS DOUBLE) AS total_value,
@@ -6899,7 +6899,7 @@ FROM per_key CROSS JOIN tot GROUP BY n, total
 
 _ORACLES["lorenz_customer_revenue"] = """
 WITH per_key AS (
-  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  SELECT o_custkey, SUM(CAST((CASE WHEN o_totalprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(o_totalprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))) AS r
   FROM orders GROUP BY 1
 ), vc AS (
   SELECT CAST(r AS DECIMAL(18,2)) AS v, count(*) AS ca
@@ -7697,21 +7697,21 @@ FROM tot CROSS JOIN chi
 _ORACLES["partial_corr_price_qty"] = """
 WITH s AS (
   SELECT count(*) AS n,
-    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
-    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sy,
-    SUM(CAST(l_discount AS DECIMAL(18,2))) AS sz,
-    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
-    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
-             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
-    SUM(CAST(CAST(l_discount AS DECIMAL(18,2))
-             * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS szz,
-    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
-    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxz,
-    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
-             * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syz
+    SUM(CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))) AS sx,
+    SUM(CAST((CASE WHEN l_quantity < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_quantity AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))) AS sy,
+    SUM(CAST((CASE WHEN l_discount < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_discount AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))) AS sz,
+    SUM(CAST(CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
+             * CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+    SUM(CAST(CAST((CASE WHEN l_quantity < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_quantity AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
+             * CAST((CASE WHEN l_quantity < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_quantity AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+    SUM(CAST(CAST((CASE WHEN l_discount < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_discount AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
+             * CAST((CASE WHEN l_discount < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_discount AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS szz,
+    SUM(CAST(CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
+             * CAST((CASE WHEN l_quantity < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_quantity AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+    SUM(CAST(CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
+             * CAST((CASE WHEN l_discount < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_discount AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxz,
+    SUM(CAST(CAST((CASE WHEN l_quantity < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_quantity AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
+             * CAST((CASE WHEN l_discount < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_discount AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syz
   FROM lineitem
   WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     AND l_discount IS NOT NULL
@@ -7862,7 +7862,7 @@ FROM terms
 _ORACLES["gini_by_nation_revenue"] = f"""
 WITH per_key AS (
   SELECT n.n_name AS g, o.o_custkey AS k,
-    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+    SUM(CAST((CASE WHEN o_totalprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(o_totalprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))) AS r
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -7894,14 +7894,14 @@ FROM s
 _ORACLES["chow_test_price_qty_flag"] = """
 WITH per_g AS (
   SELECT l_returnflag AS g, count(*) AS n_g,
-    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
-    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
-             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
-    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
-             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
-    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+    SUM(CAST((CASE WHEN l_quantity < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_quantity AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))) AS sx,
+    SUM(CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))) AS sy,
+    SUM(CAST(CAST((CASE WHEN l_quantity < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_quantity AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
+             * CAST((CASE WHEN l_quantity < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_quantity AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+    SUM(CAST(CAST((CASE WHEN l_quantity < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_quantity AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
+             * CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+    SUM(CAST(CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2))
+             * CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
   FROM lineitem
   WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     AND l_returnflag IS NOT NULL
@@ -9068,8 +9068,8 @@ FROM sk
 
 _ORACLES["breusch_pagan_price_qty"] = f"""
 WITH base AS MATERIALIZED (
-  SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
-    CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+  SELECT CAST((CASE WHEN l_quantity < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_quantity AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(12,2)) AS x,
+    CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(12,2)) AS y
   FROM lineitem
   WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
 ), m AS (
@@ -9120,8 +9120,8 @@ FROM cd
 
 _ORACLES["cooks_distance_price_qty"] = f"""
 WITH base AS MATERIALIZED (
-  SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
-    CAST(l_extendedprice AS DECIMAL(12,2)) AS y,
+  SELECT CAST((CASE WHEN l_quantity < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_quantity AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(12,2)) AS x,
+    CAST((CASE WHEN l_extendedprice < 0 THEN -1.0 ELSE 1.0 END * floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0 AS DECIMAL(12,2)) AS y,
     l_orderkey, l_linenumber
   FROM lineitem
   WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL

@@ -12,6 +12,15 @@ degree of parallelism. The final cast back to double is deterministic.
 This is also the right posture at 100 TB: a 600-billion-row sum in double
 drifts by thousands of ulps depending on partitioning; decimal
 aggregation gives reproducible results run-to-run.
+
+DOMAIN CONTRACT: ``money()``/``rate()`` assume the input's TRUE scale is
+2 (money columns). A >2-dp input landing on an exact half-cent tie
+(x.xx5) rounds HALF_UP-away-from-zero in Spark but toward +∞ in DuckDB —
+a bare decimal cast is only engine-portable under the 2-dp contract.
+Operators that accept ARBITRARY-precision metrics (the statistics family
+in operators/hypotests.py) must not rely on this contract; they quantize
+explicitly via ``hypotests.quantized_money`` (half-up integer cents →
+exact /100), which is value-identical on contract-conforming data.
 """
 
 from __future__ import annotations

@@ -364,7 +364,7 @@ def theil_index(
     everything else is scalar."""
     per_key = (
         df.groupBy(key_col)
-        .agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("r"))
+        .agg(F.sum(quantized_money(F.col(value_col))).alias("r"))
         .persist()
     )
     per_key.count()
@@ -422,7 +422,7 @@ def lorenz_deciles(
     running shares then aggregate over ≤ n_bins rows. No rank column,
     no global sort."""
     per_key = df.groupBy(key_col).agg(
-        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("r")
+        F.sum(quantized_money(F.col(value_col))).alias("r")
     )
     pc = grouped_value_prefix_counts(per_key, "r", F.lit(True))
     v = F.col("v").cast("decimal(18,2)")
@@ -610,7 +610,7 @@ def gini_concentration(
     G = 2Σᵢ i·xᵢ/(n·Σx) − (n+1)/n; HHI = Σx²/(Σx)². Everything until
     the final division is decimal-exact."""
     per_key = df.groupBy(key_col).agg(
-        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("r")
+        F.sum(quantized_money(F.col(value_col))).alias("r")
     )
     pc = grouped_value_prefix_counts(per_key, "r", F.lit(True), n_buckets)
     d19 = "decimal(19,0)"
@@ -1072,9 +1072,9 @@ def partial_corr(
     three Pearson correlations and the partial combination are a fixed
     double sequence. Output one row: (n, r_xy, r_xz, r_yz, partial_r).
     """
-    x = F.col(x_col).cast("decimal(18,2)")
-    y = F.col(y_col).cast("decimal(18,2)")
-    z = F.col(z_col).cast("decimal(18,2)")
+    x = quantized_money(F.col(x_col))
+    y = quantized_money(F.col(y_col))
+    z = quantized_money(F.col(z_col))
 
     def prod(a, b):
         return F.sum((a * b).cast("decimal(38,4)"))
@@ -1141,7 +1141,7 @@ def gini_by_group(
         df.select(
             F.col(group_col).alias("g"),
             F.col(key_col).alias("k"),
-            F.col(value_col).cast("decimal(18,2)").alias("x"),
+            quantized_money(F.col(value_col)).alias("x"),
         )
         .groupBy("g", "k")
         .agg(F.sum("x").alias("r"))
@@ -1206,8 +1206,8 @@ def chow_test(
     double 6-dp resolution); every decimal→double crossing uses the
     portable split cast. Output one row:
     (n, k_groups, sse_pooled, sse_within, chow_f)."""
-    x = F.col(x_col).cast("decimal(18,2)")
-    y = F.col(y_col).cast("decimal(18,2)")
+    x = quantized_money(F.col(x_col))
+    y = quantized_money(F.col(y_col))
 
     def prod(a, b):
         return F.sum((a * b).cast("decimal(38,4)"))
@@ -2215,8 +2215,8 @@ def breusch_pagan(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(
-        F.col(x_col).cast("decimal(12,2)").alias("x"),
-        F.col(y_col).cast("decimal(12,2)").alias("y"),
+        quantized_money(F.col(x_col)).cast("decimal(12,2)").alias("x"),
+        quantized_money(F.col(y_col)).cast("decimal(12,2)").alias("y"),
     )
     mom = base.agg(
         F.count(F.lit(1)).alias("n"),
@@ -2294,8 +2294,8 @@ def cooks_distance_top(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(
         *[F.col(c) for c in id_cols],
-        F.col(x_col).cast("decimal(12,2)").alias("x"),
-        F.col(y_col).cast("decimal(12,2)").alias("y"),
+        quantized_money(F.col(x_col)).cast("decimal(12,2)").alias("x"),
+        quantized_money(F.col(y_col)).cast("decimal(12,2)").alias("y"),
     )
     mom = base.agg(
         F.count(F.lit(1)).alias("n"),
