@@ -10552,6 +10552,52 @@ FROM per
 
 
 
+def q_kuiper_test_price_returnflag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Kuiper V of extended price, returned vs other — the
+    tail-sensitive rotation-invariant sibling of the KS drift test
+    (operators/hypotests.py:kuiper_test_2samp)."""
+    from breweries_etl_spark.operators.hypotests import kuiper_test_2samp
+
+    return kuiper_test_2samp(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        F.col("l_returnflag") == "R",
+    )
+
+
+_KUIPER_SIGNED = (
+    "(CAST(cum_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))"
+    " - CAST(cum_b AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0)))"
+)
+
+_ORACLES["kuiper_test_price_returnflag"] = f"""
+WITH {_KS_VC},
+tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM vc),
+m AS (
+  SELECT n_a, n_b,
+    greatest(max(CAST({_KUIPER_SIGNED} AS DECIMAL(38,0))),
+             CAST(0 AS DECIMAL(38,0))) AS dp_int,
+    greatest(max(CAST(-{_KUIPER_SIGNED} AS DECIMAL(38,0))),
+             CAST(0 AS DECIMAL(38,0))) AS dm_int
+  FROM cum CROSS JOIN tot GROUP BY n_a, n_b
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  round({_ddw('dp_int')}
+        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_plus,
+  round({_ddw('dm_int')}
+        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_minus,
+  round({_ddw('dp_int')}
+        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        + {_ddw('dm_int')}
+        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS kuiper_v
+FROM m
+"""
+
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _query_table().items()}
 
@@ -10898,6 +10944,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yuen_trimmed_price_flag": q_yuen_trimmed_price_flag,
         "allen_session_relations": q_allen_session_relations,
         "monotonicity_user_value": q_monotonicity_user_value,
+        "kuiper_test_price_returnflag": q_kuiper_test_price_returnflag,
     }
 
 

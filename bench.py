@@ -309,6 +309,7 @@ FAMILIES: dict[str, list[str]] = {
         "yuen_trimmed_price_flag",
         "pr_curve_order_status",
         "average_precision_order_status",
+        "kuiper_test_price_returnflag",
         "bootstrap_mean_orders",
     ],
     "r7graph": [

@@ -865,6 +865,7 @@ def partition_modularity(
     communities: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    release: bool = True,
 ) -> DataFrame:
     """Newman modularity Q of a GIVEN node partition over the
     undirected simple graph of ``pairs`` — the standard "is this
@@ -958,6 +959,8 @@ def partition_modularity(
             ).alias("modularity"),
         )
     )
+    if not release:
+        return out
     from .dedup import _release_caches
 
     return _release_caches(out, [canon])

@@ -709,3 +709,44 @@ def test_cvm_and_wilcoxon_no_datasized_single_partition(spark, sf_dir):
                 assert not any(c.startswith("v#") for c in cols), cols
     finally:
         spark.catalog.clearCache()
+
+
+def test_modularity_no_node_map_broadcast(spark, sf_dir):
+    """partition_modularity's node->community joins must stay shuffle
+    joins: the community map is node-sized, so a static broadcast hint
+    would OOM at graph scale. Only size-gated runtime promotion is
+    allowed (discriminator: autoBroadcastJoinThreshold=-1 silences
+    estimates but not hints)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from breweries_etl_spark.operators.graph import partition_modularity
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        edges = o.select(
+            (F.col("o_custkey") % 500).alias("src"),
+            (F.col("o_orderkey") % 700 + 1000).alias("dst"),
+        )
+        comm = o.select(
+            (F.col("o_custkey") % 500).alias("node"),
+            (F.col("o_custkey") % 7).cast("string").alias("comm"),
+        ).distinct()
+        df = partition_modularity(edges, comm, release=False)
+        plan = _plan(df)
+        # only the two hinted one-row-ish folds (folded/n_nodes) may
+        # broadcast under -1; the comm joins must not
+        n_bcast = len(
+            _re.findall(r"(?<![A-Za-z])BroadcastExchange \(\d+\)", plan)
+        )
+        assert n_bcast <= 2, f"node-map broadcast hint crept in:\n{plan}"
+        n_shuffle_joins = len(
+            _re.findall(r"(?<![A-Za-z])(?:SortMergeJoin|ShuffledHashJoin)", plan)
+        )
+        assert n_shuffle_joins >= 3, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.catalog.clearCache()

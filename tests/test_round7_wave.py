@@ -603,3 +603,31 @@ def test_monotonicity_violations_counts(spark):
     assert r["n_rows"] == 6 and r["n_pairs"] == 4
     assert r["n_violations"] == 1
     assert r["violation_rate"] == pytest.approx(0.25)
+
+
+def test_kuiper_vs_ks_relation(spark):
+    """V = D+ + D-; when one sample stochastically dominates, one side
+    is 0 and V == KS. A location-shift fixture checks both numbers."""
+    from breweries_etl_spark.operators.hypotests import (
+        ks_test_2samp,
+        kuiper_test_2samp,
+    )
+
+    rows = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v) + 5.0) for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    k = kuiper_test_2samp(df, "v", F.col("g") == "a", release=False).collect()[0]
+    ks = ks_test_2samp(df, "v", F.col("g") == "a", release=False).collect()[0]
+    assert k["d_minus"] == pytest.approx(0.0)
+    assert k["d_plus"] == pytest.approx(0.5)  # shift of 5 over 10 values
+    assert k["kuiper_v"] == pytest.approx(ks["ks_stat"])
+    # a scale difference (b straddles a) engages BOTH sides: V > KS
+    rows2 = [("a", float(v)) for v in range(10, 20)] + [
+        ("b", float(v) * 3) for v in range(10)
+    ]
+    df2 = spark.createDataFrame(rows2, "g string, v double")
+    k2 = kuiper_test_2samp(df2, "v", F.col("g") == "a", release=False).collect()[0]
+    ks2 = ks_test_2samp(df2, "v", F.col("g") == "a", release=False).collect()[0]
+    assert k2["d_plus"] > 0 and k2["d_minus"] > 0
+    assert k2["kuiper_v"] > ks2["ks_stat"]

@@ -140,7 +140,7 @@ QUERIES = [
     "graph_knn_degree_curve", "ece_docs", "readability_by_source",
     "g_test_status_flag", "ordinal_assoc_qty_discount",
     "yuen_trimmed_price_flag", "allen_session_relations",
-    "monotonicity_user_value",
+    "monotonicity_user_value", "kuiper_test_price_returnflag",
 ]
 
 
