@@ -9547,28 +9547,27 @@ WITH vc AS MATERIALIZED (
   SELECT max(n_a) AS n_a, max(n_b) AS n_b, max(nn) AS nn,
     SUM(CAST(floor(1e6 * CAST(ca AS DOUBLE)
                    * (({_ddw(_AB_S2V)} / 2.0) / CAST(c AS DOUBLE)))
-             AS DECIMAL(38,0))) AS w_fp
+             AS DECIMAL(38,0))) AS w_fp,
+    SUM({_AB_S2V}) AS s2_sum,
+    SUM(CAST(floor(1e6 * ({_ddw(_AB_S2V)} / 2.0)
+                   * (({_ddw(_AB_S2V)} / 2.0) / CAST(c AS DOUBLE)))
+             AS DECIMAL(38,0))) AS aa_fp
   FROM series
 ), d AS (
   SELECT n_a, n_b, nn,
     CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
     CAST(nn AS DOUBLE) AS n,
-    {_ddw('w_fp')} / 1e6 AS w
+    {_ddw('w_fp')} / 1e6 AS w,
+    {_ddw('s2_sum')} / 2.0 AS sa,
+    {_ddw('aa_fp')} / 1e6 AS saa
   FROM folded
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
   round(w, 6) AS ab_stat,
   CASE WHEN n_a > 0 AND n_b > 0 AND
-    (CASE WHEN nn % 2 = 0
-          THEN na * nb * (n + 2.0) * (n - 2.0) / (48.0 * (n - 1.0))
-          ELSE na * nb * (n + 1.0) * (3.0 + n * n) / (48.0 * n * n)
-     END) > 0 THEN
-    round((w - (CASE WHEN nn % 2 = 0 THEN na * (n + 2.0) / 4.0
-                     ELSE na * (n + 1.0) * (n + 1.0) / (4.0 * n) END))
-          / sqrt(CASE WHEN nn % 2 = 0
-                      THEN na * nb * (n + 2.0) * (n - 2.0) / (48.0 * (n - 1.0))
-                      ELSE na * nb * (n + 1.0) * (3.0 + n * n)
-                           / (48.0 * n * n) END), 6)
+    na * nb * (n * saa - sa * sa) / (n * n * (n - 1.0)) > 0 THEN
+    round((w - na * (sa / n))
+          / sqrt(na * nb * (n * saa - sa * sa) / (n * n * (n - 1.0))), 6)
   END AS z_score
 FROM d
 """
@@ -9844,12 +9843,12 @@ WITH e0 AS (
   SELECT a AS node FROM canon UNION ALL SELECT b AS node FROM canon
 ), deg AS (SELECT node, count(*) AS deg FROM ends GROUP BY node),
 deg_c AS (
-  SELECT coalesce(comm, CAST(deg.node AS VARCHAR)) AS c, SUM(deg) AS d_c
+  SELECT coalesce(comm, '__singleton:' || CAST(deg.node AS VARCHAR)) AS c, SUM(deg) AS d_c
   FROM deg LEFT JOIN comm ON deg.node = comm.node
   GROUP BY 1
 ), within AS (
-  SELECT SUM(CASE WHEN coalesce(ca.comm, CAST(canon.a AS VARCHAR))
-                     = coalesce(cb.comm, CAST(canon.b AS VARCHAR))
+  SELECT SUM(CASE WHEN coalesce(ca.comm, '__singleton:' || CAST(canon.a AS VARCHAR))
+                     = coalesce(cb.comm, '__singleton:' || CAST(canon.b AS VARCHAR))
              THEN 1 ELSE 0 END) AS e_in,
     count(*) AS m
   FROM canon
