@@ -9997,11 +9997,14 @@ WITH per AS (
   FROM per CROSS JOIN tot
 )
 SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
-  round(share, 6) AS share,
-  CAST(floor(least(share * 1000000.0 / CAST(n_tokens AS DOUBLE), 4.0)
-             * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS alloc_tokens,
-  round(least(share * 1000000.0 / CAST(n_tokens AS DOUBLE), 4.0), 6)
-    AS epochs
+  CASE WHEN n_tokens > 0 THEN round(share, 6) END AS share,
+  CASE WHEN n_tokens > 0 THEN
+    CAST(floor(least(share * 1000000.0 / CAST(n_tokens AS DOUBLE), 4.0)
+               * CAST(n_tokens AS DOUBLE)) AS BIGINT)
+  END AS alloc_tokens,
+  CASE WHEN n_tokens > 0 THEN
+    round(least(share * 1000000.0 / CAST(n_tokens AS DOUBLE), 4.0), 6)
+  END AS epochs
 FROM d
 """
 

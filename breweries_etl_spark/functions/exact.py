@@ -21,6 +21,15 @@ Operators that accept ARBITRARY-precision metrics (the statistics family
 in operators/hypotests.py) must not rely on this contract; they quantize
 explicitly via ``hypotests.quantized_money`` (half-up integer cents →
 exact /100), which is value-identical on contract-conforming data.
+
+MAGNITUDE ENVELOPE (ADVICE r7): ``quantized_money`` round-trips through
+a double, so its per-row input must satisfy |v|·100 < 2⁵³
+(|v| < ~9·10¹³ currency units) for the cents grid to be exact; above
+that the bare decimal cast would be exact where the double path is not.
+The envelope binds PER ROW — downstream sums carry magnitude in exact
+decimal accumulators with their own documented 10²⁷ wide-split bound —
+and sits ~10 orders above any plausible money value. Documented in the
+same style as the hypotests 10²⁷ envelopes.
 """
 
 from __future__ import annotations

@@ -354,10 +354,13 @@ def frequent_item_pairs(
     # ACTUAL size is small, which is the correct size-gated behavior.
     sa = item_support.select(F.col("i").alias("item_a"), F.col("ni").alias("na"))
     sb = item_support.select(F.col("i").alias("item_b"), F.col("ni").alias("nb_i"))
+    # shuffle_hash hints sit on the SUPPORT sides, not pairs: Spark
+    # builds the hash map on the hinted relation, and the shuffled hash
+    # join's build side has limited spill — build over the item catalog
+    # per partition, never the exploded pair relation (ADVICE r7).
     joined = (
-        pairs.hint("shuffle_hash")
-        .join(sa, "item_a")
-        .join(sb, "item_b")
+        pairs.join(sa.hint("shuffle_hash"), "item_a")
+        .join(sb.hint("shuffle_hash"), "item_b")
         .crossJoin(F.broadcast(n_baskets_df))
     )
     support = F.col("n_both") / F.col("nb")

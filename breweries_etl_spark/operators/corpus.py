@@ -774,12 +774,20 @@ def token_budget_mix(
     nt = F.col("n_tokens").cast("double")
     epochs_raw = alloc / nt
     epochs = F.least(epochs_raw, F.lit(max_epochs))
+    # zero-token guard (ADVICE r7): a source whose documents contain no
+    # TOKEN_RE matches would divide by nt = 0 — Spark's double division
+    # yields NULL where DuckDB's IEEE division yields NaN/inf, an
+    # engine-dependent path. Gate all derived columns on n_tokens > 0
+    # (deterministic NULLs on both engines), like the sibling CASE
+    # guards.
+    ok = F.col("n_tokens") > 0
     return per.crossJoin(F.broadcast(tot)).select(
         "source",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round(share, 6).alias("share"),
-        F.floor(F.least(epochs, F.lit(max_epochs)) * nt).cast("long").alias(
-            "alloc_tokens"
-        ),
-        F.round(epochs, 6).alias("epochs"),
+        F.when(ok, F.round(share, 6)).alias("share"),
+        F.when(
+            ok,
+            F.floor(F.least(epochs, F.lit(max_epochs)) * nt).cast("long"),
+        ).alias("alloc_tokens"),
+        F.when(ok, F.round(epochs, 6)).alias("epochs"),
     )

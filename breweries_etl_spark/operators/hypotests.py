@@ -115,6 +115,16 @@ def quantized_money(col: Column) -> Column:
     correctly-rounded /100 makes the 2-dp grid identical on both
     engines; for 2-dp inputs the result is value-identical to the bare
     cast, so existing hashes are unchanged.
+
+    DOMAIN ENVELOPE (ADVICE r7, in the 10²⁷ wide-split style): the
+    round-trip goes through a double, so |v|·100 must stay inside
+    2⁵³ for the cents integer to be exact — valid for
+    |v| < ~9·10¹³ currency units (10¹⁶ cents). Past that, a bare
+    DECIMAL(18,2) cast would be exact where this is not; no plausible
+    money column is within 10 orders of the bound (callers like
+    theil_index/gini sum these AFTER quantization, where the exact
+    decimal sums carry the magnitude — the per-row input is what must
+    fit). See ``functions/exact.py``'s money domain contract.
     SQL twin (the ``_qm`` macro): CAST((CASE WHEN c < 0 THEN -1.0 ELSE
     1.0 END * floor(abs(CAST(c AS DOUBLE)) * 100.0 + 0.5)) / 100.0
     AS DECIMAL(18,2))."""
@@ -2621,9 +2631,14 @@ def pr_curve_points(
     (a corpus filter is DEPLOYED at a threshold; this is the table that
     picks it).
 
-    The k-th threshold is the exact lower k/10-quantile read off the
-    prefix-count relation (min v with 10·cum ≥ k·n — same exact-pick
-    rule as quantile_normalize, no percentile aggregate); at each
+    The grid is the ``n_points`` inner quantiles at spacing
+    1/(n_points+1) (the default 9 points = the deciles): the k-th
+    threshold is the exact lower k/(n_points+1)-quantile read off the
+    prefix-count relation (min v with (n_points+1)·cum ≥ k·n — same
+    exact-pick rule as quantile_normalize, no percentile aggregate;
+    the scale DERIVES from the grid size, ADVICE r7 — a hard-coded 10
+    silently emitted no rows past k = 10 and mislabeled any
+    n_points ≠ 9 grid); at each
     threshold the confusion counts are pure prefix-count reads:
     predicted-positive = "score ≥ v_k" so TP = n_pos − (cum_a − ca),
     PP = n − (cum − c). Everything integer until the final three
@@ -2647,9 +2662,9 @@ def pr_curve_points(
             F.explode(ks).alias("k"),
         )
         .filter(
-            (F.lit(10) * F.col("cum") >= F.col("k") * F.col("n"))
+            (F.lit(n_points + 1) * F.col("cum") >= F.col("k") * F.col("n"))
             & (
-                F.lit(10) * (F.col("cum") - F.col("c"))
+                F.lit(n_points + 1) * (F.col("cum") - F.col("c"))
                 < F.col("k") * F.col("n")
             )
         )

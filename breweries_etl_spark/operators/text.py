@@ -292,9 +292,13 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 1) -> DataFr
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # The shuffle_hash hint sits on DOC_FREQ, not tf: Spark builds the
+    # in-memory hash map on the HINTED side, and the build side of a
+    # shuffled hash join has limited spill — the per-partition build
+    # must be the vocabulary-sized relation, never the exploded
+    # corpus-sized token relation (ADVICE r7).
     scored = (
-        tf.hint("shuffle_hash")
-        .join(doc_freq, "term")
+        tf.join(doc_freq.hint("shuffle_hash"), "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

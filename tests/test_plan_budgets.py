@@ -548,6 +548,14 @@ def test_tfidf_no_vocab_broadcast(spark, sf_dir):
             re.findall(r"(?<![A-Za-z])(?:SortMergeJoin|ShuffledHashJoin)", plan)
         )
         assert n_shuffle_joins >= 1, plan
+        # Build-side pin (ADVICE r7): the shuffle_hash hint must sit on
+        # doc_freq (the RIGHT side of tf.join(doc_freq)), so every
+        # ShuffledHashJoin here builds vocabulary-sized, never over the
+        # exploded corpus-sized token relation (build side has limited
+        # spill).
+        assert not re.search(
+            r"ShuffledHashJoin[^\n]*BuildLeft", plan
+        ), f"hash build side is the corpus-sized relation:\n{plan}"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
@@ -576,6 +584,12 @@ def test_frequent_pairs_no_item_support_broadcast(spark, sf_dir):
             re.findall(r"(?<![A-Za-z])(?:SortMergeJoin|ShuffledHashJoin)", plan)
         )
         assert n_shuffle_joins >= 2, plan
+        # Build-side pin (ADVICE r7): the shuffle_hash hints must sit
+        # on sa/sb (the RIGHT sides), so the per-partition hash builds
+        # are item-catalog-sized, never the exploded pair relation.
+        assert not re.search(
+            r"ShuffledHashJoin[^\n]*BuildLeft", plan
+        ), f"hash build side is the pair relation:\n{plan}"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.catalog.clearCache()
