@@ -521,6 +521,10 @@ def final_line(
 
 if __name__ == "__main__":
     if len(sys.argv) == 3 and sys.argv[1] == "--family":
+        # family subprocesses run under the PARENT's bench lock
         run_family(sys.argv[2])
     else:
+        from tools.benchlock import acquire_or_die
+
+        acquire_or_die("bench.py")
         main()

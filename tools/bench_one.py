@@ -38,4 +38,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    from benchlock import acquire_or_die
+
+    acquire_or_die("bench_one.py")
     main()
