@@ -10947,8 +10947,900 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allen_session_relations": q_allen_session_relations,
         "monotonicity_user_value": q_monotonicity_user_value,
         "kuiper_test_price_returnflag": q_kuiper_test_price_returnflag,
+        # round-8 wave
+        "jonckheere_qty_returnflag": q_jonckheere_qty_returnflag,
+        "dunn_pairwise_price_flag": q_dunn_pairwise_price_flag,
+        "lin_ccc_price_qty": q_lin_ccc_price_qty,
+        "cohens_h_status_price": q_cohens_h_status_price,
+        "hodges_lehmann_qty_flag": q_hodges_lehmann_qty_flag,
+        "page_trend_weekday": q_page_trend_weekday,
+        "hellinger_price_flag": q_hellinger_price_flag,
+        "deviance_price_flag": q_deviance_price_flag,
+        "tv_distance_lang_source": q_tv_distance_lang_source,
+        "heaps_law_docs": q_heaps_law_docs,
+        "lexical_diversity_source": q_lexical_diversity_source,
+        "cox_stuart_daily_value": q_cox_stuart_daily_value,
+        "periodogram_daily_value": q_periodogram_daily_value,
+        "burstiness_user_events": q_burstiness_user_events,
+        "graph_degree_centralization": q_graph_degree_centralization,
+        "benford_second_digit_orders": q_benford_second_digit_orders,
+        "last_digit_uniformity_price": q_last_digit_uniformity_price,
+        "ks_doclen_lang": q_ks_doclen_lang,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+# ----- round-8 wave: ordered/post-hoc/agreement statistics, corpus
+# growth + diversity, spectral/burstiness temporal screens, forensic
+# digit laws, graph centralization -----
+
+
+def q_jonckheere_qty_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test of l_quantity
+    across the returnflag order A < N < R
+    (operators/hypotests.py:jonckheere_terpstra)."""
+    from breweries_etl_spark.operators.hypotests import jonckheere_terpstra
+
+    return jonckheere_terpstra(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_quantity",
+        ["A", "N", "R"],
+    )
+
+
+def q_dunn_pairwise_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn post-hoc pairwise z over returnflag groups on
+    l_extendedprice (operators/hypotests.py:dunn_pairwise_z)."""
+    from breweries_etl_spark.operators.hypotests import dunn_pairwise_z
+
+    return dunn_pairwise_z(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+def q_lin_ccc_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation between l_extendedprice and
+    l_quantity (operators/hypotests.py:lin_ccc)."""
+    from breweries_etl_spark.operators.hypotests import lin_ccc
+
+    return lin_ccc(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity"
+    )
+
+
+def q_cohens_h_status_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's h for the high-value-order rate between finished and
+    unfinished orders (operators/hypotests.py:cohens_h)."""
+    from breweries_etl_spark.operators.hypotests import cohens_h
+
+    o = load_table(spark, sf_dir, "orders")
+    return cohens_h(
+        o, F.col("o_orderstatus") == "F", F.col("o_totalprice") > 150000
+    )
+
+
+def q_hodges_lehmann_qty_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift of l_quantity between returnflag R and the
+    rest (operators/hypotests.py:hodges_lehmann_shift; bounded
+    quantity domain)."""
+    from breweries_etl_spark.operators.hypotests import hodges_lehmann_shift
+
+    return hodges_lehmann_shift(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        F.col("l_returnflag") == "R",
+    )
+
+
+def q_page_trend_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L ordered trend across weekday-0/1/2 daily totals per
+    week block (operators/hypotests.py:page_trend_3)."""
+    from breweries_etl_spark.operators.hypotests import page_trend_3
+
+    ev = load_events(spark, sf_dir)
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .select(day.alias("day"), F.col("value").cast("decimal(18,2)").alias("y"))
+        .groupBy("day")
+        .agg(F.sum("y").alias("y"))
+    )
+    wk = daily.select(
+        F.expr("day div 7").alias("week"),
+        (F.col("day") % 7).alias("dow"),
+        "y",
+    ).filter(F.col("dow") < 3)
+    blocks = (
+        wk.groupBy("week")
+        .agg(
+            F.max(F.when(F.col("dow") == 0, F.col("y"))).alias("va"),
+            F.max(F.when(F.col("dow") == 1, F.col("y"))).alias("vb"),
+            F.max(F.when(F.col("dow") == 2, F.col("y"))).alias("vc"),
+        )
+        .filter(
+            F.col("va").isNotNull()
+            & F.col("vb").isNotNull()
+            & F.col("vc").isNotNull()
+        )
+    )
+    return page_trend_3(
+        blocks, "week", F.col("va"), F.col("vb"), F.col("vc")
+    )
+
+
+def q_hellinger_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger/Bhattacharyya distance between returnflag-R and other
+    price distributions over global deciles
+    (operators/hypotests.py:hellinger_bhattacharyya)."""
+    from breweries_etl_spark.operators.hypotests import hellinger_bhattacharyya
+
+    return hellinger_bhattacharyya(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        F.col("l_returnflag") == "R",
+    )
+
+
+def q_deviance_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Poisson/Gamma deviance of the per-returnflag-mean predictor
+    for l_extendedprice (operators/hypotests.py:group_deviance)."""
+    from breweries_etl_spark.operators.hypotests import group_deviance
+
+    return group_deviance(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+def q_tv_distance_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source total-variation distance from the corpus language mix
+    (operators/text.py:tv_distance_lang_by_source)."""
+    from breweries_etl_spark.operators.text import tv_distance_lang_by_source
+
+    return tv_distance_lang_by_source(load_table(spark, sf_dir, "documents"))
+
+
+def q_heaps_law_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law vocabulary-growth fit over md5 hash chunks
+    (operators/text.py:heaps_law_fit)."""
+    from breweries_etl_spark.operators.text import heaps_law_fit
+
+    return heaps_law_fit(load_table(spark, sf_dir, "documents"))
+
+
+def q_lexical_diversity_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source type-token ratio and hapax share
+    (operators/text.py:lexical_diversity_by_source)."""
+    from breweries_etl_spark.operators.text import lexical_diversity_by_source
+
+    return lexical_diversity_by_source(load_table(spark, sf_dir, "documents"))
+
+
+def q_cox_stuart_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart half-distance sign trend test of the daily event
+    totals (operators/temporal.py:cox_stuart_trend_daily)."""
+    from breweries_etl_spark.operators.temporal import cox_stuart_trend_daily
+
+    return cox_stuart_trend_daily(load_events(spark, sf_dir))
+
+
+def q_periodogram_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram power fraction of the daily totals at periods 7 and
+    30 (operators/temporal.py:seasonal_periodogram_daily)."""
+    from breweries_etl_spark.operators.temporal import (
+        seasonal_periodogram_daily,
+    )
+
+    return seasonal_periodogram_daily(load_events(spark, sf_dir))
+
+
+def q_burstiness_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness of per-user inter-event times
+    (operators/temporal.py:interarrival_burstiness)."""
+    from breweries_etl_spark.operators.temporal import interarrival_burstiness
+
+    return interarrival_burstiness(load_events(spark, sf_dir))
+
+
+def q_graph_degree_centralization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Freeman centralization + degree Gini + wedge count of the
+    customer-supplier purchase graph
+    (operators/graph.py:degree_centralization)."""
+    from breweries_etl_spark.operators.graph import degree_centralization
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return degree_centralization(edges, "src", "dst")
+
+
+def q_benford_second_digit_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Second-significant-digit Benford profile of o_totalprice
+    (operators/quality.py:benford_second_digit)."""
+    from breweries_etl_spark.operators.quality import benford_second_digit
+
+    return benford_second_digit(
+        load_table(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+def q_last_digit_uniformity_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-cent-digit uniformity chi2 of l_extendedprice
+    (operators/quality.py:last_digit_uniformity)."""
+    from breweries_etl_spark.operators.quality import last_digit_uniformity
+
+    return last_digit_uniformity(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )
+
+
+def q_ks_doclen_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS drift test between English and non-English document length
+    distributions (operators/hypotests.py:ks_test_2samp reuse)."""
+    from breweries_etl_spark.operators.hypotests import ks_test_2samp
+
+    return ks_test_2samp(
+        load_table(spark, sf_dir, "documents"),
+        "n_chars",
+        F.col("lang") == "en",
+    )
+
+
+# ----- round-8 oracles -----
+
+def _qm8(c: str) -> str:
+    """SQL twin of operators/hypotests.quantized_money (half-up integer
+    cents -> exact /100)."""
+    return (
+        f"CAST((CASE WHEN {c} < 0 THEN -1.0 ELSE 1.0 END *"
+        f" floor(abs(CAST({c} AS DOUBLE)) * 100.0 + 0.5)) / 100.0"
+        f" AS DECIMAL(18,2))"
+    )
+
+
+def _jt_pair_cte(name: str, lo: str, hi: str) -> str:
+    return f"""{name} AS (
+  SELECT SUM(CAST(2 * CAST(cb AS DECIMAL(19,0)) * CAST(cum_a - ca AS DECIMAL(19,0))
+                  + CAST(ca AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS u2
+  FROM (
+    SELECT v, ca, cb,
+      SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a
+    FROM (
+      SELECT l_quantity AS v,
+        SUM(CASE WHEN l_returnflag = '{lo}' THEN 1 ELSE 0 END) AS ca,
+        SUM(CASE WHEN l_returnflag = '{hi}' THEN 1 ELSE 0 END) AS cb
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_returnflag IN ('{lo}', '{hi}')
+      GROUP BY 1
+    )
+  )
+)"""
+
+
+_ORACLES["jonckheere_qty_returnflag"] = f"""
+WITH {_jt_pair_cte('p1', 'A', 'N')},
+{_jt_pair_cte('p2', 'A', 'R')},
+{_jt_pair_cte('p3', 'N', 'R')},
+jt AS (
+  SELECT SUM(u2) AS jt2 FROM (
+    SELECT u2 FROM p1 UNION ALL SELECT u2 FROM p2 UNION ALL SELECT u2 FROM p3
+  )
+), sizes AS (
+  SELECT l_returnflag AS g, count(*) AS n_g FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL GROUP BY 1
+), mom AS (
+  SELECT SUM(n_g) AS n, count(*) AS k,
+    SUM(CAST(CAST(n_g AS DECIMAL(19,0)) * n_g AS DECIMAL(38,0))) AS sn2,
+    SUM(CAST(CAST(n_g AS DECIMAL(19,0)) * CAST(n_g AS DECIMAL(19,0))
+             * (2 * CAST(n_g AS DECIMAL(19,0)) + 3) AS DECIMAL(38,0))) AS sn23
+  FROM sizes
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+  round({_ddw('jt2')} / 2.0, 6) AS jt_stat,
+  CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+             * (2.0 * CAST(n AS DOUBLE) + 3.0) - {_ddw('sn23')}) / 72.0 > 0
+  THEN round(({_ddw('jt2')} / 2.0
+              - (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - {_ddw('sn2')}) / 4.0)
+             / sqrt((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * (2.0 * CAST(n AS DOUBLE) + 3.0) - {_ddw('sn23')})
+                    / 72.0), 6)
+  END AS z_score
+FROM jt CROSS JOIN mom
+"""
+
+_ORACLES["dunn_pairwise_price_flag"] = f"""
+WITH vals AS (
+  SELECT l_returnflag AS g, l_extendedprice AS val FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+), vv AS (SELECT val AS v, count(*) AS c FROM vals GROUP BY 1),
+uu AS (
+  SELECT v, c,
+    2 * SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS u
+  FROM vv
+), gv AS (SELECT g, val AS v, count(*) AS c_gv FROM vals GROUP BY 1, 2),
+pg AS (
+  SELECT g, SUM(c_gv) AS n_g,
+    SUM(CAST(CAST(c_gv AS DECIMAL(19,0)) * CAST(u AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS r2
+  FROM gv JOIN uu USING (v) GROUP BY g
+), tie AS (
+  SELECT SUM(CAST(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+                  * CAST(c AS DECIMAL(19,0)) - c AS DECIMAL(38,0))) AS tie_sum
+  FROM vv
+), tot AS (SELECT SUM(n_g) AS n FROM pg)
+SELECT a.g AS group_a, b.g AS group_b,
+  CAST(a.n_g AS BIGINT) AS n_a, CAST(b.n_g AS BIGINT) AS n_b,
+  round({_ddw('a.r2')} / (2.0 * CAST(a.n_g AS DOUBLE)), 6) AS mean_rank_a,
+  round({_ddw('b.r2')} / (2.0 * CAST(b.n_g AS DOUBLE)), 6) AS mean_rank_b,
+  CASE WHEN sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                  - {_ddw('tie_sum')} / (CAST(n AS DOUBLE) - 1.0)) / 12.0
+                 * (1.0 / CAST(a.n_g AS DOUBLE)
+                    + 1.0 / CAST(b.n_g AS DOUBLE))) > 0
+  THEN round(({_ddw('a.r2')} / (2.0 * CAST(a.n_g AS DOUBLE))
+              - {_ddw('b.r2')} / (2.0 * CAST(b.n_g AS DOUBLE)))
+             / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                     - {_ddw('tie_sum')} / (CAST(n AS DOUBLE) - 1.0)) / 12.0
+                    * (1.0 / CAST(a.n_g AS DOUBLE)
+                       + 1.0 / CAST(b.n_g AS DOUBLE))), 6)
+  END AS z_score
+FROM pg a JOIN pg b ON a.g < b.g CROSS JOIN tot CROSS JOIN tie
+"""
+
+_ORACLES["lin_ccc_price_qty"] = f"""
+WITH base AS (
+  SELECT CAST({_qm8('l_extendedprice')} AS DECIMAL(12,2)) AS x,
+    CAST({_qm8('l_quantity')} AS DECIMAL(12,2)) AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+), mom AS (
+  SELECT count(*) AS n,
+    SUM(CAST(x AS DECIMAL(38,2))) AS sx,
+    SUM(CAST(y AS DECIMAL(38,2))) AS sy,
+    SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+    SUM(CAST(y * y AS DECIMAL(38,4))) AS syy,
+    SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy
+  FROM base
+), d AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+    {_dd('sx')} AS sxd, {_dd('sy')} AS syd,
+    {_dd('sxx')} AS sxxd, {_dd('syy')} AS syyd, {_dd('sxy')} AS sxyd
+  FROM mom
+), c AS (
+  SELECT n, nd,
+    sxxd - sxd * sxd / nd AS sxx_c,
+    syyd - syd * syd / nd AS syy_c,
+    sxyd - sxd * syd / nd AS sxy_c,
+    sxd / nd - syd / nd AS dbar
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CASE WHEN sxx_c > 0 AND syy_c > 0 THEN
+    round(sxy_c / sqrt(sxx_c * syy_c), 6) END AS pearson_r,
+  CASE WHEN sxx_c + syy_c + nd * dbar * dbar > 0 THEN
+    round(2.0 * sxy_c / (sxx_c + syy_c + nd * dbar * dbar), 6)
+  END AS ccc,
+  CASE WHEN sxx_c > 0 AND syy_c > 0 THEN
+    round(sqrt(sxx_c / nd) / sqrt(syy_c / nd), 6) END AS scale_shift,
+  CASE WHEN sxx_c > 0 AND syy_c > 0 THEN
+    round(dbar / sqrt(sqrt(sxx_c / nd) * sqrt(syy_c / nd)), 6)
+  END AS location_shift
+FROM c
+"""
+
+_ORACLES["cohens_h_status_price"] = """
+WITH counts AS (
+  SELECT
+    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS n_b,
+    SUM(CASE WHEN o_orderstatus = 'F' AND o_totalprice > 150000
+        THEN 1 ELSE 0 END) AS k_a,
+    SUM(CASE WHEN o_orderstatus <> 'F' AND o_totalprice > 150000
+        THEN 1 ELSE 0 END) AS k_b
+  FROM orders
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round(CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) END AS p_a,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round(CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) END AS p_b,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round(2.0 * asin(sqrt(CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+          - 2.0 * asin(sqrt(CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))), 6)
+  END AS cohens_h
+FROM counts
+"""
+
+_ORACLES["hodges_lehmann_qty_flag"] = """
+WITH ca AS (
+  SELECT l_quantity AS va, count(*) AS ca FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag = 'R' GROUP BY 1
+), cb AS (
+  SELECT l_quantity AS vb, count(*) AS cb FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag <> 'R' GROUP BY 1
+), cells AS (
+  SELECT va - vb AS d,
+    SUM(CAST(CAST(ca AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS w
+  FROM ca CROSS JOIN cb GROUP BY 1
+), tot AS (
+  SELECT SUM(w) AS wtot, count(*) AS n_cells FROM cells
+), cum AS (
+  SELECT d, SUM(w) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cumw
+  FROM cells
+), picked AS (
+  SELECT min(d) AS hl, max(n_cells) AS n_cells
+  FROM cum CROSS JOIN tot
+  WHERE CAST(2 AS DECIMAL(38,0)) * CAST(cumw AS DECIMAL(38,0))
+        >= CAST(wtot AS DECIMAL(38,0))
+), sizes AS (
+  SELECT SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS n_b
+  FROM lineitem WHERE l_quantity IS NOT NULL
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(n_cells AS BIGINT) AS n_cells,
+  CAST(hl AS DOUBLE) AS hl_shift
+FROM picked CROSS JOIN sizes
+"""
+
+_ORACLES["page_trend_weekday"] = f"""
+WITH daily AS (
+  SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+    AS day,
+    SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), blocks AS (
+  SELECT day // 7 AS week,
+    MAX(CASE WHEN day % 7 = 0 THEN y END) AS va,
+    MAX(CASE WHEN day % 7 = 1 THEN y END) AS vb,
+    MAX(CASE WHEN day % 7 = 2 THEN y END) AS vc
+  FROM daily WHERE day % 7 < 3 GROUP BY 1
+), ranked AS (
+  SELECT week,
+    2 + 2 * ((CASE WHEN vb < va THEN 1 ELSE 0 END)
+             + (CASE WHEN vc < va THEN 1 ELSE 0 END))
+      + (CASE WHEN vb = va THEN 1 ELSE 0 END)
+      + (CASE WHEN vc = va THEN 1 ELSE 0 END) AS ra,
+    2 + 2 * ((CASE WHEN va < vb THEN 1 ELSE 0 END)
+             + (CASE WHEN vc < vb THEN 1 ELSE 0 END))
+      + (CASE WHEN va = vb THEN 1 ELSE 0 END)
+      + (CASE WHEN vc = vb THEN 1 ELSE 0 END) AS rb,
+    2 + 2 * ((CASE WHEN va < vc THEN 1 ELSE 0 END)
+             + (CASE WHEN vb < vc THEN 1 ELSE 0 END))
+      + (CASE WHEN va = vc THEN 1 ELSE 0 END)
+      + (CASE WHEN vb = vc THEN 1 ELSE 0 END) AS rc
+  FROM blocks
+  WHERE va IS NOT NULL AND vb IS NOT NULL AND vc IS NOT NULL
+), sums AS (
+  SELECT count(*) AS n,
+    SUM(CAST(CAST(ra AS DECIMAL(19,0)) + 2 * CAST(rb AS DECIMAL(19,0))
+             + 3 * CAST(rc AS DECIMAL(19,0)) AS DECIMAL(19,0))) AS l2
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+  round({_dd('CAST(l2 AS DECIMAL(38,0))')} / 2.0, 6) AS page_l,
+  CASE WHEN n > 0 THEN
+    round(({_dd('CAST(l2 AS DECIMAL(38,0))')} / 2.0
+           - 12.0 * CAST(n AS DOUBLE))
+          / sqrt(2.0 * CAST(n AS DOUBLE)), 6)
+  END AS z_score
+FROM sums
+"""
+
+
+_HB_CUTS_SQL = ", ".join(
+    f"quantile_disc(l_extendedprice, {i / 10})" for i in range(1, 10)
+)
+
+_ORACLES["hellinger_price_flag"] = """
+WITH cuts AS (SELECT [__CUTS__] AS cuts FROM lineitem),
+t AS (
+  SELECT (l_returnflag = 'R') AS in_a, CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), binned AS (
+  SELECT in_a, len(list_filter(c.cuts, x -> t.v > x)) AS bin FROM t, cuts c
+), cells AS (
+  SELECT bin,
+    SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS cb
+  FROM binned GROUP BY 1
+), bx AS (
+  SELECT bin, ca, cb, SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+  FROM cells
+), folded AS (
+  SELECT max(na) AS n_a, max(nb) AS n_b, count(*) AS n_bins_used,
+    SUM(CAST(round(sqrt((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                        * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+             AS DECIMAL(18,6))) AS bc
+  FROM bx
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(n_bins_used AS BIGINT) AS n_bins_used,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round(CAST(bc AS DOUBLE), 6) END AS bhattacharyya,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round(sqrt(greatest(0.0, 1.0 - CAST(bc AS DOUBLE))), 6)
+  END AS hellinger
+FROM folded
+""".replace("__CUTS__", _HB_CUTS_SQL)
+
+_ORACLES["deviance_price_flag"] = f"""
+WITH base AS (
+  SELECT l_returnflag AS g, {_qm8('l_extendedprice')} AS y
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+), ntot AS (SELECT count(*) AS n_total FROM base),
+pos AS (SELECT g, y FROM base WHERE y > 0),
+means AS (
+  SELECT g, count(*) AS ng, SUM(CAST(y AS DECIMAL(38,2))) AS s
+  FROM pos GROUP BY g
+), mu AS (
+  SELECT g, {_ddwf('s')} / CAST(ng AS DOUBLE) AS mu FROM means
+), terms AS (
+  SELECT CAST(y AS DOUBLE) AS yd, mu FROM pos JOIN mu USING (g)
+), folded AS (
+  SELECT count(*) AS n,
+    SUM(CAST(round(yd * ln(yd / mu) - (yd - mu), 6)
+             AS DECIMAL(28,6))) AS dp,
+    SUM(CAST(round(-ln(yd / mu) + (yd - mu) / mu, 6)
+             AS DECIMAL(28,6))) AS dg
+  FROM terms
+), kk AS (SELECT count(*) AS k FROM means)
+SELECT CAST(n_total AS BIGINT) AS n_total, CAST(n AS BIGINT) AS n,
+  CAST(k AS BIGINT) AS k_groups,
+  CASE WHEN n > 0 THEN
+    round(2.0 * {_ddwf('dp')} / CAST(n AS DOUBLE), 6)
+  END AS poisson_deviance,
+  CASE WHEN n > 0 THEN
+    round(2.0 * {_ddwf('dg')} / CAST(n AS DOUBLE), 6)
+  END AS gamma_deviance
+FROM folded CROSS JOIN ntot CROSS JOIN kk
+"""
+
+_ORACLES["tv_distance_lang_source"] = """
+WITH cells AS (
+  SELECT source, lang, count(*) AS c FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2
+), lang_tot AS (SELECT lang, SUM(c) AS cl FROM cells GROUP BY 1),
+src_tot AS (SELECT source, SUM(c) AS cs FROM cells GROUP BY 1),
+grid AS (
+  SELECT s.source, l.lang, s.cs, l.cl, coalesce(cells.c, 0) AS c,
+    SUM(l.cl) OVER (PARTITION BY s.source) AS n
+  FROM src_tot s CROSS JOIN lang_tot l
+  LEFT JOIN cells ON cells.source = s.source AND cells.lang = l.lang
+)
+SELECT source, CAST(max(cs) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_langs_corpus,
+  round(CAST(SUM(CAST(round(abs(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE)
+                                - CAST(cl AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                      AS DECIMAL(18,6))) AS DOUBLE) / 2.0, 6) AS tv_distance
+FROM grid GROUP BY source
+"""
+
+_ORACLES["heaps_law_docs"] = f"""
+WITH tokens AS (
+  SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS BIGINT) % 32 AS chunk,
+    unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS term
+  FROM documents WHERE text IS NOT NULL
+), per_term AS (
+  SELECT term, min(chunk) AS first_chunk FROM tokens GROUP BY 1
+), tok_per_chunk AS (
+  SELECT chunk, count(*) AS nt FROM tokens GROUP BY 1
+), new_per_chunk AS (
+  SELECT first_chunk AS chunk, count(*) AS nv FROM per_term GROUP BY 1
+), curve AS (
+  SELECT chunk,
+    SUM(coalesce(nt, 0)) OVER (ORDER BY chunk ROWS UNBOUNDED PRECEDING)
+      AS t_cum,
+    SUM(coalesce(nv, 0)) OVER (ORDER BY chunk ROWS UNBOUNDED PRECEDING)
+      AS v_cum
+  FROM tok_per_chunk FULL JOIN new_per_chunk USING (chunk)
+), pts AS (SELECT * FROM curve WHERE t_cum > 0 AND v_cum > 0),
+mom AS (
+  SELECT count(*) AS n, max(t_cum) AS n_tokens, max(v_cum) AS vocab_size,
+    SUM(CAST(round(ln(CAST(t_cum AS DOUBLE)), 6) AS DECIMAL(18,6))) AS sx,
+    SUM(CAST(round(ln(CAST(v_cum AS DOUBLE)), 6) AS DECIMAL(18,6))) AS sy,
+    SUM(CAST(round(round(ln(CAST(t_cum AS DOUBLE)), 6)
+                   * round(ln(CAST(t_cum AS DOUBLE)), 6), 12)
+             AS DECIMAL(28,12))) AS sxx,
+    SUM(CAST(round(round(ln(CAST(t_cum AS DOUBLE)), 6)
+                   * round(ln(CAST(v_cum AS DOUBLE)), 6), 12)
+             AS DECIMAL(28,12))) AS sxy,
+    SUM(CAST(round(round(ln(CAST(v_cum AS DOUBLE)), 6)
+                   * round(ln(CAST(v_cum AS DOUBLE)), 6), 12)
+             AS DECIMAL(28,12))) AS syy
+  FROM pts
+), d AS (
+  SELECT n, n_tokens, vocab_size, CAST(n AS DOUBLE) AS nd,
+    {_dd('sx')} AS sxd, {_dd('sy')} AS syd,
+    {_dd('sxx')} AS sxxd, {_dd('sxy')} AS sxyd, {_dd('syy')} AS syyd
+  FROM mom
+), c AS (
+  SELECT n, n_tokens, vocab_size, nd,
+    sxxd - sxd * sxd / nd AS sxx_c,
+    sxyd - sxd * syd / nd AS sxy_c,
+    syyd - syd * syd / nd AS syy_c,
+    sxd, syd
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n_chunks,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(vocab_size AS BIGINT) AS vocab_size,
+  CASE WHEN n > 2 AND sxx_c > 0 AND syy_c > 0 THEN
+    round(sxy_c / sxx_c, 6) END AS heaps_beta,
+  CASE WHEN n > 2 AND sxx_c > 0 AND syy_c > 0 THEN
+    round((syd - (sxy_c / sxx_c) * sxd) / nd, 6) END AS heaps_log_k,
+  CASE WHEN n > 2 AND sxx_c > 0 AND syy_c > 0 THEN
+    round(sxy_c * sxy_c / (sxx_c * syy_c), 6) END AS r2
+FROM c
+"""
+
+_ORACLES["lexical_diversity_source"] = """
+WITH st AS (
+  SELECT source, term, count(*) AS c FROM (
+    SELECT source,
+      unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS term
+    FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+  ) GROUP BY 1, 2
+)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_types,
+  CASE WHEN SUM(c) > 0 THEN
+    round(CAST(count(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+  END AS ttr,
+  CASE WHEN count(*) > 0 THEN
+    round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6)
+  END AS hapax_share
+FROM st GROUP BY source
+"""
+
+_ORACLES["ks_doclen_lang"] = f"""
+WITH vc AS (
+  SELECT n_chars AS v,
+    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cb
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM vc
+), tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM vc)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  round({_ddw(_KS_GAP)}
+        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_stat
+FROM cum CROSS JOIN tot GROUP BY n_a, n_b
+"""
+
+
+_ORACLES["cox_stuart_daily_value"] = """
+WITH daily AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+), idx AS (
+  SELECT day, y, row_number() OVER (ORDER BY day) - 1 AS i FROM daily
+), tot AS (SELECT count(*) AS n, (count(*) + 1) // 2 AS h FROM idx),
+pairs AS (
+  SELECT a.y AS y, b.y AS y2, n FROM idx a CROSS JOIN tot
+  JOIN idx b ON a.i + h = b.i
+), folded AS (
+  SELECT max(n) AS n_days,
+    SUM(CASE WHEN y2 > y THEN 1 ELSE 0 END) AS n_pos,
+    SUM(CASE WHEN y2 < y THEN 1 ELSE 0 END) AS n_neg
+  FROM pairs
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+  CAST(n_pos + n_neg AS BIGINT) AS n_pairs,
+  CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+  CASE WHEN n_pos + n_neg > 0 THEN
+    round((CAST(n_pos AS DOUBLE)
+           - CAST(n_pos + n_neg AS DOUBLE) / 2.0)
+          / sqrt(CAST(n_pos + n_neg AS DOUBLE) / 4.0), 6)
+  END AS z_score
+FROM folded
+"""
+
+_ORACLES["periodogram_daily_value"] = f"""
+WITH daily AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n, SUM(CAST(y AS DECIMAL(38,2))) AS s,
+    SUM(CAST(y * y AS DECIMAL(38,4))) AS q
+  FROM daily
+), pp AS (
+  SELECT p,
+    SUM(CAST(y * CAST(round(cos(6.283185307179586
+                                * CAST(day % p AS DOUBLE)
+                                / CAST(p AS DOUBLE)), 6)
+                      AS DECIMAL(8,6)) AS DECIMAL(38,8))) AS yc,
+    SUM(CAST(y * CAST(round(sin(6.283185307179586
+                                * CAST(day % p AS DOUBLE)
+                                / CAST(p AS DOUBLE)), 6)
+                      AS DECIMAL(8,6)) AS DECIMAL(38,8))) AS ys,
+    SUM(CAST(CAST(round(cos(6.283185307179586
+                            * CAST(day % p AS DOUBLE)
+                            / CAST(p AS DOUBLE)), 6)
+                  AS DECIMAL(8,6)) AS DECIMAL(38,6))) AS sc,
+    SUM(CAST(CAST(round(sin(6.283185307179586
+                            * CAST(day % p AS DOUBLE)
+                            / CAST(p AS DOUBLE)), 6)
+                  AS DECIMAL(8,6)) AS DECIMAL(38,6))) AS ss
+  FROM daily CROSS JOIN (SELECT unnest([7, 30]) AS p) GROUP BY p
+), d AS (
+  SELECT p, n, {_ddwf('s')} / CAST(n AS DOUBLE) AS m,
+    {_ddwf('yc')} AS ycd, {_ddwf('ys')} AS ysd,
+    {_ddwf('sc')} AS scd, {_ddwf('ss')} AS ssd,
+    {_ddwf('q')} AS qd, {_ddwf('s')} AS sd
+  FROM pp CROSS JOIN tot
+), c AS (
+  SELECT p, n,
+    ycd - m * scd AS a, ysd - m * ssd AS b, qd - sd * m AS den
+  FROM d
+)
+SELECT CAST(p AS BIGINT) AS period, CAST(n AS BIGINT) AS n_days,
+  CASE WHEN den > 0 THEN
+    round(2.0 * (a * a + b * b) / (CAST(n AS DOUBLE) * den), 6)
+  END AS power_fraction
+FROM c
+"""
+
+_ORACLES["burstiness_user_events"] = f"""
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), gaps AS (
+  SELECT u, tsu - lag(tsu) OVER (PARTITION BY u ORDER BY tsu) AS g
+  FROM ev
+), gg AS (SELECT u, g FROM gaps WHERE g IS NOT NULL),
+per_u AS (
+  SELECT u, count(*) AS ng,
+    SUM(CAST(g AS DECIMAL(38,0))) AS sg,
+    SUM(CAST(CAST(g AS DECIMAL(19,0)) * g AS DECIMAL(38,0))) AS qg
+  FROM gg GROUP BY 1
+), scored AS (
+  SELECT ng,
+    CASE WHEN sqrt(greatest({_ddw('qg')} / CAST(ng AS DOUBLE)
+                   - ({_ddw('sg')} / CAST(ng AS DOUBLE))
+                     * ({_ddw('sg')} / CAST(ng AS DOUBLE)), 0.0))
+              + {_ddw('sg')} / CAST(ng AS DOUBLE) > 0
+    THEN round((sqrt(greatest({_ddw('qg')} / CAST(ng AS DOUBLE)
+                     - ({_ddw('sg')} / CAST(ng AS DOUBLE))
+                       * ({_ddw('sg')} / CAST(ng AS DOUBLE)), 0.0))
+                - {_ddw('sg')} / CAST(ng AS DOUBLE))
+               / (sqrt(greatest({_ddw('qg')} / CAST(ng AS DOUBLE)
+                       - ({_ddw('sg')} / CAST(ng AS DOUBLE))
+                         * ({_ddw('sg')} / CAST(ng AS DOUBLE)), 0.0))
+                  + {_ddw('sg')} / CAST(ng AS DOUBLE)), 6)
+    END AS b
+  FROM per_u WHERE ng >= 2
+), folded AS (
+  SELECT count(*) AS n_users, SUM(ng) AS n_gaps,
+    SUM(CAST(b AS DECIMAL(18,6))) AS sb,
+    SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS nb
+  FROM scored WHERE b IS NOT NULL
+)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+  CAST(n_gaps AS BIGINT) AS n_gaps,
+  CASE WHEN n_users > 0 THEN
+    round(CAST(sb AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+  END AS mean_burstiness,
+  CASE WHEN n_users > 0 THEN
+    round(CAST(nb AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+  END AS share_bursty
+FROM folded
+"""
+
+_ORACLES["graph_degree_centralization"] = f"""
+WITH e0 AS (
+  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+), ends AS (
+  SELECT a AS node FROM canon UNION ALL SELECT b AS node FROM canon
+), deg AS (SELECT node, count(*) AS deg FROM ends GROUP BY 1),
+vv AS (SELECT deg AS v, count(*) AS c FROM deg GROUP BY 1),
+cum AS (
+  SELECT v, c, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumc
+  FROM vv
+), sums AS (
+  SELECT SUM(c) AS n_nodes,
+    SUM(CAST(CAST(v AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS sum_deg,
+    SUM(CAST(CAST(v AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+             * (2 * CAST(cumc AS DECIMAL(19,0))
+                - CAST(c AS DECIMAL(19,0)) + 1)
+             AS DECIMAL(38,0))) AS num2,
+    max(v) AS d_max,
+    SUM(CAST(CAST(CAST(v AS DECIMAL(19,0))
+                  * (CAST(v AS DECIMAL(19,0)) - 1) AS DECIMAL(38,0))
+             * CAST(c AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS wedge2
+  FROM cum
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+  CAST(sum_deg // 2 AS BIGINT) AS n_edges,
+  CAST(d_max AS BIGINT) AS max_degree,
+  CASE WHEN n_nodes > 2 THEN
+    round((CAST(n_nodes AS DOUBLE) * CAST(d_max AS DOUBLE)
+           - {_ddw('sum_deg')})
+          / ((CAST(n_nodes AS DOUBLE) - 1.0)
+             * (CAST(n_nodes AS DOUBLE) - 2.0)), 6)
+  END AS centralization,
+  CASE WHEN n_nodes > 0 AND sum_deg > 0 THEN
+    round({_ddw('num2')} / (CAST(n_nodes AS DOUBLE) * {_ddw('sum_deg')})
+          - (CAST(n_nodes AS DOUBLE) + 1.0) / CAST(n_nodes AS DOUBLE), 6)
+  END AS degree_gini,
+  CAST({_ddw('wedge2')} / 2.0 AS BIGINT) AS wedge_count
+FROM sums
+"""
+
+
+_ORACLES["benford_second_digit_orders"] = """
+WITH sigs AS (
+  SELECT regexp_replace(regexp_replace(
+           CAST(CAST(abs(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR),
+           '\\.', ''), '^0+', '') AS sig
+  FROM orders WHERE o_totalprice IS NOT NULL
+), base AS (
+  SELECT CAST(substring(sig, 2, 1) AS INTEGER) AS digit, count(*) AS n
+  FROM sigs WHERE len(sig) >= 2 GROUP BY 1
+), w AS (
+  SELECT digit, n, SUM(n) OVER () AS tot,
+    CAST(([0.119679, 0.11389, 0.108821, 0.10433, 0.100308, 0.096677, 0.093375, 0.090352, 0.08757, 0.084997])[digit + 1] AS DOUBLE) AS exp_f
+  FROM base
+)
+SELECT digit, n,
+  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS observed_freq,
+  round(exp_f, 6) AS benford_freq,
+  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - exp_f, 6) AS deviation
+FROM w
+"""
+
+_ORACLES["last_digit_uniformity_price"] = """
+WITH dd AS (
+  SELECT CAST(floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0 + 0.5)
+              AS BIGINT) % 10 AS digit,
+    count(*) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), w AS (SELECT digit, c, SUM(c) OVER () AS n FROM dd),
+chi AS (
+  SELECT max(n) AS n, count(*) AS n_digits_seen,
+    round(CAST(SUM(CAST(round(
+      (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 10.0)
+      * (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 10.0)
+      / (CAST(n AS DOUBLE) / 10.0), 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+      AS chi2
+  FROM w
+), top AS (
+  SELECT digit AS max_digit, c AS top_c FROM w
+  ORDER BY c DESC, digit ASC LIMIT 1
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_digits_seen AS BIGINT) AS n_digits_seen,
+  chi2, CAST(max_digit AS BIGINT) AS max_digit,
+  round(CAST(top_c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS max_digit_share
+FROM chi CROSS JOIN top
+"""

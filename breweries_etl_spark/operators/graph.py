@@ -1147,3 +1147,85 @@ def avg_neighbor_degree_curve(
             6,
         ).alias("avg_neighbor_degree"),
     )
+
+
+def degree_centralization(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Freeman degree centralization and degree Gini of the
+    (deduplicated, undirected) graph — the two "one hub or many"
+    numbers: centralization C = Σ(d_max − d_i) / ((n−1)(n−2))
+    (0 = regular, 1 = perfect star), and the Gini of the degree
+    distribution (inequality without naming a hub), plus the total
+    wedge count Σ C(d_i, 2) that prices any triangle/common-neighbor
+    pass before running it.
+
+    One canonical-edge relation → one degree shuffle; Gini rank sums
+    come from the bucketed prefix-count primitive over the BOUNDED
+    degree domain (no global sort, the gini_concentration machinery).
+    Output one row:
+    (n_nodes, n_edges, max_degree, centralization, degree_gini,
+    wedge_count)."""
+    from .dedup import _release_caches
+    from ..operators.hypotests import (
+        dec_double_wide,
+        grouped_value_prefix_counts,
+    )
+
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("n"))
+        .unionAll(canon.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    pc = grouped_value_prefix_counts(
+        deg.select(F.col("deg").alias("v")), "v", F.lit(False)
+    )
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    v = F.col("v").cast(d19)
+    c = F.col("cb").cast(d19)
+    cum = F.col("cum_b").cast(d19)
+    rank_w = F.lit(2).cast(d19) * cum - c + F.lit(1).cast(d19)
+    sums = pc.agg(
+        F.sum("cb").alias("n_nodes"),
+        F.sum((v * c).cast(d38)).alias("sum_deg"),
+        F.sum((v * c * rank_w).cast(d38)).alias("num2"),
+        F.max("v").alias("d_max"),
+        F.sum(
+            ((v * (v - F.lit(1).cast(d19))).cast(d38) * c).cast(d38)
+        ).alias("wedge2"),
+    )
+    n = F.col("n_nodes").cast("double")
+    sdeg = dec_double_wide(F.col("sum_deg"))
+    dmax = F.col("d_max").cast("double")
+    gini = dec_double_wide(F.col("num2")) / (n * sdeg) - (
+        n + F.lit(1.0)
+    ) / n
+    centr = (n * dmax - sdeg) / ((n - F.lit(1.0)) * (n - F.lit(2.0)))
+    result = sums.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        (F.col("sum_deg") / 2).cast("long").alias("n_edges"),
+        F.col("d_max").cast("long").alias("max_degree"),
+        F.when(F.col("n_nodes") > 2, F.round(centr, 6)).alias(
+            "centralization"
+        ),
+        F.when(
+            (F.col("n_nodes") > 0) & (F.col("sum_deg") > 0),
+            F.round(gini, 6),
+        ).alias("degree_gini"),
+        (dec_double_wide(F.col("wedge2")) / F.lit(2.0)).cast("long").alias(
+            "wedge_count"
+        ),
+    )
+    return _release_caches(
+        result, [pc._vc_cache]  # type: ignore[attr-defined]
+    )

@@ -478,3 +478,115 @@ def monotonicity_violations(
             ),
         ).alias("violation_rate"),
     )
+
+
+def benford_second_digit(df: DataFrame, value_col: str) -> DataFrame:
+    """Second-significant-digit distribution vs Benford's law — the
+    harder tripwire (fabricators who know to skew first digits rarely
+    match the second-digit law): expected
+    P(d₂ = d) = Σ_{d₁=1..9} log10(1 + 1/(10·d₁ + d)), d ∈ 0..9.
+
+    Digit extraction is string-based over the non-zero-digit stream of
+    the DECIMAL(12,2) rendering (exact; no log10(double) boundary
+    hazard): strip the decimal point, take character 2 of the
+    significant part. Rows with fewer than two significant digits are
+    excluded (the standard convention). Ten rows out of one
+    map-side-combinable shuffle."""
+    # significant digit stream: decimal rendering, point removed,
+    # leading zeros stripped (values < 1 have them)
+    sig = F.regexp_replace(
+        F.regexp_replace(
+            F.abs(F.col(value_col)).cast("decimal(12,2)").cast("string"),
+            "\\.",
+            "",
+        ),
+        "^0+",
+        "",
+    )
+    digit = F.substring(sig, 2, 1).cast("int")
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(sig.alias("sig"), digit.alias("digit"))
+        .filter(F.length(F.col("sig")) >= 2)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # expected freq: fixed 6-dp constants via a literal map (the law is
+    # data-independent; both engines see identical literals)
+    import math
+
+    exp_map = {
+        d: round(
+            sum(math.log10(1 + 1 / (10 * d1 + d)) for d1 in range(1, 10)),
+            6,
+        )
+        for d in range(10)
+    }
+    exp_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in exp_map.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    tot = Window.partitionBy()
+    return base.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("observed_freq"),
+        F.round(exp_col, 6).alias("benford_freq"),
+        F.round(F.col("n") / F.sum("n").over(tot) - exp_col, 6).alias(
+            "deviation"
+        ),
+    )
+
+
+def last_digit_uniformity(df: DataFrame, value_col: str) -> DataFrame:
+    """Last-cent-digit χ² against the uniform law — price/amount data
+    entered by humans (or synthesized carelessly) over-represents .x0
+    and .x9 endings; genuine transactional cents are near-uniform.
+    The classic forensic screen on money columns.
+
+    The digit is integer arithmetic on exact cents (abs·100 half-up —
+    the quantized_money grid), never a string parse of a float.
+    χ² = Σ(o_d − n/10)²/(n/10) over the 10-row digit relation. Output
+    one row: (n, n_digits_seen, chi2, max_digit, max_digit_share)."""
+    xd = F.col(value_col).cast("double")
+    cents = (F.floor(F.abs(xd) * F.lit(100.0) + F.lit(0.5))).cast("long")
+    per_d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select((cents % 10).alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = Window.partitionBy()
+    folded = per_d.select(
+        "digit",
+        "c",
+        F.sum("c").over(tot).alias("n"),
+    ).select(
+        "digit",
+        "c",
+        "n",
+        (
+            (F.col("c").cast("double") - F.col("n").cast("double") / 10.0)
+            * (F.col("c").cast("double") - F.col("n").cast("double") / 10.0)
+            / (F.col("n").cast("double") / 10.0)
+        ).alias("term"),
+    )
+    # argmax digit via one max over (share, -digit) structs — no sort
+    return folded.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_digits_seen"),
+        F.round(F.sum(F.round(F.col("term"), 6).cast("decimal(18,6)")).cast("double"), 4).alias("chi2"),
+        F.max(
+            F.struct(F.col("c").alias("c"), (-F.col("digit")).alias("nd"))
+        ).alias("top"),
+    ).select(
+        "n",
+        "n_digits_seen",
+        "chi2",
+        (-F.col("top.nd")).cast("long").alias("max_digit"),
+        F.round(
+            F.col("top.c").cast("double") / F.col("n").cast("double"), 6
+        ).alias("max_digit_share"),
+    )

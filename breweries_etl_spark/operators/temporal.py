@@ -1741,3 +1741,218 @@ def theil_u_daily(
     from .dedup import _release_caches
 
     return _release_caches(result, [daily])
+
+
+def cox_stuart_trend_daily(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Cox–Stuart sign test for monotone trend in the daily-total
+    series: pair day i with day i + ⌈n/2⌉ (middle day dropped when n
+    is odd), count sign of the later-minus-earlier difference, and
+    test the positive share against Binomial(S, ½) — the assumption-
+    free "is this drifting at all" screen that complements
+    mann_kendall (which weighs EVERY pair; Cox–Stuart reads only the
+    half-distance pairs, so it is immune to seasonal echo at lags
+    < n/2).
+
+    The day index is a rank over the BOUNDED day grid (the one
+    allowed unpartitioned window); the half-offset pairing is one
+    bounded self-join. Ties (equal totals) drop, the standard
+    convention. z uses the exact binomial moments, no continuity
+    correction (documented). Output one row:
+    (n_days, n_pairs, n_pos, n_neg, z_score)."""
+    daily = _daily_series(df, ts_col, value_col)
+    win = Window.orderBy("day")
+    idx = daily.select(
+        "day", "y", (F.row_number().over(win) - F.lit(1)).alias("i")
+    )
+    tot = idx.agg(F.count(F.lit(1)).alias("n"))
+    half = F.expr("(n + 1) div 2")
+    a = idx.crossJoin(F.broadcast(tot.select(half.alias("h"), "n")))
+    b = idx.select(F.col("i").alias("i2"), F.col("y").alias("y2"))
+    pairs = a.join(b, F.col("i") + F.col("h") == F.col("i2"))
+    folded = pairs.agg(
+        F.max("n").alias("n_days"),
+        F.sum(F.when(F.col("y2") > F.col("y"), 1).otherwise(0)).alias(
+            "n_pos"
+        ),
+        F.sum(F.when(F.col("y2") < F.col("y"), 1).otherwise(0)).alias(
+            "n_neg"
+        ),
+    )
+    s = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    z = (
+        F.col("n_pos").cast("double") - s / F.lit(2.0)
+    ) / F.sqrt(s / F.lit(4.0))
+    return folded.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n_pairs"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.when(s > 0, F.round(z, 6)).alias("z_score"),
+    )
+
+
+def seasonal_periodogram_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    periods: tuple = (7, 30),
+) -> DataFrame:
+    """Goertzel-style periodogram power of the daily-total series at
+    the given candidate periods — "how much of the variance is a
+    weekly (monthly) cycle", the cheap spectral screen before fitting
+    seasonal models: for period p,
+    frac_p = 2·(a² + b²)/den with a = Σ(y_t − ȳ)·cos(2πt/p),
+    b likewise with sin, den = Σ(y_t − ȳ)².
+
+    cos/sin are evaluated on the exact integer phase (day mod p)/p and
+    ROUNDED TO 6 DP before the multiply (the portable-log rule: both
+    engines' libm agree far below 1e-6, and the rounded factor makes
+    the decimal products exact and order-independent). The mean term
+    expands algebraically (a = Σy·c − ȳ·Σc — the acf_daily recipe), so
+    nothing re-scans facts. Output per period:
+    (period, n_days, power_fraction)."""
+    from .hypotests import dec_double
+
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,2)")).alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("q"),
+    )
+    pp = (
+        daily.select(
+            "day",
+            "y",
+            F.explode(
+                F.array(*[F.lit(int(p)) for p in periods])
+            ).alias("p"),
+        )
+        .select(
+            "p",
+            "y",
+            F.round(
+                F.cos(
+                    F.lit(2.0 * 3.141592653589793)
+                    * (F.col("day") % F.col("p")).cast("double")
+                    / F.col("p").cast("double")
+                ),
+                6,
+            ).cast("decimal(8,6)").alias("cw"),
+            F.round(
+                F.sin(
+                    F.lit(2.0 * 3.141592653589793)
+                    * (F.col("day") % F.col("p")).cast("double")
+                    / F.col("p").cast("double")
+                ),
+                6,
+            ).cast("decimal(8,6)").alias("sw"),
+        )
+        .groupBy("p")
+        .agg(
+            F.sum((F.col("y") * F.col("cw")).cast("decimal(38,8)")).alias(
+                "yc"
+            ),
+            F.sum((F.col("y") * F.col("sw")).cast("decimal(38,8)")).alias(
+                "ys"
+            ),
+            F.sum(F.col("cw").cast("decimal(38,6)")).alias("sc"),
+            F.sum(F.col("sw").cast("decimal(38,6)")).alias("ss"),
+        )
+    )
+    from .hypotests import dec_double_wide_frac
+
+    n = F.col("n").cast("double")
+    m = dec_double_wide_frac(F.col("s")) / n
+    a = dec_double_wide_frac(F.col("yc")) - m * dec_double_wide_frac(
+        F.col("sc")
+    )
+    b = dec_double_wide_frac(F.col("ys")) - m * dec_double_wide_frac(
+        F.col("ss")
+    )
+    den = dec_double_wide_frac(F.col("q")) - dec_double_wide_frac(
+        F.col("s")
+    ) * m
+    result = pp.crossJoin(F.broadcast(tot)).select(
+        F.col("p").cast("long").alias("period"),
+        F.col("n").cast("long").alias("n_days"),
+        F.when(
+            den > 0, F.round(F.lit(2.0) * (a * a + b * b) / (n * den), 6)
+        ).alias("power_fraction"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])
+
+
+def interarrival_burstiness(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Corpus-level burstiness of per-user inter-event times: for each
+    user with ≥ 3 events, the gap coefficient-of-variation feeds
+    B = (σ − μ)/(σ + μ) ∈ [−1, 1] (B → −1 periodic, 0 Poisson, → +1
+    bursty; Goh & Barabási's measure) — then one summary row over
+    users: how bursty is this event stream really?
+
+    Per-user lag gaps ride ONE hash-partitioned window (the
+    user_activity_streaks shape); per-user moments fold in exact
+    integer micros, and the per-user B values aggregate with the
+    round-6 decimal recipe. Output one row:
+    (n_users, n_gaps, mean_burstiness, share_bursty)."""
+    w = Window.partitionBy("__u").orderBy("__ts")
+    ev = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("__ts"),
+    )
+    gaps = ev.select(
+        "__u", (F.col("__ts") - F.lag("__ts").over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    per_u = gaps.groupBy("__u").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("sg"),
+        F.sum(
+            (F.col("g").cast("decimal(19,0)") * F.col("g")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("qg"),
+    )
+    from .hypotests import dec_double_wide
+
+    ng = F.col("ng").cast("double")
+    mu = dec_double_wide(F.col("sg")) / ng
+    var = dec_double_wide(F.col("qg")) / ng - mu * mu
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    bb = F.when(sd + mu > 0, (sd - mu) / (sd + mu))
+    scored = per_u.filter(F.col("ng") >= 2).select(
+        "ng", F.round(bb, 6).alias("b")
+    )
+    folded = scored.filter(F.col("b").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("ng").alias("n_gaps"),
+        F.sum(F.col("b").cast("decimal(18,6)")).alias("sb"),
+        F.sum(F.when(F.col("b") > 0, 1).otherwise(0)).alias("nb"),
+    )
+    return folded.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.when(
+            F.col("n_users") > 0,
+            F.round(
+                F.col("sb").cast("double") / F.col("n_users").cast("double"),
+                6,
+            ),
+        ).alias("mean_burstiness"),
+        F.when(
+            F.col("n_users") > 0,
+            F.round(
+                F.col("nb").cast("double") / F.col("n_users").cast("double"),
+                6,
+            ),
+        ).alias("share_bursty"),
+    )

@@ -1253,3 +1253,212 @@ def readability_by_source(
             ),
         ).alias("flesch_reading_ease"),
     )
+
+
+def tv_distance_lang_by_source(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Total-variation distance between each source's language
+    distribution and the corpus-wide language distribution —
+    TV = ½·Σ_lang |p_source(lang) − p_corpus(lang)|, the worst-case
+    probability gap and the bluntest honest answer to "is this source's
+    language mix representative?" (bounded [0,1], no log blow-ups).
+
+    One (source, lang) count shuffle; the corpus marginal and per-
+    source totals come from windows over the bounded #sources×#langs
+    cell relation (the psi_value_drift rule — re-referencing an
+    aggregate in a join re-expands the fact scan). A lang missing from
+    a source contributes p_corpus(lang)/2 exactly: the full outer grid
+    materializes via the source×lang cross of the two bounded margins.
+    Output per source: (source, n_docs, n_langs_corpus, tv_distance)."""
+    cells = (
+        df.filter(F.col("source").isNotNull() & F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window as _W
+
+    lang_tot = cells.groupBy("lang").agg(F.sum("c").alias("cl"))
+    src_tot = cells.groupBy("source").agg(F.sum("c").alias("cs"))
+    grid = (
+        src_tot.crossJoin(lang_tot)
+        .join(cells, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            "cs",
+            "cl",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            F.sum("cl").over(
+                _W.partitionBy("source")
+            ).alias("n"),
+        )
+    )
+    p_src = F.col("c").cast("double") / F.col("cs").cast("double")
+    p_cor = F.col("cl").cast("double") / F.col("n").cast("double")
+    term = F.abs(p_src - p_cor)
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("cs").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs_corpus"),
+            F.sum(F.round(term, 6).cast("decimal(18,6)")).alias("s"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_langs_corpus").cast("long").alias("n_langs_corpus"),
+            F.round(F.col("s").cast("double") / F.lit(2.0), 6).alias(
+                "tv_distance"
+            ),
+        )
+    )
+
+
+def heaps_law_fit(
+    df: DataFrame, text_col: str = "text", n_chunks: int = 32
+) -> DataFrame:
+    """Heaps' law fit V ≈ K·T^β for the corpus: regress ln(vocab size)
+    on ln(token count) over a deterministic growth curve — the
+    standard "is the vocabulary still growing?" diagnostic that
+    decides tokenizer coverage and dedup aggressiveness for a
+    training corpus (β ≈ 0.4–0.6 for natural text; β near 0 means the
+    corpus is saturating/duplicated).
+
+    The growth curve needs an ORDER over documents; a global sort is
+    not scale-safe, so the order is the md5 hash-chunk index
+    (portable md5 bucket — conv(hex,16,10), deterministic and
+    partition-independent on both engines): chunk k's cumulative
+    token count T_k and vocab V_k = #{terms whose FIRST chunk ≤ k}
+    both fold from bounded relations (per-term min-chunk via one
+    vocabulary shuffle; prefix sums over the n_chunks-row grid). OLS
+    of ln V on ln T over the n_chunks points closes in doubles.
+    Output one row: (n_chunks, n_tokens, vocab_size, heaps_beta,
+    heaps_log_k, r2)."""
+    chunk = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % n_chunks
+    ).alias("chunk")
+    tokens = df.filter(F.col(text_col).isNotNull()).select(
+        chunk,
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+            )
+        ).alias("term"),
+    )
+    per_term = tokens.groupBy("term").agg(
+        F.min("chunk").alias("first_chunk"), F.count(F.lit(1)).alias("tc")
+    )
+    tok_per_chunk = tokens.groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    new_per_chunk = per_term.groupBy(
+        F.col("first_chunk").alias("chunk")
+    ).agg(F.count(F.lit(1)).alias("nv"))
+    from pyspark.sql import Window as _W
+
+    win = _W.orderBy("chunk").rowsBetween(_W.unboundedPreceding, 0)
+    curve = (
+        tok_per_chunk.join(new_per_chunk, "chunk", "full")
+        .select(
+            "chunk",
+            F.coalesce(F.col("nt"), F.lit(0)).alias("nt"),
+            F.coalesce(F.col("nv"), F.lit(0)).alias("nv"),
+        )
+        .select(
+            "chunk",
+            F.sum("nt").over(win).alias("t_cum"),
+            F.sum("nv").over(win).alias("v_cum"),
+        )
+        .filter((F.col("t_cum") > 0) & (F.col("v_cum") > 0))
+    )
+    # round-6 log terms over the n_chunks-row curve (portable log rule)
+    lx = F.round(F.log(F.col("t_cum").cast("double")), 6)
+    ly = F.round(F.log(F.col("v_cum").cast("double")), 6)
+    # products ROUND before the decimal cast (the repo's portable-cast
+    # rule: a bare double->decimal cast can tie-break differently
+    # between engines; an explicit round(·,12) is the shared grid)
+    mom = curve.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("t_cum").alias("n_tokens"),
+        F.max("v_cum").alias("vocab_size"),
+        F.sum(lx.cast("decimal(18,6)")).alias("sx"),
+        F.sum(ly.cast("decimal(18,6)")).alias("sy"),
+        F.sum(F.round(lx * lx, 12).cast("decimal(28,12)")).alias("sxx"),
+        F.sum(F.round(lx * ly, 12).cast("decimal(28,12)")).alias("sxy"),
+        F.sum(F.round(ly * ly, 12).cast("decimal(28,12)")).alias("syy"),
+    )
+    from .hypotests import dec_double
+
+    n = F.col("n").cast("double")
+    sx = dec_double(F.col("sx"))
+    sy = dec_double(F.col("sy"))
+    sxx_c = dec_double(F.col("sxx")) - sx * sx / n
+    sxy_c = dec_double(F.col("sxy")) - sx * sy / n
+    syy_c = dec_double(F.col("syy")) - sy * sy / n
+    beta = sxy_c / sxx_c
+    ok = (F.col("n") > 2) & (sxx_c > 0) & (syy_c > 0)
+    return mom.select(
+        F.col("n").cast("long").alias("n_chunks"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.when(ok, F.round(beta, 6)).alias("heaps_beta"),
+        F.when(ok, F.round((sy - beta * sx) / n, 6)).alias("heaps_log_k"),
+        F.when(ok, F.round(sxy_c * sxy_c / (sxx_c * syy_c), 6)).alias("r2"),
+    )
+
+
+def lexical_diversity_by_source(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-source lexical diversity: token count, type (distinct term)
+    count, type-token ratio, and hapax share (terms seen exactly once
+    in that source) — the quick corpus-quality fingerprint that
+    separates template/boilerplate sources (low TTR) from natural
+    text, per source in one pass.
+
+    One (source, term) count shuffle — vocabulary-sized, hash
+    partitioned, never broadcast (the tfidf rule) — then a #sources-row
+    fold. Output per source:
+    (source, n_tokens, n_types, ttr, hapax_share)."""
+    st = (
+        df.filter(F.col("source").isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+                )
+            ).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_src = st.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax"),
+    )
+    ok = F.col("n_tokens") > 0
+    return per_src.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.when(
+            ok,
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        ).alias("ttr"),
+        F.when(
+            (F.col("n_types") > 0),
+            F.round(
+                F.col("hapax").cast("double")
+                / F.col("n_types").cast("double"),
+                6,
+            ),
+        ).alias("hapax_share"),
+    )
