@@ -10966,6 +10966,17 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_second_digit_orders": q_benford_second_digit_orders,
         "last_digit_uniformity_price": q_last_digit_uniformity_price,
         "ks_doclen_lang": q_ks_doclen_lang,
+        "mantel_haenszel_status_price": q_mantel_haenszel_status_price,
+        "cochran_armitage_priority": q_cochran_armitage_priority,
+        "poisson_rate_ratio_events": q_poisson_rate_ratio_events,
+        "robust_shape_price": q_robust_shape_price,
+        "variance_homogeneity_price_flag": q_variance_homogeneity_price_flag,
+        "yules_k_docs": q_yules_k_docs,
+        "bigram_cond_entropy_docs": q_bigram_cond_entropy_docs,
+        "source_vocab_jaccard_docs": q_source_vocab_jaccard_docs,
+        "hurst_daily_value": q_hurst_daily_value,
+        "spiegelhalter_docs": q_spiegelhalter_docs,
+        "uncertainty_event_dow": q_uncertainty_event_dow,
     }
 
 
@@ -11843,4 +11854,488 @@ SELECT CAST(n AS BIGINT) AS n, CAST(n_digits_seen AS BIGINT) AS n_digits_seen,
   chi2, CAST(max_digit AS BIGINT) AS max_digit,
   round(CAST(top_c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS max_digit_share
 FROM chi CROSS JOIN top
+"""
+
+
+# ----- round-8 wave 2 -----
+
+
+def q_mantel_haenszel_status_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio of finished-status vs
+    high-value orders across priority strata
+    (operators/hypotests.py:mantel_haenszel_or)."""
+    from breweries_etl_spark.operators.hypotests import mantel_haenszel_or
+
+    return mantel_haenszel_or(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        F.col("o_orderstatus") == "F",
+        F.col("o_totalprice") > 150000,
+    )
+
+
+def q_cochran_armitage_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Armitage trend in the high-value-order rate along the
+    priority order (operators/hypotests.py:cochran_armitage_trend)."""
+    from breweries_etl_spark.operators.hypotests import cochran_armitage_trend
+
+    return cochran_armitage_trend(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        F.col("o_totalprice") > 150000,
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    )
+
+
+def q_poisson_rate_ratio_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Poisson event-rate ratio (events per active day) between even-
+    and odd-id users (operators/hypotests.py:poisson_rate_ratio)."""
+    from breweries_etl_spark.operators.hypotests import poisson_rate_ratio
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "day", F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    )
+    return poisson_rate_ratio(ev, F.col("user_id") % 2 == 0, "day")
+
+
+def q_robust_shape_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley skew / Moors kurtosis / quartile dispersion of
+    l_extendedprice (operators/hypotests.py:robust_shape_profile)."""
+    from breweries_etl_spark.operators.hypotests import robust_shape_profile
+
+    return robust_shape_profile(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )
+
+
+def q_variance_homogeneity_price_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran's C + Hartley F_max across returnflag groups on
+    l_extendedprice (operators/hypotests.py:variance_homogeneity)."""
+    from breweries_etl_spark.operators.hypotests import variance_homogeneity
+
+    return variance_homogeneity(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+def q_yules_k_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K / Simpson's D repeat-rate constants of the corpus
+    (operators/text.py:yules_k)."""
+    from breweries_etl_spark.operators.text import yules_k
+
+    return yules_k(load_table(spark, sf_dir, "documents"))
+
+
+def q_bigram_cond_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram conditional entropy H(w2|w1)
+    (operators/text.py:bigram_cond_entropy)."""
+    from breweries_etl_spark.operators.text import bigram_cond_entropy
+
+    return bigram_cond_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def q_source_vocab_jaccard_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources
+    (operators/text.py:source_vocab_jaccard)."""
+    from breweries_etl_spark.operators.text import source_vocab_jaccard
+
+    return source_vocab_jaccard(load_table(spark, sf_dir, "documents"))
+
+
+def q_hurst_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily event-value series by R/S analysis
+    (operators/temporal.py:hurst_rs_daily)."""
+    from breweries_etl_spark.operators.temporal import hurst_rs_daily
+
+    return hurst_rs_daily(load_events(spark, sf_dir))
+
+
+def q_spiegelhalter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter calibration z of the hashed-linear classifier vs
+    the heuristic quality label
+    (operators/hypotests.py:spiegelhalter_z)."""
+    from breweries_etl_spark.operators.filtering import classifier_score_expr
+    from breweries_etl_spark.operators.hypotests import spiegelhalter_z
+    from breweries_etl_spark.operators.text import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return spiegelhalter_z(
+        docs,
+        classifier_score_expr(F.col("text")),
+        quality_score_expr(F.col("text")) >= F.lit(0.5),
+    )
+
+
+def q_uncertainty_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(event_type | weekday)
+    (operators/hypotests.py:uncertainty_coefficient)."""
+    from breweries_etl_spark.operators.hypotests import uncertainty_coefficient
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "dow",
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            % 7
+        ).cast("string"),
+    )
+    return uncertainty_coefficient(ev, "event_type", "dow")
+
+
+_ORACLES["mantel_haenszel_status_price"] = f"""
+WITH per_k AS (
+  SELECT o_orderpriority AS s,
+    SUM(CASE WHEN o_orderstatus = 'F' AND o_totalprice > 150000
+        THEN 1 ELSE 0 END) AS a,
+    SUM(CASE WHEN o_orderstatus = 'F' AND NOT o_totalprice > 150000
+        THEN 1 ELSE 0 END) AS b,
+    SUM(CASE WHEN o_orderstatus <> 'F' AND o_totalprice > 150000
+        THEN 1 ELSE 0 END) AS c,
+    SUM(CASE WHEN o_orderstatus <> 'F' AND NOT o_totalprice > 150000
+        THEN 1 ELSE 0 END) AS d
+  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+), folded AS (
+  SELECT SUM(CAST(a + b + c + d AS DECIMAL(38,0))) AS n, count(*) AS k,
+    SUM(CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE), 6)
+             AS DECIMAL(28,6))) AS num,
+    SUM(CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE), 6)
+             AS DECIMAL(28,6))) AS den
+  FROM per_k
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_strata,
+  CASE WHEN num > 0 AND den > 0 THEN
+    round({_ddwf('num')} / {_ddwf('den')}, 6) END AS or_mh,
+  CASE WHEN num > 0 AND den > 0 THEN
+    round(ln({_ddwf('num')} / {_ddwf('den')}), 6) END AS log_or_mh
+FROM folded
+"""
+
+_ORACLES["cochran_armitage_priority"] = f"""
+WITH per_g AS (
+  SELECT o_orderpriority AS g, count(*) AS n_g,
+    SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS y_g,
+    CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS s
+  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+), folded AS (
+  SELECT SUM(n_g) AS n, count(*) AS k, SUM(y_g) AS y,
+    SUM(CAST(CAST(s AS DECIMAL(19,0)) * y_g AS DECIMAL(38,0))) AS sy,
+    SUM(CAST(CAST(s AS DECIMAL(19,0)) * n_g AS DECIMAL(38,0))) AS sn,
+    SUM(CAST(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)) * n_g
+             AS DECIMAL(38,0))) AS ssn
+  FROM per_g
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+  CASE WHEN n > 0 THEN
+    round(CAST(y AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS p_pooled,
+  CASE WHEN (CAST(y AS DOUBLE) / CAST(n AS DOUBLE))
+       * (1.0 - CAST(y AS DOUBLE) / CAST(n AS DOUBLE))
+       * ({_ddw('ssn')} - {_ddw('sn')} * {_ddw('sn')} / CAST(n AS DOUBLE))
+       > 0 THEN
+    round(({_ddw('sy')}
+           - (CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) * {_ddw('sn')})
+          / sqrt((CAST(y AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - CAST(y AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ({_ddw('ssn')}
+                    - {_ddw('sn')} * {_ddw('sn')} / CAST(n AS DOUBLE))), 6)
+  END AS z_score
+FROM folded
+"""
+
+_ORACLES["poisson_rate_ratio_events"] = """
+WITH base AS (
+  SELECT (user_id % 2 = 0) AS in_a,
+    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS e
+  FROM events WHERE ts IS NOT NULL
+), counts AS (
+  SELECT SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS k_a,
+    SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS k_b
+  FROM base
+), expo AS (
+  SELECT SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS e_a,
+    SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS e_b
+  FROM (SELECT DISTINCT in_a, e FROM base)
+)
+SELECT CAST(k_a AS BIGINT) AS events_a, CAST(k_b AS BIGINT) AS events_b,
+  CAST(e_a AS BIGINT) AS exposure_a, CAST(e_b AS BIGINT) AS exposure_b,
+  CASE WHEN k_a > 0 AND k_b > 0 AND e_a > 0 AND e_b > 0 THEN
+    round((CAST(k_a AS DOUBLE) / CAST(e_a AS DOUBLE))
+          / (CAST(k_b AS DOUBLE) / CAST(e_b AS DOUBLE)), 6)
+  END AS rate_ratio,
+  CASE WHEN k_a > 0 AND k_b > 0 AND e_a > 0 AND e_b > 0 THEN
+    round(ln((CAST(k_a AS DOUBLE) / CAST(e_a AS DOUBLE))
+             / (CAST(k_b AS DOUBLE) / CAST(e_b AS DOUBLE)))
+          / sqrt(1.0 / CAST(k_a AS DOUBLE) + 1.0 / CAST(k_b AS DOUBLE)), 6)
+  END AS z_score
+FROM counts CROSS JOIN expo
+"""
+
+_ORACLES["robust_shape_price"] = """
+WITH agg AS (
+  SELECT count(*) AS n,
+    [quantile_disc(l_extendedprice, 0.125), quantile_disc(l_extendedprice, 0.25),
+     quantile_disc(l_extendedprice, 0.375), quantile_disc(l_extendedprice, 0.5),
+     quantile_disc(l_extendedprice, 0.625), quantile_disc(l_extendedprice, 0.75),
+     quantile_disc(l_extendedprice, 0.875)] AS e
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), d AS (
+  SELECT n,
+    CAST(e[1] AS DOUBLE) AS e1, CAST(e[2] AS DOUBLE) AS e2,
+    CAST(e[3] AS DOUBLE) AS e3, CAST(e[4] AS DOUBLE) AS e4,
+    CAST(e[5] AS DOUBLE) AS e5, CAST(e[6] AS DOUBLE) AS e6,
+    CAST(e[7] AS DOUBLE) AS e7
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n, e2 AS q1, e4 AS median, e6 AS q3,
+  CASE WHEN e6 - e2 > 0 THEN
+    round((e6 + e2 - 2.0 * e4) / (e6 - e2), 6) END AS bowley_skew,
+  CASE WHEN e6 - e2 > 0 THEN
+    round(((e7 - e5) + (e3 - e1)) / (e6 - e2), 6) END AS moors_kurtosis,
+  CASE WHEN e6 + e2 <> 0 THEN
+    round((e6 - e2) / (e6 + e2), 6) END AS quartile_dispersion
+FROM d
+"""
+
+_ORACLES["variance_homogeneity_price_flag"] = f"""
+WITH per_g AS (
+  SELECT l_returnflag AS g, count(*) AS n_g,
+    SUM(CAST({_qm8('l_extendedprice')} AS DECIMAL(38,2))) AS s,
+    SUM(CAST({_qm8('l_extendedprice')} * {_qm8('l_extendedprice')}
+             AS DECIMAL(38,4))) AS q
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+), scored AS (
+  SELECT n_g,
+    round(({_ddwf('q')} - {_ddwf('s')}
+           * ({_ddwf('s')} / CAST(n_g AS DOUBLE)))
+          / (CAST(n_g AS DOUBLE) - 1.0), 6) AS v
+  FROM per_g WHERE n_g > 1
+), folded AS (
+  SELECT SUM(n_g) AS n, count(*) AS k, max(v) AS vmax, min(v) AS vmin,
+    SUM(CAST(v AS DECIMAL(28,6))) AS vsum
+  FROM scored WHERE v IS NOT NULL
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+  vmax AS max_var, vmin AS min_var,
+  CASE WHEN vsum > 0 THEN round(vmax / {_ddwf('vsum')}, 6) END AS cochran_c,
+  CASE WHEN k > 1 AND vmin > 0 THEN round(vmax / vmin, 6) END AS hartley_fmax
+FROM folded
+"""
+
+_ORACLES["yules_k_docs"] = f"""
+WITH tf AS (
+  SELECT term, count(*) AS f FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS term
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY 1
+), folded AS (
+  SELECT SUM(f) AS n, count(*) AS v,
+    SUM(CAST(CAST(f AS DECIMAL(19,0)) * f AS DECIMAL(38,0))) AS f2
+  FROM tf
+)
+SELECT CAST(n AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS n_types,
+  CASE WHEN n > 0 THEN
+    round(1e4 * ({_ddw('f2')} - CAST(n AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+  END AS yules_k,
+  CASE WHEN n > 1 THEN
+    round(({_ddw('f2')} - CAST(n AS DOUBLE))
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+  END AS simpson_d
+FROM folded
+"""
+
+_ORACLES["bigram_cond_entropy_docs"] = """
+WITH norm AS (
+  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+    'g'), ' +', ' ', 'g')) AS nt
+  FROM documents WHERE text IS NOT NULL
+), words AS (SELECT string_split(nt, ' ') AS w FROM norm),
+pairs AS (
+  SELECT w1, w2, count(*) AS c FROM (
+    SELECT unnest([w[i] FOR i IN range(1, len(w))]) AS w1,
+      unnest([w[i + 1] FOR i IN range(1, len(w))]) AS w2
+    FROM words
+  ) WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2
+), hb AS (
+  SELECT max(n) AS nb, count(*) AS tb,
+    CAST(SUM(CAST(round(
+      -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      AS DECIMAL(18,6))) AS DOUBLE) AS h_b
+  FROM (SELECT c, SUM(c) OVER () AS n FROM pairs)
+), hp AS (
+  SELECT count(*) AS tp,
+    CAST(SUM(CAST(round(
+      -(CAST(cp AS DOUBLE) / CAST(n AS DOUBLE))
+      * ln(CAST(cp AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      AS DECIMAL(18,6))) AS DOUBLE) AS h_p
+  FROM (SELECT cp, SUM(cp) OVER () AS n FROM
+        (SELECT w1, SUM(c) AS cp FROM pairs GROUP BY 1))
+)
+SELECT CAST(nb AS BIGINT) AS n_bigrams, CAST(tb AS BIGINT) AS n_bigram_types,
+  CAST(tp AS BIGINT) AS n_prefix_types,
+  round(h_b, 6) AS h_bigram, round(h_p, 6) AS h_prefix,
+  round(h_b - h_p, 6) AS cond_entropy
+FROM hb CROSS JOIN hp
+"""
+
+_ORACLES["source_vocab_jaccard_docs"] = """
+WITH st AS (
+  SELECT DISTINCT source, term FROM (
+    SELECT source,
+      unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS term
+    FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+  )
+), sizes AS (SELECT source, count(*) AS nv FROM st GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+  CAST(sa.nv AS BIGINT) AS n_a, CAST(sb.nv AS BIGINT) AS n_b,
+  CAST(n_common AS BIGINT) AS n_common,
+  round(CAST(n_common AS DOUBLE)
+        / CAST(sa.nv + sb.nv - n_common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = inter.source_a
+JOIN sizes sb ON sb.source = inter.source_b
+"""
+
+_ORACLES["hurst_daily_value"] = f"""
+WITH daily AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    SUM(CAST(value AS DECIMAL(18,2))) AS y0
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+), idx AS (
+  SELECT row_number() OVER (ORDER BY day) - 1 AS i,
+    CAST(y0 AS DECIMAL(18,2)) AS y
+  FROM daily
+), rows_ AS (
+  SELECT s, i, y, i // s AS blk
+  FROM idx CROSS JOIN (SELECT unnest([8, 16, 32]) AS s)
+), t AS (
+  SELECT s, blk, i, y,
+    count(*) OVER (PARTITION BY s, blk) AS cnt,
+    SUM(CAST(y AS DECIMAL(38,2))) OVER (PARTITION BY s, blk) AS tot,
+    SUM(CAST(y * y AS DECIMAL(38,4))) OVER (PARTITION BY s, blk) AS q,
+    SUM(CAST(y AS DECIMAL(38,2))) OVER (PARTITION BY s, blk ORDER BY i
+      ROWS UNBOUNDED PRECEDING) AS cumy,
+    row_number() OVER (PARTITION BY s, blk ORDER BY i) AS r
+  FROM rows_
+), full_t AS (SELECT * FROM t WHERE cnt = s),
+per_blk AS (
+  SELECT s, blk, max(cnt) AS cnt, max(tot) AS tot, max(q) AS q,
+    max({_dd('cumy')} - CAST(r AS DOUBLE)
+        * ({_dd('tot')} / CAST(cnt AS DOUBLE))) AS cd_max,
+    min({_dd('cumy')} - CAST(r AS DOUBLE)
+        * ({_dd('tot')} / CAST(cnt AS DOUBLE))) AS cd_min
+  FROM full_t GROUP BY 1, 2
+), scored AS (
+  SELECT s,
+    CASE WHEN {_dd('q')} / CAST(cnt AS DOUBLE)
+              - ({_dd('tot')} / CAST(cnt AS DOUBLE))
+                * ({_dd('tot')} / CAST(cnt AS DOUBLE)) > 0
+    THEN round((cd_max - cd_min)
+               / sqrt({_dd('q')} / CAST(cnt AS DOUBLE)
+                      - ({_dd('tot')} / CAST(cnt AS DOUBLE))
+                        * ({_dd('tot')} / CAST(cnt AS DOUBLE))), 6)
+    END AS rs
+  FROM per_blk
+), per_size AS (
+  SELECT s, count(*) AS nb, SUM(CAST(rs AS DECIMAL(28,6))) AS rs_sum
+  FROM scored WHERE rs IS NOT NULL GROUP BY 1
+  HAVING SUM(CAST(rs AS DECIMAL(28,6))) > 0
+), logs AS (
+  SELECT round(ln(CAST(s AS DOUBLE)), 6) AS lx,
+    round(ln(CAST(rs_sum AS DOUBLE) / CAST(nb AS DOUBLE)), 6) AS ly,
+    nb
+  FROM per_size
+), mom AS (
+  SELECT count(*) AS np, SUM(nb) AS n_blocks_used,
+    CAST(SUM(CAST(lx AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(ly AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(round(lx * lx, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(round(lx * ly, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(round(ly * ly, 12) AS DECIMAL(28,12))) AS DOUBLE) AS syy
+  FROM logs
+), nd AS (SELECT count(*) AS n_days FROM daily),
+c AS (
+  SELECT np, n_blocks_used, n_days,
+    sxx - sx * sx / CAST(np AS DOUBLE) AS sxx_c,
+    sxy - sx * sy / CAST(np AS DOUBLE) AS sxy_c,
+    syy - sy * sy / CAST(np AS DOUBLE) AS syy_c
+  FROM mom CROSS JOIN nd
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+  CAST(n_blocks_used AS BIGINT) AS n_blocks_used,
+  CASE WHEN np > 1 AND sxx_c > 0 AND syy_c > 0 THEN
+    round(sxy_c / sxx_c, 6) END AS hurst_h,
+  CASE WHEN np > 1 AND sxx_c > 0 AND syy_c > 0 THEN
+    round(sxy_c * sxy_c / (sxx_c * syy_c), 6) END AS r2
+FROM c
+"""
+
+_ORACLES["spiegelhalter_docs"] = f"""
+WITH scored AS (
+  SELECT {_CLF_SCORE_SQL} AS p,
+    CASE WHEN {_HEUR_QUALITY_SQL} >= 0.5 THEN 1 ELSE 0 END AS y
+  FROM documents
+), folded AS (
+  SELECT count(*) AS n, SUM(y) AS n_pos,
+    SUM(CAST(round((CAST(y AS DOUBLE) - p) * (1.0 - 2.0 * p), 6)
+             AS DECIMAL(28,6))) AS num,
+    SUM(CAST(round((1.0 - 2.0 * p) * (1.0 - 2.0 * p) * p * (1.0 - p), 6)
+             AS DECIMAL(28,6))) AS den
+  FROM scored
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+  CASE WHEN {_ddwf('den')} > 0 THEN
+    round({_ddwf('num')} / sqrt({_ddwf('den')}), 6)
+  END AS spiegelhalter_z
+FROM folded
+"""
+
+_ORACLES["uncertainty_event_dow"] = """
+WITH cells AS (
+  SELECT event_type AS x,
+    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS VARCHAR)
+      AS y,
+    count(*) AS c
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT x, y, c, SUM(c) OVER () AS n, SUM(c) OVER (PARTITION BY y) AS cy
+  FROM cells
+), folded AS (
+  SELECT max(n) AS n, count(*) AS n_cells,
+    CAST(SUM(CAST(round(
+      -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      * ln((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+      AS DECIMAL(18,6))) AS DOUBLE) AS hxy
+  FROM t
+), hx AS (
+  SELECT CAST(SUM(CAST(round(
+    -(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))
+    * ln(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+    AS DECIMAL(18,6))) AS DOUBLE) AS hx
+  FROM (SELECT cx, SUM(cx) OVER () AS n FROM
+        (SELECT x, SUM(c) AS cx FROM cells GROUP BY 1))
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+  round(hx, 6) AS h_x, round(hxy, 6) AS h_x_given_y,
+  CASE WHEN hx > 0 THEN round((hx - hxy) / hx, 6) END AS uncertainty_xy
+FROM folded CROSS JOIN hx
 """

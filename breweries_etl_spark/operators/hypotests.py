@@ -3643,3 +3643,399 @@ def group_deviance(
             F.round(F.lit(2.0) * dec_double_wide_frac(F.col("dg")) / n, 6),
         ).alias("gamma_deviance"),
     )
+
+
+def mantel_haenszel_or(
+    df: DataFrame,
+    strata_col: str,
+    exposure_expr: Column,
+    outcome_expr: Column,
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across K strata — the
+    confounder-adjusted association between a binary exposure and a
+    binary outcome (the classic "is the effect real once you slice by
+    segment" epidemiology tool, equally at home on A/B cohorts):
+    OR_MH = Σ_k(a_k·d_k/n_k) / Σ_k(b_k·c_k/n_k).
+
+    One conditional-count shuffle to the K-row stratum relation; the
+    per-stratum ratio terms (exact integer products over the stratum
+    total) fold with the round-6 decimal recipe. Output one row:
+    (n, k_strata, or_mh, log_or_mh)."""
+    e = exposure_expr
+    y = outcome_expr
+    per_k = (
+        df.filter(F.col(strata_col).isNotNull())
+        .groupBy(F.col(strata_col).alias("__s"))
+        .agg(
+            F.sum(F.when(e & y, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(e & ~y, 1).otherwise(0)).alias("b"),
+            F.sum(F.when(~e & y, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(~e & ~y, 1).otherwise(0)).alias("d"),
+        )
+    )
+    n_k = (
+        F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    ).cast("double")
+    num_t = F.round(
+        F.col("a").cast("double") * F.col("d").cast("double") / n_k, 6
+    ).cast("decimal(28,6)")
+    den_t = F.round(
+        F.col("b").cast("double") * F.col("c").cast("double") / n_k, 6
+    ).cast("decimal(28,6)")
+    folded = per_k.agg(
+        F.sum(n_k.cast("decimal(38,0)")).alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(num_t).alias("num"),
+        F.sum(den_t).alias("den"),
+    )
+    orr = dec_double_wide_frac(F.col("num")) / dec_double_wide_frac(
+        F.col("den")
+    )
+    ok = (F.col("num") > 0) & (F.col("den") > 0)
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_strata"),
+        F.when(ok, F.round(orr, 6)).alias("or_mh"),
+        F.when(ok, F.round(F.log(orr), 6)).alias("log_or_mh"),
+    )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    group_col: str,
+    flag_expr: Column,
+    ordered_groups: list,
+) -> DataFrame:
+    """Cochran–Armitage trend test: does a binary rate increase
+    monotonically along an ORDERED group axis (dose tiers, priority
+    classes)? Scores are the 1..k positions of ``ordered_groups``;
+    z = Σsᵢ(yᵢ − nᵢp̄) / √(p̄(1−p̄)·[Σs²nᵢ − (Σsnᵢ)²/N]).
+
+    One conditional-count shuffle to the k-row relation; every
+    accumulator is an exact integer decimal, the closing sequence is
+    fixed doubles. Output one row: (n, k_groups, p_pooled, z_score)."""
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    score = F.create_map(
+        *[
+            F.lit(x)
+            for g, s in zip(ordered_groups, range(1, len(ordered_groups) + 1))
+            for x in (g, s)
+        ]
+    )[F.col("__g")]
+    per_g = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(group_col).isin(ordered_groups)
+        )
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(flag_expr.cast("int")).alias("y_g"),
+        )
+        .select("__g", "n_g", "y_g", score.alias("s"))
+    )
+    folded = per_g.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("y_g").alias("y"),
+        F.sum((F.col("s").cast(d19) * F.col("y_g")).cast(d38)).alias("sy"),
+        F.sum((F.col("s").cast(d19) * F.col("n_g")).cast(d38)).alias("sn"),
+        F.sum(
+            (F.col("s").cast(d19) * F.col("s") * F.col("n_g")).cast(d38)
+        ).alias("ssn"),
+    )
+    n = F.col("n").cast("double")
+    pbar = F.col("y").cast("double") / n
+    num = dec_double_wide(F.col("sy")) - pbar * dec_double_wide(F.col("sn"))
+    var = (
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (
+            dec_double_wide(F.col("ssn"))
+            - dec_double_wide(F.col("sn"))
+            * dec_double_wide(F.col("sn"))
+            / n
+        )
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.when(F.col("n") > 0, F.round(pbar, 6)).alias("p_pooled"),
+        F.when(var > 0, F.round(num / F.sqrt(var), 6)).alias("z_score"),
+    )
+
+
+def poisson_rate_ratio(
+    df: DataFrame,
+    group_expr: Column,
+    exposure_col: str,
+) -> DataFrame:
+    """Two-group Poisson rate-ratio test: events per unit of exposure
+    (distinct values of ``exposure_col``, e.g. active days) between
+    group A and B, with the standard log-rate-ratio normal
+    approximation z = ln(r_a/r_b) / √(1/k_a + 1/k_b) — the "did the
+    event rate actually change" test that raw count comparison gets
+    wrong when exposure differs.
+
+    One conditional aggregate (counts + per-group distinct exposure
+    via one grouped distinct over the bounded exposure domain).
+    Output one row:
+    (events_a, events_b, exposure_a, exposure_b, rate_ratio, z_score)."""
+    base = df.select(
+        group_expr.alias("__a"), F.col(exposure_col).alias("__e")
+    ).filter(F.col("__e").isNotNull())
+    counts = base.agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("k_a"),
+        F.sum(F.when(~F.col("__a"), 1).otherwise(0)).alias("k_b"),
+    )
+    expo = (
+        base.select("__a", "__e")
+        .distinct()
+        .agg(
+            F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("e_a"),
+            F.sum(F.when(~F.col("__a"), 1).otherwise(0)).alias("e_b"),
+        )
+    )
+    ka = F.col("k_a").cast("double")
+    kb = F.col("k_b").cast("double")
+    ra = ka / F.col("e_a").cast("double")
+    rb = kb / F.col("e_b").cast("double")
+    ok = (
+        (F.col("k_a") > 0)
+        & (F.col("k_b") > 0)
+        & (F.col("e_a") > 0)
+        & (F.col("e_b") > 0)
+    )
+    return counts.crossJoin(F.broadcast(expo)).select(
+        F.col("k_a").cast("long").alias("events_a"),
+        F.col("k_b").cast("long").alias("events_b"),
+        F.col("e_a").cast("long").alias("exposure_a"),
+        F.col("e_b").cast("long").alias("exposure_b"),
+        F.when(ok, F.round(ra / rb, 6)).alias("rate_ratio"),
+        F.when(
+            ok,
+            F.round(
+                F.log(ra / rb) / F.sqrt(F.lit(1.0) / ka + F.lit(1.0) / kb),
+                6,
+            ),
+        ).alias("z_score"),
+    )
+
+
+def robust_shape_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """Quantile-based robust shape summary: Bowley (quartile) skewness
+    (Q3 + Q1 − 2·Q2)/(Q3 − Q1), Moors (octile) kurtosis
+    ((E7−E5) + (E3−E1))/(E6−E2), and the quartile coefficient of
+    dispersion (Q3 − Q1)/(Q3 + Q1) — the moment-free skew/tail/spread
+    triple that stays finite under the heavy tails that break
+    classical moments at corpus scale.
+
+    One percentile_disc aggregate (exact lower-quantile ELEMENT picks,
+    engine-independent); the closing ratios are fixed doubles. Output
+    one row: (n, q1, median, q3, bowley_skew, moors_kurtosis,
+    quartile_dispersion)."""
+    qs = [i / 8 for i in range(1, 8)]
+    agg = df.filter(F.col(value_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"array({', '.join(f'percentile_disc({q}) WITHIN GROUP (ORDER BY {value_col})' for q in qs)})"
+        ).alias("e"),
+    )
+    e = lambda i: F.element_at(F.col("e"), i).cast("double")  # noqa: E731
+    q1, q2, q3 = e(2), e(4), e(6)
+    iqr = q3 - q1
+    moors_den = e(6) - e(2)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        q1.alias("q1"),
+        q2.alias("median"),
+        q3.alias("q3"),
+        F.when(iqr > 0, F.round((q3 + q1 - F.lit(2.0) * q2) / iqr, 6)).alias(
+            "bowley_skew"
+        ),
+        F.when(
+            moors_den > 0,
+            F.round(((e(7) - e(5)) + (e(3) - e(1))) / moors_den, 6),
+        ).alias("moors_kurtosis"),
+        F.when(
+            (q3 + q1) != 0, F.round(iqr / (q3 + q1), 6)
+        ).alias("quartile_dispersion"),
+    )
+
+
+def variance_homogeneity(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Cochran's C (largest variance share) and Hartley's F_max
+    (largest/smallest variance ratio) across k groups — the quick
+    screens that say WHICH kind of heteroscedasticity you have before
+    reaching for Levene/Bartlett (C flags one rogue group, F_max flags
+    overall spread).
+
+    Per-group exact decimal moments (half-up money quantization), each
+    group's s² closes as a round-6 double on the k-row relation; C and
+    F_max fold from one more bounded aggregate. Output one row:
+    (n, k_groups, max_var, min_var, cochran_c, hartley_fmax)."""
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        quantized_money(F.col(value_col)).alias("__v"),
+    )
+    per_g = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.col("__v").cast("decimal(38,2)")).alias("s"),
+        F.sum((F.col("__v") * F.col("__v")).cast("decimal(38,4)")).alias("q"),
+    )
+    ng = F.col("n_g").cast("double")
+    mu = dec_double_wide_frac(F.col("s")) / ng
+    var = F.when(
+        F.col("n_g") > 1,
+        F.round(
+            (dec_double_wide_frac(F.col("q")) - dec_double_wide_frac(F.col("s")) * mu)
+            / (ng - F.lit(1.0)),
+            6,
+        ),
+    )
+    scored = per_g.select("n_g", var.alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    folded = scored.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("v").alias("vmax"),
+        F.min("v").alias("vmin"),
+        F.sum(F.col("v").cast("decimal(28,6)")).alias("vsum"),
+    )
+    ok = (F.col("k") > 1) & (F.col("vmin") > 0)
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("vmax").alias("max_var"),
+        F.col("vmin").alias("min_var"),
+        F.when(
+            F.col("vsum") > 0,
+            F.round(
+                F.col("vmax") / dec_double_wide_frac(F.col("vsum")), 6
+            ),
+        ).alias("cochran_c"),
+        F.when(ok, F.round(F.col("vmax") / F.col("vmin"), 6)).alias(
+            "hartley_fmax"
+        ),
+    )
+
+
+def spiegelhalter_z(
+    df: DataFrame, prob_col: Column, label_expr: Column
+) -> DataFrame:
+    """Spiegelhalter's calibration z test: is the Brier score of a
+    probability forecast consistent with perfect calibration?
+    Z = Σ(y−p)(1−2p) / √(Σ(1−2p)²·p·(1−p)) — the single-number
+    companion to the ECE/reliability curve that comes with an actual
+    null distribution.
+
+    One scan; per-row numerator/denominator terms fold with the
+    round-6 decimal recipe. Output one row:
+    (n, n_pos, spiegelhalter_z)."""
+    p = prob_col
+    y = label_expr.cast("int").cast("double")
+    num_t = F.round(
+        (y - p) * (F.lit(1.0) - F.lit(2.0) * p), 6
+    ).cast("decimal(28,6)")
+    den_t = F.round(
+        (F.lit(1.0) - F.lit(2.0) * p)
+        * (F.lit(1.0) - F.lit(2.0) * p)
+        * p
+        * (F.lit(1.0) - p),
+        6,
+    ).cast("decimal(28,6)")
+    folded = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y.cast("int")).alias("n_pos"),
+        F.sum(num_t).alias("num"),
+        F.sum(den_t).alias("den"),
+    )
+    den = dec_double_wide_frac(F.col("den"))
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.when(
+            den > 0,
+            F.round(dec_double_wide_frac(F.col("num")) / F.sqrt(den), 6),
+        ).alias("spiegelhalter_z"),
+    )
+
+
+def uncertainty_coefficient(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Theil's uncertainty coefficient U(X|Y) = (H(X) − H(X|Y))/H(X)
+    for two categorical columns — the [0,1] ASYMMETRIC association
+    measure ("how much does knowing Y reduce uncertainty about X")
+    that, unlike Cramér's V, tells you the direction of predictability.
+
+    One contingency shuffle (|dom X|·|dom Y| cells); marginals via
+    windows over the bounded cell relation; entropies fold with the
+    round-6 decimal log recipe. Output one row:
+    (n, n_cells, h_x, h_x_given_y, uncertainty_xy)."""
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_all = Window.partitionBy()
+    w_x = Window.partitionBy("x")
+    w_y = Window.partitionBy("y")
+    t = cells.select(
+        "x",
+        "y",
+        "c",
+        F.sum("c").over(w_all).alias("n"),
+        F.sum("c").over(w_x).alias("cx"),
+        F.sum("c").over(w_y).alias("cy"),
+    )
+    nd = F.col("n").cast("double")
+    p_xy = F.col("c").cast("double") / nd
+    p_y = F.col("cy").cast("double") / nd
+    # H(X|Y) = -sum p(x,y) ln(p(x,y)/p(y)); H(X) from per-x marginal
+    # rows (counted once via the y-index trick: only the first cell of
+    # each x contributes its marginal term — use a distinct fold
+    # instead, over the bounded marginal relation)
+    hxy_t = F.round(-p_xy * F.log(p_xy / p_y), 6).cast("decimal(18,6)")
+    folded = t.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(hxy_t).alias("hxy"),
+    )
+    hx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("cx"))
+        .select(
+            F.col("cx"),
+            F.sum("cx").over(Window.partitionBy()).alias("n"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    -(F.col("cx").cast("double") / F.col("n").cast("double"))
+                    * F.log(
+                        F.col("cx").cast("double")
+                        / F.col("n").cast("double")
+                    ),
+                    6,
+                ).cast("decimal(18,6)")
+            ).alias("hx")
+        )
+    )
+    hx_d = F.col("hx").cast("double")
+    hxy_d = F.col("hxy").cast("double")
+    return folded.crossJoin(F.broadcast(hx)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.round(hx_d, 6).alias("h_x"),
+        F.round(hxy_d, 6).alias("h_x_given_y"),
+        F.when(hx_d > 0, F.round((hx_d - hxy_d) / hx_d, 6)).alias(
+            "uncertainty_xy"
+        ),
+    )

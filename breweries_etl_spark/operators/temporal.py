@@ -1956,3 +1956,130 @@ def interarrival_burstiness(
             ),
         ).alias("share_bursty"),
     )
+
+
+def hurst_rs_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    block_sizes: tuple = (8, 16, 32),
+) -> DataFrame:
+    """Hurst exponent of the daily-total series by rescaled-range
+    (R/S) analysis: split the day grid into blocks of each size, per
+    block compute R = range of the cumulative mean-deviation walk and
+    S = population sd, average R/S per size, and fit
+    ln(R/S) ~ H·ln(size) — H ≈ 0.5 is a random walk, > 0.5 trending /
+    long-memory, < 0.5 mean-reverting. The classic "does this metric
+    have memory" diagnostic.
+
+    The fact table collapses to the bounded day grid once; block
+    indices come from the day-rank (the one allowed unpartitioned
+    window, bounded); the cumulative walk is a window PARTITIONED by
+    (size, block) — ≤ 32 rows per partition. Incomplete tail blocks
+    and zero-variance blocks are excluded (documented convention).
+    Per-size means and the 3-point log-log OLS close with the round-6
+    decimal recipe. Output one row:
+    (n_days, n_blocks_used, hurst_h, r2)."""
+    from .hypotests import dec_double
+
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+    y18 = _narrow_daily_total(F.col("y"), "hurst_rs_daily")
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - F.lit(1)).alias("i"),
+        y18.alias("y"),
+    )
+    sizes = F.array(*[F.lit(int(s)) for s in block_sizes])
+    rows = idx.select(
+        "i", "y", F.explode(sizes).alias("s")
+    ).select(
+        "s", "i", "y", F.expr("i div s").alias("blk")
+    )
+    wb = Window.partitionBy("s", "blk")
+    wcum = (
+        Window.partitionBy("s", "blk")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = rows.select(
+        "s",
+        "blk",
+        "i",
+        "y",
+        F.count(F.lit(1)).over(wb).alias("cnt"),
+        F.sum(F.col("y").cast("decimal(38,2)")).over(wb).alias("tot"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)"))
+        .over(wb)
+        .alias("q"),
+        F.sum(F.col("y").cast("decimal(38,2)")).over(wcum).alias("cumy"),
+        F.row_number().over(
+            Window.partitionBy("s", "blk").orderBy("i")
+        ).alias("r"),
+    ).filter(F.col("cnt") == F.col("s"))
+    mu = dec_double(F.col("tot")) / F.col("cnt").cast("double")
+    cumdev = dec_double(F.col("cumy")) - F.col("r").cast("double") * mu
+    per_blk = (
+        t.select(
+            "s", "blk", "cnt", "tot", "q", cumdev.alias("cd")
+        )
+        .groupBy("s", "blk")
+        .agg(
+            F.max("cnt").alias("cnt"),
+            F.max("tot").alias("tot"),
+            F.max("q").alias("q"),
+            F.max("cd").alias("cd_max"),
+            F.min("cd").alias("cd_min"),
+        )
+    )
+    cntd = F.col("cnt").cast("double")
+    mu2 = dec_double(F.col("tot")) / cntd
+    s2 = dec_double(F.col("q")) / cntd - mu2 * mu2
+    rs = F.when(
+        s2 > 0,
+        F.round(
+            (F.col("cd_max") - F.col("cd_min")) / F.sqrt(s2), 6
+        ),
+    )
+    per_size = (
+        per_blk.select("s", rs.alias("rs"))
+        .filter(F.col("rs").isNotNull())
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.col("rs").cast("decimal(28,6)")).alias("rs_sum"),
+        )
+        .filter(F.col("rs_sum") > 0)
+    )
+    lx = F.round(F.log(F.col("s").cast("double")), 6)
+    ly = F.round(
+        F.log(
+            F.col("rs_sum").cast("double") / F.col("nb").cast("double")
+        ),
+        6,
+    )
+    mom = per_size.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("nb").alias("n_blocks_used"),
+        F.sum(lx.cast("decimal(18,6)")).alias("sx"),
+        F.sum(ly.cast("decimal(18,6)")).alias("sy"),
+        F.sum(F.round(lx * lx, 12).cast("decimal(28,12)")).alias("sxx"),
+        F.sum(F.round(lx * ly, 12).cast("decimal(28,12)")).alias("sxy"),
+        F.sum(F.round(ly * ly, 12).cast("decimal(28,12)")).alias("syy"),
+    )
+    n_days = daily.select(F.count(F.lit(1)).alias("n_days"))
+    npd = F.col("np").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx_c = F.col("sxx").cast("double") - sx * sx / npd
+    sxy_c = F.col("sxy").cast("double") - sx * sy / npd
+    syy_c = F.col("syy").cast("double") - sy * sy / npd
+    ok = (F.col("np") > 1) & (sxx_c > 0) & (syy_c > 0)
+    result = mom.crossJoin(F.broadcast(n_days)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_blocks_used").cast("long").alias("n_blocks_used"),
+        F.when(ok, F.round(sxy_c / sxx_c, 6)).alias("hurst_h"),
+        F.when(ok, F.round(sxy_c * sxy_c / (sxx_c * syy_c), 6)).alias("r2"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])

@@ -1462,3 +1462,163 @@ def lexical_diversity_by_source(
             ),
         ).alias("hapax_share"),
     )
+
+
+def yules_k(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Yule's characteristic K and Simpson's lexical D over the whole
+    corpus — the repeat-rate constants that are (unlike raw TTR)
+    length-invariant: K = 10⁴·(Σf² − N)/N², D = Σf(f−1)/(N(N−1)) with
+    f the term frequencies. High K/D = repetitive, template-heavy
+    text — the one-number boilerplate alarm for a training corpus.
+
+    One vocabulary shuffle; EVERYTHING is exact integer decimal until
+    the two closing divisions. Output one row:
+    (n_tokens, n_types, yules_k, simpson_d)."""
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    tf = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    from .hypotests import dec_double_wide
+
+    folded = tf.agg(
+        F.sum("f").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum((F.col("f").cast(d19) * F.col("f")).cast(d38)).alias("f2"),
+    )
+    n = F.col("n").cast("double")
+    f2 = dec_double_wide(F.col("f2"))
+    return folded.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("n_types"),
+        F.when(
+            F.col("n") > 0, F.round(F.lit(1e4) * (f2 - n) / (n * n), 6)
+        ).alias("yules_k"),
+        F.when(
+            F.col("n") > 1,
+            F.round((f2 - n) / (n * (n - F.lit(1.0))), 6),
+        ).alias("simpson_d"),
+    )
+
+
+def bigram_cond_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram conditional entropy H(w₂|w₁) = H(bigram) −
+    H(prefix marginal) in nats — the entropy-rate estimate that
+    separates natural prose (≈ 4–6) from templated/duplicated text
+    (→ 0): the lower it is, the more the next token is already
+    determined.
+
+    One bigram-count shuffle (normalized-text word pairs via the
+    linear shingled_zip); the prefix marginal folds FROM the bigram
+    relation (no second fact scan); entropy terms use the round-6
+    decimal log recipe. Output one row:
+    (n_bigrams, n_bigram_types, n_prefix_types, h_bigram, h_prefix,
+    cond_entropy)."""
+    z = shingled_zip(F.split(normalize_text_expr(F.col(text_col)), " "), 2)
+    pairs = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(z).alias("s"))
+        .select(
+            F.col("s")["0"].alias("w1"), F.col("s")["1"].alias("w2")
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_all = Window.partitionBy()
+
+    def entropy_fold(rel, cnt_col):
+        t = rel.select(
+            F.col(cnt_col).alias("c"),
+            F.sum(cnt_col).over(w_all).alias("n"),
+        )
+        p = F.col("c").cast("double") / F.col("n").cast("double")
+        return t.agg(
+            F.max("n").alias("n"),
+            F.count(F.lit(1)).alias("types"),
+            F.sum(
+                F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+            ).alias("h"),
+        )
+    hb = entropy_fold(pairs, "c")
+    hp = entropy_fold(pairs.groupBy("w1").agg(F.sum("c").alias("cp")), "cp")
+    hb2 = hb.select(
+        F.col("n").alias("nb"),
+        F.col("types").alias("tb"),
+        F.col("h").cast("double").alias("h_b"),
+    )
+    hp2 = hp.select(
+        F.col("types").alias("tp"), F.col("h").cast("double").alias("h_p")
+    )
+    return hb2.crossJoin(F.broadcast(hp2)).select(
+        F.col("nb").cast("long").alias("n_bigrams"),
+        F.col("tb").cast("long").alias("n_bigram_types"),
+        F.col("tp").cast("long").alias("n_prefix_types"),
+        F.round(F.col("h_b"), 6).alias("h_bigram"),
+        F.round(F.col("h_p"), 6).alias("h_prefix"),
+        F.round(F.col("h_b") - F.col("h_p"), 6).alias("cond_entropy"),
+    )
+
+
+def source_vocab_jaccard(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pairwise Jaccard similarity of the VOCABULARIES (distinct term
+    sets) of every source pair — which sources speak the same language
+    of tokens (near-1 pairs are mirror/scrape candidates; near-0 pairs
+    are genuinely different registers).
+
+    One (source, term) distinct shuffle; the intersection counts come
+    from a TERM-partitioned self-join (the gram-partitioned
+    source_char_ngram_cosine shape — the per-term fan-out is #sources,
+    bounded), sizes from a #sources-row aggregate, union by
+    inclusion-exclusion. Output #sources·(#sources−1)/2 rows:
+    (source_a, source_b, n_a, n_b, n_common, jaccard)."""
+    st = (
+        df.filter(F.col("source").isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = st.select(F.col("source").alias("source_a"), "term")
+    b = st.select(F.col("source").alias("source_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("nv").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("nv").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("n_common")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

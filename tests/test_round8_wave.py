@@ -155,3 +155,163 @@ def test_heaps_law_pure_powerlaw_recovered(spark):
     out = heaps_law_fit(df).collect()[0]
     assert 0.5 < out["heaps_beta"] <= 1.05
     assert out["r2"] > 0.99
+
+
+def test_mantel_haenszel_no_confounding_matches_crude(spark):
+    """With a single stratum the MH OR is the crude OR: fixture
+    a=30,b=10,c=10,d=30 -> OR = 9."""
+    from breweries_etl_spark.operators.hypotests import mantel_haenszel_or
+
+    rows = (
+        [("s", True, True)] * 30
+        + [("s", True, False)] * 10
+        + [("s", False, True)] * 10
+        + [("s", False, False)] * 30
+    )
+    df = spark.createDataFrame(rows, ["st", "e", "y"])
+    out = mantel_haenszel_or(
+        df, "st", F.col("e"), F.col("y")
+    ).collect()[0]
+    assert out["or_mh"] == 9.0
+    assert abs(out["log_or_mh"] - math.log(9.0)) < 1e-5
+
+
+def test_cochran_armitage_perfect_trend_sign(spark):
+    """Rates 10% / 50% / 90% along the order -> strongly positive z."""
+    from breweries_etl_spark.operators.hypotests import cochran_armitage_trend
+
+    rows = []
+    for g, rate in (("a", 1), ("b", 5), ("c", 9)):
+        rows += [(g, True)] * rate + [(g, False)] * (10 - rate)
+    df = spark.createDataFrame(rows, ["g", "f"])
+    out = cochran_armitage_trend(
+        df, "g", F.col("f"), ["a", "b", "c"]
+    ).collect()[0]
+    assert out["z_score"] > 3.0
+    # reversed order flips the sign exactly
+    rev = cochran_armitage_trend(
+        df, "g", F.col("f"), ["c", "b", "a"]
+    ).collect()[0]
+    assert abs(rev["z_score"] + out["z_score"]) < 1e-9
+
+
+def test_poisson_rate_ratio_equal_rates(spark):
+    """Identical per-day rates -> ratio 1, z 0."""
+    from datetime import datetime, timedelta
+
+    from breweries_etl_spark.operators.hypotests import poisson_rate_ratio
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for d in range(10):
+        for g in (True, False):
+            rows += [(g, d)] * 3
+    df = spark.createDataFrame(rows, ["in_a", "day"])
+    out = poisson_rate_ratio(df, F.col("in_a"), "day").collect()[0]
+    assert out["rate_ratio"] == 1.0 and out["z_score"] == 0.0
+
+
+def test_variance_homogeneity_equal_groups(spark):
+    """Identical group distributions -> C = 1/k, Fmax = 1."""
+    from breweries_etl_spark.operators.hypotests import variance_homogeneity
+
+    rows = [(g, float(v)) for g in "ab" for v in range(1, 11)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = variance_homogeneity(df, "g", "v").collect()[0]
+    assert out["hartley_fmax"] == 1.0
+    assert out["cochran_c"] == 0.5
+
+
+def test_yules_k_all_distinct_is_zero(spark):
+    """Every token unique -> f == 1 everywhere -> K = 0, D = 0."""
+    from breweries_etl_spark.operators.text import yules_k
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    out = yules_k(df).collect()[0]
+    assert out["yules_k"] == 0.0 and out["simpson_d"] == 0.0
+
+
+def test_bigram_cond_entropy_deterministic_text_zero(spark):
+    """A strictly repeating cycle (every prefix has ONE successor) ->
+    conditional entropy exactly 0."""
+    from breweries_etl_spark.operators.text import bigram_cond_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a b c " * 50)], ["doc_id", "text"]
+    )
+    out = bigram_cond_entropy(df).collect()[0]
+    assert out["cond_entropy"] == 0.0
+    assert out["n_prefix_types"] == 3
+
+
+def test_source_vocab_jaccard_identity_and_disjoint(spark):
+    """Identical vocabularies -> 1.0; disjoint -> no pair row (inner
+    join on shared terms) or jaccard 0 if any term shared."""
+    from breweries_etl_spark.operators.text import source_vocab_jaccard
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "apple banana cherry"),
+            ("s2", "apple banana cherry"),
+            ("s3", "xyzzy quux corge"),
+        ],
+        ["source", "text"],
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["jaccard"]
+        for r in source_vocab_jaccard(df).collect()
+    }
+    assert out[("s1", "s2")] == 1.0
+    assert ("s1", "s3") not in out  # disjoint pairs produce no row
+
+
+def test_spiegelhalter_perfectly_calibrated_half(spark):
+    """p = 0.5 with a 50/50 outcome -> numerator 0 -> z = 0."""
+    from breweries_etl_spark.operators.hypotests import spiegelhalter_z
+
+    rows = [(0.5, i % 2 == 0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["p", "y"])
+    out = spiegelhalter_z(df, F.col("p"), F.col("y")).collect()[0]
+    # (1-2p) = 0 kills both sums -> den 0 -> NULL z (guarded)
+    assert out["spiegelhalter_z"] is None
+    rows = [(0.8, i < 80) for i in range(100)]
+    df = spark.createDataFrame(rows, ["p", "y"])
+    out = spiegelhalter_z(df, F.col("p"), F.col("y")).collect()[0]
+    assert abs(out["spiegelhalter_z"]) < 1e-6
+
+
+def test_uncertainty_coefficient_bounds(spark):
+    """X fully determined by Y -> U = 1; X independent of Y -> U = 0."""
+    from breweries_etl_spark.operators.hypotests import uncertainty_coefficient
+
+    det = spark.createDataFrame(
+        [(str(i % 3), str(i % 3)) for i in range(90)], ["x", "y"]
+    )
+    out = uncertainty_coefficient(det, "x", "y").collect()[0]
+    assert out["uncertainty_xy"] == 1.0
+    ind = spark.createDataFrame(
+        [(str(i % 3), str(i // 30)) for i in range(90)], ["x", "y"]
+    )
+    out = uncertainty_coefficient(ind, "x", "y").collect()[0]
+    assert abs(out["uncertainty_xy"]) < 1e-6
+
+
+def test_hurst_white_noise_near_half(spark):
+    """Deterministic pseudo-noise daily series -> H should land well
+    below the trending regime (sanity band, not an exact value)."""
+    from datetime import datetime, timedelta
+
+    from breweries_etl_spark.operators.temporal import hurst_rs_daily
+
+    base = datetime(2024, 1, 1)
+    # deterministic "noise": md5-like scramble via modular arithmetic
+    rows = [
+        (base + timedelta(days=i), float((i * 2654435761) % 1000) / 10.0)
+        for i in range(128)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = hurst_rs_daily(df).collect()[0]
+    assert out["n_days"] == 128
+    assert 0.05 < out["hurst_h"] < 0.75
