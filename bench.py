@@ -344,6 +344,43 @@ FAMILIES: dict[str, list[str]] = {
         "ols_price_on_quantity",
         "pca_top_component",
     ],
+    # round-8 wave: fact-scan statistics (cheap) before the prefix-count
+    # pipelines (jonckheere runs 3 of them)
+    "r8stats": [
+        "cohens_h_status_price",
+        "lin_ccc_price_qty",
+        "mantel_haenszel_status_price",
+        "cochran_armitage_priority",
+        "variance_homogeneity_price_flag",
+        "robust_shape_price",
+        "last_digit_uniformity_price",
+        "benford_second_digit_orders",
+        "deviance_price_flag",
+        "hellinger_price_flag",
+        "hodges_lehmann_qty_flag",
+        "dunn_pairwise_price_flag",
+        "jonckheere_qty_returnflag",
+    ],
+    # round-8 corpus/temporal/graph: vocabulary shuffles and day-grid
+    # series (ks/spiegelhalter cheap; vocab-jaccard's term join last)
+    "r8corpus": [
+        "ks_doclen_lang",
+        "page_trend_weekday",
+        "cox_stuart_daily_value",
+        "periodogram_daily_value",
+        "hurst_daily_value",
+        "burstiness_user_events",
+        "uncertainty_event_dow",
+        "poisson_rate_ratio_events",
+        "spiegelhalter_docs",
+        "tv_distance_lang_source",
+        "lexical_diversity_source",
+        "yules_k_docs",
+        "heaps_law_docs",
+        "bigram_cond_entropy_docs",
+        "source_vocab_jaccard_docs",
+        "graph_degree_centralization",
+    ],
 }
 
 HEADLINE = [q for qs in FAMILIES.values() for q in qs]

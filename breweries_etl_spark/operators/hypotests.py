@@ -3597,13 +3597,22 @@ def group_deviance(
         F.col(group_col).alias("__g"),
         quantized_money(F.col(value_col)).alias("__y"),
     )
-    n_total = base.agg(F.count(F.lit(1)).alias("n_total"))
     pos = base.filter(F.col("__y") > 0)
-    means = pos.groupBy("__g").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum(F.col("__y").cast("decimal(38,2)")).alias("__s"),
+    # ONE group pass carries both the all-rows total (n_total) and the
+    # positive-domain moments — folding n_total conditionally here
+    # saves a third fact scan
+    per_g = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n_all"),
+        F.sum(F.when(F.col("__y") > 0, 1).otherwise(0)).alias("__n"),
+        F.sum(
+            F.when(F.col("__y") > 0, F.col("__y"))
+            .otherwise(F.lit(0))
+            .cast("decimal(38,2)")
+        ).alias("__s"),
     )
-    means = means.select(
+    per_g = per_g.persist()
+    n_total = per_g.agg(F.sum("__n_all").alias("n_total"))
+    means = per_g.filter(F.col("__n") > 0).select(
         "__g",
         (
             dec_double_wide_frac(F.col("__s"))
@@ -3628,7 +3637,7 @@ def group_deviance(
     # small relation already knows
     kk = means.agg(F.count(F.lit(1)).alias("k"))
     n = F.col("n").cast("double")
-    return folded.crossJoin(F.broadcast(n_total)).crossJoin(
+    result = folded.crossJoin(F.broadcast(n_total)).crossJoin(
         F.broadcast(kk)
     ).select(
         F.col("n_total").cast("long").alias("n_total"),
@@ -3643,6 +3652,9 @@ def group_deviance(
             F.round(F.lit(2.0) * dec_double_wide_frac(F.col("dg")) / n, 6),
         ).alias("gamma_deviance"),
     )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [per_g])
 
 
 def mantel_haenszel_or(

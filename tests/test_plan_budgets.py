@@ -308,11 +308,14 @@ def test_frequent_item_pairs_single_fact_scan(spark, sf_dir):
         assert plan.count("lineitem.parquet") <= 1
         assert "InMemoryTableScan" in plan
         # formatted output re-renders the cached subtree per reference,
-        # so count UNIQUE shuffle plan_ids, not node occurrences; all 9
+        # so count UNIQUE shuffle plan_ids, not node occurrences; all 10
         # post-cache shuffles carry the collapsed basket-sized relation
         # (was 8 before r7: the item-support joins dropped their
         # corpus-growing broadcast hints for shuffle hash joins — one
-        # extra bounded exchange bought driver-OOM safety at scale,
+        # extra bounded exchange bought driver-OOM safety at scale; 9→10
+        # in r8 when the shuffle_hash hints moved to the SUPPORT sides
+        # so the per-partition hash build is catalog-sized, not the
+        # exploded pair relation — one more bounded support exchange,
         # see test_frequent_pairs_no_item_support_broadcast)
         ids = set(
             re.findall(
@@ -321,7 +324,7 @@ def test_frequent_item_pairs_single_fact_scan(spark, sf_dir):
                 plan,
             )
         )
-        assert len(ids) <= 9
+        assert len(ids) <= 10
     finally:
         spark.catalog.clearCache()
 

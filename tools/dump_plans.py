@@ -121,6 +121,27 @@ INTERESTING = [
     "lagged_xcorr_daily_value", "changepoint_binseg_value",
     "theil_u_daily_value", "monotonicity_user_value",
     "embedding_pair_cosine_hist", "ordinal_assoc_qty_discount",
+    # r8 wave: single-scan moment/count statistics (MH, trend, CCC,
+    # cohens_h, deviance, variance-homogeneity) should show 1-2
+    # aggregates over one pruned scan; hellinger one percentile pass +
+    # one binned pass; digit laws one shuffle; the calendar-grid ops
+    # (cox-stuart, periodogram, hurst, page) bounded day relations;
+    # vocab ops one term shuffle (jaccard's self-join term-partitioned,
+    # never broadcast); centralization one degree shuffle + bounded
+    # prefix counts. Dunn/jonckheere/hodges-lehmann ride the
+    # prefix-count/persisted machinery -> plan-budget tests.
+    "mantel_haenszel_status_price", "cochran_armitage_priority",
+    "lin_ccc_price_qty", "cohens_h_status_price", "deviance_price_flag",
+    "variance_homogeneity_price_flag", "robust_shape_price",
+    "hellinger_price_flag", "benford_second_digit_orders",
+    "last_digit_uniformity_price", "cox_stuart_daily_value",
+    "periodogram_daily_value", "hurst_daily_value",
+    "burstiness_user_events", "page_trend_weekday", "ks_doclen_lang",
+    "poisson_rate_ratio_events", "uncertainty_event_dow",
+    "spiegelhalter_docs", "yules_k_docs", "bigram_cond_entropy_docs",
+    "lexical_diversity_source", "tv_distance_lang_source",
+    "heaps_law_docs", "source_vocab_jaccard_docs",
+    "graph_degree_centralization",
 ]
 
 
