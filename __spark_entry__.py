@@ -10977,6 +10977,12 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hurst_daily_value": q_hurst_daily_value,
         "spiegelhalter_docs": q_spiegelhalter_docs,
         "uncertainty_event_dow": q_uncertainty_event_dow,
+        "ad_ksample_price_flag": q_ad_ksample_price_flag,
+        "bland_altman_doclen": q_bland_altman_doclen,
+        "pinball_loss_price": q_pinball_loss_price,
+        "type_mix_entropy_trend": q_type_mix_entropy_trend,
+        "embedding_dim_profile": q_embedding_dim_profile,
+        "lang_pred_quality": q_lang_pred_quality,
     }
 
 
@@ -12338,4 +12344,314 @@ SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
   round(hx, 6) AS h_x, round(hxy, 6) AS h_x_given_y,
   CASE WHEN hx > 0 THEN round((hx - hxy) / hx, 6) END AS uncertainty_xy
 FROM folded CROSS JOIN hx
+"""
+
+
+# ----- round-8 wave 3 -----
+
+
+def q_ad_ksample_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scholz-Stephens k-sample Anderson-Darling across the three
+    returnflag groups on l_extendedprice
+    (operators/hypotests.py:ad_ksample)."""
+    from breweries_etl_spark.operators.hypotests import ad_ksample
+
+    return ad_ksample(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        ["A", "N", "R"],
+    )
+
+
+def q_bland_altman_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement between the RECORDED n_chars column and
+    the recomputed text length (operators/hypotests.py:bland_altman) —
+    a data-quality audit of a stored derived column."""
+    from breweries_etl_spark.operators.hypotests import bland_altman
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_actual", F.length(F.col("text")).cast("double")
+    )
+    return bland_altman(docs, "n_chars", "len_actual")
+
+
+def q_pinball_loss_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pinball loss of the per-returnflag exact-quantile predictor
+    at tau 0.5/0.9 (operators/hypotests.py:pinball_loss)."""
+    from breweries_etl_spark.operators.hypotests import pinball_loss
+
+    return pinball_loss(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+def q_type_mix_entropy_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type mix entropy and its linear trend
+    (operators/temporal.py:type_mix_entropy_trend)."""
+    from breweries_etl_spark.operators.temporal import type_mix_entropy_trend
+
+    return type_mix_entropy_trend(load_events(spark, sf_dir))
+
+
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance / anisotropy health row of the embedding
+    table (operators/similarity.py:embedding_dim_profile)."""
+    from breweries_etl_spark.operators.similarity import embedding_dim_profile
+
+    return embedding_dim_profile(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_lang_pred_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the heuristic language router
+    vs the labeled lang column (operators/text.py:lang_pred_quality)."""
+    from breweries_etl_spark.operators.text import lang_pred_quality
+
+    return lang_pred_quality(load_table(spark, sf_dir, "documents"))
+
+
+def _adk_group_cte(name: str, g: str) -> str:
+    return f"""{name} AS (
+  SELECT max(nn) AS nn,
+    {_ddw('SUM(t_fp)')} / 1e9 / CAST(max(n_i) AS DOUBLE) AS a_i
+  FROM (
+    SELECT nn, n_i,
+      CASE WHEN CAST(cum_a + cum_b AS DOUBLE) < CAST(nn AS DOUBLE) THEN
+        CAST(floor(CAST(ca + cb AS DOUBLE)
+          * (CAST(nn AS DOUBLE) * CAST(cum_a AS DOUBLE)
+             - CAST(n_i AS DOUBLE) * CAST(cum_a + cum_b AS DOUBLE))
+          * (CAST(nn AS DOUBLE) * CAST(cum_a AS DOUBLE)
+             - CAST(n_i AS DOUBLE) * CAST(cum_a + cum_b AS DOUBLE))
+          / (CAST(cum_a + cum_b AS DOUBLE)
+             * (CAST(nn AS DOUBLE) - CAST(cum_a + cum_b AS DOUBLE)))
+          * 1e9) AS DECIMAL(38,0))
+      END AS t_fp
+    FROM (
+      SELECT v, ca, cb,
+        SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+        SUM(ca) OVER () AS n_i, SUM(ca + cb) OVER () AS nn
+      FROM (
+        SELECT l_extendedprice AS v,
+          SUM(CASE WHEN l_returnflag = '{g}' THEN 1 ELSE 0 END) AS ca,
+          SUM(CASE WHEN l_returnflag = '{g}' THEN 0 ELSE 1 END) AS cb
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_returnflag IN ('A', 'N', 'R')
+        GROUP BY 1
+      )
+    )
+  )
+)"""
+
+
+_ORACLES["ad_ksample_price_flag"] = f"""
+WITH {_adk_group_cte('ga', 'A')},
+{_adk_group_cte('gn', 'N')},
+{_adk_group_cte('gr', 'R')},
+allp AS (
+  SELECT nn, a_i FROM ga UNION ALL SELECT nn, a_i FROM gn
+  UNION ALL SELECT nn, a_i FROM gr
+), folded AS (
+  SELECT max(nn) AS n, count(*) AS k,
+    SUM(CAST(round(a_i, 6) AS DECIMAL(28,6))) AS a
+  FROM allp
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+  round({_ddwf('a')}, 6) AS ad_ksample
+FROM folded
+"""
+
+_ORACLES["bland_altman_doclen"] = f"""
+WITH base AS (
+  SELECT CAST({_qm8('n_chars')} - {_qm8('CAST(len(text) AS DOUBLE)')}
+              AS DECIMAL(18,2)) AS d
+  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+), mom AS (
+  SELECT count(*) AS n,
+    SUM(CAST(d AS DECIMAL(38,2))) AS s,
+    SUM(CAST(d * d AS DECIMAL(38,4))) AS q
+  FROM base
+), c AS (
+  SELECT n,
+    {_ddwf('s')} / CAST(n AS DOUBLE) AS mu,
+    sqrt(greatest(({_ddwf('q')} - {_ddwf('s')}
+                   * ({_ddwf('s')} / CAST(n AS DOUBLE)))
+                  / (CAST(n AS DOUBLE) - 1.0), 0.0)) AS sd
+  FROM mom
+), c2 AS (
+  SELECT n, mu, sd, mu - 1.96 * sd AS lo, mu + 1.96 * sd AS hi FROM c
+), outside AS (
+  SELECT SUM(CASE WHEN CAST(d AS DOUBLE) < lo OR CAST(d AS DOUBLE) > hi
+             THEN 1 ELSE 0 END) AS n_out
+  FROM base CROSS JOIN c2
+)
+SELECT CAST(n AS BIGINT) AS n,
+  round(mu, 6) AS mean_diff,
+  CASE WHEN n > 1 THEN round(sd, 6) END AS sd_diff,
+  CASE WHEN n > 1 THEN round(lo, 6) END AS loa_low,
+  CASE WHEN n > 1 THEN round(hi, 6) END AS loa_high,
+  CASE WHEN n > 0 THEN
+    round(CAST(n_out AS DOUBLE) / CAST(n AS DOUBLE), 6)
+  END AS pct_outside
+FROM c2 CROSS JOIN outside
+"""
+
+_ORACLES["pinball_loss_price"] = f"""
+WITH preds AS (
+  SELECT l_returnflag AS g,
+    quantile_disc(l_extendedprice, 0.5) AS q0,
+    quantile_disc(l_extendedprice, 0.9) AS q1
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+), kk AS (SELECT count(*) AS k FROM preds),
+base AS (
+  SELECT l_returnflag AS g,
+    CAST({_qm8('l_extendedprice')} AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+), j AS (
+  SELECT y, CAST(q0 AS DOUBLE) AS q0, CAST(q1 AS DOUBLE) AS q1
+  FROM base JOIN preds USING (g)
+), rows_ AS (
+  SELECT CAST(0.5 AS DOUBLE) AS tau, y, q0 AS q FROM j
+  UNION ALL
+  SELECT CAST(0.9 AS DOUBLE) AS tau, y, q1 AS q FROM j
+), folded AS (
+  SELECT tau, count(*) AS n,
+    SUM(CAST(round(CASE WHEN y >= q THEN tau * (y - q)
+                   ELSE (1.0 - tau) * (q - y) END, 6)
+             AS DECIMAL(28,6))) AS ls
+  FROM rows_ GROUP BY 1
+)
+SELECT tau, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+  CASE WHEN n > 0 THEN
+    round({_ddwf('ls')} / CAST(n AS DOUBLE), 6)
+  END AS mean_pinball
+FROM folded CROSS JOIN kk
+"""
+
+_ORACLES["type_mix_entropy_trend"] = f"""
+WITH cells AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    event_type AS t, count(*) AS c
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
+), td AS (
+  SELECT day, c, SUM(c) OVER (PARTITION BY day) AS nd FROM cells
+), per_day AS (
+  SELECT day,
+    SUM(CAST(round(-(CAST(c AS DOUBLE) / CAST(nd AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(nd AS DOUBLE)), 6)
+             AS DECIMAL(18,6))) AS h
+  FROM td GROUP BY 1
+), idx AS (
+  SELECT row_number() OVER (ORDER BY day) - 1 AS i, h FROM per_day
+), mom AS (
+  SELECT count(*) AS n,
+    SUM(CAST(i AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(h AS DECIMAL(38,6))) AS sy,
+    SUM(CAST(CAST(i AS DECIMAL(19,0)) * i AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(round(CAST(i AS DOUBLE) * CAST(h AS DOUBLE), 12)
+             AS DECIMAL(38,12))) AS sxy,
+    SUM(CAST(round(CAST(h AS DOUBLE) * CAST(h AS DOUBLE), 12)
+             AS DECIMAL(38,12))) AS syy
+  FROM idx
+), c AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+    {_ddw('sx')} AS sxd, {_ddwf('sy')} AS syd,
+    {_ddw('sxx')} AS sxxd, {_ddwf('sxy')} AS sxyd, {_ddwf('syy')} AS syyd
+  FROM mom
+), cc AS (
+  SELECT n, nd, syd,
+    sxxd - sxd * sxd / nd AS sxx_c,
+    sxyd - sxd * syd / nd AS sxy_c,
+    syyd - syd * syd / nd AS syy_c
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+  CASE WHEN n > 0 THEN round(syd / nd, 6) END AS mean_entropy,
+  CASE WHEN n > 1 AND sxx_c > 0 THEN round(sxy_c / sxx_c, 6)
+  END AS slope_per_day,
+  CASE WHEN n > 1 AND sxx_c > 0 AND syy_c > 0 THEN
+    round(sxy_c * sxy_c / (sxx_c * syy_c), 6)
+  END AS r2
+FROM cc
+"""
+
+_ORACLES["embedding_dim_profile"] = """
+WITH ex AS (
+  SELECT unnest(embedding) AS x0,
+    unnest(range(1, len(embedding) + 1)) AS ord
+  FROM embeddings WHERE embedding IS NOT NULL
+), dims AS (
+  SELECT CAST(ord - 1 AS BIGINT) AS pos, count(*) AS n,
+    SUM(CAST(round(CAST(x0 AS DOUBLE), 6) AS DECIMAL(28,6))) AS s,
+    SUM(CAST(round(CAST(x0 AS DOUBLE) * CAST(x0 AS DOUBLE), 12)
+             AS DECIMAL(28,12))) AS q
+  FROM ex GROUP BY 1
+), scored AS (
+  SELECT pos, n,
+    round(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS v
+  FROM dims
+), folded AS (
+  SELECT max(n) AS n_vectors, count(*) AS n_dims,
+    SUM(CAST(v AS DECIMAL(28,6))) AS vsum,
+    max(v) AS vmax, min(v) AS vmin
+  FROM scored
+), top AS (
+  SELECT pos AS max_var_dim FROM scored ORDER BY v DESC, pos ASC LIMIT 1
+)
+SELECT CAST(n_vectors AS BIGINT) AS n_vectors,
+  CAST(n_dims AS BIGINT) AS n_dims,
+  round(CAST(vsum AS DOUBLE) / CAST(n_dims AS DOUBLE), 6) AS mean_var,
+  vmax AS max_var, vmin AS min_var,
+  CASE WHEN vmin > 0 THEN round(vmax / vmin, 6) END AS anisotropy_ratio,
+  CAST(max_var_dim AS BIGINT) AS max_var_dim
+FROM folded CROSS JOIN top
+"""
+
+_ORACLES["lang_pred_quality"] = f"""
+WITH hits AS (
+  SELECT lang, text,
+    {_marker_hits("en")} AS h_en,
+    {_marker_hits("es")} AS h_es,
+    {_marker_hits("de")} AS h_de,
+    {_marker_hits("fr")} AS h_fr
+  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+), p AS (
+  SELECT lang AS a,
+    CASE WHEN len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
+         WHEN {_GREATEST} = 0 THEN 'unknown'
+         WHEN h_en = {_GREATEST} THEN 'en'
+         WHEN h_es = {_GREATEST} THEN 'es'
+         WHEN h_de = {_GREATEST} THEN 'de'
+         ELSE 'fr' END AS b
+  FROM hits
+), cells AS (SELECT a, b, count(*) AS c FROM p GROUP BY 1, 2),
+ma AS (SELECT a AS cls, SUM(c) AS n_true FROM cells GROUP BY 1),
+mb AS (SELECT b AS cls, SUM(c) AS n_pred FROM cells GROUP BY 1),
+tp AS (SELECT a AS cls, c AS tp FROM cells WHERE a = b),
+marg AS (
+  SELECT cls, coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+    coalesce(tp, 0) AS tp
+  FROM ma FULL OUTER JOIN mb USING (cls) LEFT JOIN tp USING (cls)
+)
+SELECT cls AS lang, CAST(n_true AS BIGINT) AS n_true,
+  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+  CASE WHEN n_pred > 0 THEN
+    round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END AS precision,
+  CASE WHEN n_true > 0 THEN
+    round(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS recall,
+  CASE WHEN n_pred > 0 AND n_true > 0
+       AND CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+           + CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) > 0 THEN
+    round(2.0 * (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+          * (CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE))
+          / (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+             + CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)), 6)
+  END AS f1
+FROM marg
 """

@@ -4051,3 +4051,231 @@ def uncertainty_coefficient(
             "uncertainty_xy"
         ),
     )
+
+
+def ad_ksample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """k-sample Anderson–Darling statistic (Scholz–Stephens 1987,
+    right-continuous/ties form): A²_kN = Σ_i (1/n_i)·Σ_{z: B_z<N}
+    l_z·(N·M_iz − n_i·B_z)²/(B_z·(N−B_z)) — does ANY of the k groups
+    come from a different distribution, with the tail-weighted AD
+    sensitivity the Kruskal/CvM family lacks. Raw statistic (no
+    mean/variance standardization — documented; compare across runs of
+    the SAME group sizes).
+
+    Per group one bucketed prefix-count pipeline over the POOLED
+    values (group i vs rest: cum_a = M_i, cum_a+cum_b = B, ca+cb = l —
+    the jonckheere_terpstra bounded-group-loop contract); per-group
+    folds are all-double with floor(·10⁹) fixed point (the 2-sample AD
+    recipe). Output one row: (n, k_groups, ad_ksample)."""
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).filter(
+        F.col("__g").isNotNull()
+        & F.col("__v").isNotNull()
+        & F.col("__g").isin(groups)
+    )
+    parts = []
+    handles = []
+    for g in groups:
+        pc = grouped_value_prefix_counts(
+            base, "__v", F.col("__g") == F.lit(g), n_buckets
+        )
+        tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
+            F.sum("ca").alias("n_i"),
+            F.sum(F.col("ca") + F.col("cb")).alias("nn"),
+        )
+        nn = F.col("nn").cast("double")
+        ni = F.col("n_i").cast("double")
+        m_i = F.col("cum_a").cast("double")
+        b_z = (F.col("cum_a") + F.col("cum_b")).cast("double")
+        l_z = (F.col("ca") + F.col("cb")).cast("double")
+        dev = nn * m_i - ni * b_z
+        term = F.when(
+            b_z < nn,
+            F.floor(
+                l_z * dev * dev / (b_z * (nn - b_z)) * F.lit(1e9)
+            ).cast("decimal(38,0)"),
+        )
+        part = pc.crossJoin(F.broadcast(tot)).agg(
+            F.max("n_i").alias("n_i"),
+            F.max("nn").alias("nn"),
+            F.sum(term).alias("t_fp"),
+        )
+        parts.append(
+            part.select(
+                "nn",
+                (
+                    dec_double_wide(F.col("t_fp"))
+                    / F.lit(1e9)
+                    / F.col("n_i").cast("double")
+                ).alias("a_i"),
+            )
+        )
+        handles.append(pc._vc_cache)  # type: ignore[attr-defined]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionAll(p)
+    folded = allp.agg(
+        F.max("nn").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.round(F.col("a_i"), 6).cast("decimal(28,6)")).alias("a"),
+    )
+    result = folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.round(dec_double_wide_frac(F.col("a")), 6).alias("ad_ksample"),
+    )
+    if release:
+        from .dedup import _release_caches
+
+        return _release_caches(result, handles)
+    return result
+
+
+def bland_altman(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Bland–Altman agreement analysis between two paired measurements
+    of the same quantity: mean difference (bias), SD of differences,
+    the 95% limits of agreement (bias ± 1.96·SD), and the share of
+    pairs OUTSIDE those limits — the method-comparison standard that
+    catches what a correlation hides (a recorded column drifting from
+    the recomputed truth, a replica pipeline diverging from primary).
+
+    Pass 1: exact decimal difference moments; the bias/LoA constants
+    materialize on the 1-row relation BEFORE the broadcast back (the
+    levene expression-placement rule). Pass 2 counts outliers. Output
+    one row: (n, mean_diff, sd_diff, loa_low, loa_high, pct_outside)."""
+    d = (
+        quantized_money(F.col(x_col)) - quantized_money(F.col(y_col))
+    ).cast("decimal(18,2)")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(d.alias("__d"))
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__d").cast("decimal(38,2)")).alias("s"),
+        F.sum((F.col("__d") * F.col("__d")).cast("decimal(38,4)")).alias("q"),
+    )
+    n = F.col("n").cast("double")
+    mean = dec_double_wide_frac(F.col("s")) / n
+    var = (
+        dec_double_wide_frac(F.col("q")) - dec_double_wide_frac(F.col("s")) * mean
+    ) / (n - F.lit(1.0))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    mom = mom.select(
+        "n",
+        mean.alias("__mu"),
+        sd.alias("__sd"),
+        (mean - F.lit(1.96) * sd).alias("__lo"),
+        (mean + F.lit(1.96) * sd).alias("__hi"),
+    )
+    outside = base.crossJoin(F.broadcast(mom)).agg(
+        F.max("n").alias("n"),
+        F.max("__mu").alias("__mu"),
+        F.max("__sd").alias("__sd"),
+        F.max("__lo").alias("__lo"),
+        F.max("__hi").alias("__hi"),
+        F.sum(
+            F.when(
+                (F.col("__d").cast("double") < F.col("__lo"))
+                | (F.col("__d").cast("double") > F.col("__hi")),
+                1,
+            ).otherwise(0)
+        ).alias("n_out"),
+    )
+    return outside.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("__mu"), 6).alias("mean_diff"),
+        F.when(F.col("n") > 1, F.round(F.col("__sd"), 6)).alias("sd_diff"),
+        F.when(F.col("n") > 1, F.round(F.col("__lo"), 6)).alias("loa_low"),
+        F.when(F.col("n") > 1, F.round(F.col("__hi"), 6)).alias("loa_high"),
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                F.col("n_out").cast("double") / F.col("n").cast("double"), 6
+            ),
+        ).alias("pct_outside"),
+    )
+
+
+def pinball_loss(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    taus: tuple = (0.5, 0.9),
+) -> DataFrame:
+    """Mean pinball (quantile) loss of the per-group exact-quantile
+    predictor at each tau — THE metric for quantile forecasts
+    (tau·(y−q)⁺ + (1−tau)·(q−y)⁺): evaluating the group's own
+    percentile_disc pick gives the in-sample floor that any learned
+    quantile model must beat.
+
+    One grouped percentile pass (k-row relation, broadcast back), one
+    loss scan; per-row losses fold with the round-6 decimal recipe.
+    Output one row per tau: (tau, n, k_groups, mean_pinball)."""
+    preds = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_disc({t}) WITHIN GROUP"
+                    f" (ORDER BY {value_col})"
+                ).alias(f"__q{i}")
+                for i, t in enumerate(taus)
+            ]
+        )
+    )
+    kk = preds.agg(F.count(F.lit(1)).alias("k"))
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        quantized_money(F.col(value_col)).cast("double").alias("__y"),
+    )
+    joined = base.join(F.broadcast(preds), "__g")
+    rows = joined.select(
+        "__y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(t)).alias("tau"),
+                        F.col(f"__q{i}").cast("double").alias("q"),
+                    )
+                    for i, t in enumerate(taus)
+                ]
+            )
+        ).alias("s"),
+    ).select("__y", F.col("s.tau").alias("tau"), F.col("s.q").alias("q"))
+    loss = F.when(
+        F.col("__y") >= F.col("q"),
+        F.col("tau") * (F.col("__y") - F.col("q")),
+    ).otherwise(
+        (F.lit(1.0) - F.col("tau")) * (F.col("q") - F.col("__y"))
+    )
+    folded = rows.groupBy("tau").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(loss, 6).cast("decimal(28,6)")).alias("ls"),
+    )
+    return folded.crossJoin(F.broadcast(kk)).select(
+        F.col("tau"),
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                dec_double_wide_frac(F.col("ls"))
+                / F.col("n").cast("double"),
+                6,
+            ),
+        ).alias("mean_pinball"),
+    )

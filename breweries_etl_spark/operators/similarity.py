@@ -604,3 +604,59 @@ def pair_cosine_histogram(
         F.round(F.lit(-1.0) + (F.col("bin") + 1) * F.lit(w), 6).alias("hi"),
         F.col("cnt").cast("long").alias("cnt"),
     )
+
+
+def embedding_dim_profile(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension variance profile of an embedding column, folded
+    to one health row: dimension count, mean/max/min per-dim variance,
+    the anisotropy ratio max/min (rogue or dead dimensions — the
+    cheap precursor to a whitening decision), and the argmax
+    dimension. A collapsed representation (anisotropy ≫ 1) breaks
+    cosine retrieval long before downstream metrics notice.
+
+    One posexplode shuffle keyed by dimension (bounded #dims
+    partitions); per-dim moments use the round-6/round-12 portable
+    folds; the final fold is over the #dims-row relation. Output one
+    row: (n_vectors, n_dims, mean_var, max_var, min_var,
+    anisotropy_ratio, max_var_dim)."""
+    dims = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.posexplode(vec_col))
+        .select("pos", F.col("col").cast("double").alias("x"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("x"), 6).cast("decimal(28,6)")).alias("s"),
+            F.sum(
+                F.round(F.col("x") * F.col("x"), 12).cast("decimal(28,12)")
+            ).alias("q"),
+        )
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.round(F.col("q").cast("double") / n - mean * mean, 6)
+    scored = dims.select("pos", "n", var.alias("v"))
+    folded = scored.agg(
+        F.max("n").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum(F.col("v").cast("decimal(28,6)")).alias("vsum"),
+        F.max("v").alias("vmax"),
+        F.min("v").alias("vmin"),
+        F.max(
+            F.struct(F.col("v").alias("v"), (-F.col("pos")).alias("np"))
+        ).alias("top"),
+    )
+    return folded.select(
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.col("n_dims").cast("long").alias("n_dims"),
+        F.round(
+            F.col("vsum").cast("double") / F.col("n_dims").cast("double"), 6
+        ).alias("mean_var"),
+        F.col("vmax").alias("max_var"),
+        F.col("vmin").alias("min_var"),
+        F.when(F.col("vmin") > 0, F.round(F.col("vmax") / F.col("vmin"), 6))
+        .alias("anisotropy_ratio"),
+        (-F.col("top.np")).cast("long").alias("max_var_dim"),
+    )

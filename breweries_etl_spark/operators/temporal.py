@@ -2083,3 +2083,74 @@ def hurst_rs_daily(
     from .dedup import _release_caches
 
     return _release_caches(result, [daily])
+
+
+def type_mix_entropy_trend(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Daily event-type mix entropy and its linear trend — "is the
+    traffic composition collapsing or diversifying over time": per day
+    the Shannon entropy of the type distribution, then an OLS slope of
+    entropy against the day index over the bounded day grid (a
+    negative slope = one type is taking over; the composition-drift
+    alarm for event pipelines).
+
+    One (day, type) count shuffle; per-day entropies fold with the
+    round-6 decimal log recipe over the bounded day×type relation;
+    the trend closes from exact decimal moments over #days points.
+    Output one row:
+    (n_days, mean_entropy, slope_per_day, r2)."""
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    cells = (
+        df.filter(F.col(type_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(day.alias("day"), F.col(type_col).alias("t"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wd = Window.partitionBy("day")
+    t = cells.select(
+        "day", "c", F.sum("c").over(wd).alias("nd")
+    )
+    p = F.col("c").cast("double") / F.col("nd").cast("double")
+    per_day = t.groupBy("day").agg(
+        F.sum(F.round(-p * F.log(p), 6).cast("decimal(18,6)")).alias("h")
+    )
+    # day index from the rank over the bounded grid — slope per GRID
+    # step, immune to calendar gaps
+    idx = per_day.select(
+        (F.row_number().over(Window.orderBy("day")) - F.lit(1)).alias("i"),
+        F.col("h"),
+    )
+    lx = F.col("i").cast("double")
+    ly = F.col("h").cast("double")
+    mom = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("i").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("h").cast("decimal(38,6)")).alias("sy"),
+        F.sum(
+            (F.col("i").cast("decimal(19,0)") * F.col("i")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxx"),
+        F.sum(F.round(lx * ly, 12).cast("decimal(38,12)")).alias("sxy"),
+        F.sum(F.round(ly * ly, 12).cast("decimal(38,12)")).alias("syy"),
+    )
+    from .hypotests import dec_double_wide, dec_double_wide_frac
+
+    n = F.col("n").cast("double")
+    sx = dec_double_wide(F.col("sx"))
+    sy = dec_double_wide_frac(F.col("sy"))
+    sxx_c = dec_double_wide(F.col("sxx")) - sx * sx / n
+    sxy_c = dec_double_wide_frac(F.col("sxy")) - sx * sy / n
+    syy_c = dec_double_wide_frac(F.col("syy")) - sy * sy / n
+    ok = (F.col("n") > 1) & (sxx_c > 0)
+    return mom.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.when(F.col("n") > 0, F.round(sy / n, 6)).alias("mean_entropy"),
+        F.when(ok, F.round(sxy_c / sxx_c, 6)).alias("slope_per_day"),
+        F.when(
+            ok & (syy_c > 0),
+            F.round(sxy_c * sxy_c / (sxx_c * syy_c), 6),
+        ).alias("r2"),
+    )

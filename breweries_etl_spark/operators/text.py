@@ -1622,3 +1622,61 @@ def source_vocab_jaccard(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def lang_pred_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-class precision/recall/F1 of the heuristic language router
+    against the labeled ``lang`` column — the eval table behind
+    ``cohens_kappa_lang``'s single agreement number (WHICH languages
+    the cheap router confuses decides where a real classifier is
+    worth its cost).
+
+    One (lang, lang_pred) contingency shuffle (#langs² cells);
+    per-class marginals via windows over the bounded cell relation.
+    Classes appearing only as predictions (or only as labels) still
+    get a row via the full-outer marginal join. Output per class:
+    (lang, n_true, n_pred, tp, precision, recall, f1)."""
+    cells = (
+        df.filter(F.col("lang").isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col("lang").alias("a"),
+            lang_pred_expr(F.col(text_col)).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ma = cells.groupBy(F.col("a").alias("cls")).agg(
+        F.sum("c").alias("n_true")
+    )
+    mb = cells.groupBy(F.col("b").alias("cls")).agg(
+        F.sum("c").alias("n_pred")
+    )
+    tp = cells.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("cls"), F.col("c").alias("tp")
+    )
+    marg = (
+        ma.join(mb, "cls", "full")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce(F.col("n_true"), F.lit(0)).alias("n_true"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.col("tp").cast("double") / F.col("n_pred").cast("double")
+    rec = F.col("tp").cast("double") / F.col("n_true").cast("double")
+    return marg.select(
+        F.col("cls").alias("lang"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("tp").cast("long").alias("tp"),
+        F.when(F.col("n_pred") > 0, F.round(prec, 6)).alias("precision"),
+        F.when(F.col("n_true") > 0, F.round(rec, 6)).alias("recall"),
+        F.when(
+            (F.col("n_pred") > 0)
+            & (F.col("n_true") > 0)
+            & (prec + rec > 0),
+            F.round(2.0 * prec * rec / (prec + rec), 6),
+        ).alias("f1"),
+    )

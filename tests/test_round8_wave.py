@@ -315,3 +315,111 @@ def test_hurst_white_noise_near_half(spark):
     out = hurst_rs_daily(df).collect()[0]
     assert out["n_days"] == 128
     assert 0.05 < out["hurst_h"] < 0.75
+
+
+def test_ad_ksample_two_group_reduction(spark):
+    """For k = 2 the Scholz-Stephens sum must equal the 2-sample
+    Pettitt A2 computed symmetrically: A_1 + A_2 with group-2 the
+    complement. Sanity: identical groups give a small statistic,
+    shifted groups a larger one."""
+    from breweries_etl_spark.operators.hypotests import ad_ksample
+
+    same = spark.createDataFrame(
+        [(g, float(v)) for g in "ab" for v in range(1, 21)], ["g", "v"]
+    )
+    out_same = ad_ksample(same, "g", "v", ["a", "b"]).collect()[0]
+    shifted = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 21)]
+        + [("b", float(v + 15)) for v in range(1, 21)],
+        ["g", "v"],
+    )
+    out_shift = ad_ksample(shifted, "g", "v", ["a", "b"]).collect()[0]
+    assert out_same["k_groups"] == 2 and out_same["n"] == 40
+    assert out_shift["ad_ksample"] > out_same["ad_ksample"] * 3
+
+
+def test_bland_altman_identical_columns(spark):
+    """x == y -> zero bias, zero SD, nothing outside."""
+    from breweries_etl_spark.operators.hypotests import bland_altman
+
+    df = spark.createDataFrame(
+        [(float(i), float(i)) for i in range(1, 31)], ["x", "y"]
+    )
+    out = bland_altman(df, "x", "y").collect()[0]
+    assert out["mean_diff"] == 0.0 and out["sd_diff"] == 0.0
+    assert out["pct_outside"] == 0.0
+
+
+def test_pinball_loss_median_beats_bad_quantile(spark):
+    """At tau=0.5 the group median minimizes pinball loss; the op's
+    in-sample loss must be <= the loss of any constant alternative
+    (spot-check vs mean-as-predictor on a skewed sample)."""
+    from breweries_etl_spark.operators.hypotests import pinball_loss
+
+    vals = [1.0] * 8 + [2.0, 100.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    out = {r["tau"]: r for r in pinball_loss(df, "g", "v").collect()}
+    med = 1.0  # exact lower median of the sample
+    manual = sum(
+        0.5 * (v - med) if v >= med else 0.5 * (med - v) for v in vals
+    ) / len(vals)
+    assert abs(out[0.5]["mean_pinball"] - manual) < 1e-6
+    mean_pred = sum(vals) / len(vals)
+    mean_loss = sum(
+        0.5 * (v - mean_pred) if v >= mean_pred else 0.5 * (mean_pred - v)
+        for v in vals
+    ) / len(vals)
+    assert out[0.5]["mean_pinball"] <= mean_loss
+
+
+def test_type_mix_entropy_trend_constant_mix_flat(spark):
+    """The same type mix every day -> per-day entropy constant ->
+    slope exactly 0."""
+    from datetime import datetime, timedelta
+
+    from breweries_etl_spark.operators.temporal import type_mix_entropy_trend
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for d in range(10):
+        rows += [(base + timedelta(days=d, hours=h % 4), t)
+                 for h, t in enumerate(["a", "a", "b", "c"])]
+    df = spark.createDataFrame(rows, ["ts", "event_type"])
+    out = type_mix_entropy_trend(df).collect()[0]
+    assert out["n_days"] == 10
+    assert out["slope_per_day"] == 0.0
+
+
+def test_embedding_dim_profile_constant_dim_zero_var(spark):
+    """A constant dimension must yield min_var 0 (and a NULL
+    anisotropy ratio via the guard)."""
+    from breweries_etl_spark.operators.similarity import embedding_dim_profile
+
+    rows = [(i, [1.0, float(i % 5)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = embedding_dim_profile(df).collect()[0]
+    assert out["n_dims"] == 2
+    assert out["min_var"] == 0.0
+    assert out["anisotropy_ratio"] is None
+    assert out["max_var_dim"] == 1
+
+
+def test_lang_pred_quality_marginals_consistent(spark):
+    """Sum of n_true equals sum of n_pred equals the doc count, and
+    tp <= min(n_true, n_pred) per class."""
+    from breweries_etl_spark.operators.text import lang_pred_quality
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here", "en"),
+            (2, "el perro y el gato que come", "es"),
+            (3, "der hund und die katze ist nicht", "de"),
+            (4, "zz qq xx", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rows = lang_pred_quality(df).collect()
+    assert sum(r["n_true"] for r in rows) == 4
+    assert sum(r["n_pred"] for r in rows) == 4
+    for r in rows:
+        assert r["tp"] <= min(r["n_true"], r["n_pred"])
