@@ -358,8 +358,11 @@ FAMILIES: dict[str, list[str]] = {
         "deviance_price_flag",
         "hellinger_price_flag",
         "hodges_lehmann_qty_flag",
+        "bland_altman_doclen",
+        "pinball_loss_price",
         "dunn_pairwise_price_flag",
         "jonckheere_qty_returnflag",
+        "ad_ksample_price_flag",
     ],
     # round-8 corpus/temporal/graph: vocabulary shuffles and day-grid
     # series (ks/spiegelhalter cheap; vocab-jaccard's term join last)
@@ -379,6 +382,9 @@ FAMILIES: dict[str, list[str]] = {
         "heaps_law_docs",
         "bigram_cond_entropy_docs",
         "source_vocab_jaccard_docs",
+        "type_mix_entropy_trend",
+        "embedding_dim_profile",
+        "lang_pred_quality",
         "graph_degree_centralization",
     ],
 }

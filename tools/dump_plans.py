@@ -142,6 +142,13 @@ INTERESTING = [
     "lexical_diversity_source", "tv_distance_lang_source",
     "heaps_law_docs", "source_vocab_jaccard_docs",
     "graph_degree_centralization",
+    # r8 wave 3: bland-altman two pruned scans + 1-row constants;
+    # pinball one grouped percentile + one loss scan; entropy-trend and
+    # dim-profile one bounded shuffle each; lang eval one contingency.
+    # ad_ksample rides the persisted prefix machinery (plan-budget).
+    "bland_altman_doclen", "pinball_loss_price",
+    "type_mix_entropy_trend", "embedding_dim_profile",
+    "lang_pred_quality",
 ]
 
 
