@@ -11467,26 +11467,26 @@ _HB_CUTS_SQL = ", ".join(
 )
 
 _ORACLES["hellinger_price_flag"] = """
-WITH cuts AS (SELECT [__CUTS__] AS cuts FROM lineitem),
-t AS (
-  SELECT (l_returnflag = 'R') AS in_a, CAST(l_extendedprice AS DOUBLE) AS v
-  FROM lineitem WHERE l_extendedprice IS NOT NULL
-), binned AS (
-  SELECT in_a, len(list_filter(c.cuts, x -> t.v > x)) AS bin FROM t, cuts c
-), cells AS (
-  SELECT bin,
-    SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
-    SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS cb
-  FROM binned GROUP BY 1
-), bx AS (
-  SELECT bin, ca, cb, SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
-  FROM cells
+WITH vc AS (
+  SELECT l_extendedprice AS v,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS cb
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+    SUM(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vc
+), tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM vc),
+cells AS (
+  SELECT ((cum - 1) * 10) // (na + nb) AS bin,
+    SUM(ca) AS ca, SUM(cb) AS cb, max(na) AS na, max(nb) AS nb
+  FROM cum CROSS JOIN tot GROUP BY 1
 ), folded AS (
   SELECT max(na) AS n_a, max(nb) AS n_b, count(*) AS n_bins_used,
     SUM(CAST(round(sqrt((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
                         * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
              AS DECIMAL(18,6))) AS bc
-  FROM bx
+  FROM cells
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
   CAST(n_bins_used AS BIGINT) AS n_bins_used,
@@ -12087,19 +12087,29 @@ FROM counts CROSS JOIN expo
 """
 
 _ORACLES["robust_shape_price"] = """
-WITH agg AS (
-  SELECT count(*) AS n,
-    [quantile_disc(l_extendedprice, 0.125), quantile_disc(l_extendedprice, 0.25),
-     quantile_disc(l_extendedprice, 0.375), quantile_disc(l_extendedprice, 0.5),
-     quantile_disc(l_extendedprice, 0.625), quantile_disc(l_extendedprice, 0.75),
-     quantile_disc(l_extendedprice, 0.875)] AS e
-  FROM lineitem WHERE l_extendedprice IS NOT NULL
+WITH vc AS (
+  SELECT l_extendedprice AS v, count(*) AS c FROM lineitem
+  WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vc
+), tot AS (SELECT SUM(c) AS n FROM vc),
+agg AS (
+  SELECT max(n) AS n,
+    min(CASE WHEN 8 * cum >= 1 * n THEN v END) AS e1,
+    min(CASE WHEN 8 * cum >= 2 * n THEN v END) AS e2,
+    min(CASE WHEN 8 * cum >= 3 * n THEN v END) AS e3,
+    min(CASE WHEN 8 * cum >= 4 * n THEN v END) AS e4,
+    min(CASE WHEN 8 * cum >= 5 * n THEN v END) AS e5,
+    min(CASE WHEN 8 * cum >= 6 * n THEN v END) AS e6,
+    min(CASE WHEN 8 * cum >= 7 * n THEN v END) AS e7
+  FROM cum CROSS JOIN tot
 ), d AS (
   SELECT n,
-    CAST(e[1] AS DOUBLE) AS e1, CAST(e[2] AS DOUBLE) AS e2,
-    CAST(e[3] AS DOUBLE) AS e3, CAST(e[4] AS DOUBLE) AS e4,
-    CAST(e[5] AS DOUBLE) AS e5, CAST(e[6] AS DOUBLE) AS e6,
-    CAST(e[7] AS DOUBLE) AS e7
+    CAST(e1 AS DOUBLE) AS e1, CAST(e2 AS DOUBLE) AS e2,
+    CAST(e3 AS DOUBLE) AS e3, CAST(e4 AS DOUBLE) AS e4,
+    CAST(e5 AS DOUBLE) AS e5, CAST(e6 AS DOUBLE) AS e6,
+    CAST(e7 AS DOUBLE) AS e7
   FROM agg
 )
 SELECT CAST(n AS BIGINT) AS n, e2 AS q1, e4 AS median, e6 AS q3,
