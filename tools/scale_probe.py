@@ -141,6 +141,29 @@ QUERIES = [
     "g_test_status_flag", "ordinal_assoc_qty_discount",
     "yuen_trimmed_price_flag", "allen_session_relations",
     "monotonicity_user_value", "kuiper_test_price_returnflag",
+    # round-8 waves: single-pass moment/count statistics (~linear
+    # scans); jonckheere/dunn/ad_ksample/hellinger/robust-shape ride
+    # the distinct-value prefix relation (linear in distinct values);
+    # hodges-lehmann is the bounded |domA|x|domB| cell product;
+    # calendar-grid series ops constant-bounded after the one fact
+    # shuffle; vocabulary ops linear in the term relation (jaccard's
+    # term self-join fans out #sources per term)
+    "jonckheere_qty_returnflag", "dunn_pairwise_price_flag",
+    "lin_ccc_price_qty", "hodges_lehmann_qty_flag",
+    "hellinger_price_flag", "deviance_price_flag",
+    "mantel_haenszel_status_price", "cochran_armitage_priority",
+    "variance_homogeneity_price_flag", "robust_shape_price",
+    "ad_ksample_price_flag", "pinball_loss_price",
+    "bland_altman_doclen", "last_digit_uniformity_price",
+    "benford_second_digit_orders", "ks_doclen_lang",
+    "cox_stuart_daily_value", "periodogram_daily_value",
+    "hurst_daily_value", "burstiness_user_events",
+    "type_mix_entropy_trend", "uncertainty_event_dow",
+    "yules_k_docs", "lexical_diversity_source", "heaps_law_docs",
+    "bigram_cond_entropy_docs", "source_vocab_jaccard_docs",
+    "tv_distance_lang_source", "lang_pred_quality",
+    "graph_degree_centralization", "embedding_dim_profile",
+    "spiegelhalter_docs",
 ]
 
 
