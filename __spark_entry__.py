@@ -10983,6 +10983,12 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_mix_entropy_trend": q_type_mix_entropy_trend,
         "embedding_dim_profile": q_embedding_dim_profile,
         "lang_pred_quality": q_lang_pred_quality,
+        "wasserstein_qty_flag": q_wasserstein_qty_flag,
+        "energy_distance_qty_flag": q_energy_distance_qty_flag,
+        "qq_fit_price_flag": q_qq_fit_price_flag,
+        "neyman_allocation_price": q_neyman_allocation_price,
+        "evt_block_maxima_daily": q_evt_block_maxima_daily,
+        "mase_daily_value": q_mase_daily_value,
     }
 
 
@@ -12664,4 +12670,315 @@ SELECT cls AS lang, CAST(n_true AS BIGINT) AS n_true,
              + CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)), 6)
   END AS f1
 FROM marg
+"""
+
+
+# ----- round-8 wave 4 -----
+
+
+def q_wasserstein_qty_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein distance of l_quantity between returnflag R
+    and the rest (operators/hypotests.py:wasserstein_1; bounded
+    quantity domain)."""
+    from breweries_etl_spark.operators.hypotests import wasserstein_1
+
+    return wasserstein_1(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        F.col("l_returnflag") == "R",
+    )
+
+
+def q_energy_distance_qty_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Szekely energy distance of l_quantity between returnflag R and
+    the rest (operators/hypotests.py:energy_distance; bounded
+    domain)."""
+    from breweries_etl_spark.operators.hypotests import energy_distance
+
+    return energy_distance(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        F.col("l_returnflag") == "R",
+    )
+
+
+def q_qq_fit_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q line (scale/shift) between returnflag-R and other price
+    distributions over the decile grid
+    (operators/hypotests.py:qq_fit)."""
+    from breweries_etl_spark.operators.hypotests import qq_fit
+
+    return qq_fit(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        F.col("l_returnflag") == "R",
+    )
+
+
+def q_neyman_allocation_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation across returnflag
+    strata on l_extendedprice
+    (operators/sampling.py:neyman_allocation)."""
+    from breweries_etl_spark.operators.sampling import neyman_allocation
+
+    return neyman_allocation(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag",
+        "l_extendedprice",
+    )
+
+
+def q_evt_block_maxima_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel block-maxima fit + 10-week return level of the daily
+    event totals (operators/temporal.py:evt_block_maxima)."""
+    from breweries_etl_spark.operators.temporal import evt_block_maxima
+
+    return evt_block_maxima(load_events(spark, sf_dir))
+
+
+def q_mase_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-vs-seasonal-naive MASE of the daily event totals
+    (operators/temporal.py:mase_daily)."""
+    from breweries_etl_spark.operators.temporal import mase_daily
+
+    return mase_daily(load_events(spark, sf_dir))
+
+
+_ORACLES["wasserstein_qty_flag"] = f"""
+WITH vc AS (
+  SELECT l_quantity AS v,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS cb
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+    lead(v) OVER (ORDER BY v) AS v_next
+  FROM vc
+), tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM vc),
+folded AS (
+  SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+    SUM(CAST(CAST(abs(CAST(cum_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
+                      - CAST(cum_b AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0))
+             * (CAST(v_next AS DECIMAL(18,2)) - CAST(v AS DECIMAL(18,2)))
+             AS DECIMAL(38,2))) AS w_sum
+  FROM cum CROSS JOIN tot WHERE v_next IS NOT NULL
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round({_ddwf('w_sum')}
+          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+  END AS wasserstein_1
+FROM folded
+"""
+
+_ORACLES["energy_distance_qty_flag"] = f"""
+WITH base AS (
+  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS v,
+    (l_returnflag = 'R') AS in_a
+  FROM lineitem WHERE l_quantity IS NOT NULL
+), ca AS (
+  SELECT v AS va, count(*) AS ca FROM base WHERE in_a GROUP BY 1
+), cb AS (
+  SELECT v AS vb, count(*) AS cb FROM base WHERE NOT in_a GROUP BY 1
+), sxy AS (
+  SELECT SUM(CAST(CAST(CAST(CAST(ca AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0))
+                            AS DECIMAL(38,0)) AS DECIMAL(38,2))
+                  * CAST(abs(va - vb) AS DECIMAL(18,2))
+             AS DECIMAL(38,2))) AS sxy
+  FROM ca CROSS JOIN cb
+), sxx AS (
+  SELECT SUM(CAST(CAST(CAST(CAST(a1.ca AS DECIMAL(19,0)) * CAST(a2.ca AS DECIMAL(19,0))
+                            AS DECIMAL(38,0)) AS DECIMAL(38,2))
+                  * CAST(abs(a1.va - a2.va) AS DECIMAL(18,2))
+             AS DECIMAL(38,2))) AS sxx
+  FROM ca a1 CROSS JOIN ca a2
+), syy AS (
+  SELECT SUM(CAST(CAST(CAST(CAST(b1.cb AS DECIMAL(19,0)) * CAST(b2.cb AS DECIMAL(19,0))
+                            AS DECIMAL(38,0)) AS DECIMAL(38,2))
+                  * CAST(abs(b1.vb - b2.vb) AS DECIMAL(18,2))
+             AS DECIMAL(38,2))) AS syy
+  FROM cb b1 CROSS JOIN cb b2
+), sizes AS (
+  SELECT SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS n_b
+  FROM base
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round({_ddwf('sxy')} / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+  END AS e_xy,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round({_ddwf('sxx')} / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)), 6)
+  END AS e_xx,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round({_ddwf('syy')} / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+  END AS e_yy,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round(sqrt(greatest(
+      2.0 * ({_ddwf('sxy')} / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+      - {_ddwf('sxx')} / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+      - {_ddwf('syy')} / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)),
+      0.0)), 6)
+  END AS energy_distance
+FROM sxy CROSS JOIN sxx CROSS JOIN syy CROSS JOIN sizes
+"""
+
+_QQ_PICKS = ",\n    ".join(
+    f"min(CASE WHEN 10 * cum_{s} >= {k} * n_{s} THEN v END) AS q{s}{k}"
+    for s in ("a", "b")
+    for k in range(1, 10)
+)
+
+_ORACLES["qq_fit_price_flag"] = f"""
+WITH vc AS (
+  SELECT l_extendedprice AS v,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS cb
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+    SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b
+  FROM vc
+), grid AS (
+  SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+    {_QQ_PICKS}
+  FROM cum
+), pts AS (
+  SELECT n_a, n_b,
+    round(CAST(qa AS DOUBLE), 6) AS ly, round(CAST(qb AS DOUBLE), 6) AS lx
+  FROM grid, (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) t(k),
+  LATERAL (SELECT CASE k WHEN 1 THEN qa1 WHEN 2 THEN qa2 WHEN 3 THEN qa3
+                  WHEN 4 THEN qa4 WHEN 5 THEN qa5 WHEN 6 THEN qa6
+                  WHEN 7 THEN qa7 WHEN 8 THEN qa8 ELSE qa9 END AS qa,
+             CASE k WHEN 1 THEN qb1 WHEN 2 THEN qb2 WHEN 3 THEN qb3
+                  WHEN 4 THEN qb4 WHEN 5 THEN qb5 WHEN 6 THEN qb6
+                  WHEN 7 THEN qb7 WHEN 8 THEN qb8 ELSE qb9 END AS qb)
+), mom AS (
+  SELECT max(n_a) AS n_a, max(n_b) AS n_b, count(*) AS np,
+    SUM(CAST(lx AS DECIMAL(28,6))) AS sx,
+    SUM(CAST(ly AS DECIMAL(28,6))) AS sy,
+    SUM(CAST(round(lx * lx, 12) AS DECIMAL(38,12))) AS sxx,
+    SUM(CAST(round(lx * ly, 12) AS DECIMAL(38,12))) AS sxy,
+    SUM(CAST(round(ly * ly, 12) AS DECIMAL(38,12))) AS syy
+  FROM pts
+), c AS (
+  SELECT n_a, n_b, np, CAST(np AS DOUBLE) AS npd,
+    {_ddwf('sx')} AS sxd, {_ddwf('sy')} AS syd,
+    {_ddwf('sxx')} AS sxxd, {_ddwf('sxy')} AS sxyd, {_ddwf('syy')} AS syyd
+  FROM mom
+), cc AS (
+  SELECT n_a, n_b, np, npd, sxd, syd,
+    sxxd - sxd * sxd / npd AS sxx_c,
+    sxyd - sxd * syd / npd AS sxy_c,
+    syyd - syd * syd / npd AS syy_c
+  FROM c
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(np AS BIGINT) AS n_points,
+  CASE WHEN np > 1 AND sxx_c > 0 THEN round(sxy_c / sxx_c, 6)
+  END AS slope,
+  CASE WHEN np > 1 AND sxx_c > 0 THEN
+    round((syd - (sxy_c / sxx_c) * sxd) / npd, 6) END AS intercept,
+  CASE WHEN np > 1 AND sxx_c > 0 AND syy_c > 0 THEN
+    round(sxy_c * sxy_c / (sxx_c * syy_c), 6) END AS r2
+FROM cc
+"""
+
+_ORACLES["neyman_allocation_price"] = f"""
+WITH per_h AS (
+  SELECT l_returnflag AS stratum, count(*) AS n_rows,
+    SUM(CAST({_qm8('l_extendedprice')} AS DECIMAL(38,2))) AS s,
+    SUM(CAST({_qm8('l_extendedprice')} * {_qm8('l_extendedprice')}
+             AS DECIMAL(38,4))) AS q
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+), scored AS (
+  SELECT stratum, n_rows,
+    round(CASE WHEN n_rows > 1 THEN
+      sqrt(greatest(({_ddwf('q')} - {_ddwf('s')}
+                     * ({_ddwf('s')} / CAST(n_rows AS DOUBLE)))
+                    / (CAST(n_rows AS DOUBLE) - 1.0), 0.0)) END, 6) AS sd,
+    round(CAST(n_rows AS DOUBLE)
+          * CASE WHEN n_rows > 1 THEN
+              sqrt(greatest(({_ddwf('q')} - {_ddwf('s')}
+                             * ({_ddwf('s')} / CAST(n_rows AS DOUBLE)))
+                            / (CAST(n_rows AS DOUBLE) - 1.0), 0.0)) END,
+          6) AS w
+  FROM per_h
+), tot AS (SELECT SUM(CAST(w AS DECIMAL(28,6))) AS wsum FROM scored)
+SELECT stratum, CAST(n_rows AS BIGINT) AS n_rows, sd,
+  CASE WHEN wsum > 0 THEN round(w / {_ddwf('wsum')}, 6) END AS share,
+  CASE WHEN wsum > 0 THEN
+    CAST(floor(w / {_ddwf('wsum')} * 1000.0) AS BIGINT) END AS alloc_n
+FROM scored CROSS JOIN tot
+"""
+
+_ORACLES["evt_block_maxima_daily"] = f"""
+WITH daily AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+), blocks AS (
+  SELECT day // 7 AS blk, max(CAST(y AS DECIMAL(18,2))) AS m
+  FROM daily GROUP BY 1
+), mom AS (
+  SELECT count(*) AS n,
+    SUM(CAST(m AS DECIMAL(38,2))) AS s,
+    SUM(CAST(m * m AS DECIMAL(38,4))) AS q
+  FROM blocks
+), c AS (
+  SELECT n,
+    {_ddwf('s')} / CAST(n AS DOUBLE) AS mean,
+    sqrt(greatest(({_ddwf('q')} - {_ddwf('s')}
+                   * ({_ddwf('s')} / CAST(n AS DOUBLE)))
+                  / (CAST(n AS DOUBLE) - 1.0), 0.0)) AS sd
+  FROM mom
+), g AS (
+  SELECT n, mean, sd, sd * 0.7796968012336293 AS beta FROM c
+), g2 AS (
+  SELECT n, mean, sd, beta,
+    mean - 0.5772156649015329 * beta AS mu
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+  CASE WHEN n > 0 THEN round(mean, 6) END AS max_mean,
+  CASE WHEN n > 2 THEN round(sd, 6) END AS max_sd,
+  CASE WHEN n > 2 THEN round(mu, 6) END AS gumbel_mu,
+  CASE WHEN n > 2 THEN round(beta, 6) END AS gumbel_beta,
+  CASE WHEN n > 2 THEN round(mu + beta * 2.250367327069, 6)
+  END AS return_level_10
+FROM g2
+"""
+
+_ORACLES["mase_daily_value"] = f"""
+WITH daily AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+), m1 AS (
+  SELECT count(*) AS n_one,
+    SUM(CAST(abs(a.y - b.y) AS DECIMAL(38,2))) AS s_one
+  FROM daily a JOIN daily b ON a.day = b.day + 1
+), ms AS (
+  SELECT count(*) AS n_sea,
+    SUM(CAST(abs(a.y - b.y) AS DECIMAL(38,2))) AS s_sea
+  FROM daily a JOIN daily b ON a.day = b.day + 7
+), nd AS (SELECT count(*) AS n_days FROM daily)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+  CAST(n_one AS BIGINT) AS n_pairs_1, CAST(n_sea AS BIGINT) AS n_pairs_s,
+  CASE WHEN n_one > 0 THEN
+    round({_ddwf('s_one')} / CAST(n_one AS DOUBLE), 6) END AS mae_naive,
+  CASE WHEN n_sea > 0 THEN
+    round({_ddwf('s_sea')} / CAST(n_sea AS DOUBLE), 6) END AS mae_seasonal,
+  CASE WHEN n_one > 0 AND n_sea > 0
+       AND {_ddwf('s_sea')} / CAST(n_sea AS DOUBLE) > 0 THEN
+    round(({_ddwf('s_one')} / CAST(n_one AS DOUBLE))
+          / ({_ddwf('s_sea')} / CAST(n_sea AS DOUBLE)), 6)
+  END AS mase
+FROM m1 CROSS JOIN ms CROSS JOIN nd
 """

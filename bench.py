@@ -360,6 +360,10 @@ FAMILIES: dict[str, list[str]] = {
         "hodges_lehmann_qty_flag",
         "bland_altman_doclen",
         "pinball_loss_price",
+        "qq_fit_price_flag",
+        "wasserstein_qty_flag",
+        "energy_distance_qty_flag",
+        "neyman_allocation_price",
         "dunn_pairwise_price_flag",
         "jonckheere_qty_returnflag",
         "ad_ksample_price_flag",
@@ -383,6 +387,8 @@ FAMILIES: dict[str, list[str]] = {
         "bigram_cond_entropy_docs",
         "source_vocab_jaccard_docs",
         "type_mix_entropy_trend",
+        "evt_block_maxima_daily",
+        "mase_daily_value",
         "embedding_dim_profile",
         "lang_pred_quality",
         "graph_degree_centralization",

@@ -4298,3 +4298,243 @@ def pinball_loss(
             ),
         ).alias("mean_pinball"),
     )
+
+
+def wasserstein_1(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Exact 1-Wasserstein (earth mover's) distance between two
+    samples: W₁ = ∫|F_A − F_B| dz = Σ_z |F_A(z) − F_B(z)|·Δz over the
+    distinct-value grid — the drift measure with UNITS (how far, in
+    the metric of the column, one distribution must move to become
+    the other), where KS/CvM only score probability gaps.
+
+    BOUNDED-DOMAIN contract (the kendall_tau_b rule): Δz needs the
+    NEXT distinct value, a lead over the distinct-value relation —
+    fine for discrete/low-cardinality metrics, not near-continuous
+    columns. The ECDF gaps are exact integers over n_a·n_b; each
+    segment term folds as exact decimal gap·Δz before one closing
+    division. Output one row: (n_a, n_b, wasserstein_1)."""
+    pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
+    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    d19 = "decimal(19,0)"
+    w = Window.orderBy("v")
+    seg = pc.select(
+        "v",
+        "cum_a",
+        "cum_b",
+        F.lead("v").over(w).alias("v_next"),
+    ).filter(F.col("v_next").isNotNull())
+    gap = F.abs(
+        F.col("cum_a").cast(d19) * F.col("n_b").cast(d19)
+        - F.col("cum_b").cast(d19) * F.col("n_a").cast(d19)
+    )
+    dz = (
+        F.col("v_next").cast("decimal(18,2)")
+        - F.col("v").cast("decimal(18,2)")
+    )
+    term = (gap.cast("decimal(38,0)") * dz).cast("decimal(38,2)")
+    folded = seg.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(term).alias("w_sum"),
+    )
+    result = folded.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                dec_double_wide_frac(F.col("w_sum"))
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                ),
+                6,
+            ),
+        ).alias("wasserstein_1"),
+    )
+    return _released(result, pc, release)
+
+
+def energy_distance(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+) -> DataFrame:
+    """Székely's energy distance between two samples:
+    D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — the characteristic-function
+    two-sample statistic that detects ANY distributional difference
+    (location, scale, shape) with units of the metric.
+
+    BOUNDED-DOMAIN contract: the three expectation terms are weighted
+    sums over |dom|² value-pair cells (the hodges_lehmann shape), each
+    cell's weight an exact integer product and |Δv| an exact decimal.
+    Output one row: (n_a, n_b, e_xy, e_xx, e_yy, energy_distance)."""
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(value_col).cast("decimal(18,2)").alias("v"),
+        group_expr.alias("in_a"),
+    ).filter(F.col("v").isNotNull())
+    ca = (
+        base.filter(F.col("in_a"))
+        .groupBy(F.col("v").alias("va"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    cb = (
+        base.filter(~F.col("in_a"))
+        .groupBy(F.col("v").alias("vb"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+
+    def pair_sum(left, right, lv, rv, lc, rc, alias):
+        t = (
+            (F.col(lc).cast(d19) * F.col(rc).cast(d19)).cast(d38)
+            .cast("decimal(38,2)")
+            * F.abs(F.col(lv) - F.col(rv)).cast("decimal(18,2)")
+        ).cast("decimal(38,2)")
+        return left.crossJoin(right).agg(F.sum(t).alias(alias))
+
+    e_xy = pair_sum(ca, cb, "va", "vb", "ca", "cb", "sxy")
+    ca2 = ca.select(F.col("va").alias("va2"), F.col("ca").alias("ca2"))
+    cb2 = cb.select(F.col("vb").alias("vb2"), F.col("cb").alias("cb2"))
+    e_xx = pair_sum(ca, ca2, "va", "va2", "ca", "ca2", "sxx")
+    e_yy = pair_sum(cb, cb2, "vb", "vb2", "cb", "cb2", "syy")
+    sizes = base.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("n_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    exy = dec_double_wide_frac(F.col("sxy")) / (na * nb)
+    exx = dec_double_wide_frac(F.col("sxx")) / (na * na)
+    eyy = dec_double_wide_frac(F.col("syy")) / (nb * nb)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return (
+        e_xy.crossJoin(F.broadcast(e_xx))
+        .crossJoin(F.broadcast(e_yy))
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.when(ok, F.round(exy, 6)).alias("e_xy"),
+            F.when(ok, F.round(exx, 6)).alias("e_xx"),
+            F.when(ok, F.round(eyy, 6)).alias("e_yy"),
+            F.when(
+                ok,
+                F.round(
+                    F.sqrt(
+                        F.greatest(
+                            F.lit(2.0) * exy - exx - eyy, F.lit(0.0)
+                        )
+                    ),
+                    6,
+                ),
+            ).alias("energy_distance"),
+        )
+    )
+
+
+def qq_fit(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    n_points: int = 9,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Robust Q-Q line between two samples: fit q_A = slope·q_B +
+    intercept over the ``n_points`` inner quantile pairs — slope reads
+    the SCALE ratio and intercept the SHIFT between the groups, in the
+    column's units (the distributional diff a mean/variance pair
+    misattributes under skew).
+
+    Both quantile vectors are exact lower-quantile ELEMENT picks off
+    ONE shared prefix-count relation (min v with (n_points+1)·cum_g ≥
+    k·n_g — the pr_curve grid rule); the ``n_points``-point OLS closes
+    with round-6/round-12 portable folds. Output one row:
+    (n_a, n_b, n_points, slope, intercept, r2)."""
+    pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
+    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    kgrid = pc.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        *[
+            F.min(
+                F.when(
+                    F.lit(n_points + 1) * F.col("cum_a")
+                    >= F.lit(k) * F.col("n_a"),
+                    F.col("v"),
+                )
+            ).alias(f"__qa{k}")
+            for k in range(1, n_points + 1)
+        ],
+        *[
+            F.min(
+                F.when(
+                    F.lit(n_points + 1) * F.col("cum_b")
+                    >= F.lit(k) * F.col("n_b"),
+                    F.col("v"),
+                )
+            ).alias(f"__qb{k}")
+            for k in range(1, n_points + 1)
+        ],
+    )
+    pts = kgrid.select(
+        "n_a",
+        "n_b",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"__qa{k}").cast("double").alias("qa"),
+                        F.col(f"__qb{k}").cast("double").alias("qb"),
+                    )
+                    for k in range(1, n_points + 1)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "n_a", "n_b", F.col("s.qa").alias("qa"), F.col("s.qb").alias("qb")
+    )
+    lx = F.round(F.col("qb"), 6)
+    ly = F.round(F.col("qa"), 6)
+    mom = pts.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.count(F.lit(1)).alias("np"),
+        F.sum(lx.cast("decimal(28,6)")).alias("sx"),
+        F.sum(ly.cast("decimal(28,6)")).alias("sy"),
+        F.sum(F.round(lx * lx, 12).cast("decimal(38,12)")).alias("sxx"),
+        F.sum(F.round(lx * ly, 12).cast("decimal(38,12)")).alias("sxy"),
+        F.sum(F.round(ly * ly, 12).cast("decimal(38,12)")).alias("syy"),
+    )
+    npd = F.col("np").cast("double")
+    sx = dec_double_wide_frac(F.col("sx"))
+    sy = dec_double_wide_frac(F.col("sy"))
+    sxx_c = dec_double_wide_frac(F.col("sxx")) - sx * sx / npd
+    sxy_c = dec_double_wide_frac(F.col("sxy")) - sx * sy / npd
+    syy_c = dec_double_wide_frac(F.col("syy")) - sy * sy / npd
+    slope = sxy_c / sxx_c
+    ok = (F.col("np") > 1) & (sxx_c > 0)
+    result = mom.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("np").cast("long").alias("n_points"),
+        F.when(ok, F.round(slope, 6)).alias("slope"),
+        F.when(ok, F.round((sy - slope * sx) / npd, 6)).alias("intercept"),
+        F.when(
+            ok & (syy_c > 0),
+            F.round(sxy_c * sxy_c / (sxx_c * syy_c), 6),
+        ).alias("r2"),
+    )
+    return _released(result, pc, release)

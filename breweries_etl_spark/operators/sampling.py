@@ -280,3 +280,72 @@ def bootstrap_mean_ci(
         F.round(F.col("lo"), 6).alias("ci_lo"),
         F.round(F.col("hi"), 6).alias("ci_hi"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int = 1000,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: for a fixed total
+    budget, the variance-minimizing per-stratum sample size is
+    n_h ∝ N_h·S_h (stratum size × stratum SD) — the allocation table a
+    pipeline computes before drawing a stratified QA or labeling
+    sample, instead of proportional allocation that oversamples
+    homogeneous strata.
+
+    One moment pass per stratum (exact half-up-quantized decimals);
+    shares and integer allocations close on the k-row relation (the
+    allocation rounds DOWN — the unallocated remainder is reported via
+    the share column rather than redistributed, a closed form). Output
+    per stratum: (stratum, n_rows, sd, share, alloc_n)."""
+    from .dedup import _release_caches
+    from .hypotests import dec_double_wide_frac, quantized_money
+
+    per_h = (
+        df.filter(
+            F.col(stratum_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                quantized_money(F.col(value_col)).cast("decimal(38,2)")
+            ).alias("s"),
+            F.sum(
+                (
+                    quantized_money(F.col(value_col))
+                    * quantized_money(F.col(value_col))
+                ).cast("decimal(38,4)")
+            ).alias("q"),
+        )
+    )
+    n = F.col("n_rows").cast("double")
+    mu = dec_double_wide_frac(F.col("s")) / n
+    var = (
+        dec_double_wide_frac(F.col("q")) - dec_double_wide_frac(F.col("s")) * mu
+    ) / (n - F.lit(1.0))
+    sd = F.when(F.col("n_rows") > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+    scored = per_h.select(
+        "stratum",
+        "n_rows",
+        F.round(sd, 6).alias("sd"),
+        F.round(n * sd, 6).alias("w"),
+    ).persist()
+    scored.count()
+    tot = scored.agg(
+        F.sum(F.col("w").cast("decimal(28,6)")).alias("wsum")
+    )
+    share = F.col("w") / dec_double_wide_frac(F.col("wsum"))
+    result = scored.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sd"),
+        F.when(F.col("wsum") > 0, F.round(share, 6)).alias("share"),
+        F.when(
+            F.col("wsum") > 0,
+            F.floor(share * F.lit(float(total_n))).cast("long"),
+        ).alias("alloc_n"),
+    )
+    return _release_caches(result, [scored])

@@ -2154,3 +2154,127 @@ def type_mix_entropy_trend(
             F.round(sxy_c * sxy_c / (sxx_c * syy_c), 6),
         ).alias("r2"),
     )
+
+
+def evt_block_maxima(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    block_days: int = 7,
+) -> DataFrame:
+    """Extreme-value analysis by block maxima: weekly maxima of the
+    daily totals, fit a Gumbel distribution by the method of moments
+    (β̂ = s·√6/π, μ̂ = m̄ − γ·β̂ with Euler's γ) and report the
+    10-block return level μ̂ − β̂·ln(−ln(1 − 1/10)) — "how big a day
+    should we provision for" from the tail, not the mean.
+
+    Daily totals collapse to the bounded day grid, block maxima to the
+    ~#days/block grid; moments are exact decimals, the Gumbel closing
+    sequence fixed doubles. Output one row:
+    (n_blocks, max_mean, max_sd, gumbel_mu, gumbel_beta,
+    return_level_10)."""
+    from .hypotests import dec_double_wide_frac
+
+    daily = _daily_series(df, ts_col, value_col)
+    blocks = (
+        daily.select(
+            F.expr(f"day div {block_days}").alias("blk"),
+            _narrow_daily_total(F.col("y"), "evt_block_maxima").alias("y"),
+        )
+        .groupBy("blk")
+        .agg(F.max("y").alias("m"))
+    )
+    mom = blocks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("m").cast("decimal(38,2)")).alias("s"),
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,4)")).alias("q"),
+    )
+    n = F.col("n").cast("double")
+    mean = dec_double_wide_frac(F.col("s")) / n
+    var = (
+        dec_double_wide_frac(F.col("q")) - dec_double_wide_frac(F.col("s")) * mean
+    ) / (n - F.lit(1.0))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    beta = sd * F.lit(0.7796968012336293)  # sqrt(6)/pi
+    gamma = F.lit(0.5772156649015329)
+    mu = mean - gamma * beta
+    # 10-block return level: the Gumbel quantile at 1 - 1/10 is
+    # mu - beta*ln(-ln(0.9)) and ln(-ln(0.9)) = -2.250367327069, so
+    # RL = mu + 2.250367327069*beta (fixed literal on both engines)
+    ok = F.col("n") > 2
+    return mom.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.when(F.col("n") > 0, F.round(mean, 6)).alias("max_mean"),
+        F.when(ok, F.round(sd, 6)).alias("max_sd"),
+        F.when(ok, F.round(mu, 6)).alias("gumbel_mu"),
+        F.when(ok, F.round(beta, 6)).alias("gumbel_beta"),
+        F.when(
+            ok, F.round(mu + beta * F.lit(2.250367327069), 6)
+        ).alias("return_level_10"),
+    )
+
+
+def mase_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    season: int = 7,
+) -> DataFrame:
+    """Mean absolute scaled error structure of the daily-total series:
+    MAE of the naive lag-1 forecast over MAE of the seasonal lag-7
+    naive — MASE < 1 means yesterday's value beats last week's
+    (momentum-dominated series), > 1 means the weekly rhythm carries
+    more signal than the trend (the model-selection fork for any
+    demand forecast).
+
+    Two bounded day-grid self-joins (calendar lags — gap days produce
+    no pair); exact decimal |Δ| sums, one closing ratio. Output one
+    row: (n_days, n_pairs_1, n_pairs_s, mae_naive, mae_seasonal,
+    mase)."""
+    from .hypotests import dec_double_wide_frac
+
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+
+    def lag_mae(lag: int, tag: str):
+        cur = daily.select("day", "y")
+        prev = daily.select(
+            (F.col("day") + F.lit(lag)).alias("day"),
+            F.col("y").alias("yp"),
+        )
+        return (
+            cur.join(prev, "day")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.sum(
+                    F.abs(F.col("y") - F.col("yp")).cast("decimal(38,2)")
+                ).alias(f"s_{tag}"),
+            )
+        )
+    m1 = lag_mae(1, "one")
+    ms = lag_mae(season, "sea")
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    n1 = F.col("n_one").cast("double")
+    ns = F.col("n_sea").cast("double")
+    mae1 = dec_double_wide_frac(F.col("s_one")) / n1
+    maes = dec_double_wide_frac(F.col("s_sea")) / ns
+    result = (
+        m1.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_one").cast("long").alias("n_pairs_1"),
+            F.col("n_sea").cast("long").alias("n_pairs_s"),
+            F.when(F.col("n_one") > 0, F.round(mae1, 6)).alias("mae_naive"),
+            F.when(F.col("n_sea") > 0, F.round(maes, 6)).alias(
+                "mae_seasonal"
+            ),
+            F.when(
+                (F.col("n_one") > 0) & (F.col("n_sea") > 0) & (maes > 0),
+                F.round(mae1 / maes, 6),
+            ).alias("mase"),
+        )
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])

@@ -423,3 +423,90 @@ def test_lang_pred_quality_marginals_consistent(spark):
     assert sum(r["n_pred"] for r in rows) == 4
     for r in rows:
         assert r["tp"] <= min(r["n_true"], r["n_pred"])
+
+
+def test_wasserstein_pure_shift(spark):
+    """B = A + 2 on an integer grid -> W1 exactly 2."""
+    from breweries_etl_spark.operators.hypotests import wasserstein_1
+
+    a = [float(v) for v in range(1, 11)]
+    rows = [(v, True) for v in a] + [(v + 2, False) for v in a]
+    df = spark.createDataFrame(rows, ["v", "in_a"])
+    out = wasserstein_1(df, "v", F.col("in_a")).collect()[0]
+    assert out["wasserstein_1"] == 2.0
+
+
+def test_energy_distance_identical_zero(spark):
+    """Identical samples -> D = 0 exactly (2Exy = Exx + Eyy)."""
+    from breweries_etl_spark.operators.hypotests import energy_distance
+
+    a = [1.0, 3.0, 3.0, 7.0]
+    rows = [(v, True) for v in a] + [(v, False) for v in a]
+    df = spark.createDataFrame(rows, ["v", "in_a"])
+    out = energy_distance(df, "v", F.col("in_a")).collect()[0]
+    assert out["energy_distance"] == 0.0
+    assert out["e_xy"] == out["e_xx"] == out["e_yy"]
+
+
+def test_qq_fit_recovers_affine_transform(spark):
+    """B = 2A + 5 over dense identical shapes -> slope ~0.5 fitting A
+    on B... i.e. q_A = 0.5 q_B - 2.5, r2 = 1."""
+    from breweries_etl_spark.operators.hypotests import qq_fit
+
+    a = [float(v) for v in range(1, 101)]
+    rows = [(v, True) for v in a] + [(2 * v + 5, False) for v in a]
+    df = spark.createDataFrame(rows, ["v", "in_a"])
+    out = qq_fit(df, "v", F.col("in_a")).collect()[0]
+    assert abs(out["slope"] - 0.5) < 1e-6
+    assert abs(out["intercept"] + 2.5) < 1e-6
+    assert out["r2"] == 1.0
+
+
+def test_neyman_allocation_prefers_spread_stratum(spark):
+    """Two equal-size strata, one constant and one spread -> all
+    allocation goes to the spread stratum (Neyman n_h ~ N_h*S_h)."""
+    from breweries_etl_spark.operators.sampling import neyman_allocation
+
+    rows = [("flat", 10.0)] * 50 + [
+        ("wild", float(v)) for v in range(1, 51)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["stratum"]: r for r in
+           neyman_allocation(df, "g", "v", total_n=100).collect()}
+    assert out["flat"]["share"] == 0.0 and out["flat"]["alloc_n"] == 0
+    assert out["wild"]["share"] == 1.0 and out["wild"]["alloc_n"] == 100
+
+
+def test_evt_gumbel_moments_roundtrip(spark):
+    """Block maxima constants: constant maxima -> sd 0, beta 0, and
+    the return level collapses to the mean."""
+    from datetime import datetime, timedelta
+
+    from breweries_etl_spark.operators.temporal import evt_block_maxima
+
+    base = datetime(2024, 1, 1)
+    # identical daily totals -> every block max identical regardless
+    # of how the absolute epoch-week boundaries slice the fixture
+    rows = [(base + timedelta(days=d), 42.0) for d in range(28)]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = evt_block_maxima(df).collect()[0]
+    assert out["n_blocks"] >= 4
+    assert out["max_mean"] == 42.0
+    assert out["max_sd"] == 0.0 and out["gumbel_beta"] == 0.0
+    assert out["return_level_10"] == out["max_mean"]
+
+
+def test_mase_momentum_series_below_one(spark):
+    """A smooth ramp: lag-1 errors are tiny, lag-7 errors large ->
+    MASE well below 1."""
+    from datetime import datetime, timedelta
+
+    from breweries_etl_spark.operators.temporal import mase_daily
+
+    base = datetime(2024, 1, 1)
+    rows = [(base + timedelta(days=d), float(d)) for d in range(30)]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = mase_daily(df).collect()[0]
+    assert out["mae_naive"] == 1.0
+    assert out["mae_seasonal"] == 7.0
+    assert abs(out["mase"] - 1.0 / 7.0) < 1e-6

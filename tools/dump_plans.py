@@ -149,6 +149,9 @@ INTERESTING = [
     "bland_altman_doclen", "pinball_loss_price",
     "type_mix_entropy_trend", "embedding_dim_profile",
     "lang_pred_quality",
+    # r8 wave 4
+    "energy_distance_qty_flag", "neyman_allocation_price",
+    "evt_block_maxima_daily", "mase_daily_value",
 ]
 
 

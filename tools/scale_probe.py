@@ -164,6 +164,13 @@ QUERIES = [
     "tv_distance_lang_source", "lang_pred_quality",
     "graph_degree_centralization", "embedding_dim_profile",
     "spiegelhalter_docs",
+    # round-8 wave 4: bounded-domain pair statistics (wasserstein's
+    # lead is over the 50-value quantity domain; energy's cells^2 is
+    # 2500 products), grid-pick Q-Q, k-row allocation, week-grid EVT,
+    # two day-grid lag joins
+    "wasserstein_qty_flag", "energy_distance_qty_flag",
+    "qq_fit_price_flag", "neyman_allocation_price",
+    "evt_block_maxima_daily", "mase_daily_value",
 ]
 
 
