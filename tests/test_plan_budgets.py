@@ -767,3 +767,52 @@ def test_modularity_no_node_map_broadcast(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.catalog.clearCache()
+
+
+def test_dunn_and_adksample_no_datasized_single_partition(spark, sf_dir):
+    """The round-8 rank statistics must keep the prefix-count
+    discipline: no raw fact value column may ride a SinglePartition
+    exchange (the bounded bucket-subtotal relation is the only
+    unpartitioned shape allowed). Covers dunn_pairwise_z and one
+    ad_ksample group pipeline (the other groups share the shape)."""
+    from breweries_etl_spark.operators.hypotests import (
+        ad_ksample,
+        dunn_pairwise_z,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    try:
+        for df in (
+            dunn_pairwise_z(li, "l_returnflag", "l_extendedprice",
+                            release=False),
+            ad_ksample(li, "l_returnflag", "l_extendedprice",
+                       ["A", "N", "R"], release=False),
+        ):
+            plan = _plan(df)
+            for m in re.finditer(
+                r"Input \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition",
+                plan,
+            ):
+                cols = [c.strip() for c in m.group(1).split(",")]
+                assert not any(
+                    c.startswith(("val#", "__v#", "v#", "l_")) for c in cols
+                ), cols
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_qq_fit_single_prefix_relation(spark, sf_dir):
+    """qq_fit reads BOTH groups' quantiles off one shared prefix
+    relation — the plan must contain exactly one parquet lineitem
+    read lineage (the persisted value-count cache)."""
+    from breweries_etl_spark.operators.hypotests import qq_fit
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = qq_fit(li, "l_extendedprice", F.col("l_returnflag") == "R",
+                release=False)
+    try:
+        plan = _plan(df)
+        assert plan.count("lineitem.parquet") <= 1, plan
+    finally:
+        spark.catalog.clearCache()
