@@ -10989,6 +10989,10 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation_price": q_neyman_allocation_price,
         "evt_block_maxima_daily": q_evt_block_maxima_daily,
         "mase_daily_value": q_mase_daily_value,
+        "split_gain_priority_price": q_split_gain_priority_price,
+        "concentration_customer_revenue": q_concentration_customer_revenue,
+        "hill_tail_price": q_hill_tail_price,
+        "ranking_stability_nations": q_ranking_stability_nations,
     }
 
 
@@ -12981,4 +12985,175 @@ SELECT CAST(n_days AS BIGINT) AS n_days,
           / ({_ddwf('s_sea')} / CAST(n_sea AS DOUBLE)), 6)
   END AS mase
 FROM m1 CROSS JOIN ms CROSS JOIN nd
+"""
+
+
+# ----- round-8 wave 5 -----
+
+
+def q_split_gain_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information/Gini gain of the priority column predicting
+    high-value orders (operators/profiling.py:categorical_split_gain)."""
+    from breweries_etl_spark.operators.profiling import categorical_split_gain
+
+    return categorical_split_gain(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        F.col("o_totalprice") > 150000,
+    )
+
+
+def q_concentration_customer_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CR-4/8/20 revenue concentration across customers
+    (operators/profiling.py:concentration_ratios)."""
+    from breweries_etl_spark.operators.profiling import concentration_ratios
+
+    return concentration_ratios(
+        load_table(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
+def q_hill_tail_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill power-law tail index of o_totalprice over the top-100
+    order statistics (operators/profiling.py:hill_tail_index)."""
+    from breweries_etl_spark.operators.profiling import hill_tail_index
+
+    return hill_tail_index(
+        load_table(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+def q_ranking_stability_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau between nations ranked by customer revenue vs by
+    order count (operators/profiling.py:ranking_stability)."""
+    from breweries_etl_spark.operators.profiling import ranking_stability
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_nationkey", "o_totalprice"
+    )
+    return ranking_stability(
+        joined,
+        "c_nationkey",
+        F.sum(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(38,2)")
+        ),
+        F.count(F.lit(1)).cast("decimal(38,0)"),
+    )
+
+
+_ORACLES["split_gain_priority_price"] = """
+WITH per_c AS (
+  SELECT o_orderpriority AS c, count(*) AS n_c,
+    SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS y_c
+  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+), t AS (
+  SELECT c, n_c, y_c, SUM(n_c) OVER () AS n, SUM(y_c) OVER () AS yt
+  FROM per_c
+), folded AS (
+  SELECT max(n) AS n, max(yt) AS yt, count(*) AS k,
+    SUM(CAST(round(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE)
+      * ((CASE WHEN CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE) > 0 THEN
+            -(CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+            * ln(CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE)) ELSE 0.0 END)
+         + (CASE WHEN 1.0 - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE) > 0
+            THEN -(1.0 - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+            * ln(1.0 - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+            ELSE 0.0 END)), 6) AS DECIMAL(18,6))) AS ch,
+    SUM(CAST(round(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE)
+      * (1.0 - (CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+              * (CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+            - (1.0 - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+              * (1.0 - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE))),
+      6) AS DECIMAL(18,6))) AS cg
+  FROM t
+), p AS (
+  SELECT n, yt, k, ch, cg,
+    CAST(yt AS DOUBLE) / CAST(n AS DOUBLE) AS pp FROM folded
+), p2 AS (
+  SELECT n, k, ch, cg,
+    (CASE WHEN pp > 0 THEN -pp * ln(pp) ELSE 0.0 END)
+    + (CASE WHEN 1.0 - pp > 0 THEN -(1.0 - pp) * ln(1.0 - pp)
+       ELSE 0.0 END) AS ph,
+    1.0 - pp * pp - (1.0 - pp) * (1.0 - pp) AS pg
+  FROM p
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_categories,
+  round(ph, 6) AS parent_entropy,
+  round(ph - CAST(ch AS DOUBLE), 6) AS info_gain,
+  round(pg, 6) AS parent_gini,
+  round(pg - CAST(cg AS DOUBLE), 6) AS gini_gain
+FROM p2
+"""
+
+_ORACLES["concentration_customer_revenue"] = f"""
+WITH per_key AS (
+  SELECT o_custkey AS k, SUM({_qm8('o_totalprice')}) AS r
+  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n_keys, SUM(CAST(r AS DECIMAL(38,2))) AS total
+  FROM per_key
+), ranked AS (
+  SELECT r, row_number() OVER (ORDER BY r DESC, k) AS rank FROM per_key
+), tops AS (
+  SELECT kk AS k,
+    (SELECT SUM(CAST(r AS DECIMAL(38,2))) FROM ranked
+     WHERE rank <= kk) AS top_sum
+  FROM (SELECT unnest([4, 8, 20]) AS kk)
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_keys AS BIGINT) AS n_keys,
+  {_ddwf('total')} AS total_value,
+  CASE WHEN total > 0 THEN
+    round({_ddwf('top_sum')} / {_ddwf('total')}, 6)
+  END AS top_share
+FROM tops CROSS JOIN tot
+"""
+
+_ORACLES["hill_tail_price"] = """
+WITH base AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+  WHERE o_totalprice > 0
+), nn AS (SELECT count(*) AS n FROM base),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC) AS rank FROM base
+), xk1 AS (SELECT x AS xk1 FROM ranked WHERE rank = 101),
+lsum AS (
+  SELECT SUM(CAST(round(ln(x / xk1), 6) AS DECIMAL(18,6))) AS ls
+  FROM ranked CROSS JOIN xk1 WHERE rank <= 100
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(100 AS BIGINT) AS k,
+  xk1 AS x_k1,
+  CASE WHEN CAST(ls AS DOUBLE) > 0 THEN
+    round(100.0 / CAST(ls AS DOUBLE), 6) END AS hill_alpha
+FROM lsum CROSS JOIN nn CROSS JOIN xk1
+"""
+
+_ORACLES["ranking_stability_nations"] = """
+WITH per_key AS (
+  SELECT c_nationkey AS k,
+    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2))) AS ma,
+    CAST(count(*) AS DECIMAL(38,0)) AS mb
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_nationkey IS NOT NULL GROUP BY 1
+), pairs AS (
+  SELECT CASE
+    WHEN (a.ma < b.ma AND a.mb > b.mb) OR (a.ma > b.ma AND a.mb < b.mb)
+    THEN 2
+    WHEN a.ma = b.ma OR a.mb = b.mb THEN 1
+    ELSE 0 END AS d2
+  FROM per_key a JOIN per_key b ON a.k < b.k
+), folded AS (
+  SELECT SUM(CAST(d2 AS DECIMAL(19,0))) AS d2s FROM pairs
+), kk AS (SELECT count(*) AS n_keys FROM per_key)
+SELECT CAST(n_keys AS BIGINT) AS n_keys,
+  CAST(d2s AS BIGINT) AS n_discordant2,
+  CASE WHEN n_keys > 1 THEN
+    round(1.0 - 4.0 * (CAST(d2s AS DOUBLE) / 2.0)
+          / (CAST(n_keys AS DOUBLE) * (CAST(n_keys AS DOUBLE) - 1.0)), 6)
+  END AS kendall_tau
+FROM folded CROSS JOIN kk
 """

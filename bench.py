@@ -360,6 +360,10 @@ FAMILIES: dict[str, list[str]] = {
         "hodges_lehmann_qty_flag",
         "bland_altman_doclen",
         "pinball_loss_price",
+        "split_gain_priority_price",
+        "hill_tail_price",
+        "ranking_stability_nations",
+        "concentration_customer_revenue",
         "qq_fit_price_flag",
         "wasserstein_qty_flag",
         "energy_distance_qty_flag",

@@ -1000,3 +1000,255 @@ def psi_value_drift(
         F.count(F.lit(1)).alias("n_bins_used"),
         F.sum(F.round(term, 6).cast("decimal(18,6)")).cast("double").alias("psi"),
     )
+
+
+def categorical_split_gain(
+    df: DataFrame, cat_col: str, flag_expr
+) -> DataFrame:
+    """Information gain AND Gini gain of splitting a binary target by
+    a categorical column — the two decision-tree split criteria as a
+    one-row feature-usefulness score (the categorical companion to
+    ``decision_stump``'s numeric threshold search).
+
+    One conditional-count shuffle to the k-row category relation;
+    parent/child impurities fold with the round-6 decimal log recipe.
+    Output one row: (n, k_categories, parent_entropy, info_gain,
+    parent_gini, gini_gain)."""
+    from pyspark.sql import Window as _W
+
+    y = flag_expr.cast("int")
+    per_c = (
+        df.filter(F.col(cat_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_c"), F.sum(y).alias("y_c"))
+    )
+    w = _W.partitionBy()
+    t = per_c.select(
+        "c",
+        "n_c",
+        "y_c",
+        F.sum("n_c").over(w).alias("n"),
+        F.sum("y_c").over(w).alias("yt"),
+    )
+    nc = F.col("n_c").cast("double")
+    p1 = F.col("y_c").cast("double") / nc
+    p0 = F.lit(1.0) - p1
+
+    def ent(p):
+        return F.when((p > 0), -p * F.log(p)).otherwise(F.lit(0.0))
+
+    child_h = F.round(
+        nc / F.col("n").cast("double") * (ent(p1) + ent(p0)), 6
+    ).cast("decimal(18,6)")
+    child_g = F.round(
+        nc
+        / F.col("n").cast("double")
+        * (F.lit(1.0) - p1 * p1 - p0 * p0),
+        6,
+    ).cast("decimal(18,6)")
+    folded = t.agg(
+        F.max("n").alias("n"),
+        F.max("yt").alias("yt"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(child_h).alias("ch"),
+        F.sum(child_g).alias("cg"),
+    )
+    n = F.col("n").cast("double")
+    pp = F.col("yt").cast("double") / n
+    pq = F.lit(1.0) - pp
+    parent_h = (
+        F.when(pp > 0, -pp * F.log(pp)).otherwise(F.lit(0.0))
+        + F.when(pq > 0, -pq * F.log(pq)).otherwise(F.lit(0.0))
+    )
+    parent_g = F.lit(1.0) - pp * pp - pq * pq
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_categories"),
+        F.round(parent_h, 6).alias("parent_entropy"),
+        F.round(parent_h - F.col("ch").cast("double"), 6).alias(
+            "info_gain"
+        ),
+        F.round(parent_g, 6).alias("parent_gini"),
+        F.round(parent_g - F.col("cg").cast("double"), 6).alias(
+            "gini_gain"
+        ),
+    )
+
+
+def concentration_ratios(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ks: tuple = (4, 8, 20),
+) -> DataFrame:
+    """CR-k concentration ratios: the share of total value held by the
+    top k keys (CR4/CR8 are the antitrust classics; CR20 reads the
+    head of a corpus) — the "how whale-dominated is this" number that
+    complements Gini's whole-curve view.
+
+    Per-key exact decimal totals; the top-k read is a
+    TakeOrderedAndProject over (total desc, key) — deterministic ties,
+    no global sort materialized; the grand total folds separately.
+    Output one row per k: (k, n_keys, total_value, top_share)."""
+    from .dedup import _release_caches
+    from .hypotests import dec_double_wide_frac, quantized_money
+
+    per_key = (
+        df.filter(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(F.sum(quantized_money(F.col(value_col))).alias("r"))
+        .persist()
+    )
+    per_key.count()
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("r").cast("decimal(38,2)")).alias("total"),
+    )
+    kmax = max(ks)
+    top = (
+        per_key.orderBy(F.col("r").desc(), F.col("k"))
+        .limit(kmax)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("r").desc(), F.col("k")))
+            .alias("rank"),
+            "r",
+        )
+    )
+    parts = []
+    for k in ks:
+        parts.append(
+            top.filter(F.col("rank") <= k).agg(
+                F.lit(int(k)).alias("k"),
+                F.sum(F.col("r").cast("decimal(38,2)")).alias("top_sum"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionAll(p)
+    result = allp.crossJoin(F.broadcast(tot)).select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        dec_double_wide_frac(F.col("total")).alias("total_value"),
+        F.when(
+            F.col("total") > 0,
+            F.round(
+                dec_double_wide_frac(F.col("top_sum"))
+                / dec_double_wide_frac(F.col("total")),
+                6,
+            ),
+        ).alias("top_share"),
+    )
+    return _release_caches(result, [per_key])
+
+
+def hill_tail_index(
+    df: DataFrame, value_col: str, k: int = 100
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over the top-k order
+    statistics: α̂ = k / Σᵢ ln(x_(i)/x_(k+1)) — the standard "how heavy
+    is this tail really" number deciding whether means/variances are
+    even meaningful for a metric.
+
+    The top k+1 values ride one TakeOrderedAndProject (bounded k, no
+    global sort); the log-spacing fold uses the round-6 decimal
+    recipe. Output one row: (n, k, x_k1, hill_alpha)."""
+    from pyspark.sql import Window as _W
+
+    base = df.filter(F.col(value_col) > 0).select(
+        F.col(value_col).cast("double").alias("x")
+    )
+    nn = base.agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        base.orderBy(F.col("x").desc())
+        .limit(k + 1)
+        .select(
+            F.row_number().over(_W.orderBy(F.col("x").desc())).alias("rank"),
+            "x",
+        )
+        .persist()
+    )
+    top.count()
+    xk1 = top.filter(F.col("rank") == k + 1).select(
+        F.col("x").alias("xk1")
+    )
+    lsum = (
+        top.filter(F.col("rank") <= k)
+        .crossJoin(F.broadcast(xk1))
+        .agg(
+            F.sum(
+                F.round(F.log(F.col("x") / F.col("xk1")), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("ls")
+        )
+    )
+    from .dedup import _release_caches
+
+    ls = F.col("ls").cast("double")
+    result = (
+        lsum.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(xk1))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.lit(int(k)).cast("long").alias("k"),
+            F.col("xk1").alias("x_k1"),
+            F.when(ls > 0, F.round(F.lit(float(k)) / ls, 6)).alias(
+                "hill_alpha"
+            ),
+        )
+    )
+    return _release_caches(result, [top])
+
+
+def ranking_stability(
+    df: DataFrame,
+    key_col: str,
+    value_a,
+    value_b,
+) -> DataFrame:
+    """Kendall tau-distance between two rankings of the same BOUNDED
+    key set (e.g. nations ranked by revenue vs by order count) — do
+    the two metrics tell the same story about who is on top?
+    τ = 1 − 4·D/(n(n−1)) with D the discordant pair count.
+
+    One aggregation to the k-row key relation (two exact decimal
+    metric totals per key), then the k²-bounded pair self-join counts
+    discordances exactly (ties in either metric count half). Output
+    one row: (n_keys, n_discordant2, kendall_tau)."""
+    d19 = "decimal(19,0)"
+    per_key = df.filter(F.col(key_col).isNotNull()).groupBy(
+        F.col(key_col).alias("k")
+    ).agg(
+        value_a.alias("ma"),
+        value_b.alias("mb"),
+    )
+    a = per_key.select(
+        F.col("k").alias("k1"), F.col("ma").alias("a1"), F.col("mb").alias("b1")
+    )
+    b = per_key.select(
+        F.col("k").alias("k2"), F.col("ma").alias("a2"), F.col("mb").alias("b2")
+    )
+    pairs = a.join(b, F.col("k1") < F.col("k2"))
+    disc2 = F.when(
+        ((F.col("a1") < F.col("a2")) & (F.col("b1") > F.col("b2")))
+        | ((F.col("a1") > F.col("a2")) & (F.col("b1") < F.col("b2"))),
+        F.lit(2),
+    ).when(
+        (F.col("a1") == F.col("a2")) | (F.col("b1") == F.col("b2")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    folded = pairs.agg(
+        F.sum(disc2.cast(d19)).alias("d2"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    kk = per_key.agg(F.count(F.lit(1)).alias("n_keys"))
+    n = F.col("n_keys").cast("double")
+    tau = F.lit(1.0) - F.lit(4.0) * (
+        F.col("d2").cast("double") / F.lit(2.0)
+    ) / (n * (n - F.lit(1.0)))
+    return folded.crossJoin(F.broadcast(kk)).select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("d2").cast("long").alias("n_discordant2"),
+        F.when(F.col("n_keys") > 1, F.round(tau, 6)).alias("kendall_tau"),
+    )

@@ -510,3 +510,59 @@ def test_mase_momentum_series_below_one(spark):
     assert out["mae_naive"] == 1.0
     assert out["mae_seasonal"] == 7.0
     assert abs(out["mase"] - 1.0 / 7.0) < 1e-6
+
+
+def test_split_gain_perfect_predictor(spark):
+    """A category that fully determines the flag -> info_gain equals
+    the parent entropy and gini_gain the parent gini."""
+    from breweries_etl_spark.operators.profiling import categorical_split_gain
+
+    rows = [("a", True)] * 30 + [("b", False)] * 30
+    df = spark.createDataFrame(rows, ["c", "f"])
+    out = categorical_split_gain(df, "c", F.col("f")).collect()[0]
+    assert out["info_gain"] == out["parent_entropy"]
+    assert out["gini_gain"] == out["parent_gini"]
+    assert abs(out["parent_gini"] - 0.5) < 1e-9
+
+
+def test_concentration_ratio_known_split(spark):
+    """10 keys with values 10,9,...,1 (total 55): CR4 = 34/55."""
+    from breweries_etl_spark.operators.profiling import concentration_ratios
+
+    rows = [(k, float(10 - k)) for k in range(10)]
+    df = spark.createDataFrame(rows, ["key", "v"])
+    out = {r["k"]: r for r in
+           concentration_ratios(df, "key", "v", ks=(4, 8)).collect()}
+    assert abs(out[4]["top_share"] - 34 / 55) < 1e-6
+    assert abs(out[8]["top_share"] - (55 - 3) / 55) < 1e-6
+
+
+def test_hill_alpha_exact_pareto(spark):
+    """x_(i) = C * (i)^(-1/a) order statistics give back alpha up to
+    the round-6 log grid; check a synthetic exact case with k=10:
+    values 2^(100-i) -> log spacings sum = ln(2)*sum(100-i-90) over
+    top 10 relative to rank 11."""
+    from breweries_etl_spark.operators.profiling import hill_tail_index
+    import math
+
+    vals = [2.0 ** j for j in range(1, 31)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = hill_tail_index(df, "v", k=10).collect()[0]
+    # top 10 are 2^21..2^30, x_k1 = 2^20; sum ln ratios = ln2*(1+..+10)
+    expect = 10.0 / (55 * math.log(2.0))
+    assert abs(out["hill_alpha"] - expect) < 1e-4
+    assert out["x_k1"] == 2.0 ** 20
+
+
+def test_ranking_stability_reversed_is_minus_one(spark):
+    """Metric B exactly reverses metric A's ranking -> tau = -1."""
+    from breweries_etl_spark.operators.profiling import ranking_stability
+
+    rows = [(k, float(k), float(10 - k)) for k in range(10)]
+    df = spark.createDataFrame(rows, ["key", "x", "y"])
+    out = ranking_stability(
+        df, "key", F.max("x"), F.max("y")
+    ).collect()[0]
+    assert out["kendall_tau"] == -1.0
+    same = ranking_stability(df, "key", F.max("x"), F.max("x")).collect()[0]
+    assert same["kendall_tau"] == 1.0

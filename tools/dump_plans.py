@@ -152,6 +152,8 @@ INTERESTING = [
     # r8 wave 4
     "energy_distance_qty_flag", "neyman_allocation_price",
     "evt_block_maxima_daily", "mase_daily_value",
+    "split_gain_priority_price", "hill_tail_price",
+    "ranking_stability_nations",
 ]
 
 

@@ -171,6 +171,10 @@ QUERIES = [
     "wasserstein_qty_flag", "energy_distance_qty_flag",
     "qq_fit_price_flag", "neyman_allocation_price",
     "evt_block_maxima_daily", "mase_daily_value",
+    # round-8 wave 5: k-row split/ranking relations; CR-k and Hill ride
+    # bounded TakeOrdered top-k reads
+    "split_gain_priority_price", "concentration_customer_revenue",
+    "hill_tail_price", "ranking_stability_nations",
 ]
 
 
