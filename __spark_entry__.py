@@ -11271,7 +11271,8 @@ jt AS (
   )
 ), sizes AS (
   SELECT l_returnflag AS g, count(*) AS n_g FROM lineitem
-  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL GROUP BY 1
+  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+    AND l_returnflag IN ('A', 'N', 'R') GROUP BY 1
 ), mom AS (
   SELECT SUM(n_g) AS n, count(*) AS k,
     SUM(CAST(CAST(n_g AS DECIMAL(19,0)) * n_g AS DECIMAL(38,0))) AS sn2,
@@ -13120,7 +13121,9 @@ WITH base AS (
 ), nn AS (SELECT count(*) AS n FROM base),
 ranked AS (
   SELECT x, row_number() OVER (ORDER BY x DESC) AS rank FROM base
-), xk1 AS (SELECT x AS xk1 FROM ranked WHERE rank = 101),
+), xk1 AS (
+  SELECT MAX(CASE WHEN rank = 101 THEN x END) AS xk1 FROM ranked
+),
 lsum AS (
   SELECT SUM(CAST(round(ln(x / xk1), 6) AS DECIMAL(18,6))) AS ls
   FROM ranked CROSS JOIN xk1 WHERE rank <= 100
@@ -13143,6 +13146,7 @@ WITH per_key AS (
   SELECT CASE
     WHEN (a.ma < b.ma AND a.mb > b.mb) OR (a.ma > b.ma AND a.mb < b.mb)
     THEN 2
+    WHEN a.ma = b.ma AND a.mb = b.mb THEN 0
     WHEN a.ma = b.ma OR a.mb = b.mb THEN 1
     ELSE 0 END AS d2
   FROM per_key a JOIN per_key b ON a.k < b.k

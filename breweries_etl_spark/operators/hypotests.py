@@ -3150,9 +3150,18 @@ def jonckheere_terpstra(
     Output one row: (n, k_groups, jt_stat, z_score)."""
     d19 = "decimal(19,0)"
     d38 = "decimal(38,0)"
+    # Restrict to ordered_groups BEFORE computing sizes/null moments:
+    # the JT statistic only sums pairs within ordered_groups, so a
+    # group present in df but absent from the order must not inflate
+    # E/Var (it would flip the z sign) — same isin contract as
+    # cochran_armitage_trend and ad_ksample.
     base = df.select(
         F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
-    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    ).filter(
+        F.col("__g").isNotNull()
+        & F.col("__v").isNotNull()
+        & F.col("__g").isin(list(ordered_groups))
+    )
     u2_parts = []
     handles = []
     for lo_i in range(len(ordered_groups)):

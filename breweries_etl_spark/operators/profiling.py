@@ -1169,8 +1169,13 @@ def hill_tail_index(
         .persist()
     )
     top.count()
-    xk1 = top.filter(F.col("rank") == k + 1).select(
-        F.col("x").alias("xk1")
+    # Aggregate (not filter) so xk1 is ALWAYS one row: when the
+    # positive-value count is <= k there is no rank k+1 and a filter
+    # would yield zero rows, annihilating the final crossJoins — the
+    # operator must emit its documented single row (with NULL x_k1 /
+    # hill_alpha) instead of vanishing.
+    xk1 = top.agg(
+        F.max(F.when(F.col("rank") == k + 1, F.col("x"))).alias("xk1")
     )
     lsum = (
         top.filter(F.col("rank") <= k)
@@ -1230,10 +1235,17 @@ def ranking_stability(
         F.col("k").alias("k2"), F.col("ma").alias("a2"), F.col("mb").alias("b2")
     )
     pairs = a.join(b, F.col("k1") < F.col("k2"))
+    # Half-tie convention: penalty 1 only for pairs tied in EXACTLY
+    # one metric. A pair tied in BOTH metrics is full agreement (the
+    # two rankings treat it identically) and must score 0 — counting
+    # it half-discordant would bias tau downward on duplicate values.
     disc2 = F.when(
         ((F.col("a1") < F.col("a2")) & (F.col("b1") > F.col("b2")))
         | ((F.col("a1") > F.col("a2")) & (F.col("b1") < F.col("b2"))),
         F.lit(2),
+    ).when(
+        (F.col("a1") == F.col("a2")) & (F.col("b1") == F.col("b2")),
+        F.lit(0),
     ).when(
         (F.col("a1") == F.col("a2")) | (F.col("b1") == F.col("b2")),
         F.lit(1),
