@@ -203,6 +203,88 @@ def grouped_value_prefix_counts(
     return out
 
 
+def multigroup_value_prefix_counts(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    groups: list,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """k-group generalization of ``grouped_value_prefix_counts``: per
+    distinct value, the per-group counts ``c0..c{k-1}`` and EXACT
+    per-group cumulative counts ``m0..m{k-1}`` up to and including
+    that value — ONE pooled-value aggregation pass serving every
+    group, instead of k (or k²) single-group pipelines.
+
+    Two identities make loop-caller rewrites hash-identical:
+    (1) cum_i(z) = Σ_{v<=z} c_i(v) does not depend on which OTHER
+    groups contribute distinct values to the relation (c_i is zero on
+    them); (2) any pairwise fold whose per-value term carries a factor
+    c_i·(…) or c_i·c_j contributes zero on values absent from both
+    groups, so summing over the pooled value set equals summing over
+    the pair's own value set. Callers: ad_ksample (k folds, one scan),
+    jonckheere_terpstra (k(k−1)/2 pair U-sums, one scan).
+
+    NULL values/groups excluded; rows outside ``groups`` excluded.
+    Carries a ``_vc_cache`` handle like the 2-group primitive."""
+    k = len(groups)
+    vals = df.select(
+        F.col(value_col).alias("v"), F.col(group_col).alias("__mg")
+    ).filter(
+        F.col("v").isNotNull()
+        & F.col("__mg").isNotNull()
+        & F.col("__mg").isin(list(groups))
+    )
+    vc = (
+        vals.groupBy("v")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("__mg") == F.lit(g), 1).otherwise(0)
+                ).alias(f"c{i}")
+                for i, g in enumerate(groups)
+            ]
+        )
+        .persist()
+    )
+    vc.count()
+    qs = [round(q / n_buckets, 6) for q in range(1, n_buckets)]
+    bounds = vc.agg(F.percentile_approx("v", qs, 10000).alias("__bs"))
+    cnames = [f"c{i}" for i in range(k)]
+    vb = vc.crossJoin(F.broadcast(bounds)).select(
+        "v",
+        *cnames,
+        F.size(F.filter("__bs", lambda b: F.col("v") > b)).alias("b"),
+    )
+    per_b = vb.groupBy("b").agg(
+        *[F.sum(c).alias(f"s{i}") for i, c in enumerate(cnames)]
+    )
+    # offsets = strictly-earlier buckets; window over <= n_buckets rows
+    woff = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_b.select(
+        "b",
+        *[
+            F.coalesce(F.sum(f"s{i}").over(woff), F.lit(0)).alias(f"o{i}")
+            for i in range(k)
+        ],
+    )
+    wv = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = vb.join(F.broadcast(offs), "b").select(
+        "v",
+        *cnames,
+        *[
+            (F.col(f"o{i}") + F.sum(f"c{i}").over(wv)).alias(f"m{i}")
+            for i in range(k)
+        ],
+    )
+    out._vc_cache = vc  # type: ignore[attr-defined]
+    return out
+
+
 def _released(result: DataFrame, pc: DataFrame, release: bool) -> DataFrame:
     if not release:
         return result
@@ -3140,56 +3222,57 @@ def jonckheere_terpstra(
 
     JT = Σ_{i<j} U_ij over ordered group pairs, each U_ij a
     Mann–Whitney count #{x_i < x_j} + ½·ties. ``ordered_groups`` is the
-    explicit low→high order and bounds k (the k(k−1)/2 pair loop is
-    Python-side over a BOUNDED group list — documented contract, like
-    kendall_tau_b's bounded domains). Each pair's U folds from the
-    bucketed prefix-count primitive in exact integers (2U accumulated
-    to avoid the ½). Classical null moments (no tie correction —
-    conservative under heavy ties, like ansari pre-r8):
+    explicit low→high order and bounds k. ONE multigroup prefix-count
+    pass over the pooled values serves every pair: per-pair 2U_ij =
+    Σ_z 2·c_j·(m_i − c_i) + c_i·c_j is zero on values absent from both
+    groups, so the pooled-value sum equals the pair-subset sum exactly
+    (integer arithmetic — bit-identical to the former k(k−1)/2
+    per-pair pipelines, round-9 single-pass rewrite). Only groups in
+    ordered_groups enter the statistic AND the null moments (a group
+    present in df but unlisted must not inflate E/Var — the
+    cochran_armitage/ad_ksample isin contract). Classical null moments
+    (no tie correction — conservative under heavy ties):
     E = (N² − Σn_i²)/4, Var = [N²(2N+3) − Σn_i²(2n_i+3)]/72.
     Output one row: (n, k_groups, jt_stat, z_score)."""
     d19 = "decimal(19,0)"
     d38 = "decimal(38,0)"
-    # Restrict to ordered_groups BEFORE computing sizes/null moments:
-    # the JT statistic only sums pairs within ordered_groups, so a
-    # group present in df but absent from the order must not inflate
-    # E/Var (it would flip the z sign) — same isin contract as
-    # cochran_armitage_trend and ad_ksample.
-    base = df.select(
-        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
-    ).filter(
-        F.col("__g").isNotNull()
-        & F.col("__v").isNotNull()
-        & F.col("__g").isin(list(ordered_groups))
+    k = len(ordered_groups)
+    mg = multigroup_value_prefix_counts(
+        df, value_col, group_col, list(ordered_groups), n_buckets
     )
-    u2_parts = []
-    handles = []
-    for lo_i in range(len(ordered_groups)):
-        for hi_i in range(lo_i + 1, len(ordered_groups)):
-            lo, hi = ordered_groups[lo_i], ordered_groups[hi_i]
-            pair = base.filter(F.col("__g").isin([lo, hi]))
-            pc = grouped_value_prefix_counts(
-                pair, "__v", F.col("__g") == F.lit(lo), n_buckets
+    handles = [mg._vc_cache]  # type: ignore[attr-defined]
+    # A = low group i, B = high group j: 2U_ij = 2·Σ c_j·(#A below)
+    # + Σ c_i·c_j; one sum column per ordered pair, all in one agg
+    pair_terms = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            pair_terms.append(
+                (
+                    F.lit(2).cast(d19)
+                    * F.col(f"c{j}").cast(d19)
+                    * (F.col(f"m{i}") - F.col(f"c{i}")).cast(d19)
+                    + F.col(f"c{i}").cast(d19) * F.col(f"c{j}").cast(d19)
+                ).cast(d38)
             )
-            # A = low group, B = high group: 2U_ij = 2·Σ cb·(#A below)
-            # + Σ ca·cb
-            u2 = pc.agg(
-                F.sum(
-                    (
-                        F.lit(2).cast(d19)
-                        * F.col("cb").cast(d19)
-                        * (F.col("cum_a") - F.col("ca")).cast(d19)
-                        + F.col("ca").cast(d19) * F.col("cb").cast(d19)
-                    ).cast(d38)
-                ).alias("u2")
-            )
-            u2_parts.append(u2)
-            handles.append(pc._vc_cache)  # type: ignore[attr-defined]
-    u2_all = u2_parts[0]
-    for p in u2_parts[1:]:
-        u2_all = u2_all.unionAll(p)
-    jt2 = u2_all.agg(F.sum("u2").alias("jt2"))
-    sizes = base.groupBy("__g").agg(F.count(F.lit(1)).alias("n_g"))
+    u2_agg = mg.agg(
+        *[F.sum(t).alias(f"u{x}") for x, t in enumerate(pair_terms)]
+    )
+    u2_total = None
+    for x in range(len(pair_terms)):
+        c = F.col(f"u{x}")
+        u2_total = c if u2_total is None else u2_total + c
+    jt2 = u2_agg.select(u2_total.cast(d38).alias("jt2"))
+    # group sizes from the cached per-value counts (no second scan of
+    # df); a listed-but-absent group has n_g = 0 and must not enter
+    # k/Σn² — filter like the former groupBy relation did implicitly
+    stack_args = ", ".join(f"n{i}" for i in range(k))
+    sizes = (
+        mg._vc_cache.agg(  # type: ignore[attr-defined]
+            *[F.sum(f"c{i}").alias(f"n{i}") for i in range(k)]
+        )
+        .select(F.expr(f"stack({k}, {stack_args}) as (n_g)"))
+        .filter(F.col("n_g") > 0)
+    )
     moments = sizes.agg(
         F.sum("n_g").alias("n"),
         F.count(F.lit(1)).alias("k"),
@@ -4097,59 +4180,63 @@ def ad_ksample(
     mean/variance standardization — documented; compare across runs of
     the SAME group sizes).
 
-    Per group one bucketed prefix-count pipeline over the POOLED
-    values (group i vs rest: cum_a = M_i, cum_a+cum_b = B, ca+cb = l —
-    the jonckheere_terpstra bounded-group-loop contract); per-group
-    folds are all-double with floor(·10⁹) fixed point (the 2-sample AD
-    recipe). Output one row: (n, k_groups, ad_ksample)."""
-    base = df.select(
-        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
-    ).filter(
-        F.col("__g").isNotNull()
-        & F.col("__v").isNotNull()
-        & F.col("__g").isin(groups)
+    ONE multigroup prefix-count pass over the POOLED values serves all
+    k groups (m_i = M_i, Σm = B, Σc = l): the k per-group folds are k
+    sum-expressions in a single aggregate over that relation, not k
+    separate aggregation pipelines (the round-8 verdict's single-pass
+    rewrite — same double-op order and floor(·10⁹) fixed point as the
+    per-group form, so the statistic is bit-identical). Output one
+    row: (n, k_groups, ad_ksample)."""
+    k = len(groups)
+    mg = multigroup_value_prefix_counts(
+        df, value_col, group_col, groups, n_buckets
     )
-    parts = []
-    handles = []
-    for g in groups:
-        pc = grouped_value_prefix_counts(
-            base, "__v", F.col("__g") == F.lit(g), n_buckets
-        )
-        tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-            F.sum("ca").alias("n_i"),
-            F.sum(F.col("ca") + F.col("cb")).alias("nn"),
-        )
-        nn = F.col("nn").cast("double")
-        ni = F.col("n_i").cast("double")
-        m_i = F.col("cum_a").cast("double")
-        b_z = (F.col("cum_a") + F.col("cum_b")).cast("double")
-        l_z = (F.col("ca") + F.col("cb")).cast("double")
+    handles = [mg._vc_cache]  # type: ignore[attr-defined]
+    lsum = None
+    for i in range(k):
+        lsum = F.col(f"c{i}") if lsum is None else lsum + F.col(f"c{i}")
+    msum = None
+    for i in range(k):
+        msum = F.col(f"m{i}") if msum is None else msum + F.col(f"m{i}")
+    tot = mg._vc_cache.agg(  # type: ignore[attr-defined]
+        *[F.sum(f"c{i}").alias(f"n{i}") for i in range(k)],
+        F.sum(lsum).alias("nn"),
+    )
+    nn = F.col("nn").cast("double")
+    b_z = msum.cast("double")
+    l_z = lsum.cast("double")
+    terms = []
+    for i in range(k):
+        ni = F.col(f"n{i}").cast("double")
+        m_i = F.col(f"m{i}").cast("double")
         dev = nn * m_i - ni * b_z
-        term = F.when(
-            b_z < nn,
-            F.floor(
-                l_z * dev * dev / (b_z * (nn - b_z)) * F.lit(1e9)
-            ).cast("decimal(38,0)"),
-        )
-        part = pc.crossJoin(F.broadcast(tot)).agg(
-            F.max("n_i").alias("n_i"),
-            F.max("nn").alias("nn"),
-            F.sum(term).alias("t_fp"),
-        )
-        parts.append(
-            part.select(
-                "nn",
-                (
-                    dec_double_wide(F.col("t_fp"))
-                    / F.lit(1e9)
-                    / F.col("n_i").cast("double")
-                ).alias("a_i"),
+        terms.append(
+            F.when(
+                b_z < nn,
+                F.floor(
+                    l_z * dev * dev / (b_z * (nn - b_z)) * F.lit(1e9)
+                ).cast("decimal(38,0)"),
             )
         )
-        handles.append(pc._vc_cache)  # type: ignore[attr-defined]
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionAll(p)
+    stat = mg.crossJoin(F.broadcast(tot)).agg(
+        *[F.max(f"n{i}").alias(f"n{i}") for i in range(k)],
+        F.max("nn").alias("nn"),
+        *[F.sum(t).alias(f"t{i}") for i, t in enumerate(terms)],
+    )
+    # 1 row -> k rows so the (round, decimal-sum) fold is the exact
+    # expression the per-group form used
+    stack_args = ", ".join(f"n{i}, t{i}" for i in range(k))
+    allp = stat.select(
+        "nn",
+        F.expr(f"stack({k}, {stack_args}) as (n_i, t_fp)"),
+    ).select(
+        "nn",
+        (
+            dec_double_wide(F.col("t_fp"))
+            / F.lit(1e9)
+            / F.col("n_i").cast("double")
+        ).alias("a_i"),
+    )
     folded = allp.agg(
         F.max("nn").alias("n"),
         F.count(F.lit(1)).alias("k"),
