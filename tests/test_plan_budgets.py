@@ -801,6 +801,38 @@ def test_dunn_and_adksample_no_datasized_single_partition(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def test_bnlj_build_sides_bounded_across_headline_plans(spark, sf_dir):
+    """Round-8 verdict #3: every BroadcastNestedLoopJoin in every
+    headline plan must broadcast a BOUNDED relation — an Aggregate
+    (scalar/k-row fold) or a TakeOrderedAndProject/Limit (top-k) must
+    sit between the BroadcastExchange and any scan leaf, and
+    CartesianProduct must never appear. Until now only convention
+    protected this (all 58 BNLJ occurrences in PLANS.md complied);
+    this fails the suite if a refactor ever broadcasts a fact-scale
+    relation. Rule implementation: plans/audit.py."""
+    import __spark_entry__ as e
+    from breweries_etl_spark.plans.audit import (
+        bnlj_violations,
+        formatted_plan,
+    )
+    from tools.dump_plans import INTERESTING
+
+    # queries-side relation is small BY CONTRACT (documented at
+    # operators/similarity.py: the caller passes a bounded query set),
+    # so its filtered-scan broadcast is sanctioned
+    allow = {"similarity_topk"}
+    qs = e.queries()
+    bad = {}
+    try:
+        for name in INTERESTING:
+            v = bnlj_violations(formatted_plan(qs[name](spark, sf_dir)))
+            if v and name not in allow:
+                bad[name] = v
+    finally:
+        spark.catalog.clearCache()
+    assert not bad, f"fact-scale broadcast under a nested-loop join: {bad}"
+
+
 def test_qq_fit_single_prefix_relation(spark, sf_dir):
     """qq_fit reads BOTH groups' quantiles off one shared prefix
     relation — the plan must contain exactly one parquet lineitem
