@@ -10993,6 +10993,13 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concentration_customer_revenue": q_concentration_customer_revenue,
         "hill_tail_price": q_hill_tail_price,
         "ranking_stability_nations": q_ranking_stability_nations,
+        # round-9 wave
+        "brunner_munzel_price_flag": q_brunner_munzel_price_flag,
+        "theil_l_customer_revenue": q_theil_l_customer_revenue,
+        "vocab_richness_docs": q_vocab_richness_docs,
+        "turning_points_daily_value": q_turning_points_daily_value,
+        "cronbach_alpha_lineitem": q_cronbach_alpha_lineitem,
+        "mcc_lang_pred": q_mcc_lang_pred,
     }
 
 
@@ -13160,4 +13167,304 @@ SELECT CAST(n_keys AS BIGINT) AS n_keys,
           / (CAST(n_keys AS DOUBLE) * (CAST(n_keys AS DOUBLE) - 1.0)), 6)
   END AS kendall_tau
 FROM folded CROSS JOIN kk
+"""
+
+
+# ----- round-9 wave 1: Brunner-Munzel heteroscedastic rank test,
+# Theil-L/Atkinson low-tail inequality, Chao1/Good-Turing vocabulary
+# coverage, turning-points randomness screen, Cronbach item
+# consistency, multiclass MCC -----
+
+
+def q_brunner_munzel_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel stochastic-superiority test of l_extendedprice,
+    group B = returned lines (operators/hypotests.py:brunner_munzel)."""
+    from breweries_etl_spark.operators.hypotests import brunner_munzel
+
+    return brunner_munzel(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        F.col("l_returnflag") == "R",
+    )
+
+
+def q_theil_l_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil L (mean log deviation) + Atkinson(1) of per-customer
+    revenue (operators/hypotests.py:theil_l_atkinson)."""
+    from breweries_etl_spark.operators.hypotests import theil_l_atkinson
+
+    return theil_l_atkinson(
+        load_table(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
+def q_vocab_richness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-size estimate + Good-Turing unseen mass over
+    the documents corpus (operators/text.py:vocab_richness)."""
+    from breweries_etl_spark.operators.text import vocab_richness
+
+    return vocab_richness(load_table(spark, sf_dir, "documents"))
+
+
+def q_turning_points_daily_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Turning-points randomness test on the daily event-value totals
+    (operators/temporal.py:turning_points_daily)."""
+    from breweries_etl_spark.operators.temporal import turning_points_daily
+
+    return turning_points_daily(load_events(spark, sf_dir))
+
+
+def q_cronbach_alpha_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha across the four lineitem value columns
+    (operators/profiling.py:cronbach_alpha)."""
+    from breweries_etl_spark.operators.profiling import cronbach_alpha
+
+    return cronbach_alpha(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def q_mcc_lang_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass Matthews correlation of the heuristic language-ID
+    prediction vs the corpus lang labels
+    (operators/profiling.py:mcc_multiclass)."""
+    from breweries_etl_spark.operators.profiling import mcc_multiclass
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        F.col("lang"), text.lang_pred_expr(F.col("text")).alias("lang_pred")
+    )
+    return mcc_multiclass(labeled, "lang", "lang_pred")
+
+
+_ORACLES["brunner_munzel_price_flag"] = f"""
+WITH vals AS (
+  SELECT l_extendedprice AS v,
+    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ga
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), vc AS (
+  SELECT v, SUM(ga) AS ca, count(*) - SUM(ga) AS cb FROM vals GROUP BY 1
+), pc AS (
+  SELECT v, ca, cb,
+    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM vc
+), agg AS (
+  SELECT SUM(ca) AS n_a, SUM(cb) AS n_b,
+    SUM(CAST(CAST(ca AS DECIMAL(19,0))
+        * (2 * CAST(cum_a + cum_b AS DECIMAL(19,0)) - (ca + cb) + 1)
+        AS DECIMAL(38,0))) AS t_a,
+    SUM(CAST(CAST(cb AS DECIMAL(19,0))
+        * (2 * CAST(cum_a + cum_b AS DECIMAL(19,0)) - (ca + cb) + 1)
+        AS DECIMAL(38,0))) AS t_b,
+    SUM(CAST(CAST(ca AS DECIMAL(19,0))
+        * (2 * CAST(cum_b AS DECIMAL(19,0)) - cb) AS DECIMAL(38,0))) AS a1,
+    SUM(CAST(CAST(ca AS DECIMAL(19,0))
+        * (2 * CAST(cum_b AS DECIMAL(19,0)) - cb)
+        * (2 * CAST(cum_b AS DECIMAL(19,0)) - cb) AS DECIMAL(38,0))) AS a2,
+    SUM(CAST(CAST(cb AS DECIMAL(19,0))
+        * (2 * CAST(cum_a AS DECIMAL(19,0)) - ca) AS DECIMAL(38,0))) AS b1,
+    SUM(CAST(CAST(cb AS DECIMAL(19,0))
+        * (2 * CAST(cum_a AS DECIMAL(19,0)) - ca)
+        * (2 * CAST(cum_a AS DECIMAL(19,0)) - ca) AS DECIMAL(38,0))) AS b2
+  FROM pc
+), d AS (
+  SELECT n_a, n_b,
+    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+    {_ddw('t_a')} AS ta, {_ddw('t_b')} AS tb,
+    {_ddw('a1')} AS a1d, {_ddw('a2')} AS a2d,
+    {_ddw('b1')} AS b1d, {_ddw('b2')} AS b2d
+  FROM agg
+), e AS (
+  SELECT *, ta - na * (na + 1.0) AS ua, tb - nb * (nb + 1.0) AS ub,
+    ta / (2.0 * na) AS rca, tb / (2.0 * nb) AS rcb
+  FROM d
+), f AS (
+  SELECT *,
+    (a2d - (2.0 * ua * a1d - ua * ua) / na) / (4.0 * (na - 1.0)) AS s2a,
+    (b2d - (2.0 * ub * b1d - ub * ub) / nb) / (4.0 * (nb - 1.0)) AS s2b
+  FROM e
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round((rcb - (nb + 1.0) / 2.0) / na, 6) END AS p_hat,
+  CASE WHEN n_a > 1 AND n_b > 1 AND na * s2a + nb * s2b > 0 THEN
+    round(na * nb * (rcb - rca)
+          / ((na + nb) * sqrt(na * s2a + nb * s2b)), 6)
+  END AS bm_stat
+FROM f
+"""
+
+_ORACLES["theil_l_customer_revenue"] = f"""
+WITH per_key AS (
+  SELECT o_custkey AS k, SUM({_qm8('o_totalprice')}) AS r
+  FROM orders GROUP BY 1 HAVING SUM({_qm8('o_totalprice')}) > 0
+), folded AS (
+  SELECT count(*) AS n,
+    SUM(CAST(r AS DECIMAL(38,2))) AS total,
+    SUM(CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6))) AS lsum
+  FROM per_key
+)
+SELECT CAST(n AS BIGINT) AS n_keys,
+  CASE WHEN n > 0 THEN round({_ddwf('total')} / CAST(n AS DOUBLE), 6)
+  END AS mean_value,
+  CASE WHEN n > 0 THEN
+    round(ln({_ddwf('total')} / CAST(n AS DOUBLE))
+          - CAST(lsum AS DOUBLE) / CAST(n AS DOUBLE), 6)
+  END AS theil_l,
+  CASE WHEN n > 0 THEN
+    round(1.0 - exp(-(ln({_ddwf('total')} / CAST(n AS DOUBLE))
+                      - CAST(lsum AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+  END AS atkinson_1
+FROM folded
+"""
+
+_ORACLES["vocab_richness_docs"] = """
+WITH tf AS (
+  SELECT term, count(*) AS f FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS term
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY 1
+), folded AS (
+  SELECT SUM(f) AS n, count(*) AS v,
+    SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS f1,
+    SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS f2
+  FROM tf
+)
+SELECT CAST(n AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS n_types,
+  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+  CASE WHEN v > 0 THEN
+    round(CAST(v AS DOUBLE)
+          + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+          / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6)
+  END AS chao1,
+  CASE WHEN n > 0 THEN
+    round(CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+  END AS gt_unseen_mass
+FROM folded
+"""
+
+_ORACLES["turning_points_daily_value"] = """
+WITH daily AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+), walked AS (
+  SELECT y, lag(y) OVER (ORDER BY day) AS yp,
+    lead(y) OVER (ORDER BY day) AS yn
+  FROM daily
+), folded AS (
+  SELECT count(*) AS n_days,
+    SUM(CASE WHEN (yp < y AND y > yn) OR (yp > y AND y < yn)
+        THEN 1 ELSE 0 END) AS n_turning
+  FROM walked
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+  CAST(n_turning AS BIGINT) AS n_turning,
+  CASE WHEN n_days > 2 THEN
+    round(2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0, 6) END AS expected,
+  CASE WHEN n_days > 2 AND (16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0 > 0
+  THEN round((CAST(n_turning AS DOUBLE)
+              - 2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0)
+             / sqrt((16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0), 6)
+  END AS z_score
+FROM folded
+"""
+
+_ORACLES["cronbach_alpha_lineitem"] = f"""
+WITH base AS (
+  SELECT {_qm8('l_quantity')} AS x0, {_qm8('l_extendedprice')} AS x1,
+    {_qm8('l_discount')} AS x2, {_qm8('l_tax')} AS x3
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+), folded AS (
+  SELECT count(*) AS n,
+    SUM(CAST(x0 AS DECIMAL(38,2))) AS s0,
+    SUM(CAST(CAST(x0 AS DECIMAL(24,2)) * x0 AS DECIMAL(38,4))) AS q0,
+    SUM(CAST(x1 AS DECIMAL(38,2))) AS s1,
+    SUM(CAST(CAST(x1 AS DECIMAL(24,2)) * x1 AS DECIMAL(38,4))) AS q1,
+    SUM(CAST(x2 AS DECIMAL(38,2))) AS s2,
+    SUM(CAST(CAST(x2 AS DECIMAL(24,2)) * x2 AS DECIMAL(38,4))) AS q2,
+    SUM(CAST(x3 AS DECIMAL(38,2))) AS s3,
+    SUM(CAST(CAST(x3 AS DECIMAL(24,2)) * x3 AS DECIMAL(38,4))) AS q3,
+    SUM(CAST(CAST(x0 + x1 + x2 + x3 AS DECIMAL(18,2))
+        AS DECIMAL(38,2))) AS st,
+    SUM(CAST(CAST(CAST(x0 + x1 + x2 + x3 AS DECIMAL(18,2))
+        AS DECIMAL(24,2)) * CAST(x0 + x1 + x2 + x3 AS DECIMAL(18,2))
+        AS DECIMAL(38,4))) AS qt
+  FROM base
+), v AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+    ({_ddwf('q0')} - {_ddwf('s0')} * {_ddwf('s0')} / CAST(n AS DOUBLE))
+      / (CAST(n AS DOUBLE) - 1.0)
+    + ({_ddwf('q1')} - {_ddwf('s1')} * {_ddwf('s1')} / CAST(n AS DOUBLE))
+      / (CAST(n AS DOUBLE) - 1.0)
+    + ({_ddwf('q2')} - {_ddwf('s2')} * {_ddwf('s2')} / CAST(n AS DOUBLE))
+      / (CAST(n AS DOUBLE) - 1.0)
+    + ({_ddwf('q3')} - {_ddwf('s3')} * {_ddwf('s3')} / CAST(n AS DOUBLE))
+      / (CAST(n AS DOUBLE) - 1.0) AS item_var_sum,
+    ({_ddwf('qt')} - {_ddwf('st')} * {_ddwf('st')} / CAST(n AS DOUBLE))
+      / (CAST(n AS DOUBLE) - 1.0) AS total_var
+  FROM folded
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(4 AS BIGINT) AS k_items,
+  CASE WHEN n > 1 AND total_var > 0 THEN
+    round(CAST(4.0 / 3.0 AS DOUBLE) * (1.0 - item_var_sum / total_var), 6)
+  END AS alpha
+FROM v
+"""
+
+_ORACLES["mcc_lang_pred"] = f"""
+WITH hits AS (
+  SELECT lang, text,
+    {_marker_hits("en")} AS h_en,
+    {_marker_hits("es")} AS h_es,
+    {_marker_hits("de")} AS h_de,
+    {_marker_hits("fr")} AS h_fr
+  FROM documents
+), p AS (
+  SELECT lang AS t,
+    CASE WHEN len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
+         WHEN {_GREATEST} = 0 THEN 'unknown'
+         WHEN h_en = {_GREATEST} THEN 'en'
+         WHEN h_es = {_GREATEST} THEN 'es'
+         WHEN h_de = {_GREATEST} THEN 'de'
+         ELSE 'fr' END AS pr
+  FROM hits
+), cells AS (
+  SELECT t, pr, count(*) AS c FROM p
+  WHERE t IS NOT NULL AND pr IS NOT NULL GROUP BY 1, 2
+), tm AS (SELECT t AS cls, SUM(c) AS tk FROM cells GROUP BY 1),
+pm AS (SELECT pr AS cls, SUM(c) AS pk FROM cells GROUP BY 1),
+joint AS (
+  SELECT coalesce(tk, 0) AS tk, coalesce(pk, 0) AS pk
+  FROM tm FULL OUTER JOIN pm USING (cls)
+), marg AS (
+  SELECT SUM(tk) AS s, count(*) AS k,
+    SUM(CAST(CAST(tk AS DECIMAL(19,0)) * CAST(pk AS DECIMAL(19,0))
+        AS DECIMAL(38,0))) AS tp,
+    SUM(CAST(CAST(tk AS DECIMAL(19,0)) * CAST(tk AS DECIMAL(19,0))
+        AS DECIMAL(38,0))) AS t2,
+    SUM(CAST(CAST(pk AS DECIMAL(19,0)) * CAST(pk AS DECIMAL(19,0))
+        AS DECIMAL(38,0))) AS p2
+  FROM joint
+), diag AS (
+  SELECT SUM(CASE WHEN t = pr THEN c ELSE 0 END) AS corr FROM cells
+)
+SELECT CAST(s AS BIGINT) AS n, CAST(k AS BIGINT) AS n_classes,
+  CASE WHEN s > 0 THEN
+    round(CAST(corr AS DOUBLE) / CAST(s AS DOUBLE), 6) END AS accuracy,
+  CASE WHEN s > 0
+    AND sqrt(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) - {_ddw('p2')})
+      * sqrt(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) - {_ddw('t2')}) > 0
+  THEN round((CAST(corr AS DOUBLE) * CAST(s AS DOUBLE) - {_ddw('tp')})
+             / (sqrt(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) - {_ddw('p2')})
+                * sqrt(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       - {_ddw('t2')})), 6)
+  END AS mcc
+FROM diag CROSS JOIN marg
 """

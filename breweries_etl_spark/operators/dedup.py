@@ -252,6 +252,7 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     n: int = 3,
+    max_bucket: int = 1000,
     release: bool = True,
 ) -> DataFrame:
     """MinHash→LSH candidates → exact-Jaccard verification.
@@ -274,7 +275,7 @@ def minhash_near_duplicates(
     sh = shingle_sets(df, text_col, id_col, n, hashed=True)
     mins = minhash_mins(sh, id_col).persist()
     mins.count()
-    pairs = lsh_candidate_pairs(mins, id_col)
+    pairs = lsh_candidate_pairs(mins, id_col, max_bucket=max_bucket)
     result = (
         pairs.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")

@@ -4634,3 +4634,131 @@ def qq_fit(
         ).alias("r2"),
     )
     return _released(result, pc, release)
+
+
+def brunner_munzel(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Brunner–Munzel test of the stochastic-superiority hypothesis
+    P(X_B > X_A) + ½P(=) = ½ — the modern replacement for
+    Mann–Whitney when the two groups may differ in VARIANCE as well
+    as location (MWU's null assumes exchangeable shapes; BM does
+    not). Reports the common-language effect p̂ = P̂(B > A) + ½P̂(=)
+    and the studentized statistic (Brunner & Munzel 2000).
+
+    Everything folds from ONE bucketed prefix-count pass in exact
+    integers. With pooled midrank r_c and within-group midrank r_g,
+    the per-value doubled deviations collapse to closed forms:
+    2·r_c(z) = 2B_z − l_z + 1, and 2·(r_c − r_a)(z) = 2·cum_b − cb
+    (resp. 2·cum_a − ca for B) — so the rank-variance
+    S_i² = Σ c_i·(d_i − K_i)²/(n_i−1) expands to integer aggregates
+    A2 − (2·U·A1 − U²)/n over the value relation (K_i's constant
+    never touches a per-row double; the levene hoisting rule is moot
+    because the expansion is algebraic). Statistic:
+    W = n_a·n_b·(R̄_cb − R̄_ca) / (N·√(n_a·S_a² + n_b·S_b²)).
+    Output one row: (n_a, n_b, p_hat, bm_stat)."""
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
+    l_z = F.col("ca") + F.col("cb")
+    b_z = F.col("cum_a") + F.col("cum_b")
+    rc2 = (
+        F.lit(2).cast(d19) * b_z.cast(d19) - l_z.cast(d19) + F.lit(1)
+    )
+    da2 = F.lit(2).cast(d19) * F.col("cum_b").cast(d19) - F.col("cb")
+    db2 = F.lit(2).cast(d19) * F.col("cum_a").cast(d19) - F.col("ca")
+    agg = pc.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum((F.col("ca").cast(d19) * rc2).cast(d38)).alias("t_a"),
+        F.sum((F.col("cb").cast(d19) * rc2).cast(d38)).alias("t_b"),
+        F.sum((F.col("ca").cast(d19) * da2).cast(d38)).alias("a1"),
+        F.sum((F.col("ca").cast(d19) * da2 * da2).cast(d38)).alias("a2"),
+        F.sum((F.col("cb").cast(d19) * db2).cast(d38)).alias("b1"),
+        F.sum((F.col("cb").cast(d19) * db2 * db2).cast(d38)).alias("b2"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    t_a = dec_double_wide(F.col("t_a"))
+    t_b = dec_double_wide(F.col("t_b"))
+    a1 = dec_double_wide(F.col("a1"))
+    a2 = dec_double_wide(F.col("a2"))
+    b1 = dec_double_wide(F.col("b1"))
+    b2 = dec_double_wide(F.col("b2"))
+    u_a = t_a - na * (na + F.lit(1.0))
+    u_b = t_b - nb * (nb + F.lit(1.0))
+    s2_a = (
+        a2 - (F.lit(2.0) * u_a * a1 - u_a * u_a) / na
+    ) / (F.lit(4.0) * (na - F.lit(1.0)))
+    s2_b = (
+        b2 - (F.lit(2.0) * u_b * b1 - u_b * u_b) / nb
+    ) / (F.lit(4.0) * (nb - F.lit(1.0)))
+    r_ca = t_a / (F.lit(2.0) * na)
+    r_cb = t_b / (F.lit(2.0) * nb)
+    var = na * s2_a + nb * s2_b
+    result = agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round((r_cb - (nb + F.lit(1.0)) / F.lit(2.0)) / na, 6),
+        ).alias("p_hat"),
+        F.when(
+            (F.col("n_a") > 1) & (F.col("n_b") > 1) & (var > 0),
+            F.round(na * nb * (r_cb - r_ca) / (nn * F.sqrt(var)), 6),
+        ).alias("bm_stat"),
+    )
+    return _released(result, pc, release)
+
+
+def theil_l_atkinson(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    release: bool = True,
+) -> DataFrame:
+    """Theil L (mean log deviation) and the Atkinson(ε=1) inequality
+    index of how a value concentrates across keys:
+    L = ln(μ) − mean(ln xᵢ), Atkinson₁ = 1 − exp(−L) = 1 − geomean/μ.
+    Complements ``theil_index`` (Theil T): L weights by POPULATION
+    share, not value share, so it is the member of the generalized-
+    entropy family most sensitive to the LOW tail — the "how much of
+    the corpus is starved" number, where T flags the concentrated top.
+    Only keys with a POSITIVE total are in-domain (standard; zero/
+    negative totals are excluded from n and the mean — documented,
+    unlike theil_index's clamp-to-0 which keeps them in n).
+
+    Per-key exact decimal totals; the ln xᵢ terms use the round-6
+    decimal log recipe so the sum is order-independent; μ comes from
+    the same exact total. Output one row:
+    (n_keys, mean_value, theil_l, atkinson_1)."""
+    per_key = (
+        df.groupBy(key_col)
+        .agg(F.sum(quantized_money(F.col(value_col))).alias("r"))
+        .filter(F.col("r") > 0)
+    )
+    folded = per_key.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r").cast("decimal(38,2)")).alias("total"),
+        F.sum(
+            F.round(F.log(F.col("r").cast("double")), 6).cast(
+                "decimal(18,6)"
+            )
+        ).alias("lsum"),
+    )
+    n = F.col("n").cast("double")
+    mu = dec_double_wide_frac(F.col("total")) / n
+    theil_l = F.log(mu) - F.col("lsum").cast("double") / n
+    return folded.select(
+        F.col("n").cast("long").alias("n_keys"),
+        F.when(F.col("n") > 0, F.round(mu, 6)).alias("mean_value"),
+        F.when(F.col("n") > 0, F.round(theil_l, 6)).alias("theil_l"),
+        F.when(
+            F.col("n") > 0, F.round(F.lit(1.0) - F.exp(-theil_l), 6)
+        ).alias("atkinson_1"),
+    )

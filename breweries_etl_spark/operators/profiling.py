@@ -1264,3 +1264,137 @@ def ranking_stability(
         F.col("d2").cast("long").alias("n_discordant2"),
         F.when(F.col("n_keys") > 1, F.round(tau, 6)).alias("kendall_tau"),
     )
+
+
+def cronbach_alpha(df: DataFrame, item_cols: list) -> DataFrame:
+    """Cronbach's α internal-consistency coefficient across k item
+    columns measured on the same rows: α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total)
+    with σ²_total the variance of the per-row item SUM — the standard
+    "do these k signals measure one underlying thing" check (e.g. k
+    quality sub-scores that are supposed to agree before being
+    averaged into one filter score).
+
+    ONE map-combinable aggregate carries all k item sums, k item
+    square-sums, and the total's moments as exact decimals (the
+    quantized-money grid); sample variances materialize from the
+    portable wide-split doubles. Rows with ANY null item are excluded
+    (listwise deletion — the classical convention). Output one row:
+    (n, k_items, alpha)."""
+    from .hypotests import dec_double_wide_frac, quantized_money
+
+    k = len(item_cols)
+    keep = None
+    for c in item_cols:
+        cond = F.col(c).isNotNull()
+        keep = cond if keep is None else (keep & cond)
+    items = [quantized_money(F.col(c)).alias(f"x{i}")
+             for i, c in enumerate(item_cols)]
+    base = df.filter(keep).select(*items)
+    tot = None
+    for i in range(k):
+        c = F.col(f"x{i}")
+        tot = c if tot is None else tot + c
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(k):
+        c = F.col(f"x{i}")
+        aggs.append(F.sum(c.cast("decimal(38,2)")).alias(f"s{i}"))
+        aggs.append(F.sum((c * c).cast("decimal(38,4)")).alias(f"q{i}"))
+    t = tot.cast("decimal(18,2)")
+    aggs.append(F.sum(t.cast("decimal(38,2)")).alias("st"))
+    aggs.append(F.sum((t * t).cast("decimal(38,4)")).alias("qt"))
+    folded = base.agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def svar(s, q):
+        sd = dec_double_wide_frac(F.col(s))
+        qd = dec_double_wide_frac(F.col(q))
+        return (qd - sd * sd / n) / (n - F.lit(1.0))
+
+    item_var_sum = None
+    for i in range(k):
+        v = svar(f"s{i}", f"q{i}")
+        item_var_sum = v if item_var_sum is None else item_var_sum + v
+    total_var = svar("st", "qt")
+    alpha = (
+        F.lit(float(k) / (k - 1.0))
+        * (F.lit(1.0) - item_var_sum / total_var)
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k_items"),
+        F.when((F.col("n") > 1) & (total_var > 0), F.round(alpha, 6)).alias(
+            "alpha"
+        ),
+    )
+
+
+def mcc_multiclass(
+    df: DataFrame, true_col: str, pred_col: str, release: bool = True
+) -> DataFrame:
+    """Multiclass Matthews correlation coefficient (Gorodkin's R_K)
+    from the true×pred contingency: MCC = (c·s − Σ_k t_k·p_k) /
+    √((s² − Σp²)(s² − Σt²)) with c = correct, s = total, t_k/p_k the
+    true/pred marginals — the single-number classifier score that
+    (unlike accuracy) stays honest under class imbalance, and (unlike
+    cohens_kappa's chance model) is a true correlation in [−1, 1].
+
+    One contingency aggregate over the fact rows; the marginal folds
+    run on the bounded k²-cell relation in exact decimal integers.
+    Output one row: (n, n_classes, accuracy, mcc)."""
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    cells = (
+        df.filter(F.col(true_col).isNotNull() & F.col(pred_col).isNotNull())
+        .groupBy(
+            F.col(true_col).alias("t"), F.col(pred_col).alias("p")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    cells.count()
+    tm = cells.groupBy("t").agg(F.sum("c").alias("tk"))
+    pm = cells.groupBy("p").agg(F.sum("c").alias("pk"))
+    joint = tm.join(pm, tm.t == pm.p, "full_outer").select(
+        F.coalesce(F.col("tk"), F.lit(0)).alias("tk"),
+        F.coalesce(F.col("pk"), F.lit(0)).alias("pk"),
+    )
+    marg = joint.agg(
+        F.sum("tk").alias("s"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum((F.col("tk").cast(d19) * F.col("pk").cast(d19)).cast(d38)).alias(
+            "tp"
+        ),
+        F.sum((F.col("tk").cast(d19) * F.col("tk").cast(d19)).cast(d38)).alias(
+            "t2"
+        ),
+        F.sum((F.col("pk").cast(d19) * F.col("pk").cast(d19)).cast(d38)).alias(
+            "p2"
+        ),
+    )
+    diag = cells.agg(
+        F.sum(F.when(F.col("t") == F.col("p"), F.col("c")).otherwise(0)).alias(
+            "corr"
+        )
+    )
+    from .hypotests import dec_double_wide
+
+    s = F.col("s").cast("double")
+    c = F.col("corr").cast("double")
+    tp = dec_double_wide(F.col("tp"))
+    t2 = dec_double_wide(F.col("t2"))
+    p2 = dec_double_wide(F.col("p2"))
+    denom = F.sqrt(s * s - p2) * F.sqrt(s * s - t2)
+    result = diag.crossJoin(F.broadcast(marg)).select(
+        F.col("s").cast("long").alias("n"),
+        F.col("k").cast("long").alias("n_classes"),
+        F.when(F.col("s") > 0, F.round(c / s, 6)).alias("accuracy"),
+        F.when(
+            (F.col("s") > 0) & (denom > 0),
+            F.round((c * s - tp) / denom, 6),
+        ).alias("mcc"),
+    )
+    from .dedup import _release_caches
+
+    if release:
+        return _release_caches(result, [cells])
+    return result

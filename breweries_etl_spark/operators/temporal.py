@@ -2278,3 +2278,50 @@ def mase_daily(
     from .dedup import _release_caches
 
     return _release_caches(result, [daily])
+
+
+def turning_points_daily(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Turning-points randomness test on the daily-total series: count
+    strict local extrema (yₜ₋₁ < yₜ > yₜ₊₁ or the mirror) and compare
+    against the i.i.d. null E = 2(n−2)/3, Var = (16n−29)/90 — too FEW
+    turning points means momentum/trend, too MANY means alternating
+    (negative-autocorrelation) noise. The assumption-free complement
+    to runs_test (which dichotomizes around the median and loses the
+    local-shape signal).
+
+    The fact table collapses to the bounded day relation first
+    (``_daily_series``); the lag/lead walk is a window over that
+    ≤ #days-row relation only. Interior ties (yₜ₋₁ = yₜ or yₜ = yₜ₊₁)
+    are not extrema under the STRICT inequality convention
+    (documented; exact daily decimal totals rarely tie). Output one
+    row: (n_days, n_turning, expected, z_score)."""
+    daily = _daily_series(df, ts_col, value_col)
+    win = Window.orderBy("day")
+    walked = daily.select(
+        "y",
+        F.lag("y").over(win).alias("yp"),
+        F.lead("y").over(win).alias("yn"),
+    )
+    turning = (
+        ((F.col("yp") < F.col("y")) & (F.col("y") > F.col("yn")))
+        | ((F.col("yp") > F.col("y")) & (F.col("y") < F.col("yn")))
+    )
+    folded = walked.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(turning, 1).otherwise(0)).alias("n_turning"),
+    )
+    n = F.col("n_days").cast("double")
+    t = F.col("n_turning").cast("double")
+    mean = F.lit(2.0) * (n - F.lit(2.0)) / F.lit(3.0)
+    var = (F.lit(16.0) * n - F.lit(29.0)) / F.lit(90.0)
+    return folded.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_turning").cast("long").alias("n_turning"),
+        F.when(F.col("n_days") > 2, F.round(mean, 6)).alias("expected"),
+        F.when(
+            (F.col("n_days") > 2) & (var > 0),
+            F.round((t - mean) / F.sqrt(var), 6),
+        ).alias("z_score"),
+    )

@@ -1680,3 +1680,58 @@ def lang_pred_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(2.0 * prec * rec / (prec + rec), 6),
         ).alias("f1"),
     )
+
+
+def vocab_richness(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Chao1 species-richness estimate of the TRUE vocabulary size and
+    the Good–Turing unseen-mass estimate — "how much vocabulary has
+    this corpus not shown us yet", the coverage dial a training-data
+    curator reads before deciding whether more of the same source
+    still buys new tokens. Chao1 (bias-corrected):
+    V̂ = V + F₁(F₁−1)/(2(F₂+1)) with F_k = #types seen exactly k
+    times; Good–Turing unseen probability mass P₀ = F₁/N (coverage =
+    1 − P₀).
+
+    One vocabulary shuffle (same term relation as ``yules_k``);
+    everything integer until the closing divisions. Output one row:
+    (n_tokens, n_types, f1, f2, chao1, gt_unseen_mass)."""
+    tf = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    folded = tf.agg(
+        F.sum("f").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    n = F.col("n").cast("double")
+    v = F.col("v").cast("double")
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    return folded.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("n_types"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.when(
+            F.col("v") > 0,
+            F.round(
+                v
+                + f1 * (f1 - F.lit(1.0))
+                / (F.lit(2.0) * (f2 + F.lit(1.0))),
+                6,
+            ),
+        ).alias("chao1"),
+        F.when(F.col("n") > 0, F.round(f1 / n, 6)).alias(
+            "gt_unseen_mass"
+        ),
+    )
