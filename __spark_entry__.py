@@ -11000,6 +11000,10 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turning_points_daily_value": q_turning_points_daily_value,
         "cronbach_alpha_lineitem": q_cronbach_alpha_lineitem,
         "mcc_lang_pred": q_mcc_lang_pred,
+        "hoeffding_d_qty_discount": q_hoeffding_d_qty_discount,
+        "kendalls_w_nations": q_kendalls_w_nations,
+        "sample_entropy_daily_value": q_sample_entropy_daily_value,
+        "spectral_entropy_daily_value": q_spectral_entropy_daily_value,
     }
 
 
@@ -13467,4 +13471,265 @@ SELECT CAST(s AS BIGINT) AS n, CAST(k AS BIGINT) AS n_classes,
                        - {_ddw('t2')})), 6)
   END AS mcc
 FROM diag CROSS JOIN marg
+"""
+
+
+# ----- round-9 wave 2: Hoeffding general-dependence D, Kendall W
+# concordance, sample/spectral entropy of the daily series -----
+
+
+def q_hoeffding_d_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoeffding's D general-dependence test between l_quantity and
+    l_discount (operators/hypotests.py:hoeffding_d)."""
+    from breweries_etl_spark.operators.hypotests import hoeffding_d
+
+    return hoeffding_d(
+        load_table(spark, sf_dir, "lineitem"), "l_quantity", "l_discount"
+    )
+
+
+def q_kendalls_w_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W concordance of three per-nation revenue rankings:
+    total, order count, max order (operators/profiling.py:kendalls_w)."""
+    from breweries_etl_spark.operators.hypotests import quantized_money
+    from breweries_etl_spark.operators.profiling import kendalls_w
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return kendalls_w(
+        joined,
+        "c_nationkey",
+        [
+            F.sum(quantized_money(F.col("o_totalprice"))),
+            F.count(F.lit(1)),
+            F.max(quantized_money(F.col("o_totalprice"))),
+        ],
+    )
+
+
+def q_sample_entropy_daily_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SampEn(2, 0.2sigma) regularity of the daily event-value totals
+    (operators/temporal.py:sample_entropy_daily)."""
+    from breweries_etl_spark.operators.temporal import sample_entropy_daily
+
+    return sample_entropy_daily(load_events(spark, sf_dir))
+
+
+def q_spectral_entropy_daily_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Normalized spectral entropy + dominant Fourier frequency of the
+    daily event-value totals
+    (operators/temporal.py:spectral_entropy_daily)."""
+    from breweries_etl_spark.operators.temporal import spectral_entropy_daily
+
+    return spectral_entropy_daily(load_events(spark, sf_dir))
+
+
+_ORACLES["hoeffding_d_qty_discount"] = """
+WITH cells AS (
+  SELECT l_quantity AS x, l_discount AS y, count(*) AS c FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL GROUP BY 1, 2
+), mxr AS (SELECT x, SUM(c) AS lx FROM cells GROUP BY 1),
+mx AS (
+  SELECT x, 2 * COALESCE(SUM(lx) OVER (ORDER BY x
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + lx + 1 AS r2
+  FROM mxr
+), myr AS (SELECT y, SUM(c) AS ly FROM cells GROUP BY 1),
+my AS (
+  SELECT y, 2 * COALESCE(SUM(ly) OVER (ORDER BY y
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + ly + 1 AS s2
+  FROM myr
+), q4 AS (
+  SELECT a.x, a.y, a.c,
+    COALESCE(SUM(CASE
+      WHEN b.x < a.x AND b.y < a.y THEN 4 * b.c
+      WHEN b.x = a.x AND b.y < a.y THEN 2 * b.c
+      WHEN b.x < a.x AND b.y = a.y THEN 2 * b.c
+      ELSE 0 END), 0) + a.c - 1 AS q4
+  FROM cells a LEFT JOIN cells b ON b.x <= a.x AND b.y <= a.y
+  GROUP BY 1, 2, 3
+), tot AS (SELECT SUM(c) AS n FROM cells),
+fullc AS (
+  SELECT q4.c, q4.q4, mx.r2, my.s2, tot.n, CAST(tot.n AS DOUBLE) AS nd
+  FROM q4 JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+), terms AS (
+  SELECT n, CAST(c AS DOUBLE) AS cd, nd,
+    CAST(q4 AS DOUBLE) / 4.0 AS q1,
+    (CAST(r2 AS DOUBLE) - 2.0) / 2.0 AS r1,
+    (CAST(s2 AS DOUBLE) - 2.0) / 2.0 AS s1
+  FROM fullc
+), folded AS (
+  SELECT max(n) AS n, count(*) AS n_cells,
+    SUM(CAST(round(
+      cd * ((nd - 2.0) * (nd - 3.0) * (q1 * (q1 - 1.0))
+            + (r1 * (r1 - 1.0) * s1 * (s1 - 1.0))
+            - 2.0 * (nd - 2.0) * ((r1 - 1.0) * (s1 - 1.0) * q1))
+      / (nd * (nd - 1.0) * (nd - 2.0) * (nd - 3.0) * (nd - 4.0)),
+      12) AS DECIMAL(38,12))) AS dsum
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+  CASE WHEN n > 4 THEN round(30.0 * CAST(dsum AS DOUBLE), 6)
+  END AS hoeffding_d
+FROM folded
+"""
+
+_ORACLES["kendalls_w_nations"] = f"""
+WITH per_key AS (
+  SELECT c_nationkey AS k,
+    SUM({_qm8('o_totalprice')}) AS m0,
+    count(*) AS m1,
+    MAX({_qm8('o_totalprice')}) AS m2
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_nationkey IS NOT NULL GROUP BY 1
+), ranked AS (
+  SELECT k,
+    2 * rank() OVER (ORDER BY m0) + count(*) OVER (PARTITION BY m0) - 1 AS r0,
+    2 * rank() OVER (ORDER BY m1) + count(*) OVER (PARTITION BY m1) - 1 AS r1,
+    2 * rank() OVER (ORDER BY m2) + count(*) OVER (PARTITION BY m2) - 1 AS r2,
+    count(*) OVER () AS nk
+  FROM per_key
+), s4 AS (
+  SELECT max(nk) AS n,
+    SUM(CAST(CAST(CAST(r0 + r1 + r2 AS BIGINT) - 3 * (nk + 1)
+        AS DECIMAL(19,0))
+        * (CAST(r0 + r1 + r2 AS BIGINT) - 3 * (nk + 1))
+        AS DECIMAL(38,0))) AS s4
+  FROM ranked
+), ties AS (
+  SELECT SUM(tsum) AS tt FROM (
+    SELECT SUM(CAST(CAST(t AS DECIMAL(19,0)) * t * t - t
+        AS DECIMAL(38,0))) AS tsum
+    FROM (SELECT m0 AS mv, count(*) AS t FROM per_key GROUP BY 1) GROUP BY ()
+    UNION ALL
+    SELECT SUM(CAST(CAST(t AS DECIMAL(19,0)) * t * t - t
+        AS DECIMAL(38,0))) AS tsum
+    FROM (SELECT m1 AS mv, count(*) AS t FROM per_key GROUP BY 1) GROUP BY ()
+    UNION ALL
+    SELECT SUM(CAST(CAST(t AS DECIMAL(19,0)) * t * t - t
+        AS DECIMAL(38,0))) AS tsum
+    FROM (SELECT m2 AS mv, count(*) AS t FROM per_key GROUP BY 1) GROUP BY ()
+  )
+)
+SELECT CAST(n AS BIGINT) AS n_keys, CAST(3 AS BIGINT) AS m_judges,
+  CASE WHEN n > 1
+    AND 9.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               - CAST(n AS DOUBLE)) - 3.0 * {_ddw('tt')} > 0
+  THEN round(3.0 * {_ddw('s4')}
+             / (9.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))
+                - 3.0 * {_ddw('tt')}), 6)
+  END AS kendall_w
+FROM s4 CROSS JOIN ties
+"""
+
+_ORACLES["sample_entropy_daily_value"] = f"""
+WITH daily AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+), idx AS (
+  SELECT row_number() OVER (ORDER BY day) - 1 AS i,
+    CAST(y AS DOUBLE) AS y0,
+    CAST(lead(y, 1) OVER (ORDER BY day) AS DOUBLE) AS y1,
+    CAST(lead(y, 2) OVER (ORDER BY day) AS DOUBLE) AS y2
+  FROM daily
+), walked AS (SELECT * FROM idx WHERE y2 IS NOT NULL),
+mom AS (
+  SELECT count(*) AS n,
+    SUM(CAST(y AS DECIMAL(38,2))) AS s,
+    SUM(CAST(y * y AS DECIMAL(38,4))) AS q
+  FROM daily
+), rr AS (
+  SELECT n, 0.2 * sqrt(greatest(
+    ({_ddwf('q')} - {_ddwf('s')} * {_ddwf('s')} / CAST(n AS DOUBLE))
+    / CAST(n AS DOUBLE), 0.0)) AS r
+  FROM mom
+), folded AS (
+  SELECT max(n) AS n_days, max(r) AS r,
+    SUM(CASE WHEN greatest(abs(a.y0 - b.y0), abs(a.y1 - b.y1)) < r
+        THEN 1 ELSE 0 END) AS b_cnt,
+    SUM(CASE WHEN greatest(greatest(abs(a.y0 - b.y0), abs(a.y1 - b.y1)),
+                           abs(a.y2 - b.y2)) < r
+        THEN 1 ELSE 0 END) AS a_cnt
+  FROM walked a JOIN walked b ON a.i < b.i CROSS JOIN rr
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+  round(r, 6) AS r_threshold,
+  CAST(b_cnt AS BIGINT) AS b_count,
+  CAST(a_cnt AS BIGINT) AS a_count,
+  CASE WHEN a_cnt > 0 AND b_cnt > 0 THEN
+    round(ln(CAST(b_cnt AS DOUBLE)) - ln(CAST(a_cnt AS DOUBLE)), 6)
+  END AS sampen
+FROM folded
+"""
+
+_ORACLES["spectral_entropy_daily_value"] = f"""
+WITH daily AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+), idx AS (
+  SELECT y, row_number() OVER (ORDER BY day) - 1 AS t FROM daily
+), tot AS (
+  SELECT count(*) AS n, SUM(CAST(y AS DECIMAL(38,2))) AS s FROM daily
+), kt AS (
+  SELECT y, k, n, s,
+    CAST(round(cos(6.283185307179586
+      * CAST((k * t) % n AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      AS DECIMAL(8,6)) AS cw,
+    CAST(round(sin(6.283185307179586
+      * CAST((k * t) % n AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      AS DECIMAL(8,6)) AS sw
+  FROM idx CROSS JOIN tot
+  CROSS JOIN (SELECT unnest(range(1, ((SELECT n FROM tot) - 1) // 2 + 1))
+              AS k)
+), per_k AS (
+  SELECT k, max(n) AS n, max(s) AS s,
+    SUM(CAST(y * cw AS DECIMAL(38,8))) AS yc,
+    SUM(CAST(y * sw AS DECIMAL(38,8))) AS ys,
+    SUM(CAST(cw AS DECIMAL(38,6))) AS sc,
+    SUM(CAST(sw AS DECIMAL(38,6))) AS ss
+  FROM kt GROUP BY 1
+), powered AS (
+  SELECT k, n,
+    ({_ddwf('yc')} - ({_ddwf('s')} / CAST(n AS DOUBLE)) * {_ddwf('sc')})
+    * ({_ddwf('yc')} - ({_ddwf('s')} / CAST(n AS DOUBLE)) * {_ddwf('sc')})
+    + ({_ddwf('ys')} - ({_ddwf('s')} / CAST(n AS DOUBLE)) * {_ddwf('ss')})
+    * ({_ddwf('ys')} - ({_ddwf('s')} / CAST(n AS DOUBLE)) * {_ddwf('ss')})
+    AS p
+  FROM per_k
+), ptot AS (
+  SELECT max(n) AS n, count(*) AS kk,
+    SUM(CAST(round(p, 6) AS DECIMAL(38,6))) AS pt
+  FROM powered
+), peak AS (
+  SELECT k, p FROM powered QUALIFY
+    row_number() OVER (ORDER BY p DESC, k ASC) = 1
+), hfold AS (
+  SELECT SUM(CASE
+    WHEN CAST(CAST(round(p, 6) AS DECIMAL(38,6)) AS DOUBLE)
+         / {_ddwf('pt')} > 0
+    THEN CAST(round(-(CAST(CAST(round(p, 6) AS DECIMAL(38,6)) AS DOUBLE)
+                      / {_ddwf('pt')})
+                    * ln(CAST(CAST(round(p, 6) AS DECIMAL(38,6)) AS DOUBLE)
+                         / {_ddwf('pt')}), 6) AS DECIMAL(18,6))
+    ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS h
+  FROM powered CROSS JOIN ptot
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(kk AS BIGINT) AS n_freqs,
+  CAST(peak.k AS BIGINT) AS peak_k,
+  CASE WHEN {_ddwf('pt')} > 0 THEN
+    round(round(peak.p, 6) / {_ddwf('pt')}, 6) END AS peak_share,
+  CASE WHEN kk > 1 THEN
+    round(CAST(h AS DOUBLE) / ln(CAST(kk AS DOUBLE)), 6)
+  END AS spectral_entropy
+FROM ptot CROSS JOIN peak CROSS JOIN hfold
 """

@@ -4762,3 +4762,142 @@ def theil_l_atkinson(
             F.col("n") > 0, F.round(F.lit(1.0) - F.exp(-theil_l), 6)
         ).alias("atkinson_1"),
     )
+
+
+def hoeffding_d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    release: bool = True,
+) -> DataFrame:
+    """Hoeffding's D test of GENERAL dependence between two BOUNDED-
+    domain columns — nonzero for ANY dependence (U-shapes, bands,
+    checkerboards), where Pearson/Spearman/Kendall only see monotone
+    association. Hmisc ``hoeffd`` convention with midranks and
+    half-weight ties: placements Q_i = 1 + Σ_{j≠i} u(xᵢ−xⱼ)u(yᵢ−yⱼ)
+    (u = 1/½/0 for >/=/<), D1 = Σ(Qᵢ−1)(Qᵢ−2),
+    D2 = Σ(Rᵢ−1)(Rᵢ−2)(Sᵢ−1)(Sᵢ−2), D3 = Σ(Rᵢ−2)(Sᵢ−2)(Qᵢ−1),
+    D = 30·[(n−2)(n−3)D1 + D2 − 2(n−2)D3] / [n(n−1)(n−2)(n−3)(n−4)].
+
+    The fact table collapses to the (x, y) CELL relation in one
+    map-combinable aggregate (both domains bounded by contract — e.g.
+    quantity × discount is ≤ 50×11 cells at any corpus size); ranks,
+    placements (one bounded cell×cell join) and the three D-folds all
+    run on that ≤few-hundred-row relation. Quarter-integer forms
+    (4Q, 2R, 2S) keep every input exact; the per-cell polynomial is a
+    fixed double sequence scaled by 1/n⁽⁵⁾ BEFORE summation and
+    rounded to 12 dp, so the ≤n_cells-term decimal sum is order-
+    independent. Output one row: (n, n_cells, hoeffding_d)."""
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    cells.count()
+    # doubled marginal midranks over the bounded per-axis relations
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    mx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("lx"))
+        .select(
+            "x",
+            (
+                F.lit(2) * F.coalesce(F.sum("lx").over(wx), F.lit(0))
+                + F.col("lx")
+                + F.lit(1)
+            ).alias("r2"),
+        )
+    )
+    wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    my = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("ly"))
+        .select(
+            "y",
+            (
+                F.lit(2) * F.coalesce(F.sum("ly").over(wy), F.lit(0))
+                + F.col("ly")
+                + F.lit(1)
+            ).alias("s2"),
+        )
+    )
+    # quadrupled placements: 4(Q−1) = 4·C(<,<) + 2·C(=,<) + 2·C(<,=)
+    # + (c−1), one bounded cell×cell join
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("c").alias("ac")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("c").alias("bc")
+    )
+    w = (
+        F.when((F.col("bx") < F.col("ax")) & (F.col("by") < F.col("ay")), 4)
+        .when((F.col("bx") == F.col("ax")) & (F.col("by") < F.col("ay")), 2)
+        .when((F.col("bx") < F.col("ax")) & (F.col("by") == F.col("ay")), 2)
+        .otherwise(0)
+    )
+    q4 = (
+        a.join(
+            b,
+            (F.col("bx") <= F.col("ax")) & (F.col("by") <= F.col("ay")),
+            "left",
+        )
+        .groupBy("ax", "ay", "ac")
+        .agg(F.sum(w * F.col("bc")).alias("qlt4"))
+        .select(
+            F.col("ax").alias("x"),
+            F.col("ay").alias("y"),
+            F.col("ac").alias("c"),
+            (
+                F.coalesce(F.col("qlt4"), F.lit(0)) + F.col("ac") - F.lit(1)
+            ).alias("q4"),
+        )
+    )
+    tot = cells.agg(F.sum("c").alias("n"))
+    full = (
+        q4.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("n").cast("double")
+    cc = F.col("c").cast("double")
+    q1 = F.col("q4").cast("double") / F.lit(4.0)  # Q − 1
+    r1 = (F.col("r2").cast("double") - F.lit(2.0)) / F.lit(2.0)  # R − 1
+    s1 = (F.col("s2").cast("double") - F.lit(2.0)) / F.lit(2.0)
+    d1 = q1 * (q1 - F.lit(1.0))
+    d2 = r1 * (r1 - F.lit(1.0)) * s1 * (s1 - F.lit(1.0))
+    d3 = (r1 - F.lit(1.0)) * (s1 - F.lit(1.0)) * q1
+    d5 = (
+        n
+        * (n - F.lit(1.0))
+        * (n - F.lit(2.0))
+        * (n - F.lit(3.0))
+        * (n - F.lit(4.0))
+    )
+    contrib = (
+        cc
+        * (
+            (n - F.lit(2.0)) * (n - F.lit(3.0)) * d1
+            + d2
+            - F.lit(2.0) * (n - F.lit(2.0)) * d3
+        )
+        / d5
+    )
+    folded = full.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.round(contrib, 12).cast("decimal(38,12)")).alias("dsum"),
+    )
+    result = folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.when(
+            F.col("n") > 4,
+            F.round(F.lit(30.0) * F.col("dsum").cast("double"), 6),
+        ).alias("hoeffding_d"),
+    )
+    from .dedup import _release_caches
+
+    if release:
+        return _release_caches(result, [cells])
+    return result

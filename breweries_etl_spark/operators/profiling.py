@@ -1398,3 +1398,76 @@ def mcc_multiclass(
     if release:
         return _release_caches(result, [cells])
     return result
+
+
+def kendalls_w(df: DataFrame, key_col: str, metrics: list) -> DataFrame:
+    """Kendall's W coefficient of concordance across m "judges" (metric
+    aggregates) ranking the same BOUNDED key set — the k-ranking
+    generalization of ``ranking_stability``'s pairwise tau: W = 1
+    means every metric orders the keys identically, 0 means no
+    agreement. Tie-corrected: W = 12·S / (m²(n³−n) − m·ΣT_j) with
+    midranks and T_j = Σ(t³−t) over each judge's tie groups.
+
+    One aggregation to the n-row key relation, then rank windows over
+    that bounded relation only (the ranking_stability k²-bound
+    contract). EVERYTHING is exact integers: doubled midranks
+    2R = 2·rank + eq − 1, deviation sum S4 = Σ(Σ_j 2R_ij − m(n+1))²,
+    W = 3·S4 / (m²(n³−n) − m·ΣT). Output one row:
+    (n_keys, m_judges, kendall_w)."""
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    m = len(metrics)
+    per_key = df.filter(F.col(key_col).isNotNull()).groupBy(
+        F.col(key_col).alias("k")
+    ).agg(*[mm.alias(f"m{j}") for j, mm in enumerate(metrics)])
+    ranked = per_key
+    for j in range(m):
+        ranked = ranked.withColumn(
+            f"r2_{j}",
+            F.lit(2) * F.rank().over(Window.orderBy(f"m{j}"))
+            + F.count(F.lit(1)).over(Window.partitionBy(f"m{j}"))
+            - F.lit(1),
+        )
+    rsum = None
+    for j in range(m):
+        c = F.col(f"r2_{j}")
+        rsum = c if rsum is None else rsum + c
+    dev = rsum.cast("long") - F.lit(m) * (F.col("__nk") + 1)
+    kk = ranked.select(
+        "*", F.count(F.lit(1)).over(Window.partitionBy()).alias("__nk")
+    )
+    s4 = kk.agg(
+        F.max("__nk").alias("n"),
+        F.sum((dev.cast(d19) * dev.cast(d19)).cast(d38)).alias("s4"),
+    )
+    ties = None
+    for j in range(m):
+        tj = (
+            per_key.groupBy(f"m{j}")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .agg(
+                F.sum(
+                    (
+                        F.col("t").cast(d19) * F.col("t") * F.col("t")
+                        - F.col("t")
+                    ).cast(d38)
+                ).alias("tsum")
+            )
+        )
+        ties = tj if ties is None else ties.unionAll(tj)
+    tfold = ties.agg(F.sum("tsum").alias("tt"))
+    from .hypotests import dec_double_wide
+
+    n = F.col("n").cast("double")
+    denom = (
+        F.lit(float(m * m)) * (n * n * n - n)
+        - F.lit(float(m)) * dec_double_wide(F.col("tt"))
+    )
+    return s4.crossJoin(F.broadcast(tfold)).select(
+        F.col("n").cast("long").alias("n_keys"),
+        F.lit(m).cast("long").alias("m_judges"),
+        F.when(
+            (F.col("n") > 1) & (denom > 0),
+            F.round(F.lit(3.0) * dec_double_wide(F.col("s4")) / denom, 6),
+        ).alias("kendall_w"),
+    )

@@ -2325,3 +2325,216 @@ def turning_points_daily(
             F.round((t - mean) / F.sqrt(var), 6),
         ).alias("z_score"),
     )
+
+
+def sample_entropy_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    m: int = 2,
+    r_frac: float = 0.2,
+) -> DataFrame:
+    """Sample entropy SampEn(m, r = r_frac·σ) of the daily-total
+    series — the regularity number anomaly pipelines read: low SampEn
+    means the series repeats its own m-step patterns (predictable),
+    high means every window is novel. SampEn = −ln(A/B) with B the
+    count of template pairs of length m within Chebyshev distance r,
+    A the same for length m+1 (Richman & Moorman 2000; both counts
+    over the same N−m template starts, self-matches excluded).
+
+    The fact table collapses to the bounded day relation; the
+    template walk is a lead-window over that relation and the pair
+    counts one bounded self-join (≤ #days² comparisons, constant in
+    corpus size). σ is the population SD from exact decimal moments;
+    the r threshold and all comparisons are fixed double sequences.
+    Output one row: (n_days, r_threshold, b_count, a_count, sampen)."""
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+    win = Window.orderBy("day")
+    walked = daily.select(
+        (F.row_number().over(win) - F.lit(1)).alias("i"),
+        *[
+            (F.lead("y", k).over(win).cast("double") if k else
+             F.col("y").cast("double")).alias(f"y{k}")
+            for k in range(m + 1)
+        ],
+    ).filter(F.col(f"y{m}").isNotNull())
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,2)")).alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("q"),
+    )
+    from .hypotests import dec_double_wide_frac
+
+    n = F.col("n").cast("double")
+    var = (
+        dec_double_wide_frac(F.col("q"))
+        - dec_double_wide_frac(F.col("s"))
+        * dec_double_wide_frac(F.col("s"))
+        / n
+    ) / n
+    rr = F.lit(float(r_frac)) * F.sqrt(F.greatest(var, F.lit(0.0)))
+    a_side = walked.select(
+        F.col("i").alias("ia"), *[F.col(f"y{k}").alias(f"a{k}") for k in range(m + 1)]
+    )
+    b_side = walked.select(
+        F.col("i").alias("ib"), *[F.col(f"y{k}").alias(f"b{k}") for k in range(m + 1)]
+    )
+    pairs = (
+        a_side.join(b_side, F.col("ia") < F.col("ib"))
+        .crossJoin(F.broadcast(mom.select(rr.alias("r"), "n")))
+    )
+    cheb_m = None
+    for k in range(m):
+        dk = F.abs(F.col(f"a{k}") - F.col(f"b{k}"))
+        cheb_m = dk if cheb_m is None else F.greatest(cheb_m, dk)
+    cheb_m1 = F.greatest(cheb_m, F.abs(F.col(f"a{m}") - F.col(f"b{m}")))
+    folded = pairs.agg(
+        F.max("n").alias("n_days"),
+        F.max("r").alias("r"),
+        F.sum(F.when(cheb_m < F.col("r"), 1).otherwise(0)).alias("b_cnt"),
+        F.sum(F.when(cheb_m1 < F.col("r"), 1).otherwise(0)).alias("a_cnt"),
+    )
+    result = folded.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("r"), 6).alias("r_threshold"),
+        F.col("b_cnt").cast("long").alias("b_count"),
+        F.col("a_cnt").cast("long").alias("a_count"),
+        F.when(
+            (F.col("a_cnt") > 0) & (F.col("b_cnt") > 0),
+            F.round(
+                F.log(F.col("b_cnt").cast("double"))
+                - F.log(F.col("a_cnt").cast("double")),
+                6,
+            ),
+        ).alias("sampen"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])
+
+
+def spectral_entropy_daily(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Normalized spectral entropy of the daily-total series: the
+    Shannon entropy of the mean-centered periodogram over the Fourier
+    frequencies k = 1..⌊(n−1)/2⌋, divided by ln(K) — 1 means white
+    (power spread evenly), → 0 means one dominant cycle. The
+    one-number "is there structure in this series at ALL" screen
+    complementing seasonal_periodogram_daily's fixed candidate
+    periods; also reports the dominant frequency and its power share.
+
+    cos/sin evaluate on the exact integer phase (k·t mod n)/n and
+    round to 6 dp before the decimal product (the periodogram parity
+    recipe); the mean term expands algebraically. Everything after
+    the daily collapse runs on ≤ #days·K bounded rows. Output one
+    row: (n_days, n_freqs, peak_k, peak_share, spectral_entropy)."""
+    from .hypotests import dec_double_wide_frac
+
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+    win = Window.orderBy("day")
+    idx = daily.select(
+        "y", (F.row_number().over(win) - F.lit(1)).alias("t")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,2)")).alias("s"),
+    )
+    kt = (
+        idx.crossJoin(F.broadcast(tot))
+        .select(
+            "y",
+            "t",
+            "n",
+            "s",
+            F.explode(
+                F.sequence(F.lit(1), F.expr("(n - 1) div 2"))
+            ).alias("k"),
+        )
+        .select(
+            "y",
+            "k",
+            "n",
+            "s",
+            F.round(
+                F.cos(
+                    F.lit(2.0 * 3.141592653589793)
+                    * ((F.col("k") * F.col("t")) % F.col("n")).cast("double")
+                    / F.col("n").cast("double")
+                ),
+                6,
+            ).cast("decimal(8,6)").alias("cw"),
+            F.round(
+                F.sin(
+                    F.lit(2.0 * 3.141592653589793)
+                    * ((F.col("k") * F.col("t")) % F.col("n")).cast("double")
+                    / F.col("n").cast("double")
+                ),
+                6,
+            ).cast("decimal(8,6)").alias("sw"),
+        )
+    )
+    per_k = kt.groupBy("k").agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.sum((F.col("y") * F.col("cw")).cast("decimal(38,8)")).alias("yc"),
+        F.sum((F.col("y") * F.col("sw")).cast("decimal(38,8)")).alias("ys"),
+        F.sum(F.col("cw").cast("decimal(38,6)")).alias("sc"),
+        F.sum(F.col("sw").cast("decimal(38,6)")).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    mu = dec_double_wide_frac(F.col("s")) / n
+    ac = dec_double_wide_frac(F.col("yc")) - mu * dec_double_wide_frac(
+        F.col("sc")
+    )
+    bs = dec_double_wide_frac(F.col("ys")) - mu * dec_double_wide_frac(
+        F.col("ss")
+    )
+    powered = per_k.select(
+        "k", "n", (ac * ac + bs * bs).alias("p")
+    )
+    ptot = powered.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("kk"),
+        F.sum(F.round(F.col("p"), 6).cast("decimal(38,6)")).alias("pt"),
+        F.max(F.struct(F.col("p"), (-F.col("k")).alias("nk"))).alias("pk"),
+    )
+    # entropy fold over the bounded K-row power relation
+    share = F.round(F.col("p"), 6).cast("decimal(38,6)").cast(
+        "double"
+    ) / dec_double_wide_frac(F.col("pt"))
+    ent_term = F.when(
+        share > 0, F.round(-share * F.log(share), 6)
+    ).otherwise(F.lit(0.0)).cast("decimal(18,6)")
+    hfold = (
+        powered.crossJoin(
+            F.broadcast(ptot.select("pt", F.col("kk").alias("kk2")))
+        )
+        .agg(F.sum(ent_term).alias("h"))
+    )
+    result = ptot.crossJoin(F.broadcast(hfold)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("kk").cast("long").alias("n_freqs"),
+        (-F.col("pk.nk")).cast("long").alias("peak_k"),
+        F.when(
+            dec_double_wide_frac(F.col("pt")) > 0,
+            F.round(
+                F.round(F.col("pk.p"), 6)
+                / dec_double_wide_frac(F.col("pt")),
+                6,
+            ),
+        ).alias("peak_share"),
+        F.when(
+            F.col("kk") > 1,
+            F.round(
+                F.col("h").cast("double")
+                / F.log(F.col("kk").cast("double")),
+                6,
+            ),
+        ).alias("spectral_entropy"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])

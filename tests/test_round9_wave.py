@@ -175,3 +175,173 @@ def test_mcc_matches_sklearn_formula(spark):
     )
     assert abs(float(r["mcc"]) - mcc) < 1e-6
     assert r["n_classes"] == 3
+
+
+# ---------------------------------------------------------------- wave 2
+def _hoeffding_reference(xy):
+    """Hmisc hoeffd convention: midranks, half-weight ties."""
+    n = len(xy)
+
+    def u(t):
+        return 1.0 if t > 0 else (0.5 if t == 0 else 0.0)
+
+    d1 = d2 = d3 = 0.0
+    for i, (xi, yi) in enumerate(xy):
+        r = sum(u(xi - xj) for xj, _ in xy if True) + 0.5  # incl self u(0)=.5
+        s = sum(u(yi - yj) for _, yj in xy) + 0.5
+        # midrank: 1 + #less + (#eq-1)/2 = sum_{j!=i} u + 1 ... compute directly:
+        r = 0.5 + sum(u(xi - xj) for xj, _ in xy)  # self adds 0.5 -> +1 total
+        s = 0.5 + sum(u(yi - yj) for _, yj in xy)
+        q = 1.0 + sum(
+            u(xi - xj) * u(yi - yj)
+            for j, (xj, yj) in enumerate(xy) if j != i
+        )
+        d1 += (q - 1) * (q - 2)
+        d2 += (r - 1) * (r - 2) * (s - 1) * (s - 2)
+        d3 += (r - 2) * (s - 2) * (q - 1)
+    d = 30.0 * (
+        (n - 2) * (n - 3) * d1 + d2 - 2 * (n - 2) * d3
+    ) / (n * (n - 1) * (n - 2) * (n - 3) * (n - 4))
+    return d
+
+
+def test_hoeffding_d_matches_reference_with_ties(spark):
+    from breweries_etl_spark.operators.hypotests import hoeffding_d
+
+    xy = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 3), (3, 3), (4, 5),
+          (5, 4), (5, 5), (6, 6), (2, 5), (4, 1)]
+    df = spark.createDataFrame(xy, ["x", "y"])
+    r = hoeffding_d(df, "x", "y").collect()[0]
+    assert r["n"] == len(xy)
+    assert abs(float(r["hoeffding_d"]) - _hoeffding_reference(xy)) < 1e-5
+
+
+def test_hoeffding_d_perfect_dependence_is_high_independence_low(spark):
+    from breweries_etl_spark.operators.hypotests import hoeffding_d
+
+    dep = [(i, i) for i in range(1, 21)]
+    d_dep = float(
+        hoeffding_d(spark.createDataFrame(dep, ["x", "y"]), "x", "y")
+        .collect()[0]["hoeffding_d"]
+    )
+    # full grid = exact independence; with heavy ties the Hmisc
+    # convention gives a small NEGATIVE finite-sample value, not 0 —
+    # assert the reference value exactly and that it is far below the
+    # dependent case
+    grid = [(i, j) for i in range(1, 6) for j in range(1, 6)]
+    d_ind = float(
+        hoeffding_d(spark.createDataFrame(grid, ["x", "y"]), "x", "y")
+        .collect()[0]["hoeffding_d"]
+    )
+    assert d_dep > 0.5
+    assert abs(d_ind - _hoeffding_reference(grid)) < 1e-5
+    assert abs(d_ind) < 0.05
+
+
+def test_kendalls_w_perfect_and_reference(spark):
+    from breweries_etl_spark.operators.profiling import kendalls_w
+
+    # three metrics that rank 5 keys identically -> W = 1
+    rows = [(k, float(k), k * 10, k * k) for k in range(1, 6)]
+    df = spark.createDataFrame(rows, ["k", "a", "b", "c"])
+    r = kendalls_w(
+        df, "k", [F.max("a"), F.max("b"), F.max("c")]
+    ).collect()[0]
+    assert r["n_keys"] == 5 and r["m_judges"] == 3
+    assert abs(float(r["kendall_w"]) - 1.0) < 1e-9
+
+
+def test_kendalls_w_with_ties_reference(spark):
+    from breweries_etl_spark.operators.profiling import kendalls_w
+
+    # metric values with ties; independent computation below
+    vals = {1: (10.0, 5), 2: (10.0, 7), 3: (20.0, 7), 4: (30.0, 1)}
+    rows = [(k, a, b) for k, (a, b) in vals.items()]
+    df = spark.createDataFrame(rows, ["k", "a", "b"])
+    r = kendalls_w(df, "k", [F.max("a"), F.max("b")]).collect()[0]
+
+    def midranks(xs):
+        out = []
+        for x in xs:
+            less = sum(1 for v in xs if v < x)
+            eq = sum(1 for v in xs if v == x)
+            out.append(less + (eq + 1) / 2.0)
+        return out
+
+    a = midranks([v[0] for v in vals.values()])
+    b = midranks([v[1] for v in vals.values()])
+    m, n = 2, 4
+    rs = [a[i] + b[i] for i in range(n)]
+    mean = m * (n + 1) / 2.0
+    s = sum((v - mean) ** 2 for v in rs)
+
+    def tcorr(xs):
+        from collections import Counter
+
+        return sum(t**3 - t for t in Counter(xs).values())
+
+    denom = m * m * (n**3 - n) - m * (
+        tcorr([v[0] for v in vals.values()])
+        + tcorr([v[1] for v in vals.values()])
+    )
+    assert abs(float(r["kendall_w"]) - 12.0 * s / denom) < 1e-9
+
+
+def test_sample_entropy_reference(spark):
+    import datetime
+
+    from breweries_etl_spark.operators.temporal import sample_entropy_daily
+
+    series = [3.0, 7.0, 4.0, 8.0, 3.5, 7.2, 4.1, 8.3, 3.2, 7.4,
+              4.4, 8.0, 3.1, 7.1]
+    rows = [
+        ("u", datetime.datetime(2024, 1, 1 + i), v)
+        for i, v in enumerate(series)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    r = sample_entropy_daily(df).collect()[0]
+    n = len(series)
+    mu = sum(series) / n
+    sd = math.sqrt(sum((v - mu) ** 2 for v in series) / n)
+    rr = 0.2 * sd
+    templ = [(series[i], series[i + 1], series[i + 2])
+             for i in range(n - 2)]
+    b = sum(
+        1
+        for i in range(len(templ))
+        for j in range(i + 1, len(templ))
+        if max(abs(templ[i][0] - templ[j][0]),
+               abs(templ[i][1] - templ[j][1])) < rr
+    )
+    a = sum(
+        1
+        for i in range(len(templ))
+        for j in range(i + 1, len(templ))
+        if max(abs(templ[i][0] - templ[j][0]),
+               abs(templ[i][1] - templ[j][1]),
+               abs(templ[i][2] - templ[j][2])) < rr
+    )
+    assert (r["b_count"], r["a_count"]) == (b, a)
+    if a and b:
+        assert abs(float(r["sampen"]) - math.log(b / a)) < 1e-5
+
+
+def test_spectral_entropy_sine_concentrates(spark):
+    import datetime
+
+    from breweries_etl_spark.operators.temporal import (
+        spectral_entropy_daily,
+    )
+
+    n = 28
+    rows = []
+    for i in range(n):
+        v = 100.0 + 50.0 * math.cos(2 * math.pi * 4 * i / n)
+        rows.append(("u", datetime.datetime(2024, 1, 1) +
+                     datetime.timedelta(days=i), v))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    r = spectral_entropy_daily(df).collect()[0]
+    assert r["n_days"] == n
+    assert r["peak_k"] == 4
+    assert float(r["peak_share"]) > 0.99
+    assert float(r["spectral_entropy"]) < 0.05
