@@ -11004,6 +11004,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendalls_w_nations": q_kendalls_w_nations,
         "sample_entropy_daily_value": q_sample_entropy_daily_value,
         "spectral_entropy_daily_value": q_spectral_entropy_daily_value,
+        "burrows_delta_sources": q_burrows_delta_sources,
+        "rbo_customers": q_rbo_customers,
+        "capture_recapture_docs": q_capture_recapture_docs,
     }
 
 
@@ -13732,4 +13735,134 @@ SELECT CAST(n AS BIGINT) AS n_days, CAST(kk AS BIGINT) AS n_freqs,
     round(CAST(h AS DOUBLE) / ln(CAST(kk AS DOUBLE)), 6)
   END AS spectral_entropy
 FROM ptot CROSS JOIN peak CROSS JOIN hfold
+"""
+
+
+# ----- round-9 wave 3: stylometric source distance, top-weighted
+# ranking agreement, sampled distinct estimation -----
+
+
+def q_burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distances between document sources
+    over the corpus top-30 terms (operators/text.py:burrows_delta)."""
+    from breweries_etl_spark.operators.text import burrows_delta
+
+    return burrows_delta(load_table(spark, sf_dir, "documents"))
+
+
+def q_rbo_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap of the top-20 customers by revenue vs by
+    order count (operators/profiling.py:rank_biased_overlap)."""
+    from breweries_etl_spark.operators.hypotests import quantized_money
+    from breweries_etl_spark.operators.profiling import rank_biased_overlap
+
+    return rank_biased_overlap(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        F.sum(quantized_money(F.col("o_totalprice"))),
+        F.count(F.lit(1)),
+    )
+
+
+def q_capture_recapture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the corpus's distinct
+    document-text count from two independent 10% hash samples
+    (operators/sampling.py:capture_recapture_distinct)."""
+    from breweries_etl_spark.operators.sampling import (
+        capture_recapture_distinct,
+    )
+
+    return capture_recapture_distinct(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLES["burrows_delta_sources"] = f"""
+WITH toks AS (
+  SELECT source AS src,
+    unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS term
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+), tf AS (SELECT src, term, count(*) AS c FROM toks GROUP BY 1, 2),
+totals AS (SELECT src, SUM(c) AS n_s FROM tf GROUP BY 1),
+topk AS (
+  SELECT term FROM (SELECT term, SUM(c) AS ct FROM tf GROUP BY 1)
+  ORDER BY ct DESC, term ASC LIMIT 30
+), grid AS (
+  SELECT topk.term, totals.src,
+    CAST(floor(CAST(COALESCE(tf.c, 0) AS DOUBLE) * 1e9
+               / CAST(totals.n_s AS DOUBLE)) AS BIGINT) AS f9
+  FROM topk CROSS JOIN totals
+  LEFT JOIN tf ON tf.src = totals.src AND tf.term = topk.term
+), per_term AS (
+  SELECT term, count(*) AS s, SUM(f9) AS sf,
+    SUM(CAST(CAST(f9 AS DECIMAL(19,0)) * f9 AS DECIMAL(38,0))) AS qf
+  FROM grid GROUP BY 1
+), stats AS (
+  SELECT term, CAST(sf AS DOUBLE) / CAST(s AS DOUBLE) AS mu,
+    sqrt(greatest({_ddw('qf')} / CAST(s AS DOUBLE)
+                  - (CAST(sf AS DOUBLE) / CAST(s AS DOUBLE))
+                  * (CAST(sf AS DOUBLE) / CAST(s AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE))) AS sd
+  FROM per_term
+), z AS (
+  SELECT grid.term, grid.src,
+    CASE WHEN sd > 0 THEN (CAST(f9 AS DOUBLE) - mu) / sd
+         ELSE CAST(0.0 AS DOUBLE) END AS z
+  FROM grid JOIN stats USING (term)
+), pairs AS (
+  SELECT a.src AS source_a, b.src AS source_b, a.z AS za, b.z AS zb
+  FROM z a JOIN z b ON a.term = b.term AND a.src < b.src
+)
+SELECT source_a, source_b,
+  CAST(count(*) AS BIGINT) AS n_terms,
+  round(CAST(SUM(CAST(round(abs(za - zb), 6) AS DECIMAL(18,6)))
+             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS burrows_delta
+FROM pairs GROUP BY 1, 2
+"""
+
+_ORACLES["rbo_customers"] = f"""
+WITH per_key AS (
+  SELECT o_custkey AS kk, SUM({_qm8('o_totalprice')}) AS ma,
+    count(*) AS mb
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+), la AS (
+  SELECT kk, row_number() OVER (ORDER BY ma DESC, kk ASC) AS ra
+  FROM per_key QUALIFY row_number() OVER (ORDER BY ma DESC, kk ASC) <= 20
+), lb AS (
+  SELECT kk, row_number() OVER (ORDER BY mb DESC, kk ASC) AS rb
+  FROM per_key QUALIFY row_number() OVER (ORDER BY mb DESC, kk ASC) <= 20
+), matched AS (
+  SELECT greatest(ra, rb) AS m FROM la JOIN lb USING (kk)
+), depths AS (
+  SELECT d, CAST(round(power(CAST(0.9 AS DOUBLE), CAST(d AS DOUBLE) - 1.0)
+                       / CAST(d AS DOUBLE), 12) AS DECIMAL(14,12)) AS w
+  FROM (SELECT unnest(range(1, 21)) AS d)
+), folded AS (
+  SELECT SUM(w) AS wsum FROM matched JOIN depths ON d >= m
+), nm AS (SELECT count(*) AS n_matched FROM matched)
+SELECT CAST(20 AS BIGINT) AS k, CAST(n_matched AS BIGINT) AS n_matched,
+  round((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+        * COALESCE(CAST(wsum AS DOUBLE), CAST(0.0 AS DOUBLE)), 6) AS rbo
+FROM folded CROSS JOIN nm
+"""
+
+_ORACLES["capture_recapture_docs"] = """
+WITH folded AS (
+  SELECT
+    count(DISTINCT CASE
+      WHEN CAST('0x' || substring(md5(CAST(text AS VARCHAR)), 1, 4)
+           AS BIGINT) < 6553 THEN CAST(text AS VARCHAR) END) AS n1,
+    count(DISTINCT CASE
+      WHEN CAST('0x' || substring(md5(CAST(text AS VARCHAR)), 5, 4)
+           AS BIGINT) < 6553 THEN CAST(text AS VARCHAR) END) AS n2,
+    count(DISTINCT CASE
+      WHEN CAST('0x' || substring(md5(CAST(text AS VARCHAR)), 1, 4)
+           AS BIGINT) < 6553
+       AND CAST('0x' || substring(md5(CAST(text AS VARCHAR)), 5, 4)
+           AS BIGINT) < 6553 THEN CAST(text AS VARCHAR) END) AS m
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(n1 AS BIGINT) AS n_sample1, CAST(n2 AS BIGINT) AS n_sample2,
+  CAST(m AS BIGINT) AS n_both,
+  round((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+        / (CAST(m AS DOUBLE) + 1.0) - 1.0, 6) AS est_distinct
+FROM folded
 """

@@ -1471,3 +1471,70 @@ def kendalls_w(df: DataFrame, key_col: str, metrics: list) -> DataFrame:
             F.round(F.lit(3.0) * dec_double_wide(F.col("s4")) / denom, 6),
         ).alias("kendall_w"),
     )
+
+
+def rank_biased_overlap(
+    df: DataFrame,
+    key_col: str,
+    metric_a,
+    metric_b,
+    k: int = 20,
+    p: float = 0.9,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber et al. 2010) between the
+    top-k rankings two metrics induce on the same keys:
+    RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·|A_{1..d} ∩ B_{1..d}|/d — the
+    top-weighted agreement number search/recsys evaluation uses where
+    Kendall's tau (which weighs all positions equally) misleads.
+
+    Each list is a TakeOrderedAndProject (metric desc, key asc —
+    deterministic ties); ranks come from windows over the k-row
+    relations; a matched key at ranks (ra, rb) contributes to every
+    depth d ≥ max(ra, rb), so the fold is one bounded
+    matched×depth join. The p^{d−1}/d weights round to 12 dp on BOTH
+    engines before the exact decimal term products (libm pow last-ulp
+    drift can never flip a 12-dp rounding). Output one row:
+    (k, n_matched, rbo)."""
+    per_key = df.filter(F.col(key_col).isNotNull()).groupBy(
+        F.col(key_col).alias("kk")
+    ).agg(metric_a.alias("ma"), metric_b.alias("mb"))
+    per_key = per_key.persist()
+    per_key.count()
+
+    def toplist(metric, rank_name):
+        lst = (
+            per_key.select("kk", metric)
+            .orderBy(F.desc(metric), F.asc("kk"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc(metric), F.asc("kk"))
+        return lst.select(
+            "kk", F.row_number().over(w).alias(rank_name)
+        )
+    la = toplist("ma", "ra")
+    lb = toplist("mb", "rb")
+    matched = la.join(lb, "kk").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    depths = per_key.sparkSession.range(1, k + 1).select(
+        F.col("id").alias("d"),
+        F.round(
+            F.pow(F.lit(float(p)), F.col("id").cast("double") - F.lit(1.0))
+            / F.col("id").cast("double"),
+            12,
+        ).cast("decimal(14,12)").alias("w"),
+    )
+    folded = (
+        matched.join(F.broadcast(depths), F.col("d") >= F.col("m"))
+        .agg(F.sum("w").alias("wsum"))
+    )
+    nm = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    return folded.crossJoin(F.broadcast(nm)).select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.round(
+            F.lit(1.0 - float(p))
+            * F.coalesce(F.col("wsum").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("rbo"),
+    )

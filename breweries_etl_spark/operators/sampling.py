@@ -349,3 +349,48 @@ def neyman_allocation(
         ).alias("alloc_n"),
     )
     return _release_caches(result, [scored])
+
+
+def capture_recapture_distinct(
+    df: DataFrame,
+    key_col: str = "text",
+    f1: float = 0.1,
+    f2: float = 0.1,
+) -> DataFrame:
+    """Chapman capture–recapture estimate of the DISTINCT population
+    size from two independent content-hash samples — "how many unique
+    documents does this corpus hold" WITHOUT ever shuffling the full
+    distinct set: at 100 TB an exact count-distinct of document text
+    is a corpus-wide shuffle of the texts themselves, while this scans
+    once and shuffles only the two ~f-fraction samples. Two disjoint
+    md5 slices give independent marks; the estimator
+    N̂ = (n₁+1)(n₂+1)/(m+1) − 1 is unbiased when m > 0 (Chapman 1951);
+    the same trick estimates a corpus's dedup rate before committing
+    to the full dedup pass.
+
+    The md5-slice buckets are the repo's portable hash grid (never
+    engine hash functions). Output one row:
+    (n_sample1, n_sample2, n_both, est_distinct)."""
+    key = F.col(key_col).cast("string")
+    b1 = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long")
+    b2 = F.conv(F.substring(F.md5(key), 5, 4), 16, 10).cast("long")
+    t1 = int(f1 * _BUCKETS)
+    t2 = int(f2 * _BUCKETS)
+    folded = df.filter(F.col(key_col).isNotNull()).agg(
+        F.count_distinct(F.when(b1 < t1, key)).alias("n1"),
+        F.count_distinct(F.when(b2 < t2, key)).alias("n2"),
+        F.count_distinct(F.when((b1 < t1) & (b2 < t2), key)).alias("m"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m = F.col("m").cast("double")
+    return folded.select(
+        F.col("n1").cast("long").alias("n_sample1"),
+        F.col("n2").cast("long").alias("n_sample2"),
+        F.col("m").cast("long").alias("n_both"),
+        F.round(
+            (n1 + F.lit(1.0)) * (n2 + F.lit(1.0)) / (m + F.lit(1.0))
+            - F.lit(1.0),
+            6,
+        ).alias("est_distinct"),
+    )

@@ -345,3 +345,59 @@ def test_spectral_entropy_sine_concentrates(spark):
     assert r["peak_k"] == 4
     assert float(r["peak_share"]) > 0.99
     assert float(r["spectral_entropy"]) < 0.05
+
+
+# ---------------------------------------------------------------- wave 3
+def test_burrows_delta_identical_sources_zero(spark):
+    """Two sources with identical term distributions are at distance
+    0; a third with inverted frequencies is far from both."""
+    from breweries_etl_spark.operators.text import burrows_delta
+
+    rows = (
+        [("s1", "alpha alpha beta")] * 4
+        + [("s2", "alpha alpha beta")] * 4
+        + [("s3", "beta beta alpha")] * 4
+    )
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {
+        (r["source_a"], r["source_b"]): float(r["burrows_delta"])
+        for r in burrows_delta(df, k=2).collect()
+    }
+    assert out[("s1", "s2")] == 0.0
+    assert out[("s1", "s3")] > 1.0
+    assert out[("s1", "s3")] == out[("s2", "s3")]
+
+
+def test_rbo_identical_and_disjoint(spark):
+    from breweries_etl_spark.operators.profiling import rank_biased_overlap
+
+    # metric_b = metric_a -> identical rankings -> RBO = (1-p)*sum(p^(d-1))
+    rows = [(i, float(100 - i)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["kk0", "v"])
+    r = rank_biased_overlap(
+        df, "kk0", F.max("v"), F.max("v"), k=10, p=0.9
+    ).collect()[0]
+    expected = 0.09999999999999998 * sum(
+        round(0.9 ** (d - 1) / d, 12) * d for d in range(1, 11)
+    )
+    assert r["n_matched"] == 10
+    assert abs(float(r["rbo"]) - round(expected, 6)) < 2e-6
+    # opposed rankings of distinct value ranges -> sparse overlap
+    r2 = rank_biased_overlap(
+        df, "kk0", F.max("v"), -F.max("v"), k=10, p=0.9
+    ).collect()[0]
+    assert float(r2["rbo"]) < float(r["rbo"]) / 2
+
+
+def test_capture_recapture_estimates_distinct(spark):
+    from breweries_etl_spark.operators.sampling import (
+        capture_recapture_distinct,
+    )
+
+    # 2000 distinct texts, each duplicated 3x -> true distinct 2000
+    rows = [(f"document text number {i % 2000}",) for i in range(6000)]
+    df = spark.createDataFrame(rows, ["text"])
+    r = capture_recapture_distinct(df, "text", 0.3, 0.3).collect()[0]
+    assert r["n_both"] > 0
+    est = float(r["est_distinct"])
+    assert 1600 < est < 2400, est
