@@ -12776,7 +12776,7 @@ WITH vc AS (
   FROM vc
 ), tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM vc),
 folded AS (
-  SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+  SELECT
     SUM(CAST(CAST(abs(CAST(cum_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
                       - CAST(cum_b AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0)))
                   AS DECIMAL(38,0))
@@ -12786,10 +12786,10 @@ folded AS (
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
   CASE WHEN n_a > 0 AND n_b > 0 THEN
-    round({_ddwf('w_sum')}
+    round({_ddwf("COALESCE(w_sum, CAST(0 AS DECIMAL(38,2)))")}
           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
   END AS wasserstein_1
-FROM folded
+FROM folded CROSS JOIN tot
 """
 
 _ORACLES["energy_distance_qty_flag"] = f"""
@@ -13592,6 +13592,8 @@ WITH per_key AS (
     MAX({_qm8('o_totalprice')}) AS m2
   FROM orders JOIN customer ON o_custkey = c_custkey
   WHERE c_nationkey IS NOT NULL GROUP BY 1
+  HAVING SUM({_qm8('o_totalprice')}) IS NOT NULL
+     AND MAX({_qm8('o_totalprice')}) IS NOT NULL
 ), ranked AS (
   SELECT k,
     2 * rank() OVER (ORDER BY m0) + count(*) OVER (PARTITION BY m0) - 1 AS r0,
@@ -13710,7 +13712,7 @@ WITH daily AS (
     AS p
   FROM per_k
 ), ptot AS (
-  SELECT max(n) AS n, count(*) AS kk,
+  SELECT count(*) AS kk,
     SUM(CAST(round(p, 6) AS DECIMAL(38,6))) AS pt
   FROM powered
 ), peak AS (
@@ -13727,14 +13729,14 @@ WITH daily AS (
     ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS h
   FROM powered CROSS JOIN ptot
 )
-SELECT CAST(n AS BIGINT) AS n_days, CAST(kk AS BIGINT) AS n_freqs,
+SELECT CAST(tot.n AS BIGINT) AS n_days, CAST(kk AS BIGINT) AS n_freqs,
   CAST(peak.k AS BIGINT) AS peak_k,
   CASE WHEN {_ddwf('pt')} > 0 THEN
     round(round(peak.p, 6) / {_ddwf('pt')}, 6) END AS peak_share,
   CASE WHEN kk > 1 THEN
     round(CAST(h AS DOUBLE) / ln(CAST(kk AS DOUBLE)), 6)
   END AS spectral_entropy
-FROM ptot CROSS JOIN peak CROSS JOIN hfold
+FROM ptot CROSS JOIN hfold CROSS JOIN tot LEFT JOIN peak ON TRUE
 """
 
 

@@ -397,6 +397,23 @@ FAMILIES: dict[str, list[str]] = {
         "lang_pred_quality",
         "graph_degree_centralization",
     ],
+    # round-9 wave: fact-scan statistics and bounded-grid tests first,
+    # then the vocabulary/day-grid shuffles, prefix-count BM last
+    "r9wave": [
+        "cronbach_alpha_lineitem",
+        "theil_l_customer_revenue",
+        "mcc_lang_pred",
+        "kendalls_w_nations",
+        "rbo_customers",
+        "capture_recapture_docs",
+        "hoeffding_d_qty_discount",
+        "turning_points_daily_value",
+        "sample_entropy_daily_value",
+        "spectral_entropy_daily_value",
+        "vocab_richness_docs",
+        "burrows_delta_sources",
+        "brunner_munzel_price_flag",
+    ],
 }
 
 HEADLINE = [q for qs in FAMILIES.values() for q in qs]

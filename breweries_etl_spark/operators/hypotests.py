@@ -4229,6 +4229,11 @@ def ad_ksample(
     allp = stat.select(
         "nn",
         F.expr(f"stack({k}, {stack_args}) as (n_i, t_fp)"),
+    ).filter(
+        # a listed-but-absent group must not contribute a 0/0 NaN a_i
+        # (the jonckheere n_g > 0 rule); it also must not inflate the
+        # reported k_groups count
+        F.col("n_i") > 0
     ).select(
         "nn",
         (
@@ -4436,10 +4441,15 @@ def wasserstein_1(
         - F.col("v").cast("decimal(18,2)")
     )
     term = (gap.cast("decimal(38,0)") * dz).cast("decimal(38,2)")
-    folded = seg.crossJoin(F.broadcast(tot)).agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
-        F.sum(term).alias("w_sum"),
+    # Fold the segment relation ALONE, then attach totals: with < 2
+    # distinct values seg is empty, and the former
+    # seg.crossJoin(tot).agg(max(n_a)…) shape annihilated the counts
+    # to NULL where the correct answer is (n_a, n_b, 0.0) — the
+    # hill_tail_index empty-relation lesson (round-9 self-audit).
+    folded = (
+        seg.crossJoin(F.broadcast(tot))
+        .agg(F.sum(term).alias("w_sum"))
+        .crossJoin(F.broadcast(tot))
     )
     result = folded.select(
         F.col("n_a").cast("long").alias("n_a"),
@@ -4447,7 +4457,9 @@ def wasserstein_1(
         F.when(
             (F.col("n_a") > 0) & (F.col("n_b") > 0),
             F.round(
-                dec_double_wide_frac(F.col("w_sum"))
+                dec_double_wide_frac(
+                    F.coalesce(F.col("w_sum"), F.lit(0).cast("decimal(38,2)"))
+                )
                 / (
                     F.col("n_a").cast("double")
                     * F.col("n_b").cast("double")

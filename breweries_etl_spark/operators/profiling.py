@@ -1420,6 +1420,16 @@ def kendalls_w(df: DataFrame, key_col: str, metrics: list) -> DataFrame:
     per_key = df.filter(F.col(key_col).isNotNull()).groupBy(
         F.col(key_col).alias("k")
     ).agg(*[mm.alias(f"m{j}") for j, mm in enumerate(metrics)])
+    # a NULL metric aggregate must not enter any ranking: Spark's
+    # window sort puts NULLs FIRST, DuckDB's LAST — a silent
+    # engine-divergence if a judge is NULL for some key (e.g. sum of
+    # an all-NULL group). Listwise-drop such keys, mirrored in the
+    # SQL twin.
+    notnull = None
+    for j in range(m):
+        cond = F.col(f"m{j}").isNotNull()
+        notnull = cond if notnull is None else (notnull & cond)
+    per_key = per_key.filter(notnull)
     ranked = per_key
     for j in range(m):
         ranked = ranked.withColumn(

@@ -2449,8 +2449,15 @@ def spectral_entropy_daily(
             "t",
             "n",
             "s",
+            # Spark's sequence(1, 0) steps BACKWARDS ([1, 0]) instead
+            # of returning empty — with n <= 2 days that would
+            # fabricate a k=0 "frequency" (and diverge from SQL
+            # range(), which is empty). Guard to an empty array.
             F.explode(
-                F.sequence(F.lit(1), F.expr("(n - 1) div 2"))
+                F.when(
+                    F.expr("(n - 1) div 2") >= 1,
+                    F.sequence(F.lit(1), F.expr("(n - 1) div 2")),
+                ).otherwise(F.array().cast("array<int>"))
             ).alias("k"),
         )
         .select(
@@ -2514,26 +2521,33 @@ def spectral_entropy_daily(
         )
         .agg(F.sum(ent_term).alias("h"))
     )
-    result = ptot.crossJoin(F.broadcast(hfold)).select(
-        F.col("n").cast("long").alias("n_days"),
-        F.col("kk").cast("long").alias("n_freqs"),
-        (-F.col("pk.nk")).cast("long").alias("peak_k"),
-        F.when(
-            dec_double_wide_frac(F.col("pt")) > 0,
-            F.round(
-                F.round(F.col("pk.p"), 6)
-                / dec_double_wide_frac(F.col("pt")),
-                6,
-            ),
-        ).alias("peak_share"),
-        F.when(
-            F.col("kk") > 1,
-            F.round(
-                F.col("h").cast("double")
-                / F.log(F.col("kk").cast("double")),
-                6,
-            ),
-        ).alias("spectral_entropy"),
+    # n_days comes from the day relation itself, not through the
+    # frequency fold: with < 3 days there are no Fourier frequencies
+    # and max(n) over the empty power relation would NULL the count
+    result = (
+        ptot.crossJoin(F.broadcast(hfold))
+        .crossJoin(F.broadcast(tot.select(F.col("n").alias("__nd"))))
+        .select(
+            F.col("__nd").cast("long").alias("n_days"),
+            F.col("kk").cast("long").alias("n_freqs"),
+            (-F.col("pk.nk")).cast("long").alias("peak_k"),
+            F.when(
+                dec_double_wide_frac(F.col("pt")) > 0,
+                F.round(
+                    F.round(F.col("pk.p"), 6)
+                    / dec_double_wide_frac(F.col("pt")),
+                    6,
+                ),
+            ).alias("peak_share"),
+            F.when(
+                F.col("kk") > 1,
+                F.round(
+                    F.col("h").cast("double")
+                    / F.log(F.col("kk").cast("double")),
+                    6,
+                ),
+            ).alias("spectral_entropy"),
+        )
     )
     from .dedup import _release_caches
 

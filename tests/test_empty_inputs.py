@@ -185,3 +185,58 @@ def test_round3_cont2_operators_on_empty(spark):
     )
     assert cdc_apply(base, empty_chg, "k").count() == 1  # base passes through
     assert snapshot_diff(base, base, "k").count() == 1  # all unchanged
+
+
+def test_round9_stats_on_empty(spark):
+    """The round-9 single-row statistics must not crash on empty
+    input; aggregate-rooted shapes still emit their one row (with
+    NULL statistics), pair/grid shapes emit zero rows."""
+    from pyspark.sql import functions as F
+
+    from breweries_etl_spark.operators.hypotests import (
+        brunner_munzel,
+        hoeffding_d,
+        theil_l_atkinson,
+    )
+    from breweries_etl_spark.operators.profiling import (
+        cronbach_alpha,
+        kendalls_w,
+        mcc_multiclass,
+        rank_biased_overlap,
+    )
+    from breweries_etl_spark.operators.sampling import (
+        capture_recapture_distinct,
+    )
+    from breweries_etl_spark.operators.temporal import (
+        sample_entropy_daily,
+        spectral_entropy_daily,
+        turning_points_daily,
+    )
+    from breweries_etl_spark.operators.text import (
+        burrows_delta,
+        vocab_richness,
+    )
+
+    vg = spark.createDataFrame([], "v double, g string")
+    ev = spark.createDataFrame([], EVENTS_SCHEMA)
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+
+    assert brunner_munzel(vg, "v", F.col("g") == "a").count() == 1
+    assert theil_l_atkinson(vg, "g", "v").count() == 1
+    assert hoeffding_d(vg, "v", "g").count() == 1
+    assert cronbach_alpha(
+        spark.createDataFrame([], "a double, b double"), ["a", "b"]
+    ).count() == 1
+    assert mcc_multiclass(
+        spark.createDataFrame([], "t string, p string"), "t", "p"
+    ).count() == 1
+    assert kendalls_w(vg, "g", [F.max("v"), F.count(F.lit(1))]).count() == 1
+    assert rank_biased_overlap(
+        vg, "g", F.max("v"), F.count(F.lit(1))
+    ).count() == 1
+    assert capture_recapture_distinct(docs, "text").count() == 1
+    assert vocab_richness(docs).count() == 1
+    assert turning_points_daily(ev).count() == 1
+    assert sample_entropy_daily(ev).count() == 1
+    assert spectral_entropy_daily(ev).count() in (0, 1)
+    assert burrows_delta(docs).count() == 0

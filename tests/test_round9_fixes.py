@@ -116,3 +116,31 @@ def test_ranking_stability_single_tie_still_half(spark):
         F.sum(F.col("m2").cast("decimal(38,2)")),
     ).collect()[0]
     assert r["n_discordant2"] == 1
+
+
+def test_wasserstein_single_distinct_value_keeps_counts(spark):
+    """Self-audit r9: with < 2 distinct values the segment relation is
+    empty; the operator must still report (n_a, n_b, 0.0), not a row
+    of NULLs (the hill_tail_index empty-relation class)."""
+    from breweries_etl_spark.operators.hypotests import wasserstein_1
+
+    df = spark.createDataFrame(
+        [(5.0, "a")] * 3 + [(5.0, "b")] * 2, ["v", "g"]
+    )
+    r = wasserstein_1(df, "v", F.col("g") == "a").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert float(r["wasserstein_1"]) == 0.0
+
+
+def test_kendalls_w_null_metric_keys_dropped(spark):
+    """Self-audit r9: a key whose metric aggregate is NULL must be
+    listwise-dropped before ranking (Spark sorts NULLs first, DuckDB
+    last — silent engine divergence otherwise)."""
+    from breweries_etl_spark.operators.profiling import kendalls_w
+
+    df = spark.createDataFrame(
+        [("k1", 1.0, 1.0), ("k2", 2.0, 2.0), ("k3", None, 3.0)],
+        ["k", "a", "b"],
+    )
+    r = kendalls_w(df, "k", [F.max("a"), F.max("b")]).collect()[0]
+    assert r["n_keys"] == 2

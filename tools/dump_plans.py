@@ -154,6 +154,14 @@ INTERESTING = [
     "evt_block_maxima_daily", "mase_daily_value",
     "split_gain_priority_price", "hill_tail_price",
     "ranking_stability_nations",
+    # r9 wave: single-aggregate consistency/inequality/contingency
+    # stats, bounded day-grid turning points, one-vocab-shuffle
+    # richness, sampled distinct estimation, bounded rank windows.
+    # brunner_munzel/hoeffding/mcc/burrows/rbo/sample+spectral entropy
+    # persist their bounded relations eagerly -> plan-budget tests.
+    "cronbach_alpha_lineitem", "theil_l_customer_revenue",
+    "vocab_richness_docs", "turning_points_daily_value",
+    "kendalls_w_nations", "capture_recapture_docs",
 ]
 
 

@@ -175,6 +175,17 @@ QUERIES = [
     # bounded TakeOrdered top-k reads
     "split_gain_priority_price", "concentration_customer_revenue",
     "hill_tail_price", "ranking_stability_nations",
+    # round-9 wave: scan-shaped single aggregates (cronbach, theil_l,
+    # mcc, capture-recapture), bounded cell/grid statistics (hoeffding,
+    # kendalls_w, rbo, turning points, sample/spectral entropy), one
+    # vocabulary shuffle each (vocab richness, burrows delta), one
+    # prefix-count pipeline (brunner-munzel)
+    "cronbach_alpha_lineitem", "theil_l_customer_revenue",
+    "mcc_lang_pred", "capture_recapture_docs",
+    "hoeffding_d_qty_discount", "kendalls_w_nations", "rbo_customers",
+    "turning_points_daily_value", "sample_entropy_daily_value",
+    "spectral_entropy_daily_value", "vocab_richness_docs",
+    "burrows_delta_sources", "brunner_munzel_price_flag",
 ]
 
 
