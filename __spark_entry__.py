@@ -11007,6 +11007,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burrows_delta_sources": q_burrows_delta_sources,
         "rbo_customers": q_rbo_customers,
         "capture_recapture_docs": q_capture_recapture_docs,
+        "covariate_balance_lineitem": q_covariate_balance_lineitem,
+        "log_odds_dirichlet_lang": q_log_odds_dirichlet_lang,
+        "breslow_day_status_price": q_breslow_day_status_price,
     }
 
 
@@ -13867,4 +13870,201 @@ SELECT CAST(n1 AS BIGINT) AS n_sample1, CAST(n2 AS BIGINT) AS n_sample2,
   round((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
         / (CAST(m AS DOUBLE) + 1.0) - 1.0, 6) AS est_distinct
 FROM folded
+"""
+
+
+# ----- round-9 wave 4: covariate balance, Fightin' Words keyness,
+# Breslow-Day OR homogeneity -----
+
+
+def q_covariate_balance_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Standardized-mean-difference balance table of the four lineitem
+    value columns across the returned-line flag
+    (operators/profiling.py:covariate_balance)."""
+    from breweries_etl_spark.operators.profiling import covariate_balance
+
+    return covariate_balance(
+        load_table(spark, sf_dir, "lineitem"),
+        F.col("l_returnflag") == "R",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def q_log_odds_dirichlet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe log-odds-with-Dirichlet-prior keyness: which terms
+    distinguish English documents from the rest
+    (operators/text.py:log_odds_dirichlet)."""
+    from breweries_etl_spark.operators.text import log_odds_dirichlet
+
+    return log_odds_dirichlet(
+        load_table(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+def q_breslow_day_status_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breslow-Day homogeneity of the finished-status/high-value odds
+    ratio across priority strata — the companion check for
+    mantel_haenszel_status_price
+    (operators/hypotests.py:breslow_day)."""
+    from breweries_etl_spark.operators.hypotests import breslow_day
+
+    return breslow_day(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        F.col("o_orderstatus") == "F",
+        F.col("o_totalprice") > 150000,
+    )
+
+
+_ORACLES["covariate_balance_lineitem"] = f"""
+WITH folded AS (
+  SELECT
+    {", ".join(
+        f'''COUNT(CASE WHEN {cond} AND {c} IS NOT NULL THEN 1 END) AS n{arm}{i},
+    SUM(CASE WHEN {cond} THEN CAST({{0}} AS DECIMAL(38,2)) END) AS s{arm}{i},
+    SUM(CASE WHEN {cond} THEN CAST(CAST({{0}} AS DECIMAL(24,2)) * {{0}}
+        AS DECIMAL(38,4)) END) AS q{arm}{i}'''.format(_qm8(c))
+        for i, c in enumerate(
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+        for arm, cond in (
+            ("t", "l_returnflag = 'R'"),
+            ("c", "NOT (l_returnflag = 'R')"),
+        )
+    )}
+  FROM lineitem
+), rows_ AS (
+  {" UNION ALL ".join(
+      f"SELECT '{c}' AS covariate, nt{i} AS nt, st{i} AS st, qt{i} AS qt, "
+      f"nc{i} AS nc, sc{i} AS sc, qc{i} AS qc FROM folded"
+      for i, c in enumerate(
+          ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+  )}
+), v AS (
+  SELECT covariate, nt, nc,
+    {_ddwf('st')} / CAST(nt AS DOUBLE) AS mu1,
+    {_ddwf('sc')} / CAST(nc AS DOUBLE) AS mu0,
+    ({_ddwf('qt')} - {_ddwf('st')} * ({_ddwf('st')} / CAST(nt AS DOUBLE)))
+      / (CAST(nt AS DOUBLE) - 1.0) AS v1,
+    ({_ddwf('qc')} - {_ddwf('sc')} * ({_ddwf('sc')} / CAST(nc AS DOUBLE)))
+      / (CAST(nc AS DOUBLE) - 1.0) AS v0
+  FROM rows_
+)
+SELECT covariate, CAST(nt AS BIGINT) AS n_treat,
+  CAST(nc AS BIGINT) AS n_control,
+  CASE WHEN nt > 0 THEN round(mu1, 6) END AS mean_treat,
+  CASE WHEN nc > 0 THEN round(mu0, 6) END AS mean_control,
+  CASE WHEN nt > 1 AND nc > 1
+    AND sqrt(greatest((v1 + v0) / 2.0, CAST(0.0 AS DOUBLE))) > 0
+  THEN round((mu1 - mu0)
+             / sqrt(greatest((v1 + v0) / 2.0, CAST(0.0 AS DOUBLE))), 6)
+  END AS smd
+FROM v
+"""
+
+_ORACLES["log_odds_dirichlet_lang"] = """
+WITH base AS (
+  SELECT (lang = 'en') AS in_a,
+    unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS term
+  FROM documents WHERE text IS NOT NULL
+), tf AS (
+  SELECT term, SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS ya,
+    SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS yb
+  FROM base GROUP BY 1
+  HAVING SUM(CASE WHEN in_a THEN 1 ELSE 0 END)
+       + SUM(CASE WHEN in_a THEN 0 ELSE 1 END) >= 5
+), tot AS (
+  SELECT SUM(ya) AS na, SUM(yb) AS nb, SUM(ya + yb) AS n FROM tf
+), scored AS (
+  SELECT term, ya, yb,
+    round((ln((CAST(ya AS DOUBLE)
+               + CAST(100.0 AS DOUBLE) * CAST(ya + yb AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+              / (CAST(na AS DOUBLE) + CAST(100.0 AS DOUBLE)
+                 - CAST(ya AS DOUBLE)
+                 - CAST(100.0 AS DOUBLE) * CAST(ya + yb AS DOUBLE)
+                   / CAST(n AS DOUBLE)))
+           - ln((CAST(yb AS DOUBLE)
+                 + CAST(100.0 AS DOUBLE) * CAST(ya + yb AS DOUBLE)
+                   / CAST(n AS DOUBLE))
+                / (CAST(nb AS DOUBLE) + CAST(100.0 AS DOUBLE)
+                   - CAST(yb AS DOUBLE)
+                   - CAST(100.0 AS DOUBLE) * CAST(ya + yb AS DOUBLE)
+                     / CAST(n AS DOUBLE))))
+          / sqrt(1.0 / (CAST(ya AS DOUBLE)
+                        + CAST(100.0 AS DOUBLE) * CAST(ya + yb AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                 + 1.0 / (CAST(yb AS DOUBLE)
+                          + CAST(100.0 AS DOUBLE) * CAST(ya + yb AS DOUBLE)
+                            / CAST(n AS DOUBLE))), 6) AS z
+  FROM tf CROSS JOIN tot
+), top_a AS (
+  SELECT term, 'a' AS side, CAST(ya AS BIGINT) AS y_a,
+    CAST(yb AS BIGINT) AS y_b, z AS log_odds_z
+  FROM scored QUALIFY row_number() OVER (ORDER BY z DESC, term ASC) <= 20
+), top_b AS (
+  SELECT term, 'b' AS side, CAST(ya AS BIGINT) AS y_a,
+    CAST(yb AS BIGINT) AS y_b, z AS log_odds_z
+  FROM scored QUALIFY row_number() OVER (ORDER BY z ASC, term ASC) <= 20
+)
+SELECT * FROM top_a UNION ALL SELECT * FROM top_b
+"""
+
+_ORACLES["breslow_day_status_price"] = f"""
+WITH per_k AS (
+  SELECT o_orderpriority AS s,
+    SUM(CASE WHEN o_orderstatus = 'F' AND o_totalprice > 150000
+        THEN 1 ELSE 0 END) AS a,
+    SUM(CASE WHEN o_orderstatus = 'F' AND NOT o_totalprice > 150000
+        THEN 1 ELSE 0 END) AS b,
+    SUM(CASE WHEN o_orderstatus <> 'F' AND o_totalprice > 150000
+        THEN 1 ELSE 0 END) AS c,
+    SUM(CASE WHEN o_orderstatus <> 'F' AND NOT o_totalprice > 150000
+        THEN 1 ELSE 0 END) AS d
+  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+), folded AS (
+  SELECT SUM(CAST(a + b + c + d AS DECIMAL(38,0))) AS n, count(*) AS k,
+    SUM(CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE), 6)
+             AS DECIMAL(28,6))) AS num,
+    SUM(CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE), 6)
+             AS DECIMAL(28,6))) AS den
+  FROM per_k
+), pooled AS (
+  SELECT n, k,
+    CASE WHEN num > 0 AND den > 0 THEN {_ddwf('num')} / {_ddwf('den')}
+    END AS psi
+  FROM folded
+), terms AS (
+  SELECT a, psi,
+    CAST(a + b AS DOUBLE) AS m1, CAST(a + c AS DOUBLE) AS n1d,
+    CAST(a + b + c + d AS DOUBLE) AS nn
+  FROM per_k CROSS JOIN pooled
+), q AS (
+  SELECT *, 1.0 - psi AS qa,
+    (m1 + n1d) * psi + (nn - m1 - n1d) AS qb,
+    -psi * m1 * n1d AS qc
+  FROM terms
+), ee AS (
+  SELECT *, CASE WHEN abs(qa) < 1e-12 THEN -qc / qb
+    ELSE (-qb + sqrt(greatest(qb * qb - 4.0 * qa * qc,
+                              CAST(0.0 AS DOUBLE)))) / (2.0 * qa)
+    END AS e
+  FROM q
+), tt AS (
+  SELECT CASE WHEN psi IS NOT NULL AND e > 0 AND m1 - e > 0
+    AND n1d - e > 0 AND nn - m1 - n1d + e > 0
+  THEN CAST(round((CAST(a AS DOUBLE) - e) * (CAST(a AS DOUBLE) - e)
+                  * (1.0 / e + 1.0 / (m1 - e) + 1.0 / (n1d - e)
+                     + 1.0 / (nn - m1 - n1d + e)), 6) AS DECIMAL(18,6))
+  ELSE CAST(0.0 AS DECIMAL(18,6)) END AS term
+  FROM ee
+), chi AS (SELECT SUM(term) AS chi2 FROM tt)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_strata,
+  CASE WHEN psi IS NOT NULL THEN round(psi, 6) END AS or_mh,
+  CASE WHEN psi IS NOT NULL THEN round(CAST(chi2 AS DOUBLE), 6)
+  END AS bd_chi2
+FROM chi CROSS JOIN pooled
 """

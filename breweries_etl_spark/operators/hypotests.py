@@ -4913,3 +4913,123 @@ def hoeffding_d(
     if release:
         return _release_caches(result, [cells])
     return result
+
+
+def breslow_day(
+    df: DataFrame,
+    strata_col: str,
+    exposure_expr: Column,
+    outcome_expr: Column,
+) -> DataFrame:
+    """Breslow–Day homogeneity test for the odds ratio across K
+    strata — the companion ``mantel_haenszel_or`` NEEDS before its
+    pooled OR is meaningful: a large χ²_BD means the exposure effect
+    DIFFERS by stratum and pooling hides an interaction. For each
+    stratum's 2×2 table with margins (m₁ = a+b exposed, n₁ = a+c
+    cases, N), the expected a under the common OR ψ̂_MH is the valid
+    root of the quadratic (1−ψ)E² + [(m₁+n₁)ψ + (N−m₁−n₁)]E −
+    ψm₁n₁ = 0, Var = 1/(1/E + 1/(m₁−E) + 1/(n₁−E) + 1/(N−m₁−n₁+E)),
+    χ²_BD = Σ (a−E)²/Var on K−1 df.
+
+    Two passes over the K-row stratum relation (ψ̂_MH materializes on
+    the 1-row fold BEFORE broadcasting back — the levene rule);
+    per-stratum χ² terms are fixed double sequences rounded to 6 dp
+    and decimal-summed. Degenerate strata (any zero margin → Var
+    undefined) contribute 0, the standard convention. Output one row:
+    (n, k_strata, or_mh, bd_chi2)."""
+    e = exposure_expr
+    y = outcome_expr
+    per_k = (
+        df.filter(F.col(strata_col).isNotNull())
+        .groupBy(F.col(strata_col).alias("__s"))
+        .agg(
+            F.sum(F.when(e & y, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(e & ~y, 1).otherwise(0)).alias("b"),
+            F.sum(F.when(~e & y, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(~e & ~y, 1).otherwise(0)).alias("d"),
+        )
+        .persist()
+    )
+    per_k.count()
+    n_k = (
+        F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    ).cast("double")
+    num_t = F.round(
+        F.col("a").cast("double") * F.col("d").cast("double") / n_k, 6
+    ).cast("decimal(28,6)")
+    den_t = F.round(
+        F.col("b").cast("double") * F.col("c").cast("double") / n_k, 6
+    ).cast("decimal(28,6)")
+    folded = per_k.agg(
+        F.sum(n_k.cast("decimal(38,0)")).alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(num_t).alias("num"),
+        F.sum(den_t).alias("den"),
+    )
+    psi_raw = dec_double_wide_frac(F.col("num")) / dec_double_wide_frac(
+        F.col("den")
+    )
+    # materialize psi on the 1-row relation BEFORE the broadcast back
+    pooled = folded.select(
+        "n",
+        "k",
+        F.when(
+            (F.col("num") > 0) & (F.col("den") > 0), psi_raw
+        ).alias("psi"),
+    )
+    m1 = (F.col("a") + F.col("b")).cast("double")
+    n1 = (F.col("a") + F.col("c")).cast("double")
+    nn = n_k
+    psi = F.col("psi")
+    # quadratic (1-psi)E^2 + [(m1+n1)psi + (nn-m1-n1)]E - psi*m1*n1 = 0
+    qa = F.lit(1.0) - psi
+    qb = (m1 + n1) * psi + (nn - m1 - n1)
+    qc = -psi * m1 * n1
+    disc = F.sqrt(F.greatest(qb * qb - F.lit(4.0) * qa * qc, F.lit(0.0)))
+    # psi = 1 degenerates to linear: E = -qc/qb = m1*n1/N (independence);
+    # otherwise the valid root (0 < E < min(m1, n1)) is (-qb + disc)/(2qa)
+    ee = F.when(
+        F.abs(qa) < F.lit(1e-12), -qc / qb
+    ).otherwise((-qb + disc) / (F.lit(2.0) * qa))
+    inv_var = (
+        F.lit(1.0) / ee
+        + F.lit(1.0) / (m1 - ee)
+        + F.lit(1.0) / (n1 - ee)
+        + F.lit(1.0) / (nn - m1 - n1 + ee)
+    )
+    valid = (
+        psi.isNotNull()
+        & (ee > 0)
+        & (m1 - ee > 0)
+        & (n1 - ee > 0)
+        & (nn - m1 - n1 + ee > 0)
+    )
+    term = F.when(
+        valid,
+        F.round(
+            (F.col("a").cast("double") - ee)
+            * (F.col("a").cast("double") - ee)
+            * inv_var,
+            6,
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(18,6)")
+    chi = per_k.crossJoin(F.broadcast(pooled)).agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.max("psi").alias("psi"),
+        F.sum(term).alias("chi2"),
+    )
+    result = chi.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_strata"),
+        F.when(F.col("psi").isNotNull(), F.round(F.col("psi"), 6)).alias(
+            "or_mh"
+        ),
+        F.when(
+            F.col("psi").isNotNull(),
+            F.round(F.col("chi2").cast("double"), 6),
+        ).alias("bd_chi2"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [per_k])

@@ -1548,3 +1548,73 @@ def rank_biased_overlap(
             6,
         ).alias("rbo"),
     )
+
+
+def covariate_balance(
+    df: DataFrame, treat_expr, covariates: list
+) -> DataFrame:
+    """Standardized-mean-difference balance table between a treatment
+    flag and k covariates: SMD = (μ₁−μ₀)/√((s₁²+s₀²)/2) per covariate
+    — the experiment-health check run BEFORE reading any A/B effect
+    (|SMD| > 0.1 means the split is confounded and the effect
+    estimate is not trustworthy).
+
+    ONE map-combinable aggregate carries both arms' exact-decimal
+    moments for every covariate (2k sums + 2k square-sums + 2
+    counts); the k-row table materializes from a stack of the single
+    aggregate row. Rows with a NULL covariate are excluded per
+    covariate (pairwise deletion — each covariate's row reports its
+    own arm sizes). Output per covariate:
+    (covariate, n_treat, n_control, mean_treat, mean_control, smd)."""
+    from .hypotests import dec_double_wide_frac, quantized_money
+
+    t = treat_expr.cast("boolean")
+    aggs = []
+    for i, c in enumerate(covariates):
+        v = quantized_money(F.col(c))
+        for arm, cond in (("t", t), ("c", ~t)):
+            w = F.when(cond & F.col(c).isNotNull(), v)
+            aggs.extend(
+                [
+                    F.count(w).alias(f"n{arm}{i}"),
+                    F.sum(w.cast("decimal(38,2)")).alias(f"s{arm}{i}"),
+                    F.sum((w * w).cast("decimal(38,4)")).alias(f"q{arm}{i}"),
+                ]
+            )
+    folded = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nt{i}, st{i}, qt{i}, nc{i}, sc{i}, qc{i}"
+        for i, c in enumerate(covariates)
+    )
+    rows = folded.select(
+        F.expr(
+            f"stack({len(covariates)}, {stack_args}) as "
+            "(covariate, nt, st, qt, nc, sc, qc)"
+        )
+    )
+
+    def arm(nc, sc, qc):
+        n = F.col(nc).cast("double")
+        mu = dec_double_wide_frac(F.col(sc)) / n
+        var = (
+            dec_double_wide_frac(F.col(qc))
+            - dec_double_wide_frac(F.col(sc)) * mu
+        ) / (n - F.lit(1.0))
+        return n, mu, var
+
+    n1, mu1, v1 = arm("nt", "st", "qt")
+    n0, mu0, v0 = arm("nc", "sc", "qc")
+    pooled = F.sqrt(
+        F.greatest((v1 + v0) / F.lit(2.0), F.lit(0.0))
+    )
+    ok = (F.col("nt") > 1) & (F.col("nc") > 1)
+    return rows.select(
+        "covariate",
+        F.col("nt").cast("long").alias("n_treat"),
+        F.col("nc").cast("long").alias("n_control"),
+        F.when(F.col("nt") > 0, F.round(mu1, 6)).alias("mean_treat"),
+        F.when(F.col("nc") > 0, F.round(mu0, 6)).alias("mean_control"),
+        F.when(ok & (pooled > 0), F.round((mu1 - mu0) / pooled, 6)).alias(
+            "smd"
+        ),
+    )

@@ -1847,3 +1847,97 @@ def burrows_delta(
     from .dedup import _release_caches
 
     return _release_caches(result, [tf])
+
+
+def log_odds_dirichlet(
+    df: DataFrame,
+    group_expr,
+    text_col: str = "text",
+    alpha0: float = 100.0,
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Monroe/Colaresi/Quinn "Fightin' Words" keyness: per-term
+    log-odds-ratio between two corpus halves with an informative
+    Dirichlet prior from the POOLED corpus —
+    δ_w = ln((y_aw+α_w)/(n_a+α₀−y_aw−α_w)) − (same for B),
+    z_w = δ_w/√(1/(y_aw+α_w) + 1/(y_bw+α_w)), α_w = α₀·y_w/n.
+    Unlike raw log-odds or TF-IDF deltas it does not explode on rare
+    terms (the prior shrinks them), and unlike keyness_llr it gives a
+    SIGNED, per-term z — the standard "which words does side A own"
+    ranking.
+
+    One (term, side) count shuffle; every score is a fixed double
+    sequence over exact integer counts, rounded to 6 dp; the two
+    top-k lists are TakeOrderedAndProject picks on the ROUNDED score
+    with a term tie-break (deterministic). ``min_count`` floors the
+    pooled count so the output list is stable. Output 2k rows:
+    (term, side, y_a, y_b, log_odds_z)."""
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        group_expr.cast("boolean").alias("in_a"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+            )
+        ).alias("term"),
+    )
+    tf = (
+        base.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ya"),
+            F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("yb"),
+        )
+        .filter(F.col("ya") + F.col("yb") >= min_count)
+        .persist()
+    )
+    tf.count()
+    tot = tf.agg(
+        F.sum("ya").alias("na"),
+        F.sum("yb").alias("nb"),
+        F.sum(F.col("ya") + F.col("yb")).alias("n"),
+    )
+    scored_all = tf.crossJoin(F.broadcast(tot))
+    a0 = F.lit(float(alpha0))
+    aw = a0 * (F.col("ya") + F.col("yb")).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    ya = F.col("ya").cast("double")
+    yb = F.col("yb").cast("double")
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    delta = F.log(
+        (ya + aw) / (na + a0 - ya - aw)
+    ) - F.log((yb + aw) / (nb + a0 - yb - aw))
+    var = F.lit(1.0) / (ya + aw) + F.lit(1.0) / (yb + aw)
+    scored = scored_all.select(
+        "term",
+        "ya",
+        "yb",
+        F.round(delta / F.sqrt(var), 6).alias("z"),
+    )
+    top_a = (
+        scored.orderBy(F.desc("z"), F.asc("term"))
+        .limit(k)
+        .select(
+            "term",
+            F.lit("a").alias("side"),
+            F.col("ya").cast("long").alias("y_a"),
+            F.col("yb").cast("long").alias("y_b"),
+            F.col("z").alias("log_odds_z"),
+        )
+    )
+    top_b = (
+        scored.orderBy(F.asc("z"), F.asc("term"))
+        .limit(k)
+        .select(
+            "term",
+            F.lit("b").alias("side"),
+            F.col("ya").cast("long").alias("y_a"),
+            F.col("yb").cast("long").alias("y_b"),
+            F.col("z").alias("log_odds_z"),
+        )
+    )
+    result = top_a.unionByName(top_b)
+    from .dedup import _release_caches
+
+    return _release_caches(result, [tf])

@@ -401,3 +401,90 @@ def test_capture_recapture_estimates_distinct(spark):
     assert r["n_both"] > 0
     est = float(r["est_distinct"])
     assert 1600 < est < 2400, est
+
+
+# ---------------------------------------------------------------- wave 4
+def test_covariate_balance_balanced_vs_shifted(spark):
+    from breweries_etl_spark.operators.profiling import covariate_balance
+
+    rows = []
+    for i in range(200):
+        treat = i % 2 == 0
+        bal = float((i // 2) % 10)     # identical distribution in both arms
+        shift = bal + (5.0 if treat else 0.0)  # confounded
+        rows.append((treat, bal, shift))
+    df = spark.createDataFrame(rows, ["t", "balanced", "shifted"])
+    out = {
+        r["covariate"]: r
+        for r in covariate_balance(
+            df, F.col("t"), ["balanced", "shifted"]
+        ).collect()
+    }
+    assert out["balanced"]["n_treat"] == 100
+    assert abs(float(out["balanced"]["smd"])) < 1e-9
+    assert float(out["shifted"]["smd"]) > 1.0
+
+
+def test_covariate_balance_smd_reference(spark):
+    from breweries_etl_spark.operators.profiling import covariate_balance
+
+    t_vals = [1.0, 2.0, 3.0, 4.0]
+    c_vals = [2.0, 3.0, 4.0, 5.0, 6.0]
+    rows = [(True, v) for v in t_vals] + [(False, v) for v in c_vals]
+    df = spark.createDataFrame(rows, ["t", "x"])
+    r = covariate_balance(df, F.col("t"), ["x"]).collect()[0]
+
+    def sv(xs):
+        m = sum(xs) / len(xs)
+        return sum((v - m) ** 2 for v in xs) / (len(xs) - 1)
+
+    smd = (sum(t_vals) / 4 - sum(c_vals) / 5) / math.sqrt(
+        (sv(t_vals) + sv(c_vals)) / 2
+    )
+    assert abs(float(r["smd"]) - smd) < 1e-6
+
+
+def test_log_odds_dirichlet_separates_sides(spark):
+    from breweries_etl_spark.operators.text import log_odds_dirichlet
+
+    rows = [("en", "hello world common text")] * 30 + [
+        ("de", "hallo welt common text")
+    ] * 30
+    df = spark.createDataFrame(rows, ["lang", "text"])
+    out = log_odds_dirichlet(
+        df, F.col("lang") == "en", min_count=5, k=3
+    ).collect()
+    a_terms = {r["term"] for r in out if r["side"] == "a"}
+    b_terms = {r["term"] for r in out if r["side"] == "b"}
+    assert {"hello", "world"} <= a_terms
+    assert {"hallo", "welt"} <= b_terms
+    # shared terms score ~0, owned terms clearly nonzero
+    for r in out:
+        if r["term"] in ("hello", "hallo"):
+            assert abs(float(r["log_odds_z"])) > 1.0
+
+
+def test_breslow_day_homogeneous_vs_heterogeneous(spark):
+    from breweries_etl_spark.operators.hypotests import breslow_day
+
+    def stratum(s, a, b, c, d):
+        return (
+            [(s, True, True)] * a + [(s, True, False)] * b
+            + [(s, False, True)] * c + [(s, False, False)] * d
+        )
+
+    # identical OR = 4 in both strata -> chi2 ~ 0
+    homog = stratum("s1", 40, 10, 10, 10) + stratum("s2", 20, 5, 5, 5)
+    df1 = spark.createDataFrame(homog, ["s", "e", "y"])
+    r1 = breslow_day(
+        df1, "s", F.col("e"), F.col("y")
+    ).collect()[0]
+    assert abs(float(r1["or_mh"]) - 4.0) < 0.05
+    assert float(r1["bd_chi2"]) < 0.1
+    # opposite ORs (4 vs 1/4) -> large chi2
+    heter = stratum("s1", 40, 10, 10, 10) + stratum("s2", 10, 40, 40, 10)
+    r2 = breslow_day(
+        spark.createDataFrame(heter, ["s", "e", "y"]), "s",
+        F.col("e"), F.col("y")
+    ).collect()[0]
+    assert float(r2["bd_chi2"]) > 10.0
