@@ -413,6 +413,9 @@ FAMILIES: dict[str, list[str]] = {
         "vocab_richness_docs",
         "burrows_delta_sources",
         "brunner_munzel_price_flag",
+        "covariate_balance_lineitem",
+        "log_odds_dirichlet_lang",
+        "breslow_day_status_price",
     ],
 }
 

@@ -186,6 +186,8 @@ QUERIES = [
     "turning_points_daily_value", "sample_entropy_daily_value",
     "spectral_entropy_daily_value", "vocab_richness_docs",
     "burrows_delta_sources", "brunner_munzel_price_flag",
+    "covariate_balance_lineitem", "log_odds_dirichlet_lang",
+    "breslow_day_status_price",
 ]
 
 
