@@ -1234,7 +1234,11 @@ def ranking_stability(
     b = per_key.select(
         F.col("k").alias("k2"), F.col("ma").alias("a2"), F.col("mb").alias("b2")
     )
-    pairs = a.join(b, F.col("k1") < F.col("k2"))
+    # explicit broadcast: the k-row key relation is bounded by
+    # contract, and without the hint the non-equi self-join can plan
+    # as CartesianProduct (banned by the plans/audit.py rule — a BNLJ
+    # with an aggregate-rooted build side is the sanctioned shape)
+    pairs = a.join(F.broadcast(b), F.col("k1") < F.col("k2"))
     # Half-tie convention: penalty 1 only for pairs tied in EXACTLY
     # one metric. A pair tied in BOTH metrics is full agreement (the
     # two rankings treat it identically) and must score 0 — counting
