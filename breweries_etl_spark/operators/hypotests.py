@@ -4780,6 +4780,7 @@ def hoeffding_d(
     df: DataFrame,
     x_col: str,
     y_col: str,
+    max_cells: int = 10_000,
     release: bool = True,
 ) -> DataFrame:
     """Hoeffding's D test of GENERAL dependence between two BOUNDED-
@@ -4806,7 +4807,21 @@ def hoeffding_d(
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
-    cells.count()
+    n_cells = cells.count()
+    if n_cells > max_cells:
+        # bounded-domain contract enforced LOUDLY (ADVICE r9 #2, the
+        # temporal decimal-narrow precedent): a near-continuous column
+        # would make the placement join n_cells² — at max_cells=10^4
+        # that is already 10^8 join rows; past it, fail instead of
+        # silently running an accidental cross join. Bucket/round the
+        # column first, or raise max_cells deliberately.
+        cells.unpersist()
+        raise ValueError(
+            f"hoeffding_d: {n_cells} distinct (x, y) cells exceeds "
+            f"max_cells={max_cells}; the cell-pair placement join is "
+            "quadratic in n_cells. Discretize the inputs or raise "
+            "max_cells explicitly."
+        )
     # doubled marginal midranks over the bounded per-axis relations
     wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
     mx = (

@@ -144,3 +144,18 @@ def test_kendalls_w_null_metric_keys_dropped(spark):
     )
     r = kendalls_w(df, "k", [F.max("a"), F.max("b")]).collect()[0]
     assert r["n_keys"] == 2
+
+
+def test_hoeffding_d_loud_cell_cap(spark):
+    """ADVICE r9 open item closed: a near-continuous column must fail
+    LOUDLY (the placement join is quadratic in n_cells), never run an
+    accidental cross join."""
+    from breweries_etl_spark.operators.hypotests import hoeffding_d
+
+    df = spark.createDataFrame(
+        [(float(i), float(i * 7 % 13)) for i in range(50)], ["x", "y"]
+    )
+    with pytest.raises(ValueError, match="max_cells"):
+        hoeffding_d(df, "x", "y", max_cells=10)
+    # raising the cap deliberately works
+    assert hoeffding_d(df, "x", "y", max_cells=100).count() == 1

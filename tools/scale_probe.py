@@ -308,8 +308,21 @@ def main() -> None:
         "<10× only because fixed JVM/plan overheads amortize. The pair stage",
         "stays bounded by the hot-bucket cap.",
     ]
+    # preserve manually-appended sections (e.g. the dedup-cap probe
+    # table, "## Dedup caps…") across regenerations: everything from
+    # the first second-level heading that is not part of the generated
+    # body survives verbatim
+    preserved = ""
+    try:
+        with open("/root/repo/SCALING.md", encoding="utf-8") as f:
+            old = f.read()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            preserved = old[idx:]
+    except OSError:
+        pass
     with open("/root/repo/SCALING.md", "w", encoding="utf-8") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + preserved)
     print(json.dumps(results))
 
 
