@@ -11010,6 +11010,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covariate_balance_lineitem": q_covariate_balance_lineitem,
         "log_odds_dirichlet_lang": q_log_odds_dirichlet_lang,
         "breslow_day_status_price": q_breslow_day_status_price,
+        "token_fertility_lang": q_token_fertility_lang,
+        "bernstein_ci_order_price": q_bernstein_ci_order_price,
     }
 
 
@@ -14067,4 +14069,80 @@ SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_strata,
   CASE WHEN psi IS NOT NULL THEN round(CAST(chi2 AS DOUBLE), 6)
   END AS bd_chi2
 FROM chi CROSS JOIN pooled
+"""
+
+
+# ----- round-9 wave 5: tokenization cost profile, empirical-Bernstein
+# monitoring CI -----
+
+
+def q_token_fertility_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language chars/token and tokens/doc profile
+    (operators/text.py:token_fertility_by_lang)."""
+    from breweries_etl_spark.operators.text import token_fertility_by_lang
+
+    return token_fertility_by_lang(load_table(spark, sf_dir, "documents"))
+
+
+def q_bernstein_ci_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bernstein 95% CI for the mean order price
+    (operators/profiling.py:bernstein_ci)."""
+    from breweries_etl_spark.operators.profiling import bernstein_ci
+
+    return bernstein_ci(load_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
+_ORACLES["token_fertility_lang"] = """
+WITH base AS (
+  SELECT lang,
+    len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS nt,
+    length(text) AS nc
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+), folded AS (
+  SELECT lang, count(*) AS n_docs, SUM(nt) AS n_tokens,
+    SUM(nc) AS n_chars
+  FROM base GROUP BY 1
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CASE WHEN n_tokens > 0 THEN
+    round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+  END AS chars_per_token,
+  CASE WHEN n_docs > 0 THEN
+    round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+  END AS tokens_per_doc
+FROM folded
+"""
+
+_ORACLES["bernstein_ci_order_price"] = f"""
+WITH mom AS (
+  SELECT count(*) AS n,
+    SUM(CAST({_qm8('o_totalprice')} AS DECIMAL(38,2))) AS s,
+    SUM(CAST(CAST({_qm8('o_totalprice')} AS DECIMAL(24,2))
+        * {_qm8('o_totalprice')} AS DECIMAL(38,4))) AS q,
+    MIN({_qm8('o_totalprice')}) AS mn,
+    MAX({_qm8('o_totalprice')}) AS mx
+  FROM orders WHERE o_totalprice IS NOT NULL
+), v AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+    {_ddwf('s')} / CAST(n AS DOUBLE) AS mean,
+    ({_ddwf('q')} - {_ddwf('s')} * ({_ddwf('s')} / CAST(n AS DOUBLE)))
+      / (CAST(n AS DOUBLE) - 1.0) AS var,
+    CAST(mx - mn AS DOUBLE) AS rng
+  FROM mom
+), h AS (
+  SELECT *, sqrt(greatest(
+      2.0 * var * CAST(4.094344562222 AS DECIMAL(18,12)) / nd,
+      CAST(0.0 AS DOUBLE)))
+    + 3.0 * rng * CAST(4.094344562222 AS DECIMAL(18,12)) / nd AS half
+  FROM v
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CASE WHEN n > 0 THEN round(mean, 6) END AS mean_value,
+  CASE WHEN n > 0 THEN round(rng, 6) END AS value_range,
+  CASE WHEN n > 1 THEN round(half, 6) END AS half_width,
+  CASE WHEN n > 1 THEN round(mean - half, 6) END AS ci_lo,
+  CASE WHEN n > 1 THEN round(mean + half, 6) END AS ci_hi
+FROM h
 """

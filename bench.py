@@ -416,6 +416,8 @@ FAMILIES: dict[str, list[str]] = {
         "covariate_balance_lineitem",
         "log_odds_dirichlet_lang",
         "breslow_day_status_price",
+        "token_fertility_lang",
+        "bernstein_ci_order_price",
     ],
 }
 

@@ -1622,3 +1622,54 @@ def covariate_balance(
             "smd"
         ),
     )
+
+
+def bernstein_ci(
+    df: DataFrame, value_col: str, delta: float = 0.05
+) -> DataFrame:
+    """Empirical-Bernstein confidence interval for the mean of a
+    BOUNDED metric (Maurer & Pontil 2009): half-width =
+    √(2·V·ln(3/δ)/n) + 3·R·ln(3/δ)/n with V the sample variance and
+    R the observed range — variance-adaptive, so on low-variance
+    metrics it is far tighter than Hoeffding at the same n. The CI a
+    data-quality monitor or bandit evaluator attaches to a sampled
+    mean before alerting on drift.
+
+    One exact-decimal moment pass (sum, sum of squares, min, max);
+    ln(3/δ) enters as a 12-dp literal so both engines use the
+    identical constant. Output one row:
+    (n, mean_value, value_range, half_width, ci_lo, ci_hi)."""
+    import math
+
+    from .hypotests import dec_double_wide_frac, quantized_money
+
+    l3d = round(math.log(3.0 / delta), 12)
+    v = quantized_money(F.col(value_col))
+    mom = df.filter(F.col(value_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(38,2)")).alias("s"),
+        F.sum((v * v).cast("decimal(38,4)")).alias("q"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+    n = F.col("n").cast("double")
+    mean = dec_double_wide_frac(F.col("s")) / n
+    var = (
+        dec_double_wide_frac(F.col("q"))
+        - dec_double_wide_frac(F.col("s")) * mean
+    ) / (n - F.lit(1.0))
+    rng = (F.col("mx") - F.col("mn")).cast("double")
+    half = F.sqrt(
+        F.greatest(
+            F.lit(2.0) * var * F.lit(l3d) / n, F.lit(0.0)
+        )
+    ) + F.lit(3.0) * rng * F.lit(l3d) / n
+    ok = F.col("n") > 1
+    return mom.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(F.col("n") > 0, F.round(mean, 6)).alias("mean_value"),
+        F.when(F.col("n") > 0, F.round(rng, 6)).alias("value_range"),
+        F.when(ok, F.round(half, 6)).alias("half_width"),
+        F.when(ok, F.round(mean - half, 6)).alias("ci_lo"),
+        F.when(ok, F.round(mean + half, 6)).alias("ci_hi"),
+    )

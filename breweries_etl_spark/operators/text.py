@@ -1941,3 +1941,54 @@ def log_odds_dirichlet(
     from .dedup import _release_caches
 
     return _release_caches(result, [tf])
+
+
+def token_fertility_by_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language tokenization-cost profile: chars/token (the
+    "fertility" proxy that predicts how many SUBWORD tokens a BPE
+    model will spend per word — high-fertility languages eat budget
+    faster) plus tokens/doc. The table a corpus-mixing step reads
+    next to token_budget_mix when the budget is in MODEL tokens, not
+    words.
+
+    One scan, one bounded groupBy(lang); all integer folds, two
+    closing round-6 ratios. Output per lang:
+    (lang, n_docs, n_tokens, n_chars, chars_per_token, tokens_per_doc)."""
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col("lang").isNotNull()
+    ).select(
+        "lang",
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+            )
+        ).alias("nt"),
+        F.length(F.col(text_col)).alias("nc"),
+    )
+    folded = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.sum("nc").alias("n_chars"),
+    )
+    return folded.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        ).alias("chars_per_token"),
+        F.when(
+            F.col("n_docs") > 0,
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ),
+        ).alias("tokens_per_doc"),
+    )

@@ -488,3 +488,39 @@ def test_breslow_day_homogeneous_vs_heterogeneous(spark):
         F.col("e"), F.col("y")
     ).collect()[0]
     assert float(r2["bd_chi2"]) > 10.0
+
+
+# ---------------------------------------------------------------- wave 5
+def test_token_fertility_counts(spark):
+    from breweries_etl_spark.operators.text import token_fertility_by_lang
+
+    df = spark.createDataFrame(
+        [("en", "one two three"), ("en", "four five"), ("de", "eins")],
+        ["lang", "text"],
+    )
+    out = {r["lang"]: r for r in token_fertility_by_lang(df).collect()}
+    assert out["en"]["n_docs"] == 2 and out["en"]["n_tokens"] == 5
+    assert out["en"]["n_chars"] == len("one two three") + len("four five")
+    assert abs(float(out["en"]["tokens_per_doc"]) - 2.5) < 1e-9
+    assert out["de"]["n_tokens"] == 1
+
+
+def test_bernstein_ci_reference_and_coverage_shape(spark):
+    from breweries_etl_spark.operators.profiling import bernstein_ci
+
+    vals = [float(v) for v in [10, 12, 11, 13, 10, 12, 11, 14, 10, 13]]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    r = bernstein_ci(df, "x", delta=0.05).collect()[0]
+    n = len(vals)
+    mu = sum(vals) / n
+    var = sum((v - mu) ** 2 for v in vals) / (n - 1)
+    rng = max(vals) - min(vals)
+    l3d = round(math.log(3 / 0.05), 12)
+    half = math.sqrt(2 * var * l3d / n) + 3 * rng * l3d / n
+    assert abs(float(r["mean_value"]) - mu) < 1e-6
+    assert abs(float(r["half_width"]) - half) < 1e-5
+    assert float(r["ci_lo"]) < mu < float(r["ci_hi"])
+    # variance-adaptive: a constant column collapses the variance term
+    const = spark.createDataFrame([(5.0,)] * 10, ["x"])
+    r2 = bernstein_ci(const, "x").collect()[0]
+    assert float(r2["half_width"]) == 0.0

@@ -162,7 +162,8 @@ INTERESTING = [
     "cronbach_alpha_lineitem", "theil_l_customer_revenue",
     "vocab_richness_docs", "turning_points_daily_value",
     "kendalls_w_nations", "capture_recapture_docs",
-    "covariate_balance_lineitem",
+    "covariate_balance_lineitem", "token_fertility_lang",
+    "bernstein_ci_order_price",
 ]
 
 

@@ -187,7 +187,8 @@ QUERIES = [
     "spectral_entropy_daily_value", "vocab_richness_docs",
     "burrows_delta_sources", "brunner_munzel_price_flag",
     "covariate_balance_lineitem", "log_odds_dirichlet_lang",
-    "breslow_day_status_price",
+    "breslow_day_status_price", "token_fertility_lang",
+    "bernstein_ci_order_price",
 ]
 
 
