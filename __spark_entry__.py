@@ -11012,6 +11012,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "breslow_day_status_price": q_breslow_day_status_price,
         "token_fertility_lang": q_token_fertility_lang,
         "bernstein_ci_order_price": q_bernstein_ci_order_price,
+        "dispersion_daily_events": q_dispersion_daily_events,
+        "boosted_stumps_price_qty": q_boosted_stumps_price_qty,
     }
 
 
@@ -14145,4 +14147,134 @@ SELECT CAST(n AS BIGINT) AS n,
   CASE WHEN n > 1 THEN round(mean - half, 6) END AS ci_lo,
   CASE WHEN n > 1 THEN round(mean + half, 6) END AS ci_hi
 FROM h
+"""
+
+
+# ----- round-9 wave 6: dispersion screen + a distributed, fully
+# SQL-replayable boosted-stump trainer -----
+
+
+def q_dispersion_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor + dispersion chi-square of the daily event counts
+    (operators/temporal.py:dispersion_daily_counts)."""
+    from breweries_etl_spark.operators.temporal import dispersion_daily_counts
+
+    return dispersion_daily_counts(load_events(spark, sf_dir))
+
+
+def q_boosted_stumps_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round boosted stump regression of extendedprice on the
+    bounded quantity domain — trained in one fact scan
+    (operators/mltrain.py:boosted_stumps_2)."""
+    from breweries_etl_spark.operators.mltrain import boosted_stumps_2
+
+    return boosted_stumps_2(
+        load_table(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
+_ORACLES["dispersion_daily_events"] = f"""
+WITH daily AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    count(*) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), folded AS (
+  SELECT count(*) AS n, SUM(x) AS s,
+    SUM(CAST(CAST(x AS DECIMAL(19,0)) * x AS DECIMAL(38,0))) AS q
+  FROM daily
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+  CASE WHEN n > 0 THEN
+    round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS mean_count,
+  CASE WHEN n > 1 AND CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0 THEN
+    round((({_ddw('q')} - CAST(s AS DOUBLE)
+            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           / (CAST(n AS DOUBLE) - 1.0))
+          / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+  END AS fano,
+  CASE WHEN n > 1 AND CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0 THEN
+    round((CAST(n AS DOUBLE) - 1.0)
+          * (({_ddw('q')} - CAST(s AS DOUBLE)
+              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - 1.0))
+          / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+  END AS dispersion_chi2
+FROM folded
+"""
+
+_ORACLES["boosted_stumps_price_qty"] = f"""
+WITH per_x AS (
+  SELECT l_quantity AS x, count(*) AS nx,
+    SUM(CAST({_qm8('l_extendedprice')} AS DECIMAL(38,2))) AS sy,
+    SUM(CAST(CAST({_qm8('l_extendedprice')} AS DECIMAL(24,2))
+        * {_qm8('l_extendedprice')} AS DECIMAL(38,4))) AS qy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+), tot AS (
+  SELECT SUM(nx) AS n, SUM(sy) AS syt, SUM(qy) AS qyt, MAX(x) AS xmax
+  FROM per_x
+), pre AS (
+  SELECT x,
+    SUM(nx) OVER wo AS nl, SUM(sy) OVER wo AS syl, SUM(qy) OVER wo AS qyl
+  FROM per_x
+  WINDOW wo AS (ORDER BY x ROWS UNBOUNDED PRECEDING)
+), cand AS (
+  SELECT x AS s,
+    round(({_ddwf('qyl')} - {_ddwf('syl')} * {_ddwf('syl')}
+           / CAST(nl AS DOUBLE))
+          + (({_ddwf('qyt')} - {_ddwf('qyl')})
+             - ({_ddwf('syt')} - {_ddwf('syl')})
+               * ({_ddwf('syt')} - {_ddwf('syl')})
+               / CAST(n - nl AS DOUBLE)), 6) AS sse,
+    {_ddwf('syl')} / CAST(nl AS DOUBLE) AS pl,
+    ({_ddwf('syt')} - {_ddwf('syl')}) / CAST(n - nl AS DOUBLE) AS pr
+  FROM pre CROSS JOIN tot WHERE x < xmax
+), best1 AS (
+  SELECT sse AS sse_1, s AS split_1, pl, pr FROM cand
+  QUALIFY row_number() OVER (ORDER BY sse, s) = 1
+), resid AS (
+  SELECT x, nx,
+    CAST(round({_ddwf('sy')} - CAST(nx AS DOUBLE)
+        * (CASE WHEN x <= split_1 THEN pl ELSE pr END), 6)
+      AS DECIMAL(28,6)) AS rs,
+    CAST(round({_ddwf('qy')} - 2.0
+        * (CASE WHEN x <= split_1 THEN pl ELSE pr END) * {_ddwf('sy')}
+        + CAST(nx AS DOUBLE)
+          * (CASE WHEN x <= split_1 THEN pl ELSE pr END)
+          * (CASE WHEN x <= split_1 THEN pl ELSE pr END), 6)
+      AS DECIMAL(38,6)) AS rq
+  FROM per_x CROSS JOIN best1
+), rtot AS (
+  SELECT SUM(nx) AS n, SUM(rs) AS rst, SUM(rq) AS rqt, MAX(x) AS xmax
+  FROM resid
+), rpre AS (
+  SELECT x,
+    SUM(nx) OVER wo AS nl, SUM(rs) OVER wo AS rsl, SUM(rq) OVER wo AS rql
+  FROM resid
+  WINDOW wo AS (ORDER BY x ROWS UNBOUNDED PRECEDING)
+), cand2 AS (
+  SELECT x AS s,
+    round(({_ddwf('rql')} - {_ddwf('rsl')} * {_ddwf('rsl')}
+           / CAST(nl AS DOUBLE))
+          + (({_ddwf('rqt')} - {_ddwf('rql')})
+             - ({_ddwf('rst')} - {_ddwf('rsl')})
+               * ({_ddwf('rst')} - {_ddwf('rsl')})
+               / CAST(n - nl AS DOUBLE)), 6) AS sse,
+    {_ddwf('rsl')} / CAST(nl AS DOUBLE) AS al,
+    ({_ddwf('rst')} - {_ddwf('rsl')}) / CAST(n - nl AS DOUBLE) AS ar
+  FROM rpre CROSS JOIN rtot WHERE x < xmax
+), best2 AS (
+  SELECT sse AS sse_2, s AS split_2, al, ar FROM cand2
+  QUALIFY row_number() OVER (ORDER BY sse, s) = 1
+)
+SELECT CAST(n AS BIGINT) AS n,
+  round({_ddwf('qyt')} - {_ddwf('syt')} * {_ddwf('syt')}
+        / CAST(n AS DOUBLE), 6) AS sse_base,
+  split_1,
+  round(pl, 6) AS pred_left_1, round(pr, 6) AS pred_right_1,
+  sse_1, split_2,
+  round(al, 6) AS adj_left_2, round(ar, 6) AS adj_right_2,
+  sse_2
+FROM tot CROSS JOIN best1 CROSS JOIN best2
 """

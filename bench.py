@@ -418,6 +418,8 @@ FAMILIES: dict[str, list[str]] = {
         "breslow_day_status_price",
         "token_fertility_lang",
         "bernstein_ci_order_price",
+        "dispersion_daily_events",
+        "boosted_stumps_price_qty",
     ],
 }
 

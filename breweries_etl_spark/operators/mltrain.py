@@ -675,3 +675,150 @@ def ridge2_fit(
             "explained"
         ),
     )
+
+
+def boosted_stumps_2(
+    df: DataFrame, x_col: str, y_col: str, release: bool = True
+) -> DataFrame:
+    """Two rounds of gradient boosting with depth-1 regression trees
+    (squared loss) over a BOUNDED feature domain — a real distributed
+    training loop whose every step is exact and SQL-replayable: the
+    fact table collapses ONCE to the per-x relation (n, Σy, Σy²);
+    stage 1 scores every candidate split from exact decimal prefix
+    sums and picks argmin SSE; stage 2's residual moments per x are
+    CLOSED FORMS in the stage-1 leaf constants (Σ(y−p) = Σy − n·p,
+    Σ(y−p)² = Σy² − 2pΣy + np²), so the second stump trains with NO
+    second data scan. Split ties break on the smaller x (struct-min,
+    deterministic on every engine).
+
+    The bounded-domain contract is kendall_tau_b's (candidate splits
+    = distinct x values); windows run over the ≤|dom|-row relation
+    only. Residual per-x terms round to 6 dp before the exact decimal
+    prefix sums, so nothing order-dependent survives. Output one row:
+    (n, sse_base, split_1, pred_left_1, pred_right_1, sse_1,
+    split_2, adj_left_2, adj_right_2, sse_2)."""
+    from .dedup import _release_caches
+    from breweries_etl_spark.operators.hypotests import (
+        dec_double_wide_frac,
+        quantized_money,
+    )
+
+    yq = quantized_money(F.col(y_col))
+    per_x = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("x"))
+        .agg(
+            F.count(F.lit(1)).alias("nx"),
+            F.sum(yq.cast("decimal(38,2)")).alias("sy"),
+            F.sum((yq * yq).cast("decimal(38,4)")).alias("qy"),
+        )
+        .persist()
+    )
+    per_x.count()
+    tot = per_x.agg(
+        F.sum("nx").alias("n"),
+        F.sum("sy").alias("syt"),
+        F.sum("qy").alias("qyt"),
+        F.max("x").alias("xmax"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    pre = per_x.select(
+        "x",
+        F.sum("nx").over(w).alias("nl"),
+        F.sum("sy").over(w).alias("syl"),
+        F.sum("qy").over(w).alias("qyl"),
+    ).crossJoin(F.broadcast(tot))
+    nl = F.col("nl").cast("double")
+    nr = (F.col("n") - F.col("nl")).cast("double")
+    syl = dec_double_wide_frac(F.col("syl"))
+    syr = dec_double_wide_frac(F.col("syt")) - syl
+    qyl = dec_double_wide_frac(F.col("qyl"))
+    qyr = dec_double_wide_frac(F.col("qyt")) - qyl
+    sse1 = (qyl - syl * syl / nl) + (qyr - syr * syr / nr)
+    cand = pre.filter(F.col("x") < F.col("xmax")).select(
+        F.struct(
+            F.round(sse1, 6).alias("sse"),
+            F.col("x").alias("s"),
+            (syl / nl).alias("pl"),
+            (syr / nr).alias("pr"),
+        ).alias("c")
+    )
+    best1 = cand.agg(F.min("c").alias("b")).select(
+        F.col("b.sse").alias("sse_1"),
+        F.col("b.s").alias("split_1"),
+        F.col("b.pl").alias("pl"),
+        F.col("b.pr").alias("pr"),
+    )
+    # stage 2: residual moments per x from stage-1 constants
+    staged = per_x.crossJoin(F.broadcast(best1))
+    pred = F.when(F.col("x") <= F.col("split_1"), F.col("pl")).otherwise(
+        F.col("pr")
+    )
+    nxd = F.col("nx").cast("double")
+    syd = dec_double_wide_frac(F.col("sy"))
+    qyd = dec_double_wide_frac(F.col("qy"))
+    rsum = F.round(syd - nxd * pred, 6).cast("decimal(28,6)")
+    rsq = F.round(
+        qyd - F.lit(2.0) * pred * syd + nxd * pred * pred, 6
+    ).cast("decimal(38,6)")
+    resid = staged.select(
+        "x", "nx", rsum.alias("rs"), rsq.alias("rq"),
+        "sse_1", "split_1", "pl", "pr",
+    )
+    rtot = resid.agg(
+        F.sum("nx").alias("n"),
+        F.sum("rs").alias("rst"),
+        F.sum("rq").alias("rqt"),
+        F.max("x").alias("xmax"),
+        F.max("sse_1").alias("sse_1"),
+        F.max("split_1").alias("split_1"),
+        F.max("pl").alias("pl"),
+        F.max("pr").alias("pr"),
+    )
+    rpre = resid.select(
+        "x",
+        F.sum("nx").over(w).alias("nl"),
+        F.sum("rs").over(w).alias("rsl"),
+        F.sum("rq").over(w).alias("rql"),
+    ).crossJoin(F.broadcast(rtot))
+    rnl = F.col("nl").cast("double")
+    rnr = (F.col("n") - F.col("nl")).cast("double")
+    rsl = dec_double_wide_frac(F.col("rsl"))
+    rsr = dec_double_wide_frac(F.col("rst")) - rsl
+    rql = dec_double_wide_frac(F.col("rql"))
+    rqr = dec_double_wide_frac(F.col("rqt")) - rql
+    sse2 = (rql - rsl * rsl / rnl) + (rqr - rsr * rsr / rnr)
+    cand2 = rpre.filter(F.col("x") < F.col("xmax")).select(
+        "n", "sse_1", "split_1", "pl", "pr",
+        F.struct(
+            F.round(sse2, 6).alias("sse"),
+            F.col("x").alias("s"),
+            (rsl / rnl).alias("al"),
+            (rsr / rnr).alias("ar"),
+        ).alias("c"),
+    )
+    base_sse = (
+        dec_double_wide_frac(F.col("qyt"))
+        - dec_double_wide_frac(F.col("syt"))
+        * dec_double_wide_frac(F.col("syt"))
+        / F.col("n").cast("double")
+    )
+    sse0 = tot.select(
+        F.round(base_sse, 6).alias("sse_base")
+    )
+    best2 = cand2.groupBy("n", "sse_1", "split_1", "pl", "pr").agg(
+        F.min("c").alias("b")
+    )
+    result = best2.crossJoin(F.broadcast(sse0)).select(
+        F.col("n").cast("long").alias("n"),
+        "sse_base",
+        F.col("split_1"),
+        F.round(F.col("pl"), 6).alias("pred_left_1"),
+        F.round(F.col("pr"), 6).alias("pred_right_1"),
+        F.col("sse_1"),
+        F.col("b.s").alias("split_2"),
+        F.round(F.col("b.al"), 6).alias("adj_left_2"),
+        F.round(F.col("b.ar"), 6).alias("adj_right_2"),
+        F.col("b.sse").alias("sse_2"),
+    )
+    return _release_caches(result, [per_x]) if release else result

@@ -2552,3 +2552,47 @@ def spectral_entropy_daily(
     from .dedup import _release_caches
 
     return _release_caches(result, [daily])
+
+
+def dispersion_daily_counts(
+    df: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Index of dispersion (Fano factor) of the daily EVENT COUNTS:
+    var/mean = 1 for a Poisson arrival process; ≫ 1 flags bursty
+    clustering, ≪ 1 unnatural regularity (a bot emitting on a timer,
+    or a sampled/deduplicated feed) — with the conditional-χ²
+    companion Σ(xₜ−x̄)²/x̄ (the dispersion test statistic, n−1 df).
+
+    One count-per-day shuffle to the bounded day grid; exact integer
+    count moments, fixed-double closing sequence. Output one row:
+    (n_days, mean_count, fano, dispersion_chi2)."""
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(day.alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    folded = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum((F.col("x").cast(d19) * F.col("x")).cast(d38)).alias("q"),
+    )
+    from .hypotests import dec_double_wide
+
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = (dec_double_wide(F.col("q")) - F.col("s").cast("double") * mean) / (
+        n - F.lit(1.0)
+    )
+    ok = (F.col("n") > 1) & (mean > 0)
+    return folded.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.when(F.col("n") > 0, F.round(mean, 6)).alias("mean_count"),
+        F.when(ok, F.round(var / mean, 6)).alias("fano"),
+        F.when(ok, F.round((n - F.lit(1.0)) * var / mean, 6)).alias(
+            "dispersion_chi2"
+        ),
+    )

@@ -524,3 +524,73 @@ def test_bernstein_ci_reference_and_coverage_shape(spark):
     const = spark.createDataFrame([(5.0,)] * 10, ["x"])
     r2 = bernstein_ci(const, "x").collect()[0]
     assert float(r2["half_width"]) == 0.0
+
+
+# ---------------------------------------------------------------- wave 6
+def test_dispersion_poisson_like_vs_bursty(spark):
+    import datetime
+
+    from breweries_etl_spark.operators.temporal import (
+        dispersion_daily_counts,
+    )
+
+    # constant daily counts -> variance 0 -> fano 0
+    rows = []
+    eid = 0
+    for d in range(10):
+        for _ in range(5):
+            rows.append((eid, datetime.datetime(2024, 1, 1 + d)))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts"])
+    r = dispersion_daily_counts(df).collect()[0]
+    assert r["n_days"] == 10
+    assert abs(float(r["mean_count"]) - 5.0) < 1e-9
+    assert float(r["fano"]) == 0.0
+    # bursty: alternating 1 and 9 events/day -> fano >> 1
+    rows2 = []
+    eid = 0
+    for d in range(10):
+        for _ in range(9 if d % 2 == 0 else 1):
+            rows2.append((eid, datetime.datetime(2024, 1, 1 + d)))
+            eid += 1
+    r2 = dispersion_daily_counts(
+        spark.createDataFrame(rows2, ["event_id", "ts"])
+    ).collect()[0]
+    assert float(r2["fano"]) > 2.0
+
+
+def test_boosted_stumps_reference(spark):
+    from breweries_etl_spark.operators.mltrain import boosted_stumps_2
+
+    # piecewise target: y = 10 for x<=3, 30 for x in (3,7], 50 above
+    data = []
+    for x in range(1, 11):
+        base = 10.0 if x <= 3 else (30.0 if x <= 7 else 50.0)
+        for j in range(4):
+            data.append((x, base + j))  # small within-leaf spread
+    df = spark.createDataFrame(data, ["x", "y"])
+    r = boosted_stumps_2(df, "x", "y").collect()[0]
+
+    def sse(vals):
+        m = sum(vals) / len(vals)
+        return sum((v - m) ** 2 for v in vals)
+
+    ys = [y for _, y in data]
+    # exhaustive stage-1 reference
+    best = None
+    for s in range(1, 10):
+        left = [y for x, y in data if x <= s]
+        right = [y for x, y in data if x > s]
+        cur = round(sse(left) + sse(right), 6)
+        if best is None or cur < best[0]:
+            best = (cur, s, sum(left) / len(left), sum(right) / len(right))
+    assert r["n"] == len(data)
+    assert abs(float(r["sse_base"]) - sse(ys)) < 1e-4
+    assert r["split_1"] == best[1]
+    assert abs(float(r["pred_left_1"]) - best[2]) < 1e-6
+    assert abs(float(r["pred_right_1"]) - best[3]) < 1e-6
+    assert abs(float(r["sse_1"]) - best[0]) < 1e-4
+    # boosting must strictly reduce SSE on a 3-level target
+    assert float(r["sse_2"]) < float(r["sse_1"]) < float(r["sse_base"])
+    # stage-2 split must be the OTHER boundary (3 or 7)
+    assert int(r["split_2"]) in (3, 7) and int(r["split_2"]) != r["split_1"]

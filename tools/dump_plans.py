@@ -163,7 +163,7 @@ INTERESTING = [
     "vocab_richness_docs", "turning_points_daily_value",
     "kendalls_w_nations", "capture_recapture_docs",
     "covariate_balance_lineitem", "token_fertility_lang",
-    "bernstein_ci_order_price",
+    "bernstein_ci_order_price", "dispersion_daily_events",
 ]
 
 

@@ -188,7 +188,8 @@ QUERIES = [
     "burrows_delta_sources", "brunner_munzel_price_flag",
     "covariate_balance_lineitem", "log_odds_dirichlet_lang",
     "breslow_day_status_price", "token_fertility_lang",
-    "bernstein_ci_order_price",
+    "bernstein_ci_order_price", "dispersion_daily_events",
+    "boosted_stumps_price_qty",
 ]
 
 
