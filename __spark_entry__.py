@@ -10978,6 +10978,10 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spiegelhalter_docs": q_spiegelhalter_docs,
         "uncertainty_event_dow": q_uncertainty_event_dow,
         "ad_ksample_price_flag": q_ad_ksample_price_flag,
+        "ad_ksample_standardized": q_ad_ksample_standardized,
+        "cuzick_trend_qty_flag": q_cuzick_trend_qty_flag,
+        "gk_lambda_status_priority": q_gk_lambda_status_priority,
+        "max_drawdown_daily_value": q_max_drawdown_daily_value,
         "bland_altman_doclen": q_bland_altman_doclen,
         "pinball_loss_price": q_pinball_loss_price,
         "type_mix_entropy_trend": q_type_mix_entropy_trend,
@@ -12454,7 +12458,7 @@ def q_lang_pred_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _adk_group_cte(name: str, g: str) -> str:
     return f"""{name} AS (
-  SELECT max(nn) AS nn,
+  SELECT max(nn) AS nn, max(n_i) AS n_i,
     {_ddw('SUM(t_fp)')} / 1e9 / CAST(max(n_i) AS DOUBLE) AS a_i
   FROM (
     SELECT nn, n_i,
@@ -12502,6 +12506,92 @@ allp AS (
 SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
   round({_ddwf('a')}, 6) AS ad_ksample
 FROM folded
+"""
+
+
+def q_ad_ksample_standardized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scholz-Stephens k-sample AD with the eq. 4-7 standardized form
+    (A2_kN - (k-1))/sigma_N — the run-size-free scale; sigma_N's
+    harmonic sums fold from one bucketed-prefix pipeline over
+    range(1, N) (operators/hypotests.py:ad_ksample standardized=True,
+    the round-9 ADVICE item)."""
+    from breweries_etl_spark.operators.hypotests import ad_ksample
+
+    return ad_ksample(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        ["A", "N", "R"],
+        standardized=True,
+    )
+
+
+# sigma_N twin: h_fp/g_fp are all-integer floor(10^15/.) folds (DuckDB
+# // mirrors Spark's div bit-exactly on positive operands); the pooled
+# index j = 1..N-1 derives from row_number over the pool (DuckDB range()
+# rejects subquery bounds); the eq. 4-7 polynomial mirrors the Spark
+# column expressions in exact textual order.
+_ORACLES["ad_ksample_standardized"] = f"""
+WITH {_adk_group_cte('ga', 'A')},
+{_adk_group_cte('gn', 'N')},
+{_adk_group_cte('gr', 'R')},
+allp AS (
+  SELECT nn, n_i, a_i FROM ga WHERE n_i > 0
+  UNION ALL SELECT nn, n_i, a_i FROM gn WHERE n_i > 0
+  UNION ALL SELECT nn, n_i, a_i FROM gr WHERE n_i > 0
+), folded AS (
+  SELECT max(nn) AS n, count(*) AS k,
+    SUM(CAST(round(a_i, 6) AS DECIMAL(28,6))) AS a,
+    SUM(1000000000000000 // n_i) AS hs_fp
+  FROM allp
+), pool AS (
+  SELECT l_extendedprice AS v FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_returnflag IN ('A', 'N', 'R')
+), idx AS (
+  SELECT CAST(row_number() OVER () AS BIGINT) AS j FROM pool
+  QUALIFY j <= (SELECT count(*) FROM pool) - 1
+), harm AS (
+  SELECT j, 1000000000000000 // j AS ht FROM idx
+), hcum AS (
+  SELECT j, SUM(ht) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING) AS hc,
+    SUM(ht) OVER () AS h_fp
+  FROM harm
+), gf AS (
+  SELECT max(h_fp) AS h_fp,
+    SUM((h_fp - hc) // ((SELECT count(*) FROM pool) - j)) AS g_fp
+  FROM hcum WHERE j <= (SELECT count(*) FROM pool) - 2
+), sc AS (
+  SELECT n, k, a,
+    CAST(k AS DOUBLE) AS kk, CAST(n AS DOUBLE) AS nn_d,
+    {_ddw('h_fp')} / 1e15 AS hh,
+    {_ddw('g_fp')} / 1e15 AS gg,
+    (CAST(CAST(floor(hs_fp) AS BIGINT) AS DOUBLE)
+     + CAST(hs_fp - floor(hs_fp) AS DOUBLE)) / 1e15 AS caph
+  FROM folded, gf
+), poly AS (
+  SELECT n, k, a, kk, nn_d,
+    (4.0*gg - 6.0)*(kk - 1.0) + (10.0 - 6.0*gg)*caph AS t_a,
+    (2.0*gg - 4.0)*kk*kk + 8.0*hh*kk
+      + (2.0*gg - 14.0*hh - 4.0)*caph - 8.0*hh + 4.0*gg - 6.0 AS t_b,
+    (6.0*hh + 2.0*gg - 2.0)*kk*kk + (4.0*hh - 4.0*gg + 6.0)*kk
+      + (2.0*hh - 6.0)*caph + 4.0*hh AS t_c,
+    (2.0*hh + 6.0)*kk*kk - 4.0*hh*kk AS t_d
+  FROM sc
+), sig AS (
+  SELECT n, k, a, kk, nn_d,
+    (t_a*nn_d*nn_d*nn_d + t_b*nn_d*nn_d + t_c*nn_d + t_d)
+      / ((nn_d - 1.0)*(nn_d - 2.0)*(nn_d - 3.0)) AS sig2
+  FROM poly
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+  round({_ddwf('a')}, 6) AS ad_ksample,
+  CASE WHEN sig2 > 0.0 THEN
+    round(({_ddwf('a')} / nn_d - (kk - 1.0)) / sqrt(sig2), 6)
+  END AS standardized_stat
+FROM sig
 """
 
 _ORACLES["bland_altman_doclen"] = f"""
@@ -14277,4 +14367,154 @@ SELECT CAST(n AS BIGINT) AS n,
   round(al, 6) AS adj_left_2, round(ar, 6) AS adj_right_2,
   sse_2
 FROM tot CROSS JOIN best1 CROSS JOIN best2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 7: Cuzick trend, Goodman-Kruskal lambda, max drawdown
+# ---------------------------------------------------------------------------
+
+
+def q_cuzick_trend_qty_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuzick (1985) Wilcoxon-type trend across the ordered returnflag
+    groups A < N < R on l_quantity — tie-exact midrank moments from one
+    multigroup prefix-count pass
+    (operators/hypotests.py:cuzick_trend)."""
+    from breweries_etl_spark.operators.hypotests import cuzick_trend
+
+    return cuzick_trend(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_quantity",
+        ["A", "N", "R"],
+    )
+
+
+def q_gk_lambda_status_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Goodman-Kruskal lambda (both directions + symmetric) between
+    order status and priority (operators/hypotests.py:gk_lambda)."""
+    from breweries_etl_spark.operators.hypotests import gk_lambda
+
+    return gk_lambda(
+        load_table(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+def q_max_drawdown_daily_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximum drawdown (absolute + pct-of-peak) of the daily event
+    value series (operators/temporal.py:max_drawdown_daily)."""
+    from breweries_etl_spark.operators.temporal import max_drawdown_daily
+
+    return max_drawdown_daily(load_events(spark, sf_dir))
+
+
+_ORACLES["cuzick_trend_qty_flag"] = f"""
+WITH vc AS (
+  SELECT l_quantity AS v,
+    SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS c0,
+    SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS c1,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c2
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+    AND l_returnflag IN ('A', 'N', 'R')
+  GROUP BY 1
+), pc AS (
+  SELECT c0, c1, c2, (c0 + c1 + c2) AS l,
+    SUM(c0 + c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vc
+), mid AS (
+  SELECT c0, c1, c2, l,
+    CAST(2 * cum - l + 1 AS HUGEINT) AS mid2
+  FROM pc
+), folded AS (
+  SELECT SUM(c0) AS n0, SUM(c1) AS n1, SUM(c2) AS n2,
+    SUM(CAST(c0 AS HUGEINT) * mid2) AS r2_0,
+    SUM(CAST(c1 AS HUGEINT) * mid2) AS r2_1,
+    SUM(CAST(c2 AS HUGEINT) * mid2) AS r2_2,
+    SUM(CAST(l AS HUGEINT) * mid2 * mid2) AS ss4
+  FROM mid
+), scalars AS (
+  SELECT (n0 + n1 + n2) AS n,
+    (r2_0 * 0 + r2_1 * 1 + r2_2 * 2) AS t2,
+    (n0 * 0 + n1 * 1 + n2 * 2) AS snl,
+    (n0 * 0 + n1 * 1 + n2 * 4) AS snl2,
+    ss4
+  FROM folded
+), dbl AS (
+  SELECT n,
+    {_ddw('t2')} / 2.0 AS t_stat,
+    CAST(snl AS DOUBLE) AS snl_d, CAST(snl2 AS DOUBLE) AS snl2_d,
+    CAST(n AS DOUBLE) AS nd,
+    {_ddw('ss4')} / 4.0 AS ssq
+  FROM scalars
+), fin AS (
+  SELECT n, t_stat, nd,
+    snl_d * (nd + 1.0) / 2.0 AS e_t,
+    (snl2_d - snl_d * snl_d / nd)
+      * (ssq - nd * ((nd + 1.0) / 2.0) * ((nd + 1.0) / 2.0))
+      / (nd - 1.0) AS var_t
+  FROM dbl
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k_groups,
+  round(t_stat, 6) AS t_stat,
+  CASE WHEN n > 0 THEN round(e_t, 6) END AS expected_t,
+  CASE WHEN n > 1 AND var_t > 0
+    THEN round((t_stat - e_t) / sqrt(var_t), 6) END AS z_score
+FROM fin
+"""
+
+_ORACLES["gk_lambda_status_priority"] = """
+WITH cells AS (
+  SELECT o_orderstatus AS x, o_orderpriority AS y, count(*) AS c
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+), per_x AS (
+  SELECT x, max(c) AS mx_c, sum(c) AS row_c FROM cells GROUP BY x
+), per_y AS (
+  SELECT y, max(c) AS my_c, sum(c) AS col_c FROM cells GROUP BY y
+), tot AS (
+  SELECT sum(c) AS n, count(*) AS n_cells FROM cells
+), fx AS (
+  SELECT sum(mx_c) AS sum_max_y, max(row_c) AS max_row FROM per_x
+), fy AS (
+  SELECT sum(my_c) AS sum_max_x, max(col_c) AS max_col FROM per_y
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+  CASE WHEN CAST(n AS DOUBLE) > CAST(max_col AS DOUBLE) THEN
+    round((CAST(sum_max_y AS DOUBLE) - CAST(max_col AS DOUBLE))
+          / (CAST(n AS DOUBLE) - CAST(max_col AS DOUBLE)), 6)
+  END AS lambda_y_given_x,
+  CASE WHEN CAST(n AS DOUBLE) > CAST(max_row AS DOUBLE) THEN
+    round((CAST(sum_max_x AS DOUBLE) - CAST(max_row AS DOUBLE))
+          / (CAST(n AS DOUBLE) - CAST(max_row AS DOUBLE)), 6)
+  END AS lambda_x_given_y,
+  CASE WHEN 2.0 * CAST(n AS DOUBLE)
+         > CAST(max_col AS DOUBLE) + CAST(max_row AS DOUBLE) THEN
+    round((CAST(sum_max_y AS DOUBLE) + CAST(sum_max_x AS DOUBLE)
+           - CAST(max_col AS DOUBLE) - CAST(max_row AS DOUBLE))
+          / (2.0 * CAST(n AS DOUBLE)
+             - CAST(max_col AS DOUBLE) - CAST(max_row AS DOUBLE)), 6)
+  END AS lambda_sym
+FROM tot, fx, fy
+"""
+
+_ORACLES["max_drawdown_daily_value"] = f"""
+WITH {_DAILY_EVENTS},
+walked AS (
+  SELECT y,
+    MAX(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
+  FROM daily
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+  CAST(max(peak) AS DOUBLE) AS peak_value,
+  CAST(max(peak - y) AS DOUBLE) AS max_drawdown,
+  round(max(CASE WHEN peak > 0 THEN
+    CAST(peak - y AS DOUBLE) / CAST(peak AS DOUBLE) END), 6)
+    AS max_drawdown_pct
+FROM walked
 """

@@ -420,6 +420,10 @@ FAMILIES: dict[str, list[str]] = {
         "bernstein_ci_order_price",
         "dispersion_daily_events",
         "boosted_stumps_price_qty",
+        "ad_ksample_standardized",
+        "cuzick_trend_qty_flag",
+        "gk_lambda_status_priority",
+        "max_drawdown_daily_value",
     ],
 }
 

@@ -2596,3 +2596,46 @@ def dispersion_daily_counts(
             "dispersion_chi2"
         ),
     )
+
+
+def max_drawdown_daily(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Maximum drawdown of the daily-total series — the deepest drop
+    from a running peak, in absolute units and as a fraction of that
+    peak: the single number an ops dashboard reads to answer "how bad
+    did the worst slump get before recovery". dd_t = peak_t − y_t with
+    peak_t = max(y_1..y_t); the report is max_t dd_t and
+    max_t dd_t/peak_t (the two maxima are taken independently — they
+    can land on different days when peaks differ, which is the
+    convention that keeps the output scalar and deterministic).
+
+    The fact table collapses to the bounded day relation first
+    (``_daily_series``); the running peak is a window over that
+    ≤ #days-row relation only (the calendar-bounded-window
+    discipline). Daily totals are exact decimal(18,2), so drawdowns
+    are exact decimals; the pct path guards peak_t > 0. Output one
+    row: (n_days, peak_value, max_drawdown, max_drawdown_pct)."""
+    daily = _daily_series(df, ts_col, value_col)
+    win = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    walked = daily.select(
+        "y", F.max("y").over(win).alias("peak")
+    )
+    dd = F.col("peak") - F.col("y")
+    folded = walked.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("peak").alias("peak_value"),
+        F.max(dd).alias("max_dd"),
+        F.max(
+            F.when(
+                F.col("peak") > 0,
+                dd.cast("double") / F.col("peak").cast("double"),
+            )
+        ).alias("max_dd_pct"),
+    )
+    return folded.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("peak_value").cast("double").alias("peak_value"),
+        F.col("max_dd").cast("double").alias("max_drawdown"),
+        F.round(F.col("max_dd_pct"), 6).alias("max_drawdown_pct"),
+    )

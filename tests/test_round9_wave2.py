@@ -1,0 +1,173 @@
+"""Round-9 wave-7 operators against independent references:
+standardized k-sample AD (Scholz-Stephens published value), Cuzick
+trend, Goodman-Kruskal lambda, max drawdown."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from breweries_etl_spark.operators.hypotests import (
+    ad_ksample,
+    cuzick_trend,
+    gk_lambda,
+)
+from breweries_etl_spark.operators.temporal import max_drawdown_daily
+
+# Scholz & Stephens (1987) Table 1 laboratory smoothness data
+_T1 = [38.7, 41.5, 43.8, 44.5, 45.5, 46.0, 47.7, 58.0]
+_T2 = [39.2, 39.3, 39.7, 41.4, 41.8, 42.9, 43.3, 45.8]
+_T3 = [34.0, 35.0, 39.0, 40.0, 43.0, 43.0, 44.0, 45.0]
+_T4 = [34.0, 34.8, 34.8, 35.4, 37.2, 37.8, 41.2, 42.8]
+
+
+def test_ad_ksample_standardized_published_value(spark):
+    """The paper reports A2kN = 8.3559, sigma_N = 1.2038, standardized
+    T = 4.449 for the 4-lab smoothness data (right-continuous form).
+    Our raw column is N*A2kN (documented)."""
+    rows = (
+        [(v, "g1") for v in _T1]
+        + [(v, "g2") for v in _T2]
+        + [(v, "g3") for v in _T3]
+        + [(v, "g4") for v in _T4]
+    )
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = ad_ksample(
+        df, "g", "v", ["g1", "g2", "g3", "g4"], standardized=True
+    ).collect()[0]
+    assert r["n"] == 32 and r["k_groups"] == 4
+    assert abs(r["ad_ksample"] / 32.0 - 8.3559) < 2e-4
+    assert abs(r["standardized_stat"] - 4.4493) < 2e-3
+
+
+def test_ad_ksample_standardized_small_n_null(spark):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "b"), (3.0, "a")], ["v", "g"]
+    )
+    r = ad_ksample(df, "g", "v", ["a", "b"], standardized=True).collect()[0]
+    assert r["standardized_stat"] is None  # N < 4: sigma_N undefined
+
+
+def _cuzick_reference(samples):
+    """Direct midrank implementation of the linear-rank moments."""
+    pooled = sorted(v for s in samples for v in s)
+    n = len(pooled)
+
+    def midrank(v):
+        lo = sum(1 for s in pooled if s < v)
+        eq = sum(1 for s in pooled if s == v)
+        return lo + (eq + 1) / 2.0
+
+    t = sum(
+        li * sum(midrank(v) for v in s) for li, s in enumerate(samples)
+    )
+    snl = sum(li * len(s) for li, s in enumerate(samples))
+    snl2 = sum(li * li * len(s) for li, s in enumerate(samples))
+    sbar = (n + 1) / 2.0
+    ssq = sum(midrank(v) ** 2 for v in pooled)
+    e_t = snl * sbar
+    var_t = (snl2 - snl * snl / n) * (ssq - n * sbar * sbar) / (n - 1)
+    return t, e_t, (t - e_t) / math.sqrt(var_t)
+
+
+def test_cuzick_trend_matches_reference(spark):
+    g0 = [2.0, 3.0, 3.0, 4.0, 5.0, 2.0]
+    g1 = [3.0, 4.0, 4.0, 5.0, 6.0]
+    g2 = [5.0, 5.0, 6.0, 7.0, 8.0, 6.0, 4.0]
+    rows = (
+        [(v, "low") for v in g0]
+        + [(v, "mid") for v in g1]
+        + [(v, "high") for v in g2]
+    )
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = cuzick_trend(df, "g", "v", ["low", "mid", "high"]).collect()[0]
+    t_ref, e_ref, z_ref = _cuzick_reference([g0, g1, g2])
+    assert r["n"] == 18 and r["k_groups"] == 3
+    assert abs(r["t_stat"] - t_ref) < 1e-6
+    assert abs(r["expected_t"] - e_ref) < 1e-6
+    assert abs(r["z_score"] - z_ref) < 1e-5
+
+
+def test_cuzick_no_trend_is_near_zero(spark):
+    # identical distributions in every group: z should be small
+    rows = [
+        (float(v), g)
+        for g in ("a", "b", "c")
+        for v in (1, 2, 3, 4, 5, 6, 7, 8)
+    ]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = cuzick_trend(df, "g", "v", ["a", "b", "c"]).collect()[0]
+    assert abs(r["z_score"]) < 1e-9  # exactly balanced midranks
+
+
+def test_gk_lambda_hand_example(spark):
+    # classic 2x2: Y fully determined by X -> lambda(Y|X)=1
+    rows = [("a", "p")] * 10 + [("b", "q")] * 10
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = gk_lambda(df, "x", "y").collect()[0]
+    assert r["lambda_y_given_x"] == 1.0
+    assert r["lambda_x_given_y"] == 1.0
+    assert r["lambda_sym"] == 1.0
+
+
+def test_gk_lambda_independence_zero(spark):
+    # uniform independent table: knowing X never improves the modal
+    # guess -> all lambdas 0
+    rows = [
+        (x, y) for x in ("a", "b") for y in ("p", "q") for _ in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = gk_lambda(df, "x", "y").collect()[0]
+    assert r["lambda_y_given_x"] == 0.0
+    assert r["lambda_x_given_y"] == 0.0
+    assert r["lambda_sym"] == 0.0
+
+
+def test_gk_lambda_asymmetric(spark):
+    # Goodman & Kruskal-style asymmetric table: column var predicts
+    # row var perfectly but not conversely
+    rows = (
+        [("a", "p")] * 6 + [("b", "p")] * 4
+        + [("a", "q")] * 0 + [("b", "q")] * 5
+    )
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = gk_lambda(df, "x", "y").collect()[0]
+    # by hand: N=15, cells a/p=6 b/p=4 b/q=5
+    # lambda(Y|X): sum_x max_y = 6 + 5 = 11; max col marginal: p=10
+    #   -> (11-10)/(15-10) = 0.2
+    # lambda(X|Y): sum_y max_x = 6 (p) + 5 (q) = 11; max row: b=9
+    #   -> (11-9)/(15-9) = 2/6
+    assert abs(r["lambda_y_given_x"] - 0.2) < 1e-9
+    assert abs(r["lambda_x_given_y"] - 2.0 / 6.0) < 1e-6
+    assert abs(r["lambda_sym"] - (11 + 11 - 10 - 9) / (30 - 10 - 9)) < 1e-6
+
+
+def test_max_drawdown_hand_series(spark):
+    # days: values 10, 14, 9, 12, 6, 8 -> running peaks
+    # 10,14,14,14,14,14; drawdowns 0,0,5,2,8,6 -> max 8, pct 8/14
+    rows = [
+        ("2024-01-0%d 12:00:00" % (i + 1), v)
+        for i, v in enumerate([10.0, 14.0, 9.0, 12.0, 6.0, 8.0])
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"]).select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    r = max_drawdown_daily(df).collect()[0]
+    assert r["n_days"] == 6
+    assert r["peak_value"] == 14.0
+    assert r["max_drawdown"] == 8.0
+    assert abs(r["max_drawdown_pct"] - 8.0 / 14.0) < 1e-6
+
+
+def test_max_drawdown_monotone_rise_is_zero(spark):
+    rows = [
+        ("2024-02-0%d 00:30:00" % (i + 1), float(v))
+        for i, v in enumerate([1, 2, 3, 4, 5])
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"]).select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    r = max_drawdown_daily(df).collect()[0]
+    assert r["max_drawdown"] == 0.0
+    assert r["max_drawdown_pct"] == 0.0

@@ -164,6 +164,8 @@ INTERESTING = [
     "kendalls_w_nations", "capture_recapture_docs",
     "covariate_balance_lineitem", "token_fertility_lang",
     "bernstein_ci_order_price", "dispersion_daily_events",
+    "ad_ksample_standardized", "cuzick_trend_qty_flag",
+    "gk_lambda_status_priority", "max_drawdown_daily_value",
 ]
 
 

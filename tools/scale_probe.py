@@ -189,7 +189,9 @@ QUERIES = [
     "covariate_balance_lineitem", "log_odds_dirichlet_lang",
     "breslow_day_status_price", "token_fertility_lang",
     "bernstein_ci_order_price", "dispersion_daily_events",
-    "boosted_stumps_price_qty",
+    "boosted_stumps_price_qty", "ad_ksample_standardized",
+    "cuzick_trend_qty_flag", "gk_lambda_status_priority",
+    "max_drawdown_daily_value",
 ]
 
 
