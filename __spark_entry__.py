@@ -10982,6 +10982,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuzick_trend_qty_flag": q_cuzick_trend_qty_flag,
         "gk_lambda_status_priority": q_gk_lambda_status_priority,
         "max_drawdown_daily_value": q_max_drawdown_daily_value,
+        "youden_j_order_status": q_youden_j_order_status,
+        "bws_test_price_status": q_bws_test_price_status,
+        "mardia_kurtosis_price_qty": q_mardia_kurtosis_price_qty,
         "bland_altman_doclen": q_bland_altman_doclen,
         "pinball_loss_price": q_pinball_loss_price,
         "type_mix_entropy_trend": q_type_mix_entropy_trend,
@@ -14517,4 +14520,181 @@ SELECT CAST(count(*) AS BIGINT) AS n_days,
     CAST(peak - y AS DOUBLE) / CAST(peak AS DOUBLE) END), 6)
     AS max_drawdown_pct
 FROM walked
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 8: Youden J, BWS two-sample, Mardia kurtosis
+# ---------------------------------------------------------------------------
+
+
+def q_youden_j_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden-J optimal threshold of order price vs finished status —
+    exact-integer argmax over the prefix-count relation, struct-max
+    pick (operators/hypotests.py:youden_j)."""
+    from breweries_etl_spark.operators.hypotests import youden_j
+
+    o = load_table(spark, sf_dir, "orders")
+    return youden_j(o, "o_totalprice", F.col("o_orderstatus") == "F")
+
+
+def q_bws_test_price_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baumgartner-Weiss-Schindler tail-sensitive two-sample test of
+    l_extendedprice between open and finished line items
+    (operators/hypotests.py:bws_test)."""
+    from breweries_etl_spark.operators.hypotests import bws_test
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return bws_test(li, "l_extendedprice", F.col("l_linestatus") == "O")
+
+
+def q_mardia_kurtosis_price_qty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mardia bivariate kurtosis of (price, quantity) — joint-tail
+    normality screen, two map-combinable scans
+    (operators/hypotests.py:mardia_kurtosis)."""
+    from breweries_etl_spark.operators.hypotests import mardia_kurtosis
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return mardia_kurtosis(li, "l_extendedprice", "l_quantity")
+
+
+_ORACLES["youden_j_order_status"] = f"""
+WITH vc AS (
+  SELECT o_totalprice AS v,
+    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS cb
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+), pc AS (
+  SELECT v, ca, cb,
+    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+    SUM(ca) OVER () AS n_pos, SUM(cb) OVER () AS n_neg
+  FROM vc
+), cand AS (
+  SELECT n_pos, n_neg, v, cum_a, cum_b,
+    CAST(n_neg * (n_pos - cum_a) - n_pos * (n_neg - cum_b) AS HUGEINT)
+      AS jnum
+  FROM pc
+), best AS (
+  SELECT * FROM cand
+  QUALIFY row_number() OVER (ORDER BY jnum DESC, v ASC) = 1
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+  CAST(v AS DOUBLE) AS best_threshold,
+  CASE WHEN n_pos > 0 THEN
+    round((CAST(n_pos AS DOUBLE) - CAST(cum_a AS DOUBLE))
+          / CAST(n_pos AS DOUBLE), 6) END AS tpr,
+  CASE WHEN n_neg > 0 THEN
+    round((CAST(n_neg AS DOUBLE) - CAST(cum_b AS DOUBLE))
+          / CAST(n_neg AS DOUBLE), 6) END AS fpr,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+    round({_dd('jnum')}
+          / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+  END AS youden_j
+FROM best
+"""
+
+
+def _bws_side_cte(tag: str, c: str, cum: str, n_own: str, n_oth: str) -> str:
+    return f"""e{tag} AS (
+  SELECT n_own,
+    CAST(floor(dev * dev / den * 1e9) AS HUGEINT) AS t_fp
+  FROM (
+    SELECT {n_own} AS n_own,
+      CAST(mid2 AS DOUBLE) / 2.0
+        - (CAST({n_own} AS DOUBLE) + CAST({n_oth} AS DOUBLE))
+          / CAST({n_own} AS DOUBLE) * CAST(i AS DOUBLE) AS dev,
+      (CAST(i AS DOUBLE) / (CAST({n_own} AS DOUBLE) + 1.0))
+        * (1.0 - CAST(i AS DOUBLE) / (CAST({n_own} AS DOUBLE) + 1.0))
+        * (CAST({n_oth} AS DOUBLE)
+           * (CAST({n_own} AS DOUBLE) + CAST({n_oth} AS DOUBLE))
+           / CAST({n_own} AS DOUBLE)) AS den
+    FROM (
+      SELECT mid2, {n_own}, {n_oth},
+        unnest(generate_series(CAST({cum} - {c} + 1 AS BIGINT),
+                               CAST({cum} AS BIGINT))) AS i
+      FROM mid WHERE {c} > 0
+    )
+  )
+), f{tag} AS (
+  SELECT max(n_own) AS fold_n_{tag}, SUM(t_fp) AS fold_t_{tag} FROM e{tag}
+)"""
+
+
+_ORACLES["bws_test_price_status"] = f"""
+WITH vc AS (
+  SELECT l_extendedprice AS v,
+    SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN l_linestatus = 'O' THEN 0 ELSE 1 END) AS cb
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), pc AS (
+  SELECT v, ca, cb,
+    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+    SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b
+  FROM vc
+), mid AS (
+  SELECT ca, cb, cum_a, cum_b, n_a, n_b,
+    (2 * (cum_a + cum_b) - (ca + cb) + 1) AS mid2
+  FROM pc
+), {_bws_side_cte('ca', 'ca', 'cum_a', 'n_a', 'n_b')},
+{_bws_side_cte('cb', 'cb', 'cum_b', 'n_b', 'n_a')}
+SELECT CAST(fold_n_ca AS BIGINT) AS n_a,
+  CAST(fold_n_cb AS BIGINT) AS n_b,
+  round({_ddw('fold_t_ca')} / 1e9 / CAST(fold_n_ca AS DOUBLE), 6) AS b_a,
+  round({_ddw('fold_t_cb')} / 1e9 / CAST(fold_n_cb AS DOUBLE), 6) AS b_b,
+  round(({_ddw('fold_t_ca')} / 1e9 / CAST(fold_n_ca AS DOUBLE)
+         + {_ddw('fold_t_cb')} / 1e9 / CAST(fold_n_cb AS DOUBLE))
+        / 2.0, 6) AS bws_b
+FROM fca, fcb
+"""
+
+_MARDIA_MX = f"{_ddwf('sx')} / CAST(n AS DOUBLE)"
+_MARDIA_MY = f"{_ddwf('sy')} / CAST(n AS DOUBLE)"
+
+_ORACLES["mardia_kurtosis_price_qty"] = f"""
+WITH base AS (
+  SELECT {_qm8('l_extendedprice')} AS xq, {_qm8('l_quantity')} AS yq
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+), sums AS (
+  SELECT count(*) AS n, SUM(xq) AS sx, SUM(yq) AS sy,
+    SUM(CAST(xq * xq AS DECIMAL(38,4))) AS sxx,
+    SUM(CAST(yq * yq AS DECIMAL(38,4))) AS syy,
+    SUM(CAST(xq * yq AS DECIMAL(38,4))) AS sxy
+  FROM base
+), mom AS (
+  SELECT n, {_MARDIA_MX} AS mx, {_MARDIA_MY} AS my,
+    {_ddwf('sxx')} / CAST(n AS DOUBLE)
+      - ({_MARDIA_MX}) * ({_MARDIA_MX}) AS vxx,
+    {_ddwf('syy')} / CAST(n AS DOUBLE)
+      - ({_MARDIA_MY}) * ({_MARDIA_MY}) AS vyy,
+    {_ddwf('sxy')} / CAST(n AS DOUBLE)
+      - ({_MARDIA_MX}) * ({_MARDIA_MY}) AS vxy
+  FROM sums
+), per AS (
+  SELECT n, vxx, vyy, vxy, (vxx * vyy - vxy * vxy) AS det,
+    CAST(xq AS DOUBLE) - mx AS dx, CAST(yq AS DOUBLE) - my AS dy
+  FROM base, mom
+), terms AS (
+  SELECT n, CASE WHEN det > 0 THEN CAST(floor(
+    (vyy * (dx * dx) - 2.0 * vxy * (dx * dy) + vxx * (dy * dy)) / det
+    * ((vyy * (dx * dx) - 2.0 * vxy * (dx * dy) + vxx * (dy * dy))
+       / det)
+    * 1e9) AS HUGEINT) END AS q_fp
+  FROM per
+), folded AS (
+  SELECT max(n) AS n, SUM(q_fp) AS qq_fp FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CASE WHEN qq_fp IS NOT NULL THEN
+    round({_ddw('qq_fp')} / 1e9 / CAST(n AS DOUBLE), 6)
+  END AS b2_kurtosis,
+  CASE WHEN qq_fp IS NOT NULL AND n > 0 THEN
+    round(({_ddw('qq_fp')} / 1e9 / CAST(n AS DOUBLE) - 8.0)
+          / sqrt(32.0 / CAST(n AS DOUBLE)), 6)
+  END AS z_score
+FROM folded
 """

@@ -424,6 +424,9 @@ FAMILIES: dict[str, list[str]] = {
         "cuzick_trend_qty_flag",
         "gk_lambda_status_priority",
         "max_drawdown_daily_value",
+        "youden_j_order_status",
+        "bws_test_price_status",
+        "mardia_kurtosis_price_qty",
     ],
 }
 

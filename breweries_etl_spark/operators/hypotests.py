@@ -5342,3 +5342,236 @@ def gk_lambda(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.round(lam_xy, 6).alias("lambda_x_given_y"),
         F.round(lam_sym, 6).alias("lambda_sym"),
     )
+
+
+def youden_j(
+    df: DataFrame,
+    score_col: str,
+    label_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Youden's J optimal operating point — the threshold that
+    maximizes TPR − FPR for a numeric score against a binary label
+    (predict positive when score > v), the single-threshold companion
+    to ``roc_auc`` (which integrates over all thresholds) and
+    ``score_decile_lift`` (which fixes the grid).
+
+    Rides the bucketed prefix-count primitive: at each distinct score
+    v, TP = n_pos − cum_a(v) and FP = n_neg − cum_b(v), so the argmax
+    orders by the EXACT INTEGER J numerator
+    n_neg·(n_pos − cum_a) − n_pos·(n_neg − cum_b) (no double compare
+    can diverge between engines), tie-broken toward the smallest
+    threshold via a struct-max — scan-parallel, no window over the
+    value domain. The all-positive and all-negative baselines both
+    score J = 0 and the v = max row is J = 0 exactly, so the report is
+    never negative. Output one row: (n_pos, n_neg, best_threshold,
+    tpr, fpr, youden_j)."""
+    pc = grouped_value_prefix_counts(df, score_col, label_expr, n_buckets)
+    tot = pc.agg(F.sum("ca").alias("n_pos"), F.sum("cb").alias("n_neg"))
+    d19 = "decimal(19,0)"
+    jnum = (
+        F.col("n_neg").cast(d19)
+        * (F.col("n_pos") - F.col("cum_a")).cast(d19)
+        - F.col("n_pos").cast(d19)
+        * (F.col("n_neg") - F.col("cum_b")).cast(d19)
+    ).cast("decimal(38,0)")
+    base = pc.crossJoin(F.broadcast(tot)).select(
+        "n_pos",
+        "n_neg",
+        F.struct(
+            jnum.alias("jnum"),
+            (-F.col("v").cast("double")).alias("neg_v"),
+            F.col("cum_a").alias("cum_a"),
+            F.col("cum_b").alias("cum_b"),
+        ).alias("cand"),
+    )
+    folded = base.agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n_neg").alias("n_neg"),
+        F.max("cand").alias("best"),
+    )
+    np_ = F.col("n_pos").cast("double")
+    nn = F.col("n_neg").cast("double")
+    tpr = (np_ - F.col("best.cum_a").cast("double")) / np_
+    fpr = (nn - F.col("best.cum_b").cast("double")) / nn
+    return _released(
+        folded.select(
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            (-F.col("best.neg_v")).alias("best_threshold"),
+            F.when(F.col("n_pos") > 0, F.round(tpr, 6)).alias("tpr"),
+            F.when(F.col("n_neg") > 0, F.round(fpr, 6)).alias("fpr"),
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.round(
+                    dec_double(F.col("best.jnum")) / (np_ * nn), 6
+                ),
+            ).alias("youden_j"),
+        ),
+        pc,
+        release,
+    )
+
+
+def bws_test(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Baumgartner–Weiß–Schindler two-sample B statistic (1998) — the
+    rank test whose variance-weighted squared rank deviations put
+    power in the TAILS, where KS and Mann-Whitney are weakest:
+    B = (B_X + B_Y)/2,
+    B_X = (1/n)·Σᵢ (Rᵢ − (m+n)/n·i)² / [(i/(n+1))(1 − i/(n+1))·m(m+n)/n]
+    with Rᵢ the pooled MIDRANK of the i-th ordered X element.
+
+    One bucketed prefix-count pass gives, per distinct value, the
+    pooled midrank (mid2 = 2·cum − l + 1, exact half-units) and the
+    within-group index RUN (cum_g − c_g, cum_g]; the run explodes via
+    ``sequence`` back to per-element granularity (Σ run lengths = n —
+    the relation is fact-sized, never quadratic; runs are guarded
+    c > 0 because Spark's sequence STEPS BACKWARD on an empty range —
+    the round-9 spectral lesson). Per-element terms accumulate as
+    floor(·10⁹) fixed point, so both engines fold bit-identically.
+    TIE-RUN CAVEAT (documented): a single value held by t rows of one
+    group materializes a t-element index array; intended for
+    near-distinct score domains (prices, measurements) — heavy-tie
+    ordinal domains should prefer ``cvm_test``/``ad_ksample``.
+    Output one row: (n_a, n_b, b_a, b_b, bws_b)."""
+    pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
+    tot = pc.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    base = pc.crossJoin(F.broadcast(tot))
+    mid2 = (
+        F.lit(2) * (F.col("cum_a") + F.col("cum_b"))
+        - (F.col("ca") + F.col("cb"))
+        + F.lit(1)
+    )
+
+    def side_fold(c_col: str, cum_col: str, n_own: str, n_other: str):
+        rows = base.filter(F.col(c_col) > 0).select(
+            mid2.alias("mid2"),
+            F.col(n_own).alias("n_own"),
+            F.col(n_other).alias("n_oth"),
+            F.explode(
+                F.sequence(
+                    F.col(cum_col) - F.col(c_col) + F.lit(1),
+                    F.col(cum_col),
+                )
+            ).alias("i"),
+        )
+        no = F.col("n_own").cast("double")
+        nt = F.col("n_oth").cast("double")
+        nn = no + nt
+        i_d = F.col("i").cast("double")
+        r = F.col("mid2").cast("double") / F.lit(2.0)
+        dev = r - nn / no * i_d
+        denom = (
+            (i_d / (no + F.lit(1.0)))
+            * (F.lit(1.0) - i_d / (no + F.lit(1.0)))
+            * (nt * nn / no)
+        )
+        t_fp = F.floor(dev * dev / denom * F.lit(1e9)).cast(
+            "decimal(38,0)"
+        )
+        return rows.agg(
+            F.max("n_own").alias(f"fold_n_{c_col}"),
+            F.sum(t_fp).alias(f"fold_t_{c_col}"),
+        )
+    fa = side_fold("ca", "cum_a", "n_a", "n_b")
+    fb = side_fold("cb", "cum_b", "n_b", "n_a")
+    j = fa.crossJoin(F.broadcast(fb))
+    b_a = (
+        dec_double_wide(F.col("fold_t_ca"))
+        / F.lit(1e9)
+        / F.col("fold_n_ca").cast("double")
+    )
+    b_b = (
+        dec_double_wide(F.col("fold_t_cb"))
+        / F.lit(1e9)
+        / F.col("fold_n_cb").cast("double")
+    )
+    return _released(
+        j.select(
+            F.col("fold_n_ca").cast("long").alias("n_a"),
+            F.col("fold_n_cb").cast("long").alias("n_b"),
+            F.round(b_a, 6).alias("b_a"),
+            F.round(b_b, 6).alias("b_b"),
+            F.round((b_a + b_b) / F.lit(2.0), 6).alias("bws_b"),
+        ),
+        pc,
+        release,
+    )
+
+
+def mardia_kurtosis(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Mardia's multivariate kurtosis b₂,₂ for a numeric pair — the
+    bivariate normality screen that catches JOINT tail behavior the
+    marginal ``jarque_bera`` cannot see (two normal marginals can
+    still have a wildly non-normal copula): b₂,d = mean[((x−μ)ᵀ S⁻¹
+    (x−μ))²] with S the MLE covariance; under normality E = d(d+2) = 8
+    and z = (b₂ − 8)/√(32/n) (Mardia 1970).
+
+    TWO map-side-combinable fact scans, by design: pass 1 folds the
+    exact decimal moments (the quantized_money grid), pass 2 computes
+    the per-row quadratic form against the BROADCAST 1-row moment
+    relation — the centered two-pass form avoids the catastrophic
+    cancellation a raw-4th-moment expansion would hit at money
+    magnitudes (μ⁴ ≈ 10²⁰ vs centered q ≈ 10⁰). Per-row q² accumulates
+    as floor(·10⁹) fixed point: deterministic on both engines. Output
+    one row: (n, b2_kurtosis, z_score)."""
+    xq = quantized_money(F.col(x_col))
+    yq = quantized_money(F.col(y_col))
+
+    def prod(a, b):
+        return F.sum((a * b).cast("decimal(38,4)"))
+
+    filtered = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    sums = filtered.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xq).alias("sx"),
+        F.sum(yq).alias("sy"),
+        prod(xq, xq).alias("sxx"),
+        prod(yq, yq).alias("syy"),
+        prod(xq, yq).alias("sxy"),
+    )
+    per_row = filtered.select(
+        xq.cast("double").alias("xd"), yq.cast("double").alias("yd")
+    ).crossJoin(F.broadcast(sums))
+    n_d = F.col("n").cast("double")
+    mx = dec_double_wide_frac(F.col("sx")) / n_d
+    my = dec_double_wide_frac(F.col("sy")) / n_d
+    vxx = dec_double_wide_frac(F.col("sxx")) / n_d - mx * mx
+    vyy = dec_double_wide_frac(F.col("syy")) / n_d - my * my
+    vxy = dec_double_wide_frac(F.col("sxy")) / n_d - mx * my
+    det = vxx * vyy - vxy * vxy
+    dx = F.col("xd") - mx
+    dy = F.col("yd") - my
+    # S^-1 = [[vyy, -vxy], [-vxy, vxx]] / det
+    q = (
+        vyy * (dx * dx) - F.lit(2.0) * vxy * (dx * dy) + vxx * (dy * dy)
+    ) / det
+    q_fp = F.when(
+        det > 0, F.floor(q * q * F.lit(1e9)).cast("decimal(38,0)")
+    )
+    folded = per_row.agg(
+        F.max("n").alias("n"), F.sum(q_fp).alias("qq_fp")
+    )
+    nn = F.col("n").cast("double")
+    b2 = dec_double_wide(F.col("qq_fp")) / F.lit(1e9) / nn
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(F.col("qq_fp").isNotNull(), F.round(b2, 6)).alias(
+            "b2_kurtosis"
+        ),
+        F.when(
+            F.col("qq_fp").isNotNull() & (F.col("n") > 0),
+            F.round(
+                (b2 - F.lit(8.0)) / F.sqrt(F.lit(32.0) / nn), 6
+            ),
+        ).alias("z_score"),
+    )

@@ -171,3 +171,135 @@ def test_max_drawdown_monotone_rise_is_zero(spark):
     r = max_drawdown_daily(df).collect()[0]
     assert r["max_drawdown"] == 0.0
     assert r["max_drawdown_pct"] == 0.0
+
+
+# ---- wave 8: Youden J, BWS, Mardia kurtosis ----
+
+from breweries_etl_spark.operators.hypotests import (  # noqa: E402
+    bws_test,
+    mardia_kurtosis,
+    youden_j,
+)
+
+
+def test_youden_j_matches_brute_force(spark):
+    scores = [
+        (0.1, 0), (0.2, 0), (0.3, 1), (0.35, 0), (0.5, 1),
+        (0.6, 1), (0.7, 0), (0.8, 1), (0.9, 1),
+    ]
+    df = spark.createDataFrame(scores, ["s", "y"])
+    r = youden_j(df, "s", F.col("y") == 1).collect()[0]
+    n_pos = sum(1 for _, y in scores if y)
+    n_neg = len(scores) - n_pos
+    best = (-1.0, None)
+    for v in sorted({s for s, _ in scores}):
+        tp = sum(1 for s, y in scores if y and s > v)
+        fp = sum(1 for s, y in scores if not y and s > v)
+        j = tp / n_pos - fp / n_neg
+        if j > best[0] + 1e-12:
+            best = (j, v)
+    assert r["n_pos"] == n_pos and r["n_neg"] == n_neg
+    assert abs(r["youden_j"] - best[0]) < 1e-6
+    assert abs(r["best_threshold"] - best[1]) < 1e-12
+    assert abs((r["tpr"] - r["fpr"]) - r["youden_j"]) < 2e-6
+
+
+def test_youden_j_useless_score_is_zero(spark):
+    # label independent of score: every threshold keeps TPR == FPR
+    rows = [(float(i), i % 2) for i in range(1, 21)]
+    # interleave so score > v cuts pos/neg equally at even counts
+    df = spark.createDataFrame(
+        [(s, y) for s, y in rows], ["s", "y"]
+    )
+    r = youden_j(df, "s", F.col("y") == 1).collect()[0]
+    assert r["youden_j"] >= 0.0  # never negative by construction
+    assert r["youden_j"] <= 0.11  # at most one element of imbalance
+
+
+def _bws_reference(x, y):
+    pooled = sorted(x + y)
+
+    def midrank(v):
+        lo = sum(1 for p in pooled if p < v)
+        eq = sum(1 for p in pooled if p == v)
+        return lo + (eq + 1) / 2.0
+
+    def bpart(a, b):
+        n, m = len(a), len(b)
+        nn = n + m
+        s = 0.0
+        for i, v in enumerate(sorted(a), 1):
+            dev = midrank(v) - nn / n * i
+            den = (i / (n + 1)) * (1 - i / (n + 1)) * (m * nn / n)
+            s += dev * dev / den
+        return s / n
+
+    ba, bb = bpart(x, y), bpart(y, x)
+    return ba, bb, (ba + bb) / 2
+
+
+def test_bws_matches_reference(spark):
+    x = [1.2, 2.4, 3.1, 4.7, 5.5, 6.6, 7.1]
+    y = [2.0, 3.9, 4.1, 5.0, 6.0, 8.2, 9.9, 10.5]
+    rows = [(v, "x") for v in x] + [(v, "y") for v in y]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = bws_test(df, "v", F.col("g") == "x").collect()[0]
+    ba, bb, b = _bws_reference(x, y)
+    assert r["n_a"] == 7 and r["n_b"] == 8
+    assert abs(r["b_a"] - ba) < 1e-5
+    assert abs(r["b_b"] - bb) < 1e-5
+    assert abs(r["bws_b"] - b) < 1e-5
+
+
+def test_bws_with_ties_matches_reference(spark):
+    x = [1.0, 2.0, 2.0, 3.0, 5.0]
+    y = [2.0, 4.0, 4.0, 6.0, 6.0, 7.0]
+    rows = [(v, "x") for v in x] + [(v, "y") for v in y]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = bws_test(df, "v", F.col("g") == "x").collect()[0]
+    ba, bb, b = _bws_reference(x, y)
+    assert abs(r["bws_b"] - b) < 1e-5
+
+
+def test_mardia_kurtosis_matches_reference(spark):
+    import random
+
+    random.seed(7)
+    pts = [
+        (round(random.gauss(100, 10), 2), round(random.gauss(50, 5), 2))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    r = mardia_kurtosis(df, "x", "y").collect()[0]
+    n = len(pts)
+    mx = sum(p[0] for p in pts) / n
+    my = sum(p[1] for p in pts) / n
+    vxx = sum((p[0] - mx) ** 2 for p in pts) / n
+    vyy = sum((p[1] - my) ** 2 for p in pts) / n
+    vxy = sum((p[0] - mx) * (p[1] - my) for p in pts) / n
+    det = vxx * vyy - vxy * vxy
+    b2 = sum(
+        (
+            (
+                vyy * (p[0] - mx) ** 2
+                - 2 * vxy * (p[0] - mx) * (p[1] - my)
+                + vxx * (p[1] - my) ** 2
+            )
+            / det
+        )
+        ** 2
+        for p in pts
+    ) / n
+    z = (b2 - 8) / math.sqrt(32 / n)
+    assert r["n"] == n
+    assert abs(r["b2_kurtosis"] - b2) < 1e-4
+    assert abs(r["z_score"] - z) < 1e-3
+
+
+def test_mardia_kurtosis_degenerate_null(spark):
+    # perfectly collinear pair: det = 0 -> NULL stats, no crash
+    pts = [(float(i), 2.0 * i) for i in range(1, 40)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    r = mardia_kurtosis(df, "x", "y").collect()[0]
+    assert r["n"] == 39
+    assert r["b2_kurtosis"] is None and r["z_score"] is None

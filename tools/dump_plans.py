@@ -166,6 +166,8 @@ INTERESTING = [
     "bernstein_ci_order_price", "dispersion_daily_events",
     "ad_ksample_standardized", "cuzick_trend_qty_flag",
     "gk_lambda_status_priority", "max_drawdown_daily_value",
+    "youden_j_order_status", "bws_test_price_status",
+    "mardia_kurtosis_price_qty",
 ]
 
 
