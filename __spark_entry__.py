@@ -10985,6 +10985,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "youden_j_order_status": q_youden_j_order_status,
         "bws_test_price_status": q_bws_test_price_status,
         "mardia_kurtosis_price_qty": q_mardia_kurtosis_price_qty,
+        "term_dispersion_dp_docs": q_term_dispersion_dp_docs,
+        "lexical_constants_docs": q_lexical_constants_docs,
+        "kpss_daily_value": q_kpss_daily_value,
         "bland_altman_doclen": q_bland_altman_doclen,
         "pinball_loss_price": q_pinball_loss_price,
         "type_mix_entropy_trend": q_type_mix_entropy_trend,
@@ -14697,4 +14700,152 @@ SELECT CAST(n AS BIGINT) AS n,
           / sqrt(32.0 / CAST(n AS DOUBLE)), 6)
   END AS z_score
 FROM folded
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 9: Gries DP dispersion, lexical constants, KPSS
+# ---------------------------------------------------------------------------
+
+
+def q_term_dispersion_dp_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gries deviation-of-proportions dispersion of the top corpus
+    terms across sources — exact-integer numerators, present-cells-only
+    identity (operators/text.py:term_dispersion_dp)."""
+    from breweries_etl_spark.operators.text import term_dispersion_dp
+
+    return term_dispersion_dp(load_table(spark, sf_dir, "documents"))
+
+
+def q_lexical_constants_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herdan C / Brunet W / Sichel S / Honore R lexical-richness
+    constants over the document corpus
+    (operators/text.py:lexical_constants)."""
+    from breweries_etl_spark.operators.text import lexical_constants
+
+    return lexical_constants(load_table(spark, sf_dir, "documents"))
+
+
+def q_kpss_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic of the daily event-value
+    series, Bartlett bandwidth 7
+    (operators/temporal.py:kpss_level_daily)."""
+    from breweries_etl_spark.operators.temporal import kpss_level_daily
+
+    return kpss_level_daily(load_events(spark, sf_dir))
+
+
+
+_ORACLES["term_dispersion_dp_docs"] = f"""
+WITH toks AS (
+  SELECT source AS s,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+), ts AS (
+  SELECT term, s, count(*) AS c_ts FROM toks GROUP BY 1, 2
+), src_tot AS (
+  SELECT s, sum(c_ts) AS tok_s FROM ts GROUP BY 1
+), term_tot AS (
+  SELECT term, sum(c_ts) AS c_t, count(*) AS n_sources FROM ts GROUP BY 1
+), big_t AS (
+  SELECT sum(tok_s) AS tt FROM src_tot
+), folded AS (
+  SELECT term, max(c_t) AS c_t, max(n_sources) AS n_sources,
+    max(tt) AS tt,
+    SUM(abs(CAST(c_ts AS HUGEINT) * tt - CAST(tok_s AS HUGEINT) * c_t)
+        - CAST(tok_s AS HUGEINT) * c_t) AS s_num
+  FROM ts JOIN src_tot USING (s) JOIN term_tot USING (term)
+  CROSS JOIN big_t
+  GROUP BY term
+)
+SELECT term, CAST(c_t AS BIGINT) AS corpus_freq,
+  CAST(n_sources AS BIGINT) AS n_sources,
+  round(({_ddw('s_num')} / CAST(c_t AS DOUBLE) / CAST(tt AS DOUBLE)
+         + 1.0) / 2.0, 6) AS dp
+FROM folded WHERE c_t >= 10
+ORDER BY corpus_freq DESC, term ASC LIMIT 25
+"""
+
+_ORACLES["lexical_constants_docs"] = """
+WITH tf AS (
+  SELECT term, count(*) AS f FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY 1
+), folded AS (
+  SELECT SUM(f) AS n, count(*) AS v,
+    SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS v1,
+    SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS v2
+  FROM tf
+)
+SELECT CAST(n AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS n_types,
+  CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2,
+  CASE WHEN n > 1 AND v > 0 THEN
+    round(ln(CAST(v AS DOUBLE)) / ln(CAST(n AS DOUBLE)), 6)
+  END AS herdan_c,
+  CASE WHEN n > 1 AND v > 1 THEN
+    round(exp(ln(CAST(n AS DOUBLE))
+              * exp(-0.165 * ln(CAST(v AS DOUBLE)))), 6)
+  END AS brunet_w,
+  CASE WHEN v > 0 THEN
+    round(CAST(v2 AS DOUBLE) / CAST(v AS DOUBLE), 6)
+  END AS sichel_s,
+  CASE WHEN n > 1 AND v > v1 THEN
+    round(100.0 * ln(CAST(n AS DOUBLE))
+          / (1.0 - CAST(v1 AS DOUBLE) / CAST(v AS DOUBLE)), 6)
+  END AS honore_r
+FROM folded
+"""
+
+_ORACLES["kpss_daily_value"] = f"""
+WITH {_DAILY_EVENTS},
+tot AS (SELECT count(*) AS n, SUM(y) AS sy FROM daily),
+walked AS (
+  SELECT n, day,
+    CAST(y AS DOUBLE) - {_dd('sy')} / CAST(n AS DOUBLE) AS e
+  FROM daily CROSS JOIN tot
+), cum AS (
+  SELECT n, e,
+    SUM(e) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s_t,
+    lag(e, 1) OVER (ORDER BY day) AS e_lag1,
+    lag(e, 2) OVER (ORDER BY day) AS e_lag2,
+    lag(e, 3) OVER (ORDER BY day) AS e_lag3,
+    lag(e, 4) OVER (ORDER BY day) AS e_lag4,
+    lag(e, 5) OVER (ORDER BY day) AS e_lag5,
+    lag(e, 6) OVER (ORDER BY day) AS e_lag6,
+    lag(e, 7) OVER (ORDER BY day) AS e_lag7
+  FROM walked
+), folded AS (
+  SELECT max(n) AS n,
+    SUM(CAST(floor(s_t * s_t * 1e4) AS HUGEINT)) AS num_fp,
+    SUM(CAST(floor(e * e * 1e4) AS HUGEINT)) AS g0_fp,
+    SUM(CAST(floor(e * e_lag1 * 1e4) AS HUGEINT)) AS g1_fp,
+    SUM(CAST(floor(e * e_lag2 * 1e4) AS HUGEINT)) AS g2_fp,
+    SUM(CAST(floor(e * e_lag3 * 1e4) AS HUGEINT)) AS g3_fp,
+    SUM(CAST(floor(e * e_lag4 * 1e4) AS HUGEINT)) AS g4_fp,
+    SUM(CAST(floor(e * e_lag5 * 1e4) AS HUGEINT)) AS g5_fp,
+    SUM(CAST(floor(e * e_lag6 * 1e4) AS HUGEINT)) AS g6_fp,
+    SUM(CAST(floor(e * e_lag7 * 1e4) AS HUGEINT)) AS g7_fp
+  FROM cum
+), dbl AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+    {_ddw('num_fp')} / 1e4 AS num,
+    ({_ddw('g0_fp')} / 1e4
+      + 2.0 * 0.875 * (COALESCE({_ddw('g1_fp')}, 0.0) / 1e4)
+      + 2.0 * 0.75 * (COALESCE({_ddw('g2_fp')}, 0.0) / 1e4)
+      + 2.0 * 0.625 * (COALESCE({_ddw('g3_fp')}, 0.0) / 1e4)
+      + 2.0 * 0.5 * (COALESCE({_ddw('g4_fp')}, 0.0) / 1e4)
+      + 2.0 * 0.375 * (COALESCE({_ddw('g5_fp')}, 0.0) / 1e4)
+      + 2.0 * 0.25 * (COALESCE({_ddw('g6_fp')}, 0.0) / 1e4)
+      + 2.0 * 0.125 * (COALESCE({_ddw('g7_fp')}, 0.0) / 1e4)
+    ) / CAST(n AS DOUBLE) AS s2
+  FROM folded
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(7 AS BIGINT) AS lags,
+  CASE WHEN n > 0 THEN round(s2, 6) END AS s2_longrun,
+  CASE WHEN n > 0 AND s2 > 0 THEN
+    round(num / (nd * nd) / s2, 6) END AS kpss_stat
+FROM dbl
 """

@@ -427,6 +427,9 @@ FAMILIES: dict[str, list[str]] = {
         "youden_j_order_status",
         "bws_test_price_status",
         "mardia_kurtosis_price_qty",
+        "term_dispersion_dp_docs",
+        "lexical_constants_docs",
+        "kpss_daily_value",
     ],
 }
 

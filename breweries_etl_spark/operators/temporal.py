@@ -2639,3 +2639,93 @@ def max_drawdown_daily(
         F.col("max_dd").cast("double").alias("max_drawdown"),
         F.round(F.col("max_dd_pct"), 6).alias("max_drawdown_pct"),
     )
+
+
+def kpss_level_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lags: int = 7,
+) -> DataFrame:
+    """KPSS level-stationarity statistic of the daily-total series —
+    the null-reversed complement to the trend/momentum dials
+    (mann_kendall, hurst): KPSS's NULL is "stationary around a level",
+    so a LARGE η rejects stationarity (unit root / wandering level).
+    η = (1/N²)·Σ_t S_t² / s²(l) with S_t the partial sums of the
+    demeaned series and s²(l) the Bartlett-weighted long-run variance
+    (Kwiatkowski-Phillips-Schmidt-Shin 1992, eq. 10-11).
+
+    The fact table collapses to the bounded day relation first; the
+    cumulative S_t and the j-lag products are windows over that
+    ≤ #days-row relation only. S_t comes from an ORDERED window, so
+    its double accumulation order is identical on both engines; the
+    unordered closing sums fold as floor(·10⁴) fixed point. The
+    Bartlett bandwidth is a caller parameter (statsmodels' nlags
+    contract) — the default l = 7 makes every weight 1 − j/8 an EXACT
+    binary double, so no weight literal can diverge between engines.
+    Output one row: (n_days, lags, s2_longrun, kpss_stat)."""
+    from .hypotests import dec_double, dec_double_wide
+
+    daily = _daily_series(df, ts_col, value_col)
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    )
+    win = Window.orderBy("day")
+    wcum = win.rowsBetween(Window.unboundedPreceding, 0)
+    base = daily.crossJoin(F.broadcast(tot))
+    mean = dec_double(F.col("sy")) / F.col("n").cast("double")
+    walked = base.select(
+        "n",
+        "day",
+        (F.col("y").cast("double") - mean).alias("e"),
+    ).select(
+        "n",
+        "e",
+        F.sum("e").over(wcum).alias("s_t"),
+        *[
+            F.lag("e", j).over(win).alias(f"e_lag{j}")
+            for j in range(1, lags + 1)
+        ],
+    )
+    folded = walked.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.floor(F.col("s_t") * F.col("s_t") * F.lit(1e4)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("num_fp"),
+        F.sum(
+            F.floor(F.col("e") * F.col("e") * F.lit(1e4)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("g0_fp"),
+        *[
+            F.sum(
+                F.floor(
+                    F.col("e") * F.col(f"e_lag{j}") * F.lit(1e4)
+                ).cast("decimal(38,0)")
+            ).alias(f"g{j}_fp")
+            for j in range(1, lags + 1)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    s2 = dec_double_wide(F.col("g0_fp")) / F.lit(1e4)
+    for j in range(1, lags + 1):
+        w_j = 1.0 - j / (lags + 1.0)
+        s2 = s2 + F.lit(2.0) * F.lit(w_j) * (
+            F.coalesce(
+                dec_double_wide(F.col(f"g{j}_fp")), F.lit(0.0)
+            )
+            / F.lit(1e4)
+        )
+    s2 = s2 / nd
+    num = dec_double_wide(F.col("num_fp")) / F.lit(1e4)
+    eta = num / (nd * nd) / s2
+    return folded.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.lit(lags).cast("long").alias("lags"),
+        F.when(F.col("n") > 0, F.round(s2, 6)).alias("s2_longrun"),
+        F.when((F.col("n") > 0) & (s2 > 0), F.round(eta, 6)).alias(
+            "kpss_stat"
+        ),
+    )

@@ -1992,3 +1992,143 @@ def token_fertility_by_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         ).alias("tokens_per_doc"),
     )
+
+
+def term_dispersion_dp(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 25,
+    min_freq: int = 10,
+) -> DataFrame:
+    """Gries (2008) deviation-of-proportions dispersion DP for the
+    top-k corpus terms — "is this term spread evenly across sources or
+    concentrated in a few" (DP = 0 perfectly even, → 1 concentrated),
+    the per-term complement to the corpus-level `keyness`/`burstiness`
+    dials: a high-frequency term with high DP is boilerplate/domain
+    leakage, not general vocabulary.
+
+    DP(t) = ½·Σ_s |v_{t,s} − f_s| with v the term's share of its own
+    occurrences in source s and f_s the source's share of corpus
+    tokens. Sources where t is ABSENT contribute f_s, and Σ_s f_s = 1,
+    so only PRESENT (term, source) rows are needed:
+    DP = ½·(Σ_present (|v − f_s| − f_s) + 1) — no dense term×source
+    grid is ever materialized. Per-row numerators fold as EXACT
+    integers over the common denominator c_t·T
+    (|c_ts·T − tok_s·c_t| − tok_s·c_t), so both engines agree
+    bit-exactly; the two closing divisions run separately (c_t and T
+    each fit a double exactly; their product may not). The term-total
+    join is shuffle-hash co-partitioned on term (the tfidf doc_freq
+    rule: vocabulary never broadcasts); only the source-totals
+    (bounded) and the 1-row T broadcast. Output top-k by corpus
+    frequency, ties lexicographic: (term, corpus_freq, n_sources,
+    dp)."""
+    from .hypotests import dec_double_wide
+
+    toks = df.filter(
+        F.col(text_col).isNotNull() & F.col(source_col).isNotNull()
+    ).select(
+        F.col(source_col).alias("s"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+            )
+        ).alias("term"),
+    )
+    ts = toks.groupBy("term", "s").agg(F.count(F.lit(1)).alias("c_ts"))
+    src_tot = ts.groupBy("s").agg(F.sum("c_ts").alias("tok_s"))
+    term_tot = ts.groupBy("term").agg(
+        F.sum("c_ts").alias("c_t"), F.count(F.lit(1)).alias("n_sources")
+    )
+    big_t = src_tot.agg(F.sum("tok_s").alias("tt"))
+    num = (
+        F.abs(
+            F.col("c_ts").cast("decimal(19,0)") * F.col("tt")
+            - F.col("tok_s").cast("decimal(19,0)") * F.col("c_t")
+        )
+        - F.col("tok_s").cast("decimal(19,0)") * F.col("c_t")
+    ).cast("decimal(38,0)")
+    folded = (
+        ts.join(F.broadcast(src_tot), "s")
+        .join(term_tot, "term")
+        .crossJoin(F.broadcast(big_t))
+        .groupBy("term")
+        .agg(
+            F.max("c_t").alias("c_t"),
+            F.max("n_sources").alias("n_sources"),
+            F.max("tt").alias("tt"),
+            F.sum(num).alias("s_num"),
+        )
+    )
+    dp = (
+        dec_double_wide(F.col("s_num"))
+        / F.col("c_t").cast("double")
+        / F.col("tt").cast("double")
+        + F.lit(1.0)
+    ) / F.lit(2.0)
+    return (
+        folded.filter(F.col("c_t") >= min_freq)
+        .select(
+            "term",
+            F.col("c_t").cast("long").alias("corpus_freq"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.round(dp, 6).alias("dp"),
+        )
+        .orderBy(F.desc("corpus_freq"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def lexical_constants(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The classical lexical-richness constants a corpus curator reads
+    alongside Chao1/Good-Turing (``vocab_richness``) and Yule's K —
+    each designed to be less length-sensitive than raw V/N:
+    Herdan's C = ln V/ln N, Brunet's W = N^(V^−0.165) (written as
+    exp(ln N·exp(−0.165·ln V)) IDENTICALLY on both engines — a native
+    pow() is only 1-ulp-bounded, not bit-specified), Sichel's S = V₂/V
+    (dis-legomena share), Honoré's R = 100·ln N/(1 − V₁/V).
+
+    One vocabulary shuffle (the yules_k term relation); everything
+    integer until the closing expressions. Output one row: (n_tokens,
+    n_types, v1, v2, herdan_c, brunet_w, sichel_s, honore_r)."""
+    tf = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    folded = tf.agg(
+        F.sum("f").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("v1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).alias("v2"),
+    )
+    nd = F.col("n").cast("double")
+    vd = F.col("v").cast("double")
+    v1d = F.col("v1").cast("double")
+    v2d = F.col("v2").cast("double")
+    herdan = F.log(vd) / F.log(nd)
+    brunet = F.exp(F.log(nd) * F.exp(F.lit(-0.165) * F.log(vd)))
+    sichel = v2d / vd
+    honore = F.lit(100.0) * F.log(nd) / (F.lit(1.0) - v1d / vd)
+    return folded.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("n_types"),
+        F.col("v1").cast("long").alias("v1"),
+        F.col("v2").cast("long").alias("v2"),
+        F.when((F.col("n") > 1) & (F.col("v") > 0), F.round(herdan, 6))
+        .alias("herdan_c"),
+        F.when((F.col("n") > 1) & (F.col("v") > 1), F.round(brunet, 6))
+        .alias("brunet_w"),
+        F.when(F.col("v") > 0, F.round(sichel, 6)).alias("sichel_s"),
+        F.when(
+            (F.col("n") > 1) & (F.col("v") > F.col("v1")),
+            F.round(honore, 6),
+        ).alias("honore_r"),
+    )

@@ -303,3 +303,131 @@ def test_mardia_kurtosis_degenerate_null(spark):
     r = mardia_kurtosis(df, "x", "y").collect()[0]
     assert r["n"] == 39
     assert r["b2_kurtosis"] is None and r["z_score"] is None
+
+
+# ---- wave 9: Gries DP, lexical constants, KPSS ----
+
+import re  # noqa: E402
+from collections import Counter  # noqa: E402
+
+from breweries_etl_spark.operators.text import (  # noqa: E402
+    lexical_constants,
+    term_dispersion_dp,
+)
+from breweries_etl_spark.operators.temporal import kpss_level_daily  # noqa: E402
+
+_DOCS = [
+    ("the cat sat on the mat", "s1"),
+    ("the dog ran fast the end", "s1"),
+    ("cat and dog and bird", "s2"),
+    ("the bird flew over the hill", "s2"),
+    ("hill and mat and end of story", "s3"),
+]
+
+
+def test_term_dispersion_dp_matches_reference(spark):
+    df = spark.createDataFrame(_DOCS, ["text", "source"])
+    out = {
+        r["term"]: r
+        for r in term_dispersion_dp(df, k=5, min_freq=2).collect()
+    }
+    toks = [
+        (s, t)
+        for txt, s in _DOCS
+        for t in re.findall(r"[a-z0-9_]+", txt.lower())
+    ]
+    big_t = len(toks)
+    src_tot = Counter(s for s, _ in toks)
+    term_src = Counter((t, s) for s, t in toks)
+    term_tot = Counter(t for _, t in toks)
+    assert len(out) == 5
+    for term, r in out.items():
+        dp_ref = 0.5 * sum(
+            abs(
+                term_src.get((term, s), 0) / term_tot[term]
+                - src_tot[s] / big_t
+            )
+            for s in src_tot
+        )
+        assert abs(r["dp"] - dp_ref) < 1e-6, term
+        assert r["corpus_freq"] == term_tot[term]
+    # "the" occurs in line with source shares -> lower DP than "bird",
+    # which is concentrated in one source
+    assert out["the"]["dp"] < out["bird"]["dp"]
+
+
+def test_lexical_constants_match_reference(spark):
+    df = spark.createDataFrame(_DOCS, ["text", "source"])
+    r = lexical_constants(df).collect()[0]
+    toks = [
+        t for txt, _ in _DOCS for t in re.findall(r"[a-z0-9_]+", txt.lower())
+    ]
+    tf = Counter(toks)
+    n, v = sum(tf.values()), len(tf)
+    v1 = sum(1 for f in tf.values() if f == 1)
+    v2 = sum(1 for f in tf.values() if f == 2)
+    assert (r["n_tokens"], r["n_types"], r["v1"], r["v2"]) == (n, v, v1, v2)
+    assert abs(r["herdan_c"] - math.log(v) / math.log(n)) < 1e-6
+    assert abs(r["brunet_w"] - n ** (v**-0.165)) < 1e-4
+    assert abs(r["sichel_s"] - v2 / v) < 1e-6
+    assert abs(r["honore_r"] - 100 * math.log(n) / (1 - v1 / v)) < 1e-4
+
+
+def _kpss_reference(vals, lags=7):
+    n = len(vals)
+    mean = sum(vals) / n
+    e = [v - mean for v in vals]
+    acc, s = 0.0, []
+    for x in e:
+        acc += x
+        s.append(acc)
+    num = sum(v * v for v in s)
+    g = [
+        sum(e[t] * e[t - j] for t in range(j, n))
+        for j in range(0, lags + 1)
+    ]
+    s2 = (
+        g[0]
+        + 2 * sum((1 - j / (lags + 1)) * g[j] for j in range(1, lags + 1))
+    ) / n
+    return s2, num / (n * n) / s2
+
+
+def _daily_df(spark, vals, fmt="2024-%02d-%02d 10:00:00"):
+    rows = [
+        (fmt % (1 + i // 28, 1 + i % 28), float(v))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, ["ts", "value"]).select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+
+
+def test_kpss_random_walk_rejects(spark):
+    import random
+
+    random.seed(3)
+    vals, lvl = [], 100.0
+    for _ in range(60):
+        lvl += random.gauss(0, 2)
+        vals.append(round(lvl, 2))
+    r = kpss_level_daily(_daily_df(spark, vals)).collect()[0]
+    s2_ref, eta_ref = _kpss_reference(vals)
+    assert r["n_days"] == 60 and r["lags"] == 7
+    assert abs(r["s2_longrun"] - s2_ref) < 1e-3
+    assert abs(r["kpss_stat"] - eta_ref) < 1e-4
+    # a random walk should look non-stationary: far above the 1%
+    # critical value 0.739 for the level test
+    assert r["kpss_stat"] > 0.739
+
+
+def test_kpss_stationary_noise_accepts(spark):
+    import random
+
+    random.seed(11)
+    vals = [round(100.0 + random.gauss(0, 3), 2) for _ in range(60)]
+    r = kpss_level_daily(_daily_df(spark, vals)).collect()[0]
+    s2_ref, eta_ref = _kpss_reference(vals)
+    assert abs(r["kpss_stat"] - eta_ref) < 1e-4
+    # i.i.d. noise around a level: below the 10% critical value 0.347
+    assert r["kpss_stat"] < 0.347

@@ -193,6 +193,8 @@ QUERIES = [
     "cuzick_trend_qty_flag", "gk_lambda_status_priority",
     "max_drawdown_daily_value", "youden_j_order_status",
     "bws_test_price_status", "mardia_kurtosis_price_qty",
+    "term_dispersion_dp_docs", "lexical_constants_docs",
+    "kpss_daily_value",
 ]
 
 
