@@ -10988,6 +10988,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_dispersion_dp_docs": q_term_dispersion_dp_docs,
         "lexical_constants_docs": q_lexical_constants_docs,
         "kpss_daily_value": q_kpss_daily_value,
+        "rayleigh_hour_events": q_rayleigh_hour_events,
+        "mood_dispersion_price_status": q_mood_dispersion_price_status,
+        "join_key_discovery": q_join_key_discovery,
         "bland_altman_doclen": q_bland_altman_doclen,
         "pinball_loss_price": q_pinball_loss_price,
         "type_mix_entropy_trend": q_type_mix_entropy_trend,
@@ -14848,4 +14851,195 @@ SELECT CAST(n AS BIGINT) AS n_days, CAST(7 AS BIGINT) AS lags,
   CASE WHEN n > 0 AND s2 > 0 THEN
     round(num / (nd * nd) / s2, 6) END AS kpss_stat
 FROM dbl
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 10: Rayleigh circular uniformity, Mood dispersion,
+# join-key discovery profile
+# ---------------------------------------------------------------------------
+
+_JK_PAIRS = [
+    ("orders.custkey->customer.custkey", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.orderkey->orders.orderkey", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("customer.nationkey->nation.nationkey", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("orders.orderkey->customer.custkey", "orders", "o_orderkey",
+     "customer", "c_custkey"),
+]
+
+
+def q_rayleigh_hour_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rayleigh circular-uniformity test of event time-of-day
+    (operators/temporal.py:rayleigh_hour_uniformity)."""
+    from breweries_etl_spark.operators.temporal import (
+        rayleigh_hour_uniformity,
+    )
+
+    return rayleigh_hour_uniformity(load_events(spark, sf_dir))
+
+
+def q_mood_dispersion_price_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mood quadratic-score rank dispersion of l_extendedprice between
+    open and finished line items
+    (operators/hypotests.py:mood_dispersion)."""
+    from breweries_etl_spark.operators.hypotests import mood_dispersion
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return mood_dispersion(li, "l_extendedprice", F.col("l_linestatus") == "O")
+
+
+def q_join_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency / joinability profile over four candidate
+    column pairs incl. one negative
+    (operators/profiling.py:join_key_profile)."""
+    from breweries_etl_spark.operators.profiling import join_key_profile
+
+    return join_key_profile(
+        [
+            (name, load_table(spark, sf_dir, ta), ca,
+             load_table(spark, sf_dir, tb), cb)
+            for name, ta, ca, tb, cb in _JK_PAIRS
+        ]
+    )
+
+
+def _jk_pair_sql(name: str, ta: str, ca: str, tb: str, cb: str) -> str:
+    return f"""SELECT '{name}' AS pair,
+  COALESCE(SUM(ra), 0) AS n_rows_a, COUNT(ra) AS n_distinct_a,
+  COALESCE(SUM(rb), 0) AS n_rows_b, COUNT(rb) AS n_distinct_b,
+  COUNT(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL THEN 1 END)
+    AS n_intersect,
+  SUM(ra) AS raw_rows_a, SUM(rb) AS raw_rows_b
+FROM (
+  SELECT CAST({ca} AS VARCHAR) AS v, count(*) AS ra
+  FROM {ta} WHERE {ca} IS NOT NULL GROUP BY 1
+) a FULL OUTER JOIN (
+  SELECT CAST({cb} AS VARCHAR) AS v, count(*) AS rb
+  FROM {tb} WHERE {cb} IS NOT NULL GROUP BY 1
+) b USING (v)"""
+
+
+
+_ORACLES["rayleigh_hour_events"] = f"""
+WITH base AS (
+  SELECT
+    CAST(round(cos(2.0 * 3.141592653589793
+      * CAST(epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS DOUBLE)
+      / 86400000000.0), 6) AS DECIMAL(8,6)) AS cw,
+    CAST(round(sin(2.0 * 3.141592653589793
+      * CAST(epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS DOUBLE)
+      / 86400000000.0), 6) AS DECIMAL(8,6)) AS sw
+  FROM events WHERE ts IS NOT NULL
+), folded AS (
+  SELECT count(*) AS n,
+    SUM(CAST(cw AS DECIMAL(38,6))) AS c,
+    SUM(CAST(sw AS DECIMAL(38,6))) AS s
+  FROM base
+), pre AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+    {_ddwf('c')} AS cd, {_ddwf('s')} AS sd
+  FROM folded
+), mid AS (
+  SELECT n, nd, sqrt(cd * cd + sd * sd) / nd AS rbar,
+    atan2(sd, cd) / 6.283185307179586 * 24.0 AS h0
+  FROM pre
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CASE WHEN n > 0 THEN round(rbar, 6) END AS resultant_len,
+  CASE WHEN n > 0 THEN round(nd * rbar * rbar, 6) END AS rayleigh_z,
+  CASE WHEN n > 0 THEN
+    round(CASE WHEN h0 < 0 THEN h0 + 24.0 ELSE h0 END, 6)
+  END AS mean_hour
+FROM mid
+"""
+
+_ORACLES["mood_dispersion_price_status"] = f"""
+WITH vc AS (
+  SELECT l_extendedprice AS v,
+    SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN l_linestatus = 'O' THEN 0 ELSE 1 END) AS cb
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), pc AS (
+  SELECT v, ca, cb,
+    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+    SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b,
+    SUM(ca + cb) OVER () AS nn
+  FROM vc
+), mid AS (
+  SELECT ca, cb, n_a, n_b, nn,
+    CAST((2 * (cum_a + cum_b) - (ca + cb) + 1) - (nn + 1) AS DOUBLE)
+      / (2.0 * CAST(nn AS DOUBLE)) AS u
+  FROM pc
+), folded AS (
+  SELECT max(n_a) AS n_a, max(n_b) AS n_b, max(nn) AS nn,
+    SUM(CAST(floor(CAST(ca AS DOUBLE) * (u * u) * 1e12) AS HUGEINT))
+      AS t_fp,
+    SUM(CAST(floor(CAST(ca + cb AS DOUBLE) * (u * u) * 1e12)
+        AS HUGEINT)) AS sq_fp,
+    SUM(CAST(floor(CAST(ca + cb AS DOUBLE) * ((u * u) * (u * u)) * 1e12)
+        AS HUGEINT)) AS sqq_fp
+  FROM mid
+), dbl AS (
+  SELECT n_a, n_b, nn,
+    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+    CAST(nn AS DOUBLE) AS nd,
+    {_ddw('t_fp')} / 1e12 AS t_stat,
+    {_ddw('sq_fp')} / 1e12 AS sq,
+    {_ddw('sqq_fp')} / 1e12 AS sqq
+  FROM folded
+), fin AS (
+  SELECT n_a, n_b, nn, t_stat,
+    na * sq / nd AS e_t,
+    na * nb / (nd * (nd - 1.0)) * (sqq - sq * sq / nd) AS var_t
+  FROM dbl
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  round(t_stat, 6) AS t_stat,
+  CASE WHEN nn > 0 THEN round(e_t, 6) END AS expected_t,
+  CASE WHEN nn > 1 AND var_t > 0 THEN
+    round((t_stat - e_t) / sqrt(var_t), 6) END AS z_score
+FROM fin
+"""
+
+_ORACLES["join_key_discovery"] = f"""
+WITH allp AS (
+{_jk_pair_sql('orders.custkey->customer.custkey', 'orders', 'o_custkey', 'customer', 'c_custkey')}
+UNION ALL
+{_jk_pair_sql('lineitem.orderkey->orders.orderkey', 'lineitem', 'l_orderkey', 'orders', 'o_orderkey')}
+UNION ALL
+{_jk_pair_sql('customer.nationkey->nation.nationkey', 'customer', 'c_nationkey', 'nation', 'n_nationkey')}
+UNION ALL
+{_jk_pair_sql('orders.orderkey->customer.custkey', 'orders', 'o_orderkey', 'customer', 'c_custkey')}
+)
+SELECT pair,
+  CAST(n_rows_a AS BIGINT) AS n_rows_a,
+  CAST(n_distinct_a AS BIGINT) AS n_distinct_a,
+  CAST(n_rows_b AS BIGINT) AS n_rows_b,
+  CAST(n_distinct_b AS BIGINT) AS n_distinct_b,
+  CAST(n_intersect AS BIGINT) AS n_intersect,
+  CASE WHEN CAST(n_distinct_a AS DOUBLE) > 0 THEN
+    round(CAST(n_intersect AS DOUBLE) / CAST(n_distinct_a AS DOUBLE), 6)
+  END AS containment_ab,
+  CASE WHEN CAST(n_distinct_b AS DOUBLE) > 0 THEN
+    round(CAST(n_intersect AS DOUBLE) / CAST(n_distinct_b AS DOUBLE), 6)
+  END AS containment_ba,
+  CASE WHEN CAST(n_distinct_a AS DOUBLE) + CAST(n_distinct_b AS DOUBLE)
+         - CAST(n_intersect AS DOUBLE) > 0 THEN
+    round(CAST(n_intersect AS DOUBLE)
+          / (CAST(n_distinct_a AS DOUBLE) + CAST(n_distinct_b AS DOUBLE)
+             - CAST(n_intersect AS DOUBLE)), 6)
+  END AS jaccard,
+  CASE WHEN raw_rows_a > 0 THEN
+    round(CAST(n_distinct_a AS DOUBLE) / CAST(raw_rows_a AS DOUBLE), 6)
+  END AS uniqueness_a,
+  CASE WHEN raw_rows_b > 0 THEN
+    round(CAST(n_distinct_b AS DOUBLE) / CAST(raw_rows_b AS DOUBLE), 6)
+  END AS uniqueness_b
+FROM allp
 """

@@ -430,6 +430,9 @@ FAMILIES: dict[str, list[str]] = {
         "term_dispersion_dp_docs",
         "lexical_constants_docs",
         "kpss_daily_value",
+        "rayleigh_hour_events",
+        "mood_dispersion_price_status",
+        "join_key_discovery",
     ],
 }
 

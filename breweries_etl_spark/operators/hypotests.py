@@ -5575,3 +5575,86 @@ def mardia_kurtosis(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             ),
         ).alias("z_score"),
     )
+
+
+def mood_dispersion(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Mood's two-sample rank DISPERSION test — do the two groups have
+    the same spread around a common center: scores
+    s_j = ((R_j − (N+1)/2)/(2N))² grow quadratically toward both rank
+    extremes, so T = Σ_{j∈A} s_j is large when group A holds the tails
+    (wider) and small when it huddles at the center (narrower). The
+    quadratic-score member of the dispersion family next to
+    ``ansari_bradley`` (linear scores): Mood has more power against
+    smooth scale alternatives, Ansari against contaminated ones.
+
+    Tie-exact permutation moments of the linear statistic over the
+    actual midrank scores: E(T) = n_a·s̄,
+    Var(T) = n_a·n_b/(N(N−1))·Σ(s_j − s̄)². One bucketed prefix-count
+    pass; midranks in exact half-units (mid2 = 2·cum − l + 1); scores
+    NORMALIZED by (2N)² before the fixed-point folds so the quartic
+    Σ l·s² accumulator stays inside the 10²⁷ wide-split envelope at
+    any N (raw quarter-unit ranks⁴ would cross it near N ≈ 10⁶ — the
+    normalization cancels exactly in z). floor(·10¹²) fixed point on
+    both engines. Output one row: (n_a, n_b, t_stat, expected_t,
+    z_score)."""
+    pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
+    tot = pc.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        (F.sum("ca") + F.sum("cb")).alias("nn"),
+    )
+    base = pc.crossJoin(F.broadcast(tot))
+    l_v = F.col("ca") + F.col("cb")
+    mid2 = (
+        F.lit(2) * (F.col("cum_a") + F.col("cum_b")) - l_v + F.lit(1)
+    )
+    # u = (mid2 - (N+1)) / (2N) = (R - (N+1)/2)/N: normalized centered
+    # midrank; s = u^2 in [0, 1/4]
+    u = (mid2 - (F.col("nn") + F.lit(1))).cast("double") / (
+        F.lit(2.0) * F.col("nn").cast("double")
+    )
+    s_v = u * u
+    d38 = "decimal(38,0)"
+    folded = base.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("nn").alias("nn"),
+        F.sum(
+            F.floor(F.col("ca").cast("double") * s_v * F.lit(1e12)).cast(
+                d38
+            )
+        ).alias("t_fp"),
+        F.sum(
+            F.floor(l_v.cast("double") * s_v * F.lit(1e12)).cast(d38)
+        ).alias("sq_fp"),
+        F.sum(
+            F.floor(
+                l_v.cast("double") * (s_v * s_v) * F.lit(1e12)
+            ).cast(d38)
+        ).alias("sqq_fp"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = F.col("nn").cast("double")
+    t_stat = dec_double_wide(F.col("t_fp")) / F.lit(1e12)
+    sq = dec_double_wide(F.col("sq_fp")) / F.lit(1e12)
+    sqq = dec_double_wide(F.col("sqq_fp")) / F.lit(1e12)
+    e_t = na * sq / nn
+    var_t = na * nb / (nn * (nn - F.lit(1.0))) * (sqq - sq * sq / nn)
+    result = folded.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.when(F.col("nn") > 0, F.round(e_t, 6)).alias("expected_t"),
+        F.when(
+            (F.col("nn") > 1) & (var_t > 0),
+            F.round((t_stat - e_t) / F.sqrt(var_t), 6),
+        ).alias("z_score"),
+    )
+    return _released(result, pc, release)

@@ -1673,3 +1673,78 @@ def bernstein_ci(
         F.when(ok, F.round(mean - half, 6)).alias("ci_lo"),
         F.when(ok, F.round(mean + half, 6)).alias("ci_hi"),
     )
+
+
+def join_key_profile(pairs: list) -> DataFrame:
+    """Join-key discovery profile over CANDIDATE column pairs — the
+    data-discovery numbers (Aurum/Spider-style inclusion-dependency
+    mining) that tell a pipeline author whether two columns are
+    joinable BEFORE any join is written, generalizing the known-FK
+    orphan audit (``referential_integrity_audit``) to unlabeled
+    candidates: per pair, both containment directions
+    |A∩B|/|A| and |A∩B|/|B| (containment_ab = 1 ⇒ A ⊆ B, an inclusion
+    dependency — B can serve as A's dimension), the distinct-set
+    Jaccard, and each side's uniqueness (distinct/rows — is it a key).
+
+    ``pairs`` is a BOUNDED caller list of (name, df_a, col_a, df_b,
+    col_b) — the bounded-pair contract of the jonckheere group loop;
+    each pair costs two distinct aggregations and one co-partitioned
+    distinct-distinct join (never a row-level join), all unioned into
+    one result. All-integer until the closing ratios. Output per pair:
+    (pair, n_rows_a, n_distinct_a, n_rows_b, n_distinct_b,
+    n_intersect, containment_ab, containment_ba, jaccard,
+    uniqueness_a, uniqueness_b)."""
+    outs = []
+    for name, df_a, col_a, df_b, col_b in pairs:
+        va = df_a.filter(F.col(col_a).isNotNull()).select(
+            F.col(col_a).cast("string").alias("v")
+        )
+        vb = df_b.filter(F.col(col_b).isNotNull()).select(
+            F.col(col_b).cast("string").alias("v")
+        )
+        da = va.groupBy("v").agg(F.count(F.lit(1)).alias("ra"))
+        db = vb.groupBy("v").agg(F.count(F.lit(1)).alias("rb"))
+        j = da.join(db, "v", "full_outer").agg(
+            F.sum("ra").alias("n_rows_a"),
+            F.count(F.col("ra")).alias("n_distinct_a"),
+            F.sum("rb").alias("n_rows_b"),
+            F.count(F.col("rb")).alias("n_distinct_b"),
+            F.count(
+                F.when(
+                    F.col("ra").isNotNull() & F.col("rb").isNotNull(), 1
+                )
+            ).alias("n_intersect"),
+        )
+        outs.append(j.select(F.lit(name).alias("pair"), "*"))
+    unioned = outs[0]
+    for o in outs[1:]:
+        unioned = unioned.unionByName(o)
+    inter = F.col("n_intersect").cast("double")
+    d_a = F.col("n_distinct_a").cast("double")
+    d_b = F.col("n_distinct_b").cast("double")
+    union_sz = d_a + d_b - inter
+    return unioned.select(
+        "pair",
+        F.coalesce(F.col("n_rows_a"), F.lit(0)).cast("long").alias(
+            "n_rows_a"
+        ),
+        F.col("n_distinct_a").cast("long").alias("n_distinct_a"),
+        F.coalesce(F.col("n_rows_b"), F.lit(0)).cast("long").alias(
+            "n_rows_b"
+        ),
+        F.col("n_distinct_b").cast("long").alias("n_distinct_b"),
+        F.col("n_intersect").cast("long").alias("n_intersect"),
+        F.when(d_a > 0, F.round(inter / d_a, 6)).alias("containment_ab"),
+        F.when(d_b > 0, F.round(inter / d_b, 6)).alias("containment_ba"),
+        F.when(union_sz > 0, F.round(inter / union_sz, 6)).alias(
+            "jaccard"
+        ),
+        F.when(
+            F.col("n_rows_a") > 0,
+            F.round(d_a / F.col("n_rows_a").cast("double"), 6),
+        ).alias("uniqueness_a"),
+        F.when(
+            F.col("n_rows_b") > 0,
+            F.round(d_b / F.col("n_rows_b").cast("double"), 6),
+        ).alias("uniqueness_b"),
+    )

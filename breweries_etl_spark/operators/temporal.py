@@ -2729,3 +2729,73 @@ def kpss_level_daily(
             "kpss_stat"
         ),
     )
+
+
+def rayleigh_hour_uniformity(
+    df: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Rayleigh test of circular uniformity for time-of-day — "are
+    events spread evenly around the 24 h clock or concentrated at a
+    preferred hour", the CIRCULAR dial the linear hourly histograms
+    (seasonal_hour_profile) cannot give a significance number for:
+    hour 23 and hour 0 are neighbors on the circle, not range
+    extremes. θ = 2π·(micros-into-day)/86.4e9; R̄ = |Σe^{iθ}|/n;
+    z = n·R̄² (Mardia & Jupp §6.3), plus the circular mean hour.
+
+    One scan: the angle is an exact-integer fraction of the day before
+    the only trig call, and cos/sin ride the round-6 decimal parity
+    recipe (the spectral_entropy rule — JVM and libm trig agree only
+    to ~1 ulp, so raw double sums could diverge engines); the folds
+    are exact decimal sums. Output one row:
+    (n, resultant_len, rayleigh_z, mean_hour)."""
+    micros = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) % 86400000000"
+    )
+    theta = (
+        F.lit(2.0 * 3.141592653589793)
+        * micros.cast("double")
+        / F.lit(86400000000.0)
+    )
+    base = df.filter(F.col(ts_col).isNotNull()).select(
+        F.round(F.cos(theta), 6).cast("decimal(8,6)").alias("cw"),
+        F.round(F.sin(theta), 6).cast("decimal(8,6)").alias("sw"),
+    )
+    folded = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cw").cast("decimal(38,6)")).alias("c"),
+        F.sum(F.col("sw").cast("decimal(38,6)")).alias("s"),
+    )
+    from .hypotests import dec_double_wide_frac
+
+    # staged projections: expanding the wide-split + atan2 + when
+    # duplications in ONE projection generates >10k lines of Java and
+    # kicks the (1-row) stage out of codegen — stage the scalars
+    pre = folded.select(
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        dec_double_wide_frac(F.col("c")).alias("cd"),
+        dec_double_wide_frac(F.col("s")).alias("sd"),
+    )
+    cd, sd, nd = F.col("cd"), F.col("sd"), F.col("nd")
+    mid = pre.select(
+        "n",
+        "nd",
+        (F.sqrt(cd * cd + sd * sd) / nd).alias("rbar"),
+        (
+            F.atan2(sd, cd)
+            / F.lit(2.0 * 3.141592653589793)
+            * F.lit(24.0)
+        ).alias("h0"),
+    )
+    hour = F.when(F.col("h0") < 0, F.col("h0") + F.lit(24.0)).otherwise(
+        F.col("h0")
+    )
+    rbar = F.col("rbar")
+    return mid.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(F.col("n") > 0, F.round(rbar, 6)).alias("resultant_len"),
+        F.when(F.col("n") > 0, F.round(nd * rbar * rbar, 6)).alias(
+            "rayleigh_z"
+        ),
+        F.when(F.col("n") > 0, F.round(hour, 6)).alias("mean_hour"),
+    )

@@ -431,3 +431,123 @@ def test_kpss_stationary_noise_accepts(spark):
     assert abs(r["kpss_stat"] - eta_ref) < 1e-4
     # i.i.d. noise around a level: below the 10% critical value 0.347
     assert r["kpss_stat"] < 0.347
+
+
+# ---- wave 10: Rayleigh, Mood dispersion, join-key discovery ----
+
+from breweries_etl_spark.operators.hypotests import mood_dispersion  # noqa: E402
+from breweries_etl_spark.operators.profiling import join_key_profile  # noqa: E402
+from breweries_etl_spark.operators.temporal import (  # noqa: E402
+    rayleigh_hour_uniformity,
+)
+
+
+def _ts_df(spark, stamps):
+    return spark.createDataFrame([(s,) for s in stamps], ["ts"]).select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+
+
+def test_rayleigh_concentrated_times(spark):
+    stamps = [
+        "2024-01-%02d 09:%02d:00" % (1 + i % 28, i % 60) for i in range(200)
+    ]
+    r = rayleigh_hour_uniformity(_ts_df(spark, stamps)).collect()[0]
+    assert r["n"] == 200
+    assert r["resultant_len"] > 0.99
+    assert r["rayleigh_z"] > 150.0
+    assert 8.9 < r["mean_hour"] < 9.6
+
+
+def test_rayleigh_uniform_times(spark):
+    stamps = [
+        "2024-01-%02d %02d:%02d:00" % (1 + i % 28, i % 24, (7 * i) % 60)
+        for i in range(240)
+    ]
+    r = rayleigh_hour_uniformity(_ts_df(spark, stamps)).collect()[0]
+    assert r["rayleigh_z"] < 3.0  # uniform null: E[z] = 1
+
+
+def test_rayleigh_matches_direct_formula(spark):
+    stamps = ["2024-01-01 %02d:00:00" % h for h in (1, 2, 3, 22, 23, 9)]
+    r = rayleigh_hour_uniformity(_ts_df(spark, stamps)).collect()[0]
+    angles = [2 * math.pi * h / 24.0 for h in (1, 2, 3, 22, 23, 9)]
+    c = sum(round(math.cos(a), 6) for a in angles)
+    s = sum(round(math.sin(a), 6) for a in angles)
+    n = len(angles)
+    rbar = math.sqrt(c * c + s * s) / n
+    hour = math.atan2(s, c) / (2 * math.pi) * 24.0
+    if hour < 0:
+        hour += 24.0
+    assert abs(r["resultant_len"] - rbar) < 1e-6
+    assert abs(r["rayleigh_z"] - n * rbar * rbar) < 1e-5
+    assert abs(r["mean_hour"] - hour) < 1e-5
+
+
+def _mood_reference(a, b):
+    pooled = sorted(a + b)
+    n = len(pooled)
+
+    def midrank(v):
+        lo = sum(1 for p in pooled if p < v)
+        eq = sum(1 for p in pooled if p == v)
+        return lo + (eq + 1) / 2.0
+
+    su = [((midrank(v) - (n + 1) / 2.0) / n) ** 2 for v in pooled]
+    t = sum(((midrank(v) - (n + 1) / 2.0) / n) ** 2 for v in a)
+    sbar = sum(su) / n
+    e = len(a) * sbar
+    var = (
+        len(a) * len(b) / (n * (n - 1.0))
+        * sum((x - sbar) ** 2 for x in su)
+    )
+    return t, e, (t - e) / math.sqrt(var)
+
+
+def test_mood_dispersion_matches_reference(spark):
+    a = [1.0, 3.0, 5.0, 20.0, 22.0, 0.5, 18.0]  # wide
+    b = [9.0, 10.0, 11.0, 10.5, 9.5, 10.2, 11.5, 9.8]  # narrow
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = mood_dispersion(df, "v", F.col("g") == "a").collect()[0]
+    t_ref, e_ref, z_ref = _mood_reference(a, b)
+    assert r["n_a"] == 7 and r["n_b"] == 8
+    assert abs(r["t_stat"] - t_ref) < 1e-5
+    assert abs(r["expected_t"] - e_ref) < 1e-5
+    assert abs(r["z_score"] - z_ref) < 1e-4
+    assert r["z_score"] > 2.0  # group a visibly wider
+
+
+def test_mood_dispersion_ties_match_reference(spark):
+    a = [1.0, 1.0, 5.0, 5.0, 9.0]
+    b = [4.0, 5.0, 5.0, 6.0]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = mood_dispersion(df, "v", F.col("g") == "a").collect()[0]
+    t_ref, e_ref, z_ref = _mood_reference(a, b)
+    assert abs(r["t_stat"] - t_ref) < 1e-5
+    assert abs(r["z_score"] - z_ref) < 1e-4
+
+
+def test_join_key_profile_hand_example(spark):
+    da = spark.createDataFrame([(i,) for i in [1, 2, 2, 3, 4]], ["k"])
+    db = spark.createDataFrame([(i,) for i in [2, 3, 4, 5, 5, 6]], ["k"])
+    r = join_key_profile([("ab", da, "k", db, "k")]).collect()[0]
+    assert r["n_rows_a"] == 5 and r["n_rows_b"] == 6
+    assert r["n_distinct_a"] == 4 and r["n_distinct_b"] == 5
+    assert r["n_intersect"] == 3
+    assert abs(r["containment_ab"] - 0.75) < 1e-9
+    assert abs(r["containment_ba"] - 0.6) < 1e-9
+    assert abs(r["jaccard"] - 0.5) < 1e-9
+    assert abs(r["uniqueness_a"] - 0.8) < 1e-9
+
+
+def test_join_key_profile_inclusion_dependency(spark):
+    child = spark.createDataFrame([(i % 4,) for i in range(20)], ["fk"])
+    parent = spark.createDataFrame([(i,) for i in range(6)], ["pk"])
+    r = join_key_profile(
+        [("fk->pk", child, "fk", parent, "pk")]
+    ).collect()[0]
+    assert r["containment_ab"] == 1.0  # child values all in parent
+    assert r["uniqueness_b"] == 1.0  # parent is a key
+    assert r["containment_ba"] < 1.0

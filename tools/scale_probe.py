@@ -194,7 +194,8 @@ QUERIES = [
     "max_drawdown_daily_value", "youden_j_order_status",
     "bws_test_price_status", "mardia_kurtosis_price_qty",
     "term_dispersion_dp_docs", "lexical_constants_docs",
-    "kpss_daily_value",
+    "kpss_daily_value", "rayleigh_hour_events",
+    "mood_dispersion_price_status", "join_key_discovery",
 ]
 
 
