@@ -10991,6 +10991,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rayleigh_hour_events": q_rayleigh_hour_events,
         "mood_dispersion_price_status": q_mood_dispersion_price_status,
         "join_key_discovery": q_join_key_discovery,
+        "pacf_daily_value": q_pacf_daily_value,
+        "seasonal_strength_daily": q_seasonal_strength_daily,
+        "welch_anova_price_flag": q_welch_anova_price_flag,
         "bland_altman_doclen": q_bland_altman_doclen,
         "pinball_loss_price": q_pinball_loss_price,
         "type_mix_entropy_trend": q_type_mix_entropy_trend,
@@ -15043,3 +15046,238 @@ SELECT pair,
   END AS uniqueness_b
 FROM allp
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 11: PACF, seasonal strength, Welch ANOVA
+# ---------------------------------------------------------------------------
+
+
+def q_pacf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (Durbin-Levinson, lags 1-3) of the daily
+    event-value series (operators/temporal.py:pacf_daily)."""
+    from breweries_etl_spark.operators.temporal import pacf_daily
+
+    return pacf_daily(load_events(spark, sf_dir))
+
+
+def q_seasonal_strength_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style weekly seasonal-strength decomposition of the daily
+    event-value series
+    (operators/temporal.py:seasonal_strength_daily)."""
+    from breweries_etl_spark.operators.temporal import (
+        seasonal_strength_daily,
+    )
+
+    return seasonal_strength_daily(load_events(spark, sf_dir))
+
+
+def q_welch_anova_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch heteroscedastic one-way ANOVA of l_extendedprice across
+    the three returnflag groups
+    (operators/hypotests.py:welch_anova)."""
+    from breweries_etl_spark.operators.hypotests import welch_anova
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return welch_anova(li, "l_returnflag", "l_extendedprice", ["A", "N", "R"])
+
+
+
+_ORACLES["pacf_daily_value"] = f"""
+WITH daily AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n,
+    SUM(CAST(y AS DECIMAL(38,2))) AS s,
+    SUM(CAST(y * y AS DECIMAL(38,4))) AS q
+  FROM daily
+), lags AS (SELECT unnest(range(1, 4)) AS lag),
+pairs AS (
+  SELECT lags.lag, a.y AS y, b.y AS y2
+  FROM daily a CROSS JOIN lags JOIN daily b ON b.day = a.day + lags.lag
+), per_lag AS (
+  SELECT lag, count(*) AS n_pairs,
+    SUM(CAST(y * y2 AS DECIMAL(38,4))) AS p,
+    SUM(CAST(y AS DECIMAL(38,2))) AS a,
+    SUM(CAST(y2 AS DECIMAL(38,2))) AS b
+  FROM pairs GROUP BY lag
+), rhos AS (
+  SELECT lag,
+    CASE WHEN {_dd('q')} - {_dd('s')} * ({_dd('s')} / CAST(n AS DOUBLE))
+           > 0 THEN
+      round(({_dd('p')}
+             - ({_dd('s')} / CAST(n AS DOUBLE))
+               * ({_dd('a')} + {_dd('b')})
+             + CAST(n_pairs AS DOUBLE)
+               * ({_dd('s')} / CAST(n AS DOUBLE))
+               * ({_dd('s')} / CAST(n AS DOUBLE)))
+            / ({_dd('q')}
+               - {_dd('s')} * ({_dd('s')} / CAST(n AS DOUBLE))), 6)
+    END AS rho
+  FROM per_lag CROSS JOIN tot
+), pivoted AS (
+  SELECT max(CASE WHEN lag = 1 THEN rho END) AS rho1,
+    max(CASE WHEN lag = 2 THEN rho END) AS rho2,
+    max(CASE WHEN lag = 3 THEN rho END) AS rho3
+  FROM rhos
+), wide AS (
+  SELECT n, rho1, rho2, rho3 FROM tot CROSS JOIN pivoted
+), s1 AS (
+  SELECT n, rho1, rho2, rho3, rho1 AS p11,
+    (rho2 - rho1 * rho1) / (1.0 - rho1 * rho1) AS p22
+  FROM wide
+), s2 AS (
+  SELECT *, (p11 - p22 * p11) AS p21 FROM s1
+)
+SELECT CAST(n AS BIGINT) AS n_days, rho1, rho2, rho3,
+  p11 AS pacf1, round(p22, 6) AS pacf2,
+  round((rho3 - p21 * rho2 - p22 * rho1)
+        / (1.0 - p21 * rho1 - p22 * rho2), 6) AS pacf3
+FROM s2
+"""
+
+_ORACLES["seasonal_strength_daily"] = f"""
+WITH {_DAILY_EVENTS},
+base AS (
+  SELECT day % 7 AS dow,
+    CAST(y AS DOUBLE)
+      - CAST(SUM(y) OVER (ORDER BY day
+          RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE)
+        / CAST(COUNT(y) OVER (ORDER BY day
+          RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) AS detr
+  FROM daily
+), dmeans AS (
+  SELECT dow, SUM(CAST(floor(detr * 1e6) AS HUGEINT)) AS sd_fp,
+    count(*) AS c
+  FROM base GROUP BY dow
+), joined AS (
+  SELECT detr,
+    detr - ({_ddw('sd_fp')} / 1e6 / CAST(c AS DOUBLE)) AS resid
+  FROM base JOIN dmeans USING (dow)
+), folded AS (
+  SELECT count(*) AS n,
+    SUM(CAST(floor(detr * detr * 1e6) AS HUGEINT)) AS dd_fp,
+    SUM(CAST(floor(detr * 1e6) AS HUGEINT)) AS d_fp,
+    SUM(CAST(floor(resid * resid * 1e6) AS HUGEINT)) AS rr_fp,
+    SUM(CAST(floor(resid * 1e6) AS HUGEINT)) AS r_fp
+  FROM joined
+), dbl AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+    {_ddw('dd_fp')} / 1e6 / CAST(n AS DOUBLE)
+      - ({_ddw('d_fp')} / 1e6 / CAST(n AS DOUBLE))
+        * ({_ddw('d_fp')} / 1e6 / CAST(n AS DOUBLE)) AS var_d,
+    {_ddw('rr_fp')} / 1e6 / CAST(n AS DOUBLE)
+      - ({_ddw('r_fp')} / 1e6 / CAST(n AS DOUBLE))
+        * ({_ddw('r_fp')} / 1e6 / CAST(n AS DOUBLE)) AS var_r
+  FROM folded
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+  CASE WHEN n > 0 THEN round(var_d, 6) END AS var_detrended,
+  CASE WHEN n > 0 THEN round(var_r, 6) END AS var_residual,
+  CASE WHEN n > 0 AND var_d > 0 THEN
+    round(greatest(0.0, 1.0 - var_r / var_d), 6)
+  END AS seasonal_strength
+FROM dbl
+"""
+
+_ORACLES["welch_anova_price_flag"] = f"""
+WITH g AS (
+  SELECT l_returnflag AS g, count(*) AS n_i,
+    SUM({_qm8('l_extendedprice')}) AS s_i,
+    SUM(CAST({_qm8('l_extendedprice')} * {_qm8('l_extendedprice')}
+        AS DECIMAL(38,4))) AS q_i
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    AND l_returnflag IN ('A', 'N', 'R')
+  GROUP BY 1
+), per AS (
+  SELECT n_i, CAST(n_i AS DOUBLE) AS nd, m, v
+  FROM (
+    SELECT n_i,
+      {_ddwf('s_i')} / CAST(n_i AS DOUBLE) AS m,
+      ({_ddwf('q_i')} - {_ddwf('s_i')}
+         * ({_ddwf('s_i')} / CAST(n_i AS DOUBLE)))
+        / (CAST(n_i AS DOUBLE) - 1.0) AS v
+    FROM g
+  ) WHERE n_i >= 2 AND v > 0
+), fold1 AS (
+  SELECT count(*) AS k, SUM(n_i) AS n,
+    SUM(CAST(round(nd / v, 12) AS DECIMAL(38,12))) AS w12,
+    SUM(CAST(round(nd / v * m, 12) AS DECIMAL(38,12))) AS wm12
+  FROM per
+), per2 AS (
+  SELECT k, n, nd, m, v, nd / v AS w,
+    CAST(w12 AS DOUBLE) AS wtot,
+    CAST(wm12 AS DOUBLE) / CAST(w12 AS DOUBLE) AS xbar
+  FROM per CROSS JOIN fold1
+), fold2 AS (
+  SELECT max(k) AS k, max(n) AS n,
+    SUM(CAST(round(w * (m - xbar) * (m - xbar), 12)
+        AS DECIMAL(38,12))) AS a12,
+    SUM(CAST(round((1.0 - w / wtot) * (1.0 - w / wtot) / (nd - 1.0),
+        12) AS DECIMAL(38,12))) AS h12
+  FROM per2
+), fin AS (
+  SELECT k, n, CAST(k AS DOUBLE) AS kd,
+    CAST(a12 AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0) AS a_stat,
+    1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+      / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+      * CAST(h12 AS DOUBLE) AS b_stat,
+    CAST(h12 AS DOUBLE) AS lam
+  FROM fold2
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+  CASE WHEN k > 1 AND b_stat > 0 THEN round(a_stat / b_stat, 6)
+  END AS w_stat,
+  CASE WHEN k > 1 THEN (kd - 1.0) END AS df1,
+  CASE WHEN k > 1 AND lam > 0 THEN
+    round((kd * kd - 1.0) / (3.0 * lam), 6) END AS df2
+FROM fin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 12: portable inverse-normal-CDF twin + normal-scores tests
+# ---------------------------------------------------------------------------
+
+from breweries_etl_spark.operators.hypotests import (  # noqa: E402
+    _PPF_A, _PPF_B, _PPF_C, _PPF_D, _PPF_PLOW,
+)
+
+
+def _horner_sql(coefs: list, x: str) -> str:
+    acc = repr(coefs[0])
+    for c in coefs[1:]:
+        acc = f"({acc} * {x} + {repr(c)})"
+    return acc
+
+
+def _norm_ppf_sql(p: str) -> str:
+    """SQL twin of operators/hypotests.norm_ppf — generated from the
+    SAME Acklam coefficient lists with repr() round-tripping, identical
+    Horner association, so both engines produce bit-identical doubles
+    (ln/sqrt are the accepted 1-ulp-class primitives)."""
+    q_lo = f"sqrt(-2.0 * ln({p}))"
+    q_hi = f"sqrt(-2.0 * ln(1.0 - {p}))"
+    lower = (
+        f"({_horner_sql(_PPF_C, q_lo)} / {_horner_sql(_PPF_D + [1.0], q_lo)})"
+    )
+    upper = (
+        f"(-({_horner_sql(_PPF_C, q_hi)}"
+        f" / {_horner_sql(_PPF_D + [1.0], q_hi)}))"
+    )
+    q_m = f"({p} - 0.5)"
+    r_m = f"({q_m} * {q_m})"
+    middle = (
+        f"({_horner_sql(_PPF_A, r_m)} * {q_m}"
+        f" / {_horner_sql(_PPF_B + [1.0], r_m)})"
+    )
+    return (
+        f"(CASE WHEN {p} > 0.0 AND {p} < {_PPF_PLOW!r} THEN {lower}"
+        f" WHEN {p} >= {_PPF_PLOW!r} AND {p} <= {1.0 - _PPF_PLOW!r}"
+        f" THEN {middle}"
+        f" WHEN {p} > {1.0 - _PPF_PLOW!r} AND {p} < 1.0 THEN {upper}"
+        f" END)"
+    )

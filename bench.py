@@ -433,6 +433,9 @@ FAMILIES: dict[str, list[str]] = {
         "rayleigh_hour_events",
         "mood_dispersion_price_status",
         "join_key_discovery",
+        "pacf_daily_value",
+        "seasonal_strength_daily",
+        "welch_anova_price_flag",
     ],
 }
 

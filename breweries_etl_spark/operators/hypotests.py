@@ -84,8 +84,9 @@ def dec_double_wide_frac(col: Column) -> Column:
     moment accumulators that cross dec_double's envelope at 10⁹–10¹²
     rows (judge r6 #2 / ADVICE _ddwf design): the integer part rides
     dec_double_wide's exact sign-safe split; the fractional part
-    (< 1, ≤ 6 significant digits — correctly rounded by every engine's
-    decimal→double cast) joins in ONE final IEEE add, and the sign is
+    (< 1, full input scale — the `% 1` remainder type keeps every
+    fractional digit and its decimal→double cast is correctly rounded
+    up to scale 15) joins in ONE final IEEE add, and the sign is
     reapplied as an exact multiply. Valid for |s| < 10²⁷.
     SQL twin (DuckDB, the ``_ddwf`` macro):
     CASE WHEN s < 0 THEN -1.0 ELSE 1.0 END *
@@ -97,11 +98,13 @@ def dec_double_wide_frac(col: Column) -> Column:
     b = F.lit(1000000000).cast("decimal(10,0)")
     lo = ip % b
     hi = (ip - lo) / b
-    mag = (
-        dec_double(hi) * F.lit(1e9)
-        + dec_double(lo)
-        + (a - F.floor(a)).cast("double")
-    )
+    # fraction via decimal MODULO, not (a - floor(a)): Spark's decimal
+    # subtraction clips the result scale when precision would exceed
+    # 38 (a (38,8) input came back scale-6, silently truncating
+    # fraction digits 7-8 — the round-9 welch_anova finding); the
+    # remainder type rule keeps the full input scale
+    frac = (a % F.lit(1).cast("decimal(1,0)")).cast("double")
+    mag = dec_double(hi) * F.lit(1e9) + dec_double(lo) + frac
     return F.when(col < 0, -mag).otherwise(mag)
 
 
@@ -5658,3 +5661,398 @@ def mood_dispersion(
         ).alias("z_score"),
     )
     return _released(result, pc, release)
+
+
+def welch_anova(
+    df: DataFrame, group_col: str, value_col: str, groups: list
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA — the k-group mean
+    comparison that does NOT assume equal variances (the recommended
+    default when levene/bartlett reject): W* = [Σwⱼ(x̄ⱼ − x̄₊)²/(k−1)]
+    / [1 + 2(k−2)/(k²−1)·Λ], wⱼ = nⱼ/s²ⱼ, x̄₊ = Σwⱼx̄ⱼ/Σwⱼ,
+    Λ = Σ(1 − wⱼ/W)²/(nⱼ−1); df₂ = (k²−1)/(3Λ) (Welch 1951).
+
+    ONE map-combinable moment pass (per-group n/Σx/Σx² on the
+    quantized_money grid); groups with nⱼ < 2 or zero variance drop
+    out (wⱼ undefined) and k counts the SURVIVORS. The k-row folds sum
+    12-dp-rounded decimals (the ad_ksample k-fold discipline) so the
+    bounded double sums cannot diverge engines; precision envelope:
+    terms below ~10⁻⁹ (variances above ~10¹⁵ at nⱼ = 2) would lose
+    6-dp parity — no money-scale domain is close. Output one row:
+    (n, k_groups, w_stat, df1, df2)."""
+    xq = quantized_money(F.col(value_col))
+    g = (
+        df.filter(
+            F.col(value_col).isNotNull()
+            & F.col(group_col).isNotNull()
+            & F.col(group_col).isin(list(groups))
+        )
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum(xq).alias("s_i"),
+            F.sum((xq * xq).cast("decimal(38,4)")).alias("q_i"),
+        )
+    )
+    n_d = F.col("n_i").cast("double")
+    mean_i = dec_double_wide_frac(F.col("s_i")) / n_d
+    var_i = (
+        dec_double_wide_frac(F.col("q_i")) - dec_double_wide_frac(
+            F.col("s_i")
+        ) * mean_i
+    ) / (n_d - F.lit(1.0))
+    per = g.select(
+        "n_i", n_d.alias("nd"), mean_i.alias("m"), var_i.alias("v")
+    ).filter((F.col("n_i") >= 2) & (F.col("v") > 0))
+    w = F.col("nd") / F.col("v")
+    d12 = "decimal(38,12)"
+    fold1 = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_i").alias("n"),
+        F.sum(F.round(w, 12).cast(d12)).alias("w12"),
+        F.sum(F.round(w * F.col("m"), 12).cast(d12)).alias("wm12"),
+    )
+    per2 = per.crossJoin(F.broadcast(fold1))
+    # DIRECT double casts here, NOT dec_double_wide_frac: scale-12
+    # decimals overflow Spark's subtraction precision inside the
+    # wide-frac split (the (38,12) - floor result clips to scale 6 and
+    # silently truncates the fraction); these k-term 12-dp sums stay
+    # under 15 significant digits, where the direct cast is correctly
+    # rounded on both engines
+    w_tot = F.col("w12").cast("double")
+    xbar = F.col("wm12").cast("double") / w_tot
+    a_term = w * (F.col("m") - xbar) * (F.col("m") - xbar)
+    h_term = (
+        (F.lit(1.0) - w / w_tot)
+        * (F.lit(1.0) - w / w_tot)
+        / (F.col("nd") - F.lit(1.0))
+    )
+    fold2 = per2.agg(
+        F.max("k").alias("k"),
+        F.max("n").alias("n"),
+        F.max("w12").alias("w12"),
+        F.sum(F.round(a_term, 12).cast(d12)).alias("a12"),
+        F.sum(F.round(h_term, 12).cast(d12)).alias("h12"),
+    )
+    kd = F.col("k").cast("double")
+    lam = F.col("h12").cast("double")
+    a_stat = F.col("a12").cast("double") / (kd - F.lit(1.0))
+    b_stat = F.lit(1.0) + F.lit(2.0) * (kd - F.lit(2.0)) / (
+        kd * kd - F.lit(1.0)
+    ) * lam
+    df2 = (kd * kd - F.lit(1.0)) / (F.lit(3.0) * lam)
+    return fold2.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.when((F.col("k") > 1) & (b_stat > 0), F.round(
+            a_stat / b_stat, 6
+        )).alias("w_stat"),
+        F.when(F.col("k") > 1, (kd - F.lit(1.0))).alias("df1"),
+        F.when((F.col("k") > 1) & (lam > 0), F.round(df2, 6)).alias(
+            "df2"
+        ),
+    )
+
+
+# Acklam (2003) inverse normal CDF coefficients — public rational
+# approximation, |relative error| < 1.15e-9 everywhere: far inside the
+# 6-dp oracle grid. The SQL twin (__spark_entry__._norm_ppf_sql) is
+# GENERATED from these same literals with repr() round-tripping, and
+# both sides evaluate the identical Horner order, so the doubles agree
+# bit-for-bit (ln/sqrt are the usual 1-ulp-class primitives).
+_PPF_A = [
+    -3.969683028665376e+01, 2.209460984245205e+02,
+    -2.759285104469687e+02, 1.383577518672690e+02,
+    -3.066479806614716e+01, 2.506628277459239e+00,
+]
+_PPF_B = [
+    -5.447609879822406e+01, 1.615858368580409e+02,
+    -1.556989798598866e+02, 6.680131188771972e+01,
+    -1.328068155288572e+01,
+]
+_PPF_C = [
+    -7.784894002430293e-03, -3.223964580411365e-01,
+    -2.400758277161838e+00, -2.549732539343734e+00,
+    4.374664141464968e+00, 2.938163982698783e+00,
+]
+_PPF_D = [
+    7.784695709041462e-03, 3.224671290700398e-01,
+    2.445134137142996e+00, 3.754408661907416e+00,
+]
+_PPF_PLOW = 0.02425
+
+
+def _horner(coefs: list, x: Column) -> Column:
+    acc = F.lit(coefs[0])
+    for c in coefs[1:]:
+        acc = acc * x + F.lit(c)
+    return acc
+
+
+def norm_ppf(p: Column) -> Column:
+    """Φ⁻¹(p), engine-portable: Acklam's piecewise rational
+    approximation as a pure Column expression — the normal-scores
+    primitive behind van_der_waerden / fligner_killeen (and any future
+    probit). NULL-safe: p outside (0, 1) yields NULL."""
+    q_c = F.lit(-2.0) * F.log(p)
+    q_lo = F.sqrt(q_c)
+    lower = _horner(_PPF_C, q_lo) / (
+        _horner(_PPF_D + [1.0], q_lo)
+    )
+    q_hi = F.sqrt(F.lit(-2.0) * F.log(F.lit(1.0) - p))
+    upper = -(
+        _horner(_PPF_C, q_hi) / _horner(_PPF_D + [1.0], q_hi)
+    )
+    q_m = p - F.lit(0.5)
+    r_m = q_m * q_m
+    middle = (
+        _horner(_PPF_A, r_m) * q_m / _horner(_PPF_B + [1.0], r_m)
+    )
+    return (
+        F.when(
+            (p > F.lit(0.0)) & (p < F.lit(_PPF_PLOW)), lower
+        )
+        .when(
+            (p >= F.lit(_PPF_PLOW)) & (p <= F.lit(1.0 - _PPF_PLOW)),
+            middle,
+        )
+        .when((p > F.lit(1.0 - _PPF_PLOW)) & (p < F.lit(1.0)), upper)
+    )
+
+
+def van_der_waerden(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Van der Waerden k-sample normal-scores test (Conover 1999
+    §5.10) — Kruskal-Wallis power on heavy-tailed data AND near-ANOVA
+    efficiency under true normality, by mapping midranks through Φ⁻¹:
+    A_ij = Φ⁻¹(R_ij/(N+1)), T = Σ nᵢĀᵢ²/S², S² = ΣA²/(N−1);
+    χ²_{k−1} null.
+
+    ONE multigroup prefix-count pass; the score rides the portable
+    Acklam Φ⁻¹ and then the round-6 DECIMAL score recipe (the
+    spectral-entropy trig rule: ln/sqrt are 1-ulp-class, so the score
+    is snapped to the 10⁻⁶ grid BEFORE any fold — every later
+    accumulator is exact decimal arithmetic and the engines cannot
+    drift). The k per-group folds are columns of one aggregate (the
+    ad_ksample single-scan discipline). Output one row:
+    (n, k_groups, t_stat)."""
+    k = len(groups)
+    mg = multigroup_value_prefix_counts(
+        df, value_col, group_col, groups, n_buckets
+    )
+    handles = [mg._vc_cache]  # type: ignore[attr-defined]
+    lsum = None
+    msum = None
+    for i in range(k):
+        c = F.col(f"c{i}")
+        m_c = F.col(f"m{i}")
+        lsum = c if lsum is None else lsum + c
+        msum = m_c if msum is None else msum + m_c
+    tot = mg._vc_cache.agg(  # type: ignore[attr-defined]
+        *[F.sum(f"c{i}").alias(f"n{i}") for i in range(k)],
+        F.sum(lsum).alias("nn"),
+    )
+    base = mg.crossJoin(F.broadcast(tot))
+    mid_d = (
+        (F.lit(2) * msum - lsum + F.lit(1)).cast("double") / F.lit(2.0)
+    )
+    p = mid_d / (F.col("nn").cast("double") + F.lit(1.0))
+    a6 = F.round(norm_ppf(p), 6).cast("decimal(9,6)")
+    folded = base.agg(
+        F.max("nn").alias("nn"),
+        *[F.max(f"n{i}").alias(f"n{i}") for i in range(k)],
+        *[
+            F.sum(
+                (F.col(f"c{i}").cast("decimal(19,0)") * a6).cast(
+                    "decimal(38,6)"
+                )
+            ).alias(f"s{i}")
+            for i in range(k)
+        ],
+        F.sum(
+            (lsum.cast("decimal(19,0)") * a6 * a6).cast("decimal(38,12)")
+        ).alias("ss"),
+    )
+    # stack to k rows so the per-group fold is a rounded-decimal sum
+    # (the ad_ksample k-fold rule)
+    stack_args = ", ".join(f"n{i}, s{i}" for i in range(k))
+    allp = folded.select(
+        "nn",
+        "ss",
+        F.expr(f"stack({k}, {stack_args}) as (n_i, s_i)"),
+    ).filter(F.col("n_i") > 0)
+    term = (
+        dec_double_wide_frac(F.col("s_i"))
+        * dec_double_wide_frac(F.col("s_i"))
+        / F.col("n_i").cast("double")
+    )
+    fin = allp.agg(
+        F.max("nn").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("ss").alias("ss"),
+        F.sum(F.round(term, 9).cast("decimal(38,9)")).alias("num9"),
+    )
+    nn = F.col("n").cast("double")
+    s2 = dec_double_wide_frac(F.col("ss")) / (nn - F.lit(1.0))
+    t_stat = F.col("num9").cast("double") / s2
+    result = fin.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.when((F.col("n") > 1) & (s2 > 0), F.round(t_stat, 6)).alias(
+            "t_stat"
+        ),
+    )
+    if release:
+        from .dedup import _release_caches
+
+        return _release_caches(result, handles)
+    return result
+
+
+def fligner_killeen(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Fligner–Killeen scale test (the robust default variance-
+    homogeneity screen — scipy's recommendation for non-normal data,
+    next to levene/bartlett/ansari/mood in this engine's dispersion
+    shelf): center each group at its MEDIAN, pool |x − med_g|, map
+    midranks through a_j = Φ⁻¹(½ + R_j/(2(N+1))), then
+    X² = Σ nᵢ(Āᵢ − ā)²/V with V the (ddof=1) variance of all scores;
+    χ²_{k−1} null.
+
+    TWO multigroup prefix-count passes by necessity (medians must
+    exist before residuals can rank): pass 1 folds every group's exact
+    median (np.median convention: mean of the two central order
+    statistics, via two conditional struct-mins over the cumulative
+    counts — no per-group loop, no collect); pass 2 ranks the pooled
+    |x − med_g|. Scores snap to the round-6 decimal grid (the
+    spectral/van-der-Waerden rule) so all closing folds are exact
+    decimals. Output one row: (n, k_groups, x2_stat)."""
+    k = len(groups)
+    mg1 = multigroup_value_prefix_counts(
+        df, value_col, group_col, groups, n_buckets
+    )
+    handles = [mg1._vc_cache]  # type: ignore[attr-defined]
+    tot1 = mg1._vc_cache.agg(  # type: ignore[attr-defined]
+        *[F.sum(f"c{i}").alias(f"n{i}") for i in range(k)]
+    )
+    vd = F.col("v").cast("double")
+    med_aggs = []
+    for i in range(k):
+        n_i = F.col(f"n{i}")
+        lo_thresh = ((n_i + F.lit(1)) / F.lit(2)).cast("long")  # ceil(n/2)
+        hi_thresh = (n_i / F.lit(2)).cast("long") + F.lit(1)
+        med_aggs.append(
+            F.min(
+                F.when(F.col(f"m{i}") >= lo_thresh, vd)
+            ).alias(f"vlo{i}")
+        )
+        med_aggs.append(
+            F.min(
+                F.when(F.col(f"m{i}") >= hi_thresh, vd)
+            ).alias(f"vhi{i}")
+        )
+    meds = mg1.crossJoin(F.broadcast(tot1)).agg(*med_aggs)
+    med_case = None
+    for i, g in enumerate(groups):
+        med_i = (F.col(f"vlo{i}") + F.col(f"vhi{i}")) / F.lit(2.0)
+        cond = F.col(group_col) == F.lit(g)
+        med_case = (
+            F.when(cond, med_i)
+            if med_case is None
+            else med_case.when(cond, med_i)
+        )
+    centered = df.crossJoin(F.broadcast(meds)).select(
+        F.col(group_col).alias("__fk_g"),
+        F.abs(F.col(value_col).cast("double") - med_case).alias("__fk_z"),
+    )
+    mg2 = multigroup_value_prefix_counts(
+        centered, "__fk_z", "__fk_g", groups, n_buckets
+    )
+    handles.append(mg2._vc_cache)  # type: ignore[attr-defined]
+    lsum = None
+    msum = None
+    for i in range(k):
+        c = F.col(f"c{i}")
+        m_c = F.col(f"m{i}")
+        lsum = c if lsum is None else lsum + c
+        msum = m_c if msum is None else msum + m_c
+    tot2 = mg2._vc_cache.agg(  # type: ignore[attr-defined]
+        *[F.sum(f"c{i}").alias(f"n{i}") for i in range(k)],
+        F.sum(lsum).alias("nn"),
+    )
+    base = mg2.crossJoin(F.broadcast(tot2))
+    mid_d = (
+        (F.lit(2) * msum - lsum + F.lit(1)).cast("double") / F.lit(2.0)
+    )
+    p = F.lit(0.5) + mid_d / (
+        F.lit(2.0) * (F.col("nn").cast("double") + F.lit(1.0))
+    )
+    a6 = F.round(norm_ppf(p), 6).cast("decimal(9,6)")
+    folded = base.agg(
+        F.max("nn").alias("nn"),
+        *[F.max(f"n{i}").alias(f"n{i}") for i in range(k)],
+        *[
+            F.sum(
+                (F.col(f"c{i}").cast("decimal(19,0)") * a6).cast(
+                    "decimal(38,6)"
+                )
+            ).alias(f"s{i}")
+            for i in range(k)
+        ],
+        F.sum((lsum.cast("decimal(19,0)") * a6).cast("decimal(38,6)"))
+        .alias("sa"),
+        F.sum(
+            (lsum.cast("decimal(19,0)") * a6 * a6).cast("decimal(38,12)")
+        ).alias("ss"),
+    )
+    stack_args = ", ".join(f"n{i}, s{i}" for i in range(k))
+    allp = folded.select(
+        "nn",
+        "sa",
+        "ss",
+        F.expr(f"stack({k}, {stack_args}) as (n_i, s_i)"),
+    ).filter(F.col("n_i") > 0)
+    nn = F.col("nn").cast("double")
+    abar = dec_double_wide_frac(F.col("sa")) / nn
+    dev = dec_double_wide_frac(F.col("s_i")) / F.col("n_i").cast(
+        "double"
+    ) - abar
+    term = F.col("n_i").cast("double") * dev * dev
+    fin = allp.agg(
+        F.max("nn").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("sa").alias("sa"),
+        F.max("ss").alias("ss"),
+        F.sum(F.round(term, 9).cast("decimal(38,9)")).alias("num9"),
+    )
+    n_d = F.col("n").cast("double")
+    gbar = dec_double_wide_frac(F.col("sa")) / n_d
+    v_all = (
+        dec_double_wide_frac(F.col("ss"))
+        - n_d * gbar * gbar
+    ) / (n_d - F.lit(1.0))
+    x2 = F.col("num9").cast("double") / v_all
+    result = fin.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.when((F.col("n") > 1) & (v_all > 0), F.round(x2, 6)).alias(
+            "x2_stat"
+        ),
+    )
+    if release:
+        from .dedup import _release_caches
+
+        return _release_caches(result, handles)
+    return result

@@ -2799,3 +2799,192 @@ def rayleigh_hour_uniformity(
         ),
         F.when(F.col("n") > 0, F.round(hour, 6)).alias("mean_hour"),
     )
+
+
+def pacf_daily(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Partial autocorrelation of the daily-total series at lags 1-3
+    via the Durbin–Levinson recursion unrolled in closed form — the AR
+    ORDER-SELECTION dial next to ``acf_daily``: ACF says "lag k is
+    correlated", PACF says "lag k still matters AFTER lags 1..k−1",
+    which is what picks p for an AR(p) baseline (φ_kk ≈ 0 beyond the
+    true order).
+
+    Same machinery as acf_daily: one fact shuffle to the bounded day
+    relation, calendar lag-pairing self-join, exact decimal inner sums
+    (Σy·y₊ₖ, ΣA, ΣB per lag), one fixed double closing sequence. The
+    DL recursion (φ11 = ρ1; φ22 = (ρ2 − φ11ρ1)/(1 − φ11ρ1);
+    φ21 = φ11 − φ22φ11; φ33 = (ρ3 − φ21ρ2 − φ22ρ1)/(1 − φ21ρ1 −
+    φ22ρ2)) closes over the three ρ scalars in STAGED projections so
+    both engines evaluate the identical expression tree (and codegen
+    never sees the expanded duplication). Output one row:
+    (n_days, rho1, rho2, rho3, pacf1, pacf2, pacf3)."""
+    from .hypotests import dec_double
+
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+    )
+    y = F.col(value_col).cast("decimal(18,2)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(day.alias("day"), y.alias("y"))
+        .groupBy("day")
+        .agg(F.sum("y").alias("y"))
+        .persist()
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,2)")).alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("q"),
+    )
+    lagged = daily.select(
+        "day", "y", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("lag")
+    )
+    d2 = daily.select(F.col("day").alias("day2"), F.col("y").alias("y2"))
+    pairs = lagged.join(d2, lagged.day + lagged.lag == d2.day2)
+    per_lag = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("y") * F.col("y2")).cast("decimal(38,4)")).alias("p"),
+        F.sum(F.col("y").cast("decimal(38,2)")).alias("a"),
+        F.sum(F.col("y2").cast("decimal(38,2)")).alias("b"),
+    )
+    n = F.col("n").cast("double")
+    m = dec_double(F.col("s")) / n
+    den = dec_double(F.col("q")) - dec_double(F.col("s")) * m
+    num = (
+        dec_double(F.col("p"))
+        - m * (dec_double(F.col("a")) + dec_double(F.col("b")))
+        + F.col("n_pairs").cast("double") * m * m
+    )
+    rho = F.when(den > 0, F.round(num / den, 6))
+    # no-groupBy pivot + tot crossJoin: an EMPTY pair relation (n_days
+    # < 2) must still yield one row with NULL rhos, not zero rows (the
+    # hill_tail empty-relation-annihilation class)
+    pivoted = (
+        per_lag.crossJoin(F.broadcast(tot))
+        .select("lag", rho.alias("rho"))
+        .agg(
+            *[
+                F.max(F.when(F.col("lag") == k, F.col("rho"))).alias(
+                    f"rho{k}"
+                )
+                for k in (1, 2, 3)
+            ]
+        )
+    )
+    wide = tot.select("n").crossJoin(F.broadcast(pivoted))
+    r1, r2, r3 = F.col("rho1"), F.col("rho2"), F.col("rho3")
+    s1 = wide.select(
+        "n", "rho1", "rho2", "rho3",
+        r1.alias("p11"),
+        ((r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)).alias("p22"),
+    )
+    s2 = s1.select(
+        "*",
+        (F.col("p11") - F.col("p22") * F.col("p11")).alias("p21"),
+    )
+    p33 = (
+        F.col("rho3")
+        - F.col("p21") * F.col("rho2")
+        - F.col("p22") * F.col("rho1")
+    ) / (
+        F.lit(1.0)
+        - F.col("p21") * F.col("rho1")
+        - F.col("p22") * F.col("rho2")
+    )
+    result = s2.select(
+        F.col("n").cast("long").alias("n_days"),
+        "rho1", "rho2", "rho3",
+        F.col("p11").alias("pacf1"),
+        F.round(F.col("p22"), 6).alias("pacf2"),
+        F.round(p33, 6).alias("pacf3"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])
+
+
+def seasonal_strength_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: int = 7,
+) -> DataFrame:
+    """STL-style seasonal-strength decomposition of the daily series —
+    the [0,1] "how much of the non-trend variation is weekly rhythm"
+    number (Wang-Smith-Hyndman feature): strength =
+    max(0, 1 − Var(remainder)/Var(detrended)) with trend a CENTERED
+    period-window moving average and seasonal the per-weekday mean of
+    the detrended series. seasonal_weekday_value reports the weekday
+    MEANS; this reports how much they explain.
+
+    One fact shuffle to the persisted day relation; the trend is a
+    RANGE window (calendar-true: gap days shrink the window, never
+    shift it); weekday = day % period on the INTEGER epoch-day (label
+    anchor irrelevant to variance explained). Per-weekday means and
+    both variances fold as floor(·10⁶) fixed point, so both engines
+    agree bit-exactly. Output one row:
+    (n_days, var_detrended, var_residual, seasonal_strength)."""
+    from .dedup import _release_caches
+    from .hypotests import dec_double_wide
+
+    half = (period - 1) // 2
+    daily = _daily_series(df, ts_col, value_col).persist()
+    w_ma = Window.orderBy("day").rangeBetween(-half, half)
+    base = daily.select(
+        F.expr(f"day % {period}").alias("dow"),
+        (
+            F.col("y").cast("double")
+            - F.sum("y").over(w_ma).cast("double")
+            / F.count("y").over(w_ma).cast("double")
+        ).alias("detr"),
+    )
+    d38 = "decimal(38,0)"
+    dmeans = base.groupBy("dow").agg(
+        F.sum(F.floor(F.col("detr") * F.lit(1e6)).cast(d38)).alias(
+            "sd_fp"
+        ),
+        F.count(F.lit(1)).alias("c"),
+    )
+    seasonal = (
+        dec_double_wide(F.col("sd_fp"))
+        / F.lit(1e6)
+        / F.col("c").cast("double")
+    )
+    joined = base.join(F.broadcast(dmeans), "dow").select(
+        "detr", (F.col("detr") - seasonal).alias("resid")
+    )
+    folded = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("detr") * F.col("detr") * F.lit(1e6)).cast(d38)
+        ).alias("dd_fp"),
+        F.sum(F.floor(F.col("detr") * F.lit(1e6)).cast(d38)).alias(
+            "d_fp"
+        ),
+        F.sum(
+            F.floor(F.col("resid") * F.col("resid") * F.lit(1e6)).cast(
+                d38
+            )
+        ).alias("rr_fp"),
+        F.sum(F.floor(F.col("resid") * F.lit(1e6)).cast(d38)).alias(
+            "r_fp"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    md = dec_double_wide(F.col("d_fp")) / F.lit(1e6) / nd
+    mr = dec_double_wide(F.col("r_fp")) / F.lit(1e6) / nd
+    var_d = dec_double_wide(F.col("dd_fp")) / F.lit(1e6) / nd - md * md
+    var_r = dec_double_wide(F.col("rr_fp")) / F.lit(1e6) / nd - mr * mr
+    strength = F.greatest(
+        F.lit(0.0), F.lit(1.0) - var_r / var_d
+    )
+    result = folded.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.when(F.col("n") > 0, F.round(var_d, 6)).alias("var_detrended"),
+        F.when(F.col("n") > 0, F.round(var_r, 6)).alias("var_residual"),
+        F.when((F.col("n") > 0) & (var_d > 0), F.round(strength, 6))
+        .alias("seasonal_strength"),
+    )
+    return _release_caches(result, [daily])

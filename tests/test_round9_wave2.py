@@ -551,3 +551,157 @@ def test_join_key_profile_inclusion_dependency(spark):
     assert r["containment_ab"] == 1.0  # child values all in parent
     assert r["uniqueness_b"] == 1.0  # parent is a key
     assert r["containment_ba"] < 1.0
+
+
+# ---- wave 11: PACF, seasonal strength, Welch ANOVA + ddwf scale fix ----
+
+import datetime  # noqa: E402
+
+from breweries_etl_spark.operators.hypotests import (  # noqa: E402
+    dec_double_wide_frac,
+    welch_anova,
+)
+from breweries_etl_spark.operators.temporal import (  # noqa: E402
+    pacf_daily,
+    seasonal_strength_daily,
+)
+
+
+def test_dec_double_wide_frac_keeps_full_scale(spark):
+    """Regression (round-9 welch finding): Spark's decimal subtraction
+    clips (38,8)/(38,12) results to scale 6/10, so the old
+    a - floor(a) fraction silently truncated; the modulo form keeps
+    every digit."""
+    df = spark.createDataFrame([(1,)], ["x"])
+    for scale, expect in (
+        (8, 123.45678912),
+        (12, 123.456789123457),
+    ):
+        c = F.lit("123.45678912345678").cast(f"decimal(38,{scale})")
+        got = df.select(dec_double_wide_frac(c).alias("v")).collect()[0]
+        assert got["v"] == expect, (scale, got["v"])
+    neg = F.lit("-123.45678912").cast("decimal(38,8)")
+    got = df.select(dec_double_wide_frac(neg).alias("v")).collect()[0]
+    assert got["v"] == -123.45678912
+
+
+def _contig_df(spark, vals):
+    rows = [
+        (
+            (
+                datetime.datetime(2024, 1, 1, 10)
+                + datetime.timedelta(days=i)
+            ).strftime("%Y-%m-%d %H:%M:%S"),
+            float(v),
+        )
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, ["ts", "value"]).select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+
+
+def test_pacf_ar1_matches_reference(spark):
+    import random
+
+    random.seed(5)
+    vals = [0.0]
+    for _ in range(167):
+        vals.append(0.7 * vals[-1] + random.gauss(0, 1))
+    vals = [round(100 + v, 2) for v in vals]
+    r = pacf_daily(_contig_df(spark, vals)).collect()[0]
+    n = len(vals)
+    m = sum(vals) / n
+    den = sum((y - m) ** 2 for y in vals)
+
+    def rho(k):
+        return sum(
+            (vals[t] - m) * (vals[t + k] - m) for t in range(n - k)
+        ) / den
+
+    r1, r2, r3 = rho(1), rho(2), rho(3)
+    p11 = r1
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p21 = p11 - p22 * p11
+    p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    assert r["n_days"] == n
+    assert abs(r["rho1"] - r1) < 1e-5
+    assert abs(r["pacf2"] - p22) < 1e-4
+    assert abs(r["pacf3"] - p33) < 1e-4
+    # AR(1): pacf cuts off after lag 1
+    assert abs(r["pacf1"]) > 0.5
+    assert abs(r["pacf2"]) < 0.2 and abs(r["pacf3"]) < 0.2
+
+
+def test_seasonal_strength_detects_weekly_pattern(spark):
+    import random
+
+    random.seed(9)
+    strong = [
+        round(
+            100 + 30 * math.sin(2 * math.pi * (i % 7) / 7)
+            + random.gauss(0, 2),
+            2,
+        )
+        for i in range(140)
+    ]
+    r = seasonal_strength_daily(_contig_df(spark, strong)).collect()[0]
+    assert r["n_days"] == 140
+    assert r["seasonal_strength"] > 0.85
+    noise = [round(100 + random.gauss(0, 5), 2) for _ in range(140)]
+    r2 = seasonal_strength_daily(_contig_df(spark, noise)).collect()[0]
+    assert r2["seasonal_strength"] < 0.35
+
+
+def _welch_reference(samples):
+    k = len(samples)
+    ns = [len(s) for s in samples]
+    ms = [sum(s) / len(s) for s in samples]
+    vs = [
+        sum((x - m) ** 2 for x in s) / (len(s) - 1)
+        for s, m in zip(samples, ms)
+    ]
+    ws = [n / v for n, v in zip(ns, vs)]
+    big_w = sum(ws)
+    xb = sum(w * m for w, m in zip(ws, ms)) / big_w
+    a = sum(w * (m - xb) ** 2 for w, m in zip(ws, ms)) / (k - 1)
+    lam = sum(
+        (1 - w / big_w) ** 2 / (n - 1) for w, n in zip(ws, ns)
+    )
+    b = 1 + 2 * (k - 2) / (k * k - 1) * lam
+    return a / b, (k * k - 1) / (3 * lam)
+
+
+def test_welch_anova_matches_reference(spark):
+    import random
+
+    random.seed(13)
+    ga = [round(random.gauss(10, 1), 2) for _ in range(30)]
+    gb = [round(random.gauss(11, 4), 2) for _ in range(25)]
+    gc = [round(random.gauss(10.5, 2), 2) for _ in range(40)]
+    rows = (
+        [(v, "a") for v in ga]
+        + [(v, "b") for v in gb]
+        + [(v, "c") for v in gc]
+    )
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = welch_anova(df, "g", "v", ["a", "b", "c"]).collect()[0]
+    w_ref, df2_ref = _welch_reference([ga, gb, gc])
+    assert r["n"] == 95 and r["k_groups"] == 3
+    assert abs(r["w_stat"] - w_ref) < 1e-4
+    assert r["df1"] == 2.0
+    assert abs(r["df2"] - df2_ref) < 1e-2
+
+
+def test_welch_anova_drops_degenerate_groups(spark):
+    rows = (
+        [(float(v), "a") for v in (1, 2, 3, 4)]
+        + [(float(v), "b") for v in (5, 6, 7)]
+        + [(5.0, "c")]  # n=1: dropped
+        + [(9.0, "d"), (9.0, "d")]  # zero variance: dropped
+    )
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = welch_anova(df, "g", "v", ["a", "b", "c", "d"]).collect()[0]
+    assert r["k_groups"] == 2
+    assert r["n"] == 7
+    assert r["w_stat"] is not None

@@ -196,6 +196,8 @@ QUERIES = [
     "term_dispersion_dp_docs", "lexical_constants_docs",
     "kpss_daily_value", "rayleigh_hour_events",
     "mood_dispersion_price_status", "join_key_discovery",
+    "pacf_daily_value", "seasonal_strength_daily",
+    "welch_anova_price_flag",
 ]
 
 
