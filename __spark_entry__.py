@@ -10994,6 +10994,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pacf_daily_value": q_pacf_daily_value,
         "seasonal_strength_daily": q_seasonal_strength_daily,
         "welch_anova_price_flag": q_welch_anova_price_flag,
+        "van_der_waerden_price_flag": q_van_der_waerden_price_flag,
+        "fligner_killeen_price_flag": q_fligner_killeen_price_flag,
         "bland_altman_doclen": q_bland_altman_doclen,
         "pinball_loss_price": q_pinball_loss_price,
         "type_mix_entropy_trend": q_type_mix_entropy_trend,
@@ -15281,3 +15283,193 @@ def _norm_ppf_sql(p: str) -> str:
         f" WHEN {p} > {1.0 - _PPF_PLOW!r} AND {p} < 1.0 THEN {upper}"
         f" END)"
     )
+
+
+def q_van_der_waerden_price_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Van der Waerden normal-scores k-sample test of l_extendedprice
+    across returnflag groups
+    (operators/hypotests.py:van_der_waerden)."""
+    from breweries_etl_spark.operators.hypotests import van_der_waerden
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return van_der_waerden(
+        li, "l_returnflag", "l_extendedprice", ["A", "N", "R"]
+    )
+
+
+def q_fligner_killeen_price_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fligner-Killeen robust scale test of l_extendedprice across
+    returnflag groups (operators/hypotests.py:fligner_killeen)."""
+    from breweries_etl_spark.operators.hypotests import fligner_killeen
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return fligner_killeen(
+        li, "l_returnflag", "l_extendedprice", ["A", "N", "R"]
+    )
+
+_ORACLES["van_der_waerden_price_flag"] = f"""
+WITH vc AS (
+  SELECT l_extendedprice AS v,
+    SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS c0,
+    SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS c1,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c2
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    AND l_returnflag IN ('A', 'N', 'R')
+  GROUP BY 1
+),
+pc AS (
+  SELECT v, c0, c1, c2,
+    SUM(c0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS m0,
+    SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS m1,
+    SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS m2,
+    SUM(c0) OVER () AS n0,
+    SUM(c1) OVER () AS n1,
+    SUM(c2) OVER () AS n2,
+    SUM(c0 + c1 + c2) OVER () AS nn
+  FROM vc
+),
+scored AS (
+  SELECT c0, c1, c2, (c0 + c1 + c2) AS l, n0, n1, n2, nn,
+    CAST(round({_norm_ppf_sql('p')}, 6) AS DECIMAL(9,6)) AS a6
+  FROM (
+    SELECT c0, c1, c2, n0, n1, n2, nn,
+      CAST(2 * (m0 + m1 + m2) - (c0 + c1 + c2) + 1 AS DOUBLE) / 2.0
+        / (CAST(nn AS DOUBLE) + 1.0) AS p
+    FROM pc
+  )
+), folded AS (
+  SELECT max(nn) AS nn, max(n0) AS n0, max(n1) AS n1, max(n2) AS n2,
+    SUM(CAST(CAST(c0 AS DECIMAL(19,0)) * a6 AS DECIMAL(38,6))) AS s0,
+    SUM(CAST(CAST(c1 AS DECIMAL(19,0)) * a6 AS DECIMAL(38,6))) AS s1,
+    SUM(CAST(CAST(c2 AS DECIMAL(19,0)) * a6 AS DECIMAL(38,6))) AS s2,
+    SUM(CAST(CAST(l AS DECIMAL(19,0)) * a6 * a6 AS DECIMAL(38,12)))
+      AS ss
+  FROM scored
+), allp AS (
+  SELECT nn, ss, n0 AS n_i, s0 AS s_i FROM folded WHERE n0 > 0
+  UNION ALL SELECT nn, ss, n1 AS n_i, s1 AS s_i FROM folded WHERE n1 > 0
+  UNION ALL SELECT nn, ss, n2 AS n_i, s2 AS s_i FROM folded WHERE n2 > 0
+), fin AS (
+  SELECT max(nn) AS n, count(*) AS k, max(ss) AS ss,
+    SUM(CAST(round({_ddwf('s_i')} * {_ddwf('s_i')}
+        / CAST(n_i AS DOUBLE), 9) AS DECIMAL(38,9))) AS num9
+  FROM allp
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+  CASE WHEN n > 1 AND {_ddwf('ss')} / (CAST(n AS DOUBLE) - 1.0) > 0
+  THEN round(CAST(num9 AS DOUBLE)
+             / ({_ddwf('ss')} / (CAST(n AS DOUBLE) - 1.0)), 6)
+  END AS t_stat
+FROM fin
+"""
+
+_ORACLES["fligner_killeen_price_flag"] = f"""
+WITH vc AS (
+  SELECT l_extendedprice AS v,
+    SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS c0,
+    SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS c1,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c2
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    AND l_returnflag IN ('A', 'N', 'R')
+  GROUP BY 1
+),
+pc AS (
+  SELECT v, c0, c1, c2,
+    SUM(c0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS m0,
+    SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS m1,
+    SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS m2,
+    SUM(c0) OVER () AS n0,
+    SUM(c1) OVER () AS n1,
+    SUM(c2) OVER () AS n2,
+    SUM(c0 + c1 + c2) OVER () AS nn
+  FROM vc
+),
+meds AS (
+  SELECT
+    min(CASE WHEN m0 >= CAST(floor((n0 + 1) / 2) AS BIGINT) THEN CAST(v AS DOUBLE) END) AS vlo0,
+    min(CASE WHEN m0 >= CAST(floor(n0 / 2) AS BIGINT) + 1 THEN CAST(v AS DOUBLE) END) AS vhi0,
+    min(CASE WHEN m1 >= CAST(floor((n1 + 1) / 2) AS BIGINT) THEN CAST(v AS DOUBLE) END) AS vlo1,
+    min(CASE WHEN m1 >= CAST(floor(n1 / 2) AS BIGINT) + 1 THEN CAST(v AS DOUBLE) END) AS vhi1,
+    min(CASE WHEN m2 >= CAST(floor((n2 + 1) / 2) AS BIGINT) THEN CAST(v AS DOUBLE) END) AS vlo2,
+    min(CASE WHEN m2 >= CAST(floor(n2 / 2) AS BIGINT) + 1 THEN CAST(v AS DOUBLE) END) AS vhi2
+  FROM pc
+), centered AS (
+  SELECT l_returnflag AS g,
+    abs(CAST(l_extendedprice AS DOUBLE) - CASE l_returnflag
+      WHEN 'A' THEN (vlo0 + vhi0) / 2.0
+      WHEN 'N' THEN (vlo1 + vhi1) / 2.0
+      WHEN 'R' THEN (vlo2 + vhi2) / 2.0
+    END) AS z
+  FROM lineitem CROSS JOIN meds
+), vc2 AS (
+  SELECT z AS v,
+    SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS c0,
+    SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS c1,
+    SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS c2
+  FROM centered
+  WHERE z IS NOT NULL AND g IS NOT NULL AND g IN ('A', 'N', 'R')
+  GROUP BY 1
+), pc2 AS (
+  SELECT v, c0, c1, c2,
+    SUM(c0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS m0,
+    SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS m1,
+    SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS m2,
+    SUM(c0) OVER () AS n0,
+    SUM(c1) OVER () AS n1,
+    SUM(c2) OVER () AS n2,
+    SUM(c0 + c1 + c2) OVER () AS nn
+  FROM vc2
+), scored AS (
+  SELECT c0, c1, c2, (c0 + c1 + c2) AS l, n0, n1, n2, nn,
+    CAST(round({_norm_ppf_sql('p')}, 6) AS DECIMAL(9,6)) AS a6
+  FROM (
+    SELECT c0, c1, c2, n0, n1, n2, nn,
+      0.5 + CAST(2 * (m0 + m1 + m2) - (c0 + c1 + c2) + 1 AS DOUBLE)
+        / 2.0 / (2.0 * (CAST(nn AS DOUBLE) + 1.0)) AS p
+    FROM pc2
+  )
+), folded AS (
+  SELECT max(nn) AS nn, max(n0) AS n0, max(n1) AS n1, max(n2) AS n2,
+    SUM(CAST(CAST(c0 AS DECIMAL(19,0)) * a6 AS DECIMAL(38,6))) AS s0,
+    SUM(CAST(CAST(c1 AS DECIMAL(19,0)) * a6 AS DECIMAL(38,6))) AS s1,
+    SUM(CAST(CAST(c2 AS DECIMAL(19,0)) * a6 AS DECIMAL(38,6))) AS s2,
+    SUM(CAST(CAST(l AS DECIMAL(19,0)) * a6 AS DECIMAL(38,6))) AS sa,
+    SUM(CAST(CAST(l AS DECIMAL(19,0)) * a6 * a6 AS DECIMAL(38,12)))
+      AS ss
+  FROM scored
+), allp AS (
+  SELECT nn, sa, ss, n0 AS n_i, s0 AS s_i FROM folded WHERE n0 > 0
+  UNION ALL SELECT nn, sa, ss, n1 AS n_i, s1 AS s_i FROM folded
+  WHERE n1 > 0
+  UNION ALL SELECT nn, sa, ss, n2 AS n_i, s2 AS s_i FROM folded
+  WHERE n2 > 0
+), fin AS (
+  SELECT max(nn) AS n, count(*) AS k, max(sa) AS sa, max(ss) AS ss,
+    SUM(CAST(round(CAST(n_i AS DOUBLE)
+        * ({_ddwf('s_i')} / CAST(n_i AS DOUBLE)
+           - {_ddwf('sa')} / CAST(nn AS DOUBLE))
+        * ({_ddwf('s_i')} / CAST(n_i AS DOUBLE)
+           - {_ddwf('sa')} / CAST(nn AS DOUBLE)), 9)
+        AS DECIMAL(38,9))) AS num9
+  FROM allp
+), dbl AS (
+  SELECT n, k, num9, CAST(n AS DOUBLE) AS nd,
+    {_ddwf('sa')} / CAST(n AS DOUBLE) AS gbar,
+    {_ddwf('ss')} AS ssd
+  FROM fin
+), fin2 AS (
+  SELECT n, k, num9,
+    (ssd - nd * gbar * gbar) / (nd - 1.0) AS v_all
+  FROM dbl
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+  CASE WHEN n > 1 AND v_all > 0 THEN
+    round(CAST(num9 AS DOUBLE) / v_all, 6) END AS x2_stat
+FROM fin2
+"""

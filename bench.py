@@ -436,6 +436,8 @@ FAMILIES: dict[str, list[str]] = {
         "pacf_daily_value",
         "seasonal_strength_daily",
         "welch_anova_price_flag",
+        "van_der_waerden_price_flag",
+        "fligner_killeen_price_flag",
     ],
 }
 

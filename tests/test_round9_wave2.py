@@ -705,3 +705,144 @@ def test_welch_anova_drops_degenerate_groups(spark):
     assert r["k_groups"] == 2
     assert r["n"] == 7
     assert r["w_stat"] is not None
+
+
+# ---- wave 12: portable norm_ppf + normal-scores tests ----
+
+from breweries_etl_spark.operators.hypotests import (  # noqa: E402
+    fligner_killeen,
+    norm_ppf,
+    van_der_waerden,
+)
+
+
+def _phi_inv(p):
+    lo, hi = -40.0, 40.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if 0.5 * (1 + math.erf(mid / math.sqrt(2))) < p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+def test_norm_ppf_accuracy_and_bounds(spark):
+    ps = [1e-8, 0.001, 0.02425, 0.1, 0.5, 0.9, 0.97575, 0.999, 1 - 1e-8]
+    df = spark.createDataFrame([(p,) for p in ps], ["p"])
+    rows = df.select("p", norm_ppf(F.col("p")).alias("x")).collect()
+    for r in rows:
+        ref = _phi_inv(r["p"])
+        assert abs(r["x"] - ref) <= max(2e-9 * abs(ref), 1e-8), r
+    out = spark.createDataFrame(
+        [(0.0,), (1.0,), (-0.5,), (1.5,)], ["p"]
+    ).select(norm_ppf(F.col("p")).alias("x")).collect()
+    assert all(r["x"] is None for r in out)
+
+
+def _midrank_fn(pooled):
+    def mr(v):
+        lo = sum(1 for p in pooled if p < v)
+        eq = sum(1 for p in pooled if p == v)
+        return lo + (eq + 1) / 2
+
+    return mr
+
+
+def test_van_der_waerden_matches_reference(spark):
+    import random
+
+    random.seed(21)
+    ga = [round(random.gauss(10, 1), 2) for _ in range(25)]
+    gb = [round(random.gauss(12, 1), 2) for _ in range(30)]
+    gc = [round(random.gauss(10.5, 1), 2) for _ in range(20)]
+    rows = (
+        [(v, "a") for v in ga]
+        + [(v, "b") for v in gb]
+        + [(v, "c") for v in gc]
+    )
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = van_der_waerden(df, "g", "v", ["a", "b", "c"]).collect()[0]
+    pooled = ga + gb + gc
+    n = len(pooled)
+    mr = _midrank_fn(pooled)
+
+    def score(v):
+        return round(_phi_inv(mr(v) / (n + 1)), 6)
+
+    s2 = sum(score(v) ** 2 for v in pooled) / (n - 1)
+    t = sum(
+        len(s) * (sum(score(v) for v in s) / len(s)) ** 2
+        for s in (ga, gb, gc)
+    ) / s2
+    assert r["n"] == n and r["k_groups"] == 3
+    assert abs(r["t_stat"] - t) < 1e-3
+    assert r["t_stat"] > 20  # clearly shifted group b
+
+
+def test_fligner_killeen_matches_reference(spark):
+    import random
+
+    random.seed(22)
+    ga = [round(random.gauss(10, 1), 2) for _ in range(25)]
+    gb = [round(random.gauss(10, 4), 2) for _ in range(30)]
+    gc = [round(random.gauss(10, 2), 2) for _ in range(20)]
+    rows = (
+        [(v, "a") for v in ga]
+        + [(v, "b") for v in gb]
+        + [(v, "c") for v in gc]
+    )
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = fligner_killeen(df, "g", "v", ["a", "b", "c"]).collect()[0]
+
+    def npmedian(s):
+        ss = sorted(s)
+        m = len(ss)
+        return (ss[(m - 1) // 2] + ss[m // 2]) / 2
+
+    zs, labels = [], []
+    for s, lab in ((ga, "a"), (gb, "b"), (gc, "c")):
+        med = npmedian(s)
+        for v in s:
+            zs.append(abs(v - med))
+            labels.append(lab)
+    n = len(zs)
+    mr = _midrank_fn(zs)
+
+    def score(z):
+        return round(_phi_inv(0.5 + mr(z) / (2 * (n + 1))), 6)
+
+    allsc = [score(z) for z in zs]
+    gbar = sum(allsc) / n
+    v_all = sum((a - gbar) ** 2 for a in allsc) / (n - 1)
+    x2 = (
+        sum(
+            len([1 for l in labels if l == lab])
+            * (
+                sum(s for s, l in zip(allsc, labels) if l == lab)
+                / len([1 for l in labels if l == lab])
+                - gbar
+            )
+            ** 2
+            for lab in ("a", "b", "c")
+        )
+        / v_all
+    )
+    assert r["n"] == n and r["k_groups"] == 3
+    assert abs(r["x2_stat"] - x2) < 1e-3
+    assert r["x2_stat"] > 6.0  # scales clearly differ
+
+
+def test_fligner_killeen_equal_scales_small(spark):
+    import random
+
+    random.seed(23)
+    rows = [
+        (round(random.gauss(50, 3), 2), g)
+        for g in ("a", "b", "c")
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = fligner_killeen(df, "g", "v", ["a", "b", "c"]).collect()[0]
+    # equal scales: X2 ~ chi2(2); 99th percentile is 9.21
+    assert r["x2_stat"] < 9.21

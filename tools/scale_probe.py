@@ -197,7 +197,8 @@ QUERIES = [
     "kpss_daily_value", "rayleigh_hour_events",
     "mood_dispersion_price_status", "join_key_discovery",
     "pacf_daily_value", "seasonal_strength_daily",
-    "welch_anova_price_flag",
+    "welch_anova_price_flag", "van_der_waerden_price_flag",
+    "fligner_killeen_price_flag",
 ]
 
 
