@@ -10996,6 +10996,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_anova_price_flag": q_welch_anova_price_flag,
         "van_der_waerden_price_flag": q_van_der_waerden_price_flag,
         "fligner_killeen_price_flag": q_fligner_killeen_price_flag,
+        "cucconi_price_status": q_cucconi_price_status,
+        "bh_fdr_daily_events": q_bh_fdr_daily_events,
         "bland_altman_doclen": q_bland_altman_doclen,
         "pinball_loss_price": q_pinball_loss_price,
         "type_mix_entropy_trend": q_type_mix_entropy_trend,
@@ -15472,4 +15474,128 @@ SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
   CASE WHEN n > 1 AND v_all > 0 THEN
     round(CAST(num9 AS DOUBLE) / v_all, 6) END AS x2_stat
 FROM fin2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 13: Cucconi joint location-scale, BH-FDR daily screen
+# ---------------------------------------------------------------------------
+
+from breweries_etl_spark.operators.hypotests import (  # noqa: E402
+    _CDF_B, _CDF_P,
+)
+
+
+def _norm_sf_sql(x: str) -> str:
+    """SQL twin of operators/hypotests.norm_sf (A&S 7.1.26 upper tail;
+    caller passes a non-negative column/expression), generated from
+    the same coefficients with identical Horner association."""
+    z = f"({x} / 1.4142135623730951)"
+    t = f"(1.0 / (1.0 + {_CDF_P!r} * {z}))"
+    poly = f"({_horner_sql(_CDF_B, t)} * {t})"
+    return f"({poly} * exp(-({z} * {z})) / 2.0)"
+
+
+def q_cucconi_price_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cucconi joint location-scale rank test of l_extendedprice
+    between open and finished line items
+    (operators/hypotests.py:cucconi_test)."""
+    from breweries_etl_spark.operators.hypotests import cucconi_test
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return cucconi_test(li, "l_extendedprice", F.col("l_linestatus") == "O")
+
+
+def q_bh_fdr_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR screen over per-day event-count z-scores
+    (operators/temporal.py:bh_fdr_daily_counts)."""
+    from breweries_etl_spark.operators.temporal import bh_fdr_daily_counts
+
+    return bh_fdr_daily_counts(load_events(spark, sf_dir))
+
+
+
+_ORACLES["cucconi_price_status"] = f"""
+WITH vc AS (
+  SELECT l_extendedprice AS v,
+    SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN l_linestatus = 'O' THEN 0 ELSE 1 END) AS cb
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), pc AS (
+  SELECT v, ca, cb,
+    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+    SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b,
+    SUM(ca + cb) OVER () AS nn
+  FROM vc
+), mid AS (
+  SELECT ca, n_a, n_b, nn,
+    CAST(2 * (cum_a + cum_b) - (ca + cb) + 1 AS HUGEINT) AS mid2,
+    CAST(2 * (nn + 1) AS HUGEINT)
+      - CAST(2 * (cum_a + cum_b) - (ca + cb) + 1 AS HUGEINT) AS con2
+  FROM pc
+), folded AS (
+  SELECT max(n_a) AS n_a, max(n_b) AS n_b, max(nn) AS nn,
+    SUM(CAST(ca AS HUGEINT) * mid2 * mid2) AS r4,
+    SUM(CAST(ca AS HUGEINT) * con2 * con2) AS s4
+  FROM mid
+), dbl AS (
+  SELECT n_a, n_b, nn,
+    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+    CAST(nn AS DOUBLE) AS nd,
+    {_ddw('r4')} / 4.0 AS sum_r2,
+    {_ddw('s4')} / 4.0 AS sum_s2
+  FROM folded
+), uv AS (
+  SELECT n_a, n_b, nn, nd,
+    (6.0 * sum_r2 - na * (nd + 1.0) * (2.0 * nd + 1.0))
+      / sqrt(na * nb * (nd + 1.0) * (2.0 * nd + 1.0)
+             * (8.0 * nd + 11.0) / 5.0) AS u,
+    (6.0 * sum_s2 - na * (nd + 1.0) * (2.0 * nd + 1.0))
+      / sqrt(na * nb * (nd + 1.0) * (2.0 * nd + 1.0)
+             * (8.0 * nd + 11.0) / 5.0) AS v,
+    2.0 * (nd * nd - 4.0)
+      / ((2.0 * nd + 1.0) * (8.0 * nd + 11.0)) - 1.0 AS rho
+  FROM dbl
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CASE WHEN nn > 1 THEN round(u, 6) END AS u_stat,
+  CASE WHEN nn > 1 THEN round(v, 6) END AS v_stat,
+  CASE WHEN nn > 2 AND 1.0 - rho * rho > 0 THEN
+    round((u * u + v * v - 2.0 * rho * u * v)
+          / (2.0 * (1.0 - rho * rho)), 6) END AS cucconi_c
+FROM uv
+"""
+
+_ORACLES["bh_fdr_daily_events"] = f"""
+WITH daily AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    count(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT count(*) AS m, SUM(c) AS n FROM daily
+), base0 AS (
+  SELECT day, m,
+    abs((CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / CAST(m AS DOUBLE))
+        / sqrt(CAST(n AS DOUBLE) / CAST(m AS DOUBLE))) AS az
+  FROM daily CROSS JOIN tot
+), base AS (
+  SELECT day, m, round(2.0 * {_norm_sf_sql('az')}, 6) AS p FROM base0
+), ranked AS (
+  SELECT m, p,
+    row_number() OVER (ORDER BY p ASC, day ASC) AS i
+  FROM base
+), folded AS (
+  SELECT max(m) AS m,
+    max(CASE WHEN p <= 0.05 * CAST(i AS DOUBLE) / CAST(m AS DOUBLE)
+        THEN i END) AS khat,
+    max(CASE WHEN p <= 0.05 * CAST(i AS DOUBLE) / CAST(m AS DOUBLE)
+        THEN p END) AS thresh,
+    min(p) AS min_p
+  FROM ranked
+)
+SELECT CAST(m AS BIGINT) AS m_days,
+  CAST(COALESCE(khat, 0) AS BIGINT) AS n_significant,
+  thresh AS bh_threshold, min_p
+FROM folded
 """

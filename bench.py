@@ -438,6 +438,8 @@ FAMILIES: dict[str, list[str]] = {
         "welch_anova_price_flag",
         "van_der_waerden_price_flag",
         "fligner_killeen_price_flag",
+        "cucconi_price_status",
+        "bh_fdr_daily_events",
     ],
 }
 

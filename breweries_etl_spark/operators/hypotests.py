@@ -6056,3 +6056,101 @@ def fligner_killeen(
 
         return _release_caches(result, handles)
     return result
+
+
+# Abramowitz & Stegun 7.1.26 erf polynomial — public rational
+# approximation, |error| < 7.5e-8 in the CDF: inside the 6-dp oracle
+# grid. SQL twin generated from these literals (repr round-trip) with
+# identical Horner association (__spark_entry__._norm_sf_sql).
+_CDF_B = [1.061405429, -1.453152027, 1.421413741, -0.284496736,
+          0.254829592]
+_CDF_P = 0.3275911
+
+
+def norm_sf(x: Column) -> Column:
+    """Upper-tail P(Z > x) for x ≥ 0, engine-portable (A&S 7.1.26 via
+    the complementary error function): the z→p primitive behind the
+    multiple-testing operators. Caller contract: x ≥ 0 (take |z|
+    first); NULL in → NULL out."""
+    z = x / F.lit(1.4142135623730951)  # sqrt(2), exact double literal
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_CDF_P) * z)
+    poly = _horner(_CDF_B, t) * t
+    # erfc(z)/2 = poly * exp(-z^2) / 2
+    return poly * F.exp(-(z * z)) / F.lit(2.0)
+
+
+def cucconi_test(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Cucconi (1968) JOINT location-scale two-sample test — one rank
+    statistic that reacts to a shift OR a spread change (Marozzi 2009
+    showed it beats the better-known Lepage combination): with
+    midranks R_j of sample A,
+    U = (6ΣR² − n₁(N+1)(2N+1)) / √(n₁n₂(N+1)(2N+1)(8N+11)/5),
+    V the same on the contrary ranks N+1−R, ρ = 2(N²−4)/((2N+1)(8N+11)) − 1,
+    C = (U² + V² − 2ρUV)/(2(1−ρ²)); exponential null tail.
+
+    One bucketed prefix-count pass; ΣR² and Σ(N+1−R)² fold as EXACT
+    quarter-unit decimals (mid2 = 2·cum − l + 1), so both engines
+    agree bit-for-bit into the closing double sequence. Output one
+    row: (n_a, n_b, u_stat, v_stat, cucconi_c)."""
+    pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
+    tot = pc.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        (F.sum("ca") + F.sum("cb")).alias("nn"),
+    )
+    base = pc.crossJoin(F.broadcast(tot))
+    l_v = F.col("ca") + F.col("cb")
+    mid2 = (
+        F.lit(2) * (F.col("cum_a") + F.col("cum_b")) - l_v + F.lit(1)
+    ).cast("decimal(38,0)")
+    con2 = (
+        F.lit(2) * (F.col("nn") + F.lit(1)).cast("decimal(19,0)") - mid2
+    )  # contrary rank in half-units: 2(N+1) - mid2
+    ca_d = F.col("ca").cast("decimal(19,0)")
+    folded = base.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("nn").alias("nn"),
+        F.sum((ca_d * mid2 * mid2).cast("decimal(38,0)")).alias("r4"),
+        F.sum((ca_d * con2 * con2).cast("decimal(38,0)")).alias("s4"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = F.col("nn").cast("double")
+    sum_r2 = dec_double_wide(F.col("r4")) / F.lit(4.0)
+    sum_s2 = dec_double_wide(F.col("s4")) / F.lit(4.0)
+    denom = F.sqrt(
+        na * nb * (nn + F.lit(1.0)) * (F.lit(2.0) * nn + F.lit(1.0))
+        * (F.lit(8.0) * nn + F.lit(11.0)) / F.lit(5.0)
+    )
+    u = (
+        F.lit(6.0) * sum_r2
+        - na * (nn + F.lit(1.0)) * (F.lit(2.0) * nn + F.lit(1.0))
+    ) / denom
+    v = (
+        F.lit(6.0) * sum_s2
+        - na * (nn + F.lit(1.0)) * (F.lit(2.0) * nn + F.lit(1.0))
+    ) / denom
+    rho = F.lit(2.0) * (nn * nn - F.lit(4.0)) / (
+        (F.lit(2.0) * nn + F.lit(1.0)) * (F.lit(8.0) * nn + F.lit(11.0))
+    ) - F.lit(1.0)
+    c_stat = (u * u + v * v - F.lit(2.0) * rho * u * v) / (
+        F.lit(2.0) * (F.lit(1.0) - rho * rho)
+    )
+    result = folded.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(F.col("nn") > 1, F.round(u, 6)).alias("u_stat"),
+        F.when(F.col("nn") > 1, F.round(v, 6)).alias("v_stat"),
+        F.when(
+            (F.col("nn") > 2) & (F.lit(1.0) - rho * rho > 0),
+            F.round(c_stat, 6),
+        ).alias("cucconi_c"),
+    )
+    return _released(result, pc, release)

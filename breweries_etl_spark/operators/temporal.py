@@ -2988,3 +2988,64 @@ def seasonal_strength_daily(
         .alias("seasonal_strength"),
     )
     return _release_caches(result, [daily])
+
+
+def bh_fdr_daily_counts(
+    df: DataFrame, ts_col: str = "ts", q: float = 0.05
+) -> DataFrame:
+    """Benjamini–Hochberg FDR screen over the per-day event-count
+    z-scores — "WHICH days are anomalous, with the false-discovery
+    rate controlled at q" — the multiple-testing closer the single-day
+    dials (dispersion_daily_events, rolling_count_anomaly) need before
+    anyone pages an on-call: testing 365 days at p < 0.05 expects ~18
+    false alarms; BH caps the expected false-discovery FRACTION at q.
+
+    Under the global Poisson rate λ = N/m, z_d = (c_d − λ)/√λ and the
+    two-sided p_d = 2·P(Z > |z_d|) ride the portable A&S normal tail
+    (norm_sf), snapped to the round-6 grid before ranking (the score-
+    grid rule). The BH walk — k = max{i: p_(i) ≤ q·i/m} — is a rank
+    window over the BOUNDED day relation and two conditional folds.
+    Output one row: (m_days, n_significant, bh_threshold, min_p)."""
+    from .hypotests import norm_sf
+
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+    )
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(day.alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("m"), F.sum("c").alias("n")
+    )
+    lam = F.col("n").cast("double") / F.col("m").cast("double")
+    z = (F.col("c").cast("double") - lam) / F.sqrt(lam)
+    p6 = F.round(F.lit(2.0) * norm_sf(F.abs(z)), 6)
+    base = daily.crossJoin(F.broadcast(tot)).select(
+        "day", "m", p6.alias("p")
+    )
+    w = Window.orderBy(F.asc("p"), F.asc("day"))
+    ranked = base.select(
+        "m",
+        "p",
+        F.row_number().over(w).alias("i"),
+    )
+    cond = F.col("p") <= F.lit(q) * F.col("i").cast("double") / F.col(
+        "m"
+    ).cast("double")
+    folded = ranked.agg(
+        F.max("m").alias("m"),
+        F.max(F.when(cond, F.col("i"))).alias("khat"),
+        F.max(F.when(cond, F.col("p"))).alias("thresh"),
+        F.min("p").alias("min_p"),
+    )
+    return folded.select(
+        F.col("m").cast("long").alias("m_days"),
+        F.coalesce(F.col("khat"), F.lit(0)).cast("long").alias(
+            "n_significant"
+        ),
+        F.col("thresh").alias("bh_threshold"),
+        F.col("min_p").alias("min_p"),
+    )

@@ -846,3 +846,96 @@ def test_fligner_killeen_equal_scales_small(spark):
     r = fligner_killeen(df, "g", "v", ["a", "b", "c"]).collect()[0]
     # equal scales: X2 ~ chi2(2); 99th percentile is 9.21
     assert r["x2_stat"] < 9.21
+
+
+# ---- wave 13: Cucconi joint location-scale, BH-FDR screen ----
+
+from breweries_etl_spark.operators.hypotests import cucconi_test  # noqa: E402
+from breweries_etl_spark.operators.temporal import (  # noqa: E402
+    bh_fdr_daily_counts,
+)
+
+
+def _cucconi_reference(a, b):
+    pooled = sorted(a + b)
+    n = len(pooled)
+    n1 = len(a)
+    n2 = len(b)
+    mr = _midrank_fn(pooled)
+    rr = [mr(v) for v in a]
+    ss = [n + 1 - r for r in rr]
+    den = math.sqrt(n1 * n2 * (n + 1) * (2 * n + 1) * (8 * n + 11) / 5)
+    u = (6 * sum(r * r for r in rr) - n1 * (n + 1) * (2 * n + 1)) / den
+    v = (6 * sum(s * s for s in ss) - n1 * (n + 1) * (2 * n + 1)) / den
+    rho = 2 * (n * n - 4) / ((2 * n + 1) * (8 * n + 11)) - 1
+    c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    return u, v, c
+
+
+def test_cucconi_matches_reference(spark):
+    import random
+
+    random.seed(31)
+    a = [round(random.gauss(10, 1), 2) for _ in range(20)]
+    b = [round(random.gauss(11, 2.5), 2) for _ in range(25)]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = cucconi_test(df, "v", F.col("g") == "a").collect()[0]
+    u, v, c = _cucconi_reference(a, b)
+    assert r["n_a"] == 20 and r["n_b"] == 25
+    assert abs(r["u_stat"] - u) < 1e-5
+    assert abs(r["v_stat"] - v) < 1e-5
+    assert abs(r["cucconi_c"] - c) < 1e-4
+    assert r["cucconi_c"] > 4.0  # location+scale both shifted
+
+
+def test_cucconi_identical_samples_near_zero(spark):
+    vals = [float(v) for v in range(1, 41)]
+    rows = [(v, "a") for v in vals[0::2]] + [(v, "b") for v in vals[1::2]]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = cucconi_test(df, "v", F.col("g") == "a").collect()[0]
+    assert r["cucconi_c"] < 1.0  # interleaved: no location/scale signal
+
+
+def test_bh_fdr_flags_spike_days(spark):
+    import datetime
+    import random
+
+    random.seed(32)
+    rows = []
+    counts = []
+    for d in range(60):
+        c = 100 + int(random.gauss(0, 5))
+        if d in (10, 25, 40):
+            c = 180
+        counts.append(c)
+        stamp = (
+            datetime.datetime(2024, 1, 1, 12)
+            + datetime.timedelta(days=d)
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        rows += [(stamp,)] * c
+    df = spark.createDataFrame(rows, ["ts"]).select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    r = bh_fdr_daily_counts(df).collect()[0]
+    assert r["m_days"] == 60
+    assert r["n_significant"] == 3  # exactly the injected spikes
+    assert r["min_p"] < 1e-5
+
+
+def test_bh_fdr_quiet_series_flags_nothing(spark):
+    import datetime
+
+    rows = []
+    for d in range(40):
+        stamp = (
+            datetime.datetime(2024, 3, 1, 12)
+            + datetime.timedelta(days=d)
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        rows += [(stamp,)] * 100  # perfectly flat
+    df = spark.createDataFrame(rows, ["ts"]).select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    r = bh_fdr_daily_counts(df).collect()[0]
+    assert r["n_significant"] == 0
+    assert r["bh_threshold"] is None

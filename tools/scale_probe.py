@@ -198,7 +198,8 @@ QUERIES = [
     "mood_dispersion_price_status", "join_key_discovery",
     "pacf_daily_value", "seasonal_strength_daily",
     "welch_anova_price_flag", "van_der_waerden_price_flag",
-    "fligner_killeen_price_flag",
+    "fligner_killeen_price_flag", "cucconi_price_status",
+    "bh_fdr_daily_events",
 ]
 
 
