@@ -5542,18 +5542,31 @@ def mardia_kurtosis(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         prod(yq, yq).alias("syy"),
         prod(xq, yq).alias("sxy"),
     )
-    per_row = filtered.select(
-        xq.cast("double").alias("xd"), yq.cast("double").alias("yd")
-    ).crossJoin(F.broadcast(sums))
     n_d = F.col("n").cast("double")
     mx = dec_double_wide_frac(F.col("sx")) / n_d
     my = dec_double_wide_frac(F.col("sy")) / n_d
     vxx = dec_double_wide_frac(F.col("sxx")) / n_d - mx * mx
     vyy = dec_double_wide_frac(F.col("syy")) / n_d - my * my
     vxy = dec_double_wide_frac(F.col("sxy")) / n_d - mx * my
+    # materialize the moment scalars as DOUBLES on the 1-row relation
+    # BEFORE the broadcast: inlined, each per-fact-row q would
+    # re-evaluate five wide-split DECIMAL expansions (measured 47 s at
+    # sf0.1 — the expression-placement rule from the r7 levene fix)
+    mom = sums.select(
+        "n",
+        mx.alias("mx"),
+        my.alias("my"),
+        vxx.alias("vxx"),
+        vyy.alias("vyy"),
+        vxy.alias("vxy"),
+    )
+    per_row = filtered.select(
+        xq.cast("double").alias("xd"), yq.cast("double").alias("yd")
+    ).crossJoin(F.broadcast(mom))
+    vxx, vyy, vxy = F.col("vxx"), F.col("vyy"), F.col("vxy")
     det = vxx * vyy - vxy * vxy
-    dx = F.col("xd") - mx
-    dy = F.col("yd") - my
+    dx = F.col("xd") - F.col("mx")
+    dy = F.col("yd") - F.col("my")
     # S^-1 = [[vyy, -vxy], [-vxy, vxx]] / det
     q = (
         vyy * (dx * dx) - F.lit(2.0) * vxy * (dx * dy) + vxx * (dy * dy)
