@@ -10998,6 +10998,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fligner_killeen_price_flag": q_fligner_killeen_price_flag,
         "cucconi_price_status": q_cucconi_price_status,
         "bh_fdr_daily_events": q_bh_fdr_daily_events,
+        "bartels_rank_daily_value": q_bartels_rank_daily_value,
+        "difference_sign_daily_value": q_difference_sign_daily_value,
         "bland_altman_doclen": q_bland_altman_doclen,
         "pinball_loss_price": q_pinball_loss_price,
         "type_mix_entropy_trend": q_type_mix_entropy_trend,
@@ -15597,5 +15599,92 @@ WITH daily AS (
 SELECT CAST(m AS BIGINT) AS m_days,
   CAST(COALESCE(khat, 0) AS BIGINT) AS n_significant,
   thresh AS bh_threshold, min_p
+FROM folded
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 14: Bartels rank von Neumann, difference-sign test
+# ---------------------------------------------------------------------------
+
+
+def q_bartels_rank_daily_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bartels rank von Neumann serial-randomness ratio of the daily
+    event-value series (operators/temporal.py:bartels_rank_daily)."""
+    from breweries_etl_spark.operators.temporal import bartels_rank_daily
+
+    return bartels_rank_daily(load_events(spark, sf_dir))
+
+
+def q_difference_sign_daily_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Difference-sign monotone-trend screen of the daily event-value
+    series (operators/temporal.py:difference_sign_daily)."""
+    from breweries_etl_spark.operators.temporal import (
+        difference_sign_daily,
+    )
+
+    return difference_sign_daily(load_events(spark, sf_dir))
+
+
+
+_ORACLES["bartels_rank_daily_value"] = f"""
+WITH {_DAILY_EVENTS},
+ranked AS (
+  SELECT day, y, 2 * row_number() OVER (ORDER BY y) AS rr2_raw
+  FROM daily
+), mid AS (
+  SELECT y, SUM(rr2_raw) AS sum2, count(*) AS c FROM ranked GROUP BY y
+), r2 AS (
+  SELECT day,
+    CAST(CAST(sum2 AS DOUBLE) / CAST(c AS DOUBLE) AS BIGINT) AS r2
+  FROM ranked JOIN mid USING (y)
+), walked AS (
+  SELECT r2, lead(r2) OVER (ORDER BY day) AS r2n FROM r2
+), folded AS (
+  SELECT count(*) AS n, SUM(r2) AS s2,
+    SUM(CAST(CAST(r2 AS HUGEINT) * CAST(r2 AS HUGEINT) AS HUGEINT))
+      AS q4,
+    SUM(CAST(CAST(r2 - r2n AS HUGEINT) * CAST(r2 - r2n AS HUGEINT)
+        AS HUGEINT)) AS d4
+  FROM walked
+), dbl AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+    {_ddw('d4')} / 4.0 AS num,
+    {_ddw('q4')} / 4.0
+      - CAST(n AS DOUBLE)
+        * (CAST(s2 AS DOUBLE) / 2.0 / CAST(n AS DOUBLE))
+        * (CAST(s2 AS DOUBLE) / 2.0 / CAST(n AS DOUBLE)) AS den
+  FROM folded
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+  CASE WHEN n > 1 AND den > 0 THEN round(num / den, 6) END
+    AS rvn_ratio,
+  CASE WHEN n > 1 AND den > 0 THEN
+    round((num / den - 2.0) / sqrt(4.0 / nd), 6) END AS z_score
+FROM dbl
+"""
+
+_ORACLES["difference_sign_daily_value"] = f"""
+WITH {_DAILY_EVENTS},
+walked AS (
+  SELECT y, lag(y) OVER (ORDER BY day) AS yp FROM daily
+), filtered AS (
+  SELECT y, yp FROM walked WHERE yp IS NOT NULL
+), folded AS (
+  SELECT count(*) AS m,
+    SUM(CASE WHEN y > yp THEN 1 ELSE 0 END) AS n_asc
+  FROM filtered
+)
+SELECT CAST(m + 1 AS BIGINT) AS n_days, CAST(n_asc AS BIGINT) AS n_ascents,
+  round(((CAST(m AS DOUBLE) + 1.0) - 1.0) / 2.0, 6) AS expected,
+  CASE WHEN ((CAST(m AS DOUBLE) + 1.0) + 1.0) / 12.0 > 0 THEN
+    round((CAST(n_asc AS DOUBLE)
+           - ((CAST(m AS DOUBLE) + 1.0) - 1.0) / 2.0)
+          / sqrt(((CAST(m AS DOUBLE) + 1.0) + 1.0) / 12.0), 6)
+  END AS z_score
 FROM folded
 """

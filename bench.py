@@ -440,6 +440,8 @@ FAMILIES: dict[str, list[str]] = {
         "fligner_killeen_price_flag",
         "cucconi_price_status",
         "bh_fdr_daily_events",
+        "bartels_rank_daily_value",
+        "difference_sign_daily_value",
     ],
 }
 

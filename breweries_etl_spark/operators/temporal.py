@@ -3049,3 +3049,123 @@ def bh_fdr_daily_counts(
         F.col("thresh").alias("bh_threshold"),
         F.col("min_p").alias("min_p"),
     )
+
+
+def bartels_rank_daily(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Bartels (1982) rank von Neumann ratio on the daily-total series
+    — the RANK version of the serial-randomness ratio, robust where
+    durbin_watson's raw residual squares chase outliers: RVN =
+    Σ(R_t − R_{t+1})² / Σ(R_t − R̄)², E = 2, and under the null
+    z = (RVN − 2)/√(4/n) (large-sample form, no-ties variance;
+    midranks keep ties exact in the ratio itself).
+
+    The fact table collapses to the bounded day relation; ranks and
+    the lag walk are windows over that ≤ #days-row relation only.
+    Midranks are exact half-units (2R = rank window via cumulative
+    count), every fold is exact integer/quarter-unit decimal. Output
+    one row: (n_days, rvn_ratio, z_score)."""
+    from .hypotests import dec_double_wide
+
+    daily = _daily_series(df, ts_col, value_col)
+    win = Window.orderBy("day")
+    # midrank in half-units over the bounded day relation: 2R = 2*rank
+    # adjusted for ties via min/max rank of equal values — daily totals
+    # are exact decimals, ties are rare but handled exactly
+    wv = Window.orderBy("y")
+    ranked = daily.select(
+        "day",
+        (
+            F.lit(2) * F.row_number().over(wv)
+        ).alias("rr2_raw"),
+        "y",
+    )
+    # equal y values share the midrank: average the row_numbers per y
+    mid = ranked.groupBy("y").agg(
+        F.sum("rr2_raw").alias("sum2"), F.count(F.lit(1)).alias("c")
+    )
+    r2 = (
+        ranked.join(F.broadcast(mid), "y")
+        .select(
+            "day",
+            (F.col("sum2") / F.col("c")).cast("long").alias("r2"),
+        )
+    )
+    walked = r2.select(
+        "r2", F.lead("r2").over(win).alias("r2n")
+    )
+    folded = walked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2").alias("s2"),
+        F.sum(
+            (
+                F.col("r2").cast("decimal(19,0)")
+                * F.col("r2").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("q4"),
+        F.sum(
+            (
+                (F.col("r2") - F.col("r2n")).cast("decimal(19,0)")
+                * (F.col("r2") - F.col("r2n")).cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("d4"),
+    )
+    nd = F.col("n").cast("double")
+    num = dec_double_wide(F.col("d4")) / F.lit(4.0)
+    mean_r = F.col("s2").cast("double") / F.lit(2.0) / nd
+    den = (
+        dec_double_wide(F.col("q4")) / F.lit(4.0)
+        - nd * mean_r * mean_r
+    )
+    rvn = num / den
+    z = (rvn - F.lit(2.0)) / F.sqrt(F.lit(4.0) / nd)
+    return folded.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.when((F.col("n") > 1) & (den > 0), F.round(rvn, 6)).alias(
+            "rvn_ratio"
+        ),
+        F.when(
+            (F.col("n") > 1) & (den > 0), F.round(z, 6)
+        ).alias("z_score"),
+    )
+
+
+def difference_sign_daily(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Difference-sign randomness test on the daily-total series:
+    count ascents (y_t > y_{t−1}); under i.i.d. noise E = (n−1)/2,
+    Var = (n+1)/12 (Brockwell & Davis §1.6) — a MONOTONE-TREND
+    detector that complements turning_points (which sees alternation)
+    and mann_kendall (which weighs all pairs, not just neighbors).
+    Strict inequality: ties count as non-ascents (documented; exact
+    decimal daily totals rarely tie).
+
+    One fact shuffle to the bounded day relation; one lag window over
+    it. Output one row: (n_days, n_ascents, expected, z_score)."""
+    daily = _daily_series(df, ts_col, value_col)
+    win = Window.orderBy("day")
+    walked = daily.select(
+        "y", F.lag("y").over(win).alias("yp")
+    ).filter(F.col("yp").isNotNull())
+    folded = walked.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("y") > F.col("yp"), 1).otherwise(0)).alias(
+            "asc"
+        ),
+    )
+    n = F.col("m").cast("double") + F.lit(1.0)
+    mean = (n - F.lit(1.0)) / F.lit(2.0)
+    var = (n + F.lit(1.0)) / F.lit(12.0)
+    return folded.select(
+        (F.col("m") + F.lit(1)).cast("long").alias("n_days"),
+        F.col("asc").cast("long").alias("n_ascents"),
+        F.round(mean, 6).alias("expected"),
+        F.when(
+            var > 0,
+            F.round(
+                (F.col("asc").cast("double") - mean) / F.sqrt(var), 6
+            ),
+        ).alias("z_score"),
+    )

@@ -939,3 +939,71 @@ def test_bh_fdr_quiet_series_flags_nothing(spark):
     r = bh_fdr_daily_counts(df).collect()[0]
     assert r["n_significant"] == 0
     assert r["bh_threshold"] is None
+
+
+# ---- wave 14: Bartels rank von Neumann, difference-sign ----
+
+from breweries_etl_spark.operators.temporal import (  # noqa: E402
+    bartels_rank_daily,
+    difference_sign_daily,
+)
+
+
+def _bartels_reference(vals):
+    n = len(vals)
+    pooled = sorted(vals)
+
+    def midrank(v):
+        lo = sum(1 for p in pooled if p < v)
+        eq = sum(1 for p in pooled if p == v)
+        return lo + (eq + 1) / 2
+
+    rs = [midrank(v) for v in vals]
+    rbar = sum(rs) / n
+    num = sum((rs[t] - rs[t + 1]) ** 2 for t in range(n - 1))
+    den = sum((r - rbar) ** 2 for r in rs)
+    rvn = num / den
+    return rvn, (rvn - 2.0) / math.sqrt(4.0 / n)
+
+
+def test_bartels_matches_reference(spark):
+    import random
+
+    random.seed(41)
+    vals = [round(100 + random.gauss(0, 10), 2) for _ in range(80)]
+    r = bartels_rank_daily(_contig_df(spark, vals)).collect()[0]
+    rvn_ref, z_ref = _bartels_reference(vals)
+    assert r["n_days"] == 80
+    assert abs(r["rvn_ratio"] - rvn_ref) < 1e-5
+    assert abs(r["z_score"] - z_ref) < 1e-4
+    assert abs(r["z_score"]) < 3.0  # i.i.d. noise: near the null
+
+
+def test_bartels_trending_series_rejects(spark):
+    vals = [float(i) + (0.3 if i % 2 else 0.0) for i in range(60)]
+    r = bartels_rank_daily(_contig_df(spark, vals)).collect()[0]
+    # monotone trend: successive ranks adjacent -> RVN << 2
+    assert r["rvn_ratio"] < 0.5
+    assert r["z_score"] < -5.0
+
+
+def test_difference_sign_matches_brockwell_davis(spark):
+    import random
+
+    random.seed(42)
+    vals = [round(100 + random.gauss(0, 5), 2) for _ in range(100)]
+    r = difference_sign_daily(_contig_df(spark, vals)).collect()[0]
+    n = len(vals)
+    asc = sum(1 for t in range(1, n) if vals[t] > vals[t - 1])
+    mean = (n - 1) / 2.0
+    var = (n + 1) / 12.0
+    assert r["n_days"] == n and r["n_ascents"] == asc
+    assert abs(r["expected"] - mean) < 1e-9
+    assert abs(r["z_score"] - (asc - mean) / math.sqrt(var)) < 1e-6
+
+
+def test_difference_sign_monotone_series(spark):
+    vals = [float(i) for i in range(50)]
+    r = difference_sign_daily(_contig_df(spark, vals)).collect()[0]
+    assert r["n_ascents"] == 49
+    assert r["z_score"] > 11.0  # every step ascends
