@@ -11000,6 +11000,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bh_fdr_daily_events": q_bh_fdr_daily_events,
         "bartels_rank_daily_value": q_bartels_rank_daily_value,
         "difference_sign_daily_value": q_difference_sign_daily_value,
+        "seasonal_mann_kendall_daily": q_seasonal_mann_kendall_daily,
+        "chatterjee_xi_daily": q_chatterjee_xi_daily,
         "bland_altman_doclen": q_bland_altman_doclen,
         "pinball_loss_price": q_pinball_loss_price,
         "type_mix_entropy_trend": q_type_mix_entropy_trend,
@@ -15686,5 +15688,102 @@ SELECT CAST(m + 1 AS BIGINT) AS n_days, CAST(n_asc AS BIGINT) AS n_ascents,
            - ((CAST(m AS DOUBLE) + 1.0) - 1.0) / 2.0)
           / sqrt(((CAST(m AS DOUBLE) + 1.0) + 1.0) / 12.0), 6)
   END AS z_score
+FROM folded
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 15: seasonal Mann-Kendall, Chatterjee xi
+# ---------------------------------------------------------------------------
+
+
+def q_seasonal_mann_kendall_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hirsch-Slack seasonal Mann-Kendall trend test (weekday seasons)
+    on the daily event-value series
+    (operators/temporal.py:seasonal_mann_kendall)."""
+    from breweries_etl_spark.operators.temporal import (
+        seasonal_mann_kendall,
+    )
+
+    return seasonal_mann_kendall(load_events(spark, sf_dir))
+
+
+def q_chatterjee_xi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee xi dependence between per-day event count and
+    per-day total value (operators/temporal.py:chatterjee_xi_daily)."""
+    from breweries_etl_spark.operators.temporal import chatterjee_xi_daily
+
+    return chatterjee_xi_daily(load_events(spark, sf_dir))
+
+
+
+_ORACLES["seasonal_mann_kendall_daily"] = """
+WITH daily AS MATERIALIZED (
+  SELECT day, y, day % 7 AS season FROM (
+    SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      SUM(CAST(value AS DECIMAL(18,2))) AS y
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+  )
+), s AS (
+  SELECT SUM(CAST(sign(b.y - a.y) AS BIGINT)) AS s
+  FROM daily a JOIN daily b
+    ON a.day < b.day AND a.season = b.season
+), nt AS (
+  SELECT count(*) AS n, count(DISTINCT season) AS n_seasons FROM daily
+), vn AS (
+  SELECT SUM(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)) AS var_n
+  FROM (SELECT count(*) AS c FROM daily GROUP BY season)
+), tie AS (
+  SELECT SUM(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)) AS tie_sum
+  FROM (SELECT count(*) AS c FROM daily GROUP BY season, y)
+), fin AS (
+  SELECT n, n_seasons, s,
+    CAST(var_n - COALESCE(tie_sum, 0) AS DOUBLE) / 18.0 AS var_s
+  FROM nt CROSS JOIN s CROSS JOIN vn CROSS JOIN tie
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+  CAST(n_seasons AS BIGINT) AS n_seasons,
+  CAST(s AS BIGINT) AS s_stat,
+  CASE WHEN n > 1 THEN round(var_s, 6) END AS var_s,
+  CASE WHEN n > 1 AND var_s > 0 THEN round(
+    CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+         WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+         ELSE 0.0 END, 6) END AS z_score
+FROM fin
+"""
+
+_ORACLES["chatterjee_xi_daily"] = f"""
+WITH daily AS MATERIALIZED (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    count(*) AS x,
+    SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), yc AS (
+  SELECT y, count(*) AS c FROM daily GROUP BY y
+), ycum AS (
+  SELECT y, c,
+    SUM(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS r
+  FROM yc
+), joined AS (
+  SELECT day, x, r, c FROM daily JOIN ycum USING (y)
+), walked AS (
+  SELECT r, c, lead(r) OVER (ORDER BY x ASC, day ASC) AS rn
+  FROM joined
+), tot AS (
+  SELECT count(*) AS n FROM daily
+), folded AS (
+  SELECT max(n) AS n, SUM(abs(r - rn)) AS sum_dr,
+    SUM(CAST(n - (r - c) AS HUGEINT) * CAST(r - c AS HUGEINT))
+      AS denom2
+  FROM walked CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+  CAST(sum_dr AS BIGINT) AS sum_abs_dr,
+  CAST(denom2 AS BIGINT) AS denom,
+  CASE WHEN denom2 > 0 THEN
+    round(1.0 - CAST(n AS DOUBLE) * CAST(sum_dr AS DOUBLE)
+          / (2.0 * {_ddw('denom2')}), 6) END AS xi
 FROM folded
 """

@@ -442,6 +442,8 @@ FAMILIES: dict[str, list[str]] = {
         "bh_fdr_daily_events",
         "bartels_rank_daily_value",
         "difference_sign_daily_value",
+        "seasonal_mann_kendall_daily",
+        "chatterjee_xi_daily",
     ],
 }
 

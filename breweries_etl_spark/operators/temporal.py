@@ -3169,3 +3169,176 @@ def difference_sign_daily(
             ),
         ).alias("z_score"),
     )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal Mann–Kendall trend test (Hirsch & Slack 1984) on the
+    daily-total series — the trend detector that a weekly rhythm
+    cannot fool: pairs are compared only WITHIN a season (same weekday
+    here), so Monday-vs-Saturday level differences never masquerade as
+    trend. S = Σ_g S_g over within-season pairs,
+    Var = Σ_g tie-corrected Var_g, continuity-corrected z.
+
+    Same calendar-bounded machinery as ``mann_kendall_daily``: the
+    pair join adds the season-equality predicate (≈1/period the
+    pairs); everything integer/exact-decimal until the closing z.
+    Output one row: (n_days, n_seasons, s_stat, var_s, z_score)."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+    )
+    y = F.col(value_col).cast("decimal(18,2)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(day.alias("day"), y.alias("y"))
+        .groupBy("day")
+        .agg(F.sum("y").alias("y"))
+        .select(
+            "day", "y", F.expr(f"day % {period}").alias("season")
+        )
+        .persist()
+    )
+    d2 = daily.select(
+        F.col("day").alias("day2"),
+        F.col("y").alias("y2"),
+        F.col("season").alias("season2"),
+    )
+    s = daily.join(
+        d2,
+        (F.col("day") < F.col("day2"))
+        & (F.col("season") == F.col("season2")),
+    ).agg(
+        F.sum(F.signum(F.col("y2") - F.col("y")).cast("long")).alias("s")
+    )
+    n_t = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("season")).alias("n_seasons"),
+    )
+    # per-season n and per-(season, y) ties fold into Var = sum_g
+    # (n_g(n_g-1)(2n_g+5) - sum_t t(t-1)(2t+5))/18
+    n_g = F.col("c").cast("decimal(19,0)")
+    per_season = daily.groupBy("season").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    var_n = per_season.agg(
+        F.sum(
+            (n_g * (n_g - 1) * (2 * n_g + 5)).cast("decimal(38,0)")
+        ).alias("var_n")
+    )
+    t = F.col("c").cast("decimal(19,0)")
+    ties = (
+        daily.groupBy("season", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(
+                (t * (t - 1) * (2 * t + 5)).cast("decimal(38,0)")
+            ).alias("tie_sum")
+        )
+    )
+    var_s = (
+        F.col("var_n") - F.coalesce(F.col("tie_sum"), F.lit(0))
+    ).cast("double") / F.lit(18.0)
+    s_d = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (s_d - 1.0) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (s_d + 1.0) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    result = (
+        n_t.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(var_n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.col("n_seasons").cast("long").alias("n_seasons"),
+            F.col("s").cast("long").alias("s_stat"),
+            F.when(F.col("n") > 1, F.round(var_s, 6)).alias("var_s"),
+            F.when(
+                (F.col("n") > 1) & (var_s > 0), F.round(z, 6)
+            ).alias("z_score"),
+        )
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])
+
+
+def chatterjee_xi_daily(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Chatterjee's ξ rank correlation (2020) between the per-day
+    event COUNT and the per-day total VALUE — the modern dependence
+    coefficient that detects ANY functional relationship (ξ → 1 when
+    y is a measurable function of x, even non-monotone, where
+    Pearson/Spearman/Kendall read ≈ 0): sort days by x, walk the y
+    ranks, ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i(n − l_i)) (the
+    tie-robust denominator form). Chatterjee breaks x-ties at RANDOM;
+    this engine breaks them by day (deterministic, documented — the
+    same convention class as the strict-inequality turning_points).
+
+    One fact shuffle to the bounded day relation; ranks are joins
+    against the bounded per-y cumulative relation; the |Δr| walk is
+    one lead window in (x, day) order. All-integer until the closing
+    ratio. Output one row: (n_days, sum_abs_dr, denom, xi)."""
+    from .hypotests import dec_double_wide
+
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+    )
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            day.alias("day"),
+            F.col(value_col).cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum("v").alias("y"),
+        )
+    )
+    yc = daily.groupBy("y").agg(F.count(F.lit(1)).alias("c"))
+    wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    ycum = yc.select(
+        "y",
+        "c",
+        F.sum("c").over(wy).alias("r"),  # r(y) = #{j: y_j <= y}
+    )
+    joined = daily.join(F.broadcast(ycum), "y").select(
+        "day", "x", "r", "c"
+    )
+    wx = Window.orderBy(F.asc("x"), F.asc("day"))
+    walked = joined.select(
+        "r",
+        "c",
+        F.lead("r").over(wx).alias("rn"),
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("n"))
+    folded = walked.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.sum(F.abs(F.col("r") - F.col("rn"))).alias("sum_dr"),
+        # sum over DAYS of l_i(n - l_i), l_i = n - (r_i - c_i): each
+        # distinct y contributes c copies
+        F.sum(
+            (
+                (F.col("n") - (F.col("r") - F.col("c"))).cast(
+                    "decimal(19,0)"
+                )
+                * (F.col("r") - F.col("c")).cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("denom2"),
+    )
+    nd = F.col("n").cast("double")
+    xi = F.lit(1.0) - nd * F.col("sum_dr").cast("double") / (
+        F.lit(2.0) * dec_double_wide(F.col("denom2"))
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sum_dr").cast("long").alias("sum_abs_dr"),
+        F.col("denom2").cast("long").alias("denom"),
+        F.when(F.col("denom2") > 0, F.round(xi, 6)).alias("xi"),
+    )

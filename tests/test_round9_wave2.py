@@ -1007,3 +1007,115 @@ def test_difference_sign_monotone_series(spark):
     r = difference_sign_daily(_contig_df(spark, vals)).collect()[0]
     assert r["n_ascents"] == 49
     assert r["z_score"] > 11.0  # every step ascends
+
+
+# ---- wave 15: seasonal Mann-Kendall, Chatterjee xi ----
+
+from breweries_etl_spark.operators.temporal import (  # noqa: E402
+    chatterjee_xi_daily,
+    seasonal_mann_kendall,
+)
+
+
+def test_seasonal_mann_kendall_matches_reference(spark):
+    import datetime
+    import random
+    from collections import Counter
+
+    random.seed(51)
+    vals = [
+        round(
+            100 + 0.5 * i + 30 * math.sin(2 * math.pi * (i % 7) / 7)
+            + random.gauss(0, 3),
+            2,
+        )
+        for i in range(98)
+    ]
+    r = seasonal_mann_kendall(_contig_df(spark, vals)).collect()[0]
+    base_epoch = (
+        datetime.date(2024, 1, 1) - datetime.date(1970, 1, 1)
+    ).days
+    s_ref = 0
+    var_ref = 0.0
+    for g in range(7):
+        ys = [vals[i] for i in range(98) if (base_epoch + i) % 7 == g]
+        ng = len(ys)
+        for a in range(ng):
+            for b in range(a + 1, ng):
+                s_ref += (ys[b] > ys[a]) - (ys[b] < ys[a])
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(ys).values()
+        )
+        var_ref += (ng * (ng - 1) * (2 * ng + 5) - tie) / 18.0
+    z_ref = (
+        (s_ref - 1) / math.sqrt(var_ref)
+        if s_ref > 0
+        else ((s_ref + 1) / math.sqrt(var_ref) if s_ref < 0 else 0.0)
+    )
+    assert r["n_days"] == 98 and r["n_seasons"] == 7
+    assert r["s_stat"] == s_ref
+    assert abs(r["var_s"] - var_ref) < 1e-4
+    assert abs(r["z_score"] - z_ref) < 1e-5
+    # trend detected despite the strong weekly rhythm
+    assert r["z_score"] > 3.0
+
+
+def test_seasonal_mk_pure_rhythm_is_null(spark):
+    # pure weekly pattern, NO trend: within-season series are flat ->
+    # S = 0 and z = 0
+    vals = [
+        100.0 + 30 * math.sin(2 * math.pi * (i % 7) / 7)
+        for i in range(70)
+    ]
+    r = seasonal_mann_kendall(_contig_df(spark, vals)).collect()[0]
+    assert r["s_stat"] == 0
+    # every within-season series is CONSTANT, so the tie correction
+    # zeroes the variance and z is NULL (guarded), not 0
+    assert r["var_s"] == 0.0
+    assert r["z_score"] is None
+
+
+def test_chatterjee_xi_functional_dependence(spark):
+    import datetime
+
+    rows = []
+    for i in range(80):
+        cnt = 5 + (i % 17)
+        total = round(100 * math.sin(cnt / 3.0) ** 2 + 10, 2)
+        per = round(total / cnt, 6)
+        stamp = (
+            datetime.datetime(2024, 1, 1, 10)
+            + datetime.timedelta(days=i)
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        rows += [(stamp, per)] * cnt
+    df = spark.createDataFrame(rows, ["ts", "value"]).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    r = chatterjee_xi_daily(df).collect()[0]
+    # y is a (non-monotone) function of x: xi should be high while
+    # a LINEAR correlation would miss the sin^2 shape
+    assert r["n_days"] == 80
+    assert r["xi"] > 0.5
+
+
+def test_chatterjee_xi_independence_near_zero(spark):
+    import datetime
+    import random
+
+    random.seed(53)
+    rows = []
+    for i in range(120):
+        cnt = 5 + random.randrange(20)
+        per = round(random.uniform(1, 20), 2)
+        stamp = (
+            datetime.datetime(2024, 1, 1, 10)
+            + datetime.timedelta(days=i)
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        rows += [(stamp, per)] * cnt
+    df = spark.createDataFrame(rows, ["ts", "value"]).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    r = chatterjee_xi_daily(df).collect()[0]
+    assert abs(r["xi"]) < 0.3  # independent: xi ~ 0 (O(1/sqrt(n)))

@@ -200,7 +200,8 @@ QUERIES = [
     "welch_anova_price_flag", "van_der_waerden_price_flag",
     "fligner_killeen_price_flag", "cucconi_price_status",
     "bh_fdr_daily_events", "bartels_rank_daily_value",
-    "difference_sign_daily_value",
+    "difference_sign_daily_value", "seasonal_mann_kendall_daily",
+    "chatterjee_xi_daily",
 ]
 
 
