@@ -11002,6 +11002,8 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "difference_sign_daily_value": q_difference_sign_daily_value,
         "seasonal_mann_kendall_daily": q_seasonal_mann_kendall_daily,
         "chatterjee_xi_daily": q_chatterjee_xi_daily,
+        "wilson_ci_priority": q_wilson_ci_priority,
+        "jackknife_ratio_nation": q_jackknife_ratio_nation,
         "bland_altman_doclen": q_bland_altman_doclen,
         "pinball_loss_price": q_pinball_loss_price,
         "type_mix_entropy_trend": q_type_mix_entropy_trend,
@@ -15786,4 +15788,107 @@ SELECT CAST(n AS BIGINT) AS n_days,
     round(1.0 - CAST(n AS DOUBLE) * CAST(sum_dr AS DOUBLE)
           / (2.0 * {_ddw('denom2')}), 6) END AS xi
 FROM folded
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 16: Wilson score CIs, cluster-jackknife ratio SE
+# ---------------------------------------------------------------------------
+
+
+def q_wilson_ci_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score intervals for the finished-order share per
+    priority class (operators/profiling.py:wilson_ci_by_group)."""
+    from breweries_etl_spark.operators.profiling import wilson_ci_by_group
+
+    o = load_table(spark, sf_dir, "orders")
+    return wilson_ci_by_group(
+        o, "o_orderpriority", F.col("o_orderstatus") == "F"
+    )
+
+
+def q_jackknife_ratio_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delete-one-nation jackknife SE for mean customer balance —
+    cluster-respecting uncertainty
+    (operators/profiling.py:jackknife_ratio_by_group)."""
+    from breweries_etl_spark.operators.profiling import (
+        jackknife_ratio_by_group,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    return jackknife_ratio_by_group(c, "c_nationkey", "c_acctbal")
+
+
+
+_ORACLES["wilson_ci_priority"] = """
+WITH g AS (
+  SELECT o_orderpriority AS grp, count(*) AS n,
+    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS successes
+  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+), dbl AS (
+  SELECT grp, n, successes,
+    CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+    1.959963984540054 * 1.959963984540054 AS z2,
+    CAST(n AS DOUBLE) AS nd
+  FROM g
+), fin AS (
+  SELECT grp, n, successes, p, nd,
+    (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd) AS center,
+    1.959963984540054
+      * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+      / (1.0 + z2 / nd) AS half
+  FROM dbl
+)
+SELECT grp AS "group", CAST(n AS BIGINT) AS n,
+  CAST(successes AS BIGINT) AS successes,
+  CASE WHEN n > 0 THEN round(p, 6) END AS p_hat,
+  CASE WHEN n > 0 THEN round(center - half, 6) END AS ci_low,
+  CASE WHEN n > 0 THEN round(center + half, 6) END AS ci_high
+FROM fin
+"""
+
+_ORACLES["jackknife_ratio_nation"] = f"""
+WITH per_g AS (
+  SELECT c_nationkey AS g,
+    SUM(CAST(COALESCE(CAST(c_acctbal AS DECIMAL(18,2)), 0)
+        AS DECIMAL(38,2))) AS x_g,
+    count(*) AS n_g
+  FROM customer
+  WHERE c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL
+  GROUP BY 1
+), tot AS (
+  SELECT count(*) AS gg, SUM(x_g) AS xx, SUM(n_g) AS nn FROM per_g
+), base AS (
+  SELECT * FROM per_g CROSS JOIN tot
+), f1 AS (
+  SELECT max(gg) AS gg, max(xx) AS xx, max(nn) AS nn,
+    SUM(CAST(round({_ddwf('xx - x_g')}
+        / CAST(nn - n_g AS DOUBLE), 9) AS DECIMAL(38,9))) AS s_loo
+  FROM base
+), b2 AS (
+  SELECT base.*,
+    CAST(f1.s_loo AS DOUBLE) / CAST(f1.gg AS DOUBLE) AS theta_bar
+  FROM base CROSS JOIN f1
+), f2 AS (
+  SELECT max(gg) AS gg, max(xx) AS xx, max(nn) AS nn,
+    max(theta_bar) AS theta_bar,
+    SUM(CAST(round(
+      ({_ddwf('xx - x_g')} / CAST(nn - n_g AS DOUBLE) - theta_bar)
+      * ({_ddwf('xx - x_g')} / CAST(nn - n_g AS DOUBLE) - theta_bar),
+      9) AS DECIMAL(38,9))) AS ss_dev
+  FROM b2
+)
+SELECT CAST(gg AS BIGINT) AS n_groups,
+  CASE WHEN nn > 0 THEN
+    round({_ddwf('xx')} / CAST(nn AS DOUBLE), 6) END AS ratio,
+  CASE WHEN gg > 1 THEN
+    round(sqrt((CAST(gg AS DOUBLE) - 1.0) / CAST(gg AS DOUBLE)
+               * CAST(ss_dev AS DOUBLE)), 6) END AS jackknife_se,
+  CASE WHEN gg > 1 THEN
+    round((CAST(gg AS DOUBLE) - 1.0)
+          * (theta_bar - {_ddwf('xx')} / CAST(nn AS DOUBLE)), 6)
+  END AS jackknife_bias
+FROM f2
 """

@@ -444,6 +444,8 @@ FAMILIES: dict[str, list[str]] = {
         "difference_sign_daily_value",
         "seasonal_mann_kendall_daily",
         "chatterjee_xi_daily",
+        "wilson_ci_priority",
+        "jackknife_ratio_nation",
     ],
 }
 

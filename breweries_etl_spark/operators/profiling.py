@@ -1748,3 +1748,134 @@ def join_key_profile(pairs: list) -> DataFrame:
             F.round(d_b / F.col("n_rows_b").cast("double"), 6),
         ).alias("uniqueness_b"),
     )
+
+
+def wilson_ci_by_group(
+    df: DataFrame,
+    group_col: str,
+    success_expr,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Wilson score confidence interval for a per-group proportion —
+    the interval that behaves at p̂ ≈ 0/1 and small n where the naive
+    Wald ±z√(p̂q̂/n) collapses to zero width or leaves [0,1]
+    (Brown-Cai-DasGupta's recommendation): center = (p̂ + z²/2n)/(1 +
+    z²/n), half-width = z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n).
+
+    One map-combinable groupBy; all-integer counts into a fixed double
+    sequence (z literal mirrored exactly). Output per group:
+    (group, n, successes, p_hat, ci_low, ci_high)."""
+    g = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(success_expr, 1).otherwise(0)
+            ).alias("successes"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / nd
+    z2 = F.lit(z) * F.lit(z)
+    denom = F.lit(1.0) + z2 / nd
+    center = (p + z2 / (F.lit(2.0) * nd)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nd
+            + z2 / (F.lit(4.0) * nd * nd)
+        )
+        / denom
+    )
+    return g.select(
+        "group",
+        F.col("n").cast("long").alias("n"),
+        F.col("successes").cast("long").alias("successes"),
+        F.when(F.col("n") > 0, F.round(p, 6)).alias("p_hat"),
+        F.when(F.col("n") > 0, F.round(center - half, 6)).alias(
+            "ci_low"
+        ),
+        F.when(F.col("n") > 0, F.round(center + half, 6)).alias(
+            "ci_high"
+        ),
+    )
+
+
+def jackknife_ratio_by_group(
+    df: DataFrame, group_col: str, num_col: str, den_count: bool = True
+) -> DataFrame:
+    """Delete-one-GROUP jackknife for a ratio estimator θ = ΣX/ΣN —
+    the standard error that respects CLUSTERING (rows within a nation/
+    source/day are correlated, so the iid bootstrap understates the
+    ratio's variance; deleting whole groups is the survey-statistics
+    answer): θ₍₋g₎ = (ΣX − x_g)/(ΣN − n_g),
+    SE² = (G−1)/G · Σ(θ₍₋g₎ − θ̄_J)², bias ≈ (G−1)(θ̄_J − θ).
+
+    One exact-decimal moment pass to the BOUNDED group relation; every
+    leave-one-out ratio is a closed form in (totals − group), so the
+    "resampling" costs G arithmetic rows, not G scans. The G-row folds
+    sum 9-dp-rounded decimals (the k-fold determinism rule). Output
+    one row: (n_groups, ratio, jackknife_se, jackknife_bias)."""
+    from .hypotests import dec_double_wide_frac
+
+    x = F.col(num_col).cast("decimal(18,2)")
+    per_g = (
+        df.filter(F.col(group_col).isNotNull() & F.col(num_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.sum(F.coalesce(x, F.lit(0)).cast("decimal(38,2)")).alias(
+                "x_g"
+            ),
+            F.count(F.lit(1)).alias("n_g"),
+        )
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).alias("gg"),
+        F.sum("x_g").alias("xx"),
+        F.sum("n_g").alias("nn"),
+    )
+    base = per_g.crossJoin(F.broadcast(tot))
+    theta_loo = (
+        dec_double_wide_frac(F.col("xx") - F.col("x_g"))
+        / (F.col("nn") - F.col("n_g")).cast("double")
+    )
+    d9 = "decimal(38,9)"
+    fold1 = base.agg(
+        F.max("gg").alias("gg"),
+        F.max("xx").alias("xx"),
+        F.max("nn").alias("nn"),
+        F.sum(F.round(theta_loo, 9).cast(d9)).alias("s_loo"),
+    )
+    base2 = base.crossJoin(
+        F.broadcast(
+            fold1.select(
+                (F.col("s_loo").cast("double") / F.col("gg").cast("double"))
+                .alias("theta_bar")
+            )
+        )
+    )
+    dev = theta_loo - F.col("theta_bar")
+    fold2 = base2.agg(
+        F.max("gg").alias("gg"),
+        F.max("xx").alias("xx"),
+        F.max("nn").alias("nn"),
+        F.max("theta_bar").alias("theta_bar"),
+        F.sum(F.round(dev * dev, 9).cast(d9)).alias("ss_dev"),
+    )
+    gd = F.col("gg").cast("double")
+    theta = dec_double_wide_frac(F.col("xx")) / F.col("nn").cast(
+        "double"
+    )
+    se = F.sqrt(
+        (gd - F.lit(1.0)) / gd * F.col("ss_dev").cast("double")
+    )
+    bias = (gd - F.lit(1.0)) * (F.col("theta_bar") - theta)
+    return fold2.select(
+        F.col("gg").cast("long").alias("n_groups"),
+        F.when(F.col("nn") > 0, F.round(theta, 6)).alias("ratio"),
+        F.when(F.col("gg") > 1, F.round(se, 6)).alias("jackknife_se"),
+        F.when(F.col("gg") > 1, F.round(bias, 6)).alias(
+            "jackknife_bias"
+        ),
+    )

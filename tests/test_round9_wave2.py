@@ -1119,3 +1119,103 @@ def test_chatterjee_xi_independence_near_zero(spark):
     )
     r = chatterjee_xi_daily(df).collect()[0]
     assert abs(r["xi"]) < 0.3  # independent: xi ~ 0 (O(1/sqrt(n)))
+
+
+# ---- wave 16: Wilson CIs, cluster-jackknife ratio ----
+
+from breweries_etl_spark.operators.profiling import (  # noqa: E402
+    jackknife_ratio_by_group,
+    wilson_ci_by_group,
+)
+
+_WILSON_Z = 1.959963984540054
+
+
+def test_wilson_ci_matches_formula(spark):
+    rows = (
+        [("a", 1)] * 8 + [("a", 0)] * 2
+        + [("b", 1)] * 1 + [("b", 0)] * 19
+    )
+    df = spark.createDataFrame(rows, ["g", "s"])
+    out = {
+        r["group"]: r
+        for r in wilson_ci_by_group(df, "g", F.col("s") == 1).collect()
+    }
+    for g, n, k in (("a", 10, 8), ("b", 20, 1)):
+        p = k / n
+        z2 = _WILSON_Z * _WILSON_Z
+        den = 1 + z2 / n
+        c = (p + z2 / (2 * n)) / den
+        h = (
+            _WILSON_Z
+            * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+            / den
+        )
+        r = out[g]
+        assert r["n"] == n and r["successes"] == k
+        assert abs(r["ci_low"] - (c - h)) < 1e-6
+        assert abs(r["ci_high"] - (c + h)) < 1e-6
+        # Wilson never leaves [0, 1] — the Wald interval does here
+        assert 0.0 <= r["ci_low"] < r["ci_high"] <= 1.0
+
+
+def test_wilson_beats_wald_at_extreme_p(spark):
+    # all successes: Wald width is 0 (useless); Wilson is positive
+    df = spark.createDataFrame([("a", 1)] * 15, ["g", "s"])
+    r = wilson_ci_by_group(df, "g", F.col("s") == 1).collect()[0]
+    assert r["p_hat"] == 1.0
+    assert r["ci_low"] < 1.0  # informative lower bound
+    assert r["ci_high"] == 1.0
+
+
+def test_jackknife_ratio_matches_reference(spark):
+    import random
+    from collections import defaultdict
+
+    random.seed(61)
+    data = []
+    for g in range(12):
+        for _ in range(random.randrange(5, 30)):
+            data.append((f"g{g}", round(random.uniform(10, 200), 2)))
+    df = spark.createDataFrame(data, ["g", "x"])
+    r = jackknife_ratio_by_group(df, "g", "x").collect()[0]
+    xs = defaultdict(float)
+    ns = defaultdict(int)
+    for g, x in data:
+        xs[g] += x
+        ns[g] += 1
+    big_g = len(xs)
+    xx = sum(xs.values())
+    nn = sum(ns.values())
+    theta = xx / nn
+    loos = [(xx - xs[g]) / (nn - ns[g]) for g in xs]
+    tb = sum(loos) / big_g
+    se = math.sqrt(
+        (big_g - 1) / big_g * sum((t - tb) ** 2 for t in loos)
+    )
+    bias = (big_g - 1) * (tb - theta)
+    assert r["n_groups"] == big_g
+    assert abs(r["ratio"] - theta) < 1e-6
+    assert abs(r["jackknife_se"] - se) < 1e-5
+    assert abs(r["jackknife_bias"] - bias) < 1e-5
+
+
+def test_jackknife_se_exceeds_iid_under_clustering(spark):
+    # strong between-group level differences: cluster jackknife SE
+    # must exceed the naive iid SE of the mean
+    import random
+
+    random.seed(62)
+    data = []
+    for g in range(10):
+        mu = 50 + 15 * g
+        for _ in range(20):
+            data.append((f"g{g}", round(mu + random.gauss(0, 1), 2)))
+    df = spark.createDataFrame(data, ["g", "x"])
+    r = jackknife_ratio_by_group(df, "g", "x").collect()[0]
+    vals = [x for _, x in data]
+    n = len(vals)
+    m = sum(vals) / n
+    sd = math.sqrt(sum((v - m) ** 2 for v in vals) / (n - 1))
+    iid_se = sd / math.sqrt(n)
+    assert r["jackknife_se"] > 0.9 * iid_se  # near/above even here

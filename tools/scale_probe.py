@@ -201,7 +201,8 @@ QUERIES = [
     "fligner_killeen_price_flag", "cucconi_price_status",
     "bh_fdr_daily_events", "bartels_rank_daily_value",
     "difference_sign_daily_value", "seasonal_mann_kendall_daily",
-    "chatterjee_xi_daily",
+    "chatterjee_xi_daily", "wilson_ci_priority",
+    "jackknife_ratio_nation",
 ]
 
 
