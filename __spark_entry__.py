@@ -11004,6 +11004,7 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chatterjee_xi_daily": q_chatterjee_xi_daily,
         "wilson_ci_priority": q_wilson_ci_priority,
         "jackknife_ratio_nation": q_jackknife_ratio_nation,
+        "logrank_retention_cohorts": q_logrank_retention_cohorts,
         "bland_altman_doclen": q_bland_altman_doclen,
         "pinball_loss_price": q_pinball_loss_price,
         "type_mix_entropy_trend": q_type_mix_entropy_trend,
@@ -15891,4 +15892,83 @@ SELECT CAST(gg AS BIGINT) AS n_groups,
           * (theta_bar - {_ddwf('xx')} / CAST(nn AS DOUBLE)), 6)
   END AS jackknife_bias
 FROM f2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 17: log-rank retention test
+# ---------------------------------------------------------------------------
+
+
+def q_logrank_retention_cohorts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mantel-Cox log-rank test between engaged (>= 5 events) and
+    casual user retention cohorts, censoring identical to the KM
+    operator (operators/behavior.py:logrank_retention)."""
+    from breweries_etl_spark.operators.behavior import logrank_retention
+
+    return logrank_retention(load_events(spark, sf_dir))
+
+
+
+_ORACLES["logrank_retention_cohorts"] = """
+WITH us AS (
+  SELECT user_id,
+    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+    count(*) AS n_ev
+  FROM events GROUP BY user_id
+), mx AS (
+  SELECT MAX(last_us) AS max_us FROM us
+), per AS (
+  SELECT (last_us - first_us) // 86400000000 AS day,
+    CASE WHEN last_us < max_us - 604800000000 THEN 1 ELSE 0 END
+      AS churn,
+    CASE WHEN n_ev >= 5 THEN 1 ELSE 0 END AS grp
+  FROM us CROSS JOIN mx
+), per_day AS (
+  SELECT day,
+    SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS ends_a,
+    SUM(CASE WHEN grp = 1 AND churn = 1 THEN 1 ELSE 0 END) AS churn_a,
+    SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS ends_b,
+    SUM(CASE WHEN grp = 0 AND churn = 1 THEN 1 ELSE 0 END) AS churn_b
+  FROM per GROUP BY day
+), at_risk AS (
+  SELECT day, churn_a, churn_b, ends_a, ends_b,
+    SUM(ends_a) OVER (ORDER BY day DESC ROWS UNBOUNDED PRECEDING)
+      AS nr_a,
+    SUM(ends_b) OVER (ORDER BY day DESC ROWS UNBOUNDED PRECEDING)
+      AS nr_b
+  FROM per_day
+), folded AS (
+  SELECT SUM(ends_a) AS n_a, SUM(ends_b) AS n_b,
+    SUM(churn_a) AS o1,
+    SUM(CASE WHEN CAST(churn_a + churn_b AS DOUBLE) > 0 THEN
+      CAST(round(CAST(churn_a + churn_b AS DOUBLE)
+           * CAST(nr_a AS DOUBLE)
+           / CAST(nr_a + nr_b AS DOUBLE), 9) AS DECIMAL(38,9))
+      ELSE CAST(0 AS DECIMAL(38,9)) END) AS e1,
+    SUM(CASE WHEN CAST(churn_a + churn_b AS DOUBLE) > 0
+          AND CAST(nr_a + nr_b AS DOUBLE) > 1 THEN
+      CAST(round(CAST(churn_a + churn_b AS DOUBLE)
+           * (CAST(nr_a AS DOUBLE) / CAST(nr_a + nr_b AS DOUBLE))
+           * (1.0 - CAST(nr_a AS DOUBLE)
+              / CAST(nr_a + nr_b AS DOUBLE))
+           * (CAST(nr_a + nr_b AS DOUBLE)
+              - CAST(churn_a + churn_b AS DOUBLE))
+           / (CAST(nr_a + nr_b AS DOUBLE) - 1.0), 9)
+        AS DECIMAL(38,9))
+      ELSE CAST(0 AS DECIMAL(38,9)) END) AS v
+  FROM at_risk
+)
+SELECT CAST(n_a AS BIGINT) AS n_engaged,
+  CAST(n_b AS BIGINT) AS n_casual,
+  CAST(o1 AS BIGINT) AS observed_a,
+  round(CAST(e1 AS DOUBLE), 6) AS expected_a,
+  CASE WHEN CAST(v AS DOUBLE) > 0 THEN
+    round((CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+          * (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+          / CAST(v AS DOUBLE), 6) END AS chi2
+FROM folded
 """

@@ -446,6 +446,7 @@ FAMILIES: dict[str, list[str]] = {
         "chatterjee_xi_daily",
         "wilson_ci_priority",
         "jackknife_ratio_nation",
+        "logrank_retention_cohorts",
     ],
 }
 

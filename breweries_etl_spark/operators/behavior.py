@@ -858,3 +858,117 @@ def event_transition_stats(
             F.col("h").cast("double").alias("cur_entropy"),
         )
     )
+
+
+def logrank_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+    min_events: int = 5,
+) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between two retention cohorts — the
+    significance companion to ``kaplan_meier_retention``: "do engaged
+    users (≥ min_events events) actually survive longer, or do the two
+    KM curves differ by luck". Right-censoring identical to the KM
+    operator (users active in the final censor_days are censored, not
+    churned). At each churn day t: O₁ += d₁ₜ, E₁ += dₜ·n₁ₜ/nₜ,
+    V += dₜ·(n₁ₜ/nₜ)(1 − n₁ₜ/nₜ)(nₜ − dₜ)/(nₜ − 1) (the ties-adjusted
+    hypergeometric variance); χ² = (O₁ − E₁)²/V, df = 1.
+
+    Shape: one fact shuffle to per-user (first, last, n_events); the
+    day grid is BOUNDED, so the per-group at-risk suffix counts are
+    windows over a tiny relation — never over users. The per-day E/V
+    terms fold as 9-dp-rounded decimals (bounded row count, engine-
+    deterministic). Output one row: (n_engaged, n_casual, observed_a,
+    expected_a, chi2)."""
+    day_us = 86_400_000_000
+    us = (
+        df.groupBy(user_col)
+        .agg(
+            F.min(F.unix_micros(F.col(ts_col))).alias("first_us"),
+            F.max(F.unix_micros(F.col(ts_col))).alias("last_us"),
+            F.count(F.lit(1)).alias("n_ev"),
+        )
+        .persist()
+    )
+    us.count()
+    mx = us.agg(F.max("last_us").alias("max_us"))
+    per = us.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"(last_us - first_us) div {day_us}").alias("day"),
+        F.when(
+            F.col("last_us")
+            < F.col("max_us") - F.lit(censor_days * day_us),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("churn"),
+        F.when(F.col("n_ev") >= min_events, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("grp"),
+    )
+    per_day = per.groupBy("day").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("ends_a"),
+        F.sum(
+            F.when((F.col("grp") == 1) & (F.col("churn") == 1), 1)
+            .otherwise(0)
+        ).alias("churn_a"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("ends_b"),
+        F.sum(
+            F.when((F.col("grp") == 0) & (F.col("churn") == 1), 1)
+            .otherwise(0)
+        ).alias("churn_b"),
+    )
+    wdesc = Window.orderBy(F.col("day").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = per_day.select(
+        "day",
+        "churn_a",
+        "churn_b",
+        "ends_a",
+        "ends_b",
+        F.sum("ends_a").over(wdesc).alias("nr_a"),
+        F.sum("ends_b").over(wdesc).alias("nr_b"),
+    )
+    dt = (F.col("churn_a") + F.col("churn_b")).cast("double")
+    n1 = F.col("nr_a").cast("double")
+    nt = (F.col("nr_a") + F.col("nr_b")).cast("double")
+    e_term = dt * n1 / nt
+    v_term = (
+        dt
+        * (n1 / nt)
+        * (F.lit(1.0) - n1 / nt)
+        * (nt - dt)
+        / (nt - F.lit(1.0))
+    )
+    d9 = "decimal(38,9)"
+    folded = at_risk.agg(
+        F.sum("ends_a").alias("n_a"),
+        F.sum("ends_b").alias("n_b"),
+        F.sum("churn_a").alias("o1"),
+        F.sum(
+            F.when(dt > 0, F.round(e_term, 9).cast(d9)).otherwise(
+                F.lit(0).cast(d9)
+            )
+        ).alias("e1"),
+        F.sum(
+            F.when(
+                (dt > 0) & (nt > 1), F.round(v_term, 9).cast(d9)
+            ).otherwise(F.lit(0).cast(d9))
+        ).alias("v"),
+    )
+    o1d = F.col("o1").cast("double")
+    e1d = F.col("e1").cast("double")
+    vd = F.col("v").cast("double")
+    chi2 = (o1d - e1d) * (o1d - e1d) / vd
+    result = folded.select(
+        F.col("n_a").cast("long").alias("n_engaged"),
+        F.col("n_b").cast("long").alias("n_casual"),
+        F.col("o1").cast("long").alias("observed_a"),
+        F.round(e1d, 6).alias("expected_a"),
+        F.when(vd > 0, F.round(chi2, 6)).alias("chi2"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [us])

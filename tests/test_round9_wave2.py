@@ -1219,3 +1219,101 @@ def test_jackknife_se_exceeds_iid_under_clustering(spark):
     sd = math.sqrt(sum((v - m) ** 2 for v in vals) / (n - 1))
     iid_se = sd / math.sqrt(n)
     assert r["jackknife_se"] > 0.9 * iid_se  # near/above even here
+
+
+# ---- wave 17: log-rank retention test ----
+
+from breweries_etl_spark.operators.behavior import logrank_retention  # noqa: E402
+
+
+def _logrank_reference(recs):
+    """recs: (lifetime_day, churn, grp) tuples."""
+    days = sorted({d for d, _, _ in recs})
+    o1 = sum(c for _, c, g in recs if g == 1)
+    e1 = 0.0
+    v = 0.0
+    for t in days:
+        dt = sum(c for d, c, _ in recs if d == t)
+        if dt == 0:
+            continue
+        n1 = sum(1 for d, _, g in recs if d >= t and g == 1)
+        ntot = sum(1 for d, _, _ in recs if d >= t)
+        e1 += dt * n1 / ntot
+        if ntot > 1:
+            v += (
+                dt * (n1 / ntot) * (1 - n1 / ntot)
+                * (ntot - dt) / (ntot - 1)
+            )
+    return o1, e1, (o1 - e1) ** 2 / v
+
+
+def _retention_fixture(spark, engaged_scale, casual_scale, seed=71):
+    """Events carry DISTINCT HOUR slots so the per-user event count is
+    fixed by cohort regardless of lifetime (short-lived engaged users
+    must not leak into the casual cohort — that selection bias fakes a
+    survival difference even under identical lifetime laws)."""
+    import datetime
+    import random
+
+    random.seed(seed)
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for u in range(200):
+        engaged = u % 2 == 0
+        scale = engaged_scale if engaged else casual_scale
+        life = min(int(random.expovariate(1 / scale)), 55)
+        n_ev = 8 if engaged else 3
+        start = random.randrange(0, 4)
+        stamps = [(start, 1), (start + life, 2)]
+        for h in range(3, n_ev + 1):
+            stamps.append((start + random.randrange(0, life + 1), h))
+        for d, h in stamps:
+            rows.append(
+                (
+                    u,
+                    (
+                        base + datetime.timedelta(days=d, hours=h)
+                    ).strftime("%Y-%m-%d %H:%M:%S"),
+                )
+            )
+    return rows, spark.createDataFrame(rows, ["user_id", "ts"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+
+def test_logrank_matches_reference(spark):
+    import datetime
+    from collections import defaultdict
+
+    rows, df = _retention_fixture(spark, 18, 7)
+    r = logrank_retention(df, min_events=5).collect()[0]
+    per_user = defaultdict(lambda: [None, None, 0])
+    for u, ts in rows:
+        d = datetime.datetime.strptime(ts, "%Y-%m-%d %H:%M:%S")
+        pu = per_user[u]
+        pu[0] = d if pu[0] is None or d < pu[0] else pu[0]
+        pu[1] = d if pu[1] is None or d > pu[1] else pu[1]
+        pu[2] += 1
+    max_last = max(p[1] for p in per_user.values())
+    recs = [
+        (
+            (l - f).days,
+            1 if l < max_last - datetime.timedelta(days=7) else 0,
+            1 if n >= 5 else 0,
+        )
+        for f, l, n in per_user.values()
+    ]
+    o1, e1, chi2 = _logrank_reference(recs)
+    assert r["observed_a"] == o1
+    assert abs(r["expected_a"] - e1) < 1e-4
+    assert abs(r["chi2"] - chi2) < 1e-3
+    # engaged cohort survives longer: strong rejection
+    assert r["chi2"] > 3.84
+
+
+def test_logrank_identical_cohorts_accepts(spark):
+    _, df = _retention_fixture(spark, 10, 10, seed=72)
+    r = logrank_retention(df, min_events=5).collect()[0]
+    # same lifetime distribution in both cohorts: chi2 below the 1%
+    # critical value 6.63 for df=1
+    assert r["chi2"] < 6.63

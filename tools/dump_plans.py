@@ -177,6 +177,7 @@ INTERESTING = [
     "bartels_rank_daily_value", "difference_sign_daily_value",
     "seasonal_mann_kendall_daily", "chatterjee_xi_daily",
     "wilson_ci_priority", "jackknife_ratio_nation",
+    "logrank_retention_cohorts",
 ]
 
 

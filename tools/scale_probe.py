@@ -202,7 +202,7 @@ QUERIES = [
     "bh_fdr_daily_events", "bartels_rank_daily_value",
     "difference_sign_daily_value", "seasonal_mann_kendall_daily",
     "chatterjee_xi_daily", "wilson_ci_priority",
-    "jackknife_ratio_nation",
+    "jackknife_ratio_nation", "logrank_retention_cohorts",
 ]
 
 
