@@ -15137,15 +15137,17 @@ pairs AS (
   SELECT n, rho1, rho2, rho3 FROM tot CROSS JOIN pivoted
 ), s1 AS (
   SELECT n, rho1, rho2, rho3, rho1 AS p11,
-    (rho2 - rho1 * rho1) / (1.0 - rho1 * rho1) AS p22
+    CASE WHEN (1.0 - rho1 * rho1) <> 0 THEN
+      (rho2 - rho1 * rho1) / (1.0 - rho1 * rho1) END AS p22
   FROM wide
 ), s2 AS (
   SELECT *, (p11 - p22 * p11) AS p21 FROM s1
 )
 SELECT CAST(n AS BIGINT) AS n_days, rho1, rho2, rho3,
   p11 AS pacf1, round(p22, 6) AS pacf2,
-  round((rho3 - p21 * rho2 - p22 * rho1)
-        / (1.0 - p21 * rho1 - p22 * rho2), 6) AS pacf3
+  round(CASE WHEN (1.0 - p21 * rho1 - p22 * rho2) <> 0 THEN
+    (rho3 - p21 * rho2 - p22 * rho1)
+      / (1.0 - p21 * rho1 - p22 * rho2) END, 6) AS pacf3
 FROM s2
 """
 
@@ -15763,6 +15765,7 @@ WITH daily AS MATERIALIZED (
     count(*) AS x,
     SUM(CAST(value AS DECIMAL(18,2))) AS y
   FROM events WHERE ts IS NOT NULL GROUP BY 1
+  HAVING SUM(CAST(value AS DECIMAL(18,2))) IS NOT NULL
 ), yc AS (
   SELECT y, count(*) AS c FROM daily GROUP BY y
 ), ycum AS (

@@ -200,7 +200,7 @@ def top_event_paths(
     from pyspark.sql import Window
 
     order = Window.partitionBy(key_col).orderBy(
-        F.unix_micros(F.col(ts_col)), tiebreak_col
+        F.unix_micros(F.col(ts_col).cast("timestamp")), tiebreak_col
     )
     tri = df.select(
         F.col(state_col).alias("s1"),
@@ -741,8 +741,8 @@ def kaplan_meier_retention(
     us = (
         df.groupBy(user_col)
         .agg(
-            F.min(F.unix_micros(F.col(ts_col))).alias("first_us"),
-            F.max(F.unix_micros(F.col(ts_col))).alias("last_us"),
+            F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("first_us"),
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("last_us"),
         )
         .persist()
     )
@@ -886,8 +886,8 @@ def logrank_retention(
     us = (
         df.groupBy(user_col)
         .agg(
-            F.min(F.unix_micros(F.col(ts_col))).alias("first_us"),
-            F.max(F.unix_micros(F.col(ts_col))).alias("last_us"),
+            F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("first_us"),
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("last_us"),
             F.count(F.lit(1)).alias("n_ev"),
         )
         .persist()

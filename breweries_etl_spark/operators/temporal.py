@@ -2875,23 +2875,33 @@ def pacf_daily(
     )
     wide = tot.select("n").crossJoin(F.broadcast(pivoted))
     r1, r2, r3 = F.col("rho1"), F.col("rho2"), F.col("rho3")
+    # Durbin-Levinson denominators guarded (same den != 0 CASE style
+    # as rho): a short or perfectly linear series with rho1 = ±1 must
+    # yield NULL pacf2/pacf3, never ±Inf/NaN. A NULL p22 cascades to
+    # p21 and pacf3 identically on both engines.
+    den2 = F.lit(1.0) - r1 * r1
     s1 = wide.select(
         "n", "rho1", "rho2", "rho3",
         r1.alias("p11"),
-        ((r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)).alias("p22"),
+        F.when(den2 != 0, (r2 - r1 * r1) / den2).alias("p22"),
     )
     s2 = s1.select(
         "*",
         (F.col("p11") - F.col("p22") * F.col("p11")).alias("p21"),
     )
-    p33 = (
-        F.col("rho3")
-        - F.col("p21") * F.col("rho2")
-        - F.col("p22") * F.col("rho1")
-    ) / (
+    den3 = (
         F.lit(1.0)
         - F.col("p21") * F.col("rho1")
         - F.col("p22") * F.col("rho2")
+    )
+    p33 = F.when(
+        den3 != 0,
+        (
+            F.col("rho3")
+            - F.col("p21") * F.col("rho2")
+            - F.col("p22") * F.col("rho1")
+        )
+        / den3,
     )
     result = s2.select(
         F.col("n").cast("long").alias("n_days"),
@@ -3300,6 +3310,13 @@ def chatterjee_xi_daily(
             F.count(F.lit(1)).alias("x"),
             F.sum("v").alias("y"),
         )
+        # Drop all-NULL-value days BEFORE the y-rank window: a NULL y
+        # group would sort NULLS FIRST here but NULLS LAST in the
+        # DuckDB twin, silently skewing every cumulative rank r (the
+        # engines disagree on NULL placement, so parity demands the
+        # NULL group never reaches the window — same convention as the
+        # _daily_series operators).
+        .filter(F.col("y").isNotNull())
     )
     yc = daily.groupBy("y").agg(F.count(F.lit(1)).alias("c"))
     wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)

@@ -20,6 +20,13 @@ list (round-8 verdict #4: a fresh NON-self-selected sample each round,
 seeded by the round number so a future judge can replay it exactly —
 the seed is recorded in the JSON artifact). Explicit query names on
 the command line are incompatible with --sample.
+
+``--exclude-driver`` (round-9 verdict #4) restricts the --sample pool
+to names that have NEVER earned a driver CORRECTNESS row: it unions
+the keys of every CORRECTNESS_r*.json in the repo root and removes
+them from the sorted name list before sampling, so each round's
+committed sample artifact spends its budget entirely on fresh
+coverage (the driver has replayed the identical 50 names since r1).
 """
 
 from __future__ import annotations
@@ -71,13 +78,31 @@ def main() -> int:
         i = argv.index("--seed")
         seed = int(argv[i + 1])
         del argv[i : i + 2]
+    exclude_driver = False
+    if "--exclude-driver" in argv:
+        exclude_driver = True
+        argv.remove("--exclude-driver")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     if sample_n is not None:
+        import glob
+        import os
         import random
 
         assert not only, "--sample is incompatible with explicit names"
         names = sorted(__import__("__spark_entry__").queries())
+        if exclude_driver:
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            driver_names: set[str] = set()
+            for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+                with open(p) as fh:
+                    driver_names.update(json.load(fh))
+            before = len(names)
+            names = [n for n in names if n not in driver_names]
+            print(
+                f"--exclude-driver: {before} registry names minus "
+                f"{len(driver_names)} driver-sampled -> pool {len(names)}"
+            )
         only = set(random.Random(seed).sample(names, sample_n))
         print(f"sampled {sample_n}/{len(names)} names with seed {seed}")
     results: dict[str, dict] = {}
