@@ -644,7 +644,11 @@ def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     orders = load_table(spark, sf_dir, "orders")
-    w = W.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    # explicit NULLS LAST (Spark ASC = NULLS FIRST, DuckDB = NULLS
+    # LAST: a NULL price rotated every ntile boundary; degen sweep r10)
+    w = W.orderBy(
+        F.asc_nulls_last("o_totalprice"), F.asc("o_orderkey")
+    )
     return (
         orders.withColumn("decile", F.ntile(10).over(w).cast("long"))
         .groupBy("decile")
@@ -2032,7 +2036,8 @@ WITH hourly AS (
   FROM events GROUP BY 1, 2
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY window_start
-                               ORDER BY n DESC, event_type ASC) AS rank
+                               ORDER BY n DESC,
+                                        event_type ASC NULLS LAST) AS rank
   FROM hourly
 )
 SELECT window_start, event_type, n, rank FROM ranked WHERE rank <= 2
@@ -2260,6 +2265,7 @@ FROM agg WHERE n * sxx - sx * sx > 0
     "funnel_conversion": """
 WITH e AS (
   SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+  WHERE user_id IS NOT NULL
 ), t1 AS (
   SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
 ), t2 AS (
@@ -2645,7 +2651,8 @@ SELECT o_orderkey, 'custkey_num' AS metric, CAST(o_custkey AS DOUBLE) AS value F
     "order_value_deciles": """
 WITH d AS (
   SELECT o_totalprice,
-    ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+    ntile(10) OVER (ORDER BY o_totalprice ASC NULLS LAST,
+                    o_orderkey ASC) AS decile
   FROM orders
 )
 SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
@@ -2685,10 +2692,11 @@ FROM events GROUP BY 1
 """,
     "text_rolling_hash": f"""
 SELECT doc_id,
+  CASE WHEN {_NORM} IS NULL THEN NULL ELSE
   list_reduce(
     list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) FOR c IN string_split({_NORM}, '')]),
     (acc, c) -> (acc * 31 + c) % 1000000007
-  ) AS rolling_hash
+  ) END AS rolling_hash
 FROM documents
 """,
     "text_token_counts": """
@@ -4230,12 +4238,18 @@ WITH per_user AS (
   FROM events WHERE event_type = 'purchase' GROUP BY user_id
 )
 SELECT user_id, frequency, monetary,
-  CAST(ntile(4) OVER (ORDER BY last_purchase_us DESC, user_id ASC) AS BIGINT) AS r_bucket,
-  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT) AS f_bucket,
-  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS BIGINT) AS m_bucket,
-  CAST(ntile(4) OVER (ORDER BY last_purchase_us DESC, user_id ASC) AS VARCHAR)
-    || '-' || CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS VARCHAR)
-    || '-' || CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS VARCHAR)
+  CAST(ntile(4) OVER (ORDER BY last_purchase_us DESC NULLS LAST,
+                      user_id ASC NULLS LAST) AS BIGINT) AS r_bucket,
+  CAST(ntile(4) OVER (ORDER BY frequency DESC NULLS LAST,
+                      user_id ASC NULLS LAST) AS BIGINT) AS f_bucket,
+  CAST(ntile(4) OVER (ORDER BY monetary DESC NULLS LAST,
+                      user_id ASC NULLS LAST) AS BIGINT) AS m_bucket,
+  CAST(ntile(4) OVER (ORDER BY last_purchase_us DESC NULLS LAST,
+                      user_id ASC NULLS LAST) AS VARCHAR)
+    || '-' || CAST(ntile(4) OVER (ORDER BY frequency DESC NULLS LAST,
+                      user_id ASC NULLS LAST) AS VARCHAR)
+    || '-' || CAST(ntile(4) OVER (ORDER BY monetary DESC NULLS LAST,
+                      user_id ASC NULLS LAST) AS VARCHAR)
     AS segment
 FROM per_user
 """
@@ -5390,7 +5404,9 @@ _ORACLES["weighted_median_price"] = """
 WITH pv AS (
   SELECT l_returnflag, l_extendedprice AS value,
     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS vw
-  FROM lineitem GROUP BY 1, 2
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
 ), win AS (
   SELECT l_returnflag, value,
     SUM(vw) OVER (PARTITION BY l_returnflag ORDER BY value
@@ -5518,7 +5534,9 @@ def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["skyline_price_quantity"] = """
 WITH pairs AS (
   SELECT l_extendedprice AS x, l_quantity AS y, CAST(count(*) AS BIGINT) AS n_rows
-  FROM lineitem GROUP BY 1, 2
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
 ), win AS (
   SELECT x, y, n_rows,
     max(y) OVER (ORDER BY x ASC, y DESC
@@ -5818,7 +5836,8 @@ WITH b AS (
 dense AS (SELECT t.event_type, g.h FROM types t CROSS JOIN grid g),
 miss AS (
   SELECT d.event_type, d.h
-  FROM dense d LEFT JOIN obs o ON o.event_type = d.event_type AND o.h = d.h
+  FROM dense d LEFT JOIN obs o
+    ON o.event_type IS NOT DISTINCT FROM d.event_type AND o.h = d.h
   WHERE o.h IS NULL
 ), pm AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS missing_hours,
@@ -5830,7 +5849,8 @@ miss AS (
 )
 SELECT tot.event_type, tot.total_hours,
   COALESCE(pm.missing_hours, 0) AS missing_hours, pm.first_missing_hour
-FROM tot LEFT JOIN pm ON pm.event_type = tot.event_type
+FROM tot LEFT JOIN pm
+  ON pm.event_type IS NOT DISTINCT FROM tot.event_type
 """
 
 
@@ -6120,7 +6140,12 @@ def q_price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     from pyspark.sql import Window as _W
 
-    w = _W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    # explicit NULLS LAST: Spark's ASC default is NULLS FIRST, DuckDB's
+    # is NULLS LAST — a NULL price would shift every percent_rank in
+    # its partition (degen sweep r10)
+    w = _W.partitionBy("o_orderpriority").orderBy(
+        F.asc_nulls_last("o_totalprice")
+    )
     return orders.select(
         "o_orderkey",
         "o_orderpriority",
@@ -6161,7 +6186,7 @@ _ORACLES["price_percent_rank"] = """
 SELECT o_orderkey, o_orderpriority,
   CAST(o_totalprice AS DOUBLE) AS o_totalprice,
   round(percent_rank() OVER (PARTITION BY o_orderpriority
-                             ORDER BY o_totalprice), 6) AS pr
+                             ORDER BY o_totalprice NULLS LAST), 6) AS pr
 FROM orders
 """
 
@@ -15974,4 +15999,188 @@ SELECT CAST(n_a AS BIGINT) AS n_engaged,
           * (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
           / CAST(v AS DOUBLE), 6) END AS chi2
 FROM folded
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 18: Lepage omnibus, Pettitt change-point, Foster-Stuart
+# ---------------------------------------------------------------------------
+
+
+def q_lepage_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lepage location-or-scale omnibus on price, returned vs other —
+    one prefix-count pass serving both the Wilcoxon and Ansari parts
+    (operators/hypotests.py:lepage_test)."""
+    from breweries_etl_spark.operators.hypotests import lepage_test
+
+    return lepage_test(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        F.col("l_returnflag") == "R",
+    )
+
+
+def q_pettitt_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank change-point over the daily value series
+    (operators/temporal.py:pettitt_changepoint)."""
+    from breweries_etl_spark.operators.temporal import pettitt_changepoint
+
+    return pettitt_changepoint(load_events(spark, sf_dir))
+
+
+def q_foster_stuart_daily_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Foster-Stuart records trend/dispersion test over the daily
+    value series (operators/temporal.py:foster_stuart_records)."""
+    from breweries_etl_spark.operators.temporal import (
+        foster_stuart_records,
+    )
+
+    return foster_stuart_records(load_events(spark, sf_dir))
+
+
+_ORACLES["lepage_price_flag"] = f"""
+WITH vc AS MATERIALIZED (
+  SELECT l_extendedprice AS v,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS cb
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+    SUM(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vc
+), tot AS (
+  SELECT SUM(ca) AS n_a, SUM(cb) AS n_b, SUM(ca + cb) AS nn FROM vc
+), geom AS (
+  SELECT ca, cb, n_a, n_b, nn,
+    CAST(ca + cb AS DECIMAL(19,0)) AS c,
+    CAST(2 AS DECIMAL(19,0)) * CAST(cum AS DECIMAL(19,0))
+      - CAST(ca + cb AS DECIMAL(19,0)) + 1 AS u,
+    CAST(cum AS DECIMAL(19,0)) - CAST(ca + cb AS DECIMAL(19,0)) + 1 AS lo,
+    CAST(cum AS DECIMAL(19,0)) AS hi,
+    CAST((nn + 1) // 2 AS DECIMAL(19,0)) AS t,
+    CAST(nn + 1 AS DECIMAL(19,0)) AS np1
+  FROM cum CROSS JOIN tot
+), series AS (
+  SELECT ca, n_a, n_b, nn, c, u, lo, hi, np1,
+    least(hi, t) AS b1,
+    greatest(least(hi, t) - lo + 1, CAST(0 AS DECIMAL(19,0))) AS len1,
+    greatest(lo, t + 1) AS a2,
+    greatest(hi - greatest(lo, t + 1) + 1, CAST(0 AS DECIMAL(19,0))) AS len2
+  FROM geom
+), folded AS (
+  SELECT max(n_a) AS n_a, max(n_b) AS n_b, max(nn) AS nn,
+    SUM(CAST(CAST(ca AS DECIMAL(19,0)) * u AS DECIMAL(38,0))) AS r2a,
+    SUM(CAST(c * c * c - c AS DECIMAL(38,0))) AS ties,
+    SUM(CAST(floor(1e6 * CAST(ca AS DOUBLE)
+                   * (({_ddw(_AB_S2V)} / 2.0) / CAST(c AS DOUBLE)))
+             AS DECIMAL(38,0))) AS w_fp,
+    SUM({_AB_S2V}) AS s2_sum,
+    SUM(CAST(floor(1e6 * ({_ddw(_AB_S2V)} / 2.0)
+                   * (({_ddw(_AB_S2V)} / 2.0) / CAST(c AS DOUBLE)))
+             AS DECIMAL(38,0))) AS aa_fp
+  FROM series
+), d AS (
+  SELECT n_a, n_b, nn,
+    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+    CAST(nn AS DOUBLE) AS n,
+    {_ddw('r2a')} / 2.0 AS wa,
+    {_ddw('ties')} AS tiesum,
+    {_ddw('w_fp')} / 1e6 AS w,
+    {_ddw('s2_sum')} / 2.0 AS sa,
+    {_ddw('aa_fp')} / 1e6 AS saa
+  FROM folded
+), z AS (
+  SELECT n_a, n_b,
+    (wa - na * (n + 1.0) / 2.0)
+      / sqrt(na * nb / 12.0 * ((n + 1.0) - tiesum / (n * (n - 1.0))))
+      AS zw,
+    (w - na * (sa / n))
+      / sqrt(na * nb * (n * saa - sa * sa) / (n * n * (n - 1.0))) AS zab,
+    (n_a > 0 AND n_b > 0
+     AND na * nb / 12.0 * ((n + 1.0) - tiesum / (n * (n - 1.0))) > 0
+     AND na * nb * (n * saa - sa * sa) / (n * n * (n - 1.0)) > 0) AS ok
+  FROM d
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CASE WHEN ok THEN round(zw, 6) END AS z_wilcoxon,
+  CASE WHEN ok THEN round(zab, 6) END AS z_ansari,
+  CASE WHEN ok THEN round(zw * zw + zab * zab, 6) END AS lepage_l,
+  CASE WHEN ok THEN
+    round(exp(-round(zw * zw + zab * zab, 6) / 2.0), 6) END AS p_value
+FROM z
+"""
+
+_ORACLES["pettitt_daily_value"] = f"""
+WITH {_DAILY_EVENTS},
+yc AS (
+  SELECT y, count(*) AS c FROM daily GROUP BY y
+), ycum AS (
+  SELECT y, c,
+    SUM(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS cum
+  FROM yc
+), joined AS (
+  SELECT day, CAST(2 * cum - c + 1 AS BIGINT) AS u
+  FROM daily JOIN ycum USING (y)
+), tot AS (SELECT count(*) AS n FROM daily),
+stepped AS (
+  SELECT day,
+    SUM(u) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      - CAST(row_number() OVER (ORDER BY day) AS BIGINT) * (n + 1) AS ut
+  FROM joined CROSS JOIN tot
+  QUALIFY row_number() OVER (ORDER BY day) < n
+), kk AS (SELECT max(abs(ut)) AS k_stat FROM stepped),
+arg AS (
+  SELECT min(day) AS change_day
+  FROM stepped CROSS JOIN kk WHERE abs(ut) = k_stat
+), final AS (
+  SELECT n, k_stat, change_day FROM tot CROSS JOIN kk CROSS JOIN arg
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+  CAST(k_stat AS BIGINT) AS k_stat,
+  CAST(change_day AS BIGINT) AS change_day,
+  CASE WHEN n > 1 THEN
+    round(least(1.0, 2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE)
+      * CAST(k_stat AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) END AS p_approx
+FROM final
+"""
+
+_ORACLES["foster_stuart_daily_value"] = f"""
+WITH {_DAILY_EVENTS},
+walked AS (
+  SELECT y,
+    row_number() OVER (ORDER BY day) AS t,
+    max(y) OVER (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax,
+    min(y) OVER (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+  FROM daily
+), flagged AS (SELECT * FROM walked WHERE t >= 2),
+folded AS (
+  SELECT
+    SUM(CASE WHEN y > pmax THEN 1 ELSE 0 END) AS u,
+    SUM(CASE WHEN y < pmin THEN 1 ELSE 0 END) AS l,
+    SUM(CAST(round(2.0 / CAST(t AS DOUBLE), 12) AS DECIMAL(38,12)))
+      AS vd12,
+    SUM(CAST(round(2.0 / CAST(t AS DOUBLE)
+          - 4.0 / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 12)
+        AS DECIMAL(38,12))) AS vs12
+  FROM flagged
+), tot AS (SELECT count(*) AS n FROM daily),
+final AS (SELECT * FROM folded CROSS JOIN tot)
+SELECT CAST(n AS BIGINT) AS n_days,
+  CAST(u AS BIGINT) AS n_upper,
+  CAST(l AS BIGINT) AS n_lower,
+  CAST(u - l AS BIGINT) AS d_stat,
+  CAST(u + l AS BIGINT) AS s_stat,
+  CASE WHEN CAST(vd12 AS DOUBLE) > 0 THEN
+    round((CAST(u AS DOUBLE) - CAST(l AS DOUBLE))
+          / sqrt(CAST(vd12 AS DOUBLE)), 6) END AS z_trend,
+  CASE WHEN CAST(vs12 AS DOUBLE) > 0 THEN
+    round((CAST(u AS DOUBLE) + CAST(l AS DOUBLE) - CAST(vd12 AS DOUBLE))
+          / sqrt(CAST(vs12 AS DOUBLE)), 6) END AS z_disp
+FROM final
 """

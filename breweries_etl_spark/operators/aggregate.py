@@ -156,6 +156,11 @@ def weighted_median(
     w = F.col(weight_col).cast("decimal(18,2)")
     per_value = (
         df.select(F.col(group_col), F.col(value_col).alias("value"), w.alias("__w"))
+        # a NULL value cannot be a median candidate and a NULL weight
+        # carries no mass — and the engines place a NULL value at
+        # OPPOSITE ends of the cumsum order (Spark NULLS FIRST, DuckDB
+        # NULLS LAST), shifting every cum past it (degen r10)
+        .filter(F.col("value").isNotNull() & F.col("__w").isNotNull())
         .groupBy(group_col, "value")
         .agg(F.sum("__w").alias("vw"))
     )
@@ -196,6 +201,11 @@ def skyline_2d(
     """
     pairs = (
         df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        # a point with a NULL coordinate has no place on a 2D frontier
+        # — and a NULL x sorts into OPPOSITE ends of the bucket walk on
+        # Spark vs SQL engines, so its max-y poisoned every prefilter
+        # bucket and emptied the frontier (degen r10)
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )

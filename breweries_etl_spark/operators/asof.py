@@ -51,7 +51,17 @@ def asof_join_backward(
         *[F.col(c) for c in left_cols],
         F.lit(None).cast(payload_type).alias("__rpay"),
     )
-    r_tagged = right.select(
+    # SQL join semantics for NULLs: a right row with a NULL key or NULL
+    # timestamp can never match (NULL = NULL and ts <= NULL are both
+    # no-match in SQL), but Spark's window PARTITION BY groups NULL
+    # keys together — unfiltered, the NULL-key "group" cross-matched
+    # and diverged from any ASOF JOIN replay (degen r10). Left rows
+    # with NULL key/ts are kept with a NULL payload: Spark sorts their
+    # NULL ts before every right row, so the prefix window finds
+    # nothing, which is exactly the LEFT-join outcome.
+    r_tagged = right.filter(
+        F.col(by).isNotNull() & F.col(on).isNotNull()
+    ).select(
         F.col(by),
         F.col(on),
         F.lit(0).alias("__tag"),

@@ -35,7 +35,12 @@ def funnel_steps(
     # and fold the "first step_{i+1} at-or-after t_i" chain as array
     # expressions — state per user is its own (3-type-filtered) event
     # list, the same bound the sessionizers carry.
-    ev = df.where(F.col("event_type").isin(list(steps))).select(
+    # NULL user_id is not a user: Spark's joinless per-row chain kept
+    # it while the SQL replay's per-step joins dropped it (degen r10)
+    ev = df.where(
+        F.col("event_type").isin(list(steps))
+        & F.col("user_id").isNotNull()
+    ).select(
         "user_id",
         F.struct(us.alias("us"), F.col("event_type").alias("et")).alias("e"),
     )
@@ -126,24 +131,45 @@ def value_trend_pandas(
     import pandas as pd
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL semantics mirror the JVM twin exactly: n counts EVERY
+        # row of the group, each SUM skips its own NULLs (sum(x*y)
+        # skips the pair when either side is NULL), the group is
+        # dropped only when denom = n*sxx - sx^2 is NULL-or-<=0, and an
+        # all-NULL y leaves slope NULL with the row kept. NaN-blind
+        # .astype("int64") crashed here on the first NULL value the
+        # clean testdata never contained. Products stay < 2^53 (x is
+        # span-seconds, cents <= 1e8), so float math is exact before
+        # the int() casts.
         pdf = pdf.sort_values("event_id")
-        x = (pdf["us"] // 1_000_000 - base_epoch_s).astype("int64")
-        cents = (pdf["value"].round(2) * 100).round().astype("int64")
+        empty = pd.DataFrame(
+            {"user_id": pd.array([], dtype="int64"),
+             "slope_per_hour": pd.array([], dtype="float64"),
+             "n_events": pd.array([], dtype="int64")}
+        )
         n = len(pdf)
-        sx, sy_c = int(x.sum()), int(cents.sum())
-        sxy_c = int((x * cents).sum())
-        sxx = int((x * x).sum())
+        xv = (pdf["us"] // 1_000_000 - base_epoch_s).dropna()
+        if len(xv) == 0:
+            return empty  # sx/sxx NULL -> denom NULL -> JVM row dropped
+        sx = int(xv.sum())
+        sxx = int((xv * xv).sum())
         denom = n * sxx - sx * sx
         if denom <= 0:
-            return pd.DataFrame(
-                {"user_id": pd.array([], dtype="int64"),
-                 "slope_per_hour": pd.array([], dtype="float64"),
-                 "n_events": pd.array([], dtype="int64")}
-            )
-        num_c = n * sxy_c - sx * sy_c  # exact, in cent-seconds
-        slope = _r6(num_c / 100.0 / denom * 3600.0)
+            return empty
+        cv = (pdf["value"].round(2) * 100).round()
+        pair_mask = pdf["us"].notna() & pdf["value"].notna()
+        if cv.notna().sum() == 0 or pair_mask.sum() == 0:
+            slope = None  # num NULL on the JVM side
+        else:
+            sy_c = int(cv.dropna().sum())
+            xp = pdf["us"][pair_mask] // 1_000_000 - base_epoch_s
+            sxy_c = int((xp * cv[pair_mask]).sum())
+            num_c = n * sxy_c - sx * sy_c  # exact, in cent-seconds
+            slope = _r6(num_c / 100.0 / denom * 3600.0)
+        uid = pdf["user_id"].iloc[0]
         return pd.DataFrame(
-            {"user_id": [int(pdf["user_id"].iloc[0])],
+            # the NULL-user group arrives as NaN: emit NULL, as the JVM
+            # groupBy does, instead of crashing the int() cast
+            {"user_id": [None if pd.isna(uid) else int(uid)],
              "slope_per_hour": [slope],
              "n_events": [n]}
         )
@@ -244,9 +270,14 @@ def rfm_segments(df: DataFrame, buckets: int = 4) -> DataFrame:
             F.sum(money("value")).cast("double").alias("monetary"),
         )
     )
-    r_w = Window.orderBy(F.desc("last_purchase_us"), F.col("user_id"))
-    f_w = Window.orderBy(F.desc("frequency"), F.col("user_id"))
-    m_w = Window.orderBy(F.desc("monetary"), F.col("user_id"))
+    # explicit NULL placement on every sort key: Spark DESC defaults
+    # to NULLS LAST but DuckDB DESC to NULLS FIRST (and the ASC
+    # tiebreak is the opposite pair), so an all-NULL-value purchaser
+    # rotated every ntile bucket against the SQL replay (degen r10)
+    uid = F.asc_nulls_last("user_id")
+    r_w = Window.orderBy(F.desc_nulls_last("last_purchase_us"), uid)
+    f_w = Window.orderBy(F.desc_nulls_last("frequency"), uid)
+    m_w = Window.orderBy(F.desc_nulls_last("monetary"), uid)
     return per_user.select(
         "user_id",
         "frequency",

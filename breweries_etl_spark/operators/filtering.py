@@ -128,10 +128,15 @@ def gopher_quality_flags(
         F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
     ) / F.lit(3)
     stop_hits = F.size(F.regexp_extract_all(text, F.lit(STOPWORDS_RE), 0))
+    # NULL (not 0) divisor for empty/whitespace-only docs: under ANSI
+    # mode a literal 0 divisor is a runtime DIVIDE_BY_ZERO error, and
+    # these rows are dropped by the inner join with repetition_stats
+    # (which emits no row for token-less docs) anyway.
+    n_words_div = F.when(n_words_sc > 0, n_words_sc.cast("double"))
     scalars = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
-        F.round(sum_word_len.cast("double") / n_words_sc, 6).alias("mean_word_len"),
-        F.round((hash_count + ellipsis_count).cast("double") / n_words_sc, 6).alias(
+        F.round(sum_word_len.cast("double") / n_words_div, 6).alias("mean_word_len"),
+        F.round((hash_count + ellipsis_count).cast("double") / n_words_div, 6).alias(
             "symbol_ratio"
         ),
         stop_hits.cast("long").alias("stopword_hits"),

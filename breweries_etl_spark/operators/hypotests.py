@@ -6205,3 +6205,109 @@ def cucconi_test(
         ).alias("cucconi_c"),
     )
     return _released(result, pc, release)
+
+
+def lepage_test(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Lepage two-sample test of the joint location-OR-scale
+    alternative: L = Z_W² + Z_AB², the squared standardized Wilcoxon
+    rank-sum plus the squared standardized Ansari–Bradley score, χ²₂
+    under the null — the classical omnibus companion to ``cucconi``
+    (which plays the same role through squared-rank moments). A shift
+    Mann–Whitney sees OR a spread Ansari sees fires the combined
+    statistic; p = exp(−L/2) in closed form (χ² with 2 df).
+
+    ONE bucketed prefix-count pass serves both components (the
+    ``dunn``/``ad_ksample`` single-pass discipline): the Wilcoxon
+    doubled rank sum folds as Σ ca·u with the integer doubled midrank
+    u = 2·cum − c + 1 and the tie term Σ(c³−c); the Ansari scores
+    reuse the closed both-ends block-series form (2S_v per tied
+    block, ``ansari_bradley``'s envelope documentation applies
+    verbatim). Tie-corrected Wilcoxon variance
+    na·nb/12·((n+1) − Σ(t³−t)/(n(n−1))); Hollander–Wolfe linear-rank
+    moments for the AB side. p is computed from the 6-dp-ROUNDED L on
+    both engines (exp ulp discipline). Output one row:
+    (n_a, n_b, z_wilcoxon, z_ansari, lepage_l, p_value)."""
+    pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    ).select("n_a", "n_b", (F.col("n_a") + F.col("n_b")).alias("nn"))
+    c = (F.col("ca") + F.col("cb")).cast(d19)
+    cum = (F.col("cum_a") + F.col("cum_b")).cast(d19)
+    u = F.lit(2).cast(d19) * cum - c + F.lit(1).cast(d19)
+    lo = cum - c + F.lit(1).cast(d19)
+    hi = cum
+    t = F.expr("(nn + 1) div 2").cast(d19)
+    np1 = (F.col("nn") + F.lit(1)).cast(d19)
+    b1 = F.least(hi, t)
+    len1 = F.greatest(b1 - lo + F.lit(1).cast(d19), F.lit(0).cast(d19))
+    a2 = F.greatest(lo, t + F.lit(1).cast(d19))
+    len2 = F.greatest(hi - a2 + F.lit(1).cast(d19), F.lit(0).cast(d19))
+    s2v = (
+        ((lo + b1) * len1).cast(d38)
+        + (F.lit(2).cast(d19) * np1 * len2).cast(d38)
+        - ((a2 + hi) * len2).cast(d38)
+    )
+    s_v = dec_double_wide(s2v) / F.lit(2.0)
+    folded = pc.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("nn").alias("nn"),
+        F.sum((F.col("ca").cast(d19) * u).cast(d38)).alias("r2a"),
+        F.sum((c * c * c - c).cast(d38)).alias("ties"),
+        F.sum(
+            F.floor(
+                F.lit(1e6)
+                * F.col("ca").cast("double")
+                * (s_v / c.cast("double"))
+            ).cast(d38)
+        ).alias("w_fp"),
+        F.sum(s2v).alias("s2_sum"),
+        F.sum(
+            F.floor(F.lit(1e6) * s_v * (s_v / c.cast("double"))).cast(d38)
+        ).alias("aa_fp"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = F.col("nn").cast("double")
+    wa = dec_double_wide(F.col("r2a")) / F.lit(2.0)
+    ew = na * (n + F.lit(1.0)) / F.lit(2.0)
+    var_w = (
+        na
+        * nb
+        / F.lit(12.0)
+        * (
+            (n + F.lit(1.0))
+            - dec_double_wide(F.col("ties")) / (n * (n - F.lit(1.0)))
+        )
+    )
+    w = dec_double_wide(F.col("w_fp")) / F.lit(1e6)
+    sa = dec_double_wide(F.col("s2_sum")) / F.lit(2.0)
+    saa = dec_double_wide(F.col("aa_fp")) / F.lit(1e6)
+    mean_ab = na * (sa / n)
+    var_ab = na * nb * (n * saa - sa * sa) / (n * n * (n - F.lit(1.0)))
+    zw = (wa - ew) / F.sqrt(var_w)
+    zab = (w - mean_ab) / F.sqrt(var_ab)
+    ll = F.round(zw * zw + zab * zab, 6)
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (var_w > 0)
+        & (var_ab > 0)
+    )
+    result = folded.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(ok, F.round(zw, 6)).alias("z_wilcoxon"),
+        F.when(ok, F.round(zab, 6)).alias("z_ansari"),
+        F.when(ok, ll).alias("lepage_l"),
+        F.when(ok, F.round(F.exp(-ll / F.lit(2.0)), 6)).alias("p_value"),
+    )
+    return _released(result, pc, release)

@@ -3359,3 +3359,157 @@ def chatterjee_xi_daily(
         F.col("denom2").cast("long").alias("denom"),
         F.when(F.col("denom2") > 0, F.round(xi, 6)).alias("xi"),
     )
+
+
+def pettitt_changepoint(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Pettitt (1979) rank-based change-point test on the daily-total
+    series — "did the level shift, and on which day": U_t = Σ_{i≤t}
+    Σ_{j>t} sgn(y_i − y_j), K = max_t |U_t|, with the approximate
+    two-sided p = min(1, 2·exp(−6K²/(n³+n²))). The nonparametric
+    Mann-Whitney-flavored changepoint detector that cusum_daily's
+    mean-based statistic complements.
+
+    NOT the O(n²) pair sum: with midranks r_i the inner sgn sum
+    collapses to 2r_i − (n+1) exactly (the within-prefix part is
+    antisymmetric and cancels), so U_t = cumsum(2r)_t − t·(n+1) —
+    ALL-INTEGER via the doubled midrank u = 2·cum − c + 1 from the
+    bounded distinct-y relation. One fact shuffle to the day relation;
+    ranks join against the bounded per-y cumulative; the walk is one
+    cumulative window over ≤ #days rows. K and the argmax day close
+    via global aggregates only (1-row guarantee on empty input — the
+    wasserstein annihilation lesson); change_day ties break to the
+    EARLIEST day (deterministic, documented). Output one row:
+    (n_days, k_stat, change_day, p_approx)."""
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+    yc = daily.groupBy("y").agg(F.count(F.lit(1)).alias("c"))
+    wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    ycum = yc.select(
+        "y",
+        "c",
+        F.sum("c").over(wy).alias("cum"),
+    )
+    u = (
+        F.lit(2) * F.col("cum") - F.col("c") + F.lit(1)
+    ).cast("long")
+    joined = daily.join(F.broadcast(ycum), "y").select(
+        "day", u.alias("u")
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.orderBy("day")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    stepped = (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n",
+            F.row_number().over(wd).alias("t"),
+            F.sum("u").over(wcum).alias("cu"),
+        )
+        .filter(F.col("t") < F.col("n"))
+        .select(
+            "day",
+            (
+                F.col("cu") - F.col("t").cast("long") * (F.col("n") + F.lit(1))
+            ).alias("ut"),
+        )
+    )
+    kk = stepped.agg(F.max(F.abs(F.col("ut"))).alias("k_stat"))
+    arg = (
+        stepped.crossJoin(F.broadcast(kk))
+        .filter(F.abs(F.col("ut")) == F.col("k_stat"))
+        .agg(F.min("day").alias("change_day"))
+    )
+    final = tot.crossJoin(F.broadcast(kk)).crossJoin(F.broadcast(arg))
+    nd = F.col("n").cast("double")
+    kd = F.col("k_stat").cast("double")
+    p = F.least(
+        F.lit(1.0),
+        F.lit(2.0)
+        * F.exp(
+            F.lit(-6.0) * kd * kd / (nd * nd * nd + nd * nd)
+        ),
+    )
+    result = final.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("k_stat").cast("long").alias("k_stat"),
+        F.col("change_day").cast("long").alias("change_day"),
+        F.when(F.col("n") > 1, F.round(p, 6)).alias("p_approx"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])
+
+
+def foster_stuart_records(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Foster–Stuart records test on the daily-total series: count
+    upper records (y_t strictly above every previous day) and lower
+    records; d = U − L detects TREND (records pile up on one side),
+    s = U + L detects dispersion change. Under i.i.d., upper/lower
+    record indicators at time t are independent Bernoulli(1/t) and
+    mutually exclusive, so E[d] = 0, Var(d) = Σ_{t=2..n} 2/t,
+    E[s] = Σ 2/t, Var(s) = Σ (2/t − 4/t²) — the records-based
+    randomness check that complements turning_points (alternation)
+    and difference_sign (ascents): records see SLOW drifts both miss.
+
+    One fact shuffle to the bounded day relation; running max/min are
+    prefix windows over ≤ #days rows; the harmonic moment terms fold
+    as round(·,12)-decimal sums (k-term double folds are
+    order-nondeterministic across engines; these stay far under 15
+    significant digits, so the closing direct double cast is exactly
+    rounded on both). First day is excluded (records start at t = 2;
+    strict inequality — exact-decimal daily totals tie only on equal
+    totals, which count as non-records, documented). Output one row:
+    (n_days, n_upper, n_lower, d_stat, s_stat, z_trend, z_disp)."""
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+    wd = Window.orderBy("day")
+    wprev = wd.rowsBetween(Window.unboundedPreceding, -1)
+    walked = daily.select(
+        "y",
+        F.row_number().over(wd).alias("t"),
+        F.max("y").over(wprev).alias("pmax"),
+        F.min("y").over(wprev).alias("pmin"),
+    ).filter(F.col("t") >= 2)
+    td = F.col("t").cast("double")
+    d12 = "decimal(38,12)"
+    folded = walked.agg(
+        F.sum(
+            F.when(F.col("y") > F.col("pmax"), 1).otherwise(0)
+        ).alias("u"),
+        F.sum(
+            F.when(F.col("y") < F.col("pmin"), 1).otherwise(0)
+        ).alias("l"),
+        F.sum(F.round(F.lit(2.0) / td, 12).cast(d12)).alias("vd12"),
+        F.sum(
+            F.round(
+                F.lit(2.0) / td - F.lit(4.0) / (td * td), 12
+            ).cast(d12)
+        ).alias("vs12"),
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("n"))
+    final = folded.crossJoin(F.broadcast(tot))
+    ud = F.col("u").cast("double")
+    ld = F.col("l").cast("double")
+    vd = F.col("vd12").cast("double")
+    vs = F.col("vs12").cast("double")
+    result = final.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("u").cast("long").alias("n_upper"),
+        F.col("l").cast("long").alias("n_lower"),
+        (F.col("u") - F.col("l")).cast("long").alias("d_stat"),
+        (F.col("u") + F.col("l")).cast("long").alias("s_stat"),
+        F.when(vd > 0, F.round((ud - ld) / F.sqrt(vd), 6)).alias(
+            "z_trend"
+        ),
+        F.when(vs > 0, F.round((ud + ld - vd) / F.sqrt(vs), 6)).alias(
+            "z_disp"
+        ),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [daily])

@@ -428,8 +428,10 @@ def hourly_heavy_hitters(spark: SparkSession, sf_dir: str, k: int = 2) -> DataFr
         "rank",
         F.row_number()
         .over(
+            # NULLS LAST explicit: the NULL event-type bucket flipped
+            # rank-2 ties between engines (degen r10)
             Window.partitionBy("window_start").orderBy(
-                F.desc("n"), F.asc("event_type")
+                F.desc("n"), F.asc_nulls_last("event_type")
             )
         )
         .cast("long"),

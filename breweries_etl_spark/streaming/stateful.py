@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts_us long"
-STATE_SCHEMA = "n long, total_cents long, last_us long"
+STATE_SCHEMA = "n long, total_cents long, last_us long, n_val long"
 
 
 def _batch_cents(values) -> int:
@@ -30,12 +30,19 @@ def _batch_cents(values) -> int:
     is half-to-EVEN, so an input with >2 decimals landing on an exact
     half-cent (e.g. 0.125, whose double is exact) would diverge from
     the SQL replay by one cent (ADVICE r5). sign·floor(|v|·100 + 0.5)
-    is pure IEEE arithmetic on the same double the oracle casts."""
+    is pure IEEE arithmetic on the same double the oracle casts.
+
+    NULL values are DROPPED before the fold (SQL SUM semantics) and the
+    non-null count is returned alongside: a NaN reaching the int64 cast
+    is undefined behavior in numpy and materialized as int64-min garbage
+    totals the first time degenerate data hit this path (degen sweep
+    r10). Returns (cents, n_nonnull)."""
     import numpy as np
 
     scaled = values.astype("float64").to_numpy() * 100.0
+    scaled = scaled[~np.isnan(scaled)]
     cents = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
-    return int(cents.astype("int64").sum())
+    return int(cents.astype("int64").sum()), int(scaled.size)
 
 
 def _update_profile(
@@ -43,18 +50,28 @@ def _update_profile(
 ) -> Iterator["pd.DataFrame"]:
     import pandas as pd
 
-    n, cents, last_us = state.get if state.exists else (0, 0, 0)
+    n, cents, last_us, n_val = (
+        state.get if state.exists else (0, 0, 0, 0)
+    )
     for pdf in batches:
         n += len(pdf)
-        cents += _batch_cents(pdf["value"])
-        last_us = max(last_us, int(pdf["ts_us"].max()))
-    state.update((n, cents, last_us))
+        c, nv = _batch_cents(pdf["value"])
+        cents += c
+        n_val += nv
+        mx = pdf["ts_us"].max()  # pandas max skips NaN; all-NaN -> NaN
+        if not pd.isna(mx):
+            last_us = max(last_us, int(mx))
+    state.update((n, cents, last_us, n_val))
+    # all-NULL aggregates emit NULL exactly as the SQL replay does
+    # (SUM/MAX over zero non-null inputs); last_us uses the 0 sentinel
+    # for "no non-null ts yet" (event timestamps are post-1970 by
+    # domain contract)
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [cents / 100.0],
-            "last_ts_us": [last_us],
+            "total_value": [cents / 100.0 if n_val > 0 else None],
+            "last_ts_us": [last_us if last_us > 0 else None],
         }
     )
 
@@ -111,20 +128,26 @@ class _ProfileProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues):
         import pandas as pd
 
-        n, cents, last_us = (
-            self._profile.get() if self._profile.exists() else (0, 0, 0)
+        n, cents, last_us, n_val = (
+            self._profile.get()
+            if self._profile.exists()
+            else (0, 0, 0, 0)
         )
         for pdf in rows:
             n += len(pdf)
-            cents += _batch_cents(pdf["value"])
-            last_us = max(last_us, int(pdf["ts_us"].max()))
-        self._profile.update((n, cents, last_us))
+            c, nv = _batch_cents(pdf["value"])
+            cents += c
+            n_val += nv
+            mx = pdf["ts_us"].max()
+            if not pd.isna(mx):
+                last_us = max(last_us, int(mx))
+        self._profile.update((n, cents, last_us, n_val))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [cents / 100.0],
-                "last_ts_us": [last_us],
+                "total_value": [cents / 100.0 if n_val > 0 else None],
+                "last_ts_us": [last_us if last_us > 0 else None],
             }
         )
 

@@ -21,8 +21,8 @@ from breweries_etl_spark.streaming.stateful import _batch_cents
 def test_batch_cents_half_up_on_exact_tie():
     # 0.125 is exact in binary: *100 = 12.5 exactly. Half-up => 13;
     # pandas round(2) (half-to-even) would give 0.12 => 12.
-    assert _batch_cents(pd.Series([0.125])) == 13
-    assert _batch_cents(pd.Series([-0.125])) == -13
+    assert _batch_cents(pd.Series([0.125])) == (13, 1)
+    assert _batch_cents(pd.Series([-0.125])) == (-13, 1)
     # DuckDB replay of the same tie: CAST(0.125 AS DECIMAL(12,2)) = 0.13
     import duckdb
 
@@ -32,8 +32,11 @@ def test_batch_cents_half_up_on_exact_tie():
 
 
 def test_batch_cents_plain_values():
-    assert _batch_cents(pd.Series([1.0, 2.5, 0.01])) == 351
-    assert _batch_cents(pd.Series([], dtype="float64")) == 0
+    assert _batch_cents(pd.Series([1.0, 2.5, 0.01])) == (351, 3)
+    assert _batch_cents(pd.Series([], dtype="float64")) == (0, 0)
+    # NULLs drop (SQL SUM semantics) instead of poisoning the int cast
+    assert _batch_cents(pd.Series([1.0, None, 2.0])) == (300, 2)
+    assert _batch_cents(pd.Series([None], dtype="float64")) == (0, 0)
 
 
 def test_salted_join_propagates_heavy_cache(spark):
