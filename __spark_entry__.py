@@ -3578,7 +3578,10 @@ def q_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["distinct_sketch_merge"] = """
-SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_groups,
+-- n_groups counts the NULL group too (it is a real sketch bucket in
+-- the groupBy), which count(DISTINCT ...) would silently drop
+SELECT (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT DISTINCT event_type FROM events)) AS n_groups,
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
   TRUE AS est_ok
 FROM events
@@ -3911,9 +3914,10 @@ def _logreg_oracle_sql(dims: int = 32, lr: float = 0.5, iterations: int = 5) -> 
     parts = [
         f"""WITH feats AS (
   SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-    list_sort(list_distinct(list_transform(
+    COALESCE(list_sort(list_distinct(list_transform(
       regexp_extract_all(lower(text), '[a-z0-9_]+'),
-      t -> CAST('0x' || substring(md5(t), 1, 4) AS BIGINT) % {dims}))) AS bs
+      t -> CAST('0x' || substring(md5(t), 1, 4) AS BIGINT) % {dims}))),
+      CAST([] AS BIGINT[])) AS bs
   FROM documents
 ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
 w0 AS (SELECT list_transform(range(0, {dims + 1}), i -> 0.0) AS ws)"""
@@ -4618,7 +4622,7 @@ WITH t AS (
   SELECT CAST('0x' || substring(md5(CAST(user_id AS STRING)), 1, 4) AS BIGINT) % 2
            AS arm_raw,
          CAST(value AS DECIMAL(12,2)) AS v
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 per AS (
   SELECT arm_raw AS arm, CAST(count(*) AS BIGINT) AS n,
@@ -4660,7 +4664,8 @@ FROM c
 """
 
 _ORACLES["event_cooccurrence"] = """
-WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+            WHERE user_id IS NOT NULL),
 nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
 tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_type FROM ut GROUP BY event_type),
 pc AS (
@@ -5978,7 +5983,10 @@ ym AS (SELECT y, SUM(nxy) AS ny FROM cells GROUP BY 1),
 tot AS (SELECT SUM(nxy) AS n FROM cells),
 j AS (
   SELECT c.nxy, xm.nx, ym.ny, tot.n
-  FROM cells c JOIN xm USING (x) JOIN ym USING (y) CROSS JOIN tot
+  FROM cells c
+  JOIN xm ON c.x IS NOT DISTINCT FROM xm.x
+  JOIN ym ON c.y IS NOT DISTINCT FROM ym.y
+  CROSS JOIN tot
 )
 SELECT CAST(max(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_cells,
   CAST(SUM(CAST(round(
@@ -6000,7 +6008,10 @@ pm AS (SELECT p, SUM(c) AS cp FROM cells GROUP BY 1),
 tot AS (SELECT SUM(c) AS n FROM cells),
 j AS (
   SELECT c.c, tm.ct, pm.cp, tot.n
-  FROM cells c JOIN tm USING (t) JOIN pm USING (p) CROSS JOIN tot
+  FROM cells c
+  JOIN tm ON c.t IS NOT DISTINCT FROM tm.t
+  JOIN pm ON c.p IS NOT DISTINCT FROM pm.p
+  CROSS JOIN tot
 )
 SELECT CAST(max(n) AS BIGINT) AS n_events, CAST(count(*) AS BIGINT) AS n_cells,
   CAST(SUM(CAST(round(
@@ -6441,7 +6452,9 @@ WITH per_x AS (
     SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy_x,
     SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
              * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy_x
-  FROM lineitem GROUP BY 1, 2
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1, 2
 ), cum AS (
   SELECT l_returnflag, threshold,
     SUM(nx) OVER wcum AS cn, SUM(sy_x) OVER wcum AS csy,
@@ -11030,6 +11043,12 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilson_ci_priority": q_wilson_ci_priority,
         "jackknife_ratio_nation": q_jackknife_ratio_nation,
         "logrank_retention_cohorts": q_logrank_retention_cohorts,
+        "lepage_price_flag": q_lepage_price_flag,
+        "pettitt_daily_value": q_pettitt_daily_value,
+        "foster_stuart_daily_value": q_foster_stuart_daily_value,
+        "fleiss_kappa_docs": q_fleiss_kappa_docs,
+        "dagostino_k2_price": q_dagostino_k2_price,
+        "permutation_entropy_daily": q_permutation_entropy_daily,
         "bland_altman_doclen": q_bland_altman_doclen,
         "pinball_loss_price": q_pinball_loss_price,
         "type_mix_entropy_trend": q_type_mix_entropy_trend,
@@ -11629,9 +11648,18 @@ grid AS (
 )
 SELECT source, CAST(max(cs) AS BIGINT) AS n_docs,
   CAST(count(*) AS BIGINT) AS n_langs_corpus,
-  round(CAST(SUM(CAST(round(abs(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE)
-                                - CAST(cl AS DOUBLE) / CAST(n AS DOUBLE)), 6)
-                      AS DECIMAL(18,6))) AS DOUBLE) / 2.0, 6) AS tv_distance
+  round(
+    (CASE WHEN SUM(CAST(abs(CAST(c AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                  - CAST(cl AS DECIMAL(19,0)) * CAST(cs AS DECIMAL(19,0)))
+           AS DECIMAL(38,0))) < 0 THEN -1.0 ELSE 1.0 END *
+     (CAST(CAST(abs(SUM(CAST(abs(CAST(c AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                  - CAST(cl AS DECIMAL(19,0)) * CAST(cs AS DECIMAL(19,0)))
+           AS DECIMAL(38,0)))) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9
+      + CAST(CAST(abs(SUM(CAST(abs(CAST(c AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                  - CAST(cl AS DECIMAL(19,0)) * CAST(cs AS DECIMAL(19,0)))
+           AS DECIMAL(38,0)))) AS HUGEINT) % 1000000000 AS DOUBLE)))
+    / (2.0 * CAST(max(cs) AS DOUBLE) * CAST(max(n) AS DOUBLE)), 6)
+    AS tv_distance
 FROM grid GROUP BY source
 """
 
@@ -12116,7 +12144,9 @@ WITH per_g AS (
   SELECT o_orderpriority AS g, count(*) AS n_g,
     SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS y_g,
     CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS s
-  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+  FROM orders WHERE o_orderpriority IN
+    ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+  GROUP BY 1
 ), folded AS (
   SELECT SUM(n_g) AS n, count(*) AS k, SUM(y_g) AS y,
     SUM(CAST(CAST(s AS DECIMAL(19,0)) * y_g AS DECIMAL(38,0))) AS sy,
@@ -12146,7 +12176,7 @@ _ORACLES["poisson_rate_ratio_events"] = """
 WITH base AS (
   SELECT (user_id % 2 = 0) AS in_a,
     epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS e
-  FROM events WHERE ts IS NOT NULL
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ), counts AS (
   SELECT SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS k_a,
     SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS k_b
@@ -16183,4 +16213,199 @@ SELECT CAST(n AS BIGINT) AS n_days,
     round((CAST(u AS DOUBLE) + CAST(l AS DOUBLE) - CAST(vd12 AS DOUBLE))
           / sqrt(CAST(vs12 AS DOUBLE)), 6) END AS z_disp
 FROM final
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 19: Fleiss' kappa, D'Agostino K^2, permutation entropy
+# ---------------------------------------------------------------------------
+
+
+def q_fleiss_kappa_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across three deterministic doc-quality raters
+    (length, token count, stopword hit) — inter-heuristic agreement
+    before trusting a label ensemble
+    (operators/profiling.py:fleiss_kappa_binary)."""
+    from breweries_etl_spark.operators.profiling import fleiss_kappa_binary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fleiss_kappa_binary(
+        docs,
+        [
+            F.length("text") >= 200,
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9_]+"), 0
+                )
+            )
+            >= 30,
+            F.lower(F.col("text")).contains(" the "),
+        ],
+    )
+
+
+def q_dagostino_k2_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino-Pearson K^2 omnibus normality on l_extendedprice —
+    small-sample-corrected skew/kurtosis z-scores
+    (operators/hypotests.py:dagostino_k2)."""
+    from breweries_etl_spark.operators.hypotests import dagostino_k2
+
+    return dagostino_k2(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+def q_permutation_entropy_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-3 Bandt-Pompe permutation entropy of the daily value
+    series (operators/temporal.py:permutation_entropy_daily)."""
+    from breweries_etl_spark.operators.temporal import (
+        permutation_entropy_daily,
+    )
+
+    return permutation_entropy_daily(load_events(spark, sf_dir))
+
+
+_ORACLES["fleiss_kappa_docs"] = """
+WITH per AS (
+  SELECT
+    (CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END
+     + CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9_]+')) >= 30
+            THEN 1 ELSE 0 END
+     + CASE WHEN contains(lower(text), ' the ') THEN 1 ELSE 0 END)
+    AS np
+  FROM documents
+), sums AS (
+  SELECT count(*) AS n,
+    SUM(CAST(np AS DECIMAL(38,0))) AS s1,
+    SUM(CAST(CAST(np AS DECIMAL(19,0)) * CAST(np AS DECIMAL(19,0))
+        AS DECIMAL(38,0))) AS s2
+  FROM per
+), d AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d
+  FROM sums
+), k AS (
+  SELECT n, nd, 3.0 AS md,
+    s1d / (3.0 * nd) AS p_pass,
+    ((2.0 * s2d - 2.0 * 3.0 * s1d + 3.0 * 3.0 * nd) - 3.0 * nd)
+      / (nd * 3.0 * (3.0 - 1.0)) AS p_bar
+  FROM d
+), e AS (
+  SELECT *, p_pass * p_pass + (1.0 - p_pass) * (1.0 - p_pass) AS p_e
+  FROM k
+)
+SELECT CAST(n AS BIGINT) AS n_subjects, CAST(3 AS BIGINT) AS m_raters,
+  CASE WHEN n > 0 THEN round(p_pass, 6) END AS p_pass,
+  CASE WHEN n > 0 THEN round(p_bar, 6) END AS p_bar,
+  CASE WHEN n > 0 THEN round(p_e, 6) END AS p_e,
+  CASE WHEN n > 0 AND 1.0 - p_e > 0 THEN
+    round((p_bar - p_e) / (1.0 - p_e), 6) END AS fleiss_kappa
+FROM e
+"""
+
+_ORACLES["dagostino_k2_price"] = f"""
+WITH {_JB_BASE},
+d AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+    {_ddw('s1')} / 1e12 AS s1d, {_ddw('s2')} / 1e14 AS s2d,
+    {_ddw('s3')} / 1e15 AS s3d, {_ddw('s4')} / 1e16 AS s4d
+  FROM m
+), c AS (SELECT *, s1d / nd AS mu FROM d),
+cm AS (
+  SELECT n, nd,
+    s2d / nd - mu * mu AS m2,
+    s3d / nd - 3.0 * mu * (s2d / nd) + 2.0 * mu * mu * mu AS m3,
+    s4d / nd - 4.0 * mu * (s3d / nd) + 6.0 * mu * mu * (s2d / nd)
+      - 3.0 * mu * mu * mu * mu AS m4
+  FROM c
+), g AS (
+  SELECT n, nd, m2,
+    m3 / pow(m2, 1.5) AS g1,
+    m4 / (m2 * m2) - 3.0 AS g2
+  FROM cm
+), z1c AS (
+  SELECT *,
+    g1 * sqrt((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0))) AS y,
+    -1.0 + sqrt(2.0 * (3.0 * (nd * nd + 27.0 * nd - 70.0) * (nd + 1.0)
+      * (nd + 3.0) / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0))
+      - 1.0)) AS w2
+  FROM g
+), z1 AS (
+  SELECT n, nd, m2, g2,
+    (1.0 / sqrt(ln(sqrt(w2))))
+      * ln(y / sqrt(2.0 / (w2 - 1.0))
+           + sqrt((y / sqrt(2.0 / (w2 - 1.0)))
+                  * (y / sqrt(2.0 / (w2 - 1.0))) + 1.0)) AS z_skew
+  FROM z1c
+), z2c AS (
+  SELECT *,
+    (g2 - 3.0 * (nd - 1.0) / (nd + 1.0))
+      / sqrt(24.0 * nd * (nd - 2.0) * (nd - 3.0)
+             / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0))) AS x,
+    (6.0 * (nd * nd - 5.0 * nd + 2.0) / ((nd + 7.0) * (nd + 9.0)))
+      * sqrt(6.0 * (nd + 3.0) * (nd + 5.0)
+             / (nd * (nd - 2.0) * (nd - 3.0))) AS bb
+  FROM z1
+), z2a AS (
+  SELECT *,
+    6.0 + (8.0 / bb) * (2.0 / bb + sqrt(1.0 + 4.0 / (bb * bb))) AS aa
+  FROM z2c
+), z2b AS (
+  SELECT *,
+    1.0 + x * sqrt(2.0 / (aa - 4.0)) AS den_inner
+  FROM z2a
+), z2 AS (
+  SELECT n, nd, m2, z_skew,
+    CASE WHEN den_inner <> 0 THEN
+      ((1.0 - 2.0 / (9.0 * aa))
+       - (CASE WHEN (1.0 - 2.0 / aa) / den_inner = 0 THEN 0.0
+          ELSE (CASE WHEN (1.0 - 2.0 / aa) / den_inner < 0
+                THEN -1.0 ELSE 1.0 END)
+               * exp(ln(abs((1.0 - 2.0 / aa) / den_inner)) / 3.0) END))
+      / sqrt(2.0 / (9.0 * aa))
+    END AS z_kurt
+  FROM z2b
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CASE WHEN n >= 20 AND m2 > 0 THEN round(z_skew, 6) END AS z_skew,
+  CASE WHEN n >= 20 AND m2 > 0 THEN round(z_kurt, 6) END AS z_kurt,
+  CASE WHEN n >= 20 AND m2 > 0 THEN
+    round(z_skew * z_skew + z_kurt * z_kurt, 6) END AS k2_stat,
+  CASE WHEN n >= 20 AND m2 > 0 THEN
+    round(exp(-round(z_skew * z_skew + z_kurt * z_kurt, 6) / 2.0), 6)
+  END AS p_value
+FROM z2
+"""
+
+_ORACLES["permutation_entropy_daily"] = f"""
+WITH {_DAILY_EVENTS},
+trip AS (
+  SELECT y AS a,
+    lead(y, 1) OVER (ORDER BY day) AS b,
+    lead(y, 2) OVER (ORDER BY day) AS c
+  FROM daily QUALIFY lead(y, 2) OVER (ORDER BY day) IS NOT NULL
+), pats AS (
+  SELECT
+    ((CASE WHEN b < a THEN 1 ELSE 0 END + CASE WHEN c < a THEN 1 ELSE 0 END)
+       * 100
+     + (CASE WHEN a <= b THEN 1 ELSE 0 END
+        + CASE WHEN c < b THEN 1 ELSE 0 END) * 10
+     + (CASE WHEN a <= c THEN 1 ELSE 0 END
+        + CASE WHEN b <= c THEN 1 ELSE 0 END)) AS pattern
+  FROM trip
+), hist AS (
+  SELECT pattern, count(*) AS cnt FROM pats GROUP BY pattern
+), tot AS (SELECT SUM(cnt) AS n FROM hist),
+folded AS (
+  SELECT max(n) AS n, count(*) AS k,
+    SUM(CAST(round(-(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+        * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        AS DECIMAL(18,6))) AS h
+  FROM hist CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n_triples, CAST(k AS BIGINT) AS n_patterns,
+  CASE WHEN n > 0 THEN round(CAST(h AS DOUBLE), 6) END AS perm_entropy,
+  CASE WHEN n > 0 THEN
+    round(CAST(h AS DOUBLE) / 1.791759469228055, 6) END AS normalized_pe
+FROM folded
 """

@@ -448,6 +448,15 @@ FAMILIES: dict[str, list[str]] = {
         "jackknife_ratio_nation",
         "logrank_retention_cohorts",
     ],
+    # round-10 wave 18: omnibus two-sample + changepoint/records series
+    "r10stats": [
+        "foster_stuart_daily_value",
+        "permutation_entropy_daily",
+        "fleiss_kappa_docs",
+        "pettitt_daily_value",
+        "dagostino_k2_price",
+        "lepage_price_flag",
+    ],
 }
 
 HEADLINE = [q for qs in FAMILIES.values() for q in qs]

@@ -528,6 +528,12 @@ def event_cooccurrence_lift(
     """
     per_user = (
         df.select("user_id", "event_type")
+        # a NULL user_id is an unknown visitor, not one user: letting
+        # the NULL groupBy bucket pair its types inflated n_both and
+        # n_users against the SQL replay, whose self-join drops NULL
+        # keys (degen r10). NULL event_type already drops on both
+        # sides (collect_list skips NULLs; SQL < is NULL-false).
+        .filter(F.col("user_id").isNotNull())
         .distinct()
         .groupBy("user_id")
         .agg(F.sort_array(F.collect_list("event_type")).alias("ts_"))

@@ -153,7 +153,13 @@ def grouped_value_prefix_counts(
     materialized. NULL values are excluded (no total order contains
     them)."""
     vals = df.select(
-        F.col(value_col).alias("v"), group_expr.cast("int").alias("ga")
+        F.col(value_col).alias("v"),
+        # NULL group predicate -> group B, matching every SQL twin's
+        # CASE WHEN ... THEN 1 ELSE 0 (NULL lands in ELSE). Unguarded,
+        # a value whose rows all have a NULL predicate folded ca/cb to
+        # NULL and silently vanished from the cumulative counts
+        # (degen r10, ks_doclen_lang).
+        F.coalesce(group_expr.cast("int"), F.lit(0)).alias("ga"),
     ).filter(F.col("v").isNotNull())
     vc = (
         vals.groupBy("v")
@@ -3902,7 +3908,11 @@ def poisson_rate_ratio(
     (events_a, events_b, exposure_a, exposure_b, rate_ratio, z_score)."""
     base = df.select(
         group_expr.alias("__a"), F.col(exposure_col).alias("__e")
-    ).filter(F.col("__e").isNotNull())
+    ).filter(F.col("__e").isNotNull() & F.col("__a").isNotNull())
+    # __a IS NOT NULL explicit: a NULL group predicate belongs to
+    # neither arm; leaving it implicit made the Spark when/otherwise
+    # and the SQL CASE-ELSE disagree on where those rows land
+    # (degen r10)
     counts = base.agg(
         F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("k_a"),
         F.sum(F.when(~F.col("__a"), 1).otherwise(0)).alias("k_b"),
@@ -6311,3 +6321,124 @@ def lepage_test(
         F.when(ok, F.round(F.exp(-ll / F.lit(2.0)), 6)).alias("p_value"),
     )
     return _released(result, pc, release)
+
+
+def dagostino_k2(df: DataFrame, value_col: str) -> DataFrame:
+    """D'Agostino-Pearson K² omnibus normality test: the small-sample
+    CORRECTED skewness/kurtosis z-scores (D'Agostino 1970 for Z₁,
+    Anscombe-Glynn 1983 for Z₂), K² = Z₁² + Z₂² ~ χ²₂, p = exp(−K²/2)
+    in closed form — the companion ``jarque_bera`` approximates only
+    asymptotically: at n in the thousands JB's ±z's are visibly
+    miscalibrated while K²'s transforms hold from n ≈ 20.
+
+    Moments ride the exact jarque_bera recipe verbatim (half-up cent
+    quantization, scale-invariant w = cents/(100·2²⁰), fixed-point
+    decimal ffolds, dec_double_wide envelope); every constant in the
+    two transforms is a function of n only, so the closing scalar
+    chain is a fixed double sequence mirrored textually in the SQL
+    twin (cbrt/ln/sqrt on identical inputs). n < 20 emits NULL
+    z-scores (the regime where the Anscombe-Glynn constants lose
+    meaning — scipy draws the same line). Output one row:
+    (n, z_skew, z_kurt, k2_stat, p_value)."""
+    xd = F.col(value_col).cast("double")
+    cents = F.signum(xd) * F.floor(F.abs(xd) * F.lit(100.0) + F.lit(0.5))
+    w = cents / F.lit(104857600.0)
+    d38 = "decimal(38,0)"
+    sums = df.filter(F.col(value_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(w * F.lit(1e12)).cast(d38)).alias("s1"),
+        F.sum(F.floor(w * w * F.lit(1e14)).cast(d38)).alias("s2"),
+        F.sum(F.floor(w * w * w * F.lit(1e15)).cast(d38)).alias("s3"),
+        F.sum(F.floor(w * w * w * w * F.lit(1e16)).cast(d38)).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1 = dec_double_wide(F.col("s1")) / F.lit(1e12)
+    s2 = dec_double_wide(F.col("s2")) / F.lit(1e14)
+    s3 = dec_double_wide(F.col("s3")) / F.lit(1e15)
+    s4 = dec_double_wide(F.col("s4")) / F.lit(1e16)
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3.0) * mu * (s2 / n) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mu * (s3 / n)
+        + F.lit(6.0) * mu * mu * (s2 / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    g1 = m3 / F.pow(m2, F.lit(1.5))
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    one = F.lit(1.0)
+    # Z1 — D'Agostino skewness transform (constants are n-only)
+    y = g1 * F.sqrt(
+        (n + one) * (n + F.lit(3.0)) / (F.lit(6.0) * (n - F.lit(2.0)))
+    )
+    b2 = (
+        F.lit(3.0)
+        * (n * n + F.lit(27.0) * n - F.lit(70.0))
+        * (n + one)
+        * (n + F.lit(3.0))
+        / (
+            (n - F.lit(2.0))
+            * (n + F.lit(5.0))
+            * (n + F.lit(7.0))
+            * (n + F.lit(9.0))
+        )
+    )
+    w2 = F.lit(-1.0) + F.sqrt(F.lit(2.0) * (b2 - one))
+    dlt = one / F.sqrt(F.log(F.sqrt(w2)))
+    alp = F.sqrt(F.lit(2.0) / (w2 - one))
+    ya = y / alp
+    z1 = dlt * F.log(ya + F.sqrt(ya * ya + one))
+    # Z2 — Anscombe-Glynn kurtosis transform
+    e2 = F.lit(3.0) * (n - one) / (n + one)
+    v2 = (
+        F.lit(24.0)
+        * n
+        * (n - F.lit(2.0))
+        * (n - F.lit(3.0))
+        / (
+            (n + one)
+            * (n + one)
+            * (n + F.lit(3.0))
+            * (n + F.lit(5.0))
+        )
+    )
+    x = (g2 - e2) / F.sqrt(v2)
+    bb = (
+        F.lit(6.0)
+        * (n * n - F.lit(5.0) * n + F.lit(2.0))
+        / ((n + F.lit(7.0)) * (n + F.lit(9.0)))
+    ) * F.sqrt(
+        F.lit(6.0)
+        * (n + F.lit(3.0))
+        * (n + F.lit(5.0))
+        / (n * (n - F.lit(2.0)) * (n - F.lit(3.0)))
+    )
+    aa = F.lit(6.0) + (F.lit(8.0) / bb) * (
+        F.lit(2.0) / bb + F.sqrt(one + F.lit(4.0) / (bb * bb))
+    )
+    den_inner = one + x * F.sqrt(F.lit(2.0) / (aa - F.lit(4.0)))
+    # cbrt written as sign*exp(ln(|t|)/3) IDENTICALLY on both engines:
+    # DuckDB's cbrt(27) reads 3.0000000000000004 while Java's is exact
+    # (the pow-as-exp-ln convention from the repo's libm-ulp recipe)
+    t_in = (one - F.lit(2.0) / aa) / den_inner
+    cbrt_t = F.when(t_in == 0, F.lit(0.0)).otherwise(
+        F.signum(t_in) * F.exp(F.log(F.abs(t_in)) / F.lit(3.0))
+    )
+    z2 = F.when(
+        den_inner != 0,
+        (
+            (one - F.lit(2.0) / (F.lit(9.0) * aa))
+            - cbrt_t
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * aa)),
+    )
+    k2 = F.round(z1 * z1 + z2 * z2, 6)
+    ok = (F.col("n") >= 20) & (m2 > 0)
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, F.round(z1, 6)).alias("z_skew"),
+        F.when(ok, F.round(z2, 6)).alias("z_kurt"),
+        F.when(ok, k2).alias("k2_stat"),
+        F.when(ok, F.round(F.exp(-k2 / F.lit(2.0)), 6)).alias("p_value"),
+    )

@@ -58,14 +58,31 @@ def merge_aggregate_state(
     aggregates, so this is keyspace-sized, not data-sized, and AQE will
     broadcast the delta side when a single increment is small.
     """
+    # NULL-SAFE key equality: a USING-style join never matches NULL
+    # keys, so a NULL grouping key split into one fresh state row per
+    # increment instead of merging — the MV silently forked on exactly
+    # the dirty-data keys an incremental pipeline meets first
+    # (degen r10). eqNullSafe keeps the same keyspace-sized equi-join
+    # plan (SortMergeJoin handles <=> natively). Keys are renamed per
+    # side (base/delta often share lineage, and qualified self-join
+    # references trip the ambiguity analyzer).
     b = base.select(
-        *keys, *[F.col(c).alias(f"__b_{c}") for c in merge_ops]
+        *[F.col(k).alias(f"__bk_{k}") for k in keys],
+        *[F.col(c).alias(f"__b_{c}") for c in merge_ops],
     )
     d = delta_state.select(
-        *keys, *[F.col(c).alias(f"__d_{c}") for c in merge_ops]
+        *[F.col(k).alias(f"__dk_{k}") for k in keys],
+        *[F.col(c).alias(f"__d_{c}") for c in merge_ops],
     )
-    merged = b.join(d, keys, "full_outer")
-    out_cols: list = [F.col(k) for k in keys]
+    cond = None
+    for k in keys:
+        c = F.col(f"__bk_{k}").eqNullSafe(F.col(f"__dk_{k}"))
+        cond = c if cond is None else cond & c
+    merged = b.join(d, cond, "full_outer")
+    out_cols: list = [
+        F.coalesce(F.col(f"__bk_{k}"), F.col(f"__dk_{k}")).alias(k)
+        for k in keys
+    ]
     for c, op in merge_ops.items():
         bc, dc = F.col(f"__b_{c}"), F.col(f"__d_{c}")
         if op == "sum":

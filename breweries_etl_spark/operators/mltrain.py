@@ -57,10 +57,20 @@ def train_logreg_hashed(
     iteration carries (bucket, micro-error) pairs — never text.
     """
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9_]+"), 0)
+    # NULL inputs stay IN the training set with defined semantics
+    # (degen r10): a NULL label means "not the positive class" (the SQL
+    # replay's CASE-ELSE), a NULL text is an empty feature vector
+    # (contributes to the bias gradient only). Unguarded, NULL rows
+    # silently fell out of the gradient but stayed in n.
     feats = df.select(
-        label_expr.cast("long").alias("y"),
-        F.array_sort(
-            F.array_distinct(F.transform(toks, lambda t: hashed_bucket_expr(t, dims)))
+        F.coalesce(label_expr.cast("long"), F.lit(0)).alias("y"),
+        F.coalesce(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(toks, lambda t: hashed_bucket_expr(t, dims))
+                )
+            ),
+            F.array().cast("array<bigint>"),
         ).alias("bs"),
     ).persist()
     n = feats.count()
@@ -361,10 +371,18 @@ def decision_stump(
     is absent from the output (mirrored by the oracle's cn < tn
     filter), not emitted with NULLs."""
     y = F.col(y_col).cast("decimal(18,2)")
-    per_x = df.groupBy(group_col, x_col).agg(
-        F.count(F.lit(1)).alias("nx"),
-        F.sum(y).alias("sy_x"),
-        F.sum((y * y).cast("decimal(38,4)")).alias("syy_x"),
+    # NULL feature/target rows drop up front: a NULL threshold sorts to
+    # OPPOSITE ends of the prefix walk on Spark vs SQL engines, and a
+    # NULL target inflates counts without contributing to the SSE sums
+    # (degen r10)
+    per_x = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(group_col, x_col)
+        .agg(
+            F.count(F.lit(1)).alias("nx"),
+            F.sum(y).alias("sy_x"),
+            F.sum((y * y).cast("decimal(38,4)")).alias("syy_x"),
+        )
     )
     w = (
         Window.partitionBy(group_col)

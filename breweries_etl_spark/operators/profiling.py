@@ -1879,3 +1879,59 @@ def jackknife_ratio_by_group(
             "jackknife_bias"
         ),
     )
+
+
+def fleiss_kappa_binary(
+    df: DataFrame, rater_exprs: list
+) -> DataFrame:
+    """Fleiss' κ agreement across m ≥ 2 deterministic binary "raters"
+    (boolean Columns) judging every row — the multi-rater
+    generalization of ``cohens_kappa`` a labeling pipeline runs before
+    trusting an ensemble of heuristics: κ = (P̄ − P̄_e)/(1 − P̄_e) with
+    P_i = (Σ_j n_ij² − m)/(m(m−1)) per subject and chance agreement
+    P̄_e = Σ_j p_j² from the pooled category shares (Fleiss 1971).
+
+    For binary categories every subject's state is one integer
+    n_pass ∈ {0..m}, so the WHOLE statistic folds from three exact
+    integer sums in one scan: N, S1 = Σ n_pass, S2 = Σ n_pass²
+    (Σ_j Σ_i n_ij² = S2 + Σ(m − n_pass)² = 2·S2 − 2m·S1 + m²·N). A
+    rater whose expression is NULL on a row votes FAIL (the CASE-ELSE
+    convention shared with the two-sample group predicates). Output
+    one row: (n_subjects, m_raters, p_pass, p_bar, p_e, fleiss_kappa)."""
+    m = len(rater_exprs)
+    if m < 2:
+        raise ValueError(f"fleiss_kappa_binary needs >= 2 raters; got {m}")
+    n_pass = None
+    for e in rater_exprs:
+        t = F.coalesce(e.cast("int"), F.lit(0))
+        n_pass = t if n_pass is None else (n_pass + t)
+    d38 = "decimal(38,0)"
+    sums = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(n_pass.cast(d38)).alias("s1"),
+        F.sum(
+            (n_pass.cast("decimal(19,0)") * n_pass.cast("decimal(19,0)"))
+            .cast(d38)
+        ).alias("s2"),
+    )
+    from .hypotests import dec_double_wide
+
+    nd = F.col("n").cast("double")
+    md = F.lit(float(m))
+    s1 = dec_double_wide(F.col("s1"))
+    s2 = dec_double_wide(F.col("s2"))
+    p_pass = s1 / (md * nd)
+    # sum over BOTH categories of n_ij^2, then P-bar
+    ss_all = F.lit(2.0) * s2 - F.lit(2.0) * md * s1 + md * md * nd
+    p_bar = (ss_all - md * nd) / (nd * md * (md - F.lit(1.0)))
+    p_e = p_pass * p_pass + (F.lit(1.0) - p_pass) * (F.lit(1.0) - p_pass)
+    kappa = (p_bar - p_e) / (F.lit(1.0) - p_e)
+    ok = (F.col("n") > 0) & (F.lit(1.0) - p_e > 0)
+    return sums.select(
+        F.col("n").cast("long").alias("n_subjects"),
+        F.lit(m).cast("long").alias("m_raters"),
+        F.when(F.col("n") > 0, F.round(p_pass, 6)).alias("p_pass"),
+        F.when(F.col("n") > 0, F.round(p_bar, 6)).alias("p_bar"),
+        F.when(F.col("n") > 0, F.round(p_e, 6)).alias("p_e"),
+        F.when(ok, F.round(kappa, 6)).alias("fleiss_kappa"),
+    )

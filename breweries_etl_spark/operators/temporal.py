@@ -3513,3 +3513,59 @@ def foster_stuart_records(
     from .dedup import _release_caches
 
     return _release_caches(result, [daily])
+
+
+def permutation_entropy_daily(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Bandt-Pompe permutation entropy (order 3) of the daily-total
+    series: slide a 3-day window, map each triple to its ordinal
+    pattern (one of 3! = 6), and take the Shannon entropy of the
+    pattern distribution, normalized by ln 6 — the complexity measure
+    that reads 1 for i.i.d. noise and drops toward 0 for regular
+    dynamics, robust to any monotone transform of the values (it sees
+    only ORDER). Complements sample_entropy (amplitude-based) and
+    spectral_entropy (frequency-based).
+
+    Ties break by TIME (earlier day ranks lower — the stable-argsort
+    convention of the original paper). One fact shuffle to the bounded
+    day relation; two lead windows; the pattern histogram is a ≤ 6-row
+    groupBy. Entropy terms fold per the MI recipe (round-6 decimal,
+    order-independent). Output one row:
+    (n_triples, n_patterns, perm_entropy, normalized_pe)."""
+    daily = _daily_series(df, ts_col, value_col)
+    wd = Window.orderBy("day")
+    trip = daily.select(
+        F.col("y").alias("a"),
+        F.lead("y", 1).over(wd).alias("b"),
+        F.lead("y", 2).over(wd).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    lt = lambda u, v: F.when(u < v, 1).otherwise(0)  # noqa: E731
+    le = lambda u, v: F.when(u <= v, 1).otherwise(0)  # noqa: E731
+    # rank_i = #{j: y_j < y_i} + #{j earlier, y_j == y_i}: stable ranks
+    ra = lt(b, a) + lt(c, a)
+    rb = le(a, b) + lt(c, b)
+    rc = le(a, c) + le(b, c)
+    pat = ra * F.lit(100) + rb * F.lit(10) + rc
+    hist = trip.groupBy(pat.alias("pattern")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt").cast("double") / F.col("n").cast("double")
+    term = p * F.log(p)
+    folded = hist.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.round(-term, 6).cast("decimal(18,6)")).alias("h"),
+    )
+    h = F.col("h").cast("double")
+    return folded.select(
+        F.col("n").cast("long").alias("n_triples"),
+        F.col("k").cast("long").alias("n_patterns"),
+        F.when(F.col("n") > 0, F.round(h, 6)).alias("perm_entropy"),
+        F.when(
+            F.col("n") > 0,
+            F.round(h / F.lit(1.791759469228055), 6),  # ln(6)
+        ).alias("normalized_pe"),
+    )

@@ -1292,23 +1292,43 @@ def tv_distance_lang_by_source(df: DataFrame, text_col: str = "text") -> DataFra
             ).alias("n"),
         )
     )
-    p_src = F.col("c").cast("double") / F.col("cs").cast("double")
-    p_cor = F.col("cl").cast("double") / F.col("n").cast("double")
-    term = F.abs(p_src - p_cor)
+    # EXACT integer fold: |c/cs - cl/n| = |c*n - cl*cs| / (cs*n) and
+    # cs*n is constant per source, so the per-lang terms sum as one
+    # decimal(38,0) integer and divide ONCE at the end. The earlier
+    # per-term round(|p_src - p_cor|, 6) hit an exact half-tie on a
+    # dyadic ratio (term*1e6 = ...5 exactly), where Spark rounds
+    # HALF_UP but DuckDB's nearbyint rounds half-to-EVEN — a 1e-6 flip
+    # the degen sweep caught (r10). Integer folds have no tie to lose.
+    d19 = "decimal(19,0)"
+    num = F.abs(
+        (F.col("c").cast(d19) * F.col("n").cast(d19)).cast("decimal(38,0)")
+        - (F.col("cl").cast(d19) * F.col("cs").cast(d19)).cast(
+            "decimal(38,0)"
+        )
+    ).cast("decimal(38,0)")
+    from .hypotests import dec_double_wide
+
     return (
         grid.groupBy("source")
         .agg(
             F.max("cs").alias("n_docs"),
             F.count(F.lit(1)).alias("n_langs_corpus"),
-            F.sum(F.round(term, 6).cast("decimal(18,6)")).alias("s"),
+            F.sum(num).alias("s_num"),
+            F.max("n").alias("n"),
         )
         .select(
             "source",
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("n_langs_corpus").cast("long").alias("n_langs_corpus"),
-            F.round(F.col("s").cast("double") / F.lit(2.0), 6).alias(
-                "tv_distance"
-            ),
+            F.round(
+                dec_double_wide(F.col("s_num"))
+                / (
+                    F.lit(2.0)
+                    * F.col("n_docs").cast("double")
+                    * F.col("n").cast("double")
+                ),
+                6,
+            ).alias("tv_distance"),
         )
     )
 

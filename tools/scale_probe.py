@@ -203,6 +203,12 @@ QUERIES = [
     "difference_sign_daily_value", "seasonal_mann_kendall_daily",
     "chatterjee_xi_daily", "wilson_ci_priority",
     "jackknife_ratio_nation", "logrank_retention_cohorts",
+    # round-10 wave 18
+    "lepage_price_flag", "pettitt_daily_value",
+    "foster_stuart_daily_value",
+    # round-10 wave 19
+    "fleiss_kappa_docs", "dagostino_k2_price",
+    "permutation_entropy_daily",
 ]
 
 
