@@ -11049,6 +11049,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss_kappa_docs": q_fleiss_kappa_docs,
         "dagostino_k2_price": q_dagostino_k2_price,
         "permutation_entropy_daily": q_permutation_entropy_daily,
+        "variance_ratio_daily": q_variance_ratio_daily,
+        "buishand_range_daily": q_buishand_range_daily,
+        "diversity_sources_docs": q_diversity_sources_docs,
         "bland_altman_doclen": q_bland_altman_doclen,
         "pinball_loss_price": q_pinball_loss_price,
         "type_mix_entropy_trend": q_type_mix_entropy_trend,
@@ -16407,5 +16410,146 @@ SELECT CAST(n AS BIGINT) AS n_triples, CAST(k AS BIGINT) AS n_patterns,
   CASE WHEN n > 0 THEN round(CAST(h AS DOUBLE), 6) END AS perm_entropy,
   CASE WHEN n > 0 THEN
     round(CAST(h AS DOUBLE) / 1.791759469228055, 6) END AS normalized_pe
+FROM folded
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 20: variance ratio, Buishand range, diversity indices
+# ---------------------------------------------------------------------------
+
+
+def q_variance_ratio_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay VR(5) random-walk test on the daily value series
+    (operators/temporal.py:variance_ratio_daily)."""
+    from breweries_etl_spark.operators.temporal import variance_ratio_daily
+
+    return variance_ratio_daily(load_events(spark, sf_dir))
+
+
+def q_buishand_range_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buishand rescaled-range level-shift test on the daily value
+    series (operators/temporal.py:buishand_range_daily)."""
+    from breweries_etl_spark.operators.temporal import buishand_range_daily
+
+    return buishand_range_daily(load_events(spark, sf_dir))
+
+
+def q_diversity_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon/Simpson/Pielou/Berger-Parker diversity of the corpus
+    source mix (operators/corpus.py:diversity_indices)."""
+    from breweries_etl_spark.operators.corpus import diversity_indices
+
+    return diversity_indices(load_table(spark, sf_dir, "documents"), "source")
+
+
+_ORACLES["variance_ratio_daily"] = f"""
+WITH {_DAILY_EVENTS},
+lagged AS (
+  SELECT y,
+    lag(y, 1) OVER (ORDER BY day) AS y1,
+    lag(y, 5) OVER (ORDER BY day) AS yq
+  FROM daily
+), tot AS (
+  SELECT count(*) AS n_days, count(y1) AS nr,
+    SUM(CAST(y - y1 AS DECIMAL(38,2))) AS sr
+  FROM lagged
+), j AS (
+  SELECT y, y1, yq, n_days, nr,
+    {_ddwf('sr')} / CAST(nr AS DOUBLE) AS mu
+  FROM lagged CROSS JOIN tot
+), folded AS (
+  SELECT max(n_days) AS n_days, max(nr) AS nr,
+    SUM(CASE WHEN y1 IS NOT NULL THEN
+      CAST(round((CAST(y - y1 AS DOUBLE) - mu)
+                 * (CAST(y - y1 AS DOUBLE) - mu), 6) AS DECIMAL(38,6))
+    END) AS d1,
+    SUM(CASE WHEN yq IS NOT NULL THEN
+      CAST(round((CAST(y - yq AS DOUBLE) - mu * 5.0)
+                 * (CAST(y - yq AS DOUBLE) - mu * 5.0), 6)
+          AS DECIMAL(38,6))
+    END) AS dq
+  FROM j
+), d AS (
+  SELECT n_days, nr, CAST(nr AS DOUBLE) AS n,
+    {_ddwf('d1')} AS d1d, {_ddwf('dq')} AS dqd
+  FROM folded
+), v AS (
+  SELECT n_days, nr, n,
+    d1d / (n - 1.0) AS var1,
+    5.0 * (n - 5.0 + 1.0) * (1.0 - 5.0 / n) AS mq,
+    dqd AS dqd
+  FROM d
+)
+SELECT CAST(n_days AS BIGINT) AS n_days, CAST(nr AS BIGINT) AS n_returns,
+  CASE WHEN nr > 5 AND var1 > 0 AND mq > 0 THEN
+    round((dqd / mq) / (5.0 * var1), 6) END AS vr_stat,
+  CASE WHEN nr > 5 AND var1 > 0 AND mq > 0 THEN
+    round(((dqd / mq) / (5.0 * var1) - 1.0)
+          / sqrt({2.0 * (2 * 5 - 1) * (5 - 1) / (3.0 * 5)} / n), 6)
+  END AS z_score
+FROM v
+"""
+
+_ORACLES["buishand_range_daily"] = f"""
+WITH {_DAILY_EVENTS},
+tot AS (
+  SELECT count(*) AS n,
+    SUM(CAST(y AS DECIMAL(38,2))) AS s,
+    SUM(CAST(y * y AS DECIMAL(38,4))) AS ss
+  FROM daily
+), cum AS (
+  SELECT SUM(CAST(y AS DECIMAL(38,2)))
+           OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+    row_number() OVER (ORDER BY day) AS k
+  FROM daily
+), sk AS (
+  SELECT n, s, ss,
+    {_ddwf('cum')} - CAST(k AS DOUBLE) * ({_ddwf('s')} / CAST(n AS DOUBLE))
+      AS skv
+  FROM cum CROSS JOIN tot
+), folded AS (
+  SELECT max(n) AS n, max(s) AS s, max(ss) AS ss,
+    max(abs(skv)) AS q_stat, max(skv) AS s_max, min(skv) AS s_min
+  FROM sk
+), d AS (
+  SELECT n, q_stat, s_max, s_min, CAST(n AS DOUBLE) AS nd,
+    {_ddwf('ss')} / CAST(n AS DOUBLE)
+      - ({_ddwf('s')} / CAST(n AS DOUBLE))
+        * ({_ddwf('s')} / CAST(n AS DOUBLE)) AS var
+  FROM folded
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+  CASE WHEN n > 0 THEN round(q_stat, 6) END AS q_stat,
+  CASE WHEN n > 0 THEN round(s_max - s_min, 6) END AS r_stat,
+  CASE WHEN n > 1 AND var > 0 THEN
+    round(q_stat / (sqrt(var) * sqrt(nd)), 6) END AS q_scaled,
+  CASE WHEN n > 1 AND var > 0 THEN
+    round((s_max - s_min) / (sqrt(var) * sqrt(nd)), 6) END AS r_scaled
+FROM d
+"""
+
+_ORACLES["diversity_sources_docs"] = """
+WITH counts AS (
+  SELECT source AS cat, count(*) AS c FROM documents GROUP BY source
+), tot AS (SELECT SUM(c) AS n FROM counts),
+folded AS (
+  SELECT max(n) AS n, count(*) AS k,
+    SUM(CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        AS DECIMAL(18,6))) AS h,
+    SUM(CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        AS DECIMAL(18,6))) AS p2,
+    max(c) AS cmax
+  FROM counts CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_categories,
+  CASE WHEN n > 0 THEN round(CAST(h AS DOUBLE), 6) END AS shannon_h,
+  CASE WHEN n > 0 THEN round(1.0 - CAST(p2 AS DOUBLE), 6) END AS simpson_d,
+  CASE WHEN k > 1 THEN
+    round(CAST(h AS DOUBLE) / ln(CAST(k AS DOUBLE)), 6) END AS pielou_j,
+  CASE WHEN n > 0 THEN
+    round(CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS berger_parker
 FROM folded
 """

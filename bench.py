@@ -456,6 +456,9 @@ FAMILIES: dict[str, list[str]] = {
         "pettitt_daily_value",
         "dagostino_k2_price",
         "lepage_price_flag",
+        "diversity_sources_docs",
+        "buishand_range_daily",
+        "variance_ratio_daily",
     ],
 }
 

@@ -791,3 +791,53 @@ def token_budget_mix(
         ).alias("alloc_tokens"),
         F.when(ok, F.round(epochs, 6)).alias("epochs"),
     )
+
+
+def diversity_indices(
+    df: DataFrame, category_col: str = "source"
+) -> DataFrame:
+    """Ecology-style diversity profile of a categorical column — the
+    four standard indices a corpus-mix report leads with: Shannon
+    H = −Σ p ln p (nats), Simpson diversity 1 − Σp² (probability two
+    random docs differ), Pielou evenness H/ln k (how far from uniform),
+    and Berger-Parker dominance max p (share of the biggest category).
+    ``temperature_mix_weights`` PRESCRIBES a rebalanced mix; this
+    MEASURES the mix you have.
+
+    NULL categories count as a real category (unknown provenance is a
+    slice worth seeing — the distinct-sketch n_groups convention). One
+    count shuffle to the ≤|categories| relation; entropy terms fold per
+    the MI recipe (round-6 decimal, order-independent). Output one row:
+    (n_rows, n_categories, shannon_h, simpson_d, pielou_j,
+    berger_parker)."""
+    counts = df.groupBy(F.col(category_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    folded = counts.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.round(-p * F.log(p), 6).cast("decimal(18,6)")).alias("h"),
+        F.sum(F.round(p * p, 6).cast("decimal(18,6)")).alias("p2"),
+        F.max("c").alias("cmax"),
+    )
+    h = F.col("h").cast("double")
+    n = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    return folded.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("k").cast("long").alias("n_categories"),
+        F.when(F.col("n") > 0, F.round(h, 6)).alias("shannon_h"),
+        F.when(
+            F.col("n") > 0,
+            F.round(F.lit(1.0) - F.col("p2").cast("double"), 6),
+        ).alias("simpson_d"),
+        F.when(F.col("k") > 1, F.round(h / F.log(kd), 6)).alias(
+            "pielou_j"
+        ),
+        F.when(
+            F.col("n") > 0,
+            F.round(F.col("cmax").cast("double") / n, 6),
+        ).alias("berger_parker"),
+    )

@@ -3569,3 +3569,148 @@ def permutation_entropy_daily(
             F.round(h / F.lit(1.791759469228055), 6),  # ln(6)
         ).alias("normalized_pe"),
     )
+
+
+def variance_ratio_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    q: int = 5,
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test on the daily-total series:
+    VR(q) = Var(q-period increments)/(q·Var(1-period)) with the
+    unbiased overlapping estimator m = q(n−q+1)(1−q/n); under a random
+    walk VR = 1, and z = (VR−1)/√(2(2q−1)(q−1)/(3qn)) — the mean-
+    reversion / momentum detector finance runs on anything cumulative
+    (here: daily revenue). Complements hurst (R/S scaling) and
+    bartels (rank serial dependence).
+
+    Increments are over the OBSERVED day sequence (gap days join their
+    neighbors — documented; the day relation is calendar-bounded).
+    One fact shuffle to the day relation; both increment sets are lag
+    windows over it. Per-row squared deviations fold as round-6
+    decimals (the k-row double-fold rule). Output one row:
+    (n_days, n_returns, vr_stat, z_score)."""
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+    wd = Window.orderBy("day")
+    lagged = daily.select(
+        F.col("y"),
+        F.lag("y", 1).over(wd).alias("y1"),
+        F.lag("y", q).over(wd).alias("yq"),
+    )
+    tot = lagged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.count("y1").alias("nr"),
+        F.sum(
+            (F.col("y") - F.col("y1")).cast("decimal(38,2)")
+        ).alias("sr"),
+    )
+    from .dedup import _release_caches
+    from .hypotests import dec_double_wide_frac
+
+    j = lagged.crossJoin(F.broadcast(tot))
+    mu = dec_double_wide_frac(F.col("sr")) / F.col("nr").cast("double")
+    r1 = (F.col("y") - F.col("y1")).cast("double") - mu
+    rq = (F.col("y") - F.col("yq")).cast("double") - mu * F.lit(float(q))
+    folded = j.agg(
+        F.max("n_days").alias("n_days"),
+        F.max("nr").alias("nr"),
+        F.max("sr").alias("sr"),
+        F.sum(
+            F.when(
+                F.col("y1").isNotNull(),
+                F.round(r1 * r1, 6).cast("decimal(38,6)"),
+            )
+        ).alias("d1"),
+        F.sum(
+            F.when(
+                F.col("yq").isNotNull(),
+                F.round(rq * rq, 6).cast("decimal(38,6)"),
+            )
+        ).alias("dq"),
+    )
+    n = F.col("nr").cast("double")
+    var1 = dec_double_wide_frac(F.col("d1")) / (n - F.lit(1.0))
+    mq = (
+        F.lit(float(q))
+        * (n - F.lit(float(q)) + F.lit(1.0))
+        * (F.lit(1.0) - F.lit(float(q)) / n)
+    )
+    varq = dec_double_wide_frac(F.col("dq")) / mq
+    vr = varq / (F.lit(float(q)) * var1)
+    se = F.sqrt(
+        F.lit(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q)) / n
+    )
+    ok = (F.col("nr") > q) & (var1 > 0) & (mq > 0)
+    result = folded.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("nr").cast("long").alias("n_returns"),
+        F.when(ok, F.round(vr, 6)).alias("vr_stat"),
+        F.when(ok, F.round((vr - F.lit(1.0)) / se, 6)).alias("z_score"),
+    )
+    return _release_caches(result, [daily])
+
+
+def buishand_range_daily(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Buishand range test for a level shift in the daily-total series:
+    partial sums of deviations S_k = Σ_{i≤k}(y_i − ȳ), rescaled range
+    R/√n·σ̂ with R = max S_k − min S_k (and the max-|S_k| Q variant) —
+    the MEAN-based changepoint companion to the rank-based
+    ``pettitt_changepoint`` (Buishand 1982; sensitive to breaks in the
+    middle of the record).
+
+    S_k folds EXACTLY: S_k = cum_k − k·(S/n) with cum_k the decimal
+    cumulative sum and one double multiply per day — no running double
+    accumulation to diverge. One fact shuffle to the day relation; one
+    cumulative window over it. Output one row:
+    (n_days, q_stat, r_stat, q_scaled, r_scaled)."""
+    from .dedup import _release_caches
+    from .hypotests import dec_double_wide_frac
+
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,2)")).alias("s"),
+        F.sum(
+            (F.col("y") * F.col("y")).cast("decimal(38,4)")
+        ).alias("ss"),
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        F.sum(F.col("y").cast("decimal(38,2)")).over(wd).alias("cum"),
+        F.row_number().over(Window.orderBy("day")).alias("k"),
+    )
+    n = F.col("n").cast("double")
+    mean = dec_double_wide_frac(F.col("s")) / n
+    sk = dec_double_wide_frac(F.col("cum")) - F.col("k").cast("double") * mean
+    folded = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.max("ss").alias("ss"),
+        F.max(F.abs(sk)).alias("q_stat"),
+        F.max(sk).alias("s_max"),
+        F.min(sk).alias("s_min"),
+    )
+    var = dec_double_wide_frac(F.col("ss")) / n - (
+        dec_double_wide_frac(F.col("s")) / n
+    ) * (dec_double_wide_frac(F.col("s")) / n)
+    sd = F.sqrt(var)
+    scale = sd * F.sqrt(n)
+    rng = F.col("s_max") - F.col("s_min")
+    ok = (F.col("n") > 1) & (var > 0)
+    result = folded.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.when(F.col("n") > 0, F.round(F.col("q_stat"), 6)).alias(
+            "q_stat"
+        ),
+        F.when(F.col("n") > 0, F.round(rng, 6)).alias("r_stat"),
+        F.when(ok, F.round(F.col("q_stat") / scale, 6)).alias(
+            "q_scaled"
+        ),
+        F.when(ok, F.round(rng / scale, 6)).alias("r_scaled"),
+    )
+    return _release_caches(result, [daily])

@@ -177,3 +177,53 @@ def test_permutation_entropy_monotone_is_zero(spark):
     ).collect()[0]
     assert r["n_patterns"] == 1
     assert float(r["perm_entropy"]) == 0.0
+
+
+def test_variance_ratio_matches_reference(spark):
+    """Reference: Lo-MacKinlay VR(5) with overlapping q-increments and
+    the unbiased m = q(n-q+1)(1-q/n), plain Python loops."""
+    from breweries_etl_spark.operators.temporal import variance_ratio_daily
+
+    ys = [5.0, 7.0, 6.0, 8.0, 20.0, 22.0, 21.0, 25.0, 24.0, 30.0,
+          28.0, 31.0, 29.0, 35.0]
+    r = variance_ratio_daily(_daily_df(spark, ys)).collect()[0]
+    assert (r["n_days"], r["n_returns"]) == (14, 13)
+    assert float(r["vr_stat"]) == 0.090771
+    assert float(r["z_score"]) == -1.496319
+
+
+def test_buishand_matches_reference(spark):
+    from breweries_etl_spark.operators.temporal import buishand_range_daily
+
+    ys = [5.0, 7.0, 6.0, 8.0, 20.0, 22.0, 21.0, 25.0, 24.0, 30.0,
+          28.0, 31.0, 29.0, 35.0]
+    r = buishand_range_daily(_daily_df(spark, ys)).collect()[0]
+    assert r["n_days"] == 14
+    assert float(r["q_stat"]) == 57.928571
+    assert float(r["q_scaled"]) == 1.569449
+    assert float(r["r_scaled"]) == 1.569449
+
+
+def test_diversity_indices_uniform_and_skewed(spark):
+    """Uniform 4-category mix: H = ln 4, Pielou = 1, Simpson = 0.75,
+    Berger-Parker = 0.25. NULL is a real category."""
+    import math
+
+    from breweries_etl_spark.operators.corpus import diversity_indices
+
+    uni = spark.createDataFrame(
+        [(c,) for c in ["a", "b", "c", None] * 5], "source string"
+    )
+    r = diversity_indices(uni, "source").collect()[0]
+    assert r["n_categories"] == 4
+    assert abs(float(r["shannon_h"]) - math.log(4)) < 1e-5
+    # per-term round-6 folding can land an ulp above exactly 1
+    assert abs(float(r["pielou_j"]) - 1.0) < 1e-5
+    assert float(r["simpson_d"]) == 0.75
+    assert float(r["berger_parker"]) == 0.25
+    skew = spark.createDataFrame(
+        [("a",)] * 9 + [("b",)], "source string"
+    )
+    r2 = diversity_indices(skew, "source").collect()[0]
+    assert float(r2["berger_parker"]) == 0.9
+    assert float(r2["shannon_h"]) < 0.4

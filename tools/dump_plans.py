@@ -184,6 +184,9 @@ INTERESTING = [
     # round-10 wave 19
     "fleiss_kappa_docs", "dagostino_k2_price",
     "permutation_entropy_daily",
+    # round-10 wave 20
+    "variance_ratio_daily", "buishand_range_daily",
+    "diversity_sources_docs",
 ]
 
 
