@@ -813,9 +813,15 @@ def diversity_indices(
     counts = df.groupBy(F.col(category_col).alias("cat")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    tot = counts.agg(F.sum("c").alias("n"))
+    # total as a WINDOW over the bounded category relation, not a
+    # second aggregate branch: counts.agg(...) + crossJoin re-expanded
+    # the fact groupBy into a second full scan (the dunn per_g class;
+    # caught by the r10 self-audit before any gate saw it)
+    counts = counts.select(
+        "cat", "c", F.sum("c").over(Window.partitionBy()).alias("n")
+    )
     p = F.col("c").cast("double") / F.col("n").cast("double")
-    folded = counts.crossJoin(F.broadcast(tot)).agg(
+    folded = counts.agg(
         F.max("n").alias("n"),
         F.count(F.lit(1)).alias("k"),
         F.sum(F.round(-p * F.log(p), 6).cast("decimal(18,6)")).alias("h"),

@@ -3551,10 +3551,18 @@ def permutation_entropy_daily(
     hist = trip.groupBy(pat.alias("pattern")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    tot = hist.agg(F.sum("cnt").alias("n"))
+    # n as a window over the <=6-row histogram, not a second aggregate
+    # branch off hist: the crossJoin(tot) shape re-expanded the whole
+    # day-relation window pipeline into a second fact scan (the dunn
+    # per_g class; r10 self-audit)
+    hist = hist.select(
+        "pattern",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
     p = F.col("cnt").cast("double") / F.col("n").cast("double")
     term = p * F.log(p)
-    folded = hist.crossJoin(F.broadcast(tot)).agg(
+    folded = hist.agg(
         F.max("n").alias("n"),
         F.count(F.lit(1)).alias("k"),
         F.sum(F.round(-term, 6).cast("decimal(18,6)")).alias("h"),
