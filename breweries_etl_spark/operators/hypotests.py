@@ -6333,112 +6333,128 @@ def dagostino_k2(df: DataFrame, value_col: str) -> DataFrame:
 
     Moments ride the exact jarque_bera recipe verbatim (half-up cent
     quantization, scale-invariant w = cents/(100·2²⁰), fixed-point
-    decimal ffolds, dec_double_wide envelope); every constant in the
-    two transforms is a function of n only, so the closing scalar
-    chain is a fixed double sequence mirrored textually in the SQL
-    twin (cbrt/ln/sqrt on identical inputs). n < 20 emits NULL
-    z-scores (the regime where the Anscombe-Glynn constants lose
-    meaning — scipy draws the same line). Output one row:
-    (n, z_skew, z_kurt, k2_stat, p_value)."""
+    decimal folds, dec_double_wide envelope) in ONE distributed scan.
+    The two transforms then close DRIVER-SIDE on the collected 1-row
+    moment quintet (the logreg/kmeans small-by-contract collect class):
+    expressed as Spark columns the z₁/z₂ chains expand into a
+    codegen tree that costs ~10 s to COMPILE at every SF (measured
+    flat 11.5/12.4/9.4 s across sf0.01→sf1ish — pure compile, no
+    data); the Python close is the identical IEEE sequence (and its
+    exp/ln are the same libm DuckDB links, so the twin agrees at least
+    as tightly as the JVM expression did). cbrt stays sign·exp(ln/3)
+    on all three engines. n < 20 emits NULL z-scores (the regime where
+    the Anscombe-Glynn constants lose meaning — scipy draws the same
+    line). Output one row: (n, z_skew, z_kurt, k2_stat, p_value)."""
+    import math
+
+    from ..functions.exact import round_half_up
+
     xd = F.col(value_col).cast("double")
     cents = F.signum(xd) * F.floor(F.abs(xd) * F.lit(100.0) + F.lit(0.5))
     w = cents / F.lit(104857600.0)
     d38 = "decimal(38,0)"
-    sums = df.filter(F.col(value_col).isNotNull()).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.floor(w * F.lit(1e12)).cast(d38)).alias("s1"),
-        F.sum(F.floor(w * w * F.lit(1e14)).cast(d38)).alias("s2"),
-        F.sum(F.floor(w * w * w * F.lit(1e15)).cast(d38)).alias("s3"),
-        F.sum(F.floor(w * w * w * w * F.lit(1e16)).cast(d38)).alias("s4"),
-    )
-    n = F.col("n").cast("double")
-    s1 = dec_double_wide(F.col("s1")) / F.lit(1e12)
-    s2 = dec_double_wide(F.col("s2")) / F.lit(1e14)
-    s3 = dec_double_wide(F.col("s3")) / F.lit(1e15)
-    s4 = dec_double_wide(F.col("s4")) / F.lit(1e16)
-    mu = s1 / n
-    m2 = s2 / n - mu * mu
-    m3 = s3 / n - F.lit(3.0) * mu * (s2 / n) + F.lit(2.0) * mu * mu * mu
-    m4 = (
-        s4 / n
-        - F.lit(4.0) * mu * (s3 / n)
-        + F.lit(6.0) * mu * mu * (s2 / n)
-        - F.lit(3.0) * mu * mu * mu * mu
-    )
-    g1 = m3 / F.pow(m2, F.lit(1.5))
-    g2 = m4 / (m2 * m2) - F.lit(3.0)
-    one = F.lit(1.0)
-    # Z1 — D'Agostino skewness transform (constants are n-only)
-    y = g1 * F.sqrt(
-        (n + one) * (n + F.lit(3.0)) / (F.lit(6.0) * (n - F.lit(2.0)))
-    )
-    b2 = (
-        F.lit(3.0)
-        * (n * n + F.lit(27.0) * n - F.lit(70.0))
-        * (n + one)
-        * (n + F.lit(3.0))
-        / (
-            (n - F.lit(2.0))
-            * (n + F.lit(5.0))
-            * (n + F.lit(7.0))
-            * (n + F.lit(9.0))
+    row = (
+        df.filter(F.col(value_col).isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(w * F.lit(1e12)).cast(d38)).alias("s1"),
+            F.sum(F.floor(w * w * F.lit(1e14)).cast(d38)).alias("s2"),
+            F.sum(F.floor(w * w * w * F.lit(1e15)).cast(d38)).alias("s3"),
+            F.sum(F.floor(w * w * w * w * F.lit(1e16)).cast(d38)).alias(
+                "s4"
+            ),
         )
+        .collect()[0]
     )
-    w2 = F.lit(-1.0) + F.sqrt(F.lit(2.0) * (b2 - one))
-    dlt = one / F.sqrt(F.log(F.sqrt(w2)))
-    alp = F.sqrt(F.lit(2.0) / (w2 - one))
-    ya = y / alp
-    z1 = dlt * F.log(ya + F.sqrt(ya * ya + one))
-    # Z2 — Anscombe-Glynn kurtosis transform
-    e2 = F.lit(3.0) * (n - one) / (n + one)
-    v2 = (
-        F.lit(24.0)
-        * n
-        * (n - F.lit(2.0))
-        * (n - F.lit(3.0))
-        / (
-            (n + one)
-            * (n + one)
-            * (n + F.lit(3.0))
-            * (n + F.lit(5.0))
+    spark = df.sparkSession
+    n_long = int(row["n"])
+    out = {
+        "n": n_long,
+        "z_skew": None,
+        "z_kurt": None,
+        "k2_stat": None,
+        "p_value": None,
+    }
+    if n_long >= 20:
+        n = float(n_long)
+        s1 = float(row["s1"]) / 1e12
+        s2 = float(row["s2"]) / 1e14
+        s3 = float(row["s3"]) / 1e15
+        s4 = float(row["s4"]) / 1e16
+        mu = s1 / n
+        m2 = s2 / n - mu * mu
+        m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+        m4 = (
+            s4 / n
+            - 4.0 * mu * (s3 / n)
+            + 6.0 * mu * mu * (s2 / n)
+            - 3.0 * mu * mu * mu * mu
         )
-    )
-    x = (g2 - e2) / F.sqrt(v2)
-    bb = (
-        F.lit(6.0)
-        * (n * n - F.lit(5.0) * n + F.lit(2.0))
-        / ((n + F.lit(7.0)) * (n + F.lit(9.0)))
-    ) * F.sqrt(
-        F.lit(6.0)
-        * (n + F.lit(3.0))
-        * (n + F.lit(5.0))
-        / (n * (n - F.lit(2.0)) * (n - F.lit(3.0)))
-    )
-    aa = F.lit(6.0) + (F.lit(8.0) / bb) * (
-        F.lit(2.0) / bb + F.sqrt(one + F.lit(4.0) / (bb * bb))
-    )
-    den_inner = one + x * F.sqrt(F.lit(2.0) / (aa - F.lit(4.0)))
-    # cbrt written as sign*exp(ln(|t|)/3) IDENTICALLY on both engines:
-    # DuckDB's cbrt(27) reads 3.0000000000000004 while Java's is exact
-    # (the pow-as-exp-ln convention from the repo's libm-ulp recipe)
-    t_in = (one - F.lit(2.0) / aa) / den_inner
-    cbrt_t = F.when(t_in == 0, F.lit(0.0)).otherwise(
-        F.signum(t_in) * F.exp(F.log(F.abs(t_in)) / F.lit(3.0))
-    )
-    z2 = F.when(
-        den_inner != 0,
-        (
-            (one - F.lit(2.0) / (F.lit(9.0) * aa))
-            - cbrt_t
-        )
-        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * aa)),
-    )
-    k2 = F.round(z1 * z1 + z2 * z2, 6)
-    ok = (F.col("n") >= 20) & (m2 > 0)
-    return sums.select(
-        F.col("n").cast("long").alias("n"),
-        F.when(ok, F.round(z1, 6)).alias("z_skew"),
-        F.when(ok, F.round(z2, 6)).alias("z_kurt"),
-        F.when(ok, k2).alias("k2_stat"),
-        F.when(ok, F.round(F.exp(-k2 / F.lit(2.0)), 6)).alias("p_value"),
+        if m2 > 0:
+            g1 = m3 / m2 ** 1.5
+            g2 = m4 / (m2 * m2) - 3.0
+            y = g1 * math.sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
+            b2 = (
+                3.0
+                * (n * n + 27.0 * n - 70.0)
+                * (n + 1.0)
+                * (n + 3.0)
+                / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+            )
+            w2 = -1.0 + math.sqrt(2.0 * (b2 - 1.0))
+            dlt = 1.0 / math.sqrt(math.log(math.sqrt(w2)))
+            alp = math.sqrt(2.0 / (w2 - 1.0))
+            ya = y / alp
+            z1 = dlt * math.log(ya + math.sqrt(ya * ya + 1.0))
+            e2 = 3.0 * (n - 1.0) / (n + 1.0)
+            v2 = (
+                24.0
+                * n
+                * (n - 2.0)
+                * (n - 3.0)
+                / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
+            )
+            x = (g2 - e2) / math.sqrt(v2)
+            bb = (
+                6.0
+                * (n * n - 5.0 * n + 2.0)
+                / ((n + 7.0) * (n + 9.0))
+            ) * math.sqrt(
+                6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0))
+            )
+            aa = 6.0 + (8.0 / bb) * (
+                2.0 / bb + math.sqrt(1.0 + 4.0 / (bb * bb))
+            )
+            den_inner = 1.0 + x * math.sqrt(2.0 / (aa - 4.0))
+            z2 = None
+            if den_inner != 0:
+                t_in = (1.0 - 2.0 / aa) / den_inner
+                cbrt_t = (
+                    0.0
+                    if t_in == 0
+                    else math.copysign(
+                        math.exp(math.log(abs(t_in)) / 3.0), t_in
+                    )
+                )
+                z2 = (
+                    (1.0 - 2.0 / (9.0 * aa)) - cbrt_t
+                ) / math.sqrt(2.0 / (9.0 * aa))
+            out["z_skew"] = round_half_up(z1)
+            if z2 is not None:
+                out["z_kurt"] = round_half_up(z2)
+                k2 = round_half_up(z1 * z1 + z2 * z2)
+                out["k2_stat"] = k2
+                out["p_value"] = round_half_up(math.exp(-k2 / 2.0))
+    return spark.createDataFrame(
+        [
+            (
+                out["n"],
+                out["z_skew"],
+                out["z_kurt"],
+                out["k2_stat"],
+                out["p_value"],
+            )
+        ],
+        "n long, z_skew double, z_kurt double, k2_stat double, "
+        "p_value double",
     )
