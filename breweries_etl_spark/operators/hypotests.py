@@ -3752,7 +3752,9 @@ def group_deviance(
     result = folded.crossJoin(F.broadcast(n_total)).crossJoin(
         F.broadcast(kk)
     ).select(
-        F.col("n_total").cast("long").alias("n_total"),
+        # coalesce: SUM over an empty group relation is NULL but the
+        # twin's count(*) is 0 (empty-table sweep r10)
+        F.coalesce(F.col("n_total"), F.lit(0)).cast("long").alias("n_total"),
         F.col("n").cast("long").alias("n"),
         F.col("k").cast("long").alias("k_groups"),
         F.when(
@@ -4475,7 +4477,9 @@ def bland_altman(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         ).alias("n_out"),
     )
     return outside.select(
-        F.col("n").cast("long").alias("n"),
+        # coalesce: max(n) over the annihilated empty crossJoin is NULL
+        # but the twin's count(*) is 0 (empty-table sweep r10)
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         F.round(F.col("__mu"), 6).alias("mean_diff"),
         F.when(F.col("n") > 1, F.round(F.col("__sd"), 6)).alias("sd_diff"),
         F.when(F.col("n") > 1, F.round(F.col("__lo"), 6)).alias("loa_low"),
@@ -5201,7 +5205,9 @@ def breslow_day(
     )
     result = chi.select(
         F.col("n").cast("long").alias("n"),
-        F.col("k").cast("long").alias("k_strata"),
+        # coalesce: max(k) over the annihilated empty crossJoin is NULL
+        # but the twin's count(*) is 0 (empty-table sweep r10)
+        F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("k_strata"),
         F.when(F.col("psi").isNotNull(), F.round(F.col("psi"), 6)).alias(
             "or_mh"
         ),

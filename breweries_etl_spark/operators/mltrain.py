@@ -479,6 +479,14 @@ def pca_top_component(
         )
     )
     n_rows = emb.count()
+    if n_rows == 0:
+        # empty input: the power phase would KeyError on the empty
+        # matvec (empty-table sweep r10); emit the 1-row NULL contract
+        return emb.sparkSession.createDataFrame(
+            [(0, dim, None, None, None)],
+            "n long, dim int, trace_cov double, top_eigenvalue double, "
+            "explained_ratio double",
+        )
     centered = exploded.join(F.broadcast(means), "i").select(
         "rid", "i", (F.col("x") - F.col("m")).alias("c")
     )

@@ -103,12 +103,22 @@ def brute_force_topk_pandas(
     import pandas as pd
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        # zero queries -> zero result rows, with the contract schema
+        # (an empty np.array is 1-D and the axis-1 norm crashed;
+        # empty-table sweep r10)
+        spark = queries.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, corpus_id long, cosine double, rank long"
+        )
     q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             c_unit = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
             sims = c_unit @ q_unit.T  # (batch, n_queries)
@@ -256,6 +266,12 @@ def ivf_topk(
     prepared = ensure_parallelism(corpus.select(id_col, vec_col)).withColumn(
         "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
+    if prepared.limit(1).count() == 0:
+        # KMeans cannot fit zero vectors (empty-table sweep r10);
+        # zero corpus -> zero neighbors, contract schema preserved
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, corpus_id long, cosine double, rank long"
+        )
     model = KMeans(k=n_clusters, seed=seed, featuresCol="__v").fit(prepared)
     assigned = model.transform(prepared).select(
         F.col(id_col).alias("corpus_id"),

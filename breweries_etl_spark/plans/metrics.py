@@ -117,6 +117,13 @@ def drain_observation(
 ) -> None:
     """Pull the observed row count (blocks until the frame's action has
     run) into the registry under the reference's counter name."""
-    registry.inc(
-        f"{operation}_records_processed_total", float(observation.get["rows"])
-    )
+    try:
+        rows = float(observation.get["rows"])
+    except Exception:
+        # Spark's Observation.get trips a JVM-side toPyRow assertion
+        # when the observed frame materialized ZERO rows end-to-end (an
+        # all-empty landing page — empty-table sweep r10). Zero rows is
+        # exactly what the counter should record; the pipeline must not
+        # die on an empty increment.
+        rows = 0.0
+    registry.inc(f"{operation}_records_processed_total", rows)

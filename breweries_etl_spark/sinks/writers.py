@@ -53,6 +53,12 @@ def write_table(
 ) -> None:
     """K5 — generic parameterized sink (ref: U/helpers.py:363-417);
     K2 (bronze overwrite) and K4 (quarantine append) are direct calls."""
+    if df.rdd.getNumPartitions() == 0:
+        # a ZERO-partition frame (e.g. an empty landing page) writes no
+        # part files at all, leaving a schema-less layer the next stage
+        # cannot read (empty-table sweep r10); one empty partition
+        # still writes the parquet footer with the schema
+        df = df.repartition(1)
     writer = df.write.mode(mode).format(fmt)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -87,6 +93,18 @@ def write_partitioned(
         .partitionBy(*partition_by)
         .save(path)
     )
+    # Dynamic-partition writes of ZERO rows create no directories and
+    # no parquet footer, leaving the layer unreadable
+    # (UNABLE_TO_INFER_SCHEMA; empty-table sweep r10). Probe AFTER the
+    # write — a pre-write emptiness action would consume any attached
+    # Observation (it reports the FIRST action's rows) — and lay down
+    # one unpartitioned empty file so the schema survives; pruning is
+    # moot on an empty layer.
+    try:
+        df.sparkSession.read.format(fmt).load(path).schema
+    except Exception:
+        empty = df.sparkSession.createDataFrame([], df.schema)
+        write_table(empty.repartition(1), path, mode="overwrite", fmt=fmt)
 
 
 def write_gold(aggregations: dict[str, DataFrame], gold_path: str, fmt: str = "parquet") -> None:

@@ -24,6 +24,24 @@ parity mismatch instead of lurking until a real corpus hits it.
 
 Deterministic: all mutations key off hash-free modular arithmetic on
 stable ids, never RNG state.
+
+A second adversarial axis lives beside this one: the EMPTY dataset
+(all tables at zero rows, schemas intact), built inline by the round-10
+session as /tmp/sfempty via DuckDB `LIMIT 0` copies — it drives the
+annihilation / zero-partition-write / fit-on-empty classes that even
+the NULL-heavy set cannot reach. Rebuild:
+
+    python - <<'PY'
+    import duckdb, os
+    SRC, OUT = "/root/testdata/sf0.001", "/tmp/sfempty"
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet') "
+            f"LIMIT 0) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
+    PY
 """
 
 from __future__ import annotations
