@@ -16376,7 +16376,7 @@ cm AS (
 ), z2c AS (
   SELECT *,
     CASE WHEN nd >= 20 THEN
-      (g2 - 3.0 * (nd - 1.0) / (nd + 1.0))
+      (g2 + 6.0 / (nd + 1.0))
         / sqrt(24.0 * nd * (nd - 2.0) * (nd - 3.0)
                / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0))) END
       AS x,

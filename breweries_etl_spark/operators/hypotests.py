@@ -6350,7 +6350,13 @@ def dagostino_k2(df: DataFrame, value_col: str) -> DataFrame:
     as tightly as the JVM expression did). cbrt stays sign·exp(ln/3)
     on all three engines. n < 20 emits NULL z-scores (the regime where
     the Anscombe-Glynn constants lose meaning — scipy draws the same
-    line). Output one row: (n, z_skew, z_kurt, k2_stat, p_value)."""
+    line). Output one row: (n, z_skew, z_kurt, k2_stat, p_value).
+
+    Magnitude regime: the fixed-point s4 term floor(w⁴·1e16) resolves
+    the 4th moment only when the data SPREAD is ≳ a few hundred raw
+    units (σ_w ≳ 1e-3, i.e. σ_x ≳ 1e3 after the /2²⁰·100 scaling) —
+    price-scale TPC-H columns qualify; a column of O(1) values would
+    put b2 at quantization noise. Same envelope as jarque_bera."""
     import math
 
     from ..functions.exact import round_half_up
@@ -6412,7 +6418,11 @@ def dagostino_k2(df: DataFrame, value_col: str) -> DataFrame:
             alp = math.sqrt(2.0 / (w2 - 1.0))
             ya = y / alp
             z1 = dlt * math.log(ya + math.sqrt(ya * ya + 1.0))
-            e2 = 3.0 * (n - 1.0) / (n + 1.0)
+            # Anscombe-Glynn standardizes RAW Pearson kurtosis b2 =
+            # m4/m2² against E[b2] = 3(n−1)/(n+1); with excess g2 =
+            # b2 − 3 that is x = (g2 + 6/(n+1))/√var(b2).  Round-10
+            # shipped x = (g2 − E[b2])/√v2 — an extra −3/√v2 shift that
+            # sent z_kurt to ~38 on N(0,1) data (ADVICE r10 high).
             v2 = (
                 24.0
                 * n
@@ -6420,7 +6430,7 @@ def dagostino_k2(df: DataFrame, value_col: str) -> DataFrame:
                 * (n - 3.0)
                 / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
             )
-            x = (g2 - e2) / math.sqrt(v2)
+            x = (g2 + 6.0 / (n + 1.0)) / math.sqrt(v2)
             bb = (
                 6.0
                 * (n * n - 5.0 * n + 2.0)

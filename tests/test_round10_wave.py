@@ -125,24 +125,47 @@ def test_fleiss_kappa_null_rater_votes_fail(spark):
 
 def test_dagostino_matches_reference(spark):
     """Reference: the full D'Agostino 1970 + Anscombe-Glynn 1983 chain
-    in plain Python over the same quantized values (lognormal fixture,
-    strongly non-normal: both z's large, p = 0)."""
-    import json
+    in plain Python over the same quantized values — with the CORRECT
+    Anscombe-Glynn centering x = (g2 + 6/(n+1))/sqrt(var b2) (round-10
+    shipped g2 − E[b2], an extra −3 shift; ADVICE r10 high).  Fixture
+    scaled ×1000 into the price-magnitude regime where the cent/2²⁰
+    quantization resolves the 4th moment (the original ~20-to-80-range
+    fixture put floor(w⁴·1e16) at quantization noise).  Lognormal is
+    strongly non-normal: BOTH z's large POSITIVE (heavy right tail ⇒
+    b2 ≫ 3; the buggy formula could flip z_kurt's meaning)."""
     import math
     import random
 
     from breweries_etl_spark.operators.hypotests import dagostino_k2
 
     random.seed(7)
-    xs = [round(random.lognormvariate(3, 0.8), 2) for _ in range(200)]
+    xs = [round(random.lognormvariate(3, 0.8), 2) * 1000.0 for _ in range(200)]
     df = spark.createDataFrame([(float(v),) for v in xs], "v double")
     r = dagostino_k2(df, "v").collect()[0]
     assert r["n"] == 200
-    assert float(r["z_skew"]) == 9.550041
-    assert float(r["z_kurt"]) == 24.52189
-    assert float(r["k2_stat"]) == 692.526365
+    assert float(r["z_skew"]) == 9.611981
+    assert float(r["z_kurt"]) == 6.889155
+    assert float(r["k2_stat"]) == 139.850643
     assert float(r["p_value"]) == 0.0
     assert math.isfinite(float(r["z_kurt"]))
+
+
+def test_dagostino_near_normal_z_kurt_small(spark):
+    """The exact ADVICE r10 failure probe: on near-normal data the
+    buggy centering produced z_kurt ≈ +38 (a −3/√v2 shift blows up
+    with n); the corrected transform must leave |z_kurt| < 3."""
+    import random
+
+    from breweries_etl_spark.operators.hypotests import dagostino_k2
+
+    random.seed(11)
+    xs = [round(random.gauss(100000, 15000), 2) for _ in range(500)]
+    df = spark.createDataFrame([(float(v),) for v in xs], "v double")
+    r = dagostino_k2(df, "v").collect()[0]
+    assert r["n"] == 500
+    assert abs(float(r["z_kurt"])) < 3.0
+    assert float(r["z_kurt"]) == 0.852173
+    assert float(r["z_skew"]) == 1.911786
 
 
 def test_dagostino_small_n_is_null(spark):
