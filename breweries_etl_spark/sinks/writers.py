@@ -23,6 +23,7 @@ import json
 import os
 import shutil
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,10 +100,24 @@ def write_partitioned(
     # write — a pre-write emptiness action would consume any attached
     # Observation (it reports the FIRST action's rows) — and lay down
     # one unpartitioned empty file so the schema survives; pruning is
-    # moot on an empty layer.
+    # moot on an empty layer. The rewrite is gated on the two POSITIVE
+    # no-data-files conditions (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA,
+    # both probed against this Spark build in tests): a transient FS or
+    # reader error after a populated write must propagate, not trigger
+    # an overwrite that would destroy the data (ADVICE r10 medium).
     try:
         df.sparkSession.read.format(fmt).load(path).schema
-    except Exception:
+    except AnalysisException as exc:
+        cond = None
+        for meth in ("getCondition", "getErrorClass"):
+            try:
+                cond = getattr(exc, meth)()
+            except Exception:
+                cond = None
+            if cond:
+                break
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
         empty = df.sparkSession.createDataFrame([], df.schema)
         write_table(empty.repartition(1), path, mode="overwrite", fmt=fmt)
 

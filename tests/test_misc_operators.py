@@ -86,3 +86,60 @@ def test_normalize_event_ts_rejects_non_nanos_int64(spark, tmp_path):
     df = spark.read.parquet(p)
     with pytest.raises(ValueError, match="not timestamp"):
         normalize_event_ts(df, parquet_path=p)
+
+
+def test_write_partitioned_probe_gates_on_no_data_conditions(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 (medium): the post-write empty-layer probe must
+    rewrite ONLY on the two positive no-data-files conditions
+    (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA). A transient reader
+    failure after a POPULATED write has to propagate — the old bare
+    except would overwrite the layer with an empty frame, destroying
+    the data AND its partitioned layout."""
+    import pytest
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.readwriter import DataFrameReader
+
+    df = spark.createDataFrame(
+        [Row(id=str(i), location="USA" if i % 2 else "CANADA", v=i)
+         for i in range(20)]
+    )
+    out = str(tmp_path / "silver_flaky")
+
+    class _TransientReadError(AnalysisException):
+        def __init__(self):
+            Exception.__init__(self, "transient listing failure")
+
+        def getCondition(self):
+            return "FAILED_READ_FILE"
+
+        def __str__(self):
+            return "transient listing failure"
+
+    real_load = DataFrameReader.load
+
+    def flaky_load(self, path=None, *a, **kw):
+        if path == out:
+            raise _TransientReadError()
+        return real_load(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "load", flaky_load)
+    with pytest.raises(AnalysisException, match="transient"):
+        write_partitioned(df, out, ["location"], files_per_partition=2)
+    monkeypatch.undo()
+
+    # the populated, partitioned layer survived the probe failure
+    back = spark.read.parquet(out)
+    assert back.count() == 20
+    assert sorted(d for d in os.listdir(out) if d.startswith("location=")) == [
+        "location=CANADA", "location=USA"]
+
+    # and the genuine zero-row path still lays down the schema anchor
+    empty_out = str(tmp_path / "silver_zero")
+    write_partitioned(
+        df.filter("v < 0"), empty_out, ["location"], files_per_partition=2
+    )
+    anchored = spark.read.parquet(empty_out)
+    assert anchored.count() == 0
+    assert set(anchored.columns) == {"id", "location", "v"}
