@@ -94,14 +94,26 @@ def value_trend(df: DataFrame, base_epoch_s: int = VALUE_TREND_BASE_S) -> DataFr
         base_epoch_s
     )
     y = money("value")
+    # sxx and the denom squares fold in DECIMAL, not long: at
+    # decade-scale x (~3e8 s) x² ≈ 9e16, so a long Σx² ANSI-overflows
+    # past ~100 rows per user (found by the r11 large-product
+    # regression test); DuckDB's SUM(BIGINT) is already HUGEINT, so
+    # decimal on the Spark side preserves the bit-exact twin contract.
     agg = df.select(F.col("user_id"), x.alias("x"), y.alias("y")).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(
+            (F.col("x").cast("decimal(19,0)") * F.col("x")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxx"),
     )
-    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    denom = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sx").cast("decimal(19,0)")
+    )
     num = (
         F.col("n").cast("decimal(38,2)") * F.col("sxy")
         - F.col("sx").cast("decimal(38,2)") * F.col("sy")
@@ -137,9 +149,12 @@ def value_trend_pandas(
         # dropped only when denom = n*sxx - sx^2 is NULL-or-<=0, and an
         # all-NULL y leaves slope NULL with the row kept. NaN-blind
         # .astype("int64") crashed here on the first NULL value the
-        # clean testdata never contained. Products stay < 2^53 (x is
-        # span-seconds, cents <= 1e8), so float math is exact before
-        # the int() casts.
+        # clean testdata never contained. Component sums fold over
+        # PYTHON-OBJECT INTS after the NaN masks: per-element products
+        # (span-seconds x cents, up to ~1e16) and the x^2 fold both
+        # breach 2^53, where a float64 sum silently rounds and an
+        # int64 numpy sum can wrap - either way a 6dp divergence from
+        # the JVM decimal twin (ADVICE r10 low).
         pdf = pdf.sort_values("event_id")
         empty = pd.DataFrame(
             {"user_id": pd.array([], dtype="int64"),
@@ -150,8 +165,9 @@ def value_trend_pandas(
         xv = (pdf["us"] // 1_000_000 - base_epoch_s).dropna()
         if len(xv) == 0:
             return empty  # sx/sxx NULL -> denom NULL -> JVM row dropped
-        sx = int(xv.sum())
-        sxx = int((xv * xv).sum())
+        xl = [int(v) for v in xv.tolist()]
+        sx = sum(xl)
+        sxx = sum(v * v for v in xl)
         denom = n * sxx - sx * sx
         if denom <= 0:
             return empty
@@ -160,9 +176,12 @@ def value_trend_pandas(
         if cv.notna().sum() == 0 or pair_mask.sum() == 0:
             slope = None  # num NULL on the JVM side
         else:
-            sy_c = int(cv.dropna().sum())
+            sy_c = sum(int(v) for v in cv.dropna().tolist())
             xp = pdf["us"][pair_mask] // 1_000_000 - base_epoch_s
-            sxy_c = int((xp * cv[pair_mask]).sum())
+            sxy_c = sum(
+                int(a) * int(b)
+                for a, b in zip(xp.tolist(), cv[pair_mask].tolist())
+            )
             num_c = n * sxy_c - sx * sy_c  # exact, in cent-seconds
             slope = _r6(num_c / 100.0 / denom * 3600.0)
         uid = pdf["user_id"].iloc[0]

@@ -3333,7 +3333,10 @@ def dunn_pairwise_z(
     count relation; the pair grid is the k²-bounded self-join of the
     k-row per-group relation. Output k(k−1)/2 rows sorted by group
     labels: (group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b,
-    z_score)."""
+    z_score). ``release=True`` (default) checkpoints the result and
+    frees the internal caches; with ``release=False`` the caches are
+    handed to the caller on ``result._dunn_caches`` for explicit
+    unpersist."""
     d38 = "decimal(38,0)"
     vals = df.select(
         F.col(group_col).alias("g"), F.col(value_col).alias("val")
@@ -3410,6 +3413,13 @@ def dunn_pairwise_z(
         return _release_caches(
             result, [pc._vc_cache, per_g]  # type: ignore[attr-defined]
         )
+    # release=False contract: the CALLER owns the two persisted
+    # intermediates (the prefix-count relation and the k-row per-group
+    # relation) and must unpersist them once the plan is consumed —
+    # they are handed over on the result as ``_dunn_caches`` so the
+    # per_g cache can't silently pin storage for the session lifetime
+    # (ADVICE r10 low).
+    result._dunn_caches = [pc._vc_cache, per_g]  # type: ignore[attr-defined]
     return result
 
 

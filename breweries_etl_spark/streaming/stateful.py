@@ -15,6 +15,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts_us long"
+# STATE SCHEMA HISTORY — the round-10 NULL-handling fix grew the state
+# from 3 fields (n, total_cents, last_us) to 4 (+ n_val). Neither
+# applyInPandasWithState nor transformWithState supports state-schema
+# evolution: RESTARTING EITHER QUERY FROM A CHECKPOINT WRITTEN BY THE
+# 3-FIELD BUILD FAILS STATE DESERIALIZATION inside the state store
+# (before Python code runs, so no in-code migration is possible) — a
+# schema change here REQUIRES A FRESH CHECKPOINT DIRECTORY and a
+# replay/backfill of the source to rebuild state (the admission log
+# pattern in dedup_stream.py makes such replays idempotent). Treat any
+# future field addition the same way. (ADVICE r10 low.)
 STATE_SCHEMA = "n long, total_cents long, last_us long, n_val long"
 
 

@@ -276,3 +276,37 @@ def test_kaplan_meier_hand_computed_curve(spark):
     # censored user: at risk on day 30, not churned, survival unchanged
     assert out[30]["n_churned"] == 0 and abs(out[30]["survival"] - 0.25) < 1e-4
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_value_trend_pandas_exact_in_large_product_regime(spark):
+    """ADVICE r10 (low): the grouped-map twin's cross sum must stay
+    EXACT when per-element products (span-seconds x cents) breach 2^53
+    — a float64 fold silently rounds there and can flip the 6th
+    decimal vs the JVM decimal path. 2033-era timestamps (x ~ 3e8 s
+    from the 2024 base) x ~1e9 cents puts every product near 3e17;
+    NULL value / NULL ts rows ride along to keep the mask path under
+    test."""
+    import random
+
+    from breweries_etl_spark.operators.behavior import (
+        value_trend,
+        value_trend_pandas,
+    )
+
+    random.seed(42)
+    rows = []
+    for i in range(200):
+        ts = f"2033-06-{(i % 28) + 1:02d} {i % 24:02d}:{i % 60:02d}:{(i * 7) % 60:02d}"
+        val = round(random.uniform(8_000_000.0, 9_999_999.99), 2)
+        rows.append((i, ts, 1, "view", val, None))
+    rows.append((200, "2033-06-15 12:00:00", 1, "view", None, None))  # NULL value
+    rows.append((201, None, 1, "view", 1234.56, None))  # NULL ts
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    native = value_trend(ev).first()
+    arrow = value_trend_pandas(ev).first()
+    assert native.n_events == arrow.n_events == 202
+    assert float(native.slope_per_hour) == float(arrow.slope_per_hour)

@@ -566,3 +566,24 @@ def test_ranking_stability_reversed_is_minus_one(spark):
     assert out["kendall_tau"] == -1.0
     same = ranking_stability(df, "key", F.max("x"), F.max("x")).collect()[0]
     assert same["kendall_tau"] == 1.0
+
+
+def test_dunn_release_false_hands_caches_to_caller(spark):
+    """ADVICE r10 (low): with release=False the two persisted internals
+    must be handed over on result._dunn_caches so the caller can free
+    them — previously per_g leaked for the session lifetime."""
+    from breweries_etl_spark.operators.hypotests import dunn_pairwise_z
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(10)]
+        + [("b", float(i) + 5.0) for i in range(10)],
+        "g string, v double",
+    )
+    res = dunn_pairwise_z(df, "g", "v", release=False)
+    caches = getattr(res, "_dunn_caches", None)
+    assert caches is not None and len(caches) == 2
+    assert all(c.storageLevel.useMemory for c in caches)
+    res.collect()
+    for c in caches:
+        c.unpersist()
+    assert all(not c.storageLevel.useMemory for c in caches)
