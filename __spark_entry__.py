@@ -875,8 +875,13 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sources = edges.agg(F.min("src").alias("node"))
-    levels = bfs_levels(edges, sources, max_hops=6)
+    # seed = min customer node, derived from the MATERIALIZED edge
+    # relation inside bfs_levels (callable form) — deriving it from
+    # the edges plan here would re-run the orders⋈lineitem join +
+    # distinct a second time (the dunn uncached-multi-consumer class)
+    levels = bfs_levels(
+        edges, lambda e: e.agg(F.min("src").alias("node")), max_hops=6
+    )
     return (
         levels.groupBy(F.col("level").cast("long").alias("level"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -9425,8 +9430,12 @@ def q_graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sources = edges.agg(F.min("src").alias("node"))
-    return harmonic_centrality_from(edges, sources, max_hops=6)
+    # seed from the materialized edge relation (callable form): the
+    # eager seed aggregate was a SECOND full orders⋈lineitem scan —
+    # the judge-r10 driver-vs-solo gap suspect for this query
+    return harmonic_centrality_from(
+        edges, lambda e: e.agg(F.min("src").alias("node")), max_hops=6
+    )
 
 
 def q_embedding_pair_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
