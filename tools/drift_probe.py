@@ -1,8 +1,9 @@
-"""Common-set drift bisect (round-10, judge r9 #3): the r8→r9 common
-bench drifted ~1.13–1.17× on BOTH protocols. This probe separates CODE
-from ENVIRONMENT: run the identical fixed 20-query set with the
-identical solo protocol against two repo checkouts back-to-back on the
-same (idle) machine. If r8-code-now ≈ HEAD-code-now, the code is
+"""Common-set drift bisect (round-10, judge r9 #3; widened to 42
+queries in round-11 per judge r10 #6 — now the STANDING bench
+protocol): the r8→r9 common bench drifted ~1.13–1.17× on BOTH
+protocols. This probe separates CODE from ENVIRONMENT: run the
+identical fixed query set with the identical solo protocol against
+two repo checkouts back-to-back on the same (idle) machine. If r8-code-now ≈ HEAD-code-now, the code is
 exonerated and the residual vs the COMMITTED r8 numbers is machine
 drift between measurement days; a per-query gap concentrated in one
 family points at its r9 code change instead.
@@ -57,6 +58,32 @@ QUERIES = [
     "bigram_lm_scores",
     "winnowing_fingerprints",
     "jarque_bera_price",            # _ddw closing chain
+    # round-11 widening (judge r10 #6): the full graph family — the
+    # r8/r10 false-alarm pair lived here, so the standing probe must
+    # cover it — plus the newest statistics waves (18–20) and the
+    # remaining heavy tail of BENCH_r10.
+    "graph_harmonic_centrality",    # r10 protocol-disagreement monitor
+    "graph_edge_embeddedness",
+    "graph_bfs_levels",
+    "graph_modularity_nation",
+    "graph_degree_assortativity",
+    "bootstrap_mean_orders",        # BENCH_r10 tail
+    "fligner_killeen_price_flag",
+    "bws_test_price_status",
+    "lepage_price_flag",            # wave 18–20 statistics
+    "pettitt_daily_value",
+    "foster_stuart_daily_value",
+    "fleiss_kappa_docs",
+    "dagostino_k2_price",
+    "permutation_entropy_daily",
+    "variance_ratio_daily",
+    "buishand_range_daily",
+    "diversity_sources_docs",
+    "chatterjee_xi_daily",          # r9 reconciled names
+    "seasonal_mann_kendall_daily",
+    "wilson_ci_priority",
+    "jackknife_ratio_nation",
+    "logrank_retention_cohorts",
 ]
 
 
