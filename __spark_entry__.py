@@ -6796,7 +6796,12 @@ WITH per_key AS (
     SUM(CAST(v * CAST(ca AS DECIMAL(19,0))
              * (2 * CAST(cum_a AS DECIMAL(19,0)) - CAST(ca AS DECIMAL(19,0)) + 1)
              AS DECIMAL(38,2))) AS num2,
-    SUM(CAST(v * v * CAST(ca AS DECIMAL(19,0)) AS DECIMAL(38,4))) AS sumsq
+    -- v is a PER-CUSTOMER revenue sum: under a hot key it reaches
+    -- 11+ digits and a bare DECIMAL(18) x DECIMAL(18) multiply
+    -- overflows in DuckDB (skew-axis sweep r11); widen before
+    -- squaring (grubbs idiom — Spark widens automatically)
+    SUM(CAST(CAST(v AS DECIMAL(24,2)) * CAST(v AS DECIMAL(24,2))
+             * CAST(ca AS DECIMAL(19,0)) AS DECIMAL(38,4))) AS sumsq
   FROM cum
 )
 SELECT CAST(n_keys AS BIGINT) AS n_keys, {_ddwf('total')} AS total_value,
@@ -11122,6 +11127,10 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bernstein_ci_order_price": q_bernstein_ci_order_price,
         "dispersion_daily_events": q_dispersion_daily_events,
         "boosted_stumps_price_qty": q_boosted_stumps_price_qty,
+        # round-11 wave: iterative outlier rounds, Hill numbers, Quade
+        "generalized_esd_orders": q_generalized_esd_orders,
+        "hill_diversity_docs": q_hill_diversity_docs,
+        "quade_nation_priority": q_quade_nation_priority,
     }
 
 
@@ -16596,6 +16605,201 @@ SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_categories,
     round(CAST(h AS DOUBLE) / ln(CAST(k AS DOUBLE)), 6) END AS pielou_j,
   CASE WHEN n > 0 THEN
     round(CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS berger_parker
+FROM folded
+"""
+
+
+# ----- round-11 wave: Rosner generalized-ESD outlier rounds, Hill-number
+# diversity profile, Quade blocked-rank test -----
+
+
+def q_generalized_esd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rosner generalized-ESD rounds on o_totalprice — the iterative
+    multi-outlier screen; R_i statistics for 3 removal rounds
+    (operators/hypotests.py:generalized_esd_rounds)."""
+    from breweries_etl_spark.operators.hypotests import generalized_esd_rounds
+
+    return generalized_esd_rounds(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", k=3
+    )
+
+
+def q_hill_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill-number diversity profile (q = 0, 1, 2, ∞) of the document
+    source mix (operators/corpus.py:hill_diversity_profile)."""
+    from breweries_etl_spark.operators.corpus import hill_diversity_profile
+
+    return hill_diversity_profile(
+        load_table(spark, sf_dir, "documents"), "source"
+    )
+
+
+def q_quade_nation_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade blocked-rank test: does order priority shift revenue,
+    blocking by customer nation — blocks weighted by their within-block
+    range rank (operators/hypotests.py:quade_test)."""
+    from breweries_etl_spark.operators.hypotests import quade_test
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        c.c_nationkey.alias("blk"),
+        o.o_orderpriority.alias("trt"),
+        o.o_totalprice.alias("v"),
+    )
+    return quade_test(j, "blk", "trt", "v")
+
+
+_ESD_BRANCH = "abs(t[ti] * n - s) >= abs(b[bi] * n - s)"
+
+_ORACLES["generalized_esd_orders"] = f"""
+WITH base AS (
+  SELECT CAST(CASE WHEN o_totalprice < 0 THEN -1.0 ELSE 1.0 END
+         * floor(abs(CAST(o_totalprice AS DOUBLE)) * 100.0 + 0.5)
+         AS HUGEINT) AS c
+  FROM orders WHERE o_totalprice IS NOT NULL
+), m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         COALESCE(SUM(c), 0) AS s, COALESCE(SUM(c * c), 0) AS q
+  FROM base
+), tops AS (
+  SELECT list(c ORDER BY c DESC) AS t
+  FROM (SELECT c FROM base ORDER BY c DESC LIMIT 3)
+), bots AS (
+  SELECT list(c ORDER BY c ASC) AS b
+  FROM (SELECT c FROM base ORDER BY c ASC LIMIT 3)
+), st0 AS (
+  SELECT n, s, q, t, b, 1 AS ti, 1 AS bi
+  FROM m CROSS JOIN tops CROSS JOIN bots
+), r1 AS (
+  SELECT st0.*, CASE WHEN n >= 3 AND q * n - s * s > 0 THEN
+    CASE WHEN {_ESD_BRANCH} THEN t[ti] ELSE b[bi] END END AS x
+  FROM st0
+), o1 AS (
+  SELECT CAST(1 AS BIGINT) AS round, CAST(n AS BIGINT) AS n_before,
+    round(CAST(x AS DOUBLE) / 100.0, 6) AS removed_value,
+    round((CAST(abs(x * n - s) AS DOUBLE) / CAST(n AS DOUBLE))
+      / sqrt(CAST(q * n - s * s AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE)), 6) AS r_stat
+  FROM r1 WHERE x IS NOT NULL
+), st1 AS (
+  SELECT n - 1 AS n, s - x AS s, q - x * x AS q, t, b,
+    CASE WHEN {_ESD_BRANCH} THEN ti + 1 ELSE ti END AS ti,
+    CASE WHEN {_ESD_BRANCH} THEN bi ELSE bi + 1 END AS bi
+  FROM r1 WHERE x IS NOT NULL
+), r2 AS (
+  SELECT st1.*, CASE WHEN n >= 3 AND q * n - s * s > 0 THEN
+    CASE WHEN {_ESD_BRANCH} THEN t[ti] ELSE b[bi] END END AS x
+  FROM st1
+), o2 AS (
+  SELECT CAST(2 AS BIGINT) AS round, CAST(n AS BIGINT) AS n_before,
+    round(CAST(x AS DOUBLE) / 100.0, 6) AS removed_value,
+    round((CAST(abs(x * n - s) AS DOUBLE) / CAST(n AS DOUBLE))
+      / sqrt(CAST(q * n - s * s AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE)), 6) AS r_stat
+  FROM r2 WHERE x IS NOT NULL
+), st2 AS (
+  SELECT n - 1 AS n, s - x AS s, q - x * x AS q, t, b,
+    CASE WHEN {_ESD_BRANCH} THEN ti + 1 ELSE ti END AS ti,
+    CASE WHEN {_ESD_BRANCH} THEN bi ELSE bi + 1 END AS bi
+  FROM r2 WHERE x IS NOT NULL
+), r3 AS (
+  SELECT st2.*, CASE WHEN n >= 3 AND q * n - s * s > 0 THEN
+    CASE WHEN {_ESD_BRANCH} THEN t[ti] ELSE b[bi] END END AS x
+  FROM st2
+), o3 AS (
+  SELECT CAST(3 AS BIGINT) AS round, CAST(n AS BIGINT) AS n_before,
+    round(CAST(x AS DOUBLE) / 100.0, 6) AS removed_value,
+    round((CAST(abs(x * n - s) AS DOUBLE) / CAST(n AS DOUBLE))
+      / sqrt(CAST(q * n - s * s AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE)), 6) AS r_stat
+  FROM r3 WHERE x IS NOT NULL
+)
+SELECT * FROM o1 UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3
+"""
+
+_ORACLES["hill_diversity_docs"] = """
+WITH counts AS (
+  SELECT source AS cat, count(*) AS c FROM documents GROUP BY source
+), tot AS (SELECT SUM(c) AS n FROM counts),
+folded AS (
+  SELECT max(n) AS n, count(*) AS k,
+    SUM(CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        AS DECIMAL(18,6))) AS h,
+    SUM(CAST(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+        AS DECIMAL(38,0))) AS sc2,
+    max(c) AS cmax
+  FROM counts CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS hill_d0,
+  CASE WHEN n > 0 THEN round(exp(CAST(h AS DOUBLE)), 6) END AS hill_d1,
+  CASE WHEN n > 0 THEN
+    round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(sc2 AS DOUBLE), 6)
+  END AS hill_d2,
+  CASE WHEN n > 0 THEN
+    round(CAST(n AS DOUBLE) / CAST(cmax AS DOUBLE), 6) END AS hill_dinf
+FROM folded
+"""
+
+_ORACLES["quade_nation_priority"] = """
+WITH cells AS (
+  SELECT c.c_nationkey AS blk, o.o_orderpriority AS trt,
+    SUM(CAST((CASE WHEN o.o_totalprice < 0 THEN -1.0 ELSE 1.0 END
+        * floor(abs(CAST(o.o_totalprice AS DOUBLE)) * 100.0 + 0.5)) / 100.0
+        AS DECIMAL(18,2))) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey IS NOT NULL AND o.o_orderpriority IS NOT NULL
+    AND o.o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+), kk AS (SELECT count(DISTINCT trt) AS kt FROM cells),
+comp AS (
+  SELECT blk, trt, y FROM (
+    SELECT cells.*, count(*) OVER (PARTITION BY blk) AS kb,
+           (SELECT kt FROM kk) AS kt
+    FROM cells
+  ) WHERE kb = kt
+), ranked AS (
+  SELECT blk, trt,
+    CAST(2 * rank() OVER (PARTITION BY blk ORDER BY y)
+         + count(*) OVER (PARTITION BY blk, y) - 1 AS BIGINT) AS m2
+  FROM comp
+), ranges AS (
+  SELECT blk, max(y) - min(y) AS rng FROM comp GROUP BY blk
+), q2t AS (
+  SELECT blk,
+    CAST(2 * rank() OVER (ORDER BY rng)
+         + count(*) OVER (PARTITION BY rng) - 1 AS BIGINT) AS q2
+  FROM ranges
+), s4 AS (
+  SELECT r.trt,
+    CAST(CAST(q.q2 AS DECIMAL(19,0))
+         * CAST(r.m2 - (SELECT kt FROM kk) - 1 AS DECIMAL(19,0))
+         AS DECIMAL(38,0)) AS s4
+  FROM ranked r JOIN q2t q ON r.blk = q.blk
+), per_t AS (
+  SELECT trt, SUM(s4) AS s4j FROM s4 GROUP BY trt
+), folded AS (
+  SELECT
+    (SELECT count(*) FROM ranges) AS b,
+    (SELECT kt FROM kk) AS kt,
+    (SELECT SUM(CAST(CAST(s4 AS DECIMAL(19,0)) * CAST(s4 AS DECIMAL(19,0))
+                AS DECIMAL(38,0))) FROM s4) AS a16,
+    (SELECT SUM(CAST(CAST(s4j AS DECIMAL(19,0)) * CAST(s4j AS DECIMAL(19,0))
+                AS DECIMAL(38,0))) FROM per_t) AS b16
+)
+SELECT
+  CASE WHEN kt >= 2 THEN CAST(b AS BIGINT) ELSE 0 END AS n_blocks,
+  CAST(kt AS BIGINT) AS k_treatments,
+  CASE WHEN kt >= 2 AND b > 1
+       AND CAST(b AS DECIMAL(19,0)) * a16 - b16 > 0 THEN
+    round(CAST(CAST((CAST(b AS DECIMAL(19,0)) - 1) * b16 AS DECIMAL(38,0))
+               AS DOUBLE)
+          / CAST(CAST(CAST(b AS DECIMAL(19,0)) * a16 AS DECIMAL(38,0)) - b16
+                 AS DOUBLE), 6)
+  END AS quade_stat,
+  CASE WHEN kt >= 2 THEN CAST(kt - 1 AS BIGINT) END AS df1,
+  CASE WHEN kt >= 2 THEN CAST((b - 1) * (kt - 1) AS BIGINT) END AS df2
 FROM folded
 """
 

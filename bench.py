@@ -460,6 +460,12 @@ FAMILIES: dict[str, list[str]] = {
         "buishand_range_daily",
         "variance_ratio_daily",
     ],
+    # round-11 wave 21: iterative outlier rounds, Hill numbers, Quade
+    "r11stats": [
+        "generalized_esd_orders",
+        "hill_diversity_docs",
+        "quade_nation_priority",
+    ],
 }
 
 HEADLINE = [q for qs in FAMILIES.values() for q in qs]

@@ -847,3 +847,61 @@ def diversity_indices(
             F.round(F.col("cmax").cast("double") / n, 6),
         ).alias("berger_parker"),
     )
+
+
+def hill_diversity_profile(
+    df: DataFrame, category_col: str = "source"
+) -> DataFrame:
+    """Hill-number diversity profile of a categorical column — the
+    "effective number of categories" at orders q = 0, 1, 2, ∞:
+    ⁰D = richness k, ¹D = exp(Shannon H), ²D = 1/Σp² (inverse
+    Simpson), ^∞D = 1/max p (inverse Berger-Parker). Hill numbers put
+    every diversity index on ONE interpretable unit (equivalent count
+    of equally-common categories; Jost 2006), so a corpus-mix report
+    can say "the source mix behaves like 3.2 equally-sized sources"
+    instead of quoting H in nats. ``diversity_indices`` reports the
+    raw indices; this is their common-unit profile.
+
+    Same shape and conventions: NULL is a real category; one count
+    shuffle to the ≤|categories| relation with the window-total (never
+    a second fact aggregate — the dunn per_g class); H folds per the
+    MI recipe (round-6 decimal). ²D and ^∞D close as EXACT integer
+    ratios n²/Σc² and n/c_max — no per-term rounding at all. Output
+    one row: (n_rows, hill_d0, hill_d1, hill_d2, hill_dinf)."""
+    counts = df.groupBy(F.col(category_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    counts = counts.select(
+        "cat", "c", F.sum("c").over(Window.partitionBy()).alias("n")
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    folded = counts.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.round(-p * F.log(p), 6).cast("decimal(18,6)")).alias("h"),
+        F.sum(
+            (F.col("c").cast("decimal(19,0)") * F.col("c")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sc2"),
+        F.max("c").alias("cmax"),
+    )
+    h = F.col("h").cast("double")
+    n = F.col("n").cast("double")
+    return folded.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("k").cast("long").alias("hill_d0"),
+        F.when(F.col("n") > 0, F.round(F.exp(h), 6)).alias("hill_d1"),
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                (n * n)
+                / F.col("sc2").cast("double"),
+                6,
+            ),
+        ).alias("hill_d2"),
+        F.when(
+            F.col("n") > 0,
+            F.round(n / F.col("cmax").cast("double"), 6),
+        ).alias("hill_dinf"),
+    )

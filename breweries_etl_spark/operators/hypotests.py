@@ -1721,6 +1721,88 @@ def grubbs_max_outlier(
     )
 
 
+def generalized_esd_rounds(
+    df: DataFrame, value_col: str, k: int = 3
+) -> DataFrame:
+    """Rosner's generalized ESD outlier screen, k rounds: repeatedly
+    remove the observation farthest from the CURRENT mean and report
+    R_i = |x_(i) − x̄_i| / s_i for each round — the multi-outlier
+    extension of ``grubbs_max_outlier`` (which tests exactly one).
+    The λ_i critical values need an inverse-t quantile (no closed
+    form without a stats library), so the decision is left to the
+    caller; the R_i sequence is the complete sufficient output.
+
+    Spark-first shape: the iteratively-removed point is ALWAYS the
+    max or the min of the remaining set, so the k removals are a
+    subset of (k largest ∪ k smallest). ONE narrow persisted
+    projection feeds three small jobs — exact decimal cent moments
+    (n, Σc, Σc²) plus two TakeOrdered tails (partial per-partition
+    top-k, never a global sort) — and the k rounds then close
+    DRIVER-SIDE on those 2k+3 scalars with Python-int exactness (the
+    logreg/kmeans/dagostino small-by-contract collect class). The
+    which-end branch compares |x·n − S| as EXACT integers (engine-
+    identical; ties take the max, documented); R_i closes in the
+    fixed double sequence dev = |x·n−S|/n, s = √((Σc²·n − S²)/(n(n−1)))
+    mirrored textually in the oracle. Emits one row per completed
+    round (0 rows on empty/degenerate input, both engines):
+    (round, n_before, removed_value, r_stat)."""
+    import math
+
+    from ..functions.exact import round_half_up
+
+    spark = df.sparkSession
+    proj = (
+        df.select(quantized_money(F.col(value_col)).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .select((F.col("__v") * F.lit(100)).cast("decimal(38,0)").alias("c"))
+        .persist()
+    )
+    m = proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("q"),
+    ).collect()[0]
+    n = int(m["n"])
+    top = [int(r["c"]) for r in proj.orderBy(F.col("c").desc()).limit(k).collect()]
+    bot = [int(r["c"]) for r in proj.orderBy(F.col("c").asc()).limit(k).collect()]
+    proj.unpersist()
+    S = int(m["s"]) if m["s"] is not None else 0
+    SS = int(m["q"]) if m["q"] is not None else 0
+    ti = bi = 0
+    rows = []
+    for rnd in range(1, k + 1):
+        if n < 3 or ti >= len(top) or bi >= len(bot):
+            break
+        num = SS * n - S * S
+        if num <= 0:
+            break
+        dev_t = abs(top[ti] * n - S)
+        dev_b = abs(bot[bi] * n - S)
+        if dev_t >= dev_b:
+            x = top[ti]
+            ti += 1
+        else:
+            x = bot[bi]
+            bi += 1
+        sd = math.sqrt(float(num) / float(n * (n - 1)))
+        dev = float(abs(x * n - S)) / float(n)
+        rows.append(
+            (
+                rnd,
+                n,
+                round_half_up(float(x) / 100.0),
+                round_half_up(dev / sd),
+            )
+        )
+        S -= x
+        SS -= x * x
+        n -= 1
+    return spark.createDataFrame(
+        rows,
+        "round long, n_before long, removed_value double, r_stat double",
+    )
+
+
 def levene_test(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:
@@ -2616,6 +2698,141 @@ def friedman_3(
             F.col("n") > 0, F.round(chi2 / (F.lit(2.0) * n), 6)
         ).alias("kendalls_w"),
     )
+
+
+def quade_test(
+    df: DataFrame,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quade test (1979) for k treatments across b blocks — the
+    Friedman companion that WEIGHTS each block by the rank of its
+    within-block range, so blocks where treatments actually differ
+    carry the signal (more powerful than Friedman at small k).
+    F = (b−1)·B/(A−B) with S_ij = Q_i·(r_ij − (k+1)/2),
+    B = Σ_j S_j²/b, A = Σ S_ij², df = (k−1, (b−1)(k−1)).
+    ``friedman_3`` takes k = 3 wide columns; this takes the LONG
+    (block, treatment, value) shape at any k.
+
+    Cell response = exact decimal SUM of the half-up-quantized money
+    values per (block, treatment) — sums tie identically across
+    engines where a mean quotient would not. Blocks missing any
+    treatment are DROPPED (Quade requires complete blocks;
+    documented, deterministic). Everything stays integer via DOUBLED
+    midranks (m2 = 2·rank + ties − 1 within block; q2 likewise over
+    the block-range relation) and the scaled s4 = q2·(m2 − k − 1) =
+    4·S_ij, so F closes as ONE exact-integer ratio
+    (b−1)·ΣS_j²₁₆ / (b·ΣS_ij²₁₆ − ΣS_j²₁₆) — no per-term rounding
+    anywhere. Two bounded shuffles (cells ≤ b·k rows; block relation
+    ≤ b rows) after the one fact aggregation. The F-quantile decision
+    is the caller's (no closed-form inverse-F; the ESD convention).
+    Output one row: (n_blocks, k_treatments, quade_stat, df1, df2)."""
+    d19 = "decimal(19,0)"
+    cells = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treat_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).alias("blk"), F.col(treat_col).alias("trt")
+        )
+        .agg(
+            F.sum(
+                quantized_money(F.col(value_col)).cast("decimal(38,2)")
+            ).alias("y")
+        )
+    )
+    k_total = cells.select("trt").distinct().count()
+    if k_total < 2:
+        # 1-row guarantee (the wasserstein annihilation class): empty
+        # or single-treatment input emits one NULL-stat row, mirrored
+        # by the oracle's CASE/empty-anchor
+        return df.sparkSession.createDataFrame(
+            [(0, int(k_total), None, None, None)],
+            "n_blocks long, k_treatments long, quade_stat double, "
+            "df1 long, df2 long",
+        )
+    complete = (
+        cells.withColumn(
+            "kb", F.count(F.lit(1)).over(Window.partitionBy("blk"))
+        )
+        .filter(F.col("kb") == F.lit(k_total))
+        .drop("kb")
+        .persist()
+    )
+    complete.count()
+    wblk = Window.partitionBy("blk").orderBy("y")
+    wtie = Window.partitionBy("blk", "y")
+    ranked = complete.select(
+        "blk",
+        "trt",
+        (
+            F.lit(2) * F.rank().over(wblk)
+            + F.count(F.lit(1)).over(wtie)
+            - F.lit(1)
+        ).cast("long").alias("m2"),
+    )
+    ranges = complete.groupBy("blk").agg(
+        (F.max("y") - F.min("y")).alias("rng")
+    )
+    wq = Window.orderBy("rng")
+    wqtie = Window.partitionBy("rng")
+    q2 = ranges.select(
+        "blk",
+        (
+            F.lit(2) * F.rank().over(wq)
+            + F.count(F.lit(1)).over(wqtie)
+            - F.lit(1)
+        ).cast("long").alias("q2"),
+    )
+    s4 = ranked.join(q2, "blk").select(
+        "trt",
+        (
+            F.col("q2").cast(d19)
+            * (F.col("m2") - F.lit(int(k_total)) - F.lit(1)).cast(d19)
+        ).cast("decimal(38,0)").alias("s4"),
+    )
+    per_t = s4.groupBy("trt").agg(F.sum("s4").alias("s4j"))
+    a16 = s4.agg(
+        F.sum(
+            (F.col("s4").cast(d19) * F.col("s4").cast(d19)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("a16")
+    )
+    b16 = per_t.agg(
+        F.sum(
+            (F.col("s4j").cast(d19) * F.col("s4j").cast(d19)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("b16")
+    )
+    nb = complete.select("blk").distinct().agg(
+        F.count(F.lit(1)).alias("b")
+    )
+    folded = nb.crossJoin(F.broadcast(a16)).crossJoin(F.broadcast(b16))
+    bl = F.col("b").cast(d19)
+    denom = (bl * F.col("a16")).cast("decimal(38,0)") - F.col("b16")
+    numer = ((bl - F.lit(1).cast(d19)) * F.col("b16")).cast(
+        "decimal(38,0)"
+    )
+    result = folded.select(
+        F.col("b").cast("long").alias("n_blocks"),
+        F.lit(int(k_total)).cast("long").alias("k_treatments"),
+        F.when(
+            (F.col("b") > 1) & (denom > 0),
+            F.round(dec_double_wide(numer) / dec_double_wide(denom), 6),
+        ).alias("quade_stat"),
+        F.lit(int(k_total) - 1).cast("long").alias("df1"),
+        (
+            (F.col("b") - F.lit(1)) * F.lit(int(k_total) - 1)
+        ).cast("long").alias("df2"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [complete])
 
 
 def ansari_bradley(

@@ -212,6 +212,9 @@ QUERIES = [
     # round-10 wave 20
     "variance_ratio_daily", "buishand_range_daily",
     "diversity_sources_docs",
+    # round-11 wave 21
+    "generalized_esd_orders", "hill_diversity_docs",
+    "quade_nation_priority",
 ]
 
 
