@@ -2743,9 +2743,15 @@ def quade_test(
                 quantized_money(F.col(value_col)).cast("decimal(38,2)")
             ).alias("y")
         )
+        # cells is consumed by the k_total count AND the complete-block
+        # filter: un-persisted, the fact join + groupBy would run twice
+        # (the dunn per_g class — caught by this round's self-audit of
+        # its own new code)
+        .persist()
     )
     k_total = cells.select("trt").distinct().count()
     if k_total < 2:
+        cells.unpersist()
         # 1-row guarantee (the wasserstein annihilation class): empty
         # or single-treatment input emits one NULL-stat row, mirrored
         # by the oracle's CASE/empty-anchor
@@ -2763,6 +2769,7 @@ def quade_test(
         .persist()
     )
     complete.count()
+    cells.unpersist()
     wblk = Window.partitionBy("blk").orderBy("y")
     wtie = Window.partitionBy("blk", "y")
     ranked = complete.select(
