@@ -11131,6 +11131,9 @@ def _query_table() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generalized_esd_orders": q_generalized_esd_orders,
         "hill_diversity_docs": q_hill_diversity_docs,
         "quade_nation_priority": q_quade_nation_priority,
+        # round-11 wave 21b: changepoint family completion + dependence
+        "snht_daily_value": q_snht_daily_value,
+        "dcor_daily_value_volume": q_dcor_daily_value_volume,
     }
 
 
@@ -16739,6 +16742,100 @@ SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS hill_d0,
   END AS hill_d2,
   CASE WHEN n > 0 THEN
     round(CAST(n AS DOUBLE) / CAST(cmax AS DOUBLE), 6) END AS hill_dinf
+FROM folded
+"""
+
+def q_snht_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alexandersson SNHT standardized-mean changepoint on the daily
+    value series — completes the pettitt (rank) / buishand (range)
+    family (operators/temporal.py:snht_daily_value)."""
+    from breweries_etl_spark.operators.temporal import snht_daily_value
+
+    return snht_daily_value(load_events(spark, sf_dir))
+
+
+def q_dcor_daily_value_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Székely distance correlation between daily total value and
+    daily event count — zero iff independent
+    (operators/temporal.py:distance_correlation_daily)."""
+    from breweries_etl_spark.operators.temporal import (
+        distance_correlation_daily,
+    )
+
+    return distance_correlation_daily(load_events(spark, sf_dir))
+
+
+_ORACLES["snht_daily_value"] = f"""
+WITH {_DAILY_EVENTS},
+base AS (SELECT day, CAST(y * 100 AS HUGEINT) AS c FROM daily),
+tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, COALESCE(SUM(c), 0) AS s,
+         COALESCE(SUM(c * c), 0) AS ss
+  FROM base
+), stepped AS (
+  SELECT day, CAST(row_number() OVER (ORDER BY day) AS HUGEINT) AS k,
+    SUM(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum, n, s, ss
+  FROM base CROSS JOIN tot
+), vals AS (
+  SELECT day, k, n,
+    (n * cum - k * s) * (n * cum - k * s) AS d,
+    n * ss - s * s AS den
+  FROM stepped WHERE k < n
+), tq AS (
+  SELECT day, n, k, d, den,
+    CAST(floor((({_ddw('n * d')})
+      / ((CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)) * ({_ddw('den')})))
+      * 1e9) AS BIGINT) AS tq
+  FROM vals WHERE den > 0
+), arg AS (
+  SELECT day, n AS nw, k, d, den FROM tq ORDER BY tq DESC, day ASC LIMIT 1
+)
+SELECT CAST(t.n AS BIGINT) AS n_days,
+  CASE WHEN a.day IS NOT NULL THEN
+    round(({_ddw('a.nw * a.d')})
+      / ((CAST(a.k AS DOUBLE) * CAST(a.nw - a.k AS DOUBLE))
+         * ({_ddw('a.den')})), 6)
+  END AS t_stat,
+  CAST(a.day AS BIGINT) AS change_day
+FROM tot t LEFT JOIN arg a ON TRUE
+"""
+
+_ORACLES["dcor_daily_value_volume"] = f"""
+WITH daily2 AS MATERIALIZED (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT) AS yc,
+    CAST(count(*) AS HUGEINT) AS m
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+), pairs AS (
+  SELECT a.day AS da, b.day AS db,
+    abs(a.yc - b.yc) AS av, abs(a.m - b.m) AS bv
+  FROM daily2 a CROSS JOIN daily2 b
+), rows_ AS (
+  SELECT da AS day, SUM(av) AS ra, SUM(bv) AS rb FROM pairs GROUP BY da
+), tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, SUM(ra) AS ga, SUM(rb) AS gb
+  FROM rows_
+), folded AS (
+  SELECT SUM(u * v) AS suv, SUM(u * u) AS su2, SUM(v * v) AS sv2
+  FROM (
+    SELECT
+      t.n * t.n * p.av - t.n * ja.ra - t.n * jb.ra + t.ga AS u,
+      t.n * t.n * p.bv - t.n * ja.rb - t.n * jb.rb + t.gb AS v
+    FROM pairs p
+    JOIN rows_ ja ON p.da = ja.day
+    JOIN rows_ jb ON p.db = jb.day
+    CROSS JOIN tot t
+  )
+)
+SELECT CAST((SELECT count(*) FROM daily2) AS BIGINT) AS n_days,
+  CASE WHEN su2 > 0 AND sv2 > 0 THEN
+    round(({_ddw('suv')}) / sqrt(({_ddw('su2')}) * ({_ddw('sv2')})), 6)
+  END AS dcor2,
+  CASE WHEN su2 > 0 AND sv2 > 0 THEN
+    round(sqrt(({_ddw('suv')}) / sqrt(({_ddw('su2')}) * ({_ddw('sv2')}))), 6)
+  END AS dcor
 FROM folded
 """
 

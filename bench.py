@@ -465,6 +465,8 @@ FAMILIES: dict[str, list[str]] = {
         "generalized_esd_orders",
         "hill_diversity_docs",
         "quade_nation_priority",
+        "snht_daily_value",
+        "dcor_daily_value_volume",
     ],
 }
 

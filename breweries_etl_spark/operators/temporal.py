@@ -3722,3 +3722,202 @@ def buishand_range_daily(
         F.when(ok, F.round(rng / scale, 6)).alias("r_scaled"),
     )
     return _release_caches(result, [daily])
+
+
+def snht_daily_value(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Alexandersson's SNHT (standard normal homogeneity test) on the
+    daily-total series: T_k = k·z̄₁² + (n−k)·z̄₂² over every prefix
+    split, T = max_k T_k — the GAUSSIAN-mean changepoint detector that
+    completes the family (pettitt = rank-based, buishand = partial-sum
+    range, SNHT = standardized-mean; the three disagree exactly when
+    the break diagnosis is fragile, which is the point of shipping all
+    three).
+
+    ALL-INTEGER until one closing division: with prefix sums S_k the
+    two standardized means share one numerator, z̄₂'s being the exact
+    negative of z̄₁'s, so
+    T_k = n·D_k / (k(n−k)(n·ΣC² − S²)) with D_k = (n·S_k − k·S)²
+    — every factor an exact decimal cent integer. The argmax is taken
+    on floor(10⁹·T_k) fixed point (floor of identical IEEE doubles is
+    engine-independent; the grubbs dev_fp pattern), ties to the
+    EARLIEST day; T is then recomputed at the winning row from its
+    exact integers. One fact shuffle to the bounded day relation; one
+    cumulative window; 1-row output guarantee on empty/degenerate
+    input. Output: (n_days, t_stat, change_day)."""
+    from .dedup import _release_caches
+    from ..operators.hypotests import dec_double_wide
+
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+    d38 = "decimal(38,0)"
+    base = daily.select(
+        "day", (F.col("y") * F.lit(100)).cast(d38).alias("c")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum((F.col("c") * F.col("c")).cast(d38)).alias("ss"),
+    )
+    wd = Window.orderBy("day")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    nn = F.col("n").cast("decimal(19,0)")
+    kk = F.col("k").cast("decimal(19,0)")
+    numl = (nn * F.col("cum")).cast(d38) - (kk * F.col("s")).cast(d38)
+    stepped = (
+        base.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n",
+            "s",
+            "ss",
+            F.row_number().over(wd).alias("k"),
+            F.sum("c").over(wcum).alias("cum"),
+        )
+        .filter(F.col("k") < F.col("n"))
+        .select(
+            "day",
+            "n",
+            "k",
+            (numl * numl).cast(d38).alias("d"),
+            ((nn * F.col("ss")).cast(d38) - (F.col("s") * F.col("s")).cast(d38)).alias("den"),
+        )
+        .filter(F.col("den") > 0)
+    )
+    t_val = dec_double_wide((F.col("n").cast("decimal(19,0)") * F.col("d")).cast(d38)) / (
+        (F.col("k").cast("double") * (F.col("n") - F.col("k")).cast("double"))
+        * dec_double_wide(F.col("den"))
+    )
+    arg = stepped.agg(
+        F.max(
+            F.struct(
+                F.floor(t_val * F.lit(1e9)).cast("long").alias("tq"),
+                (-F.col("day")).cast("long").alias("nd"),
+                F.col("d").alias("d"),
+                F.col("den").alias("den"),
+                F.col("k").alias("k"),
+                F.col("n").alias("nw"),
+            )
+        ).alias("top")
+    )
+    final = tot.crossJoin(F.broadcast(arg))
+    tw = dec_double_wide(
+        (F.col("top.nw").cast("decimal(19,0)") * F.col("top.d")).cast(d38)
+    ) / (
+        (
+            F.col("top.k").cast("double")
+            * (F.col("top.nw") - F.col("top.k")).cast("double")
+        )
+        * dec_double_wide(F.col("top.den"))
+    )
+    result = final.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.when(F.col("top").isNotNull(), F.round(tw, 6)).alias("t_stat"),
+        F.when(F.col("top").isNotNull(), (-F.col("top.nd")).cast("long")).alias(
+            "change_day"
+        ),
+    )
+    return _release_caches(result, [daily])
+
+
+def distance_correlation_daily(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Székely's distance correlation between the daily TOTAL VALUE and
+    the daily EVENT COUNT — dCor = 0 iff the two series are
+    INDEPENDENT (any dependence, not just monotone: the gap left by
+    pearson/spearman/chatterjee/hoeffding, which all condition on one
+    direction of association). The standard "is volume driving
+    revenue, at all" screen.
+
+    The double-centering identity runs ALL-INTEGER: with distance
+    matrices a_jk = |y_j − y_k| (exact cents) and b_jk = |m_j − m_k|
+    (counts), U_jk = n²a_jk − n·ra_j − n·ra_k + ga (row sums ra,
+    grand sum ga) is n³·Â_jk exactly, so n⁶·dCov² = ΣU·V,
+    n⁶·dVar = ΣU², and dCor² = ΣUV/√(ΣU²·ΣV²) with the n⁶ CANCELLED —
+    three exact decimal folds, one closing double sequence. The n²
+    pair grid is CALENDAR-BOUNDED (≤ days²; ~10⁵ rows for a
+    three-century span — a constant-size relation at any fact SF,
+    the same contract as every daily-series operator). One fact
+    shuffle to the day relation; the pair fold is one broadcast-joined
+    aggregate. 1-row guarantee. Output: (n_days, dcor2, dcor)."""
+    from .dedup import _release_caches
+    from ..operators.hypotests import dec_double_wide
+
+    d38 = "decimal(38,0)"
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    daily2 = (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(day.alias("day"), F.col(value_col).cast("decimal(18,2)").alias("y"))
+        .groupBy("day")
+        .agg(
+            (F.sum("y") * F.lit(100)).cast(d38).alias("yc"),
+            F.count(F.lit(1)).cast("decimal(19,0)").alias("m"),
+        )
+        .persist()
+    )
+    daily2.count()
+    aa = daily2.select(
+        F.col("day").alias("da"), F.col("yc").alias("ya"), F.col("m").alias("ma")
+    )
+    bb = daily2.select(
+        F.col("day").alias("db"), F.col("yc").alias("yb"), F.col("m").alias("mb")
+    )
+    pairs = aa.crossJoin(bb).select(
+        "da",
+        "db",
+        F.abs(F.col("ya") - F.col("yb")).cast(d38).alias("a"),
+        F.abs(F.col("ma") - F.col("mb")).cast(d38).alias("b"),
+    )
+    rows = pairs.groupBy(F.col("da").alias("day")).agg(
+        F.sum("a").alias("ra"), F.sum("b").alias("rb")
+    )
+    tot = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("ga"),
+        F.sum("rb").alias("gb"),
+    )
+    ja = rows.select(
+        F.col("day").alias("da"), F.col("ra").alias("ra_j"), F.col("rb").alias("rb_j")
+    )
+    jb = rows.select(
+        F.col("day").alias("db"), F.col("ra").alias("ra_k"), F.col("rb").alias("rb_k")
+    )
+    nn = F.col("n").cast("decimal(19,0)")
+    u = (
+        (nn * nn * F.col("a")).cast(d38)
+        - (nn * F.col("ra_j")).cast(d38)
+        - (nn * F.col("ra_k")).cast(d38)
+        + F.col("ga")
+    ).cast(d38)
+    v = (
+        (nn * nn * F.col("b")).cast(d38)
+        - (nn * F.col("rb_j")).cast(d38)
+        - (nn * F.col("rb_k")).cast(d38)
+        + F.col("gb")
+    ).cast(d38)
+    folded = (
+        pairs.join(F.broadcast(ja), "da")
+        .join(F.broadcast(jb), "db")
+        .crossJoin(F.broadcast(tot))
+        .select(u.alias("u"), v.alias("v"), "n")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum((F.col("u") * F.col("v")).cast(d38)).alias("suv"),
+            F.sum((F.col("u") * F.col("u")).cast(d38)).alias("su2"),
+            F.sum((F.col("v") * F.col("v")).cast(d38)).alias("sv2"),
+        )
+    )
+    tot1 = daily2.agg(F.count(F.lit(1)).alias("n_days"))
+    final = tot1.crossJoin(F.broadcast(folded))
+    dcor2 = dec_double_wide(F.col("suv")) / F.sqrt(
+        dec_double_wide(F.col("su2")) * dec_double_wide(F.col("sv2"))
+    )
+    ok = (F.col("su2") > 0) & (F.col("sv2") > 0)
+    result = final.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.when(ok, F.round(dcor2, 6)).alias("dcor2"),
+        F.when(ok, F.round(F.sqrt(dcor2), 6)).alias("dcor"),
+    )
+    return _release_caches(result, [daily2])

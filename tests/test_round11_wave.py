@@ -186,3 +186,89 @@ def test_quade_perfect_agreement_is_null_and_noisy_effect_is_large(spark):
     r2 = quade_test(df2, "blk", "trt", "v").collect()[0]
     assert math.isfinite(float(r2["quade_stat"]))
     assert float(r2["quade_stat"]) > 10.0
+
+
+def _events_df(spark, ys, month="01"):
+    rows = [
+        (i, f"2024-{month}-{i+1:02d} 10:00:00", 1, "view", float(v), None)
+        for i, v in enumerate(ys)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_snht_matches_naive_reference(spark):
+    """Fresh naive SNHT (standardize by global population sd, max over
+    prefix splits) on a series with a level shift after day 4."""
+    from breweries_etl_spark.operators.temporal import snht_daily_value
+
+    ys = [5.0, 7.0, 6.0, 8.0, 20.0, 22.0, 21.0, 25.0, 24.0, 30.0]
+    r = snht_daily_value(_events_df(spark, ys)).collect()[0]
+    assert r["n_days"] == 10
+    assert float(r["t_stat"]) == 9.095508  # naive reference, k = 4
+    assert r["change_day"] == 19726  # 2024-01-04
+
+
+def test_snht_clean_break_and_degenerate_guarantee(spark):
+    """A clean two-level series maximizes T exactly at the break
+    (T = 6.0 for 3+3 at any shift size — scale-invariant); zero
+    variance / single-day / empty inputs emit the 1-row NULL row."""
+    from breweries_etl_spark.operators.temporal import snht_daily_value
+
+    r = snht_daily_value(
+        _events_df(spark, [10.0, 10.0, 10.0, 30.0, 30.0, 30.0])
+    ).collect()[0]
+    assert float(r["t_stat"]) == 6.0 and r["change_day"] == 19725
+
+    const = snht_daily_value(_events_df(spark, [3.0, 3.0, 3.0])).collect()
+    assert len(const) == 1 and const[0]["t_stat"] is None
+    one = snht_daily_value(_events_df(spark, [4.0])).collect()
+    assert len(one) == 1 and one[0]["n_days"] == 1
+    empty = snht_daily_value(
+        _events_df(spark, [4.0]).filter(F.lit(False))
+    ).collect()
+    assert len(empty) == 1 and empty[0]["n_days"] == 0
+
+
+def test_dcor_matches_naive_szekely(spark):
+    """Value totals strongly tied to event counts by construction;
+    matches the naive double-centering definition (validated fresh in
+    the r11 session)."""
+    from breweries_etl_spark.operators.temporal import (
+        distance_correlation_daily,
+    )
+
+    days = [(120.0, 3), (80.0, 2), (200.0, 5), (50.0, 1), (90.0, 2), (300.0, 6)]
+    rows = []
+    eid = 0
+    for i, (tot, m) in enumerate(days):
+        for e in range(m):
+            rows.append(
+                (eid, f"2024-02-{i+1:02d} 0{e}:00:00", 1, "view", tot / m, None)
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = distance_correlation_daily(ev).collect()[0]
+    assert r["n_days"] == 6
+    assert float(r["dcor2"]) == 0.970132
+    assert float(r["dcor"]) == 0.984953
+
+
+def test_dcor_constant_count_is_null(spark):
+    """One event per day -> the count series is constant -> dVar_y = 0
+    -> dCor undefined (NULL), n_days still reported."""
+    from breweries_etl_spark.operators.temporal import (
+        distance_correlation_daily,
+    )
+
+    r = distance_correlation_daily(
+        _events_df(spark, [5.0, 9.0, 3.0], month="03")
+    ).collect()[0]
+    assert r["n_days"] == 3 and r["dcor"] is None

@@ -189,7 +189,8 @@ INTERESTING = [
     "diversity_sources_docs",
     # round-11 wave 21
     "generalized_esd_orders", "hill_diversity_docs",
-    "quade_nation_priority",
+    "quade_nation_priority", "snht_daily_value",
+    "dcor_daily_value_volume",
 ]
 
 
