@@ -16817,6 +16817,16 @@ WITH daily2 AS MATERIALIZED (
 ), tot AS (
   SELECT CAST(count(*) AS HUGEINT) AS n, SUM(ra) AS ga, SUM(rb) AS gb
   FROM rows_
+), guard AS (
+  -- exact digit-count overflow guard, identical to the engine's
+  -- (temporal.py:distance_correlation_daily): su2 <= 16*n^6*R^2 must
+  -- fit HUGEINT, else BOTH engines NULL the stats
+  SELECT (2 + 6 * length(CAST(count(*) AS VARCHAR))
+        + 2 * greatest(
+            length(CAST(COALESCE(max(yc) - min(yc), 0) AS VARCHAR)),
+            length(CAST(COALESCE(max(m) - min(m), 0) AS VARCHAR))))
+        <= 38 AS fits
+  FROM daily2
 ), folded AS (
   SELECT SUM(u * v) AS suv, SUM(u * u) AS su2, SUM(v * v) AS sv2
   FROM (
@@ -16827,6 +16837,8 @@ WITH daily2 AS MATERIALIZED (
     JOIN rows_ ja ON p.da = ja.day
     JOIN rows_ jb ON p.db = jb.day
     CROSS JOIN tot t
+    CROSS JOIN guard g
+    WHERE g.fits
   )
 )
 SELECT CAST((SELECT count(*) FROM daily2) AS BIGINT) AS n_days,
@@ -16895,8 +16907,9 @@ SELECT
           / CAST(CAST(CAST(b AS DECIMAL(19,0)) * a16 AS DECIMAL(38,0)) - b16
                  AS DOUBLE), 6)
   END AS quade_stat,
-  CASE WHEN kt >= 2 THEN CAST(kt - 1 AS BIGINT) END AS df1,
-  CASE WHEN kt >= 2 THEN CAST((b - 1) * (kt - 1) AS BIGINT) END AS df2
+  CASE WHEN kt >= 2 AND b > 0 THEN CAST(kt - 1 AS BIGINT) END AS df1,
+  CASE WHEN kt >= 2 AND b > 0
+       THEN CAST((b - 1) * (kt - 1) AS BIGINT) END AS df2
 FROM folded
 """
 

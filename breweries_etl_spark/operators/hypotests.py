@@ -2719,7 +2719,8 @@ def quade_test(
     values per (block, treatment) — sums tie identically across
     engines where a mean quotient would not. Blocks missing any
     treatment are DROPPED (Quade requires complete blocks;
-    documented, deterministic). Everything stays integer via DOUBLED
+    documented, deterministic); if NO block survives (b = 0) the df
+    pair is NULL — (b−1)(k−1) would be negative. Everything stays integer via DOUBLED
     midranks (m2 = 2·rank + ties − 1 within block; q2 likewise over
     the block-range relation) and the scaled s4 = q2·(m2 − k − 1) =
     4·S_ij, so F closes as ONE exact-integer ratio
@@ -2832,10 +2833,18 @@ def quade_test(
             (F.col("b") > 1) & (denom > 0),
             F.round(dec_double_wide(numer) / dec_double_wide(denom), 6),
         ).alias("quade_stat"),
-        F.lit(int(k_total) - 1).cast("long").alias("df1"),
-        (
-            (F.col("b") - F.lit(1)) * F.lit(int(k_total) - 1)
-        ).cast("long").alias("df2"),
+        # b == 0 (every block incomplete): df2 = (b-1)(k-1) would be
+        # NEGATIVE — nonsensical degrees of freedom for any consumer.
+        # NULL the df pair instead, mirrored in the oracle (ADVICE r11).
+        F.when(F.col("b") > 0, F.lit(int(k_total) - 1))
+        .cast("long")
+        .alias("df1"),
+        F.when(
+            F.col("b") > 0,
+            (F.col("b") - F.lit(1)) * F.lit(int(k_total) - 1),
+        )
+        .cast("long")
+        .alias("df2"),
     )
     from .dedup import _release_caches
 
@@ -3560,7 +3569,12 @@ def dunn_pairwise_z(
     z_score). ``release=True`` (default) checkpoints the result and
     frees the internal caches; with ``release=False`` the caches are
     handed to the caller on ``result._dunn_caches`` for explicit
-    unpersist."""
+    unpersist. CAVEAT (ADVICE r11): ``_dunn_caches`` is a plain Python
+    attribute on THIS DataFrame object — any further transformation
+    (``.select``/``.filter``/…) returns a NEW object without it, so
+    capture ``caches = result._dunn_caches`` IMMEDIATELY, before
+    wrapping the result, or the persisted intermediates leak for the
+    session lifetime."""
     d38 = "decimal(38,0)"
     vals = df.select(
         F.col(group_col).alias("g"), F.col(value_col).alias("val")

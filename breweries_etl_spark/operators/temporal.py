@@ -3834,14 +3834,29 @@ def distance_correlation_daily(
     The double-centering identity runs ALL-INTEGER: with distance
     matrices a_jk = |y_j − y_k| (exact cents) and b_jk = |m_j − m_k|
     (counts), U_jk = n²a_jk − n·ra_j − n·ra_k + ga (row sums ra,
-    grand sum ga) is n³·Â_jk exactly, so n⁶·dCov² = ΣU·V,
+    grand sum ga) is n²·Â_jk exactly, so n⁶·dCov² = ΣU·V,
     n⁶·dVar = ΣU², and dCor² = ΣUV/√(ΣU²·ΣV²) with the n⁶ CANCELLED —
-    three exact decimal folds, one closing double sequence. The n²
-    pair grid is CALENDAR-BOUNDED (≤ days²; ~10⁵ rows for a
-    three-century span — a constant-size relation at any fact SF,
-    the same contract as every daily-series operator). One fact
-    shuffle to the day relation; the pair fold is one broadcast-joined
-    aggregate. 1-row guarantee. Output: (n_days, dcor2, dcor)."""
+    three exact decimal folds, one closing double sequence. The pair
+    grid is CALENDAR-BOUNDED at days² rows (~10⁵ pairs for a one-year
+    span, ~1.3×10⁷ for a decade; a three-century span is ~1.1×10⁵
+    DAYS, hence ~1.2×10¹⁰ pairs — still fact-SF-independent, but no
+    longer a broadcast-size relation). One fact shuffle to the day
+    relation; the pair fold is one broadcast-joined aggregate. 1-row
+    guarantee. Output: (n_days, dcor2, dcor).
+
+    MAGNITUDE ENVELOPE (ADVICE r11, the dagostino discipline): the
+    squared fold su2 = Σ U² ≤ 16·n⁶·R² where R = max−min of the daily
+    cents (resp. daily counts for sv2), so a ~10-year span (n≈3.6×10³)
+    with ~10⁹-cent daily ranges reaches ~10⁴⁰ — past DECIMAL(38,0) /
+    HUGEINT, where Spark (ANSI off) silently NULLs while DuckDB
+    errors: DIVERGENT failure modes. Both engines therefore apply the
+    same exact digit-count guard BEFORE the fold —
+    2 + 6·digits(n) + 2·max(digits(R_a), digits(R_b)) ≤ 38 guarantees
+    every partial (|U| ≤ 4n²R, U², U·V, and the three sums) fits in 38
+    digits — and emit NULL stats identically when it fails. Callers
+    with long-span, large-magnitude data should pre-scale value_col by
+    a constant (dCor is scale-invariant; truncation error then lands
+    in the input quantization, not mid-fold overflow)."""
     from .dedup import _release_caches
     from ..operators.hypotests import dec_double_wide
 
@@ -3897,10 +3912,38 @@ def distance_correlation_daily(
         - (nn * F.col("rb_k")).cast(d38)
         + F.col("gb")
     ).cast(d38)
+    # Exact overflow guard (see docstring): digit-count bound computed
+    # on the tiny persisted day relation; when it fails, the fold feed
+    # is emptied so su2/sv2 come back NULL and the stats NULL — the
+    # oracle applies the IDENTICAL guard, so both engines degrade the
+    # same way instead of Spark-NULL vs DuckDB-error.
+    tot1 = daily2.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.coalesce(
+            (F.max("yc") - F.min("yc")).cast(d38), F.lit(0).cast(d38)
+        ).alias("rng_a"),
+        F.coalesce(
+            (F.max("m") - F.min("m")).cast(d38), F.lit(0).cast(d38)
+        ).alias("rng_b"),
+    ).withColumn(
+        "fits",
+        (
+            F.lit(2)
+            + F.lit(6) * F.length(F.col("n_days").cast("string"))
+            + F.lit(2)
+            * F.greatest(
+                F.length(F.col("rng_a").cast("string")),
+                F.length(F.col("rng_b").cast("string")),
+            )
+        )
+        <= F.lit(38),
+    )
     folded = (
         pairs.join(F.broadcast(ja), "da")
         .join(F.broadcast(jb), "db")
         .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot1.select("fits")))
+        .filter(F.col("fits"))
         .select(u.alias("u"), v.alias("v"), "n")
         .agg(
             F.max("n").alias("n"),
@@ -3909,8 +3952,7 @@ def distance_correlation_daily(
             F.sum((F.col("v") * F.col("v")).cast(d38)).alias("sv2"),
         )
     )
-    tot1 = daily2.agg(F.count(F.lit(1)).alias("n_days"))
-    final = tot1.crossJoin(F.broadcast(folded))
+    final = tot1.select("n_days").crossJoin(F.broadcast(folded))
     dcor2 = dec_double_wide(F.col("suv")) / F.sqrt(
         dec_double_wide(F.col("su2")) * dec_double_wide(F.col("sv2"))
     )
