@@ -468,6 +468,15 @@ FAMILIES: dict[str, list[str]] = {
         "snht_daily_value",
         "dcor_daily_value_volume",
     ],
+    # round-12 wave 22: dispersion ranks, circular uniformity, CF
+    # normality, aligned-rank blocks
+    "r12stats": [
+        "siegel_tukey_price_flag",
+        "conover_sqranks_price_flag",
+        "watson_u2_minute_events",
+        "epps_pulley_daily_value",
+        "aligned_ranks_nation_priority",
+    ],
 }
 
 HEADLINE = [q for qs in FAMILIES.values() for q in qs]

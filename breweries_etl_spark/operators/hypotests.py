@@ -6722,3 +6722,366 @@ def dagostino_k2(df: DataFrame, value_col: str) -> DataFrame:
         "n long, z_skew double, z_kurt double, k2_stat double, "
         "p_value double",
     )
+
+
+def siegel_tukey(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Siegel–Tukey (1960) rank test of equal DISPERSION: ranks are
+    assigned ZIG-ZAG from the extremes of the pooled sorted sample
+    (rank 1 to the lowest, 2–3 to the two highest, 4–5 to the next two
+    lowest, …), so a more-dispersed sample collects LOW ranks; the
+    Wilcoxon rank-sum machinery then applies unchanged. The companion
+    to ``ansari_bradley`` that needs no separate null distribution —
+    that is the test's original selling point.
+
+    Position→rank closed forms (the published pattern, including the
+    middle position taking rank N when N is odd): for sorted position
+    p with L = N div 2, m = p ≤ L gets 2m − (m mod 2); q = N+1−p ≤ L
+    gets 2q − 1 + (q mod 2); the middle gets N. From the bucketed
+    prefix-count primitive a tied block at value v occupies positions
+    lo..hi and its TOTAL score folds from integer range sums
+    (Σ2m − #odd, Σ(2q−1) + #odd — no rank column, no global sort);
+    positions within a tie are a fixed set, so the block total needs
+    no tiebreak, and each member gets the block-average score
+    (midranks). Normal approximation with the Hollander–Wolfe tied-
+    variance linear-rank moments over the scores actually assigned
+    (the ansari recipe): E = n_a·ā, Var = n_a·n_b(N·Σa² − (Σa)²)
+    /(N²(N−1)); Σa folds exactly (integer block totals; the full-
+    sample invariant Σa = N(N+1)/2 is asserted in tests), Σa² as
+    floor(10⁶·T_v²/c) fixed point (envelope N ≈ 10¹⁰, the ansari
+    bound). Output one row: (n_a, n_b, st_stat, z_score) with
+    st_stat = the A-sample score sum W."""
+    pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
+    d19 = "decimal(19,0)"
+    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    ).select(
+        "n_a", "n_b", (F.col("n_a") + F.col("n_b")).alias("nn")
+    )
+    one = F.lit(1).cast(d19)
+    two = F.lit(2).cast(d19)
+    c = (F.col("ca") + F.col("cb")).cast(d19)
+    cum = (F.col("cum_a") + F.col("cum_b")).cast(d19)
+    lo = cum - c + one
+    hi = cum
+    nnd = F.col("nn").cast(d19)
+    l_half = F.expr("nn div 2").cast(d19)
+    odd_n = (F.col("nn") % F.lit(2)).cast(d19)
+    # exact integer halving: (x − x%2)/2 is an exact decimal quotient
+    # (a bare x/2 would HALF_UP-round .5 on the cast — engine-divergent)
+    def _half(col: Column) -> Column:
+        return ((col - col % F.lit(2).cast(d19)) / F.lit(2)).cast(d19)
+
+    # low segment m ∈ [lo, min(hi, L)]: Σ(2m − (m mod 2))
+    b1 = F.least(hi, l_half)
+    len1 = F.greatest(b1 - lo + one, F.lit(0).cast(d19))
+    odd1 = F.when(
+        len1 > 0, _half(b1 + one) - _half(lo)
+    ).otherwise(F.lit(0).cast(d19))
+    t_low = ((lo + b1) * len1).cast("decimal(38,0)") - odd1.cast(
+        "decimal(38,0)"
+    )
+    # middle position (N odd): rank N
+    mid_p = l_half + one
+    t_mid = F.when(
+        (odd_n == one) & (lo <= mid_p) & (mid_p <= hi), nnd
+    ).otherwise(F.lit(0).cast(d19)).cast("decimal(38,0)")
+    # high segment p ∈ [max(lo, L+1+oddn), hi] ⇔ q = N+1−p ∈ [qa, qb]:
+    # Σ(2q − 1 + (q mod 2))
+    p_start = F.greatest(lo, l_half + one + odd_n)
+    qa = nnd + one - hi
+    qb = nnd + one - p_start
+    len2 = F.greatest(qb - qa + one, F.lit(0).cast(d19))
+    odd2 = F.when(
+        len2 > 0, _half(qb + one) - _half(qa)
+    ).otherwise(F.lit(0).cast(d19))
+    t_high = (
+        ((qa + qb) * len2).cast("decimal(38,0)")
+        - len2.cast("decimal(38,0)")
+        + odd2.cast("decimal(38,0)")
+    )
+    t_v = (t_low + t_mid + t_high).cast("decimal(38,0)")
+    t_d = dec_double_wide(t_v)
+    term_fp = F.floor(
+        F.lit(1e6) * F.col("ca").cast("double") * (t_d / c.cast("double"))
+    ).cast("decimal(38,0)")
+    aa_fp = F.floor(
+        F.lit(1e6) * t_d * (t_d / c.cast("double"))
+    ).cast("decimal(38,0)")
+    folded = pc.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("nn").alias("nn"),
+        F.sum(term_fp).alias("w_fp"),
+        F.sum(t_v).alias("s_sum"),
+        F.sum(aa_fp).alias("aa_fp"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = F.col("nn").cast("double")
+    w = dec_double_wide(F.col("w_fp")) / F.lit(1e6)
+    sa = dec_double_wide(F.col("s_sum"))
+    saa = dec_double_wide(F.col("aa_fp")) / F.lit(1e6)
+    mean = na * (sa / n)
+    var = na * nb * (n * saa - sa * sa) / (n * n * (n - F.lit(1.0)))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0)
+    result = folded.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(w, 6).alias("st_stat"),
+        F.when(ok, F.round((w - mean) / F.sqrt(var), 6)).alias("z_score"),
+    )
+    return _released(result, pc, release)
+
+
+def conover_squared_ranks(
+    df: DataFrame,
+    value_col: str,
+    group_expr: Column,
+    n_buckets: int = 64,
+    release: bool = True,
+) -> DataFrame:
+    """Conover's squared-ranks test (Conover 1999 §5.3) of equal
+    VARIANCE between two samples: rank the pooled absolute deviations
+    u = |x − x̄_g| from the OWN-group mean, then test the sum of
+    SQUARED ranks in sample A with the linear-rank moments over scores
+    a_i = R_i². Unlike ansari/siegel_tukey it does not assume equal
+    medians — each sample is centered on its own mean first.
+
+    Group means are exact decimal quotients; each deviation is cut to
+    integer cents by floor(|x − x̄_g|·100) of identical IEEE doubles
+    (the levene recipe — a half-up decimal round could land on engine-
+    divergent ties). Pooled midranks come from the bucketed prefix-
+    count primitive as DOUBLED midranks m2 = lo+hi; the score sums
+    fold exactly as quarter-scaled integers (T4 = Σca·m2², S4 = Σc·m2²
+    ≤ 4N³ — inside 38 digits to N ≈ 2.9×10⁹), and ΣR⁴ = Σc·m2⁴/16
+    rides a hi/lo 10¹⁸ SPLIT of m2⁴ built from m2² = a·10⁹ + b
+    (m2⁴ = a²·10¹⁸ + (2ab·10⁹ + b²); every partial < 10³⁸ to
+    N ≈ 6×10⁹ — the wide-split discipline, since a direct m2⁴ term
+    overflows DECIMAL(38) at N > 2×10⁹). z = (T − n_a·ā)/√Var with
+    Var = n_a·n_b(N·Σa² − (Σa)²)/(N²(N−1)).
+    Output one row: (n_a, n_b, t_stat, z_score)."""
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    val_dec = quantized_money(F.col(value_col))
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.coalesce(group_expr.cast("int"), F.lit(0)).alias("__g"),
+        val_dec.alias("__v"),
+    )
+    means = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__v").cast("decimal(38,2)")).alias("__s"),
+    )
+    means = means.select(
+        "__g",
+        (
+            dec_double_wide_frac(F.col("__s"))
+            / F.col("__n").cast("double")
+        ).alias("__mu"),
+    )
+    dev = base.join(F.broadcast(means), "__g").select(
+        "__g",
+        F.floor(
+            F.abs(F.col("__v").cast("double") - F.col("__mu")) * F.lit(100.0)
+        ).cast(d38).alias("u"),
+    )
+    pc = grouped_value_prefix_counts(
+        dev, "u", F.col("__g") == 1, n_buckets
+    )
+    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    ).select(
+        "n_a", "n_b", (F.col("n_a") + F.col("n_b")).alias("nn")
+    )
+    c = (F.col("ca") + F.col("cb")).cast(d19)
+    cum = (F.col("cum_a") + F.col("cum_b")).cast(d19)
+    m2 = (two_cum_m2 := cum + cum - c + F.lit(1).cast(d19))
+    m2sq = (m2 * m2).cast(d38)
+    # hi/lo split of m2⁴: m2² = a·10⁹ + b → m2⁴ = a²·10¹⁸ + cross,
+    # cross = 2ab·10⁹ + b² (each partial < 10³⁸; see docstring)
+    bsplit = F.lit(1000000000).cast("decimal(10,0)")
+    b_lo = (m2sq % bsplit).cast(d19)
+    a_hi = ((m2sq - b_lo) / bsplit).cast(d19)
+    cross = (
+        (F.lit(2).cast(d19) * a_hi * b_lo).cast(d38) * bsplit
+        + (b_lo * b_lo).cast(d38)
+    ).cast(d38)
+    cross_lo = (cross % F.lit(1000000000000000000).cast(d38)).cast(d38)
+    cross_hi = (
+        (cross - cross_lo) / F.lit(1000000000000000000).cast(d38)
+    ).cast(d38)
+    q_hi = ((a_hi * a_hi).cast(d38) + cross_hi).cast(d38)
+    folded = pc.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("nn").alias("nn"),
+        F.sum((F.col("ca").cast(d19) * m2sq).cast(d38)).alias("t4"),
+        F.sum((c * m2sq).cast(d38)).alias("s4"),
+        F.sum((c * q_hi).cast(d38)).alias("q16_hi"),
+        F.sum((c * cross_lo).cast(d38)).alias("q16_lo"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = F.col("nn").cast("double")
+    t_stat = dec_double_wide(F.col("t4")) / F.lit(4.0)
+    sa = dec_double_wide(F.col("s4")) / F.lit(4.0)
+    saa = (
+        dec_double_wide(F.col("q16_hi")) * F.lit(1e18)
+        + dec_double_wide(F.col("q16_lo"))
+    ) / F.lit(16.0)
+    mean = na * (sa / n)
+    var = na * nb * (n * saa - sa * sa) / (n * n * (n - F.lit(1.0)))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0)
+    result = folded.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.when(ok, F.round((t_stat - mean) / F.sqrt(var), 6)).alias(
+            "z_score"
+        ),
+    )
+    return _released(result, pc, release)
+
+
+def friedman_aligned_ranks(
+    df: DataFrame,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Friedman ALIGNED-ranks test (Hodges & Lehmann 1962): remove the
+    block effect by subtracting each complete block's mean, then rank
+    ALL b·k aligned observations in ONE pooled ranking — inter-block
+    comparability that plain Friedman's within-block ranks throw away,
+    which is why aligned ranks dominate at small k (García et al.
+    2010). T ~ χ²(k−1):
+    T = (k−1)[ΣR̂_t² − (k b²/4)(kb+1)²] /
+        ([kb(kb+1)(2kb+1)]/6 − (1/k)ΣR̂_b²).
+
+    ALL-INTEGER: cell responses are exact cent sums; the aligned value
+    is scaled by k — A_ij = k·y_ij − S_j (subtracting the mean S_j/k
+    would be a quotient; k is constant across the complete blocks, so
+    scaling preserves every comparison). Pooled DOUBLED midranks from
+    the bucketed prefix-count primitive; with D = Σm2 per treatment /
+    per block (= 2R̂), T closes as ONE exact-integer ratio
+    (k−1)·(k·ΣD_t² − k²·b²·(kb+1)²·4/4)…/(k·(2kb(kb+1)(2kb+1) div 3)
+    − ΣD_b²) — ×4k both sides, the div-3 exact by divisibility.
+    Ties use midranks with the published constant denominator
+    (documented; denom ≤ 0 → NULL stat). Incomplete blocks are
+    DROPPED (the quade convention, shared guard behavior: b = 0 →
+    NULL stat and df). Output one row:
+    (n_blocks, k_treatments, aligned_stat, df)."""
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    cells = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treat_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).alias("blk"), F.col(treat_col).alias("trt")
+        )
+        .agg(
+            F.sum(
+                quantized_money(F.col(value_col)).cast("decimal(38,2)")
+            ).alias("y")
+        )
+        # two consumers (k_total count + complete filter) — persist or
+        # the fact join runs twice (the quade/dunn lesson)
+        .persist()
+    )
+    k_total = cells.select("trt").distinct().count()
+    if k_total < 2:
+        cells.unpersist()
+        return df.sparkSession.createDataFrame(
+            [(0, int(k_total), None, None)],
+            "n_blocks long, k_treatments long, aligned_stat double, "
+            "df long",
+        )
+    complete = (
+        cells.withColumn(
+            "kb", F.count(F.lit(1)).over(Window.partitionBy("blk"))
+        )
+        .filter(F.col("kb") == F.lit(k_total))
+        .drop("kb")
+        .persist()
+    )
+    complete.count()
+    cells.unpersist()
+    ksc = F.lit(int(k_total)).cast(d19)
+    blksum = complete.groupBy("blk").agg(
+        F.sum("y").alias("sj")
+    )
+    aligned = complete.join(blksum, "blk").select(
+        "blk",
+        "trt",
+        (
+            (ksc * (F.col("y") * F.lit(100)).cast(d38)).cast(d38)
+            - (F.col("sj") * F.lit(100)).cast(d38)
+        ).cast(d38).alias("a"),
+    ).persist()
+    aligned.count()
+    complete.unpersist()
+    pc = grouped_value_prefix_counts(
+        aligned, "a", F.lit(False), n_buckets
+    )
+    cnt = (F.col("ca") + F.col("cb")).cast(d19)
+    cum = (F.col("cum_a") + F.col("cum_b")).cast(d19)
+    m2 = (cum + cum - cnt + F.lit(1).cast(d19)).alias("m2")
+    ranked = aligned.join(
+        pc.select(F.col("v").alias("a"), m2), "a"
+    )
+    d_t = ranked.groupBy("trt").agg(F.sum(F.col("m2").cast(d38)).alias("d"))
+    d_b = ranked.groupBy("blk").agg(F.sum(F.col("m2").cast(d38)).alias("d"))
+    sum_dt2 = d_t.agg(
+        F.sum((F.col("d") * F.col("d")).cast(d38)).alias("sdt2"),
+        F.count(F.lit(1)).alias("kchk"),
+    )
+    sum_db2 = d_b.agg(
+        F.sum((F.col("d") * F.col("d")).cast(d38)).alias("sdb2"),
+        F.count(F.lit(1)).alias("b"),
+    )
+    folded = sum_db2.crossJoin(F.broadcast(sum_dt2))
+    bb = F.col("b").cast(d19)
+    nkb = (ksc * bb).cast(d19)
+    # numerator ×4k: k·ΣD_t² − k²·b²·(kb+1)²  (D = 2R̂ ⇒ ΣD² = 4ΣR̂²)
+    numer = (
+        (ksc * F.col("sdt2")).cast(d38)
+        - (
+            (ksc * ksc * bb * bb).cast(d38)
+            * ((nkb + F.lit(1).cast(d19)) * (nkb + F.lit(1).cast(d19))).cast(d38)
+        ).cast(d38)
+    ).cast(d38)
+    # denominator ×4k: k·(2·kb(kb+1)(2kb+1) div 3) − ΣD_b²
+    folded = folded.withColumn("nkb_", nkb)
+    denom = (
+        (ksc * F.expr("CAST((CAST(2 AS DECIMAL(38,0)) * nkb_ * (nkb_ + 1) * (2 * nkb_ + 1)) div 3 AS DECIMAL(38,0))")).cast(d38)
+        - F.col("sdb2")
+    ).cast(d38)
+    stat = (
+        F.lit(int(k_total) - 1).cast("double")
+        * dec_double_wide(numer)
+        / dec_double_wide(denom)
+    )
+    result = folded.select(
+        F.col("b").cast("long").alias("n_blocks"),
+        F.lit(int(k_total)).cast("long").alias("k_treatments"),
+        F.when((F.col("b") > 0) & (denom > 0), F.round(stat, 6)).alias(
+            "aligned_stat"
+        ),
+        F.when(F.col("b") > 0, F.lit(int(k_total) - 1))
+        .cast("long")
+        .alias("df"),
+    )
+    from .dedup import _release_caches
+
+    return _release_caches(
+        result, [aligned, pc._vc_cache]  # type: ignore[attr-defined]
+    )

@@ -3963,3 +3963,198 @@ def distance_correlation_daily(
         F.when(ok, F.round(F.sqrt(dcor2), 6)).alias("dcor"),
     )
     return _release_caches(result, [daily2])
+
+
+def watson_u2_minute(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Watson's U² test of CIRCULAR uniformity for time-of-day at
+    minute resolution — the rotation-invariant Cramér–von Mises
+    variant (Watson 1961): U² = Σ(u_(i) − (2i−1)/(2n))² − n(ū − ½)²
+    + 1/(12n), invariant to where the day "starts", which the linear
+    KS/CvM statistics are not. Complements ``rayleigh_hour_uniformity``
+    (Rayleigh only has power against UNIMODAL departure; U² catches
+    bimodal load patterns — e.g. two rush hours — that Rayleigh calls
+    uniform).
+
+    ALL-INTEGER fold: with minute-of-day a ∈ [0,1440) and A = 1440,
+    12n²A²·U² = 3P − 3n(2Σa − nA)² + nA² where
+    P = Σ_i (2n·a_(i) − (2i−1)A)². The fact table collapses to the
+    ≤1440-row minute-count relation (one map-side-combinable shuffle);
+    each tied block at minute v occupying sorted positions lo..hi
+    contributes 3cK² − 6AK·(2S₁) + 2A²·(6S₂) with K = 2n·v + A and the
+    exact integer range sums 2S₁ = (lo+hi)c, 6S₂ = hi(hi+1)(2hi+1) −
+    (lo−1)lo(2lo−1) — positions assigned to equal values are a fixed
+    SET, so the per-block sum is tie-order-independent and needs no
+    tiebreak. The only window runs over the bounded minute relation.
+    One closing division via the wide split. MAGNITUDE ENVELOPE:
+    every partial ≤ ~1.2×10⁸·n³ (worst case all events in one minute)
+    → exact to n ≈ 9×10⁹ events (documented, the dagostino
+    discipline). Pre-epoch timestamps take the positive
+    residue ((µs % 86.4e9)+86.4e9) % 86.4e9. Output one row:
+    (n, u2_stat)."""
+    from .dedup import _release_caches
+    from ..operators.hypotests import dec_double_wide
+
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    minute = F.expr(
+        f"((unix_micros(cast({ts_col} as timestamp)) % 86400000000)"
+        f" + 86400000000) % 86400000000 div 60000000"
+    )
+    vc = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(minute.alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    vc.count()
+    tot = vc.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast(d19).alias("n"),
+        F.coalesce(
+            F.sum((F.col("m").cast(d19) * F.col("c")).cast(d38)),
+            F.lit(0).cast(d38),
+        ).alias("sa"),
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.select(
+        "m",
+        F.col("c").cast(d19).alias("c"),
+        F.sum("c").over(w).cast(d19).alias("hi"),
+    )
+    aa = F.lit(1440).cast(d19)
+    lo = F.col("hi") - F.col("c") + F.lit(1).cast(d19)
+    hi = F.col("hi")
+    k = (
+        F.lit(2).cast(d19) * F.col("n") * F.col("m").cast(d19) + aa
+    ).cast(d38)
+    s1x2 = ((lo + hi) * F.col("c")).cast(d38)
+    s2x6 = (
+        (hi * (hi + F.lit(1).cast(d19))).cast(d38)
+        * (F.lit(2).cast(d19) * hi + F.lit(1).cast(d19))
+        - ((lo - F.lit(1).cast(d19)) * lo).cast(d38)
+        * (F.lit(2).cast(d19) * lo - F.lit(1).cast(d19))
+    ).cast(d38)
+    p3_v = (
+        (F.lit(3).cast(d19) * F.col("c") * (k * k).cast(d38)).cast(d38)
+        - (F.lit(6).cast(d19) * aa * (k * s1x2).cast(d38)).cast(d38)
+        + (F.lit(2).cast(d19) * aa * aa * s2x6).cast(d38)
+    ).cast(d38)
+    folded = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(p3_v).alias("p3")
+    )
+    # empty input: the agg on zero rows emits NULL n — re-anchor from
+    # tot so the 1-row guarantee holds with n = 0
+    final = tot.select(
+        F.col("n").alias("n0"), F.col("sa").alias("sa0")
+    ).crossJoin(F.broadcast(folded.select("p3")))
+    dev = (
+        F.lit(2).cast(d19) * F.col("sa0")
+        - (F.col("n0") * aa).cast(d38)
+    ).cast(d38)
+    t_int = (
+        F.col("p3")
+        - (F.lit(3).cast(d19) * F.col("n0") * (dev * dev).cast(d38)).cast(
+            d38
+        )
+        + (F.col("n0") * aa * aa).cast(d38)
+    ).cast(d38)
+    nd = F.col("n0").cast("double")
+    u2 = dec_double_wide(t_int) / (
+        F.lit(12.0) * nd * nd * F.lit(2073600.0)
+    )
+    result = final.select(
+        F.col("n0").cast("long").alias("n"),
+        F.when(F.col("n0") > 0, F.round(u2, 6)).alias("u2_stat"),
+    )
+    return _release_caches(result, [vc])
+
+
+def epps_pulley_daily(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Epps–Pulley (1983) / BHEP(β=1) normality test of the daily-total
+    series — the characteristic-function statistic
+    TEP = (1/n)Σ_{j,k} e^{−(y_j−y_k)²/2} − √2·Σ_j e^{−y_j²/4} + n/√3
+    on the standardized daily values y = (x − x̄)/s (population s).
+    Affine-invariant and consistent against ALL alternatives — the
+    gap left by jarque_bera/dagostino (moment tests, blind to
+    non-normality with matching 3rd/4th moments).
+
+    The fact table collapses to the bounded day relation; y_j derives
+    from EXACT integer moments ((n·c_j − S), n·SS − S²) through one
+    fixed double sequence, so every exp() argument is the identical
+    IEEE double on both engines. The pair grid is CALENDAR-BOUNDED at
+    days² rows (the dcor contract). Each exp term rides the round-6
+    decimal parity recipe (the spectral/VdW rule — JVM and libm exp
+    agree only to ~1 ulp, so raw double folds could diverge); the two
+    folds are exact decimal sums with ONE closing sequence. Zero
+    variance or empty input → NULL stat (1-row guarantee).
+    Output: (n_days, tep_stat)."""
+    from .dedup import _release_caches
+    from ..operators.hypotests import dec_double_wide
+
+    d38 = "decimal(38,0)"
+    daily = _daily_series(df, ts_col, value_col).persist()
+    daily.count()
+    base = daily.select(
+        "day", (F.col("y") * F.lit(100)).cast(d38).alias("c")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.coalesce(F.sum("c"), F.lit(0).cast(d38)).alias("s"),
+        F.coalesce(
+            F.sum((F.col("c") * F.col("c")).cast(d38)), F.lit(0).cast(d38)
+        ).alias("ss"),
+    )
+    nn = F.col("n")
+    m2num = ((nn * F.col("ss")).cast(d38) - (F.col("s") * F.col("s")).cast(d38)).cast(d38)
+    nd = nn.cast("double")
+    # y_j = (c_j − S/n)/s_pop = (n·c_j − S)/√(n·SS − S²): one exact
+    # integer numerator, one sqrt, one division — identical IEEE
+    # sequence on both engines
+    ys = (
+        base.crossJoin(F.broadcast(tot))
+        .filter(m2num > 0)
+        .select(
+            "day",
+            (
+                dec_double_wide(
+                    ((nn * F.col("c")).cast(d38) - F.col("s")).cast(d38)
+                )
+                / F.sqrt(dec_double_wide(m2num))
+            ).alias("y"),
+        )
+    )
+    pa = ys.select(F.col("y").alias("ya"))
+    pb = ys.select(F.col("y").alias("yb"))
+    dy = F.col("ya") - F.col("yb")
+    pair_term = F.round(F.exp(dy * dy / F.lit(-2.0)), 6).cast(
+        "decimal(8,6)"
+    )
+    sum1 = pa.crossJoin(pb).agg(
+        F.coalesce(
+            F.sum(pair_term.cast("decimal(38,6)")), F.lit(0).cast("decimal(38,6)")
+        ).alias("s1")
+    )
+    one_term = F.round(
+        F.exp(F.col("y") * F.col("y") / F.lit(-4.0)), 6
+    ).cast("decimal(8,6)")
+    sum2 = ys.agg(
+        F.coalesce(
+            F.sum(one_term.cast("decimal(38,6)")), F.lit(0).cast("decimal(38,6)")
+        ).alias("s2")
+    )
+    from ..operators.hypotests import dec_double_wide_frac
+
+    final = tot.crossJoin(F.broadcast(sum1)).crossJoin(F.broadcast(sum2))
+    tep = (
+        dec_double_wide_frac(F.col("s1")) / nd
+        - F.sqrt(F.lit(2.0)) * dec_double_wide_frac(F.col("s2"))
+        + nd / F.sqrt(F.lit(3.0))
+    )
+    ok = (nn > 0) & (m2num > 0)
+    result = final.select(
+        nn.cast("long").alias("n_days"),
+        F.when(ok, F.round(tep, 6)).alias("tep_stat"),
+    )
+    return _release_caches(result, [daily])

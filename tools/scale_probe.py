@@ -216,6 +216,10 @@ QUERIES = [
     "generalized_esd_orders", "hill_diversity_docs",
     "quade_nation_priority", "snht_daily_value",
     "dcor_daily_value_volume",
+    # round-12 wave 22
+    "siegel_tukey_price_flag", "conover_sqranks_price_flag",
+    "watson_u2_minute_events", "epps_pulley_daily_value",
+    "aligned_ranks_nation_priority",
 ]
 
 
