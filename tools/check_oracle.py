@@ -19,7 +19,10 @@ registry names using ``random.Random(R).sample`` over the sorted name
 list (round-8 verdict #4: a fresh NON-self-selected sample each round,
 seeded by the round number so a future judge can replay it exactly —
 the seed is recorded in the JSON artifact). Explicit query names on
-the command line are incompatible with --sample.
+the command line are incompatible with --sample; ``--include a,b,c``
+(round-12) instead UNIONS named queries into the seeded draw and
+records them in the artifact — guaranteed coverage for specific
+never-driver-checked names without unseeding the draw.
 
 ``--exclude-driver`` (round-9 verdict #4) restricts the --sample pool
 to names that have NEVER earned a driver CORRECTNESS row: it unions
@@ -82,6 +85,14 @@ def main() -> int:
     if "--exclude-driver" in argv:
         exclude_driver = True
         argv.remove("--exclude-driver")
+    include: list[str] = []
+    if "--include" in argv:
+        # judge r11 #2: names UNIONED into the seeded draw and recorded
+        # in the artifact — lets a sample artifact guarantee coverage of
+        # specific never-driver-checked queries without unseeding the draw
+        i = argv.index("--include")
+        include = [n for n in argv[i + 1].split(",") if n]
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     if sample_n is not None:
@@ -105,6 +116,10 @@ def main() -> int:
             )
         only = set(random.Random(seed).sample(names, sample_n))
         print(f"sampled {sample_n}/{len(names)} names with seed {seed}")
+        if include:
+            only |= set(include)
+            print(f"--include added {sorted(set(include))} "
+                  f"-> {len(only)} names total")
     results: dict[str, dict] = {}
 
     spark = get_spark("oracle_check")
@@ -195,6 +210,7 @@ def main() -> int:
         summary = {
             "sample_n": sample_n,
             "seed": seed,
+            "included": include,
             "sf_dir": sf_dir,
             "n_queries": len(results),
             "n_ok": sum(1 for r in results.values() if r["status"] == "ok"),

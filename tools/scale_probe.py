@@ -220,6 +220,8 @@ QUERIES = [
     "siegel_tukey_price_flag", "conover_sqranks_price_flag",
     "watson_u2_minute_events", "epps_pulley_daily_value",
     "aligned_ranks_nation_priority",
+    # round-12: complete the BENCH_r11 top-20 tail (judge r11 #5)
+    "quantile_normalize_price", "graph_pagerank_top",
 ]
 
 
