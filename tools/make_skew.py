@@ -44,6 +44,15 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfskew"
 
 
+def _rp(name: str) -> str:
+    """read_parquet() source for a table that may be a single file
+    (driver testdata) or a Spark multi-part directory (scaled_sf1)."""
+    p = f"{SRC}/{name}.parquet"
+    if os.path.isdir(p):
+        return f"read_parquet('{p}/*.parquet')"
+    return f"read_parquet('{p}')"
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
@@ -58,16 +67,16 @@ def main() -> None:
         print(f"{name}: {n} rows")
 
     hot_cust = con.sql(
-        f"SELECT min(c_custkey) FROM read_parquet('{SRC}/customer.parquet')"
+        f"SELECT min(c_custkey) FROM {_rp('customer')}"
     ).fetchone()[0]
     hot_supp = con.sql(
-        f"SELECT min(s_suppkey) FROM read_parquet('{SRC}/supplier.parquet')"
+        f"SELECT min(s_suppkey) FROM {_rp('supplier')}"
     ).fetchone()[0]
     hot_part = con.sql(
-        f"SELECT min(p_partkey) FROM read_parquet('{SRC}/part.parquet')"
+        f"SELECT min(p_partkey) FROM {_rp('part')}"
     ).fetchone()[0]
     hot_user = con.sql(
-        f"SELECT min(user_id) FROM read_parquet('{SRC}/events.parquet')"
+        f"SELECT min(user_id) FROM {_rp('events')}"
         f" WHERE user_id IS NOT NULL"
     ).fetchone()[0]
 
@@ -77,7 +86,7 @@ def main() -> None:
           CASE WHEN o_orderkey % 2 = 0 THEN {hot_cust}
                ELSE o_custkey END AS o_custkey,
           o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-        FROM read_parquet('{SRC}/orders.parquet')
+        FROM {_rp('orders')}
         """,
         "orders",
     )
@@ -91,7 +100,7 @@ def main() -> None:
                ELSE l_suppkey END AS l_suppkey,
           l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
           l_returnflag, l_linestatus, l_shipdate
-        FROM read_parquet('{SRC}/lineitem.parquet')
+        FROM {_rp('lineitem')}
         """,
         "lineitem",
     )
@@ -102,12 +111,12 @@ def main() -> None:
           CASE WHEN event_id % 10 != 0 AND user_id IS NOT NULL
                THEN {hot_user} ELSE user_id END AS user_id,
           event_type, value, props
-        FROM read_parquet('{SRC}/events.parquet')
+        FROM {_rp('events')}
         """,
         "events",
     )
 
-    docs = f"read_parquet('{SRC}/documents.parquet')"
+    docs = f"{_rp('documents')}"
     copy(
         f"""
         SELECT doc_id,
@@ -123,7 +132,7 @@ def main() -> None:
         "documents",
     )
 
-    emb = f"read_parquet('{SRC}/embeddings.parquet')"
+    emb = f"{_rp('embeddings')}"
     copy(
         f"""
         SELECT vec_id,
@@ -138,7 +147,7 @@ def main() -> None:
     )
 
     for t in ("region", "nation", "customer", "supplier", "part"):
-        copy(f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')", t)
+        copy(f"SELECT * FROM {_rp(t)}", t)
 
 
 if __name__ == "__main__":
