@@ -1524,6 +1524,34 @@ FROM sess GROUP BY user_id, session_id
 
 _GREATEST = "greatest(h_en, h_es, h_de, h_fr)"
 
+def _ddw(c: str) -> str:
+    """Portable wide DECIMAL->DOUBLE split (SQL twin of
+    operators/hypotests.dec_double_wide) for INTEGER sums past 2^63:
+    exact hugeint split at 10^9 on abs(s), two int64->double paths,
+    sign reapplied as an exact multiply — sign-safe, so Spark decimal
+    % and DuckDB HUGEINT % never see a negative operand."""
+    return (
+        f"(CASE WHEN ({c}) < 0 THEN -1.0 ELSE 1.0 END *"
+        f" (CAST(CAST(abs({c}) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9"
+        f" + CAST(CAST(abs({c}) AS HUGEINT) % 1000000000 AS DOUBLE)))"
+    )
+
+
+def _ddwf(c: str) -> str:
+    """Portable wide DECIMAL->DOUBLE for FRACTION-CARRYING sums past
+    2^63 (SQL twin of operators/hypotests.dec_double_wide_frac):
+    integer part via the sign-safe hugeint split, exact sub-1 fraction
+    in one final IEEE add."""
+    return (
+        f"(CASE WHEN ({c}) < 0 THEN -1.0 ELSE 1.0 END *"
+        f" (CAST(CAST(floor(abs({c})) AS HUGEINT) // 1000000000 AS DOUBLE)"
+        f" * 1e9"
+        f" + CAST(CAST(floor(abs({c})) AS HUGEINT) % 1000000000 AS DOUBLE)"
+        f" + CAST(abs({c}) - floor(abs({c})) AS DOUBLE)))"
+    )
+
+
+
 _ORACLES: dict[str, str] = {
     "gold_by_type_location": _SILVER_CTE
     + """
@@ -6476,7 +6504,7 @@ SELECT bin, CAST(count(*) AS BIGINT) AS n,
 FROM binned GROUP BY bin
 """
 
-_ORACLES["decision_stump_price_split"] = """
+_ORACLES["decision_stump_price_split"] = f"""
 WITH per_x AS (
   SELECT l_returnflag, l_quantity AS threshold, count(*) AS nx,
     SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy_x,
@@ -6498,18 +6526,31 @@ WITH per_x AS (
 ), sc AS (
   SELECT l_returnflag, threshold,
     CAST(cn AS BIGINT) AS n_left, CAST(tn - cn AS BIGINT) AS n_right,
-    round(CAST(csy AS DOUBLE) / CAST(cn AS DOUBLE), 6) AS mean_left,
-    round((CAST(tsy AS DOUBLE) - CAST(csy AS DOUBLE))
+    round(({_ddwf('csy')}) / CAST(cn AS DOUBLE), 6) AS mean_left,
+    round((({_ddwf('tsy')}) - ({_ddwf('csy')}))
           / (CAST(tn AS DOUBLE) - CAST(cn AS DOUBLE)), 6) AS mean_right,
-    round(
-      (CAST(tsyy AS DOUBLE) - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE)
+    -- 2-dp fixed-point half-up (see mltrain.decision_stump: round(.,6)
+    -- diverges between engines at SSE magnitudes)
+    (CASE WHEN
+      ((({_ddwf('tsyy')}) - ({_ddwf('tsy')}) * ({_ddwf('tsy')})
                               / CAST(tn AS DOUBLE))
-      - (CAST(csyy AS DOUBLE) - CAST(csy AS DOUBLE) * CAST(csy AS DOUBLE)
+      - (({_ddwf('csyy')}) - ({_ddwf('csy')}) * ({_ddwf('csy')})
                                 / CAST(cn AS DOUBLE))
-      - ((CAST(tsyy AS DOUBLE) - CAST(csyy AS DOUBLE))
-         - (CAST(tsy AS DOUBLE) - CAST(csy AS DOUBLE))
-           * (CAST(tsy AS DOUBLE) - CAST(csy AS DOUBLE))
-           / (CAST(tn AS DOUBLE) - CAST(cn AS DOUBLE))), 6) AS sse_reduction
+      - ((({_ddwf('tsyy')}) - ({_ddwf('csyy')}))
+         - (({_ddwf('tsy')}) - ({_ddwf('csy')}))
+           * (({_ddwf('tsy')}) - ({_ddwf('csy')}))
+           / (CAST(tn AS DOUBLE) - CAST(cn AS DOUBLE)))) < 0
+     THEN -1.0 ELSE 1.0 END
+     * floor(abs(
+      (({_ddwf('tsyy')}) - ({_ddwf('tsy')}) * ({_ddwf('tsy')})
+                              / CAST(tn AS DOUBLE))
+      - (({_ddwf('csyy')}) - ({_ddwf('csy')}) * ({_ddwf('csy')})
+                                / CAST(cn AS DOUBLE))
+      - ((({_ddwf('tsyy')}) - ({_ddwf('csyy')}))
+         - (({_ddwf('tsy')}) - ({_ddwf('csy')}))
+           * (({_ddwf('tsy')}) - ({_ddwf('csy')}))
+           / (CAST(tn AS DOUBLE) - CAST(cn AS DOUBLE)))) * 100.0 + 0.5))
+     / 100.0 + 0.0 AS sse_reduction
   FROM cum WHERE cn < tn
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY l_returnflag
@@ -6663,33 +6704,6 @@ def q_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return gini_concentration(
         load_table(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
-    )
-
-
-def _ddw(c: str) -> str:
-    """Portable wide DECIMAL->DOUBLE split (SQL twin of
-    operators/hypotests.dec_double_wide) for INTEGER sums past 2^63:
-    exact hugeint split at 10^9 on abs(s), two int64->double paths,
-    sign reapplied as an exact multiply — sign-safe, so Spark decimal
-    % and DuckDB HUGEINT % never see a negative operand."""
-    return (
-        f"(CASE WHEN ({c}) < 0 THEN -1.0 ELSE 1.0 END *"
-        f" (CAST(CAST(abs({c}) AS HUGEINT) // 1000000000 AS DOUBLE) * 1e9"
-        f" + CAST(CAST(abs({c}) AS HUGEINT) % 1000000000 AS DOUBLE)))"
-    )
-
-
-def _ddwf(c: str) -> str:
-    """Portable wide DECIMAL->DOUBLE for FRACTION-CARRYING sums past
-    2^63 (SQL twin of operators/hypotests.dec_double_wide_frac):
-    integer part via the sign-safe hugeint split, exact sub-1 fraction
-    in one final IEEE add."""
-    return (
-        f"(CASE WHEN ({c}) < 0 THEN -1.0 ELSE 1.0 END *"
-        f" (CAST(CAST(floor(abs({c})) AS HUGEINT) // 1000000000 AS DOUBLE)"
-        f" * 1e9"
-        f" + CAST(CAST(floor(abs({c})) AS HUGEINT) % 1000000000 AS DOUBLE)"
-        f" + CAST(abs({c}) - floor(abs({c})) AS DOUBLE)))"
     )
 
 
@@ -15962,8 +15976,9 @@ WITH g AS (
 SELECT grp AS "group", CAST(n AS BIGINT) AS n,
   CAST(successes AS BIGINT) AS successes,
   CASE WHEN n > 0 THEN round(p, 6) END AS p_hat,
-  CASE WHEN n > 0 THEN round(center - half, 6) END AS ci_low,
-  CASE WHEN n > 0 THEN round(center + half, 6) END AS ci_high
+  -- + 0.0 normalizes -0.0 (see wilson_ci_by_group)
+  CASE WHEN n > 0 THEN round(center - half, 6) + 0.0 END AS ci_low,
+  CASE WHEN n > 0 THEN round(center + half, 6) + 0.0 END AS ci_high
 FROM fin
 """
 

@@ -4033,8 +4033,12 @@ def mantel_haenszel_or(
 
     One conditional-count shuffle to the K-row stratum relation; the
     per-stratum ratio terms (exact integer products over the stratum
-    total) fold with the round-6 decimal recipe. Output one row:
-    (n, k_strata, or_mh, log_or_mh)."""
+    total) fold with the round-6 decimal recipe. An EMPTY stratum
+    (all four cells 0 — every row's exposure/outcome predicate NULL,
+    the skew⊕degen composed case) contributes a NULL term that the
+    sum skips, matching DuckDB's divide-by-zero→NULL; unguarded, the
+    ANSI engine raised DIVIDE_BY_ZERO (r12 skewdegen catch).
+    Output one row: (n, k_strata, or_mh, log_or_mh)."""
     e = exposure_expr
     y = outcome_expr
     per_k = (
@@ -4050,11 +4054,12 @@ def mantel_haenszel_or(
     n_k = (
         F.col("a") + F.col("b") + F.col("c") + F.col("d")
     ).cast("double")
+    n_k_div = F.when(n_k > 0, n_k)
     num_t = F.round(
-        F.col("a").cast("double") * F.col("d").cast("double") / n_k, 6
+        F.col("a").cast("double") * F.col("d").cast("double") / n_k_div, 6
     ).cast("decimal(28,6)")
     den_t = F.round(
-        F.col("b").cast("double") * F.col("c").cast("double") / n_k, 6
+        F.col("b").cast("double") * F.col("c").cast("double") / n_k_div, 6
     ).cast("decimal(28,6)")
     folded = per_k.agg(
         F.sum(n_k.cast("decimal(38,0)")).alias("n"),
@@ -5386,11 +5391,15 @@ def breslow_day(
     n_k = (
         F.col("a") + F.col("b") + F.col("c") + F.col("d")
     ).cast("double")
+    # empty stratum (skew⊕degen composed case): NULL term, sum skips —
+    # the DuckDB twin's divide-by-zero→NULL behavior; unguarded this
+    # raised ANSI DIVIDE_BY_ZERO (r12 skewdegen catch)
+    n_k_div = F.when(n_k > 0, n_k)
     num_t = F.round(
-        F.col("a").cast("double") * F.col("d").cast("double") / n_k, 6
+        F.col("a").cast("double") * F.col("d").cast("double") / n_k_div, 6
     ).cast("decimal(28,6)")
     den_t = F.round(
-        F.col("b").cast("double") * F.col("c").cast("double") / n_k, 6
+        F.col("b").cast("double") * F.col("c").cast("double") / n_k_div, 6
     ).cast("decimal(28,6)")
     folded = per_k.agg(
         F.sum(n_k.cast("decimal(38,0)")).alias("n"),
@@ -5420,8 +5429,10 @@ def breslow_day(
     disc = F.sqrt(F.greatest(qb * qb - F.lit(4.0) * qa * qc, F.lit(0.0)))
     # psi = 1 degenerates to linear: E = -qc/qb = m1*n1/N (independence);
     # otherwise the valid root (0 < E < min(m1, n1)) is (-qb + disc)/(2qa)
+    # qb = 0 only on an empty stratum (m1 = n1 = N = 0): NULL → the
+    # valid-gate fails → term 0, the DuckDB twin's NULL-division path
     ee = F.when(
-        F.abs(qa) < F.lit(1e-12), -qc / qb
+        F.abs(qa) < F.lit(1e-12), -qc / F.when(qb != 0, qb)
     ).otherwise((-qb + disc) / (F.lit(2.0) * qa))
     inv_var = (
         F.lit(1.0) / ee

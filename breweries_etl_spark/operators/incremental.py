@@ -86,7 +86,15 @@ def merge_aggregate_state(
     for c, op in merge_ops.items():
         bc, dc = F.col(f"__b_{c}"), F.col(f"__d_{c}")
         if op == "sum":
-            expr = F.coalesce(bc, F.lit(0)) + F.coalesce(dc, F.lit(0))
+            # both-NULL states stay NULL: a group whose every input
+            # value is NULL has SUM = NULL in the batch recompute, so
+            # coalescing to 0 here silently diverged incremental from
+            # batch on all-NULL groups (r12 skewdegen catch — the hot
+            # key's NULL-ridden share produced exactly that group)
+            expr = F.when(
+                bc.isNotNull() | dc.isNotNull(),
+                F.coalesce(bc, F.lit(0)) + F.coalesce(dc, F.lit(0)),
+            )
         elif op == "min":
             expr = F.least(bc, dc)  # least/greatest skip NULLs
         elif op == "max":

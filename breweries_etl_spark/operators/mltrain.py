@@ -400,18 +400,39 @@ def decision_stump(
         F.sum("sy_x").over(wt).alias("tsy"),
         F.sum("syy_x").over(wt).alias("tsyy"),
     ).filter(F.col("cn") < F.col("tn"))
+    from .hypotests import dec_double_wide_frac
+
+    # portable decimal→double: the squared-price prefix sums carry >15
+    # significant digits, where a DIRECT decimal cast is not correctly
+    # rounded on DuckDB (dec_double contract) — a 1-ulp difference in
+    # csyy flipped the 6th decimal of sse_reduction under composed
+    # skew⊕degen data (r12 catch)
     cn = F.col("cn").cast("double")
-    csy = F.col("csy").cast("double")
-    csyy = F.col("csyy").cast("double")
+    csy = dec_double_wide_frac(F.col("csy"))
+    csyy = dec_double_wide_frac(F.col("csyy"))
     tn = F.col("tn").cast("double")
-    tsy = F.col("tsy").cast("double")
-    tsyy = F.col("tsyy").cast("double")
+    tsy = dec_double_wide_frac(F.col("tsy"))
+    tsyy = dec_double_wide_frac(F.col("tsyy"))
     rn_ = tn - cn
     rsy = tsy - csy
     rsyy = tsyy - csyy
     sse_total = tsyy - tsy * tsy / tn
     sse_left = csyy - csy * csy / cn
     sse_right = rsyy - rsy * rsy / rn_
+    red = sse_total - sse_left - sse_right
+    # 2-dp FIXED-POINT half-up instead of round(·, 6): SSE magnitudes
+    # are Σy²-sized (4e9 at sf0.01), where round's scaled |x|·1e6
+    # exceeds the double tie grid and DuckDB's half-away-from-zero on
+    # the ...xxx.5 artifact diverges from Spark's exact-BigDecimal
+    # rounding by 1e-6 (r12 skewdegen catch). floor of identical IEEE
+    # doubles is engine-identical at ANY magnitude; cents precision is
+    # ample for an SSE.
+    red_fp = (
+        F.signum(red)
+        * F.floor(F.abs(red) * F.lit(100.0) + F.lit(0.5))
+        / F.lit(100.0)
+        + F.lit(0.0)  # normalize IEEE -0.0 (signum(-0)·0 = -0)
+    )
     scored = cum.select(
         group_col,
         "threshold",
@@ -419,7 +440,7 @@ def decision_stump(
         (F.col("tn") - F.col("cn")).alias("n_right"),
         F.round(csy / cn, 6).alias("mean_left"),
         F.round(rsy / rn_, 6).alias("mean_right"),
-        F.round(sse_total - sse_left - sse_right, 6).alias("sse_reduction"),
+        red_fp.alias("sse_reduction"),
     )
     rank = Window.partitionBy(group_col).orderBy(
         F.col("sse_reduction").desc(), F.col("threshold").asc()

@@ -322,8 +322,18 @@ def cms_heavy_hitters(
         .select(key_col)
         .distinct()
     )
+    # NULL-SAFE verify join: SQL GROUP BY keeps NULL as a real group,
+    # and the sketch candidate phase carries it (xxhash64 hashes the
+    # NULL row to a seed-stable cell) — but an equality semi-join
+    # silently dropped the NULL-key group even when it was heavy
+    # (r12 skewdegen catch: 588 NULL-user events ≥ threshold).
+    cand = candidates.withColumnRenamed(key_col, "__cand_key")
     return (
-        df.join(F.broadcast(candidates), key_col, "left_semi")
+        df.join(
+            F.broadcast(cand),
+            F.col(key_col).eqNullSafe(F.col("__cand_key")),
+            "left_semi",
+        )
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= threshold)
@@ -370,8 +380,16 @@ def winsorized_stats(
             F.min("p_lo").cast("decimal(14,2)").alias("p_lo"),
             F.min("p_hi").cast("decimal(14,2)").alias("p_hi"),
             F.sum(clipped).alias("sum_clipped"),
-            F.sum((v < F.col("p_lo")).cast("long")).alias("n_clipped_low"),
-            F.sum((v > F.col("p_hi")).cast("long")).alias("n_clipped_high"),
+            # coalesce the NULL comparison (all-NULL group → NULL clip
+            # bounds, the skew⊕degen composed case) to 0 — the SQL
+            # twin's CASE…ELSE 0 tallies 0, a bare NULL sum diverged
+            # (r12 skewdegen catch)
+            F.sum(
+                F.coalesce((v < F.col("p_lo")).cast("long"), F.lit(0))
+            ).alias("n_clipped_low"),
+            F.sum(
+                F.coalesce((v > F.col("p_hi")).cast("long"), F.lit(0))
+            ).alias("n_clipped_high"),
         )
     )
 
@@ -431,12 +449,18 @@ def robust_scale_stats(
             F.min("med").cast("double").alias("med"),
             F.min("mad").cast("double").alias("mad"),
             # exact-decimal comparison: 10·|x−med| > z10·mad (z given
-            # to 0.1) — no doubles until the output projection
+            # to 0.1) — no doubles until the output projection; NULL
+            # comparisons (all-NULL group → NULL med/mad, the
+            # skew⊕degen composed case) tally as 0 like the twin's
+            # CASE…ELSE 0 (r12 skewdegen catch)
             F.sum(
-                (
-                    (F.col("__dev") * 10 > F.col("mad") * z10)
-                    & (F.col("mad") > 0)
-                ).cast("long")
+                F.coalesce(
+                    (
+                        (F.col("__dev") * 10 > F.col("mad") * z10)
+                        & (F.col("mad") > 0)
+                    ).cast("long"),
+                    F.lit(0),
+                )
             ).alias("n_outliers"),
         )
     )
@@ -1793,12 +1817,17 @@ def wilson_ci_by_group(
         F.col("n").cast("long").alias("n"),
         F.col("successes").cast("long").alias("successes"),
         F.when(F.col("n") > 0, F.round(p, 6)).alias("p_hat"),
-        F.when(F.col("n") > 0, F.round(center - half, 6)).alias(
-            "ci_low"
-        ),
-        F.when(F.col("n") > 0, F.round(center + half, 6)).alias(
-            "ci_high"
-        ),
+        # + 0.0 normalizes IEEE negative zero: at p̂ = 0 the bound is
+        # exactly 0 mathematically but center − half lands at ±ε and
+        # round() keeps the sign — Spark printed 0.0 where DuckDB
+        # printed -0.0 (r12 skewdegen catch on a 1-row group); −0+0=+0
+        # is exact on both engines, identity everywhere else
+        F.when(
+            F.col("n") > 0, F.round(center - half, 6) + F.lit(0.0)
+        ).alias("ci_low"),
+        F.when(
+            F.col("n") > 0, F.round(center + half, 6) + F.lit(0.0)
+        ).alias("ci_high"),
     )
 
 
