@@ -662,7 +662,17 @@ def kcore_summary(
     n_edges0 = und.count() // 2
     cur = und
     n_peel = 0
-    prev_nodes = n_nodes0
+    # Convergence signal (r12): the per-round EDGE-ROW count, not a
+    # distinct node count. Equivalence: nxt ⊆ cur row-wise, so equal
+    # row counts ⇔ nxt == cur ⇔ no node fell below k (a removed node
+    # had deg ≥ 1 — nodes exist only via edges — so removing one
+    # strictly removes rows; and if keep ⊇ nodes(cur), both semi-joins
+    # pass every row). The two signals break on the SAME round and
+    # count the SAME strict decreases — but the plain count() is
+    # answered by the persist materialization itself, where the old
+    # distinct-node count paid one extra full exchange + aggregate per
+    # round (guide §2.4: remove shuffles outright).
+    prev_rows = n_edges0 * 2
     for _ in range(max_rounds):
         keep = (
             cur.groupBy("src")
@@ -675,7 +685,7 @@ def kcore_summary(
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             .persist()
         )
-        n_nodes = nxt.select("src").distinct().count()
+        n_rows = nxt.count()
         # round i-1's relation is fully consumed once round i's count
         # materializes nxt: release it NOW so peak executor storage is
         # two consecutive rounds (plus und), not the sum of every
@@ -684,14 +694,20 @@ def kcore_summary(
         if cur is not und:
             cur.unpersist()
         cur = nxt
-        if n_nodes == prev_nodes:
+        if n_rows == prev_rows:
             break
         n_peel += 1
-        prev_nodes = n_nodes
-    n_edges_core = cur.count() // 2
+        prev_rows = n_rows
+    # Final-core stats: ONE distinct node count on the fixed-point
+    # relation (the old loop paid it every round); the edge count is
+    # prev_rows — on break, nxt had exactly prev_rows rows; on
+    # max_rounds exhaustion, prev_rows was just updated to the last
+    # count.
+    n_nodes_core = cur.select("src").distinct().count()
+    n_edges_core = prev_rows // 2
     spark = pairs.sparkSession
     out = spark.createDataFrame(
-        [(k, n_nodes0, n_edges0, n_peel, prev_nodes, n_edges_core)],
+        [(k, n_nodes0, n_edges0, n_peel, n_nodes_core, n_edges_core)],
         "k long, n_nodes_initial long, n_edges_initial long, "
         "n_peel_rounds long, n_nodes_core long, n_edges_core long",
     )

@@ -179,11 +179,22 @@ def grouped_value_prefix_counts(
     bounds = vc.agg(
         F.percentile_approx("v", qs, 10000).alias("__bs")
     )
-    vb = vc.crossJoin(F.broadcast(bounds)).select(
-        "v",
-        "ca",
-        "cb",
-        F.size(F.filter("__bs", lambda b: F.col("v") > b)).alias("b"),
+    # ONE exchange, hash-partitioned by bucket (r12): both consumers
+    # below — the per-bucket subtotal aggregate and the within-bucket
+    # window — require HashPartitioning(b), so they share this shuffle
+    # (ReusedExchange) and the bucket-assignment subtree (cache scan +
+    # broadcast nested-loop against bounds + array count) is evaluated
+    # ONCE instead of once per consumer branch (guide §2.4: two
+    # operations keyed the same way share one exchange).
+    vb = (
+        vc.crossJoin(F.broadcast(bounds))
+        .select(
+            "v",
+            "ca",
+            "cb",
+            F.size(F.filter("__bs", lambda b: F.col("v") > b)).alias("b"),
+        )
+        .repartition(F.col("b"))
     )
     per_b = vb.groupBy("b").agg(
         F.sum("ca").alias("sa"), F.sum("cb").alias("sb")
@@ -260,10 +271,15 @@ def multigroup_value_prefix_counts(
     qs = [round(q / n_buckets, 6) for q in range(1, n_buckets)]
     bounds = vc.agg(F.percentile_approx("v", qs, 10000).alias("__bs"))
     cnames = [f"c{i}" for i in range(k)]
-    vb = vc.crossJoin(F.broadcast(bounds)).select(
-        "v",
-        *cnames,
-        F.size(F.filter("__bs", lambda b: F.col("v") > b)).alias("b"),
+    # single shared bucket exchange — see grouped_value_prefix_counts
+    vb = (
+        vc.crossJoin(F.broadcast(bounds))
+        .select(
+            "v",
+            *cnames,
+            F.size(F.filter("__bs", lambda b: F.col("v") > b)).alias("b"),
+        )
+        .repartition(F.col("b"))
     )
     per_b = vb.groupBy("b").agg(
         *[F.sum(c).alias(f"s{i}") for i, c in enumerate(cnames)]
@@ -616,11 +632,19 @@ def quantile_normalize(
     gv.count()
     qs = [round(k / n_buckets, 6) for k in range(1, n_buckets)]
     bounds = gv.agg(F.percentile_approx("v", qs, 10000).alias("__bs"))
-    gb = gv.crossJoin(F.broadcast(bounds)).select(
-        "g",
-        "v",
-        "c",
-        F.size(F.filter("__bs", lambda b: F.col("v") > b)).alias("b"),
+    # one shared (g, b) exchange (r12): the per-(g,b) subtotal aggregate
+    # and the within-(g,b) window reuse it, and the pooled side reads
+    # the shuffled rows instead of re-evaluating the bucket-assignment
+    # subtree a third time — see grouped_value_prefix_counts
+    gb = (
+        gv.crossJoin(F.broadcast(bounds))
+        .select(
+            "g",
+            "v",
+            "c",
+            F.size(F.filter("__bs", lambda b: F.col("v") > b)).alias("b"),
+        )
+        .repartition(F.col("g"), F.col("b"))
     )
     # within-group cumulative counts, bucket-parallel
     per_gb = gb.groupBy("g", "b").agg(F.sum("c").alias("s"))

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_parallelism
+
 # 4 hex chars = 65536 buckets → fraction granularity ~0.0015%
 _BUCKETS = 65536
 
@@ -198,10 +200,18 @@ def bootstrap_mean_ci(
     evaluation, while the exploded form keeps one tight codegen'd
     loop over B·n narrow rows with map-side partial aggregation.
     Output one row: (n_rows, n_replicates, mean_full, ci_lo, ci_hi)."""
-    base = df.select(
-        F.col(key_col).alias("__k"),
-        F.col(value_col).cast("decimal(18,2)").alias("__v"),
-    ).filter(F.col("__v").isNotNull())
+    # ensure_parallelism (r12): the per-replicate md5/explode pass below
+    # is the expensive part and inherits the scan's split count — a
+    # single-file table would run the whole B·n expansion on ONE core
+    # (guide §2.5 input skew / §4.2 per-task work; measured 12 s of
+    # single-task compute at sf0.1). No-op when the scan already has
+    # ≥ defaultParallelism splits, i.e. at any real scale.
+    base = ensure_parallelism(
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.col(value_col).cast("decimal(18,2)").alias("__v"),
+        ).filter(F.col("__v").isNotNull())
+    )
     full = base.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("__v").cast("decimal(38,2)")).alias("s"),
