@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_parallelism
+
 MICRO = 1_000_000
 
 
@@ -486,7 +488,13 @@ def pca_top_component(
     are not.
     """
     x = F.col("col").cast("double")
-    exploded = emb.select(F.col(id_col).alias("rid"), F.posexplode(vec_col)).select(
+    # ensure_parallelism (r12): the d-way posexplode and the d²/2 scatter
+    # expansion below inherit the scan's split count — a single-file
+    # embeddings table ran the whole n·d²/2 term generation on ONE core
+    # (guide §2.5 input skew). No-op when the scan already has splits.
+    exploded = ensure_parallelism(
+        emb.select(F.col(id_col).alias("rid"), F.col(vec_col))
+    ).select(F.col("rid"), F.posexplode(vec_col)).select(
         "rid", F.col("pos").alias("i"), x.alias("x")
     )
     means = (
