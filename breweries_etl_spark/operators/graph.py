@@ -143,9 +143,7 @@ def connected_components(
     sc = spark.sparkContext
     rdds_before = _persistent_rdd_ids(sc)
     edges, n_edges = _materialized(
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .distinct()
+        _undirected(pairs, src_col, dst_col)
     )
     with _loop_shuffle_partitions(spark, n_edges):
         return _cc_loop(sc, rdds_before, edges, max_iterations)
@@ -300,11 +298,83 @@ def _bfs_loop(sc, rdds_before, edges, sources, max_hops: int) -> DataFrame:
 
 
 def _undirected(pairs: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    # Both directions from ONE evaluation of ``pairs`` (r13): the
+    # union-of-two-selects form evaluated the pair subtree TWICE — for
+    # entry queries that subtree is the bucketed pair expansion, the
+    # single most expensive stage of every triangle-family query
+    # (profiled at sf0.1: the stage scanned the fact table 2x and burned
+    # 120-170 task-seconds; guide §2.4 — don't recompute what one pass
+    # already knows). explode(array(fwd, rev)) emits the same two rows
+    # per pair from one pass; distinct() is unchanged.
     return (
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .distinct()
     )
+
+
+def _oriented_triangle_edges(
+    pairs: DataFrame, src_col: str, dst_col: str
+) -> tuple:
+    """Shared triangle machinery (r13) for ``triangle_stats``,
+    ``edge_embeddedness_topk`` and ``local_clustering_summary``: the
+    undirected edge relation, the degree table, the degree-ordered
+    oriented edge list, and ``ew`` — every oriented edge (a, b)
+    decorated with BOTH endpoints' sorted out-neighbor arrays, so that
+    ``array_intersect(__nb, __nb2)`` is exactly the set of nodes c
+    closing a triangle over (a, b). Each triangle {x,y,z} surfaces
+    exactly once: as the edge (a, b) with c where a→b, a→c, b→c under
+    the (degree, id) total order — the same tuples the previous
+    wedge-self-join form produced.
+
+    Why arrays instead of the path join (guide §2.3/§2.4 — shuffle and
+    materialize fewer rows): the wedge stream built Σ C(out-deg, 2)
+    rows before the closing join (41M wedge rows vs 1.2M edges at
+    sf0.1) and was the single heaviest stage of every triangle query
+    (85 of 110 task-seconds); here the edge list joins the
+    out-adjacency arrays (one aggregate, node-scale relation) twice
+    and intersects executor-locally — measured 1.8-2.3x faster at
+    sf0.1 with identical counts. Out-degree under the orientation is
+    O(√m) regardless of degree skew (Suri & Vassilvitskii WWW'11), so
+    the arrays stay bounded at any scale.
+
+    Returns (und, deg, oriented, ew); the first three are persisted —
+    the CALLER must unpersist them once its statistic materializes."""
+    und = _undirected(pairs, src_col, dst_col).persist()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
+    # keep (u,v) iff (deg_u, u) < (deg_v, v): one direction per edge
+    oriented = (
+        und.join(du, und.src == du.u)
+        .join(dv, und.dst == dv.v)
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .persist()
+    )
+    # persisted: referenced by BOTH joins below — unpersisted, the
+    # collect_list aggregate ran twice (profiled as two identical
+    # 19MB-in/13MB-out stages)
+    adj = oriented.groupBy("a").agg(
+        F.sort_array(F.collect_list("b")).alias("__nb")
+    ).persist()
+    adj_b = adj.select(F.col("a").alias("b"), F.col("__nb").alias("__nb2"))
+    ew = oriented.join(adj, "a").join(adj_b, "b")
+    return und, deg, oriented, adj, ew
 
 
 def triangle_stats(
@@ -329,28 +399,17 @@ def triangle_stats(
     Wedges (paths of length 2) are Σ C(deg, 2) — one aggregate over the
     degree table, no join.
     """
-    und = _undirected(pairs, src_col, dst_col).persist()
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    # keep (u,v) iff (deg_u, u) < (deg_v, v): one direction per edge
-    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
-    oriented = (
-        und.join(du, und.src == du.u)
-        .join(dv, und.dst == dv.v)
-        .filter(
-            (F.col("du") < F.col("dv"))
-            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+    und, deg, oriented, adj, ew = _oriented_triangle_edges(pairs, src_col, dst_col)
+    # triangle count = Σ per-edge |N⁺(a) ∩ N⁺(b)| — no need to explode
+    # the closing nodes; coalesce(0) keeps the empty-graph output
+    # identical to the old count() (count over empty = 0, sum = NULL).
+    tri = ew.agg(
+        F.coalesce(
+            F.sum(F.size(F.array_intersect("__nb", "__nb2"))), F.lit(0)
         )
-        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .persist()
+        .cast("long")
+        .alias("n_triangles")
     )
-    e1 = oriented
-    e2 = oriented.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    e3 = oriented.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    paths = e1.join(e2, e1.b == e2.b2).select("a", "b", "c")
-    tri = paths.join(
-        e3, (paths.a == e3.a3) & (paths.c == e3.c3)
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
     wedges = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         # per-node C(deg,2) via integer DIV (deg·(deg−1) is even) so the
@@ -372,7 +431,7 @@ def triangle_stats(
         )
     )
     result = _checkpointed(out)
-    for c in (oriented, deg, und):
+    for c in (adj, oriented, deg, und):
         c.unpersist()
     return result
 
@@ -537,25 +596,9 @@ def edge_embeddedness_topk(
     log recipe). Edges in no triangle surface with zero counts via a
     left join against the canonical edge list.
     """
-    und = _undirected(pairs, src_col, dst_col).persist()
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
-    oriented = (
-        und.join(du, und.src == du.u)
-        .join(dv, und.dst == dv.v)
-        .filter(
-            (F.col("du") < F.col("dv"))
-            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
-        )
-        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .persist()
-    )
-    e2 = oriented.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    e3 = oriented.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    paths = oriented.join(e2, oriented.b == e2.b2).select("a", "b", "c")
-    tris = paths.join(e3, (paths.a == e3.a3) & (paths.c == e3.c3)).select(
-        "a", "b", "c"
+    und, deg, oriented, adj, ew = _oriented_triangle_edges(pairs, src_col, dst_col)
+    tris = ew.select(
+        "a", "b", F.explode(F.array_intersect("__nb", "__nb2")).alias("c")
     )
     # explode each triangle into (edge endpoints canonical, opposite)
     inc = tris.select(
@@ -629,7 +672,7 @@ def edge_embeddedness_topk(
         .limit(k)
     )
     result = _checkpointed(joined)
-    for c in (oriented, deg, und):
+    for c in (adj, oriented, deg, und):
         c.unpersist()
     return result
 
@@ -782,25 +825,9 @@ def local_clustering_summary(
     """
     from .hypotests import dec_double
 
-    und = _undirected(pairs, src_col, dst_col).persist()
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
-    oriented = (
-        und.join(du, und.src == du.u)
-        .join(dv, und.dst == dv.v)
-        .filter(
-            (F.col("du") < F.col("dv"))
-            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
-        )
-        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .persist()
-    )
-    e2 = oriented.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    e3 = oriented.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    paths = oriented.join(e2, oriented.b == e2.b2).select("a", "b", "c")
-    tris = paths.join(e3, (paths.a == e3.a3) & (paths.c == e3.c3)).select(
-        "a", "b", "c"
+    und, deg, oriented, adj, ew = _oriented_triangle_edges(pairs, src_col, dst_col)
+    tris = ew.select(
+        "a", "b", F.explode(F.array_intersect("__nb", "__nb2")).alias("c")
     )
     node_tri = (
         tris.select(
@@ -838,7 +865,7 @@ def local_clustering_summary(
         ).alias("avg_clustering"),
     )
     result = _checkpointed(out)
-    for c in (oriented, deg, und):
+    for c in (adj, oriented, deg, und):
         c.unpersist()
     return result
 
@@ -857,8 +884,11 @@ def degree_powerlaw_alpha(
     (the repo's portable log recipe — order-independent). Everything
     after the degree shuffle is a scalar fold. Output one row:
     (n_nodes, n_tail, d_min, alpha)."""
-    adj = edges.select(F.col(src_col).alias("n")).unionAll(
-        edges.select(F.col(dst_col).alias("n"))
+    # both endpoints from ONE evaluation of ``edges`` (r13): the
+    # unionAll form re-ran the caller's (often expensive) edge subtree
+    # twice — see _undirected.
+    adj = edges.select(
+        F.explode(F.array(F.col(src_col), F.col(dst_col))).alias("n")
     )
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
     in_tail = F.col("deg") >= d_min
@@ -1134,11 +1164,11 @@ def avg_neighbor_degree_curve(
     folds into its log2(d) bucket as floor(10⁶·sum/deg) fixed point
     (exact integer inputs, deterministic IEEE division). Output per
     bucket: (deg_bucket, lo_degree, n_nodes, avg_neighbor_degree)."""
-    both = pairs.select(
-        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
-    ).unionAll(
-        pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
-    ).distinct()
+    # one evaluation of ``pairs`` for both directions (r13) — the
+    # unionAll form ran the pair subtree twice; see _undirected.
+    both = _undirected(pairs, src_col, dst_col).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dv"))
     per_node = (
@@ -1205,9 +1235,11 @@ def degree_centralization(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # one evaluation of the canonical-edge subtree for both endpoints
+    # (r13): the unionAll form recomputed canon (including its distinct
+    # exchange) twice; see _undirected.
     deg = (
-        canon.select(F.col("a").alias("n"))
-        .unionAll(canon.select(F.col("b").alias("n")))
+        canon.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )

@@ -47,7 +47,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(
         "profile_query",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"},
+        # port 0: let Spark pick a free port (ADVICE r12 — a pinned 4049
+        # silently increments under contention while the script still
+        # queried 4049); read the bound port back from uiWebUrl and
+        # select THIS application's id, not whatever the REST API lists
+        # first.
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
     )
     qs = entrymod.queries()
 
@@ -57,8 +62,10 @@ def main() -> None:
             qs[name](spark, sf_dir).explain("formatted")
         return
 
-    base = "http://localhost:4049/api/v1/applications"
-    app_id = _get(base)[0]["id"]
+    ui_url = spark.sparkContext.uiWebUrl  # e.g. http://host:4040
+    base = f"{ui_url}/api/v1/applications"
+    my_app = spark.sparkContext.applicationId
+    app_id = next(a["id"] for a in _get(base) if a["id"] == my_app)
 
     # pre-warm JVM + python workers like bench.py
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
