@@ -136,11 +136,23 @@ def quantized_money(col: Column) -> Column:
     return (cents / F.lit(100.0)).cast("decimal(18,2)")
 
 
+def _lit_long(x) -> Column:
+    """Inline a prefix-count primitive's driver-scalar group total as a
+    LITERAL column (r13). cast('long') pins the type the old
+    ``SUM(ca)`` broadcast row carried — a bare ``F.lit`` of a Python int
+    is IntegerType when the value fits 32 bits, which would flip
+    downstream expression types SF-dependently. ``None`` (empty
+    relation) becomes a typed NULL, matching an aggregate over zero
+    rows."""
+    return F.lit(x).cast("long")
+
+
 def grouped_value_prefix_counts(
     df: DataFrame,
     value_col: str,
     group_expr: Column,
     n_buckets: int = 64,
+    extra_aggs: dict | None = None,
 ) -> DataFrame:
     """(value, ca, cb, cum_a, cum_b): per distinct value, the count in
     group A (``group_expr`` true) / group B, and the EXACT global
@@ -169,32 +181,51 @@ def grouped_value_prefix_counts(
         )
         .persist()
     )
-    vc.count()
     # Bucket boundaries only PARTITION the value domain — the final
     # cumulative counts are exact wherever the cuts land — so one
     # percentile_approx aggregate suffices. (An earlier percentile_disc
     # form planned n_buckets separate sort-based aggregates and was
     # ~40x slower on a near-all-distinct value column.)
+    #
+    # ONE action (r13) replaces the r12 trio of count-barrier +
+    # bounds-broadcast + per-caller totals-broadcast: the collect
+    # materializes the persisted vc as a side effect (same cache-race
+    # protection as the old vc.count()) and returns the boundaries AND
+    # the group totals as driver scalars. The boundaries become a
+    # LITERAL array downstream — no BroadcastNestedLoopJoin against a
+    # bounds row per consumer branch — and the totals ride out on
+    # ``_tot_a``/``_tot_b`` so closing folds can inline them instead of
+    # running one more broadcast-subquery job each (guide §1.2/§2.4:
+    # fewer jobs, fewer duplicated subtrees; the scalars are a 63-double
+    # row, not data on the driver).
     qs = [round(k / n_buckets, 6) for k in range(1, n_buckets)]
-    bounds = vc.agg(
-        F.percentile_approx("v", qs, 10000).alias("__bs")
+    extra_aggs = extra_aggs or {}
+    row = vc.agg(
+        F.percentile_approx("v", qs, 10000).alias("__bs"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        # caller-supplied scalar folds over (v, ca, cb) ride the SAME
+        # action (r13) — e.g. tie sums — instead of one more subquery
+        # job each; exposed on ``_extras``.
+        *[e.alias(f"__x_{k}") for k, e in extra_aggs.items()],
+    ).collect()[0]
+    bs = row["__bs"]
+    bucket_of = (
+        F.size(F.filter(F.array(*[F.lit(b) for b in bs]), lambda b: F.col("v") > b))
+        if bs
+        # empty relation: bucket value is irrelevant (no rows), but the
+        # column must exist for the repartition key
+        else F.lit(0)
     )
     # ONE exchange, hash-partitioned by bucket (r12): both consumers
     # below — the per-bucket subtotal aggregate and the within-bucket
     # window — require HashPartitioning(b), so they share this shuffle
     # (ReusedExchange) and the bucket-assignment subtree (cache scan +
-    # broadcast nested-loop against bounds + array count) is evaluated
-    # ONCE instead of once per consumer branch (guide §2.4: two
-    # operations keyed the same way share one exchange).
-    vb = (
-        vc.crossJoin(F.broadcast(bounds))
-        .select(
-            "v",
-            "ca",
-            "cb",
-            F.size(F.filter("__bs", lambda b: F.col("v") > b)).alias("b"),
-        )
-        .repartition(F.col("b"))
+    # literal-array count) is evaluated ONCE instead of once per
+    # consumer branch (guide §2.4: two operations keyed the same way
+    # share one exchange).
+    vb = vc.select("v", "ca", "cb", bucket_of.alias("b")).repartition(
+        F.col("b")
     )
     per_b = vb.groupBy("b").agg(
         F.sum("ca").alias("sa"), F.sum("cb").alias("sb")
@@ -220,6 +251,15 @@ def grouped_value_prefix_counts(
         (F.col("ob") + F.sum("cb").over(wv)).alias("cum_b"),
     )
     out._vc_cache = vc  # type: ignore[attr-defined]
+    # Group totals as driver scalars (None on an empty relation — the
+    # literal-NULL downstream matches what an aggregate over zero rows
+    # produced before): closing folds inline these via F.lit instead of
+    # broadcasting a totals row (one fewer job + BNLJ per caller).
+    out._tot_a = row["na"]  # type: ignore[attr-defined]
+    out._tot_b = row["nb"]  # type: ignore[attr-defined]
+    out._extras = {  # type: ignore[attr-defined]
+        k: row[f"__x_{k}"] for k in extra_aggs
+    }
     return out
 
 
@@ -267,19 +307,27 @@ def multigroup_value_prefix_counts(
         )
         .persist()
     )
-    vc.count()
+    # ONE action (r13) — same shape as grouped_value_prefix_counts: the
+    # collect materializes the persisted vc (cache-race protection the
+    # old vc.count() provided), returns the bucket boundaries as driver
+    # scalars that become a LITERAL array downstream (no broadcast-NLJ
+    # against a bounds row), and returns the k group totals so closing
+    # folds can inline them instead of one more broadcast-subquery job.
     qs = [round(q / n_buckets, 6) for q in range(1, n_buckets)]
-    bounds = vc.agg(F.percentile_approx("v", qs, 10000).alias("__bs"))
     cnames = [f"c{i}" for i in range(k)]
+    row = vc.agg(
+        F.percentile_approx("v", qs, 10000).alias("__bs"),
+        *[F.sum(c).alias(f"n{i}") for i, c in enumerate(cnames)],
+    ).collect()[0]
+    bs = row["__bs"]
+    bucket_of = (
+        F.size(F.filter(F.array(*[F.lit(b) for b in bs]), lambda b: F.col("v") > b))
+        if bs
+        else F.lit(0)
+    )
     # single shared bucket exchange — see grouped_value_prefix_counts
-    vb = (
-        vc.crossJoin(F.broadcast(bounds))
-        .select(
-            "v",
-            *cnames,
-            F.size(F.filter("__bs", lambda b: F.col("v") > b)).alias("b"),
-        )
-        .repartition(F.col("b"))
+    vb = vc.select("v", *cnames, bucket_of.alias("b")).repartition(
+        F.col("b")
     )
     per_b = vb.groupBy("b").agg(
         *[F.sum(c).alias(f"s{i}") for i, c in enumerate(cnames)]
@@ -307,6 +355,10 @@ def multigroup_value_prefix_counts(
         ],
     )
     out._vc_cache = vc  # type: ignore[attr-defined]
+    # per-group totals as driver scalars (None over an empty relation,
+    # matching an aggregate over zero rows) — see _tot_a on the 2-group
+    # primitive for why.
+    out._tots = [row[f"n{i}"] for i in range(k)]  # type: ignore[attr-defined]
     return out
 
 
@@ -336,18 +388,17 @@ def ks_test_2samp(
     divided once by n_a·n_b at the end. No floating comparison decides
     the max, so the result is partition- and engine-independent."""
     pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
-    )
+    # group totals inlined as literals from the primitive's one collect
+    # (r13): no totals broadcast-subquery job + BNLJ per query.
+    n_a = _lit_long(pc._tot_a)  # type: ignore[attr-defined]
+    n_b = _lit_long(pc._tot_b)  # type: ignore[attr-defined]
     d19 = "decimal(19,0)"
     gap = F.abs(
-        F.col("cum_a").cast(d19) * F.col("n_b").cast(d19)
-        - F.col("cum_b").cast(d19) * F.col("n_a").cast(d19)
+        F.col("cum_a").cast(d19) * n_b.cast(d19)
+        - F.col("cum_b").cast(d19) * n_a.cast(d19)
     )
-    stat = pc.crossJoin(F.broadcast(tot)).agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
-        F.max(gap).alias("ks_int"),
+    stat = pc.agg(F.max(gap).alias("ks_int")).select(
+        n_a.alias("n_a"), n_b.alias("n_b"), F.col("ks_int")
     )
     result = stat.select(
         F.col("n_a").cast("long").alias("n_a"),
@@ -433,11 +484,10 @@ def global_ecdf(
     integers. Output is one row per distinct value (counts carried, so
     the full per-row feature is a broadcast-free join away)."""
     pc = grouped_value_prefix_counts(df, value_col, F.lit(True), n_buckets)
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum("ca").alias("n")
-    )
-    n = F.col("n").cast("double")
-    result = pc.crossJoin(F.broadcast(tot)).select(
+    # total inlined from the primitive's collect (r13) — no broadcast
+    # subquery job per query; see ks_test_2samp.
+    n = _lit_long(pc._tot_a).cast("double")  # type: ignore[attr-defined]
+    result = pc.withColumn("n", _lit_long(pc._tot_a)).select(  # type: ignore[attr-defined]
         F.col("v"),
         F.col("ca").cast("long").alias("n_rows"),
         F.col("cum_a").cast("long").alias("cum_n"),
@@ -543,41 +593,47 @@ def lorenz_deciles(
     )
     pc = grouped_value_prefix_counts(per_key, "r", F.lit(True))
     v = F.col("v").cast("decimal(18,2)")
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum("ca").alias("n"),
-        F.sum((F.col("v").cast("decimal(18,2)") * F.col("ca").cast("decimal(19,0)"))
-              .cast("decimal(38,2)")).alias("total"),
-    )
     # a key at cumulative position cum (1-based) lands in decile
     # ((cum-1)*n_bins) div n; a VALUE whose run ends at cum_a spans
     # positions (cum_a-ca+1 .. cum_a) — assign the whole run to the
     # decile of its LAST position ((cum_a-1)*n_bins div n), exact and
     # engine-independent (ties stay together by construction).
-    binned = pc.crossJoin(F.broadcast(tot)).select(
-        F.expr(f"((cum_a - 1) * {n_bins}) div n").cast("long").alias("decile"),
+    #
+    # r13: n comes from the primitive's collect as a SQL integer
+    # literal (`or 1` only guards the empty relation, where no row
+    # evaluates the expression), and the value total no longer needs a
+    # broadcast row at all — it is recovered as the full-frame window
+    # sum of the per-decile masses (≤ n_bins rows; exact decimal sum,
+    # associative). The totals broadcast-subquery job + BNLJ are gone.
+    n_v = pc._tot_a  # type: ignore[attr-defined]
+    binned = pc.select(
+        F.expr(f"((cum_a - 1) * {n_bins}) div {n_v or 1}")
+        .cast("long")
+        .alias("decile"),
         F.col("ca"),
         (v * F.col("ca").cast("decimal(19,0)")).cast("decimal(38,2)").alias("mass"),
-        F.col("n"),
-        F.col("total"),
     )
     per_bin = binned.groupBy("decile").agg(
         F.sum("ca").alias("n_keys"),
         F.sum("mass").alias("mass"),
-        F.max("n").alias("n"),
-        F.max("total").alias("total"),
     )
     w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    total = F.sum("mass").over(wall)
     result = per_bin.select(
         "decile",
         F.col("n_keys").cast("long").alias("n_keys"),
         F.round(
-            F.sum("n_keys").over(w).cast("double") / F.col("n").cast("double"), 6
+            F.sum("n_keys").over(w).cast("double")
+            / _lit_long(n_v).cast("double"),
+            6,
         ).alias("cum_pop_share"),
         F.when(
-            F.col("total").cast("double") > 0,
+            total.cast("double") > 0,
             F.round(
-                F.sum("mass").over(w).cast("double")
-                / F.col("total").cast("double"),
+                F.sum("mass").over(w).cast("double") / total.cast("double"),
                 6,
             ),
         ).alias("cum_value_share"),
@@ -777,7 +833,9 @@ def gini_concentration(
     return _released(result, pc, release)
 
 
-def value_prefix_counts(df: DataFrame, value_col: str) -> DataFrame:
+def value_prefix_counts(
+    df: DataFrame, value_col: str, extra_aggs: dict | None = None
+) -> DataFrame:
     """(v, c, cum): per distinct value its multiplicity and the EXACT
     global cumulative count — the single-population view of
     ``grouped_value_prefix_counts`` (group A empty), from which average
@@ -785,11 +843,17 @@ def value_prefix_counts(df: DataFrame, value_col: str) -> DataFrame:
     occupies positions cum−c+1 … cum, so twice its average rank is
     2·cum − c + 1 (an INTEGER — no .5 floats anywhere near the
     arithmetic). Carries the same ``_vc_cache`` handle contract."""
-    pc = grouped_value_prefix_counts(df, value_col, F.lit(False))
+    pc = grouped_value_prefix_counts(
+        df, value_col, F.lit(False), extra_aggs=extra_aggs
+    )
     out = pc.select(
         "v", F.col("cb").alias("c"), F.col("cum_b").alias("cum")
     )
     out._vc_cache = pc._vc_cache  # type: ignore[attr-defined]
+    out._extras = pc._extras  # type: ignore[attr-defined]
+    # population total as a driver scalar (group A is empty, so all
+    # mass is in _tot_b) — callers inline it; see _lit_long.
+    out._tot = pc._tot_b  # type: ignore[attr-defined]
     return out
 
 
@@ -1545,20 +1609,30 @@ def score_decile_lift(
     lift = tile rate / overall rate and cum_gain = share of all
     positives captured at or above the tile."""
     pc = grouped_value_prefix_counts(df, score_col, label_expr)
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum("ca").alias("tp"), (F.sum("ca") + F.sum("cb")).alias("tn")
+    # totals inlined from the primitive's collect (r13): tp/tn become
+    # literals (the tile expression embeds tn as a SQL integer literal —
+    # `or 1` only guards the empty relation, where no row evaluates it);
+    # no totals broadcast-subquery job + BNLJ. See ks_test_2samp.
+    tp_v = pc._tot_a  # type: ignore[attr-defined]
+    tn_v = (
+        None
+        if tp_v is None
+        else tp_v + pc._tot_b  # type: ignore[attr-defined]
     )
     cum = (F.col("cum_a") + F.col("cum_b")).cast("long")
     tiles = (
         pc.withColumn("cum_all", cum)
-        .crossJoin(F.broadcast(tot))
-        .groupBy(F.expr(f"(((cum_all - 1) * {n_tiles}) div tn) + 1").alias("tile"))
+        .groupBy(
+            F.expr(
+                f"(((cum_all - 1) * {n_tiles}) div {tn_v or 1}) + 1"
+            ).alias("tile")
+        )
         .agg(
             F.sum(F.col("ca") + F.col("cb")).alias("n"),
             F.sum("ca").alias("n_pos"),
-            F.max("tp").alias("tp"),
-            F.max("tn").alias("tn"),
         )
+        .withColumn("tp", _lit_long(tp_v))
+        .withColumn("tn", _lit_long(tn_v))
     )
     w = Window.orderBy(F.col("tile").desc()).rowsBetween(
         Window.unboundedPreceding, 0
@@ -2045,17 +2119,12 @@ def moods_median_test(
         cents.alias("v"),
     )
     pc = value_prefix_counts(base, "v")
-    # total count reads the persisted value-count relation, NOT max(cum)
-    # off pc — the latter re-runs the whole prefix pipeline a second
-    # time (r6 bench: 8.6 s -> the pipeline once)
-    ntot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum(F.col("ca") + F.col("cb")).alias("nn")
-    )
-    med = (
-        pc.crossJoin(F.broadcast(ntot))
-        .filter(F.lit(2) * F.col("cum") >= F.col("nn"))
-        .agg(F.min("v").alias("med"))
-    )
+    # total count inlined from the primitive's collect (r13) — the old
+    # broadcast-subquery re-read the persisted value-count relation as
+    # its own job; see ks_test_2samp.
+    med = pc.filter(
+        F.lit(2) * F.col("cum") >= _lit_long(pc._tot)  # type: ignore[attr-defined]
+    ).agg(F.min("v").alias("med"))
     per_g = (
         base.crossJoin(F.broadcast(med))
         .groupBy("g")
@@ -2131,23 +2200,22 @@ def cvm_test_2samp(
     sub-picounit detail dropped identically on every engine. Output one
     row: (n_a, n_b, cvm_t)."""
     pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
-    )
+    # group totals inlined as literals from the primitive's one collect
+    # (r13) — no totals broadcast-subquery job + BNLJ; see ks_test_2samp.
+    lit_na = _lit_long(pc._tot_a)  # type: ignore[attr-defined]
+    lit_nb = _lit_long(pc._tot_b)  # type: ignore[attr-defined]
     d19 = "decimal(19,0)"
     g_int = (
-        F.col("cum_a").cast(d19) * F.col("n_b").cast(d19)
-        - F.col("cum_b").cast(d19) * F.col("n_a").cast(d19)
+        F.col("cum_a").cast(d19) * lit_nb.cast(d19)
+        - F.col("cum_b").cast(d19) * lit_na.cast(d19)
     )
-    na = F.col("n_a").cast("double")
-    nb = F.col("n_b").cast("double")
+    na = lit_na.cast("double")
+    nb = lit_nb.cast("double")
     gap = dec_double_wide(F.abs(g_int)) / (na * nb)
     c = (F.col("ca") + F.col("cb")).cast("double")
     term = F.floor(c * gap * gap * F.lit(1e12)).cast("decimal(38,0)")
-    sums = pc.crossJoin(F.broadcast(tot)).agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
-        F.sum(term).alias("t_fp"),
+    sums = pc.agg(F.sum(term).alias("t_fp")).select(
+        lit_na.alias("n_a"), lit_nb.alias("n_b"), F.col("t_fp")
     )
     nn = na + nb
     result = sums.select(
@@ -2184,11 +2252,11 @@ def anderson_darling_2samp(
     The top value (H = 1) is excluded before the division. Output one
     row: (n_a, n_b, ad_stat)."""
     pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
-    )
-    na = F.col("n_a").cast("double")
-    nb = F.col("n_b").cast("double")
+    # totals inlined as literals (r13) — see ks_test_2samp.
+    lit_na = _lit_long(pc._tot_a)  # type: ignore[attr-defined]
+    lit_nb = _lit_long(pc._tot_b)  # type: ignore[attr-defined]
+    na = lit_na.cast("double")
+    nb = lit_nb.cast("double")
     nn = na + nb
     f_a = F.col("cum_a").cast("double") / na
     h = (F.col("cum_a") + F.col("cum_b")).cast("double") / nn
@@ -2199,10 +2267,8 @@ def anderson_darling_2samp(
         hh > 0,
         F.floor(c * d * d / hh * F.lit(1e9)).cast("decimal(38,0)"),
     )
-    sums = pc.crossJoin(F.broadcast(tot)).agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
-        F.sum(term).alias("a_fp"),
+    sums = pc.agg(F.sum(term).alias("a_fp")).select(
+        lit_na.alias("n_a"), lit_nb.alias("n_b"), F.col("a_fp")
     )
     result = sums.select(
         F.col("n_a").cast("long").alias("n_a"),
@@ -2910,20 +2976,24 @@ def ansari_bradley(
     (n_a, n_b, ab_stat, z_score)."""
     pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
     d19 = "decimal(19,0)"
-    # totals read off the PERSISTED value-count relation — folding them
-    # from pc would re-run the whole prefix pipeline a second time (the
-    # moods_median r6 lesson: 8.6 s -> 5.1 s)
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
-    ).select(
-        "n_a", "n_b", (F.col("n_a") + F.col("n_b")).alias("nn")
+    # totals inlined as literals from the primitive's one collect (r13)
+    # — no totals broadcast-subquery job + BNLJ; see ks_test_2samp. The
+    # midpoint embeds nn as a SQL long literal (`or 0` only guards the
+    # empty relation, where no row evaluates it).
+    lit_na = _lit_long(pc._tot_a)  # type: ignore[attr-defined]
+    lit_nb = _lit_long(pc._tot_b)  # type: ignore[attr-defined]
+    nn_v = (
+        None
+        if pc._tot_a is None  # type: ignore[attr-defined]
+        else pc._tot_a + pc._tot_b  # type: ignore[attr-defined]
     )
+    lit_nn = _lit_long(nn_v)
     c = (F.col("ca") + F.col("cb")).cast(d19)
     cum = (F.col("cum_a") + F.col("cum_b")).cast(d19)
     lo = cum - c + F.lit(1).cast(d19)
     hi = cum
-    t = F.expr("(nn + 1) div 2").cast(d19)
-    np1 = (F.col("nn") + F.lit(1)).cast(d19)
+    t = F.expr(f"({nn_v or 0}L + 1L) div 2L").cast(d19)
+    np1 = (lit_nn + F.lit(1)).cast(d19)
     b1 = F.least(hi, t)
     len1 = F.greatest(b1 - lo + F.lit(1).cast(d19), F.lit(0).cast(d19))
     a2 = F.greatest(lo, t + F.lit(1).cast(d19))
@@ -2940,13 +3010,17 @@ def ansari_bradley(
     aa_fp = F.floor(
         F.lit(1e6) * s_v * (s_v / c.cast("double"))
     ).cast("decimal(38,0)")
-    folded = pc.crossJoin(F.broadcast(tot)).agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
-        F.max("nn").alias("nn"),
+    folded = pc.agg(
         F.sum(term_fp).alias("w_fp"),
         F.sum(s2v).alias("s2_sum"),
         F.sum(aa_fp).alias("aa_fp"),
+    ).select(
+        lit_na.alias("n_a"),
+        lit_nb.alias("n_b"),
+        lit_nn.alias("nn"),
+        "w_fp",
+        "s2_sum",
+        "aa_fp",
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
@@ -2993,17 +3067,20 @@ def pr_curve_points(
     round-6 ratios. Output n_points rows:
     (decile, threshold, n_pred_pos, tp, precision, recall, f1)."""
     pc = grouped_value_prefix_counts(df, score_col, label_expr, n_buckets)
-    # totals off the persisted value-count relation, not pc (see
-    # ansari_bradley — avoids re-running the prefix pipeline)
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum("ca").alias("n_pos"),
-        F.sum(F.col("ca") + F.col("cb")).alias("n"),
+    # totals inlined as literals from the primitive's one collect (r13)
+    # — no totals broadcast-subquery job + BNLJ; see ks_test_2samp.
+    lit_npos = _lit_long(pc._tot_a)  # type: ignore[attr-defined]
+    lit_n = _lit_long(
+        None
+        if pc._tot_a is None  # type: ignore[attr-defined]
+        else pc._tot_a + pc._tot_b  # type: ignore[attr-defined]
     )
     ks = F.array(*[F.lit(k) for k in range(1, n_points + 1)])
     cum = F.col("cum_a") + F.col("cum_b")
     c = F.col("ca") + F.col("cb")
     grid = (
-        pc.crossJoin(F.broadcast(tot))
+        pc.withColumn("n_pos", lit_npos)
+        .withColumn("n", lit_n)
         .select(
             "v", "ca", "cb", "cum_a", "n_pos", "n",
             cum.alias("cum"), c.alias("c"),
@@ -3146,21 +3223,23 @@ def average_precision(
     floor(10⁶·ca·P) fixed point (deterministic IEEE on both engines).
     Output one row: (n_pos, n_neg, average_precision)."""
     pc = grouped_value_prefix_counts(df, score_col, label_expr, n_buckets)
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum("ca").alias("n_pos"),
-        F.sum(F.col("ca") + F.col("cb")).alias("n"),
+    # totals inlined as literals from the primitive's one collect (r13)
+    # — no totals broadcast-subquery job + BNLJ; see ks_test_2samp.
+    lit_npos = _lit_long(pc._tot_a)  # type: ignore[attr-defined]
+    lit_n = _lit_long(
+        None
+        if pc._tot_a is None  # type: ignore[attr-defined]
+        else pc._tot_a + pc._tot_b  # type: ignore[attr-defined]
     )
     cum = F.col("cum_a") + F.col("cum_b")
     c = F.col("ca") + F.col("cb")
-    ge_pos = (F.col("n_pos") - (F.col("cum_a") - F.col("ca"))).cast("double")
-    ge_all = (F.col("n") - (cum - c)).cast("double")
+    ge_pos = (lit_npos - (F.col("cum_a") - F.col("ca"))).cast("double")
+    ge_all = (lit_n - (cum - c)).cast("double")
     term_fp = F.floor(
         F.lit(1e6) * F.col("ca").cast("double") * (ge_pos / ge_all)
     ).cast("decimal(38,0)")
-    folded = pc.crossJoin(F.broadcast(tot)).agg(
-        F.max("n_pos").alias("n_pos"),
-        F.max("n").alias("n"),
-        F.sum(term_fp).alias("ap_fp"),
+    folded = pc.agg(F.sum(term_fp).alias("ap_fp")).select(
+        lit_npos.alias("n_pos"), lit_n.alias("n"), F.col("ap_fp")
     )
     result = folded.select(
         F.col("n_pos").cast("long").alias("n_pos"),
@@ -3443,22 +3522,21 @@ def kuiper_test_2samp(
     division by n_a·n_b. Output one row:
     (n_a, n_b, d_plus, d_minus, kuiper_v)."""
     pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
-    )
+    # totals inlined as literals from the primitive's one collect (r13)
+    # — no totals broadcast-subquery job + BNLJ; see ks_test_2samp.
+    lit_na = _lit_long(pc._tot_a)  # type: ignore[attr-defined]
+    lit_nb = _lit_long(pc._tot_b)  # type: ignore[attr-defined]
     d19 = "decimal(19,0)"
-    signed = F.col("cum_a").cast(d19) * F.col("n_b").cast(d19) - F.col(
+    signed = F.col("cum_a").cast(d19) * lit_nb.cast(d19) - F.col(
         "cum_b"
-    ).cast(d19) * F.col("n_a").cast(d19)
+    ).cast(d19) * lit_na.cast(d19)
     z = F.lit(0).cast("decimal(38,0)")
-    stat = pc.crossJoin(F.broadcast(tot)).agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
+    stat = pc.agg(
         F.greatest(F.max(signed.cast("decimal(38,0)")), z).alias("dp_int"),
         F.greatest(F.max((-signed).cast("decimal(38,0)")), z).alias(
             "dm_int"
         ),
-    )
+    ).select(lit_na.alias("n_a"), lit_nb.alias("n_b"), "dp_int", "dm_int")
     nn = F.col("n_a").cast("double") * F.col("n_b").cast("double")
     dp = dec_double_wide(F.col("dp_int")) / nn
     dm = dec_double_wide(F.col("dm_int")) / nn
@@ -3603,7 +3681,22 @@ def dunn_pairwise_z(
     vals = df.select(
         F.col(group_col).alias("g"), F.col(value_col).alias("val")
     ).filter(F.col("g").isNotNull() & F.col("val").isNotNull())
-    pc = value_prefix_counts(vals.select(F.col("val").alias("v")), "v")
+    # the tie sum rides the primitive's one collect (r13): the old
+    # pc.agg(Σc³−c) broadcast subquery re-ran the prefix pipeline as
+    # its own job (group A is empty here, so c ≡ cb on the cached
+    # value-count relation).
+    pc = value_prefix_counts(
+        vals.select(F.col("val").alias("v")),
+        "v",
+        extra_aggs={
+            "tie_sum": F.sum(
+                (
+                    F.col("cb").cast(d38) * F.col("cb") * F.col("cb")
+                    - F.col("cb")
+                ).cast(d38)
+            )
+        },
+    )
     u = pc.select(
         "v",
         (F.lit(2) * F.col("cum") - F.col("c") + F.lit(1)).alias("u"),
@@ -3627,14 +3720,14 @@ def dunn_pairwise_z(
     # r9 scale probe exposed as a 3.7x ratio at the 10x step (judge r9
     # open item #1).
     per_g.count()
-    ties = pc.agg(
-        F.sum(
-            (
-                F.col("c").cast(d38) * F.col("c") * F.col("c") - F.col("c")
-            ).cast(d38)
-        ).alias("tie_sum")
-    )
-    tot = per_g.agg(F.sum("n_g").alias("n"))
+    # total n and the tie sum as literals (r13): n is the primitive's
+    # collected population total (= Σ n_g — same non-null (g, val)
+    # relation feeds both), and tie_sum rode the same collect via
+    # extra_aggs; the old per_g-scan + pipeline-rerun broadcast
+    # subqueries and their BNLJ are gone.
+    lit_n = _lit_long(pc._tot)  # type: ignore[attr-defined]
+    tie_v = pc._extras["tie_sum"]  # type: ignore[attr-defined]
+    lit_ties = F.lit(tie_v).cast(d38)
     # mean rank = (2R_g)/(2 n_g); sigma^2 on the 1-row totals relation
     a = per_g.select(
         F.col("g").alias("group_a"),
@@ -3648,7 +3741,8 @@ def dunn_pairwise_z(
     )
     grid = (
         a.join(b, F.col("group_a") < F.col("group_b"))
-        .crossJoin(F.broadcast(tot.crossJoin(ties)))
+        .withColumn("n", lit_n)
+        .withColumn("tie_sum", lit_ties)
     )
     n = F.col("n").cast("double")
     na = F.col("n_a").cast("double")
@@ -3914,36 +4008,37 @@ def hellinger_bhattacharyya(
     Output one row: (n_a, n_b, n_bins_used, bhattacharyya,
     hellinger)."""
     pc = grouped_value_prefix_counts(df, value_col, group_expr)
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
-    )
+    # totals inlined as literals from the primitive's one collect (r13)
+    # — no totals broadcast-subquery job + BNLJ; see ks_test_2samp. The
+    # bin expression embeds na+nb as a SQL long literal (`or 1` only
+    # guards the empty relation, where no row evaluates it).
+    na_v = pc._tot_a  # type: ignore[attr-defined]
+    nb_v = pc._tot_b  # type: ignore[attr-defined]
+    nn_v = None if na_v is None else na_v + nb_v
+    lit_na = _lit_long(na_v)
+    lit_nb = _lit_long(nb_v)
     cells = (
-        pc.crossJoin(F.broadcast(tot))
-        .select(
+        pc.select(
             F.expr(
-                f"((cum_a + cum_b - 1) * {n_bins}) div (na + nb)"
+                f"((cum_a + cum_b - 1) * {n_bins}) div {nn_v or 1}L"
             ).alias("bin"),
             "ca",
             "cb",
-            "na",
-            "nb",
         )
         .groupBy("bin")
         .agg(
             F.sum("ca").alias("ca"),
             F.sum("cb").alias("cb"),
-            F.max("na").alias("na"),
-            F.max("nb").alias("nb"),
         )
     )
-    pa = F.col("ca").cast("double") / F.col("na").cast("double")
-    pb = F.col("cb").cast("double") / F.col("nb").cast("double")
+    pa = F.col("ca").cast("double") / lit_na.cast("double")
+    pb = F.col("cb").cast("double") / lit_nb.cast("double")
     bc_term = F.sqrt(pa * pb)
     folded = cells.agg(
-        F.max("na").alias("n_a"),
-        F.max("nb").alias("n_b"),
         F.count(F.lit(1)).alias("n_bins_used"),
         F.sum(F.round(bc_term, 6).cast("decimal(18,6)")).alias("bc"),
+    ).select(
+        lit_na.alias("n_a"), lit_nb.alias("n_b"), "n_bins_used", "bc"
     )
     folded = _released(folded, pc, True)
     bc = F.col("bc").cast("double")
@@ -4252,21 +4347,20 @@ def robust_shape_profile(df: DataFrame, value_col: str) -> DataFrame:
         ),
         "v",
     )
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum(F.col("ca") + F.col("cb")).alias("n")
-    )
-    agg = pc.crossJoin(F.broadcast(tot)).agg(
-        F.max("n").alias("n"),
+    # total inlined as a literal from the primitive's collect (r13) —
+    # no totals broadcast-subquery job + BNLJ; see ks_test_2samp.
+    lit_n = _lit_long(pc._tot)  # type: ignore[attr-defined]
+    agg = pc.agg(
         *[
             F.min(
                 F.when(
-                    F.lit(8) * F.col("cum") >= F.lit(k) * F.col("n"),
+                    F.lit(8) * F.col("cum") >= F.lit(k) * lit_n,
                     F.col("v"),
                 )
             ).alias(f"__e{k}")
             for k in range(1, 8)
         ],
-    )
+    ).withColumn("n", lit_n)
     from .dedup import _release_caches
 
     agg = _release_caches(agg, [pc._vc_cache])  # type: ignore[attr-defined]
@@ -4520,16 +4614,19 @@ def ad_ksample(
     msum = None
     for i in range(k):
         msum = F.col(f"m{i}") if msum is None else msum + F.col(f"m{i}")
-    tot = mg._vc_cache.agg(  # type: ignore[attr-defined]
-        *[F.sum(f"c{i}").alias(f"n{i}") for i in range(k)],
-        F.sum(lsum).alias("nn"),
-    )
-    nn = F.col("nn").cast("double")
+    # group totals inlined as literals from the primitive's one collect
+    # (r13) — no totals broadcast-subquery job + BNLJ, and the
+    # standardized branch reuses nn_v instead of collecting a totals
+    # row a second time; see ks_test_2samp.
+    tots = mg._tots  # type: ignore[attr-defined]
+    nn_v = None if tots[0] is None else sum(tots)
+    lit_nn = _lit_long(nn_v)
+    nn = lit_nn.cast("double")
     b_z = msum.cast("double")
     l_z = lsum.cast("double")
     terms = []
     for i in range(k):
-        ni = F.col(f"n{i}").cast("double")
+        ni = _lit_long(tots[i]).cast("double")
         m_i = F.col(f"m{i}").cast("double")
         dev = nn * m_i - ni * b_z
         terms.append(
@@ -4540,10 +4637,12 @@ def ad_ksample(
                 ).cast("decimal(38,0)"),
             )
         )
-    stat = mg.crossJoin(F.broadcast(tot)).agg(
-        *[F.max(f"n{i}").alias(f"n{i}") for i in range(k)],
-        F.max("nn").alias("nn"),
-        *[F.sum(t).alias(f"t{i}") for i, t in enumerate(terms)],
+    stat = mg.agg(
+        *[F.sum(t).alias(f"t{i}") for i, t in enumerate(terms)]
+    ).select(
+        *[_lit_long(tots[i]).alias(f"n{i}") for i in range(k)],
+        lit_nn.alias("nn"),
+        *[F.col(f"t{i}") for i in range(k)],
     )
     # 1 row -> k rows so the (round, decimal-sum) fold is the exact
     # expression the per-group form used
@@ -4588,7 +4687,7 @@ def ad_ksample(
     if not standardized:
         result = folded.select(*base_cols)
     else:
-        result = _adk_standardize(df.sparkSession, tot, folded, base_cols,
+        result = _adk_standardize(df.sparkSession, nn_v, folded, base_cols,
                                   n_buckets)
     if release:
         from .dedup import _release_caches
@@ -4598,7 +4697,7 @@ def ad_ksample(
 
 
 def _adk_standardize(
-    spark, tot: DataFrame, folded: DataFrame, base_cols: list, n_buckets: int
+    spark, nn_v, folded: DataFrame, base_cols: list, n_buckets: int
 ) -> DataFrame:
     """Scholz–Stephens σ_N closing stage for ``ad_ksample``: one
     bucketed-prefix pipeline over ``spark.range(1, N)`` folds
@@ -4610,8 +4709,7 @@ def _adk_standardize(
     buckets are arithmetic on the dense integer domain (no percentile
     pass). N < 4 (σ_N undefined: the (N−1)(N−2)(N−3) denominator)
     yields a NULL ``standardized_stat``."""
-    trow = tot.collect()[0]
-    big_n = int(trow["nn"]) if trow["nn"] is not None else 0
+    big_n = int(nn_v) if nn_v is not None else 0
     if big_n < 4:
         return folded.select(
             *base_cols, F.lit(None).cast("double").alias("standardized_stat")
@@ -4867,9 +4965,10 @@ def wasserstein_1(
     segment term folds as exact decimal gap·Δz before one closing
     division. Output one row: (n_a, n_b, wasserstein_1)."""
     pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
-    )
+    # totals inlined as literals from the primitive's one collect (r13)
+    # — no totals broadcast-subquery job + BNLJ; see ks_test_2samp.
+    lit_na = _lit_long(pc._tot_a)  # type: ignore[attr-defined]
+    lit_nb = _lit_long(pc._tot_b)  # type: ignore[attr-defined]
     d19 = "decimal(19,0)"
     w = Window.orderBy("v")
     seg = pc.select(
@@ -4879,8 +4978,8 @@ def wasserstein_1(
         F.lead("v").over(w).alias("v_next"),
     ).filter(F.col("v_next").isNotNull())
     gap = F.abs(
-        F.col("cum_a").cast(d19) * F.col("n_b").cast(d19)
-        - F.col("cum_b").cast(d19) * F.col("n_a").cast(d19)
+        F.col("cum_a").cast(d19) * lit_nb.cast(d19)
+        - F.col("cum_b").cast(d19) * lit_na.cast(d19)
     )
     dz = (
         F.col("v_next").cast("decimal(18,2)")
@@ -4888,14 +4987,11 @@ def wasserstein_1(
     )
     term = (gap.cast("decimal(38,0)") * dz).cast("decimal(38,2)")
     # Fold the segment relation ALONE, then attach totals: with < 2
-    # distinct values seg is empty, and the former
-    # seg.crossJoin(tot).agg(max(n_a)…) shape annihilated the counts
-    # to NULL where the correct answer is (n_a, n_b, 0.0) — the
+    # distinct values seg is empty and w_sum folds to NULL while the
+    # totals stay intact — the correct answer is (n_a, n_b, 0.0), the
     # hill_tail_index empty-relation lesson (round-9 self-audit).
-    folded = (
-        seg.crossJoin(F.broadcast(tot))
-        .agg(F.sum(term).alias("w_sum"))
-        .crossJoin(F.broadcast(tot))
+    folded = seg.agg(F.sum(term).alias("w_sum")).select(
+        lit_na.alias("n_a"), lit_nb.alias("n_b"), "w_sum"
     )
     result = folded.select(
         F.col("n_a").cast("long").alias("n_a"),
@@ -5016,17 +5112,16 @@ def qq_fit(
     with round-6/round-12 portable folds. Output one row:
     (n_a, n_b, n_points, slope, intercept, r2)."""
     pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
-    )
-    kgrid = pc.crossJoin(F.broadcast(tot)).agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
+    # totals inlined as literals from the primitive's one collect (r13)
+    # — no totals broadcast-subquery job + BNLJ; see ks_test_2samp.
+    lit_na = _lit_long(pc._tot_a)  # type: ignore[attr-defined]
+    lit_nb = _lit_long(pc._tot_b)  # type: ignore[attr-defined]
+    kgrid = pc.agg(
         *[
             F.min(
                 F.when(
                     F.lit(n_points + 1) * F.col("cum_a")
-                    >= F.lit(k) * F.col("n_a"),
+                    >= F.lit(k) * lit_na,
                     F.col("v"),
                 )
             ).alias(f"__qa{k}")
@@ -5036,13 +5131,13 @@ def qq_fit(
             F.min(
                 F.when(
                     F.lit(n_points + 1) * F.col("cum_b")
-                    >= F.lit(k) * F.col("n_b"),
+                    >= F.lit(k) * lit_nb,
                     F.col("v"),
                 )
             ).alias(f"__qb{k}")
             for k in range(1, n_points + 1)
         ],
-    )
+    ).select(lit_na.alias("n_a"), lit_nb.alias("n_b"), "*")
     pts = kgrid.select(
         "n_a",
         "n_b",
@@ -5683,17 +5778,21 @@ def youden_j(
     never negative. Output one row: (n_pos, n_neg, best_threshold,
     tpr, fpr, youden_j)."""
     pc = grouped_value_prefix_counts(df, score_col, label_expr, n_buckets)
-    tot = pc.agg(F.sum("ca").alias("n_pos"), F.sum("cb").alias("n_neg"))
+    # totals inlined as literals from the primitive's one collect (r13):
+    # the old pc.agg(...) broadcast subquery RE-RAN the whole bucketed
+    # prefix pipeline as its own job. See ks_test_2samp.
+    lit_npos = _lit_long(pc._tot_a)  # type: ignore[attr-defined]
+    lit_nneg = _lit_long(pc._tot_b)  # type: ignore[attr-defined]
     d19 = "decimal(19,0)"
     jnum = (
-        F.col("n_neg").cast(d19)
-        * (F.col("n_pos") - F.col("cum_a")).cast(d19)
-        - F.col("n_pos").cast(d19)
-        * (F.col("n_neg") - F.col("cum_b")).cast(d19)
+        lit_nneg.cast(d19)
+        * (lit_npos - F.col("cum_a")).cast(d19)
+        - lit_npos.cast(d19)
+        * (lit_nneg - F.col("cum_b")).cast(d19)
     ).cast("decimal(38,0)")
-    base = pc.crossJoin(F.broadcast(tot)).select(
-        "n_pos",
-        "n_neg",
+    base = pc.select(
+        lit_npos.alias("n_pos"),
+        lit_nneg.alias("n_neg"),
         F.struct(
             jnum.alias("jnum"),
             (-F.col("v").cast("double")).alias("neg_v"),
@@ -5757,8 +5856,15 @@ def bws_test(
     ordinal domains should prefer ``cvm_test``/``ad_ksample``.
     Output one row: (n_a, n_b, b_a, b_b, bws_b)."""
     pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
-    tot = pc.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
-    base = pc.crossJoin(F.broadcast(tot))
+    # totals inlined as literals from the primitive's one collect (r13):
+    # the old pc.agg(...) broadcast subquery RE-RAN the whole bucketed
+    # prefix pipeline (exchange + windows + join) as its own job — the
+    # worst of the totals shapes. See ks_test_2samp.
+    base = pc.withColumn(
+        "n_a", _lit_long(pc._tot_a)  # type: ignore[attr-defined]
+    ).withColumn(
+        "n_b", _lit_long(pc._tot_b)  # type: ignore[attr-defined]
+    )
     mid2 = (
         F.lit(2) * (F.col("cum_a") + F.col("cum_b"))
         - (F.col("ca") + F.col("cb"))
@@ -5957,12 +6063,25 @@ def mood_dispersion(
     both engines. Output one row: (n_a, n_b, t_stat, expected_t,
     z_score)."""
     pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
-    tot = pc.agg(
-        F.sum("ca").alias("n_a"),
-        F.sum("cb").alias("n_b"),
-        (F.sum("ca") + F.sum("cb")).alias("nn"),
+    # totals inlined as literals from the primitive's one collect (r13):
+    # the old pc.agg(...) broadcast subquery RE-RAN the whole bucketed
+    # prefix pipeline as its own job. See ks_test_2samp.
+    base = (
+        pc.withColumn(
+            "n_a", _lit_long(pc._tot_a)  # type: ignore[attr-defined]
+        )
+        .withColumn(
+            "n_b", _lit_long(pc._tot_b)  # type: ignore[attr-defined]
+        )
+        .withColumn(
+            "nn",
+            _lit_long(
+                None
+                if pc._tot_a is None  # type: ignore[attr-defined]
+                else pc._tot_a + pc._tot_b  # type: ignore[attr-defined]
+            ),
+        )
     )
-    base = pc.crossJoin(F.broadcast(tot))
     l_v = F.col("ca") + F.col("cb")
     mid2 = (
         F.lit(2) * (F.col("cum_a") + F.col("cum_b")) - l_v + F.lit(1)
@@ -6204,19 +6323,17 @@ def van_der_waerden(
         m_c = F.col(f"m{i}")
         lsum = c if lsum is None else lsum + c
         msum = m_c if msum is None else msum + m_c
-    tot = mg._vc_cache.agg(  # type: ignore[attr-defined]
-        *[F.sum(f"c{i}").alias(f"n{i}") for i in range(k)],
-        F.sum(lsum).alias("nn"),
-    )
-    base = mg.crossJoin(F.broadcast(tot))
+    # group totals inlined as literals from the primitive's one collect
+    # (r13) — no totals broadcast-subquery job + BNLJ; see ks_test_2samp.
+    tots = mg._tots  # type: ignore[attr-defined]
+    nn_v = None if tots[0] is None else sum(tots)
+    lit_nn = _lit_long(nn_v)
     mid_d = (
         (F.lit(2) * msum - lsum + F.lit(1)).cast("double") / F.lit(2.0)
     )
-    p = mid_d / (F.col("nn").cast("double") + F.lit(1.0))
+    p = mid_d / (lit_nn.cast("double") + F.lit(1.0))
     a6 = F.round(norm_ppf(p), 6).cast("decimal(9,6)")
-    folded = base.agg(
-        F.max("nn").alias("nn"),
-        *[F.max(f"n{i}").alias(f"n{i}") for i in range(k)],
+    folded = mg.agg(
         *[
             F.sum(
                 (F.col(f"c{i}").cast("decimal(19,0)") * a6).cast(
@@ -6228,6 +6345,10 @@ def van_der_waerden(
         F.sum(
             (lsum.cast("decimal(19,0)") * a6 * a6).cast("decimal(38,12)")
         ).alias("ss"),
+    ).select(
+        lit_nn.alias("nn"),
+        *[_lit_long(tots[i]).alias(f"n{i}") for i in range(k)],
+        "*",
     )
     # stack to k rows so the per-group fold is a rounded-decimal sum
     # (the ad_ksample k-fold rule)
@@ -6294,13 +6415,14 @@ def fligner_killeen(
         df, value_col, group_col, groups, n_buckets
     )
     handles = [mg1._vc_cache]  # type: ignore[attr-defined]
-    tot1 = mg1._vc_cache.agg(  # type: ignore[attr-defined]
-        *[F.sum(f"c{i}").alias(f"n{i}") for i in range(k)]
-    )
+    # group totals inlined as literals from the primitive's one collect
+    # (r13) — no totals broadcast-subquery job + BNLJ per pass; see
+    # ks_test_2samp.
+    tots1 = mg1._tots  # type: ignore[attr-defined]
     vd = F.col("v").cast("double")
     med_aggs = []
     for i in range(k):
-        n_i = F.col(f"n{i}")
+        n_i = _lit_long(tots1[i])
         lo_thresh = ((n_i + F.lit(1)) / F.lit(2)).cast("long")  # ceil(n/2)
         hi_thresh = (n_i / F.lit(2)).cast("long") + F.lit(1)
         med_aggs.append(
@@ -6313,7 +6435,7 @@ def fligner_killeen(
                 F.when(F.col(f"m{i}") >= hi_thresh, vd)
             ).alias(f"vhi{i}")
         )
-    meds = mg1.crossJoin(F.broadcast(tot1)).agg(*med_aggs)
+    meds = mg1.agg(*med_aggs)
     med_case = None
     for i, g in enumerate(groups):
         med_i = (F.col(f"vlo{i}") + F.col(f"vhi{i}")) / F.lit(2.0)
@@ -6338,21 +6460,18 @@ def fligner_killeen(
         m_c = F.col(f"m{i}")
         lsum = c if lsum is None else lsum + c
         msum = m_c if msum is None else msum + m_c
-    tot2 = mg2._vc_cache.agg(  # type: ignore[attr-defined]
-        *[F.sum(f"c{i}").alias(f"n{i}") for i in range(k)],
-        F.sum(lsum).alias("nn"),
-    )
-    base = mg2.crossJoin(F.broadcast(tot2))
+    # pass-2 totals likewise inlined (r13)
+    tots2 = mg2._tots  # type: ignore[attr-defined]
+    nn_v = None if tots2[0] is None else sum(tots2)
+    lit_nn = _lit_long(nn_v)
     mid_d = (
         (F.lit(2) * msum - lsum + F.lit(1)).cast("double") / F.lit(2.0)
     )
     p = F.lit(0.5) + mid_d / (
-        F.lit(2.0) * (F.col("nn").cast("double") + F.lit(1.0))
+        F.lit(2.0) * (lit_nn.cast("double") + F.lit(1.0))
     )
     a6 = F.round(norm_ppf(p), 6).cast("decimal(9,6)")
-    folded = base.agg(
-        F.max("nn").alias("nn"),
-        *[F.max(f"n{i}").alias(f"n{i}") for i in range(k)],
+    folded = mg2.agg(
         *[
             F.sum(
                 (F.col(f"c{i}").cast("decimal(19,0)") * a6).cast(
@@ -6366,6 +6485,10 @@ def fligner_killeen(
         F.sum(
             (lsum.cast("decimal(19,0)") * a6 * a6).cast("decimal(38,12)")
         ).alias("ss"),
+    ).select(
+        lit_nn.alias("nn"),
+        *[_lit_long(tots2[i]).alias(f"n{i}") for i in range(k)],
+        "*",
     )
     stack_args = ", ".join(f"n{i}, s{i}" for i in range(k))
     allp = folded.select(
@@ -6449,12 +6572,25 @@ def cucconi_test(
     agree bit-for-bit into the closing double sequence. Output one
     row: (n_a, n_b, u_stat, v_stat, cucconi_c)."""
     pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
-    tot = pc.agg(
-        F.sum("ca").alias("n_a"),
-        F.sum("cb").alias("n_b"),
-        (F.sum("ca") + F.sum("cb")).alias("nn"),
+    # totals inlined as literals from the primitive's one collect (r13):
+    # the old pc.agg(...) broadcast subquery RE-RAN the whole bucketed
+    # prefix pipeline as its own job. See ks_test_2samp.
+    base = (
+        pc.withColumn(
+            "n_a", _lit_long(pc._tot_a)  # type: ignore[attr-defined]
+        )
+        .withColumn(
+            "n_b", _lit_long(pc._tot_b)  # type: ignore[attr-defined]
+        )
+        .withColumn(
+            "nn",
+            _lit_long(
+                None
+                if pc._tot_a is None  # type: ignore[attr-defined]
+                else pc._tot_a + pc._tot_b  # type: ignore[attr-defined]
+            ),
+        )
     )
-    base = pc.crossJoin(F.broadcast(tot))
     l_v = F.col("ca") + F.col("cb")
     mid2 = (
         F.lit(2) * (F.col("cum_a") + F.col("cum_b")) - l_v + F.lit(1)
@@ -6535,16 +6671,25 @@ def lepage_test(
     pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
     d19 = "decimal(19,0)"
     d38 = "decimal(38,0)"
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
-    ).select("n_a", "n_b", (F.col("n_a") + F.col("n_b")).alias("nn"))
+    # totals inlined as literals from the primitive's one collect (r13)
+    # — no totals broadcast-subquery job + BNLJ; the midpoint embeds nn
+    # as a SQL long literal (`or 0` only guards the empty relation,
+    # where no row evaluates it). See ks_test_2samp.
+    lit_na = _lit_long(pc._tot_a)  # type: ignore[attr-defined]
+    lit_nb = _lit_long(pc._tot_b)  # type: ignore[attr-defined]
+    nn_v = (
+        None
+        if pc._tot_a is None  # type: ignore[attr-defined]
+        else pc._tot_a + pc._tot_b  # type: ignore[attr-defined]
+    )
+    lit_nn = _lit_long(nn_v)
     c = (F.col("ca") + F.col("cb")).cast(d19)
     cum = (F.col("cum_a") + F.col("cum_b")).cast(d19)
     u = F.lit(2).cast(d19) * cum - c + F.lit(1).cast(d19)
     lo = cum - c + F.lit(1).cast(d19)
     hi = cum
-    t = F.expr("(nn + 1) div 2").cast(d19)
-    np1 = (F.col("nn") + F.lit(1)).cast(d19)
+    t = F.expr(f"({nn_v or 0}L + 1L) div 2L").cast(d19)
+    np1 = (lit_nn + F.lit(1)).cast(d19)
     b1 = F.least(hi, t)
     len1 = F.greatest(b1 - lo + F.lit(1).cast(d19), F.lit(0).cast(d19))
     a2 = F.greatest(lo, t + F.lit(1).cast(d19))
@@ -6555,10 +6700,7 @@ def lepage_test(
         - ((a2 + hi) * len2).cast(d38)
     )
     s_v = dec_double_wide(s2v) / F.lit(2.0)
-    folded = pc.crossJoin(F.broadcast(tot)).agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
-        F.max("nn").alias("nn"),
+    folded = pc.agg(
         F.sum((F.col("ca").cast(d19) * u).cast(d38)).alias("r2a"),
         F.sum((c * c * c - c).cast(d38)).alias("ties"),
         F.sum(
@@ -6572,6 +6714,8 @@ def lepage_test(
         F.sum(
             F.floor(F.lit(1e6) * s_v * (s_v / c.cast("double"))).cast(d38)
         ).alias("aa_fp"),
+    ).select(
+        lit_na.alias("n_a"), lit_nb.alias("n_b"), lit_nn.alias("nn"), "*"
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
@@ -6793,20 +6937,27 @@ def siegel_tukey(
     st_stat = the A-sample score sum W."""
     pc = grouped_value_prefix_counts(df, value_col, group_expr, n_buckets)
     d19 = "decimal(19,0)"
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
-    ).select(
-        "n_a", "n_b", (F.col("n_a") + F.col("n_b")).alias("nn")
+    # totals inlined as literals from the primitive's one collect (r13)
+    # — no totals broadcast-subquery job + BNLJ; N div 2 embeds nn as a
+    # SQL long literal (`or 0` only guards the empty relation, where no
+    # row evaluates it). See ks_test_2samp.
+    lit_na = _lit_long(pc._tot_a)  # type: ignore[attr-defined]
+    lit_nb = _lit_long(pc._tot_b)  # type: ignore[attr-defined]
+    nn_v = (
+        None
+        if pc._tot_a is None  # type: ignore[attr-defined]
+        else pc._tot_a + pc._tot_b  # type: ignore[attr-defined]
     )
+    lit_nn = _lit_long(nn_v)
     one = F.lit(1).cast(d19)
     two = F.lit(2).cast(d19)
     c = (F.col("ca") + F.col("cb")).cast(d19)
     cum = (F.col("cum_a") + F.col("cum_b")).cast(d19)
     lo = cum - c + one
     hi = cum
-    nnd = F.col("nn").cast(d19)
-    l_half = F.expr("nn div 2").cast(d19)
-    odd_n = (F.col("nn") % F.lit(2)).cast(d19)
+    nnd = lit_nn.cast(d19)
+    l_half = F.expr(f"{nn_v or 0}L div 2L").cast(d19)
+    odd_n = (lit_nn % F.lit(2)).cast(d19)
     # exact integer halving: (x − x%2)/2 is an exact decimal quotient
     # (a bare x/2 would HALF_UP-round .5 on the cast — engine-divergent)
     def _half(col: Column) -> Column:
@@ -6848,13 +6999,12 @@ def siegel_tukey(
     aa_fp = F.floor(
         F.lit(1e6) * t_d * (t_d / c.cast("double"))
     ).cast("decimal(38,0)")
-    folded = pc.crossJoin(F.broadcast(tot)).agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
-        F.max("nn").alias("nn"),
+    folded = pc.agg(
         F.sum(term_fp).alias("w_fp"),
         F.sum(t_v).alias("s_sum"),
         F.sum(aa_fp).alias("aa_fp"),
+    ).select(
+        lit_na.alias("n_a"), lit_nb.alias("n_b"), lit_nn.alias("nn"), "*"
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
@@ -6928,10 +7078,14 @@ def conover_squared_ranks(
     pc = grouped_value_prefix_counts(
         dev, "u", F.col("__g") == 1, n_buckets
     )
-    tot = pc._vc_cache.agg(  # type: ignore[attr-defined]
-        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
-    ).select(
-        "n_a", "n_b", (F.col("n_a") + F.col("n_b")).alias("nn")
+    # totals inlined as literals from the primitive's one collect (r13)
+    # — no totals broadcast-subquery job + BNLJ; see ks_test_2samp.
+    lit_na = _lit_long(pc._tot_a)  # type: ignore[attr-defined]
+    lit_nb = _lit_long(pc._tot_b)  # type: ignore[attr-defined]
+    lit_nn = _lit_long(
+        None
+        if pc._tot_a is None  # type: ignore[attr-defined]
+        else pc._tot_a + pc._tot_b  # type: ignore[attr-defined]
     )
     c = (F.col("ca") + F.col("cb")).cast(d19)
     cum = (F.col("cum_a") + F.col("cum_b")).cast(d19)
@@ -6951,14 +7105,13 @@ def conover_squared_ranks(
         (cross - cross_lo) / F.lit(1000000000000000000).cast(d38)
     ).cast(d38)
     q_hi = ((a_hi * a_hi).cast(d38) + cross_hi).cast(d38)
-    folded = pc.crossJoin(F.broadcast(tot)).agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
-        F.max("nn").alias("nn"),
+    folded = pc.agg(
         F.sum((F.col("ca").cast(d19) * m2sq).cast(d38)).alias("t4"),
         F.sum((c * m2sq).cast(d38)).alias("s4"),
         F.sum((c * q_hi).cast(d38)).alias("q16_hi"),
         F.sum((c * cross_lo).cast(d38)).alias("q16_lo"),
+    ).select(
+        lit_na.alias("n_a"), lit_nb.alias("n_b"), lit_nn.alias("nn"), "*"
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
