@@ -1283,6 +1283,6 @@ def degree_centralization(
             "wedge_count"
         ),
     )
-    return _release_caches(
-        result, [pc._vc_cache]  # type: ignore[attr-defined]
-    )
+    from .hypotests import _pc_caches
+
+    return _release_caches(result, _pc_caches(pc))

@@ -147,6 +147,17 @@ def _lit_long(x) -> Column:
     return F.lit(x).cast("long")
 
 
+def _pc_caches(pc) -> list:
+    """The persisted intermediates a prefix-count frame carries: the
+    value-count relation plus (r13) the bucketed shuffled relation.
+    Every release site must unpersist BOTH (zero-pinned-RDD contract)."""
+    caches = [pc._vc_cache]
+    vb = getattr(pc, "_vb_cache", None)
+    if vb is not None:
+        caches.append(vb)
+    return caches
+
+
 def grouped_value_prefix_counts(
     df: DataFrame,
     value_col: str,
@@ -217,15 +228,20 @@ def grouped_value_prefix_counts(
         # column must exist for the repartition key
         else F.lit(0)
     )
-    # ONE exchange, hash-partitioned by bucket (r12): both consumers
-    # below — the per-bucket subtotal aggregate and the within-bucket
-    # window — require HashPartitioning(b), so they share this shuffle
-    # (ReusedExchange) and the bucket-assignment subtree (cache scan +
-    # literal-array count) is evaluated ONCE instead of once per
-    # consumer branch (guide §2.4: two operations keyed the same way
-    # share one exchange).
-    vb = vc.select("v", "ca", "cb", bucket_of.alias("b")).repartition(
-        F.col("b")
+    # ONE bucket exchange, PERSISTED (r13): the r12 repartition alone
+    # never ReusedExchange at runtime — column pruning specializes the
+    # projection under each consumer's exchange, so the per-bucket
+    # subtotal aggregate and the within-bucket window each re-ran the
+    # bucket-assignment subtree (profiled as two cache-scan + shuffle
+    # stages per query). The cache materializes it once; cached plans
+    # keep their output partitioning (canChangeCachedPlanOutputPartitioning
+    # defaults false), so both (b)-keyed consumers still skip their
+    # exchanges (guide §2.4). Released with ``_vc_cache`` via
+    # ``_vb_cache``.
+    vb = (
+        vc.select("v", "ca", "cb", bucket_of.alias("b"))
+        .repartition(F.col("b"))
+        .persist()
     )
     per_b = vb.groupBy("b").agg(
         F.sum("ca").alias("sa"), F.sum("cb").alias("sb")
@@ -260,6 +276,7 @@ def grouped_value_prefix_counts(
     out._extras = {  # type: ignore[attr-defined]
         k: row[f"__x_{k}"] for k in extra_aggs
     }
+    out._vb_cache = vb  # type: ignore[attr-defined]
     return out
 
 
@@ -325,9 +342,11 @@ def multigroup_value_prefix_counts(
         if bs
         else F.lit(0)
     )
-    # single shared bucket exchange — see grouped_value_prefix_counts
-    vb = vc.select("v", *cnames, bucket_of.alias("b")).repartition(
-        F.col("b")
+    # single persisted bucket exchange — see grouped_value_prefix_counts
+    vb = (
+        vc.select("v", *cnames, bucket_of.alias("b"))
+        .repartition(F.col("b"))
+        .persist()
     )
     per_b = vb.groupBy("b").agg(
         *[F.sum(c).alias(f"s{i}") for i, c in enumerate(cnames)]
@@ -359,6 +378,7 @@ def multigroup_value_prefix_counts(
     # matching an aggregate over zero rows) — see _tot_a on the 2-group
     # primitive for why.
     out._tots = [row[f"n{i}"] for i in range(k)]  # type: ignore[attr-defined]
+    out._vb_cache = vb  # type: ignore[attr-defined]
     return out
 
 
@@ -367,7 +387,7 @@ def _released(result: DataFrame, pc: DataFrame, release: bool) -> DataFrame:
         return result
     from .dedup import _release_caches
 
-    return _release_caches(result, [pc._vc_cache])  # type: ignore[attr-defined]
+    return _release_caches(result, _pc_caches(pc))
 
 
 def ks_test_2samp(
@@ -685,22 +705,36 @@ def quantile_normalize(
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
-    gv.count()
+    # ONE action (r13): the collect materializes the persisted gv (the
+    # old gv.count()'s cache-race protection), returns the bucket
+    # boundaries as a literal array (no bounds broadcast-NLJ) and the
+    # pooled total as a literal (no n_tot broadcast-subquery job).
     qs = [round(k / n_buckets, 6) for k in range(1, n_buckets)]
-    bounds = gv.agg(F.percentile_approx("v", qs, 10000).alias("__bs"))
-    # one shared (g, b) exchange (r12): the per-(g,b) subtotal aggregate
-    # and the within-(g,b) window reuse it, and the pooled side reads
-    # the shuffled rows instead of re-evaluating the bucket-assignment
-    # subtree a third time — see grouped_value_prefix_counts
+    row = gv.agg(
+        F.percentile_approx("v", qs, 10000).alias("__bs"),
+        F.sum("c").alias("n"),
+    ).collect()[0]
+    bs = row["__bs"]
+    bucket_of = (
+        F.size(F.filter(F.array(*[F.lit(b) for b in bs]), lambda b: F.col("v") > b))
+        if bs
+        else F.lit(0)
+    )
+    # The bucketed relation is PERSISTED (r13): the r12 "one shared
+    # (g,b) exchange" never actually reused at runtime — column pruning
+    # specializes the projection under each consumer's exchange, so the
+    # four consumer branches (per-(g,b) subtotals via offs_g AND n_gs,
+    # the within-group window, the pooled side) each re-ran the whole
+    # bucket-assignment subtree: profiled at sf0.1 as four ~6 MB-input
+    # scan+shuffle stages totalling 37 of 79 task-seconds. The cache
+    # materializes the subtree once and — because cached plans keep
+    # their output partitioning (canChangeCachedPlanOutputPartitioning
+    # defaults false) — the (g,b)-keyed aggregate and window still skip
+    # their exchanges (guide §2.4).
     gb = (
-        gv.crossJoin(F.broadcast(bounds))
-        .select(
-            "g",
-            "v",
-            "c",
-            F.size(F.filter("__bs", lambda b: F.col("v") > b)).alias("b"),
-        )
+        gv.select("g", "v", "c", bucket_of.alias("b"))
         .repartition(F.col("g"), F.col("b"))
+        .persist()
     )
     # within-group cumulative counts, bucket-parallel
     per_gb = gb.groupBy("g", "b").agg(F.sum("c").alias("s"))
@@ -741,10 +775,9 @@ def quantile_normalize(
     pooled = pb.join(F.broadcast(offs), "b").select(
         "v", "cp", (F.col("off") + F.sum("cp").over(wv)).alias("cum")
     )
-    n_tot = gv.agg(F.sum("c").alias("n"))
     ks = F.array(*[F.lit(k) for k in range(1, n_grid + 1)])
     grid = (
-        pooled.crossJoin(F.broadcast(n_tot))
+        pooled.withColumn("n", _lit_long(row["n"]))
         .select(
             "v", "cp", "cum", "n", F.explode(ks).alias("k")
         )
@@ -768,7 +801,11 @@ def quantile_normalize(
         F.col("k").cast("long").alias("k"),
         F.col("qv").alias("normalized"),
     )
-    return _released(result, _Handle(gv), release)
+    if release:
+        from .dedup import _release_caches
+
+        return _release_caches(result, [gv, gb])
+    return result
 
 
 def gini_concentration(
@@ -851,6 +888,7 @@ def value_prefix_counts(
     )
     out._vc_cache = pc._vc_cache  # type: ignore[attr-defined]
     out._extras = pc._extras  # type: ignore[attr-defined]
+    out._vb_cache = pc._vb_cache  # type: ignore[attr-defined]
     # population total as a driver scalar (group A is empty, so all
     # mass is in _tot_b) — callers inline it; see _lit_long.
     out._tot = pc._tot_b  # type: ignore[attr-defined]
@@ -919,7 +957,7 @@ def spearman_rho(
         from .dedup import _release_caches
 
         return _release_caches(
-            result, [px._vc_cache, py._vc_cache]  # type: ignore[attr-defined]
+            result, _pc_caches(px) + _pc_caches(py)
         )
     return result
 
@@ -3431,8 +3469,12 @@ def yuen_trimmed_t(
         cents.alias("__v"), group_expr.alias("__g")
     )
     pc = grouped_value_prefix_counts(base, "__v", F.col("__g"), n_buckets)
-    vc = pc._vc_cache  # type: ignore[attr-defined]
-    tot = vc.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    # totals inlined as literals from the primitive's one collect (r13)
+    # — no totals broadcast-subquery job + BNLJ; see ks_test_2samp.
+    lits = {
+        "a": _lit_long(pc._tot_a),  # type: ignore[attr-defined]
+        "b": _lit_long(pc._tot_b),  # type: ignore[attr-defined]
+    }
     d19 = "decimal(19,0)"
     d38 = "decimal(38,0)"
     vi = F.col("v").cast(d19)
@@ -3440,7 +3482,7 @@ def yuen_trimmed_t(
     def side_moments(side: str):
         c = F.col(f"c{side}").cast(d19)
         cum = F.col(f"cum_{side}").cast(d19)
-        n = F.col(f"n_{side}")
+        n = lits[side]
         g = F.floor(n * F.lit(trim)).cast(d19)
         lo = g + F.lit(1).cast(d19)
         hi = n.cast(d19) - g
@@ -3457,15 +3499,10 @@ def yuen_trimmed_t(
         vhi = F.min(F.when(cum >= hi, vi)).alias(f"vhi_{side}")
         return [tsum, tsumsq, vlo, vhi]
 
-    folded = (
-        pc.crossJoin(F.broadcast(tot))
-        .agg(
-            F.max("n_a").alias("n_a"),
-            F.max("n_b").alias("n_b"),
-            *side_moments("a"),
-            *side_moments("b"),
-        )
-    )
+    folded = pc.agg(
+        *side_moments("a"),
+        *side_moments("b"),
+    ).select(lits["a"].alias("n_a"), lits["b"].alias("n_b"), "*")
 
     def close(side: str):
         n = F.col(f"n_{side}").cast("double")
@@ -3584,7 +3621,7 @@ def jonckheere_terpstra(
     mg = multigroup_value_prefix_counts(
         df, value_col, group_col, list(ordered_groups), n_buckets
     )
-    handles = [mg._vc_cache]  # type: ignore[attr-defined]
+    handles = _pc_caches(mg)
     # A = low group i, B = high group j: 2U_ij = 2·Σ c_j·(#A below)
     # + Σ c_i·c_j; one sum column per ordered pair, all in one agg
     pair_terms = []
@@ -3767,7 +3804,7 @@ def dunn_pairwise_z(
         from .dedup import _release_caches
 
         return _release_caches(
-            result, [pc._vc_cache, per_g]  # type: ignore[attr-defined]
+            result, _pc_caches(pc) + [per_g]
         )
     # release=False contract: the CALLER owns the two persisted
     # intermediates (the prefix-count relation and the k-row per-group
@@ -3775,7 +3812,7 @@ def dunn_pairwise_z(
     # they are handed over on the result as ``_dunn_caches`` so the
     # per_g cache can't silently pin storage for the session lifetime
     # (ADVICE r10 low).
-    result._dunn_caches = [pc._vc_cache, per_g]  # type: ignore[attr-defined]
+    result._dunn_caches = _pc_caches(pc) + [per_g]  # type: ignore[attr-defined]
     return result
 
 
@@ -4363,7 +4400,7 @@ def robust_shape_profile(df: DataFrame, value_col: str) -> DataFrame:
     ).withColumn("n", lit_n)
     from .dedup import _release_caches
 
-    agg = _release_caches(agg, [pc._vc_cache])  # type: ignore[attr-defined]
+    agg = _release_caches(agg, _pc_caches(pc))
     e = lambda i: F.col(f"__e{i}").cast("double")  # noqa: E731
     q1, q2, q3 = e(2), e(4), e(6)
     iqr = q3 - q1
@@ -4607,7 +4644,7 @@ def ad_ksample(
     mg = multigroup_value_prefix_counts(
         df, value_col, group_col, groups, n_buckets
     )
-    handles = [mg._vc_cache]  # type: ignore[attr-defined]
+    handles = _pc_caches(mg)
     lsum = None
     for i in range(k):
         lsum = F.col(f"c{i}") if lsum is None else lsum + F.col(f"c{i}")
@@ -5629,7 +5666,7 @@ def cuzick_trend(
     mg = multigroup_value_prefix_counts(
         df, value_col, group_col, groups, n_buckets
     )
-    handles = [mg._vc_cache]  # type: ignore[attr-defined]
+    handles = _pc_caches(mg)
     lsum = None
     for i in range(k):
         lsum = F.col(f"c{i}") if lsum is None else lsum + F.col(f"c{i}")
@@ -6315,7 +6352,7 @@ def van_der_waerden(
     mg = multigroup_value_prefix_counts(
         df, value_col, group_col, groups, n_buckets
     )
-    handles = [mg._vc_cache]  # type: ignore[attr-defined]
+    handles = _pc_caches(mg)
     lsum = None
     msum = None
     for i in range(k):
@@ -6414,7 +6451,7 @@ def fligner_killeen(
     mg1 = multigroup_value_prefix_counts(
         df, value_col, group_col, groups, n_buckets
     )
-    handles = [mg1._vc_cache]  # type: ignore[attr-defined]
+    handles = _pc_caches(mg1)
     # group totals inlined as literals from the primitive's one collect
     # (r13) — no totals broadcast-subquery job + BNLJ per pass; see
     # ks_test_2samp.
@@ -6452,7 +6489,7 @@ def fligner_killeen(
     mg2 = multigroup_value_prefix_counts(
         centered, "__fk_z", "__fk_g", groups, n_buckets
     )
-    handles.append(mg2._vc_cache)  # type: ignore[attr-defined]
+    handles.extend(_pc_caches(mg2))
     lsum = None
     msum = None
     for i in range(k):
@@ -7271,5 +7308,5 @@ def friedman_aligned_ranks(
     from .dedup import _release_caches
 
     return _release_caches(
-        result, [aligned, pc._vc_cache]  # type: ignore[attr-defined]
+        result, [aligned] + _pc_caches(pc)
     )
