@@ -16,6 +16,11 @@ from pyspark.sql import DataFrame
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Read the partition count from the JVM-side RDD (ADVICE r12): the
+    # Python-side ``df.rdd`` property additionally plans the
+    # Row-deserialization conversion of the whole query on every call —
+    # pure driver overhead in the common no-op case. ``_jdf.rdd()``
+    # answers the same physical-plan partition count without it.
+    if df._jdf.rdd().getNumPartitions() >= target:
         return df
     return df.repartition(target)

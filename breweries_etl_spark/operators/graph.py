@@ -702,7 +702,14 @@ def kcore_summary(
     n_nodes_core, n_edges_core)."""
     und = _undirected(pairs, src_col, dst_col).persist()
     n_nodes0 = und.select("src").distinct().count()
-    n_edges0 = und.count() // 2
+    # Seed the convergence check with the RAW materialized row count
+    # (ADVICE r12): _undirected collapses a self-loop (u,u) to ONE row,
+    # so und.count() can be odd — seeding with n_edges0 * 2 would then
+    # never match a converged round-0 and overcount n_peel_rounds by 1
+    # plus one wasted peel round. No entry query builds self-loops
+    # (pairs use a.p < b.p), but kcore_summary is a generic operator.
+    n_rows0 = und.count()
+    n_edges0 = n_rows0 // 2
     cur = und
     n_peel = 0
     # Convergence signal (r12): the per-round EDGE-ROW count, not a
@@ -715,7 +722,7 @@ def kcore_summary(
     # answered by the persist materialization itself, where the old
     # distinct-node count paid one extra full exchange + aggregate per
     # round (guide §2.4: remove shuffles outright).
-    prev_rows = n_edges0 * 2
+    prev_rows = n_rows0
     for _ in range(max_rounds):
         keep = (
             cur.groupBy("src")
