@@ -395,7 +395,7 @@ def ngram_jaccard_pairs(
     )
     result = cross.unionByName(within)
     if release:
-        return _release_caches(result, [sh])
+        return _release_caches(result, [sh, rep_sh, members])
     return result
 
 
@@ -778,7 +778,17 @@ def _set_group_collapse(sh: DataFrame, id_col: str):
         F.col("shingles"),
         F.xxhash64(F.sort_array("shingles")).alias("__g"),
     )
-    members = grouped.select("__g", F.col(id_col))
+    # PERSISTED (r13): rep_sh feeds THREE consumers (the inverted index
+    # and both sides of the verification join) and members FOUR (cross
+    # expansion a/b + within-group a/b). Unpersisted, every consumer
+    # re-ran the xxhash64(sort_array(shingles)) pass over the whole
+    # shingle cache — profiled at sf0.1 as three identical 3-6
+    # task-second broadcast-future stages per query (guide §2.4: don't
+    # recompute what one pass already knows). Callers unpersist both
+    # alongside ``sh`` at their release site; the block-manager's
+    # per-block locking dedupes the concurrent broadcast-future
+    # computations of the same cached partition.
+    members = grouped.select("__g", F.col(id_col)).persist()
     rep_sh = (
         grouped.groupBy("__g")
         .agg(
@@ -787,6 +797,7 @@ def _set_group_collapse(sh: DataFrame, id_col: str):
             ).alias("m")
         )
         .select("__g", F.col("m.i").alias("__rid"), F.col("m.sh").alias("shingles"))
+        .persist()
     )
     return rep_sh, members
 
@@ -915,5 +926,5 @@ def containment_pairs(
     )
     result = cross.unionByName(within)
     if release:
-        return _release_caches(result, [sh])
+        return _release_caches(result, [sh, rep_sh, members])
     return result

@@ -4920,6 +4920,11 @@ def pinball_loss(
     One grouped percentile pass (k-row relation, broadcast back), one
     loss scan; per-row losses fold with the round-6 decimal recipe.
     Output one row per tau: (tau, n, k_groups, mean_pinball)."""
+    # PERSISTED (r13): preds feeds TWO consumers — the k_groups count
+    # and the broadcast join below — and each broadcast future re-ran
+    # the whole sort-based percentile_disc pass over the fact table
+    # (the group_deviance per_g pattern; guide §2.4). The k-row cache
+    # bounds it to one pass; released after the result materializes.
     preds = (
         df.filter(
             F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
@@ -4934,6 +4939,7 @@ def pinball_loss(
                 for i, t in enumerate(taus)
             ]
         )
+        .persist()
     )
     kk = preds.agg(F.count(F.lit(1)).alias("k"))
     base = df.filter(
@@ -4967,7 +4973,7 @@ def pinball_loss(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(loss, 6).cast("decimal(28,6)")).alias("ls"),
     )
-    return folded.crossJoin(F.broadcast(kk)).select(
+    result = folded.crossJoin(F.broadcast(kk)).select(
         F.col("tau"),
         F.col("n").cast("long").alias("n"),
         F.col("k").cast("long").alias("k_groups"),
@@ -4980,6 +4986,9 @@ def pinball_loss(
             ),
         ).alias("mean_pinball"),
     )
+    from .dedup import _release_caches
+
+    return _release_caches(result, [preds])
 
 
 def wasserstein_1(

@@ -1084,12 +1084,18 @@ def source_char_ngram_cosine(
     gc.count()
     d19 = "decimal(19,0)"
     d38 = "decimal(38,0)"
+    # PERSISTED (r13): norms is broadcast TWICE (the a-side and b-side
+    # joins below) and each broadcast future re-aggregated the whole
+    # gram-count cache — profiled at sf0.1 as two full-pass stages for a
+    # #sources-row relation. The cache bounds that to one pass (the
+    # block manager serializes the concurrent futures' computation of
+    # the same partition). Released with gc below.
     norms = gc.groupBy("s").agg(
         F.sum((F.col("c").cast(d19) * F.col("c").cast(d19)).cast(d38)).alias(
             "nrm2"
         ),
         F.sum("c").alias("n_grams"),
-    )
+    ).persist()
     a = gc.select(F.col("s").alias("sa"), "g", F.col("c").alias("ca"))
     b = gc.select(F.col("s").alias("sb"), "g", F.col("c").alias("cb"))
     dots = (
@@ -1134,7 +1140,7 @@ def source_char_ngram_cosine(
     )
     from .dedup import _release_caches
 
-    return _release_caches(result, [gc])
+    return _release_caches(result, [gc, norms])
 
 
 def pii_density_by_source(
