@@ -569,9 +569,11 @@ def test_ranking_stability_reversed_is_minus_one(spark):
 
 
 def test_dunn_release_false_hands_caches_to_caller(spark):
-    """ADVICE r10 (low): with release=False the two persisted internals
+    """ADVICE r10 (low): with release=False the persisted internals
     must be handed over on result._dunn_caches so the caller can free
-    them — previously per_g leaked for the session lifetime."""
+    them — previously per_g leaked for the session lifetime. r13: the
+    prefix-count primitive now persists the bucketed relation too, so
+    the handover carries THREE caches (value-counts, bucketed, per_g)."""
     from breweries_etl_spark.operators.hypotests import dunn_pairwise_z
 
     df = spark.createDataFrame(
@@ -581,7 +583,7 @@ def test_dunn_release_false_hands_caches_to_caller(spark):
     )
     res = dunn_pairwise_z(df, "g", "v", release=False)
     caches = getattr(res, "_dunn_caches", None)
-    assert caches is not None and len(caches) == 2
+    assert caches is not None and len(caches) == 3
     assert all(c.storageLevel.useMemory for c in caches)
     res.collect()
     for c in caches:
