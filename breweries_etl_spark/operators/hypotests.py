@@ -4920,11 +4920,17 @@ def pinball_loss(
     One grouped percentile pass (k-row relation, broadcast back), one
     loss scan; per-row losses fold with the round-6 decimal recipe.
     Output one row per tau: (tau, n, k_groups, mean_pinball)."""
-    # PERSISTED (r13): preds feeds TWO consumers — the k_groups count
-    # and the broadcast join below — and each broadcast future re-ran
-    # the whole sort-based percentile_disc pass over the fact table
-    # (the group_deviance per_g pattern; guide §2.4). The k-row cache
-    # bounds it to one pass; released after the result materializes.
+    # ONE percentile pass (r13): preds feeds TWO consumers — the
+    # k_groups count and the broadcast join below — and each broadcast
+    # future re-ran the whole sort-based percentile_disc pass over the
+    # fact table. The k-row relation is collected once (group domains
+    # are bounded — the same driver-scalar pattern as the prefix-count
+    # primitive's boundaries) and re-enters the plan as a local
+    # relation, so k_groups is a literal and the join broadcast builds
+    # from local rows: one fact pass, no cache to release, no extra
+    # jobs. Decimal/whatever values round-trip exactly through the
+    # explicit schema.
+    spark = df.sparkSession
     preds = (
         df.filter(
             F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
@@ -4939,9 +4945,11 @@ def pinball_loss(
                 for i, t in enumerate(taus)
             ]
         )
-        .persist()
     )
-    kk = preds.agg(F.count(F.lit(1)).alias("k"))
+    pred_schema = preds.schema
+    pred_rows = preds.collect()
+    k_groups = len(pred_rows)
+    preds = spark.createDataFrame(pred_rows, pred_schema)
     base = df.filter(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(
@@ -4973,10 +4981,10 @@ def pinball_loss(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(loss, 6).cast("decimal(28,6)")).alias("ls"),
     )
-    result = folded.crossJoin(F.broadcast(kk)).select(
+    return folded.select(
         F.col("tau"),
         F.col("n").cast("long").alias("n"),
-        F.col("k").cast("long").alias("k_groups"),
+        F.lit(k_groups).cast("long").alias("k_groups"),
         F.when(
             F.col("n") > 0,
             F.round(
@@ -4986,9 +4994,6 @@ def pinball_loss(
             ),
         ).alias("mean_pinball"),
     )
-    from .dedup import _release_caches
-
-    return _release_caches(result, [preds])
 
 
 def wasserstein_1(
